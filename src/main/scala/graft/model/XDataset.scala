@@ -1,0 +1,164 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spark-native analog of `xarray.Dataset` (ref `xarray/core/dataset.py:202`)
+  * in the exploded long format of SURVEY.md §1.5: one DataFrame whose key
+  * columns are dimension coordinates and whose other columns are data
+  * variables, plus a [[DatasetMeta]] catalog.
+  *
+  * Design rules (SURVEY.md §7):
+  *  - metadata ops (transpose / rename / set_coords) never touch `df`;
+  *  - every data op is declarative DataFrame API so Catalyst pushes filters
+  *    and prunes columns down to the parquet scan;
+  *  - positional ops go through [[Positions]] (no single-partition windows).
+  */
+final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
+
+  def spark: SparkSession = df.sparkSession
+  def dataVars: Seq[String] = df.columns.filterNot(meta.keyCols.contains).toSeq
+
+  private def withDf(d: DataFrame): XDataset = new XDataset(d, meta)
+
+  // ---- projection (ref `dataset.py:1394` __getitem__ / `:5842` drop_vars) --
+  def selectVars(vars: String*): XDataset =
+    withDf(df.select((meta.keyCols ++ vars).distinct.map(col): _*))
+  def dropVars(vars: String*): XDataset = withDf(df.drop(vars: _*))
+
+  // ---- label selection (ref `dataset.py:2997` sel) -----------------------
+  /** Exact-label selection: `sel(dim, values)`. Large label sets should use
+    * [[selJoin]] (broadcast semi-join) instead of an IN list. */
+  def sel(dim: String, values: Seq[Any]): XDataset =
+    withDf(df.filter(col(dim).isin(values: _*)))
+
+  /** Label slice — inclusive on BOTH ends, matching xarray
+    * (`dataset.py:3018`; pandas label-slice semantics). */
+  def selSlice(dim: String, lo: Any, hi: Any): XDataset =
+    withDf(df.filter(col(dim).between(lit(lo), lit(hi))))
+
+  /** Semi-join selection for big label sets: broadcast the label table. */
+  def selJoin(dim: String, labels: DataFrame): XDataset =
+    withDf(df.join(broadcast(labels), df(dim) === labels.columns.head, "left_semi"))
+
+  /** Anti-selection (ref `drop_sel`, `dataset.py:6113`). */
+  def dropSel(dim: String, values: Seq[Any]): XDataset =
+    withDf(df.filter(!col(dim).isin(values: _*)))
+
+  // ---- positional selection (ref `dataset.py:2801` isel) -----------------
+  /** `isel(dim, from until step)` — positions along `dim`'s sort order.
+    * `extraOrder` breaks ties deterministically. */
+  def isel(dim: String, from: Long, until: Long, step: Long = 1L,
+           extraOrder: Seq[String] = Nil): XDataset = {
+    val pos = "__pos"
+    val ordered = Positions.zipWithIndex(df, (dim +: extraOrder).map(col), pos)
+    withDf(ordered
+      .filter(col(pos) >= from && col(pos) < until &&
+        ((col(pos) - from) % step === 0))
+      .drop(pos))
+  }
+
+  /** head/tail/thin per dim (ref `dataset.py:3123/3213/3304`). */
+  def headDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset =
+    isel(dim, 0L, n, 1L, extraOrder)
+  def thinDim(dim: String, k: Long, extraOrder: Seq[String] = Nil): XDataset =
+    isel(dim, 0L, Long.MaxValue, k, extraOrder)
+  def tailDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset = {
+    val pos = "__pos"
+    val ordered = Positions.zipWithIndex(df, (dim +: extraOrder).map(col), pos)
+    val total = ordered.count()
+    withDf(ordered.filter(col(pos) >= total - n).drop(pos))
+  }
+
+  // ---- masking (ref `common.py:1131` where; projection, not filter) ------
+  /** xarray `where(cond)`: keep shape, masked cells become NULL. */
+  def whereMask(cond: Column): XDataset = {
+    val projected = df.columns.map { c =>
+      if (meta.keyCols.contains(c)) col(c)
+      else when(cond, col(c)).otherwise(lit(null)).as(c)
+    }
+    withDf(df.select(projected.toIndexedSeq: _*))
+  }
+
+  /** xarray `where(cond, drop=True)`: in long format just a filter. */
+  def whereDrop(cond: Column): XDataset = withDf(df.filter(cond))
+
+  def isin(c: String, values: Seq[Any]): XDataset =
+    withDf(df.filter(col(c).isin(values: _*)))
+
+  /** String-expression filter (ref `dataset.py:9777` query → Spark SQL). */
+  def query(sqlExpr: String): XDataset = withDf(df.filter(expr(sqlExpr)))
+
+  // ---- missing data (ref `dataset.py:6355` dropna / `:6489` fillna) ------
+  def dropna(vars: Seq[String] = Nil, how: String = "any"): XDataset = {
+    val vs = if (vars.nonEmpty) vars else dataVars
+    val conds = vs.map(col(_).isNotNull)
+    val keep = how match {
+      case "any" => conds.reduce(_ && _)   // drop row if ANY var is null
+      case "all" => conds.reduce(_ || _)   // drop row only if ALL null
+    }
+    withDf(df.filter(keep))
+  }
+  def fillna(value: Any, vars: Seq[String] = Nil): XDataset = {
+    val vs = if (vars.nonEmpty) vars else dataVars
+    withDf(vs.foldLeft(df)((d, v) => d.withColumn(v, coalesce(col(v), lit(value)))))
+  }
+
+  // ---- metadata-only ops (must stay O(1), SURVEY.md §7.4.8) --------------
+  def transpose(order: String*): XDataset = new XDataset(df, meta.transpose(order: _*))
+  def rename(mapping: Map[String, String]): XDataset = new XDataset(
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+    meta.rename(mapping))
+  def assign(name: String, c: Column): XDataset = withDf(df.withColumn(name, c))
+
+  /** squeeze: drop a size-1 dim (ref `variable.py:1146`) — drops the
+    * constant key column; caller asserts size 1. */
+  def squeeze(dim: String): XDataset =
+    new XDataset(df.drop(dim), meta.copy(dims = meta.dims.filterNot(_ == dim)))
+
+  /** expand_dims with labels (ref `dataset.py:4535`): cross join against the
+    * (small, broadcast) new-dimension label table. */
+  def expandDims(dim: String, labels: Seq[Any]): XDataset = {
+    val lt = spark.createDataFrame(
+      spark.sparkContext.parallelize(labels.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(dim,
+          org.apache.spark.sql.catalyst.expressions.Literal(labels.head).dataType))))
+    new XDataset(df.crossJoin(broadcast(lt)), meta.copy(dims = dim +: meta.dims))
+  }
+
+  // ---- reductions over a dim subset (ref `_aggregations.py`; §2.4) -------
+  /** Partial reduction: aggregate OVER `over` dims, grouping by the rest.
+    * Spark's hash aggregate gives partial (map-side) + final combine for
+    * free — the analog of the reference's flox map-reduce strategy
+    * (`core/groupby.py:1064`). */
+  def reduce(over: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val remaining = meta.keyCols.filterNot(over.contains)
+    if (remaining.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(remaining.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def sortBy(keys: String*): DataFrame = df.orderBy(keys.map(col): _*)
+}
+
+object XDataset {
+  /** Open a parquet table as a 1-D (or N-D) dataset over the given dims. */
+  def open(spark: SparkSession, path: String, dims: Seq[String],
+           coords: Set[String] = Set.empty): XDataset =
+    new XDataset(spark.read.parquet(path), DatasetMeta(dims, coords))
+
+  def apply(df: DataFrame, dims: Seq[String], coords: Set[String] = Set.empty): XDataset =
+    new XDataset(df, DatasetMeta(dims, coords))
+
+  /** Exact cross-engine-stable sum of a double column: accumulate in decimal
+    * (associative, order-independent) and cast back. At 100 TB a plain
+    * double `sum` is non-deterministic across shuffle orders; decimal
+    * accumulation is exact AND reproducible. */
+  def exactSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Order-independent mean built from the exact sum. */
+  def exactAvg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(30, scale))).cast("double") / count(c))
+}
