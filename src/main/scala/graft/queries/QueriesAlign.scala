@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.XDataset
+import graft.model.XDataset.{exactAvg, exactSum}
+import graft.io.Tables
+import graft.align.{Align, AsOf}
+import graft.agg.Groupers
+
+/** Alignment / implicit-join operator queries (SURVEY.md §2.3): align modes,
+  * reindex, broadcast binary ops, merge, combine_first, as-of joins. */
+object QueriesAlign {
+
+  private def custPerNation(s: SparkSession, dir: String): XDataset =
+    XDataset(
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust")),
+      dims = Seq("nationkey"))
+
+  private def suppPerNation(s: SparkSession, dir: String): XDataset =
+    XDataset(
+      Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp")),
+      dims = Seq("nationkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // align(join="inner") + arithmetic (ref `structure/alignment.py:763`)
+    "q10_align_inner" -> ((s, dir) => {
+      Align.binaryOp(custPerNation(s, dir), suppPerNation(s, dir), "inner") { j =>
+        Seq(col("n_cust"), col("n_supp"), (col("n_cust") - col("n_supp")).as("diff"))
+      }
+    }),
+
+    // align(join="outer") with fill_value (ref `alignment.py` fill_value)
+    "q11_align_outer" -> ((s, dir) => {
+      Align.binaryOp(custPerNation(s, dir), suppPerNation(s, dir), "outer") { j =>
+        Seq(coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      }
+    }),
+
+    // reindex onto a generated label grid, missing -> fill (ref `dataset.py:3546`)
+    "q12_reindex_time" -> ((s, dir) => {
+      val buckets = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "2001-08-01 00:00:00", "1 day", "day")
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("rev"))
+      Align.reindex(buckets, XDataset(daily, Seq("day")),
+        fill = Map("n" -> 0L, "rev" -> 0.0))
+    }),
+
+    // broadcasting binary op: 1-D var over 2-D grid via shared-dim join
+    // (ref `variable.py:2447` _binary_op -> broadcast_compat_data)
+    "q13_broadcast_binop" -> ((s, dir) => {
+      val line = QueriesCore.li(s, dir)
+        .assign("line_rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val orderRev = XDataset(
+        line.df.groupBy("l_orderkey")
+          .agg(exactSum(col("line_rev"), scale = 6).as("order_rev")),
+        dims = Seq("l_orderkey"))
+      Align.binaryOp(line.selectVars("line_rev"), orderRev, "inner") { _ =>
+        Seq(col("l_linenumber"), (col("line_rev") / col("order_rev")).as("rev_share"))
+      }
+    }),
+
+    // merge: combine variable sets over one dim namespace (ref `merge.py:855`)
+    "q14_merge_outer" -> ((s, dir) => {
+      val bal = XDataset(
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"), col("c_acctbal")),
+        dims = Seq("custkey"))
+      val nOrd = XDataset(
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+        dims = Seq("custkey"))
+      Align.merge(bal, nOrd, "outer")
+        .select("custkey", "c_acctbal", "n_orders")
+    }),
+
+    // combine_first: self wins, other fills holes (ref `dataset.py:6845`)
+    "q15_combine_first" -> ((s, dir) => {
+      def perDay(status: String, out: String) = XDataset(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === status)
+          .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+          .agg(exactSum(col("o_totalprice")).as(out)),
+        dims = Seq("day"))
+      Align.combineFirst(perDay("F", "rev_f"), perDay("O", "rev_o"),
+        varPairs = Seq(("rev_f", "rev_o", "rev")))
+    }),
+
+    // as-of join backward (sel/reindex method="ffill"; ref `indexes.py:634`)
+    "q16_asof_backward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      val obs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+      AsOf.backward(probes, obs, by = Seq("user_id"), key = "ts",
+        rightVals = Seq("last_purchase"))
+        .select("event_id", "user_id", "last_purchase")
+    }),
+
+    // as-of join forward (method="bfill")
+    "q16b_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      val obs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+      AsOf.forward(probes, obs, by = Seq("user_id"), key = "ts",
+        rightVals = Seq("next_purchase"))
+        .select("event_id", "user_id", "next_purchase")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_align_inner" ->
+      """SELECT c.nationkey, n_cust, n_supp, n_cust - n_supp AS diff
+         FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1) s USING (nationkey)""",
+    "q11_align_outer" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+         coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1) s ON c.nationkey = s.nationkey""",
+    "q12_reindex_time" ->
+      """SELECT d.day, coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
+         FROM (SELECT generate_series AS day FROM
+               generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                               INTERVAL 1 DAY)) d
+         LEFT JOIN (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+               FROM orders GROUP BY 1) o ON d.day = o.day""",
+    "q13_broadcast_binop" ->
+      """SELECT l_orderkey, l_linenumber,
+         (l_extendedprice * (1 - l_discount)) / order_rev AS rev_share
+         FROM lineitem JOIN (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS order_rev
+           FROM lineitem GROUP BY 1) o USING (l_orderkey)""",
+    "q14_merge_outer" ->
+      """SELECT coalesce(c.custkey, o.custkey) AS custkey, c_acctbal, n_orders
+         FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer) c
+         FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+               FROM orders GROUP BY 1) o ON c.custkey = o.custkey""",
+    "q15_combine_first" ->
+      """SELECT coalesce(f.day, o.day) AS day, coalesce(rev_f, rev_o) AS rev
+         FROM (SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev_f
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+         FULL JOIN (SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev_o
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+         ON f.day = o.day""",
+    "q16_asof_backward" ->
+      """SELECT l.event_id, l.user_id, r.value AS last_purchase
+         FROM (SELECT * FROM events WHERE event_type = 'error') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q16b_asof_forward" ->
+      """SELECT l.event_id, l.user_id, r.value AS next_purchase
+         FROM (SELECT * FROM events WHERE event_type = 'error') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts"""
+  )
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.XDataset
+import graft.model.XDataset.{exactAvg, exactSum}
+import graft.io.Tables
+import graft.agg.{Aggregations, Groupers}
+
+/** GroupBy / groupers / resample / weighted / reduction-semantics queries
+  * (SURVEY.md §2.4). */
+object QueriesGroupBy {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TimeResampler: monthly buckets + empty-bucket reinstatement
+    // (ref `groupers.py:474`, `core/resample.py`)
+    "q17_resample_month" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(Groupers.resample(col("o_orderdate"), "MONTH").as("month"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("rev"))
+      val buckets = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "2001-08-01 00:00:00", "1 month", "month")
+      Groupers.reinstate(buckets, monthly, "month")
+    }),
+
+    // SeasonGrouper DJF/MAM/JJA/SON (ref `groupers.py:801`)
+    "q18_season_groupby" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(Groupers.season(col("o_orderdate")).as("season"))
+        .agg(count(lit(1)).as("n"), exactAvg(col("o_totalprice")).as("avg_price"))
+    }),
+
+    // BinGrouper: pd.cut-style right-closed bins (ref `groupers.py:344`)
+    "q19_bins_groupby" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(Groupers.bins(col("c_acctbal"), -1000.0, 10000.0, 10).as("bin"))
+        .agg(count(lit(1)).as("n"), exactAvg(col("c_acctbal")).as("avg_bal"))
+    }),
+
+    // groupby arithmetic: anomaly = value - group mean (ref `groupby.py:883`)
+    "q20_groupby_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val means = ev.groupBy("event_type")
+        .agg(exactAvg(col("value"), scale = 6).as("m"))
+      ev.join(broadcast(means), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          (col("value") - col("m")).as("anomaly"))
+    }),
+
+    // weighted mean with joint masking (ref `computation/weighted.py:135`)
+    "q21_weighted_mean" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(Aggregations.weightedMean(col("l_extendedprice"), col("l_quantity"))
+          .as("wmean_price"))
+    }),
+
+    // skipna=False + min_count (ref `_aggregations.py` params)
+    "q22_skipna_mincount" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("value_masked",
+          when(col("event_type") =!= "error", col("value")))
+      ev.groupBy("event_type").agg(
+        Aggregations.skipnaFalse(
+          exactSum(col("value_masked"), scale = 6), col("value_masked"))
+          .as("sum_skipna_false"),
+        Aggregations.minCount(
+          exactSum(col("value_masked"), scale = 6), col("value_masked"), 2000)
+          .as("sum_minc"))
+    }),
+
+    // idxmax: coordinate label of the extremum (ref `dataset.py:9349`)
+    "q23_idxmax" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(Aggregations.idxmax(col("l_shipdate"), col("l_extendedprice"))
+          .as("ship_of_max"),
+          Aggregations.idxmin(col("l_shipdate"), col("l_extendedprice"))
+            .as("ship_of_min"))
+    }),
+
+    // exact quantile, linear interpolation = H&F 7 (ref `variable.py:1929`)
+    "q24_quantile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"))
+    }),
+
+    // average-tie rank (ref `dataset.py:8416`; bottleneck rankdata semantics)
+    "q25_rank_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.orderBy(col("s_acctbal"))
+      val tie = Window.partitionBy(col("s_acctbal"))
+      Tables.supplier(s, dir)
+        .withColumn("rank_avg",
+          rank().over(ord) + (count(lit(1)).over(tie) - 1) / 2.0)
+        .select("s_suppkey", "s_acctbal", "rank_avg")
+    }),
+
+    // grouped cumulative sum (ref `_aggregations.py` cumsum -> window scan)
+    "q26_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(30, 4))).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "running_spend")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_resample_month" ->
+      """SELECT b.month, n, rev FROM
+         (SELECT generate_series AS month FROM
+            generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                            INTERVAL 1 MONTH)) b
+         LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS month,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1) o ON b.month = o.month""",
+    "q18_season_groupby" ->
+      """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'DJF'
+                     WHEN month(o_orderdate) IN (3,4,5) THEN 'MAM'
+                     WHEN month(o_orderdate) IN (6,7,8) THEN 'JJA'
+                     ELSE 'SON' END AS season,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(o_totalprice) AS avg_price
+         FROM orders GROUP BY 1""",
+    "q19_bins_groupby" ->
+      """SELECT CASE WHEN c_acctbal > -1000 AND c_acctbal <= 10000
+             THEN greatest(CAST(ceil((c_acctbal - (-1000.0)) / 1100.0) AS BIGINT) - 1, 0) END AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+         FROM customer GROUP BY 1""",
+    "q20_groupby_anomaly" ->
+      """SELECT event_id, e.event_type, value - m AS anomaly
+         FROM events e JOIN (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS m
+           FROM events GROUP BY 1) g ON e.event_type = g.event_type""",
+    "q21_weighted_mean" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) /
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wmean_price
+         FROM lineitem GROUP BY 1""",
+    "q22_skipna_mincount" ->
+      """SELECT event_type,
+         CASE WHEN count(CASE WHEN value_masked IS NULL THEN 1 END) = 0
+              THEN CAST(sum(CAST(value_masked AS DECIMAL(30,6))) AS DOUBLE) END
+           AS sum_skipna_false,
+         CASE WHEN count(value_masked) >= 2000
+              THEN CAST(sum(CAST(value_masked AS DECIMAL(30,6))) AS DOUBLE) END
+           AS sum_minc
+         FROM (SELECT event_type,
+                 CASE WHEN event_type <> 'error' THEN value END AS value_masked
+               FROM events) GROUP BY 1""",
+    "q23_idxmax" ->
+      """SELECT l_returnflag,
+         min(l_shipdate) FILTER (l_extendedprice = mx) AS ship_of_max,
+         min(l_shipdate) FILTER (l_extendedprice = mn) AS ship_of_min
+         FROM lineitem l JOIN (
+           SELECT l_returnflag AS rf, max(l_extendedprice) AS mx,
+                  min(l_extendedprice) AS mn
+           FROM lineitem GROUP BY 1) m ON l.l_returnflag = m.rf
+         GROUP BY 1""",
+    "q24_quantile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+         round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY 1""",
+    "q25_rank_avg" ->
+      """SELECT s_suppkey, s_acctbal,
+         rank() OVER (ORDER BY s_acctbal) +
+         (count(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0 AS rank_avg
+         FROM supplier""",
+    "q26_cumsum" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders"""
+  )
+}

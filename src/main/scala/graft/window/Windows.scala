@@ -1,0 +1,69 @@
+package graft.window
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Moving-window vocabulary (ref `xarray/computation/rolling.py`): rolling /
+  * cumulative / coarsen / shift / diff / ffill / bfill as Spark window specs.
+  *
+  * Scale rule: every spec partitions by the non-window dims (`partitionBy`)
+  * so the sort stays within bounded groups — an unpartitioned orderBy window
+  * is a single-task bottleneck and is deliberately not offered here.
+  */
+object Windows {
+
+  /** rolling(dim, window) ending at the current row (xarray default,
+    * `rolling.py:56`; label = right edge). */
+  def rolling(partitionBy: Seq[Column], orderBy: Seq[Column], window: Int): WindowSpec =
+    base(partitionBy, orderBy).rowsBetween(-(window - 1), 0)
+
+  /** center=True variant (`rolling.py` center: window centred on label). */
+  def rollingCentered(partitionBy: Seq[Column], orderBy: Seq[Column], window: Int): WindowSpec =
+    base(partitionBy, orderBy).rowsBetween(-((window - 1) / 2), window / 2)
+
+  /** cumulative / expanding (ref `dataset.py:10452`). */
+  def expanding(partitionBy: Seq[Column], orderBy: Seq[Column]): WindowSpec =
+    base(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)
+
+  private def base(partitionBy: Seq[Column], orderBy: Seq[Column]): WindowSpec =
+    if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+    else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+
+  /** min_periods guard (ref `rolling.py` min_periods): NULL until at least
+    * `mp` non-null observations are in the window. */
+  def withMinPeriods(agg: Column, c: Column, w: WindowSpec, mp: Int): Column =
+    when(count(c).over(w) >= mp, agg)
+
+  /** shift by n along the window order (ref `dataset.py:7967`). */
+  def shift(c: Column, n: Int, w: WindowSpec): Column =
+    if (n >= 0) lag(c, n).over(w) else lead(c, -n).over(w)
+
+  /** n-th discrete difference, label=upper (ref `dataset.py:7879`). */
+  def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
+
+  /** ffill with optional limit (ref `dataset.py:6716`; kernel
+    * `duck_array_ops.push` — Spark's sort-based window IS the distributed
+    * scan the reference builds by hand with a Blelloch scan). */
+  def ffill(c: Column, partitionBy: Seq[Column], orderBy: Seq[Column],
+            limit: Option[Int] = None): Column = {
+    val w0 = base(partitionBy, orderBy)
+    val w = limit.map(l => w0.rowsBetween(-l, 0))
+      .getOrElse(w0.rowsBetween(Window.unboundedPreceding, 0))
+    last(c, ignoreNulls = true).over(w)
+  }
+
+  def bfill(c: Column, partitionBy: Seq[Column], orderBy: Seq[Column],
+            limit: Option[Int] = None): Column = {
+    val w0 = base(partitionBy, orderBy.map(_.desc))
+    val w = limit.map(l => w0.rowsBetween(-l, 0))
+      .getOrElse(w0.rowsBetween(Window.unboundedPreceding, 0))
+    last(c, ignoreNulls = true).over(w)
+  }
+
+  /** coarsen: non-overlapping block aggregation along a position column
+    * (ref `computation/rolling.py:1023`); boundary="trim" drops the ragged
+    * tail. Block id = floor(pos / k) — a plain groupBy, no window needed,
+    * so it scales as ordinary hash aggregation. */
+  def coarsenKey(pos: Column, k: Int): Column = floor(pos / k).cast("long")
+}
