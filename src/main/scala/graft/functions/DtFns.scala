@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's `.dt` accessor surface (~40 methods,
+  * `xarray/core/accessor_dt.py:243-700`) as native Column expressions.
+  * Conventions follow xarray/pandas: dayofweek is Monday=0..Sunday=6,
+  * season is meteorological DJF/MAM/JJA/SON.
+  */
+object DtFns {
+  def yearD(t: Column): Column = year(t)
+  def monthD(t: Column): Column = month(t)
+  def dayD(t: Column): Column = dayofmonth(t)
+  def hourD(t: Column): Column = hour(t)
+  def minuteD(t: Column): Column = minute(t)
+  def secondD(t: Column): Column = second(t)
+  def microsecond(t: Column): Column =
+    (unix_micros(t) % 1000000L + 1000000L) % 1000000L
+  def nanosecond(t: Column): Column = microsecond(t) * 1000L
+
+  /** pandas dayofweek: Monday=0 .. Sunday=6 (Spark dayofweek is Sunday=1). */
+  def dayofweek(t: Column): Column = (dayofweek_raw(t) + 5) % 7
+  private def dayofweek_raw(t: Column): Column =
+    org.apache.spark.sql.functions.dayofweek(t)
+  def weekday(t: Column): Column = dayofweek(t)
+  def dayofyearD(t: Column): Column = dayofyear(t)
+  def quarterD(t: Column): Column = quarter(t)
+  def daysInMonth(t: Column): Column = dayofmonth(last_day(t))
+  def season(t: Column): Column = graft.agg.Groupers.season(t)
+  def isLeapYear(t: Column): Column =
+    (year(t) % 4 === 0 && year(t) % 100 =!= 0) || (year(t) % 400 === 0)
+  def daysInYear(t: Column): Column = when(isLeapYear(t), 366).otherwise(365)
+  def isMonthStart(t: Column): Column = dayofmonth(t) === 1
+  def isMonthEnd(t: Column): Column = dayofmonth(t) === daysInMonth(t)
+  def isQuarterStart(t: Column): Column =
+    dayofmonth(t) === 1 && month(t).isin(1, 4, 7, 10)
+  def isQuarterEnd(t: Column): Column =
+    isMonthEnd(t) && month(t).isin(3, 6, 9, 12)
+  def isYearStart(t: Column): Column = dayofyear(t) === 1
+  def isYearEnd(t: Column): Column = month(t) === 12 && dayofmonth(t) === 31
+
+  /** ISO calendar week (pandas `isocalendar().week`). */
+  def week(t: Column): Column = weekofyear(t)
+
+  /** decimal_year (ref `accessor_dt.py` decimal_year): year + elapsed
+    * fraction; day-resolution variant (UTC, no sub-day component). */
+  def decimalYear(t: Column): Column =
+    year(t) + (dayofyear(t) - 1).cast("double") / daysInYear(t)
+
+  def date(t: Column): Column = to_date(t)
+  def floorDay(t: Column): Column = date_trunc("DAY", t)
+  def floorHour(t: Column): Column = date_trunc("HOUR", t)
+  def ceilDay(t: Column): Column =
+    when(t === date_trunc("DAY", t), t)
+      .otherwise(date_trunc("DAY", t + expr("INTERVAL 1 DAY")))
+  def roundDay(t: Column): Column = {
+    val f = date_trunc("DAY", t)
+    val mid = timestamp_seconds(unix_timestamp(f) + 43200L)
+    when(t < mid, f).otherwise(date_trunc("DAY", t + expr("INTERVAL 1 DAY")))
+  }
+  def strftime(t: Column, fmt: String): Column = date_format(t, fmt)
+
+  /** timedelta total_seconds between two timestamps (µs exact). */
+  def totalSeconds(a: Column, b: Column): Column =
+    (unix_micros(a) - unix_micros(b)).cast("double") / 1e6
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's `.str` accessor surface (~60 methods,
+  * `xarray/core/accessor_str.py:144-2899`) as codegen'd Column functions.
+  * Every method is a native Spark expression — no UDFs — so the whole
+  * battery stays inside WholeStageCodegen.
+  */
+object StrFns {
+  def len(c: Column): Column = length(c)                       // accessor_str len
+  def get(c: Column, i: Int): Column = substring(c, i + 1, 1)  // 0-based get
+  def slice(c: Column, start: Int, stop: Int): Column =        // python slice
+    substring(c, start + 1, stop - start)
+  def capitalize(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
+  def lowerS(c: Column): Column = lower(c)
+  def upperS(c: Column): Column = upper(c)
+  def title(c: Column): Column = initcap(c)
+  def swapcase(c: Column): Column = {
+    // per-char case flip via translate of the ASCII alphabet
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val up = lo.toUpperCase
+    translate(c, lo + up, up + lo)
+  }
+  def isAlpha(c: Column): Column = c.rlike("^[A-Za-z]+$")
+  def isDigit(c: Column): Column = c.rlike("^[0-9]+$")
+  def isSpace(c: Column): Column = c.rlike("^\\s+$")
+  def isLower(c: Column): Column = c === lower(c) && c.rlike("[a-z]")
+  def isUpper(c: Column): Column = c === upper(c) && c.rlike("[A-Z]")
+  def countMatches(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
+  def startswith(c: Column, p: String): Column = c.startsWith(p)
+  def endswith(c: Column, p: String): Column = c.endsWith(p)
+  def pad(c: Column, width: Int, side: String, fillchar: String = " "): Column =
+    side match {
+      case "left"  => lpad(c, width, fillchar)
+      case "right" => rpad(c, width, fillchar)
+      case "both"  => // center: numpy puts extra pad on the right
+        rpad(lpad(c, ((lit(width) + length(c)) / 2).cast("int"), lit(fillchar)),
+          lit(width), lit(fillchar))
+    }
+  def center(c: Column, width: Int, fillchar: String = " "): Column =
+    pad(c, width, "both", fillchar)
+  def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+  def containsLiteral(c: Column, s: String): Column = c.contains(s)
+  def containsRegex(c: Column, p: String): Column = c.rlike(p)
+  def matchS(c: Column, p: String): Column = c.rlike("^(?:" + p + ")")
+  def fullmatch(c: Column, p: String): Column = c.rlike("^(?:" + p + ")$")
+  def strip(c: Column): Column = trim(c)
+  def lstrip(c: Column): Column = ltrim(c)
+  def rstrip(c: Column): Column = rtrim(c)
+  def translateS(c: Column, from: String, to: String): Column = translate(c, from, to)
+  def repeatS(c: Column, n: Int): Column = repeat(c, n)
+  def find(c: Column, sub: String): Column = instr(c, sub) - 1  // -1 when absent
+  def replaceRegex(c: Column, p: String, r: String): Column = regexp_replace(c, p, r)
+  def extract(c: Column, p: String, group: Int): Column = regexp_extract(c, p, group)
+  def extractAll(c: Column, p: String, group: Int): Column =
+    regexp_extract_all(c, lit(p), lit(group))
+  def findall(c: Column, p: String): Column = regexp_extract_all(c, lit(p), lit(0))
+  def splitS(c: Column, sep: String): Column = split(c, sep)
+  def partitionS(c: Column, sep: String): Column = {
+    val i = instr(c, sep)
+    struct(
+      when(i > 0, substring_index(c, sep, 1)).otherwise(c).as("head"),
+      when(i > 0, lit(sep)).otherwise(lit("")).as("sep"),
+      when(i > 0, c.substr(i + sep.length, length(c))).otherwise(lit("")).as("tail"))
+  }
+  def cat(cols: Seq[Column], sep: String): Column = concat_ws(sep, cols: _*)
+  def join(c: Column, sep: String): Column = array_join(c, sep)
+  def encodeS(c: Column, charset: String): Column = encode(c, charset)
+  def decodeS(c: Column, charset: String): Column = decode(c, charset)
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+}

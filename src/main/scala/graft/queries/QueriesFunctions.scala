@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.{DtFns, StrFns}
+
+/** Scalar-function operator queries (SURVEY.md §2.9): the `.str` and `.dt`
+  * accessor batteries, type/NA scalar ops, 3-arg where, full_like,
+  * date_range + infer_freq. */
+object QueriesFunctions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // .str accessor battery (ref `core/accessor_str.py:144-2899`)
+    "q36_str_battery" -> ((s, dir) => {
+      val p = col("p_name")
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        StrFns.len(p).as("len"),
+        StrFns.upperS(p).as("upper"),
+        StrFns.capitalize(p).as("cap"),
+        StrFns.slice(p, 0, 5).as("slice05"),
+        StrFns.startswith(p, "a").as("starts_a"),
+        StrFns.containsLiteral(p, "li").as("has_li"),
+        StrFns.countMatches(p, "[aeiou]").as("n_vowels"),
+        StrFns.replaceRegex(p, "[aeiou]", "_").as("devowel"),
+        StrFns.extract(p, "^(\\w+)", 1).as("first_word"),
+        StrFns.zfill(col("p_partkey").cast("string"), 8).as("key_z"),
+        StrFns.pad(p, 30, "right", ".").as("padded"),
+        StrFns.strip(StrFns.slice(p, 0, 6)).as("stripped"),
+        StrFns.find(p, "e").as("find_e"),
+        size(StrFns.splitS(p, " ")).as("n_words"),
+        StrFns.repeatS(StrFns.slice(p, 0, 2), 3).as("rep3"),
+        StrFns.swapcase(p).as("swapped"))
+    }),
+
+    // .dt accessor battery (ref `core/accessor_dt.py:243-700`)
+    "q37_dt_battery" -> ((s, dir) => {
+      val t = col("o_orderdate")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        DtFns.yearD(t).as("y"),
+        DtFns.monthD(t).as("m"),
+        DtFns.dayD(t).as("d"),
+        DtFns.dayofweek(t).as("dow"),
+        DtFns.dayofyearD(t).as("doy"),
+        DtFns.quarterD(t).as("q"),
+        DtFns.daysInMonth(t).as("dim"),
+        DtFns.week(t).as("wk"),
+        DtFns.isLeapYear(t).as("leap"),
+        DtFns.isMonthStart(t).as("m_start"),
+        DtFns.isMonthEnd(t).as("m_end"),
+        DtFns.isQuarterStart(t).as("q_start"),
+        DtFns.season(t).as("season"),
+        round(DtFns.decimalYear(t), 6).as("dec_year"),
+        DtFns.strftime(t, "yyyy-MM").as("ym"))
+    }),
+
+    // type/NA scalar ops: astype/clip/round/where3/full_like
+    // (ref `common.py:1409/462`, `computation.py:682`, `common.py:1497`)
+    "q38_scalar_ops" -> ((s, dir) => {
+      val b = col("c_acctbal")
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        b.cast("long").as("bal_long"),
+        least(greatest(b, lit(0.0)), lit(5000.0)).as("bal_clip"),
+        round(b / 1000, 2).as("bal_k"),
+        when(b > 0, lit("pos")).otherwise(lit("neg")).as("sign3"),
+        lit(1.0).as("ones_like"),
+        b.isNull.as("isnull"),
+        abs(b).as("bal_abs"),
+        floor(b / 100).as("bal_floordiv"),
+        pmod(col("c_custkey"), lit(7)).as("key_mod"))
+    }),
+
+    // date_range + infer_freq (ref `cftime_offsets.py:1221`,
+    // `coding/frequencies.py:61`)
+    "q39_date_range_infer" -> ((s, dir) => {
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+             timestamp'2024-01-10 00:00:00', interval 6 hours)) AS t""")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("t"))
+      val diffs = grid.withColumn("step_sec",
+        unix_timestamp(col("t")) - unix_timestamp(lag(col("t"), 1).over(w)))
+      diffs.filter(col("step_sec").isNotNull)
+        .groupBy(col("step_sec")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_str_battery" ->
+      """SELECT p_partkey,
+         length(p_name) AS len,
+         upper(p_name) AS upper,
+         upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS cap,
+         substr(p_name, 1, 5) AS slice05,
+         starts_with(p_name, 'a') AS starts_a,
+         contains(p_name, 'li') AS has_li,
+         length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_vowels,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_z,
+         rpad(p_name, 30, '.') AS padded,
+         trim(substr(p_name, 1, 6)) AS stripped,
+         instr(p_name, 'e') - 1 AS find_e,
+         len(string_split(p_name, ' ')) AS n_words,
+         repeat(substr(p_name, 1, 2), 3) AS rep3,
+         translate(p_name,
+           'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped
+         FROM part""",
+    "q37_dt_battery" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS y,
+         month(o_orderdate) AS m,
+         day(o_orderdate) AS d,
+         (dayofweek(o_orderdate) + 6) % 7 AS dow,
+         dayofyear(o_orderdate) AS doy,
+         quarter(o_orderdate) AS q,
+         day(last_day(o_orderdate)) AS dim,
+         weekofyear(o_orderdate) AS wk,
+         (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+           OR year(o_orderdate) % 400 = 0 AS leap,
+         day(o_orderdate) = 1 AS m_start,
+         day(o_orderdate) = day(last_day(o_orderdate)) AS m_end,
+         day(o_orderdate) = 1 AND month(o_orderdate) IN (1,4,7,10) AS q_start,
+         CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'DJF'
+              WHEN month(o_orderdate) IN (3,4,5) THEN 'MAM'
+              WHEN month(o_orderdate) IN (6,7,8) THEN 'JJA'
+              ELSE 'SON' END AS season,
+         round(year(o_orderdate) +
+           CAST(dayofyear(o_orderdate) - 1 AS DOUBLE) /
+           (CASE WHEN (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                      OR year(o_orderdate) % 400 = 0 THEN 366 ELSE 365 END), 6)
+           AS dec_year,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders""",
+    "q38_scalar_ops" ->
+      """SELECT c_custkey,
+         CAST(trunc(c_acctbal) AS BIGINT) AS bal_long,
+         least(greatest(c_acctbal, 0.0), 5000.0) AS bal_clip,
+         round(c_acctbal / 1000, 2) AS bal_k,
+         CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS sign3,
+         1.0 AS ones_like,
+         c_acctbal IS NULL AS isnull,
+         abs(c_acctbal) AS bal_abs,
+         floor(c_acctbal / 100) AS bal_floordiv,
+         c_custkey % 7 AS key_mod
+         FROM customer""",
+    "q39_date_range_infer" ->
+      """SELECT step_sec, count(*) AS n FROM (
+           SELECT epoch(t) - lag(epoch(t)) OVER (ORDER BY t) AS step_sec
+           FROM (SELECT generate_series AS t FROM
+             generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10',
+                             INTERVAL 6 HOUR)))
+         WHERE step_sec IS NOT NULL GROUP BY 1"""
+  )
+}
