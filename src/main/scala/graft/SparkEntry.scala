@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesAlign.queries ++ QueriesGroupBy.queries ++
       QueriesWindow.queries ++ QueriesReshape.queries ++
-      QueriesFunctions.queries ++ QueriesNumerics.queries
+      QueriesFunctions.queries ++ QueriesNumerics.queries ++
+      QueriesLLM.queries ++ QueriesUdf.queries ++ QueriesStreaming.queries
 
   /** DuckDB-runnable oracle for each query (same column names/aliases).
     * Queries absent here get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesAlign.oracles ++ QueriesGroupBy.oracles ++
       QueriesWindow.oracles ++ QueriesReshape.oracles ++
-      QueriesFunctions.oracles ++ QueriesNumerics.oracles
+      QueriesFunctions.oracles ++ QueriesNumerics.oracles ++
+      QueriesLLM.oracles ++ QueriesUdf.oracles ++ QueriesStreaming.oracles
 }

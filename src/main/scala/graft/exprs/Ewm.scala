@@ -1,0 +1,53 @@
+package graft.exprs
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exponentially-weighted moving statistics (ref
+  * `xarray/computation/rolling_exp.py:49` `RollingExp`, numbagg kernels).
+  *
+  * EWM is an order-dependent linear recurrence (y_t = (1-α)·y_{t-1} + α·x_t
+  * in the adjust=False form; weighted-mean normalization when adjust=True),
+  * so it cannot be a plain window aggregate. The Spark-native shape is a
+  * per-group sorted scan: `groupByKey(dims).flatMapGroups` — the same
+  * contract as the reference's apply_ufunc with a preserved core dim
+  * (SURVEY.md §2.12). Groups are bounded by the partition key, so the scan
+  * parallelizes across groups at any scale.
+  */
+object Ewm {
+
+  /** EWM mean per group (adjust=true, pandas/xarray default):
+    * y_t = Σ (1-α)^(t-i) x_i / Σ (1-α)^(t-i). NULLs are skipped (weights
+    * not advanced past NULLs — matching `ignore_na=False` semantics where
+    * relative positions still decay). Emits (id, ewm). */
+  def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+              valueCol: String, idCol: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ valueCol :+ idCol).distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var num = 0.0; var den = 0.0
+      val decay = 1.0 - alpha
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; num = 0.0; den = 0.0 }
+        num *= decay; den *= decay
+        val out: Any =
+          if (r.isNullAt(vIdx)) { if (den > 0) num / den else null }
+          else { num += r.getDouble(vIdx); den += 1.0; num / den }
+        Row(r.get(iIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle topology at 100 TB:
+  *
+  *  - exact: one shuffle on a 128-bit content hash (never on the text).
+  *  - MinHash+LSH: signature is a projection; banding explodes b rows per
+  *    doc and shuffles on (band, bandHash) — candidate pairs only form
+  *    inside buckets, so cost is data-dependent, not O(n²).
+  *  - SimHash: one explode + hash-agg; Hamming-close pairs via bucket keys.
+  *  - n-gram Jaccard: exact verification join for LSH candidates (or small
+  *    blocked pair sets).
+  */
+object Dedup {
+
+  /** Canonical content key: md5 of normalized text. */
+  def contentKey(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Exact dedup: keep the smallest id per content key; emit group size.
+    * Equivalent plan to `dropDuplicates` but with an explicit deterministic
+    * keeper and dup-count (ref `dataset.py:9967` drop_duplicates). */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("content_key", contentKey(col(text)))
+      .groupBy("content_key")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word k-shingles of a document. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val n = size(toks)
+    array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
+      i => array_join(org.apache.spark.sql.functions.slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: minimum of seeded xxhash64 over shingles, one value
+    * per hash function. Pure projection — no shuffle, no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH banding: docs sharing any (band, hash-of-band-rows) bucket are
+    * candidate near-dups. numHashes = bands * rowsPerBand. */
+  def lshBuckets(df: DataFrame, id: String, sig: String,
+                 bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(org.apache.spark.sql.functions.slice(
+          col(sig), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    df.select(col(id), explode(array(bandRows: _*)).as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets (a < b to dedupe the pair space). */
+  def candidatePairs(buckets: DataFrame, id: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(id).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact word-shingle Jaccard for a pair table — the verification step
+    * after LSH candidate generation. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: String,
+                    text: String, k: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(id), shingles(col(text), k).as("sh"))
+    pairs
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash: per-token hash bits vote ±1; the sign vector is the
+    * signature. One explode + one hash aggregation (single shuffle on id). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id),
+      explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), i)) =!= lit(0L), lit(1)).otherwise(lit(-1))).as(s"b$i")
+    }
+    val agged = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agged.select(col(id), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (expression-only). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-dup: cosine above threshold within LSH buckets — see
+    * [[Similarity]] for the bucketing; this is the verify step. */
+  def cosineVerify(pairs: DataFrame, vecs: DataFrame, id: String,
+                   vec: String, threshold: Double): DataFrame = {
+    import graft.numerics.Numerics
+    val v = vecs.select(col(id), col(vec))
+    pairs
+      .join(v.select(col(id).as("id_a"), col(vec).as("va")), "id_a")
+      .join(v.select(col(id).as("id_b"), col(vec).as("vb")), "id_b")
+      .withColumn("cosine", Numerics.dotDecimal(col("va"), col("vb")) /
+        (Numerics.normDecimal(col("va")) * Numerics.normDecimal(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.numerics.Numerics
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) probe set; corpus streams
+  *    once, per-partition top-k via window. Exact baseline; cost O(N·Q).
+  *  - [[lshTopK]]: random-hyperplane signatures bucket the corpus; probes
+  *    only score their own buckets — the 100 TB path (cost O(N + hits)).
+  *  - IVF variant: coarse-quantize on a centroid table (here: per-label
+  *    means as stand-in centroids), probe nearest cells only.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column =
+    Numerics.dotDecimal(a, b) / (Numerics.normDecimal(a) * Numerics.normDecimal(b))
+
+  /** Exact top-k: probes broadcast, one pass over the corpus.
+    * Deterministic tie-break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, id: String,
+                     probeId: String, vec: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(id), col(vec).as("__cv"))
+      .crossJoin(broadcast(probes.select(col(probeId), col(vec).as("__pv"))))
+      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, component i from
+    * a seeded hash, mapped to ±1 (sign quantization is all LSH needs). */
+  private def planeSign(vecEl: Column, plane: Int, i: Column): Column = {
+    val h = xxhash64(i, lit(plane))
+    when(h.bitwiseAND(lit(1L)) === 0L, vecEl).otherwise(-vecEl)
+  }
+
+  /** Random-hyperplane signature: bit p = sign(v · r_p). Expression-only
+    * projection. */
+  def rhpSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => planeSign(x.cast("double"), p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH ANN: join probes to corpus on signature bucket, rank within
+    * buckets. Probing multiple buckets (multi-probe) would flip signature
+    * bits; single-probe shown. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, id: String,
+              probeId: String, vec: String, planes: Int, k: Int): DataFrame = {
+    val cs = corpus.select(col(id), col(vec).as("__cv"),
+      rhpSignature(col(vec), planes).as("__sig"))
+    val ps = probes.select(col(probeId), col(vec).as("__pv"),
+      rhpSignature(col(vec), planes).as("__sig"))
+    val scored = cs.join(ps, "__sig")
+      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("cosine"))
+  }
+
+  /** IVF-style coarse index: centroid per cell (provided), assign corpus
+    * rows to nearest centroid once, probe only the nearest `nprobe` cells. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,
+                vec: String, cellId: String, cellVec: String): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vec), col(cellVec)))
+    val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col(cellId))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col(id), col(vec), col(cellId))
+  }
+}

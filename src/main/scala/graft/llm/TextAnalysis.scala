@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs) — at 100 TB these run inside the
+  * scan stage with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex variant splits punctuation). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokensBpeIsh(c: Column): Column =
+    split(trim(regexp_replace(c, "([\\p{Punct}])", " $1 ")), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+  def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** type-token ratio — classic lexical-diversity quality signal. */
+  def typeTokenRatio(c: Column): Column =
+    distinctTokenCount(c).cast("double") / tokenCount(c)
+
+  def digitRatio(c: Column): Column =
+    length(regexp_replace(c, "[^0-9]", "")).cast("double") / length(c)
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") / length(c)
+  def upperRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Z]", "")).cast("double") / length(c)
+  def wsRatio(c: Column): Column =
+    length(regexp_replace(c, "[^ ]", "")).cast("double") / length(c)
+  def meanTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
+
+  /** Stopword hit-rate against a small lexicon — the workhorse of
+    * fastText-style quality filters. Lexicon is inlined into the regex, so
+    * it broadcasts with the plan. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val pattern = "\\b(" + stopwords.mkString("|") + ")\\b"
+    regexp_count(lower(c), lit(pattern)).cast("double") / tokenCount(c)
+  }
+
+  /** n-gram-heuristic language ID: score = stopword hits per language,
+    * argmax wins (ties -> lexicographic language order for determinism).
+    * A production system would use char n-gram profiles; the plumbing —
+    * per-language scores + argmax in one projection — is identical. */
+  def langId(c: Column, lexicons: Map[String, Seq[String]]): Column = {
+    val scored = lexicons.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val pattern = "\\b(" + words.mkString("|") + ")\\b"
+      struct(regexp_count(lower(c), lit(pattern)).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, tie -> max lang;
+    // reverse-sort languages inside equal scores is avoided by ordering the
+    // struct fields (score first) and using the deterministic field order.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Document fingerprint: md5 over the normalized sorted-token bag —
+    * robust to token order, whitespace, and case (near-dup canonical key). */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(c)))), " "))
+
+  /** Rolling (polynomial) hash over tokens, mod 2^61-1 — streaming-friendly
+    * content hash; expression-only. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => abs(xxhash64(t))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + pmod(h, lit(1000003L)), lit(2305843009213693951L)))
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
+  * multimodal plumbing. */
+object QueriesLLM {
+
+  private val lexicons = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("zhong", "wen", "shi", "bu", "ren"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup via content hash (hash-groupBy, never shuffles raw text)
+    "q50_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // MinHash + LSH near-dup pipeline: shingle -> minhash -> band ->
+    // bucket-join -> exact-Jaccard verify. Planted duplicates (doc_id+10000)
+    // must all be found with jaccard 1.0; nothing else survives 0.9.
+    "q51_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val all = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 10000L))
+      val sig = all.withColumn("sh", Dedup.shingles(col("text"), 3))
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
+      val buckets = Dedup.lshBuckets(sig, "doc_id", "sig",
+        bands = 16, rowsPerBand = 4)
+      val pairs = Dedup.candidatePairs(buckets, "doc_id")
+      Dedup.jaccardVerify(pairs, all, "doc_id", "text", k = 3, threshold = 0.9)
+    }),
+
+    // n-gram Jaccard similarity within a blocking key (same source)
+    "q52_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ng = docs.select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+      val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val co = ng.as("a").join(ng.as("b"),
+        col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("c"))
+      co.join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+    }),
+
+    // SimHash signatures + Hamming distance to the exact-duplicate copy
+    // (planted dup must give distance 0). No oracle: xxhash64 is
+    // Spark-specific -> rows-only check; correctness pinned by the dup law.
+    "q53_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val all = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 10000L))
+      val sh = Dedup.simhash(all, "doc_id", "text")
+      val a = sh.filter(col("doc_id") < 10000)
+      val b = sh.filter(col("doc_id") >= 10000)
+        .select((col("doc_id") - 10000L).as("doc_id"),
+          col("simhash").as("simhash_dup"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), col("simhash"),
+          Dedup.hamming(col("simhash"), col("simhash_dup")).as("dist_to_dup"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q54_cosine_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, probes, "vec_id", "probe_id",
+        "embedding", k = 3)
+    }),
+
+    // LSH-bucketed ANN (the scale path; rows-only — buckets use xxhash64)
+    "q54b_lsh_ann" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.lshTopK(corpus, probes, "vec_id", "probe_id",
+        "embedding", planes = 8, k = 3)
+    }),
+
+    // language ID via stopword-lexicon argmax
+    "q55_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text"), lexicons).as("lang_pred"))
+    }),
+
+    // quality scoring battery
+    "q56_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(t).as("n_types"),
+        TextAnalysis.typeTokenRatio(t).as("ttr"),
+        TextAnalysis.digitRatio(t).as("digit_ratio"),
+        TextAnalysis.wsRatio(t).as("ws_ratio"),
+        TextAnalysis.meanTokenLen(t).as("mean_tok_len"),
+        TextAnalysis.stopwordRatio(t, lexicons("en")).as("stopword_ratio"))
+    }),
+
+    // document fingerprint (order/case/ws-insensitive near-dup key)
+    "q57_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // multimodal: binary decode stub over per-partition batches
+    "q58_multimodal_decode" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.decode(media, "doc_id", "media")
+    }),
+
+    // multimodal: frame sampling plumbing (fixed-size chunks, strided)
+    "q59_frame_sample" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.frameSample(media, "doc_id", "media", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_no"),
+          length(col("frame")).as("frame_len"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    // Oracle = the exact >=0.9-Jaccard pair set over the doubled corpus.
+    // LSH(16 bands x 4 rows) miss probability at s>=0.9 is (1-s^4)^16 <=
+    // 3.9e-8 per pair, so candidate generation provably covers this set.
+    "q51_minhash_lsh" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents),
+         t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM all_docs),
+         ng AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+               FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY 1),
+         co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM co JOIN sz sa ON co.id_a = sa.doc_id
+         JOIN sz sb ON co.id_b = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
+    "q52_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         ng AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] AS g
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY 1),
+         co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             FROM ng a JOIN ng b ON a.g = b.g AND a.source = b.source
+               AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM co JOIN sz sa ON co.id_a = sa.doc_id
+         JOIN sz sb ON co.id_b = sb.doc_id""",
+    "q54_cosine_topk" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) *
+             CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+           FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+           GROUP BY 1),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             CAST(sum(CAST(CAST(c.embedding[i] AS DOUBLE) *
+               CAST(p.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p,
+           LATERAL (SELECT unnest(generate_series(1, len(c.embedding))) AS i)
+           GROUP BY 1, 2)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dot / (nc.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dot / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
+    "q55_langid" ->
+      """SELECT doc_id, lang AS lang_pred FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+           FROM (
+             SELECT doc_id, 'en' AS lang,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS score FROM documents
+             UNION ALL SELECT doc_id, 'de',
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'es',
+               len(regexp_extract_all(lower(text), '\b(el|la|que|los|una)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'fr',
+               len(regexp_extract_all(lower(text), '\b(le|les|et|des|un)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'zh',
+               len(regexp_extract_all(lower(text), '\b(zhong|wen|shi|bu|ren)\b')) FROM documents))
+         WHERE rk = 1""",
+    "q56_text_quality" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_types,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS ttr,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+           / length(text) AS ws_ratio,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+         FROM documents""",
+    "q57_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+         FROM documents""",
+    "q58_multimodal_decode" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) % 640 + 1 AS width,
+         (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+         3 AS channels
+         FROM documents""",
+    "q59_frame_sample" ->
+      """SELECT doc_id, i AS frame_no,
+         least(64, n - i * 64) AS frame_len
+         FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         LATERAL (SELECT unnest(generate_series(0,
+           CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS i)
+         WHERE i % 2 = 0"""
+  )
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.streaming.StreamOps
+
+/** Streaming extension queries (SURVEY.md §2.11). The streaming result over
+  * the finite file source must equal the batch aggregation — which is
+  * exactly what the DuckDB oracle checks. */
+object QueriesStreaming {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // streaming tumbling-window resample == batch date_trunc groupBy
+    "q63_stream_resample" -> ((s, dir) => {
+      val agg = StreamOps.resampleCounts(
+        StreamOps.eventsStream(s, dir), "1 hour", "10 minutes")
+      StreamOps.runToCompletion(s, agg, s"stream_resample_${System.nanoTime}")
+    }),
+
+    // sliding windows (2h window, 1h slide): each event lands in 2 windows
+    "q64_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_stream_resample" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2""",
+    "q64_sliding_window" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+           SELECT unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+                  event_type
+           FROM events)
+         GROUP BY 1, 2"""
+  )
+}

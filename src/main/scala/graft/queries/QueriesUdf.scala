@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.exprs.{Ewm, HFQuantile}
+
+/** UDF-surface queries (SURVEY.md §2.12 apply_ufunc mapping) + custom
+  * aggregates that Spark lacks natively. */
+object QueriesUdf {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // apply_ufunc with reduced core dim -> typed per-group function
+    // (ref `computation/apply_ufunc.py:896`): z-score every value against
+    // its group's mean/std, computed in a flatMapGroups scan with decimal
+    // accumulation (matches the oracle's exact-sum formula bit-for-bit).
+    "q60_apply_ufunc_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("value"))
+      val out = ev.as[(Long, String, Double)]
+        .groupByKey(_._2)
+        .flatMapGroups { (_, it) =>
+          val rows = it.toArray
+          // exact binary expansion (like a SQL DOUBLE->DECIMAL cast), NOT
+          // BigDecimal(v) whose shortest-repr digits can round differently
+          var sx = BigDecimal(0); var sxx = BigDecimal(0)
+          rows.foreach { case (_, _, v) =>
+            sx += BigDecimal(new java.math.BigDecimal(v)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+            sxx += BigDecimal(new java.math.BigDecimal(v * v)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+          }
+          val n = rows.length.toDouble
+          val sxd = sx.toDouble; val sxxd = sxx.toDouble
+          val m = sxd / n
+          val sd = math.sqrt((sxxd - sxd * sxd / n) / (n - 1))
+          rows.iterator.map { case (id, _, v) => (id, (v - m) / sd) }
+        }
+      out.toDF("event_id", "z")
+    }),
+
+    // rolling_exp / EWM mean (ref `computation/rolling_exp.py:49`) — no SQL
+    // oracle (order-dependent recurrence); pinned by EwmSpec unit test.
+    "q61_ewm_mean" -> ((s, dir) => {
+      Ewm.ewmMean(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3)
+        .withColumnRenamed("id", "event_id")
+    }),
+
+    // exact H&F quantiles, methods beyond Spark's builtin linear
+    // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
+    "q62_quantile_hf" -> ((s, dir) => {
+      val v = col("l_quantity")
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        round(HFQuantile(v, 0.5, 1), 6).as("t1"),
+        round(HFQuantile(v, 0.5, 2), 6).as("t2"),
+        round(HFQuantile(v, 0.5, 4), 6).as("t4"),
+        round(HFQuantile(v, 0.5, 5), 6).as("t5"),
+        round(HFQuantile(v, 0.25, 6), 6).as("t6"),
+        round(HFQuantile(v, 0.25, 7), 6).as("t7"),
+        round(HFQuantile(v, 0.25, 8), 6).as("t8"),
+        round(HFQuantile(v, 0.25, 9), 6).as("t9"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_apply_ufunc_zscore" ->
+      """SELECT event_id, (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+         FROM events e JOIN (
+           SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+           FROM events GROUP BY 1) g ON e.event_type = g.event_type""",
+    "q62_quantile_hf" ->
+      """WITH s AS (SELECT l_returnflag, l_quantity AS x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+           round(max(CASE WHEN rn = greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN x END), 6) AS t1,
+           round(CASE WHEN n * 0.5 = floor(n * 0.5)
+             THEN (max(CASE WHEN rn = greatest(CAST(n * 0.5 AS BIGINT), 1) THEN x END)
+                 + max(CASE WHEN rn = least(CAST(n * 0.5 AS BIGINT) + 1, n) THEN x END)) / 2.0
+             ELSE max(CASE WHEN rn = greatest(CAST(ceil(n * 0.5) AS BIGINT), 1) THEN x END) END, 6) AS t2,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor(n * 0.5) AS BIGINT), 1), n) THEN x END)
+             + (n * 0.5 - floor(n * 0.5)) *
+               (max(CASE WHEN rn = least(greatest(CAST(floor(n * 0.5) AS BIGINT), 1) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor(n * 0.5) AS BIGINT), 1), n) THEN x END)), 6) AS t4,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor(n * 0.5 + 0.5) AS BIGINT), 1), n) THEN x END)
+             + (n * 0.5 + 0.5 - floor(n * 0.5 + 0.5)) *
+               (max(CASE WHEN rn = least(least(greatest(CAST(floor(n * 0.5 + 0.5) AS BIGINT), 1), n) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor(n * 0.5 + 0.5) AS BIGINT), 1), n) THEN x END)), 6) AS t5,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor((n + 1) * 0.25) AS BIGINT), 1), n) THEN x END)
+             + ((n + 1) * 0.25 - floor((n + 1) * 0.25)) *
+               (max(CASE WHEN rn = least(least(greatest(CAST(floor((n + 1) * 0.25) AS BIGINT), 1), n) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor((n + 1) * 0.25) AS BIGINT), 1), n) THEN x END)), 6) AS t6,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor((n - 1) * 0.25 + 1) AS BIGINT), 1), n) THEN x END)
+             + ((n - 1) * 0.25 + 1 - floor((n - 1) * 0.25 + 1)) *
+               (max(CASE WHEN rn = least(least(greatest(CAST(floor((n - 1) * 0.25 + 1) AS BIGINT), 1), n) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor((n - 1) * 0.25 + 1) AS BIGINT), 1), n) THEN x END)), 6) AS t7,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor((n + 1.0/3.0) * 0.25 + 1.0/3.0) AS BIGINT), 1), n) THEN x END)
+             + ((n + 1.0/3.0) * 0.25 + 1.0/3.0 - floor((n + 1.0/3.0) * 0.25 + 1.0/3.0)) *
+               (max(CASE WHEN rn = least(least(greatest(CAST(floor((n + 1.0/3.0) * 0.25 + 1.0/3.0) AS BIGINT), 1), n) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor((n + 1.0/3.0) * 0.25 + 1.0/3.0) AS BIGINT), 1), n) THEN x END)), 6) AS t8,
+           round(max(CASE WHEN rn = least(greatest(CAST(floor((n + 0.25) * 0.25 + 0.375) AS BIGINT), 1), n) THEN x END)
+             + ((n + 0.25) * 0.25 + 0.375 - floor((n + 0.25) * 0.25 + 0.375)) *
+               (max(CASE WHEN rn = least(least(greatest(CAST(floor((n + 0.25) * 0.25 + 0.375) AS BIGINT), 1), n) + 1, n) THEN x END)
+              - max(CASE WHEN rn = least(greatest(CAST(floor((n + 0.25) * 0.25 + 0.375) AS BIGINT), 1), n) THEN x END)), 6) AS t9
+         FROM s GROUP BY l_returnflag, n"""
+  )
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming verbs over Structured Streaming (SURVEY.md §2.11 — the
+  * reference has NO streaming layer; this is the extension mandated for the
+  * events table: the same resample/rolling vocabulary over `readStream`).
+  *
+  * Watermark plays the reference's `tolerance` role: how late data may
+  * arrive before a window finalizes. At scale this is the standard
+  * shuffle-on-window-key stateful aggregation; state store size is bounded
+  * by (watermark horizon / slide) × key cardinality.
+  */
+object StreamOps {
+
+  /** The events parquet as a stream (schema pinned; ns timestamps read as
+    * long and truncated to µs exactly like the batch path in Tables). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source requires a directory; select just the events
+    // table out of the testdata dir with a glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming resample: tumbling-window agg with watermark (the streaming
+    * form of `resample(time=...)`; ref `groupers.py:474` TimeResampler). */
+  def resampleCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Run a streaming query to completion against the (finite) file source
+    * and return the result as a batch DataFrame — lets the DuckDB oracle
+    * check streaming semantics. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
