@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.XDataset
+import graft.align.{Align, AsOf}
+
+/** F4 alignment-pair semantics (FIXTURES.md): join modes, combine_first,
+  * as-of joins — the reference's `structure/alignment.py` laws. */
+class AlignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = XDataset(
+    Seq((35.0, 1.0), (40.0, 2.0)).toDF("lat", "v_l"), dims = Seq("lat"))
+  private def right = XDataset(
+    Seq((35.0, 10.0), (42.0, 20.0)).toDF("lat", "v_r"), dims = Seq("lat"))
+
+  test("align join modes produce the documented key sets") {
+    assert(Align.join(left, right, "inner").select("lat").as[Double]
+      .collect().toSet === Set(35.0))
+    assert(Align.join(left, right, "outer").select("lat").as[Double]
+      .collect().toSet === Set(35.0, 40.0, 42.0))
+    assert(Align.join(left, right, "left").select("lat").as[Double]
+      .collect().toSet === Set(35.0, 40.0))
+    assert(Align.join(left, right, "right").select("lat").as[Double]
+      .collect().toSet === Set(35.0, 42.0))
+  }
+
+  test("join='exact' raises on mismatched keys (AlignmentError analog)") {
+    intercept[IllegalArgumentException] { Align.exact(left, right) }
+  }
+
+  test("combine_first: self wins, other fills holes (ref dataset.py:6845)") {
+    val out = Align.combineFirst(left, right, Seq(("v_l", "v_r", "v")))
+      .orderBy("lat").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((35.0, 1.0), (40.0, 2.0), (42.0, 20.0)))
+  }
+
+  test("as-of backward picks latest obs <= key, inclusive") {
+    val probes = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L))
+      .toDF("g", "k", "pid")
+    val obs = Seq((1L, 10L, 1.0), (1L, 15L, 2.0)).toDF("g", "k", "ov")
+    val out = AsOf.backward(probes, obs, Seq("g"), "k", Seq("ov"))
+      .select("pid", "ov").as[(Long, Option[Double])].collect().toMap
+    assert(out(100L).contains(1.0))   // k=10 matches obs at 10 (inclusive)
+    assert(out(101L).contains(2.0))   // k=20 -> latest obs 15
+    assert(out(102L).isEmpty)         // k=5 -> nothing before
+  }
+
+  test("as-of forward picks earliest obs >= key, inclusive") {
+    val probes = Seq((1L, 10L, 100L), (1L, 16L, 101L)).toDF("g", "k", "pid")
+    val obs = Seq((1L, 10L, 1.0), (1L, 15L, 2.0)).toDF("g", "k", "ov")
+    val out = AsOf.forward(probes, obs, Seq("g"), "k", Seq("ov"))
+      .select("pid", "ov").as[(Long, Option[Double])].collect().toMap
+    assert(out(100L).contains(1.0))
+    assert(out(101L).isEmpty)
+  }
+
+  test("reindex materializes missing labels with fill (ref dataset.py:3546)") {
+    val target = Seq(35.0, 40.0, 99.0).toDF("lat")
+    val out = Align.reindex(target, left, fill = Map("v_l" -> 0.0))
+      .orderBy("lat").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((35.0, 1.0), (40.0, 2.0), (99.0, 0.0)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Dedup / similarity laws: identical documents must collide everywhere;
+  * Jaccard arithmetic is exact. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() === 3)
+    assert(out.filter(col("n_dups") === 2).select("keep_id")
+      .as[Long].head() === 1L)
+  }
+
+  test("identical docs share minhash signatures; lsh finds the pair") {
+    val sig = docs.withColumn("sh", Dedup.shingles(col("text"), 2))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+    val s = sig.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(s(1L) === s(2L))
+    assert(s(1L) !== s(4L))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", "sig", bands = 4, rowsPerBand = 4),
+      "doc_id")
+    val found = pairs.as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)))
+  }
+
+  test("jaccard verify computes exact shingle jaccard") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val m = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 2, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m((1L, 3L)) > 0.5 && m((1L, 3L)) < 1.0)
+    assert(!m.contains((1L, 4L)) || m((1L, 4L)) === 0.0)
+  }
+
+  test("simhash: identical docs distance 0; different docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) === 0)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
+  }
+
+  test("fingerprint is order/case/whitespace insensitive") {
+    val d2 = Seq((1L, "b a  c"), (2L, "A   c b"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = d2.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("brute-force topk ranks self first with cosine ~1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Similarity.bruteForceTopK(vecs, probes, "vec_id", "probe_id",
+      "embedding", 3).orderBy("rk")
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq === Seq(0L, 1L, 2L))
+  }
+}

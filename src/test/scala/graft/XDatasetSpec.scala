@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{DatasetMeta, XDataset}
+
+/** Core model invariants on an F1-style fixture (FIXTURES.md):
+  * selection semantics, masking, metadata-only ops. */
+class XDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: XDataset = {
+    val df = (for { d1 <- 0L until 4L; d2 <- 0L until 3L }
+      yield (d1, d2 * 0.5, (d1 * 3 + d2).toDouble, (d1 + d2).toDouble))
+      .toDF("dim1", "dim2", "var1", "var2")
+    XDataset(df, dims = Seq("dim1", "dim2"))
+  }
+
+  test("sel exact + slice (inclusive both ends, ref dataset.py:3018)") {
+    assert(fixture.sel("dim1", Seq(1L, 2L)).df.count() === 6)
+    // label slice includes BOTH endpoints unlike positional slicing
+    assert(fixture.selSlice("dim2", 0.0, 0.5).df.count() === 8)
+  }
+
+  test("isel positional with step") {
+    val ds = fixture.isel("dim1", 0, 3, 2, extraOrder = Seq("dim2"))
+    // positions 0 and 2 of the 12 (dim1-major) rows
+    assert(ds.df.count() === 2)
+  }
+
+  test("whereMask keeps shape, nulls masked cells (ref common.py:1131)") {
+    val m = fixture.whereMask(col("var1") > 5.0)
+    assert(m.df.count() === 12)                       // shape preserved
+    assert(m.df.filter(col("var1").isNull).count() === 6)
+    assert(m.df.filter(col("dim1").isNull).count() === 0) // keys untouched
+  }
+
+  test("transpose/rename are metadata-only (plan unchanged / O(1))") {
+    val ds = fixture
+    val t = ds.transpose("dim2", "dim1")
+    assert(t.df eq ds.df)                             // same DataFrame object
+    assert(t.meta.dims === Seq("dim2", "dim1"))
+    val r = ds.rename(Map("dim1" -> "x"))
+    assert(r.meta.dims === Seq("x", "dim2"))
+    assert(r.df.columns.contains("x") && !r.df.columns.contains("dim1"))
+  }
+
+  test("dropna/fillna (ref dataset.py:6355/6489)") {
+    val masked = fixture.whereMask(col("var1") > 5.0)
+    assert(masked.dropna(Seq("var1")).df.count() === 6)
+    assert(masked.fillna(0.0).df.filter(col("var1") === 0.0).count() === 6)
+  }
+
+  test("reduce over dim subset groups by remaining dims (ref §2.4)") {
+    val out = fixture.reduce(Seq("dim2"), Seq(sum(col("var1")).as("s")))
+    assert(out.columns.toSet === Set("dim1", "s"))
+    assert(out.count() === 4)
+    val total = fixture.reduce(Seq("dim1", "dim2"), Seq(sum(col("var1")).as("s")))
+    assert(total.head.getDouble(0) === (0 until 12).map(_.toDouble).sum)
+  }
+
+  test("squeeze drops size-1 dim; expand_dims crossJoins labels") {
+    val e = fixture.expandDims("scenario", Seq(1, 2))
+    assert(e.df.count() === 24)
+    assert(e.meta.dims === Seq("scenario", "dim1", "dim2"))
+    val sq = e.squeeze("scenario")
+    assert(sq.meta.dims === Seq("dim1", "dim2"))
+  }
+}
