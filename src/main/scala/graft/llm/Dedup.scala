@@ -37,12 +37,38 @@ object Dedup {
       i => array_join(org.apache.spark.sql.functions.slice(toks, i + 1, lit(k)), " ")))
   }
 
-  /** MinHash signature: minimum of seeded xxhash64 over shingles, one value
-    * per hash function. Pure projection — no shuffle, no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+  /** MinHash signature. Each shingle is hashed ONCE (xxhash64); the k hash
+    * functions are affine transforms h_i = a_i*h + b_i over that long
+    * (the classic universal-hashing construction) — k*|shingles| long
+    * multiplications instead of k string hashes per doc. Pure projection. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    minhashFromHashes(hashShingles(shingleCol), numHashes)
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** One xxhash64 per shingle, reduced mod 2^31-1. Materialize this ONCE
+    * (its own projection) before fanning out to k hash functions —
+    * substituting it into each transform would recompute the string hashes
+    * k times. */
+  def hashShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** Carter-Wegman universal family mod the Mersenne prime 2^31-1:
+    * h, a, b < 2^31 keeps a*h+b < 2^62 (no Long overflow -> safe under
+    * Spark 4's default ANSI mode) while products wrap the modulus many
+    * times, so the k functions are genuinely pairwise independent — an
+    * affine family over a modulus >> h would degenerate to rank-of-h_min. */
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column = {
+    val rng = new scala.util.Random(0x5EED)
+    val coefs = Seq.fill(numHashes)(
+      (rng.nextInt(Int.MaxValue - 1).toLong + 1L,
+        rng.nextInt(Int.MaxValue).toLong))
+    array(coefs.map { case (a, b) =>
+      array_min(transform(hashCol,
+        h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }: _*)
+  }
 
   /** LSH banding: docs sharing any (band, hash-of-band-rows) bucket are
     * candidate near-dups. numHashes = bands * rowsPerBand. */

@@ -64,8 +64,10 @@ object TextAnalysis {
   /** Rolling (polynomial) hash over tokens, mod 2^61-1 — streaming-friendly
     * content hash; expression-only. */
   def rollingHash(c: Column): Column =
+    // modulus 1e9+7 bounds acc so acc*31 + h stays far below 2^63
+    // (ANSI-safe: Spark 4 throws on integral overflow)
     aggregate(
       transform(tokens(c), t => abs(xxhash64(t))),
       lit(0L),
-      (acc, h) => pmod(acc * lit(31L) + pmod(h, lit(1000003L)), lit(2305843009213693951L)))
+      (acc, h) => pmod(acc * lit(31L) + pmod(h, lit(1000003L)), lit(1000000007L)))
 }

@@ -59,9 +59,13 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
       .drop(pos))
   }
 
-  /** head/tail/thin per dim (ref `dataset.py:3123/3213/3304`). */
+  /** head/tail/thin per dim (ref `dataset.py:3123/3213/3304`).
+    * head uses orderBy+limit -> Catalyst's TakeOrderedAndProject (per-
+    * partition top-n, then merge), not a full ordinal attachment. */
   def headDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset =
-    isel(dim, 0L, n, 1L, extraOrder)
+    if (n <= Int.MaxValue)
+      withDf(df.orderBy((dim +: extraOrder).map(col): _*).limit(n.toInt))
+    else isel(dim, 0L, n, 1L, extraOrder)
   def thinDim(dim: String, k: Long, extraOrder: Seq[String] = Nil): XDataset =
     isel(dim, 0L, Long.MaxValue, k, extraOrder)
   def tailDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset = {

@@ -32,7 +32,8 @@ object QueriesLLM {
       val all = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 10000L))
       val sig = all.withColumn("sh", Dedup.shingles(col("text"), 3))
-        .withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
+        .withColumn("sh_h", Dedup.hashShingles(col("sh")))
+        .withColumn("sig", Dedup.minhashFromHashes(col("sh_h"), 64))
       val buckets = Dedup.lshBuckets(sig, "doc_id", "sig",
         bands = 16, rowsPerBand = 4)
       val pairs = Dedup.candidatePairs(buckets, "doc_id")
