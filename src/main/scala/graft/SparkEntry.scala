@@ -24,7 +24,8 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesAlign.queries ++ QueriesGroupBy.queries ++
       QueriesWindow.queries ++ QueriesReshape.queries ++
       QueriesFunctions.queries ++ QueriesNumerics.queries ++
-      QueriesLLM.queries ++ QueriesUdf.queries ++ QueriesStreaming.queries
+      QueriesLLM.queries ++ QueriesUdf.queries ++ QueriesStreaming.queries ++
+      QueriesMore.queries
 
   /** DuckDB-runnable oracle for each query (same column names/aliases).
     * Queries absent here get the driver's weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
     QueriesCore.oracles ++ QueriesAlign.oracles ++ QueriesGroupBy.oracles ++
       QueriesWindow.oracles ++ QueriesReshape.oracles ++
       QueriesFunctions.oracles ++ QueriesNumerics.oracles ++
-      QueriesLLM.oracles ++ QueriesUdf.oracles ++ QueriesStreaming.oracles
+      QueriesLLM.oracles ++ QueriesUdf.oracles ++ QueriesStreaming.oracles ++
+      QueriesMore.oracles
 }

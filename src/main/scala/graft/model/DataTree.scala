@@ -1,0 +1,55 @@
+package graft.model
+
+/** Hierarchy of datasets with filesystem-like paths and parent-coordinate
+  * inheritance (ref `xarray/core/datatree.py:462`; child nodes see parent
+  * coords through `DatasetView`, `datatree.py:230`).
+  *
+  * The tree is a driver-side catalog — pure metadata. Data stays in the
+  * nodes' DataFrames; nothing here touches executors.
+  */
+final class DataTree(val nodes: Map[String, XDataset]) {
+
+  private def norm(p: String): String =
+    "/" + p.split("/").filter(_.nonEmpty).mkString("/")
+
+  def apply(path: String): XDataset = resolved(norm(path))
+
+  def groups: Seq[String] = nodes.keys.toSeq.sorted
+
+  private def parents(path: String): Seq[String] = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    (0 to parts.length).map(i => "/" + parts.take(i).mkString("/"))
+      .map(p => if (p == "/") "/" else p)
+  }
+
+  /** Child inherits parent coordinate columns it doesn't define itself
+    * (cross-join on broadcastable parent coord tables would materialize
+    * them; here inheritance is resolved at the meta level like the
+    * reference's DatasetView). */
+  private def resolved(path: String): XDataset = {
+    val ds = nodes(path)
+    val inheritedCoords = parents(path).dropRight(1).flatMap(p =>
+      nodes.get(p).map(_.meta.coords).getOrElse(Set.empty)).toSet
+    new XDataset(ds.df, ds.meta.copy(coords = ds.meta.coords ++ inheritedCoords))
+  }
+
+  /** map_over_datasets (ref `datatree.py:1789`). */
+  def mapOverDatasets(f: XDataset => XDataset): DataTree =
+    new DataTree(nodes.map { case (p, ds) => p -> f(ds) })
+
+  /** filter nodes by predicate on the path or dataset (ref
+    * `datatree.py:1597/1742`). */
+  def filter(pred: (String, XDataset) => Boolean): DataTree =
+    new DataTree(nodes.filter { case (p, ds) => pred(p, ds) })
+
+  /** prune empty branches (ref `datatree.py:1674`). */
+  def prune(): DataTree =
+    new DataTree(nodes.filter { case (_, ds) => ds.df.columns.nonEmpty })
+}
+
+object DataTree {
+  def apply(entries: (String, XDataset)*): DataTree =
+    new DataTree(entries.map { case (p, d) =>
+      ("/" + p.split("/").filter(_.nonEmpty).mkString("/")) -> d
+    }.toMap)
+}

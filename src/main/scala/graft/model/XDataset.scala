@@ -68,12 +68,15 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
     else isel(dim, 0L, n, 1L, extraOrder)
   def thinDim(dim: String, k: Long, extraOrder: Seq[String] = Nil): XDataset =
     isel(dim, 0L, Long.MaxValue, k, extraOrder)
-  def tailDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset = {
-    val pos = "__pos"
-    val ordered = Positions.zipWithIndex(df, (dim +: extraOrder).map(col), pos)
-    val total = ordered.count()
-    withDf(ordered.filter(col(pos) >= total - n).drop(pos))
-  }
+  def tailDim(dim: String, n: Long, extraOrder: Seq[String] = Nil): XDataset =
+    if (n <= Int.MaxValue)
+      withDf(df.orderBy((dim +: extraOrder).map(col(_).desc): _*).limit(n.toInt))
+    else {
+      val pos = "__pos"
+      val ordered = Positions.zipWithIndex(df, (dim +: extraOrder).map(col), pos)
+      val total = ordered.count()
+      withDf(ordered.filter(col(pos) >= total - n).drop(pos))
+    }
 
   // ---- masking (ref `common.py:1131` where; projection, not filter) ------
   /** xarray `where(cond)`: keep shape, masked cells become NULL. */

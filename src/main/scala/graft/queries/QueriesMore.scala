@@ -1,0 +1,387 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.model.{Positions, XDataset}
+import graft.model.XDataset.exactSum
+import graft.io.{CFDecode, Tables}
+import graft.align.AsOf
+import graft.agg.Groupers
+import graft.window.Pad
+
+/** Remaining SURVEY.md §2 operator coverage: tail/drop_sel, pad/roll,
+  * rolling-construct, upsampling, first/last, prod/all/any, positional
+  * argmax, pct rank, ufunc battery, CF decode, cross product, set ops,
+  * eval, multi-file open. */
+object QueriesMore {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tail per dim (ref `dataset.py:3213`) — TakeOrdered on the reversed key
+    "q65_tail" -> ((s, dir) => {
+      XDataset(Tables.orders(s, dir), Seq("o_orderkey"))
+        .tailDim("o_orderkey", 50)
+        .df.select("o_orderkey", "o_totalprice")
+    }),
+
+    // drop_sel: anti-selection by label (ref `dataset.py:6113`)
+    "q66_drop_sel" -> ((s, dir) => {
+      XDataset(Tables.customer(s, dir), Seq("c_custkey"))
+        .dropSel("c_mktsegment", Seq("BUILDING", "MACHINERY"))
+        .df.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+
+    // pad: constant/edge/reflect/wrap modes (ref `dataset.py:9054`)
+    "q67_pad" -> ((s, dir) => {
+      val base = Positions.zipWithIndex(
+        Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
+        Seq(col("s_suppkey")), "pos")
+      val n = base.count()
+      Pad.pad(base.select("pos", "s_acctbal"), "pos", "s_acctbal", n,
+        before = 2, after = 2, constant = 0.0)
+        .select("pos", "s_acctbal_constant", "s_acctbal_edge",
+          "s_acctbal_reflect", "s_acctbal_wrap")
+    }),
+
+    // roll: circular shift (ref `dataset.py:8038`)
+    "q68_roll" -> ((s, dir) => {
+      val base = Positions.zipWithIndex(
+        Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
+        Seq(col("s_suppkey")), "pos")
+      Pad.roll(base, "pos", "s_acctbal", base.count(), shift = 3)
+        .select("pos", "s_suppkey", "s_acctbal_rolled")
+    }),
+
+    // rolling.construct: materialize the window as an array (ref
+    // `rolling.py:327`); compared via joined string form
+    "q69_rolling_construct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, 0)
+      Tables.orders(s, dir)
+        .withColumn("win_keys",
+          array_join(collect_list(col("o_orderkey")).over(w), ","))
+        .select("o_orderkey", "o_custkey", "win_keys")
+    }),
+
+    // cumulative max/min/count (ref `dataset.py:10452` cumulative)
+    "q70_cummax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .withColumn("cummax_price", max(col("o_totalprice")).over(w))
+        .withColumn("cummin_price", min(col("o_totalprice")).over(w))
+        .withColumn("cumn", count(lit(1)).over(w))
+        .select("o_orderkey", "o_custkey", "cummax_price", "cummin_price", "cumn")
+    }),
+
+    // resample upsample: monthly -> daily asfreq + ffill (ref
+    // `core/resample.py:56` pad/ffill path)
+    "q71_upsample_ffill" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("m"))
+        .agg(exactSum(col("o_totalprice")).as("rev"))
+      val days = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "1995-06-30 00:00:00", "1 day", "day")
+      AsOf.backward(days, monthly.select(col("m").as("day"), col("rev")),
+        by = Nil, key = "day", rightVals = Seq("rev"))
+        .select("day", "rev")
+    }),
+
+    // groupby first/last with deterministic order (ref `groupby.py:1498`)
+    "q72_first_last" -> ((s, dir) => {
+      Tables.orders(s, dir).groupBy("o_custkey").agg(
+        min_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))
+          .as("first_price"),
+        max_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))
+          .as("last_price"))
+    }),
+
+    // prod / all / any reductions (ref `_aggregations.py`). prod runs as
+    // exp of a DECIMAL-accumulated sum of logs: the ln values of the 11
+    // distinct discount levels are bit-identical across JVM/DuckDB libm,
+    // and decimal summation is order-independent, so the product is
+    // reproducible under any shuffle (and across engines).
+    "q73_prod_all_any" -> ((s, dir) => {
+      val lg = log(lit(1.0) - col("l_discount")).cast(DecimalType(30, 12))
+      Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
+        round(exp(sum(lg).cast("double")), 8).as("prod_keep"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") === 0.0).as("any_nodisc"))
+    }),
+
+    // positional argmin/argmax (ref `dataset.py:9447` returns positions)
+    "q74_argmax_pos" -> ((s, dir) => {
+      val pos = Positions.zipWithIndex(
+        Tables.supplier(s, dir).select("s_suppkey", "s_nationkey", "s_acctbal"),
+        Seq(col("s_suppkey")), "pos")
+      pos.groupBy("s_nationkey").agg(
+        min_by(col("pos"), struct(col("s_acctbal") * -1, col("pos"))).as("argmax"),
+        min_by(col("pos"), struct(col("s_acctbal"), col("pos"))).as("argmin"))
+    }),
+
+    // rank(pct=True) (ref `dataset.py:8416` pct param)
+    "q75_rank_pct" -> ((s, dir) => {
+      val ord = Window.orderBy(col("s_acctbal"))
+      val tie = Window.partitionBy(col("s_acctbal"))
+      val nW = Window.partitionBy()
+      Tables.supplier(s, dir)
+        .withColumn("rank_pct",
+          (rank().over(ord) + (count(lit(1)).over(tie) - 1) / 2.0)
+            / count(lit(1)).over(nW))
+        .select("s_suppkey", "rank_pct")
+    }),
+
+    // ufunc battery (ref `xarray/ufuncs.py`; ~1 ulp libm differences
+    // absorbed by round(.,8) on both sides)
+    "q76_ufunc_battery" -> ((s, dir) => {
+      val d = col("l_discount"); val q = col("l_quantity")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sin(d), 8).as("sin_d"),
+        round(cos(d), 8).as("cos_d"),
+        round(tan(d), 8).as("tan_d"),
+        round(atan(d), 8).as("atan_d"),
+        round(exp(d), 8).as("exp_d"),
+        round(log1p(d), 8).as("log1p_d"),
+        round(expm1(d), 8).as("expm1_d"),
+        sqrt(q).as("sqrt_q"),
+        round(cbrt(q), 8).as("cbrt_q"),
+        round(pow(q, 1.5), 6).as("pow_q"),
+        round(sqrt(d * d + q * q), 8).as("hypot_dq"),
+        signum(d - 0.05).as("sign_d"),
+        floor(q / 7).as("floor_q"),
+        ceil(q / 7).as("ceil_q"),
+        round((exp(d) - exp(-d)) / 2, 8).as("sinh_d"),
+        round(log(q + 1), 8).as("log_q1"))
+    }),
+
+    // CF decode pipeline: mask + scale/offset + time units (ref
+    // `conventions.py:109`; coders in `coding/variables.py`, `coding/times.py`)
+    "q77_cf_decode" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        // synthesize an encoded int variable: quantity at scale 0.5,
+        // fill=-999 where returnflag='N'; and days-since-epoch shipdate
+        .withColumn("enc_qty",
+          when(col("l_returnflag") === "N", lit(-999))
+            .otherwise(CFDecode.scaleOffsetEncode(col("l_quantity"), 0.5, 0.0)
+              .cast("int")))
+        .withColumn("enc_days",
+          CFDecode.timeEncodeDays(col("l_shipdate"), "1995-01-01 00:00:00"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        CFDecode.decode(col("enc_qty"), -999, 0.5, 0.0).as("dec_qty"),
+        CFDecode.timeDecodeDays(col("enc_days"), "1995-01-01 00:00:00")
+          .as("dec_ship"))
+    }),
+
+    // cross product along a 3-vector dim (ref `computation.py:316`)
+    "q78_cross" -> ((s, dir) => {
+      val e = col("embedding")
+      def el(i: Int) = element_at(e, i).cast("double")
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        round(el(2) * el(6) - el(3) * el(5), 8).as("cx"),
+        round(el(3) * el(4) - el(1) * el(6), 8).as("cy"),
+        round(el(1) * el(5) - el(2) * el(4), 8).as("cz"))
+    }),
+
+    // cumulative_integrate: running trapezoid (ref `dataset.py:8662`)
+    "q79_cumulative_integrate" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .withColumn("t_sec", unix_micros(col("ts")).cast("double") / 1e6)
+        .withColumn("term",
+          graft.numerics.Numerics.trapezoid(col("value"), col("t_sec"), ord))
+        .withColumn("cum_auc",
+          sum(col("term").cast(DecimalType(38, 4))).over(cum).cast("double"))
+        .select("event_id", "user_id", "cum_auc")
+    }),
+
+    // set-ops extension over label sets (SURVEY.md §2.7: free extension)
+    "q80_intersect_except" -> ((s, dir) => {
+      def custIn(year: Int) = Tables.orders(s, dir)
+        .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+        .select("o_custkey").distinct()
+      custIn(1995).intersect(custIn(1996)).except(custIn(1997))
+    }),
+
+    // eval/assign string front-end (ref `dataset.py:9671` -> selectExpr)
+    "q81_eval_assign" -> ((s, dir) => {
+      Tables.lineitem(s, dir).selectExpr(
+        "l_orderkey", "l_linenumber",
+        "l_extendedprice * (1 - l_discount) AS disc_price",
+        "l_quantity > 25 AND l_discount < 0.05 AS flag")
+    }),
+
+    // open_mfdataset + combine_by_coords: multi-path read, duplicate
+    // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
+    "q82_mfopen_combine" -> ((s, dir) => {
+      val twice = s.read.parquet(s"$dir/region.parquet", s"$dir/region.parquet")
+      twice.dropDuplicates("r_regionkey").select("r_regionkey", "r_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q65_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey DESC LIMIT 50""",
+    "q66_drop_sel" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY') GROUP BY 1""",
+    "q67_pad" ->
+      """WITH s AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS pos,
+               s_acctbal FROM supplier),
+         n AS (SELECT count(*) AS n FROM s),
+         grid AS (SELECT unnest(generate_series(-2, (SELECT n FROM n) + 1)) AS pos)
+         SELECT g.pos,
+           coalesce(c.s_acctbal, 0.0) AS s_acctbal_constant,
+           e.s_acctbal AS s_acctbal_edge,
+           r.s_acctbal AS s_acctbal_reflect,
+           w.s_acctbal AS s_acctbal_wrap
+         FROM grid g
+         LEFT JOIN s c ON c.pos = g.pos
+         LEFT JOIN s e ON e.pos = least(greatest(g.pos, 0), (SELECT n FROM n) - 1)
+         LEFT JOIN s r ON r.pos = CASE WHEN g.pos < 0 THEN -g.pos
+             WHEN g.pos >= (SELECT n FROM n)
+               THEN 2 * ((SELECT n FROM n) - 1) - g.pos
+             ELSE g.pos END
+         LEFT JOIN s w ON w.pos = ((g.pos % (SELECT n FROM n))
+             + (SELECT n FROM n)) % (SELECT n FROM n)""",
+    "q68_roll" ->
+      """WITH s AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS pos,
+               s_suppkey, s_acctbal FROM supplier),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT a.pos, a.s_suppkey, b.s_acctbal AS s_acctbal_rolled
+         FROM s a JOIN s b
+           ON b.pos = ((a.pos - 3) % (SELECT n FROM n) + (SELECT n FROM n))
+                      % (SELECT n FROM n)""",
+    "q69_rolling_construct" ->
+      """SELECT o_orderkey, o_custkey,
+         array_to_string(list(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS win_keys
+         FROM orders""",
+    "q70_cummax" ->
+      """SELECT o_orderkey, o_custkey,
+         max(o_totalprice) OVER w AS cummax_price,
+         min(o_totalprice) OVER w AS cummin_price,
+         count(*) OVER w AS cumn
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q71_upsample_ffill" ->
+      """SELECT d.day, m.rev
+         FROM (SELECT generate_series AS day FROM
+             generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-06-30',
+                             INTERVAL 1 DAY)) d
+         ASOF LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1) m
+         ON d.day >= m.day""",
+    "q72_first_last" ->
+      """SELECT o_custkey,
+         max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS first_price,
+         max(CASE WHEN rn_d = 1 THEN o_totalprice END) AS last_price
+         FROM (SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+           FROM orders)
+         GROUP BY 1""",
+    "q73_prod_all_any" ->
+      """SELECT l_orderkey,
+         round(exp(CAST(sum(CAST(ln(1.0 - l_discount) AS DECIMAL(30,12))) AS DOUBLE)), 8)
+           AS prod_keep,
+         bool_and(l_quantity > 0) AS all_pos,
+         bool_or(l_discount = 0.0) AS any_nodisc
+         FROM lineitem GROUP BY 1""",
+    "q74_argmax_pos" ->
+      """SELECT s_nationkey,
+         min(CASE WHEN s_acctbal = mx THEN pos END) AS argmax,
+         min(CASE WHEN s_acctbal = mn THEN pos END) AS argmin
+         FROM (SELECT s_nationkey, s_acctbal,
+             row_number() OVER (ORDER BY s_suppkey) - 1 AS pos
+           FROM supplier) s
+         JOIN (SELECT s_nationkey AS nk, max(s_acctbal) AS mx,
+             min(s_acctbal) AS mn FROM supplier GROUP BY 1) m
+           ON s.s_nationkey = m.nk
+         GROUP BY 1""",
+    "q75_rank_pct" ->
+      """SELECT s_suppkey,
+         (rank() OVER (ORDER BY s_acctbal) +
+          (count(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0)
+         / (count(*) OVER ()) AS rank_pct
+         FROM supplier""",
+    "q76_ufunc_battery" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sin(l_discount), 8) AS sin_d,
+         round(cos(l_discount), 8) AS cos_d,
+         round(tan(l_discount), 8) AS tan_d,
+         round(atan(l_discount), 8) AS atan_d,
+         round(exp(l_discount), 8) AS exp_d,
+         round(ln(1 + l_discount), 8) AS log1p_d,
+         round(exp(l_discount) - 1, 8) AS expm1_d,
+         sqrt(l_quantity) AS sqrt_q,
+         round(cbrt(l_quantity), 8) AS cbrt_q,
+         round(pow(l_quantity, 1.5), 6) AS pow_q,
+         round(sqrt(l_discount * l_discount + l_quantity * l_quantity), 8) AS hypot_dq,
+         CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+              WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_d,
+         floor(l_quantity / 7) AS floor_q,
+         ceil(l_quantity / 7) AS ceil_q,
+         round((exp(l_discount) - exp(-l_discount)) / 2, 8) AS sinh_d,
+         round(ln(l_quantity + 1), 8) AS log_q1
+         FROM lineitem""",
+    "q77_cf_decode" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN enc_qty = -999 THEN NULL
+              ELSE enc_qty * 0.5 + 0.0 END AS dec_qty,
+         TIMESTAMP '1995-01-01' + to_days(CAST(enc_days AS INT)) AS dec_ship
+         FROM (SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'N' THEN -999
+                  ELSE CAST(round(l_quantity / 0.5, 0) AS INT) END AS enc_qty,
+             CAST(floor(CAST(epoch(l_shipdate) AS DOUBLE) / 86400
+               - CAST(epoch(TIMESTAMP '1995-01-01') AS DOUBLE) / 86400) AS BIGINT)
+               AS enc_days
+           FROM lineitem)""",
+    "q78_cross" ->
+      """SELECT vec_id,
+         round(CAST(embedding[2] AS DOUBLE) * CAST(embedding[6] AS DOUBLE)
+             - CAST(embedding[3] AS DOUBLE) * CAST(embedding[5] AS DOUBLE), 8) AS cx,
+         round(CAST(embedding[3] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)
+             - CAST(embedding[1] AS DOUBLE) * CAST(embedding[6] AS DOUBLE), 8) AS cy,
+         round(CAST(embedding[1] AS DOUBLE) * CAST(embedding[5] AS DOUBLE)
+             - CAST(embedding[2] AS DOUBLE) * CAST(embedding[4] AS DOUBLE), 8) AS cz
+         FROM embeddings""",
+    "q79_cumulative_integrate" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(term AS DECIMAL(38,4))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_auc
+         FROM (SELECT event_id, user_id, ts,
+             (value + lag(value) OVER w) / 2 * (t - lag(t) OVER w) AS term
+           FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+    "q80_intersect_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+    "q81_eval_assign" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS disc_price,
+         l_quantity > 25 AND l_discount < 0.05 AS flag
+         FROM lineitem""",
+    "q82_mfopen_combine" ->
+      """SELECT r_regionkey, r_name FROM region"""
+  )
+}
