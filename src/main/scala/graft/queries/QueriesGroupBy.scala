@@ -89,14 +89,10 @@ object QueriesGroupBy {
           round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"))
     }),
 
-    // average-tie rank (ref `dataset.py:8416`; bottleneck rankdata semantics)
+    // average-tie rank (ref `dataset.py:8416`; bottleneck rankdata
+    // semantics) — distributed form, no single-partition window
     "q25_rank_avg" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ord = Window.orderBy(col("s_acctbal"))
-      val tie = Window.partitionBy(col("s_acctbal"))
-      Tables.supplier(s, dir)
-        .withColumn("rank_avg",
-          rank().over(ord) + (count(lit(1)).over(tie) - 1) / 2.0)
+      graft.agg.Rank.avgRank(Tables.supplier(s, dir), "s_acctbal", "rank_avg")
         .select("s_suppkey", "s_acctbal", "rank_avg")
     }),
 

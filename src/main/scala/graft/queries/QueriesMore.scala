@@ -123,15 +123,10 @@ object QueriesMore {
         min_by(col("pos"), struct(col("s_acctbal"), col("pos"))).as("argmin"))
     }),
 
-    // rank(pct=True) (ref `dataset.py:8416` pct param)
+    // rank(pct=True) (ref `dataset.py:8416` pct param) — distributed form
     "q75_rank_pct" -> ((s, dir) => {
-      val ord = Window.orderBy(col("s_acctbal"))
-      val tie = Window.partitionBy(col("s_acctbal"))
-      val nW = Window.partitionBy()
-      Tables.supplier(s, dir)
-        .withColumn("rank_pct",
-          (rank().over(ord) + (count(lit(1)).over(tie) - 1) / 2.0)
-            / count(lit(1)).over(nW))
+      graft.agg.Rank.avgRank(Tables.supplier(s, dir), "s_acctbal",
+        "rank_pct", pct = true)
         .select("s_suppkey", "rank_pct")
     }),
 

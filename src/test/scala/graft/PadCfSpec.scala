@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.window.Pad
+import graft.io.CFDecode
+import graft.model.{DataTree, XDataset}
+import graft.agg.Rank
+import graft.exprs.ProductAgg
+
+/** Pad modes vs numpy semantics, CF decode roundtrip, DataTree catalog,
+  * distributed rank, exact product. */
+class PadCfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pad modes match numpy (constant/edge/reflect/wrap)") {
+    val df = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("pos", "v")
+    val out = Pad.pad(df, "pos", "v", n = 3, before = 2, after = 2, constant = 0.0)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // numpy: constant [0,0,10,20,30,0,0]; edge [10,10,...,30,30];
+    // reflect [30,20,10,20,30,20,10]; wrap [20,30,10,20,30,10,20]
+    assert(out.map(_._2).toSeq === Seq(0.0, 0.0, 10.0, 20.0, 30.0, 0.0, 0.0))
+    assert(out.map(_._3).toSeq === Seq(10.0, 10.0, 10.0, 20.0, 30.0, 30.0, 30.0))
+    assert(out.map(_._4).toSeq === Seq(30.0, 20.0, 10.0, 20.0, 30.0, 20.0, 10.0))
+    assert(out.map(_._5).toSeq === Seq(20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0))
+  }
+
+  test("roll shifts circularly") {
+    val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("pos", "v")
+    val out = Pad.roll(df, "pos", "v", 3, shift = 1).orderBy("pos")
+      .select("v_rolled").as[Double].collect()
+    assert(out.toSeq === Seq(3.0, 1.0, 2.0))
+  }
+
+  test("CF decode: mask + scale/offset + time roundtrip") {
+    val df = Seq(4, -999, 10).toDF("enc")
+    val dec = df.select(CFDecode.decode(col("enc"), -999, 0.5, 1.0).as("v"))
+      .as[Option[Double]].collect()
+    assert(dec.toSeq === Seq(Some(3.0), None, Some(6.0)))
+    val t = Seq(2L).toDF("d").select(
+      CFDecode.timeDecodeDays(col("d"), "2020-01-01 00:00:00").as("t"))
+      .head.getTimestamp(0)
+    assert(t.toInstant.toString.startsWith("2020-01-03"))
+  }
+
+  test("DataTree: inheritance, map, filter") {
+    val child = XDataset(Seq((1L, 2.0)).toDF("d", "v"),
+      dims = Seq("d"))
+    val parent = XDataset(Seq((1L, 9.0)).toDF("d", "p"),
+      dims = Seq("d"), coords = Set("p"))
+    val tree = DataTree("/" -> parent, "/a" -> child, "/a/b" -> child)
+    assert(tree.groups === Seq("/", "/a", "/a/b"))
+    assert(tree("/a").meta.coords.contains("p"))   // inherited from root
+    val mapped = tree.mapOverDatasets(ds => ds.assign("z", lit(1)))
+    assert(mapped("/a/b").df.columns.contains("z"))
+    assert(tree.filter((p, _) => p != "/a/b").groups === Seq("/", "/a"))
+  }
+
+  test("distributed avgRank matches scipy rankdata semantics") {
+    val df = Seq(10.0, 20.0, 20.0, 30.0).toDF("v")
+    val out = Rank.avgRank(df, "v", "r").orderBy("v", "r")
+      .select("r").as[Double].collect()
+    assert(out.toSeq === Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("exact Long product aggregate") {
+    val df = Seq(2L, 3L, 4L).toDF("x")
+    assert(df.agg(ProductAgg.productLong(col("x"))).head.getLong(0) === 24L)
+  }
+}

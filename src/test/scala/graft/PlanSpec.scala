@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-quality assertions — the scale contract, checked on real plans:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small dimension sides broadcast, and positional machinery avoids
+  * single-partition windows. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("label-slice filter is pushed down to the parquet scan") {
+    val p = plan("q02_sel_slice")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("l_shipdate"), "shipdate predicate should reach the scan")
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val p = plan("q01_agg_partial")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"),
+      s"over-wide scan: $readSchema")
+  }
+
+  test("group-mean anomaly join broadcasts the small aggregate side") {
+    val p = plan("q20_groupby_anomaly")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("whole-stage codegen covers the scalar-function battery") {
+    val p = SparkEntry.queries("q36_str_battery")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // Spark 4 formatted plans mark codegen stages as `[codegen id : N]`
+    assert(p.contains("codegen id"), p.take(500))
+  }
+
+  test("distributed rank plan has no unpartitioned Window") {
+    val p = plan("q25_rank_avg")
+    assert(!p.contains("Window [") || p.contains("PartitionBy"),
+      "rank must not use a global window")
+  }
+}
