@@ -67,3 +67,46 @@ object HFQuantile {
   def apply(c: Column, q: Double, method: Int): Column =
     udaf(new HFQuantile(q, method)).apply(c)
 }
+
+/** Weighted quantile, H&F type-7 generalized to weights (ref
+  * `computation/weighted.py:319` `_weighted_quantile`): the quantile of the
+  * weighted ECDF with plotting positions (c_i - w_i q) / (W - w_1 ... ),
+  * matching the reference's default `linear` interpolation on normalized
+  * cumulative weights. */
+class WeightedQuantile(q: Double)
+  extends Aggregator[(java.lang.Double, java.lang.Double),
+    ArrayBuffer[(Double, Double)], java.lang.Double] {
+
+  def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
+  def reduce(b: ArrayBuffer[(Double, Double)],
+             x: (java.lang.Double, java.lang.Double)): ArrayBuffer[(Double, Double)] = {
+    if (x._1 != null && x._2 != null && x._2.doubleValue > 0)
+      b += ((x._1.doubleValue, x._2.doubleValue))
+    b
+  }
+  def merge(a: ArrayBuffer[(Double, Double)], b: ArrayBuffer[(Double, Double)]) = a ++= b
+  def finish(b: ArrayBuffer[(Double, Double)]): java.lang.Double = {
+    if (b.isEmpty) return null
+    val s = b.sortBy(_._1).toArray
+    val w = s.map(_._2); val v = s.map(_._1)
+    val totW = w.sum
+    // xarray weighted type-7 plotting positions: h_i = (c_i - w_i) / (W - w_i)
+    // degenerates to (i)/(n-1) for unit weights
+    val c = w.scanLeft(0.0)(_ + _).tail
+    val h = c.indices.map(i =>
+      if (totW == w(i)) 0.0 else (c(i) - w(i)) / (totW - w(i)))
+    if (q <= h.head) return v.head
+    if (q >= h.last) return v.last
+    val j = h.lastIndexWhere(_ <= q)
+    val (h0, h1) = (h(j), h(j + 1))
+    if (h1 == h0) v(j) else v(j) + (q - h0) / (h1 - h0) * (v(j + 1) - v(j))
+  }
+  def bufferEncoder: Encoder[ArrayBuffer[(Double, Double)]] =
+    Encoders.kryo[ArrayBuffer[(Double, Double)]]
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+}
+
+object WeightedQuantile {
+  def apply(v: Column, w: Column, q: Double): Column =
+    udaf(new WeightedQuantile(q)).apply(v, w)
+}

@@ -119,6 +119,21 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
     meta.rename(mapping))
   def assign(name: String, c: Column): XDataset = withDf(df.withColumn(name, c))
 
+  /** set_coords / reset_coords: promote/demote coordinate status — pure
+    * meta flag flips (ref `dataset.py:1864/1921`). */
+  def setCoords(names: String*): XDataset =
+    new XDataset(df, meta.copy(coords = meta.coords ++ names))
+  def resetCoords(names: String*): XDataset =
+    new XDataset(df, meta.copy(coords = meta.coords -- names))
+
+  /** swap_dims: replace a dimension coordinate by another coord column
+    * (ref `dataset.py:4428`) — metadata only; the old dim becomes a
+    * non-dim coordinate. */
+  def swapDims(from: String, to: String): XDataset =
+    new XDataset(df, meta.copy(
+      dims = meta.dims.map(d => if (d == from) to else d),
+      coords = meta.coords - to + from))
+
   /** squeeze: drop a size-1 dim (ref `variable.py:1146`) — drops the
     * constant key column; caller asserts size 1. */
   def squeeze(dim: String): XDataset =

@@ -108,6 +108,57 @@ object Numerics {
       .drop("__y0", "__y1", "__t0", "__t1")
   }
 
+  /** interp(method="nearest"): pick whichever bracketing observation is
+    * closer in coord space; ties -> the earlier one (pandas `nearest`).
+    * Same two as-of passes as linear. */
+  def interpNearest(series: DataFrame, probes: DataFrame, by: Seq[String],
+                    t: String, v: String): DataFrame = {
+    val obsB = series.select((by.map(col) :+ col(t) :+ col(v).as("__y0") :+
+      col(t).as("__t0")): _*)
+    val obsF = series.select((by.map(col) :+ col(t) :+ col(v).as("__y1") :+
+      col(t).as("__t1")): _*)
+    val back = AsOf.backward(probes, obsB, by, t, Seq("__y0", "__t0"))
+    val both = AsOf.forward(back, obsF, by, t, Seq("__y1", "__t1"))
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val dBack = toD(col(t)) - toD(col("__t0"))
+    val dFwd = toD(col("__t1")) - toD(col(t))
+    val nearest = when(col("__t0").isNull, col("__y1"))
+      .when(col("__t1").isNull, col("__y0"))
+      .when(dBack <= dFwd, col("__y0"))
+      .otherwise(col("__y1"))
+    both.withColumn("v_nearest", nearest)
+      .drop("__y0", "__y1", "__t0", "__t1")
+  }
+
+  /** Degree-2 polyfit per group, closed-form normal equations over exact
+    * decimal power sums (moments s0..s4, t0..t2), solved by Cramer's rule
+    * in identical double arithmetic (ref `computation/fit.py:101`; the
+    * general-degree path builds the same Vandermonde moments). Returns a
+    * struct(c0, c1, c2) for y ~ c0 + c1 x + c2 x². */
+  def fit2(x: Column, y: Column): Column = {
+    val mask = x.isNotNull && y.isNotNull
+    def m(c: Column) = when(mask, c)
+    // scales chosen so every sum stays <= ~15 significant digits: the
+    // decimal->double cast is then exactly rounded on every engine
+    val s0 = count(m(lit(1))).cast("double")
+    val s1 = dsum(m(x)); val s2 = dsum(m(x * x))
+    val s3 = dsum(m(x * x * x), 2); val s4 = dsum(m(x * x * x * x), 2)
+    val t0 = dsum(m(y), 4); val t1 = dsum(m(x * y), 2); val t2 = dsum(m(x * x * y), 2)
+    // Cramer on the symmetric 3x3 [s0 s1 s2; s1 s2 s3; s2 s3 s4]
+    val det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+      s2 * (s1 * s3 - s2 * s2)
+    val d0 = t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) +
+      s2 * (t1 * s3 - s2 * t2)
+    val d1 = s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s3 * s2) +
+      s2 * (s1 * t2 - t1 * s2)
+    val d2 = s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0) +
+      t0 * (s1 * s3 - s2 * s2)
+    struct((d0 / det).as("c0"), (d1 / det).as("c1"), (d2 / det).as("c2"))
+  }
+
   /** interpolate_na: fill interior NULL runs by linear interpolation
     * between bracketing valid values (ref `core/missing.py:331`
     * `interp_na`); edges stay NULL like the reference default. */

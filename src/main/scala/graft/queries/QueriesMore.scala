@@ -214,6 +214,42 @@ object QueriesMore {
         "l_quantity > 25 AND l_discount < 0.05 AS flag")
     }),
 
+    // interp(method="nearest") (ref `dataset.py:3810` methods list)
+    "q83_interp_nearest" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      graft.numerics.Numerics.interpNearest(series, users.crossJoin(grid),
+        by = Seq("user_id"), t = "ts", v = "value")
+        .select("user_id", "ts", "v_nearest")
+    }),
+
+    // polyfit degree 2: closed-form normal equations over exact moments
+    // (ref `computation/fit.py:101`, general Vandermonde path)
+    "q84_polyfit2" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(graft.numerics.Numerics.fit2(
+          col("l_quantity"), col("l_extendedprice")).as("fit"))
+        .select(col("l_returnflag"),
+          round(col("fit.c0"), 4).as("c0"),
+          round(col("fit.c1"), 4).as("c1"),
+          round(col("fit.c2"), 6).as("c2"))
+    }),
+
+    // weighted quantile (ref `computation/weighted.py:319`) — custom
+    // aggregator; no SQL oracle (non-monotone plotting positions), pinned
+    // by PadCfSpec unit tests
+    "q85_weighted_quantile" -> ((s, dir) => {
+      import graft.exprs.WeightedQuantile
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        WeightedQuantile(col("l_extendedprice"), col("l_quantity"), 0.5)
+          .as("wq50"))
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {
@@ -377,6 +413,51 @@ object QueriesMore {
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
     "q82_mfopen_combine" ->
-      """SELECT r_regionkey, r_name FROM region"""
+      """SELECT r_regionkey, r_name FROM region""",
+    "q83_interp_nearest" ->
+      """WITH series AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         probes AS (
+           SELECT u.user_id, g.ts FROM
+             (SELECT DISTINCT user_id FROM series) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         back AS (
+           SELECT p.user_id, p.ts, s.value AS y0, s.ts AS t0
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts >= s.ts),
+         fwd AS (
+           SELECT p.user_id, p.ts, s.value AS y1, s.ts AS t1
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts <= s.ts)
+         SELECT b.user_id, b.ts,
+           CASE WHEN t0 IS NULL THEN y1
+                WHEN t1 IS NULL THEN y0
+                WHEN epoch_us(b.ts) - epoch_us(t0)
+                     <= epoch_us(t1) - epoch_us(b.ts) THEN y0
+                ELSE y1 END AS v_nearest
+         FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    "q84_polyfit2" ->
+      """SELECT l_returnflag,
+         round((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+            + s2 * (t1 * s3 - s2 * t2)) / det, 4) AS c0,
+         round((s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * t2 - t1 * s2)) / det, 4) AS c1,
+         round((s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0)
+            + t0 * (s1 * s3 - s2 * s2)) / det, 6) AS c2
+         FROM (SELECT *,
+             s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+               + s2 * (s1 * s3 - s2 * s2) AS det
+           FROM (SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS s0,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS s4,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS t0,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS t1,
+             CAST(sum(CAST(l_quantity * l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS t2
+             FROM lineitem GROUP BY 1))"""
   )
 }

@@ -67,4 +67,41 @@ class PadCfSpec extends SparkSpec {
     val df = Seq(2L, 3L, 4L).toDF("x")
     assert(df.agg(ProductAgg.productLong(col("x"))).head.getLong(0) === 24L)
   }
+
+  test("weighted quantile: unit weights degenerate to H&F 7 percentile") {
+    import graft.exprs.WeightedQuantile
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("v", "w")
+    val wq = df.agg(WeightedQuantile(col("v"), col("w"), 0.5)).head.getDouble(0)
+    val pq = df.agg(percentile(col("v"), lit(0.5))).head.getDouble(0)
+    assert(math.abs(wq - pq) < 1e-12, s"$wq vs $pq")
+    // heavy weight drags the median toward that value
+    val skew = Seq((1.0, 10.0), (2.0, 1.0), (3.0, 1.0)).toDF("v", "w")
+    val ws = skew.agg(WeightedQuantile(col("v"), col("w"), 0.5)).head.getDouble(0)
+    assert(ws < 2.0, s"weighted median should lean to 1.0, got $ws")
+  }
+
+  test("Store: partitioned write, region overwrite, pruned read") {
+    import graft.io.Store
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val df = Seq((1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)).toDF("chunk", "k", "v")
+    Store.write(df, dir, Seq("chunk"))
+    assert(Store.open(spark, dir).count() === 3)
+    // region write: replace only chunk=1
+    val region = Seq((1, "z", 9.0)).toDF("chunk", "k", "v")
+    Store.writeRegion(region, dir, Seq("chunk"))
+    val after = Store.open(spark, dir)
+    assert(after.count() === 2)                       // chunk1 replaced, chunk2 kept
+    assert(after.filter(col("chunk") === 2).count() === 1)
+    // chunk-key predicate prunes partitions
+    val plan = after.filter(col("chunk") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(chunk"), plan.take(400))
+  }
+
+  test("setCoords/swapDims are metadata-only") {
+    val ds = XDataset(Seq((1L, "x", 2.0)).toDF("d", "name", "v"), Seq("d"))
+    val sc = ds.setCoords("name")
+    assert(sc.meta.coords === Set("name") && (sc.df eq ds.df))
+    val sw = sc.swapDims("d", "name")
+    assert(sw.meta.dims === Seq("name") && sw.meta.coords === Set("d"))
+  }
 }
