@@ -17,8 +17,15 @@ import graft.numerics.Numerics
   */
 object Similarity {
 
+  /** Decimal-exact cosine (order-independent, reproducible across engines;
+    * used where results are oracle-compared). */
   def cosine(a: Column, b: Column): Column =
     Numerics.dotDecimal(a, b) / (Numerics.normDecimal(a) * Numerics.normDecimal(b))
+
+  /** Codegen'd cosine (native Catalyst expression, tight Java loop) — the
+    * throughput path for large ANN sweeps. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.exprs.VectorExprs.cosineF32(a, b)
 
   /** Exact top-k: probes broadcast, one pass over the corpus.
     * Deterministic tie-break on corpus id. */
@@ -62,7 +69,7 @@ object Similarity {
     val ps = probes.select(col(probeId), col(vec).as("__pv"),
       rhpSignature(col(vec), planes).as("__sig"))
     val scored = cs.join(ps, "__sig")
-      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+      .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(id))
     scored.withColumn("rk", row_number().over(w))

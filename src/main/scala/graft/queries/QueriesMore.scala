@@ -250,6 +250,28 @@ object QueriesMore {
           .as("wq50"))
     }),
 
+    // drop_duplicates along dim, keep=first (ref `dataset.py:9967`)
+    "q86_drop_duplicates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("c_mktsegment", "c_nationkey", "c_custkey")
+    }),
+
+    // update: in-place merge, left (new) priority (ref `dataset.py:5700`)
+    "q87_update" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal"))
+      val updates = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_totalprice")).as("bal_new"))
+      base.join(updates, Seq("custkey"), "left")
+        .select(col("custkey"), coalesce(col("bal_new"), col("bal")).as("bal"))
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {
@@ -412,6 +434,14 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q86_drop_duplicates" ->
+      """SELECT c_mktsegment, c_nationkey, min(c_custkey) AS c_custkey
+         FROM customer GROUP BY 1, 2""",
+    "q87_update" ->
+      """SELECT c_custkey AS custkey, coalesce(bal_new, c_acctbal) AS bal
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, max(o_totalprice) AS bal_new
+           FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""",
     "q82_mfopen_combine" ->
       """SELECT r_regionkey, r_name FROM region""",
     "q83_interp_nearest" ->

@@ -59,6 +59,20 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("codegen dotF32 matches interpreted decimal dot to 1e-9") {
+    import graft.exprs.VectorExprs
+    import graft.numerics.Numerics
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(-0.5f, 0.25f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(
+      VectorExprs.dotF32(col("embedding"), col("embedding")).as("fast"),
+      Numerics.dotDecimal(col("embedding"), col("embedding")).as("exact"))
+      .collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, r.toString)
+    }
+  }
+
   test("brute-force topk ranks self first with cosine ~1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f))
