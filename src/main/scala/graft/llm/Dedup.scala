@@ -95,8 +95,14 @@ object Dedup {
   /** Exact word-shingle Jaccard for a pair table — the verification step
     * after LSH candidate generation. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: String,
-                    text: String, k: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(id), shingles(col(text), k).as("sh"))
+                    text: String, k: Int, threshold: Double): DataFrame =
+    jaccardVerifyPre(pairs,
+      docs.select(col(id), shingles(col(text), k).as("sh")), id, threshold)
+
+  /** Verify against PRE-computed (and ideally persisted) shingle sets —
+    * avoids recomputing the shingle projection once per join side. */
+  def jaccardVerifyPre(pairs: DataFrame, sh: DataFrame, id: String,
+                       threshold: Double): DataFrame = {
     pairs
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")

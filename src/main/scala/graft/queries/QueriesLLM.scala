@@ -31,20 +31,31 @@ object QueriesLLM {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val all = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + 10000L))
+        // single-file scans arrive in 1-2 partitions; spread the expensive
+        // shingle/minhash projection across the cluster first
+        .repartition(col("doc_id"))
+      // one pass computes shingles + signatures; persist so the bucket
+      // join, pair join, and both verify sides reuse it instead of
+      // re-running the hash projection per consumer
       val sig = all.withColumn("sh", Dedup.shingles(col("text"), 3))
-        .withColumn("sh_h", Dedup.hashShingles(col("sh")))
+        .withColumn("sh_h", Dedup.hashShingles(col("sh")))   // materialize once
         .withColumn("sig", Dedup.minhashFromHashes(col("sh_h"), 64))
+        .select("doc_id", "sh", "sig")
+        .persist()
       val buckets = Dedup.lshBuckets(sig, "doc_id", "sig",
         bands = 16, rowsPerBand = 4)
       val pairs = Dedup.candidatePairs(buckets, "doc_id")
-      Dedup.jaccardVerify(pairs, all, "doc_id", "text", k = 3, threshold = 0.9)
+      val out = Dedup.jaccardVerifyPre(pairs, sig.select("doc_id", "sh"),
+        "doc_id", threshold = 0.9)
+      out
     }),
 
     // n-gram Jaccard similarity within a blocking key (same source)
     "q52_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+      // consumed by sizes + both sides of the self-join: persist one pass
       val ng = docs.select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 2)).as("g"))
+        explode(Dedup.shingles(col("text"), 2)).as("g")).persist()
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val co = ng.as("a").join(ng.as("b"),
         col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
