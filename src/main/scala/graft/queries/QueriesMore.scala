@@ -272,6 +272,24 @@ object QueriesMore {
         .select(col("custkey"), coalesce(col("bal_new"), col("bal")).as("bal"))
     }),
 
+    // 2-D rolling mean over a (user-bucket x day) grid — the ND-specific
+    // window case, via offset contributions + one hash agg (no nested
+    // window functions; ref `rolling.py` multi-dim rolling)
+    "q88_rolling_2d" -> ((s, dir) => {
+      import graft.window.Windows
+      import graft.model.XDataset.exactSum
+      val grid = Tables.events(s, dir)
+        .groupBy((col("user_id") % 12).as("i"),
+          dayofmonth(col("ts")).as("j"))
+        .agg(exactSum(col("value"), scale = 6).as("v"))
+      val contrib = Windows.rolling2dContrib(grid, "i", "j", 1, 1)
+      val cells = grid.select(col("i").as("__ci"), col("j").as("__cj")).distinct()
+      contrib.join(cells, Seq("__ci", "__cj"))
+        .groupBy(col("__ci").as("i"), col("__cj").as("j"))
+        .agg(count(lit(1)).as("n_window"),
+          (exactSum(col("v"), scale = 6) / count(lit(1))).as("win_mean"))
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {
@@ -442,6 +460,21 @@ object QueriesMore {
          FROM customer LEFT JOIN (
            SELECT o_custkey, max(o_totalprice) AS bal_new
            FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""",
+    "q88_rolling_2d" ->
+      """WITH grid AS (
+           SELECT user_id % 12 AS i, day(ts) AS j,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         contrib AS (
+           SELECT i + di AS ci, j + dj AS cj, v
+           FROM grid,
+           LATERAL (SELECT unnest([-1, 0, 1]) AS di),
+           LATERAL (SELECT unnest([-1, 0, 1]) AS dj))
+         SELECT c.ci AS i, c.cj AS j, count(*) AS n_window,
+           CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS win_mean
+         FROM contrib c JOIN (SELECT DISTINCT i, j FROM grid) g
+           ON c.ci = g.i AND c.cj = g.j
+         GROUP BY 1, 2""",
     "q82_mfopen_combine" ->
       """SELECT r_regionkey, r_name FROM region""",
     "q83_interp_nearest" ->

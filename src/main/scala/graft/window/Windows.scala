@@ -61,6 +61,24 @@ object Windows {
     last(c, ignoreNulls = true).over(w)
   }
 
+  /** N-dimensional rolling window (ref `rolling.py` multi-dim rolling —
+    * the genuinely ND-specific case): each cell EXPLODES into one
+    * contribution per window cell it belongs to, then one hash aggregation
+    * per output cell collects its window. Map-side explode + a single
+    * shuffle on the cell key — no nested window functions, scales as
+    * |grid| x window-area, and partial aggregation combines map-side.
+    * Edge cells see fewer contributors = min_periods=1 semantics; the
+    * inner join back to the real cell set drops out-of-grid phantoms. */
+  def rolling2dContrib(df: DataFrame, dim1: String, dim2: String,
+                       half1: Int, half2: Int): DataFrame = {
+    val offsets = for (di <- -half1 to half1; dj <- -half2 to half2)
+      yield struct(lit(di).as("di"), lit(dj).as("dj"))
+    df.withColumn("__o", explode(array(offsets: _*)))
+      .withColumn("__ci", col(dim1) + col("__o.di"))
+      .withColumn("__cj", col(dim2) + col("__o.dj"))
+      .drop("__o")
+  }
+
   /** coarsen: non-overlapping block aggregation along a position column
     * (ref `computation/rolling.py:1023`); boundary="trim" drops the ragged
     * tail. Block id = floor(pos / k) — a plain groupBy, no window needed,
