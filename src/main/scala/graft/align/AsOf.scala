@@ -29,6 +29,21 @@ object AsOf {
     * @param key       ordering column name (present in both)
     * @param rightVals observation columns to bring over
     */
+  /** Apply a tolerance AFTER an as-of pass: matches farther than
+    * `tolerance` (in the key's units; micros for timestamps) are nulled,
+    * mirroring pandas/xarray `sel(method=..., tolerance=...)`. The matched
+    * key must be carried in `matchedKeyCol`. */
+  def withTolerance(joined: DataFrame, key: String, matchedKeyCol: String,
+                    valueCols: Seq[String], tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def toL(c: Column) =
+      if (joined.schema(key).dataType == TimestampType) unix_micros(c)
+      else c.cast("long")
+    val ok = abs(toL(col(key)) - toL(col(matchedKeyCol))) <= tolerance
+    valueCols.foldLeft(joined)((d, v) =>
+      d.withColumn(v, when(ok, col(v))))
+  }
+
   def backward(left: DataFrame, right: DataFrame, by: Seq[String], key: String,
                rightVals: Seq[String]): DataFrame = {
     val marker = "__is_probe"

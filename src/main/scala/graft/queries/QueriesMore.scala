@@ -290,6 +290,32 @@ object QueriesMore {
           (exactSum(col("v"), scale = 6) / count(lit(1))).as("win_mean"))
     }),
 
+    // interp(method="cubic"): natural spline per series (ref
+    // `dataset.py:3810`; scipy-class method -> per-group solve). Rows-only:
+    // pinned by NumericsSpec vs the reference tridiagonal solution.
+    "q89_spline_cubic" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      val probes = series.select("user_id").distinct()
+        .crossJoin(grid.select(unix_micros(col("ts")).as("t")))
+      graft.numerics.Spline.interpCubic(series, probes,
+        by = Seq("user_id"), t = "t", v = "value")
+    }),
+
+    // curvefit (ref `fit.py:311`): per-group nonlinear least squares.
+    // Rows-only: LM convergence pinned by NumericsSpec.
+    "q90_curvefit" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+      graft.numerics.Curvefit.fit(df, Seq("l_returnflag"), "x", "y",
+        (p, x) => p(0) + p(1) * x, p0 = Array(0.0, 1000.0), maxIter = 25)
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {

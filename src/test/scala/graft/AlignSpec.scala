@@ -55,6 +55,20 @@ class AlignSpec extends SparkSpec {
     assert(out(101L).isEmpty)
   }
 
+  test("as-of tolerance nulls matches beyond the bound") {
+    val probes = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("g", "k", "pid")
+    val obs = Seq((1L, 95L, 1.0), (1L, 120L, 2.0)).toDF("g", "k", "ov")
+    val joined = AsOf.backward(probes, obs, Seq("g"), "k", Seq("ov"))
+      .withColumn("__mk", lit(null).cast("long"))  // carry matched key below
+    // re-run carrying the matched key for the tolerance filter
+    val withKey = AsOf.backward(probes,
+      obs.withColumn("mk", col("k")), Seq("g"), "k", Seq("ov", "mk"))
+    val out = AsOf.withTolerance(withKey, "k", "mk", Seq("ov"), tolerance = 10L)
+      .select("pid", "ov").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))   // |100-95| = 5 <= 10
+    assert(out(2L).isEmpty)         // |200-120| = 80 > 10 -> nulled
+  }
+
   test("reindex materializes missing labels with fill (ref dataset.py:3546)") {
     val target = Seq(35.0, 40.0, 99.0).toDF("lat")
     val out = Align.reindex(target, left, fill = Map("v_l" -> 0.0))
