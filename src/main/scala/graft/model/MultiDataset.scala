@@ -1,0 +1,75 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The full SURVEY.md §1.5 Dataset encoding: variables sharing a dim
+  * signature live in ONE table; a Dataset with several signatures is a
+  * CATALOG of tables plus the shared dim namespace (ref
+  * `xarray/core/dataset.py:202` — dict of Variables over one dim space;
+  * dim-size consistency checked at merge, `structure/merge.py:85`).
+  *
+  * Cross-signature ops resolve through the shared dims: selecting along a
+  * dim filters every table that carries it; a binary op between variables
+  * from different groups joins on the shared dims (= xarray broadcasting).
+  */
+final class MultiDataset(val groups: Map[Seq[String], XDataset]) {
+
+  def dims: Seq[String] = groups.keys.flatten.toSeq.distinct.sorted
+
+  def dataVars: Map[String, Seq[String]] =
+    groups.map { case (sig, ds) => sig.mkString(",") -> ds.dataVars }
+
+  /** The table that holds `variable`, as a 1-signature dataset. */
+  def variable(name: String): XDataset = {
+    val (sig, ds) = groups.find(_._2.dataVars.contains(name))
+      .getOrElse(throw new NoSuchElementException(s"variable $name"))
+    new XDataset(ds.df.select((sig :+ name).map(col): _*), ds.meta)
+  }
+
+  /** sel along a dim applies to every group carrying that dim; groups
+    * without it are untouched (xarray: selection only affects variables
+    * using the dim). */
+  def sel(dim: String, values: Seq[Any]): MultiDataset =
+    new MultiDataset(groups.map { case (sig, ds) =>
+      sig -> (if (sig.contains(dim)) ds.sel(dim, values) else ds)
+    })
+
+  /** Binary op between two variables (possibly from different signature
+    * groups): inner-join on the SHARED dims — non-shared dims broadcast by
+    * row multiplication, exactly xarray's dim-union semantics
+    * (`variable.py:2447`). */
+  def binaryOp(varA: String, varB: String, out: String)
+              (op: (Column, Column) => Column): DataFrame = {
+    val a = variable(varA); val b = variable(varB)
+    val shared = a.meta.dims.filter(b.meta.dims.contains)
+    val joined =
+      if (shared.isEmpty) a.df.crossJoin(b.df)
+      else a.df.join(b.df, shared)
+    val outDims = (a.meta.dims ++ b.meta.dims).distinct
+    joined.select(outDims.map(col) :+ op(col(varA), col(varB)).as(out): _*)
+  }
+
+  /** merge another dataset's groups in (variables union; same-signature
+    * tables outer-join on their dims — ref `structure/merge.py:855`). */
+  def merge(other: MultiDataset): MultiDataset = {
+    val keys = groups.keySet ++ other.groups.keySet
+    new MultiDataset(keys.map { sig =>
+      (groups.get(sig), other.groups.get(sig)) match {
+        case (Some(a), Some(b)) =>
+          sig -> new XDataset(a.df.join(b.df, sig, "full_outer"), a.meta)
+        case (Some(a), None) => sig -> a
+        case (None, Some(b)) => sig -> b
+        case _ => throw new IllegalStateException
+      }
+    }.toMap)
+  }
+}
+
+object MultiDataset {
+  /** Build from (dims -> DataFrame) pairs; dims define each signature. */
+  def apply(entries: (Seq[String], DataFrame)*): MultiDataset =
+    new MultiDataset(entries.map { case (sig, df) =>
+      sig -> XDataset(df, dims = sig)
+    }.toMap)
+}
