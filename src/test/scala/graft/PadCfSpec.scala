@@ -97,6 +97,27 @@ class PadCfSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(chunk"), plan.take(400))
   }
 
+  test("noleap calendar decode/encode roundtrip (cftime 365_day)") {
+    val df = Seq(0L, 364L, 365L, 424L, 729L).toDF("d")
+    val dec = df.select(col("d"),
+      CFDecode.noleapDecode(col("d"), 2000).as("nd"))
+      .select(col("d"), col("nd.year"), col("nd.month"), col("nd.day"), col("nd.doy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(dec(0L) === ((2000, 1, 1, 1)))
+    assert(dec(364L) === ((2000, 12, 31, 365)))     // noleap year end
+    assert(dec(365L) === ((2001, 1, 1, 1)))
+    assert(dec(424L) === ((2001, 3, 1, 60)))        // Feb has 28 days always
+    assert(dec(729L) === ((2001, 12, 31, 365)))
+    // roundtrip law
+    val rt = df.select(col("d"),
+      CFDecode.noleapDecode(col("d"), 2000).as("nd"))
+      .select(col("d"), CFDecode.noleapEncode(
+        col("nd.year"), col("nd.month"), col("nd.day"), 2000).as("back"))
+      .filter(col("d") =!= col("back")).count()
+    assert(rt === 0)
+  }
+
   test("setCoords/swapDims are metadata-only") {
     val ds = XDataset(Seq((1L, "x", 2.0)).toDF("d", "name", "v"), Seq("d"))
     val sc = ds.setCoords("name")
