@@ -40,6 +40,17 @@ object Align {
     a.df.join(b.df, shared, "inner")
   }
 
+  /** join="override": keep the LEFT's labels, take the RIGHT's values
+    * positionally (sizes must match) — xarray's positional relabel
+    * (`alignment.py` override mode). Implemented as a zip on range-
+    * partitioned ordinals; one sort-shuffle per side, join on ordinal. */
+  def overrideAlign(a: XDataset, b: XDataset, dim: String): DataFrame = {
+    val pa = graft.model.Positions.zipWithIndex(a.df, Seq(col(dim)), "__pos")
+    val pb = graft.model.Positions.zipWithIndex(
+      b.df.withColumnRenamed(dim, s"__${dim}_b"), Seq(col(s"__${dim}_b")), "__pos")
+    pa.join(pb, "__pos").drop("__pos", s"__${dim}_b")
+  }
+
   /** Binary op with auto-align (default arithmetic_join="inner",
     * ref `core/options.py:15`; `dataset.py:7783` `_binary_op`). */
   def binaryOp(a: XDataset, b: XDataset, how: String = "inner")

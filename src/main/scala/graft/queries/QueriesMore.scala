@@ -316,6 +316,22 @@ object QueriesMore {
         (p, x) => p(0) + p(1) * x, p0 = Array(0.0, 1000.0), maxIter = 25)
     }),
 
+    // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
+    "q91_cumprod" -> ((s, dir) => {
+      // (orderkey, linenumber) is NOT unique in this data; order by all
+      // value columns so ties carry identical factors and the cumulative
+      // product is order-invariant within them
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lg = log(lit(1.0) - col("l_discount")).cast(DecimalType(30, 12))
+      Tables.lineitem(s, dir)
+        .withColumn("cumprod_keep",
+          round(exp(sum(lg).over(w).cast("double")), 8))
+        .select("l_orderkey", "l_linenumber", "cumprod_keep")
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {
@@ -501,6 +517,14 @@ object QueriesMore {
          FROM contrib c JOIN (SELECT DISTINCT i, j FROM grid) g
            ON c.ci = g.i AND c.cj = g.j
          GROUP BY 1, 2""",
+    "q91_cumprod" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(exp(CAST(sum(CAST(ln(1.0 - l_discount) AS DECIMAL(30,12)))
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+                   l_suppkey, l_quantity, l_extendedprice, l_discount
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 8)
+           AS cumprod_keep
+         FROM lineitem""",
     "q82_mfopen_combine" ->
       """SELECT r_regionkey, r_name FROM region""",
     "q83_interp_nearest" ->

@@ -55,6 +55,14 @@ class AlignSpec extends SparkSpec {
     assert(out(101L).isEmpty)
   }
 
+  test("align override: left labels, right values by position") {
+    val out = Align.overrideAlign(left, right, "lat")
+      .orderBy("lat").as[(Double, Double, Double)].collect()
+    // left keeps its labels {35, 40}; right values joined positionally
+    assert(out.map(_._1).toSeq === Seq(35.0, 40.0))
+    assert(out.map(_._3).toSeq === Seq(10.0, 20.0))
+  }
+
   test("as-of tolerance nulls matches beyond the bound") {
     val probes = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("g", "k", "pid")
     val obs = Seq((1L, 95L, 1.0), (1L, 120L, 2.0)).toDF("g", "k", "ov")
