@@ -96,6 +96,17 @@ object QueriesGroupBy {
         .select("s_suppkey", "s_acctbal", "rank_avg")
     }),
 
+    // groupby fillna: fill NULLs with the group mean (ref `groupby.py:1259`)
+    "q92_groupby_fillna" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("vm", when(col("event_type") =!= "error", col("value")))
+      val means = ev.groupBy("user_id")
+        .agg(exactAvg(col("vm"), scale = 6).as("gm"))
+      ev.join(broadcast(means), Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("vm"), col("gm")).as("v_filled"))
+    }),
+
     // grouped cumulative sum (ref `_aggregations.py` cumsum -> window scan)
     "q26_cumsum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -111,6 +122,16 @@ object QueriesGroupBy {
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_groupby_fillna" ->
+      """SELECT event_id, e.user_id, coalesce(vm, gm) AS v_filled
+         FROM (SELECT event_id, user_id,
+                 CASE WHEN event_type <> 'error' THEN value END AS vm
+               FROM events) e
+         JOIN (SELECT user_id,
+                 CAST(sum(CAST(CASE WHEN event_type <> 'error' THEN value END
+                   AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(CASE WHEN event_type <> 'error' THEN value END) AS gm
+               FROM events GROUP BY 1) g ON e.user_id = g.user_id""",
     "q17_resample_month" ->
       """SELECT b.month, n, rev FROM
          (SELECT generate_series AS month FROM
