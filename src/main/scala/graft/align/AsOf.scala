@@ -60,10 +60,25 @@ object AsOf {
     // so an exact-key observation IS visible to the probe (inclusive <=).
     val w = Window.partitionBy(by.map(col): _*).orderBy(col(key), col(marker))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(marker) === 1).drop(marker)
+    fillStruct(l.unionByName(r), marker, rightVals, w)
+  }
+
+  /** Carry ALL rightVals from the SAME matched observation: fill one struct
+    * (non-null exactly on observation rows) with last(ignoreNulls), then
+    * unpack — a genuinely-NULL column in the matched row stays NULL instead
+    * of leaking an older observation's value. */
+  private def fillStruct(unioned: DataFrame, marker: String,
+                         rightVals: Seq[String],
+                         w: org.apache.spark.sql.expressions.WindowSpec)
+      : DataFrame = {
+    val obs = "__obs"
+    val filled = unioned
+      .withColumn(obs, when(col(marker) === 0,
+        struct(rightVals.map(col): _*)))
+      .withColumn(obs, last(col(obs), ignoreNulls = true).over(w))
+    rightVals.foldLeft(filled)((d, v) =>
+      d.withColumn(v, col(obs).getField(v)))
+      .filter(col(marker) === 1).drop(marker, obs)
   }
 
   /** Forward (bfill) as-of: earliest right row with rightKey >= leftKey. */
@@ -82,9 +97,6 @@ object AsOf {
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col(key).desc, col(marker))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(marker) === 1).drop(marker)
+    fillStruct(l.unionByName(r), marker, rightVals, w)
   }
 }

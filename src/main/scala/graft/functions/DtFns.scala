@@ -17,7 +17,15 @@ object DtFns {
   def secondD(t: Column): Column = second(t)
   def microsecond(t: Column): Column =
     (unix_micros(t) % 1000000L + 1000000L) % 1000000L
-  def nanosecond(t: Column): Column = microsecond(t) * 1000L
+  /** pandas `.dt.nanosecond` is the 0-999 ns component WITHIN the
+    * microsecond — always 0 at Spark's µs timestamp resolution. (Sub-µs
+    * components only exist when reading TIMESTAMP(NANOS) via nanosAsLong;
+    * use `nanosecondOfLong` on that raw long instead.) */
+  def nanosecond(t: Column): Column = lit(0L)
+
+  /** ns-within-µs component of a raw epoch-nanos long (parquet
+    * TIMESTAMP(NANOS) read with spark.sql.legacy.parquet.nanosAsLong). */
+  def nanosecondOfLong(ns: Column): Column = (ns % 1000L + 1000L) % 1000L
 
   /** pandas dayofweek: Monday=0 .. Sunday=6 (Spark dayofweek is Sunday=1). */
   def dayofweek(t: Column): Column = (dayofweek_raw(t) + 5) % 7

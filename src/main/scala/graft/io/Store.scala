@@ -22,10 +22,9 @@ object Store {
   /** Region write: replace only the chunks covered by `df`
     * (dynamic partition overwrite). */
   def writeRegion(df: DataFrame, path: String, chunkCols: Seq[String]): Unit =
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic") match {
-      case _ => df.write.mode(SaveMode.Overwrite)
-        .partitionBy(chunkCols: _*).parquet(path)
-    }
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(chunkCols: _*).parquet(path)
 
   /** Open the store; chunk-key predicates become partition pruning. */
   def open(spark: SparkSession, path: String): DataFrame =

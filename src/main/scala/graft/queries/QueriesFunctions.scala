@@ -70,7 +70,7 @@ object QueriesFunctions {
         lit(1.0).as("ones_like"),
         b.isNull.as("isnull"),
         abs(b).as("bal_abs"),
-        floor(b / 100).as("bal_floordiv"),
+        floor(b / 100).cast("double").as("bal_floordiv"),
         pmod(col("c_custkey"), lit(7)).as("key_mod"))
     }),
 
@@ -83,7 +83,8 @@ object QueriesFunctions {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("t"))
       val diffs = grid.withColumn("step_sec",
-        unix_timestamp(col("t")) - unix_timestamp(lag(col("t"), 1).over(w)))
+        (unix_timestamp(col("t")) - unix_timestamp(lag(col("t"), 1).over(w)))
+          .cast("double"))
       diffs.filter(col("step_sec").isNotNull)
         .groupBy(col("step_sec")).agg(count(lit(1)).as("n"))
     })

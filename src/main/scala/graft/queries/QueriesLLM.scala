@@ -25,12 +25,13 @@ object QueriesLLM {
     }),
 
     // MinHash + LSH near-dup pipeline: shingle -> minhash -> band ->
-    // bucket-join -> exact-Jaccard verify. Planted duplicates (doc_id+10000)
-    // must all be found with jaccard 1.0; nothing else survives 0.9.
+    // bucket-join -> exact-Jaccard verify. Planted duplicates live in the
+    // negated id space (-id-1: collision-free at ANY table size) and must
+    // all be found with jaccard 1.0; nothing else survives 0.9.
     "q51_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val all = docs.unionByName(
-        docs.withColumn("doc_id", col("doc_id") + 10000L))
+        docs.withColumn("doc_id", -col("doc_id") - 1L))
         // single-file scans arrive in 1-2 partitions; spread the expensive
         // shingle/minhash projection across the cluster first
         .repartition(col("doc_id"))
@@ -74,11 +75,11 @@ object QueriesLLM {
     "q53_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val all = docs.unionByName(
-        docs.withColumn("doc_id", col("doc_id") + 10000L))
+        docs.withColumn("doc_id", -col("doc_id") - 1L))
       val sh = Dedup.simhash(all, "doc_id", "text")
-      val a = sh.filter(col("doc_id") < 10000)
-      val b = sh.filter(col("doc_id") >= 10000)
-        .select((col("doc_id") - 10000L).as("doc_id"),
+      val a = sh.filter(col("doc_id") >= 0)
+      val b = sh.filter(col("doc_id") < 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
           col("simhash").as("simhash_dup"))
       a.join(b, "doc_id")
         .select(col("doc_id"), col("simhash"),
@@ -160,7 +161,7 @@ object QueriesLLM {
     "q51_minhash_lsh" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 10000, text FROM documents),
+           UNION ALL SELECT -doc_id - 1, text FROM documents),
          t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
                FROM all_docs),
          ng AS (SELECT DISTINCT doc_id,

@@ -148,8 +148,8 @@ object QueriesMore {
         round(pow(q, 1.5), 6).as("pow_q"),
         round(sqrt(d * d + q * q), 8).as("hypot_dq"),
         signum(d - 0.05).as("sign_d"),
-        floor(q / 7).as("floor_q"),
-        ceil(q / 7).as("ceil_q"),
+        floor(q / 7).cast("double").as("floor_q"),
+        ceil(q / 7).cast("double").as("ceil_q"),
         round((exp(d) - exp(-d)) / 2, 8).as("sinh_d"),
         round(log(q + 1), 8).as("log_q1"))
     }),

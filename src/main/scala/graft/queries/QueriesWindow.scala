@@ -108,7 +108,7 @@ object QueriesWindow {
     "q29b_bfill_limit" ->
       """SELECT event_id, user_id,
          last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value_bfill
          FROM events""",
     "q30_coarsen" ->
