@@ -87,7 +87,9 @@ class WeightedQuantile(q: Double)
   def merge(a: ArrayBuffer[(Double, Double)], b: ArrayBuffer[(Double, Double)]) = a ++= b
   def finish(b: ArrayBuffer[(Double, Double)]): java.lang.Double = {
     if (b.isEmpty) return null
-    val s = b.sortBy(_._1).toArray
+    // sort by (value, weight): ties in value are ordered deterministically
+    // so the plotting positions don't depend on partition arrival order
+    val s = b.sortBy(x => (x._1, x._2)).toArray
     val w = s.map(_._2); val v = s.map(_._1)
     val totW = w.sum
     // xarray weighted type-7 plotting positions: h_i = (c_i - w_i) / (W - w_i)

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -70,8 +71,8 @@ object QueriesLLM {
     }),
 
     // SimHash signatures + Hamming distance to the exact-duplicate copy
-    // (planted dup must give distance 0). No oracle: xxhash64 is
-    // Spark-specific -> rows-only check; correctness pinned by the dup law.
+    // (planted dup must give distance 0). Token hash is the portable
+    // md5-prefix (60-bit), so the signature has a full DuckDB oracle.
     "q53_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val all = docs.unionByName(
@@ -102,6 +103,29 @@ object QueriesLLM {
         .select(col("vec_id").as("probe_id"), col("embedding"))
       Similarity.lshTopK(corpus, probes, "vec_id", "probe_id",
         "embedding", planes = 8, k = 3)
+    }),
+
+    // IVF ANN: coarse-quantize the corpus onto deterministic seed
+    // centroids (vec_id < 8), then probe only the probe's own cell
+    // (nprobe=1). Fully oracle-checkable: assignment and scoring both use
+    // the decimal-exact cosine. The 100 TB path: assignment is one
+    // broadcast pass, candidate scoring touches ~1/cells of the corpus.
+    "q54c_ivf_ann" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = Similarity.ivfAssign(corpus, centroids,
+        "vec_id", "embedding", "cell_id", "cell_vec").persist()
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"),
+          col("cell_id"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(probes, "cell_id")
+        .withColumn("cosine", Similarity.cosine(col("embedding"), col("__pv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
     }),
 
     // language ID via stopword-lexicon argmax
@@ -175,6 +199,73 @@ object QueriesLLM {
          FROM co JOIN sz sa ON co.id_a = sa.doc_id
          JOIN sz sb ON co.id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
+    // IVF ANN oracle: same decimal-exact cosine for assignment (argmax
+    // over the 8 seed centroids, ties -> min cell) and candidate scoring.
+    "q54c_ivf_ann" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) *
+             CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+           FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+           GROUP BY 1),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             CAST(sum(CAST(CAST(v.embedding[i] AS DOUBLE) *
+               CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c,
+           LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i)
+           GROUP BY 1, 2),
+         assign AS (
+           SELECT vec_id, cell_id FROM (
+             SELECT d.vec_id, d.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dot / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+             FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms nc ON d.cell_id = nc.vec_id)
+           WHERE rk = 1),
+         cand AS (
+           SELECT p.vec_id AS probe_id, v.vec_id
+           FROM (SELECT * FROM assign WHERE vec_id < 5) p
+           JOIN assign v ON v.cell_id = p.cell_id),
+         pd AS (
+           SELECT ca.probe_id, ca.vec_id,
+             CAST(sum(CAST(CAST(ve.embedding[i] AS DOUBLE) *
+               CAST(pe.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           FROM cand ca
+           JOIN embeddings ve ON ve.vec_id = ca.vec_id
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id,
+           LATERAL (SELECT unnest(generate_series(1, len(ve.embedding))) AS i)
+           GROUP BY 1, 2)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dot / (nv.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dot / (nv.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
+    // SimHash is fully deterministic given the portable 60-bit md5-prefix
+    // token hash, so the signature itself is oracle-checkable. The planted
+    // copy has byte-identical text -> identical signature -> distance 0.
+    "q53_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_reduce(list_transform(
+               string_split(substr(md5(tok), 1, 15), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+           FROM tok),
+         bits AS (
+           SELECT doc_id, i,
+             sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+           FROM th, (SELECT unnest(generate_series(0, 59)) AS i) g
+           GROUP BY doc_id, i),
+         sig AS (
+           SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id, simhash, 0 AS dist_to_dup FROM sig""",
     "q52_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source,
              string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -291,8 +291,8 @@ object QueriesMore {
     }),
 
     // interp(method="cubic"): natural spline per series (ref
-    // `dataset.py:3810`; scipy-class method -> per-group solve). Rows-only:
-    // pinned by NumericsSpec vs the reference tridiagonal solution.
+    // `dataset.py:3810`; scipy-class method -> per-group solve). Oracle
+    // replays the Thomas algorithm via recursive CTEs, bit-exact.
     "q89_spline_cubic" -> ((s, dir) => {
       val series = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
@@ -494,6 +494,116 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    // Natural cubic spline: the oracle REPLAYS the engine's exact numeric
+    // path — tridiagonal setup, Thomas forward sweep and back substitution
+    // as recursive CTEs (IEEE op order mirrored), then the same evaluate()
+    // expression per probe. NULL outside the knot range (no extrapolation).
+    "q89_spline_cubic" ->
+      """WITH RECURSIVE kn AS (
+           SELECT user_id,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                  CAST(value AS DOUBLE) AS y,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events WHERE event_type = 'purchase'),
+         pre AS (
+           SELECT user_id, i, n, t, y,
+             CASE WHEN i > 1 AND i < n THEN t - lag(t) OVER w
+                  ELSE CAST(0 AS DOUBLE) END AS a,
+             CASE WHEN i > 1 AND i < n
+                  THEN 2 * ((t - lag(t) OVER w) + (lead(t) OVER w - t))
+                  ELSE CAST(1 AS DOUBLE) END AS b0,
+             CASE WHEN i > 1 AND i < n THEN lead(t) OVER w - t
+                  ELSE CAST(0 AS DOUBLE) END AS c,
+             CASE WHEN i > 1 AND i < n
+                  THEN 6 * ((lead(y) OVER w - y) / (lead(t) OVER w - t)
+                            - (y - lag(y) OVER w) / (t - lag(t) OVER w))
+                  ELSE CAST(0 AS DOUBLE) END AS d0
+           FROM kn
+           WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+         fwd AS (
+           SELECT user_id, i, n, b0 AS b, d0 AS d, c FROM pre WHERE i = 1
+           UNION ALL
+           SELECT p.user_id, p.i, p.n,
+                  p.b0 - (p.a / f.b) * f.c,
+                  p.d0 - (p.a / f.b) * f.d,
+                  p.c
+           FROM fwd f JOIN pre p ON p.user_id = f.user_id AND p.i = f.i + 1),
+         bk AS (
+           SELECT user_id, i, d / b AS m FROM fwd WHERE i = n
+           UNION ALL
+           SELECT f.user_id, f.i, (f.d - f.c * bk.m) / f.b
+           FROM bk JOIN fwd f ON f.user_id = bk.user_id AND f.i = bk.i - 1),
+         probes AS (
+           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS tp
+           FROM (SELECT DISTINCT user_id FROM kn) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         loc AS (
+           SELECT p.user_id, p.tp,
+             (SELECT max(k.i) FROM kn k
+              WHERE k.user_id = p.user_id AND k.t <= p.tp) AS ji,
+             (SELECT max(k.n) FROM kn k WHERE k.user_id = p.user_id) AS n,
+             (SELECT max(k.t) FROM kn k WHERE k.user_id = p.user_id) AS tmax
+           FROM probes p)
+         SELECT l.user_id, l.tp AS t_probe,
+           CASE WHEN l.ji IS NULL OR l.tp > l.tmax THEN NULL
+                ELSE ((k1.t - l.tp) / (k1.t - k0.t)) * k0.y
+                     + ((l.tp - k0.t) / (k1.t - k0.t)) * k1.y
+                     + ((((k1.t - l.tp) / (k1.t - k0.t))
+                          * ((k1.t - l.tp) / (k1.t - k0.t))
+                          * ((k1.t - l.tp) / (k1.t - k0.t))
+                          - (k1.t - l.tp) / (k1.t - k0.t)) * m0.m
+                        + (((l.tp - k0.t) / (k1.t - k0.t))
+                          * ((l.tp - k0.t) / (k1.t - k0.t))
+                          * ((l.tp - k0.t) / (k1.t - k0.t))
+                          - (l.tp - k0.t) / (k1.t - k0.t)) * m1.m)
+                       * (k1.t - k0.t) * (k1.t - k0.t) / 6.0
+           END AS v_cubic
+         FROM loc l
+         LEFT JOIN kn k0 ON k0.user_id = l.user_id AND k0.i = least(l.ji, l.n - 1)
+         LEFT JOIN kn k1 ON k1.user_id = l.user_id AND k1.i = least(l.ji, l.n - 1) + 1
+         LEFT JOIN bk m0 ON m0.user_id = l.user_id AND m0.i = least(l.ji, l.n - 1)
+         LEFT JOIN bk m1 ON m1.user_id = l.user_id AND m1.i = least(l.ji, l.n - 1) + 1""",
+    // Weighted type-7 quantile: plotting positions h_i = (c_i - w_i) /
+    // (W - w_i) over the (value, weight)-sorted rows, linear lerp at q.
+    // Cumulative c and the bracketing/lerp mirror the Aggregator's exact
+    // float op order; W = max(c) (the same left-fold total, NOT a re-sum).
+    "q85_weighted_quantile" ->
+      """WITH s0 AS (
+           SELECT l_returnflag AS g, l_extendedprice AS v, l_quantity AS w
+           FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+         s AS (
+           SELECT g, v, w,
+             row_number() OVER (PARTITION BY g ORDER BY v, w) AS rn,
+             sum(w) OVER (PARTITION BY g ORDER BY v, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM s0),
+         s2 AS (
+           SELECT g, v, w, rn, c,
+             max(c) OVER (PARTITION BY g) AS totw,
+             max(rn) OVER (PARTITION BY g) AS n
+           FROM s),
+         h AS (
+           SELECT g, v, rn, n,
+             CASE WHEN totw = w THEN CAST(0 AS DOUBLE)
+                  ELSE (c - w) / (totw - w) END AS h
+           FROM s2),
+         j AS (
+           SELECT g, max(CASE WHEN h <= CAST(0.5 AS DOUBLE) THEN rn END) AS j,
+                  max(n) AS n
+           FROM h GROUP BY g)
+         SELECT j.g AS l_returnflag,
+           CASE WHEN j.j >= j.n THEN hl.v
+                WHEN h1.h = h0.h THEN h0.v
+                ELSE h0.v + (CAST(0.5 AS DOUBLE) - h0.h) / (h1.h - h0.h)
+                            * (h1.v - h0.v)
+           END AS wq50
+         FROM j
+         LEFT JOIN h h0 ON h0.g = j.g AND h0.rn = j.j
+         LEFT JOIN h h1 ON h1.g = j.g AND h1.rn = j.j + 1
+         LEFT JOIN h hl ON hl.g = j.g AND hl.rn = j.n""",
     "q86_drop_duplicates" ->
       """SELECT c_mktsegment, c_nationkey, min(c_custkey) AS c_custkey
          FROM customer GROUP BY 1, 2""",

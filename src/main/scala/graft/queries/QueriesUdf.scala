@@ -67,6 +67,37 @@ object QueriesUdf {
   )
 
   val oracles: Map[String, String] = Map(
+    // EWM is an order-dependent recurrence; the oracle replays the exact
+    // IEEE op sequence (num = num*0.7 + x; den = den*0.7 + 1) per user via
+    // a recursive CTE. Base-case columns MUST be cast to DOUBLE: a
+    // recursive CTE's column types are pinned by the base case, and a
+    // DECIMAL(2,1) den would round every iteration.
+    "q61_ewm_mean" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(coalesce(value, 0) AS DOUBLE) AS num,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS den,
+                  CAST(value AS DOUBLE) AS ewm
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN s.value IS NULL THEN r.num * CAST(0.7 AS DOUBLE)
+                       ELSE r.num * CAST(0.7 AS DOUBLE) + s.value END,
+                  CASE WHEN s.value IS NULL THEN r.den * CAST(0.7 AS DOUBLE)
+                       ELSE r.den * CAST(0.7 AS DOUBLE) + 1 END,
+                  CASE WHEN s.value IS NULL THEN
+                      CASE WHEN r.den * CAST(0.7 AS DOUBLE) > 0
+                           THEN (r.num * CAST(0.7 AS DOUBLE))
+                                / (r.den * CAST(0.7 AS DOUBLE)) END
+                    ELSE (r.num * CAST(0.7 AS DOUBLE) + s.value)
+                         / (r.den * CAST(0.7 AS DOUBLE) + 1) END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, ewm FROM r""",
     "q60_apply_ufunc_zscore" ->
       """SELECT event_id, (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN (
