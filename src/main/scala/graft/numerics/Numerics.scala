@@ -133,6 +133,94 @@ object Numerics {
       .drop("__y0", "__y1", "__t0", "__t1")
   }
 
+  /** interp(method="pchip"): monotone cubic Hermite with Fritsch–Carlson
+    * slopes (ref `core/missing.py:616` interp method="pchip" -> scipy
+    * `PchipInterpolator`). Unlike the natural cubic spline, PCHIP slopes
+    * are LOCAL (each uses at most the two neighboring secants), so the
+    * whole operator is declarative: one window pass over the knots + one
+    * as-of join of probes — no per-group gather, no driver iteration, and
+    * it scales exactly like interpLinear at 100 TB.
+    *
+    * Slope rules (scipy semantics): interior knots get the weighted
+    * harmonic mean of the two secants when they share a sign, else 0;
+    * endpoints use the one-sided three-point estimate with the shape-
+    * preserving clamps; 2-point series fall back to the secant (linear).
+    * Probes outside the knot range -> NULL (no extrapolation). */
+  def interpPchip(series: DataFrame, probes: DataFrame, by: Seq[String],
+                  t: String, v: String): DataFrame = {
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
+    val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
+      col(v).cast("double").as("__y")): _*)
+      // neighbor coords first, then h/delta/slopes: each layer is
+      // materialized with withColumn so shared subexpressions aren't
+      // textually duplicated (and recomputed) downstream
+      .withColumn("__tm", lag("__t", 1).over(w))
+      .withColumn("__ym", lag("__y", 1).over(w))
+      .withColumn("__tp", lead("__t", 1).over(w))
+      .withColumn("__yp", lead("__y", 1).over(w))
+      .withColumn("__tpp", lead("__t", 2).over(w))
+      .withColumn("__ypp", lead("__y", 2).over(w))
+      .withColumn("__tmm", lag("__t", 2).over(w))
+      .withColumn("__ymm", lag("__y", 2).over(w))
+      .withColumn("__hm", col("__t") - col("__tm"))
+      .withColumn("__hn", col("__tp") - col("__t"))
+      .withColumn("__dm", (col("__y") - col("__ym")) / col("__hm"))
+      .withColumn("__dn", (col("__yp") - col("__y")) / col("__hn"))
+      .withColumn("__h1n", col("__tpp") - col("__tp"))
+      .withColumn("__d1n", (col("__ypp") - col("__yp")) / col("__h1n"))
+      .withColumn("__h1m", col("__tm") - col("__tmm"))
+      .withColumn("__d1m", (col("__ym") - col("__ymm")) / col("__h1m"))
+    val hm = col("__hm"); val hn = col("__hn")
+    val dm = col("__dm"); val dn = col("__dn")
+    // one-sided three-point endpoint slope with scipy's two clamps
+    def edge(h0: Column, h1: Column, m0: Column, m1: Column): Column = {
+      val dRaw = ((lit(2.0) * h0 + h1) * m0 - h0 * m1) / (h0 + h1)
+      when(signum(dRaw) =!= signum(m0), lit(0.0))
+        .when(signum(m0) =!= signum(m1) && abs(dRaw) > lit(3.0) * abs(m0),
+          lit(3.0) * m0)
+        .otherwise(dRaw)
+    }
+    val interiorW1 = lit(2.0) * hn + hm
+    val interiorW2 = hn + lit(2.0) * hm
+    val slope =
+      when(col("__tm").isNull && col("__tp").isNull, lit(0.0))
+        .when(col("__tm").isNull && col("__tpp").isNull, dn) // n == 2
+        .when(col("__tm").isNull, edge(hn, col("__h1n"), dn, col("__d1n")))
+        .when(col("__tp").isNull && col("__tmm").isNull, dm) // n == 2
+        .when(col("__tp").isNull, edge(hm, col("__h1m"), dm, col("__d1m")))
+        .when((dm > 0 && dn > 0) || (dm < 0 && dn < 0),
+          (interiorW1 + interiorW2) / (interiorW1 / dm + interiorW2 / dn))
+        .otherwise(lit(0.0))
+    val kn2 = kn.withColumn("__d", slope)
+      .withColumn("__d1", lead("__d", 1).over(w))
+      .select((by.map(col) :+ col("__t") :+ col("__t").as("__t0") :+
+        col("__y").as("__y0") :+ col("__d").as("__d0") :+
+        col("__tp").as("__t1") :+ col("__yp").as("__y1") :+
+        col("__d1")): _*)
+    val prb = probes.select((by.map(col) :+ toD(col(t)).as("__t")): _*)
+    val joined = AsOf.backward(prb, kn2, by, "__t",
+      Seq("__t0", "__y0", "__d0", "__t1", "__y1", "__d1"))
+      .withColumn("__h", col("__t1") - col("__t0"))
+      .withColumn("__s", (col("__t") - col("__t0")) / col("__h"))
+      .withColumn("__om", lit(1.0) - col("__s"))
+    val s = col("__s"); val om = col("__om"); val h = col("__h")
+    val hermite =
+      col("__y0") * ((lit(1.0) + lit(2.0) * s) * (om * om)) +
+        (h * col("__d0")) * (s * (om * om)) +
+        col("__y1") * ((s * s) * (lit(3.0) - lit(2.0) * s)) +
+        (h * col("__d1")) * ((s * s) * (s - lit(1.0)))
+    val out = when(col("__t0").isNull, lit(null))
+      .when(col("__t") === col("__t0"), col("__y0"))
+      .when(col("__t1").isNull, lit(null))
+      .otherwise(hermite)
+    joined.withColumn("v_pchip", out)
+      .select((by.map(col) :+ col("__t").as("t_probe") :+ col("v_pchip")): _*)
+  }
+
   /** Degree-2 polyfit per group, closed-form normal equations over exact
     * decimal power sums (moments s0..s4, t0..t2), solved by Cramer's rule
     * in identical double arithmetic (ref `computation/fit.py:101`; the

@@ -306,6 +306,21 @@ object QueriesMore {
         by = Seq("user_id"), t = "t", v = "value")
     }),
 
+    // interp(method="pchip"): monotone cubic Hermite, declarative
+    // (window slopes + as-of join; see Numerics.interpPchip)
+    "q93_interp_pchip" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      val probes = series.select("user_id").distinct()
+        .crossJoin(grid.select(unix_micros(col("ts")).as("t")))
+      graft.numerics.Numerics.interpPchip(series, probes,
+        by = Seq("user_id"), t = "t", v = "value")
+    }),
+
     // curvefit (ref `fit.py:311`): per-group nonlinear least squares.
     // Rows-only: LM convergence pinned by NumericsSpec.
     "q90_curvefit" -> ((s, dir) => {
@@ -494,6 +509,83 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    // PCHIP: slopes are local window expressions (no recursion needed);
+    // the oracle mirrors the Fritsch–Carlson slope CASE and the Hermite
+    // basis evaluation with the engine's exact float op order.
+    "q93_interp_pchip" ->
+      """WITH kn AS (
+           SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         n1 AS (
+           SELECT user_id, t, y,
+             lag(t) OVER w AS tm, lag(y) OVER w AS ym,
+             lead(t) OVER w AS tp, lead(y) OVER w AS yp,
+             lead(t, 2) OVER w AS tpp, lead(y, 2) OVER w AS ypp,
+             lag(t, 2) OVER w AS tmm, lag(y, 2) OVER w AS ymm
+           FROM kn WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         hd AS (
+           SELECT *, t - tm AS hm, tp - t AS hn,
+             (y - ym) / (t - tm) AS dm, (yp - y) / (tp - t) AS dn,
+             tpp - tp AS h1n, (ypp - yp) / (tpp - tp) AS d1n,
+             tm - tmm AS h1m, (ym - ymm) / (tm - tmm) AS d1m
+           FROM n1),
+         sl AS (
+           SELECT user_id, t, y,
+             CASE
+               WHEN tm IS NULL AND tp IS NULL THEN CAST(0 AS DOUBLE)
+               WHEN tm IS NULL AND tpp IS NULL THEN dn
+               WHEN tm IS NULL THEN
+                 CASE WHEN sign(((2 * hn + h1n) * dn - hn * d1n) / (hn + h1n))
+                           <> sign(dn) THEN CAST(0 AS DOUBLE)
+                      WHEN sign(dn) <> sign(d1n)
+                           AND abs(((2 * hn + h1n) * dn - hn * d1n) / (hn + h1n))
+                               > 3 * abs(dn) THEN 3 * dn
+                      ELSE ((2 * hn + h1n) * dn - hn * d1n) / (hn + h1n) END
+               WHEN tp IS NULL AND tmm IS NULL THEN dm
+               WHEN tp IS NULL THEN
+                 CASE WHEN sign(((2 * hm + h1m) * dm - hm * d1m) / (hm + h1m))
+                           <> sign(dm) THEN CAST(0 AS DOUBLE)
+                      WHEN sign(dm) <> sign(d1m)
+                           AND abs(((2 * hm + h1m) * dm - hm * d1m) / (hm + h1m))
+                               > 3 * abs(dm) THEN 3 * dm
+                      ELSE ((2 * hm + h1m) * dm - hm * d1m) / (hm + h1m) END
+               WHEN (dm > 0 AND dn > 0) OR (dm < 0 AND dn < 0)
+                 THEN ((2 * hn + hm) + (hn + 2 * hm))
+                      / ((2 * hn + hm) / dm + (hn + 2 * hm) / dn)
+               ELSE CAST(0 AS DOUBLE) END AS d
+           FROM hd),
+         kn2 AS (
+           SELECT user_id, t AS t0, y AS y0, d AS d0,
+             lead(t) OVER w AS t1, lead(y) OVER w AS y1, lead(d) OVER w AS d1
+           FROM sl WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         probes AS (
+           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS tq
+           FROM (SELECT DISTINCT user_id FROM kn) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         m AS (
+           SELECT p.user_id, p.tq, k.t0, k.y0, k.d0, k.t1, k.y1, k.d1
+           FROM probes p ASOF LEFT JOIN kn2 k
+           ON p.user_id = k.user_id AND p.tq >= k.t0)
+         SELECT user_id, tq AS t_probe,
+           CASE WHEN t0 IS NULL THEN NULL
+                WHEN tq = t0 THEN y0
+                WHEN t1 IS NULL THEN NULL
+                ELSE y0 * ((1 + 2 * ((tq - t0) / (t1 - t0)))
+                           * ((1 - (tq - t0) / (t1 - t0))
+                              * (1 - (tq - t0) / (t1 - t0))))
+                   + ((t1 - t0) * d0) * (((tq - t0) / (t1 - t0))
+                           * ((1 - (tq - t0) / (t1 - t0))
+                              * (1 - (tq - t0) / (t1 - t0))))
+                   + y1 * ((((tq - t0) / (t1 - t0)) * ((tq - t0) / (t1 - t0)))
+                           * (3 - 2 * ((tq - t0) / (t1 - t0))))
+                   + ((t1 - t0) * d1) * ((((tq - t0) / (t1 - t0))
+                              * ((tq - t0) / (t1 - t0)))
+                           * (((tq - t0) / (t1 - t0)) - 1))
+           END AS v_pchip
+         FROM m""",
     // Natural cubic spline: the oracle REPLAYS the engine's exact numeric
     // path — tridiagonal setup, Thomas forward sweep and back substitution
     // as recursive CTEs (IEEE op order mirrored), then the same evaluate()

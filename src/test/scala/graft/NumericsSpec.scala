@@ -41,4 +41,32 @@ class NumericsSpec extends SparkSpec {
       Seq("g"), "t", "v").head
     assert(knot.getDouble(2) === 8.0)
   }
+
+  test("pchip: reproduces linear data, preserves monotonicity, no overshoot") {
+    import graft.numerics.Numerics
+    // linear data: all slopes equal the secant -> Hermite reproduces the line
+    val lin = Seq.tabulate(6)(i => (1L, i.toDouble, 2.0 * i + 1)).toDF("g", "t", "v")
+    val probesL = Seq((1L, 0.5), (1L, 2.25), (1L, 4.9)).toDF("g", "t")
+    Numerics.interpPchip(lin, probesL, Seq("g"), "t", "v").collect().foreach { r =>
+      val t = r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - (2.0 * t + 1)) < 1e-12, s"t=$t")
+    }
+    // step-like data: cubic splines overshoot here; pchip must not
+    val step = Seq((1L, 0.0, 0.0), (1L, 1.0, 0.0), (1L, 2.0, 1.0),
+      (1L, 3.0, 1.0)).toDF("g", "t", "v")
+    val dense = Seq.tabulate(31)(i => (1L, i * 0.1)).toDF("g", "t")
+    val vals = Numerics.interpPchip(step, dense, Seq("g"), "t", "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).sortBy(_._1)
+    vals.foreach { case (t, v) =>
+      assert(v >= -1e-12 && v <= 1.0 + 1e-12, s"overshoot at t=$t: $v") }
+    // monotone non-decreasing over the whole range
+    vals.sliding(2).foreach { case Array((t0, v0), (t1, v1)) =>
+      assert(v1 >= v0 - 1e-12, s"not monotone at $t0->$t1: $v0 > $v1") }
+    // exact knot hit + no extrapolation
+    val out = Numerics.interpPchip(step,
+      Seq((1L, 2.0), (1L, 9.0)).toDF("g", "t"), Seq("g"), "t", "v")
+      .collect().map(r => r.getDouble(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(2.0).contains(1.0) && out(9.0).isEmpty)
+  }
 }
