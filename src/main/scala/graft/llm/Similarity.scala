@@ -28,12 +28,14 @@ object Similarity {
     graft.exprs.VectorExprs.cosineF32(a, b)
 
   /** Exact top-k: probes broadcast, one pass over the corpus.
-    * Deterministic tie-break on corpus id. */
+    * Deterministic tie-break on corpus id. Scoring uses the codegen'd
+    * sequential-fold cosine: deterministic for a given array, and a DuckDB
+    * `list_reduce` fold reproduces it bit-exactly (no decimal needed). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, id: String,
                      probeId: String, vec: String, k: Int): DataFrame = {
     val scored = corpus.select(col(id), col(vec).as("__cv"))
       .crossJoin(broadcast(probes.select(col(probeId), col(vec).as("__pv"))))
-      .withColumn("cosine", cosine(col("__cv"), col("__pv")))
+      .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(id))
     scored.withColumn("rk", row_number().over(w))
@@ -82,7 +84,7 @@ object Similarity {
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,
                 vec: String, cellId: String, cellVec: String): DataFrame = {
     val scored = vecs.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vec), col(cellVec)))
+      .withColumn("__sim", cosineFast(col(vec), col(cellVec)))
     val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col(cellId))
     scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
       .select(col(id), col(vec), col(cellId))

@@ -122,7 +122,7 @@ object QueriesLLM {
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       assigned.join(probes, "cell_id")
-        .withColumn("cosine", Similarity.cosine(col("embedding"), col("__pv")))
+        .withColumn("cosine", Similarity.cosineFast(col("embedding"), col("__pv")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
@@ -199,27 +199,28 @@ object QueriesLLM {
          FROM co JOIN sz sa ON co.id_a = sa.doc_id
          JOIN sz sb ON co.id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
-    // IVF ANN oracle: same decimal-exact cosine for assignment (argmax
+    // IVF ANN oracle: same sequential-fold cosine for assignment (argmax
     // over the 8 seed centroids, ties -> min cell) and candidate scoring.
     "q54c_ivf_ann" ->
       """WITH norms AS (
-           SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) *
-             CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-           FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
-           GROUP BY 1),
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
          cdots AS (
            SELECT v.vec_id, c.vec_id AS cell_id,
-             CAST(sum(CAST(CAST(v.embedding[i] AS DOUBLE) *
-               CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
            FROM embeddings v
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c,
-           LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i)
-           GROUP BY 1, 2),
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
          assign AS (
            SELECT vec_id, cell_id FROM (
              SELECT d.vec_id, d.cell_id,
                row_number() OVER (PARTITION BY d.vec_id
-                 ORDER BY d.dot / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+                 ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
              FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
              JOIN norms nc ON d.cell_id = nc.vec_id)
            WHERE rk = 1),
@@ -229,17 +230,17 @@ object QueriesLLM {
            JOIN assign v ON v.cell_id = p.cell_id),
          pd AS (
            SELECT ca.probe_id, ca.vec_id,
-             CAST(sum(CAST(CAST(ve.embedding[i] AS DOUBLE) *
-               CAST(pe.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             list_reduce(list_transform(
+               generate_series(1, len(ve.embedding)),
+               i -> CAST(ve.embedding[i] AS DOUBLE) * CAST(pe.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
            FROM cand ca
            JOIN embeddings ve ON ve.vec_id = ca.vec_id
-           JOIN embeddings pe ON pe.vec_id = ca.probe_id,
-           LATERAL (SELECT unnest(generate_series(1, len(ve.embedding))) AS i)
-           GROUP BY 1, 2)
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id)
          SELECT probe_id, rk, vec_id, cosine FROM (
-           SELECT d.probe_id, d.vec_id, d.dot / (nv.nrm * np.nrm) AS cosine,
+           SELECT d.probe_id, d.vec_id, d.dt / (nv.nrm * np.nrm) AS cosine,
              row_number() OVER (PARTITION BY d.probe_id
-               ORDER BY d.dot / (nv.nrm * np.nrm) DESC, d.vec_id) AS rk
+               ORDER BY d.dt / (nv.nrm * np.nrm) DESC, d.vec_id) AS rk
            FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
@@ -279,24 +280,27 @@ object QueriesLLM {
          SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
          FROM co JOIN sz sa ON co.id_a = sa.doc_id
          JOIN sz sb ON co.id_b = sb.doc_id""",
+    // cosine = sequential-fold dot (mirrors the codegen'd Java loop:
+    // list_reduce folds left like the double accumulator, bit-exact)
     "q54_cosine_topk" ->
       """WITH norms AS (
-           SELECT vec_id, sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) *
-             CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-           FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
-           GROUP BY 1),
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
          dots AS (
            SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-             CAST(sum(CAST(CAST(c.embedding[i] AS DOUBLE) *
-               CAST(p.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
            FROM embeddings c
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p,
-           LATERAL (SELECT unnest(generate_series(1, len(c.embedding))) AS i)
-           GROUP BY 1, 2)
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
          SELECT probe_id, rk, vec_id, cosine FROM (
-           SELECT d.probe_id, d.vec_id, d.dot / (nc.nrm * np.nrm) AS cosine,
+           SELECT d.probe_id, d.vec_id, d.dt / (nc.nrm * np.nrm) AS cosine,
              row_number() OVER (PARTITION BY d.probe_id
-               ORDER BY d.dot / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+               ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
            FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
