@@ -64,10 +64,10 @@ object Dedup {
     val coefs = Seq.fill(numHashes)(
       (rng.nextInt(Int.MaxValue - 1).toLong + 1L,
         rng.nextInt(Int.MaxValue).toLong))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashCol,
-        h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
+    // native one-pass kernel (same arithmetic as the declarative
+    // k x array_min(transform(...)) form, which evaluates interpreted)
+    graft.exprs.MinHashExprs.minhashCW(hashCol,
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray)
   }
 
   /** LSH banding: docs sharing any (band, hash-of-band-rows) bucket are
