@@ -51,18 +51,65 @@ final class MultiDataset(val groups: Map[Seq[String], XDataset]) {
   }
 
   /** merge another dataset's groups in (variables union; same-signature
-    * tables outer-join on their dims — ref `structure/merge.py:855`). */
+    * tables outer-join on their dims — ref `structure/merge.py:855`).
+    * Scalar groups (empty signature, single row) combine by cross join. */
   def merge(other: MultiDataset): MultiDataset = {
     val keys = groups.keySet ++ other.groups.keySet
     new MultiDataset(keys.map { sig =>
       (groups.get(sig), other.groups.get(sig)) match {
         case (Some(a), Some(b)) =>
-          sig -> new XDataset(a.df.join(b.df, sig, "full_outer"), a.meta)
+          val joined = if (sig.isEmpty) a.df.crossJoin(b.df)
+            else a.df.join(b.df, sig, "full_outer")
+          sig -> new XDataset(joined, a.meta)
         case (Some(a), None) => sig -> a
         case (None, Some(b)) => sig -> b
         case _ => throw new IllegalStateException
       }
     }.toMap)
+  }
+
+  /** Reduce `dim` away across the whole dataset (ref `dataset.py` reduce:
+    * `ds.sum(dim=...)` applies to every variable carrying the dim; others
+    * pass through unchanged). Each carrying table aggregates in ONE
+    * partial+final hash agg over its remaining dims; results that land on
+    * an existing signature merge into that table. */
+  def reduce(dim: String, agg: Column => Column): MultiDataset = {
+    val parts = groups.toSeq.map { case (sig, ds) =>
+      if (!sig.contains(dim)) new MultiDataset(Map(sig -> ds))
+      else {
+        val rest = sig.filterNot(_ == dim)
+        val aggs = ds.dataVars.map(v => agg(col(v)).as(v))
+        val out =
+          if (rest.isEmpty) ds.df.agg(aggs.head, aggs.tail: _*)
+          else ds.df.groupBy(rest.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        new MultiDataset(Map(rest -> XDataset(out, rest)))
+      }
+    }
+    parts.reduce(_ merge _)
+  }
+
+  /** groupby over a coordinate variable (ref `dataset.py` groupby with a
+    * non-dim coord, e.g. `ds.groupby("label").sum()`): every table that
+    * carries ALL of the coord's dims joins the (small) coord table — a
+    * broadcast-able dimension join — and aggregates those dims away,
+    * keyed by the coord value plus its other dims. Tables missing the
+    * coord's dims are dropped, matching the reference. */
+  def groupByCoord(coordVar: String, agg: Column => Column): MultiDataset = {
+    val coordDs = variable(coordVar)
+    val sc = coordDs.meta.dims
+    val parts = groups.toSeq.flatMap { case (sig, ds) =>
+      if (!sc.forall(sig.contains) || ds.dataVars.contains(coordVar)) None
+      else {
+        val rest = sig.filterNot(sc.contains)
+        val keys = coordVar +: rest
+        val joined = ds.df.join(broadcast(coordDs.df), sc)
+        val aggs = ds.dataVars.map(v => agg(col(v)).as(v))
+        Some(new MultiDataset(Map(keys ->
+          XDataset(joined.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*),
+            keys))))
+      }
+    }
+    parts.reduce(_ merge _)
   }
 }
 

@@ -46,4 +46,42 @@ class MultiDatasetSpec extends SparkSpec {
     assert(merged.dataVars.values.flatten.toSet ===
       Set("var1", "var2", "var3", "var4"))
   }
+
+  test("reduce removes a dim everywhere; colliding signatures merge") {
+    val red = fixture.reduce("dim2", sum(_))
+    // var1/var2 lose dim2 -> signature (dim1); var3 keeps (dim3, dim1)
+    assert(red.variable("var1").meta.dims === Seq("dim1"))
+    assert(red.variable("var3").meta.dims === Seq("dim3", "dim1"))
+    // var1 over dim1=1: values 3,4,5 -> 12
+    val v = red.variable("var1").df.filter(col("dim1") === 1)
+      .select("var1").as[Double].head()
+    assert(v === 12.0)
+    // reducing dim1 out of BOTH groups: (dim2) and (dim3) signatures
+    val red2 = fixture.reduce("dim1", sum(_))
+    assert(red2.variable("var1").meta.dims === Seq("dim2"))
+    assert(red2.variable("var3").meta.dims === Seq("dim3"))
+    // reduce to scalar: both vars land on the empty signature, cross-joined
+    val scalar = fixture.reduce("dim2", sum(_)).reduce("dim1", sum(_))
+      .reduce("dim3", sum(_))
+    val row = scalar.variable("var1").df
+    assert(row.count() === 1)
+  }
+
+  test("groupByCoord joins the coord table and aggregates its dims away") {
+    // label coord on dim1: 0,1 -> 'a'; 2,3 -> 'b'
+    val label = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("dim1", "label")
+    val withCoord = fixture.merge(MultiDataset(Seq("dim1") -> label))
+    val g = withCoord.groupByCoord("label", sum(_))
+    // var1 grouped by (label, dim2): 2 labels x 3 dim2
+    val v1 = g.variable("var1")
+    assert(v1.meta.dims === Seq("label", "dim2"))
+    assert(v1.df.count() === 6)
+    // label 'a', dim2=0: var1(0,0) + var1(1,0) = 0 + 3
+    val v = v1.df.filter(col("label") === "a" && col("dim2") === 0)
+      .select("var1").as[Double].head()
+    assert(v === 3.0)
+    // var3 grouped by (label, dim3): 2 x 2
+    assert(g.variable("var3").df.count() === 4)
+  }
 }
