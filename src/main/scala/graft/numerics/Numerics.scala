@@ -195,7 +195,18 @@ object Numerics {
         .when((dm > 0 && dn > 0) || (dm < 0 && dn < 0),
           (interiorW1 + interiorW2) / (interiorW1 / dm + interiorW2 / dn))
         .otherwise(lit(0.0))
-    val kn2 = kn.withColumn("__d", slope)
+    hermiteEval(kn.withColumn("__d", slope), probes, by, t, w, toD, "v_pchip")
+  }
+
+  /** Shared cubic-Hermite tail for the local-slope interpolators (pchip /
+    * akima): pair each knot with its successor, as-of join the probes,
+    * evaluate the Hermite basis. Exact knot hits return the knot value;
+    * outside the range -> NULL. */
+  private def hermiteEval(knWithSlope: DataFrame, probes: DataFrame,
+                          by: Seq[String], t: String,
+                          w: org.apache.spark.sql.expressions.WindowSpec,
+                          toD: Column => Column, outName: String): DataFrame = {
+    val kn2 = knWithSlope
       .withColumn("__d1", lead("__d", 1).over(w))
       .select((by.map(col) :+ col("__t") :+ col("__t").as("__t0") :+
         col("__y").as("__y0") :+ col("__d").as("__d0") :+
@@ -217,8 +228,62 @@ object Numerics {
       .when(col("__t") === col("__t0"), col("__y0"))
       .when(col("__t1").isNull, lit(null))
       .otherwise(hermite)
-    joined.withColumn("v_pchip", out)
-      .select((by.map(col) :+ col("__t").as("t_probe") :+ col("v_pchip")): _*)
+    joined.withColumn(outName, out)
+      .select((by.map(col) :+ col("__t").as("t_probe") :+ col(outName)): _*)
+  }
+
+  /** interp(method="akima") (ref `core/missing.py:616` -> scipy
+    * `Akima1DInterpolator`): slopes from the 4 surrounding secants with
+    * virtual boundary secants extrapolated linearly (m_{-1} = 2m_0 - m_1
+    * etc.). Like pchip this is LOCAL — window expressions only. The
+    * default slope is the average of the outer secants; where the
+    * oscillation weight f12 = |m3-m2| + |m1-m0| exceeds scipy's
+    * data-dependent threshold 1e-9 * max(f12) (a per-series window max),
+    * the Akima weighted form (f1*m1 + f2*m2)/f12 applies. Series with
+    * n < 3 knots fall back to the secant (linear). */
+  def interpAkima(series: DataFrame, probes: DataFrame, by: Seq[String],
+                  t: String, v: String): DataFrame = {
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
+      col(v).cast("double").as("__y")): _*)
+      .withColumn("__tp", lead("__t", 1).over(w))
+      .withColumn("__yp", lead("__y", 1).over(w))
+      .withColumn("__sp", (col("__yp") - col("__y")) / (col("__tp") - col("__t")))
+      .withColumn("__sm", lag("__sp", 1).over(w))
+      .withColumn("__spp", lead("__sp", 1).over(w))
+      .withColumn("__smm", lag("__sp", 2).over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // extended secants M0..M3 = m[i], m[i+1], m[i+2], m[i+3] in scipy's
+      // 2-shifted indexing; virtuals fill the boundaries
+      .withColumn("__M2",
+        when(col("__sp").isNotNull, col("__sp"))
+          .otherwise(lit(2.0) * col("__sm") - col("__smm")))
+      .withColumn("__M1",
+        when(col("__sm").isNotNull, col("__sm"))
+          .otherwise(lit(2.0) * col("__sp") - col("__spp")))
+      .withColumn("__M3",
+        when(col("__spp").isNotNull, col("__spp"))
+          .when(col("__sp").isNotNull, lit(2.0) * col("__sp") - col("__sm"))
+          .otherwise(lit(2.0) * col("__M2") - col("__sm")))
+      .withColumn("__M0",
+        when(col("__smm").isNotNull, col("__smm"))
+          .when(col("__sm").isNotNull, lit(2.0) * col("__sm") - col("__sp"))
+          .otherwise(lit(2.0) * col("__M1") - col("__sp")))
+      .withColumn("__f1", abs(col("__M3") - col("__M2")))
+      .withColumn("__f2", abs(col("__M1") - col("__M0")))
+      .withColumn("__f12", col("__f1") + col("__f2"))
+      .withColumn("__f12max", max(col("__f12")).over(wAll))
+    val slope =
+      when(col("__n") < 3, coalesce(col("__sp"), col("__sm"), lit(0.0)))
+        .when(col("__f12") > lit(1e-9) * col("__f12max"),
+          (col("__f1") * col("__M1") + col("__f2") * col("__M2")) / col("__f12"))
+        .otherwise(lit(0.5) * (col("__M3") + col("__M0")))
+    hermiteEval(kn.withColumn("__d", slope), probes, by, t, w, toD, "v_akima")
   }
 
   /** Degree-2 polyfit per group, closed-form normal equations over exact

@@ -128,6 +128,40 @@ object QueriesLLM {
         .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
     }),
 
+    // vocabulary build: per-source token frequencies, top-10. The classic
+    // wordcount shape at 100 TB: explode -> partial+final hash agg (map-
+    // side combine absorbs the token skew), then a per-source top-k
+    // window over the (small) distinct-token counts.
+    "q94_vocab_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("tok"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("source", "rk", "tok", "n")
+    }),
+
+    // embedding near-dup pairs within a blocking key (label): the exact-
+    // verify path of embedding dedup — planted copies (negated id space)
+    // must surface with cosine ~1; nothing else is near 0.99 in this data.
+    "q95_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), col("embedding"))
+      val all = e.unionByName(e.withColumn("vec_id", -col("vec_id") - 1L))
+      val a = all.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("__va"))
+      val b = all.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("__vb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosineFast(col("__va"), col("__vb")))
+        .filter(col("cosine") >= 0.99)
+        .select("label", "id_a", "id_b", "cosine")
+    }),
+
     // language ID via stopword-lexicon argmax
     "q55_langid" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -199,6 +233,36 @@ object QueriesLLM {
          FROM co JOIN sz sa ON co.id_a = sa.doc_id
          JOIN sz sb ON co.id_b = sb.doc_id
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
+    "q94_vocab_topk" ->
+      """SELECT source, rk, tok, n FROM (
+           SELECT source, tok, n,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, tok) AS rk
+           FROM (
+             SELECT source, tok, count(*) AS n FROM (
+               SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+               FROM documents)
+             GROUP BY 1, 2))
+         WHERE rk <= 10""",
+    "q95_embed_neardup" ->
+      """WITH all_e AS (
+           SELECT label, vec_id, embedding FROM embeddings
+           UNION ALL SELECT label, -vec_id - 1, embedding FROM embeddings),
+         p AS (
+           SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS cosine
+           FROM all_e a JOIN all_e b
+           ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, id_a, id_b, cosine FROM p WHERE cosine >= 0.99""",
     // IVF ANN oracle: same sequential-fold cosine for assignment (argmax
     // over the 8 seed centroids, ties -> min cell) and candidate scoring.
     "q54c_ivf_ann" ->

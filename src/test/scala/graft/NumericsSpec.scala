@@ -69,4 +69,31 @@ class NumericsSpec extends SparkSpec {
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(out(2.0).contains(1.0) && out(9.0).isEmpty)
   }
+
+  test("akima: reproduces linear data; quadratic through quadratic knots") {
+    import graft.numerics.Numerics
+    // linear data: every (extended) secant equals the slope -> exact line
+    val lin = Seq.tabulate(6)(i => (1L, i.toDouble, 3.0 * i - 2)).toDF("g", "t", "v")
+    val probesL = Seq((1L, 0.5), (1L, 2.25), (1L, 4.9)).toDF("g", "t")
+    Numerics.interpAkima(lin, probesL, Seq("g"), "t", "v").collect().foreach { r =>
+      val t = r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - (3.0 * t - 2)) < 1e-12, s"t=$t")
+    }
+    // akima reproduces quadratics away from the boundary (classic property:
+    // the virtual-secant extension is exact for polynomials of degree <= 2)
+    val quad = Seq.tabulate(7)(i => (1L, i.toDouble, i * i * 1.0)).toDF("g", "t", "v")
+    val pq = Seq((1L, 2.5), (1L, 3.5)).toDF("g", "t")
+    Numerics.interpAkima(quad, pq, Seq("g"), "t", "v").collect().foreach { r =>
+      val t = r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - t * t) < 1e-9, s"t=$t got ${r.getDouble(2)}")
+    }
+    // n=2 falls back to linear; exact knot hit; no extrapolation
+    val two = Seq((1L, 0.0, 1.0), (1L, 2.0, 5.0)).toDF("g", "t", "v")
+    val out = Numerics.interpAkima(two,
+      Seq((1L, 1.0), (1L, 2.0), (1L, 3.0)).toDF("g", "t"), Seq("g"), "t", "v")
+      .collect().map(r => r.getDouble(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1.0).exists(v => math.abs(v - 3.0) < 1e-12))
+    assert(out(2.0).contains(5.0) && out(3.0).isEmpty)
+  }
 }
