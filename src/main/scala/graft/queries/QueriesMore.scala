@@ -346,6 +346,36 @@ object QueriesMore {
         (p, x) => p(0) + p(1) * x, p0 = Array(0.0, 1000.0), maxIter = 25)
     }),
 
+    // to_zarr-style chunked store roundtrip (ref `dataset.py:2204`,
+    // `backends/zarr.py:655`): write partitioned by the chunk key, region-
+    // overwrite one chunk (dynamic partition overwrite must leave the rest
+    // intact), read back with a chunk predicate (-> partition pruning).
+    "q97_store_roundtrip" -> ((s, dir) => {
+      val path = "/tmp/graft_store_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val src = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+      graft.io.Store.write(src, path, Seq("o_year"))
+      // region write: replace the 1996 chunk with itself; any leak of the
+      // old partitionOverwriteMode=static would truncate the other years
+      graft.io.Store.writeRegion(src.filter(col("o_year") === 1996),
+        path, Seq("o_year"))
+      graft.io.Store.open(s, path)
+        .filter(col("o_year") >= 1995 && col("o_year") <= 1996)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+    }),
+
+    // sortby(multi-key) + positional index (ref `dataset.py` sortby; isel
+    // positions): ordinals via the range-partitioned zipWithIndex scheme
+    // (no single-partition window at scale)
+    "q98_sortby_positions" -> ((s, dir) => {
+      val src = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      graft.model.Positions.zipWithIndex(src,
+        Seq(col("s_nationkey"), col("s_acctbal").desc, col("s_suppkey")),
+        "pos")
+    }),
+
     // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
     "q91_cumprod" -> ((s, dir) => {
       // (orderkey, linenumber) is NOT unique in this data; order by all
@@ -524,6 +554,16 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q97_store_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           year(o_orderdate) AS o_year
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1995 AND 1996""",
+    "q98_sortby_positions" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+           row_number() OVER (ORDER BY s_nationkey, s_acctbal DESC, s_suppkey)
+             - 1 AS pos
+         FROM supplier""",
     // Akima: extended-secant slopes mirrored per knot (virtuals at the
     // boundaries, data-dependent threshold = per-series window max),
     // then the same Hermite evaluation as pchip.

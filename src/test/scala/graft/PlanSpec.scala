@@ -41,4 +41,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window [") || p.contains("PartitionBy"),
       "rank must not use a global window")
   }
+
+  test("pchip/akima plans: windows are partitioned by the series key") {
+    for (q <- Seq("q93_interp_pchip", "q96_interp_akima")) {
+      val p = plan(q)
+      val winLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(winLines.nonEmpty, s"$q should use window slopes")
+      assert(winLines.forall(_.contains("user_id")),
+        s"$q has an unpartitioned window:\n${winLines.mkString("\n")}")
+    }
+  }
+
+  test("vocab top-k aggregates with a partial (map-side combine) stage") {
+    val p = plan("q94_vocab_topk")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final agg, got:\n${p.take(800)}")
+  }
+
+  test("IVF assignment broadcasts the centroid side") {
+    val p = plan("q54c_ivf_ann")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
