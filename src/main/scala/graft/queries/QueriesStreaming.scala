@@ -25,6 +25,20 @@ object QueriesStreaming {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    }),
+
+    // streaming exact dedup: per-user daily first-event stream. State is
+    // bounded by the watermark horizon (the 100 TB contract for streaming
+    // dedup: keys expire instead of accumulating forever); over the finite
+    // file source the result must equal the batch keep-first aggregation.
+    "q99_stream_dedup" -> ((s, dir) => {
+      val ev = StreamOps.eventsStream(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+      val agg = ev.withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("event_id")).as("first_event"),
+          count(lit(1)).as("n_events"))
+      StreamOps.runToCompletion(s, agg, s"stream_dedup_${System.nanoTime}")
     })
   )
 
@@ -39,6 +53,10 @@ object QueriesStreaming {
                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
                   event_type
            FROM events)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q99_stream_dedup" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+           min(event_id) AS first_event, count(*) AS n_events
+         FROM events GROUP BY 1, 2"""
   )
 }
