@@ -38,26 +38,34 @@ object QueriesLLM {
         .repartition(col("doc_id"))
       // one pass computes shingles + signatures; persist so the bucket
       // join, pair join, and both verify sides reuse it instead of
-      // re-running the hash projection per consumer
+      // re-running the hash projection per consumer. The verify arrays are
+      // 64-bit shingle ids, NOT strings: set sizes are identical w.h.p.
+      // (within-doc 64-bit collision ~1e-15) and the persist/shuffle/
+      // intersect all run over longs instead of text.
       val sig = all.withColumn("sh", Dedup.shingles(col("text"), 3))
-        .withColumn("sh_h", Dedup.hashShingles(col("sh")))   // materialize once
-        .withColumn("sig", Dedup.minhashFromHashes(col("sh_h"), 64))
-        .select("doc_id", "sh", "sig")
+        .withColumn("sh_x", transform(col("sh"), s => xxhash64(s)))
+        .withColumn("sig", Dedup.minhashFromHashes(
+          transform(col("sh_x"), h => pmod(h, lit(2147483647L))), 64))
+        .select("doc_id", "sh_x", "sig")
         .persist()
       val buckets = Dedup.lshBuckets(sig, "doc_id", "sig",
         bands = 16, rowsPerBand = 4)
       val pairs = Dedup.candidatePairs(buckets, "doc_id")
-      val out = Dedup.jaccardVerifyPre(pairs, sig.select("doc_id", "sh"),
+      val out = Dedup.jaccardVerifyPre(pairs,
+        sig.select(col("doc_id"), col("sh_x").as("sh")),
         "doc_id", threshold = 0.9)
       out
     }),
 
-    // n-gram Jaccard similarity within a blocking key (same source)
+    // n-gram Jaccard similarity within a blocking key (same source).
+    // Grams join as 64-bit hashes: the co-occurrence shuffle carries longs,
+    // not bigram strings (counts identical w.h.p., ~1e-15 collision).
     "q52_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).repartition(col("doc_id"))
       // consumed by sizes + both sides of the self-join: persist one pass
       val ng = docs.select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 2)).as("g")).persist()
+        explode(transform(Dedup.shingles(col("text"), 2),
+          g => xxhash64(g))).as("g")).persist()
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val co = ng.as("a").join(ng.as("b"),
         col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
