@@ -43,20 +43,21 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, component i from
-    * a seeded hash, mapped to ±1 (sign quantization is all LSH needs). */
-  private def planeSign(vecEl: Column, plane: Int, i: Column): Column = {
-    val h = xxhash64(i, lit(plane))
-    when(h.bitwiseAND(lit(1L)) === 0L, vecEl).otherwise(-vecEl)
+  /** Deterministic ±1 sign matrix for the seeded random hyperplanes —
+    * SHARED by the engine and the oracle generator, so the signature is
+    * reproducible across engines (it's just literal arithmetic). */
+  def rhpSigns(planes: Int, dim: Int, seed: Long = 0xC0FFEE): Array[Array[Int]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(if (rng.nextBoolean()) 1 else -1)
   }
 
-  /** Random-hyperplane signature: bit p = sign(v · r_p). Expression-only
-    * projection. */
-  def rhpSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => planeSign(x.cast("double"), p, i)),
+  /** Random-hyperplane signature: bit p = sign(v · r_p) with r_p a ±1
+    * literal vector. Expression-only projection; the left fold matches a
+    * DuckDB list_reduce bit-for-bit. */
+  def rhpSignature(vec: Column, signs: Array[Array[Int]]): Column =
+    signs.zipWithIndex.map { case (row, p) =>
+      val sCol = array(row.map(v => lit(v.toDouble)): _*)
+      val proj = aggregate(zip_with(vec, sCol, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -65,11 +66,12 @@ object Similarity {
     * buckets. Probing multiple buckets (multi-probe) would flip signature
     * bits; single-probe shown. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, id: String,
-              probeId: String, vec: String, planes: Int, k: Int): DataFrame = {
+              probeId: String, vec: String, signs: Array[Array[Int]],
+              k: Int): DataFrame = {
     val cs = corpus.select(col(id), col(vec).as("__cv"),
-      rhpSignature(col(vec), planes).as("__sig"))
+      rhpSignature(col(vec), signs).as("__sig"))
     val ps = probes.select(col(probeId), col(vec).as("__pv"),
-      rhpSignature(col(vec), planes).as("__sig"))
+      rhpSignature(col(vec), signs).as("__sig"))
     val scored = cs.join(ps, "__sig")
       .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
     val w = Window.partitionBy(col(probeId))

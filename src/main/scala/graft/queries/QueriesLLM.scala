@@ -11,6 +11,12 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * multimodal plumbing. */
 object QueriesLLM {
 
+  /** Seeded hyperplane signs for q54b — one source of truth for the engine
+    * expression AND the generated oracle SQL literal. */
+  private val rhpSignsM = Similarity.rhpSigns(planes = 8, dim = 64)
+  private val rhpSignsSql: String =
+    rhpSignsM.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   private val lexicons = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -104,13 +110,15 @@ object QueriesLLM {
         "embedding", k = 3)
     }),
 
-    // LSH-bucketed ANN (the scale path; rows-only — buckets use xxhash64)
+    // LSH-bucketed ANN (the scale path): 8 seeded ±1 hyperplanes bucket
+    // the corpus; probes score only their own bucket. Fully oracle-checked
+    // — the sign matrix is shared with the generated oracle SQL.
     "q54b_lsh_ann" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
       val probes = corpus.filter(col("vec_id") < 50)
         .select(col("vec_id").as("probe_id"), col("embedding"))
       Similarity.lshTopK(corpus, probes, "vec_id", "probe_id",
-        "embedding", planes = 8, k = 3)
+        "embedding", rhpSignsM, k = 3)
     }),
 
     // IVF ANN: coarse-quantize the corpus onto deterministic seed
@@ -271,6 +279,39 @@ object QueriesLLM {
            FROM all_e a JOIN all_e b
            ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, id_a, id_b, cosine FROM p WHERE cosine >= 0.99""",
+    // LSH ANN oracle: the ±1 sign matrix is inlined as a SQL literal; the
+    // projection fold and the bucket-restricted cosine top-k mirror the
+    // engine exactly (int * double literal signs, left folds).
+    "q54b_lsh_ann" ->
+      s"""WITH sigs AS (
+           SELECT e2.vec_id, e2.embedding,
+             sum(CASE WHEN list_reduce(list_transform(
+                 generate_series(1, 64),
+                 i -> CAST(e2.embedding[i] AS DOUBLE) * ($rhpSignsSql)[g.p + 1][i]),
+                 (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << g.p) ELSE 0 END) AS sig
+           FROM embeddings e2, (SELECT unnest(generate_series(0, 7)) AS p) g
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         cand AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM sigs c JOIN (SELECT * FROM sigs WHERE vec_id < 50) p
+           ON c.sig = p.sig)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dt / (nc.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM cand d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
     // IVF ANN oracle: same sequential-fold cosine for assignment (argmax
     // over the 8 seed centroids, ties -> min cell) and candidate scoring.
     "q54c_ivf_ann" ->
