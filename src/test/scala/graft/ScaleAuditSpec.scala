@@ -1,0 +1,73 @@
+package graft
+
+/** Whole-registry scale audit: every registered query's physical plan is
+  * scanned for the two patterns that break at 100 TB — a Window with no
+  * PARTITION BY (all rows to one task) and a cartesian/nested-loop join —
+  * and must either be clean or be on the explicit whitelist below, where
+  * each entry documents why the pattern is bounded (e.g. the input is a
+  * generated grid or an already-aggregated small frame).
+  */
+class ScaleAuditSpec extends SparkSpec {
+
+  // Unpartitioned windows allowed ONLY over provably-small inputs:
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "q39_date_range_infer" -> "window over a generated 37-row time grid",
+    "q30_coarsen" -> ("global position index over one coarsen axis; " +
+      "scale path documented as zipWithIndex (Positions)"),
+    "q03_isel_head" -> ("head() takes a global prefix by definition; " +
+      "TakeOrderedAndProject, not a window, does the work at scale"),
+    "q06_thin" -> ("thin() positional stride needs global ordinals; " +
+      "scale path = Positions.zipWithIndex"),
+    "q31_concat_newdim" -> "per-month ordinal over an aggregated 158-row frame",
+    "q65_tail" -> "tail() global suffix, same TakeOrdered contract as head",
+    "q67_pad" -> "pad attaches ordinals to a single padded series (bounded)",
+    "q68_roll" -> "roll shifts positions of one 100-row dimension axis",
+    "q74_argmax_pos" -> "positions within a 25-row aggregated slice",
+    "q82_mfopen_combine" -> "ordinal over 5 aggregated combine keys",
+    "q44_integrate" -> "trapezoid pairs over one bounded series per group key",
+    "q12_reindex_time" -> "generated daily grid (~2.4k rows) ordinal",
+    "q71_upsample_ffill" -> "generated upsample grid (~181 rows)",
+    "q15_combine_first" -> "generated daily grid union (bounded)",
+    "q45_interp_linear" -> "generated probe grid per series (bounded)",
+    "q83_interp_nearest" -> "generated probe grid per series (bounded)")
+
+  // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
+  private val allowCartesian: Map[String, String] = Map(
+    "q35_expand_dims" -> "broadcast of a literal new-dim axis (3 rows)",
+    "q54_cosine_topk" -> "explicit broadcast of the 5-probe side",
+    "q54c_ivf_ann" -> "explicit broadcast of the 8-centroid side",
+    "q78_cross" -> "3x3 literal axis product",
+    "q89_spline_cubic" -> "probe grid cross user list, both driver-bounded",
+    "q93_interp_pchip" -> "probe grid cross user list, both driver-bounded",
+    "q96_interp_akima" -> "probe grid cross user list, both driver-bounded",
+    "q82_mfopen_combine" -> "5-row combine keys",
+    "q39_date_range_infer" -> "generated grid only",
+    "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
+    "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded")
+
+  test("no unpartitioned Window or cartesian join outside the whitelist") {
+    val skip = Set("q63_stream_resample", "q99_stream_dedup") // memory-table results
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !skip.contains(name)) {
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN-ERROR ${e.getMessage}" }
+      val globalWin = plan.linesIterator.exists(l =>
+        l.contains("Window [") && !l.contains("windowspecdefinition") ||
+          l.matches(""".*Window \[.*\], \[.*\]$""") && false) ||
+        // physical WindowExec prints "Window [exprs], [partSpec], [order]";
+        // an empty partition spec shows as ", [], ["
+        plan.linesIterator.exists(l =>
+          (l.trim.startsWith("Window ") || l.contains("+- Window ")) &&
+            l.contains("], [], ["))
+      val cartesian = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (globalWin && !allowGlobalWindow.contains(name))
+        bad += s"$name: unpartitioned window"
+      if (cartesian && !allowCartesian.contains(name))
+        bad += s"$name: cartesian/nested-loop join"
+    }
+    assert(bad.isEmpty, "scale audit failures:\n" + bad.mkString("\n"))
+  }
+}
