@@ -336,8 +336,11 @@ object QueriesMore {
         by = Seq("user_id"), t = "t", v = "value")
     }),
 
-    // curvefit (ref `fit.py:311`): per-group nonlinear least squares.
-    // Rows-only: LM convergence pinned by NumericsSpec.
+    // curvefit (ref `fit.py:311`): per-group nonlinear least squares via
+    // Levenberg-Marquardt. Rows-only BY DESIGN: LM's float-sum moment
+    // accumulation bounds parameter agreement with a closed-form oracle
+    // at ~1e-3 (tested), so any useful rounding quantum collides with
+    // rounding boundaries; convergence is pinned by NumericsSpec instead.
     "q90_curvefit" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_quantity").as("x"),
