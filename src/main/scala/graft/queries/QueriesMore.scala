@@ -379,6 +379,42 @@ object QueriesMore {
         "pos")
     }),
 
+    // align(join="override"): keep the LEFT labels, take the RIGHT values
+    // positionally (ref `alignment.py` override mode) — zip on range-
+    // partitioned ordinals, no global window
+    "q100_align_override" -> ((s, dir) => {
+      import graft.model.XDataset
+      val a = XDataset(Tables.nation(s, dir)
+        .select("n_nationkey", "n_name"), Seq("n_nationkey"))
+      val b = XDataset(Tables.supplier(s, dir)
+        .orderBy("s_suppkey").limit(25)
+        .select(col("s_suppkey").as("n_nationkey"), col("s_acctbal")),
+        Seq("n_nationkey"))
+      graft.align.Align.overrideAlign(a, b, "n_nationkey")
+    }),
+
+    // where(cond, drop=True) (ref `common.py:1497`): filter instead of
+    // NULL-mask; the LawsSpec equivalence (mask+dropna == drop) pins the
+    // pair, this pins the values
+    "q101_where_drop" -> ((s, dir) => {
+      import graft.model.XDataset
+      XDataset(Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value"), Seq("event_id"))
+        .whereDrop(col("value").isNotNull && col("event_type") =!= "error")
+        .df
+    }),
+
+    // combine_nested (ref `structure/combine.py:356`): fold of unions
+    // along an existing dim — split a year of orders into quarters,
+    // combine back, must equal the plain selection
+    "q102_combine_nested" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val parts = (1 to 4).map(q => base.filter(quarter(col("o_orderdate")) === q))
+      graft.reshape.Reshape.concatExisting(parts)
+    }),
+
     // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
     "q91_cumprod" -> ((s, dir) => {
       // (orderkey, linenumber) is NOT unique in this data; order by all
@@ -557,6 +593,19 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q100_align_override" ->
+      """SELECT a.n_nationkey, a.n_name, b.s_acctbal
+         FROM (SELECT n_nationkey, n_name,
+                 row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation) a
+         JOIN (SELECT s_acctbal, row_number() OVER (ORDER BY s_suppkey) AS rn
+               FROM (SELECT * FROM supplier ORDER BY s_suppkey LIMIT 25)) b
+         USING (rn)""",
+    "q101_where_drop" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE value IS NOT NULL AND event_type <> 'error'""",
+    "q102_combine_nested" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         WHERE year(o_orderdate) = 1995""",
     "q97_store_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
            year(o_orderdate) AS o_year
