@@ -415,6 +415,23 @@ object QueriesMore {
       graft.reshape.Reshape.concatExisting(parts)
     }),
 
+    // resample with non-standard origin + closed='right', label='right'
+    // (ref `groupers.py:474` TimeResampler origin/offset/closed): bucket i
+    // satisfies t in (origin+(i-1)D, origin+iD]; i = floor((t-origin-1)/D)+1
+    // computed integer-exactly via pmod (origin predates the data, so the
+    // numerator is positive and the exact-multiple/D division is lossless)
+    "q103_resample_origin" -> ((s, dir) => {
+      val oUs = 1704056400000000L // 2023-12-31T21:00:00Z
+      val dUs = 21600000000L      // 6 hours
+      val ev = Tables.events(s, dir)
+        .withColumn("__x", unix_micros(col("ts")) - lit(oUs) - 1)
+        .withColumn("__i",
+          ((col("__x") - pmod(col("__x"), lit(dUs))) / lit(dUs)).cast("long") + 1)
+      ev.groupBy(timestamp_micros(lit(oUs) + col("__i") * lit(dUs)).as("w_end"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("v"))
+    }),
+
     // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
     "q91_cumprod" -> ((s, dir) => {
       // (orderkey, linenumber) is NOT unique in this data; order by all
@@ -593,6 +610,16 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q103_resample_origin" ->
+      """SELECT make_timestamp(1704056400000000 +
+           (CAST((x - (x % 21600000000)) / 21600000000 AS BIGINT) + 1)
+           * 21600000000) AS w_end,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         FROM (SELECT value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) - 1704056400000000 - 1 AS x
+               FROM events)
+         GROUP BY 1""",
     "q100_align_override" ->
       """SELECT a.n_nationkey, a.n_name, b.s_acctbal
          FROM (SELECT n_nationkey, n_name,
