@@ -432,6 +432,22 @@ object QueriesMore {
           sum(col("value").cast(DecimalType(30, 6))).cast("double").as("v"))
     }),
 
+    // rolling median + rolling idxmax (ref `computation/rolling.py:56`
+    // reductions median/argmin/argmax): exact percentile and max_by as
+    // window aggregates over the trailing frame. Spark's lerp-median
+    // a+(b-a)/2 and DuckDB's (a+b)/2 differ by <=1 ulp -> round(6) both.
+    "q104_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("roll_med"),
+        // idxmax with deterministic tie-break: max over (value, id) structs,
+        // NULL values excluded on both engines by the conditional struct
+        max(when(col("value").isNotNull, struct(col("value"), col("event_id"))))
+          .over(w).getField("event_id").as("roll_idxmax"))
+    }),
+
     // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
     "q91_cumprod" -> ((s, dir) => {
       // (orderkey, linenumber) is NOT unique in this data; order by all
@@ -610,6 +626,15 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q104_rolling_median" ->
+      """SELECT event_id, user_id,
+         round(median(value) OVER w, 6) AS roll_med,
+         (max(CASE WHEN value IS NOT NULL
+                   THEN {'v': value, 'i': event_id} END) OVER w).i
+           AS roll_idxmax
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "q103_resample_origin" ->
       """SELECT make_timestamp(1704056400000000 +
            (CAST((x - (x % 21600000000)) / 21600000000 AS BIGINT) + 1)
