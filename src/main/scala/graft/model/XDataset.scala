@@ -107,6 +107,15 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
     }
     withDf(df.filter(keep))
   }
+
+  /** dropna(thresh=n): keep rows with at least `thresh` non-null vars
+    * (ref `dataset.py:6355`). */
+  def dropnaThresh(thresh: Int, vars: Seq[String] = Nil): XDataset = {
+    val vs = if (vars.nonEmpty) vars else dataVars
+    val nonNull = vs.map(v => when(col(v).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    withDf(df.filter(nonNull >= thresh))
+  }
   def fillna(value: Any, vars: Seq[String] = Nil): XDataset = {
     val vs = if (vars.nonEmpty) vars else dataVars
     withDf(vs.foldLeft(df)((d, v) => d.withColumn(v, coalesce(col(v), lit(value)))))

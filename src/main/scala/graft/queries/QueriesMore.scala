@@ -448,6 +448,21 @@ object QueriesMore {
           .over(w).getField("event_id").as("roll_idxmax"))
     }),
 
+    // dropna(thresh=2) on a 3-variable dataset (ref `dataset.py:6355`):
+    // pivot events into per-(user, day) click/view/purchase means, keep
+    // rows where at least 2 of the 3 vars are present
+    "q105_dropna_thresh" -> ((s, dir) => {
+      import graft.model.XDataset
+      def m(t: String) =
+        XDataset.exactAvg(when(col("event_type") === t, col("value")), 6)
+      val wide = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(m("click").as("v_click"), m("view").as("v_view"),
+          m("purchase").as("v_purchase"))
+      XDataset(wide, Seq("user_id", "day"))
+        .dropnaThresh(2, Seq("v_click", "v_view", "v_purchase")).df
+    }),
+
     // cumprod via decimal log-sum window (ref `_aggregations.py` cumprod)
     "q91_cumprod" -> ((s, dir) => {
       // (orderkey, linenumber) is NOT unique in this data; order by all
@@ -626,6 +641,22 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q105_dropna_thresh" ->
+      """SELECT * FROM (
+           SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+               AS DECIMAL(30,6))) AS DOUBLE)
+               / count(CASE WHEN event_type = 'click' THEN value END) AS v_click,
+             CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+               AS DECIMAL(30,6))) AS DOUBLE)
+               / count(CASE WHEN event_type = 'view' THEN value END) AS v_view,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+               AS DECIMAL(30,6))) AS DOUBLE)
+               / count(CASE WHEN event_type = 'purchase' THEN value END) AS v_purchase
+           FROM events GROUP BY 1, 2)
+         WHERE (CASE WHEN v_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN v_view IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN v_purchase IS NOT NULL THEN 1 ELSE 0 END) >= 2""",
     "q104_rolling_median" ->
       """SELECT event_id, user_id,
          round(median(value) OVER w, 6) AS roll_med,
