@@ -81,6 +81,40 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("cosine"))
   }
 
+  /** Multi-probe LSH ANN: each probe searches its own bucket AND the
+    * `planes` buckets at Hamming distance 1 (one flipped sign bit) — the
+    * standard recall/cost knob: candidates grow ~(planes+1)x while the
+    * corpus is still touched only via the bucket join, never scanned per
+    * probe. */
+  def lshTopKMultiProbe(corpus: DataFrame, probes: DataFrame, id: String,
+                        probeId: String, vec: String,
+                        signs: Array[Array[Int]], k: Int): DataFrame = {
+    val planes = signs.length
+    val cs = corpus.select(col(id), col(vec).as("__cv"),
+      rhpSignature(col(vec), signs).as("__sig"))
+    // materialize the signature ONCE before fanning into 1+planes probes
+    // (a Column val substituted into each variant would recompute the
+    // projection fold per variant)
+    val ps = probes
+      .select(col(probeId), col(vec).as("__pv"),
+        rhpSignature(col(vec), signs).as("__sig0"))
+      .select(col(probeId), col("__pv"),
+        explode(array((lit(0L) +: (0 until planes).map(p =>
+          shiftleft(lit(1L), p))).map(m =>
+          col("__sig0").bitwiseXOR(m)): _*)).as("__sig"))
+    val scored = cs.join(ps, "__sig")
+      // one candidate may arrive via several probed buckets: dedupe before
+      // ranking so row_number sees each (probe, candidate) pair once
+      .select(col(probeId), col(id), col("__cv"), col("__pv"))
+      .dropDuplicates(probeId, id)
+      .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("cosine"))
+  }
+
   /** IVF-style coarse index: centroid per cell (provided), assign corpus
     * rows to nearest centroid once, probe only the nearest `nprobe` cells. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,

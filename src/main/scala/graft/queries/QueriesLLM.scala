@@ -121,6 +121,16 @@ object QueriesLLM {
         "embedding", rhpSignsM, k = 3)
     }),
 
+    // multi-probe LSH ANN: probe the home bucket + all 8 distance-1
+    // buckets — near-exact recall at (planes+1)x candidate cost
+    "q54d_lsh_multiprobe" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.lshTopKMultiProbe(corpus, probes, "vec_id", "probe_id",
+        "embedding", rhpSignsM, k = 3)
+    }),
+
     // IVF ANN: coarse-quantize the corpus onto deterministic seed
     // centroids (vec_id < 8), then probe only the probe's own cell
     // (nprobe=1). Fully oracle-checkable: assignment and scoring both use
@@ -310,6 +320,47 @@ object QueriesLLM {
              row_number() OVER (PARTITION BY d.probe_id
                ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
            FROM cand d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
+    // multi-probe oracle: same sig CTE; probes join on sig XOR each of
+    // the 9 masks (0 plus one bit per plane)
+    "q54d_lsh_multiprobe" ->
+      s"""WITH sigs AS (
+           SELECT e2.vec_id, e2.embedding,
+             sum(CASE WHEN list_reduce(list_transform(
+                 generate_series(1, 64),
+                 i -> CAST(e2.embedding[i] AS DOUBLE) * ($rhpSignsSql)[g.p + 1][i]),
+                 (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << g.p) ELSE 0 END) AS sig
+           FROM embeddings e2, (SELECT unnest(generate_series(0, 7)) AS p) g
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         pv AS (
+           SELECT p.vec_id AS probe_id, p.embedding,
+             xor(p.sig, m.mask) AS sig
+           FROM (SELECT * FROM sigs WHERE vec_id < 50) p,
+           (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask) m),
+         cand AS (
+           SELECT DISTINCT pv.probe_id, c.vec_id
+           FROM sigs c JOIN pv ON c.sig = pv.sig),
+         sc AS (
+           SELECT ca.probe_id, ca.vec_id,
+             list_reduce(list_transform(generate_series(1, len(ve.embedding)),
+               i -> CAST(ve.embedding[i] AS DOUBLE) * CAST(pe.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM cand ca
+           JOIN embeddings ve ON ve.vec_id = ca.vec_id
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dt / (nc.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM sc d JOIN norms nc ON d.vec_id = nc.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
     // IVF ANN oracle: same sequential-fold cosine for assignment (argmax
