@@ -45,6 +45,17 @@ object QueriesMore {
           "s_acctbal_reflect", "s_acctbal_wrap")
     }),
 
+    // pad stat/ramp modes (ref `dataset.py:9054`; numpy maximum/minimum/
+    // mean/linear_ramp) — completes the 4 structural modes of q67
+    "q106_pad_stat" -> ((s, dir) => {
+      val base = Positions.zipWithIndex(
+        Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
+        Seq(col("s_suppkey")), "pos")
+      val n = base.count()
+      Pad.padStat(base.select("pos", "s_acctbal"), "pos", "s_acctbal", n,
+        before = 3, after = 3)
+    }),
+
     // roll: circular shift (ref `dataset.py:8038`)
     "q68_roll" -> ((s, dir) => {
       val base = Positions.zipWithIndex(
@@ -641,6 +652,27 @@ object QueriesMore {
          l_extendedprice * (1 - l_discount) AS disc_price,
          l_quantity > 25 AND l_discount < 0.05 AS flag
          FROM lineitem""",
+    "q106_pad_stat" ->
+      """WITH s AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS pos,
+                    s_acctbal AS v FROM supplier),
+         mx AS (SELECT max(pos) AS mp FROM s),
+         st AS (SELECT max(v) AS vmax, min(v) AS vmin,
+                  CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS vmean,
+                  max(CASE WHEN pos = 0 THEN v END) AS vfirst,
+                  max(CASE WHEN pos = (SELECT mp FROM mx) THEN v END) AS vlast
+                FROM s),
+         g AS (SELECT unnest(generate_series(-3, (SELECT mp FROM mx) + 3)) AS pos)
+         SELECT g.pos,
+           coalesce(s.v, st.vmax) AS s_acctbal_maximum,
+           coalesce(s.v, st.vmin) AS s_acctbal_minimum,
+           coalesce(s.v, st.vmean) AS s_acctbal_mean,
+           CASE WHEN g.pos < 0
+                  THEN st.vfirst * ((3 + g.pos) / CAST(3 AS DOUBLE))
+                WHEN g.pos > (SELECT mp FROM mx)
+                  THEN st.vlast * ((3 - (g.pos - (SELECT mp FROM mx)))
+                                   / CAST(3 AS DOUBLE))
+                ELSE s.v END AS s_acctbal_linear_ramp
+         FROM g LEFT JOIN s ON s.pos = g.pos CROSS JOIN st""",
     "q105_dropna_thresh" ->
       """SELECT * FROM (
            SELECT user_id, date_trunc('day', ts) AS day,

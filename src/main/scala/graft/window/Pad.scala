@@ -48,6 +48,40 @@ object Pad {
     filled
   }
 
+  /** Stat / ramp pad modes (numpy maximum / minimum / mean / linear_ramp
+    * with end_value=0; stat length = whole series, the numpy default).
+    * The series stats aggregate ONCE (decimal-exact mean) and broadcast
+    * into the generated pad rows — still no window over the data. */
+  def padStat(df: DataFrame, pos: String, valueCol: String, n: Long,
+              before: Int, after: Int, meanScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val grid = spark.range(-before.toLong, n + after).toDF(pos)
+    val p = col(pos)
+    val v = col(valueCol)
+    val stats = df.agg(
+      max(v).as("__max"), min(v).as("__min"),
+      (sum(v.cast(DecimalType(30, meanScale))).cast("double") / count(v))
+        .as("__mean"),
+      max(when(col(pos) === 0, v)).as("__first"),
+      max(when(col(pos) === n - 1, v)).as("__last"))
+    val joined = grid
+      .join(df.select(col(pos), v), Seq(pos), "left")
+      .crossJoin(broadcast(stats))
+    val ramp =
+      when(p < 0,
+        col("__first") * ((lit(before.toDouble) + p) / lit(before.toDouble)))
+        .when(p > n - 1,
+          col("__last") * ((lit(after.toDouble) - (p - lit(n - 1)))
+            / lit(after.toDouble)))
+        .otherwise(v)
+    joined.select(p,
+      coalesce(v, col("__max")).as(s"${valueCol}_maximum"),
+      coalesce(v, col("__min")).as(s"${valueCol}_minimum"),
+      coalesce(v, col("__mean")).as(s"${valueCol}_mean"),
+      ramp.as(s"${valueCol}_linear_ramp"))
+  }
+
   /** roll: circular shift of values by `shift` along pos (ref
     * `dataset.py:8038`): value at pos comes from (pos - shift) mod n. */
   def roll(df: DataFrame, pos: String, valueCol: String, n: Long,
