@@ -43,7 +43,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q82_mfopen_combine" -> "5-row combine keys",
     "q39_date_range_infer" -> "generated grid only",
     "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
-    "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded")
+    "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded",
+    "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate")
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup") // memory-table results
