@@ -242,7 +242,19 @@ object Numerics {
     * the Akima weighted form (f1*m1 + f2*m2)/f12 applies. Series with
     * n < 3 knots fall back to the secant (linear). */
   def interpAkima(series: DataFrame, probes: DataFrame, by: Seq[String],
-                  t: String, v: String): DataFrame = {
+                  t: String, v: String): DataFrame =
+    interpAkimaLike(series, probes, by, t, v, makima = false, "v_akima")
+
+  /** interp(method="makima"): the modified-Akima weights
+    * w1 = |m3-m2| + |(m3+m2)/2|, w2 = |m1-m0| + |(m1+m0)/2| — no
+    * data-dependent epsilon; both-secants-zero degenerates to slope 0. */
+  def interpMakima(series: DataFrame, probes: DataFrame, by: Seq[String],
+                   t: String, v: String): DataFrame =
+    interpAkimaLike(series, probes, by, t, v, makima = true, "v_makima")
+
+  private def interpAkimaLike(series: DataFrame, probes: DataFrame,
+                              by: Seq[String], t: String, v: String,
+                              makima: Boolean, outName: String): DataFrame = {
     val isTs = series.schema(t).dataType ==
       org.apache.spark.sql.types.TimestampType
     def toD(c: Column): Column =
@@ -274,16 +286,32 @@ object Numerics {
         when(col("__smm").isNotNull, col("__smm"))
           .when(col("__sm").isNotNull, lit(2.0) * col("__sm") - col("__sp"))
           .otherwise(lit(2.0) * col("__M1") - col("__sp")))
-      .withColumn("__f1", abs(col("__M3") - col("__M2")))
-      .withColumn("__f2", abs(col("__M1") - col("__M0")))
+      .withColumn("__f1",
+        if (makima)
+          abs(col("__M3") - col("__M2")) +
+            abs((col("__M3") + col("__M2")) / lit(2.0))
+        else abs(col("__M3") - col("__M2")))
+      .withColumn("__f2",
+        if (makima)
+          abs(col("__M1") - col("__M0")) +
+            abs((col("__M1") + col("__M0")) / lit(2.0))
+        else abs(col("__M1") - col("__M0")))
       .withColumn("__f12", col("__f1") + col("__f2"))
       .withColumn("__f12max", max(col("__f12")).over(wAll))
+    // akima uses scipy's data-dependent epsilon; makima has none (a zero
+    // weight sum only happens when all four secants vanish -> slope 0)
+    val weighted =
+      (col("__f1") * col("__M1") + col("__f2") * col("__M2")) / col("__f12")
     val slope =
-      when(col("__n") < 3, coalesce(col("__sp"), col("__sm"), lit(0.0)))
-        .when(col("__f12") > lit(1e-9) * col("__f12max"),
-          (col("__f1") * col("__M1") + col("__f2") * col("__M2")) / col("__f12"))
-        .otherwise(lit(0.5) * (col("__M3") + col("__M0")))
-    hermiteEval(kn.withColumn("__d", slope), probes, by, t, w, toD, "v_akima")
+      if (makima)
+        when(col("__n") < 3, coalesce(col("__sp"), col("__sm"), lit(0.0)))
+          .when(col("__f12") === 0, lit(0.0))
+          .otherwise(weighted)
+      else
+        when(col("__n") < 3, coalesce(col("__sp"), col("__sm"), lit(0.0)))
+          .when(col("__f12") > lit(1e-9) * col("__f12max"), weighted)
+          .otherwise(lit(0.5) * (col("__M3") + col("__M0")))
+    hermiteEval(kn.withColumn("__d", slope), probes, by, t, w, toD, outName)
   }
 
   /** Degree-2 polyfit per group, closed-form normal equations over exact

@@ -347,6 +347,20 @@ object QueriesMore {
         by = Seq("user_id"), t = "t", v = "value")
     }),
 
+    // interp(method="makima"): modified-Akima weights (no epsilon)
+    "q107_interp_makima" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      val probes = series.select("user_id").distinct()
+        .crossJoin(grid.select(unix_micros(col("ts")).as("t")))
+      graft.numerics.Numerics.interpMakima(series, probes,
+        by = Seq("user_id"), t = "t", v = "value")
+    }),
+
     // curvefit (ref `fit.py:311`): per-group nonlinear least squares via
     // Levenberg-Marquardt. Rows-only BY DESIGN: LM's float-sum moment
     // accumulation bounds parameter agreement with a closed-form oracle
@@ -731,6 +745,81 @@ object QueriesMore {
            row_number() OVER (ORDER BY s_nationkey, s_acctbal DESC, s_suppkey)
              - 1 AS pos
          FROM supplier""",
+    // makima: same extended-secant scaffolding as akima, with the
+    // modified weights |d|+|avg| and no epsilon case
+    "q107_interp_makima" ->
+      """WITH kn0 AS (
+           SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         n1 AS (
+           SELECT user_id, t, y,
+             lead(t) OVER w AS tp, lead(y) OVER w AS yp,
+             (lead(y) OVER w - y) / (lead(t) OVER w - t) AS sp,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM kn0 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         n2 AS (
+           SELECT *, lag(sp) OVER w AS sm, lead(sp) OVER w AS spp,
+             lag(sp, 2) OVER w AS smm
+           FROM n1 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         n3 AS (
+           SELECT *,
+             CASE WHEN sp IS NOT NULL THEN sp ELSE 2 * sm - smm END AS m2,
+             CASE WHEN sm IS NOT NULL THEN sm ELSE 2 * sp - spp END AS m1
+           FROM n2),
+         n4 AS (
+           SELECT *,
+             CASE WHEN spp IS NOT NULL THEN spp
+                  WHEN sp IS NOT NULL THEN 2 * sp - sm
+                  ELSE 2 * m2 - sm END AS m3,
+             CASE WHEN smm IS NOT NULL THEN smm
+                  WHEN sm IS NOT NULL THEN 2 * sm - sp
+                  ELSE 2 * m1 - sp END AS m0
+           FROM n3),
+         n5 AS (
+           SELECT *,
+             abs(m3 - m2) + abs((m3 + m2) / CAST(2 AS DOUBLE)) AS f1,
+             abs(m1 - m0) + abs((m1 + m0) / CAST(2 AS DOUBLE)) AS f2,
+             (abs(m3 - m2) + abs((m3 + m2) / CAST(2 AS DOUBLE)))
+               + (abs(m1 - m0) + abs((m1 + m0) / CAST(2 AS DOUBLE))) AS f12
+           FROM n4),
+         sl AS (
+           SELECT user_id, t, y, tp, yp,
+             CASE WHEN n < 3 THEN coalesce(sp, sm, CAST(0 AS DOUBLE))
+                  WHEN f12 = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (f1 * m1 + f2 * m2) / f12 END AS d
+           FROM n5),
+         kn2 AS (
+           SELECT user_id, t AS t0, y AS y0, d AS d0,
+             tp AS t1, yp AS y1, lead(d) OVER w AS d1
+           FROM sl WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         probes AS (
+           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS tq
+           FROM (SELECT DISTINCT user_id FROM kn0) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         m AS (
+           SELECT p.user_id, p.tq, k.t0, k.y0, k.d0, k.t1, k.y1, k.d1
+           FROM probes p ASOF LEFT JOIN kn2 k
+           ON p.user_id = k.user_id AND p.tq >= k.t0)
+         SELECT user_id, tq AS t_probe,
+           CASE WHEN t0 IS NULL THEN NULL
+                WHEN tq = t0 THEN y0
+                WHEN t1 IS NULL THEN NULL
+                ELSE y0 * ((1 + 2 * ((tq - t0) / (t1 - t0)))
+                           * ((1 - (tq - t0) / (t1 - t0))
+                              * (1 - (tq - t0) / (t1 - t0))))
+                   + ((t1 - t0) * d0) * (((tq - t0) / (t1 - t0))
+                           * ((1 - (tq - t0) / (t1 - t0))
+                              * (1 - (tq - t0) / (t1 - t0))))
+                   + y1 * ((((tq - t0) / (t1 - t0)) * ((tq - t0) / (t1 - t0)))
+                           * (3 - 2 * ((tq - t0) / (t1 - t0))))
+                   + ((t1 - t0) * d1) * ((((tq - t0) / (t1 - t0))
+                              * ((tq - t0) / (t1 - t0)))
+                           * (((tq - t0) / (t1 - t0)) - 1))
+           END AS v_makima
+         FROM m""",
     // Akima: extended-secant slopes mirrored per knot (virtuals at the
     // boundaries, data-dependent threshold = per-series window max),
     // then the same Hermite evaluation as pchip.

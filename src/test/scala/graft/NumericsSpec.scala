@@ -95,5 +95,14 @@ class NumericsSpec extends SparkSpec {
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(out(1.0).exists(v => math.abs(v - 3.0) < 1e-12))
     assert(out(2.0).contains(5.0) && out(3.0).isEmpty)
+    // makima also reproduces linear data; flat data gives flat output
+    val lin2 = Seq.tabulate(6)(i => (1L, i.toDouble, 3.0 * i - 2)).toDF("g", "t", "v")
+    Numerics.interpMakima(lin2, Seq((1L, 2.25)).toDF("g", "t"),
+      Seq("g"), "t", "v").collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - (3.0 * 2.25 - 2)) < 1e-12) }
+    val flat = Seq.tabulate(5)(i => (1L, i.toDouble, 7.0)).toDF("g", "t", "v")
+    Numerics.interpMakima(flat, Seq((1L, 1.5)).toDF("g", "t"),
+      Seq("g"), "t", "v").collect().foreach { r =>
+      assert(r.getDouble(2) === 7.0) }  // f12=0 branch: slope 0, constant
   }
 }

@@ -40,6 +40,7 @@ class ScaleAuditSpec extends SparkSpec {
     "q89_spline_cubic" -> "probe grid cross user list, both driver-bounded",
     "q93_interp_pchip" -> "probe grid cross user list, both driver-bounded",
     "q96_interp_akima" -> "probe grid cross user list, both driver-bounded",
+    "q107_interp_makima" -> "probe grid cross user list, both driver-bounded",
     "q82_mfopen_combine" -> "5-row combine keys",
     "q39_date_range_infer" -> "generated grid only",
     "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
