@@ -21,6 +21,39 @@ object Ewm {
     * y_t = Σ (1-α)^(t-i) x_i / Σ (1-α)^(t-i). NULLs are skipped (weights
     * not advanced past NULLs — matching `ignore_na=False` semantics where
     * relative positions still decay). Emits (id, ewm). */
+  /** EWM sum per group (ref `rolling_exp.py` RollingExp.sum):
+    * s_t = (1-α)·s_{t-1} + x_t; NULLs contribute nothing but still decay
+    * the state (same ignore_na=False positioning as the mean). */
+  def ewmSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+             valueCol: String, idCol: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ valueCol :+ idCol).distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm_sum", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var acc = 0.0; var seen = false
+      val decay = 1.0 - alpha
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; acc = 0.0; seen = false }
+        acc *= decay
+        val out: Any =
+          if (r.isNullAt(vIdx)) { if (seen) acc else null }
+          else { acc += r.getDouble(vIdx); seen = true; acc }
+        Row(r.get(iIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
               valueCol: String, idCol: String, alpha: Double): DataFrame = {
     val spark = df.sparkSession

@@ -50,6 +50,15 @@ object QueriesUdf {
         .withColumnRenamed("id", "event_id")
     }),
 
+    // EWM sum (ref `rolling_exp.py` RollingExp.sum) — same per-group scan,
+    // simpler recurrence (no normalizer); same recursive-CTE oracle shape
+    "q61b_ewm_sum" -> ((s, dir) => {
+      Ewm.ewmSum(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3)
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // exact H&F quantiles, methods beyond Spark's builtin linear
     // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
     "q62_quantile_hf" -> ((s, dir) => {
@@ -98,6 +107,29 @@ object QueriesUdf {
                          / (r.den * CAST(0.7 AS DOUBLE) + 1) END
            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
          SELECT event_id, ewm FROM r""",
+    "q61b_ewm_sum" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(coalesce(value, 0) AS DOUBLE) AS acc,
+                  CASE WHEN value IS NULL THEN 0 ELSE 1 END AS seen,
+                  CAST(value AS DOUBLE) AS ewm_sum
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN s.value IS NULL THEN r.acc * CAST(0.7 AS DOUBLE)
+                       ELSE r.acc * CAST(0.7 AS DOUBLE) + s.value END,
+                  CASE WHEN s.value IS NULL THEN r.seen ELSE 1 END,
+                  CASE WHEN s.value IS NULL THEN
+                      CASE WHEN r.seen = 1
+                           THEN r.acc * CAST(0.7 AS DOUBLE) END
+                    ELSE r.acc * CAST(0.7 AS DOUBLE) + s.value END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, ewm_sum FROM r""",
     "q60_apply_ufunc_zscore" ->
       """SELECT event_id, (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN (
