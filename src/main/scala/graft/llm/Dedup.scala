@@ -29,6 +29,12 @@ object Dedup {
       .groupBy("content_key")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Distinct hashed word k-shingles in one native pass (compiled loop;
+    * byte-identical hashes to `transform(shingles(text,k), xxhash64)`). */
+  def shingleIds(text: Column, k: Int): Column =
+    graft.exprs.ShingleExprs.shingleHashes(
+      TextAnalysis.tokens(lower(text)), k)
+
   /** Word k-shingles of a document. */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextAnalysis.tokens(lower(text))

@@ -48,8 +48,7 @@ object QueriesLLM {
       // 64-bit shingle ids, NOT strings: set sizes are identical w.h.p.
       // (within-doc 64-bit collision ~1e-15) and the persist/shuffle/
       // intersect all run over longs instead of text.
-      val sig = all.withColumn("sh", Dedup.shingles(col("text"), 3))
-        .withColumn("sh_x", transform(col("sh"), s => xxhash64(s)))
+      val sig = all.withColumn("sh_x", Dedup.shingleIds(col("text"), 3))
         .withColumn("sig", Dedup.minhashFromHashes(
           transform(col("sh_x"), h => pmod(h, lit(2147483647L))), 64))
         .select("doc_id", "sh_x", "sig")
@@ -70,8 +69,7 @@ object QueriesLLM {
       val docs = Tables.documents(s, dir).repartition(col("doc_id"))
       // consumed by sizes + both sides of the self-join: persist one pass
       val ng = docs.select(col("doc_id"), col("source"),
-        explode(transform(Dedup.shingles(col("text"), 2),
-          g => xxhash64(g))).as("g")).persist()
+        explode(Dedup.shingleIds(col("text"), 2)).as("g")).persist()
       val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val co = ng.as("a").join(ng.as("b"),
         col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
