@@ -22,9 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT, codegen, parquet footer caches
-    try SparkEntry.queries("q01_agg_partial")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // warmup: JIT, codegen, parquet footer caches — one cheap query per
+    // table family so no measured query pays the cold first scan
+    for (q <- Seq("q01_agg_partial",   // lineitem
+                  "q57_fingerprint",   // documents
+                  "q54_cosine_topk",   // embeddings
+                  "q28_shift_diff",    // events
+                  "q38_scalar_ops"))   // customer
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
