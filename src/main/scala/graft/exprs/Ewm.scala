@@ -54,6 +54,50 @@ object Ewm {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EWM variance per group (pandas `ewm.var(bias=False)` semantics,
+    * adjust=true): with weights w_i = (1-α)^lag the four accumulators
+    * A=Σw, B=Σw², S1=Σw·x, S2=Σw·x² decay each step (B by (1-α)²) and
+    * the unbiased variance is (S2/A − (S1/A)²) · A²/(A²−B). NULL rows
+    * decay the state without contributing; rows with fewer than two
+    * observations emit NULL (denominator A²−B is 0 at one point). */
+  def ewmVar(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+             valueCol: String, idCol: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ valueCol :+ idCol).distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm_var", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var a = 0.0; var b = 0.0; var s1 = 0.0; var s2 = 0.0; var cnt = 0L
+      val decay = 1.0 - alpha
+      val decay2 = decay * decay
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; a = 0.0; b = 0.0; s1 = 0.0; s2 = 0.0; cnt = 0L }
+        a *= decay; b *= decay2; s1 *= decay; s2 *= decay
+        if (!r.isNullAt(vIdx)) {
+          val x = r.getDouble(vIdx)
+          a += 1.0; b += 1.0; s1 += x; s2 += x * x; cnt += 1
+        }
+        val out: Any =
+          if (cnt < 2) null
+          else {
+            val m = s1 / a
+            (s2 / a - m * m) * ((a * a) / (a * a - b))
+          }
+        Row(r.get(iIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
               valueCol: String, idCol: String, alpha: Double): DataFrame = {
     val spark = df.sparkSession

@@ -59,6 +59,15 @@ object QueriesUdf {
         .withColumnRenamed("id", "event_id")
     }),
 
+    // EWM unbiased variance (pandas ewm.var(bias=False)) — four decayed
+    // accumulators, bias-corrected by A²/(A²−B)
+    "q61c_ewm_var" -> ((s, dir) => {
+      Ewm.ewmVar(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3)
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // exact H&F quantiles, methods beyond Spark's builtin linear
     // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
     "q62_quantile_hf" -> ((s, dir) => {
@@ -107,6 +116,64 @@ object QueriesUdf {
                          / (r.den * CAST(0.7 AS DOUBLE) + 1) END
            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
          SELECT event_id, ewm FROM r""",
+    // the out expression recomputes the updated accumulators textually —
+    // identical IEEE exprs give identical bits, no temp columns needed
+    "q61c_ewm_var" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS a,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS b,
+                  CAST(coalesce(value, 0) AS DOUBLE) AS s1,
+                  CAST(coalesce(value * value, 0) AS DOUBLE) AS s2,
+                  CASE WHEN value IS NULL THEN 0 ELSE 1 END AS cnt,
+                  CAST(NULL AS DOUBLE) AS ewm_var
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                       ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END,
+                  CASE WHEN s.value IS NULL
+                       THEN r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE))
+                       ELSE r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) + 1 END,
+                  CASE WHEN s.value IS NULL THEN r.s1 * CAST(0.7 AS DOUBLE)
+                       ELSE r.s1 * CAST(0.7 AS DOUBLE) + s.value END,
+                  CASE WHEN s.value IS NULL THEN r.s2 * CAST(0.7 AS DOUBLE)
+                       ELSE r.s2 * CAST(0.7 AS DOUBLE) + s.value * s.value END,
+                  CASE WHEN s.value IS NULL THEN r.cnt ELSE r.cnt + 1 END,
+                  CASE WHEN (CASE WHEN s.value IS NULL THEN r.cnt
+                                  ELSE r.cnt + 1 END) < 2 THEN NULL
+                       ELSE
+                  ((CASE WHEN s.value IS NULL THEN r.s2 * CAST(0.7 AS DOUBLE)
+                         ELSE r.s2 * CAST(0.7 AS DOUBLE) + s.value * s.value END)
+                   / (CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                           ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END)
+                   - ((CASE WHEN s.value IS NULL THEN r.s1 * CAST(0.7 AS DOUBLE)
+                            ELSE r.s1 * CAST(0.7 AS DOUBLE) + s.value END)
+                      / (CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                              ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END))
+                     * ((CASE WHEN s.value IS NULL THEN r.s1 * CAST(0.7 AS DOUBLE)
+                              ELSE r.s1 * CAST(0.7 AS DOUBLE) + s.value END)
+                        / (CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                                ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END)))
+                  * (((CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                            ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END)
+                      * (CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                              ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END))
+                     / ((CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                              ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END)
+                        * (CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                                ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END)
+                        - (CASE WHEN s.value IS NULL
+                               THEN r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE))
+                               ELSE r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) + 1 END)))
+                       END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, ewm_var FROM r""",
     "q61b_ewm_sum" ->
       """WITH RECURSIVE s AS (
            SELECT user_id, event_id, value,
