@@ -25,6 +25,37 @@ class EwmSpec extends SparkSpec {
     }
   }
 
+  test("ewm sum and unbiased var match pandas incl. NULL handling") {
+    val df = Seq(
+      (1L, 1L, java.lang.Double.valueOf(1.0)),
+      (2L, 1L, java.lang.Double.valueOf(2.0)),
+      (3L, 1L, null.asInstanceOf[java.lang.Double]),
+      (4L, 1L, java.lang.Double.valueOf(4.0)),
+      (5L, 1L, java.lang.Double.valueOf(8.0))
+    ).toDF("id", "g", "v")
+    val sums = Ewm.ewmSum(df, Seq("g"), Seq("id"), "v", "id", alpha = 0.3)
+      .orderBy("id").collect().map(_.getDouble(1))
+    val wantSum = Seq(1.0, 2.7, 1.89, 5.323, 11.7261)
+    sums.zip(wantSum).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"sum got $g want $w") }
+    val vars = Ewm.ewmVar(df, Seq("g"), Seq("id"), "v", "id", alpha = 0.3)
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    // pandas Series.ewm(alpha=0.3, adjust=True).var(bias=False)
+    val wantVar = Seq(null, 0.5, 0.5, 2.6047479197258934, 10.675396221172656)
+    vars.zip(wantVar).foreach {
+      case (null, null) => ()
+      case (g, w: Double) =>
+        assert(g != null && math.abs(g.asInstanceOf[Double] - w) < 1e-12,
+          s"var got $g want $w")
+      case (g, w) => fail(s"var got $g want $w")
+    }
+    // constant series: variance 0 (within fp)
+    val const = Seq.tabulate(5)(i => ((i + 1).toLong, 1L, 5.0)).toDF("id", "g", "v")
+    Ewm.ewmVar(const, Seq("g"), Seq("id"), "v", "id", 0.3)
+      .filter(col("id") >= 2).collect().foreach { r =>
+        assert(math.abs(r.getDouble(1)) < 1e-12) }
+  }
+
   test("groups are independent") {
     val df = Seq((1L, 1L, 10.0), (2L, 2L, 20.0)).toDF("id", "g", "v")
     val out = Ewm.ewmMean(df, Seq("g"), Seq("id"), "v", "id", 0.5)
