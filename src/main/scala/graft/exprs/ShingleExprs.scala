@@ -50,10 +50,59 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native 60-bit SimHash: per-document signature in ONE pass over the
+  * token array — per-token md5 (same bytes as Spark's `md5(string)`),
+  * the first 15 hex digits as a 60-bit hash (same value as
+  * `conv(substring(md5(tok),1,15),16,10)`), ±1 votes per bit, sign
+  * vector as the signature. Replaces the declarative explode + 60
+  * conditional sums + per-doc hash agg — no shuffle at all, the
+  * signature is a projection. */
+case class SimHash60(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
   import org.apache.spark.sql.GraftBridge
 
   /** Distinct hashed k-shingles of a pre-tokenized array column. */
   def shingleHashes(tokens: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), k))
+
+  /** One-pass 60-bit simhash of a pre-tokenized array column. */
+  def simhash60(tokens: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(tokens)))
 }

@@ -120,24 +120,15 @@ object Dedup {
   }
 
   /** 60-bit SimHash: per-token hash bits vote ±1; the sign vector is the
-    * signature. One explode + one hash aggregation (single shuffle on id).
-    * The token hash is the first 15 hex digits of md5 (60 bits) — portable
-    * across engines, so the whole signature is oracle-checkable in SQL. */
-  val SimhashBits = 60
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id),
-      explode(TextAnalysis.tokens(lower(col(text)))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
-        .cast("long"))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), i)) =!= lit(0L), lit(1)).otherwise(lit(-1))).as(s"b$i")
-    }
-    val agged = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agged.select(col(id), sig.as("simhash"))
-  }
+    * signature. The token hash is the first 15 hex digits of md5 — portable
+    * across engines, so the signature is oracle-checkable in SQL. Computed
+    * by the native one-pass [[graft.exprs.SimHash60]] kernel: a pure
+    * projection, no explode, NO shuffle (the declarative form needed a
+    * per-doc hash aggregation of 60 conditional sums). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      graft.exprs.ShingleExprs.simhash60(
+        TextAnalysis.tokens(lower(col(text)))).as("simhash"))
 
   /** Hamming distance between two simhash longs (expression-only). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -383,6 +383,10 @@ object QueriesMore {
       val src = Tables.orders(s, dir)
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+        // co-partition by the chunk key before writing: one file per chunk
+        // dir instead of one per (task x chunk) — at scale, control files
+        // per chunk with repartition(N, chunkCols)
+        .repartition(col("o_year"))
       graft.io.Store.write(src, path, Seq("o_year"))
       // region write: replace the 1996 chunk with itself; any leak of the
       // old partitionOverwriteMode=static would truncate the other years
