@@ -43,7 +43,9 @@ object StreamOps {
 
   /** Run a streaming query to completion against the (finite) file source
     * and return the result as a batch DataFrame — lets the DuckDB oracle
-    * check streaming semantics. */
+    * check streaming semantics. (Measured: lowering shuffle partitions for
+    * the state store does NOT reduce the ~2-3s wall — the cost is
+    * micro-batch planning/checkpoint machinery, not task count.) */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     val q = agg.writeStream
       .outputMode("complete")
