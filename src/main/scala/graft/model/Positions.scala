@@ -20,14 +20,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Positions {
 
   /** Attach a 0-based `posCol` ordinal ordered by `orderCols` (ties broken by
-    * their sort order; pass a unique key suffix for determinism). */
+    * their sort order; pass a unique key suffix for determinism).
+    *
+    * Fully native (no RDD hop, stays in Tungsten): after the range exchange
+    * + local sort, `monotonically_increasing_id` is `pid << 33 | rowInPart`
+    * evaluated in partition iteration order — i.e. a partition-LOCAL ordinal
+    * as a pure projection, no window. Per-partition counts (<= P rows) are
+    * collected and broadcast-joined back as global offsets. The ranged frame
+    * is persisted: the offsets job and every downstream consumer (count(),
+    * pad/roll joins) reuse it instead of re-running the shuffle+sort. */
   def zipWithIndex(df: DataFrame, orderCols: Seq[Column], posCol: String): DataFrame = {
-    val sorted = df
-      .repartitionByRange(math.max(df.sparkSession.sparkContext.defaultParallelism, 1), orderCols: _*)
+    val spark = df.sparkSession
+    val p = math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranged = df
+      .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(posCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist()
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn(posCol,
+        col("__off") + (col("__mid") - shiftleft(col("__pid").cast(LongType), 33)))
+      .drop("__pid", "__mid", "__off")
   }
 
   /** Window-based variant: fine when a partitioning key bounds the window

@@ -34,13 +34,26 @@ object Curvefit {
       groupCols.map(c => df.schema(c)) ++
         (0 until k).map(i => StructField(s"p$i", DoubleType)) ++
         Seq(StructField("n_iter", IntegerType), StructField("sse", DoubleType)))
+    // Streaming key-change scan over the sorted partition (same pattern as
+    // Ewm): only ONE group's series is resident at a time — partition-sized
+    // buffering here would be an OOM at scale, a group is bounded.
     val rdd = sorted.rdd.mapPartitions { it =>
-      val grouped = it.toSeq.groupBy(r => gIdx.map(r.get))
-      grouped.iterator.map { case (key, rows) =>
-        val xs = rows.map(_.getDouble(gIdx.length)).toArray
-        val ys = rows.map(_.getDouble(gIdx.length + 1)).toArray
-        val (p, iters, sse) = lm(model, p0.clone(), xs, ys, maxIter, tol)
-        Row.fromSeq(key ++ p.toSeq ++ Seq[Any](iters, sse))
+      val buf = it.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): Row = {
+          val key = gIdx.map(buf.head.get)
+          val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (buf.hasNext && gIdx.map(buf.head.get) == key) {
+            val r = buf.next()
+            xs += r.getDouble(gIdx.length)
+            ys += r.getDouble(gIdx.length + 1)
+          }
+          val (p, iters, sse) =
+            lm(model, p0.clone(), xs.toArray, ys.toArray, maxIter, tol)
+          Row.fromSeq(key ++ p.toSeq ++ Seq[Any](iters, sse))
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

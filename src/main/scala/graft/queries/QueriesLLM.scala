@@ -426,7 +426,8 @@ object QueriesLLM {
            GROUP BY doc_id, i),
          sig AS (
            SELECT doc_id,
-             sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+               AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id)
          SELECT doc_id, simhash, 0 AS dist_to_dup FROM sig""",
     "q52_ngram_jaccard" ->

@@ -362,16 +362,23 @@ object QueriesMore {
     }),
 
     // curvefit (ref `fit.py:311`): per-group nonlinear least squares via
-    // Levenberg-Marquardt. Rows-only BY DESIGN: LM's float-sum moment
-    // accumulation bounds parameter agreement with a closed-form oracle
-    // at ~1e-3 (tested), so any useful rounding quantum collides with
-    // rounding boundaries; convergence is pinned by NumericsSpec instead.
+    // Levenberg-Marquardt. Oracle-able fixture: y = a_g * exp(b_g * x) is
+    // built noiselessly from lineitem quantities with per-flag params, so
+    // LM must recover (a, b) to machine precision, and DuckDB recovers the
+    // SAME params analytically via log-linear regression — both sides
+    // round to 4 dp (repo float policy).
     "q90_curvefit" -> ((s, dir) => {
+      val g = when(col("l_returnflag") === "A", 0.0)
+        .when(col("l_returnflag") === "N", 1.0).otherwise(2.0)
       val df = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_quantity").as("x"),
-          col("l_extendedprice").as("y"))
+        .select(col("l_returnflag"), (col("l_quantity") / 10.0).as("x"), g.as("g"))
+        .withColumn("y", (lit(100.0) + col("g") * 25.0) *
+          exp((lit(0.2) + col("g") * 0.1) * col("x")))
       graft.numerics.Curvefit.fit(df, Seq("l_returnflag"), "x", "y",
-        (p, x) => p(0) + p(1) * x, p0 = Array(0.0, 1000.0), maxIter = 25)
+        (p, x) => p(0) * math.exp(p(1) * x),
+        p0 = Array(50.0, 0.5), maxIter = 50)
+        .select(col("l_returnflag"),
+          round(col("p0"), 4).as("a_fit"), round(col("p1"), 4).as("b_fit"))
     }),
 
     // to_zarr-style chunked store roundtrip (ref `dataset.py:2204`,
@@ -591,6 +598,22 @@ object QueriesMore {
          bool_and(l_quantity > 0) AS all_pos,
          bool_or(l_discount = 0.0) AS any_nodisc
          FROM lineitem GROUP BY 1""",
+    // The fixture's y = a*exp(b*x) is noiseless, so the TRUE params are
+    // recoverable analytically: ln(y) = ln(a) + b*x is an exact linear
+    // relation and OLS on (x, ln y) returns (ln a, b) to ~1e-12. LM on the
+    // engine side converges to ~1e-8 on the same data; both round to 4 dp.
+    "q90_curvefit" ->
+      """SELECT l_returnflag,
+         round(exp(regr_intercept(ln(y), x)), 4) AS a_fit,
+         round(regr_slope(ln(y), x), 4) AS b_fit
+         FROM (SELECT l_returnflag, l_quantity / 10.0 AS x,
+                 (100.0 + g * 25.0) * exp((0.2 + g * 0.1) * (l_quantity / 10.0)) AS y
+               FROM (SELECT l_returnflag, l_quantity,
+                       CASE WHEN l_returnflag = 'A' THEN 0.0
+                            WHEN l_returnflag = 'N' THEN 1.0
+                            ELSE 2.0 END AS g
+                     FROM lineitem))
+         GROUP BY 1""",
     "q74_argmax_pos" ->
       """SELECT s_nationkey,
          min(CASE WHEN s_acctbal = mx THEN pos END) AS argmax,

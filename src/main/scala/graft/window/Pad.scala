@@ -22,30 +22,39 @@ object Pad {
   def pad(df: DataFrame, pos: String, valueCol: String, n: Long,
           before: Int, after: Int, constant: Any = null): DataFrame = {
     val spark = df.sparkSession
-    val grid = spark.range(-before.toLong, n + after).toDF(pos)
     val p = col(pos)
+    // In range [0, n) every mode maps a position to its OWN value — a pure
+    // projection over the data, no join. Only the 2*(before+after) generated
+    // pad rows need to fetch a source value, and that set is tiny: ONE
+    // broadcast-hash join (build side = pad rows) against a single scan of
+    // the data replaces the old 4 full-size joins.
+    val inRange = df.select(p,
+      col(valueCol).as(s"${valueCol}_constant"),
+      col(valueCol).as(s"${valueCol}_edge"),
+      col(valueCol).as(s"${valueCol}_reflect"),
+      col(valueCol).as(s"${valueCol}_wrap"))
     def srcIdx(mode: String): Column = mode match {
-      case "constant" => when(p >= 0 && p < n, p)             // else no source
-      case "edge"     => least(greatest(p, lit(0L)), lit(n - 1))
-      case "reflect"  => // numpy 'reflect': mirror WITHOUT repeating the edge
-        when(p < 0, -p).when(p >= n, lit(2 * (n - 1)) - p).otherwise(p)
-      case "wrap"     => pmod(p, lit(n))
+      case "edge"    => least(greatest(p, lit(0L)), lit(n - 1))
+      case "reflect" => // numpy 'reflect': mirror WITHOUT repeating the edge
+        when(p < 0, -p).otherwise(lit(2 * (n - 1)) - p)
+      case "wrap"    => pmod(p, lit(n))
     }
-    val modes = Seq("constant", "edge", "reflect", "wrap")
-    val withIdx = modes.foldLeft(grid)((g, m) =>
-      g.withColumn(s"__i_$m", srcIdx(m)))
-    val src = df.select(col(pos).as("__src_pos"), col(valueCol).as("__src_v"))
-    val joined = modes.foldLeft(withIdx) { (g, m) =>
-      g.join(src.withColumnRenamed("__src_pos", s"__sp_$m")
-          .withColumnRenamed("__src_v", s"${valueCol}_$m"),
-        col(s"__i_$m") === col(s"__sp_$m"), "left")
-        .drop(s"__i_$m", s"__sp_$m")
-    }
-    val filled =
-      if (constant == null) joined
-      else joined.withColumn(s"${valueCol}_constant",
-        coalesce(col(s"${valueCol}_constant"), lit(constant)))
-    filled
+    val padGrid = spark.range(-before.toLong, 0).union(spark.range(n, n + after))
+      .toDF(pos)
+    val melted = padGrid.select(p, explode(array(Seq("edge", "reflect", "wrap")
+      .map(m => struct(lit(m).as("m"), srcIdx(m).as("i"))): _*)).as("mi"))
+      .select(p, col("mi.m").as("__m"), col("mi.i").as("__i"))
+    val src = df.select(col(pos).as("__sp"), col(valueCol).as("__sv"))
+    val padRows = src.join(broadcast(melted), col("__sp") === col("__i"))
+      .groupBy(p)
+      .agg(
+        max(when(col("__m") === "edge", col("__sv"))).as(s"${valueCol}_edge"),
+        max(when(col("__m") === "reflect", col("__sv"))).as(s"${valueCol}_reflect"),
+        max(when(col("__m") === "wrap", col("__sv"))).as(s"${valueCol}_wrap"))
+      .withColumn(s"${valueCol}_constant",
+        if (constant == null) lit(null).cast(df.schema(valueCol).dataType)
+        else lit(constant))
+    inRange.unionByName(padRows.select(inRange.columns.map(col): _*))
   }
 
   /** Stat / ramp pad modes (numpy maximum / minimum / mean / linear_ramp
@@ -56,30 +65,34 @@ object Pad {
               before: Int, after: Int, meanScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val spark = df.sparkSession
-    val grid = spark.range(-before.toLong, n + after).toDF(pos)
     val p = col(pos)
     val v = col(valueCol)
+    // In-range rows are pure projection (every stat mode keeps the row's own
+    // value); pad rows are generated and get ALL their values from the 1-row
+    // stats aggregate — no data-sized join anywhere.
     val stats = df.agg(
       max(v).as("__max"), min(v).as("__min"),
       (sum(v.cast(DecimalType(30, meanScale))).cast("double") / count(v))
         .as("__mean"),
       max(when(col(pos) === 0, v)).as("__first"),
       max(when(col(pos) === n - 1, v)).as("__last"))
-    val joined = grid
-      .join(df.select(col(pos), v), Seq(pos), "left")
-      .crossJoin(broadcast(stats))
+    val inRange = df.select(p,
+      v.as(s"${valueCol}_maximum"), v.as(s"${valueCol}_minimum"),
+      v.as(s"${valueCol}_mean"), v.as(s"${valueCol}_linear_ramp"))
+    val padGrid = spark.range(-before.toLong, 0).union(spark.range(n, n + after))
+      .toDF(pos)
     val ramp =
       when(p < 0,
         col("__first") * ((lit(before.toDouble) + p) / lit(before.toDouble)))
-        .when(p > n - 1,
+        .otherwise(
           col("__last") * ((lit(after.toDouble) - (p - lit(n - 1)))
             / lit(after.toDouble)))
-        .otherwise(v)
-    joined.select(p,
-      coalesce(v, col("__max")).as(s"${valueCol}_maximum"),
-      coalesce(v, col("__min")).as(s"${valueCol}_minimum"),
-      coalesce(v, col("__mean")).as(s"${valueCol}_mean"),
+    val padRows = padGrid.crossJoin(broadcast(stats)).select(p,
+      col("__max").as(s"${valueCol}_maximum"),
+      col("__min").as(s"${valueCol}_minimum"),
+      col("__mean").as(s"${valueCol}_mean"),
       ramp.as(s"${valueCol}_linear_ramp"))
+    inRange.unionByName(padRows)
   }
 
   /** roll: circular shift of values by `shift` along pos (ref
