@@ -44,6 +44,37 @@ object Aggregations {
       sum(wOnly.cast(DecimalType(38, scale))).cast("double")
   }
 
+  /** Weighted variance (ref `computation/weighted.py:243` `Weighted.var`,
+    * ddof=0 population form): Σw·(x−x̄w)²/Σw expanded to the power-sum form
+    * Σw·x²/Σw − (Σw·x/Σw)². Joint NULL masking like [[weightedMean]].
+    *
+    * Cross-engine exactness: the INPUTS are cast to decimal at their
+    * natural scale (exact when the data has <= vScale/wScale decimals —
+    * the cast is then far from any rounding tie, unlike casting the
+    * double PRODUCT, where Spark's shortest-repr digits and DuckDB's
+    * exact binary expansion can disagree at the target scale). All
+    * products then stay in exact decimal arithmetic, so the three sums
+    * are bit-reproducible under any aggregation order. */
+  def weightedVar(v: Column, w: Column,
+                  vScale: Int = 2, wScale: Int = 2): Column = {
+    val both = v.isNotNull && w.isNotNull
+    val vd = when(both, v).cast(DecimalType(18, vScale))
+    val wd = when(both, w).cast(DecimalType(12, wScale))
+    // v² is re-capped to (20, 2*vScale) — exact for |v| < 1e8 — so the
+    // final product stays within DECIMAL(38) without precision loss
+    val v2 = (vd * vd).cast(DecimalType(20, 2 * vScale))
+    val sw = sum(wd).cast("double")
+    val swx = sum(wd * vd).cast("double")
+    val swx2 = sum(v2 * wd).cast("double")
+    swx2 / sw - (swx / sw) * (swx / sw)
+  }
+
+  /** Weighted standard deviation = sqrt of [[weightedVar]] (ref
+    * `weighted.py:269` `Weighted.std`). */
+  def weightedStd(v: Column, w: Column,
+                  vScale: Int = 2, wScale: Int = 2): Column =
+    sqrt(weightedVar(v, w, vScale, wScale))
+
   /** idxmax: label of the maximum (ref `dataset.py:9349`); deterministic
     * tie-break = smallest label, mirroring the reference's first-occurrence
     * semantics on a sorted coordinate. */

@@ -98,6 +98,71 @@ object Ewm {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EWM covariance + correlation of two series per group (pandas
+    * `ewm.cov(bias=False)` / `ewm.corr()` semantics, adjust=true): seven
+    * decayed accumulators A, B, Sx, Sy, Sxy, Sxx, Syy. A pair contributes
+    * only when BOTH values are non-null; a null pair still decays the
+    * state. cov is bias-corrected by A²/(A²−B); corr uses the biased
+    * forms (the corrections cancel). Zero-variance groups emit NULL corr
+    * (DuckDB's /0 -> NULL would otherwise diverge from Java's NaN/Inf).
+    * Emits (id, ewm_cov, ewm_corr). */
+  def ewmCov(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+             xCol: String, yCol: String, idCol: String,
+             alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ xCol :+ yCol :+ idCol).distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val xIdx = sorted.columns.indexOf(xCol)
+    val yIdx = sorted.columns.indexOf(yCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm_cov", DoubleType, nullable = true),
+      StructField("ewm_corr", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var a = 0.0; var b = 0.0
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+      var cnt = 0L
+      val decay = 1.0 - alpha
+      val decay2 = decay * decay
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) {
+          curKey = key
+          a = 0.0; b = 0.0; sx = 0.0; sy = 0.0; sxy = 0.0; sxx = 0.0; syy = 0.0
+          cnt = 0L
+        }
+        a *= decay; b *= decay2
+        sx *= decay; sy *= decay; sxy *= decay; sxx *= decay; syy *= decay
+        if (!r.isNullAt(xIdx) && !r.isNullAt(yIdx)) {
+          val x = r.getDouble(xIdx); val y = r.getDouble(yIdx)
+          a += 1.0; b += 1.0
+          sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+          cnt += 1
+        }
+        val out: (Any, Any) =
+          if (cnt < 2) (null, null)
+          else {
+            val mx = sx / a; val my = sy / a
+            val covB = sxy / a - mx * my
+            val varx = sxx / a - mx * mx
+            val vary = syy / a - my * my
+            val c = covB * ((a * a) / (a * a - b))
+            val rr: Any =
+              if (varx <= 0.0 || vary <= 0.0) null
+              else covB / math.sqrt(varx * vary)
+            (c, rr)
+          }
+        Row(r.get(iIdx), out._1, out._2)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
               valueCol: String, idCol: String, alpha: Double): DataFrame = {
     val spark = df.sparkSession

@@ -56,6 +56,21 @@ object QueriesGroupBy {
           .as("wmean_price"))
     }),
 
+    // weighted var/std (ref `computation/weighted.py:243,269`): power-sum
+    // form with decimal-exact sums; ddof=0 population weighting. No
+    // rounding: the decimal-exact sums make the double pipeline
+    // bit-reproducible, and round(.,6) at 1e9 magnitude is BELOW the ulp
+    // (each engine would round a different last bit).
+    "q21b_weighted_var" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          Aggregations.weightedVar(col("l_extendedprice"), col("l_quantity"))
+            .as("wvar_price"),
+          Aggregations.weightedStd(col("l_extendedprice"), col("l_quantity"))
+            .as("wstd_price"))
+    }),
+
     // skipna=False + min_count (ref `_aggregations.py` params)
     "q22_skipna_mincount" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -166,6 +181,22 @@ object QueriesGroupBy {
          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) /
          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wmean_price
          FROM lineitem GROUP BY 1""",
+    // inputs cast to decimal at their NATURAL scale (tie-free: the data
+    // has 2 decimals), products stay in exact decimal — see weightedVar
+    "q21b_weighted_var" ->
+      """WITH d AS (SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS vd,
+             CAST(l_quantity AS DECIMAL(12,2)) AS wd
+           FROM lineitem),
+         a AS (SELECT l_returnflag,
+             CAST(sum(wd) AS DOUBLE) AS sw,
+             CAST(sum(wd * vd) AS DOUBLE) AS swx,
+             CAST(sum(CAST(vd * vd AS DECIMAL(20,4)) * wd) AS DOUBLE) AS swx2
+           FROM d GROUP BY 1)
+         SELECT l_returnflag,
+           swx2 / sw - (swx / sw) * (swx / sw) AS wvar_price,
+           sqrt(swx2 / sw - (swx / sw) * (swx / sw)) AS wstd_price
+         FROM a""",
     "q22_skipna_mincount" ->
       """SELECT event_type,
          CASE WHEN count(CASE WHEN value_masked IS NULL THEN 1 END) = 0

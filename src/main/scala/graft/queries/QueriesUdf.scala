@@ -68,6 +68,26 @@ object QueriesUdf {
         .withColumnRenamed("id", "event_id")
     }),
 
+    // EWM covariance + correlation (pandas ewm.cov(bias=False)/.corr();
+    // ref `rolling_exp.py:49` family) — the second series is the
+    // deterministic event_id % 7 so both engines derive identical pairs
+    "q61d_ewm_cov" -> ((s, dir) => {
+      val withY = Tables.events(s, dir)
+        .withColumn("y7", pmod(col("event_id"), lit(7L)).cast("double"))
+      Ewm.ewmCov(withY,
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        xCol = "value", yCol = "y7", idCol = "event_id", alpha = 0.3)
+        .withColumnRenamed("id", "event_id")
+    }),
+
+    // EWM std = sqrt of the unbiased EWM variance (rolling_exp std)
+    "q61e_ewm_std" -> ((s, dir) => {
+      Ewm.ewmVar(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3)
+        .select(col("id").as("event_id"), sqrt(col("ewm_var")).as("ewm_std"))
+    }),
+
     // exact H&F quantiles, methods beyond Spark's builtin linear
     // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
     "q62_quantile_hf" -> ((s, dir) => {
@@ -84,7 +104,66 @@ object QueriesUdf {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // EWM std replays the exact variance recurrence, sqrt at the end
+    // (correctly-rounded sqrt is bit-identical across libm/DuckDB)
+    ("q61e_ewm_std" -> baseOracles("q61c_ewm_var").replace(
+      "SELECT event_id, ewm_var FROM r",
+      "SELECT event_id, sqrt(ewm_var) AS ewm_std FROM r"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
+    // EWM cov/corr: same recursive replay with seven accumulators; the
+    // final SELECT computes cov/corr from the row's (updated) accumulator
+    // columns with the same IEEE op order as the Scala scan.
+    "q61d_ewm_cov" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  CAST(event_id % 7 AS DOUBLE) AS y,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS a,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS b,
+                  CAST(coalesce(value, 0) AS DOUBLE) AS sx,
+                  CASE WHEN value IS NULL THEN CAST(0 AS DOUBLE) ELSE y END AS sy,
+                  CAST(coalesce(value * y, 0) AS DOUBLE) AS sxy,
+                  CAST(coalesce(value * value, 0) AS DOUBLE) AS sxx,
+                  CASE WHEN value IS NULL THEN CAST(0 AS DOUBLE)
+                       ELSE y * y END AS syy,
+                  CASE WHEN value IS NULL THEN 0 ELSE 1 END AS cnt
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN s.value IS NULL THEN r.a * CAST(0.7 AS DOUBLE)
+                       ELSE r.a * CAST(0.7 AS DOUBLE) + 1 END,
+                  CASE WHEN s.value IS NULL
+                       THEN r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE))
+                       ELSE r.b * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) + 1 END,
+                  CASE WHEN s.value IS NULL THEN r.sx * CAST(0.7 AS DOUBLE)
+                       ELSE r.sx * CAST(0.7 AS DOUBLE) + s.value END,
+                  CASE WHEN s.value IS NULL THEN r.sy * CAST(0.7 AS DOUBLE)
+                       ELSE r.sy * CAST(0.7 AS DOUBLE) + s.y END,
+                  CASE WHEN s.value IS NULL THEN r.sxy * CAST(0.7 AS DOUBLE)
+                       ELSE r.sxy * CAST(0.7 AS DOUBLE) + s.value * s.y END,
+                  CASE WHEN s.value IS NULL THEN r.sxx * CAST(0.7 AS DOUBLE)
+                       ELSE r.sxx * CAST(0.7 AS DOUBLE) + s.value * s.value END,
+                  CASE WHEN s.value IS NULL THEN r.syy * CAST(0.7 AS DOUBLE)
+                       ELSE r.syy * CAST(0.7 AS DOUBLE) + s.y * s.y END,
+                  CASE WHEN s.value IS NULL THEN r.cnt ELSE r.cnt + 1 END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id,
+           CASE WHEN cnt < 2 THEN NULL
+                ELSE (sxy / a - (sx / a) * (sy / a))
+                     * ((a * a) / (a * a - b)) END AS ewm_cov,
+           CASE WHEN cnt < 2 THEN NULL
+                WHEN (sxx / a - (sx / a) * (sx / a)) <= 0
+                  OR (syy / a - (sy / a) * (sy / a)) <= 0 THEN NULL
+                ELSE (sxy / a - (sx / a) * (sy / a))
+                     / sqrt((sxx / a - (sx / a) * (sx / a))
+                            * (syy / a - (sy / a) * (sy / a))) END AS ewm_corr
+         FROM r""",
     // EWM is an order-dependent recurrence; the oracle replays the exact
     // IEEE op sequence (num = num*0.7 + x; den = den*0.7 + 1) per user via
     // a recursive CTE. Base-case columns MUST be cast to DOUBLE: a
