@@ -133,6 +133,130 @@ object Numerics {
       .drop("__y0", "__y1", "__t0", "__t1")
   }
 
+  /** interp(method="zero"): zero-order spline — the PREVIOUS knot's value
+    * holds until the next knot (scipy interp1d kind="zero"). Same two
+    * as-of passes as linear (the forward pass only bounds the range);
+    * probes outside the knot range -> NULL. */
+  def interpZero(series: DataFrame, probes: DataFrame, by: Seq[String],
+                 t: String, v: String): DataFrame = {
+    val obsB = series.select((by.map(col) :+ col(t) :+ col(v).as("__y0") :+
+      col(t).as("__t0")): _*)
+    val obsF = series.select((by.map(col) :+ col(t) :+ col(t).as("__t1")): _*)
+    val back = AsOf.backward(probes, obsB, by, t, Seq("__y0", "__t0"))
+    val both = AsOf.forward(back, obsF, by, t, Seq("__t1"))
+    val out = when(col("__t0").isNull || col("__t1").isNull, lit(null))
+      .otherwise(col("__y0"))
+    both.withColumn("v_zero", out).drop("__y0", "__t0", "__t1")
+  }
+
+  /** interp(method="quadratic"): C1 quadratic spline with the left-end
+    * slope clamped to the first secant (d_0 = m_0); continuity then fixes
+    * every other knot slope via d_{i+1} = 2·m_i − d_i. The recurrence has
+    * the closed form d_i = (−1)^i·(m_0 + 2·Σ_{k=1..i} (−1)^k·m_{k−1}) — a
+    * RUNNING window sum, so the whole operator stays declarative (ordered
+    * running sums fold sequentially in both engines, float-reproducible).
+    * Piece on [t_i, t_{i+1}]: y_i + d_i·dt + (m_i − d_i)·dt²/h_i. */
+  def interpQuadratic(series: DataFrame, probes: DataFrame, by: Seq[String],
+                      t: String, v: String): DataFrame = {
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
+    val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
+      col(v).cast("double").as("__y")): _*)
+      .withColumn("__tp", lead("__t", 1).over(w))
+      .withColumn("__yp", lead("__y", 1).over(w))
+      .withColumn("__h", col("__tp") - col("__t"))
+      .withColumn("__m", (col("__yp") - col("__y")) / col("__h"))
+      .withColumn("__j", row_number().over(w) - 1)
+      .withColumn("__mprev", lag("__m", 1).over(w))
+      .withColumn("__term",
+        when(col("__j") === 0, col("__m"))
+          .otherwise(lit(2.0) *
+            when(pmod(col("__j"), lit(2)) === 1, lit(-1.0)).otherwise(lit(1.0)) *
+            col("__mprev")))
+      .withColumn("__e",
+        sum("__term").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__d",
+        when(pmod(col("__j"), lit(2)) === 1, -col("__e")).otherwise(col("__e")))
+    val kn2 = kn.select((by.map(col) :+ col("__t") :+ col("__t").as("__t0") :+
+      col("__y").as("__y0") :+ col("__d").as("__d0") :+ col("__m").as("__m0") :+
+      col("__h").as("__h0") :+ col("__tp").as("__t1")): _*)
+    val prb = probes.select((by.map(col) :+ toD(col(t)).as("__t")): _*)
+    val joined = AsOf.backward(prb, kn2, by, "__t",
+      Seq("__t0", "__y0", "__d0", "__m0", "__h0", "__t1"))
+    val dt = col("__t") - col("__t0")
+    val out = when(col("__t0").isNull, lit(null))
+      .when(col("__t") === col("__t0"), col("__y0"))
+      .when(col("__t1").isNull, lit(null))
+      .otherwise(col("__y0") + col("__d0") * dt +
+        (col("__m0") - col("__d0")) * dt * dt / col("__h0"))
+    joined.withColumn("v_quadratic", out)
+      .select((by.map(col) :+ col("__t").as("t_probe") :+ col("v_quadratic")): _*)
+  }
+
+  /** interp(method="quintic"): quintic Hermite — each knot carries a
+    * first-derivative estimate (3-point nonuniform central difference,
+    * one-sided secant at the ends) and a second-derivative estimate
+    * (2·(m_next − m_prev)/(h_prev + h_next), 0 at the ends); each
+    * interval then gets the unique degree-5 polynomial matching
+    * (y, y', y'') at both ends — C2 overall, window-local, declarative. */
+  def interpQuintic(series: DataFrame, probes: DataFrame, by: Seq[String],
+                    t: String, v: String): DataFrame = {
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
+    val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
+      col(v).cast("double").as("__y")): _*)
+      .withColumn("__tp", lead("__t", 1).over(w))
+      .withColumn("__yp", lead("__y", 1).over(w))
+      .withColumn("__hn", col("__tp") - col("__t"))
+      .withColumn("__dn", (col("__yp") - col("__y")) / col("__hn"))
+      .withColumn("__hm", lag("__hn", 1).over(w))
+      .withColumn("__dm", lag("__dn", 1).over(w))
+      .withColumn("__d",
+        when(col("__dm").isNull && col("__dn").isNull, lit(0.0))
+          .when(col("__dm").isNull, col("__dn"))
+          .when(col("__dn").isNull, col("__dm"))
+          .otherwise((col("__hn") * col("__dm") + col("__hm") * col("__dn"))
+            / (col("__hm") + col("__hn"))))
+      .withColumn("__c",
+        when(col("__dm").isNull || col("__dn").isNull, lit(0.0))
+          .otherwise(lit(2.0) * (col("__dn") - col("__dm"))
+            / (col("__hm") + col("__hn"))))
+    val kn2 = kn
+      .withColumn("__d1", lead("__d", 1).over(w))
+      .withColumn("__c1", lead("__c", 1).over(w))
+      .select((by.map(col) :+ col("__t") :+ col("__t").as("__t0") :+
+        col("__y").as("__y0") :+ col("__d").as("__d0") :+ col("__c").as("__c0") :+
+        col("__tp").as("__t1") :+ col("__yp").as("__y1") :+
+        col("__d1") :+ col("__c1")): _*)
+    val prb = probes.select((by.map(col) :+ toD(col(t)).as("__t")): _*)
+    val joined = AsOf.backward(prb, kn2, by, "__t",
+      Seq("__t0", "__y0", "__d0", "__c0", "__t1", "__y1", "__d1", "__c1"))
+      .withColumn("__h", col("__t1") - col("__t0"))
+      .withColumn("__s", (col("__t") - col("__t0")) / col("__h"))
+    val s = col("__s"); val h = col("__h")
+    val s2 = s * s; val s3 = s2 * s; val s4 = s3 * s; val s5 = s4 * s
+    val quintic =
+      col("__y0") * (lit(1.0) - lit(10.0) * s3 + lit(15.0) * s4 - lit(6.0) * s5) +
+        (h * col("__d0")) * (s - lit(6.0) * s3 + lit(8.0) * s4 - lit(3.0) * s5) +
+        ((h * h) * col("__c0")) *
+          (lit(0.5) * (s2 - lit(3.0) * s3 + lit(3.0) * s4 - s5)) +
+        col("__y1") * (lit(10.0) * s3 - lit(15.0) * s4 + lit(6.0) * s5) +
+        (h * col("__d1")) * (lit(-4.0) * s3 + lit(7.0) * s4 - lit(3.0) * s5) +
+        ((h * h) * col("__c1")) * (lit(0.5) * (s3 - lit(2.0) * s4 + s5))
+    val out = when(col("__t0").isNull, lit(null))
+      .when(col("__t") === col("__t0"), col("__y0"))
+      .when(col("__t1").isNull, lit(null))
+      .otherwise(quintic)
+    joined.withColumn("v_quintic", out)
+      .select((by.map(col) :+ col("__t").as("t_probe") :+ col("v_quintic")): _*)
+  }
+
   /** interp(method="pchip"): monotone cubic Hermite with Fritsch–Carlson
     * slopes (ref `core/missing.py:616` interp method="pchip" -> scipy
     * `PchipInterpolator`). Unlike the natural cubic spline, PCHIP slopes
@@ -312,6 +436,127 @@ object Numerics {
           .when(col("__f12") > lit(1e-9) * col("__f12max"), weighted)
           .otherwise(lit(0.5) * (col("__M3") + col("__M0")))
     hermiteEval(kn.withColumn("__d", slope), probes, by, t, w, toD, outName)
+  }
+
+  /** interp(method="polynomial", order=k): the reference forwards `order`
+    * to interp1d's spline-of-order-k kind (`core/missing.py:616`), so
+    * polynomial IS the parameterized spline family — dispatch to the
+    * matching engine (0 zero, 1 linear, 2 quadratic, 3 cubic, 5 quintic). */
+  def interpPolynomial(series: DataFrame, probes: DataFrame, by: Seq[String],
+                       t: String, v: String, order: Int): DataFrame = order match {
+    case 0 => interpZero(series, probes, by, t, v)
+    case 1 => interpLinear(series, probes, by, t, v)
+    case 2 => interpQuadratic(series, probes, by, t, v)
+    case 3 => Spline.interpCubic(series, probes, by, t, v)
+    case 5 => interpQuintic(series, probes, by, t, v)
+    case k => throw new IllegalArgumentException(s"unsupported spline order $k")
+  }
+
+  /** interp(method="barycentric") (ref `core/missing.py:616` -> scipy
+    * `barycentric_interpolate`): the GLOBAL polynomial through all series
+    * knots in the numerically-stable barycentric form
+    * p(x) = Σ w_j·y_j/(x−x_j) / Σ w_j/(x−x_j), w_j = 1/Π_{k≠j}(x_j−x_k).
+    *
+    * Spark shape: per-series sorted knot arrays (collect_list + array_sort)
+    * carried on every probe row; weights and the two probe sums are LEFT
+    * FOLDS over the sorted arrays (`aggregate`), which both engines
+    * evaluate in identical order — bit-reproducible without decimal. Time
+    * coords are rescaled to days so the weight products of an n-knot
+    * series stay within double range (n ~ hundreds). O(n²) work per
+    * series is inherent to the operator (every weight sees every knot). */
+  def interpBarycentric(series: DataFrame, probes: DataFrame, by: Seq[String],
+                        t: String, v: String): DataFrame = {
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toX(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") / lit(86400e6)
+      else c.cast("double")
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val kn = series.select((by.map(col) :+ toX(col(t)).as("__x") :+
+      col(v).cast("double").as("__y")): _*)
+      .withColumn("__xsall", array_sort(collect_list("__x").over(wAll)))
+      .withColumn("__w", lit(1.0) / aggregate(
+        filter(col("__xsall"), e => e =!= col("__x")),
+        lit(1.0), (acc, e) => acc * (col("__x") - e)))
+    val arrs = kn.groupBy(by.map(col): _*).agg(
+      array_sort(collect_list(struct(col("__x").as("x"), col("__y").as("y"),
+        col("__w").as("w")))).as("__srt"))
+      .select((by.map(col) :+
+        transform(col("__srt"), s => s.getField("x")).as("__xs") :+
+        transform(col("__srt"), s => s.getField("y")).as("__ys") :+
+        transform(col("__srt"), s => s.getField("w")).as("__ws")): _*)
+    val prb = probes.select((by.map(col) :+ col(t) :+ toX(col(t)).as("__x")): _*)
+    val j = prb.join(arrs, by)
+    val x = col("__x")
+    val n = size(col("__xs"))
+    val num = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) =>
+      acc + element_at(col("__ws"), i) / (x - element_at(col("__xs"), i)) *
+        element_at(col("__ys"), i))
+    val den = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) =>
+      acc + element_at(col("__ws"), i) / (x - element_at(col("__xs"), i)))
+    val pos = array_position(col("__xs"), x)
+    val out = when(x < element_at(col("__xs"), 1), lit(null))
+      .when(x > element_at(col("__xs"), -1), lit(null))
+      .when(pos > 0, element_at(col("__ys"), pos.cast("int")))
+      .otherwise(num / den)
+    j.withColumn("v_barycentric", out)
+      .select((by.map(col) :+ col(t) :+ col("v_barycentric")): _*)
+  }
+
+  /** interp(method="krogh") (ref `core/missing.py:616` -> scipy
+    * `krogh_interpolate`): polynomial interpolation in NEWTON form —
+    * divided-difference coefficients per series, Horner evaluation per
+    * probe. Same global-polynomial values as barycentric, but the Newton
+    * float path is the one scipy's Krogh class takes (and it needs no
+    * per-term division at eval time, so knot hits are exact by identity).
+    *
+    * The divided-difference table is a fold over levels carrying the
+    * current level as an ARRAY (n-1 steps of an `aggregate` with a
+    * struct(cur, coef) accumulator); evaluation folds indices n-1..1.
+    * Left folds run in identical order in both engines. */
+  def interpKrogh(series: DataFrame, probes: DataFrame, by: Seq[String],
+                  t: String, v: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toX(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") / lit(86400e6)
+      else c.cast("double")
+    val kn = series.select((by.map(col) :+ toX(col(t)).as("__x") :+
+      col(v).cast("double").as("__y")): _*)
+    val arrs0 = kn.groupBy(by.map(col): _*).agg(
+      array_sort(collect_list(struct(col("__x").as("x"), col("__y").as("y"))))
+        .as("__srt"))
+      .select((by.map(col) :+
+        transform(col("__srt"), s => s.getField("x")).as("__xs") :+
+        transform(col("__srt"), s => s.getField("y")).as("__ys")): _*)
+    val n = size(col("__xs"))
+    val emptyI = array().cast(ArrayType(IntegerType))
+    val levels = when(n > 1, sequence(lit(1), n - 1)).otherwise(emptyI)
+    val csExpr = aggregate(levels,
+      struct(col("__ys").as("cur"),
+        org.apache.spark.sql.functions.slice(col("__ys"), 1, 1).as("coef")),
+      (acc, l) => {
+        val nxt = transform(sequence(lit(1), n - l), i =>
+          (element_at(acc.getField("cur"), i + 1) -
+            element_at(acc.getField("cur"), i)) /
+            (element_at(col("__xs"), i + l) - element_at(col("__xs"), i)))
+        struct(nxt.as("cur"),
+          concat(acc.getField("coef"),
+            org.apache.spark.sql.functions.slice(nxt, 1, 1)).as("coef"))
+      }).getField("coef")
+    val arrs = arrs0.withColumn("__cs", csExpr)
+    val prb = probes.select((by.map(col) :+ col(t) :+ toX(col(t)).as("__x")): _*)
+    val j = prb.join(arrs, by)
+    val x = col("__x")
+    val seqD = when(n > 1, sequence(n - 1, lit(1), lit(-1))).otherwise(emptyI)
+    val horner = aggregate(seqD, element_at(col("__cs"), n), (acc, b) =>
+      acc * (x - element_at(col("__xs"), b)) + element_at(col("__cs"), b))
+    val out = when(x < element_at(col("__xs"), 1), lit(null))
+      .when(x > element_at(col("__xs"), -1), lit(null))
+      .otherwise(horner)
+    j.withColumn("v_krogh", out)
+      .select((by.map(col) :+ col(t) :+ col("v_krogh")): _*)
   }
 
   /** Degree-2 polyfit per group, closed-form normal equations over exact

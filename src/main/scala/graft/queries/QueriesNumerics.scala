@@ -69,6 +69,103 @@ object QueriesNumerics {
         .select("user_id", "ts", "v_interp")
     }),
 
+    // interp(method="zero"): previous-knot step function
+    "q108_interp_zero" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpZero(series, users.crossJoin(grid), by = Seq("user_id"),
+        t = "ts", v = "value")
+        .select("user_id", "ts", "v_zero")
+    }),
+
+    // interp(method="slinear"): first-order spline == linear values
+    "q109_interp_slinear" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpLinear(series, users.crossJoin(grid), by = Seq("user_id"),
+        t = "ts", v = "value")
+        .select(col("user_id"), col("ts"), col("v_interp").as("v_slinear"))
+    }),
+
+    // interp(method="quadratic"): C1 quadratic spline (running-sum slopes)
+    "q110_interp_quadratic" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpQuadratic(series, users.crossJoin(grid),
+        by = Seq("user_id"), t = "ts", v = "value")
+    }),
+
+    // interp(method="quintic"): C2 quintic Hermite (window-local derivs)
+    "q111_interp_quintic" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpQuintic(series, users.crossJoin(grid),
+        by = Seq("user_id"), t = "ts", v = "value")
+    }),
+
+    // interp(method="polynomial", order=3): the reference forwards order
+    // to interp1d kind=k, i.e. the spline-of-order-k family; order 3
+    // exercises the per-series Thomas-solve path (same oracle as cubic)
+    "q112_interp_polynomial" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      val probes = series.select("user_id").distinct()
+        .crossJoin(grid.select(unix_micros(col("ts")).as("t")))
+      Numerics.interpPolynomial(series, probes, by = Seq("user_id"),
+        t = "t", v = "value", order = 3)
+        .withColumnRenamed("v_cubic", "v_poly")
+    }),
+
+    // interp(method="barycentric"): global polynomial, barycentric form
+    "q113_interp_barycentric" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpBarycentric(series, users.crossJoin(grid),
+        by = Seq("user_id"), t = "ts", v = "value")
+    }),
+
+    // interp(method="krogh"): Newton-form polynomial interpolation
+    "q114_interp_krogh" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+             timestamp'2024-01-25 00:00:00', interval 1 day)) AS ts""")
+      Numerics.interpKrogh(series, users.crossJoin(grid),
+        by = Seq("user_id"), t = "ts", v = "value")
+    }),
+
     // interpolate_na: linear fill of interior NULL runs (ref `missing.py:331`)
     "q46_interpolate_na" -> ((s, dir) => {
       val masked = Tables.events(s, dir)
@@ -158,6 +255,247 @@ object QueriesNumerics {
                   (CAST(epoch_us(t1) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) END
              AS v_interp
          FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    // polynomial(order=3) == cubic spline: reuse the Thomas-solve CTE
+    // oracle with the output column renamed
+    "q112_interp_polynomial" ->
+      QueriesMore.oracles("q89_spline_cubic").replace("AS v_cubic", "AS v_poly"),
+    // mirrors interpBarycentric: sorted per-series arrays, weight and
+    // probe sums as left folds over the same order in both engines
+    "q113_interp_barycentric" ->
+      """WITH kn0 AS (
+           SELECT user_id,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 AS x,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         sx AS (SELECT user_id, list(x ORDER BY x) AS xsall FROM kn0 GROUP BY 1),
+         kw AS (
+           SELECT k.user_id, k.x, k.y,
+             1.0 / list_reduce(list_prepend(1.0,
+                 list_transform(list_filter(s.xsall, e -> e != k.x),
+                   e -> k.x - e)),
+               (a, b) -> a * b) AS w
+           FROM kn0 k JOIN sx s USING (user_id)),
+         arrs AS (
+           SELECT user_id, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+                  list(w ORDER BY x) AS ws
+           FROM kw GROUP BY 1),
+         probes AS (
+           SELECT u.user_id, g.ts,
+                  CAST(epoch_us(g.ts) AS DOUBLE) / 86400000000.0 AS x
+           FROM (SELECT DISTINCT user_id FROM kn0) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g)
+         SELECT p.user_id, p.ts,
+           CASE WHEN p.x < a.xs[1] THEN NULL
+                WHEN p.x > a.xs[len(a.xs)] THEN NULL
+                WHEN coalesce(list_position(a.xs, p.x), 0) > 0
+                  THEN a.ys[list_position(a.xs, p.x)]
+                ELSE
+                  list_reduce(list_prepend(0.0, list_transform(
+                      generate_series(1, len(a.xs)),
+                      i -> a.ws[i] / (p.x - a.xs[i]) * a.ys[i])), (q, r) -> q + r)
+                  / list_reduce(list_prepend(0.0, list_transform(
+                      generate_series(1, len(a.xs)),
+                      i -> a.ws[i] / (p.x - a.xs[i]))), (q, r) -> q + r)
+           END AS v_barycentric
+         FROM probes p JOIN arrs a USING (user_id)""",
+    // mirrors interpKrogh: the divided-difference levels recurse carrying
+    // the whole level as a LIST; Horner folds indices n-1..1. Identical
+    // left-fold order to the engine's aggregate().
+    "q114_interp_krogh" ->
+      """WITH RECURSIVE kn0 AS (
+           SELECT user_id,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 AS x,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         arrs AS (
+           SELECT user_id, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+                  count(*) AS n
+           FROM kn0 GROUP BY 1),
+         dd AS (
+           SELECT user_id, xs, n, CAST(1 AS BIGINT) AS l, ys AS cur,
+                  [ys[1]] AS coef
+           FROM arrs
+           UNION ALL
+           SELECT user_id, xs, n, l + 1,
+             list_transform(generate_series(1, CAST(n - l AS BIGINT)),
+               i -> (cur[i + 1] - cur[i]) / (xs[i + l] - xs[i])) AS cur,
+             list_append(coef,
+               (cur[2] - cur[1]) / (xs[1 + l] - xs[1])) AS coef
+           FROM dd WHERE l <= n - 1),
+         cs AS (
+           SELECT user_id, xs, coef FROM dd WHERE l = n),
+         probes AS (
+           SELECT u.user_id, g.ts,
+                  CAST(epoch_us(g.ts) AS DOUBLE) / 86400000000.0 AS x
+           FROM (SELECT DISTINCT user_id FROM kn0) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g)
+         SELECT p.user_id, p.ts,
+           CASE WHEN p.x < c.xs[1] THEN NULL
+                WHEN p.x > c.xs[len(c.xs)] THEN NULL
+                ELSE list_reduce(
+                  list_prepend(c.coef[len(c.xs)],
+                    list_transform(generate_series(CAST(len(c.xs) - 1 AS BIGINT),
+                        1, -1), b -> CAST(b AS DOUBLE))),
+                  (a, b) -> a * (p.x - c.xs[CAST(b AS BIGINT)])
+                            + c.coef[CAST(b AS BIGINT)])
+           END AS v_krogh
+         FROM probes p JOIN cs c USING (user_id)""",
+    "q108_interp_zero" ->
+      """WITH series AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         probes AS (
+           SELECT u.user_id, g.ts FROM
+             (SELECT DISTINCT user_id FROM series) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         back AS (
+           SELECT p.user_id, p.ts, s.value AS y0, s.ts AS t0
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts >= s.ts),
+         fwd AS (
+           SELECT p.user_id, p.ts, s.ts AS t1
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts <= s.ts)
+         SELECT b.user_id, b.ts,
+           CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL ELSE y0 END AS v_zero
+         FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    "q109_interp_slinear" ->
+      """WITH series AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         probes AS (
+           SELECT u.user_id, g.ts FROM
+             (SELECT DISTINCT user_id FROM series) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         back AS (
+           SELECT p.user_id, p.ts, s.value AS y0, s.ts AS t0
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts >= s.ts),
+         fwd AS (
+           SELECT p.user_id, p.ts, s.value AS y1, s.ts AS t1
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts <= s.ts)
+         SELECT b.user_id, b.ts,
+           CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+                WHEN CAST(epoch_us(t1) AS DOUBLE) = CAST(epoch_us(t0) AS DOUBLE) THEN y0
+                ELSE y0 + (y1 - y0) *
+                  (CAST(epoch_us(b.ts) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) /
+                  (CAST(epoch_us(t1) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) END
+             AS v_slinear
+         FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    // mirrors interpQuadratic: alternating running-sum slope closed form,
+    // identical float op order (running window sums fold sequentially in
+    // both engines)
+    "q110_interp_quadratic" ->
+      """WITH kn0 AS (
+           SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         k1 AS (
+           SELECT user_id, t, y,
+             lead(t) OVER w AS tp,
+             lead(t) OVER w - t AS h,
+             (lead(y) OVER w - y) / (lead(t) OVER w - t) AS m,
+             row_number() OVER w - 1 AS j
+           FROM kn0 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         k2 AS (
+           SELECT user_id, t, y, tp, h, m, j,
+             CASE WHEN j = 0 THEN m
+                  ELSE 2.0 * (CASE WHEN j % 2 = 1 THEN -1.0 ELSE 1.0 END)
+                       * lag(m) OVER w END AS term
+           FROM k1 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         k3 AS (
+           SELECT user_id, t, y, tp, h, m, j,
+             sum(term) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+           FROM k2),
+         k4 AS (
+           SELECT user_id, t, y, tp, h, m,
+             CASE WHEN j % 2 = 1 THEN -e ELSE e END AS d
+           FROM k3),
+         probes AS (
+           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS t FROM
+             (SELECT DISTINCT user_id FROM kn0) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g)
+         SELECT p.user_id, p.t AS t_probe,
+           CASE WHEN s.t IS NULL THEN NULL
+                WHEN p.t = s.t THEN s.y
+                WHEN s.tp IS NULL THEN NULL
+                ELSE s.y + s.d * (p.t - s.t)
+                     + (s.m - s.d) * (p.t - s.t) * (p.t - s.t) / s.h END
+             AS v_quadratic
+         FROM probes p ASOF LEFT JOIN k4 s
+         ON p.user_id = s.user_id AND p.t >= s.t""",
+    // mirrors interpQuintic: 3-point derivative estimates + quintic
+    // Hermite basis, same IEEE op order term by term
+    "q111_interp_quintic" ->
+      """WITH kn0 AS (
+           SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                  CAST(value AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase'),
+         k1 AS (
+           SELECT user_id, t, y,
+             lead(t) OVER w AS tp, lead(y) OVER w AS yp,
+             lead(t) OVER w - t AS hn,
+             (lead(y) OVER w - y) / (lead(t) OVER w - t) AS dn
+           FROM kn0 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         k2 AS (
+           SELECT user_id, t, y, tp, yp, hn, dn,
+             lag(hn) OVER w AS hm, lag(dn) OVER w AS dm
+           FROM k1 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         k3 AS (
+           SELECT user_id, t, y, tp, yp, hn, dn, hm, dm,
+             CASE WHEN dm IS NULL AND dn IS NULL THEN 0.0
+                  WHEN dm IS NULL THEN dn
+                  WHEN dn IS NULL THEN dm
+                  ELSE (hn * dm + hm * dn) / (hm + hn) END AS d,
+             CASE WHEN dm IS NULL OR dn IS NULL THEN 0.0
+                  ELSE 2.0 * (dn - dm) / (hm + hn) END AS c
+           FROM k2),
+         k4 AS (
+           SELECT user_id, t, y, tp, yp, d, c,
+             lead(d) OVER w AS d1, lead(c) OVER w AS c1
+           FROM k3 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         probes AS (
+           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS t FROM
+             (SELECT DISTINCT user_id FROM kn0) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
+                             INTERVAL 1 DAY)) g),
+         ev AS (
+           SELECT p.user_id, p.t, s.t AS t0, s.y AS y0, s.d AS d0, s.c AS c0,
+                  s.tp AS t1, s.yp AS y1, s.d1, s.c1,
+                  s.tp - s.t AS h,
+                  (p.t - s.t) / (s.tp - s.t) AS sarg
+           FROM probes p ASOF LEFT JOIN k4 s
+           ON p.user_id = s.user_id AND p.t >= s.t),
+         ev2 AS (
+           SELECT user_id, t, t0, y0, d0, c0, t1, y1, d1, c1, h, sarg,
+             sarg * sarg AS s2,
+             (sarg * sarg) * sarg AS s3,
+             ((sarg * sarg) * sarg) * sarg AS s4,
+             (((sarg * sarg) * sarg) * sarg) * sarg AS s5
+           FROM ev)
+         SELECT user_id, t AS t_probe,
+           CASE WHEN t0 IS NULL THEN NULL
+                WHEN t = t0 THEN y0
+                WHEN t1 IS NULL THEN NULL
+                ELSE y0 * (1.0 - 10.0 * s3 + 15.0 * s4 - 6.0 * s5)
+                   + (h * d0) * (sarg - 6.0 * s3 + 8.0 * s4 - 3.0 * s5)
+                   + ((h * h) * c0) * (0.5 * (s2 - 3.0 * s3 + 3.0 * s4 - s5))
+                   + y1 * (10.0 * s3 - 15.0 * s4 + 6.0 * s5)
+                   + (h * d1) * (-4.0 * s3 + 7.0 * s4 - 3.0 * s5)
+                   + ((h * h) * c1) * (0.5 * (s3 - 2.0 * s4 + s5)) END
+             AS v_quintic
+         FROM ev2""",
     "q46_interpolate_na" ->
       """SELECT event_id, user_id,
          CASE WHEN vm IS NOT NULL THEN vm

@@ -45,7 +45,13 @@ class ScaleAuditSpec extends SparkSpec {
     "q39_date_range_infer" -> "generated grid only",
     "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
     "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded",
-    "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate")
+    "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate",
+    "q108_interp_zero" -> "probe grid cross user list, both driver-bounded",
+    "q109_interp_slinear" -> "probe grid cross user list, both driver-bounded",
+    "q110_interp_quadratic" -> "probe grid cross user list, both driver-bounded",
+    "q111_interp_quintic" -> "probe grid cross user list, both driver-bounded",
+    "q113_interp_barycentric" -> "probe grid cross user list, both driver-bounded",
+    "q114_interp_krogh" -> "probe grid cross user list, both driver-bounded")
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup") // memory-table results
