@@ -404,6 +404,30 @@ object QueriesMore {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
     }),
 
+    // netCDF classic -> parquet converter roundtrip (ref
+    // `backends/api.py:395` engine dispatch, `backends/scipy_.py`):
+    // a CDF-1 file is written with the in-repo writer, decoded
+    // distributedly (binaryFile source, executor-side parse), converted
+    // to a parquet store, and read back in long format. The fixture grid
+    // is closed-form, so the oracle regenerates it from generate_series.
+    "q115_netcdf_roundtrip" -> ((s, dir) => {
+      import graft.io.NetCDF
+      val base = "/tmp/graft_nc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val dims = Seq(NetCDF.Dim("time", 6), NetCDF.Dim("lat", 5))
+      NetCDF.write(base + "/part0.nc", dims, Seq(
+        NetCDF.Var("time", Seq(0), NetCDF.NC_INT,
+          Array.tabulate(6)(_.toDouble)),
+        NetCDF.Var("lat", Seq(1), NetCDF.NC_INT,
+          Array.tabulate(5)(_.toDouble)),
+        NetCDF.Var("temp", Seq(0, 1), NetCDF.NC_DOUBLE,
+          (for (t <- 0 until 6; l <- 0 until 5)
+            yield t * 100.0 + l * 1.5).toArray)))
+      NetCDF.convert(s, base, "temp", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet")
+        .select("time", "lat", "temp")
+    }),
+
     // sortby(multi-key) + positional index (ref `dataset.py` sortby; isel
     // positions): ordinals via the range-partitioned zipWithIndex scheme
     // (no single-partition window at scale)
@@ -598,6 +622,11 @@ object QueriesMore {
          bool_and(l_quantity > 0) AS all_pos,
          bool_or(l_discount = 0.0) AS any_nodisc
          FROM lineitem GROUP BY 1""",
+    // closed-form fixture grid regenerated independently of the .nc path
+    "q115_netcdf_roundtrip" ->
+      """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
     // The fixture's y = a*exp(b*x) is noiseless, so the TRUE params are
     // recoverable analytically: ln(y) = ln(a) + b*x is an exact linear
     // relation and OLS on (x, ln y) returns (ln a, b) to ~1e-12. LM on the

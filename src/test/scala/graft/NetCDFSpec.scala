@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.ByteBuffer
+import graft.io.NetCDF
+import graft.io.NetCDF._
+
+/** Pins the CDF-1 binary layout against a hand-assembled byte buffer
+  * (independent of the writer) and checks writer->reader roundtrips. */
+class NetCDFSpec extends SparkSpec {
+
+  test("reader decodes a hand-assembled CDF-1 buffer (format pin)") {
+    // file: dim x(3); var v(x) NC_SHORT = [7, -2, 300]
+    val buf = ByteBuffer.allocate(200)
+    buf.put(Array[Byte]('C', 'D', 'F', 1))
+    buf.putInt(0) // numrecs
+    buf.putInt(10); buf.putInt(1) // NC_DIMENSION, 1 dim
+    buf.putInt(1); buf.put('x'.toByte); buf.put(new Array[Byte](3)) // name "x"
+    buf.putInt(3) // size
+    buf.putInt(0); buf.putInt(0) // no global atts
+    buf.putInt(11); buf.putInt(1) // NC_VARIABLE, 1 var
+    buf.putInt(1); buf.put('v'.toByte); buf.put(new Array[Byte](3)) // name "v"
+    buf.putInt(1); buf.putInt(0) // 1 dim, dimid 0
+    buf.putInt(0); buf.putInt(0) // no var atts
+    buf.putInt(NC_SHORT); buf.putInt(8) // vsize 6 -> padded 8
+    val begin = buf.position() + 4
+    buf.putInt(begin)
+    buf.putShort(7); buf.putShort(-2); buf.putShort(300)
+    val bytes = java.util.Arrays.copyOf(buf.array(), begin + 8)
+    val hdr = parseHeader(bytes)
+    assert(hdr.dims == Seq(Dim("x", 3)))
+    assert(hdr.vars.head.name == "v" && hdr.vars.head.ncType == NC_SHORT)
+    assert(readVar(bytes, hdr, "v").toSeq == Seq(7.0, -2.0, 300.0))
+  }
+
+  test("writer -> reader roundtrip across all scalar types") {
+    val path = java.nio.file.Files.createTempDirectory("nc").toString
+    val dims = Seq(Dim("a", 2), Dim("b", 3))
+    val vals = (1 to 6).map(_.toDouble * 1.5).toArray
+    for (t <- Seq(NC_BYTE, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE)) {
+      val f = s"$path/t$t.nc"
+      NetCDF.write(f, dims, Seq(Var("v", Seq(0, 1), t, vals)))
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      val hdr = parseHeader(bytes)
+      val back = readVar(bytes, hdr, "v")
+      val expected = t match {
+        case NC_BYTE | NC_SHORT | NC_INT => vals.map(_.toInt.toDouble)
+        case NC_FLOAT => vals.map(x => x.toFloat.toDouble)
+        case NC_DOUBLE => vals
+      }
+      assert(back.toSeq == expected.toSeq, s"type $t")
+    }
+  }
+
+  test("toLongDF explodes dims with coordinate variables") {
+    val path = java.nio.file.Files.createTempDirectory("nc").toString
+    NetCDF.write(s"$path/f.nc", Seq(Dim("t", 2), Dim("y", 2)), Seq(
+      Var("t", Seq(0), NC_INT, Array(10.0, 20.0)),
+      Var("v", Seq(0, 1), NC_DOUBLE, Array(1.0, 2.0, 3.0, 4.0))))
+    val df = NetCDF.toLongDF(spark, path, "v")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // dim "y" has no coord var -> 0-based index
+    assert(rows.toSeq == Seq((10L, 0L, 1.0), (10L, 1L, 2.0),
+      (20L, 0L, 3.0), (20L, 1L, 4.0)))
+  }
+}
