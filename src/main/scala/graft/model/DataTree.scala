@@ -33,9 +33,45 @@ final class DataTree(val nodes: Map[String, XDataset]) {
     new XDataset(ds.df, ds.meta.copy(coords = ds.meta.coords ++ inheritedCoords))
   }
 
-  /** map_over_datasets (ref `datatree.py:1789`). */
+  /** map_over_datasets (ref `datatree.py:1789`): apply a dataset function
+    * to every node, preserving the hierarchy. The mapped function sees
+    * the node with INHERITED parent coordinates (matching the reference's
+    * DatasetView semantics). */
   def mapOverDatasets(f: XDataset => XDataset): DataTree =
-    new DataTree(nodes.map { case (p, ds) => p -> f(ds) })
+    new DataTree(nodes.map { case (p, _) => p -> f(resolved(p)) })
+
+  /** Structural isomorphism: same set of node paths (ref
+    * `datatree_mapping.py:28` `check_isomorphic`). */
+  def isomorphic(other: DataTree): Boolean = nodes.keySet == other.nodes.keySet
+
+  /** Binary map over two ISOMORPHIC trees (the 2-argument
+    * map_over_datasets form, ref `datatree_mapping.py:45`). */
+  def zipWith(other: DataTree)(f: (XDataset, XDataset) => XDataset): DataTree = {
+    require(isomorphic(other), "trees are not isomorphic")
+    new DataTree(nodes.map { case (p, ds) => p -> f(ds, other.nodes(p)) })
+  }
+
+  /** Subtree rooted at `prefix` (ref `datatree.py` `__getitem__` of a
+    * group path); paths are re-rooted. */
+  def subtree(prefix: String): DataTree = {
+    val root = norm(prefix)
+    new DataTree(nodes.collect {
+      case (p, ds) if p == root || p.startsWith(root + "/") =>
+        (if (p == root) "/" else p.stripPrefix(root)) -> ds
+    })
+  }
+
+  def depth: Int =
+    nodes.keys.map(p => p.split("/").count(_.nonEmpty)).maxOption.getOrElse(0)
+
+  /** Collapse the tree into ONE long frame with a `path` column — the
+    * distributed export of a mapped tree (nodes must share a schema).
+    * Union is metadata-only in Spark; no shuffle. */
+  def collapse(): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    groups.map(p => nodes(p).df.withColumn("path", lit(p)))
+      .reduce(_ unionByName _)
+  }
 
   /** filter nodes by predicate on the path or dataset (ref
     * `datatree.py:1597/1742`). */

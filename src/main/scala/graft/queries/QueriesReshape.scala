@@ -11,6 +11,47 @@ object QueriesReshape {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // MultiIndex partial-level sel + reorder_levels (ref `indexes.py:1291`
+    // PandasMultiIndex.sel; `dataset.py:5270` reorder_levels): stack two
+    // dims into a struct index, select on ONE level, reorder the levels,
+    // aggregate by the reordered index fields
+    "q116_multiindex_sel" -> ((s, dir) => {
+      val stacked = Reshape.stack(
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"),
+        Seq("c_mktsegment", "c_nationkey"), "mi")
+      val selected = Reshape.selLevel(stacked, "mi", "c_mktsegment", "BUILDING")
+      val reordered = Reshape.reorderLevels(selected, "mi",
+        Seq("c_nationkey", "c_mktsegment"))
+      reordered.groupBy(
+          col("mi").getField("c_nationkey").as("nationkey"),
+          col("mi").getField("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+    }),
+
+    // DataTree map_over_datasets over a 2-level hierarchy (ref
+    // `core/datatree.py:1789`, `datatree_mapping.py:45`): per-node
+    // reduction, hierarchy preserved, collapsed to one frame with the
+    // node path as a column
+    "q117_datatree_map" -> ((s, dir) => {
+      import graft.model.{DataTree, XDataset}
+      import org.apache.spark.sql.types.DecimalType
+      val cust = Tables.customer(s, dir)
+      def node(df: DataFrame) =
+        XDataset(df.select("c_custkey", "c_acctbal"), Seq("c_custkey"))
+      val tree = DataTree(
+        "/" -> node(cust),
+        "/seg/BUILDING" -> node(cust.filter(col("c_mktsegment") === "BUILDING")),
+        "/seg/MACHINERY" -> node(cust.filter(col("c_mktsegment") === "MACHINERY")))
+      val mapped = tree.mapOverDatasets { ds =>
+        XDataset(ds.df.agg(
+          count(lit(1)).as("n"),
+          (sum(col("c_acctbal").cast(DecimalType(30, 4))).cast("double") /
+            count(col("c_acctbal"))).as("avg_bal")), Nil)
+      }
+      mapped.collapse().select("path", "n", "avg_bal")
+    }),
+
     // concat along a NEW dim (ref `structure/concat.py:45`)
     "q31_concat_newdim" -> ((s, dir) => {
       def monthly(status: String) = Tables.orders(s, dir)
@@ -64,6 +105,27 @@ object QueriesReshape {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q116_multiindex_sel" ->
+      """SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         count(*) AS n, min(c_custkey) AS min_key
+         FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2""",
+
+    "q117_datatree_map" ->
+      """SELECT '/' AS path, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+             / count(c_acctbal) AS avg_bal
+         FROM customer
+         UNION ALL
+         SELECT '/seg/BUILDING', count(*),
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+             / count(c_acctbal)
+         FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT '/seg/MACHINERY', count(*),
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+             / count(c_acctbal)
+         FROM customer WHERE c_mktsegment = 'MACHINERY'""",
     "q31_concat_newdim" ->
       """SELECT 'F' AS status, date_trunc('month', o_orderdate) AS month,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev

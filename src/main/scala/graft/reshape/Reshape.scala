@@ -39,6 +39,34 @@ object Reshape {
       .drop(stacked)
   }
 
+  /** sel on ONE level of a stacked (struct / MultiIndex) dim (ref
+    * `indexes.py:1291` `PandasMultiIndex.sel` partial-level selection):
+    * filter on the struct field; with `drop=true` the selected (now
+    * scalar) level is removed from the struct, mirroring pandas' level
+    * collapse on scalar selection. Pure filter + projection. */
+  def selLevel(df: DataFrame, stacked: String, level: String, value: Any,
+               drop: Boolean = false): DataFrame = {
+    val filtered = df.filter(col(stacked).getField(level) === lit(value))
+    if (!drop) filtered
+    else {
+      val remaining = df.schema(stacked).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.filterNot(_ == level)
+      filtered.withColumn(stacked,
+        struct(remaining.map(f => col(stacked).getField(f).as(f)).toSeq: _*))
+    }
+  }
+
+  /** reorder_levels: rebuild the MultiIndex struct with levels in a new
+    * order (ref `dataset.py:5270`) — a pure projection, no data motion. */
+  def reorderLevels(df: DataFrame, stacked: String, order: Seq[String]): DataFrame = {
+    val have = df.schema(stacked).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    require(order.toSet == have, s"reorder_levels($order) != levels $have")
+    df.withColumn(stacked,
+      struct(order.map(f => col(stacked).getField(f).as(f)): _*))
+  }
+
   /** unstack a dim into value COLUMNS (xarray unstack to wide form):
     * groupBy + pivot over the known label set. Labels must be provided —
     * at 100 TB an unknown-label pivot needs an extra distinct pass. */

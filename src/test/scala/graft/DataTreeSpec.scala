@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{DataTree, XDataset}
+import graft.reshape.Reshape
+
+/** DataTree hierarchy ops (ref `core/datatree.py`, `datatree_mapping.py`)
+  * and MultiIndex level ops (ref `indexes.py:1291`, `dataset.py:5270`). */
+class DataTreeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ds(rows: (Int, Double)*) =
+    XDataset(rows.toDF("k", "v"), Seq("k"))
+
+  test("mapOverDatasets preserves hierarchy and sees inherited coords") {
+    val parent = new XDataset(Seq((1, 1.0)).toDF("k", "v"),
+      graft.model.DatasetMeta(Seq("k"), coords = Set("site")))
+    val child = ds((2, 2.0))
+    val tree = new DataTree(Map("/" -> parent, "/a" -> child))
+    var seenCoords: Set[String] = Set.empty
+    tree.mapOverDatasets { d =>
+      if (!d.meta.coords.isEmpty) seenCoords = d.meta.coords
+      d
+    }
+    // child inherited the parent's "site" coordinate (DatasetView semantics)
+    assert(seenCoords == Set("site"))
+  }
+
+  test("subtree re-roots and isomorphic trees zip") {
+    val t = DataTree("/" -> ds((1, 1.0)), "/a/x" -> ds((2, 2.0)),
+      "/a/y" -> ds((3, 3.0)), "/b" -> ds((4, 4.0)))
+    val sub = t.subtree("/a")
+    assert(sub.groups == Seq("/x", "/y"))
+    assert(t.depth == 2)
+    val doubled = t.mapOverDatasets(d =>
+      new XDataset(d.df.withColumn("v", col("v") * 2), d.meta))
+    assert(t.isomorphic(doubled))
+    val summed = t.zipWith(doubled) { (a, b) =>
+      new XDataset(a.df.unionByName(b.df), a.meta)
+    }
+    assert(summed.groups == t.groups)
+    assert(summed("/b").df.agg(sum("v")).head.getDouble(0) == 12.0)
+  }
+
+  test("selLevel(drop=true) removes the selected level from the struct") {
+    val df = Seq(("A", 1, 10.0), ("A", 2, 20.0), ("B", 1, 30.0))
+      .toDF("seg", "nat", "v")
+    val stacked = Reshape.stack(df, Seq("seg", "nat"), "mi")
+    val sel = Reshape.selLevel(stacked, "mi", "seg", "A", drop = true)
+    val fields = sel.schema("mi").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(fields.toSeq == Seq("nat"))
+    assert(sel.count() == 2)
+  }
+
+  test("reorderLevels permutes struct fields") {
+    val df = Seq(("A", 1, 10.0)).toDF("seg", "nat", "v")
+    val stacked = Reshape.stack(df, Seq("seg", "nat"), "mi")
+    val r = Reshape.reorderLevels(stacked, "mi", Seq("nat", "seg"))
+    val fields = r.schema("mi").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(fields.toSeq == Seq("nat", "seg"))
+  }
+}
