@@ -585,6 +585,92 @@ object Numerics {
     struct((d0 / det).as("c0"), (d1 / det).as("c1"), (d2 / det).as("c2"))
   }
 
+  /** Degree-3 polyfit with covariance diagonal (ref `computation/fit.py:101`
+    * polyfit `cov=True`; `Dataset.polyfit` returns polyfit_covariance =
+    * σ²·inv(XᵀX)). Closed-form Cramer expansion over exact decimal Hankel
+    * moments s0..s6 / t0..t3 / Σy², with FIXED association so the DuckDB
+    * oracle replays bit-identical double arithmetic. Caller pre-scales x,y
+    * into ~[0,1] (numpy polyfit's own conditioning advice). Returns
+    * struct(c0..c3, v0..v3) for y ~ Σ cₖxᵏ, vₖ = Var(cₖ). */
+  def fit3cov(x: Column, y: Column): Column = {
+    val mask = x.isNotNull && y.isNotNull
+    def m(c: Column) = when(mask, c)
+    val s0 = count(m(lit(1))).cast("double")
+    val xs = Seq(x, x * x, x * x * x, x * x * x * x, x * x * x * x * x,
+      x * x * x * x * x * x)
+    val sN = s0 +: xs.map(p => dsum(m(p), 9)) // s0..s6
+    val tN = Seq(dsum(m(y), 9), dsum(m(x * y), 9), dsum(m(x * x * y), 9),
+      dsum(m(x * x * x * y), 9)) // t0..t3
+    val syy = dsum(m(y * y), 9)
+    def det3(a: Seq[Seq[Column]]): Column =
+      a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+    def minor(a: Seq[Seq[Column]], i: Int, j: Int): Seq[Seq[Column]] =
+      a.indices.filter(_ != i).map(r => a.indices.filter(_ != j).map(c => a(r)(c)))
+    def det4(a: Seq[Seq[Column]]): Column =
+      a(0)(0) * det3(minor(a, 0, 0)) - a(0)(1) * det3(minor(a, 0, 1)) +
+        a(0)(2) * det3(minor(a, 0, 2)) - a(0)(3) * det3(minor(a, 0, 3))
+    val A = (0 to 3).map(i => (0 to 3).map(j => sN(i + j)))
+    val det = det4(A)
+    val cs = (0 to 3).map { k =>
+      det4((0 to 3).map(i => (0 to 3).map(j => if (j == k) tN(i) else A(i)(j)))) / det
+    }
+    val rss = syy - (cs(0) * tN(0) + cs(1) * tN(1) + cs(2) * tN(2) + cs(3) * tN(3))
+    val sigma2 = rss / (s0 - 4)
+    val vs = (0 to 3).map(k => sigma2 * det3(minor(A, k, k)) / det)
+    struct(cs.zipWithIndex.map { case (c, k) => c.as(s"c$k") } ++
+      vs.zipWithIndex.map { case (v, k) => v.as(s"v$k") }: _*)
+  }
+
+  /** Arbitrary-degree polyfit: one aggregation pass builds the decimal
+    * Vandermonde moments per group (map-side combine, scale-safe), then a
+    * per-group O(deg³) Gauss-Jordan solve on the already-aggregated row —
+    * the same flox-style "moments then tiny solve" split as fit2/fit3cov,
+    * generalized. Returns (coeffs array, diag of inv(XᵀX)) for cov=True. */
+  def polyfitMoments(df: DataFrame, by: Seq[String], x: Column, y: Column,
+                     deg: Int): DataFrame = {
+    require(deg >= 1 && deg <= 12, s"degree $deg out of range")
+    val mask = x.isNotNull && y.isNotNull
+    def m(c: Column) = when(mask, c)
+    def pow(k: Int): Column = (1 to k).foldLeft(lit(1.0): Column)((a, _) => a * x)
+    val sAgg = (0 to 2 * deg).map {
+      case 0 => count(m(lit(1))).cast("double").as("s0")
+      case k => dsum(m(pow(k)), 9).as(s"s$k")
+    }
+    val tAgg = (0 to deg).map(k => dsum(m(pow(k) * y), 9).as(s"t$k"))
+    val agg = df.groupBy(by.map(col): _*)
+      .agg(sAgg.head, (sAgg.tail ++ tAgg :+ dsum(m(y * y), 9).as("syy")): _*)
+    val solve = udf { (s: Seq[Double], t: Seq[Double], syy: Double) =>
+      val d = t.length // deg+1
+      // Gauss-Jordan with partial pivoting on [A | t | I]
+      val a = Array.tabulate(d, 2 * d + 1) { (i, j) =>
+        if (j < d) s(i + j) else if (j == d) t(i)
+        else if (j - d - 1 == i) 1.0 else 0.0
+      }
+      for (col0 <- 0 until d) {
+        val p = (col0 until d).maxBy(r => math.abs(a(r)(col0)))
+        val tmp = a(col0); a(col0) = a(p); a(p) = tmp
+        val piv = a(col0)(col0)
+        for (j <- col0 to 2 * d) a(col0)(j) /= piv
+        for (r <- 0 until d if r != col0) {
+          val f = a(r)(col0)
+          if (f != 0.0) for (j <- col0 to 2 * d) a(r)(j) -= f * a(col0)(j)
+        }
+      }
+      val coef = Array.tabulate(d)(i => a(i)(d))
+      val invDiag = Array.tabulate(d)(i => a(i)(d + 1 + i))
+      val rss = syy - coef.indices.map(i => coef(i) * t(i)).sum
+      val sigma2 = rss / (s(0) - d)
+      (coef.toSeq, invDiag.map(_ * sigma2).toSeq)
+    }
+    val sArr = array((0 to 2 * deg).map(k => col(s"s$k")): _*)
+    val tArr = array((0 to deg).map(k => col(s"t$k")): _*)
+    agg.withColumn("__fit", solve(sArr, tArr, col("syy")))
+      .select(by.map(col) :+ col("__fit._1").as("coeffs") :+
+        col("__fit._2").as("cov_diag"): _*)
+  }
+
   /** interpolate_na: fill interior NULL runs by linear interpolation
     * between bracketing valid values (ref `core/missing.py:331`
     * `interp_na`); edges stay NULL like the reference default. */

@@ -33,7 +33,7 @@ object QueriesMore {
         .df.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
     }),
 
-    // pad: constant/edge/reflect/wrap modes (ref `dataset.py:9054`)
+    // pad: constant/edge/reflect/symmetric/wrap modes (ref `dataset.py:9054`)
     "q67_pad" -> ((s, dir) => {
       val base = Positions.zipWithIndex(
         Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
@@ -42,11 +42,11 @@ object QueriesMore {
       Pad.pad(base.select("pos", "s_acctbal"), "pos", "s_acctbal", n,
         before = 2, after = 2, constant = 0.0)
         .select("pos", "s_acctbal_constant", "s_acctbal_edge",
-          "s_acctbal_reflect", "s_acctbal_wrap")
+          "s_acctbal_reflect", "s_acctbal_symmetric", "s_acctbal_wrap")
     }),
 
     // pad stat/ramp modes (ref `dataset.py:9054`; numpy maximum/minimum/
-    // mean/linear_ramp) — completes the 4 structural modes of q67
+    // mean/median/linear_ramp) — completes the structural modes of q67
     "q106_pad_stat" -> ((s, dir) => {
       val base = Positions.zipWithIndex(
         Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
@@ -563,6 +563,7 @@ object QueriesMore {
            coalesce(c.s_acctbal, 0.0) AS s_acctbal_constant,
            e.s_acctbal AS s_acctbal_edge,
            r.s_acctbal AS s_acctbal_reflect,
+           sy.s_acctbal AS s_acctbal_symmetric,
            w.s_acctbal AS s_acctbal_wrap
          FROM grid g
          LEFT JOIN s c ON c.pos = g.pos
@@ -570,6 +571,10 @@ object QueriesMore {
          LEFT JOIN s r ON r.pos = CASE WHEN g.pos < 0 THEN -g.pos
              WHEN g.pos >= (SELECT n FROM n)
                THEN 2 * ((SELECT n FROM n) - 1) - g.pos
+             ELSE g.pos END
+         LEFT JOIN s sy ON sy.pos = CASE WHEN g.pos < 0 THEN -g.pos - 1
+             WHEN g.pos >= (SELECT n FROM n)
+               THEN 2 * (SELECT n FROM n) - 1 - g.pos
              ELSE g.pos END
          LEFT JOIN s w ON w.pos = ((g.pos % (SELECT n FROM n))
              + (SELECT n FROM n)) % (SELECT n FROM n)""",
@@ -728,6 +733,7 @@ object QueriesMore {
          mx AS (SELECT max(pos) AS mp FROM s),
          st AS (SELECT max(v) AS vmax, min(v) AS vmin,
                   CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS vmean,
+                  round(median(v), 6) AS vmedian,
                   max(CASE WHEN pos = 0 THEN v END) AS vfirst,
                   max(CASE WHEN pos = (SELECT mp FROM mx) THEN v END) AS vlast
                 FROM s),
@@ -736,6 +742,7 @@ object QueriesMore {
            coalesce(s.v, st.vmax) AS s_acctbal_maximum,
            coalesce(s.v, st.vmin) AS s_acctbal_minimum,
            coalesce(s.v, st.vmean) AS s_acctbal_mean,
+           coalesce(s.v, st.vmedian) AS s_acctbal_median,
            CASE WHEN g.pos < 0
                   THEN st.vfirst * ((3 + g.pos) / CAST(3 AS DOUBLE))
                 WHEN g.pos > (SELECT mp FROM mx)

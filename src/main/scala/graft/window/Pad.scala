@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * back to the data — no window over the full data, one broadcast-sized
   * join per side at any scale.
   *
-  * Supported modes: constant, edge, reflect (numpy: no edge repeat), wrap.
+  * Supported modes: constant, edge, reflect (numpy: no edge repeat),
+  * symmetric (mirror WITH edge repeat), wrap.
   */
 object Pad {
 
@@ -32,17 +33,21 @@ object Pad {
       col(valueCol).as(s"${valueCol}_constant"),
       col(valueCol).as(s"${valueCol}_edge"),
       col(valueCol).as(s"${valueCol}_reflect"),
+      col(valueCol).as(s"${valueCol}_symmetric"),
       col(valueCol).as(s"${valueCol}_wrap"))
     def srcIdx(mode: String): Column = mode match {
       case "edge"    => least(greatest(p, lit(0L)), lit(n - 1))
       case "reflect" => // numpy 'reflect': mirror WITHOUT repeating the edge
         when(p < 0, -p).otherwise(lit(2 * (n - 1)) - p)
+      case "symmetric" => // numpy 'symmetric': mirror WITH the edge repeated
+        when(p < 0, -p - 1).otherwise(lit(2 * n - 1) - p)
       case "wrap"    => pmod(p, lit(n))
     }
     val padGrid = spark.range(-before.toLong, 0).union(spark.range(n, n + after))
       .toDF(pos)
-    val melted = padGrid.select(p, explode(array(Seq("edge", "reflect", "wrap")
-      .map(m => struct(lit(m).as("m"), srcIdx(m).as("i"))): _*)).as("mi"))
+    val melted = padGrid.select(p,
+      explode(array(Seq("edge", "reflect", "symmetric", "wrap")
+        .map(m => struct(lit(m).as("m"), srcIdx(m).as("i"))): _*)).as("mi"))
       .select(p, col("mi.m").as("__m"), col("mi.i").as("__i"))
     val src = df.select(col(pos).as("__sp"), col(valueCol).as("__sv"))
     val padRows = src.join(broadcast(melted), col("__sp") === col("__i"))
@@ -50,6 +55,7 @@ object Pad {
       .agg(
         max(when(col("__m") === "edge", col("__sv"))).as(s"${valueCol}_edge"),
         max(when(col("__m") === "reflect", col("__sv"))).as(s"${valueCol}_reflect"),
+        max(when(col("__m") === "symmetric", col("__sv"))).as(s"${valueCol}_symmetric"),
         max(when(col("__m") === "wrap", col("__sv"))).as(s"${valueCol}_wrap"))
       .withColumn(s"${valueCol}_constant",
         if (constant == null) lit(null).cast(df.schema(valueCol).dataType)
@@ -57,10 +63,12 @@ object Pad {
     inRange.unionByName(padRows.select(inRange.columns.map(col): _*))
   }
 
-  /** Stat / ramp pad modes (numpy maximum / minimum / mean / linear_ramp
-    * with end_value=0; stat length = whole series, the numpy default).
-    * The series stats aggregate ONCE (decimal-exact mean) and broadcast
-    * into the generated pad rows — still no window over the data. */
+  /** Stat / ramp pad modes (numpy maximum / minimum / mean / median /
+    * linear_ramp with end_value=0; stat length = whole series, the numpy
+    * default). The series stats aggregate ONCE (decimal-exact mean; median
+    * rounded to 6 dp on both engine and oracle sides per the float policy)
+    * and broadcast into the generated pad rows — still no window over the
+    * data. */
   def padStat(df: DataFrame, pos: String, valueCol: String, n: Long,
               before: Int, after: Int, meanScale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -74,11 +82,13 @@ object Pad {
       max(v).as("__max"), min(v).as("__min"),
       (sum(v.cast(DecimalType(30, meanScale))).cast("double") / count(v))
         .as("__mean"),
+      round(percentile(v, lit(0.5)), 6).as("__median"),
       max(when(col(pos) === 0, v)).as("__first"),
       max(when(col(pos) === n - 1, v)).as("__last"))
     val inRange = df.select(p,
       v.as(s"${valueCol}_maximum"), v.as(s"${valueCol}_minimum"),
-      v.as(s"${valueCol}_mean"), v.as(s"${valueCol}_linear_ramp"))
+      v.as(s"${valueCol}_mean"), v.as(s"${valueCol}_median"),
+      v.as(s"${valueCol}_linear_ramp"))
     val padGrid = spark.range(-before.toLong, 0).union(spark.range(n, n + after))
       .toDF(pos)
     val ramp =
@@ -91,6 +101,7 @@ object Pad {
       col("__max").as(s"${valueCol}_maximum"),
       col("__min").as(s"${valueCol}_minimum"),
       col("__mean").as(s"${valueCol}_mean"),
+      col("__median").as(s"${valueCol}_median"),
       ramp.as(s"${valueCol}_linear_ramp"))
     inRange.unionByName(padRows)
   }

@@ -12,17 +12,19 @@ import graft.exprs.ProductAgg
 class PadCfSpec extends SparkSpec {
   import spark.implicits._
 
-  test("pad modes match numpy (constant/edge/reflect/wrap)") {
+  test("pad modes match numpy (constant/edge/reflect/symmetric/wrap)") {
     val df = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("pos", "v")
     val out = Pad.pad(df, "pos", "v", n = 3, before = 2, after = 2, constant = 0.0)
       .orderBy("pos").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def c(name: String) = out.map(_.getAs[Double]("v_" + name)).toSeq
     // numpy: constant [0,0,10,20,30,0,0]; edge [10,10,...,30,30];
-    // reflect [30,20,10,20,30,20,10]; wrap [20,30,10,20,30,10,20]
-    assert(out.map(_._2).toSeq === Seq(0.0, 0.0, 10.0, 20.0, 30.0, 0.0, 0.0))
-    assert(out.map(_._3).toSeq === Seq(10.0, 10.0, 10.0, 20.0, 30.0, 30.0, 30.0))
-    assert(out.map(_._4).toSeq === Seq(30.0, 20.0, 10.0, 20.0, 30.0, 20.0, 10.0))
-    assert(out.map(_._5).toSeq === Seq(20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0))
+    // reflect [30,20,10,20,30,20,10]; symmetric [20,10,10,20,30,30,20];
+    // wrap [20,30,10,20,30,10,20]
+    assert(c("constant") === Seq(0.0, 0.0, 10.0, 20.0, 30.0, 0.0, 0.0))
+    assert(c("edge") === Seq(10.0, 10.0, 10.0, 20.0, 30.0, 30.0, 30.0))
+    assert(c("reflect") === Seq(30.0, 20.0, 10.0, 20.0, 30.0, 20.0, 10.0))
+    assert(c("symmetric") === Seq(20.0, 10.0, 10.0, 20.0, 30.0, 30.0, 20.0))
+    assert(c("wrap") === Seq(20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0))
   }
 
   test("roll shifts circularly") {
