@@ -31,18 +31,24 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
-        if (n < 0) System.err.println(s"[bench] $name FAILED")
-        name -> secs
+        if (!ok) System.err.println(s"[bench] $name FAILED")
+        name -> (if (ok) Some(secs) else None)
       }.toMap
     }
+    // A query that failed in ANY pass reports null, not its time-to-failure:
+    // the JSON must never contain a bogus timing for a broken query.
     val results = ordered.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      name -> (if (passes.exists(_(name).isEmpty)) None
+               else Some(passes.map(_(name).get).min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

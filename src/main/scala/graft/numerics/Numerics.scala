@@ -592,6 +592,87 @@ object Numerics {
     * oracle replays bit-identical double arithmetic. Caller pre-scales x,y
     * into ~[0,1] (numpy polyfit's own conditioning advice). Returns
     * struct(c0..c3, v0..v3) for y ~ Σ cₖxᵏ, vₖ = Var(cₖ). */
+  /** Expression algebra: the SAME combinator code below builds either the
+    * Spark Column tree or the DuckDB SQL text for fit3cov, so engine and
+    * oracle evaluate bit-identical IEEE-double arithmetic (identical
+    * association, fully parenthesized). */
+  private trait Alg[T] {
+    def mul(a: T, b: T): T; def div(a: T, b: T): T
+    def add(a: T, b: T): T; def sub(a: T, b: T): T
+    def num(d: Double): T
+  }
+  private object ColAlg extends Alg[Column] {
+    def mul(a: Column, b: Column) = a * b
+    def div(a: Column, b: Column) = a / b
+    def add(a: Column, b: Column) = a + b
+    def sub(a: Column, b: Column) = a - b
+    def num(d: Double) = lit(d)
+  }
+  private object SqlAlg extends Alg[String] {
+    def mul(a: String, b: String) = s"($a * $b)"
+    def div(a: String, b: String) = s"($a / $b)"
+    def add(a: String, b: String) = s"($a + $b)"
+    def sub(a: String, b: String) = s"($a - $b)"
+    def num(d: Double) = s"CAST($d AS DOUBLE)"
+  }
+
+  /** Cramer-expansion deg-3 solve with covariance diagonal over the Hankel
+    * moments s0..s6 / t0..t3 / Σy². Returns (c0..c3, v0..v3). */
+  private def fit3covCore[T](sN: Seq[T], tN: Seq[T], syy: T)(F: Alg[T])
+      : (Seq[T], Seq[T]) = {
+    import F._
+    def det3(a: Seq[Seq[T]]): T =
+      add(sub(mul(a(0)(0), sub(mul(a(1)(1), a(2)(2)), mul(a(1)(2), a(2)(1)))),
+              mul(a(0)(1), sub(mul(a(1)(0), a(2)(2)), mul(a(1)(2), a(2)(0))))),
+          mul(a(0)(2), sub(mul(a(1)(0), a(2)(1)), mul(a(1)(1), a(2)(0)))))
+    def minor(a: Seq[Seq[T]], i: Int, j: Int): Seq[Seq[T]] =
+      a.indices.filter(_ != i).map(r => a.indices.filter(_ != j).map(c => a(r)(c)))
+    def det4(a: Seq[Seq[T]]): T =
+      sub(add(sub(mul(a(0)(0), det3(minor(a, 0, 0))),
+                  mul(a(0)(1), det3(minor(a, 0, 1)))),
+              mul(a(0)(2), det3(minor(a, 0, 2)))),
+          mul(a(0)(3), det3(minor(a, 0, 3))))
+    val A = (0 to 3).map(i => (0 to 3).map(j => sN(i + j)))
+    val det = det4(A)
+    val cs = (0 to 3).map { k =>
+      div(det4((0 to 3).map(i => (0 to 3).map(j => if (j == k) tN(i) else A(i)(j)))), det)
+    }
+    val rss = sub(syy,
+      add(add(add(mul(cs(0), tN(0)), mul(cs(1), tN(1))), mul(cs(2), tN(2))),
+          mul(cs(3), tN(3))))
+    val sigma2 = div(rss, sub(sN(0), num(4.0)))
+    val vs = (0 to 3).map(k => div(mul(sigma2, det3(minor(A, k, k))), det))
+    (cs, vs)
+  }
+
+  /** The 12 aggregate moment columns for [[fit3cov]], named s0..s6 / t0..t3
+    * / syy. Kept separate from the solve so the hash-agg stage stays small
+    * enough for whole-stage codegen; the Cramer solve is then a projection
+    * over the (tiny, one-row-per-group) aggregated frame. */
+  def fit3covMoments(x: Column, y: Column): Seq[Column] = {
+    val mask = x.isNotNull && y.isNotNull
+    def m(c: Column) = when(mask, c)
+    val xs = Seq(x, x * x, x * x * x, x * x * x * x, x * x * x * x * x,
+      x * x * x * x * x * x)
+    (count(m(lit(1))).cast("double").as("s0") +:
+      xs.zipWithIndex.map { case (p, i) => dsum(m(p), 9).as(s"s${i + 1}") }) ++
+      Seq(dsum(m(y), 9).as("t0"), dsum(m(x * y), 9).as("t1"),
+        dsum(m(x * x * y), 9).as("t2"), dsum(m(x * x * x * y), 9).as("t3"),
+        dsum(m(y * y), 9).as("syy"))
+  }
+
+  /** Cramer solve over moment columns named as in [[fit3covMoments]]:
+    * struct(c0..c3, v0..v3). */
+  def fit3covSolve: Column = {
+    val (cs, vs) = fit3covCore((0 to 6).map(k => col(s"s$k")),
+      (0 to 3).map(k => col(s"t$k")), col("syy"))(ColAlg)
+    struct(cs.zipWithIndex.map { case (c, k) => c.as(s"c$k") } ++
+      vs.zipWithIndex.map { case (v, k) => v.as(s"v$k") }: _*)
+  }
+
+  /** One-shot deg-3 polyfit with covariance diagonal (moments + solve in a
+    * single aggregate expression; prefer the split
+    * [[fit3covMoments]]/[[fit3covSolve]] on large inputs — see there). */
   def fit3cov(x: Column, y: Column): Column = {
     val mask = x.isNotNull && y.isNotNull
     def m(c: Column) = when(mask, c)
@@ -602,32 +683,28 @@ object Numerics {
     val tN = Seq(dsum(m(y), 9), dsum(m(x * y), 9), dsum(m(x * x * y), 9),
       dsum(m(x * x * x * y), 9)) // t0..t3
     val syy = dsum(m(y * y), 9)
-    def det3(a: Seq[Seq[Column]]): Column =
-      a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
-        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
-        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
-    def minor(a: Seq[Seq[Column]], i: Int, j: Int): Seq[Seq[Column]] =
-      a.indices.filter(_ != i).map(r => a.indices.filter(_ != j).map(c => a(r)(c)))
-    def det4(a: Seq[Seq[Column]]): Column =
-      a(0)(0) * det3(minor(a, 0, 0)) - a(0)(1) * det3(minor(a, 0, 1)) +
-        a(0)(2) * det3(minor(a, 0, 2)) - a(0)(3) * det3(minor(a, 0, 3))
-    val A = (0 to 3).map(i => (0 to 3).map(j => sN(i + j)))
-    val det = det4(A)
-    val cs = (0 to 3).map { k =>
-      det4((0 to 3).map(i => (0 to 3).map(j => if (j == k) tN(i) else A(i)(j)))) / det
-    }
-    val rss = syy - (cs(0) * tN(0) + cs(1) * tN(1) + cs(2) * tN(2) + cs(3) * tN(3))
-    val sigma2 = rss / (s0 - 4)
-    val vs = (0 to 3).map(k => sigma2 * det3(minor(A, k, k)) / det)
+    val (cs, vs) = fit3covCore(sN, tN, syy)(ColAlg)
     struct(cs.zipWithIndex.map { case (c, k) => c.as(s"c$k") } ++
       vs.zipWithIndex.map { case (v, k) => v.as(s"v$k") }: _*)
   }
+
+  /** DuckDB oracle fragment for [[fit3cov]]: the coefficient / variance
+    * SELECT expressions over moment columns named s0..s6, t0..t3, syy —
+    * generated by the same combinator code as the Column tree, so the
+    * double arithmetic replays bit-identically. */
+  def fit3covSqlExprs: (Seq[String], Seq[String]) =
+    fit3covCore((0 to 6).map(k => s"s$k"), (0 to 3).map(k => s"t$k"), "syy")(SqlAlg)
 
   /** Arbitrary-degree polyfit: one aggregation pass builds the decimal
     * Vandermonde moments per group (map-side combine, scale-safe), then a
     * per-group O(deg³) Gauss-Jordan solve on the already-aggregated row —
     * the same flox-style "moments then tiny solve" split as fit2/fit3cov,
-    * generalized. Returns (coeffs array, diag of inv(XᵀX)) for cov=True. */
+    * generalized. Returns (coeffs array ASCENDING power c0..c_deg — note
+    * the reference emits descending degree — and the covariance diagonal
+    * σ²·diag(inv(XᵀX)), the reference's polyfit_covariance diagonal).
+    * Rank-deficient moment matrices (constant x, duplicated x) and groups
+    * with fewer than deg+1 points return NULL, mirroring the reference's
+    * "number of data points must exceed order" lstsq guard. */
   def polyfitMoments(df: DataFrame, by: Seq[String], x: Column, y: Column,
                      deg: Int): DataFrame = {
     require(deg >= 1 && deg <= 12, s"degree $deg out of range")
@@ -643,26 +720,40 @@ object Numerics {
       .agg(sAgg.head, (sAgg.tail ++ tAgg :+ dsum(m(y * y), 9).as("syy")): _*)
     val solve = udf { (s: Seq[Double], t: Seq[Double], syy: Double) =>
       val d = t.length // deg+1
-      // Gauss-Jordan with partial pivoting on [A | t | I]
-      val a = Array.tabulate(d, 2 * d + 1) { (i, j) =>
-        if (j < d) s(i + j) else if (j == d) t(i)
-        else if (j - d - 1 == i) 1.0 else 0.0
-      }
-      for (col0 <- 0 until d) {
-        val p = (col0 until d).maxBy(r => math.abs(a(r)(col0)))
-        val tmp = a(col0); a(col0) = a(p); a(p) = tmp
-        val piv = a(col0)(col0)
-        for (j <- col0 to 2 * d) a(col0)(j) /= piv
-        for (r <- 0 until d if r != col0) {
-          val f = a(r)(col0)
-          if (f != 0.0) for (j <- col0 to 2 * d) a(r)(j) -= f * a(col0)(j)
+      if (s(0) <= d) Option.empty[(Seq[Double], Seq[Double])] // n must exceed order
+      else {
+        // Gauss-Jordan with partial pivoting on [A | t | I]
+        val a = Array.tabulate(d, 2 * d + 1) { (i, j) =>
+          if (j < d) s(i + j) else if (j == d) t(i)
+          else if (j - d - 1 == i) 1.0 else 0.0
+        }
+        // Rank-deficiency threshold relative to the matrix magnitude (the
+        // reference's lstsq handles this via SVD rcond; a pivot this small
+        // would only produce NaN/Inf garbage here).
+        val eps = s.map(math.abs).max * 1e-12
+        var singular = false
+        for (col0 <- 0 until d if !singular) {
+          val p = (col0 until d).maxBy(r => math.abs(a(r)(col0)))
+          val tmp = a(col0); a(col0) = a(p); a(p) = tmp
+          val piv = a(col0)(col0)
+          if (math.abs(piv) <= eps) singular = true
+          else {
+            for (j <- col0 to 2 * d) a(col0)(j) /= piv
+            for (r <- 0 until d if r != col0) {
+              val f = a(r)(col0)
+              if (f != 0.0) for (j <- col0 to 2 * d) a(r)(j) -= f * a(col0)(j)
+            }
+          }
+        }
+        if (singular) Option.empty[(Seq[Double], Seq[Double])]
+        else {
+          val coef = Array.tabulate(d)(i => a(i)(d))
+          val invDiag = Array.tabulate(d)(i => a(i)(d + 1 + i))
+          val rss = syy - coef.indices.map(i => coef(i) * t(i)).sum
+          val sigma2 = rss / (s(0) - d)
+          Some((coef.toSeq, invDiag.map(_ * sigma2).toSeq))
         }
       }
-      val coef = Array.tabulate(d)(i => a(i)(d))
-      val invDiag = Array.tabulate(d)(i => a(i)(d + 1 + i))
-      val rss = syy - coef.indices.map(i => coef(i) * t(i)).sum
-      val sigma2 = rss / (s(0) - d)
-      (coef.toSeq, invDiag.map(_ * sigma2).toSeq)
     }
     val sArr = array((0 to 2 * deg).map(k => col(s"s$k")): _*)
     val tArr = array((0 to deg).map(k => col(s"t$k")): _*)

@@ -183,6 +183,27 @@ object QueriesNumerics {
         col("vec_id"),
         Numerics.dotDecimal(col("embedding"), reverse(col("embedding"))).as("dot_rev"),
         round(Numerics.normDecimal(col("embedding")), 9).as("l2"))
+    }),
+
+    // polyfit(deg=3, cov=True): arbitrary-degree path with covariance
+    // diagonal (ref `computation/fit.py:101` polyfit cov=True;
+    // `Dataset.polyfit` polyfit_covariance). x,y pre-scaled into ~[0,1]
+    // (numpy's own conditioning advice); the oracle SQL is generated by
+    // the SAME combinator code as the Column tree (fit3covSqlExprs), so
+    // the Cramer-expansion double arithmetic replays bit-identically.
+    "q118_polyfit3_cov" -> ((s, dir) => {
+      val x = col("l_quantity") * lit(0.02)
+      val y = col("l_extendedprice") * lit(1.0e-5)
+      // moments agg (codegen'd, map-side combine) then the Cramer solve as
+      // a projection over the 3-row aggregate — the giant det expansion
+      // never enters the per-row stage
+      val ms = Numerics.fit3covMoments(x, y)
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(ms.head, ms.tail: _*)
+        .withColumn("f", Numerics.fit3covSolve)
+        .select(col("l_returnflag") +:
+          ((0 to 3).map(k => round(col(s"f.c$k"), 6).as(s"c$k")) ++
+           (0 to 3).map(k => round(col(s"f.v$k"), 9).as(s"v$k"))): _*)
     })
   )
 
@@ -527,6 +548,25 @@ object QueriesNumerics {
              embedding[i] AS a,
              embedding[len(embedding) - i + 1] AS b
            FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i))
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q118_polyfit3_cov" -> {
+      val (cs, vs) = Numerics.fit3covSqlExprs
+      val x = "(l_quantity * CAST(0.02 AS DOUBLE))"
+      val y = "(l_extendedprice * CAST(1.0E-5 AS DOUBLE))"
+      def pw(k: Int) = (2 to k).foldLeft(x)((a, _) => s"($a * $x)")
+      def ds(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,9))) AS DOUBLE)"
+      val sDefs = "CAST(count(*) AS DOUBLE) AS s0" +:
+        (1 to 6).map(k => s"${ds(pw(k))} AS s$k")
+      val tDefs = (0 to 3).map(k =>
+        (if (k == 0) ds(y) else ds(s"(${pw(k)} * $y)")) + s" AS t$k")
+      val moments = (sDefs ++ tDefs :+ (ds(s"($y * $y)") + " AS syy")).mkString(",\n           ")
+      val outs = ((0 to 3).map(k => s"round(${cs(k)}, 6) AS c$k") ++
+        (0 to 3).map(k => s"round(${vs(k)}, 9) AS v$k")).mkString(",\n         ")
+      s"""SELECT l_returnflag,
+         $outs
+         FROM (SELECT l_returnflag,
+           $moments
+           FROM lineitem GROUP BY 1)"""
+    }
   )
 }

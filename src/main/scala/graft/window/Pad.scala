@@ -37,10 +37,20 @@ object Pad {
       col(valueCol).as(s"${valueCol}_wrap"))
     def srcIdx(mode: String): Column = mode match {
       case "edge"    => least(greatest(p, lit(0L)), lit(n - 1))
-      case "reflect" => // numpy 'reflect': mirror WITHOUT repeating the edge
-        when(p < 0, -p).otherwise(lit(2 * (n - 1)) - p)
-      case "symmetric" => // numpy 'symmetric': mirror WITH the edge repeated
-        when(p < 0, -p - 1).otherwise(lit(2 * n - 1) - p)
+      case "reflect" =>
+        // numpy 'reflect': mirror WITHOUT repeating the edge. The reflected
+        // tiling is periodic with period 2(n-1), so folding via pmod handles
+        // pad widths beyond n (numpy folds repeatedly); n==1 degenerates to
+        // the single value.
+        if (n == 1) lit(0L)
+        else {
+          val q = pmod(p, lit(2 * (n - 1)))
+          when(q < n, q).otherwise(lit(2 * (n - 1)) - q)
+        }
+      case "symmetric" =>
+        // numpy 'symmetric': mirror WITH the edge repeated; period 2n.
+        val q = pmod(p, lit(2 * n))
+        when(q < n, q).otherwise(lit(2 * n - 1) - q)
       case "wrap"    => pmod(p, lit(n))
     }
     val padGrid = spark.range(-before.toLong, 0).union(spark.range(n, n + after))

@@ -27,6 +27,28 @@ class PadCfSpec extends SparkSpec {
     assert(c("wrap") === Seq(20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0))
   }
 
+  test("pad widths beyond n fold repeatedly like numpy (reflect/symmetric periodic)") {
+    val df = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("pos", "v")
+    val out = Pad.pad(df, "pos", "v", n = 3, before = 5, after = 5)
+      .orderBy("pos").collect()
+    def c(name: String) = out.map(_.getAs[Double]("v_" + name)).toSeq
+    // numpy reflect tiling has period 2(n-1)=4: [10,20,30,20] repeats
+    assert(c("reflect") === Seq(20.0, 10.0, 20.0, 30.0, 20.0,
+      10.0, 20.0, 30.0, 20.0, 10.0, 20.0, 30.0, 20.0))
+    // numpy symmetric tiling has period 2n=6: [10,20,30,30,20,10] repeats
+    assert(c("symmetric") === Seq(20.0, 30.0, 30.0, 20.0, 10.0,
+      10.0, 20.0, 30.0, 30.0, 20.0, 10.0, 10.0, 20.0))
+    assert(c("wrap") === Seq(20.0, 30.0, 10.0, 20.0, 30.0,
+      10.0, 20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0))
+    // n == 1 degenerate: every mode repeats the single value
+    val one = Seq((0L, 7.0)).toDF("pos", "v")
+    val o1 = Pad.pad(one, "pos", "v", n = 1, before = 3, after = 3)
+      .orderBy("pos").collect()
+    Seq("edge", "reflect", "symmetric", "wrap").foreach { m =>
+      assert(o1.map(_.getAs[Double]("v_" + m)).forall(_ == 7.0), m)
+    }
+  }
+
   test("roll shifts circularly") {
     val df = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("pos", "v")
     val out = Pad.roll(df, "pos", "v", 3, shift = 1).orderBy("pos")
