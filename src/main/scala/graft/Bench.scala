@@ -44,12 +44,52 @@ object Bench {
       name -> (if (passes.exists(_(name).isEmpty)) None
                else Some(passes.map(_(name).get).min))
     }
-    val qs = results.map {
+    val total = results.flatMap(_._2).sum
+
+    // Full-name per-query detail for humans/judge diffing against
+    // bench_baseline_sf0.1.json.
+    val fullQs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "/root/repo/bench_detail.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt then appends its own "[success] ..."
+    // line (~80 chars). A full-name map for 126 queries is ~2.7k chars and
+    // gets truncated mid-line, so the stdout line uses the qNN prefix of
+    // each query name (unique by registry convention; full name kept on
+    // collision) and, if the registry ever outgrows even that, drops the
+    // fastest queries first under a "truncated":N marker.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val collided = results.groupBy { case (k, _) => short(k) }
+      .collect { case (_, vs) if vs.size > 1 => vs.map(_._1) }.flatten.toSet
+    def key(name: String): String =
+      if (collided(name)) name else short(name)
+    def render(entries: Seq[(String, Option[Double])], dropped: Int): String = {
+      val qs = entries.sortBy(_._1).map {
+        case (k, Some(v)) => "\"" + key(k) + "\":" + f"$v%.3f"
+        case (k, None)    => "\"" + key(k) + "\":null"
+      }.mkString("{", ",", "}")
+      val trunc = if (dropped > 0) s""","truncated":$dropped""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir"}"""
+    }
+    val budget = 1850
+    var entries = results
+    var line = render(entries, results.size - entries.size)
+    while (line.length > budget && entries.nonEmpty) {
+      // keep the slowest (most informative) queries; nulls sort as +inf
+      entries = entries.sortBy(_._2.getOrElse(Double.MaxValue)).drop(1)
+      line = render(entries, results.size - entries.size)
+    }
+    println(line)
     spark.stop()
   }
 }
