@@ -25,7 +25,7 @@ object SparkEntry {
       QueriesWindow.queries ++ QueriesReshape.queries ++
       QueriesFunctions.queries ++ QueriesNumerics.queries ++
       QueriesLLM.queries ++ QueriesUdf.queries ++ QueriesStreaming.queries ++
-      QueriesMore.queries
+      QueriesMore.queries ++ QueriesCalendar.queries
 
   /** DuckDB-runnable oracle for each query (same column names/aliases).
     * Queries absent here get the driver's weaker rows-only check. */
@@ -34,5 +34,5 @@ object SparkEntry {
       QueriesWindow.oracles ++ QueriesReshape.oracles ++
       QueriesFunctions.oracles ++ QueriesNumerics.oracles ++
       QueriesLLM.oracles ++ QueriesUdf.oracles ++ QueriesStreaming.oracles ++
-      QueriesMore.oracles
+      QueriesMore.oracles ++ QueriesCalendar.oracles
 }

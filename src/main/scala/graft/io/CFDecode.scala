@@ -78,6 +78,117 @@ object CFDecode {
     (year - epochYear).cast("long") * 365L + mStart + day.cast("long") - 1L
   }
 
+  // --- full cftime calendar family (ref `coding/times.py:535` cftime
+  // decode path; `coding/cftime_offsets.py` calendar arithmetic;
+  // `core/dataset.py:10011` convert_calendar). Same representation as
+  // noleap: a (year, month, day, doy) struct computed from integer
+  // days-since-epoch with pure column arithmetic, no UDF — at 100 TB the
+  // decode rides inside the scan's codegen stage. ---
+
+  private[graft] val monthStartsAllLeap = Seq(0, 31, 60, 91, 121, 152, 182,
+    213, 244, 274, 305, 335, 366)
+
+  /** (month, day) from a 0-based day-of-year given cumulative month starts. */
+  private def monthDay(doy: Column, starts: Seq[Int]): (Column, Column) = {
+    val month = starts.sliding(2).toSeq.zipWithIndex
+      .foldLeft(lit(12)) { case (acc, (bounds, i)) =>
+        when(doy >= bounds.head && doy < bounds(1), i + 1).otherwise(acc)
+      }
+    val mStart = starts.dropRight(1).zipWithIndex.foldLeft(lit(starts(11))) {
+      case (acc, (start, i)) => when(month === i + 1, start).otherwise(acc)
+    }
+    (month, doy - mStart + 1)
+  }
+
+  /** 360_day calendar decode: every month is exactly 30 days. */
+  def cal360Decode(days: Column, epochYear: Int): Column = {
+    val d = days.cast("long")
+    val year = (d / 360L).cast("int") + epochYear
+    val doy = pmod(d, lit(360L)).cast("int")
+    struct(year.as("year"), ((doy / 30).cast("int") + 1).as("month"),
+      (pmod(doy, lit(30)) + 1).as("day"), (doy + 1).as("doy"))
+  }
+
+  /** 360_day encode back to days since epoch. */
+  def cal360Encode(year: Column, month: Column, day: Column, epochYear: Int): Column =
+    (year - epochYear).cast("long") * 360L + (month - 1).cast("long") * 30L +
+      day.cast("long") - 1L
+
+  /** all_leap (366_day) calendar decode: every year has a Feb 29. */
+  def allLeapDecode(days: Column, epochYear: Int): Column = {
+    val d = days.cast("long")
+    val year = (d / 366L).cast("int") + epochYear
+    val doy = pmod(d, lit(366L)).cast("int")
+    val (month, day) = monthDay(doy, monthStartsAllLeap)
+    struct(year.as("year"), month.as("month"), day.as("day"), (doy + 1).as("doy"))
+  }
+
+  /** all_leap encode back to days since epoch. */
+  def allLeapEncode(year: Column, month: Column, day: Column, epochYear: Int): Column = {
+    val mStart = monthStartsAllLeap.dropRight(1).zipWithIndex.foldLeft(lit(335)) {
+      case (acc, (start, i)) => when(month === i + 1, start).otherwise(acc)
+    }
+    (year - epochYear).cast("long") * 366L + mStart + day.cast("long") - 1L
+  }
+
+  /** julian calendar decode: leap every 4 years, no century rule, so time
+    * is periodic in 1461-day cycles. `epochYear` must be a julian leap year
+    * (divisible by 4) so each cycle starts with its leap year. */
+  def julianDecode(days: Column, epochYear: Int): Column = {
+    require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
+    val d = days.cast("long")
+    val cycle = (d / 1461L).cast("long")
+    val rem = pmod(d, lit(1461L)).cast("int")
+    val yic = when(rem < 366, 0).when(rem < 731, 1).when(rem < 1096, 2).otherwise(3)
+    val yStart = when(rem < 366, 0).when(rem < 731, 366).when(rem < 1096, 731)
+      .otherwise(1096)
+    val doy = rem - yStart
+    val year = (cycle * 4L).cast("int") + yic + epochYear
+    val (mL, dayL) = monthDay(doy, monthStartsAllLeap)
+    val (mN, dayN) = monthDay(doy, monthStartsNoLeap)
+    val leap = yic === 0
+    struct(year.as("year"), when(leap, mL).otherwise(mN).as("month"),
+      when(leap, dayL).otherwise(dayN).as("day"), (doy + 1).as("doy"))
+  }
+
+  /** julian encode back to days since epoch (epochYear divisible by 4). */
+  def julianEncode(year: Column, month: Column, day: Column, epochYear: Int): Column = {
+    require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
+    val yrs = (year - epochYear).cast("long")
+    val cycles = (yrs / 4L).cast("long")
+    val yic = pmod(yrs, lit(4L)).cast("int")
+    val yStart = when(yic === 0, 0L).when(yic === 1, 366L).when(yic === 2, 731L)
+      .otherwise(1096L)
+    val startsL = monthStartsAllLeap
+    val mStartL = startsL.dropRight(1).zipWithIndex.foldLeft(lit(335)) {
+      case (acc, (st, i)) => when(month === i + 1, st).otherwise(acc)
+    }
+    val mStartN = monthStartsNoLeap.dropRight(1).zipWithIndex.foldLeft(lit(334)) {
+      case (acc, (st, i)) => when(month === i + 1, st).otherwise(acc)
+    }
+    cycles * 1461L + yStart +
+      when(yic === 0, mStartL).otherwise(mStartN).cast("long") +
+      day.cast("long") - 1L
+  }
+
+  /** Is (y, m, d) a real date in the proleptic-gregorian calendar? */
+  def gregorianValid(y: Column, m: Column, d: Column): Column = {
+    val leap = (pmod(y, lit(4)) === 0 && pmod(y, lit(100)) =!= 0) ||
+      pmod(y, lit(400)) === 0
+    val len = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .otherwise(when(leap, 29).otherwise(28))
+    d >= 1 && d <= len
+  }
+
+  /** convert_calendar to "standard": dates that don't exist in gregorian
+    * (Feb 29 of a julian-only leap year, day 30 of a 360_day February, ...)
+    * become NULL — the reference's `missing=None` drop semantics
+    * (`core/dataset.py:10011`). CaseWhen evaluates lazily, so ANSI
+    * make_date never sees an invalid triple. */
+  def toStandardDate(y: Column, m: Column, d: Column): Column =
+    when(gregorianValid(y, m, d), make_date(y, m, d))
+
   /** Full pipeline: mask then scale/offset (the coder order the reference
     * applies on open). */
   def decode(c: Column, fillValue: Any, scale: Double, offset: Double): Column =

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{CFDecode, Tables}
+
+/** cftime calendar family (SURVEY.md §2.9): 360_day / julian / all_leap
+  * decode + encode roundtrip and convert_calendar-to-standard (ref
+  * `coding/times.py:535` cftime decode, `coding/cftime_offsets.py`
+  * calendar month lengths, `core/dataset.py:10011` convert_calendar).
+  *
+  * All calendar math is integer column arithmetic (no UDF), so at scale it
+  * folds into the scan's whole-stage-codegen. The DuckDB oracle replays the
+  * identical integer formulas; the month-from-doy CASE chains on both sides
+  * are generated from the same month-start tables.
+  */
+object QueriesCalendar {
+
+  private val startsNoLeap = Seq(0, 31, 59, 90, 120, 151, 181, 212, 243, 273,
+    304, 334, 365)
+  private val startsLeap = Seq(0, 31, 60, 91, 121, 152, 182, 213, 244, 274,
+    305, 335, 366)
+
+  /** CASE mapping a 0-based doy expression to month 1-12. */
+  private def sqlMonth(doy: String, starts: Seq[Int]): String =
+    (0 until 11).map(i => s"WHEN $doy < ${starts(i + 1)} THEN ${i + 1}")
+      .mkString("CASE ", " ", " ELSE 12 END")
+
+  /** CASE mapping a 0-based doy expression to day-of-month 1-31. */
+  private def sqlDay(doy: String, starts: Seq[Int]): String =
+    (0 until 11).map(i =>
+      s"WHEN $doy < ${starts(i + 1)} THEN $doy - ${starts(i)} + 1")
+      .mkString("CASE ", " ", s" ELSE $doy - ${starts(11)} + 1 END")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q119_cftime_calendars" -> ((s, dir) => {
+      // Tables.events, not the raw parquet read: events.ts is
+      // TIMESTAMP(NANOS) and needs the nanosAsLong conf set (the ts column
+      // itself is pruned away below).
+      val base = Tables.events(s, dir)
+        .select((col("event_id") % 150000L).as("days")).distinct()
+      // Materialize each decoded struct once, then project fields — avoids
+      // Catalyst textually duplicating the CASE chains per field.
+      val dec = base.select(col("days"),
+        CFDecode.cal360Decode(col("days"), 2000).as("c"),
+        CFDecode.julianDecode(col("days"), 2000).as("j"),
+        CFDecode.allLeapDecode(col("days"), 2000).as("a"))
+      val flat = dec.select(col("days"),
+        col("c.year").as("y360"), col("c.month").as("m360"), col("c.day").as("d360"),
+        col("j.year").as("yjul"), col("j.month").as("mjul"), col("j.day").as("djul"),
+        col("a.year").as("yal"), col("a.month").as("mal"), col("a.day").as("dal"))
+      flat.select(col("*"),
+        CFDecode.cal360Encode(col("y360"), col("m360"), col("d360"), 2000).as("rt360"),
+        CFDecode.julianEncode(col("yjul"), col("mjul"), col("djul"), 2000).as("rtjul"),
+        CFDecode.allLeapEncode(col("yal"), col("mal"), col("dal"), 2000).as("rtal"),
+        // ISO strings, not DateType: a NULL date renders as NaT on the
+        // oracle (pandas datetime64) side but None on the Spark side, so
+        // the drop-semantics NULLs only hash-match as strings.
+        date_format(CFDecode.toStandardDate(col("yjul"), col("mjul"),
+          col("djul")), "yyyy-MM-dd").as("std_jul"),
+        date_format(CFDecode.toStandardDate(col("y360"), col("m360"),
+          col("d360")), "yyyy-MM-dd").as("std_360"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q119_cftime_calendars" -> {
+      val mJulL = sqlMonth("doyjul", startsLeap)
+      val mJulN = sqlMonth("doyjul", startsNoLeap)
+      val dJulL = sqlDay("doyjul", startsLeap)
+      val dJulN = sqlDay("doyjul", startsNoLeap)
+      val mAl = sqlMonth("doyal", startsLeap)
+      val dAl = sqlDay("doyal", startsLeap)
+      s"""WITH b AS (SELECT DISTINCT event_id % 150000 AS days FROM events),
+        d AS (SELECT days,
+          CAST(days // 360 AS INT) + 2000 AS y360,
+          CAST((days % 360) // 30 AS INT) + 1 AS m360,
+          CAST(days % 30 AS INT) + 1 AS d360,
+          CAST(days // 1461 AS INT) AS cyc,
+          CAST(days % 1461 AS INT) AS rem,
+          CAST(days // 366 AS INT) + 2000 AS yal,
+          CAST(days % 366 AS INT) AS doyal
+        FROM b),
+        j AS (SELECT *,
+          CASE WHEN rem < 366 THEN 0 WHEN rem < 731 THEN 1
+               WHEN rem < 1096 THEN 2 ELSE 3 END AS yic,
+          CASE WHEN rem < 366 THEN 0 WHEN rem < 731 THEN 366
+               WHEN rem < 1096 THEN 731 ELSE 1096 END AS ystart
+        FROM d),
+        k AS (SELECT *, cyc * 4 + yic + 2000 AS yjul, rem - ystart AS doyjul
+        FROM j),
+        m AS (SELECT days, y360, m360, d360, yal, doyal, yjul, yic, doyjul,
+          CASE WHEN yic = 0 THEN $mJulL ELSE $mJulN END AS mjul,
+          CASE WHEN yic = 0 THEN $dJulL ELSE $dJulN END AS djul,
+          $mAl AS mal, $dAl AS dal
+        FROM k)
+        SELECT days, y360, m360, d360, yjul, mjul, djul, yal, mal, dal,
+          days AS rt360, days AS rtjul, days AS rtal,
+          CASE WHEN djul <= (CASE WHEN mjul IN (1,3,5,7,8,10,12) THEN 31
+                 WHEN mjul IN (4,6,9,11) THEN 30
+                 WHEN (yjul % 4 = 0 AND yjul % 100 <> 0) OR yjul % 400 = 0
+                   THEN 29 ELSE 28 END)
+            THEN strftime(make_date(yjul, mjul, djul), '%Y-%m-%d') END AS std_jul,
+          CASE WHEN d360 <= (CASE WHEN m360 IN (1,3,5,7,8,10,12) THEN 31
+                 WHEN m360 IN (4,6,9,11) THEN 30
+                 WHEN (y360 % 4 = 0 AND y360 % 100 <> 0) OR y360 % 400 = 0
+                   THEN 29 ELSE 28 END)
+            THEN strftime(make_date(y360, m360, d360), '%Y-%m-%d') END AS std_360
+        FROM m"""
+    }
+  )
+}

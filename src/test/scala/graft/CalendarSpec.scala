@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.CFDecode
+
+/** cftime calendar family vs dates cftime/xarray would produce
+  * (ref `coding/times.py` cftime decode; calendar definitions are the CF
+  * conventions ones: 360_day = twelve 30-day months, all_leap = every year
+  * 366 days, julian = leap every 4 years with no century rule). */
+class CalendarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(cal: String, days: Long, epoch: Int = 2000): (Int, Int, Int) = {
+    val df = Seq(days).toDF("d")
+    val s = cal match {
+      case "360_day"  => CFDecode.cal360Decode(col("d"), epoch)
+      case "all_leap" => CFDecode.allLeapDecode(col("d"), epoch)
+      case "julian"   => CFDecode.julianDecode(col("d"), epoch)
+    }
+    val r = df.select(s.as("s")).select("s.year", "s.month", "s.day").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  test("360_day: fixed 30-day months") {
+    assert(decode("360_day", 0L) === ((2000, 1, 1)))
+    assert(decode("360_day", 29L) === ((2000, 1, 30)))
+    assert(decode("360_day", 30L) === ((2000, 2, 1)))
+    assert(decode("360_day", 59L) === ((2000, 2, 30))) // Feb 30 exists
+    assert(decode("360_day", 359L) === ((2000, 12, 30)))
+    assert(decode("360_day", 360L) === ((2001, 1, 1)))
+  }
+
+  test("all_leap: every year has Feb 29") {
+    assert(decode("all_leap", 59L) === ((2000, 2, 29)))
+    assert(decode("all_leap", 366L + 59L) === ((2001, 2, 29))) // 2001 too
+    assert(decode("all_leap", 365L) === ((2000, 12, 31)))
+    assert(decode("all_leap", 366L) === ((2001, 1, 1)))
+  }
+
+  test("julian: leap every 4 years, century years included") {
+    // 2000 is leap in both; day 59 = Feb 29
+    assert(decode("julian", 59L) === ((2000, 2, 29)))
+    // 2001-2003 not leap: 2001 starts at 366
+    assert(decode("julian", 366L) === ((2001, 1, 1)))
+    assert(decode("julian", 366L + 59L) === ((2001, 3, 1)))
+    // julian year 2100 IS leap (no century rule): days to 2100-01-01 =
+    // 25 cycles * 1461 = 36525
+    assert(decode("julian", 36525L + 59L) === ((2100, 2, 29)))
+  }
+
+  test("roundtrip encode(decode(d)) == d across a leap cycle") {
+    val days = spark.range(0, 3000).toDF("d")
+    def rt(dec: org.apache.spark.sql.Column,
+           enc: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+             org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+      val bad = days.select(col("d"), dec.as("s"))
+        .select(col("d"), enc(col("s.year"), col("s.month"), col("s.day")).as("rt"))
+        .filter(col("d") =!= col("rt")).count()
+      assert(bad === 0L)
+    }
+    rt(CFDecode.cal360Decode(col("d"), 2000),
+      (y, m, d) => CFDecode.cal360Encode(y, m, d, 2000))
+    rt(CFDecode.allLeapDecode(col("d"), 2000),
+      (y, m, d) => CFDecode.allLeapEncode(y, m, d, 2000))
+    rt(CFDecode.julianDecode(col("d"), 2000),
+      (y, m, d) => CFDecode.julianEncode(y, m, d, 2000))
+  }
+
+  test("convert_calendar to standard nulls dates that don't exist") {
+    val df = Seq((2100, 2, 29), (2000, 2, 29), (2001, 2, 30), (2004, 2, 29))
+      .toDF("y", "m", "d")
+    val out = df.select(date_format(
+      CFDecode.toStandardDate(col("y"), col("m"), col("d")), "yyyy-MM-dd").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq(null, "2000-02-29", null, "2004-02-29"))
+  }
+}
