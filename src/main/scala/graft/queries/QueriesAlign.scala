@@ -116,6 +116,25 @@ object QueriesAlign {
       AsOf.forward(probes, obs, by = Seq("user_id"), key = "ts",
         rightVals = Seq("next_purchase"))
         .select("event_id", "user_id", "next_purchase")
+    }),
+
+    // NDPointIndex coordinate KNN (ref `xarray/indexes/nd_point_index.py`):
+    // tolerance-bounded nearest in 2-d coordinate space via grid-bucketed
+    // join (exact; see align.NDPointIndex). Probes are corpus points
+    // jittered by (+0.5, +0.3) so every probe has nearby neighbors.
+    "q120_ndpoint_knn" -> ((s, dir) => {
+      import graft.align.NDPointIndex
+      val corpus = Tables.part(s, dir).select(
+        col("p_partkey").as("cid"),
+        (col("p_retailprice") / 100).as("x"),
+        col("p_size").cast("double").as("y"))
+      val probes = corpus.filter(col("cid") % 37 === 0)
+        .select(col("cid").as("pid"),
+          (col("x") + 0.5).as("x"), (col("y") + 0.3).as("y"))
+      NDPointIndex.selNearest(corpus, probes, Seq("x", "y"),
+          corpusId = "cid", probeId = "pid", tolerance = 5.0)
+        .select(col("__pid").as("pid"), col("__cid").as("cid"),
+          round(sqrt(col("__d2")), 6).as("dist"))
     })
   )
 
@@ -171,6 +190,20 @@ object QueriesAlign {
       """SELECT l.event_id, l.user_id, r.value AS next_purchase
          FROM (SELECT * FROM events WHERE event_type = 'error') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-         ON l.user_id = r.user_id AND l.ts <= r.ts"""
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // brute-force nearest within tolerance: the grid-bucketed join must
+    // reproduce the KD-tree/scan answer exactly (ties break on corpus id)
+    "q120_ndpoint_knn" ->
+      """WITH corpus AS (SELECT p_partkey AS cid, p_retailprice/100 AS x,
+             CAST(p_size AS DOUBLE) AS y FROM part),
+         probes AS (SELECT cid AS pid, x + 0.5 AS px, y + 0.3 AS py
+             FROM corpus WHERE cid % 37 = 0),
+         cand AS (SELECT pid, cid,
+             (px-x)*(px-x) + (py-y)*(py-y) AS d2
+           FROM probes, corpus
+           WHERE (px-x)*(px-x) + (py-y)*(py-y) <= 25.0),
+         rk AS (SELECT *, row_number() OVER
+             (PARTITION BY pid ORDER BY d2, cid) AS rn FROM cand)
+         SELECT pid, cid, round(sqrt(d2), 6) AS dist FROM rk WHERE rn = 1"""
   )
 }
