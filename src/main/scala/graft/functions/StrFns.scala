@@ -71,4 +71,57 @@ object StrFns {
   def encodeS(c: Column, charset: String): Column = encode(c, charset)
   def decodeS(c: Column, charset: String): Column = decode(c, charset)
   def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  // --- long tail (`accessor_str.py` get_dummies:1048, wrap:2223,
+  // rfind:1564, rpartition:2404, removeprefix/suffix:834, slice_replace:
+  // 2478, casefold:1088, isalnum:2899) ---
+
+  /** pandas-style get_dummies against a FIXED vocabulary: one 0/1 field per
+    * vocab entry. The dynamic-column variant needs the vocabulary first —
+    * at scale that's a separate distinct-agg pass feeding this. */
+  def getDummies(c: Column, sep: String, vocab: Seq[String]): Column = {
+    val toks = split(c, java.util.regex.Pattern.quote(sep))
+    struct(vocab.map(v =>
+      array_contains(toks, v).cast("int").as(v)): _*)
+  }
+
+  /** Greedy word-boundary line fill (textwrap.wrap with default
+    * break_long_words folded to the regex greedy-fill idiom). */
+  def wrap(c: Column, width: Int): Column =
+    rtrim(regexp_replace(c, s"(.{1,$width})( +|$$)", "$1\n"), "\n")
+
+  /** 0-based index of the LAST occurrence of `sub`, -1 when absent. */
+  def rfind(c: Column, sub: String): Column = {
+    val posR = instr(reverse(c), sub.reverse)
+    when(posR === 0, -1)
+      .otherwise(length(c) - posR - lit(sub.length) + 1)
+  }
+
+  /** Split on the LAST occurrence of `sep`: (head, sep, tail); when absent,
+    * pandas puts the whole string in the TAIL slot. */
+  def rpartitionS(c: Column, sep: String): Column = {
+    val posR = instr(reverse(c), sep.reverse)
+    val idx = length(c) - posR - lit(sep.length) + 1 // 0-based start of last sep
+    struct(
+      when(posR > 0, c.substr(lit(1), idx)).otherwise(lit("")).as("head"),
+      when(posR > 0, lit(sep)).otherwise(lit("")).as("sep"),
+      when(posR > 0, c.substr(idx + lit(1 + sep.length), length(c)))
+        .otherwise(c).as("tail"))
+  }
+
+  def removeprefix(c: Column, p: String): Column =
+    when(c.startsWith(p), substring(c, p.length + 1, Int.MaxValue)).otherwise(c)
+
+  def removesuffix(c: Column, s: String): Column =
+    when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c)
+
+  /** Replace the python slice [start, stop) with `repl`. */
+  def sliceReplace(c: Column, start: Int, stop: Int, repl: String): Column =
+    concat(substring(c, 1, start), lit(repl),
+      c.substr(lit(stop + 1), length(c)))
+
+  /** casefold ~ lower for the ASCII data this engine targets. */
+  def casefold(c: Column): Column = lower(c)
+
+  def isAlnum(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
 }

@@ -90,6 +90,32 @@ object QueriesFunctions {
           .cast("double"))
       diffs.filter(col("step_sec").isNotNull)
         .groupBy(col("step_sec")).agg(count(lit(1)).as("n"))
+    }),
+
+    // .str accessor long tail (ref `accessor_str.py`: get_dummies:1048,
+    // wrap:2223, rfind:1564, rpartition:2404, removeprefix:834,
+    // slice_replace:2478, casefold:1088, isalnum:2899)
+    "q121_str_tail" -> ((s, dir) => {
+      val p = col("p_name")
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        StrFns.getDummies(p, " ", Seq("red", "blue", "small", "hot")).as("dum"),
+        StrFns.wrap(p, 8).as("wrapped"),
+        StrFns.rfind(p, "e").as("rfind_e"),
+        StrFns.rpartitionS(p, " ").as("rp"),
+        StrFns.removeprefix(p, "small ").as("noprefix"),
+        StrFns.removesuffix(p, "t").as("nosuffix"),
+        StrFns.sliceReplace(p, 2, 5, "XX").as("slrep"),
+        StrFns.casefold(p).as("cf"),
+        StrFns.isAlnum(regexp_replace(p, " ", "")).as("alnum"))
+        .select(col("p_partkey"),
+          col("dum.red").as("dum_red"), col("dum.blue").as("dum_blue"),
+          col("dum.small").as("dum_small"), col("dum.hot").as("dum_hot"),
+          col("wrapped"), col("rfind_e"),
+          col("rp.head").as("rp_head"), col("rp.sep").as("rp_sep"),
+          col("rp.tail").as("rp_tail"),
+          col("noprefix"), col("nosuffix"), col("slrep"), col("cf"),
+          col("alnum"))
     })
   )
 
@@ -159,6 +185,37 @@ object QueriesFunctions {
            FROM (SELECT generate_series AS t FROM
              generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-10',
                              INTERVAL 6 HOUR)))
-         WHERE step_sec IS NOT NULL GROUP BY 1"""
+         WHERE step_sec IS NOT NULL GROUP BY 1""",
+    "q121_str_tail" ->
+      """SELECT p_partkey,
+         CASE WHEN list_contains(string_split(p_name, ' '), 'red')
+              THEN 1 ELSE 0 END AS dum_red,
+         CASE WHEN list_contains(string_split(p_name, ' '), 'blue')
+              THEN 1 ELSE 0 END AS dum_blue,
+         CASE WHEN list_contains(string_split(p_name, ' '), 'small')
+              THEN 1 ELSE 0 END AS dum_small,
+         CASE WHEN list_contains(string_split(p_name, ' '), 'hot')
+              THEN 1 ELSE 0 END AS dum_hot,
+         rtrim(regexp_replace(p_name, '(.{1,8})( +|$)', '\1' || chr(10), 'g'),
+               chr(10)) AS wrapped,
+         CASE WHEN instr(reverse(p_name), 'e') = 0 THEN -1
+              ELSE length(p_name) - instr(reverse(p_name), 'e') END AS rfind_e,
+         CASE WHEN instr(reverse(p_name), ' ') = 0 THEN ''
+              ELSE substr(p_name, 1,
+                length(p_name) - instr(reverse(p_name), ' ')) END AS rp_head,
+         CASE WHEN instr(reverse(p_name), ' ') = 0 THEN ''
+              ELSE ' ' END AS rp_sep,
+         CASE WHEN instr(reverse(p_name), ' ') = 0 THEN p_name
+              ELSE substr(p_name,
+                length(p_name) - instr(reverse(p_name), ' ') + 2) END AS rp_tail,
+         CASE WHEN starts_with(p_name, 'small ') THEN substr(p_name, 7)
+              ELSE p_name END AS noprefix,
+         CASE WHEN ends_with(p_name, 't')
+              THEN substr(p_name, 1, length(p_name) - 1)
+              ELSE p_name END AS nosuffix,
+         substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS slrep,
+         lower(p_name) AS cf,
+         regexp_matches(replace(p_name, ' ', ''), '^[A-Za-z0-9]+$') AS alnum
+         FROM part"""
   )
 }
