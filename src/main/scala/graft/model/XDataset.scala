@@ -15,12 +15,21 @@ import org.apache.spark.sql.types.DecimalType
   *    and prunes columns down to the parquet scan;
   *  - positional ops go through [[Positions]] (no single-partition windows).
   */
-final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
+final class XDataset(val df: DataFrame, val meta: DatasetMeta,
+                     val indexes: Map[String, XIndex] = Map.empty) {
 
   def spark: SparkSession = df.sparkSession
   def dataVars: Seq[String] = df.columns.filterNot(meta.keyCols.contains).toSeq
 
-  private def withDf(d: DataFrame): XDataset = new XDataset(d, meta)
+  private def withDf(d: DataFrame): XDataset = new XDataset(d, meta, indexes)
+
+  /** set_xindex (ref `dataset.py:4954`): attach a custom [[XIndex]] to a
+    * dim — applies the index's one-time layout, then `sel`/`selSlice` along
+    * that dim dispatch through it. */
+  def setXIndex(dim: String, index: XIndex): XDataset =
+    new XDataset(index.build(df, dim), meta, indexes + (dim -> index))
+  def setXIndex(dim: String, name: String): XDataset =
+    setXIndex(dim, XIndexes.create(name))
 
   // ---- projection (ref `dataset.py:1394` __getitem__ / `:5842` drop_vars) --
   def selectVars(vars: String*): XDataset =
@@ -30,13 +39,17 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta) {
   // ---- label selection (ref `dataset.py:2997` sel) -----------------------
   /** Exact-label selection: `sel(dim, values)`. Large label sets should use
     * [[selJoin]] (broadcast semi-join) instead of an IN list. */
-  def sel(dim: String, values: Seq[Any]): XDataset =
-    withDf(df.filter(col(dim).isin(values: _*)))
+  def sel(dim: String, values: Seq[Any]): XDataset = indexes.get(dim) match {
+    case Some(ix) => withDf(ix.sel(df, dim, values))
+    case None     => withDf(df.filter(col(dim).isin(values: _*)))
+  }
 
   /** Label slice — inclusive on BOTH ends, matching xarray
     * (`dataset.py:3018`; pandas label-slice semantics). */
-  def selSlice(dim: String, lo: Any, hi: Any): XDataset =
-    withDf(df.filter(col(dim).between(lit(lo), lit(hi))))
+  def selSlice(dim: String, lo: Any, hi: Any): XDataset = indexes.get(dim) match {
+    case Some(ix) => withDf(ix.selSlice(df, dim, lo, hi))
+    case None     => withDf(df.filter(col(dim).between(lit(lo), lit(hi))))
+  }
 
   /** Semi-join selection for big label sets: broadcast the label table. */
   def selJoin(dim: String, labels: DataFrame): XDataset =
