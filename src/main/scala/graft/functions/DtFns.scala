@@ -72,4 +72,31 @@ object DtFns {
   /** timedelta total_seconds between two timestamps (µs exact). */
   def totalSeconds(a: Column, b: Column): Column =
     (unix_micros(a) - unix_micros(b)).cast("double") / 1e6
+
+  // --- arbitrary-frequency floor/ceil/round (pandas dt.floor("15min")
+  // family, ref `accessor_dt.py:283` _round_field). Pure long arithmetic
+  // on epoch-µs — pmod keeps it exact where a double division would
+  // truncate off-by-one near boundaries. ---
+  def floorFreq(t: Column, usPeriod: Long): Column = {
+    val us = unix_micros(t)
+    timestamp_micros(us - pmod(us, lit(usPeriod)))
+  }
+  def ceilFreq(t: Column, usPeriod: Long): Column = {
+    val m = unix_micros(t) + lit(usPeriod - 1L)
+    timestamp_micros(m - pmod(m, lit(usPeriod)))
+  }
+  /** Half-up rounding (ties away from the past), matching the common
+    * pandas freq-round expectation on positive epochs. */
+  def roundFreq(t: Column, usPeriod: Long): Column = {
+    val m = unix_micros(t) + lit(usPeriod / 2L)
+    timestamp_micros(m - pmod(m, lit(usPeriod)))
+  }
+
+  // --- isocalendar (ref `accessor_dt.py:561`): ISO 8601 (year, week, day).
+  // ISO year computed as the year of that week's Thursday, so it matches
+  // isoyear() in any engine without week-based-year format patterns. ---
+  def isoDay(t: Column): Column = dayofweek(t) + 1 // our dayofweek: 0=Monday
+  def isoWeek(t: Column): Column = weekofyear(t)
+  def isoYear(t: Column): Column =
+    year(date_add(to_date(t), (lit(4) - isoDay(t)).cast("int")))
 }

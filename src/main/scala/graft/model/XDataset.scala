@@ -55,6 +55,17 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   def selJoin(dim: String, labels: DataFrame): XDataset =
     withDf(df.join(broadcast(labels), df(dim) === labels.columns.head, "left_semi"))
 
+  /** Vectorized (pointwise) indexing — xarray's
+    * `sel(x=DataArray(xs, dims="pts"), y=DataArray(ys, dims="pts"))`
+    * (ref `dataset.py:3004` + `indexing.py` vectorized mode): each row of
+    * `points` names one (dim→label) tuple; the result is indexed by the
+    * points frame's OTHER columns (the new dim). A broadcast inner join —
+    * the 100 TB path, since points lists are small relative to data. */
+  def selPoints(points: DataFrame, mapping: Map[String, String]): XDataset = {
+    val cond = mapping.map { case (d, p) => df(d) === points(p) }.reduce(_ && _)
+    withDf(df.join(broadcast(points), cond).drop(mapping.values.toSeq: _*))
+  }
+
   /** Anti-selection (ref `drop_sel`, `dataset.py:6113`). */
   def dropSel(dim: String, values: Seq[Any]): XDataset =
     withDf(df.filter(!col(dim).isin(values: _*)))

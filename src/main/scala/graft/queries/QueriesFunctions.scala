@@ -116,6 +116,38 @@ object QueriesFunctions {
           col("rp.tail").as("rp_tail"),
           col("noprefix"), col("nosuffix"), col("slrep"), col("cf"),
           col("alnum"))
+    }),
+
+    // .dt accessor tail: arbitrary-freq floor/ceil/round (epoch-µs pmod
+    // arithmetic, exact) + isocalendar (ref `accessor_dt.py:283,561`)
+    "q122_dt_tail" -> ((s, dir) => {
+      val t = col("ts")
+      val us15 = 15L * 60L * 1000000L
+      Tables.events(s, dir).select(
+        col("event_id"),
+        DtFns.floorFreq(t, us15).as("floor15"),
+        DtFns.ceilFreq(t, us15).as("ceil15"),
+        DtFns.roundFreq(t, us15).as("round15"),
+        DtFns.isoYear(t).as("iso_y"),
+        DtFns.isoWeek(t).as("iso_w"),
+        DtFns.isoDay(t).as("iso_d"),
+        DtFns.strftime(t, "HH:mm:ss").as("tod"),
+        round(DtFns.totalSeconds(t, DtFns.floorDay(t)), 6).as("sec_of_day"))
+    }),
+
+    // vectorized (pointwise) indexing: sel with a points frame
+    // (ref `dataset.py:3004` DataArray-valued indexers)
+    "q123_sel_points" -> ((s, dir) => {
+      import graft.model.XDataset
+      val li = XDataset(Tables.lineitem(s, dir),
+        dims = Seq("l_orderkey", "l_linenumber"))
+      val points = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("pt_id"),
+          col("o_orderkey").as("ok"),
+          (col("o_orderkey") % 4 + 1).cast("int").as("ln"))
+      li.selPoints(points, Map("l_orderkey" -> "ok", "l_linenumber" -> "ln"))
+        .df.select(col("pt_id"), col("l_quantity"), col("l_returnflag"))
     })
   )
 
@@ -216,6 +248,26 @@ object QueriesFunctions {
          substr(p_name, 1, 2) || 'XX' || substr(p_name, 6) AS slrep,
          lower(p_name) AS cf,
          regexp_matches(replace(p_name, ' ', ''), '^[A-Za-z0-9]+$') AS alnum
-         FROM part"""
+         FROM part""",
+    "q122_dt_tail" ->
+      """SELECT event_id,
+         make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS floor15,
+         make_timestamp((epoch_us(ts) + 899999999)
+           - (epoch_us(ts) + 899999999) % 900000000) AS ceil15,
+         make_timestamp((epoch_us(ts) + 450000000)
+           - (epoch_us(ts) + 450000000) % 900000000) AS round15,
+         CAST(isoyear(ts) AS INT) AS iso_y,
+         CAST(weekofyear(ts) AS INT) AS iso_w,
+         CAST(isodow(ts) AS INT) AS iso_d,
+         strftime(ts, '%H:%M:%S') AS tod,
+         round((epoch_us(ts) - epoch_us(date_trunc('day', ts))) / 1e6, 6)
+           AS sec_of_day
+         FROM events""",
+    "q123_sel_points" ->
+      """SELECT o_orderkey AS pt_id, l_quantity, l_returnflag
+         FROM orders
+         JOIN lineitem ON l_orderkey = o_orderkey
+           AND l_linenumber = CAST(o_orderkey % 4 + 1 AS INT)
+         WHERE o_orderkey % 13 = 0"""
   )
 }
