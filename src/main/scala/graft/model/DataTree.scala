@@ -88,4 +88,32 @@ object DataTree {
     new DataTree(entries.map { case (p, d) =>
       ("/" + p.split("/").filter(_.nonEmpty).mkString("/")) -> d
     }.toMap)
+
+  /** open_datatree from a store directory (ref `backends/api.py:1029`
+    * open_datatree; zarr group hierarchy `backends/zarr.py`): every
+    * directory under `root` that directly holds parquet files becomes a
+    * node at its relative path. Uses the Hadoop FileSystem API, so the
+    * same walk works on HDFS/S3 at cluster scale — only the (small)
+    * directory listing happens on the driver, the data stays lazy. */
+  def open(spark: org.apache.spark.sql.SparkSession, root: String,
+           dims: Seq[String]): DataTree = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = fs.makeQualified(new Path(root))
+    def walk(p: Path): Seq[Path] =
+      p +: fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.contains("=")) // partition dirs are chunk keys, not groups
+        .flatMap(walk)
+    val nodes = walk(rootP).flatMap { p =>
+      val hasData = fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (!hasData) None
+      else {
+        val rel = p.toString.stripPrefix(rootP.toString)
+        val norm = if (rel.isEmpty) "/" else rel
+        Some(norm -> XDataset(spark.read.parquet(p.toString), dims))
+      }
+    }
+    new DataTree(nodes.toMap)
+  }
 }

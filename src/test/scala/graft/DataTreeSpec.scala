@@ -27,6 +27,19 @@ class DataTreeSpec extends SparkSpec {
     assert(seenCoords == Set("site"))
   }
 
+  test("open_datatree walks a store directory into a hierarchy") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tree").toString
+    Seq((1, 1.0)).toDF("k", "v").write.mode("overwrite").parquet(s"$root/")
+    Seq((2, 2.0)).toDF("k", "v").write.mode("overwrite").parquet(s"$root/a")
+    Seq((3, 3.0)).toDF("k", "v").write.mode("overwrite").parquet(s"$root/a/b")
+    val tree = DataTree.open(spark, root, dims = Seq("k"))
+    assert(tree.groups === Seq("/", "/a", "/a/b"))
+    assert(tree("/a/b").df.select(sum(col("v"))).head().getDouble(0) === 3.0)
+    assert(tree.depth === 2)
+    val doubled = tree.mapOverDatasets(d => d.assign("v", col("v") * 2))
+    assert(doubled("/a").df.head().getDouble(1) === 4.0)
+  }
+
   test("subtree re-roots and isomorphic trees zip") {
     val t = DataTree("/" -> ds((1, 1.0)), "/a/x" -> ds((2, 2.0)),
       "/a/y" -> ds((3, 3.0)), "/b" -> ds((4, 4.0)))
