@@ -61,6 +61,34 @@ object QueriesCalendar {
           col("djul")), "yyyy-MM-dd").as("std_jul"),
         date_format(CFDecode.toStandardDate(col("y360"), col("m360"),
           col("d360")), "yyyy-MM-dd").as("std_360"))
+    }),
+
+    // interp_calendar (ref `coding/calendar_ops.py:190`): source series on
+    // a noleap time axis, target on the standard calendar — both become
+    // DECIMAL YEARS (noleap: exactly year + days/365) and the values
+    // linearly interpolate onto the target axis. Composition of the
+    // calendar codecs with the as-of interp pipeline; no new shuffle shape.
+    "q124_interp_calendar" -> ((s, dir) => {
+      import graft.model.XDataset.exactAvg
+      import graft.numerics.Numerics
+      import graft.functions.DtFns
+      val ev = Tables.events(s, dir)
+      val series = ev
+        .select(col("event_type"), (col("event_id") % 3650L).as("days"),
+          col("value"))
+        .groupBy("event_type", "days").agg(exactAvg(col("value")).as("v"))
+        .withColumn("x", lit(2000.0) + col("days").cast("double") / 365.0)
+        .select("event_type", "x", "v")
+      val dates = s.sql(
+        """SELECT explode(sequence(to_date('2000-01-15'),
+             to_date('2009-12-15'), interval 1 month)) AS d""")
+      val probes = ev.select("event_type").distinct()
+        .crossJoin(dates)
+        .withColumn("x", DtFns.decimalYear(col("d")))
+      Numerics.interpLinear(series, probes, by = Seq("event_type"),
+          t = "x", v = "v")
+        .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("v_interp"))
     })
   )
 
@@ -108,6 +136,33 @@ object QueriesCalendar {
                    THEN 29 ELSE 28 END)
             THEN strftime(make_date(y360, m360, d360), '%Y-%m-%d') END AS std_360
         FROM m"""
-    }
+    },
+
+    "q124_interp_calendar" ->
+      """WITH series AS (
+           SELECT event_type, event_id % 3650 AS days,
+             CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(value) AS v
+           FROM events GROUP BY 1, 2),
+         s2 AS (SELECT event_type,
+             2000.0 + CAST(days AS DOUBLE) / 365.0 AS x, v FROM series),
+         dates AS (SELECT CAST(generate_series AS DATE) AS d FROM
+           generate_series(DATE '2000-01-15', DATE '2009-12-15',
+                           INTERVAL 1 MONTH)),
+         probes AS (SELECT t.event_type, g.d,
+             year(g.d) + CAST(dayofyear(g.d) - 1 AS DOUBLE) /
+               (CASE WHEN (year(g.d) % 4 = 0 AND year(g.d) % 100 <> 0)
+                       OR year(g.d) % 400 = 0 THEN 366 ELSE 365 END) AS x
+           FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN dates g),
+         back AS (SELECT p.event_type, p.d, p.x, s.v AS y0, s.x AS x0
+           FROM probes p ASOF LEFT JOIN s2 s
+           ON p.event_type = s.event_type AND p.x >= s.x),
+         fwd AS (SELECT p.event_type, p.d, p.x, s.v AS y1, s.x AS x1
+           FROM probes p ASOF LEFT JOIN s2 s
+           ON p.event_type = s.event_type AND p.x <= s.x)
+         SELECT b.event_type, strftime(b.d, '%Y-%m-%d') AS d,
+           CASE WHEN x0 IS NULL OR x1 IS NULL THEN NULL
+                WHEN x1 = x0 THEN y0
+                ELSE y0 + (y1 - y0) * (b.x - x0) / (x1 - x0) END AS v_interp
+         FROM back b JOIN fwd f ON b.event_type = f.event_type AND b.d = f.d"""
   )
 }

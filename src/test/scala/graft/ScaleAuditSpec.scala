@@ -51,7 +51,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q110_interp_quadratic" -> "probe grid cross user list, both driver-bounded",
     "q111_interp_quintic" -> "probe grid cross user list, both driver-bounded",
     "q113_interp_barycentric" -> "probe grid cross user list, both driver-bounded",
-    "q114_interp_krogh" -> "probe grid cross user list, both driver-bounded")
+    "q114_interp_krogh" -> "probe grid cross user list, both driver-bounded",
+    "q124_interp_calendar" -> "generated 120-date grid cross 4 event types")
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup") // memory-table results
