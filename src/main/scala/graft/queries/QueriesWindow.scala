@@ -76,6 +76,22 @@ object QueriesWindow {
       pos.groupBy(Windows.coarsenKey(col("pos"), 1000).as("block"))
         .agg(count(lit(1)).as("n"),
           graft.model.XDataset.exactAvg(col("o_totalprice")).as("avg_price"))
+    }),
+
+    // rolling reductions beyond mean: sum/min/max + var/std, ddof 0 and 1
+    // (ref `rolling.py` reduce; xarray std default ddof=0, pandas ddof=1)
+    "q125_rolling_stats" -> ((s, dir) => {
+      val w = Windows.rolling(Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")), 5)
+      val v = col("value")
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(v.cast(DecimalType(30, 8))).over(w).cast("double").as("roll_sum"),
+        min(v).over(w).as("roll_min"),
+        max(v).over(w).as("roll_max"),
+        Windows.rollingVar(v, w, 5, 0).as("var0"),
+        Windows.rollingVar(v, w, 5, 1).as("var1"),
+        sqrt(Windows.rollingVar(v, w, 5, 1)).as("std1"))
     })
   )
 
@@ -118,6 +134,34 @@ object QueriesWindow {
          FROM (SELECT o_totalprice,
                  row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
                FROM orders)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // exact decimal window sums feed an identical double variance formula:
+    // (s2 - s1*s1/n) / (n - ddof), full windows only
+    "q125_rolling_stats" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) AS roll_sum,
+         min(value) OVER w AS roll_min,
+         max(value) OVER w AS roll_max,
+         CASE WHEN count(value) OVER w = 5 THEN
+           greatest((CAST(sum(CAST(value*value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+            - CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              * CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              / CAST(count(value) OVER w AS DOUBLE))
+           / CAST(count(value) OVER w AS DOUBLE), 0.0) END AS var0,
+         CASE WHEN count(value) OVER w = 5 THEN
+           greatest((CAST(sum(CAST(value*value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+            - CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              * CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              / CAST(count(value) OVER w AS DOUBLE))
+           / (CAST(count(value) OVER w AS DOUBLE) - 1), 0.0) END AS var1,
+         sqrt(CASE WHEN count(value) OVER w = 5 THEN
+           greatest((CAST(sum(CAST(value*value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+            - CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              * CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              / CAST(count(value) OVER w AS DOUBLE))
+           / (CAST(count(value) OVER w AS DOUBLE) - 1), 0.0) END) AS std1
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -84,4 +84,21 @@ object Windows {
     * tail. Block id = floor(pos / k) — a plain groupBy, no window needed,
     * so it scales as ordinary hash aggregation. */
   def coarsenKey(pos: Column, k: Int): Column = floor(pos / k).cast("long")
+
+  /** rolling var (ref `rolling.py` reduce: var/std; numpy ddof semantics,
+    * xarray default ddof=0). Σx and Σx² accumulate in DECIMAL over the
+    * window — order-independent and cross-engine exact — then the variance
+    * formula runs in identical double arithmetic. NULL until the window is
+    * full (min_periods=window), which keeps partial-window float noise out
+    * of the contract. std = sqrt(rollingVar) (IEEE sqrt is exact). */
+  def rollingVar(c: Column, w: WindowSpec, window: Int, ddof: Int): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val s1 = sum(c.cast(DecimalType(30, 8))).over(w).cast("double")
+    val s2 = sum((c * c).cast(DecimalType(30, 8))).over(w).cast("double")
+    val n = count(c).over(w).cast("double")
+    // clamp at 0: a constant window can cancel to a tiny NEGATIVE value in
+    // the double formula, and sqrt of that is engine-dependent (NaN vs error)
+    when(count(c).over(w) === window,
+      greatest((s2 - s1 * s1 / n) / (n - lit(ddof)), lit(0.0)))
+  }
 }
