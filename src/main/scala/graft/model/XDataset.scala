@@ -195,6 +195,18 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   }
 
   def sortBy(keys: String*): DataFrame = df.orderBy(keys.map(col): _*)
+
+  /** map: apply `f` to every DATA variable, keys untouched (ref
+    * `dataset.py:6833` Dataset.map). One projection — stays in the scan's
+    * codegen stage. */
+  def mapVars(f: Column => Column): XDataset =
+    withDf(df.select(df.columns.map { c =>
+      if (meta.keyCols.contains(c)) col(c) else f(col(c)).as(c)
+    }.toIndexedSeq: _*))
+
+  /** pipe: function application in method-chain position (ref
+    * `common.py:718`). */
+  def pipe[T](f: XDataset => T): T = f(this)
 }
 
 object XDataset {

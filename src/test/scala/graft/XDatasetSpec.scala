@@ -65,4 +65,20 @@ class XDatasetSpec extends SparkSpec {
     val sq = e.squeeze("scenario")
     assert(sq.meta.dims === Seq("dim1", "dim2"))
   }
+
+  test("mapVars hits data vars only; pipe chains; accessor resolves") {
+    import graft.model.Accessors._
+    val ds = XDataset(
+      Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("k", "a", "b"),
+      dims = Seq("k"))
+    val doubled = ds.mapVars(_ * 2)
+    val r = doubled.df.orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // keys untouched
+    assert(r.map(_.getDouble(1)).toSeq === Seq(4.0, 8.0))
+    val n = ds.pipe(d => d.df.count())
+    assert(n === 2L)
+    val desc = ds.stats.describe().head()
+    assert(desc.getAs[Long]("a_count") === 2L)
+    assert(desc.getAs[Double]("b_max") === 5.0)
+  }
 }
