@@ -70,4 +70,37 @@ object TextAnalysis {
       transform(tokens(c), t => abs(xxhash64(t))),
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + pmod(h, lit(1000003L)), lit(1000000007L)))
+
+  // --- repetition signals (Gopher-rule family: "fraction of duplicate
+  // word n-grams" quality filters) — expression-only, zero shuffle ---
+
+  /** All word n-grams of a document as an array of joined strings. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+  }
+
+  /** Fraction of n-grams that are duplicates of an earlier one
+    * (0 = no repetition). NULL when the doc has fewer than n tokens. */
+  def dupNgramRatio(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val g = wordNgrams(c, n)
+    when(size(toks) >= n,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  // --- C4-style cleaning: boilerplate strippers as composable
+  // regexp_replace passes (all RE2-compatible, so oracles mirror 1:1) ---
+
+  def stripHtml(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
+  def stripUrls(c: Column): Column =
+    regexp_replace(c, "https?://[^ \\t\\n]+", " ")
+  def stripEmails(c: Column): Column =
+    regexp_replace(c, "[^ \\t\\n]+@[^ \\t\\n]+", " ")
+
+  /** Full cleaning pipeline: html -> urls -> emails -> whitespace squeeze.
+    * One fused projection in the scan stage. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(stripEmails(stripUrls(stripHtml(c))), "\\s+", " "))
 }

@@ -240,6 +240,20 @@ object QueriesLLM {
       Multimodal.frameSample(media, "doc_id", "media", frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_no"),
           length(col("frame")).as("frame_len"))
+    }),
+
+    // Gopher-style repetition signals + C4-style cleaning, all in the scan
+    // stage (no shuffle): duplicate word-n-gram fractions, URL counts, the
+    // cleaned text itself
+    "q126_repetition_clean" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.dupNgramRatio(t, 2).as("dup2"),
+        TextAnalysis.dupNgramRatio(t, 3).as("dup3"),
+        regexp_count(t, lit("https?://[^ \\t\\n]+")).as("n_urls"),
+        length(TextAnalysis.cleanText(t)).as("clean_len"),
+        substring(TextAnalysis.cleanText(t), 1, 60).as("clean60"))
     })
   )
 
@@ -527,6 +541,34 @@ object QueriesLLM {
          FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
          LATERAL (SELECT unnest(generate_series(0,
            CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS i)
-         WHERE i % 2 = 0"""
+         WHERE i % 2 = 0""",
+    "q126_repetition_clean" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, text, toks,
+           list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+           list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
+         FROM t),
+         c AS (SELECT doc_id, g2, g3, len(toks) AS nt,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 'https?://[^ \t\n]+', ' ', 'g'),
+               '[^ \t\n]+@[^ \t\n]+', ' ', 'g'),
+             '\s+', ' ', 'g')) AS cleaned,
+           len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls
+         FROM g)
+         SELECT doc_id,
+           CASE WHEN nt >= 2 THEN
+             1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup2,
+           CASE WHEN nt >= 3 THEN
+             1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup3,
+           n_urls,
+           length(cleaned) AS clean_len,
+           substr(cleaned, 1, 60) AS clean60
+         FROM c"""
   )
 }
