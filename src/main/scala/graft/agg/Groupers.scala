@@ -58,4 +58,15 @@ object Groupers {
     spark.sql(
       s"""SELECT explode(sequence(timestamp'$startIso', timestamp'$endIso',
           interval $interval)) AS $key""")
+
+  /** Quantile binning (pandas qcut; xarray groupby_bins with quantile
+    * edges). Two passes at scale: one aggregation computes the k-1 interior
+    * quantile boundaries, then a broadcast of that 1-row frame feeds a
+    * when-chain bucket assign — no sort, no window. `bs` is the boundary
+    * ARRAY column from the broadcast side; bins are right-closed like
+    * pd.qcut: bin i = (b_{i-1}, b_i]. */
+  def qcutAssign(v: Column, bs: Column, k: Int): Column =
+    (k - 2 to 0 by -1).foldLeft(lit(k - 1)) { (acc, i) =>
+      when(v <= bs.getItem(i), i).otherwise(acc)
+    }
 }

@@ -133,6 +133,21 @@ object QueriesGroupBy {
         .withColumn("running_spend",
           sum(col("o_totalprice").cast(DecimalType(30, 4))).over(w).cast("double"))
         .select("o_orderkey", "o_custkey", "running_spend")
+    }),
+
+    // quantile binning / pandas qcut (groupby_bins with quantile edges):
+    // one agg for the boundaries, broadcast, when-chain assign — 2 passes,
+    // no sort or window
+    "q128_qcut" -> ((s, dir) => {
+      import graft.model.XDataset.exactSum
+      val df = Tables.orders(s, dir)
+      val b = df.agg(percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("bs"))
+      df.crossJoin(broadcast(b))
+        .select(col("o_totalprice"),
+          Groupers.qcutAssign(col("o_totalprice"), col("bs"), 4).as("qbin"))
+        .groupBy("qbin")
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
     })
   )
 
@@ -233,6 +248,17 @@ object QueriesGroupBy {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_spend
-         FROM orders"""
+         FROM orders""",
+    // quantile_cont == Spark percentile (both Hyndman-Fan 7); bins are
+    // right-closed (b_{i-1}, b_i] like pd.qcut
+    "q128_qcut" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS bs
+           FROM orders)
+         SELECT CASE WHEN o_totalprice <= bs[1] THEN 0
+                     WHEN o_totalprice <= bs[2] THEN 1
+                     WHEN o_totalprice <= bs[3] THEN 2 ELSE 3 END AS qbin,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+         FROM orders, b GROUP BY 1"""
   )
 }

@@ -39,6 +39,24 @@ object QueriesStreaming {
         .agg(min(col("event_id")).as("first_event"),
           count(lit(1)).as("n_events"))
       StreamOps.runToCompletion(s, agg, s"stream_dedup_${System.nanoTime}")
+    }),
+
+    // stream-stream interval join (streaming as-of analog): purchases in
+    // the hour before each error, per user; == the batch interval join
+    "q127_stream_join" -> ((s, dir) => {
+      val ev = StreamOps.eventsStream(s, dir).withWatermark("ts", "1 hour")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+          col("event_id").as("e_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val joined = StreamOps.intervalJoin(errors, purchases,
+          "e_user", "p_user", "e_ts", "p_ts", "1 hour")
+        .select(col("e_id").as("event_id"), col("p_id").as("purchase_id"),
+          col("p_value"))
+      StreamOps.runToCompletion(s, joined,
+        s"stream_join_${System.nanoTime}", mode = "append")
     })
   )
 
@@ -57,6 +75,13 @@ object QueriesStreaming {
     "q99_stream_dedup" ->
       """SELECT user_id, date_trunc('day', ts) AS day,
            min(event_id) AS first_event, count(*) AS n_events
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q127_stream_join" ->
+      """SELECT e.event_id AS event_id, p.event_id AS purchase_id,
+           p.value AS p_value
+         FROM events e JOIN events p
+           ON e.event_type = 'error' AND p.event_type = 'purchase'
+          AND e.user_id = p.user_id
+          AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"""
   )
 }

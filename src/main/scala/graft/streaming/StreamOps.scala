@@ -46,13 +46,27 @@ object StreamOps {
     * check streaming semantics. (Measured: lowering shuffle partitions for
     * the state store does NOT reduce the ~2-3s wall — the cost is
     * micro-batch planning/checkpoint machinery, not task count.) */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
+                      mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Stream-stream interval join (the streaming as-of analog): right rows
+    * within [left.ts - interval, left.ts] per key. Watermarks bound BOTH
+    * sides' state stores — without them the join state grows forever; with
+    * them old rows expire once no in-interval match can still arrive. On a
+    * finite source the result equals the batch interval join (watermark
+    * only governs state cleanup, never correctness of emitted matches). */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                   rightKey: String, leftTs: String, rightTs: String,
+                   interval: String): DataFrame =
+    left.join(right,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTs BETWEEN $leftTs - interval $interval AND $leftTs"))
 }
