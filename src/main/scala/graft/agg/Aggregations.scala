@@ -80,4 +80,21 @@ object Aggregations {
     * semantics on a sorted coordinate. */
   def idxmax(label: Column, v: Column): Column = min_by(label, struct(v * lit(-1), label))
   def idxmin(label: Column, v: Column): Column = min_by(label, struct(v, label))
+
+  /** sum_of_weights (ref `weighted.py:192`): Σw over rows where BOTH value
+    * and weight are present — the joint mask all weighted reductions share. */
+  def sumOfWeights(v: Column, w: Column, scale: Int = 6): Column =
+    sum(when(v.isNotNull && w.isNotNull, w).cast(DecimalType(38, scale)))
+      .cast("double")
+
+  /** sum_of_squares (ref `weighted.py:220`): Σw·x², joint-masked, in exact
+    * decimal like [[weightedVar]]. */
+  def sumOfSquares(v: Column, w: Column,
+                   vScale: Int = 2, wScale: Int = 2): Column = {
+    val both = v.isNotNull && w.isNotNull
+    val vd = when(both, v).cast(DecimalType(18, vScale))
+    val wd = when(both, w).cast(DecimalType(12, wScale))
+    val v2 = (vd * vd).cast(DecimalType(20, 2 * vScale))
+    sum(v2 * wd).cast("double")
+  }
 }

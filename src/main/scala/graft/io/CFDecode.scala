@@ -193,4 +193,37 @@ object CFDecode {
     * applies on open). */
   def decode(c: Column, fillValue: Any, scale: Double, offset: Double): Column =
     scaleOffsetDecode(maskDecode(c, fillValue), scale, offset)
+
+  // --- calendar-aware date_range (ref `coding/cftime_offsets.py:1221`
+  // cftime_range). Driver-side day-count generation: the result is a small
+  // probe/axis grid that broadcasts with the plan, like timeBuckets. ---
+
+  /** Day-counts since epoch for `n` consecutive days. */
+  def cftimeRangeDays(startDay: Long, n: Int): Seq[Long] =
+    startDay until (startDay + n)
+
+  /** Day-counts of `months` consecutive month STARTS (freq="MS") from
+    * January of `startYear`, in the given calendar. */
+  def cftimeRangeMonthStarts(calendar: String, epochYear: Int,
+                             startYear: Int, months: Int): Seq[Long] = {
+    require(calendar != "julian" || epochYear % 4 == 0,
+      "julian epochYear must be divisible by 4")
+    def startsFor(leap: Boolean): Seq[Int] =
+      if (leap) monthStartsAllLeap else monthStartsNoLeap
+    (0 until months).map { k =>
+      val y = startYear + k / 12
+      val m = k % 12
+      calendar match {
+        case "360_day"  => (y - epochYear).toLong * 360L + m * 30L
+        case "noleap"   => (y - epochYear).toLong * 365L + monthStartsNoLeap(m)
+        case "all_leap" => (y - epochYear).toLong * 366L + monthStartsAllLeap(m)
+        case "julian" =>
+          val yrs = y - epochYear
+          val cycles = yrs / 4
+          val yic = yrs % 4
+          cycles.toLong * 1461L + Seq(0L, 366L, 731L, 1096L)(yic) +
+            startsFor(yic == 0)(m)
+      }
+    }
+  }
 }

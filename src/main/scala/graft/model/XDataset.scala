@@ -207,6 +207,22 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   /** pipe: function application in method-chain position (ref
     * `common.py:718`). */
   def pipe[T](f: XDataset => T): T = f(this)
+
+  /** equals (ref `dataset.py:1559`): same dims, same columns, same rows —
+    * attrs ignored. Distributed symmetric difference; never collects. */
+  def equalsData(other: XDataset): Boolean =
+    meta.dims == other.meta.dims &&
+      df.columns.sorted.toSeq == other.df.columns.sorted.toSeq && {
+        val cols = df.columns.sorted.map(col).toIndexedSeq
+        val a = df.select(cols: _*)
+        val b = other.df.select(cols: _*)
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
+
+  /** identical (ref `dataset.py:1588`): equals AND same attrs. */
+  def identical(other: XDataset): Boolean =
+    meta.attrs == other.meta.attrs &&
+      meta.varAttrs == other.meta.varAttrs && equalsData(other)
 }
 
 object XDataset {

@@ -68,7 +68,11 @@ object QueriesGroupBy {
           Aggregations.weightedVar(col("l_extendedprice"), col("l_quantity"))
             .as("wvar_price"),
           Aggregations.weightedStd(col("l_extendedprice"), col("l_quantity"))
-            .as("wstd_price"))
+            .as("wstd_price"),
+          Aggregations.sumOfWeights(col("l_extendedprice"), col("l_quantity"))
+            .as("sow"),
+          Aggregations.sumOfSquares(col("l_extendedprice"), col("l_quantity"))
+            .as("sos"))
     }),
 
     // skipna=False + min_count (ref `_aggregations.py` params)
@@ -210,7 +214,9 @@ object QueriesGroupBy {
            FROM d GROUP BY 1)
          SELECT l_returnflag,
            swx2 / sw - (swx / sw) * (swx / sw) AS wvar_price,
-           sqrt(swx2 / sw - (swx / sw) * (swx / sw)) AS wstd_price
+           sqrt(swx2 / sw - (swx / sw) * (swx / sw)) AS wstd_price,
+           sw AS sow,
+           swx2 AS sos
          FROM a""",
     "q22_skipna_mincount" ->
       """SELECT event_type,

@@ -66,6 +66,26 @@ class CalendarSpec extends SparkSpec {
       (y, m, d) => CFDecode.julianEncode(y, m, d, 2000))
   }
 
+  test("cftime date_range(freq=MS) lands on month starts in every calendar") {
+    for (cal <- Seq("360_day", "noleap", "all_leap", "julian")) {
+      val days = CFDecode.cftimeRangeMonthStarts(cal, 2000, 2003, 26)
+      assert(days.size === 26)
+      assert(days === days.sorted)
+      val df = days.toDF("d")
+      val dec = cal match {
+        case "360_day"  => CFDecode.cal360Decode(col("d"), 2000)
+        case "noleap"   => CFDecode.noleapDecode(col("d"), 2000)
+        case "all_leap" => CFDecode.allLeapDecode(col("d"), 2000)
+        case "julian"   => CFDecode.julianDecode(col("d"), 2000)
+      }
+      val rows = df.select(dec.as("s")).select("s.year", "s.month", "s.day")
+        .collect()
+      assert(rows.forall(_.getInt(2) == 1), s"$cal: not all day-1")
+      assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+        (0 until 26).map(k => (2003 + k / 12, k % 12 + 1)))
+    }
+  }
+
   test("convert_calendar to standard nulls dates that don't exist") {
     val df = Seq((2100, 2, 29), (2000, 2, 29), (2001, 2, 30), (2004, 2, 29))
       .toDF("y", "m", "d")

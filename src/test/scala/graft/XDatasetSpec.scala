@@ -81,4 +81,17 @@ class XDatasetSpec extends SparkSpec {
     assert(desc.getAs[Long]("a_count") === 2L)
     assert(desc.getAs[Double]("b_max") === 5.0)
   }
+
+  test("equals ignores attrs and row order; identical does not") {
+    val a = XDataset(Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"), dims = Seq("k"))
+    val shuffled = XDataset(Seq((2L, 3.0), (1L, 2.0)).toDF("k", "v"), dims = Seq("k"))
+    val withAttrs = new XDataset(a.df,
+      graft.model.DatasetMeta(Seq("k"), attrs = Map("units" -> "m")))
+    val different = XDataset(Seq((1L, 2.0), (2L, 9.0)).toDF("k", "v"), dims = Seq("k"))
+    assert(a.equalsData(shuffled))
+    assert(a.equalsData(withAttrs))       // attrs ignored
+    assert(!a.identical(withAttrs))       // but identical sees them
+    assert(withAttrs.identical(withAttrs))
+    assert(!a.equalsData(different))
+  }
 }
