@@ -63,4 +63,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
       || p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("grid KNN is an equi-join on cell keys; pointwise sel broadcasts") {
+    val knn = plan("q120_ndpoint_knn")
+    assert(!knn.contains("CartesianProduct") &&
+      !knn.contains("BroadcastNestedLoopJoin"),
+      s"grid KNN must join on cell keys:\n${knn.take(800)}")
+    val pts = plan("q123_sel_points")
+    assert(pts.contains("BroadcastHashJoin") || pts.contains("BroadcastExchange"),
+      s"pointwise sel should broadcast the points side:\n${pts.take(800)}")
+  }
+
+  test("calendar decode stays in the scan stage (no extra exchange)") {
+    // q119 shape: scan -> distinct (one exchange) -> projection of the
+    // calendar CASE chains. Exactly one shuffle is expected (the distinct);
+    // the decode itself must not introduce more.
+    val p = plan("q119_cftime_calendars")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("reuse"))
+    assert(exchanges <= 2, s"calendar decode added shuffles:\n${p.take(1200)}")
+  }
 }
