@@ -544,6 +544,32 @@ object QueriesMore {
     "q82_mfopen_combine" -> ((s, dir) => {
       val twice = s.read.parquet(s"$dir/region.parquet", s"$dir/region.parquet")
       twice.dropDuplicates("r_regionkey").select("r_regionkey", "r_name")
+    }),
+
+    // ufunc battery 2: inverse trig, hyperbolics (explicit exp/ln formulas
+    // on BOTH sides — libm hyperbolics differ by ulps across engines),
+    // exp2/log2/log10, degrees/radians, fmod/trunc/reciprocal/square
+    "q129_ufunc_battery2" -> ((s, dir) => {
+      val d = col("l_discount"); val q = col("l_quantity")
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(asin(d), 8).as("asin_d"),
+        round(acos(d), 8).as("acos_d"),
+        round(atan2(d, q), 8).as("atan2_dq"),
+        round((exp(d) + exp(-d)) / 2, 8).as("cosh_d"),
+        round((exp(d * 2) - 1) / (exp(d * 2) + 1), 8).as("tanh_d"),
+        round(log(q + sqrt(q * q + 1)), 8).as("asinh_q"),
+        round(log(q + 1 + sqrt((q + 1) * (q + 1) - 1)), 8).as("acosh_q1"),
+        round(log((d + 1) / (lit(1.0) - d)) / 2, 8).as("atanh_d"),
+        round(degrees(d), 8).as("deg_d"),
+        round(radians(q), 8).as("rad_q"),
+        round(log2(q), 8).as("log2_q"),
+        round(log10(q), 8).as("log10_q"),
+        round(pow(lit(2.0), d), 8).as("exp2_d"),
+        (lit(1.0) / (d + 1)).as("recip_d"),
+        (d * d).as("square_d"),
+        (q % 7.0).as("mod_q7"),
+        (q / 7 * 3).cast("long").cast("double").as("trunc_q"))
     })
   )
 
@@ -1223,6 +1249,27 @@ object QueriesMore {
              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS t0,
              CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS t1,
              CAST(sum(CAST(l_quantity * l_quantity * l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS t2
-             FROM lineitem GROUP BY 1))"""
+             FROM lineitem GROUP BY 1))""",
+    "q129_ufunc_battery2" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(asin(l_discount), 8) AS asin_d,
+         round(acos(l_discount), 8) AS acos_d,
+         round(atan2(l_discount, l_quantity), 8) AS atan2_dq,
+         round((exp(l_discount) + exp(-l_discount)) / 2, 8) AS cosh_d,
+         round((exp(l_discount * 2) - 1) / (exp(l_discount * 2) + 1), 8) AS tanh_d,
+         round(ln(l_quantity + sqrt(l_quantity * l_quantity + 1)), 8) AS asinh_q,
+         round(ln(l_quantity + 1 +
+           sqrt((l_quantity + 1) * (l_quantity + 1) - 1)), 8) AS acosh_q1,
+         round(ln((l_discount + 1) / (1.0 - l_discount)) / 2, 8) AS atanh_d,
+         round(degrees(l_discount), 8) AS deg_d,
+         round(radians(l_quantity), 8) AS rad_q,
+         round(log2(l_quantity), 8) AS log2_q,
+         round(log10(l_quantity), 8) AS log10_q,
+         round(pow(2.0, l_discount), 8) AS exp2_d,
+         1.0 / (l_discount + 1) AS recip_d,
+         l_discount * l_discount AS square_d,
+         fmod(l_quantity, 7.0) AS mod_q7,
+         trunc(l_quantity / 7 * 3) AS trunc_q
+         FROM lineitem"""
   )
 }
