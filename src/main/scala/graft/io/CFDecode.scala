@@ -189,6 +189,38 @@ object CFDecode {
   def toStandardDate(y: Column, m: Column, d: Column): Column =
     when(gregorianValid(y, m, d), make_date(y, m, d))
 
+  /** Is (y, m, d) a real date in `calendar`? */
+  def calendarValid(calendar: String, y: Column, m: Column, d: Column): Column = {
+    def lenFrom(starts: Seq[Int]): Column =
+      starts.sliding(2).toSeq.zipWithIndex.foldLeft(lit(31)) {
+        case (acc, (b, i)) => when(m === i + 1, b(1) - b.head).otherwise(acc)
+      }
+    val len = calendar match {
+      case "360_day"  => lit(30)
+      case "noleap"   => lenFrom(monthStartsNoLeap)
+      case "all_leap" => lenFrom(monthStartsAllLeap)
+      case "julian" =>
+        when(pmod(y, lit(4)) === 0, lenFrom(monthStartsAllLeap))
+          .otherwise(lenFrom(monthStartsNoLeap))
+    }
+    d >= 1 && d <= len && m >= 1 && m <= 12
+  }
+
+  /** Generic convert_calendar (ref `core/dataset.py:10011`): re-encode a
+    * (year, month, day) from ANY source calendar as days-since-epoch in
+    * `target`, NULL for dates the target lacks (drop semantics). The date
+    * keeps its (y, m, d) identity, exactly like the reference. */
+  def convertCalendar(y: Column, m: Column, d: Column, target: String,
+                      epochYear: Int): Column = {
+    val enc = target match {
+      case "360_day"  => cal360Encode(y, m, d, epochYear)
+      case "noleap"   => noleapEncode(y, m, d, epochYear)
+      case "all_leap" => allLeapEncode(y, m, d, epochYear)
+      case "julian"   => julianEncode(y, m, d, epochYear)
+    }
+    when(calendarValid(target, y, m, d), enc)
+  }
+
   /** Full pipeline: mask then scale/offset (the coder order the reference
     * applies on open). */
   def decode(c: Column, fillValue: Any, scale: Double, offset: Double): Column =

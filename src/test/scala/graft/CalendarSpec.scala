@@ -86,6 +86,25 @@ class CalendarSpec extends SparkSpec {
     }
   }
 
+  test("convert_calendar between non-standard calendars keeps (y,m,d) identity") {
+    // all_leap 2001-02-29 does not exist in noleap -> NULL; -01-31 does not
+    // exist in 360_day -> NULL; valid dates land on the same (y,m,d)
+    val df = Seq((2001, 2, 29), (2001, 1, 31), (2001, 3, 15)).toDF("y", "m", "d")
+    val out = df.select(
+      CFDecode.convertCalendar(col("y"), col("m"), col("d"), "noleap", 2000).as("nl"),
+      CFDecode.convertCalendar(col("y"), col("m"), col("d"), "360_day", 2000).as("c360"))
+      .collect()
+    assert(out(0).isNullAt(0))          // Feb 29 -> noleap: dropped
+    assert(!out(0).isNullAt(1))         // Feb 29 -> 360_day: exists
+    assert(out(1).isNullAt(1))          // Jan 31 -> 360_day: dropped
+    assert(!out(1).isNullAt(0))         // Jan 31 -> noleap: exists
+    // roundtrip identity on the valid date
+    val back = Seq(out(2).getLong(0)).toDF("days")
+      .select(CFDecode.noleapDecode(col("days"), 2000).as("s"))
+      .select("s.year", "s.month", "s.day").head()
+    assert((back.getInt(0), back.getInt(1), back.getInt(2)) === ((2001, 3, 15)))
+  }
+
   test("convert_calendar to standard nulls dates that don't exist") {
     val df = Seq((2100, 2, 29), (2000, 2, 29), (2001, 2, 30), (2004, 2, 29))
       .toDF("y", "m", "d")
