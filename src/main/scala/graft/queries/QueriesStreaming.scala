@@ -44,19 +44,27 @@ object QueriesStreaming {
     // stream-stream interval join (streaming as-of analog): purchases in
     // the hour before each error, per user; == the batch interval join
     "q127_stream_join" -> ((s, dir) => {
-      val ev = StreamOps.eventsStream(s, dir).withWatermark("ts", "1 hour")
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
-          col("event_id").as("e_id"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"), col("value").as("p_value"))
-      val joined = StreamOps.intervalJoin(errors, purchases,
-          "e_user", "p_user", "e_ts", "p_ts", "1 hour")
-        .select(col("e_id").as("event_id"), col("p_id").as("purchase_id"),
-          col("p_value"))
-      StreamOps.runToCompletion(s, joined,
-        s"stream_join_${System.nanoTime}", mode = "append")
+      // A stream-stream join keeps TWO state stores, each sharded into
+      // spark.sql.shuffle.partitions tasks per micro-batch; at this volume
+      // the wall time is task-count bound, so scope the partition count
+      // down for the stateful query (it is fixed per checkpoint at start).
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ev = StreamOps.eventsStream(s, dir).withWatermark("ts", "1 hour")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+            col("event_id").as("e_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"), col("value").as("p_value"))
+        val joined = StreamOps.intervalJoin(errors, purchases,
+            "e_user", "p_user", "e_ts", "p_ts", "1 hour")
+          .select(col("e_id").as("event_id"), col("p_id").as("purchase_id"),
+            col("p_value"))
+        StreamOps.runToCompletion(s, joined,
+          s"stream_join_${System.nanoTime}", mode = "append")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
