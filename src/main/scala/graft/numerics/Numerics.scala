@@ -160,8 +160,12 @@ object Numerics {
                       t: String, v: String): DataFrame = {
     val isTs = series.schema(t).dataType ==
       org.apache.spark.sql.types.TimestampType
+    // time in DAYS, not µs: the knot-slope recurrence below accumulates in
+    // decimal for cross-engine determinism, and day-scale slopes (~1e2)
+    // survive the decimal quantization where µs-scale ones (~1e-9) would not
     def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+      if (isTs) unix_micros(c).cast("double") / 86400000000.0
+      else c.cast("double")
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
     val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
       col(v).cast("double").as("__y")): _*)
@@ -176,6 +180,10 @@ object Numerics {
           .otherwise(lit(2.0) *
             when(pmod(col("__j"), lit(2)) === 1, lit(-1.0)).otherwise(lit(1.0)) *
             col("__mprev")))
+      // Spark's running window sum accumulates row by row (a sequential
+      // left fold); DuckDB's window agg adds pairwise (segment tree) and
+      // drifts by ulps on long series, so the ORACLE mirrors this with an
+      // explicit list prefix-fold instead of a window sum
       .withColumn("__e",
         sum("__term").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__d",

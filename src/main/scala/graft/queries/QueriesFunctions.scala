@@ -65,10 +65,13 @@ object QueriesFunctions {
         col("c_custkey"),
         b.cast("long").as("bal_long"),
         least(greatest(b, lit(0.0)), lit(5000.0)).as("bal_clip"),
-        // + 0.0 canonicalizes -0.0 -> 0.0: DuckDB's round keeps the sign of
-        // a negative zero result, Spark's BigDecimal round does not, and the
-        // driver's hash distinguishes "-0.0" from "0.0"
-        (round(b / 1000, 2) + lit(0.0)).as("bal_k"),
+        // decimal multiply + decimal round: b/1000 in DOUBLE can land on a
+        // .xx5 tie that Spark (decimal-repr HALF_UP) and DuckDB (binary
+        // double) round differently — exact decimal arithmetic has no such
+        // ties. + 0.0 still canonicalizes -0.0 -> 0.0 for the row hash.
+        (round(b.cast(org.apache.spark.sql.types.DecimalType(12, 2)) *
+          lit(new java.math.BigDecimal("0.001")), 2)
+          .cast("double") + lit(0.0)).as("bal_k"),
         when(b > 0, lit("pos")).otherwise(lit("neg")).as("sign3"),
         lit(1.0).as("ones_like"),
         b.isNull.as("isnull"),
@@ -203,7 +206,8 @@ object QueriesFunctions {
       """SELECT c_custkey,
          CAST(trunc(c_acctbal) AS BIGINT) AS bal_long,
          least(greatest(c_acctbal, 0.0), 5000.0) AS bal_clip,
-         round(c_acctbal / 1000, 2) + 0.0 AS bal_k,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(4,3)),
+           2) AS DOUBLE) + 0.0 AS bal_k,
          CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS sign3,
          1.0 AS ones_like,
          c_acctbal IS NULL AS isnull,

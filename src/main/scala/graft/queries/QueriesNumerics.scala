@@ -415,7 +415,9 @@ object QueriesNumerics {
     // both engines)
     "q110_interp_quadratic" ->
       """WITH kn0 AS (
-           SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+           SELECT user_id,
+                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                    / 86400000000.0 AS t,
                   CAST(value AS DOUBLE) AS y
            FROM events WHERE event_type = 'purchase'),
          k1 AS (
@@ -431,17 +433,20 @@ object QueriesNumerics {
                   ELSE 2.0 * (CASE WHEN j % 2 = 1 THEN -1.0 ELSE 1.0 END)
                        * lag(m) OVER w END AS term
            FROM k1 WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         k2g AS (
+           SELECT user_id, list(coalesce(term, 0.0) ORDER BY t) AS terms
+           FROM k2 GROUP BY user_id),
          k3 AS (
-           SELECT user_id, t, y, tp, h, m, j,
-             sum(term) OVER (PARTITION BY user_id ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
-           FROM k2),
+           SELECT k2.user_id, t, y, tp, h, m, j,
+             list_reduce(k2g.terms[1:k2.j+1], (a, b) -> a + b) AS e
+           FROM k2 JOIN k2g USING (user_id)),
          k4 AS (
            SELECT user_id, t, y, tp, h, m,
              CASE WHEN j % 2 = 1 THEN -e ELSE e END AS d
            FROM k3),
          probes AS (
-           SELECT u.user_id, CAST(epoch_us(g.ts) AS DOUBLE) AS t FROM
+           SELECT u.user_id,
+               CAST(epoch_us(g.ts) AS DOUBLE) / 86400000000.0 AS t FROM
              (SELECT DISTINCT user_id FROM kn0) u
            CROSS JOIN (SELECT generate_series AS ts FROM
              generate_series(TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-25',
