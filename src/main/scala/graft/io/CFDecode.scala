@@ -226,6 +226,31 @@ object CFDecode {
   def decode(c: Column, fillValue: Any, scale: Double, offset: Double): Column =
     scaleOffsetDecode(maskDecode(c, fillValue), scale, offset)
 
+  /** open_dataset(decode_cf=True): apply the CF coders to every data
+    * variable that declares them in varAttrs (_FillValue / missing_value,
+    * scale_factor, add_offset) — the attr-driven dispatch of
+    * `conventions.py:109` decode_cf_variable. One projection; variables
+    * without CF attrs pass through untouched. */
+  def decodeDataset(ds: graft.model.XDataset): graft.model.XDataset = {
+    val decodedDf = ds.dataVars.foldLeft(ds.df) { (df, v) =>
+      val attrs = ds.meta.varAttrs.getOrElse(v, Map.empty)
+      val fill = attrs.get("_FillValue").orElse(attrs.get("missing_value"))
+      val scale = attrs.get("scale_factor").map(_.toDouble)
+      val offset = attrs.get("add_offset").map(_.toDouble)
+      if (fill.isEmpty && scale.isEmpty && offset.isEmpty) df
+      else {
+        val masked = fill.map(f => maskDecode(col(v), f.toDouble))
+          .getOrElse(col(v))
+        val decoded =
+          if (scale.isDefined || offset.isDefined)
+            scaleOffsetDecode(masked, scale.getOrElse(1.0), offset.getOrElse(0.0))
+          else masked
+        df.withColumn(v, decoded)
+      }
+    }
+    new graft.model.XDataset(decodedDf, ds.meta)
+  }
+
   // --- calendar-aware date_range (ref `coding/cftime_offsets.py:1221`
   // cftime_range). Driver-side day-count generation: the result is a small
   // probe/axis grid that broadcasts with the plan, like timeBuckets. ---

@@ -60,6 +60,27 @@ class PluginSpec extends SparkSpec {
     assert(viaIx.map(_.getString(1)).toSeq === plain.map(_.getString(1)).toSeq)
   }
 
+  test("store dataset roundtrip keeps dims/coords/attrs via the sidecar") {
+    import graft.io.{CFDecode, Store}
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_ds").toString
+    val ds = new XDataset(
+      Seq((1L, 100), (2L, -999), (3L, 104)).toDF("t", "enc"),
+      graft.model.DatasetMeta(Seq("t"), coords = Set.empty,
+        attrs = Map("title" -> "demo"),
+        varAttrs = Map("enc" -> Map("_FillValue" -> "-999",
+          "scale_factor" -> "0.5", "add_offset" -> "10"))))
+    Store.writeDataset(ds, s"$dir/store")
+    val back = Store.openDataset(spark, s"$dir/store")
+    assert(back.meta.dims === Seq("t"))
+    assert(back.meta.attrs === Map("title" -> "demo"))
+    assert(back.meta.varAttrs("enc")("scale_factor") === "0.5")
+    // decode_cf applies the coders the attrs declare: mask then scale
+    val dec = CFDecode.decodeDataset(back)
+    val vals = dec.df.orderBy("t").collect()
+      .map(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+    assert(vals.toSeq === Seq(Some(60.0), None, Some(62.0)))
+  }
+
   test("range index layout preserves data and registry creates by name") {
     val ds = XDataset(spark.range(1000).toDF("k")
       .withColumn("v", col("k") * 2), dims = Seq("k"))
