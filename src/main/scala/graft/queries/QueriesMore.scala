@@ -570,6 +570,28 @@ object QueriesMore {
         (d * d).as("square_d"),
         (q % 7.0).as("mod_q7"),
         (q / 7 * 3).cast("long").cast("double").as("trunc_q"))
+    }),
+
+    // N-ary xr.dot / einsum "ik,kj,j->i" (ref `computation.py:136` dot with
+    // multiple arrays): the contraction is a JOIN CHAIN — contract k by
+    // joining a with b, contract j by joining c, then one hash agg per
+    // output label. Small factors broadcast; the big operand streams
+    // through one shuffle on the output key. Integer counts keep the
+    // arithmetic exact end to end.
+    "q130_einsum3" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir)
+        .groupBy((col("l_orderkey") % 50).as("i"), col("l_linenumber").as("k"))
+        .agg(count(lit(1)).as("va"))
+      val b = Tables.part(s, dir)
+        .groupBy((col("p_partkey") % 7 + 1).cast("int").as("k"),
+          (col("p_size") % 10).as("j"))
+        .agg(count(lit(1)).as("vb"))
+      val c = Tables.customer(s, dir)
+        .groupBy((col("c_custkey") % 10).as("j"))
+        .agg(count(lit(1)).as("vc"))
+      a.join(broadcast(b), "k").join(broadcast(c), "j")
+        .groupBy("i")
+        .agg(sum(col("va") * col("vb") * col("vc")).as("dot3"))
     })
   )
 
@@ -1270,6 +1292,16 @@ object QueriesMore {
          l_discount * l_discount AS square_d,
          fmod(l_quantity, 7.0) AS mod_q7,
          trunc(l_quantity / 7 * 3) AS trunc_q
-         FROM lineitem"""
+         FROM lineitem""",
+    "q130_einsum3" ->
+      """WITH a AS (SELECT l_orderkey % 50 AS i, l_linenumber AS k,
+             count(*) AS va FROM lineitem GROUP BY 1, 2),
+         b AS (SELECT CAST(p_partkey % 7 + 1 AS INT) AS k, p_size % 10 AS j,
+             count(*) AS vb FROM part GROUP BY 1, 2),
+         c AS (SELECT c_custkey % 10 AS j, count(*) AS vc
+             FROM customer GROUP BY 1)
+         SELECT i, sum(va * vb * vc) AS dot3
+         FROM a JOIN b USING (k) JOIN c USING (j)
+         GROUP BY i"""
   )
 }
