@@ -103,4 +103,21 @@ object TextAnalysis {
     * One fused projection in the scan stage. */
   def cleanText(c: Column): Column =
     trim(regexp_replace(stripEmails(stripUrls(stripHtml(c))), "\\s+", " "))
+
+  // --- PII scrubbing (training-data hygiene): mask, don't drop — the
+  // document survives with placeholder tokens. RE2-compatible patterns so
+  // the DuckDB oracle replays them verbatim. ---
+
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePat = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** Mask emails/IPv4s/phone numbers with placeholder tokens. IP runs
+    * first so a dotted quad can't be half-eaten by the phone pattern. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ipv4Pat, "[IP]"),
+        emailPat, "[EMAIL]"),
+      phonePat, "[PHONE]")
 }

@@ -242,6 +242,21 @@ object QueriesLLM {
           length(col("frame")).as("frame_len"))
     }),
 
+    // PII scrubbing: deterministic synthetic PII is appended per doc (the
+    // corpus has none) so the masks are genuinely exercised, then counted
+    // and scrubbed in one projection
+    "q131_pii_scrub" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" contact u"), col("doc_id"), lit("@example.com or 555-123-4567 at 10.0.0."),
+          (col("doc_id") % 256).cast("string")).as("t"))
+      withPii.select(col("doc_id"),
+        regexp_count(col("t"), lit(TextAnalysis.emailPat)).as("n_email"),
+        regexp_count(col("t"), lit(TextAnalysis.ipv4Pat)).as("n_ip"),
+        regexp_count(col("t"), lit(TextAnalysis.phonePat)).as("n_phone"),
+        TextAnalysis.scrubPii(col("t")).as("scrubbed"))
+    }),
+
     // Gopher-style repetition signals + C4-style cleaning, all in the scan
     // stage (no shuffle): duplicate word-n-gram fractions, URL counts, the
     // cleaned text itself
@@ -542,6 +557,26 @@ object QueriesLLM {
          LATERAL (SELECT unnest(generate_series(0,
            CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS i)
          WHERE i % 2 = 0""",
+    "q131_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+           substr(text, 1, 40) || ' contact u' || doc_id ||
+             '@example.com or 555-123-4567 at 10.0.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) AS t
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(t,
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+         FROM w""",
     "q126_repetition_clean" ->
       """WITH t AS (SELECT doc_id, text,
            string_split_regex(trim(text), '\s+') AS toks FROM documents),
