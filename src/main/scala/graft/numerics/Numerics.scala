@@ -57,6 +57,24 @@ object Numerics {
     (sy - fitSlope(x, y) * sx) / n
   }
 
+  /** Weighted degree-1 polyfit (ref `computation/fit.py` polyfit w=):
+    * minimize Σw(y−a−bx)²; decimal-exact weighted moments with the joint
+    * NULL mask all weighted reductions share. */
+  def fitSlopeW(x: Column, y: Column, wt: Column): Column = {
+    val mask = x.isNotNull && y.isNotNull && wt.isNotNull
+    val sw = dsum(when(mask, wt)); val swx = dsum(when(mask, wt * x))
+    val swy = dsum(when(mask, wt * y))
+    val swxy = dsum(when(mask, wt * x * y))
+    val swxx = dsum(when(mask, wt * x * x))
+    (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+  }
+  def fitInterceptW(x: Column, y: Column, wt: Column): Column = {
+    val mask = x.isNotNull && y.isNotNull && wt.isNotNull
+    val sw = dsum(when(mask, wt)); val swx = dsum(when(mask, wt * x))
+    val swy = dsum(when(mask, wt * y))
+    (swy - fitSlopeW(x, y, wt) * swx) / sw
+  }
+
   /** polyval via Horner's rule (ref `computation.py:836`): fixed
     * association so every engine evaluates bit-identically. */
   def polyval(x: Column, coeffs: Seq[Double]): Column =

@@ -33,6 +33,17 @@ object QueriesNumerics {
         round(Numerics.fitIntercept(col("l_quantity"), col("l_extendedprice")), 4).as("intercept"))
     }),
 
+    // weighted polyfit (ref `computation/fit.py` w=): same normal-equation
+    // shape with w-weighted decimal-exact moments
+    "q132_polyfit_weighted" -> ((s, dir) => {
+      val wgt = col("l_discount") + 0.01 // strictly positive weights
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        round(Numerics.fitSlopeW(col("l_quantity"), col("l_extendedprice"),
+          wgt), 6).as("wslope"),
+        round(Numerics.fitInterceptW(col("l_quantity"), col("l_extendedprice"),
+          wgt), 4).as("wintercept"))
+    }),
+
     // differentiate: central differences w.r.t. the time coord
     // (ref `dataset.py:8475`)
     "q43_differentiate" -> ((s, dir) => {
@@ -235,6 +246,22 @@ object QueriesNumerics {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
            CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1)""",
+    "q132_polyfit_weighted" ->
+      """SELECT l_returnflag,
+         round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6) AS wslope,
+         round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+           / sw, 4) AS wintercept
+         FROM (SELECT l_returnflag,
+           CAST(sum(CAST(l_discount + 0.01 AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+           CAST(sum(CAST((l_discount + 0.01) * l_quantity AS DECIMAL(38,6)))
+             AS DOUBLE) AS swx,
+           CAST(sum(CAST((l_discount + 0.01) * l_extendedprice AS DECIMAL(38,6)))
+             AS DOUBLE) AS swy,
+           CAST(sum(CAST((l_discount + 0.01) * l_quantity * l_extendedprice
+             AS DECIMAL(38,6))) AS DOUBLE) AS swxy,
+           CAST(sum(CAST((l_discount + 0.01) * l_quantity * l_quantity
+             AS DECIMAL(38,6))) AS DOUBLE) AS swxx
            FROM lineitem GROUP BY 1)""",
     "q43_differentiate" ->
       """SELECT event_id, user_id,
