@@ -39,3 +39,32 @@ final case class DatasetMeta(
     coords = coords.map(c => mapping.getOrElse(c, c)),
     varAttrs = varAttrs.map { case (k, v) => mapping.getOrElse(k, k) -> v })
 }
+
+object DatasetMeta {
+
+  /** combine_attrs policies for merge/concat/combine (ref
+    * `core/merge.py:622` merge_attrs; the five modes of the reference).
+    * Pure metadata — applied on the driver when datasets combine. */
+  def combineAttrs(mode: String,
+                   attrsList: Seq[Map[String, String]]): Map[String, String] =
+    mode match {
+      case "drop" => Map.empty
+      case "override" => attrsList.headOption.getOrElse(Map.empty)
+      case "identical" =>
+        require(attrsList.forall(_ == attrsList.headOption.getOrElse(Map.empty)),
+          "combine_attrs='identical' but attrs differ")
+        attrsList.headOption.getOrElse(Map.empty)
+      case "no_conflicts" =>
+        attrsList.flatten.groupBy(_._1).map { case (k, kvs) =>
+          val vs = kvs.map(_._2).distinct
+          require(vs.size == 1, s"combine_attrs='no_conflicts': '$k' has ${vs.size} values")
+          k -> vs.head
+        }
+      case "drop_conflicts" =>
+        attrsList.flatten.groupBy(_._1).collect {
+          case (k, kvs) if kvs.map(_._2).distinct.size == 1 => k -> kvs.head._2
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown combine_attrs '$other'")
+    }
+}

@@ -82,6 +82,21 @@ class XDatasetSpec extends SparkSpec {
     assert(desc.getAs[Double]("b_max") === 5.0)
   }
 
+  test("combine_attrs implements the five reference policies") {
+    import graft.model.DatasetMeta.combineAttrs
+    val a = Map("title" -> "x", "units" -> "m")
+    val b = Map("title" -> "x", "source" -> "sat")
+    val c = Map("title" -> "y")
+    assert(combineAttrs("drop", Seq(a, b)) === Map.empty)
+    assert(combineAttrs("override", Seq(a, b)) === a)
+    assert(combineAttrs("no_conflicts", Seq(a, b)) ===
+      Map("title" -> "x", "units" -> "m", "source" -> "sat"))
+    intercept[IllegalArgumentException] { combineAttrs("no_conflicts", Seq(a, c)) }
+    assert(combineAttrs("drop_conflicts", Seq(a, c)) === Map("units" -> "m"))
+    assert(combineAttrs("identical", Seq(a, a)) === a)
+    intercept[IllegalArgumentException] { combineAttrs("identical", Seq(a, b)) }
+  }
+
   test("equals ignores attrs and row order; identical does not") {
     val a = XDataset(Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"), dims = Seq("k"))
     val shuffled = XDataset(Seq((2L, 3.0), (1L, 2.0)).toDF("k", "v"), dims = Seq("k"))
