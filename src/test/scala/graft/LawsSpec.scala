@@ -54,6 +54,63 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: roll(n, k) then roll(n, -k) is the identity") {
+    (1 to 5).foreach { seed =>
+      val rng = new Random(seed)
+      val n = rng.nextInt(20) + 1
+      val df = (0L until n).map(i => (i, rng.nextDouble())).toDF("pos", "v")
+      val rolled = graft.window.Pad.roll(df, "pos", "v", n, seed % 7)
+        .select(col("pos"), col("v_rolled").as("v"))
+      val back = graft.window.Pad.roll(rolled, "pos", "v", n, -(seed % 7))
+        .select(col("pos"), col("v_rolled").as("v"))
+      assert(back.collect().toSet === df.collect().toSet, s"seed=$seed n=$n")
+    }
+  }
+
+  test("law: interpLinear at the knots returns the knot values") {
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed)
+      val n = rng.nextInt(10) + 2
+      // strictly increasing coords (cumulative positive steps)
+      val steps = (0 until n).map(_ => 1.0 + rng.nextInt(3))
+      val ts = steps.scanLeft(0.0)(_ + _).tail
+      val knots = ts.map(t => (1L, t, rng.nextDouble())).toDF("k", "t", "v")
+      val probes = knots.select("k", "t")
+      val out = graft.numerics.Numerics.interpLinear(knots, probes,
+        by = Seq("k"), t = "t", v = "v")
+      val mismatch = out.join(knots, Seq("k", "t"))
+        .filter(col("v_interp") =!= col("v")).count()
+      assert(mismatch === 0L, s"seed=$seed")
+    }
+  }
+
+  test("law: rank of distinct values equals sort position + 1") {
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed + 7)
+      val vals = rng.shuffle((1 to 15).map(_.toDouble * 2)).take(10)
+      val df = vals.map(v => Tuple1(v)).toDF("v")
+      val ranked = graft.agg.Rank.avgRank(df, "v", "r")
+        .select("v", "r").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val expected = vals.sorted.zipWithIndex.map { case (v, i) => v -> (i + 1.0) }.toMap
+      assert(ranked === expected, s"seed=$seed")
+    }
+  }
+
+  test("law: exact dedup is idempotent (keep set is a fixpoint)") {
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed)
+      val docs = (0 until 20).map { i =>
+        (i.toLong, s"text ${rng.nextInt(5)}") // heavy duplicates
+      }.toDF("doc_id", "text")
+      val once = graft.llm.Dedup.exact(docs, "doc_id", "text")
+      val kept = docs.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+      val twice = graft.llm.Dedup.exact(kept, "doc_id", "text")
+      assert(twice.filter(col("n_dups") =!= 1).count() === 0L, s"seed=$seed")
+      assert(once.select("content_key", "keep_id").collect().toSet ===
+        twice.select("content_key", "keep_id").collect().toSet, s"seed=$seed")
+    }
+  }
+
   test("law: whereMask then dropna == whereDrop (long-format equivalence)") {
     (1 to 3).foreach { seed =>
       val ds = XDataset(randomDf(seed), Seq("g", "pos"))
