@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -240,6 +240,17 @@ object QueriesLLM {
       Multimodal.frameSample(media, "doc_id", "media", frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_no"),
           length(col("frame")).as("frame_len"))
+    }),
+
+    // deterministic train/val/test split: stable hash assignment per doc,
+    // stratification counts per (source, split)
+    "q133_split" -> ((s, dir) => {
+      import graft.model.XDataset.exactAvg
+      Tables.documents(s, dir)
+        .groupBy(col("source"),
+          Splits.assignSplit(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"),
+          exactAvg(length(col("text")), scale = 4).as("avg_len"))
     }),
 
     // PII scrubbing: deterministic synthetic PII is appended per doc (the
@@ -557,6 +568,20 @@ object QueriesLLM {
          LATERAL (SELECT unnest(generate_series(0,
            CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS i)
          WHERE i % 2 = 0""",
+    "q133_split" ->
+      """WITH b AS (SELECT source, text,
+           list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 100 AS bucket
+         FROM documents)
+         SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n,
+           CAST(sum(CAST(length(text) AS DECIMAL(30,4))) AS DOUBLE)
+             / count(*) AS avg_len
+         FROM b GROUP BY 1, 2""",
     "q131_pii_scrub" ->
       """WITH w AS (SELECT doc_id,
            substr(text, 1, 40) || ' contact u' || doc_id ||
