@@ -81,7 +81,9 @@ object Bench {
       val trunc = if (dropped > 0) s""","truncated":$dropped""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir"}"""
     }
-    val budget = 1850
+    // 2000-char tail minus sbt's "[info] " prefix, its trailing
+    // "[success] Total time ..." line, and slack for stray warnings
+    val budget = 1780
     var entries = results
     var line = render(entries, results.size - entries.size)
     while (line.length > budget && entries.nonEmpty) {
