@@ -66,7 +66,10 @@ object Groupers {
     * ARRAY column from the broadcast side; bins are right-closed like
     * pd.qcut: bin i = (b_{i-1}, b_i]. */
   def qcutAssign(v: Column, bs: Column, k: Int): Column =
-    (k - 2 to 0 by -1).foldLeft(lit(k - 1)) { (acc, i) =>
-      when(v <= bs.getItem(i), i).otherwise(acc)
-    }
+    // NULL in ⇒ NULL bin (pd.qcut gives NaN for NaN); without the guard a
+    // NULL comparison falls through every when() into the last bin.
+    when(v.isNotNull,
+      (k - 2 to 0 by -1).foldLeft(lit(k - 1)) { (acc, i) =>
+        when(v <= bs.getItem(i), i).otherwise(acc)
+      })
 }

@@ -45,6 +45,13 @@ object CFDecode {
   /** uint8 boolean decode (BooleanCoder). */
   def booleanDecode(c: Column): Column = c =!= 0
 
+  /** Floor division paired with `pmod`: Spark's `/` on longs truncates
+    * toward zero, so negative days-since-epoch would decode to a year one
+    * too high while pmod floors the remainder — an inconsistent date.
+    * (d - pmod(d, n)) / n floors for all signs. */
+  private def floorDiv(d: Column, n: Long): Column =
+    (d - pmod(d, lit(n))) / n
+
   // --- noleap (365_day) cftime calendar (ref `coding/times.py` cftime
   // path; `core/dataset.py:10011` convert_calendar). Spark has no native
   // type for it, so noleap dates are an encoded (year, month, day, doy) struct
@@ -57,7 +64,7 @@ object CFDecode {
   /** Decode days-since(epochYear-01-01) in the noleap calendar to a
     * (year, month, day, doy) struct. */
   def noleapDecode(days: Column, epochYear: Int): Column = {
-    val year = (days.cast("long") / 365L).cast("int") + epochYear
+    val year = floorDiv(days.cast("long"), 365L).cast("int") + epochYear
     val doy = pmod(days.cast("long"), lit(365L)).cast("int") // 0-based
     val month = monthStartsNoLeap.sliding(2).toSeq.zipWithIndex
       .foldLeft(lit(12)) { case (acc, (bounds, i)) =>
@@ -103,7 +110,7 @@ object CFDecode {
   /** 360_day calendar decode: every month is exactly 30 days. */
   def cal360Decode(days: Column, epochYear: Int): Column = {
     val d = days.cast("long")
-    val year = (d / 360L).cast("int") + epochYear
+    val year = floorDiv(d, 360L).cast("int") + epochYear
     val doy = pmod(d, lit(360L)).cast("int")
     struct(year.as("year"), ((doy / 30).cast("int") + 1).as("month"),
       (pmod(doy, lit(30)) + 1).as("day"), (doy + 1).as("doy"))
@@ -117,7 +124,7 @@ object CFDecode {
   /** all_leap (366_day) calendar decode: every year has a Feb 29. */
   def allLeapDecode(days: Column, epochYear: Int): Column = {
     val d = days.cast("long")
-    val year = (d / 366L).cast("int") + epochYear
+    val year = floorDiv(d, 366L).cast("int") + epochYear
     val doy = pmod(d, lit(366L)).cast("int")
     val (month, day) = monthDay(doy, monthStartsAllLeap)
     struct(year.as("year"), month.as("month"), day.as("day"), (doy + 1).as("doy"))
@@ -137,7 +144,7 @@ object CFDecode {
   def julianDecode(days: Column, epochYear: Int): Column = {
     require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
     val d = days.cast("long")
-    val cycle = (d / 1461L).cast("long")
+    val cycle = floorDiv(d, 1461L).cast("long")
     val rem = pmod(d, lit(1461L)).cast("int")
     val yic = when(rem < 366, 0).when(rem < 731, 1).when(rem < 1096, 2).otherwise(3)
     val yStart = when(rem < 366, 0).when(rem < 731, 366).when(rem < 1096, 731)
@@ -155,7 +162,7 @@ object CFDecode {
   def julianEncode(year: Column, month: Column, day: Column, epochYear: Int): Column = {
     require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
     val yrs = (year - epochYear).cast("long")
-    val cycles = (yrs / 4L).cast("long")
+    val cycles = floorDiv(yrs, 4L).cast("long")
     val yic = pmod(yrs, lit(4L)).cast("int")
     val yStart = when(yic === 0, 0L).when(yic === 1, 366L).when(yic === 2, 731L)
       .otherwise(1096L)

@@ -45,6 +45,13 @@ object DictIO {
     val dimVals: Seq[(String, Seq[Any])] = dims.map { d =>
       d -> rows.map(_.getAs[Any](d)).distinct.toSeq
     }
+    // The dict format is dense-cartesian: dims sizes must multiply out to
+    // the row count, else the emitted dims/data lengths disagree and the
+    // JSON is silently corrupt for any consumer that trusts `dims`.
+    require(dims.isEmpty ||
+        rows.length.toLong == dimVals.map(_._2.size.toLong).product,
+      s"to_dict requires a dense dataset: ${rows.length} rows != product of " +
+        s"dim sizes ${dimVals.map { case (d, vs) => s"$d=${vs.size}" }.mkString("×")}")
     val vars = ds.dataVars
     val json = JObject(
       "dims" -> JObject(dimVals.map { case (d, vs) => d -> JInt(vs.size) }.toList),

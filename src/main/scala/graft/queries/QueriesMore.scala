@@ -591,7 +591,7 @@ object QueriesMore {
         .agg(count(lit(1)).as("vc"))
       a.join(broadcast(b), "k").join(broadcast(c), "j")
         .groupBy("i")
-        .agg(sum(col("va") * col("vb") * col("vc")).as("dot3"))
+        .agg(sum(col("va") * col("vb") * col("vc")).cast("double").as("dot3"))
     })
   )
 
@@ -1300,7 +1300,7 @@ object QueriesMore {
              count(*) AS vb FROM part GROUP BY 1, 2),
          c AS (SELECT c_custkey % 10 AS j, count(*) AS vc
              FROM customer GROUP BY 1)
-         SELECT i, sum(va * vb * vc) AS dot3
+         SELECT i, CAST(sum(va * vb * vc) AS DOUBLE) AS dot3
          FROM a JOIN b USING (k) JOIN c USING (j)
          GROUP BY i"""
   )

@@ -60,9 +60,12 @@ object StreamOps {
   /** Stream-stream interval join (the streaming as-of analog): right rows
     * within [left.ts - interval, left.ts] per key. Watermarks bound BOTH
     * sides' state stores — without them the join state grows forever; with
-    * them old rows expire once no in-interval match can still arrive. On a
-    * finite source the result equals the batch interval join (watermark
-    * only governs state cleanup, never correctness of emitted matches). */
+    * them old rows expire once no in-interval match can still arrive.
+    * CAVEAT: rows arriving later than the watermark delay can be dropped
+    * or miss matches against already-evicted state — the watermark is a
+    * correctness boundary for late data, not just a cleanup knob. Batch
+    * equivalence (e.g. q127's oracle) holds only because the finite file
+    * source replays within the delay, never past the watermark. */
   def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
                    rightKey: String, leftTs: String, rightTs: String,
                    interval: String): DataFrame =

@@ -16,6 +16,7 @@ class CalendarSpec extends SparkSpec {
       case "360_day"  => CFDecode.cal360Decode(col("d"), epoch)
       case "all_leap" => CFDecode.allLeapDecode(col("d"), epoch)
       case "julian"   => CFDecode.julianDecode(col("d"), epoch)
+      case "noleap"   => CFDecode.noleapDecode(col("d"), epoch)
     }
     val r = df.select(s.as("s")).select("s.year", "s.month", "s.day").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
@@ -48,8 +49,25 @@ class CalendarSpec extends SparkSpec {
     assert(decode("julian", 36525L + 59L) === ((2100, 2, 29)))
   }
 
+  test("pre-epoch (negative days) decode consistently — floor division") {
+    // day -1 is the last day of the year BEFORE the epoch in every calendar;
+    // truncating division would pair year=epoch with a floored pmod doy and
+    // emit an impossible date like 2000-12-30 for day -1.
+    assert(decode("360_day", -1L) === ((1999, 12, 30)))
+    assert(decode("360_day", -360L) === ((1999, 1, 1)))
+    assert(decode("all_leap", -1L) === ((1999, 12, 31)))
+    assert(decode("all_leap", -366L) === ((1999, 1, 1)))
+    assert(decode("noleap", -1L) === ((1999, 12, 31)))
+    assert(decode("noleap", -365L) === ((1999, 1, 1)))
+    // julian: 1999 is not a leap year (1996 is); day -1 = 1999-12-31
+    assert(decode("julian", -1L) === ((1999, 12, 31)))
+    // back a full cycle: -1461 = 1996-01-01 (leap year start)
+    assert(decode("julian", -1461L) === ((1996, 1, 1)))
+    assert(decode("julian", -1461L + 59L) === ((1996, 2, 29)))
+  }
+
   test("roundtrip encode(decode(d)) == d across a leap cycle") {
-    val days = spark.range(0, 3000).toDF("d")
+    val days = spark.range(-3000, 3000).toDF("d")
     def rt(dec: org.apache.spark.sql.Column,
            enc: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
              org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {

@@ -111,6 +111,23 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("qcut: NULL input yields NULL bin (pd.qcut NaN contract)") {
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, 8.0, 9.0, null)
+      .toDF("v")
+    val b = df.agg(percentile(col("v"),
+      array(lit(0.25), lit(0.5), lit(0.75))).as("bs"))
+    val out = df.crossJoin(broadcast(b))
+      .select(col("v"), graft.agg.Groupers.qcutAssign(col("v"), col("bs"), 4).as("qbin"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "NULL value must get NULL bin")
+      else assert(!r.isNullAt(1) && r.getInt(1) >= 0 && r.getInt(1) <= 3)
+    }
+    // non-null rows still split evenly across the 4 bins
+    val counts = out.filter(!_.isNullAt(1)).groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(counts.values.forall(_ >= 1) && counts.size === 4)
+  }
+
   test("law: whereMask then dropna == whereDrop (long-format equivalence)") {
     (1 to 3).foreach { seed =>
       val ds = XDataset(randomDf(seed), Seq("g", "pos"))
