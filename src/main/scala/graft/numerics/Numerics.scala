@@ -792,22 +792,43 @@ object Numerics {
     * between bracketing valid values (ref `core/missing.py:331`
     * `interp_na`); edges stay NULL like the reference default. */
   def interpolateNa(df: DataFrame, by: Seq[Column], order: Seq[Column],
-                    t: Column, v: String): DataFrame = {
+                    t: Column, v: String, limit: Option[Int] = None,
+                    maxGap: Option[Double] = None): DataFrame = {
     def wAsc = Window.partitionBy(by: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     def wDesc = Window.partitionBy(by: _*).orderBy(order.map(_.desc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // limit= needs row ordinals; materialize them first (window functions
+    // can't nest inside another window's argument in one projection)
+    val rnCol = "__interp_rn"
+    val df1 = if (limit.isDefined)
+      df.withColumn(rnCol,
+        row_number().over(Window.partitionBy(by: _*).orderBy(order: _*)))
+    else df
     val y0 = last(col(v), ignoreNulls = true).over(wAsc)
     val t0 = last(when(col(v).isNotNull, t), ignoreNulls = true).over(wAsc)
     val y1 = last(col(v), ignoreNulls = true).over(wDesc)
     val t1 = last(when(col(v).isNotNull, t), ignoreNulls = true).over(wDesc)
     val tD = t.cast("double")
+    // ref `core/missing.py:331` limit: fill only NaNs within `limit` rows
+    // of the previous valid observation (leading part of each run);
+    // `:48` max_gap: ALL-or-nothing per run, gap length measured in
+    // coordinate units between the bracketing valid points.
+    val allow = Seq(
+      limit.map { l =>
+        val lastValidRn = last(when(col(v).isNotNull, col(rnCol)),
+          ignoreNulls = true).over(wAsc)
+        col(rnCol) - lastValidRn <= l
+      },
+      maxGap.map(g => t1.cast("double") - t0.cast("double") <= g)
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
     val filled = when(col(v).isNotNull, col(v))
       .when(y0.isNull || y1.isNull, lit(null))
+      .when(!allow, lit(null))
       .when(t1.cast("double") === t0.cast("double"), y0)
       .otherwise(y0 + (y1 - y0) * (tD - t0.cast("double")) /
         (t1.cast("double") - t0.cast("double")))
-    df.withColumn(v + "_interp", filled)
+    df1.withColumn(v + "_interp", filled).drop(rnCol)
   }
 
   /** Exact decimal dot product of two float arrays (ref `computation.py:484`

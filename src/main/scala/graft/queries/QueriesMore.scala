@@ -539,6 +539,27 @@ object QueriesMore {
         .select("l_orderkey", "l_linenumber", "cumprod_keep")
     }),
 
+    // general cumprod (ref `core/_aggregations.py` cumprod): factors span
+    // negatives, zero (l_quantity=25) and positives — exercises the
+    // sign-tracking/zero-latch path the positive-only log trick (q91)
+    // cannot. Oracle is DuckDB's independent sequential product() window.
+    // Factors have ONE decimal digit, so true products of <=7 lines are
+    // exact multiples of 1e-7: rounding to 8 dp never sits on a tie
+    // boundary and both engines' ~1e-11 float error rounds away.
+    "q134_cumprod_signed" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val factor = (col("l_quantity") - 25.0) / 10.0
+      Tables.lineitem(s, dir)
+        // + 0.0 normalizes IEEE -0.0 (a zero factor then a negative one
+        // yields -0.0 from a sequential multiply) so both engines hash alike
+        .withColumn("cumprod_f",
+          round(graft.window.Windows.cumprod(factor, w), 8) + lit(0.0))
+        .select("l_orderkey", "l_linenumber", "cumprod_f")
+    }),
+
     // open_mfdataset + combine_by_coords: multi-path read, duplicate
     // coordinates resolved (ref `backends/api.py:1379`, `combine.py:798`)
     "q82_mfopen_combine" -> ((s, dir) => {
@@ -1293,6 +1314,15 @@ object QueriesMore {
          fmod(l_quantity, 7.0) AS mod_q7,
          trunc(l_quantity / 7 * 3) AS trunc_q
          FROM lineitem""",
+    "q134_cumprod_signed" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(product((l_quantity - 25.0) / 10.0) OVER w, 8) + 0.0
+             AS cumprod_f
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_discount
+           ROWS UNBOUNDED PRECEDING)""",
     "q130_einsum3" ->
       """WITH a AS (SELECT l_orderkey % 50 AS i, l_linenumber AS k,
              count(*) AS va FROM lineitem GROUP BY 1, 2),

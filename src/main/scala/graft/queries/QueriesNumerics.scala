@@ -187,6 +187,20 @@ object QueriesNumerics {
         .select("event_id", "user_id", "vm_interp")
     }),
 
+    // interpolate_na with limit= (count of rows past the last valid) and
+    // max_gap= (coordinate span of the bracketing valid points) — ref
+    // `missing.py:48,331`. Both guards are pure window arithmetic on the
+    // same two scans q46 already runs.
+    "q46b_interpolate_na_limit" -> ((s, dir) => {
+      val masked = Tables.events(s, dir)
+        .withColumn("vm", when(col("event_type") =!= "error", col("value")))
+        .withColumn("t_sec", unix_micros(col("ts")).cast("double") / 1e6)
+      Numerics.interpolateNa(masked, by = Seq(col("user_id")),
+        order = Seq(col("ts"), col("event_id")), t = col("t_sec"), v = "vm",
+        limit = Some(2), maxGap = Some(1800.0))
+        .select("event_id", "user_id", "vm_interp")
+    }),
+
     // dot: named-dim einsum contraction over the embedding axis
     // (ref `computation.py:484`)
     "q47_dot" -> ((s, dir) => {
@@ -565,6 +579,33 @@ object QueriesNumerics {
            FROM (SELECT event_id, user_id, ts,
                CASE WHEN event_type <> 'error' THEN value END AS vm,
                CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
+           WINDOW
+             wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wd AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
+    "q46b_interpolate_na_limit" ->
+      """SELECT event_id, user_id,
+         CASE WHEN vm IS NOT NULL THEN vm
+              WHEN y0 IS NULL OR y1 IS NULL THEN NULL
+              WHEN NOT (rn - rv <= 2 AND t1 - t0 <= 1800.0) THEN NULL
+              WHEN t1 = t0 THEN y0
+              ELSE y0 + (y1 - y0) * (t - t0) / (t1 - t0) END AS vm_interp
+         FROM (SELECT event_id, user_id, vm, t, rn,
+             last_value(vm IGNORE NULLS) OVER wa AS y0,
+             last_value(CASE WHEN vm IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wa AS t0,
+             last_value(CASE WHEN vm IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wa AS rv,
+             last_value(vm IGNORE NULLS) OVER wd AS y1,
+             last_value(CASE WHEN vm IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wd AS t1
+           FROM (SELECT event_id, user_id, ts,
+               CASE WHEN event_type <> 'error' THEN value END AS vm,
+               CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+             FROM events)
            WINDOW
              wa AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

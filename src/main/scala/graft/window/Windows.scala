@@ -85,6 +85,28 @@ object Windows {
     * so it scales as ordinary hash aggregation. */
   def coarsenKey(pos: Column, k: Int): Column = floor(pos / k).cast("long")
 
+  /** General cumulative product (ref `core/_aggregations.py` cumprod).
+    * A windowed product has no distributed partial-agg form, so it runs as
+    * three windowed SUMS — each a single scan with map-side partials:
+    * zero count (any zero ⇒ 0 from there on), negative count (sign =
+    * (-1)^negs), and Σ log|x| in DECIMAL (order-independent, cross-engine
+    * exact) exponentiated back. This handles the zero/negative factors the
+    * naive exp(Σ log x) trick silently corrupts. NULL factors are skipped
+    * (pandas skipna): they contribute nothing and their own row is NULL.
+    * Float caveat: magnitude goes through exp∘log, so ~1e-14 relative
+    * error vs a sequential multiply — round at the consumer if hashing. */
+  def cumprod(c: Column, w: WindowSpec): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val zeros  = sum(when(c === 0, 1L).otherwise(0L)).over(w)
+    val negs   = sum(when(c < 0, 1L).otherwise(0L)).over(w)
+    val logAbs = sum(when(c =!= 0, log(abs(c))).cast(DecimalType(30, 12))).over(w)
+    val mag    = exp(logAbs.cast("double"))
+    val signed = when(pmod(negs, lit(2L)) === 1L, -mag).otherwise(mag)
+    when(c.isNull, lit(null).cast("double"))
+      .when(zeros > 0, lit(0.0))
+      .otherwise(signed)
+  }
+
   /** rolling var (ref `rolling.py` reduce: var/std; numpy ddof semantics,
     * xarray default ddof=0). Σx and Σx² accumulate in DECIMAL over the
     * window — order-independent and cross-engine exact — then the variance

@@ -111,6 +111,38 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: cumprod with mixed signs/zeros/nulls equals the sequential fold") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 5).foreach { seed =>
+      val rng = new Random(seed)
+      val n = rng.nextInt(30) + 1
+      val vals: Seq[java.lang.Double] = (0 until n).map { _ =>
+        rng.nextInt(5) match {
+          case 0 => null
+          case 1 => java.lang.Double.valueOf(0.0)
+          case _ => java.lang.Double.valueOf((rng.nextDouble() - 0.5) * 4)
+        }
+      }
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pos", "v")
+      val w = Window.partitionBy(lit(1)).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val got = df.select(col("pos"), graft.window.Windows.cumprod(col("v"), w).as("cp"))
+        .orderBy("pos").collect()
+        .map(r => if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))
+      // sequential fold, skipna: nulls contribute nothing, own row is null
+      var acc = 1.0
+      val want = vals.map { v =>
+        if (v == null) null
+        else { acc *= v.doubleValue(); java.lang.Double.valueOf(acc) }
+      }
+      got.zip(want).zipWithIndex.foreach { case ((g, e), i) =>
+        if (e == null) assert(g == null, s"seed=$seed pos=$i")
+        else assert(g != null && math.abs(g - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"seed=$seed pos=$i got=$g want=$e")
+      }
+    }
+  }
+
   test("qcut: NULL input yields NULL bin (pd.qcut NaN contract)") {
     val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null, 8.0, 9.0, null)
       .toDF("v")
