@@ -163,6 +163,56 @@ object Ewm {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EWM mean with the full pandas parameter matrix (ref `rolling_exp.py:49`
+    * passes adjust/ignore_na straight to the numbagg/pandas kernel):
+    *  - adjust=false: recursive form y_t = (1-α)y_{t-1} + αx_t — the weight
+    *    state resets to 1 after every observation instead of accumulating;
+    *  - ignore_na=true: weights follow RELATIVE positions of the non-null
+    *    values (a null row does not decay the state at all).
+    * Same op order as pandas' ewma kernel (including the skip-update-when-
+    * equal guard) so unit tests pin against pandas-computed values. The
+    * (adjust=true, ignore_na=false) default stays in `ewmMean`, whose
+    * num/den accumulation is bit-pinned by the q61 oracle. */
+  def ewmMeanOpts(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                  valueCol: String, idCol: String, alpha: Double,
+                  adjust: Boolean, ignoreNa: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ valueCol :+ idCol).distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var avg = 0.0; var avgValid = false; var oldWt = 1.0
+      val decay = 1.0 - alpha
+      val newWt = if (adjust) 1.0 else alpha
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; avgValid = false; oldWt = 1.0 }
+        val isNull = r.isNullAt(vIdx)
+        if (avgValid) {
+          if (!isNull || !ignoreNa) {
+            oldWt *= decay
+            if (!isNull) {
+              val x = r.getDouble(vIdx)
+              if (avg != x) avg = (oldWt * avg + newWt * x) / (oldWt + newWt)
+              if (adjust) oldWt += newWt else oldWt = 1.0
+            }
+          }
+        } else if (!isNull) { avg = r.getDouble(vIdx); avgValid = true; oldWt = 1.0 }
+        val out: Any = if (avgValid) avg else null
+        Row(r.get(iIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
               valueCol: String, idCol: String, alpha: Double): DataFrame = {
     val spark = df.sparkSession

@@ -66,6 +66,61 @@ object HFQuantile {
   /** Column form: `hfQuantile(col, 0.5, method = 4)`. */
   def apply(c: Column, q: Double, method: Int): Column =
     udaf(new HFQuantile(q, method)).apply(c)
+
+  /** Vectorized-q form (ref `variable.py:1929` accepts an array of q):
+    * one buffer, ONE sort, all quantiles read off the same order
+    * statistics — amortizes the O(n log n) per group across the q's. */
+  def multi(c: Column, qs: Seq[Double], method: Int): Column =
+    udaf(new HFQuantileMulti(qs, method)).apply(c)
+}
+
+/** Array-q variant of [[HFQuantile]]: same buffer and methods, the finish
+  * sorts once and evaluates every q. Returns NULL for an empty group,
+  * else an array aligned with `qs`. */
+class HFQuantileMulti(qs: Seq[Double], method: Int)
+  extends Aggregator[java.lang.Double, ArrayBuffer[Double], Array[Double]] {
+
+  def zero: ArrayBuffer[Double] = ArrayBuffer.empty
+
+  def reduce(b: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
+    if (x != null) b += x.doubleValue
+    b
+  }
+
+  def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = a ++= b
+
+  def finish(b: ArrayBuffer[Double]): Array[Double] = {
+    if (b.isEmpty) return null
+    val x = b.toArray; java.util.Arrays.sort(x)
+    val n = x.length
+    def at(k: Int): Double = x(math.min(math.max(k, 1), n) - 1)
+    def lerp(h: Double): Double = {
+      val fl = math.floor(h)
+      at(fl.toInt) + (h - fl) * (at(fl.toInt + 1) - at(fl.toInt))
+    }
+    qs.map { q =>
+      method match {
+        case 1 => at(math.ceil(n * q).toInt)
+        case 2 =>
+          val nq = n * q
+          if (nq == math.floor(nq)) (at(nq.toInt) + at(nq.toInt + 1)) / 2.0
+          else at(math.ceil(nq).toInt)
+        case 3 =>
+          val h = n * q - 0.5
+          at(math.max(math.rint(h), 0.0).toInt + 1)
+        case 4 => lerp(n * q)
+        case 5 => lerp(n * q + 0.5)
+        case 6 => lerp((n + 1) * q)
+        case 7 => lerp((n - 1) * q + 1)
+        case 8 => lerp((n + 1.0 / 3.0) * q + 1.0 / 3.0)
+        case 9 => lerp((n + 0.25) * q + 0.375)
+      }
+    }.toArray
+  }
+
+  def bufferEncoder: Encoder[ArrayBuffer[Double]] = Encoders.kryo[ArrayBuffer[Double]]
+  def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
 
 /** Weighted quantile, H&F type-7 generalized to weights (ref

@@ -88,6 +88,39 @@ object QueriesUdf {
         .select(col("id").as("event_id"), sqrt(col("ewm_var")).as("ewm_std"))
     }),
 
+    // vectorized-q quantile (ref `variable.py:1929` array q): ONE sort per
+    // group serves all three quantiles — the array-q Aggregator, not three
+    // single-q passes
+    "q62b_quantile_vec" -> ((s, dir) => {
+      val qv = HFQuantile.multi(col("l_quantity"), Seq(0.25, 0.5, 0.75), 7)
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(qv.as("qs"))
+        .select(col("l_returnflag"),
+          round(col("qs").getItem(0), 6).as("p25"),
+          round(col("qs").getItem(1), 6).as("p50"),
+          round(col("qs").getItem(2), 6).as("p75"))
+    }),
+
+    // EWM mean adjust=False (ref `rolling_exp.py:49` adjust passthrough):
+    // pure recursive form, weight state resets to 1 after each observation
+    "q61f_ewm_noadjust" -> ((s, dir) => {
+      Ewm.ewmMeanOpts(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3,
+        adjust = false, ignoreNa = false)
+        .withColumnRenamed("id", "event_id")
+    }),
+
+    // EWM mean ignore_na=True: null rows leave the weight state untouched,
+    // so decay follows relative positions of the observations
+    "q61g_ewm_ignorena" -> ((s, dir) => {
+      Ewm.ewmMeanOpts(Tables.events(s, dir),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", idCol = "event_id", alpha = 0.3,
+        adjust = true, ignoreNa = true)
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // exact H&F quantiles, methods beyond Spark's builtin linear
     // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
     "q62_quantile_hf" -> ((s, dir) => {
@@ -276,6 +309,67 @@ object QueriesUdf {
                     ELSE r.acc * CAST(0.7 AS DOUBLE) + s.value END
            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
          SELECT event_id, ewm_sum FROM r""",
+    // quantile_cont with an array argument is DuckDB's one-sort vectorized
+    // path — same H&F-7 definition as method=7
+    "q62b_quantile_vec" ->
+      """SELECT l_returnflag,
+           round(qs[1], 6) AS p25, round(qs[2], 6) AS p50,
+           round(qs[3], 6) AS p75
+         FROM (SELECT l_returnflag,
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+           FROM lineitem GROUP BY 1)""",
+    // adjust=False replay: state (avg, wt); an observation resets wt to 1,
+    // a null row decays it (ignore_na=False). Same IEEE op order as the
+    // Scala kernel, including the skip-update-when-equal guard.
+    "q61f_ewm_noadjust" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(value AS DOUBLE) AS avg,
+                  CAST(1 AS DOUBLE) AS wt
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN r.avg IS NULL THEN CAST(s.value AS DOUBLE)
+                       WHEN s.value IS NULL THEN r.avg
+                       WHEN r.avg = s.value THEN r.avg
+                       ELSE (r.wt * CAST(0.7 AS DOUBLE) * r.avg
+                             + CAST(0.3 AS DOUBLE) * s.value)
+                            / (r.wt * CAST(0.7 AS DOUBLE) + CAST(0.3 AS DOUBLE)) END,
+                  CASE WHEN r.avg IS NULL THEN CAST(1 AS DOUBLE)
+                       WHEN s.value IS NULL THEN r.wt * CAST(0.7 AS DOUBLE)
+                       ELSE CAST(1 AS DOUBLE) END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, avg AS ewm FROM r""",
+    // ignore_na=True replay: a null row copies the state verbatim; an
+    // observation decays wt once and accumulates it (adjust=True)
+    "q61g_ewm_ignorena" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(value AS DOUBLE) AS avg,
+                  CAST(1 AS DOUBLE) AS wt
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN r.avg IS NULL THEN CAST(s.value AS DOUBLE)
+                       WHEN s.value IS NULL THEN r.avg
+                       WHEN r.avg = s.value THEN r.avg
+                       ELSE (r.wt * CAST(0.7 AS DOUBLE) * r.avg + s.value)
+                            / (r.wt * CAST(0.7 AS DOUBLE) + CAST(1 AS DOUBLE)) END,
+                  CASE WHEN r.avg IS NULL THEN CAST(1 AS DOUBLE)
+                       WHEN s.value IS NULL THEN r.wt
+                       ELSE r.wt * CAST(0.7 AS DOUBLE) + CAST(1 AS DOUBLE) END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, avg AS ewm FROM r""",
     "q60_apply_ufunc_zscore" ->
       """SELECT event_id, (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN (

@@ -56,6 +56,40 @@ class EwmSpec extends SparkSpec {
         assert(math.abs(r.getDouble(1)) < 1e-12) }
   }
 
+  test("ewm mean adjust=False and ignore_na=True match pandas") {
+    val df = Seq(
+      (1L, 1L, java.lang.Double.valueOf(1.0)),
+      (2L, 1L, java.lang.Double.valueOf(2.0)),
+      (3L, 1L, null.asInstanceOf[java.lang.Double]),
+      (4L, 1L, java.lang.Double.valueOf(4.0)),
+      (5L, 1L, java.lang.Double.valueOf(8.0))
+    ).toDF("id", "g", "v")
+    // pandas Series.ewm(alpha=0.3, adjust=False).mean()
+    val noadj = Ewm.ewmMeanOpts(df, Seq("g"), Seq("id"), "v", "id",
+      alpha = 0.3, adjust = false, ignoreNa = false)
+      .orderBy("id").collect().map(_.getDouble(1))
+    val wantNoadj = Seq(1.0, 1.2999999999999998, 1.2999999999999998,
+      2.3253164556962025, 4.027721518987342)
+    noadj.zip(wantNoadj).foreach { case (g, w) =>
+      assert(g === w, s"adjust=False got $g want $w") }
+    // pandas Series.ewm(alpha=0.3, adjust=True, ignore_na=True).mean()
+    val ign = Ewm.ewmMeanOpts(df, Seq("g"), Seq("id"), "v", "id",
+      alpha = 0.3, adjust = true, ignoreNa = true)
+      .orderBy("id").collect().map(_.getDouble(1))
+    val wantIgn = Seq(1.0, 1.5882352941176472, 1.5882352941176472,
+      2.6894977168949774, 4.786024476904856)
+    ign.zip(wantIgn).foreach { case (g, w) =>
+      assert(g === w, s"ignore_na=True got $g want $w") }
+    // default knobs reproduce the existing ewmMean path
+    val defEq = Ewm.ewmMeanOpts(df, Seq("g"), Seq("id"), "v", "id",
+      alpha = 0.3, adjust = true, ignoreNa = false)
+      .orderBy("id").collect().map(_.getDouble(1))
+    val base = Ewm.ewmMean(df, Seq("g"), Seq("id"), "v", "id", 0.3)
+      .orderBy("id").collect().map(_.getDouble(1))
+    defEq.zip(base).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"opts-default $a vs ewmMean $b") }
+  }
+
   test("groups are independent") {
     val df = Seq((1L, 1L, 10.0), (2L, 2L, 20.0)).toDF("id", "g", "v")
     val out = Ewm.ewmMean(df, Seq("g"), Seq("id"), "v", "id", 0.5)

@@ -37,4 +37,19 @@ class HFQuantileSpec extends SparkSpec {
     val empty = Seq.empty[java.lang.Double].toDF("x")
     assert(empty.agg(HFQuantile(col("x"), 0.5, 7)).head.isNullAt(0))
   }
+
+  test("vectorized q array equals per-q singles for every method") {
+    val df = xs.toDF("x")
+    val qs = Seq(0.25, 0.5, 0.9)
+    (1 to 9).foreach { m =>
+      val arr = df.agg(HFQuantile.multi(col("x"), qs, m)).head
+        .getSeq[Double](0)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val single = df.agg(HFQuantile(col("x"), q, m)).head.getDouble(0)
+        assert(arr(i) === single, s"method=$m q=$q: multi=${arr(i)} single=$single")
+      }
+    }
+    val empty = Seq.empty[java.lang.Double].toDF("x")
+    assert(empty.agg(HFQuantile.multi(col("x"), qs, 7)).head.isNullAt(0))
+  }
 }
