@@ -43,6 +43,34 @@ object Dedup {
       i => array_join(org.apache.spark.sql.functions.slice(toks, i + 1, lit(k)), " ")))
   }
 
+  /** Pairwise n-gram Jaccard within a blocking key. Grams travel as 64-bit
+    * hashes (longs, not strings) through the co-occurrence self-join.
+    * `gramDfCap` is the stop-gram guard: a gram appearing in k docs of a
+    * block emits k² rows in the self-join, so grams with document
+    * frequency above the cap are anti-joined OUT of both sides (they carry
+    * no discriminative signal — a gram shared by "everyone" moves
+    * intersection and union together). Sizes (union denominators) keep the
+    * FULL gram sets so only the intersection counts of capped grams are
+    * lost, biasing scores down by at most capped-df/corpus. */
+  def ngramJaccard(docs: DataFrame, id: String, text: String, block: String,
+                   n: Int, gramDfCap: Long): DataFrame = {
+    val ng = docs.select(col(id).as("doc_id"), col(block).as("source"),
+      explode(shingleIds(col(text), n)).as("g")).persist()
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hot = ng.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > gramDfCap).select("source", "g")
+    val joinable = ng.join(broadcast(hot), Seq("source", "g"), "left_anti")
+    val co = joinable.as("a").join(joinable.as("b"),
+      col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    co.join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
+
   /** MinHash signature. Each shingle is hashed ONCE (xxhash64); the k hash
     * functions are affine transforms h_i = a_i*h + b_i over that long
     * (the classic universal-hashing construction) — k*|shingles| long

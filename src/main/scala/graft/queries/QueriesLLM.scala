@@ -73,24 +73,9 @@ object QueriesLLM {
     // so the score loss is bounded by cap-df/corpus. The cap sits far
     // above any df in the test data, so answers here are exact.
     "q52_ngram_jaccard" -> ((s, dir) => {
-      val gramDfCap = 100000
       val docs = Tables.documents(s, dir).repartition(col("doc_id"))
-      // consumed by sizes + both sides of the self-join: persist one pass
-      val ng = docs.select(col("doc_id"), col("source"),
-        explode(Dedup.shingleIds(col("text"), 2)).as("g")).persist()
-      val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val hot = ng.groupBy("source", "g").agg(count(lit(1)).as("df"))
-        .filter(col("df") > gramDfCap).select("source", "g")
-      val joinable = ng.join(broadcast(hot), Seq("source", "g"), "left_anti")
-      val co = joinable.as("a").join(joinable.as("b"),
-        col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("c"))
-      co.join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+        n = 2, gramDfCap = 100000L)
     }),
 
     // SimHash signatures + Hamming distance to the exact-duplicate copy

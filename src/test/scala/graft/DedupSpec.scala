@@ -84,4 +84,29 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(out.toSeq === Seq(0L, 1L, 2L))
   }
+
+  test("ngramJaccard df-cap drops only stop-gram pairs (anti-join fires)") {
+    // every doc shares the bigram "zz yy" (df=5); only docs 1 and 2 share
+    // anything else. With the cap above 5 the stop-gram connects all 10
+    // pairs; with cap=4 the anti-join removes it and only the (1,2) pair
+    // survives, scored against FULL gram sizes (intersection-only loss).
+    val docs = Seq(
+      (1L, "s", "zz yy alpha beta"),
+      (2L, "s", "zz yy alpha beta"),
+      (3L, "s", "zz yy cat dog"),
+      (4L, "s", "zz yy bird fish"),
+      (5L, "s", "zz yy moon star")
+    ).toDF("doc_id", "source", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+      n = 2, gramDfCap = 100L).collect()
+    assert(uncapped.length === 10, "stop-gram connects every pair")
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+      n = 2, gramDfCap = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.length === 1, s"only the (1,2) pair shares non-stop grams: ${capped.toSeq}")
+    val (a, b, j) = capped.head
+    assert(a === 1L && b === 2L)
+    // c=2 ("yy alpha","alpha beta"), sizes stay 3: j = 2/(3+3-2)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
 }
