@@ -7,16 +7,23 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** netCDF classic (CDF-1) reader/writer + the distributed .nc -> parquet
-  * converter (the most common real-data entry point the engine was
+/** netCDF classic (CDF-1/2/5) reader/writer + the distributed .nc ->
+  * parquet converter (the most common real-data entry point the engine was
   * missing; reference dispatch `xarray/backends/api.py:395`, scipy engine
   * `backends/scipy_.py`, netCDF4 engine `backends/netCDF4_.py:680`).
   *
-  * Format (public netCDF classic spec): magic `CDF\x01`, big-endian
-  * header — numrecs, dim_list, gatt_list, var_list (name, dimids,
-  * vatt_list, nc_type, vsize, begin) — then 4-byte-aligned data
-  * sections. Scope: fixed-size (non-record) variables of the six classic
-  * types; attributes are parsed and skipped.
+  * Format (public netCDF classic spec, netcdf-c
+  * `docs/file_format_specifications.md` grammar): magic `CDF\x01|\x02|
+  * \x05`, big-endian header — numrecs, dim_list, gatt_list, var_list
+  * (name, dimids, vatt_list, nc_type, vsize, begin) — then 4-byte-aligned
+  * data sections. Offset widths per the grammar's NON_NEG/OFFSET rules:
+  * CDF-2 ("64-bit offset") widens only `begin` to INT64; CDF-5 ("64-bit
+  * data") widens EVERY NON_NEG field (numrecs, name lengths, dim lengths,
+  * nelems counts, dimids, vsize) to INT64 and adds the 64-bit types.
+  * Scope: fixed-size (non-record) variables; attributes parsed and
+  * skipped. netCDF-4 (HDF5 container) is a documented NON-GOAL — those
+  * files go through an external converter job (ncks/nccopy to classic),
+  * see README.
   *
   * 100 TB shape: .nc files are bounded self-describing binaries, so the
   * convert job reads a directory with Spark's `binaryFile` source (one
@@ -27,6 +34,9 @@ object NetCDF {
 
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
   val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+  // CDF-5 additions (same numbering as the public spec)
+  val NC_UBYTE = 7; val NC_USHORT = 8; val NC_UINT = 9
+  val NC_INT64 = 10; val NC_UINT64 = 11
   private val NC_DIMENSION = 10; private val NC_VARIABLE = 11
   private val NC_ATTRIBUTE = 12
 
@@ -34,62 +44,75 @@ object NetCDF {
   /** Writer-side variable: values as doubles, encoded per `ncType`. */
   case class Var(name: String, dimIds: Seq[Int], ncType: Int, data: Array[Double])
   case class VarMeta(name: String, dimIds: Seq[Int], ncType: Int,
-                     begin: Long, vsize: Int)
-  case class Header(dims: Seq[Dim], vars: Seq[VarMeta])
+                     begin: Long, vsize: Long)
+  case class Header(version: Int, dims: Seq[Dim], vars: Seq[VarMeta])
 
   private def typeSize(t: Int): Int = t match {
-    case NC_BYTE | NC_CHAR => 1
-    case NC_SHORT => 2
-    case NC_INT | NC_FLOAT => 4
-    case NC_DOUBLE => 8
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
   }
   private def pad4(n: Int): Int = (4 - n % 4) % 4
+  private def pad4L(n: Long): Long = (4 - n % 4) % 4
 
   // ------------------------------------------------------------------
   // writer (fixtures + tooling)
   // ------------------------------------------------------------------
 
-  def write(path: String, dims: Seq[Dim], vars: Seq[Var]): Unit = {
+  def write(path: String, dims: Seq[Dim], vars: Seq[Var],
+            version: Int = 1): Unit = {
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
     val out = new ByteArrayOutputStream()
     def i32(v: Int): Unit = out.write(ByteBuffer.allocate(4).putInt(v).array())
+    def i64(v: Long): Unit = out.write(ByteBuffer.allocate(8).putLong(v).array())
+    // NON_NEG per the grammar: INT for CDF-1/2, INT64 for CDF-5
+    def nn(v: Long): Unit = if (version == 5) i64(v) else i32(v.toInt)
+    // OFFSET (var begin): INT for CDF-1, INT64 for CDF-2 and CDF-5
+    def off(v: Long): Unit = if (version == 1) i32(v.toInt) else i64(v)
+    val nnSz = if (version == 5) 8 else 4
+    val offSz = if (version == 1) 4 else 8
     def name(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      i32(b.length); out.write(b); out.write(new Array[Byte](pad4(b.length)))
+      nn(b.length); out.write(b); out.write(new Array[Byte](pad4(b.length)))
     }
-    def headerSize: Int = {
-      def nameSz(s: String) = 4 + s.length + pad4(s.length)
-      4 + 4 + // magic + numrecs
-        8 + dims.map(d => nameSz(d.name) + 4).sum + // dim_list
-        8 + // gatt ABSENT
-        8 + vars.map(v => nameSz(v.name) + 4 + 4 * v.dimIds.length +
-          8 + 4 + 4 + 4).sum // var entries (vatt ABSENT, type, vsize, begin)
+    def headerSize: Long = {
+      def nameSz(s: String): Long = nnSz + s.length + pad4(s.length)
+      4L + nnSz + // magic + numrecs
+        2L * nnSz + dims.map(d => nameSz(d.name) + nnSz).sum + // dim_list
+        2L * nnSz + // gatt ABSENT
+        2L * nnSz + vars.map(v => nameSz(v.name) + nnSz +
+          nnSz.toLong * v.dimIds.length + 2L * nnSz + // dimids + vatt ABSENT
+          4 + nnSz + offSz).sum // nc_type, vsize, begin
     }
     def vsize(v: Var): Int = {
       val n = v.dimIds.map(dims(_).size).product * typeSize(v.ncType)
       n + pad4(n)
     }
-    out.write(Array[Byte]('C', 'D', 'F', 1))
-    i32(0) // numrecs
-    i32(NC_DIMENSION); i32(dims.length)
-    dims.foreach { d => name(d.name); i32(d.size) }
-    i32(0); i32(0) // no global attributes
-    i32(NC_VARIABLE); i32(vars.length)
+    out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+    nn(0L) // numrecs
+    nn(NC_DIMENSION); nn(dims.length)
+    dims.foreach { d => name(d.name); nn(d.size) }
+    nn(0L); nn(0L) // no global attributes
+    nn(NC_VARIABLE); nn(vars.length)
     var begin = headerSize
     vars.foreach { v =>
-      name(v.name); i32(v.dimIds.length); v.dimIds.foreach(i32)
-      i32(0); i32(0) // no variable attributes
-      i32(v.ncType); i32(vsize(v)); i32(begin)
+      name(v.name); nn(v.dimIds.length); v.dimIds.foreach(id => nn(id))
+      nn(0L); nn(0L) // no variable attributes
+      i32(v.ncType); nn(vsize(v)); off(begin)
       begin += vsize(v)
     }
     vars.foreach { v =>
       val buf = ByteBuffer.allocate(vsize(v))
       v.data.foreach { x =>
         v.ncType match {
-          case NC_BYTE | NC_CHAR => buf.put(x.toByte)
-          case NC_SHORT => buf.putShort(x.toShort)
-          case NC_INT => buf.putInt(x.toInt)
+          case NC_BYTE | NC_CHAR | NC_UBYTE => buf.put(x.toByte)
+          case NC_SHORT | NC_USHORT => buf.putShort(x.toShort)
+          case NC_INT | NC_UINT => buf.putInt(x.toInt)
           case NC_FLOAT => buf.putFloat(x.toFloat)
           case NC_DOUBLE => buf.putDouble(x)
+          case NC_INT64 | NC_UINT64 => buf.putLong(x.toLong)
         }
       }
       out.write(buf.array())
@@ -106,41 +129,45 @@ object NetCDF {
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a netCDF classic file")
     val version = buf.get()
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version (netCDF-4/HDF5 needs the converter job)")
+    // NON_NEG: INT for CDF-1/2, INT64 for CDF-5 (grammar rule)
+    def nonNeg(): Long = if (version == 5) buf.getLong() else buf.getInt().toLong
+    // OFFSET: INT for CDF-1, INT64 for CDF-2/5
     def offset(): Long =
       if (version == 1) buf.getInt().toLong else buf.getLong()
-    buf.getInt() // numrecs (record vars out of scope)
+    nonNeg() // numrecs (record vars out of scope)
     def name(): String = {
-      val len = buf.getInt()
+      val len = nonNeg().toInt
       val b = new Array[Byte](len); buf.get(b)
       buf.position(buf.position() + pad4(len))
       new String(b, "UTF-8")
     }
     def skipAtts(): Unit = {
-      val tag = buf.getInt(); val n = buf.getInt()
+      val tag = nonNeg().toInt; val n = nonNeg().toInt
       require(tag == NC_ATTRIBUTE || (tag == 0 && n == 0), "bad att_list")
       (0 until n).foreach { _ =>
         name()
-        val t = buf.getInt(); val nelems = buf.getInt()
+        val t = buf.getInt(); val nelems = nonNeg()
         val sz = nelems * typeSize(t)
-        buf.position(buf.position() + sz + pad4(sz))
+        buf.position(buf.position() + (sz + pad4L(sz)).toInt)
       }
     }
-    val dimTag = buf.getInt(); val ndims = buf.getInt()
+    val dimTag = nonNeg().toInt; val ndims = nonNeg().toInt
     require(dimTag == NC_DIMENSION || (dimTag == 0 && ndims == 0), "bad dim_list")
-    val dims = (0 until ndims).map(_ => Dim(name(), buf.getInt()))
+    val dims = (0 until ndims).map(_ => Dim(name(), nonNeg().toInt))
     skipAtts() // global attributes
-    val varTag = buf.getInt(); val nvars = buf.getInt()
+    val varTag = nonNeg().toInt; val nvars = nonNeg().toInt
     require(varTag == NC_VARIABLE || (varTag == 0 && nvars == 0), "bad var_list")
     val vars = (0 until nvars).map { _ =>
       val vn = name()
-      val nd = buf.getInt()
-      val dimIds = (0 until nd).map(_ => buf.getInt())
+      val nd = nonNeg().toInt
+      val dimIds = (0 until nd).map(_ => nonNeg().toInt)
       skipAtts()
-      val t = buf.getInt(); val vsize = buf.getInt(); val begin = offset()
+      val t = buf.getInt(); val vsize = nonNeg(); val begin = offset()
       VarMeta(vn, dimIds, t, begin, vsize)
     }
-    Header(dims, vars)
+    Header(version, dims, vars)
   }
 
   /** Decode one fixed-size variable's values as doubles, C (row-major)
@@ -149,20 +176,29 @@ object NetCDF {
     val v = hdr.vars.find(_.name == varName)
       .getOrElse(throw new NoSuchElementException(varName))
     val n = v.dimIds.map(hdr.dims(_).size).product
+    require(v.begin <= Int.MaxValue - n.toLong * typeSize(v.ncType),
+      "in-memory decode is bounded by a 2 GiB byte array; " +
+        "larger CDF-2/5 files need the file-channel path")
     val buf = ByteBuffer.wrap(bytes, v.begin.toInt, n * typeSize(v.ncType))
     Array.tabulate(n) { _ =>
       v.ncType match {
         case NC_BYTE | NC_CHAR => buf.get().toDouble
+        case NC_UBYTE => (buf.get() & 0xff).toDouble
         case NC_SHORT => buf.getShort().toDouble
+        case NC_USHORT => (buf.getShort() & 0xffff).toDouble
         case NC_INT => buf.getInt().toDouble
+        case NC_UINT => (buf.getInt() & 0xffffffffL).toDouble
         case NC_FLOAT => buf.getFloat().toDouble
         case NC_DOUBLE => buf.getDouble()
+        case NC_INT64 | NC_UINT64 => buf.getLong().toDouble
       }
     }
   }
 
   private def isIntegral(t: Int): Boolean =
-    t == NC_BYTE || t == NC_SHORT || t == NC_INT
+    t == NC_BYTE || t == NC_SHORT || t == NC_INT ||
+      t == NC_UBYTE || t == NC_USHORT || t == NC_UINT ||
+      t == NC_INT64 || t == NC_UINT64
 
   /** Open a directory of .nc files as ONE long-format DataFrame for a
     * data variable: one row per element, one column per dimension (the

@@ -428,6 +428,26 @@ object QueriesMore {
         .select("time", "lat", "temp")
     }),
 
+    // same converter pipeline through a CDF-5 container (64-bit sizes,
+    // INT64 variable): proves the version-5 header/offset path end to end
+    "q115b_netcdf_cdf5" -> ((s, dir) => {
+      import graft.io.NetCDF
+      val base = "/tmp/graft_nc5_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val dims = Seq(NetCDF.Dim("time", 6), NetCDF.Dim("lat", 5))
+      NetCDF.write(base + "/part0.nc", dims, Seq(
+        NetCDF.Var("time", Seq(0), NetCDF.NC_INT64,
+          Array.tabulate(6)(_.toDouble)),
+        NetCDF.Var("lat", Seq(1), NetCDF.NC_INT,
+          Array.tabulate(5)(_.toDouble)),
+        NetCDF.Var("temp", Seq(0, 1), NetCDF.NC_DOUBLE,
+          (for (t <- 0 until 6; l <- 0 until 5)
+            yield t * 100.0 + l * 1.5).toArray)), version = 5)
+      NetCDF.convert(s, base, "temp", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet")
+        .select("time", "lat", "temp")
+    }),
+
     // sortby(multi-key) + positional index (ref `dataset.py` sortby; isel
     // positions): ordinals via the range-partitioned zipWithIndex scheme
     // (no single-partition window at scale)
@@ -698,6 +718,10 @@ object QueriesMore {
          FROM lineitem GROUP BY 1""",
     // closed-form fixture grid regenerated independently of the .nc path
     "q115_netcdf_roundtrip" ->
+      """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    "q115b_netcdf_cdf5" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",

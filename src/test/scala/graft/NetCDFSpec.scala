@@ -62,4 +62,53 @@ class NetCDFSpec extends SparkSpec {
     assert(rows.toSeq == Seq((10L, 0L, 1.0), (10L, 1L, 2.0),
       (20L, 0L, 3.0), (20L, 1L, 4.0)))
   }
+
+  test("CDF-2 and CDF-5 containers roundtrip (64-bit offsets/sizes)") {
+    val path = java.nio.file.Files.createTempDirectory("nc").toString
+    val dims = Seq(Dim("a", 2), Dim("b", 3))
+    val vals = (1 to 6).map(_.toDouble * 2.5).toArray
+    for (ver <- Seq(2, 5)) {
+      val f = s"$path/v$ver.nc"
+      NetCDF.write(f, dims, Seq(
+        Var("a", Seq(0), NC_INT, Array(7.0, 9.0)),
+        Var("v", Seq(0, 1), NC_DOUBLE, vals)), version = ver)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      assert(bytes(3) === ver.toByte, s"magic version byte v$ver")
+      val hdr = parseHeader(bytes)
+      assert(hdr.version === ver)
+      assert(hdr.dims === dims)
+      assert(readVar(bytes, hdr, "v").toSeq === vals.toSeq, s"v$ver data")
+      assert(readVar(bytes, hdr, "a").toSeq === Seq(7.0, 9.0), s"v$ver coord")
+    }
+    // CDF-5 with 64-bit value types
+    val f5 = s"$path/i64.nc"
+    NetCDF.write(f5, Seq(Dim("a", 3)), Seq(
+      Var("big", Seq(0), NC_INT64, Array(1.0e15, -2.0e15, 3.0))), version = 5)
+    val b5 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f5))
+    assert(readVar(b5, parseHeader(b5), "big").toSeq === Seq(1.0e15, -2.0e15, 3.0))
+  }
+
+  test("CDF-5 header parse carries a begin offset beyond 2 GiB") {
+    // a >2 GiB file can't be written in a unit test; hand-patch the begin
+    // field of a small CDF-5 header and assert the 64-bit path reads it —
+    // that is the exact field CDF-1's 32-bit INT cannot represent
+    val path = java.nio.file.Files.createTempDirectory("nc").toString
+    val f = s"$path/far.nc"
+    NetCDF.write(f, Seq(Dim("a", 2)),
+      Seq(Var("v", Seq(0), NC_DOUBLE, Array(1.0, 2.0))), version = 5)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val begin = parseHeader(bytes).vars.head.begin
+    val farOffset = 3L * 1024 * 1024 * 1024 // 3 GiB: overflows INT
+    // begin is the trailing 8 bytes of the var entry in this 1-var file
+    val hdrEnd = begin.toInt
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.position(hdrEnd - 8)
+    bb.putLong(farOffset)
+    val patched = parseHeader(bytes)
+    assert(patched.vars.head.begin === farOffset)
+    // and the bounded in-memory decode refuses rather than truncating
+    val e = intercept[IllegalArgumentException] {
+      readVar(bytes, patched, "v") }
+    assert(e.getMessage.contains("2 GiB"))
+  }
 }
