@@ -81,6 +81,21 @@ final class DataTree(val nodes: Map[String, XDataset]) {
   /** prune empty branches (ref `datatree.py:1674`). */
   def prune(): DataTree =
     new DataTree(nodes.filter { case (_, ds) => ds.df.columns.nonEmpty })
+
+  // Glob-pattern node match (ref `datatree.py:1742` `match`): fnmatch
+  // semantics like the reference — '*' matches ANY run of characters
+  // including '/', '?' matches one character. matchGlob("*" + "/B")
+  // keeps /a/B and /x/y/B.
+  def matchGlob(pattern: String): DataTree = {
+    val norm = "/" + pattern.split("/").filter(_.nonEmpty).mkString("/")
+    val regex = norm.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+    new DataTree(nodes.filter { case (p, _) => p.matches(regex) })
+  }
 }
 
 object DataTree {

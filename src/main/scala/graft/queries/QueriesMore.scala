@@ -77,6 +77,18 @@ object QueriesMore {
         .select("o_orderkey", "o_custkey", "win_keys")
     }),
 
+    // rolling.construct stride= + fill_value= (ref `rolling.py:327`):
+    // every 2nd window per customer, leading partials left-padded to the
+    // full 3 slots with -1
+    "q69b_construct_stride" -> ((s, dir) => {
+      val out = graft.window.Windows.rollingConstruct(
+        Tables.orders(s, dir),
+        Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")),
+        col("o_orderkey"), window = 3, stride = 2, fillValue = lit(-1L))
+      out.select(col("o_orderkey"), col("o_custkey"),
+        array_join(col("window_arr").cast("array<string>"), ",").as("win_keys"))
+    }),
+
     // cumulative max/min/count (ref `dataset.py:10452` cumulative)
     "q70_cummax" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -681,6 +693,21 @@ object QueriesMore {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS win_keys
          FROM orders""",
+    "q69b_construct_stride" ->
+      """SELECT o_orderkey, o_custkey,
+         array_to_string(list_transform(
+           CASE WHEN len(w) = 1 THEN [CAST(-1 AS BIGINT)] || [CAST(-1 AS BIGINT)] || w
+                WHEN len(w) = 2 THEN [CAST(-1 AS BIGINT)] || w
+                ELSE w END,
+           x -> CAST(x AS VARCHAR)), ',') AS win_keys
+         FROM (SELECT o_orderkey, o_custkey,
+             list(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders)
+         WHERE (rn - 1) % 2 = 0""",
     "q70_cummax" ->
       """SELECT o_orderkey, o_custkey,
          max(o_totalprice) OVER w AS cummax_price,

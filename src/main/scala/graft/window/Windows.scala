@@ -85,6 +85,35 @@ object Windows {
     * so it scales as ordinary hash aggregation. */
   def coarsenKey(pos: Column, k: Int): Column = floor(pos / k).cast("long")
 
+  /** rolling.construct with stride + fill_value (ref `rolling.py:327`):
+    * materialize each right-labeled window as a FIXED-length array column
+    * `window_arr`. `stride` keeps every stride-th position per group
+    * (xarray's [::stride] subsample); partial leading windows are
+    * left-padded with `fillValue` (pass a typed literal matching `v`) so
+    * every emitted array has exactly `window` slots. Values ride inside
+    * structs through collect_list so NULLs keep their window slot. */
+  def rollingConstruct(df: DataFrame, partitionBy: Seq[Column],
+                       orderBy: Seq[Column], v: Column, window: Int,
+                       stride: Int = 1,
+                       fillValue: Column = lit(null)): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val wSpec = base(partitionBy, orderBy).rowsBetween(-(window - 1), 0)
+    val rnSpec = base(partitionBy, orderBy)
+    val withArr = df
+      .withColumn("__rn", row_number().over(rnSpec))
+      .withColumn("__arr",
+        transform(collect_list(struct(v.as("v"))).over(wSpec),
+          s => s.getField("v")))
+    withArr
+      .filter(pmod(col("__rn") - 1, lit(stride)) === 0)
+      .withColumn("window_arr",
+        when(size(col("__arr")) < window,
+          concat(array_repeat(fillValue,
+            lit(window) - size(col("__arr"))), col("__arr")))
+          .otherwise(col("__arr")))
+      .drop("__rn", "__arr")
+  }
+
   /** General cumulative product (ref `core/_aggregations.py` cumprod).
     * A windowed product has no distributed partial-agg form, so it runs as
     * three windowed SUMS — each a single scan with map-side partials:

@@ -56,6 +56,38 @@ class DataTreeSpec extends SparkSpec {
     assert(summed("/b").df.agg(sum("v")).head.getDouble(0) == 12.0)
   }
 
+  test("matchGlob filters nodes with fnmatch semantics") {
+    val tree = new DataTree(Map(
+      "/" -> ds((0, 0.0)),
+      "/a/B" -> ds((1, 1.0)),
+      "/b/B" -> ds((2, 2.0)),
+      "/x/y/B" -> ds((3, 3.0)),
+      "/a/C" -> ds((4, 4.0))))
+    // fnmatch '*' spans '/' like the reference's DataTree.match
+    assert(tree.matchGlob("*/B").nodes.keySet ===
+      Set("/a/B", "/b/B", "/x/y/B"))
+    assert(tree.matchGlob("/a/*").nodes.keySet === Set("/a/B", "/a/C"))
+    assert(tree.matchGlob("/?/B").nodes.keySet === Set("/a/B", "/b/B"))
+    assert(tree.matchGlob("/nope/*").nodes.isEmpty)
+  }
+
+  test("rollingConstruct stride keeps every k-th window, fill pads partials") {
+    import graft.window.Windows
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L)).toDF("g", "k")
+    val out = Windows.rollingConstruct(df, Seq(col("g")), Seq(col("k")),
+      col("k"), window = 3, stride = 2, fillValue = lit(-1L))
+      .select(col("g"), col("k"), col("window_arr"))
+      .orderBy("g", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+    // group 1 positions 0,2,4 survive the stride; position 0 is padded
+    assert(out.toSeq === Seq(
+      (1L, 10L, List(-1L, -1L, 10L)),
+      (1L, 12L, List(10L, 11L, 12L)),
+      (1L, 14L, List(12L, 13L, 14L)),
+      (2L, 20L, List(-1L, -1L, 20L))))
+  }
+
   test("selLevel(drop=true) removes the selected level from the struct") {
     val df = Seq(("A", 1, 10.0), ("A", 2, 20.0), ("B", 1, 30.0))
       .toDF("seg", "nat", "v")

@@ -12,12 +12,8 @@ class ScaleAuditSpec extends SparkSpec {
   // Unpartitioned windows allowed ONLY over provably-small inputs:
   private val allowGlobalWindow: Map[String, String] = Map(
     "q39_date_range_infer" -> "window over a generated 37-row time grid",
-    "q30_coarsen" -> ("global position index over one coarsen axis; " +
-      "scale path documented as zipWithIndex (Positions)"),
     "q03_isel_head" -> ("head() takes a global prefix by definition; " +
       "TakeOrderedAndProject, not a window, does the work at scale"),
-    "q06_thin" -> ("thin() positional stride needs global ordinals; " +
-      "scale path = Positions.zipWithIndex"),
     "q31_concat_newdim" -> "per-month ordinal over an aggregated 158-row frame",
     "q65_tail" -> "tail() global suffix, same TakeOrdered contract as head",
     "q67_pad" -> "pad attaches ordinals to a single padded series (bounded)",
