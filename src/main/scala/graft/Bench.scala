@@ -27,7 +27,12 @@ object Bench {
     // queries and makes per-query times incomparable run to run. Three
     // timed passes, report the min: pass 1 absorbs cold costs, min-of-3 is
     // the stable steady-state wall time.
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY="q127_stream_join,q51_..."
+    // times just those queries (comma-separated full names)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

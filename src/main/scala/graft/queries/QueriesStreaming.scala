@@ -63,7 +63,8 @@ object QueriesStreaming {
           .select(col("e_id").as("event_id"), col("p_id").as("purchase_id"),
             col("p_value"))
         StreamOps.runToCompletion(s, joined,
-          s"stream_join_${System.nanoTime}", mode = "append")
+          s"stream_join_${System.nanoTime}", mode = "append",
+          availableNow = true)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )

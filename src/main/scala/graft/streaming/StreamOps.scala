@@ -47,13 +47,25 @@ object StreamOps {
     * the state store does NOT reduce the ~2-3s wall — the cost is
     * micro-batch planning/checkpoint machinery, not task count.) */
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
-                      mode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
+                      mode: String = "complete",
+                      availableNow: Boolean = false): DataFrame = {
+    val writer = agg.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // AvailableNow processes the finite source and terminates itself —
+    // one fewer trigger round than processAllAvailable polling; a
+    // pre-created checkpoint dir skips the temp-dir create/delete path.
+    val q = if (availableNow) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_$name").toString
+      writer.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } else writer.start()
+    try {
+      if (availableNow) q.awaitTermination() else q.processAllAvailable()
+    } finally if (q.isActive) q.stop()
     spark.table(name)
   }
 
