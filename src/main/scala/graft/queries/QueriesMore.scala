@@ -574,15 +574,19 @@ object QueriesMore {
     // general cumprod (ref `core/_aggregations.py` cumprod): factors span
     // negatives, zero (l_quantity=25) and positives — exercises the
     // sign-tracking/zero-latch path the positive-only log trick (q91)
-    // cannot. Oracle is DuckDB's independent sequential product() window.
-    // Factors have ONE decimal digit, so true products of <=7 lines are
-    // exact multiples of 1e-7: rounding to 8 dp never sits on a tie
-    // boundary and both engines' ~1e-11 float error rounds away.
+    // cannot, including the zero UN-latching when a zero factor leaves the
+    // frame. Oracle is DuckDB's independent product() window. The frame is
+    // a 5-row slide, NOT unbounded: factors have one decimal digit, so
+    // true products are exact multiples of 1e-5 and an 8-dp round sits
+    // >=0.5e-8 from every tie boundary — an unbounded frame at sf0.1 has
+    // 13-line orders whose products (multiples of 1e-13) land ON
+    // boundaries and flip under the engines' ~1e-12 float disagreement
+    // (observed: 7/600000 rows at sf0.1; sf0.01 never hits it).
     "q134_cumprod_signed" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(-4, 0)
       val factor = (col("l_quantity") - 25.0) / 10.0
       Tables.lineitem(s, dir)
         // + 0.0 normalizes IEEE -0.0 (a zero factor then a negative one
@@ -1373,7 +1377,7 @@ object QueriesMore {
          WINDOW w AS (PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
              l_extendedprice, l_discount
-           ROWS UNBOUNDED PRECEDING)""",
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "q130_einsum3" ->
       """WITH a AS (SELECT l_orderkey % 50 AS i, l_linenumber AS k,
              count(*) AS va FROM lineitem GROUP BY 1, 2),
