@@ -1,0 +1,525 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Real zarr v2 store reader/writer (ref `backends/zarr.py:655`,
+  * `open_zarr` `backends/zarr.py:1222`; format: the public zarr v2 spec,
+  * zarr.readthedocs.io "Zarr storage specification version 2").
+  *
+  * Store model: a directory; `.zgroup` = `{"zarr_format":2}`; each array
+  * is a subdirectory with `.zarray` (shape/chunks/dtype/compressor/
+  * fill_value/order), optional `.zattrs`, and chunk files named by their
+  * grid index joined with `dimension_separator` (default "."). A chunk is
+  * the C-order encoding of a FULL chunk box (edge chunks padded with
+  * `fill_value`), then compressed. Dimension names follow the xarray
+  * convention: `_ARRAY_DIMENSIONS` in `.zattrs`.
+  *
+  * Codecs: `null` (raw) and `zlib` (`numcodecs.Zlib`, plain DEFLATE via
+  * `java.util.zip`). `blosc` — zarr-python's default — needs the native
+  * c-blosc library and is a documented NON-GOAL; stores meant for this
+  * engine should be written with zlib or no compressor.
+  *
+  * 100 TB shape: chunks are independently decodable, so the reader maps
+  * one Spark task per chunk file (`binaryFile` source — no driver
+  * bottleneck) and the writer shuffles rows once by chunk id and encodes
+  * each chunk entirely inside an executor; memory is bounded by one chunk
+  * box, never by the array. Only the tiny JSON metadata and the 1-D
+  * coordinate vectors touch the driver (the same contract as the
+  * reference, which holds every coordinate index in memory).
+  */
+object Zarr {
+
+  /** Parsed `.zarray` + `.zattrs`. `dtype` is (byteOrder, kind, size),
+    * e.g. ('<','f',8). */
+  case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
+                       order: Char, kind: Char, size: Int,
+                       compressor: Option[(String, Int)],
+                       fillValue: Double, separator: String,
+                       dims: Seq[String], attrs: Map[String, String]) {
+    def integral: Boolean = kind == 'i' || kind == 'u'
+    def chunkGrid: Seq[Int] =
+      shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def chunkElems: Int = chunks.product
+  }
+
+  // ------------------------------------------------------------------
+  // metadata
+  // ------------------------------------------------------------------
+
+  private def fsFor(path: String, spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeBytes(fs: FileSystem, p: Path, b: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(b) finally out.close()
+  }
+
+  def parseDtype(s: String): (Char, Char, Int) = {
+    require(s.length >= 3, s"bad dtype '$s'")
+    val order = s.charAt(0) // '<' | '>' | '|'
+    val kind = s.charAt(1)  // 'f' | 'i' | 'u'
+    val size = s.substring(2).toInt
+    require("<>|".contains(order) && "fiu".contains(kind),
+      s"unsupported dtype '$s'")
+    (order, kind, size)
+  }
+
+  def parseMeta(zarray: String, zattrs: Option[String]): ArrayMeta = {
+    val j = JsonMethods.parse(zarray)
+    def ints(field: String): Seq[Int] = (j \ field) match {
+      case JArray(xs) => xs.map {
+        case JInt(i) => i.toInt
+        case JLong(l) => l.toInt
+        case other => sys.error(s"bad $field entry $other")
+      }
+      case other => sys.error(s"bad $field $other")
+    }
+    val (ord, kind, size) = (j \ "dtype") match {
+      case JString(s) => parseDtype(s)
+      case other => sys.error(s"bad dtype $other")
+    }
+    val comp = (j \ "compressor") match {
+      case JNull | JNothing => None
+      case c =>
+        val id = (c \ "id") match { case JString(s) => s; case _ => "?" }
+        val lvl = (c \ "level") match {
+          case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
+        }
+        require(id == "zlib",
+          s"unsupported compressor '$id' (supported: null, zlib; " +
+            "blosc is a documented non-goal)")
+        Some((id, lvl))
+    }
+    val fill = (j \ "fill_value") match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case JString("NaN") => Double.NaN
+      case _ => Double.NaN // JSON null -> NaN (float) / unused (int)
+    }
+    val sep = (j \ "dimension_separator") match {
+      case JString(s) => s
+      case _ => "."
+    }
+    (j \ "order") match {
+      case JString("C") | JNothing =>
+      case other => sys.error(s"unsupported order $other (C only)")
+    }
+    (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) =>
+      case other => sys.error(s"unsupported filters $other")
+    }
+    val (dims, attrs) = zattrs.map { s =>
+      val a = JsonMethods.parse(s)
+      val d = (a \ "_ARRAY_DIMENSIONS") match {
+        case JArray(xs) => xs.collect { case JString(n) => n }
+        case _ => Nil
+      }
+      val rest = a match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) if k != "_ARRAY_DIMENSIONS" => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+      (d, rest)
+    }.getOrElse((Nil, Map.empty[String, String]))
+    ArrayMeta(ints("shape"), ints("chunks"), ord, kind, size, comp, fill,
+      sep, dims, attrs)
+  }
+
+  def openMeta(spark: SparkSession, store: String, name: String): ArrayMeta = {
+    val fs = fsFor(store, spark)
+    val za = new String(readBytes(fs, new Path(store, s"$name/.zarray")), "UTF-8")
+    val attrsPath = new Path(store, s"$name/.zattrs")
+    val zat = if (fs.exists(attrsPath))
+      Some(new String(readBytes(fs, attrsPath), "UTF-8")) else None
+    parseMeta(za, zat)
+  }
+
+  // ------------------------------------------------------------------
+  // chunk codec
+  // ------------------------------------------------------------------
+
+  private def inflate(b: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(b)
+    val out = new Array[Byte](expect)
+    var off = 0
+    while (off < expect && !inf.finished()) {
+      val n = inf.inflate(out, off, expect - off)
+      require(n > 0 || !inf.needsInput(), "truncated zlib chunk")
+      off += n
+    }
+    inf.end()
+    require(off == expect, s"zlib chunk decoded $off of $expect bytes")
+    out
+  }
+
+  private def deflate(b: Array[Byte], level: Int): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(b); d.finish()
+    val out = new ByteArrayOutputStream(b.length / 2 max 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Decode one chunk file's payload to doubles in C order (full chunk
+    * box — caller trims edge padding via global-index bounds). */
+  def decodeChunk(raw: Array[Byte], m: ArrayMeta): Array[Double] = {
+    val n = m.chunkElems
+    val plain = m.compressor match {
+      case Some(("zlib", _)) => inflate(raw, n * m.size)
+      case None => { require(raw.length >= n * m.size, "short raw chunk"); raw }
+      case Some((id, _)) => sys.error(s"unsupported compressor $id")
+    }
+    val buf = ByteBuffer.wrap(plain, 0, n * m.size)
+    buf.order(if (m.order == '>') ByteOrder.BIG_ENDIAN
+              else ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(n) { _ =>
+      (m.kind, m.size) match {
+        case ('f', 8) => buf.getDouble()
+        case ('f', 4) => buf.getFloat().toDouble
+        case ('i', 8) => buf.getLong().toDouble
+        case ('i', 4) => buf.getInt().toDouble
+        case ('i', 2) => buf.getShort().toDouble
+        case ('i', 1) => buf.get().toDouble
+        case ('u', 1) => (buf.get() & 0xff).toDouble
+        case ('u', 2) => (buf.getShort() & 0xffff).toDouble
+        case ('u', 4) => (buf.getInt() & 0xffffffffL).toDouble
+        case (k, s) => sys.error(s"unsupported dtype $k$s")
+      }
+    }
+  }
+
+  private def encodeChunk(vals: Array[Double], m: ArrayMeta): Array[Byte] = {
+    val buf = ByteBuffer.allocate(vals.length * m.size)
+    buf.order(if (m.order == '>') ByteOrder.BIG_ENDIAN
+              else ByteOrder.LITTLE_ENDIAN)
+    vals.foreach { x =>
+      (m.kind, m.size) match {
+        case ('f', 8) => buf.putDouble(x)
+        case ('f', 4) => buf.putFloat(x.toFloat)
+        case ('i', 8) => buf.putLong(x.toLong)
+        case ('i', 4) => buf.putInt(x.toInt)
+        case ('i', 2) => buf.putShort(x.toShort)
+        case ('i', 1) => buf.put(x.toByte)
+        case ('u', 1) => buf.put((x.toInt & 0xff).toByte)
+        case ('u', 2) => buf.putShort((x.toInt & 0xffff).toShort)
+        case ('u', 4) => buf.putInt((x.toLong & 0xffffffffL).toInt)
+        case (k, s) => sys.error(s"unsupported dtype $k$s")
+      }
+    }
+    m.compressor match {
+      case Some(("zlib", lvl)) => deflate(buf.array(), lvl)
+      case _ => buf.array()
+    }
+  }
+
+  /** Driver-side whole-array read (coordinate vectors — 1-D, small by the
+    * xarray contract; data variables go through [[toLongDF]]). */
+  def readArray(spark: SparkSession, store: String, name: String)
+      : (ArrayMeta, Array[Double]) = {
+    val m = openMeta(spark, store, name)
+    val fs = fsFor(store, spark)
+    val out = new Array[Double](m.shape.product)
+    val grid = m.chunkGrid
+    val gridIdx = grid.foldLeft(Seq(Seq.empty[Int])) { (acc, g) =>
+      acc.flatMap(p => (0 until g).map(p :+ _))
+    }
+    val shapeStrides = m.shape.scanRight(1)(_ * _).tail
+    val chunkStrides = m.chunks.scanRight(1)(_ * _).tail
+    gridIdx.foreach { ci =>
+      val p = new Path(store, s"$name/${ci.mkString(m.separator)}")
+      if (fs.exists(p)) {
+        val vals = decodeChunk(readBytes(fs, p), m)
+        vals.indices.foreach { flat =>
+          val local = m.chunks.indices.map(k => (flat / chunkStrides(k)) % m.chunks(k))
+          val global = local.zip(ci).zip(m.chunks).map { case ((l, c), w) => c * w + l }
+          if (global.zip(m.shape).forall { case (g, s) => g < s })
+            out(global.zip(shapeStrides).map { case (g, st) => g * st }.sum) = vals(flat)
+        }
+      } else {
+        // absent chunk = all fill_value (zarr contract)
+        val local = Array.fill(m.chunkElems)(m.fillValue)
+        local.indices.foreach { flat =>
+          val li = m.chunks.indices.map(k => (flat / chunkStrides(k)) % m.chunks(k))
+          val global = li.zip(ci).zip(m.chunks).map { case ((l, c), w) => c * w + l }
+          if (global.zip(m.shape).forall { case (g, s) => g < s })
+            out(global.zip(shapeStrides).map { case (g, st) => g * st }.sum) = m.fillValue
+        }
+      }
+    }
+    (m, out)
+  }
+
+  // ------------------------------------------------------------------
+  // distributed reader
+  // ------------------------------------------------------------------
+
+  /** Open one data variable of a zarr store as a long-format DataFrame:
+    * one row per element, one column per dimension (the 1-D coordinate
+    * array's values when present in the store, else the 0-based index)
+    * plus the value column. Chunk decode runs in the executors (one task
+    * per chunk file via the binaryFile source); only metadata and coord
+    * vectors are read driver-side. */
+  def toLongDF(spark: SparkSession, store: String, varName: String): DataFrame = {
+    val m = openMeta(spark, store, varName)
+    require(m.dims.length == m.shape.length,
+      s"$varName/.zattrs lacks _ARRAY_DIMENSIONS (xarray convention)")
+    require(m.separator == ".",
+      "distributed reader supports dimension_separator '.' (flat chunk files)")
+    val fs = fsFor(store, spark)
+    // coordinate vectors (optional per dim)
+    val coords: Seq[Option[(ArrayMeta, Array[Double])]] = m.dims.map { d =>
+      if (fs.exists(new Path(store, s"$d/.zarray")))
+        Some(readArray(spark, store, d)) else None
+    }
+    val fields = m.dims.zip(coords).map { case (d, cv) =>
+      val integral = cv.forall(_._1.integral)
+      StructField(d, if (integral) LongType else DoubleType)
+    } :+ StructField(varName, if (m.integral) LongType else DoubleType)
+    val schema = StructType(fields)
+
+    val chunkFiles = fs.listStatus(new Path(store, varName))
+      .map(_.getPath).filter(p => !p.getName.startsWith("."))
+    if (chunkFiles.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+    val metaB = spark.sparkContext.broadcast(m)
+    val coordsB = spark.sparkContext.broadcast(coords.map(_.map(_._2)))
+    val coordIntegral = coords.map(_.forall(_._1.integral))
+    val binary = spark.read.format("binaryFile")
+      .load(chunkFiles.map(_.toString): _*)
+      .select(col("path"), col("content"))
+    val rdd = binary.rdd.flatMap { row =>
+      val mm = metaB.value
+      val cs = coordsB.value
+      val name = row.getString(0).split('/').last
+      val ci = name.split(java.util.regex.Pattern.quote(mm.separator))
+        .map(_.toInt).toSeq
+      val vals = decodeChunk(row.getAs[Array[Byte]](1), mm)
+      val chunkStrides = mm.chunks.scanRight(1)(_ * _).tail
+      vals.indices.iterator.flatMap { flat =>
+        val global = mm.chunks.indices.map { k =>
+          ci(k) * mm.chunks(k) + (flat / chunkStrides(k)) % mm.chunks(k)
+        }
+        if (global.zip(mm.shape).exists { case (g, s) => g >= s }) None // edge pad
+        else {
+          val coordVals: Seq[Any] = global.zipWithIndex.map { case (g, k) =>
+            val raw = cs(k).map(_(g)).getOrElse(g.toDouble)
+            if (coordIntegral(k)) raw.toLong else raw
+          }
+          val v: Any = if (mm.integral) vals(flat).toLong else vals(flat)
+          Some(Row.fromSeq(coordVals :+ v))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The converter job: a zarr data variable -> partitioned parquet store. */
+  def convert(spark: SparkSession, store: String, varName: String,
+              outDir: String, chunkCols: Seq[String] = Nil): Unit =
+    Store.write(toLongDF(spark, store, varName), outDir, chunkCols)
+
+  // ------------------------------------------------------------------
+  // writers
+  // ------------------------------------------------------------------
+
+  private def metaJson(m: ArrayMeta): String = {
+    val comp = m.compressor match {
+      case Some((id, lvl)) =>
+        JObject("id" -> JString(id), "level" -> JInt(lvl))
+      case None => JNull
+    }
+    val dtypeStr = s"${if (m.size == 1) '|' else m.order}${m.kind}${m.size}"
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "zarr_format" -> JInt(2),
+      "shape" -> JArray(m.shape.map(i => JInt(BigInt(i))).toList),
+      "chunks" -> JArray(m.chunks.map(i => JInt(BigInt(i))).toList),
+      "dtype" -> JString(dtypeStr),
+      "compressor" -> comp,
+      "fill_value" -> (if (m.fillValue.isNaN && m.kind == 'f') JNull
+                       else if (m.integral) JInt(BigInt(m.fillValue.toLong))
+                       else JDouble(m.fillValue)),
+      "order" -> JString("C"),
+      "filters" -> JNull,
+      "dimension_separator" -> JString(m.separator))))
+  }
+
+  private def attrsJson(m: ArrayMeta): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      ("_ARRAY_DIMENSIONS" -> JArray(m.dims.map(JString(_)).toList)) ::
+        m.attrs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })))
+
+  /** Initialise a store directory (`.zgroup`). */
+  def initStore(spark: SparkSession, store: String): Unit = {
+    val fs = fsFor(store, spark)
+    fs.mkdirs(new Path(store))
+    writeBytes(fs, new Path(store, ".zgroup"),
+      """{"zarr_format":2}""".getBytes("UTF-8"))
+  }
+
+  /** Driver-side array write (coordinate vectors / small fixtures). */
+  def writeArray(spark: SparkSession, store: String, name: String,
+                 m: ArrayMeta, data: Array[Double]): Unit = {
+    require(data.length == m.shape.product, "data length != shape product")
+    val fs = fsFor(store, spark)
+    fs.mkdirs(new Path(store, name))
+    writeBytes(fs, new Path(store, s"$name/.zarray"),
+      metaJson(m).getBytes("UTF-8"))
+    writeBytes(fs, new Path(store, s"$name/.zattrs"),
+      attrsJson(m).getBytes("UTF-8"))
+    val grid = m.chunkGrid
+    val gridIdx = grid.foldLeft(Seq(Seq.empty[Int])) { (acc, g) =>
+      acc.flatMap(p => (0 until g).map(p :+ _))
+    }
+    val shapeStrides = m.shape.scanRight(1)(_ * _).tail
+    val chunkStrides = m.chunks.scanRight(1)(_ * _).tail
+    gridIdx.foreach { ci =>
+      val vals = Array.fill(m.chunkElems)(m.fillValue)
+      vals.indices.foreach { flat =>
+        val local = m.chunks.indices.map(k => (flat / chunkStrides(k)) % m.chunks(k))
+        val global = local.zip(ci).zip(m.chunks).map { case ((l, c), w) => c * w + l }
+        if (global.zip(m.shape).forall { case (g, s) => g < s })
+          vals(flat) = data(global.zip(shapeStrides).map { case (g, st) => g * st }.sum)
+      }
+      writeBytes(fs, new Path(store, s"$name/${ci.mkString(m.separator)}"),
+        encodeChunk(vals, m))
+    }
+  }
+
+  /** Distributed `to_zarr` for a long-format DataFrame: rows are mapped
+    * to (chunk id, local offset), shuffled ONCE by chunk id, and each
+    * chunk box is materialised and encoded entirely inside an executor —
+    * memory bounded by one chunk, one output file per chunk. Cells absent
+    * from `df` get `fill_value`. Coordinate vectors (`dimValues`, the
+    * sorted per-dim labels) are written driver-side as 1-D arrays.
+    *
+    * Region semantics (`to_zarr(region=...)` `backends/zarr.py:846`): with
+    * `region=true` the store must already exist; metadata and coords are
+    * left untouched and ONLY the chunks covered by `df` are replaced. */
+  def writeLongDF(df: DataFrame, store: String, varName: String,
+                  dims: Seq[String], dimValues: Seq[Array[Double]],
+                  chunks: Seq[Int], kind: Char = 'f', size: Int = 8,
+                  compressor: Option[(String, Int)] = Some(("zlib", 1)),
+                  fillValue: Double = Double.NaN,
+                  dimIntegral: Boolean = true,
+                  region: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val shape = dimValues.map(_.length)
+    val m = ArrayMeta(shape, chunks, '<', kind, size, compressor, fillValue,
+      ".", dims, Map.empty)
+    if (!region) {
+      initStore(spark, store)
+      // coordinate vectors: driver-side 1-D arrays (metadata-scale)
+      dims.zip(dimValues).foreach { case (d, vs) =>
+        val cm = ArrayMeta(Seq(vs.length), Seq(vs.length max 1), '<',
+          if (dimIntegral) 'i' else 'f', 8, None, 0.0, ".", Seq(d), Map.empty)
+        writeArray(spark, store, d, cm, vs)
+      }
+      val fs = fsFor(store, spark)
+      fs.mkdirs(new Path(store, varName))
+      writeBytes(fs, new Path(store, s"$varName/.zarray"),
+        metaJson(m).getBytes("UTF-8"))
+      writeBytes(fs, new Path(store, s"$varName/.zattrs"),
+        attrsJson(m).getBytes("UTF-8"))
+    }
+    // label -> index maps, broadcast (each is one dim's coord vector)
+    val idxMaps: Seq[Map[Double, Int]] =
+      dimValues.map(_.zipWithIndex.toMap)
+    val mB = spark.sparkContext.broadcast(m)
+    val idxB = spark.sparkContext.broadcast(idxMaps)
+    val storeL = store; val varL = varName
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val chunkStrides = m.chunks.scanRight(1)(_ * _).tail
+    val gridStrides = m.chunkGrid.scanRight(1)(_ * _).tail
+    val cols = dims.map(col) :+ col(varName)
+    val keyed = df.select(cols: _*).rdd.map { row =>
+      val mm = mB.value; val maps = idxB.value
+      val global = maps.indices.map { k =>
+        val label = row.get(k) match {
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case d: Double => d
+          case f: Float => f.toDouble
+          case other => sys.error(s"non-numeric dim label $other")
+        }
+        maps(k).getOrElse(label, sys.error(s"label $label not in dim ${mm.dims(k)}"))
+      }
+      val chunkId = global.indices.map(k => (global(k) / mm.chunks(k)) * gridStrides(k)).sum
+      val local = global.indices.map(k => (global(k) % mm.chunks(k)) * chunkStrides(k)).sum
+      val v = row.get(maps.length) match {
+        case d: Double => d; case f: Float => f.toDouble
+        case l: Long => l.toDouble; case i: Int => i.toDouble
+        case null => mm.fillValue
+        case other => sys.error(s"non-numeric value $other")
+      }
+      (chunkId.toLong, local, v)
+    }
+    val nGrid = m.chunkGrid.product.toLong
+    val parts = math.min(nGrid,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong).toInt max 1
+    // one shuffle, sorted by (chunk, offset) with chunk-only partitioning:
+    // a partition streams its chunks contiguously, so only ONE chunk box
+    // is ever materialised per task regardless of chunks-per-partition
+    val chunkPartitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = parts
+      def getPartition(key: Any): Int = {
+        val c = key.asInstanceOf[(Long, Int)]._1
+        ((c % parts) + parts).toInt % parts
+      }
+    }
+    keyed.map { case (c, l, v) => ((c, l), v) }
+      .repartitionAndSortWithinPartitions(chunkPartitioner)
+      .mapPartitions { it =>
+        val mm = mB.value
+        val grid = mm.chunkGrid
+        val gStrides = grid.scanRight(1)(_ * _).tail
+        val fs = new Path(storeL).getFileSystem(conf.value)
+        def flush(c: Long, vals: Array[Double]): Unit = {
+          val ci = grid.indices.map(k => (c / gStrides(k)) % grid(k))
+          val p = new Path(new Path(storeL, varL), ci.mkString(mm.separator))
+          val out = fs.create(p, true)
+          try out.write(encodeChunk(vals, mm)) finally out.close()
+        }
+        var cur = -1L
+        var box: Array[Double] = null
+        var written = 0L
+        it.foreach { case ((c, l), v) =>
+          if (c != cur) {
+            if (box != null) { flush(cur, box); written += 1 }
+            cur = c; box = Array.fill(mm.chunkElems)(mm.fillValue)
+          }
+          box(l) = v
+        }
+        if (box != null) { flush(cur, box); written += 1 }
+        Iterator.single(written)
+      }.count() // materialise the writes
+  }
+}

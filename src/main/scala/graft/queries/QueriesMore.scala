@@ -422,6 +422,34 @@ object QueriesMore {
     // distributedly (binaryFile source, executor-side parse), converted
     // to a parquet store, and read back in long format. The fixture grid
     // is closed-form, so the oracle regenerates it from generate_series.
+    // REAL zarr v2 store roundtrip (ref `backends/zarr.py:655` ZarrStore,
+    // `dataset.py:2204` to_zarr): the grid is written as an actual zarr v2
+    // array — .zarray/.zattrs JSON, C-order little-endian chunks, zlib,
+    // edge chunks on both dims — by the distributed writer (one shuffle by
+    // chunk id, one file per chunk), one chunk is region-overwritten
+    // (to_zarr(region=...)), and read back by the distributed reader (one
+    // task per chunk via binaryFile). Closed-form grid, so the oracle
+    // regenerates it from generate_series, independent of the format code.
+    "q135_zarr_roundtrip" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = s.range(0, 30).select(
+        (col("id") / 5).cast("long").as("time"),
+        (col("id") % 5).cast("long").as("lat"))
+        .withColumn("temp", col("time") * 100.0 + col("lat") * 1.5)
+      val coords = Seq(Array.tabulate(6)(_.toDouble),
+        Array.tabulate(5)(_.toDouble))
+      Zarr.writeLongDF(grid, store, "temp", Seq("time", "lat"), coords,
+        chunks = Seq(4, 2))
+      // region write: chunk (1,0) = time 4-5 x lat 0-1, rewritten in place;
+      // a leak into any other chunk would corrupt neighbours
+      Zarr.writeLongDF(
+        grid.filter(col("time") >= 4 && col("lat") < 2),
+        store, "temp", Seq("time", "lat"), coords,
+        chunks = Seq(4, 2), region = true)
+      Zarr.toLongDF(s, store, "temp").select("time", "lat", "temp")
+    }),
+
     "q115_netcdf_roundtrip" -> ((s, dir) => {
       import graft.io.NetCDF
       val base = "/tmp/graft_nc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -753,6 +781,11 @@ object QueriesMore {
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
     "q115b_netcdf_cdf5" ->
+      """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    // same closed-form grid, regenerated independently of the zarr codec
+    "q135_zarr_roundtrip" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",

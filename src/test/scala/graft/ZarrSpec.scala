@@ -1,0 +1,178 @@
+package graft
+
+import java.io.{ByteArrayInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipInputStream
+
+import graft.io.Zarr
+import graft.io.Zarr.ArrayMeta
+
+/** Real zarr v2 format (ref `backends/zarr.py:655`): interop pin against a
+  * store produced by an INDEPENDENT implementation (python stdlib json/
+  * zlib/struct — embedded below as a zip), plus writer->reader roundtrips
+  * including the distributed long-DataFrame paths. */
+class ZarrSpec extends SparkSpec {
+
+  /** zarr v2 store written by python (json+zlib+struct, no zarr-python):
+    * group with `temp` float64 [3,4] chunks [2,3] zlib(1), values
+    * i*10+j; coords t = int64 [100,101,102] raw, x = int32 [7,8,9,10]
+    * raw in two chunks. Zip, base64. */
+  private val fixtureB64: String =
+    "UEsDBBQAAAAAAAMoDV26SDeJEgAAABIAAAAHAAAALnpncm91cHsiemFycl9mb3JtYXQiOiAyfVBL" +
+    "AwQUAAAAAAADKA1d6f5DXoMAAACDAAAACQAAAHQvLnphcnJheXsiemFycl9mb3JtYXQiOiAyLCAi" +
+    "c2hhcGUiOiBbM10sICJjaHVua3MiOiBbM10sICJkdHlwZSI6ICI8aTgiLCAiY29tcHJlc3NvciI6" +
+    "IG51bGwsICJmaWxsX3ZhbHVlIjogMCwgIm9yZGVyIjogIkMiLCAiZmlsdGVycyI6IG51bGx9UEsD" +
+    "BBQAAAAAAAMoDV0YxggwHAAAABwAAAAJAAAAdC8uemF0dHJzeyJfQVJSQVlfRElNRU5TSU9OUyI6" +
+    "IFsidCJdfVBLAwQUAAAAAAADKA1dHalRRxgAAAAYAAAAAwAAAHQvMGQAAAAAAAAAZQAAAAAAAABm" +
+    "AAAAAAAAAFBLAwQUAAAAAAADKA1dTqjiMKEAAAChAAAADAAAAHRlbXAvLnphcnJheXsiemFycl9m" +
+    "b3JtYXQiOiAyLCAic2hhcGUiOiBbMywgNF0sICJjaHVua3MiOiBbMiwgM10sICJkdHlwZSI6ICI8" +
+    "ZjgiLCAiY29tcHJlc3NvciI6IHsiaWQiOiAiemxpYiIsICJsZXZlbCI6IDF9LCAiZmlsbF92YWx1" +
+    "ZSI6IDAuMCwgIm9yZGVyIjogIkMiLCAiZmlsdGVycyI6IG51bGx9UEsDBBQAAAAAAAMoDV0Vz60B" +
+    "MgAAADIAAAAMAAAAdGVtcC8uemF0dHJzeyJfQVJSQVlfRElNRU5TSU9OUyI6IFsidCIsICJ4Il0s" +
+    "ICJ1bml0cyI6ICJkZWdDIn1QSwMEFAAAAAAAAygNXc+PpoIZAAAAGQAAAAgAAAB0ZW1wLzAuMHgB" +
+    "Y2BABh/soTwHCK0CpdWgtIYDADmDAqJQSwMEFAAAAAAAAygNXZhsUEQUAAAAFAAAAAgAAAB0ZW1w" +
+    "LzAuMXgBY2AAAQ4HMIVBaGGIAwAS9ACzUEsDBBQAAAAAAAMoDV2lECLCGQAAABkAAAAIAAAAdGVt" +
+    "cC8xLjB4AWNgAAETBzDFYAqlzaA0RBSZBAAt/gFgUEsDBBQAAAAAAAMoDV3mzFUYEQAAABEAAAAI" +
+    "AAAAdGVtcC8xLjF4AWNgAAFzBzBFBAEAE3YAeFBLAwQUAAAAAAADKA1d2+K4/IMAAACDAAAACQAA" +
+    "AHgvLnphcnJheXsiemFycl9mb3JtYXQiOiAyLCAic2hhcGUiOiBbNF0sICJjaHVua3MiOiBbMl0s" +
+    "ICJkdHlwZSI6ICI8aTQiLCAiY29tcHJlc3NvciI6IG51bGwsICJmaWxsX3ZhbHVlIjogMCwgIm9y" +
+    "ZGVyIjogIkMiLCAiZmlsdGVycyI6IG51bGx9UEsDBBQAAAAAAAMoDV2ged56HAAAABwAAAAJAAAA" +
+    "eC8uemF0dHJzeyJfQVJSQVlfRElNRU5TSU9OUyI6IFsieCJdfVBLAwQUAAAAAAADKA1dn/5TqggA" +
+    "AAAIAAAAAwAAAHgvMAcAAAAIAAAAUEsDBBQAAAAAAAMoDV0mJNAVCAAAAAgAAAADAAAAeC8xCQAA" +
+    "AAoAAABQSwECFAMUAAAAAAADKA1dukg3iRIAAAASAAAABwAAAAAAAAAAAAAApIEAAAAALnpncm91" +
+    "cFBLAQIUAxQAAAAAAAMoDV3p/kNegwAAAIMAAAAJAAAAAAAAAAAAAACkgTcAAAB0Ly56YXJyYXlQ" +
+    "SwECFAMUAAAAAAADKA1dGMYIMBwAAAAcAAAACQAAAAAAAAAAAAAApIHhAAAAdC8uemF0dHJzUEsB" +
+    "AhQDFAAAAAAAAygNXR2pUUcYAAAAGAAAAAMAAAAAAAAAAAAAAKSBJAEAAHQvMFBLAQIUAxQAAAAA" +
+    "AAMoDV1OqOIwoQAAAKEAAAAMAAAAAAAAAAAAAACkgV0BAAB0ZW1wLy56YXJyYXlQSwECFAMUAAAA" +
+    "AAADKA1dFc+tATIAAAAyAAAADAAAAAAAAAAAAAAApIEoAgAAdGVtcC8uemF0dHJzUEsBAhQDFAAA" +
+    "AAAAAygNXc+PpoIZAAAAGQAAAAgAAAAAAAAAAAAAAKSBhAIAAHRlbXAvMC4wUEsBAhQDFAAAAAAA" +
+    "AygNXZhsUEQUAAAAFAAAAAgAAAAAAAAAAAAAAKSBwwIAAHRlbXAvMC4xUEsBAhQDFAAAAAAAAygN" +
+    "XaUQIsIZAAAAGQAAAAgAAAAAAAAAAAAAAKSB/QIAAHRlbXAvMS4wUEsBAhQDFAAAAAAAAygNXebM" +
+    "VRgRAAAAEQAAAAgAAAAAAAAAAAAAAKSBPAMAAHRlbXAvMS4xUEsBAhQDFAAAAAAAAygNXdviuPyD" +
+    "AAAAgwAAAAkAAAAAAAAAAAAAAKSBcwMAAHgvLnphcnJheVBLAQIUAxQAAAAAAAMoDV2ged56HAAA" +
+    "ABwAAAAJAAAAAAAAAAAAAACkgR0EAAB4Ly56YXR0cnNQSwECFAMUAAAAAAADKA1dn/5TqggAAAAI" +
+    "AAAAAwAAAAAAAAAAAAAApIFgBAAAeC8wUEsBAhQDFAAAAAAAAygNXSYk0BUIAAAACAAAAAMAAAAA" +
+    "AAAAAAAAAKSBiQQAAHgvMVBLBQYAAAAADgAOAPACAACyBAAAAAA="
+
+  private def extractFixture(): String = {
+    val dir = Files.createTempDirectory("zarrfix").toString
+    val zin = new ZipInputStream(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(fixtureB64)))
+    var e = zin.getNextEntry
+    while (e != null) {
+      val out = Paths.get(dir, e.getName)
+      Files.createDirectories(out.getParent)
+      val fos = new FileOutputStream(out.toFile)
+      val buf = new Array[Byte](8192)
+      var n = zin.read(buf)
+      while (n > 0) { fos.write(buf, 0, n); n = zin.read(buf) }
+      fos.close()
+      e = zin.getNextEntry
+    }
+    zin.close()
+    dir
+  }
+
+  test("reads an independently-produced store (interop pin)") {
+    val store = extractFixture()
+    val m = Zarr.openMeta(spark, store, "temp")
+    assert(m.shape == Seq(3, 4) && m.chunks == Seq(2, 3))
+    assert(m.kind == 'f' && m.size == 8 && m.order == '<')
+    assert(m.compressor.contains(("zlib", 1)))
+    assert(m.dims == Seq("t", "x") && m.attrs == Map("units" -> "degC"))
+
+    val rows = Zarr.toLongDF(spark, store, "temp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = (for (i <- 0 until 3; j <- 0 until 4)
+      yield (100L + i, 7L + j, i * 10.0 + j)).toSet
+    assert(rows == expect) // edge-chunk padding trimmed, coords applied
+  }
+
+  test("driver-side writeArray -> readArray roundtrip with edge chunks") {
+    val store = Files.createTempDirectory("zw").toString
+    Zarr.initStore(spark, store)
+    val data = Array.tabulate(3 * 5)(_.toDouble * 0.5 - 2)
+    val m = ArrayMeta(Seq(3, 5), Seq(2, 2), '<', 'f', 8,
+      Some(("zlib", 6)), Double.NaN, ".", Seq("a", "b"), Map("k" -> "v"))
+    Zarr.writeArray(spark, store, "v", m, data)
+    val (m2, back) = Zarr.readArray(spark, store, "v")
+    assert(m2.shape == Seq(3, 5) && m2.dims == Seq("a", "b"))
+    assert(back.toSeq == data.toSeq)
+  }
+
+  test("dtype battery roundtrips: f4, i2, u1, big-endian f8") {
+    val store = Files.createTempDirectory("zdt").toString
+    val cases = Seq(
+      (ArrayMeta(Seq(4), Seq(3), '<', 'f', 4, None, 0.0, ".", Seq("d"), Map()),
+        Array(1.5, -2.25, 0.0, 8.0)),
+      (ArrayMeta(Seq(4), Seq(3), '<', 'i', 2, Some(("zlib", 1)), 0.0, ".",
+        Seq("d"), Map()), Array(7.0, -300.0, 0.0, 12000.0)),
+      (ArrayMeta(Seq(4), Seq(3), '|', 'u', 1, None, 0.0, ".", Seq("d"), Map()),
+        Array(0.0, 255.0, 17.0, 128.0)),
+      (ArrayMeta(Seq(4), Seq(3), '>', 'f', 8, None, 0.0, ".", Seq("d"), Map()),
+        Array(1.0, -1e300, 3.5, 0.125)))
+    cases.zipWithIndex.foreach { case ((m, data), i) =>
+      Zarr.writeArray(spark, store, s"v$i", m, data)
+      assert(Zarr.readArray(spark, store, s"v$i")._2.toSeq == data.toSeq,
+        s"case $i")
+    }
+  }
+
+  test("distributed writeLongDF -> toLongDF roundtrip (edge chunks, zlib)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zdist").toString
+    // 5x7 grid, chunks 2x3 -> 3x3 grid with edge chunks both ways
+    val df = (for (i <- 0 until 5; j <- 0 until 7)
+      yield (i.toLong, j.toLong, i * 100.0 + j)).toSeq
+      .toDF("row", "col", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(5)(_.toDouble), Array.tabulate(7)(_.toDouble)),
+      chunks = Seq(2, 3))
+    // format-level check: .zarray is real zarr v2 JSON + chunk grid on disk
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", ".zarray")), "UTF-8")
+    assert(za.contains("\"zarr_format\":2") && za.contains("\"dtype\":\"<f8\""))
+    assert(Files.exists(Paths.get(store, "v", "2.2"))) // edge chunk present
+    assert(!Files.exists(Paths.get(store, "v", "3.0")))
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("region write replaces only covered chunks") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zreg").toString
+    val full = (for (i <- 0 until 4; j <- 0 until 4)
+      yield (i.toLong, j.toLong, 1.0)).toSeq.toDF("row", "col", "v")
+    Zarr.writeLongDF(full, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(4)(_.toDouble)),
+      chunks = Seq(2, 2))
+    // region: rows 0-1 x cols 0-1 (exactly chunk 0.0) -> 9.0
+    val region = (for (i <- 0 until 2; j <- 0 until 2)
+      yield (i.toLong, j.toLong, 9.0)).toSeq.toDF("row", "col", "v")
+    Zarr.writeLongDF(region, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(4)(_.toDouble)),
+      chunks = Seq(2, 2), region = true)
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(back((0L, 0L)) == 9.0 && back((1L, 1L)) == 9.0)
+    assert(back((0L, 2L)) == 1.0 && back((3L, 3L)) == 1.0) // untouched chunks
+  }
+
+  test("absent chunk reads as fill_value; unsupported compressor rejects") {
+    val store = Files.createTempDirectory("zfill").toString
+    val m = ArrayMeta(Seq(4), Seq(2), '<', 'f', 8, None, -1.5, ".",
+      Seq("d"), Map())
+    Zarr.writeArray(spark, store, "v", m, Array(1.0, 2.0, 3.0, 4.0))
+    Files.delete(Paths.get(store, "v", "1")) // drop second chunk
+    val (_, back) = Zarr.readArray(spark, store, "v")
+    assert(back.toSeq == Seq(1.0, 2.0, -1.5, -1.5))
+
+    val bad = """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+      "compressor":{"id":"blosc","cname":"lz4"},"fill_value":0.0,
+      "order":"C","filters":null}"""
+    val ex = intercept[IllegalArgumentException](Zarr.parseMeta(bad, None))
+    assert(ex.getMessage.contains("blosc"))
+  }
+}
