@@ -161,6 +161,40 @@ object Dedup {
   /** Hamming distance between two simhash longs (expression-only). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact substring-duplication spans (the suffix-array substring dedup
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): slide a `gramLen`-char window at `stride` over every
+    * document, key each window by its md5, and flag every window whose
+    * exact content occurs in >= `minDocs` DISTINCT documents. Returns one
+    * row per affected doc: (doc_id, dup_windows, first_dup_pos).
+    *
+    * A suffix array is inherently sequential; windowed hashing is its
+    * distributed equivalent: one explode to ~len/stride rows per doc
+    * (each carrying a 128-bit hash, never the text), one shuffle keyed by
+    * window hash (partial-agg'd distinct-doc count), one shuffle back on
+    * doc id. `stride` > 1 trades span granularity for an O(stride) row
+    * reduction; boilerplate windows shared by the whole corpus concentrate
+    * on single keys, but the per-key payload is a count, not a pair
+    * blow-up — no k² term anywhere (contrast [[ngramJaccard]]). */
+  def duplicateSpans(docs: DataFrame, id: String, text: String,
+                     gramLen: Int, stride: Int,
+                     minDocs: Int = 2): DataFrame = {
+    val base = docs
+      .select(col(id).as("doc_id"), col(text).as("t"))
+      .filter(length(col("t")) >= gramLen)
+    val positions = base.select(col("doc_id"), col("t"),
+      explode(sequence(lit(0), length(col("t")) - gramLen, lit(stride))).as("p"))
+    val grams = positions.select(col("doc_id"), col("p"),
+      expr(s"md5(substring(t, p + 1, $gramLen))").as("h"))
+    val dupKeys = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    grams.join(dupKeys, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"), min(col("p")).as("first_dup_pos"))
+  }
+
   /** Embedding near-dup: cosine above threshold within LSH buckets — see
     * [[Similarity]] for the bucketing; this is the verify step. */
   def cosineVerify(pairs: DataFrame, vecs: DataFrame, id: String,

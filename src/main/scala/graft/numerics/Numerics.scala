@@ -98,6 +98,19 @@ object Numerics {
     term
   }
 
+  /** cumulative_integrate (ref `dataset.py:8584` cumulative_integrate;
+    * scipy cumulative_trapezoid semantics with the leading zero): running
+    * trapezoid AUC at each coord point. The per-interval terms accumulate
+    * in DECIMAL over the prefix window so the prefix sums are reduce-order
+    * independent (cross-engine exact); first row coalesces to 0.0. */
+  def cumulativeIntegrate(v: Column, t: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val run = sum(trapezoid(v, t, w).cast(DecimalType(38, 4)))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    coalesce(run.cast("double"), lit(0.0))
+  }
+
   /** Linear interpolation of per-`by` series (t, v) at probe times —
     * the reference's `interp(method="linear")` (`core/missing.py:616`).
     * Two as-of passes (backward + forward) + lerp; union+window plan, no

@@ -31,6 +31,15 @@ object QueriesLLM {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    // exact substring dedup (Lee et al. 2021): 40-char windows at stride
+    // 10, md5-keyed; windows appearing verbatim in >=2 distinct docs are
+    // duplicate spans. Distributed suffix-array stand-in: explode to
+    // hashes, one shuffle on the window key, one back on doc id.
+    "q136_substring_dedup" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        gramLen = 40, stride = 10)
+    }),
+
     // MinHash + LSH near-dup pipeline: shingle -> minhash -> band ->
     // bucket-join -> exact-Jaccard verify. Planted duplicates live in the
     // negated id space (-id-1: collision-free at ANY table size) and must
@@ -273,6 +282,18 @@ object QueriesLLM {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
          min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
+    // substring-dedup oracle: same window/hash definition straight in SQL
+    // (md5 of the literal 40-char substring — both engines hash UTF-8)
+    "q136_substring_dedup" ->
+      """WITH pos AS (
+           SELECT doc_id,
+             unnest(generate_series(0, length(text) - 40, 10)) AS p, text
+           FROM documents WHERE length(text) >= 40),
+         g AS (SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS h FROM pos),
+         d AS (SELECT h FROM g GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id, count(*) AS dup_windows, min(p) AS first_dup_pos
+         FROM g JOIN d USING (h) GROUP BY doc_id""",
     // Oracle = the exact >=0.9-Jaccard pair set over the doubled corpus.
     // LSH(16 bands x 4 rows) miss probability at s>=0.9 is (1-s^4)^16 <=
     // 3.9e-8 per pair, so candidate generation provably covers this set.

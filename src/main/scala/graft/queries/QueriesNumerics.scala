@@ -65,6 +65,17 @@ object QueriesNumerics {
         .agg(sum(col("term").cast(DecimalType(38, 4))).cast("double").as("auc"))
     }),
 
+    // cumulative trapezoid integrate (ref `dataset.py:8584`): running AUC
+    // per event; leading element 0, decimal prefix accumulation
+    "q137_cumulative_integrate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t_sec", unix_micros(col("ts")).cast("double") / 1e6)
+        .withColumn("cum_auc",
+          Numerics.cumulativeIntegrate(col("value"), col("t_sec"), w))
+        .select("event_id", "user_id", "cum_auc")
+    }),
+
     // interp(method="linear") at new coord grid (ref `core/missing.py:616`)
     "q45_interp_linear" -> ((s, dir) => {
       val series = Tables.events(s, dir)
@@ -292,6 +303,17 @@ object QueriesNumerics {
            FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY 1""",
+    "q137_cumulative_integrate" ->
+      """SELECT event_id, user_id,
+         coalesce(CAST(sum(CAST(term AS DECIMAL(38,4))) OVER w2 AS DOUBLE), 0.0)
+           AS cum_auc
+         FROM (SELECT event_id, user_id, ts,
+             (value + lag(value) OVER w) / 2 *
+             (t - lag(t) OVER w) AS term
+           FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)""",
     "q45_interp_linear" ->
       """WITH series AS (
            SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),

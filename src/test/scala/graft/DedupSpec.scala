@@ -109,4 +109,25 @@ class DedupSpec extends SparkSpec {
     // c=2 ("yy alpha","alpha beta"), sizes stay 3: j = 2/(3+3-2)
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("duplicateSpans flags only the planted shared 40-char span") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy" + " " // 40 chars
+    assert(span.length == 40)
+    val docs = Seq(
+      // span at offset 0 and offset 10 (both stride-aligned)
+      (1L, span + "unique tail one that goes on for a while"),
+      (2L, "padding10x" + span + "different tail two, also long enough"),
+      (3L, "no duplicated content here at all, just filler text to pass"),
+      (4L, "short doc") // below gramLen -> excluded entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+        gramLen = 40, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+      .sortBy(_._1)
+    // docs 1 and 2 share the exact window; 3 and 4 emit nothing
+    assert(out.map(_._1) == List(1L, 2L), s"got $out")
+    assert(out(0)._3 == 0 && out(1)._3 == 10) // first duplicated offset
+    assert(out.forall(_._2 >= 1L))
+  }
 }
