@@ -176,16 +176,23 @@ object Dedup {
     * reduction; boilerplate windows shared by the whole corpus concentrate
     * on single keys, but the per-key payload is a count, not a pair
     * blow-up — no k² term anywhere (contrast [[ngramJaccard]]). */
-  def duplicateSpans(docs: DataFrame, id: String, text: String,
-                     gramLen: Int, stride: Int,
-                     minDocs: Int = 2): DataFrame = {
+  /** (doc_id, p, h): md5 of every gramLen-char window at `stride`.
+    * Docs shorter than gramLen contribute nothing. */
+  private def windowGrams(docs: DataFrame, id: String, text: String,
+                          gramLen: Int, stride: Int): DataFrame = {
     val base = docs
       .select(col(id).as("doc_id"), col(text).as("t"))
       .filter(length(col("t")) >= gramLen)
-    val positions = base.select(col("doc_id"), col("t"),
-      explode(sequence(lit(0), length(col("t")) - gramLen, lit(stride))).as("p"))
-    val grams = positions.select(col("doc_id"), col("p"),
-      expr(s"md5(substring(t, p + 1, $gramLen))").as("h"))
+    base.select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - gramLen, lit(stride))).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(substring(t, p + 1, $gramLen))").as("h"))
+  }
+
+  def duplicateSpans(docs: DataFrame, id: String, text: String,
+                     gramLen: Int, stride: Int,
+                     minDocs: Int = 2): DataFrame = {
+    val grams = windowGrams(docs, id, text, gramLen, stride)
     val dupKeys = grams.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -193,6 +200,28 @@ object Dedup {
     grams.join(dupKeys, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("dup_windows"), min(col("p")).as("first_dup_pos"))
+  }
+
+  /** Benchmark decontamination (training-corpus hygiene; the n-gram
+    * overlap check of GPT-3 appx. C / PaLM-style eval decontamination):
+    * flag corpus docs sharing any verbatim `gramLen`-char window with a
+    * benchmark/eval set. Returns (doc_id, bench_hits, first_hit_pos) for
+    * affected corpus docs.
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus, so
+    * it BROADCASTS — corpus grams stream map-side against the broadcast
+    * set and the only shuffle is the per-doc count. duplicateSpans keys
+    * the shuffle by the corpus's own window space; this op never
+    * shuffles the corpus at all. */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    id: String, text: String,
+                    gramLen: Int, stride: Int): DataFrame = {
+    val cg = windowGrams(corpus, id, text, gramLen, stride)
+    val bg = windowGrams(bench, id, text, gramLen, stride)
+      .select("h").distinct()
+    cg.join(broadcast(bg), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bench_hits"), min(col("p")).as("first_hit_pos"))
   }
 
   /** Embedding near-dup: cosine above threshold within LSH buckets — see

@@ -40,6 +40,17 @@ object QueriesLLM {
         gramLen = 40, stride = 10)
     }),
 
+    // benchmark decontamination: every 10th doc plays the eval set; flag
+    // corpus docs sharing any verbatim 20-char window with it. Bench gram
+    // set broadcasts; the corpus never shuffles.
+    "q138_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", gramLen = 20, stride = 5)
+    }),
+
     // MinHash + LSH near-dup pipeline: shingle -> minhash -> band ->
     // bucket-join -> exact-Jaccard verify. Planted duplicates live in the
     // negated id space (-id-1: collision-free at ANY table size) and must
@@ -294,6 +305,20 @@ object QueriesLLM {
                HAVING count(DISTINCT doc_id) >= 2)
          SELECT doc_id, count(*) AS dup_windows, min(p) AS first_dup_pos
          FROM g JOIN d USING (h) GROUP BY doc_id""",
+    // decontamination oracle: same window/hash definition in SQL
+    "q138_decontaminate" ->
+      """WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+         corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         bg AS (SELECT DISTINCT md5(substr(text, p + 1, 20)) AS h
+                FROM (SELECT text,
+                    unnest(generate_series(0, length(text) - 20, 5)) AS p
+                  FROM bench WHERE length(text) >= 20)),
+         cg AS (SELECT doc_id, p, md5(substr(text, p + 1, 20)) AS h
+                FROM (SELECT doc_id, text,
+                    unnest(generate_series(0, length(text) - 20, 5)) AS p
+                  FROM corpus WHERE length(text) >= 20))
+         SELECT doc_id, count(*) AS bench_hits, min(p) AS first_hit_pos
+         FROM cg JOIN bg USING (h) GROUP BY doc_id""",
     // Oracle = the exact >=0.9-Jaccard pair set over the doubled corpus.
     // LSH(16 bands x 4 rows) miss probability at s>=0.9 is (1-s^4)^16 <=
     // 3.9e-8 per pair, so candidate generation provably covers this set.

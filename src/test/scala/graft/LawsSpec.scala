@@ -169,4 +169,50 @@ class LawsSpec extends SparkSpec {
       assert(a.collect().toSet === b.collect().toSet, s"seed=$seed")
     }
   }
+
+  test("law: cumulative_integrate at the last coord equals integrate") {
+    import spark.implicits._
+    import graft.numerics.Numerics
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // deterministic irregular series per group
+    val rows = for (g <- 1 to 5; i <- 0 to 20) yield
+      (g.toLong, i * 1.0 + (i * 7 % 3) * 0.25, ((i * g * 31) % 17) - 8.0)
+    val df = rows.toDF("g", "t", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+    val last = df
+      .withColumn("cum", Numerics.cumulativeIntegrate(col("v"), col("t"), w))
+      .groupBy("g").agg(max_by(col("cum"), col("t")).as("cum_last"))
+    val total = df
+      .withColumn("term", Numerics.trapezoid(col("v"), col("t"), w))
+      .groupBy("g")
+      .agg(sum(col("term").cast(DecimalType(38, 4))).cast("double").as("auc"))
+    val joined = last.join(total, "g").collect()
+    assert(joined.length == 5)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cum_last") - r.getAs[Double]("auc")) < 1e-9,
+        s"g=${r.getLong(0)}")
+    }
+  }
+
+  test("law: contamination of a corpus against itself flags every doc with a dup span") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val span = "0123456789abcdefghij" // 20 chars
+    val docs = Seq(
+      (1L, span + " tail one long enough to matter"),
+      (2L, "head two " + span + " and some trailing text"),
+      (3L, "completely unrelated content, nothing shared")
+    ).toDF("doc_id", "text")
+    // self-decontamination == duplicateSpans membership (hits may differ:
+    // contamination counts windows vs a SET, spans need >=2 distinct docs)
+    val contaminated = Dedup.contamination(docs, docs, "doc_id", "text",
+        gramLen = 20, stride = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(contaminated == Set(1L, 2L, 3L)) // self-match: every doc hits itself
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+        gramLen = 20, stride = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spans == Set(1L, 2L)) // only the true cross-doc duplicate
+  }
 }
