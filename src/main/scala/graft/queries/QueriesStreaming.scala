@@ -41,6 +41,19 @@ object QueriesStreaming {
       StreamOps.runToCompletion(s, agg, s"stream_dedup_${System.nanoTime}")
     }),
 
+    // streaming sessionization: 30-min-gap session windows per user ==
+    // the batch lag/cumsum islands (break at diff >= gap, end-exclusive)
+    "q139_stream_sessions" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val agg = StreamOps.sessionize(
+          StreamOps.eventsStream(s, dir), "user_id", "ts", "30 minutes")
+        StreamOps.runToCompletion(s, agg,
+          s"stream_sessions_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // stream-stream interval join (streaming as-of analog): purchases in
     // the hour before each error, per user; == the batch interval join
     "q127_stream_join" -> ((s, dir) => {
@@ -91,6 +104,23 @@ object QueriesStreaming {
          FROM events e JOIN events p
            ON e.event_type = 'error' AND p.event_type = 'purchase'
           AND e.user_id = p.user_id
-          AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts"""
+          AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts""",
+    // batch islands: a session breaks where the gap to the previous event
+    // is >= 30 min (session_window's end is last_ts + gap, END-EXCLUSIVE,
+    // so an exactly-on-gap event opens a new session)
+    "q139_stream_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         FROM sess GROUP BY user_id, sid"""
   )
 }

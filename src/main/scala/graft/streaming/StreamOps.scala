@@ -41,6 +41,21 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Streaming sessionization: session_window merges events closer than
+    * `gap` into one per-key session (state-store native since Spark 3.2).
+    * An event at EXACTLY prev_ts + gap starts a new session (window end =
+    * last_ts + gap, end-exclusive). In complete mode all session state is
+    * retained, so the finite-source result equals the batch islands
+    * computation (lag/cumsum with break at diff >= gap); with a watermark
+    * + append the state is bounded by the horizon — the 100 TB shape. */
+  def sessionize(events: DataFrame, key: String, ts: String,
+                 gap: String): DataFrame =
+    events.groupBy(col(key), session_window(col(ts), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("v"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("n_events"), col("v"))
+
   /** Run a streaming query to completion against the (finite) file source
     * and return the result as a batch DataFrame — lets the DuckDB oracle
     * check streaming semantics. (Measured: lowering shuffle partitions for
