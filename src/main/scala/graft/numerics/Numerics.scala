@@ -139,6 +139,24 @@ object Numerics {
       .drop("__y0", "__y1", "__t0", "__t1")
   }
 
+  /** N-D orthogonal interpolation, 2-D (bilinear) case (ref
+    * `dataset.py:4114` interp over multiple dims; the reference applies
+    * 1-D interpolation sequentially per dim — same semantics here): first
+    * interp along `x` at every grid `y`-line for each distinct probe x,
+    * then interp the result along `y`. Probes outside the grid hull ->
+    * NULL (no extrapolation, both stages). Intermediate size is
+    * |distinct probe x| * |grid y-lines| — the orthogonal-interp
+    * contract, NOT |probes| * |grid| (each stage is the usual
+    * union+window as-of, no row multiplication within a stage). */
+  def interpBilinear(grid: DataFrame, probes: DataFrame,
+                     x: String, y: String, v: String): DataFrame = {
+    val probes1 = probes.select(col(x)).distinct()
+      .crossJoin(grid.select(col(y)).distinct())
+    val g1 = interpLinear(grid, probes1, by = Seq(y), t = x, v = v)
+      .select(col(x), col(y), col("v_interp").as("__vx"))
+    interpLinear(g1, probes, by = Seq(x), t = y, v = "__vx")
+  }
+
   /** interp(method="nearest"): pick whichever bracketing observation is
     * closer in coord space; ties -> the earlier one (pandas `nearest`).
     * Same two as-of passes as linear. */

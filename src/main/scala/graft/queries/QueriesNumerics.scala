@@ -65,6 +65,23 @@ object QueriesNumerics {
         .agg(sum(col("term").cast(DecimalType(38, 4))).cast("double").as("auc"))
     }),
 
+    // 2-D (bilinear) interp (ref `dataset.py:4114`, sequential per-dim
+    // 1-D passes): closed-form bilinear surface on a 7x6 integer grid,
+    // probed at dyadic fractional coords (0.75/0.5 steps — exact in
+    // binary, so both engines' lerp arithmetic is bit-identical); the
+    // oracle computes the INDEPENDENT 4-corner weighted form
+    "q140_interp_2d" -> ((s, dir) => {
+      val grid = s.range(0, 42).select(
+        floor(col("id") / 6).cast("double").as("x"),
+        (col("id") % 6).cast("double").as("y"))
+        .withColumn("v", lit(2.0) + col("x") * 3.0 + col("y") * 1.5 +
+          col("x") * col("y") * 0.25)
+      val probes = s.range(0, 9).select((col("id") * 0.75).as("x"))
+        .crossJoin(s.range(0, 9).select((col("id") * 0.5).as("y")))
+      Numerics.interpBilinear(grid, probes, "x", "y", "v")
+        .select(col("x"), col("y"), round(col("v_interp"), 6).as("v_interp"))
+    }),
+
     // cumulative trapezoid integrate (ref `dataset.py:8584`): running AUC
     // per event; leading element 0, decimal prefix accumulation
     "q137_cumulative_integrate" -> ((s, dir) => {
@@ -303,6 +320,28 @@ object QueriesNumerics {
            FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          GROUP BY 1""",
+    // independent 4-corner bilinear form (NOT the sequential two-pass):
+    // x0/y0 clamp so the hull's far edge probes land in the last cell
+    "q140_interp_2d" ->
+      """WITH g AS (SELECT CAST(t.i AS DOUBLE) AS x, CAST(l.j AS DOUBLE) AS y,
+             2 + 3*t.i + 1.5*l.j + 0.25*t.i*l.j AS v
+           FROM (SELECT unnest(generate_series(0, 6)) AS i) t,
+                (SELECT unnest(generate_series(0, 5)) AS j) l),
+         p AS (SELECT a.k * 0.75 AS px, b.m * 0.5 AS py
+           FROM (SELECT unnest(generate_series(0, 8)) AS k) a,
+                (SELECT unnest(generate_series(0, 8)) AS m) b),
+         c AS (SELECT px, py, least(floor(px), 5) AS x0,
+                 least(floor(py), 4) AS y0 FROM p)
+         SELECT c.px AS x, c.py AS y,
+           round(g00.v * (c.x0 + 1 - c.px) * (c.y0 + 1 - c.py)
+               + g10.v * (c.px - c.x0) * (c.y0 + 1 - c.py)
+               + g01.v * (c.x0 + 1 - c.px) * (c.py - c.y0)
+               + g11.v * (c.px - c.x0) * (c.py - c.y0), 6) AS v_interp
+         FROM c
+         JOIN g g00 ON g00.x = c.x0     AND g00.y = c.y0
+         JOIN g g10 ON g10.x = c.x0 + 1 AND g10.y = c.y0
+         JOIN g g01 ON g01.x = c.x0     AND g01.y = c.y0 + 1
+         JOIN g g11 ON g11.x = c.x0 + 1 AND g11.y = c.y0 + 1""",
     "q137_cumulative_integrate" ->
       """SELECT event_id, user_id,
          coalesce(CAST(sum(CAST(term AS DECIMAL(38,4))) OVER w2 AS DOUBLE), 0.0)

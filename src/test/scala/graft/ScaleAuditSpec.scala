@@ -49,11 +49,13 @@ class ScaleAuditSpec extends SparkSpec {
     "q113_interp_barycentric" -> "probe grid cross user list, both driver-bounded",
     "q114_interp_krogh" -> "probe grid cross user list, both driver-bounded",
     "q124_interp_calendar" -> "generated 120-date grid cross 4 event types",
-    "q128_qcut" -> "broadcast of the 1-row quantile-boundary aggregate")
+    "q128_qcut" -> "broadcast of the 1-row quantile-boundary aggregate",
+    "q140_interp_2d" -> ("generated 9x9 probe grid + probe-x cross grid-y " +
+      "lines (both driver-bounded axes; the orthogonal-interp contract)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
-      "q127_stream_join") // memory-table results
+      "q127_stream_join", "q139_stream_sessions") // memory-table results
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip.contains(name)) {
