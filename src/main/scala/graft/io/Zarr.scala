@@ -341,6 +341,39 @@ object Zarr {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** List the store's array names (subdirectories with a `.zarray`). */
+  def listArrays(spark: SparkSession, store: String): Seq[String] = {
+    val fs = fsFor(store, spark)
+    fs.listStatus(new Path(store)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(store, s"$n/.zarray")))
+      .sorted
+  }
+
+  /** `open_zarr` at dataset level (ref `backends/zarr.py:1222`): every
+    * data variable of the store (arrays that are not 1-D coordinate
+    * vectors named after their own dim) joined on the shared dimension
+    * columns into ONE long-format DataFrame. v1 contract: all data vars
+    * must share the same `_ARRAY_DIMENSIONS` tuple (the reference
+    * broadcasts mismatched dims; out of scope here). Outer join, so a
+    * var's missing chunks surface as NULLs rather than dropping cells. */
+  def openDataset(spark: SparkSession, store: String): DataFrame = {
+    val names = listArrays(spark, store)
+    val metas = names.map(n => n -> openMeta(spark, store, n))
+    val coordNames = metas.collect {
+      case (n, m) if m.dims == Seq(n) => n
+    }.toSet
+    val dataVars = metas.filterNot { case (n, _) => coordNames(n) }
+    require(dataVars.nonEmpty, s"no data variables in $store")
+    val dims = dataVars.head._2.dims
+    require(dataVars.forall(_._2.dims == dims),
+      s"v1 open_zarr requires all data vars on the same dims; got " +
+        dataVars.map { case (n, m) => s"$n:${m.dims.mkString("x")}" }.mkString(", "))
+    dataVars.map { case (n, _) => toLongDF(spark, store, n) }
+      .reduce(_.join(_, dims, "full_outer"))
+  }
+
   /** The converter job: a zarr data variable -> partitioned parquet store. */
   def convert(spark: SparkSession, store: String, varName: String,
               outDir: String, chunkCols: Seq[String] = Nil): Unit =

@@ -78,6 +78,19 @@ object QueriesWindow {
           graft.model.XDataset.exactAvg(col("o_totalprice")).as("avg_price"))
     }),
 
+    // coarsen.construct (ref `rolling.py:1103`): the (block, offset)
+    // windowed VIEW of the coarsen axis — reducing it over offset equals
+    // q30's coarsen aggregation
+    "q141_coarsen_construct" -> ((s, dir) => {
+      val pos = graft.model.Positions.zipWithIndex(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey")), "pos")
+      pos.select(col("o_orderkey"),
+        Windows.coarsenKey(col("pos"), 1000).as("block"),
+        Windows.coarsenOffset(col("pos"), 1000).as("offset"),
+        col("o_totalprice"))
+    }),
+
     // rolling reductions beyond mean: sum/min/max + var/std, ddof 0 and 1
     // (ref `rolling.py` reduce; xarray std default ddof=0, pandas ddof=1)
     "q125_rolling_stats" -> ((s, dir) => {
@@ -127,6 +140,12 @@ object QueriesWindow {
            OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value_bfill
          FROM events""",
+    "q141_coarsen_construct" ->
+      """SELECT o_orderkey, CAST(floor(pos / 1000) AS BIGINT) AS block,
+           CAST(pos % 1000 AS BIGINT) AS offset, o_totalprice
+         FROM (SELECT o_orderkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+               FROM orders)""",
     "q30_coarsen" ->
       """SELECT CAST(floor(pos / 1000) AS BIGINT) AS block, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)

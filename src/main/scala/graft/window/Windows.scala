@@ -85,6 +85,13 @@ object Windows {
     * so it scales as ordinary hash aggregation. */
   def coarsenKey(pos: Column, k: Int): Column = floor(pos / k).cast("long")
 
+  /** coarsen(...).construct(dim -> (outer, inner)) (ref
+    * `computation/rolling.py:1103` Coarsen.construct): reshape the
+    * position axis into (block, offset) WITHOUT reducing — the windowed
+    * view whose later reduce equals coarsen's. Pure projection, no
+    * shuffle beyond whatever produced `pos`. */
+  def coarsenOffset(pos: Column, k: Int): Column = pmod(pos, lit(k)).cast("long")
+
   /** rolling.construct with stride + fill_value (ref `rolling.py:327`):
     * materialize each right-labeled window as a FIXED-length array column
     * `window_arr`. `stride` keeps every stride-th position per group

@@ -160,6 +160,24 @@ class ZarrSpec extends SparkSpec {
     assert(back((0L, 2L)) == 1.0 && back((3L, 3L)) == 1.0) // untouched chunks
   }
 
+  test("openDataset joins all data vars on shared dims; coords excluded") {
+    val store = Files.createTempDirectory("zds").toString
+    Zarr.initStore(spark, store)
+    val mU = ArrayMeta(Seq(2, 3), Seq(2, 2), '<', 'f', 8, Some(("zlib", 1)),
+      Double.NaN, ".", Seq("a", "b"), Map())
+    val mV = mU.copy(compressor = None)
+    Zarr.writeArray(spark, store, "u", mU, Array(1, 2, 3, 4, 5, 6.0))
+    Zarr.writeArray(spark, store, "v", mV, Array(10, 20, 30, 40, 50, 60.0))
+    val cm = ArrayMeta(Seq(2), Seq(2), '<', 'i', 8, None, 0, ".", Seq("a"), Map())
+    Zarr.writeArray(spark, store, "a", cm, Array(7.0, 8.0)) // coord vector
+    val df = Zarr.openDataset(spark, store)
+    assert(df.columns.toSet == Set("a", "b", "u", "v"))
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.size == 6)
+    assert(rows((7L, 0L)) == ((1.0, 10.0)) && rows((8L, 2L)) == ((6.0, 60.0)))
+  }
+
   test("absent chunk reads as fill_value; unsupported compressor rejects") {
     val store = Files.createTempDirectory("zfill").toString
     val m = ArrayMeta(Seq(4), Seq(2), '<', 'f', 8, None, -1.5, ".",
