@@ -374,6 +374,93 @@ object Zarr {
       .reduce(_.join(_, dims, "full_outer"))
   }
 
+  /** `to_zarr(append_dim=...)` (ref `backends/zarr.py:846` region/append
+    * dispatch, `dataset.py:2204`): extend one dimension with new labels
+    * and write the new rows. The boundary chunk (where the old length is
+    * not chunk-aligned) still holds live old cells, so its OLD rows are
+    * captured first (lazily, with the pre-extension metadata — Spark's
+    * shuffle boundary guarantees every chunk file is fully read before
+    * any chunk file is rewritten) and unioned with the appended rows;
+    * the chunk-grid region write then replaces exactly the boundary +
+    * new chunks. Coord vector and `.zarray` shape are rewritten
+    * driver-side. */
+  def appendLongDF(df: DataFrame, store: String, varName: String,
+                   appendDim: String, newLabels: Array[Double]): Unit = {
+    val spark = df.sparkSession
+    val m = openMeta(spark, store, varName)
+    val axis = m.dims.indexOf(appendDim)
+    require(axis >= 0, s"$appendDim not in ${m.dims}")
+    val oldLen = m.shape(axis)
+    val chunk = m.chunks(axis)
+    // old coords per dim (appendDim's get extended)
+    val coordMetas = m.dims.map(d => openMeta(spark, store, d))
+    val oldCoords = m.dims.map(d => readArray(spark, store, d)._2)
+    val dimValues = oldCoords.zipWithIndex.map { case (c, k) =>
+      if (k == axis) c ++ newLabels else c
+    }
+    // boundary rows: old cells in the chunk the append starts inside,
+    // captured with the OLD metadata (shape not yet extended)
+    val boundaryStart = (oldLen / chunk) * chunk
+    val boundary = if (oldLen % chunk == 0) None else {
+      val bLabels: Seq[Any] = oldCoords(axis).slice(boundaryStart, oldLen)
+        .toSeq.map(v =>
+          if (coordMetas(axis).integral) (v.toLong: Any) else (v: Any))
+      Some(toLongDF(spark, store, varName)
+        .filter(col(appendDim).isin(bLabels: _*)))
+    }
+    // extend coord vector + shape (metadata only; chunk files untouched)
+    val newAxisLen = oldLen + newLabels.length
+    val cm = coordMetas(axis)
+    writeArray(spark, store, appendDim,
+      cm.copy(shape = Seq(newAxisLen), chunks = Seq(newAxisLen max 1)),
+      dimValues(axis))
+    // the rewritten coord is a single chunk "0" — drop any stale chunk
+    // files from a previous multi-chunk layout
+    locally {
+      val cfs = fsFor(store, spark)
+      cfs.listStatus(new Path(store, appendDim)).foreach { st =>
+        val nm = st.getPath.getName
+        if (!nm.startsWith(".") && nm != "0") cfs.delete(st.getPath, false)
+      }
+    }
+    val fs = fsFor(store, spark)
+    val m2 = m.copy(shape = m.shape.updated(axis, newAxisLen))
+    writeBytes(fs, new Path(store, s"$varName/.zarray"),
+      metaJson(m2).getBytes("UTF-8"))
+    writeBytes(fs, new Path(store, s"$varName/.zattrs"),
+      attrsJson(m2).getBytes("UTF-8"))
+    // region write of boundary + appended rows against the NEW grid
+    val rows = boundary.map(b =>
+      df.select(b.columns.map(col): _*).unionByName(b)).getOrElse(df)
+    writeLongDF(rows, store, varName, m.dims, dimValues, m.chunks,
+      kind = m.kind, size = m.size, compressor = m.compressor,
+      fillValue = m.fillValue, dimIntegral = cm.integral, region = true)
+  }
+
+  /** Consolidated metadata (`.zmetadata`, zarr v2 convention; the
+    * reference writes it by default — `backends/zarr.py` consolidated):
+    * every array's `.zarray`/`.zattrs` in one JSON document so a store
+    * open is ONE metadata read instead of 2 per array — the point of the
+    * convention at object-store scale. */
+  def consolidate(spark: SparkSession, store: String): Unit = {
+    val fs = fsFor(store, spark)
+    val entries = scala.collection.mutable.ListBuffer.empty[(String, JValue)]
+    entries += ".zgroup" -> JObject("zarr_format" -> JInt(2))
+    listArrays(spark, store).foreach { n =>
+      entries += s"$n/.zarray" -> JsonMethods.parse(new String(
+        readBytes(fs, new Path(store, s"$n/.zarray")), "UTF-8"))
+      val ap = new Path(store, s"$n/.zattrs")
+      if (fs.exists(ap))
+        entries += s"$n/.zattrs" -> JsonMethods.parse(new String(
+          readBytes(fs, ap), "UTF-8"))
+    }
+    val doc = JObject(
+      "zarr_consolidated_format" -> JInt(1),
+      "metadata" -> JObject(entries.toList))
+    writeBytes(fs, new Path(store, ".zmetadata"),
+      JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8"))
+  }
+
   /** The converter job: a zarr data variable -> partitioned parquet store. */
   def convert(spark: SparkSession, store: String, varName: String,
               outDir: String, chunkCols: Seq[String] = Nil): Unit =

@@ -178,6 +178,41 @@ class ZarrSpec extends SparkSpec {
     assert(rows((7L, 0L)) == ((1.0, 10.0)) && rows((8L, 2L)) == ((6.0, 60.0)))
   }
 
+  test("append_dim extends through a mid-chunk boundary without losing old cells") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zapp").toString
+    // 3x2 grid, row-chunks of 2 -> old boundary chunk (row 2) is half full
+    val df0 = (for (i <- 0 until 3; j <- 0 until 2)
+      yield (i.toLong, j.toLong, i * 10.0 + j)).toSeq.toDF("row", "col", "v")
+    Zarr.writeLongDF(df0, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(3)(_.toDouble), Array.tabulate(2)(_.toDouble)),
+      chunks = Seq(2, 2))
+    // append rows 3,4: row 3 lands in the half-full boundary chunk
+    val df1 = (for (i <- 3 until 5; j <- 0 until 2)
+      yield (i.toLong, j.toLong, i * 10.0 + j)).toSeq.toDF("row", "col", "v")
+    Zarr.appendLongDF(df1, store, "v", "row", Array(3.0, 4.0))
+    val m = Zarr.openMeta(spark, store, "v")
+    assert(m.shape == Seq(5, 2))
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(back.size == 10)
+    (0 until 5).foreach(i => (0 until 2).foreach(j =>
+      assert(back((i.toLong, j.toLong)) == i * 10.0 + j, s"cell $i,$j")))
+    // coord vector extended too
+    assert(Zarr.readArray(spark, store, "row")._2.toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("consolidate writes one .zmetadata covering every array") {
+    val store = extractFixture()
+    Zarr.consolidate(spark, store)
+    val doc = new String(Files.readAllBytes(
+      Paths.get(store, ".zmetadata")), "UTF-8")
+    assert(doc.contains("\"zarr_consolidated_format\":1"))
+    Seq("temp/.zarray", "temp/.zattrs", "t/.zarray", "x/.zarray").foreach(k =>
+      assert(doc.contains(s""""$k""""), s"missing $k"))
+  }
+
   test("absent chunk reads as fill_value; unsupported compressor rejects") {
     val store = Files.createTempDirectory("zfill").toString
     val m = ArrayMeta(Seq(4), Seq(2), '<', 'f', 8, None, -1.5, ".",
