@@ -202,6 +202,66 @@ object Dedup {
       .agg(count(lit(1)).as("dup_windows"), min(col("p")).as("first_dup_pos"))
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation (the map-reduce CC family of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"; label propagation
+    * converges in O(diameter) rounds, each ONE shuffle): every node ends
+    * with cluster_id = min node id in its component. Rounds materialize
+    * eagerly (persist + count) so the driver loop sees convergence and
+    * lineage stays shallow. Duplicate families in a dedup pipeline are
+    * shallow (stars/chains of a few hops), so rounds ~ 2-4 in practice. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .union(pairs.select(col(b).as("u"), col(a).as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // candidate label per node: min over (own, neighbours' labels)
+      val nbr = edges
+        .join(labels.select(col("id").as("v"), col("cluster_id").as("nl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("nl")).as("nbl"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate families: docs sharing any verbatim `gramLen`-char window
+    * form an edge; the transitive closure groups A~B~C even when A and C
+    * share nothing directly. Returns (doc_id, cluster_id = min doc id of
+    * the family) for every doc in some family. Window df is bounded by
+    * `maxDf` before pair expansion (the k-squared guard, same reasoning
+    * as [[ngramJaccard]]'s gramDfCap). */
+  def duplicateFamilies(docs: DataFrame, id: String, text: String,
+                        gramLen: Int, stride: Int,
+                        maxDf: Long = 1000L): DataFrame = {
+    val grams = windowGrams(docs, id, text, gramLen, stride)
+      .select("doc_id", "h").distinct()
+    val df = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("h")
+    val dup = grams.join(df, "h")
+    val pairs = dup.select(col("h"), col("doc_id").as("id_a"))
+      .join(dup.select(col("h"), col("doc_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Benchmark decontamination (training-corpus hygiene; the n-gram
     * overlap check of GPT-3 appx. C / PaLM-style eval decontamination):
     * flag corpus docs sharing any verbatim `gramLen`-char window with a

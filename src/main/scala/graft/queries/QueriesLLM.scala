@@ -40,6 +40,14 @@ object QueriesLLM {
         gramLen = 40, stride = 10)
     }),
 
+    // duplicate families: transitive closure of the shared-window graph
+    // (A~B on one span, B~C on another -> one family); distributed CC by
+    // min-label propagation, oracled by a recursive-CTE closure
+    "q142_dedup_clusters" -> ((s, dir) => {
+      Dedup.duplicateFamilies(Tables.documents(s, dir), "doc_id", "text",
+        gramLen = 40, stride = 10)
+    }),
+
     // benchmark decontamination: every 10th doc plays the eval set; flag
     // corpus docs sharing any verbatim 20-char window with it. Bench gram
     // set broadcasts; the corpus never shuffles.
@@ -305,6 +313,28 @@ object QueriesLLM {
                HAVING count(DISTINCT doc_id) >= 2)
          SELECT doc_id, count(*) AS dup_windows, min(p) AS first_dup_pos
          FROM g JOIN d USING (h) GROUP BY doc_id""",
+    // duplicate-families oracle: same windows/edges, closure via a
+    // recursive CTE (min source label over transitive reachability)
+    "q142_dedup_clusters" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id, md5(substr(text, p + 1, 40)) AS h
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 40, 10)) AS p
+                 FROM documents WHERE length(text) >= 40)),
+         d AS (SELECT h FROM g0 GROUP BY h
+               HAVING count(*) >= 2 AND count(*) <= 1000),
+         dup AS (SELECT g0.doc_id, g0.h FROM g0 JOIN d USING (h)),
+         e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+               FROM dup a JOIN dup b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         nodes AS (SELECT DISTINCT u AS id FROM e),
+         reach AS (
+           WITH RECURSIVE r(src, node) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT r.src, e.v FROM r JOIN e ON r.node = e.u)
+           SELECT * FROM r)
+         SELECT node AS doc_id, min(src) AS cluster_id
+         FROM reach GROUP BY node""",
     // decontamination oracle: same window/hash definition in SQL
     "q138_decontaminate" ->
       """WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),

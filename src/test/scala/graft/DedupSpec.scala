@@ -110,6 +110,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
+  test("duplicateFamilies closes the A~B~C chain transitively") {
+    import spark.implicits._
+    val s1 = "alpha bravo charlie delta echo foxtrotZ " // 40 chars
+    val s2 = "golf hotel india juliett kilo lima mike " // 40 chars
+    assert(s1.length == 40 && s2.length == 40)
+    val docs = Seq(
+      (1L, s1 + "tail only in doc one, long enough here"),
+      (2L, s1 + s2), // bridges: shares s1 with 1, s2 with 3
+      (3L, "prefix10x " + s2 + "unrelated tail for document three"),
+      (4L, "isolated document with no shared spans at all, filler")
+    ).toDF("doc_id", "text")
+    val fams = Dedup.duplicateFamilies(docs, "doc_id", "text",
+        gramLen = 40, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3's copy of s2 starts at offset 10 (stride-aligned); 1-2-3 chain
+    assert(fams == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $fams")
+  }
+
+  test("connectedComponents separates disjoint components") {
+    import spark.implicits._
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L))
+  }
+
   test("duplicateSpans flags only the planted shared 40-char span") {
     import spark.implicits._
     val span = "the quick brown fox jumps over the lazy" + " " // 40 chars
