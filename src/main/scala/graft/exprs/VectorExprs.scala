@@ -48,12 +48,52 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Double-array variant of [[DotProductF32]] — same sequential-fold
+  * semantics (bit-identical to `aggregate(zip_with(a,b,*), 0d, +)` and to a
+  * SQL `list_reduce` replay), for pipelines whose vectors are already
+  * double (e.g. unit-normalized embeddings in SemDeDup). */
+case class DotProductF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
   /** Codegen'd float dot product. */
   def dotF32(a: Column, b: Column): Column =
     GraftBridge.column(DotProductF32(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd double dot product. */
+  def dotF64(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductF64(
       GraftBridge.expression(a), GraftBridge.expression(b)))
   /** Codegen'd cosine from three dot products. */
   def cosineF32(a: Column, b: Column): Column = {

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding clustering — Lloyd's k-means, the workhorse behind
+  * cluster-balanced data curation (SemDeDup-style pruning, topic-balanced
+  * sampling) and IVF index training over a corpus's embedding column.
+  *
+  * Distributed shape per iteration (the map-reduce k-means):
+  *  - ASSIGN: the k centroids broadcast as literals; nearest-centroid is a
+  *    pure projection over the corpus (argmin of k squared-L2 folds) — no
+  *    shuffle, the [[Similarity.ivfAssign]] topology.
+  *  - UPDATE: per-dimension sums via posexplode + partial/final hash agg;
+  *    only k*dim aggregate rows ever reach the driver.
+  *
+  * Determinism / portability: initialization is the k lowest-id vectors
+  * (not random), per-dimension sums accumulate in DECIMAL (order-independent
+  * — a double sum would vary with partial-agg order), and each new centroid
+  * coordinate is `cast(sum as double) / n` — so an external engine (the
+  * DuckDB oracle replays both iterations in SQL) reproduces the centroids,
+  * assignments, and distances bit-for-bit. */
+object Cluster {
+
+  /** Dot product of two double-vector columns — on unit vectors this IS
+    * cosine. The native codegen kernel runs the same index-ordered
+    * sequential fold as `aggregate(zip_with(a,b,*), 0d, +)` (bit-identical,
+    * SQL `list_reduce`-replayable) but as a tight Java loop — the
+    * interpreted higher-order form costs one lambda call per element,
+    * which dominates pair-scoring joins. */
+  def dotFold(a: Column, b: Column): Column =
+    graft.exprs.VectorExprs.dotF64(a, b)
+
+  /** Squared L2 distance of `vec` to a literal centroid, as the canonical
+    * index-ordered left fold (matches a SQL `list_reduce` replay). */
+  private def dist2(vec: Column, c: Array[Double]): Column = {
+    val carr = array(c.map(lit(_)): _*)
+    aggregate(
+      zip_with(vec, carr, (x, cc) => {
+        val d = x.cast("double") - cc; d * d
+      }),
+      lit(0d), (acc, x) => acc + x)
+  }
+
+  /** Unit-normalize a vector column with the canonical index-ordered
+    * double fold for the norm (an external `list_reduce` replays it
+    * bit-for-bit). On unit vectors, k-means' squared-L2 objective is
+    * monotone in cosine (d² = 2 − 2cosθ), which is what SemDeDup-style
+    * semantic dedup clusters on. */
+  def l2normalize(vec: Column): Column = {
+    val nrm = sqrt(aggregate(
+      transform(vec, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, x) => acc + x))
+    transform(vec, x => x.cast("double") / nrm)
+  }
+
+  /** Nearest-centroid assignment: adds `cluster` (0-based centroid index,
+    * ties to the lowest index) and `d2` (squared L2 to it). */
+  def assign(vecs: DataFrame, vec: String,
+             cents: Array[Array[Double]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(dist2(col(vec), c).as("d"), lit(j).as("cid"))
+    }
+    // struct ordering is lexicographic, so array_min((d, cid)) is
+    // argmin-with-lowest-index-tiebreak in one expression
+    vecs.withColumn("__best", array_min(array(scored: _*)))
+      .withColumn("cluster", col("__best.cid"))
+      .withColumn("d2", col("__best.d"))
+      .drop("__best")
+  }
+
+  /** Lloyd's k-means with deterministic init (the k lowest-id vectors) and
+    * a fixed iteration count; returns the final assignment (input columns
+    * + `cluster` + `d2`). A cluster that empties keeps its centroid. */
+  def kmeans(vecs: DataFrame, id: String, vec: String,
+             k: Int, iters: Int): DataFrame = {
+    // TakeOrderedAndProject returns rows already in id order
+    val init = vecs.orderBy(col(id)).limit(k).select(col(id), col(vec))
+      .collect()
+    var cents: Array[Array[Double]] = init
+      .map(_.getAs[scala.collection.Seq[Any]](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, vec, cents)
+      val sums = assigned
+        .select(col("cluster"), posexplode(col(vec)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x").cast("double").cast(DecimalType(30, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val j = r.getInt(0); val pos = r.getInt(1)
+        next(j)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      cents = next
+    }
+    assign(vecs, vec, cents)
+  }
+}

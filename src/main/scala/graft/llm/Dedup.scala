@@ -262,6 +262,30 @@ object Dedup {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Canonical-document selection: collapse each duplicate family to ONE
+    * representative — the doc maximizing `quality` (ties to the smallest
+    * id) — and report what the collapse drops. This is the step after
+    * [[duplicateFamilies]] in a dedup pipeline: clustering tells you WHO is
+    * duplicated; this decides WHAT survives.
+    *
+    * `families` is (doc_id, cluster_id); the ranking window partitions by
+    * cluster_id, which family sizes bound (no global window). Returns one
+    * row per family: (cluster_id, family_size, keep_id, keep_quality,
+    * dropped_docs). */
+  def familyRepresentatives(docs: DataFrame, families: DataFrame,
+                            id: String, quality: Column): DataFrame = {
+    val joined = families
+      .join(docs.select(col(id).as("doc_id"), quality.as("__q")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("doc_id"))
+    joined.withColumn("__rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("family_size"),
+        min(when(col("__rk") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("__rk") === 1, col("__q"))).as("keep_quality"),
+        (count(lit(1)) - 1).as("dropped_docs"))
+  }
+
   /** Benchmark decontamination (training-corpus hygiene; the n-gram
     * overlap check of GPT-3 appx. C / PaLM-style eval decontamination):
     * flag corpus docs sharing any verbatim `gramLen`-char window with a
@@ -282,6 +306,34 @@ object Dedup {
     cg.join(broadcast(bg), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("bench_hits"), min(col("p")).as("first_hit_pos"))
+  }
+
+  /** Semantic dedup via embedding clusters (the SemDeDup recipe of Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): unit-normalize, cluster coarsely with
+    * k-means (on unit vectors squared-L2 is monotone in cosine), then
+    * inside each cluster drop every doc that has a LOWER-id doc with
+    * cosine >= `threshold` — the keep-first greedy approximation, which is
+    * one within-cluster self-join instead of a sequential scan. Returns
+    * the PRUNED rows: (id, cluster, max_cos to a surviving lower id).
+    *
+    * Scale: the self-join is quadratic per cluster, so k must scale with
+    * the corpus (k ~ N/C bounds expected cluster population at C); the
+    * cluster key partitions the join, so skew stays per-cluster. */
+  def semDedup(vecs: DataFrame, id: String, vec: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    val normed = vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv"))
+    val assigned = Cluster.kmeans(normed, id, "__nv", k, iters)
+      .select(col(id), col("__nv"), col("cluster")).persist()
+    val lo = assigned.select(col("cluster"), col(id).as("id_a"),
+      col("__nv").as("__va"))
+    val hi = assigned.select(col("cluster"), col(id).as("id_b"),
+      col("__nv").as("__vb"))
+    lo.join(hi, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Cluster.dotFold(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as(id), col("cluster"))
+      .agg(max(col("cos")).as("max_cos"))
   }
 
   /** Embedding near-dup: cosine above threshold within LSH buckets — see

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing — the "concatenate the corpus and chunk it into
+  * fixed-length training sequences" step of an LLM pretraining pipeline
+  * (GPT-style packing: documents are laid end-to-end in a canonical order
+  * and the token stream is split every `seqLen` tokens, so a document may
+  * straddle a sequence boundary).
+  *
+  * The whole op reduces to one primitive: the GLOBAL token offset of every
+  * document, i.e. a prefix sum over a 100 TB table. A
+  * `sum() over (order by id)` window would funnel the corpus through ONE
+  * window partition; instead [[globalRunningSum]] computes it the
+  * distributed way (same scheme as [[graft.model.Positions.zipWithIndex]]):
+  * range-partition by the order key, partition-LOCAL running sums (a
+  * window partitioned by partition id — bounded), then per-partition
+  * totals (O(P) rows) collected, scanned into exclusive offsets on the
+  * driver, and broadcast-joined back. Two jobs, no global window, no
+  * single-task bottleneck.
+  */
+object Packing {
+
+  /** Attach `sumCol` = running total of `valCol` in `orderCol` order
+    * (INCLUSIVE of the current row), computed via per-partition partial
+    * sums + broadcast offsets. */
+  def globalRunningSum(df: DataFrame, orderCol: Column, valCol: Column,
+                       sumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranged = df
+      .withColumn("__v", valCol.cast(LongType))
+      .repartitionByRange(p, orderCol)
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val localW = Window.partitionBy("__pid").orderBy(orderCol)
+    val totals = ranged.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn(sumCol, col("__off") + sum(col("__v")).over(localW))
+      .drop("__pid", "__off", "__v")
+  }
+
+  /** Pack documents into `seqLen`-token sequences in `id` order. Returns
+    * one row per doc: its global token span [start_off, end_off), the
+    * first/last sequence it lands in, and its offset inside the first
+    * sequence. Zero-token docs sit at their boundary (`seq_last` =
+    * `seq_first`, an empty span). */
+  def packSequences(docs: DataFrame, id: String, tokenCount: Column,
+                    seqLen: Int): DataFrame = {
+    val withEnd = globalRunningSum(
+      docs.select(col(id), tokenCount.cast(LongType).as("n_tokens")),
+      col(id), col("n_tokens"), "end_off")
+    withEnd
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_off div $seqLen"))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0, expr(s"(end_off - 1) div $seqLen"))
+          .otherwise(expr(s"start_off div $seqLen")))
+      .withColumn("pos_in_seq", pmod(col("start_off"), lit(seqLen.toLong)))
+      .select(col(id), col("n_tokens"), col("start_off"), col("end_off"),
+        col("seq_first"), col("seq_last"), col("pos_in_seq"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixing operators for training-data pipelines.
+  *
+  * Both are hash-threshold draws, not `rand()`: the keep/replicate decision
+  * is a PURE FUNCTION of the row id, so a 100 TB corpus reprocessed
+  * incrementally (or on a different cluster) reproduces the same sample
+  * bit-for-bit, and no shuffle or seed plumbing is needed — the draw is a
+  * scan-stage projection. Same rationale as [[Splits]]; the hash is the
+  * portable md5 prefix so external systems (and the DuckDB oracle) can
+  * replay the assignment.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 10000) from the id's md5 prefix.
+    * 24 hash bits against 10^4 buckets keeps the modulo bias < 0.06%.
+    * `salt` decorrelates independent draws over the same ids (a sampling
+    * draw and a mixing draw must not reuse the same coin). */
+  def bucketBp(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long"), lit(10000L))
+
+  /** Stratified downsampling: keep a row iff its bucket falls under the
+    * stratum's rate (basis points, 10000 = keep all). Strata absent from
+    * `ratesBp` use `defaultBp`. One scan, no shuffle; expected stratum
+    * sizes are rate-exact and the realized sample is reproducible. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+                       ratesBp: Map[String, Int],
+                       defaultBp: Int = 10000): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucketBp(col(id), "#strat") < rate)
+  }
+
+  /** Exactly-n-per-stratum deterministic sample: SEMANTICS are "rank every
+    * row by md5(id) inside its stratum, keep the n smallest" — a pure
+    * function of the ids, reproducible anywhere. A direct window over each
+    * stratum would sort whole strata (billions of rows each at 100 TB), so
+    * the IMPLEMENTATION is two-phase: a hash-PREFIX prefilter keeps rows
+    * whose 16-bit hash prefix falls under ~4n/N of the hash space (~4n
+    * expected rows per stratum; prefix order agrees with full-hash order,
+    * so if >= n rows survive, the true top-n all survive), and the ranking
+    * window runs on those O(n)-sized groups only. Strata whose survivor
+    * count undershoots min(n, N) — Chernoff-rare, P ~ e^{-n/2} — fall back
+    * to the unfiltered stratum, so the output is ALWAYS exactly the rank
+    * semantics, never approximately. Driver state: one O(#strata) count
+    * pair, the Positions-offsets pattern. */
+  def exactStratifiedSample(df: DataFrame, id: String, stratum: String,
+                            n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hkey = md5(concat(col(id).cast("string"), lit("#exact")))
+    val b16 = conv(substring(hkey, 1, 4), 16, 10).cast("long")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__N"))
+    val joined = df.join(broadcast(counts), stratum)
+    val cutoff = least(lit(65536.0), ceil(lit(262144.0) * n / col("__N")))
+    val pre = joined.filter(b16 < cutoff).persist()
+    val nBy = counts.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val preBy = pre.groupBy(col(stratum)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val short = nBy.keys.filter(s =>
+      preBy.getOrElse(s, 0L) < math.min(n.toLong, nBy(s))).toSeq
+    val candidates =
+      if (short.isEmpty) pre
+      else pre.filter(!col(stratum).isin(short: _*))
+        .unionByName(joined.filter(col(stratum).isin(short: _*)))
+    val w = Window.partitionBy(col(stratum)).orderBy(hkey, col(id))
+    candidates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .withColumnRenamed("__rn", "rank").drop("__N")
+  }
+
+  /** Source mixing with fractional epochs (the data-mixture step of a
+    * pretraining pipeline: weight 2.5 on wiki = every wiki doc appears
+    * 2-3 times, deterministically). A weight of `wBp` basis points yields
+    * `wBp div 10000` full copies per row plus one extra copy for rows
+    * whose mixing bucket falls under `wBp mod 10000`. Emits a 0-based
+    * `copy` index per replica (downstream shuffling/packing can salt on
+    * it); rows drawn to zero copies disappear.
+    *
+    * Scale shape: pure scan-stage explode — the only data growth is the
+    * intended epoch factor; no shuffle, no driver state. */
+  def mixSources(df: DataFrame, id: String, source: String,
+                 weightsBp: Map[String, Int],
+                 defaultBp: Int = 10000): DataFrame = {
+    val wBp = weightsBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col(source) === k, lit(v)).otherwise(acc)
+    }
+    val extra = when(bucketBp(col(id), "#mix") < wBp % 10000, 1).otherwise(0)
+    val copies = floor(wBp / 10000).cast("int") + extra
+    // sequence(0, -1) would yield a DESCENDING [0,-1] in Spark — guard the
+    // zero-copy case with an empty array so explode drops the row
+    val reps = when(copies > 0, sequence(lit(0), copies - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("copy", explode(reps))
+  }
+}

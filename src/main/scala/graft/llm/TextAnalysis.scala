@@ -90,6 +90,27 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
   }
 
+  /** Gopher-style hard quality filter (Rae et al. 2021 appx. A: document
+    * length bounds, mean-word-length window, stop-word floor, repetition
+    * ceiling) as one struct of per-rule booleans — the downstream keep
+    * decision is their conjunction, but keeping the flags lets a pipeline
+    * report WHY a doc was dropped (rejection-reason histograms are a
+    * standard curation artifact). Expression-only: runs in the scan. */
+  def qualityFlags(c: Column, stopwords: Seq[String],
+                   minTokens: Int, maxTokens: Int,
+                   minMeanTokLen: Double, maxMeanTokLen: Double,
+                   minStopwordRatio: Double,
+                   maxDupNgramRatio: Double): Column = {
+    val nt = tokenCount(c)
+    struct(
+      (nt >= minTokens && nt <= maxTokens).as("ok_len"),
+      (meanTokenLen(c) >= minMeanTokLen &&
+        meanTokenLen(c) <= maxMeanTokLen).as("ok_tok_len"),
+      (stopwordRatio(c, stopwords) >= minStopwordRatio).as("ok_stopwords"),
+      (coalesce(dupNgramRatio(c, 2), lit(0.0)) <= maxDupNgramRatio)
+        .as("ok_repetition"))
+  }
+
   // --- C4-style cleaning: boilerplate strippers as composable
   // regexp_replace passes (all RE2-compatible, so oracles mirror 1:1) ---
 

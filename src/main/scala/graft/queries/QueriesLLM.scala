@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.llm.{Cluster, Dedup, Multimodal, Packing, Sampling, Similarity, Splits, TextAnalysis}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -293,6 +293,94 @@ object QueriesLLM {
         regexp_count(t, lit("https?://[^ \\t\\n]+")).as("n_urls"),
         length(TextAnalysis.cleanText(t)).as("clean_len"),
         substring(TextAnalysis.cleanText(t), 1, 60).as("clean60"))
+    }),
+
+    // canonical-doc selection: collapse each duplicate family (q142's
+    // clusters) to its best representative (max n_chars, ties -> min id)
+    "q143_dedup_representatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fam = Dedup.duplicateFamilies(docs, "doc_id", "text",
+        gramLen = 40, stride = 10)
+      Dedup.familyRepresentatives(docs, fam, "doc_id", col("n_chars"))
+    }),
+
+    // stratified deterministic downsampling: per-lang keep rates as a
+    // hash-threshold scan (no rand(), no shuffle; reproducible at 100 TB)
+    "q144_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 2500, "de" -> 5000, "zh" -> 7500), defaultBp = 10000)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // data mixing with fractional epochs: src0 x2.5, src1 x0.5, src2
+    // dropped, src3 x1.25, everything else x1 — scan-stage replicate/
+    // sample, deterministic per doc id
+    "q145_source_mixing" -> ((s, dir) => {
+      Sampling.mixSources(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 25000, "src1" -> 5000, "src2" -> 0, "src3" -> 12500))
+        .groupBy("source", "copy")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // GPT-style sequence packing: concat the corpus in doc_id order, chunk
+    // every 1024 tokens; global offsets via the distributed prefix sum
+    // (range partition + partition-local windows + O(P) broadcast offsets
+    // — no global window anywhere in the plan)
+    "q146_seq_packing" -> ((s, dir) => {
+      Packing.packSequences(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 1024)
+    }),
+
+    // exactly-n-per-stratum sample: rank-by-md5 semantics; the engine runs
+    // the two-phase prefilter+window (the window only ever sees ~4n rows
+    // per stratum), the oracle ranks the full stratum — equal by the
+    // prefix-order argument (or the deterministic fallback)
+    "q150_exact_sample" -> ((s, dir) => {
+      Sampling.exactStratifiedSample(Tables.documents(s, dir),
+        "doc_id", "lang", n = 20)
+        .select(col("lang"), col("doc_id"), col("rank"))
+    }),
+
+    // SemDeDup: unit-normalize, coarse k-means (1 round), then prune any
+    // doc with a lower-id cosine>=0.95 neighbour in its cluster. Planted
+    // near-dups are exact float doublings (2v normalizes bit-identically
+    // to v), so every planted row must be pruned at cosine 1.0.
+    "q148_semdedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0d)).as("embedding"))
+      Dedup.semDedup(base.unionByName(planted), "vec_id", "embedding",
+        k = 4, iters = 1, threshold = 0.95)
+        .select(col("vec_id"), col("cluster"),
+          round(col("max_cos"), 6).as("max_cos"))
+    }),
+
+    // Gopher-rule quality filter: per-rule booleans + the keep verdict,
+    // all in the scan stage (rejection-reason histograms come free)
+    "q149_quality_filter" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFlags(col("text"), lexicons("en"),
+        minTokens = 30, maxTokens = 5000,
+        minMeanTokLen = 3.8, maxMeanTokLen = 5.1,
+        minStopwordRatio = 0.02, maxDupNgramRatio = 0.15)
+      Tables.documents(s, dir)
+        .withColumn("f", f)
+        .select(col("doc_id"), col("f.ok_len"), col("f.ok_tok_len"),
+          col("f.ok_stopwords"), col("f.ok_repetition"),
+          (col("f.ok_len") && col("f.ok_tok_len") && col("f.ok_stopwords") &&
+            col("f.ok_repetition")).as("keep"))
+    }),
+
+    // Lloyd's k-means over the embedding column: k=4 deterministic seeds
+    // (lowest vec_ids), 2 iterations; broadcast-assign + decimal-exact
+    // per-dimension means keep every centroid bit-reproducible, so the
+    // oracle replays both iterations in SQL
+    "q147_kmeans" -> ((s, dir) => {
+      Cluster.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
     })
   )
 
@@ -690,6 +778,227 @@ object QueriesLLM {
            n_urls,
            length(cleaned) AS clean_len,
            substr(cleaned, 1, 60) AS clean60
-         FROM c"""
+         FROM c""",
+    // representative-selection oracle: q142's recursive closure, then the
+    // same (n_chars DESC, doc_id) ranking inside each family
+    "q143_dedup_representatives" ->
+      """WITH g0 AS (
+           SELECT DISTINCT doc_id, md5(substr(text, p + 1, 40)) AS h
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - 40, 10)) AS p
+                 FROM documents WHERE length(text) >= 40)),
+         d AS (SELECT h FROM g0 GROUP BY h
+               HAVING count(*) >= 2 AND count(*) <= 1000),
+         dup AS (SELECT g0.doc_id, g0.h FROM g0 JOIN d USING (h)),
+         e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+               FROM dup a JOIN dup b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         nodes AS (SELECT DISTINCT u AS id FROM e),
+         reach AS (
+           WITH RECURSIVE r(src, node) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT r.src, e.v FROM r JOIN e ON r.node = e.u)
+           SELECT * FROM r),
+         fam AS (SELECT node AS doc_id, min(src) AS cluster_id
+                 FROM reach GROUP BY node),
+         rk AS (SELECT f.cluster_id, f.doc_id, dd.n_chars,
+                  row_number() OVER (PARTITION BY f.cluster_id
+                    ORDER BY dd.n_chars DESC, f.doc_id) AS rn
+                FROM fam f JOIN documents dd USING (doc_id))
+         SELECT cluster_id, count(*) AS family_size,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           min(CASE WHEN rn = 1 THEN n_chars END) AS keep_quality,
+           count(*) - 1 AS dropped_docs
+         FROM rk GROUP BY cluster_id""",
+    // stratified-sampling oracle: identical md5-prefix bucket arithmetic
+    "q144_stratified_sample" ->
+      """WITH b AS (SELECT lang, source, n_chars,
+           list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10000 AS bucket
+         FROM documents)
+         SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+         FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                                  WHEN 'zh' THEN 7500 ELSE 10000 END
+         GROUP BY 1, 2""",
+    // mixing oracle: same weights, same '#mix'-salted bucket, copies
+    // replayed with generate_series
+    "q145_source_mixing" ->
+      """WITH w AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 5000
+                       WHEN 'src2' THEN 0 WHEN 'src3' THEN 12500
+                       ELSE 10000 END AS wbp,
+           list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10000 AS bucket
+         FROM documents),
+         c AS (SELECT doc_id, source,
+             wbp // 10000 +
+               CASE WHEN bucket < wbp % 10000 THEN 1 ELSE 0 END AS copies
+           FROM w),
+         r AS (SELECT doc_id, source,
+             unnest(generate_series(0, copies - 1)) AS copy
+           FROM c WHERE copies > 0)
+         SELECT source, copy, count(*) AS n, sum(doc_id) AS sum_ids
+         FROM r GROUP BY 1, 2""",
+    // packing oracle: the same token stream, cumsum'd by a plain window
+    // (fine at oracle scale; the engine side uses the distributed scheme)
+    "q146_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+         FROM t)
+         SELECT doc_id, n_tokens, end_off - n_tokens AS start_off, end_off,
+           (end_off - n_tokens) // 1024 AS seq_first,
+           CASE WHEN n_tokens > 0 THEN (end_off - 1) // 1024
+                ELSE (end_off - n_tokens) // 1024 END AS seq_last,
+           (end_off - n_tokens) % 1024 AS pos_in_seq
+         FROM c""",
+    // exact-sample oracle: the rank semantics stated directly
+    "q150_exact_sample" ->
+      """SELECT lang, doc_id, rn AS rank FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '#exact'), doc_id) AS rn
+           FROM documents) WHERE rn <= 20""",
+    // SemDeDup oracle: normalize, one Lloyd round, final assign, then the
+    // within-cluster lower-id prune — every fold index-ordered like Spark's
+    "q148_semdedup" ->
+      """WITH all0 AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+           FROM embeddings),
+         nv AS (SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_reduce(
+               list_transform(e, y -> y * y), (a, b) -> a + b))) AS v
+           FROM all0),
+         c0 AS (SELECT vec_id AS cid, v AS c FROM nv WHERE vec_id < 4),
+         d1 AS (SELECT nv.vec_id, c0.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (nv.v[i] - c0.c[i]) * (nv.v[i] - c0.c[i])),
+               (x, y) -> x + y) AS d
+           FROM nv CROSS JOIN c0),
+         a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d1) WHERE rk = 1),
+         s1 AS (SELECT a1.cid, t.i AS pos,
+             sum(CAST(nv.v[t.i] AS DECIMAL(30,12))) AS s, count(*) AS n
+           FROM a1 JOIN nv USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(m.c, c0.c) AS c
+           FROM c0 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s1 GROUP BY cid) m USING (cid)),
+         d2 AS (SELECT nv.vec_id, c1.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (nv.v[i] - c1.c[i]) * (nv.v[i] - c1.c[i])),
+               (x, y) -> x + y) AS d
+           FROM nv CROSS JOIN c1),
+         a2 AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d2) WHERE rk = 1),
+         prs AS (SELECT b.vec_id, b.cluster,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> va.v[i] * vb.v[i]), (x, y) -> x + y) AS cos
+           FROM a2 a JOIN a2 b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN nv va ON va.vec_id = a.vec_id
+           JOIN nv vb ON vb.vec_id = b.vec_id)
+         SELECT vec_id, cluster, round(max(cos), 6) AS max_cos
+         FROM prs WHERE cos >= 0.95 GROUP BY 1, 2""",
+    // quality-filter oracle: q56/q126's signal fragments + the same
+    // thresholds
+    "q149_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         m AS (SELECT doc_id, len(toks) AS nt,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(toks) AS mtl,
+           CAST(len(regexp_extract_all(lower(text),
+             '\b(the|a|of|and|to)\b')) AS DOUBLE) / len(toks) AS sr,
+           CASE WHEN len(toks) >= 2 THEN
+             1.0 - CAST(len(list_distinct(list_transform(
+               range(len(toks) - 1),
+               i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+               / (len(toks) - 1)
+           ELSE 0.0 END AS dup2
+         FROM t)
+         SELECT doc_id,
+           nt >= 30 AND nt <= 5000 AS ok_len,
+           mtl >= 3.8 AND mtl <= 5.1 AS ok_tok_len,
+           sr >= 0.02 AS ok_stopwords,
+           dup2 <= 0.15 AS ok_repetition,
+           nt >= 30 AND nt <= 5000 AND mtl >= 3.8 AND mtl <= 5.1
+             AND sr >= 0.02 AND dup2 <= 0.15 AS keep
+         FROM m""",
+    // k-means oracle: both Lloyd iterations replayed in SQL — same seeds
+    // (vec_id < 4), same index-ordered distance folds, same decimal sums
+    // and cast-to-double means, same (d, cid) tie-break
+    "q147_kmeans" ->
+      """WITH c0 AS (SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+           FROM embeddings WHERE vec_id < 4),
+         d1 AS (SELECT v.vec_id, c0.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c0.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c0.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c0),
+         a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d1) WHERE rk = 1),
+         s1 AS (SELECT a1.cid, t.i AS pos,
+             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
+             count(*) AS n
+           FROM a1 JOIN embeddings v USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(m.c, c0.c) AS c
+           FROM c0 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s1 GROUP BY cid) m USING (cid)),
+         d2 AS (SELECT v.vec_id, c1.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c1.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c1.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c1),
+         a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d2) WHERE rk = 1),
+         s2 AS (SELECT a2.cid, t.i AS pos,
+             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
+             count(*) AS n
+           FROM a2 JOIN embeddings v USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c2 AS (SELECT c1.cid, coalesce(m.c, c1.c) AS c
+           FROM c1 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s2 GROUP BY cid) m USING (cid)),
+         d3 AS (SELECT v.vec_id, c2.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c2.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c2.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c2)
+         SELECT vec_id, cid AS cluster, round(d, 6) AS d2 FROM (
+           SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           FROM d3) WHERE rk = 1"""
   )
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Cluster, Dedup, Packing, Sampling}
+
+/** Sampling / mixing / packing / clustering / representative-selection
+  * laws on small hand-built fixtures. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample keeps exactly the sub-threshold buckets and is stable") {
+    val df = (0L until 2000L).toDF("id").withColumn("s",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSample(df, "id", "s", Map("a" -> 5000), 10000)
+    // b rows (default 10000) all survive
+    assert(out.filter(col("s") === "b").count() === 1000)
+    val aKept = out.filter(col("s") === "a").count()
+    // hash-threshold at 50%: binomial around 500, generous tolerance
+    assert(aKept > 350 && aKept < 650, s"a kept $aKept")
+    // determinism: same call, same rows
+    val again = Sampling.stratifiedSample(df, "id", "s", Map("a" -> 5000), 10000)
+    assert(out.select("id").except(again.select("id")).count() === 0)
+    assert(again.select("id").except(out.select("id")).count() === 0)
+  }
+
+  test("exactStratifiedSample returns exactly n (or all of a small stratum), matching full-rank semantics") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 3000L).toDF("id").withColumn("s",
+      when(col("id") % 3 === 0, "big")
+        .when(col("id") % 3 === 1, "mid").otherwise("tiny"))
+      .filter(col("s") =!= "tiny" || col("id") < 30) // tiny stratum: 10 rows
+    val out = Sampling.exactStratifiedSample(df, "id", "s", n = 25).cache()
+    assert(out.filter(col("s") === "big").count() === 25)
+    assert(out.filter(col("s") === "mid").count() === 25)
+    assert(out.filter(col("s") === "tiny").count() === 10) // fewer than n -> all
+    // equals the direct full-stratum ranking (the stated semantics)
+    val hkey = md5(concat(col("id").cast("string"), lit("#exact")))
+    val w = Window.partitionBy(col("s")).orderBy(hkey, col("id"))
+    val direct = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 25).select("s", "id", "rank")
+    assert(out.select("s", "id", "rank").except(direct).count() === 0)
+    assert(direct.except(out.select("s", "id", "rank")).count() === 0)
+  }
+
+  test("mixSources epoch arithmetic: full copies + fractional draw, zero drops") {
+    val df = (0L until 1000L).toDF("id").withColumn("src",
+      when(col("id") < 300, "up").when(col("id") < 600, "drop").otherwise("keep"))
+    val out = Sampling.mixSources(df, "id", "src",
+      Map("up" -> 25000, "drop" -> 0), defaultBp = 10000).cache()
+    // dropped source vanishes entirely
+    assert(out.filter(col("src") === "drop").count() === 0)
+    // weight 1.0 -> exactly one copy, index 0
+    assert(out.filter(col("src") === "keep").count() === 400)
+    assert(out.filter(col("src") === "keep" && col("copy") =!= 0).count() === 0)
+    // weight 2.5 -> every doc has copies 0 and 1; ~half get copy 2
+    val up = out.filter(col("src") === "up")
+    assert(up.filter(col("copy") === 0).count() === 300)
+    assert(up.filter(col("copy") === 1).count() === 300)
+    val extra = up.filter(col("copy") === 2).count()
+    assert(extra > 100 && extra < 200, s"extra $extra")
+    assert(up.filter(col("copy") > 2).count() === 0)
+  }
+
+  test("packSequences offsets are a prefix sum; chunk boundaries are honoured") {
+    val docs = Seq((0L, 10L), (1L, 0L), (2L, 95L), (3L, 7L), (4L, 120L))
+      .toDF("id", "n")
+    val out = Packing.packSequences(docs, "id", col("n"), seqLen = 100)
+      .orderBy("id").collect()
+    val starts = out.map(_.getAs[Long]("start_off"))
+    val ends = out.map(_.getAs[Long]("end_off"))
+    assert(starts.toSeq === Seq(0L, 10L, 10L, 105L, 112L))
+    assert(ends.toSeq === Seq(10L, 10L, 105L, 112L, 232L))
+    // doc 2 straddles the 100-token boundary: sequences 0..1
+    val d2 = out(2)
+    assert(d2.getAs[Long]("seq_first") === 0L)
+    assert(d2.getAs[Long]("seq_last") === 1L)
+    assert(d2.getAs[Long]("pos_in_seq") === 10L)
+    // zero-token doc collapses to its boundary
+    assert(out(1).getAs[Long]("seq_first") === out(1).getAs[Long]("seq_last"))
+    // doc 4 spans sequences 1..2 (112 -> 232)
+    assert(out(4).getAs[Long]("seq_first") === 1L)
+    assert(out(4).getAs[Long]("seq_last") === 2L)
+  }
+
+  test("packSequences matches the sequential fold on a larger random fixture") {
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, rng.nextInt(50).toLong))
+    val out = Packing.packSequences(rows.toDF("id", "n"), "id", col("n"), 64)
+      .orderBy("id").select("start_off").as[Long].collect()
+    val expect = rows.map(_._2).scanLeft(0L)(_ + _).init
+    assert(out.toSeq === expect)
+  }
+
+  test("kmeans: converged fixture recovers the planted clusters") {
+    // two tight blobs in 4-d; k=2 seeded by the two lowest ids, one per blob
+    val blobA = (0 until 10).map(i =>
+      (i.toLong * 2, Seq(1f, 1f, 0f, i / 100f)))
+    val blobB = (0 until 10).map(i =>
+      (i.toLong * 2 + 1, Seq(-1f, -1f, 0f, i / 100f)))
+    val vecs = (blobA ++ blobB).toDF("id", "v")
+    val out = Cluster.kmeans(vecs, "id", "v", k = 2, iters = 3)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(blobA.forall { case (i, _) => out(i) === 0 })
+    assert(blobB.forall { case (i, _) => out(i) === 1 })
+  }
+
+  test("kmeans assignment tie-breaks to the lowest centroid index") {
+    val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(-1f, 0f)), (2L, Seq(0f, 5f)))
+      .toDF("id", "v")
+    // equidistant point (0,5) from both centroids -> cluster 0
+    val a = Cluster.assign(vecs, "v",
+      Array(Array(1d, 0d), Array(-1d, 0d)))
+      .filter(col("id") === 2).select("cluster").as[Int].head()
+    assert(a === 0)
+  }
+
+  test("semDedup prunes every planted exact-double at cosine 1") {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian())))
+    val df = base.toDF("id", "v")
+    val all = df.unionByName(df.select((col("id") + 100L).as("id"),
+      transform(col("v"), x => x * 2d).as("v")))
+    val out = graft.llm.Dedup.semDedup(all, "id", "v",
+      k = 2, iters = 1, threshold = 0.95).cache()
+    val pruned = out.select("id").as[Long].collect().toSet
+    assert((100L until 140L).forall(pruned.contains))
+    val cos = out.filter(col("id") >= 100L)
+      .select("max_cos").as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("qualityFlags: each rule trips on its own pathological doc") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat and the dog ran to the park of dreams and all was fine there today"),
+      (2L, "a b"),                                        // too short
+      (3L, Seq.fill(20)("spam spam").mkString(" ")),      // repetitive
+      (4L, Seq.fill(20)("xxxxxxxxxxxxxxxxxxxx").mkString(" ")) // long tokens, no stopwords
+    ).toDF("id", "text")
+    val f = TextAnalysis.qualityFlags(col("text"), Seq("the", "a", "of", "and", "to"),
+      minTokens = 10, maxTokens = 100, minMeanTokLen = 2.0,
+      maxMeanTokLen = 8.0, minStopwordRatio = 0.05, maxDupNgramRatio = 0.5)
+    val rows = docs.withColumn("f", f).select("id", "f.*")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(rows(1L) === ((true, true, true, true)))
+    assert(rows(2L)._1 === false)              // length rule
+    assert(rows(3L)._4 === false)              // repetition rule
+    assert(rows(4L)._2 === false || rows(4L)._3 === false) // tok-len / stopword
+  }
+
+  test("familyRepresentatives keeps max-quality (tie -> min id) per family") {
+    val fams = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "q")
+    val out = Dedup.familyRepresentatives(docs, fams, "doc_id", col("q"))
+      .orderBy("cluster_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 2L)   // 30-tie -> min id
+    assert(out(0).getAs[Long]("family_size") === 3L)
+    assert(out(0).getAs[Long]("dropped_docs") === 2L)
+    assert(out(1).getAs[Long]("keep_id") === 7L)   // 5-tie -> min id
+  }
+}
