@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its shuffle topology at 100 TB:
@@ -216,7 +217,13 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster_id", col("id")).persist()
-    labels.count()
+    // Convergence witness: labels only ever DECREASE under min-propagation,
+    // so the label sum is strictly monotone until fixpoint — one decimal
+    // aggregate per round replaces a join-based change detector.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -229,11 +236,11 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
             .as("cluster_id"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     edges.unpersist()
