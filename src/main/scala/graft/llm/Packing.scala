@@ -1,9 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing — the "concatenate the corpus and chunk it into
   * fixed-length training sequences" step of an LLM pretraining pipeline
@@ -48,6 +48,55 @@ object Packing {
     ranged.join(broadcast(offDf), "__pid")
       .withColumn(sumCol, col("__off") + sum(col("__v")).over(localW))
       .drop("__pid", "__off", "__v")
+  }
+
+  /** Padded (document-boundary-preserving) packing — the OTHER standard
+    * packing mode: a document never straddles a sequence; when it doesn't
+    * fit the remainder, the sequence is padded out and the doc starts the
+    * next one (greedy in-order fill; wastes pad tokens but keeps attention
+    * within documents). Docs longer than `seqLen` are capped at `seqLen`
+    * (the consumer truncates).
+    *
+    * Greedy fill is a sequential recurrence (each placement depends on the
+    * previous end position), so it cannot be a prefix sum. It runs as a
+    * per-shard sorted scan (repartition by shard + sortWithinPartitions +
+    * mapPartitions — the [[graft.exprs.Ewm]] contract): shards pack
+    * independently, exactly as sharded corpus files do in production, and
+    * the shard key bounds both the scan state (3 longs) and the skew.
+    * Returns (id, shard, eff, seq, pos): sequence ordinal WITHIN the shard
+    * and the doc's start offset inside it. */
+  def packSequencesPadded(docs: DataFrame, id: String, tokenCount: Column,
+                          seqLen: Int, shardCol: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(col(id), shardCol.cast(LongType).as("shard"),
+        least(tokenCount.cast(LongType), lit(seqLen.toLong)).as("eff"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(id))
+    val outSchema = StructType(Seq(
+      StructField(id, sorted.schema(id).dataType, nullable = false),
+      StructField("shard", LongType, nullable = false),
+      StructField("eff", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var haveShard = false
+      var seq = 0L
+      var end = 0L
+      it.map { r =>
+        val shard = r.getLong(1); val eff = r.getLong(2)
+        if (!haveShard || shard != curShard) {
+          curShard = shard; haveShard = true; seq = 0L; end = 0L
+        }
+        // eff <= seqLen, so a fresh sequence (end == 0) always fits
+        if (end + eff > seqLen) { seq += 1L; end = 0L }
+        val pos = end
+        end += eff
+        Row(r.get(0), shard, eff, seq, pos)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Pack documents into `seqLen`-token sequences in `id` order. Returns

@@ -332,6 +332,15 @@ object QueriesLLM {
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
     }),
 
+    // padded packing: greedy doc-boundary-preserving fill, 256-token
+    // sequences, 8 independent shards; the oracle replays the greedy
+    // recurrence with a recursive CTE (one chain per shard)
+    "q151_padded_packing" -> ((s, dir) => {
+      Packing.packSequencesPadded(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 256,
+        shardCol = pmod(col("doc_id"), lit(8)))
+    }),
+
     // exactly-n-per-stratum sample: rank-by-md5 semantics; the engine runs
     // the two-phase prefilter+window (the window only ever sees ~4n rows
     // per stratum), the oracle ranks the full stratum — equal by the
@@ -860,6 +869,30 @@ object QueriesLLM {
                 ELSE (end_off - n_tokens) // 1024 END AS seq_last,
            (end_off - n_tokens) % 1024 AS pos_in_seq
          FROM c""",
+    // padded-packing oracle: the greedy fill recurrence as a recursive
+    // CTE stepping row-by-row inside each shard
+    "q151_padded_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+           least(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT),
+                 256) AS eff
+         FROM documents),
+         o AS (SELECT doc_id, shard, eff,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         FROM t),
+         rec AS (
+           WITH RECURSIVE r(shard, rn, doc_id, eff, seq, pos, endpos) AS (
+             SELECT shard, rn, doc_id, eff, CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), eff
+             FROM o WHERE rn = 1
+             UNION ALL
+             SELECT o.shard, o.rn, o.doc_id, o.eff,
+               CASE WHEN r.endpos + o.eff > 256 THEN r.seq + 1 ELSE r.seq END,
+               CASE WHEN r.endpos + o.eff > 256 THEN 0 ELSE r.endpos END,
+               CASE WHEN r.endpos + o.eff > 256 THEN o.eff
+                    ELSE r.endpos + o.eff END
+             FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+           SELECT * FROM r)
+         SELECT doc_id, shard, eff, seq, pos FROM rec""",
     // exact-sample oracle: the rank semantics stated directly
     "q150_exact_sample" ->
       """SELECT lang, doc_id, rn AS rank FROM (

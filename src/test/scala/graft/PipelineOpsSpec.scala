@@ -91,6 +91,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("packSequencesPadded: docs never straddle; oversized docs are capped") {
+    // one shard; seqLen 100: [60, 50(->new seq), 40, 10, 250(cap->new), 5]
+    val docs = Seq((0L, 60L), (1L, 50L), (2L, 40L), (3L, 10L), (4L, 250L),
+      (5L, 5L)).toDF("id", "n")
+    val out = Packing.packSequencesPadded(docs, "id", col("n"), 100, lit(0))
+      .orderBy("id").select("seq", "pos", "eff")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 0L, 60L), (1L, 0L, 50L), (1L, 50L, 40L),
+      (1L, 90L, 10L), (2L, 0L, 100L), (3L, 0L, 5L)))
+    // every (seq, doc) span stays inside the sequence
+    assert(out.forall { case (_, pos, eff) => pos + eff <= 100 })
+  }
+
+  test("packSequencesPadded shards pack independently and match a sequential fold") {
+    val rng = new scala.util.Random(13)
+    val rows = (0L until 400L).map(i => (i, rng.nextInt(80).toLong + 1))
+    val out = Packing.packSequencesPadded(rows.toDF("id", "n"), "id",
+      col("n"), 128, pmod(col("id"), lit(4)))
+      .orderBy("id").select("id", "seq", "pos").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    for (sh <- 0 until 4) {
+      var seq = 0L; var end = 0L
+      rows.filter(_._1 % 4 == sh).foreach { case (i, n) =>
+        if (end + n > 128) { seq += 1; end = 0 }
+        assert(out(i) === ((seq, end)), s"doc $i")
+        end += n
+      }
+    }
+  }
+
   test("kmeans: converged fixture recovers the planted clusters") {
     // two tight blobs in 4-d; k=2 seeded by the two lowest ids, one per blob
     val blobA = (0 until 10).map(i =>
