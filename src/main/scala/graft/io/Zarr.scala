@@ -39,17 +39,23 @@ import org.json4s.jackson.JsonMethods
   */
 object Zarr {
 
-  /** Parsed `.zarray` + `.zattrs`. `dtype` is (byteOrder, kind, size),
-    * e.g. ('<','f',8). */
+  /** Parsed array metadata — v2 `.zarray` + `.zattrs`, or a v3
+    * `zarr.json` array node mapped onto the same fields. `dtype` is
+    * (byteOrder, kind, size), e.g. ('<','f',8). `v3` switches the chunk
+    * key scheme (v2 `"0.0"` flat names vs v3 `"c/0/0"` nested) and the
+    * metadata emitter; the chunk PAYLOAD pipeline is shared. */
   case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                        order: Char, kind: Char, size: Int,
                        compressor: Option[(String, Int)],
                        fillValue: Double, separator: String,
-                       dims: Seq[String], attrs: Map[String, String]) {
+                       dims: Seq[String], attrs: Map[String, String],
+                       v3: Boolean = false) {
     def integral: Boolean = kind == 'i' || kind == 'u'
     def chunkGrid: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
+    def chunkKey(ci: Seq[Int]): String =
+      if (v3) "c/" + ci.mkString("/") else ci.mkString(separator)
   }
 
   // ------------------------------------------------------------------
@@ -158,6 +164,105 @@ object Zarr {
     parseMeta(za, zat)
   }
 
+  /** v3 dtype names <-> the (kind, size) pair (spec table; the byte order
+    * lives in the `bytes` codec, not the dtype). */
+  private val v3Dtypes: Map[String, (Char, Int)] = Map(
+    "float64" -> ('f', 8), "float32" -> ('f', 4),
+    "int64" -> ('i', 8), "int32" -> ('i', 4), "int16" -> ('i', 2),
+    "int8" -> ('i', 1), "uint8" -> ('u', 1), "uint16" -> ('u', 2),
+    "uint32" -> ('u', 4))
+
+  /** Parse a zarr v3 array node (`zarr.json`, zarr_format 3): regular
+    * chunk grid, `default` chunk key encoding ("c/"-prefixed, "/"
+    * separated), `bytes` codec (endianness) + optional `gzip` codec.
+    * `dimension_names` and `attributes` live inline — v3 needs no
+    * `.zattrs` sidecar or `_ARRAY_DIMENSIONS` convention. */
+  def parseMetaV3(zarrJson: String): ArrayMeta = {
+    val j = JsonMethods.parse(zarrJson)
+    (j \ "zarr_format") match {
+      case JInt(v) if v == 3 =>
+      case other => sys.error(s"not a zarr v3 node (zarr_format $other)")
+    }
+    (j \ "node_type") match {
+      case JString("array") =>
+      case other => sys.error(s"not an array node ($other)")
+    }
+    def ints(v: JValue): Seq[Int] = v match {
+      case JArray(xs) => xs.map {
+        case JInt(i) => i.toInt
+        case JLong(l) => l.toInt
+        case other => sys.error(s"bad int entry $other")
+      }
+      case other => sys.error(s"bad int array $other")
+    }
+    val shape = ints(j \ "shape")
+    (j \ "chunk_grid" \ "name") match {
+      case JString("regular") =>
+      case other => sys.error(s"unsupported chunk_grid $other")
+    }
+    val chunks = ints(j \ "chunk_grid" \ "configuration" \ "chunk_shape")
+    (j \ "chunk_key_encoding" \ "name") match {
+      case JString("default") | JNothing =>
+      case other => sys.error(s"unsupported chunk_key_encoding $other")
+    }
+    val (kind, size) = (j \ "data_type") match {
+      case JString(s) => v3Dtypes.getOrElse(s,
+        sys.error(s"unsupported v3 data_type $s"))
+      case other => sys.error(s"bad data_type $other")
+    }
+    var order: Char = '<'
+    var comp: Option[(String, Int)] = None
+    (j \ "codecs") match {
+      case JArray(cs) => cs.foreach { c =>
+        (c \ "name") match {
+          case JString("bytes") => (c \ "configuration" \ "endian") match {
+            case JString("big") => order = '>'
+            case _ => order = '<'
+          }
+          case JString("gzip") => (c \ "configuration" \ "level") match {
+            case JInt(l) => comp = Some(("gzip", l.toInt))
+            case _ => comp = Some(("gzip", 1))
+          }
+          case JString(other) =>
+            sys.error(s"unsupported v3 codec '$other' (bytes, gzip)")
+          case other => sys.error(s"bad codec $other")
+        }
+      }
+      case other => sys.error(s"bad codecs $other")
+    }
+    val fill = (j \ "fill_value") match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case JString("NaN") => Double.NaN
+      case _ => Double.NaN
+    }
+    val dims = (j \ "dimension_names") match {
+      case JArray(xs) => xs.collect { case JString(n) => n }
+      case _ => Nil
+    }
+    val attrs = (j \ "attributes") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+    ArrayMeta(shape, chunks, order, kind, size, comp, fill, "/", dims,
+      attrs, v3 = true)
+  }
+
+  /** Open either format's metadata: a `zarr.json` array node wins (v3),
+    * else the v2 `.zarray`/`.zattrs` pair. All readers go through this,
+    * so `toLongDF`/`openDataset`/`readArray` are format-transparent. */
+  def openMetaAny(spark: SparkSession, store: String, name: String): ArrayMeta = {
+    val fs = fsFor(store, spark)
+    val v3Path = new Path(store, s"$name/zarr.json")
+    if (fs.exists(v3Path))
+      parseMetaV3(new String(readBytes(fs, v3Path), "UTF-8"))
+    else openMeta(spark, store, name)
+  }
+
   // ------------------------------------------------------------------
   // chunk codec
   // ------------------------------------------------------------------
@@ -187,12 +292,40 @@ object Zarr {
     out.toByteArray
   }
 
+  // v3's standard byte-stream codec is gzip (RFC 1952 framing), not v2's
+  // raw zlib (RFC 1950) — java.util.zip provides both
+  private def gunzip(b: Array[Byte], expect: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new Array[Byte](expect)
+    var off = 0
+    try {
+      while (off < expect) {
+        val n = in.read(out, off, expect - off)
+        require(n > 0, s"gzip chunk decoded $off of $expect bytes")
+        off += n
+      }
+      require(in.read() < 0, "gzip chunk longer than expected")
+    } finally in.close()
+    out
+  }
+
+  private def gzip(b: Array[Byte], level: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 max 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(level)
+    }
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
   /** Decode one chunk file's payload to doubles in C order (full chunk
     * box — caller trims edge padding via global-index bounds). */
   def decodeChunk(raw: Array[Byte], m: ArrayMeta): Array[Double] = {
     val n = m.chunkElems
     val plain = m.compressor match {
       case Some(("zlib", _)) => inflate(raw, n * m.size)
+      case Some(("gzip", _)) => gunzip(raw, n * m.size)
       case None => { require(raw.length >= n * m.size, "short raw chunk"); raw }
       case Some((id, _)) => sys.error(s"unsupported compressor $id")
     }
@@ -235,6 +368,7 @@ object Zarr {
     }
     m.compressor match {
       case Some(("zlib", lvl)) => deflate(buf.array(), lvl)
+      case Some(("gzip", lvl)) => gzip(buf.array(), lvl)
       case _ => buf.array()
     }
   }
@@ -243,7 +377,7 @@ object Zarr {
     * xarray contract; data variables go through [[toLongDF]]). */
   def readArray(spark: SparkSession, store: String, name: String)
       : (ArrayMeta, Array[Double]) = {
-    val m = openMeta(spark, store, name)
+    val m = openMetaAny(spark, store, name)
     val fs = fsFor(store, spark)
     val out = new Array[Double](m.shape.product)
     val grid = m.chunkGrid
@@ -253,7 +387,7 @@ object Zarr {
     val shapeStrides = m.shape.scanRight(1)(_ * _).tail
     val chunkStrides = m.chunks.scanRight(1)(_ * _).tail
     gridIdx.foreach { ci =>
-      val p = new Path(store, s"$name/${ci.mkString(m.separator)}")
+      val p = new Path(store, s"$name/${m.chunkKey(ci)}")
       if (fs.exists(p)) {
         val vals = decodeChunk(readBytes(fs, p), m)
         vals.indices.foreach { flat =>
@@ -287,15 +421,17 @@ object Zarr {
     * per chunk file via the binaryFile source); only metadata and coord
     * vectors are read driver-side. */
   def toLongDF(spark: SparkSession, store: String, varName: String): DataFrame = {
-    val m = openMeta(spark, store, varName)
+    val m = openMetaAny(spark, store, varName)
     require(m.dims.length == m.shape.length,
-      s"$varName/.zattrs lacks _ARRAY_DIMENSIONS (xarray convention)")
-    require(m.separator == ".",
-      "distributed reader supports dimension_separator '.' (flat chunk files)")
+      s"$varName lacks dimension names " +
+        "(v2 _ARRAY_DIMENSIONS / v3 dimension_names)")
+    require(m.v3 || m.separator == ".",
+      "v2 distributed reader supports dimension_separator '.' (flat chunk files)")
     val fs = fsFor(store, spark)
     // coordinate vectors (optional per dim)
     val coords: Seq[Option[(ArrayMeta, Array[Double])]] = m.dims.map { d =>
-      if (fs.exists(new Path(store, s"$d/.zarray")))
+      if (fs.exists(new Path(store, s"$d/.zarray")) ||
+          fs.exists(new Path(store, s"$d/zarr.json")))
         Some(readArray(spark, store, d)) else None
     }
     val fields = m.dims.zip(coords).map { case (d, cv) =>
@@ -304,8 +440,17 @@ object Zarr {
     } :+ StructField(varName, if (m.integral) LongType else DoubleType)
     val schema = StructType(fields)
 
-    val chunkFiles = fs.listStatus(new Path(store, varName))
-      .map(_.getPath).filter(p => !p.getName.startsWith("."))
+    val chunkFiles =
+      if (m.v3) {
+        // nested "c/i/j/..." keys: one glob with rank wildcards
+        val pat = new Path(store,
+          varName + "/c/" + Seq.fill(m.shape.length)("*").mkString("/"))
+        val hits = fs.globStatus(pat)
+        if (hits == null) Array.empty[Path] else hits.map(_.getPath)
+      } else
+        fs.listStatus(new Path(store, varName))
+          .map(_.getPath).filter(p => !p.getName.startsWith(".") &&
+            p.getName != "zarr.json")
     if (chunkFiles.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
 
@@ -318,9 +463,11 @@ object Zarr {
     val rdd = binary.rdd.flatMap { row =>
       val mm = metaB.value
       val cs = coordsB.value
-      val name = row.getString(0).split('/').last
-      val ci = name.split(java.util.regex.Pattern.quote(mm.separator))
-        .map(_.toInt).toSeq
+      val segs = row.getString(0).split('/')
+      val ci =
+        if (mm.v3) segs.takeRight(mm.shape.length).map(_.toInt).toSeq
+        else segs.last.split(java.util.regex.Pattern.quote(mm.separator))
+          .map(_.toInt).toSeq
       val vals = decodeChunk(row.getAs[Array[Byte]](1), mm)
       val chunkStrides = mm.chunks.scanRight(1)(_ * _).tail
       vals.indices.iterator.flatMap { flat =>
@@ -347,7 +494,8 @@ object Zarr {
     fs.listStatus(new Path(store)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => fs.exists(new Path(store, s"$n/.zarray")))
+      .filter(n => fs.exists(new Path(store, s"$n/.zarray")) ||
+        fs.exists(new Path(store, s"$n/zarr.json")))
       .sorted
   }
 
@@ -360,7 +508,7 @@ object Zarr {
     * var's missing chunks surface as NULLs rather than dropping cells. */
   def openDataset(spark: SparkSession, store: String): DataFrame = {
     val names = listArrays(spark, store)
-    val metas = names.map(n => n -> openMeta(spark, store, n))
+    val metas = names.map(n => n -> openMetaAny(spark, store, n))
     val coordNames = metas.collect {
       case (n, m) if m.dims == Seq(n) => n
     }.toSet
@@ -496,6 +644,51 @@ object Zarr {
       ("_ARRAY_DIMENSIONS" -> JArray(m.dims.map(JString(_)).toList)) ::
         m.attrs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) })))
 
+  private def metaJsonV3(m: ArrayMeta): String = {
+    val dtypeName = v3Dtypes.collectFirst {
+      case (n, (k, s)) if k == m.kind && s == m.size => n
+    }.getOrElse(sys.error(s"no v3 name for dtype ${m.kind}${m.size}"))
+    val codecs =
+      JObject("name" -> JString("bytes"), "configuration" ->
+        JObject("endian" -> JString(
+          if (m.order == '>') "big" else "little"))) ::
+      m.compressor.toList.map { case (id, lvl) =>
+        require(id == "gzip", s"v3 writer supports gzip, got $id")
+        JObject("name" -> JString("gzip"), "configuration" ->
+          JObject("level" -> JInt(lvl)))
+      }
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "zarr_format" -> JInt(3),
+      "node_type" -> JString("array"),
+      "shape" -> JArray(m.shape.map(i => JInt(BigInt(i))).toList),
+      "data_type" -> JString(dtypeName),
+      "chunk_grid" -> JObject("name" -> JString("regular"),
+        "configuration" -> JObject("chunk_shape" ->
+          JArray(m.chunks.map(i => JInt(BigInt(i))).toList))),
+      "chunk_key_encoding" -> JObject("name" -> JString("default"),
+        "configuration" -> JObject("separator" -> JString("/"))),
+      "fill_value" -> (if (m.fillValue.isNaN && m.kind == 'f') JString("NaN")
+                       else if (m.integral) JInt(BigInt(m.fillValue.toLong))
+                       else JDouble(m.fillValue)),
+      "codecs" -> JArray(codecs),
+      "dimension_names" -> JArray(m.dims.map(JString(_)).toList),
+      "attributes" -> JObject(
+        m.attrs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))))
+  }
+
+  /** Write an array node's metadata in its format's layout. */
+  private def writeArrayMeta(fs: FileSystem, store: String, name: String,
+                             m: ArrayMeta): Unit =
+    if (m.v3)
+      writeBytes(fs, new Path(store, s"$name/zarr.json"),
+        metaJsonV3(m).getBytes("UTF-8"))
+    else {
+      writeBytes(fs, new Path(store, s"$name/.zarray"),
+        metaJson(m).getBytes("UTF-8"))
+      writeBytes(fs, new Path(store, s"$name/.zattrs"),
+        attrsJson(m).getBytes("UTF-8"))
+    }
+
   /** Initialise a store directory (`.zgroup`). */
   def initStore(spark: SparkSession, store: String): Unit = {
     val fs = fsFor(store, spark)
@@ -504,16 +697,21 @@ object Zarr {
       """{"zarr_format":2}""".getBytes("UTF-8"))
   }
 
+  /** Initialise a v3 store (root `zarr.json` group node). */
+  def initStoreV3(spark: SparkSession, store: String): Unit = {
+    val fs = fsFor(store, spark)
+    fs.mkdirs(new Path(store))
+    writeBytes(fs, new Path(store, "zarr.json"),
+      """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
+  }
+
   /** Driver-side array write (coordinate vectors / small fixtures). */
   def writeArray(spark: SparkSession, store: String, name: String,
                  m: ArrayMeta, data: Array[Double]): Unit = {
     require(data.length == m.shape.product, "data length != shape product")
     val fs = fsFor(store, spark)
     fs.mkdirs(new Path(store, name))
-    writeBytes(fs, new Path(store, s"$name/.zarray"),
-      metaJson(m).getBytes("UTF-8"))
-    writeBytes(fs, new Path(store, s"$name/.zattrs"),
-      attrsJson(m).getBytes("UTF-8"))
+    writeArrayMeta(fs, store, name, m)
     val grid = m.chunkGrid
     val gridIdx = grid.foldLeft(Seq(Seq.empty[Int])) { (acc, g) =>
       acc.flatMap(p => (0 until g).map(p :+ _))
@@ -528,7 +726,7 @@ object Zarr {
         if (global.zip(m.shape).forall { case (g, s) => g < s })
           vals(flat) = data(global.zip(shapeStrides).map { case (g, st) => g * st }.sum)
       }
-      writeBytes(fs, new Path(store, s"$name/${ci.mkString(m.separator)}"),
+      writeBytes(fs, new Path(store, s"$name/${m.chunkKey(ci)}"),
         encodeChunk(vals, m))
     }
   }
@@ -549,25 +747,29 @@ object Zarr {
                   compressor: Option[(String, Int)] = Some(("zlib", 1)),
                   fillValue: Double = Double.NaN,
                   dimIntegral: Boolean = true,
-                  region: Boolean = false): Unit = {
+                  region: Boolean = false,
+                  zarrFormat: Int = 2): Unit = {
     val spark = df.sparkSession
     val shape = dimValues.map(_.length)
-    val m = ArrayMeta(shape, chunks, '<', kind, size, compressor, fillValue,
-      ".", dims, Map.empty)
+    val isV3 = zarrFormat == 3
+    // v2's default byte codec is raw zlib; v3's standard one is gzip
+    val comp = compressor.map { case (id, lvl) =>
+      if (isV3 && id == "zlib") ("gzip", lvl) else (id, lvl)
+    }
+    val m = ArrayMeta(shape, chunks, '<', kind, size, comp, fillValue,
+      if (isV3) "/" else ".", dims, Map.empty, v3 = isV3)
     if (!region) {
-      initStore(spark, store)
+      if (isV3) initStoreV3(spark, store) else initStore(spark, store)
       // coordinate vectors: driver-side 1-D arrays (metadata-scale)
       dims.zip(dimValues).foreach { case (d, vs) =>
         val cm = ArrayMeta(Seq(vs.length), Seq(vs.length max 1), '<',
-          if (dimIntegral) 'i' else 'f', 8, None, 0.0, ".", Seq(d), Map.empty)
+          if (dimIntegral) 'i' else 'f', 8, None, 0.0, m.separator, Seq(d),
+          Map.empty, v3 = isV3)
         writeArray(spark, store, d, cm, vs)
       }
       val fs = fsFor(store, spark)
       fs.mkdirs(new Path(store, varName))
-      writeBytes(fs, new Path(store, s"$varName/.zarray"),
-        metaJson(m).getBytes("UTF-8"))
-      writeBytes(fs, new Path(store, s"$varName/.zattrs"),
-        attrsJson(m).getBytes("UTF-8"))
+      writeArrayMeta(fs, store, varName, m)
     }
     // label -> index maps, broadcast (each is one dim's coord vector)
     val idxMaps: Seq[Map[Double, Int]] =
@@ -623,8 +825,8 @@ object Zarr {
         val gStrides = grid.scanRight(1)(_ * _).tail
         val fs = new Path(storeL).getFileSystem(conf.value)
         def flush(c: Long, vals: Array[Double]): Unit = {
-          val ci = grid.indices.map(k => (c / gStrides(k)) % grid(k))
-          val p = new Path(new Path(storeL, varL), ci.mkString(mm.separator))
+          val ci = grid.indices.map(k => ((c / gStrides(k)) % grid(k)).toInt)
+          val p = new Path(new Path(storeL, varL), mm.chunkKey(ci))
           val out = fs.create(p, true)
           try out.write(encodeChunk(vals, mm)) finally out.close()
         }

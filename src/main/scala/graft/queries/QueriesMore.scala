@@ -430,6 +430,28 @@ object QueriesMore {
     // (to_zarr(region=...)), and read back by the distributed reader (one
     // task per chunk via binaryFile). Closed-form grid, so the oracle
     // regenerates it from generate_series, independent of the format code.
+    // zarr v3: same grid and region-overwrite contract as q135 but in the
+    // v3 format — zarr.json metadata nodes, "c/i/j" nested chunk keys,
+    // bytes+gzip codec chain. Write, region-rewrite one chunk, read back
+    // distributed (one task per chunk file).
+    "q152_zarr_v3" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarr3_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = s.range(0, 30).select(
+        (col("id") / 5).cast("long").as("time"),
+        (col("id") % 5).cast("long").as("lat"))
+        .withColumn("temp", col("time") * 100.0 + col("lat") * 1.5)
+      val coords = Seq(Array.tabulate(6)(_.toDouble),
+        Array.tabulate(5)(_.toDouble))
+      Zarr.writeLongDF(grid, store, "temp", Seq("time", "lat"), coords,
+        chunks = Seq(4, 2), zarrFormat = 3)
+      Zarr.writeLongDF(
+        grid.filter(col("time") >= 4 && col("lat") < 2),
+        store, "temp", Seq("time", "lat"), coords,
+        chunks = Seq(4, 2), region = true, zarrFormat = 3)
+      Zarr.toLongDF(s, store, "temp").select("time", "lat", "temp")
+    }),
+
     "q135_zarr_roundtrip" -> ((s, dir) => {
       import graft.io.Zarr
       val store = "/tmp/graft_zarr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -786,6 +808,10 @@ object QueriesMore {
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
     // same closed-form grid, regenerated independently of the zarr codec
     "q135_zarr_roundtrip" ->
+      """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    "q152_zarr_v3" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",

@@ -213,6 +213,73 @@ class ZarrSpec extends SparkSpec {
       assert(doc.contains(s""""$k""""), s"missing $k"))
   }
 
+  test("v3: distributed roundtrip with zarr.json metadata, nested keys, gzip") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zv3").toString
+    val df = (for (i <- 0 until 5; j <- 0 until 7)
+      yield (i.toLong, j.toLong, i * 100.0 + j)).toSeq
+      .toDF("row", "col", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(5)(_.toDouble), Array.tabulate(7)(_.toDouble)),
+      chunks = Seq(2, 3), zarrFormat = 3)
+    // format pin: v3 layout on disk — group node, array node, c/i/j keys
+    val root = new String(Files.readAllBytes(
+      Paths.get(store, "zarr.json")), "UTF-8")
+    assert(root.contains("\"zarr_format\":3") &&
+      root.contains("\"node_type\":\"group\""))
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", "zarr.json")), "UTF-8")
+    assert(za.contains("\"node_type\":\"array\"") &&
+      za.contains("\"data_type\":\"float64\"") &&
+      za.contains("\"chunk_shape\":[2,3]") &&
+      za.contains("\"name\":\"gzip\"") &&
+      za.contains("\"dimension_names\":[\"row\",\"col\"]"))
+    assert(Files.exists(Paths.get(store, "v", "c", "2", "2"))) // nested key
+    assert(!Files.exists(Paths.get(store, "v", "2.2")))        // no v2 keys
+    // chunk payload is real gzip (RFC 1952 magic)
+    val chunk = Files.readAllBytes(Paths.get(store, "v", "c", "0", "0"))
+    assert((chunk(0) & 0xff) == 0x1f && (chunk(1) & 0xff) == 0x8b)
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("v3: region write + driver readArray + openDataset transparency") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zv3reg").toString
+    val full = (for (i <- 0 until 4; j <- 0 until 4)
+      yield (i.toLong, j.toLong, 1.0)).toSeq.toDF("row", "col", "v")
+    val coords = Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(4)(_.toDouble))
+    Zarr.writeLongDF(full, store, "v", Seq("row", "col"), coords,
+      chunks = Seq(2, 2), zarrFormat = 3)
+    val region = (for (i <- 0 until 2; j <- 0 until 2)
+      yield (i.toLong, j.toLong, 9.0)).toSeq.toDF("row", "col", "v")
+    Zarr.writeLongDF(region, store, "v", Seq("row", "col"), coords,
+      chunks = Seq(2, 2), region = true, zarrFormat = 3)
+    val (m, arr) = Zarr.readArray(spark, store, "v")
+    assert(m.v3 && m.compressor == Some(("gzip", 1)))
+    assert(arr(0) == 9.0 && arr(5) == 9.0)   // chunk (0,0) rewritten
+    assert(arr(2) == 1.0 && arr(15) == 1.0)  // neighbours untouched
+    // dataset-level open dispatches per-array metadata transparently
+    val ds = Zarr.openDataset(spark, store)
+    assert(ds.count() == 16)
+  }
+
+  test("v3: parseMetaV3 rejects unsupported codecs and grids") {
+    val badCodec = """{"zarr_format":3,"node_type":"array","shape":[2],
+      "data_type":"float64","chunk_grid":{"name":"regular",
+      "configuration":{"chunk_shape":[2]}},"fill_value":0.0,
+      "codecs":[{"name":"blosc"}],"dimension_names":["d"]}"""
+    val ex = intercept[RuntimeException](Zarr.parseMetaV3(badCodec))
+    assert(ex.getMessage.contains("blosc"))
+    val badGrid = """{"zarr_format":3,"node_type":"array","shape":[2],
+      "data_type":"float64","chunk_grid":{"name":"rectangular"},
+      "fill_value":0.0,"codecs":[],"dimension_names":["d"]}"""
+    val ex2 = intercept[RuntimeException](Zarr.parseMetaV3(badGrid))
+    assert(ex2.getMessage.contains("chunk_grid"))
+  }
+
   test("absent chunk reads as fill_value; unsupported compressor rejects") {
     val store = Files.createTempDirectory("zfill").toString
     val m = ArrayMeta(Seq(4), Seq(2), '<', 'f', 8, None, -1.5, ".",
