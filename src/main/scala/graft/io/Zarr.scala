@@ -55,7 +55,8 @@ object Zarr {
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def chunkElems: Int = chunks.product
     def chunkKey(ci: Seq[Int]): String =
-      if (v3) "c/" + ci.mkString("/") else ci.mkString(separator)
+      if (v3) "c" + separator + ci.mkString(separator)
+      else ci.mkString(separator)
   }
 
   // ------------------------------------------------------------------
@@ -205,6 +206,13 @@ object Zarr {
       case JString("default") | JNothing =>
       case other => sys.error(s"unsupported chunk_key_encoding $other")
     }
+    // the default encoding's separator is configurable ("/" nested dirs or
+    // "." flat "c.0.0" files) — honour it rather than assuming "/"
+    val sep = (j \ "chunk_key_encoding" \ "configuration" \ "separator") match {
+      case JString(s) => require(s == "/" || s == ".",
+        s"unsupported chunk key separator '$s'"); s
+      case _ => "/"
+    }
     val (kind, size) = (j \ "data_type") match {
       case JString(s) => v3Dtypes.getOrElse(s,
         sys.error(s"unsupported v3 data_type $s"))
@@ -248,7 +256,7 @@ object Zarr {
       }.toMap
       case _ => Map.empty[String, String]
     }
-    ArrayMeta(shape, chunks, order, kind, size, comp, fill, "/", dims,
+    ArrayMeta(shape, chunks, order, kind, size, comp, fill, sep, dims,
       attrs, v3 = true)
   }
 
@@ -441,13 +449,16 @@ object Zarr {
     val schema = StructType(fields)
 
     val chunkFiles =
-      if (m.v3) {
+      if (m.v3 && m.separator == "/") {
         // nested "c/i/j/..." keys: one glob with rank wildcards
         val pat = new Path(store,
           varName + "/c/" + Seq.fill(m.shape.length)("*").mkString("/"))
         val hits = fs.globStatus(pat)
         if (hits == null) Array.empty[Path] else hits.map(_.getPath)
-      } else
+      } else if (m.v3) // "." separator: flat "c.0.0" files in the array dir
+        fs.listStatus(new Path(store, varName))
+          .map(_.getPath).filter(_.getName.startsWith("c."))
+      else
         fs.listStatus(new Path(store, varName))
           .map(_.getPath).filter(p => !p.getName.startsWith(".") &&
             p.getName != "zarr.json")
@@ -465,7 +476,11 @@ object Zarr {
       val cs = coordsB.value
       val segs = row.getString(0).split('/')
       val ci =
-        if (mm.v3) segs.takeRight(mm.shape.length).map(_.toInt).toSeq
+        if (mm.v3 && mm.separator == "/")
+          segs.takeRight(mm.shape.length).map(_.toInt).toSeq
+        else if (mm.v3) // "c.0.0" -> drop the "c" prefix segment
+          segs.last.split(java.util.regex.Pattern.quote(mm.separator))
+            .drop(1).map(_.toInt).toSeq
         else segs.last.split(java.util.regex.Pattern.quote(mm.separator))
           .map(_.toInt).toSeq
       val vals = decodeChunk(row.getAs[Array[Byte]](1), mm)
@@ -494,8 +509,14 @@ object Zarr {
     fs.listStatus(new Path(store)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => fs.exists(new Path(store, s"$n/.zarray")) ||
-        fs.exists(new Path(store, s"$n/zarr.json")))
+      .filter { n =>
+        val v3p = new Path(store, s"$n/zarr.json")
+        fs.exists(new Path(store, s"$n/.zarray")) ||
+          // a v3 zarr.json may also be a nested GROUP node — only arrays
+          (fs.exists(v3p) &&
+            (JsonMethods.parse(new String(readBytes(fs, v3p), "UTF-8"))
+              \ "node_type") == JString("array"))
+      }
       .sorted
   }
 
@@ -535,13 +556,13 @@ object Zarr {
   def appendLongDF(df: DataFrame, store: String, varName: String,
                    appendDim: String, newLabels: Array[Double]): Unit = {
     val spark = df.sparkSession
-    val m = openMeta(spark, store, varName)
+    val m = openMetaAny(spark, store, varName)
     val axis = m.dims.indexOf(appendDim)
     require(axis >= 0, s"$appendDim not in ${m.dims}")
     val oldLen = m.shape(axis)
     val chunk = m.chunks(axis)
     // old coords per dim (appendDim's get extended)
-    val coordMetas = m.dims.map(d => openMeta(spark, store, d))
+    val coordMetas = m.dims.map(d => openMetaAny(spark, store, d))
     val oldCoords = m.dims.map(d => readArray(spark, store, d)._2)
     val dimValues = oldCoords.zipWithIndex.map { case (c, k) =>
       if (k == axis) c ++ newLabels else c
@@ -562,27 +583,34 @@ object Zarr {
     writeArray(spark, store, appendDim,
       cm.copy(shape = Seq(newAxisLen), chunks = Seq(newAxisLen max 1)),
       dimValues(axis))
-    // the rewritten coord is a single chunk "0" — drop any stale chunk
-    // files from a previous multi-chunk layout
+    // the rewritten coord is a single chunk — drop any stale chunk files
+    // from a previous multi-chunk layout (v2: flat "0"; v3: under "c/")
     locally {
       val cfs = fsFor(store, spark)
-      cfs.listStatus(new Path(store, appendDim)).foreach { st =>
-        val nm = st.getPath.getName
-        if (!nm.startsWith(".") && nm != "0") cfs.delete(st.getPath, false)
-      }
+      val keep0 = cm.copy(shape = Seq(newAxisLen),
+        chunks = Seq(newAxisLen max 1)).chunkKey(Seq(0))
+      val base = new Path(store, appendDim)
+      val chunkDir = if (m.v3 && m.separator == "/") new Path(base, "c") else base
+      if (cfs.exists(chunkDir))
+        cfs.listStatus(chunkDir).filter(_.isFile).foreach { st =>
+          val rel =
+            if (chunkDir == base) st.getPath.getName
+            else "c/" + st.getPath.getName
+          val nm = st.getPath.getName
+          if (!nm.startsWith(".") && nm != "zarr.json" && rel != keep0)
+            cfs.delete(st.getPath, false)
+        }
     }
     val fs = fsFor(store, spark)
     val m2 = m.copy(shape = m.shape.updated(axis, newAxisLen))
-    writeBytes(fs, new Path(store, s"$varName/.zarray"),
-      metaJson(m2).getBytes("UTF-8"))
-    writeBytes(fs, new Path(store, s"$varName/.zattrs"),
-      attrsJson(m2).getBytes("UTF-8"))
+    writeArrayMeta(fs, store, varName, m2)
     // region write of boundary + appended rows against the NEW grid
     val rows = boundary.map(b =>
       df.select(b.columns.map(col): _*).unionByName(b)).getOrElse(df)
     writeLongDF(rows, store, varName, m.dims, dimValues, m.chunks,
       kind = m.kind, size = m.size, compressor = m.compressor,
-      fillValue = m.fillValue, dimIntegral = cm.integral, region = true)
+      fillValue = m.fillValue, dimIntegral = cm.integral, region = true,
+      zarrFormat = if (m.v3) 3 else 2)
   }
 
   /** Consolidated metadata (`.zmetadata`, zarr v2 convention; the
@@ -592,9 +620,14 @@ object Zarr {
     * convention at object-store scale. */
   def consolidate(spark: SparkSession, store: String): Unit = {
     val fs = fsFor(store, spark)
+    require(!fs.exists(new Path(store, "zarr.json")),
+      ".zmetadata consolidation is a zarr v2 convention; v3 stores have " +
+        "no consolidated-metadata spec")
     val entries = scala.collection.mutable.ListBuffer.empty[(String, JValue)]
     entries += ".zgroup" -> JObject("zarr_format" -> JInt(2))
-    listArrays(spark, store).foreach { n =>
+    listArrays(spark, store)
+      .filter(n => fs.exists(new Path(store, s"$n/.zarray")))
+      .foreach { n =>
       entries += s"$n/.zarray" -> JsonMethods.parse(new String(
         readBytes(fs, new Path(store, s"$n/.zarray")), "UTF-8"))
       val ap = new Path(store, s"$n/.zattrs")
@@ -666,7 +699,7 @@ object Zarr {
         "configuration" -> JObject("chunk_shape" ->
           JArray(m.chunks.map(i => JInt(BigInt(i))).toList))),
       "chunk_key_encoding" -> JObject("name" -> JString("default"),
-        "configuration" -> JObject("separator" -> JString("/"))),
+        "configuration" -> JObject("separator" -> JString(m.separator))),
       "fill_value" -> (if (m.fillValue.isNaN && m.kind == 'f') JString("NaN")
                        else if (m.integral) JInt(BigInt(m.fillValue.toLong))
                        else JDouble(m.fillValue)),

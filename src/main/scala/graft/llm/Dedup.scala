@@ -220,9 +220,13 @@ object Dedup {
     // Convergence witness: labels only ever DECREASE under min-propagation,
     // so the label sum is strictly monotone until fixpoint — one decimal
     // aggregate per round replaces a join-based change detector.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is SQL NULL — an empty graph must read as
+      // converged, not NPE in compareTo
+      val s = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -329,7 +333,11 @@ object Dedup {
     * cluster key partitions the join, so skew stays per-cluster. */
   def semDedup(vecs: DataFrame, id: String, vec: String,
                k: Int, iters: Int, threshold: Double): DataFrame = {
+    // persist: the Lloyd loop makes iters+2 passes (init collect, per-round
+    // assign+update, final assign) — without this each re-runs the
+    // normalization projection from the source scan
     val normed = vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv"))
+      .persist()
     val assigned = Cluster.kmeans(normed, id, "__nv", k, iters)
       .select(col(id), col("__nv"), col("cluster")).persist()
     val lo = assigned.select(col("cluster"), col(id).as("id_a"),

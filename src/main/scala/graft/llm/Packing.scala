@@ -37,7 +37,11 @@ object Packing {
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    // explicit ROWS frame: the default RANGE frame sums all PEERS of a
+    // tied order value into every tied row, breaking the per-row running
+    // total (ties then share arithmetic, not just arbitrary order)
     val localW = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = ranged.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>

@@ -52,25 +52,34 @@ object Sampling {
   def exactStratifiedSample(df: DataFrame, id: String, stratum: String,
                             n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val hkey = md5(concat(col(id).cast("string"), lit("#exact")))
     val b16 = conv(substring(hkey, 1, 4), 16, 10).cast("long")
-    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__N"))
-    val joined = df.join(broadcast(counts), stratum)
+    // non-null join/grouping key so a NULL stratum forms its own stratum
+    // instead of vanishing through null-rejecting equi-joins
+    val skOf = coalesce(col(stratum).cast("string"), lit("\u0000null\u0000"))
+    val keyed = df.withColumn("__sk", skOf)
+    // ONE count job feeds both the driver maps and the broadcast side
+    val countRows = keyed.groupBy(col("__sk")).agg(count(lit(1)).as("__N"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    val counts = countRows.toSeq.toDF("__sk", "__N")
+    val joined = keyed.join(broadcast(counts), "__sk")
     val cutoff = least(lit(65536.0), ceil(lit(262144.0) * n / col("__N")))
     val pre = joined.filter(b16 < cutoff).persist()
-    val nBy = counts.collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    val preBy = pre.groupBy(col(stratum)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val nBy = countRows.toMap
+    val preBy = pre.groupBy(col("__sk")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val short = nBy.keys.filter(s =>
       preBy.getOrElse(s, 0L) < math.min(n.toLong, nBy(s))).toSeq
     val candidates =
       if (short.isEmpty) pre
-      else pre.filter(!col(stratum).isin(short: _*))
-        .unionByName(joined.filter(col(stratum).isin(short: _*)))
-    val w = Window.partitionBy(col(stratum)).orderBy(hkey, col(id))
+      else pre.filter(!col("__sk").isin(short: _*))
+        .unionByName(joined.filter(col("__sk").isin(short: _*)))
+    val w = Window.partitionBy(col("__sk")).orderBy(hkey, col(id))
     candidates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .withColumnRenamed("__rn", "rank").drop("__N")
+      .withColumnRenamed("__rn", "rank").drop("__N", "__sk")
   }
 
   /** Source mixing with fractional epochs (the data-mixture step of a

@@ -91,6 +91,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("connectedComponents on an empty pair set returns empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.llm.Dedup.connectedComponents(empty, "id_a", "id_b")
+      .count() === 0)
+  }
+
+  test("globalRunningSum uses a ROWS frame: tied order keys get per-row sums") {
+    val df = Seq((1L, 10L), (5L, 10L), (5L, 20L), (9L, 5L)).toDF("k", "v")
+    val sums = Packing.globalRunningSum(df, col("k"), col("v"), "s")
+      .orderBy("s").select("s").as[Long].collect().toSeq
+    // ties on k=5 must still accumulate row-by-row: 10, 20|30, 30|40, 45
+    assert(sums === Seq(10L, 20L, 40L, 45L) || sums === Seq(10L, 30L, 40L, 45L))
+    assert(sums.last === 45L && sums.distinct.size === 4)
+  }
+
+  test("exactStratifiedSample keeps NULL strata as their own stratum") {
+    val df = (0L until 100L).toDF("id").withColumn("s",
+      when(col("id") < 50, lit("a")).otherwise(lit(null).cast("string")))
+    val out = Sampling.exactStratifiedSample(df, "id", "s", n = 10).cache()
+    assert(out.filter(col("s").isNull).count() === 10)
+    assert(out.filter(col("s") === "a").count() === 10)
+  }
+
   test("packSequencesPadded: docs never straddle; oversized docs are capped") {
     // one shard; seqLen 100: [60, 50(->new seq), 40, 10, 250(cap->new), 5]
     val docs = Seq((0L, 60L), (1L, 50L), (2L, 40L), (3L, 10L), (4L, 250L),

@@ -266,6 +266,39 @@ class ZarrSpec extends SparkSpec {
     assert(ds.count() == 16)
   }
 
+  test("v3: '.' chunk-key separator reads flat c.0.0 files; consolidate rejects v3") {
+    val store = Files.createTempDirectory("zv3dot").toString
+    val m = ArrayMeta(Seq(3, 4), Seq(2, 3), '<', 'f', 8, None, 0.0, ".",
+      Seq("r", "c"), Map(), v3 = true)
+    Zarr.initStoreV3(spark, store)
+    Zarr.writeArray(spark, store, "v", m,
+      Array.tabulate(12)(_.toDouble))
+    assert(Files.exists(Paths.get(store, "v", "c.0.0"))) // flat v3 key
+    val (m2, back) = Zarr.readArray(spark, store, "v")
+    assert(m2.separator == "." && back.toSeq == (0 until 12).map(_.toDouble))
+    // .zmetadata is a v2 convention — refuse on a v3 store
+    val ex = intercept[IllegalArgumentException](Zarr.consolidate(spark, store))
+    assert(ex.getMessage.contains("v2"))
+  }
+
+  test("v3: append_dim through a mid-chunk boundary is format-transparent") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zv3app").toString
+    val df = (for (i <- 0 until 3) yield (i.toLong, i * 1.0)).toSeq
+      .toDF("t", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("t"),
+      Seq(Array.tabulate(3)(_.toDouble)), chunks = Seq(2), zarrFormat = 3)
+    val extra = Seq((3L, 30.0), (4L, 40.0)).toDF("t", "v")
+    Zarr.appendLongDF(extra, store, "v", "t", Array(3.0, 4.0))
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(back == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 30.0, 4L -> 40.0))
+    // metadata stayed v3
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", "zarr.json")), "UTF-8")
+    assert(za.contains("\"shape\":[5]"))
+  }
+
   test("v3: parseMetaV3 rejects unsupported codecs and grids") {
     val badCodec = """{"zarr_format":3,"node_type":"array","shape":[2],
       "data_type":"float64","chunk_grid":{"name":"regular",
