@@ -131,4 +131,50 @@ object DataTree {
     }
     new DataTree(nodes.toMap)
   }
+
+  /** `open_datatree(store, engine="zarr")` (ref `backends/zarr.py`
+    * open_datatree; group docs `datatree.py`): walk the zarr GROUP
+    * hierarchy — v2 `.zgroup` directories or v3 group-node `zarr.json` —
+    * and open every group that holds data arrays as a tree node via
+    * [[graft.io.Zarr.openDataset]] (format-transparent per array, so a
+    * tree may mix v2 and v3 groups). Only metadata is read driver-side;
+    * array chunks stay lazy until the node's DataFrame is consumed. */
+  def openZarr(spark: org.apache.spark.sql.SparkSession,
+               root: String): DataTree = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import graft.io.Zarr
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = fs.makeQualified(new Path(root))
+    def isGroup(p: Path): Boolean =
+      fs.exists(new Path(p, ".zgroup")) || {
+        val zj = new Path(p, "zarr.json")
+        fs.exists(zj) && {
+          val in = fs.open(zj)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          (JsonMethods.parse(txt) \ "node_type") == JString("group")
+        }
+      }
+    def walk(p: Path): Seq[Path] =
+      p +: fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(isGroup).flatMap(walk)
+    val nodes = walk(rootP).flatMap { p =>
+      val names = Zarr.listArrays(spark, p.toString)
+      val metas = names.map(n => n -> Zarr.openMetaAny(spark, p.toString, n))
+      val coordNames = metas.collect {
+        case (n, m) if m.dims == Seq(n) => n
+      }.toSet
+      val dataVars = metas.filterNot { case (n, _) => coordNames(n) }
+      if (dataVars.isEmpty) None
+      else {
+        val rel = p.toString.stripPrefix(rootP.toString)
+        val norm = if (rel.isEmpty) "/" else rel
+        Some(norm -> XDataset(Zarr.openDataset(spark, p.toString),
+          dataVars.head._2.dims))
+      }
+    }
+    new DataTree(nodes.toMap)
+  }
 }

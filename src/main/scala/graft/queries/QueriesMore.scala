@@ -430,6 +430,35 @@ object QueriesMore {
     // (to_zarr(region=...)), and read back by the distributed reader (one
     // task per chunk via binaryFile). Closed-form grid, so the oracle
     // regenerates it from generate_series, independent of the format code.
+    // open_datatree over a hierarchical zarr store: root group with a v2
+    // child group and a v3 child group (format-transparent per node),
+    // per-node reduction collapsed with the node path
+    "q153_datatree_zarr" -> ((s, dir) => {
+      import graft.model.{DataTree, XDataset}
+      import graft.io.Zarr
+      import org.apache.spark.sql.types.DecimalType
+      val root = "/tmp/graft_ztree_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = s.range(0, 24).select(
+        (col("id") / 4).cast("long").as("t"),
+        (col("id") % 4).cast("long").as("x"))
+      val coords = Seq(Array.tabulate(6)(_.toDouble),
+        Array.tabulate(4)(_.toDouble))
+      Zarr.initStore(s, root)
+      Zarr.writeLongDF(grid.withColumn("temp", col("t") * 10.0 + col("x")),
+        root + "/obs", "temp", Seq("t", "x"), coords, chunks = Seq(4, 3))
+      Zarr.writeLongDF(
+        grid.withColumn("temp", col("t") * 10.0 + col("x") + 0.5),
+        root + "/fcst", "temp", Seq("t", "x"), coords, chunks = Seq(4, 3),
+        zarrFormat = 3)
+      DataTree.openZarr(s, root)
+        .mapOverDatasets { ds =>
+          XDataset(ds.df.agg(count(lit(1)).as("n"),
+            sum(col("temp").cast(DecimalType(30, 4))).cast("double")
+              .as("sum_temp")), Nil)
+        }
+        .collapse().select("path", "n", "sum_temp")
+    }),
+
     // zarr v3: same grid and region-overwrite contract as q135 but in the
     // v3 format — zarr.json metadata nodes, "c/i/j" nested chunk keys,
     // bytes+gzip codec chain. Write, region-rewrite one chunk, read back
@@ -815,6 +844,18 @@ object QueriesMore {
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    "q153_datatree_zarr" ->
+      """WITH g AS (SELECT t.t, x.x
+           FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x)
+         SELECT '/fcst' AS path, count(*) AS n,
+           CAST(sum(CAST(t * 10 + x + 0.5 AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_temp
+         FROM g
+         UNION ALL
+         SELECT '/obs', count(*),
+           CAST(sum(CAST(t * 10 + x AS DECIMAL(30,4))) AS DOUBLE)
+         FROM g""",
     // The fixture's y = a*exp(b*x) is noiseless, so the TRUE params are
     // recoverable analytically: ln(y) = ln(a) + b*x is an exact linear
     // relation and OLS on (x, ln y) returns (ln a, b) to ~1e-12. LM on the
