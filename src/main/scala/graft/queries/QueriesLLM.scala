@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Cluster, Dedup, Multimodal, Packing, Sampling, Similarity, Splits, TextAnalysis}
+import graft.llm.{Cluster, Dedup, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -330,6 +330,21 @@ object QueriesLLM {
     "q146_seq_packing" -> ((s, dir) => {
       Packing.packSequences(Tables.documents(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
+    }),
+
+    // CCNet-style perplexity filter: fit an add-0.5 bigram LM on the
+    // corpus, score each doc by mean negative log2 probability. Fitting
+    // is the wordcount shape; scoring is token-key joins.
+    "q154_lm_perplexity" -> ((s, dir) => {
+      NgramLM.bigramPerplexity(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text", alpha = 0.5)
+    }),
+
+    // tf-idf keyword extraction: top-3 terms per doc
+    "q155_tfidf_topk" -> ((s, dir) => {
+      Tfidf.topTerms(Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text", k = 3)
     }),
 
     // padded packing: greedy doc-boundary-preserving fill, 256-token
@@ -869,6 +884,42 @@ object QueriesLLM {
                 ELSE (end_off - n_tokens) // 1024 END AS seq_last,
            (end_off - n_tokens) % 1024 AS pos_in_seq
          FROM c""",
+    // perplexity oracle: same counts, same smoothing, same round-8 libm
+    // terms, same decimal accumulation
+    "q154_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+         bi AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS bg FROM t)),
+         b12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         b1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         vv AS (SELECT count(*) AS v FROM b1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(
+             ln((c1 + 0.5 * v) / (c12 + 0.5)) / ln(2), 8)
+             AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+         FROM bi JOIN b12 USING (w1, w2) JOIN b1 USING (w1) CROSS JOIN vv
+         GROUP BY doc_id""",
+    // tf-idf oracle: identical tf/df/idf arithmetic and tie-break
+    "q155_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
+         nn AS (SELECT count(*) AS n FROM dl),
+         idf AS (SELECT term,
+             round(ln(CAST(n AS DOUBLE) / count(DISTINCT doc_id)), 8) AS idf
+           FROM tok CROSS JOIN nn GROUP BY term, n),
+         sc AS (SELECT tf.doc_id, tf.term,
+             round(tf.tc / dl.len * idf.idf, 6) AS score
+           FROM tf JOIN dl USING (doc_id) JOIN idf USING (term))
+         SELECT doc_id, rk, term, score FROM (
+           SELECT doc_id, term, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+           FROM sc) WHERE rk <= 3""",
     // padded-packing oracle: the greedy fill recurrence as a recursive
     // CTE stepping row-by-row inside each shard
     "q151_padded_packing" ->

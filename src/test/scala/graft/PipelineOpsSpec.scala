@@ -167,6 +167,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a === 0)
   }
 
+  test("bigram perplexity: formulaic docs score lower NLL than unique-token docs") {
+    val common = Seq.fill(20)("the cat sat").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "zq xw vv uu tt ss rr qq pp oo nn mm")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.NgramLM.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 59L)  // 60 tokens -> 59 bigrams
+    assert(out(4L)._1 === 11L)
+    assert(out(1L)._2 < out(4L)._2, s"common ${out(1L)._2} vs rare ${out(4L)._2}")
+  }
+
+  test("tfidf ranks a doc-exclusive term above corpus-wide terms") {
+    val docs = Seq(
+      (1L, "shared words here and xylophone xylophone xylophone"),
+      (2L, "shared words here and more filler text"),
+      (3L, "shared words here and other common stuff")
+    ).toDF("doc_id", "text")
+    val top = graft.llm.Tfidf.topTerms(docs, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 1L).select("term").as[String].head()
+    assert(top === "xylophone")
+  }
+
   test("semDedup prunes every planted exact-double at cosine 1") {
     val rng = new scala.util.Random(11)
     val base = (0L until 40L).map(i =>
