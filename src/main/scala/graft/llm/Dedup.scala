@@ -203,6 +203,56 @@ object Dedup {
       .agg(count(lit(1)).as("dup_windows"), min(col("p")).as("first_dup_pos"))
   }
 
+  /** Excise duplicated spans — the ACTION step after [[duplicateSpans]]'s
+    * detection (Lee et al. cut the flagged substrings out of the corpus):
+    * duplicate `gramLen`-char windows are merged into maximal intervals
+    * per doc (the classic gaps-and-islands window: overlapping/adjacent
+    * [p, p+gramLen) runs coalesce), and the complement segments are
+    * re-concatenated in order. Returns one row per AFFECTED doc:
+    * (doc_id, n_spans, chars_cut, cleaned). All windows partition by
+    * doc_id — bounded by a doc's window count, never corpus-global. */
+  def exciseDuplicateSpans(docs: DataFrame, id: String, text: String,
+                           gramLen: Int, stride: Int,
+                           minDocs: Int = 2): DataFrame = {
+    val grams = windowGrams(docs, id, text, gramLen, stride)
+    val dupKeys = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs).select("h")
+    val dup = grams.join(dupKeys, "h").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val isl = dup
+      .withColumn("maxEnd", max(col("p") + gramLen)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1)
+          .otherwise(0)).over(w))
+    val merged = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + gramLen).as("e"))
+      .persist()
+    val w2 = Window.partitionBy("doc_id").orderBy("s")
+    val segs = merged
+      .select(col("doc_id"), lag(col("e"), 1, 0).over(w2).as("ks"),
+        col("s").as("ke"))
+    val base = docs.select(col(id).as("doc_id"), col(text).as("t"),
+      length(col(text)).as("len"))
+    val tails = merged.groupBy("doc_id").agg(max(col("e")).as("ks"))
+      .join(base.select("doc_id", "len"), "doc_id")
+      .select(col("doc_id"), col("ks"), col("len").as("ke"))
+    val frags = segs.unionByName(tails).filter(col("ke") > col("ks"))
+      .join(base.select("doc_id", "t"), "doc_id")
+      .select(col("doc_id"), col("ks"),
+        expr("substring(t, ks + 1, ke - ks)").as("frag"))
+    val cleaned = frags.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ks"), col("frag")))),
+        s => s.getField("frag")), "").as("cleaned"))
+    merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("chars_cut"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** Connected components over an undirected pair graph by iterative
     * min-label propagation (the map-reduce CC family of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"; label propagation

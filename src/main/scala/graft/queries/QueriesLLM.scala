@@ -332,6 +332,17 @@ object QueriesLLM {
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
     }),
 
+    // substring-dedup ACTION: cut every merged duplicate span out of the
+    // text (gaps-and-islands merge + ordered complement re-concat); the
+    // md5 of the cleaned text makes the hash check full-strength
+    "q156_span_excision" -> ((s, dir) => {
+      Dedup.exciseDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        gramLen = 40, stride = 10)
+        .select(col("doc_id"), col("n_spans"), col("chars_cut"),
+          length(col("cleaned")).as("clean_len"),
+          md5(col("cleaned")).as("clean_md5"))
+    }),
+
     // CCNet-style perplexity filter: fit an add-0.5 bigram LM on the
     // corpus, score each doc by mean negative log2 probability. Fitting
     // is the wordcount shape; scoring is token-key joins.
@@ -884,6 +895,47 @@ object QueriesLLM {
                 ELSE (end_off - n_tokens) // 1024 END AS seq_last,
            (end_off - n_tokens) % 1024 AS pos_in_seq
          FROM c""",
+    // span-excision oracle: same windows, same island merge, complement
+    // segments re-joined with an ordered string_agg
+    "q156_span_excision" ->
+      """WITH g AS (SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS h
+           FROM (SELECT doc_id, text,
+               unnest(generate_series(0, length(text) - 40, 10)) AS p
+             FROM documents WHERE length(text) >= 40)),
+         d AS (SELECT h FROM g GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+         dup AS (SELECT doc_id, p FROM g JOIN d USING (h)),
+         mx AS (SELECT doc_id, p, max(p + 40) OVER (PARTITION BY doc_id
+             ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS maxend
+           FROM dup),
+         isl AS (SELECT doc_id, p, sum(CASE WHEN maxend IS NULL OR
+               p > maxend THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+             ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+           FROM mx),
+         merged AS (SELECT doc_id, island, min(p) AS s, max(p) + 40 AS e
+           FROM isl GROUP BY 1, 2),
+         segs AS (
+           SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id
+               ORDER BY s), 0) AS ks, s AS ke
+           FROM merged
+           UNION ALL
+           SELECT m.doc_id, max(m.e), min(length(dd.text))
+           FROM merged m JOIN documents dd ON m.doc_id = dd.doc_id
+           GROUP BY m.doc_id),
+         frags AS (SELECT s.doc_id, s.ks,
+             substr(dd.text, s.ks + 1, s.ke - s.ks) AS frag
+           FROM segs s JOIN documents dd ON s.doc_id = dd.doc_id
+           WHERE s.ke > s.ks),
+         cl AS (SELECT doc_id,
+             string_agg(frag, '' ORDER BY ks) AS cleaned
+           FROM frags GROUP BY doc_id)
+         SELECT m.doc_id, count(*) AS n_spans, sum(e - s) AS chars_cut,
+           length(coalesce(any_value(cl.cleaned), '')) AS clean_len,
+           md5(coalesce(any_value(cl.cleaned), '')) AS clean_md5
+         FROM merged m LEFT JOIN cl ON m.doc_id = cl.doc_id
+         GROUP BY m.doc_id""",
     // perplexity oracle: same counts, same smoothing, same round-8 libm
     // terms, same decimal accumulation
     "q154_lm_perplexity" ->

@@ -167,6 +167,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a === 0)
   }
 
+  test("exciseDuplicateSpans cuts exactly the shared span, keeps the rest") {
+    val shared = "0123456789" * 2           // 20-char window, stride 20
+    val docs = Seq(
+      (1L, "AAAA" + shared + "BBBB"),       // span at 4..24? windows at 0,20 only
+      (2L, shared + "CCCCCCCCCCCCCCCCCCCC"),
+      (3L, "totally unrelated text here!")
+    ).toDF("doc_id", "text")
+    // gram 20 stride 1: every shared 20-char window is flagged in docs 1+2
+    val out = graft.llm.Dedup.exciseDuplicateSpans(docs, "doc_id", "text",
+      gramLen = 20, stride = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    // doc 2's duplicate prefix excised; tail C's survive
+    assert(out(2L)._3 === "CCCCCCCCCCCCCCCCCCCC")
+    assert(out(2L)._1 === 1L && out(2L)._2 === 20L)
+    // doc 1 keeps its unique frame around the cut span
+    assert(out(1L)._3 === "AAAA" + "BBBB")
+    assert(!out.contains(3L))               // untouched doc absent
+  }
+
   test("bigram perplexity: formulaic docs score lower NLL than unique-token docs") {
     val common = Seq.fill(20)("the cat sat").mkString(" ")
     val docs = Seq(
