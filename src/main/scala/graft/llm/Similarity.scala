@@ -115,6 +115,23 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("cosine"))
   }
 
+  /** Multi-cell IVF probing (the recall/cost knob of a real IVF index):
+    * each probe scans its `nprobe` nearest cells instead of only the
+    * home cell. Corpus rows live in exactly ONE cell, so the candidate
+    * union needs no dedupe; cost is nprobe/cells of the corpus per
+    * probe. Returns (probeId, vec, cellId) rows — one per probed cell. */
+  def ivfProbeCells(probes: DataFrame, centroids: DataFrame, probeId: String,
+                    vec: String, cellId: String, cellVec: String,
+                    nprobe: Int): DataFrame = {
+    val scored = probes.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineFast(col(vec), col(cellVec)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("__sim").desc, col(cellId))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe)
+      .select(col(probeId), col(vec), col(cellId))
+  }
+
   /** IVF-style coarse index: centroid per cell (provided), assign corpus
     * rows to nearest centroid once, probe only the nearest `nprobe` cells. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,

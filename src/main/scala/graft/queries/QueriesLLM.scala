@@ -176,6 +176,29 @@ object QueriesLLM {
         .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
     }),
 
+    // IVF with nprobe=2: each probe scans its two nearest cells — the
+    // recall knob missing from q54c's single-cell probe; candidates stay
+    // disjoint (a corpus row lives in exactly one cell)
+    "q157_ivf_nprobe" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = Similarity.ivfAssign(corpus, centroids,
+        "vec_id", "embedding", "cell_id", "cell_vec").persist()
+      val probes = Similarity.ivfProbeCells(
+        corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("__pv")),
+        centroids, "probe_id", "__pv", "cell_id", "cell_vec", nprobe = 2)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(probes, "cell_id")
+        .withColumn("cosine",
+          Similarity.cosineFast(col("embedding"), col("__pv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
+    }),
+
     // vocabulary build: per-source token frequencies, top-10. The classic
     // wordcount shape at 100 TB: explode -> partial+final hash agg (map-
     // side combine absorbs the token skew), then a per-source top-k
@@ -594,6 +617,51 @@ object QueriesLLM {
              row_number() OVER (PARTITION BY d.probe_id
                ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
            FROM sc d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
+    // IVF nprobe=2 oracle: q54c's shape with the probe's two nearest
+    // cells feeding the candidate join
+    "q157_ivf_nprobe" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
+         ranked AS (
+           SELECT d.vec_id, d.cell_id,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+           FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+           JOIN norms nc ON d.cell_id = nc.vec_id),
+         assign AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+         pcells AS (SELECT vec_id AS probe_id, cell_id
+           FROM ranked WHERE vec_id < 5 AND rk <= 2),
+         cand AS (
+           SELECT p.probe_id, v.vec_id
+           FROM pcells p JOIN assign v ON v.cell_id = p.cell_id),
+         pd AS (
+           SELECT ca.probe_id, ca.vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(ve.embedding)),
+               i -> CAST(ve.embedding[i] AS DOUBLE) * CAST(pe.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM cand ca
+           JOIN embeddings ve ON ve.vec_id = ca.vec_id
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dt / (nv.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dt / (nv.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
     // IVF ANN oracle: same sequential-fold cosine for assignment (argmax

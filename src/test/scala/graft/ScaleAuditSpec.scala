@@ -32,6 +32,7 @@ class ScaleAuditSpec extends SparkSpec {
     "q35_expand_dims" -> "broadcast of a literal new-dim axis (3 rows)",
     "q54_cosine_topk" -> "explicit broadcast of the 5-probe side",
     "q54c_ivf_ann" -> "explicit broadcast of the 8-centroid side",
+    "q157_ivf_nprobe" -> "explicit broadcast of the 8-centroid side",
     "q78_cross" -> "3x3 literal axis product",
     "q89_spline_cubic" -> "probe grid cross user list, both driver-bounded",
     "q93_interp_pchip" -> "probe grid cross user list, both driver-bounded",
