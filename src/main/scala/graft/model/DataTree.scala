@@ -132,6 +132,51 @@ object DataTree {
     new DataTree(nodes.toMap)
   }
 
+  /** `DataTree.to_zarr` (ref `core/datatree_io.py` _datatree_to_zarr):
+    * write a tree to one hierarchical store — a group per node at its
+    * path (intermediate groups materialized so a walker finds the
+    * hierarchy), one array per data variable, coordinate vectors from the
+    * sorted distinct labels (driver-side 1-D, metadata scale; the data
+    * arrays go through the distributed chunk-box writer). `zarrFormat`
+    * 2 or 3. Chunks default to one chunk per dim. */
+  def writeZarr(tree: DataTree, root: String,
+                chunks: Map[String, Seq[Int]] = Map.empty,
+                zarrFormat: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.io.Zarr
+    require(tree.nodes.nonEmpty, "empty tree")
+    val spark = tree.nodes.head._2.spark
+    if (zarrFormat == 3) Zarr.initStoreV3(spark, root)
+    else Zarr.initStore(spark, root)
+    tree.nodes.foreach { case (path, ds) =>
+      // materialize intermediate groups ("/a/b" needs "/a" to be a group)
+      val parts = path.split("/").filter(_.nonEmpty)
+      (1 until parts.length).foreach { i =>
+        val g = root + "/" + parts.take(i).mkString("/")
+        if (zarrFormat == 3) Zarr.initStoreV3(spark, g)
+        else Zarr.initStore(spark, g)
+      }
+      val groupDir = if (path == "/") root else root + path
+      val dims = ds.meta.dims
+      val dimValues = dims.map { d =>
+        ds.df.select(col(d).cast("double")).distinct().orderBy(col(d))
+          .collect().map(_.getDouble(0))
+      }
+      val dimIntegral = dims.forall { d =>
+        ds.df.schema(d).dataType.typeName match {
+          case "long" | "integer" | "short" => true
+          case _ => false
+        }
+      }
+      ds.dataVars.foreach { v =>
+        Zarr.writeLongDF(ds.df, groupDir, v, dims, dimValues,
+          chunks = chunks.getOrElse(path, dimValues.map(_.length max 1)),
+          dimIntegral = dimIntegral, zarrFormat = zarrFormat)
+      }
+    }
+  }
+
   /** `open_datatree(store, engine="zarr")` (ref `backends/zarr.py`
     * open_datatree; group docs `datatree.py`): walk the zarr GROUP
     * hierarchy — v2 `.zgroup` directories or v3 group-node `zarr.json` —

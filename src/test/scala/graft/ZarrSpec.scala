@@ -299,6 +299,27 @@ class ZarrSpec extends SparkSpec {
     assert(za.contains("\"shape\":[5]"))
   }
 
+  test("DataTree.writeZarr roundtrips a nested tree through both formats") {
+    import spark.implicits._
+    import graft.model.{DataTree, XDataset}
+    def grid(off: Double) = (for (t <- 0 until 4; x <- 0 until 3)
+      yield (t.toLong, x.toLong, t * 10.0 + x + off)).toSeq
+      .toDF("t", "x", "v")
+    val tree = DataTree(
+      "/obs" -> XDataset(grid(0.0), Seq("t", "x")),
+      "/model/fcst" -> XDataset(grid(0.25), Seq("t", "x")))
+    for (fmt <- Seq(2, 3)) {
+      val root = Files.createTempDirectory(s"ztreew$fmt").toString
+      DataTree.writeZarr(tree, root, zarrFormat = fmt)
+      val back = DataTree.openZarr(spark, root)
+      assert(back.groups == Seq("/model/fcst", "/obs"))
+      val vals = back("/model/fcst").df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(vals == grid(0.25).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    }
+  }
+
   test("v3: parseMetaV3 rejects unsupported codecs and grids") {
     val badCodec = """{"zarr_format":3,"node_type":"array","shape":[2],
       "data_type":"float64","chunk_grid":{"name":"regular",
