@@ -40,12 +40,31 @@ object NetCDF {
   private val NC_DIMENSION = 10; private val NC_VARIABLE = 11
   private val NC_ATTRIBUTE = 12
 
+  /** `size == 0` marks the UNLIMITED (record) dimension — at most one,
+    * and record variables must lead with it (classic spec). */
   case class Dim(name: String, size: Int)
   /** Writer-side variable: values as doubles, encoded per `ncType`. */
   case class Var(name: String, dimIds: Seq[Int], ncType: Int, data: Array[Double])
   case class VarMeta(name: String, dimIds: Seq[Int], ncType: Int,
                      begin: Long, vsize: Long)
-  case class Header(version: Int, dims: Seq[Dim], vars: Seq[VarMeta])
+  case class Header(version: Int, numrecs: Long, dims: Seq[Dim],
+                    vars: Seq[VarMeta]) {
+    def recordDimId: Int = dims.indexWhere(_.size == 0)
+    def isRecord(v: VarMeta): Boolean =
+      v.dimIds.headOption.contains(recordDimId) && recordDimId >= 0
+    /** Effective size of a dim (record dim reads as numrecs). */
+    def dimSize(id: Int): Int =
+      if (id == recordDimId) numrecs.toInt else dims(id).size
+    /** Bytes per record across ALL record variables (the interleaved
+      * record-slab stride). Single record variable: unpadded per spec. */
+    def recSize: Long = {
+      val rv = vars.filter(isRecord)
+      if (rv.length == 1) {
+        val v = rv.head
+        v.dimIds.tail.map(dims(_).size.toLong).product * typeSize(v.ncType)
+      } else rv.map(_.vsize).sum
+    }
+  }
 
   private def typeSize(t: Int): Int = t match {
     case NC_BYTE | NC_CHAR | NC_UBYTE => 1
@@ -86,36 +105,73 @@ object NetCDF {
           nnSz.toLong * v.dimIds.length + 2L * nnSz + // dimids + vatt ABSENT
           4 + nnSz + offSz).sum // nc_type, vsize, begin
     }
-    def vsize(v: Var): Int = {
-      val n = v.dimIds.map(dims(_).size).product * typeSize(v.ncType)
-      n + pad4(n)
-    }
+    val recDimId = dims.indexWhere(_.size == 0)
+    require(dims.count(_.size == 0) <= 1, "at most one UNLIMITED dimension")
+    def isRec(v: Var): Boolean = recDimId >= 0 && v.dimIds.headOption.contains(recDimId)
+    val (recVars, fixVars) = vars.partition(isRec)
+    // record slab: product of the NON-record dims; numrecs inferred from
+    // the record variables' data lengths (must agree)
+    def slabElems(v: Var): Int = v.dimIds.tail.map(dims(_).size).product
+    val numrecs: Long =
+      if (recVars.isEmpty) 0L
+      else {
+        val ns = recVars.map(v => v.data.length.toLong / slabElems(v)).distinct
+        require(ns.length == 1, s"record vars disagree on numrecs: $ns")
+        ns.head
+      }
+    def vsize(v: Var): Int =
+      if (isRec(v)) {
+        val n = slabElems(v) * typeSize(v.ncType)
+        n + pad4(n)
+      } else {
+        val n = v.dimIds.map(dims(_).size).product * typeSize(v.ncType)
+        n + pad4(n)
+      }
+    // per-record stride: single record var is UNPADDED (classic spec note)
+    val recSize: Long =
+      if (recVars.length == 1) slabElems(recVars.head).toLong * typeSize(recVars.head.ncType)
+      else recVars.map(vsize(_).toLong).sum
     out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-    nn(0L) // numrecs
+    nn(numrecs)
     nn(NC_DIMENSION); nn(dims.length)
     dims.foreach { d => name(d.name); nn(d.size) }
     nn(0L); nn(0L) // no global attributes
     nn(NC_VARIABLE); nn(vars.length)
+    // layout: all fixed vars first, then the record section (vars keep
+    // their declared order inside each section)
+    val begins = scala.collection.mutable.Map.empty[String, Long]
     var begin = headerSize
+    fixVars.foreach { v => begins(v.name) = begin; begin += vsize(v) }
+    recVars.foreach { v => begins(v.name) = begin; begin += vsize(v) }
     vars.foreach { v =>
       name(v.name); nn(v.dimIds.length); v.dimIds.foreach(id => nn(id))
       nn(0L); nn(0L) // no variable attributes
-      i32(v.ncType); nn(vsize(v)); off(begin)
-      begin += vsize(v)
+      i32(v.ncType); nn(vsize(v)); off(begins(v.name))
     }
-    vars.foreach { v =>
+    def put(buf: ByteBuffer, t: Int, x: Double): Unit = t match {
+      case NC_BYTE | NC_CHAR | NC_UBYTE => buf.put(x.toByte)
+      case NC_SHORT | NC_USHORT => buf.putShort(x.toShort)
+      case NC_INT | NC_UINT => buf.putInt(x.toInt)
+      case NC_FLOAT => buf.putFloat(x.toFloat)
+      case NC_DOUBLE => buf.putDouble(x)
+      case NC_INT64 | NC_UINT64 => buf.putLong(x.toLong)
+    }
+    fixVars.foreach { v =>
       val buf = ByteBuffer.allocate(vsize(v))
-      v.data.foreach { x =>
-        v.ncType match {
-          case NC_BYTE | NC_CHAR | NC_UBYTE => buf.put(x.toByte)
-          case NC_SHORT | NC_USHORT => buf.putShort(x.toShort)
-          case NC_INT | NC_UINT => buf.putInt(x.toInt)
-          case NC_FLOAT => buf.putFloat(x.toFloat)
-          case NC_DOUBLE => buf.putDouble(x)
-          case NC_INT64 | NC_UINT64 => buf.putLong(x.toLong)
-        }
-      }
+      v.data.foreach(put(buf, v.ncType, _))
       out.write(buf.array())
+    }
+    // record section: records interleave all record vars' slabs
+    (0L until numrecs).foreach { r =>
+      recVars.foreach { v =>
+        val se = slabElems(v)
+        val slabBytes =
+          if (recVars.length == 1) se * typeSize(v.ncType)
+          else vsize(v)
+        val buf = ByteBuffer.allocate(slabBytes)
+        (0 until se).foreach(i => put(buf, v.ncType, v.data(r.toInt * se + i)))
+        out.write(buf.array())
+      }
     }
     Files.write(Paths.get(path), out.toByteArray)
   }
@@ -136,7 +192,7 @@ object NetCDF {
     // OFFSET: INT for CDF-1, INT64 for CDF-2/5
     def offset(): Long =
       if (version == 1) buf.getInt().toLong else buf.getLong()
-    nonNeg() // numrecs (record vars out of scope)
+    val numrecs = nonNeg()
     def name(): String = {
       val len = nonNeg().toInt
       val b = new Array[Byte](len); buf.get(b)
@@ -167,31 +223,46 @@ object NetCDF {
       val t = buf.getInt(); val vsize = nonNeg(); val begin = offset()
       VarMeta(vn, dimIds, t, begin, vsize)
     }
-    Header(version, dims, vars)
+    Header(version, numrecs, dims, vars)
   }
 
-  /** Decode one fixed-size variable's values as doubles, C (row-major)
-    * order along its dims. */
+  private def get1(buf: ByteBuffer, t: Int): Double = t match {
+    case NC_BYTE | NC_CHAR => buf.get().toDouble
+    case NC_UBYTE => (buf.get() & 0xff).toDouble
+    case NC_SHORT => buf.getShort().toDouble
+    case NC_USHORT => (buf.getShort() & 0xffff).toDouble
+    case NC_INT => buf.getInt().toDouble
+    case NC_UINT => (buf.getInt() & 0xffffffffL).toDouble
+    case NC_FLOAT => buf.getFloat().toDouble
+    case NC_DOUBLE => buf.getDouble()
+    case NC_INT64 | NC_UINT64 => buf.getLong().toDouble
+  }
+
+  /** Decode one variable's values as doubles, C (row-major) order along
+    * its dims. Record variables stride the interleaved record section:
+    * record r's slab sits at `begin + r * recSize`. */
   def readVar(bytes: Array[Byte], hdr: Header, varName: String): Array[Double] = {
     val v = hdr.vars.find(_.name == varName)
       .getOrElse(throw new NoSuchElementException(varName))
-    val n = v.dimIds.map(hdr.dims(_).size).product
-    require(v.begin <= Int.MaxValue - n.toLong * typeSize(v.ncType),
-      "in-memory decode is bounded by a 2 GiB byte array; " +
-        "larger CDF-2/5 files need the file-channel path")
-    val buf = ByteBuffer.wrap(bytes, v.begin.toInt, n * typeSize(v.ncType))
-    Array.tabulate(n) { _ =>
-      v.ncType match {
-        case NC_BYTE | NC_CHAR => buf.get().toDouble
-        case NC_UBYTE => (buf.get() & 0xff).toDouble
-        case NC_SHORT => buf.getShort().toDouble
-        case NC_USHORT => (buf.getShort() & 0xffff).toDouble
-        case NC_INT => buf.getInt().toDouble
-        case NC_UINT => (buf.getInt() & 0xffffffffL).toDouble
-        case NC_FLOAT => buf.getFloat().toDouble
-        case NC_DOUBLE => buf.getDouble()
-        case NC_INT64 | NC_UINT64 => buf.getLong().toDouble
+    if (hdr.isRecord(v)) {
+      val slab = v.dimIds.tail.map(hdr.dims(_).size).product
+      val rec = hdr.recSize
+      val out = new Array[Double](hdr.numrecs.toInt * slab)
+      (0 until hdr.numrecs.toInt).foreach { r =>
+        val pos = v.begin + r * rec
+        require(pos + slab.toLong * typeSize(v.ncType) <= bytes.length,
+          "record slab beyond file end")
+        val buf = ByteBuffer.wrap(bytes, pos.toInt, slab * typeSize(v.ncType))
+        (0 until slab).foreach(i => out(r * slab + i) = get1(buf, v.ncType))
       }
+      out
+    } else {
+      val n = v.dimIds.map(hdr.dims(_).size).product
+      require(v.begin <= Int.MaxValue - n.toLong * typeSize(v.ncType),
+        "in-memory decode is bounded by a 2 GiB byte array; " +
+          "larger CDF-2/5 files need the file-channel path")
+      val buf = ByteBuffer.wrap(bytes, v.begin.toInt, n * typeSize(v.ncType))
+      Array.fill(n)(get1(buf, v.ncType))
     }
   }
 
@@ -230,7 +301,7 @@ object NetCDF {
       val h = parseHeader(bytes)
       val vv = h.vars.find(_.name == varNameL).get
       val ds = vv.dimIds.map(h.dims(_))
-      val sizes = ds.map(_.size)
+      val sizes = vv.dimIds.map(h.dimSize) // record dim reads as numrecs
       val coords: Seq[Option[Array[Double]]] = ds.map { d =>
         h.vars.find(w => w.name == d.name &&
           w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))

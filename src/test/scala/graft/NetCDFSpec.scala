@@ -88,6 +88,53 @@ class NetCDFSpec extends SparkSpec {
     assert(readVar(b5, parseHeader(b5), "big").toSeq === Seq(1.0e15, -2.0e15, 3.0))
   }
 
+  test("UNLIMITED dimension: interleaved record vars roundtrip; fixed vars coexist") {
+    val dir = java.nio.file.Files.createTempDirectory("ncrec").toString
+    val p = s"$dir/rec.nc"
+    // time UNLIMITED (4 records), x fixed (3); temp(time,x) + cnt(time) +
+    // a fixed coord var x(x) — two record vars force the interleaved layout
+    NetCDF.write(p,
+      dims = Seq(Dim("time", 0), Dim("x", 3)),
+      vars = Seq(
+        Var("x", Seq(1), NC_INT, Array(10.0, 20.0, 30.0)),
+        Var("temp", Seq(0, 1), NC_DOUBLE,
+          Array.tabulate(12)(i => i * 1.5)),
+        Var("cnt", Seq(0), NC_INT, Array(5.0, 6.0, 7.0, 8.0))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hdr = parseHeader(bytes)
+    assert(hdr.numrecs === 4L)
+    assert(hdr.recordDimId === 0)
+    assert(hdr.isRecord(hdr.vars.find(_.name == "temp").get))
+    assert(!hdr.isRecord(hdr.vars.find(_.name == "x").get))
+    // record stride = temp slab (3*8 = 24) + cnt slab (4, already aligned)
+    assert(hdr.recSize === 28L)
+    assert(readVar(bytes, hdr, "temp").toSeq ==
+      (0 until 12).map(_ * 1.5))
+    assert(readVar(bytes, hdr, "cnt").toSeq == Seq(5.0, 6.0, 7.0, 8.0))
+    assert(readVar(bytes, hdr, "x").toSeq == Seq(10.0, 20.0, 30.0))
+    // distributed long-format read sees numrecs as the time size
+    val df = NetCDF.toLongDF(spark, dir, "temp")
+    assert(df.count() === 12)
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("time") === 3 && col("x") === 30)
+      .select("temp").collect().head.getDouble(0) === 16.5)
+  }
+
+  test("single record variable uses the unpadded record stride (spec note)") {
+    val dir = java.nio.file.Files.createTempDirectory("ncrec1").toString
+    val p = s"$dir/one.nc"
+    // one NC_SHORT record var, slab 3 shorts = 6 bytes: records must be
+    // packed at stride 6, NOT padded to 8
+    NetCDF.write(p,
+      dims = Seq(Dim("t", 0), Dim("x", 3)),
+      vars = Seq(Var("v", Seq(0, 1), NC_SHORT,
+        Array.tabulate(6)(_.toDouble))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hdr = parseHeader(bytes)
+    assert(hdr.numrecs === 2L && hdr.recSize === 6L)
+    assert(readVar(bytes, hdr, "v").toSeq == (0 until 6).map(_.toDouble))
+  }
+
   test("CDF-5 header parse carries a begin offset beyond 2 GiB") {
     // a >2 GiB file can't be written in a unit test; hand-patch the begin
     // field of a small CDF-5 header and assert the 64-bit path reads it —
