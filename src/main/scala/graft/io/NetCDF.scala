@@ -43,12 +43,30 @@ object NetCDF {
   /** `size == 0` marks the UNLIMITED (record) dimension — at most one,
     * and record variables must lead with it (classic spec). */
   case class Dim(name: String, size: Int)
+  /** Attribute: NC_CHAR carries `text`, numeric types carry `nums`. */
+  case class Att(name: String, ncType: Int,
+                 text: String = null, nums: Array[Double] = null) {
+    def nelems: Int = if (ncType == NC_CHAR) text.getBytes("UTF-8").length
+                      else nums.length
+    /** CF-consumable string form (what DatasetMeta.varAttrs stores). */
+    def asString: String =
+      if (ncType == NC_CHAR) text
+      else if (nums.length == 1) {
+        if (isIntegral(ncType)) nums(0).toLong.toString else nums(0).toString
+      } else nums.mkString(",")
+  }
+  object Att {
+    def str(name: String, v: String): Att = Att(name, NC_CHAR, text = v)
+    def dbl(name: String, v: Double): Att =
+      Att(name, NC_DOUBLE, nums = Array(v))
+  }
   /** Writer-side variable: values as doubles, encoded per `ncType`. */
-  case class Var(name: String, dimIds: Seq[Int], ncType: Int, data: Array[Double])
+  case class Var(name: String, dimIds: Seq[Int], ncType: Int,
+                 data: Array[Double], atts: Seq[Att] = Nil)
   case class VarMeta(name: String, dimIds: Seq[Int], ncType: Int,
-                     begin: Long, vsize: Long)
+                     begin: Long, vsize: Long, atts: Seq[Att] = Nil)
   case class Header(version: Int, numrecs: Long, dims: Seq[Dim],
-                    vars: Seq[VarMeta]) {
+                    vars: Seq[VarMeta], gatts: Seq[Att] = Nil) {
     def recordDimId: Int = dims.indexWhere(_.size == 0)
     def isRecord(v: VarMeta): Boolean =
       v.dimIds.headOption.contains(recordDimId) && recordDimId >= 0
@@ -80,7 +98,7 @@ object NetCDF {
   // ------------------------------------------------------------------
 
   def write(path: String, dims: Seq[Dim], vars: Seq[Var],
-            version: Int = 1): Unit = {
+            version: Int = 1, gatts: Seq[Att] = Nil): Unit = {
     require(version == 1 || version == 2 || version == 5,
       s"unsupported CDF version $version")
     val out = new ByteArrayOutputStream()
@@ -98,11 +116,15 @@ object NetCDF {
     }
     def headerSize: Long = {
       def nameSz(s: String): Long = nnSz + s.length + pad4(s.length)
+      def attsSz(atts: Seq[Att]): Long = 2L * nnSz + atts.map { a =>
+        val payload = a.nelems.toLong * typeSize(a.ncType)
+        nameSz(a.name) + 4L + nnSz + payload + pad4L(payload)
+      }.sum
       4L + nnSz + // magic + numrecs
         2L * nnSz + dims.map(d => nameSz(d.name) + nnSz).sum + // dim_list
-        2L * nnSz + // gatt ABSENT
+        attsSz(gatts) +
         2L * nnSz + vars.map(v => nameSz(v.name) + nnSz +
-          nnSz.toLong * v.dimIds.length + 2L * nnSz + // dimids + vatt ABSENT
+          nnSz.toLong * v.dimIds.length + attsSz(v.atts) +
           4 + nnSz + offSz).sum // nc_type, vsize, begin
     }
     val recDimId = dims.indexWhere(_.size == 0)
@@ -131,11 +153,36 @@ object NetCDF {
     val recSize: Long =
       if (recVars.length == 1) slabElems(recVars.head).toLong * typeSize(recVars.head.ncType)
       else recVars.map(vsize(_).toLong).sum
+    def put(buf: ByteBuffer, t: Int, x: Double): Unit = t match {
+      case NC_BYTE | NC_CHAR | NC_UBYTE => buf.put(x.toByte)
+      case NC_SHORT | NC_USHORT => buf.putShort(x.toShort)
+      case NC_INT | NC_UINT => buf.putInt(x.toInt)
+      case NC_FLOAT => buf.putFloat(x.toFloat)
+      case NC_DOUBLE => buf.putDouble(x)
+      case NC_INT64 | NC_UINT64 => buf.putLong(x.toLong)
+    }
+    def attList(atts: Seq[Att]): Unit =
+      if (atts.isEmpty) { nn(0L); nn(0L) }
+      else {
+        nn(NC_ATTRIBUTE); nn(atts.length)
+        atts.foreach { a =>
+          name(a.name); i32(a.ncType); nn(a.nelems)
+          if (a.ncType == NC_CHAR) {
+            val b = a.text.getBytes("UTF-8")
+            out.write(b); out.write(new Array[Byte](pad4(b.length)))
+          } else {
+            val sz = a.nelems * typeSize(a.ncType)
+            val buf = ByteBuffer.allocate(sz + pad4(sz))
+            a.nums.foreach(put(buf, a.ncType, _))
+            out.write(buf.array())
+          }
+        }
+      }
     out.write(Array[Byte]('C', 'D', 'F', version.toByte))
     nn(numrecs)
     nn(NC_DIMENSION); nn(dims.length)
     dims.foreach { d => name(d.name); nn(d.size) }
-    nn(0L); nn(0L) // no global attributes
+    attList(gatts)
     nn(NC_VARIABLE); nn(vars.length)
     // layout: all fixed vars first, then the record section (vars keep
     // their declared order inside each section)
@@ -145,16 +192,8 @@ object NetCDF {
     recVars.foreach { v => begins(v.name) = begin; begin += vsize(v) }
     vars.foreach { v =>
       name(v.name); nn(v.dimIds.length); v.dimIds.foreach(id => nn(id))
-      nn(0L); nn(0L) // no variable attributes
+      attList(v.atts)
       i32(v.ncType); nn(vsize(v)); off(begins(v.name))
-    }
-    def put(buf: ByteBuffer, t: Int, x: Double): Unit = t match {
-      case NC_BYTE | NC_CHAR | NC_UBYTE => buf.put(x.toByte)
-      case NC_SHORT | NC_USHORT => buf.putShort(x.toShort)
-      case NC_INT | NC_UINT => buf.putInt(x.toInt)
-      case NC_FLOAT => buf.putFloat(x.toFloat)
-      case NC_DOUBLE => buf.putDouble(x)
-      case NC_INT64 | NC_UINT64 => buf.putLong(x.toLong)
     }
     fixVars.foreach { v =>
       val buf = ByteBuffer.allocate(vsize(v))
@@ -199,31 +238,39 @@ object NetCDF {
       buf.position(buf.position() + pad4(len))
       new String(b, "UTF-8")
     }
-    def skipAtts(): Unit = {
+    def readAtts(): Seq[Att] = {
       val tag = nonNeg().toInt; val n = nonNeg().toInt
       require(tag == NC_ATTRIBUTE || (tag == 0 && n == 0), "bad att_list")
-      (0 until n).foreach { _ =>
-        name()
-        val t = buf.getInt(); val nelems = nonNeg()
-        val sz = nelems * typeSize(t)
-        buf.position(buf.position() + (sz + pad4L(sz)).toInt)
+      (0 until n).map { _ =>
+        val an = name()
+        val t = buf.getInt(); val nelems = nonNeg().toInt
+        if (t == NC_CHAR) {
+          val b = new Array[Byte](nelems); buf.get(b)
+          buf.position(buf.position() + pad4(nelems))
+          Att(an, t, text = new String(b, "UTF-8"))
+        } else {
+          val nums = Array.fill(nelems)(get1(buf, t))
+          val sz = nelems.toLong * typeSize(t)
+          buf.position(buf.position() + pad4L(sz).toInt)
+          Att(an, t, nums = nums)
+        }
       }
     }
     val dimTag = nonNeg().toInt; val ndims = nonNeg().toInt
     require(dimTag == NC_DIMENSION || (dimTag == 0 && ndims == 0), "bad dim_list")
     val dims = (0 until ndims).map(_ => Dim(name(), nonNeg().toInt))
-    skipAtts() // global attributes
+    val gatts = readAtts() // global attributes
     val varTag = nonNeg().toInt; val nvars = nonNeg().toInt
     require(varTag == NC_VARIABLE || (varTag == 0 && nvars == 0), "bad var_list")
     val vars = (0 until nvars).map { _ =>
       val vn = name()
       val nd = nonNeg().toInt
       val dimIds = (0 until nd).map(_ => nonNeg().toInt)
-      skipAtts()
+      val atts = readAtts()
       val t = buf.getInt(); val vsize = nonNeg(); val begin = offset()
-      VarMeta(vn, dimIds, t, begin, vsize)
+      VarMeta(vn, dimIds, t, begin, vsize, atts)
     }
-    Header(version, numrecs, dims, vars)
+    Header(version, numrecs, dims, vars, gatts)
   }
 
   private def get1(buf: ByteBuffer, t: Int): Double = t match {
@@ -323,6 +370,29 @@ object NetCDF {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** `open_dataset(decode_cf=True)` over a directory of .nc files: the
+    * long-format read plus the attr-driven CF coders — _FillValue /
+    * missing_value masking and scale_factor/add_offset unpacking come
+    * straight from the header's variable attributes (the packed-integer
+    * convention real .nc archives use). */
+  def openDecoded(spark: SparkSession, dir: String,
+                  varName: String): graft.model.XDataset = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+    require(files.nonEmpty, s"no .nc files under $dir")
+    val hdr = parseHeader(Files.readAllBytes(files.head.toPath))
+    val v = hdr.vars.find(_.name == varName)
+      .getOrElse(throw new NoSuchElementException(varName))
+    val dims = v.dimIds.map(hdr.dims(_).name)
+    val varAttrs = hdr.vars
+      .map(w => w.name -> w.atts.map(a => a.name -> a.asString).toMap)
+      .filter(_._2.nonEmpty).toMap
+    val meta = graft.model.DatasetMeta(dims, varAttrs = varAttrs,
+      attrs = hdr.gatts.map(a => a.name -> a.asString).toMap)
+    CFDecode.decodeDataset(
+      new graft.model.XDataset(toLongDF(spark, dir, varName), meta))
   }
 
   /** The converter tool: every .nc under `inDir` decoded distributedly

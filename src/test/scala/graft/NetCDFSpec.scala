@@ -135,6 +135,38 @@ class NetCDFSpec extends SparkSpec {
     assert(readVar(bytes, hdr, "v").toSeq == (0 until 6).map(_.toDouble))
   }
 
+  test("attributes roundtrip and drive the CF decode (packed shorts -> doubles)") {
+    val dir = java.nio.file.Files.createTempDirectory("ncatt").toString
+    val p = s"$dir/packed.nc"
+    // classic packed-data convention: shorts + scale/offset, -999 fill
+    NetCDF.write(p,
+      dims = Seq(Dim("x", 4)),
+      vars = Seq(Var("t", Seq(0), NC_SHORT,
+        Array(100.0, 200.0, -999.0, 400.0),
+        atts = Seq(Att.dbl("scale_factor", 0.1), Att.dbl("add_offset", 5.0),
+          Att("note", NC_CHAR, text = "non-CF attr passes through"),
+          Att("_FillValue", NC_SHORT, nums = Array(-999.0)),
+          Att.str("units", "degC")))),
+      gatts = Seq(Att.str("title", "packed fixture")))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hdr = parseHeader(bytes)
+    assert(hdr.gatts.map(a => a.name -> a.asString) ==
+      Seq("title" -> "packed fixture"))
+    val atts = hdr.vars.head.atts.map(a => a.name -> a.asString).toMap
+    assert(atts("scale_factor") == "0.1" && atts("units") == "degC" &&
+      atts("_FillValue") == "-999")
+    // raw values survive the attribute lists (begin offsets include them)
+    assert(readVar(bytes, hdr, "t").toSeq ==
+      Seq(100.0, 200.0, -999.0, 400.0))
+    // CF-decoded open: mask + scale/offset applied from the header attrs
+    val ds = NetCDF.openDecoded(spark, dir, "t")
+    val vals = ds.df.orderBy("x").select("t")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(vals(0).contains(15.0) && vals(1).contains(25.0))
+    assert(vals(2).isEmpty) // fill -> NULL
+    assert(vals(3).contains(45.0))
+  }
+
   test("CDF-5 header parse carries a begin offset beyond 2 GiB") {
     // a >2 GiB file can't be written in a unit test; hand-patch the begin
     // field of a small CDF-5 header and assert the 64-bit path reads it —
