@@ -48,12 +48,15 @@ object NetCDF {
                  text: String = null, nums: Array[Double] = null) {
     def nelems: Int = if (ncType == NC_CHAR) text.getBytes("UTF-8").length
                       else nums.length
-    /** CF-consumable string form (what DatasetMeta.varAttrs stores). */
+    /** CF-consumable string form (what DatasetMeta.varAttrs stores);
+      * integral types format per ELEMENT so multi-valued attrs match. */
     def asString: String =
       if (ncType == NC_CHAR) text
-      else if (nums.length == 1) {
-        if (isIntegral(ncType)) nums(0).toLong.toString else nums(0).toString
-      } else nums.mkString(",")
+      else {
+        def fmt(d: Double): String =
+          if (isIntegral(ncType)) d.toLong.toString else d.toString
+        nums.map(fmt).mkString(",")
+      }
   }
   object Att {
     def str(name: String, v: String): Att = Att(name, NC_CHAR, text = v)
@@ -115,7 +118,12 @@ object NetCDF {
       nn(b.length); out.write(b); out.write(new Array[Byte](pad4(b.length)))
     }
     def headerSize: Long = {
-      def nameSz(s: String): Long = nnSz + s.length + pad4(s.length)
+      // sized in UTF-8 BYTES to match what name() actually emits — char
+      // count would shift every begin offset on non-ASCII names
+      def nameSz(s: String): Long = {
+        val b = s.getBytes("UTF-8").length
+        nnSz + b + pad4(b)
+      }
       def attsSz(atts: Seq[Att]): Long = 2L * nnSz + atts.map { a =>
         val payload = a.nelems.toLong * typeSize(a.ncType)
         nameSz(a.name) + 4L + nnSz + payload + pad4L(payload)
@@ -129,14 +137,23 @@ object NetCDF {
     }
     val recDimId = dims.indexWhere(_.size == 0)
     require(dims.count(_.size == 0) <= 1, "at most one UNLIMITED dimension")
+    // classic spec: the record dim may only appear as a variable's FIRST
+    // dim — a non-leading reference would silently shape a 0-size slab
+    vars.foreach(v => require(
+      recDimId < 0 || !v.dimIds.tail.contains(recDimId),
+      s"${v.name}: the UNLIMITED dim must be the leading dimension"))
     def isRec(v: Var): Boolean = recDimId >= 0 && v.dimIds.headOption.contains(recDimId)
     val (recVars, fixVars) = vars.partition(isRec)
     // record slab: product of the NON-record dims; numrecs inferred from
-    // the record variables' data lengths (must agree)
+    // the record variables' data lengths (must agree AND divide exactly —
+    // floor division would silently truncate a partial record)
     def slabElems(v: Var): Int = v.dimIds.tail.map(dims(_).size).product
     val numrecs: Long =
       if (recVars.isEmpty) 0L
       else {
+        recVars.foreach(v => require(v.data.length % slabElems(v) == 0,
+          s"${v.name}: data length ${v.data.length} is not a whole number " +
+            s"of ${slabElems(v)}-element records"))
         val ns = recVars.map(v => v.data.length.toLong / slabElems(v)).distinct
         require(ns.length == 1, s"record vars disagree on numrecs: $ns")
         ns.head
@@ -354,8 +371,13 @@ object NetCDF {
           w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
           .map(_ => readVar(bytes, h, d.name))
       }
+      // SAME coordinate-variable criterion as the driver-side schema
+      // (name match alone could hit a non-coord var of that name and
+      // disagree with the schema's dtype)
       val coordTypes = ds.map { d =>
-        h.vars.find(_.name == d.name).map(_.ncType).getOrElse(NC_INT)
+        h.vars.find(w => w.name == d.name &&
+          w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
+          .map(_.ncType).getOrElse(NC_INT)
       }
       val data = readVar(bytes, h, varNameL)
       val strides = sizes.scanRight(1)(_ * _).tail

@@ -527,13 +527,20 @@ object Zarr {
     * must share the same `_ARRAY_DIMENSIONS` tuple (the reference
     * broadcasts mismatched dims; out of scope here). Outer join, so a
     * var's missing chunks surface as NULLs rather than dropping cells. */
-  def openDataset(spark: SparkSession, store: String): DataFrame = {
-    val names = listArrays(spark, store)
-    val metas = names.map(n => n -> openMetaAny(spark, store, n))
+  /** The store's DATA variables (arrays that are not 1-D coord vectors
+    * named after their own dim) with parsed metadata — the shared
+    * classification for dataset- and tree-level opens. */
+  def dataVarsOf(spark: SparkSession, store: String): Seq[(String, ArrayMeta)] = {
+    val metas = listArrays(spark, store)
+      .map(n => n -> openMetaAny(spark, store, n))
     val coordNames = metas.collect {
       case (n, m) if m.dims == Seq(n) => n
     }.toSet
-    val dataVars = metas.filterNot { case (n, _) => coordNames(n) }
+    metas.filterNot { case (n, _) => coordNames(n) }
+  }
+
+  def openDataset(spark: SparkSession, store: String): DataFrame = {
+    val dataVars = dataVarsOf(spark, store)
     require(dataVars.nonEmpty, s"no data variables in $store")
     val dims = dataVars.head._2.dims
     require(dataVars.forall(_._2.dims == dims),
@@ -781,7 +788,8 @@ object Zarr {
                   fillValue: Double = Double.NaN,
                   dimIntegral: Boolean = true,
                   region: Boolean = false,
-                  zarrFormat: Int = 2): Unit = {
+                  zarrFormat: Int = 2,
+                  writeCoords: Boolean = true): Unit = {
     val spark = df.sparkSession
     val shape = dimValues.map(_.length)
     val isV3 = zarrFormat == 3
@@ -792,13 +800,17 @@ object Zarr {
     val m = ArrayMeta(shape, chunks, '<', kind, size, comp, fillValue,
       if (isV3) "/" else ".", dims, Map.empty, v3 = isV3)
     if (!region) {
-      if (isV3) initStoreV3(spark, store) else initStore(spark, store)
-      // coordinate vectors: driver-side 1-D arrays (metadata-scale)
-      dims.zip(dimValues).foreach { case (d, vs) =>
-        val cm = ArrayMeta(Seq(vs.length), Seq(vs.length max 1), '<',
-          if (dimIntegral) 'i' else 'f', 8, None, 0.0, m.separator, Seq(d),
-          Map.empty, v3 = isV3)
-        writeArray(spark, store, d, cm, vs)
+      // writeCoords=false: an additional variable of an already-initialised
+      // store — skip the store/coord rewrite, still write THIS var's meta
+      if (writeCoords) {
+        if (isV3) initStoreV3(spark, store) else initStore(spark, store)
+        // coordinate vectors: driver-side 1-D arrays (metadata-scale)
+        dims.zip(dimValues).foreach { case (d, vs) =>
+          val cm = ArrayMeta(Seq(vs.length), Seq(vs.length max 1), '<',
+            if (dimIntegral) 'i' else 'f', 8, None, 0.0, m.separator, Seq(d),
+            Map.empty, v3 = isV3)
+          writeArray(spark, store, d, cm, vs)
+        }
       }
       val fs = fsFor(store, spark)
       fs.mkdirs(new Path(store, varName))

@@ -142,7 +142,6 @@ object DataTree {
   def writeZarr(tree: DataTree, root: String,
                 chunks: Map[String, Seq[Int]] = Map.empty,
                 zarrFormat: Int = 2): Unit = {
-    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     import graft.io.Zarr
     require(tree.nodes.nonEmpty, "empty tree")
@@ -159,6 +158,8 @@ object DataTree {
       }
       val groupDir = if (path == "/") root else root + path
       val dims = ds.meta.dims
+      // one coord-collect per dim per node; coords write with the FIRST
+      // variable only (writeCoords=false for the rest)
       val dimValues = dims.map { d =>
         ds.df.select(col(d).cast("double")).distinct().orderBy(col(d))
           .collect().map(_.getDouble(0))
@@ -169,10 +170,11 @@ object DataTree {
           case _ => false
         }
       }
-      ds.dataVars.foreach { v =>
+      ds.dataVars.zipWithIndex.foreach { case (v, i) =>
         Zarr.writeLongDF(ds.df, groupDir, v, dims, dimValues,
           chunks = chunks.getOrElse(path, dimValues.map(_.length max 1)),
-          dimIntegral = dimIntegral, zarrFormat = zarrFormat)
+          dimIntegral = dimIntegral, zarrFormat = zarrFormat,
+          writeCoords = i == 0)
       }
     }
   }
@@ -206,12 +208,7 @@ object DataTree {
       p +: fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(isGroup).flatMap(walk)
     val nodes = walk(rootP).flatMap { p =>
-      val names = Zarr.listArrays(spark, p.toString)
-      val metas = names.map(n => n -> Zarr.openMetaAny(spark, p.toString, n))
-      val coordNames = metas.collect {
-        case (n, m) if m.dims == Seq(n) => n
-      }.toSet
-      val dataVars = metas.filterNot { case (n, _) => coordNames(n) }
+      val dataVars = Zarr.dataVarsOf(spark, p.toString)
       if (dataVars.isEmpty) None
       else {
         val rel = p.toString.stripPrefix(rootP.toString)

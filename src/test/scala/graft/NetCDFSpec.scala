@@ -167,6 +167,36 @@ class NetCDFSpec extends SparkSpec {
     assert(vals(3).contains(45.0))
   }
 
+  test("writer rejects malformed record usage; UTF-8 names size correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("ncguard").toString
+    // non-leading UNLIMITED dim would silently shape a 0-size slab
+    val e1 = intercept[IllegalArgumentException] {
+      NetCDF.write(s"$dir/bad1.nc",
+        dims = Seq(Dim("t", 0), Dim("x", 2)),
+        vars = Seq(Var("v", Seq(1, 0), NC_DOUBLE, Array.fill(4)(1.0))))
+    }
+    assert(e1.getMessage.contains("leading"))
+    // a partial trailing record would be silently truncated
+    val e2 = intercept[IllegalArgumentException] {
+      NetCDF.write(s"$dir/bad2.nc",
+        dims = Seq(Dim("t", 0), Dim("x", 3)),
+        vars = Seq(Var("v", Seq(0, 1), NC_DOUBLE, Array.fill(11)(1.0))))
+    }
+    assert(e2.getMessage.contains("whole number"))
+    // non-ASCII names: header size must count UTF-8 bytes, not chars —
+    // a mismatch shifts every begin offset
+    val p = s"$dir/utf8.nc"
+    NetCDF.write(p, dims = Seq(Dim("département", 3)),
+      vars = Seq(Var("température", Seq(0), NC_DOUBLE,
+        Array(1.5, 2.5, 3.5),
+        atts = Seq(Att.str("unités", "°C")))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hdr = parseHeader(bytes)
+    assert(hdr.dims.head.name == "département")
+    assert(hdr.vars.head.atts.head.asString == "°C")
+    assert(readVar(bytes, hdr, "température").toSeq == Seq(1.5, 2.5, 3.5))
+  }
+
   test("CDF-5 header parse carries a begin offset beyond 2 GiB") {
     // a >2 GiB file can't be written in a unit test; hand-patch the begin
     // field of a small CDF-5 header and assert the 64-bit path reads it —

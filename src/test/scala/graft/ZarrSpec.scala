@@ -307,16 +307,24 @@ class ZarrSpec extends SparkSpec {
       .toDF("t", "x", "v")
     val tree = DataTree(
       "/obs" -> XDataset(grid(0.0), Seq("t", "x")),
-      "/model/fcst" -> XDataset(grid(0.25), Seq("t", "x")))
+      // two data vars: the second writes with writeCoords=false
+      "/model/fcst" -> XDataset(
+        grid(0.25).withColumn("v2", org.apache.spark.sql.functions.col("v") * 2),
+        Seq("t", "x")))
     for (fmt <- Seq(2, 3)) {
       val root = Files.createTempDirectory(s"ztreew$fmt").toString
       DataTree.writeZarr(tree, root, zarrFormat = fmt)
       val back = DataTree.openZarr(spark, root)
       assert(back.groups == Seq("/model/fcst", "/obs"))
-      val vals = back("/model/fcst").df
+      val node = back("/model/fcst").df
+      val vals = node.select("t", "x", "v")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(vals == grid(0.25).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+      // the writeCoords=false variable came back too, joined on the dims
+      import org.apache.spark.sql.functions.col
+      assert(node.filter(col("v2") =!= col("v") * 2).count() == 0)
+      assert(node.columns.toSet == Set("t", "x", "v", "v2"))
     }
   }
 
