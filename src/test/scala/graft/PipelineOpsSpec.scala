@@ -91,6 +91,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("degenerate inputs: empty frames and k > n never throw") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("s", StringType), StructField("n", LongType))))
+    assert(Sampling.stratifiedSample(emptyDocs, "id", "s",
+      Map("a" -> 5000)).count() === 0)
+    assert(Sampling.exactStratifiedSample(emptyDocs, "id", "s", 5)
+      .count() === 0)
+    assert(Sampling.mixSources(emptyDocs, "id", "s",
+      Map("a" -> 25000)).count() === 0)
+    assert(Packing.packSequences(emptyDocs, "id", col("n"), 128)
+      .count() === 0)
+    assert(Packing.packSequencesPadded(emptyDocs, "id", col("n"), 128,
+      lit(0)).count() === 0)
+    // k-means with fewer vectors than k: surviving centroids only
+    val tiny = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val km = Cluster.kmeans(tiny, "id", "v", k = 5, iters = 2)
+    assert(km.count() === 2)
+    assert(km.select("cluster").as[Int].collect().toSet.subsetOf(Set(0, 1)))
+    // excision with no duplicates: empty result
+    val uniq = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789abcd"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.exciseDuplicateSpans(uniq, "doc_id", "text",
+      gramLen = 20, stride = 5).count() === 0)
+  }
+
   test("connectedComponents on an empty pair set returns empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.llm.Dedup.connectedComponents(empty, "id_a", "id_b")
