@@ -80,14 +80,52 @@ object Numerics {
   def polyval(x: Column, coeffs: Seq[Double]): Column =
     coeffs.reverse.tail.foldLeft(lit(coeffs.last): Column)((acc, c) => acc * x + lit(c))
 
-  /** differentiate: 2nd-order central differences with one-sided edges
-    * (ref `dataset.py:8475`; kernel `duck_array_ops.gradient`). */
-  def differentiate(v: Column, t: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
-    val vNext = coalesce(lead(v, 1).over(w), v)
-    val vPrev = coalesce(lag(v, 1).over(w), v)
-    val tNext = coalesce(lead(t, 1).over(w), t)
-    val tPrev = coalesce(lag(t, 1).over(w), t)
-    (vNext - vPrev) / (tNext - tPrev)
+  /** differentiate (ref `dataset.py:8475`; kernel `duck_array_ops.gradient`
+    * = numpy.gradient): second-order accurate on NON-uniform spacing via
+    * the weighted three-point stencil
+    * `f'_i = a·f_{i-1} + b·f_i + c·f_{i+1}` with
+    * `a = -h_d/(h_s(h_s+h_d))`, `b = (h_d-h_s)/(h_s·h_d)`,
+    * `c = h_s/(h_d(h_s+h_d))` (h_s/h_d the left/right gaps) — the naive
+    * `(f_{i+1}-f_{i-1})/(t_{i+1}-t_{i-1})` is only second-order when the
+    * gaps are equal. Edges: `edgeOrder` 1 = one-sided difference (numpy's
+    * default), 2 = three-point one-sided stencil; a series too short for
+    * the order falls back to the lower one. */
+  def differentiate(v: Column, t: Column,
+                    w: org.apache.spark.sql.expressions.WindowSpec,
+                    edgeOrder: Int = 1): Column = {
+    require(edgeOrder == 1 || edgeOrder == 2, s"edgeOrder $edgeOrder")
+    val vN = lead(v, 1).over(w); val vP = lag(v, 1).over(w)
+    val tN = lead(t, 1).over(w); val tP = lag(t, 1).over(w)
+    val hs = t - tP; val hd = tN - t
+    val interior =
+      (-hd / (hs * (hs + hd))) * vP +
+        ((hd - hs) / (hs * hd)) * v +
+        (hs / (hd * (hs + hd))) * vN
+    val first1 = (vN - v) / (tN - t)
+    val last1 = (v - vP) / (t - tP)
+    val (first, last) =
+      if (edgeOrder == 1) (first1, last1)
+      else {
+        val vN2 = lead(v, 2).over(w); val tN2 = lead(t, 2).over(w)
+        val vP2 = lag(v, 2).over(w); val tP2 = lag(t, 2).over(w)
+        val f2 = { // h1 = first gap, h2 = second gap
+          val h1 = tN - t; val h2 = tN2 - tN
+          (-(lit(2) * h1 + h2) / (h1 * (h1 + h2))) * v +
+            ((h1 + h2) / (h1 * h2)) * vN -
+            (h1 / (h2 * (h1 + h2))) * vN2
+        }
+        val l2 = { // h1 = last gap, h2 = the one before it
+          val h1 = t - tP; val h2 = tP - tP2
+          ((lit(2) * h1 + h2) / (h1 * (h1 + h2))) * v -
+            ((h1 + h2) / (h1 * h2)) * vP +
+            (h1 / (h2 * (h1 + h2))) * vP2
+        }
+        (coalesce(f2, first1), coalesce(l2, last1))
+      }
+    when(vP.isNull && vN.isNull, lit(null).cast("double"))
+      .when(vP.isNull, first)
+      .when(vN.isNull, last)
+      .otherwise(interior)
   }
 
   /** trapezoidal integration along the coord (ref `dataset.py:8545`;

@@ -44,14 +44,26 @@ object QueriesNumerics {
           wgt), 4).as("wintercept"))
     }),
 
-    // differentiate: central differences w.r.t. the time coord
-    // (ref `dataset.py:8475`)
+    // differentiate: numpy.gradient's weighted nonuniform stencil w.r.t.
+    // the (irregular) time coord (ref `dataset.py:8475`)
     "q43_differentiate" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
         .withColumn("t_us", unix_micros(col("ts")))
         .withColumn("dvdt",
           Numerics.differentiate(col("value"), col("t_us").cast("double") / 1e6, w))
+        .select("event_id", "user_id", "dvdt")
+    }),
+
+    // differentiate with edge_order=2: three-point one-sided boundary
+    // stencils (numpy.gradient's other edge mode)
+    "q43b_differentiate_edge2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("dvdt",
+          Numerics.differentiate(col("value"), col("t_us").cast("double") / 1e6,
+            w, edgeOrder = 2))
         .select("event_id", "user_id", "dvdt")
     }),
 
@@ -305,12 +317,49 @@ object QueriesNumerics {
            CAST(sum(CAST((l_discount + 0.01) * l_quantity * l_quantity
              AS DECIMAL(38,6))) AS DOUBLE) AS swxx
            FROM lineitem GROUP BY 1)""",
+    // nonuniform three-point stencil, replayed term for term
     "q43_differentiate" ->
-      """SELECT event_id, user_id,
-         (coalesce(lead(value) OVER w, value) - coalesce(lag(value) OVER w, value)) /
-         (coalesce(lead(t) OVER w, t) - coalesce(lag(t) OVER w, t)) AS dvdt
+      """WITH l AS (SELECT event_id, user_id, value AS v, t,
+           lag(value) OVER w AS vp, lead(value) OVER w AS vn,
+           lag(t) OVER w AS tp, lead(t) OVER w AS tn
          FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id,
+           CASE WHEN vp IS NULL AND vn IS NULL THEN NULL
+                WHEN vp IS NULL THEN (vn - v) / (tn - t)
+                WHEN vn IS NULL THEN (v - vp) / (t - tp)
+                ELSE (-(tn - t) / ((t - tp) * ((t - tp) + (tn - t)))) * vp
+                   + (((tn - t) - (t - tp)) / ((t - tp) * (tn - t))) * v
+                   + ((t - tp) / ((tn - t) * ((t - tp) + (tn - t)))) * vn
+           END AS dvdt
+         FROM l""",
+    "q43b_differentiate_edge2" ->
+      """WITH l AS (SELECT event_id, user_id, value AS v, t,
+           lag(value) OVER w AS vp, lead(value) OVER w AS vn,
+           lag(t) OVER w AS tp, lead(t) OVER w AS tn,
+           lag(value, 2) OVER w AS vp2, lead(value, 2) OVER w AS vn2,
+           lag(t, 2) OVER w AS tp2, lead(t, 2) OVER w AS tn2
+         FROM (SELECT *, CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id,
+           CASE WHEN vp IS NULL AND vn IS NULL THEN NULL
+                WHEN vp IS NULL THEN coalesce(
+                  (-(2 * (tn - t) + (tn2 - tn)) /
+                     ((tn - t) * ((tn - t) + (tn2 - tn)))) * v
+                  + (((tn - t) + (tn2 - tn)) / ((tn - t) * (tn2 - tn))) * vn
+                  - ((tn - t) / ((tn2 - tn) * ((tn - t) + (tn2 - tn)))) * vn2,
+                  (vn - v) / (tn - t))
+                WHEN vn IS NULL THEN coalesce(
+                  ((2 * (t - tp) + (tp - tp2)) /
+                     ((t - tp) * ((t - tp) + (tp - tp2)))) * v
+                  - (((t - tp) + (tp - tp2)) / ((t - tp) * (tp - tp2))) * vp
+                  + ((t - tp) / ((tp - tp2) * ((t - tp) + (tp - tp2)))) * vp2,
+                  (v - vp) / (t - tp))
+                ELSE (-(tn - t) / ((t - tp) * ((t - tp) + (tn - t)))) * vp
+                   + (((tn - t) - (t - tp)) / ((t - tp) * (tn - t))) * v
+                   + ((t - tp) / ((tn - t) * ((t - tp) + (tn - t)))) * vn
+           END AS dvdt
+         FROM l""",
     "q44_integrate" ->
       """SELECT user_id,
          CAST(sum(CAST(term AS DECIMAL(38,4))) AS DOUBLE) AS auc

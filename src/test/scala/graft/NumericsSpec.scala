@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.numerics.{Curvefit, Spline}
+import graft.numerics.{Curvefit, Numerics, Spline}
 
 /** Per-group iterative numerics: LM curvefit recovers known parameters;
   * natural cubic spline matches the tridiagonal reference solution. */
@@ -104,5 +104,30 @@ class NumericsSpec extends SparkSpec {
     Numerics.interpMakima(flat, Seq((1L, 1.5)).toDF("g", "t"),
       Seq("g"), "t", "v").collect().foreach { r =>
       assert(r.getDouble(2) === 7.0) }  // f12=0 branch: slope 0, constant
+  }
+
+  test("differentiate matches numpy.gradient: exact for quadratics on nonuniform grids") {
+    import org.apache.spark.sql.expressions.Window
+    // f(x) = x^2 on x = [0, 1, 3, 4]: gradient 2x, EXACT under the
+    // second-order stencils (interior everywhere; edge_order=2 edges too)
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (3.0, 9.0), (4.0, 16.0))
+      .toDF("x", "f")
+    val w = Window.orderBy("x")
+    val e1 = df.withColumn("d", Numerics.differentiate(col("f"), col("x"), w))
+      .orderBy("x").select("d").as[Double].collect()
+    // interior points 2x (to fp rounding) even with gaps 1/2/1
+    assert(math.abs(e1(1) - 2.0) < 1e-12 && math.abs(e1(2) - 6.0) < 1e-12)
+    assert(e1(0) === 1.0 && e1(3) === 7.0) // one-sided first differences
+    val e2 = df.withColumn("d",
+      Numerics.differentiate(col("f"), col("x"), w, edgeOrder = 2))
+      .orderBy("x").select("d").as[Double].collect()
+    e2.zip(Seq(0.0, 2.0, 6.0, 8.0)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w") } // 2x everywhere
+    // two-point series: edge_order=2 falls back to the first difference
+    val two = Seq((0.0, 0.0), (2.0, 4.0)).toDF("x", "f")
+    val d2 = two.withColumn("d",
+      Numerics.differentiate(col("f"), col("x"), w, edgeOrder = 2))
+      .select("d").as[Double].collect()
+    assert(d2.toSeq === Seq(2.0, 2.0))
   }
 }
