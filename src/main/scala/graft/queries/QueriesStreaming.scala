@@ -54,6 +54,31 @@ object QueriesStreaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // streaming curation pipeline: quality-gate + exact-dedup keep-first
+    // over a DOCUMENT stream — the scan-stage curation ops (token gate,
+    // content key) run per micro-batch; dedup state is watermark-bounded
+    // on a synthetic arrival time. Over the finite source the result must
+    // equal the batch filter+group — which the oracle checks.
+    "q158_stream_curation" -> ((s, dir) => {
+      import graft.llm.{Dedup, TextAnalysis}
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val docs = StreamOps.documentsStream(s, dir)
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id")))
+          .withColumn("content_key", Dedup.contentKey(col("text")))
+          .filter(TextAnalysis.tokenCount(col("text")) >= 30)
+        val agg = docs.withWatermark("ts", "1 hour")
+          .groupBy("content_key")
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("sum_chars"))
+        StreamOps.runToCompletion(s, agg,
+          s"stream_curation_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // stream-stream interval join (streaming as-of analog): purchases in
     // the hour before each error, per user; == the batch interval join
     "q127_stream_join" -> ((s, dir) => {
@@ -98,6 +123,14 @@ object QueriesStreaming {
       """SELECT user_id, date_trunc('day', ts) AS day,
            min(event_id) AS first_event, count(*) AS n_events
          FROM events GROUP BY 1, 2""",
+    "q158_stream_curation" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             AS content_key,
+           min(doc_id) AS keep_id, count(*) AS n_kept,
+           sum(n_chars) AS sum_chars
+         FROM documents
+         WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+         GROUP BY 1""",
     "q127_stream_join" ->
       """SELECT e.event_id AS event_id, p.event_id AS purchase_id,
            p.value AS p_value

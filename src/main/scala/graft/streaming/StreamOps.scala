@@ -31,6 +31,19 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The documents table as a file stream — the entry point of a STREAMING
+    * curation pipeline (documents arrive continuously; the same scan-stage
+    * filters/keys run per micro-batch). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** Streaming resample: tumbling-window agg with watermark (the streaming
     * form of `resample(time=...)`; ref `groupers.py:474` TimeResampler). */
   def resampleCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
