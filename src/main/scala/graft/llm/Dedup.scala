@@ -369,6 +369,43 @@ object Dedup {
       .agg(count(lit(1)).as("bench_hits"), min(col("p")).as("first_hit_pos"))
   }
 
+  /** Bloom-filter membership prefilter for cross-corpus dedup: build one
+    * bloom over corpus A's content keys (a partial+final aggregate — the
+    * filter, not the keys, ships to the driver), broadcast it inside the
+    * `might_contain` expression, and keep only corpus B rows that might
+    * collide. False POSITIVES pass through (callers verify exactly, e.g.
+    * with [[exact]]'s key join on the survivors); false negatives cannot
+    * happen, so no duplicate escapes. At 100 TB this turns "join B against
+    * all of A" into "scan B against a few hundred MB of bits" — the
+    * standard new-crawl-versus-historical-corpus topology. */
+  def bloomPrefilter(reference: DataFrame, candidates: DataFrame,
+                     id: String, text: String,
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // BloomFilterAggregate is the engine's own sketch (what Catalyst's
+    // runtime join pruning inserts); it sizes by BITS, so derive them
+    // from fpp via the standard m = -n·ln(p)/ln(2)^2
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // the filter aggregates distributedly; only the finished bitset (KBs
+    // to ~100s of MB, per numBits) returns to the driver and ships as a
+    // plan literal — might_contain requires a CONSTANT bloom
+    val bloomBytes = reference.select(contentKey(col(text)).as("__k"))
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("__k"))),
+        GraftBridge.expression(lit(expectedItems)),
+        GraftBridge.expression(lit(numBits))).toAggregateExpression())
+        .as("__bloom"))
+      .collect()(0).getAs[Array[Byte]](0)
+    candidates.withColumn("__ck", contentKey(col(text)))
+      .filter(GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(lit(bloomBytes)),
+        GraftBridge.expression(xxhash64(col("__ck"))))))
+      .drop("__ck")
+  }
+
   /** Semantic dedup via embedding clusters (the SemDeDup recipe of Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): unit-normalize, cluster coarsely with

@@ -120,6 +120,22 @@ class PipelineOpsSpec extends SparkSpec {
       gramLen = 20, stride = 5).count() === 0)
   }
 
+  test("bloomPrefilter: planted overlaps always survive; disjoint text mostly drops") {
+    val ref = (0L until 500L).map(i => (i, s"reference document number $i unique body"))
+      .toDF("doc_id", "text")
+    // candidates: 50 verbatim copies of ref docs + 450 fresh docs
+    val cands = ((0L until 50L).map(i => (1000 + i, s"reference document number $i unique body")) ++
+      (0L until 450L).map(i => (2000 + i, s"completely fresh candidate text $i")))
+      .toDF("doc_id", "text")
+    val kept = graft.llm.Dedup.bloomPrefilter(ref, cands, "doc_id", "text",
+      expectedItems = 500, fpp = 0.01)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    // NO false negatives: every planted duplicate survives
+    assert((1000L until 1050L).forall(ids.contains))
+    // false positives bounded: far fewer than the 450 fresh docs remain
+    assert(ids.count(_ >= 2000L) < 45, s"fp count ${ids.count(_ >= 2000L)}")
+  }
+
   test("connectedComponents on an empty pair set returns empty (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.llm.Dedup.connectedComponents(empty, "id_a", "id_b")
