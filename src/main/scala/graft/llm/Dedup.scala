@@ -379,26 +379,45 @@ object Dedup {
     * all of A" into "scan B against a few hundred MB of bits" — the
     * standard new-crawl-versus-historical-corpus topology. */
   def bloomPrefilter(reference: DataFrame, candidates: DataFrame,
-                     id: String, text: String,
+                     text: String,
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
     // BloomFilterAggregate is the engine's own sketch (what Catalyst's
     // runtime join pruning inserts); it sizes by BITS, so derive them
     // from fpp via the standard m = -n·ln(p)/ln(2)^2
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // The aggregate SILENTLY clamps to the runtime-join-pruning conf caps
+    // (4M items / 8 MB bits by default) — a saturated filter would pass
+    // ~everything and quietly defeat the prefilter, so raise the caps for
+    // the build and restore them after.
+    val spark = reference.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, math.max(expectedItems, 4000000L))
+    spark.conf.set(bitsKey, math.max(numBits, 67108864L))
     // the filter aggregates distributedly; only the finished bitset (KBs
     // to ~100s of MB, per numBits) returns to the driver and ships as a
     // plan literal — might_contain requires a CONSTANT bloom
-    val bloomBytes = reference.select(contentKey(col(text)).as("__k"))
-      .agg(GraftBridge.column(new BloomFilterAggregate(
-        GraftBridge.expression(xxhash64(col("__k"))),
-        GraftBridge.expression(lit(expectedItems)),
-        GraftBridge.expression(lit(numBits))).toAggregateExpression())
-        .as("__bloom"))
-      .collect()(0).getAs[Array[Byte]](0)
+    val bloomBytes =
+      try reference.select(contentKey(col(text)).as("__k"))
+        .agg(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("__k"))),
+          GraftBridge.expression(lit(expectedItems)),
+          GraftBridge.expression(lit(numBits))).toAggregateExpression())
+          .as("__bloom"))
+        .collect()(0).getAs[Array[Byte]](0)
+      finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        restore(itemsKey, prevItems); restore(bitsKey, prevBits)
+      }
     candidates.withColumn("__ck", contentKey(col(text)))
       .filter(GraftBridge.column(BloomFilterMightContain(
         GraftBridge.expression(lit(bloomBytes)),

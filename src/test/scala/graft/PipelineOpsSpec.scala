@@ -127,7 +127,7 @@ class PipelineOpsSpec extends SparkSpec {
     val cands = ((0L until 50L).map(i => (1000 + i, s"reference document number $i unique body")) ++
       (0L until 450L).map(i => (2000 + i, s"completely fresh candidate text $i")))
       .toDF("doc_id", "text")
-    val kept = graft.llm.Dedup.bloomPrefilter(ref, cands, "doc_id", "text",
+    val kept = graft.llm.Dedup.bloomPrefilter(ref, cands, "text",
       expectedItems = 500, fpp = 0.01)
     val ids = kept.select("doc_id").as[Long].collect().toSet
     // NO false negatives: every planted duplicate survives
