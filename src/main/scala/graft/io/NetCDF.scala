@@ -417,6 +417,64 @@ object NetCDF {
       new graft.model.XDataset(toLongDF(spark, dir, varName), meta))
   }
 
+  /** `Dataset.to_netcdf` (ref `backends/api.py` to_netcdf dispatch):
+    * write a long-format dataset to one classic .nc file — dimension
+    * coordinate variables from the sorted distinct labels, every data
+    * variable as NC_DOUBLE over the dense grid (absent cells -> NaN), CF
+    * attrs from `meta.varAttrs`. DRIVER-SIDE dense materialization by
+    * design: a classic .nc file is a single bounded binary, so this is
+    * the fixture/export path (mirror of [[toLongDF]]'s read); bulk data
+    * goes to parquet/zarr. `maxCells` guards against accidentally
+    * collecting a cluster-scale table. */
+  def writeDataset(ds: graft.model.XDataset, path: String,
+                   version: Int = 1, maxCells: Long = 10000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dims = ds.meta.dims
+    val dimVals: Seq[Array[Double]] = dims.map { d =>
+      ds.df.select(col(d).cast("double")).distinct().orderBy(col(d))
+        .collect().map(_.getDouble(0))
+    }
+    val shape = dimVals.map(_.length)
+    val cells = shape.map(_.toLong).product
+    require(cells <= maxCells,
+      s"dense export of $cells cells exceeds maxCells=$maxCells " +
+        "(to_netcdf is the bounded-file path; use parquet/zarr for bulk)")
+    val dimDefs = dims.zip(shape).map { case (d, n) => Dim(d, n) }
+    val idx: Seq[Map[Double, Int]] = dimVals.map(_.zipWithIndex.toMap)
+    val strides = shape.scanRight(1)(_ * _).tail
+    val dimIntegral = dims.map(d =>
+      ds.df.schema(d).dataType.typeName match {
+        case "long" | "integer" | "short" => true
+        case _ => false
+      })
+    val coordVars = dims.zipWithIndex.map { case (d, k) =>
+      Var(d, Seq(k), if (dimIntegral(k)) NC_INT64 else NC_DOUBLE, dimVals(k))
+    }
+    val dataVars = ds.dataVars.map { v =>
+      val arr = Array.fill(cells.toInt)(Double.NaN)
+      ds.df.select((dims.map(d => col(d).cast("double")) :+
+          col(v).cast("double")): _*)
+        .collect().foreach { r =>
+          val flat = dims.indices.map(k =>
+            idx(k)(r.getDouble(k)) * strides(k)).sum
+          arr(flat) = if (r.isNullAt(dims.length)) Double.NaN
+                      else r.getDouble(dims.length)
+        }
+      val atts = ds.meta.varAttrs.getOrElse(v, Map.empty).toSeq.sortBy(_._1)
+        .map { case (k, value) =>
+          // numeric-looking attrs encode as doubles so CF coders see them
+          scala.util.Try(value.toDouble).toOption match {
+            case Some(d) if k != "units" && k != "calendar" => Att.dbl(k, d)
+            case _ => Att.str(k, value)
+          }
+        }
+      Var(v, dims.indices, NC_DOUBLE, arr, atts)
+    }
+    val gatts = ds.meta.attrs.toSeq.sortBy(_._1)
+      .map { case (k, v) => Att.str(k, v) }
+    write(path, dimDefs, coordVars ++ dataVars, version, gatts)
+  }
+
   /** The converter tool: every .nc under `inDir` decoded distributedly
     * and written as one parquet store for `varName`. */
   def convert(spark: SparkSession, inDir: String, varName: String,

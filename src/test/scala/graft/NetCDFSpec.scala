@@ -197,6 +197,36 @@ class NetCDFSpec extends SparkSpec {
     assert(readVar(bytes, hdr, "température").toSeq == Seq(1.5, 2.5, 3.5))
   }
 
+  test("writeDataset: XDataset -> .nc -> toLongDF roundtrip with attrs and gaps") {
+    import spark.implicits._
+    import graft.model.{DatasetMeta, XDataset}
+    val dir = java.nio.file.Files.createTempDirectory("ncds").toString
+    // sparse grid (one cell absent -> NaN in the file), 2 data vars
+    val rows = Seq((0L, 0L, 1.0, 10.0), (0L, 1L, 2.0, 20.0),
+      (1L, 0L, 3.0, 30.0)) // (1,1) missing
+    val meta = DatasetMeta(Seq("t", "x"),
+      varAttrs = Map("a" -> Map("units" -> "degC")))
+    val ds = new XDataset(rows.toDF("t", "x", "a", "b"), meta)
+    NetCDF.writeDataset(ds, s"$dir/out.nc")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out.nc"))
+    val hdr = parseHeader(bytes)
+    assert(hdr.dims.map(_.name) == Seq("t", "x"))
+    assert(hdr.vars.map(_.name).toSet == Set("t", "x", "a", "b"))
+    assert(hdr.vars.find(_.name == "a").get.atts
+      .exists(at => at.name == "units" && at.asString == "degC"))
+    val a = readVar(bytes, hdr, "a")
+    assert(a(0) == 1.0 && a(1) == 2.0 && a(2) == 3.0 && a(3).isNaN)
+    // and the distributed reader round-trips the present cells
+    import org.apache.spark.sql.functions.{col, isnan}
+    val back = NetCDF.toLongDF(spark, dir, "b")
+    assert(back.filter(col("b").isNotNull && !isnan(col("b"))).count() === 3)
+    // cell guard refuses cluster-scale dense exports
+    val e = intercept[IllegalArgumentException] {
+      NetCDF.writeDataset(ds, s"$dir/big.nc", maxCells = 2) }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
   test("CDF-5 header parse carries a begin offset beyond 2 GiB") {
     // a >2 GiB file can't be written in a unit test; hand-patch the begin
     // field of a small CDF-5 header and assert the 64-bit path reads it —
