@@ -177,6 +177,55 @@ object Numerics {
       .drop("__y0", "__y1", "__t0", "__t1")
   }
 
+  /** interp(method="linear", kwargs={"fill_value": "extrapolate"}) — the
+    * scipy pass-through xarray exposes: probes OUTSIDE a series' observed
+    * range ride the edge segment's slope instead of returning NULL.
+    * Interior probes are exactly [[interpLinear]].
+    *
+    * Scale shape: the edge segments come from two tiny per-group
+    * aggregations (first/last observation via struct min/max, then the
+    * adjacent point among the remainder) that broadcast back onto the
+    * probe side — no window over the series, no extra shuffle of the big
+    * table. Single-observation groups extrapolate as a constant. */
+  def interpLinearExtrapolate(series: DataFrame, probes: DataFrame,
+                              by: Seq[String], t: String,
+                              v: String): DataFrame = {
+    val base = interpLinear(series, probes, by, t, v)
+    val isTs = series.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def toD(c: Column): Column =
+      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val ends = series.groupBy(by.map(col): _*)
+      .agg(min(struct(col(t), col(v))).as("__lo"),
+        max(struct(col(t), col(v))).as("__hi"))
+    val withEnds = series.join(broadcast(ends), by)
+    val lo2 = withEnds.filter(col(t) > col("__lo").getField(t))
+      .groupBy(by.map(col): _*)
+      .agg(min(struct(col(t), col(v))).as("__lo2"))
+    val hi2 = withEnds.filter(col(t) < col("__hi").getField(t))
+      .groupBy(by.map(col): _*)
+      .agg(max(struct(col(t), col(v))).as("__hi2"))
+    val edges = ends.join(lo2, by, "left").join(hi2, by, "left")
+    def seg(aT: Column, aV: Column, bT: Column, bV: Column): Column =
+      aV + (bV - aV) * (toD(col(t)) - toD(aT)) / (toD(bT) - toD(aT))
+    val loT = col("__lo").getField(t); val loV = col("__lo").getField(v)
+    val hiT = col("__hi").getField(t); val hiV = col("__hi").getField(v)
+    val below = when(col("__lo2").isNull, loV) // single point -> constant
+      .otherwise(seg(loT, loV, col("__lo2").getField(t),
+        col("__lo2").getField(v)))
+    val above = when(col("__hi2").isNull, hiV)
+      .otherwise(seg(hiT, hiV, col("__hi2").getField(t),
+        col("__hi2").getField(v)))
+    base.join(broadcast(edges), by, "left")
+      .withColumn("v_interp",
+        when(col("v_interp").isNotNull, col("v_interp"))
+          .when(col("__lo").isNull, lit(null)) // group absent from series
+          .when(toD(col(t)) < toD(loT), below)
+          .when(toD(col(t)) > toD(hiT), above)
+          .otherwise(col("v_interp")))
+      .drop("__lo", "__hi", "__lo2", "__hi2")
+  }
+
   /** N-D orthogonal interpolation, 2-D (bilinear) case (ref
     * `dataset.py:4114` interp over multiple dims; the reference applies
     * 1-D interpolation sequentially per dim — same semantics here): first

@@ -120,6 +120,23 @@ object QueriesNumerics {
         .select("user_id", "ts", "v_interp")
     }),
 
+    // interp linear with fill_value="extrapolate": probes beyond the
+    // observed range ride the edge segment's slope (scipy pass-through)
+    "q159_interp_extrapolate" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val users = series.select("user_id").distinct()
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'2023-12-25 00:00:00',
+             timestamp'2024-02-05 00:00:00', interval 4 day)) AS ts""")
+      val probes = users.crossJoin(grid)
+      Numerics.interpLinearExtrapolate(series, probes, by = Seq("user_id"),
+        t = "ts", v = "value")
+        .select(col("user_id"), col("ts"),
+          round(col("v_interp"), 6).as("v_interp"))
+    }),
+
     // interp(method="zero"): previous-knot step function
     "q108_interp_zero" -> ((s, dir) => {
       val series = Tables.events(s, dir)
@@ -427,6 +444,69 @@ object QueriesNumerics {
                   (CAST(epoch_us(t1) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) END
              AS v_interp
          FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    // extrapolation oracle: interior = q45's lerp; outside rides the
+    // first/last segment (struct-min ordering = ORDER BY ts, value)
+    "q159_interp_extrapolate" ->
+      """WITH series AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         probes AS (
+           SELECT u.user_id, g.ts FROM
+             (SELECT DISTINCT user_id FROM series) u
+           CROSS JOIN (SELECT generate_series AS ts FROM
+             generate_series(TIMESTAMP '2023-12-25', TIMESTAMP '2024-02-05',
+                             INTERVAL 4 DAY)) g),
+         back AS (
+           SELECT p.user_id, p.ts, s.value AS y0, s.ts AS t0
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts >= s.ts),
+         fwd AS (
+           SELECT p.user_id, p.ts, s.value AS y1, s.ts AS t1
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts <= s.ts),
+         rk AS (SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, value) AS ra,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, value DESC) AS rd
+           FROM series),
+         lo AS (SELECT user_id, ts AS lot, value AS lov FROM rk WHERE ra = 1),
+         hi AS (SELECT user_id, ts AS hit, value AS hiv FROM rk WHERE rd = 1),
+         lo2 AS (SELECT user_id, ts AS lo2t, value AS lo2v FROM (
+             SELECT s.user_id, s.ts, s.value, row_number() OVER (
+               PARTITION BY s.user_id ORDER BY s.ts, s.value) AS r
+             FROM series s JOIN lo ON s.user_id = lo.user_id
+               AND s.ts > lo.lot) WHERE r = 1),
+         hi2 AS (SELECT user_id, ts AS hi2t, value AS hi2v FROM (
+             SELECT s.user_id, s.ts, s.value, row_number() OVER (
+               PARTITION BY s.user_id ORDER BY s.ts DESC, s.value DESC) AS r
+             FROM series s JOIN hi ON s.user_id = hi.user_id
+               AND s.ts < hi.hit) WHERE r = 1)
+         SELECT b.user_id, b.ts,
+           round(CASE
+             WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+               CASE WHEN CAST(epoch_us(t1) AS DOUBLE) =
+                         CAST(epoch_us(t0) AS DOUBLE) THEN y0
+                    ELSE y0 + (y1 - y0) *
+                      (CAST(epoch_us(b.ts) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) /
+                      (CAST(epoch_us(t1) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) END
+             WHEN lot IS NULL THEN NULL
+             WHEN CAST(epoch_us(b.ts) AS DOUBLE) < CAST(epoch_us(lot) AS DOUBLE) THEN
+               CASE WHEN lo2t IS NULL THEN lov
+                    ELSE lov + (lo2v - lov) *
+                      (CAST(epoch_us(b.ts) AS DOUBLE) - CAST(epoch_us(lot) AS DOUBLE)) /
+                      (CAST(epoch_us(lo2t) AS DOUBLE) - CAST(epoch_us(lot) AS DOUBLE)) END
+             WHEN CAST(epoch_us(b.ts) AS DOUBLE) > CAST(epoch_us(hit) AS DOUBLE) THEN
+               CASE WHEN hi2t IS NULL THEN hiv
+                    ELSE hiv + (hi2v - hiv) *
+                      (CAST(epoch_us(b.ts) AS DOUBLE) - CAST(epoch_us(hit) AS DOUBLE)) /
+                      (CAST(epoch_us(hi2t) AS DOUBLE) - CAST(epoch_us(hit) AS DOUBLE)) END
+             ELSE NULL END, 6) AS v_interp
+         FROM back b
+         JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts
+         LEFT JOIN lo ON b.user_id = lo.user_id
+         LEFT JOIN hi ON b.user_id = hi.user_id
+         LEFT JOIN lo2 ON b.user_id = lo2.user_id
+         LEFT JOIN hi2 ON b.user_id = hi2.user_id""",
     // polynomial(order=3) == cubic spline: reuse the Thomas-solve CTE
     // oracle with the output column renamed
     "q112_interp_polynomial" ->

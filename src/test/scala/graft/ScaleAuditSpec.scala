@@ -41,6 +41,7 @@ class ScaleAuditSpec extends SparkSpec {
     "q82_mfopen_combine" -> "5-row combine keys",
     "q39_date_range_infer" -> "generated grid only",
     "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
+    "q159_interp_extrapolate" -> "probe grid cross user list, both driver-bounded",
     "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded",
     "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate",
     "q108_interp_zero" -> "probe grid cross user list, both driver-bounded",
