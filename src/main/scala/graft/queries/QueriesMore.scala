@@ -77,6 +77,28 @@ object QueriesMore {
         .select("o_orderkey", "o_custkey", "win_keys")
     }),
 
+    // rolling(...).reduce(custom fn): a 3-window root-mean-square via the
+    // generic construct-and-fold contract (ref `rolling.py` Rolling.reduce
+    // — arbitrary functions, not just the named aggregations). The fold
+    // accumulates in DECIMAL (order-independent, engine-exact) and the
+    // float tail (decimal->double cast, division, sqrt) rounds to 2 dp:
+    // cross-engine decimal->double casts differ by an ulp (~6e-11 here),
+    // so the rounding step must dwarf it (at 6 dp one row in 150k flipped
+    // a boundary; at 2 dp the odds are ~1e-8 per row).
+    "q160_rolling_reduce" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, 0)
+      Tables.orders(s, dir)
+        .withColumn("rms", graft.window.Windows.rollingReduce(
+          col("o_totalprice"), w, lit(0).cast(DecimalType(30, 4)),
+          (acc, x) => (acc + (x * x).cast(DecimalType(30, 4)))
+            .cast(DecimalType(30, 4)),
+          (acc, arr) => round(sqrt(acc.cast("double") / size(arr)), 2)))
+        .select("o_orderkey", "o_custkey", "rms")
+    }),
+
     // rolling.construct stride= + fill_value= (ref `rolling.py:327`):
     // every 2nd window per customer, leading partials left-padded to the
     // full 3 slots with -1
@@ -840,6 +862,17 @@ object QueriesMore {
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    // same decimal sum-of-squares fold, same cast-to-double + IEEE sqrt
+    "q160_rolling_reduce" ->
+      """SELECT o_orderkey, o_custkey,
+           round(sqrt(CAST(list_reduce(
+             list_transform(win, x -> CAST(x * x AS DECIMAL(30,4))),
+             (a, b) -> a + b) AS DOUBLE) / len(win)), 2) AS rms
+         FROM (SELECT o_orderkey, o_custkey,
+             list(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win
+           FROM orders)""",
     "q152_zarr_v3" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t

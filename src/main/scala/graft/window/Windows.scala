@@ -36,6 +36,19 @@ object Windows {
     when(count(c).over(w) >= mp, agg)
 
   /** shift by n along the window order (ref `dataset.py:7967`). */
+  /** rolling(...).reduce(func) — the reference's arbitrary-function
+    * contract (`computation/rolling.py` Rolling.reduce): the window
+    * materializes as an array (construct) and a caller-supplied fold
+    * reduces it, entirely in Catalyst expressions — no UDF, the lambda
+    * compiles into the plan. `finish` sees (accumulator, window array)
+    * so normalizations can use the window length. */
+  def rollingReduce(value: Column, w: WindowSpec, zero: Column,
+                    merge: (Column, Column) => Column,
+                    finish: (Column, Column) => Column): Column = {
+    val arr = collect_list(value).over(w)
+    finish(aggregate(arr, zero, merge), arr)
+  }
+
   def shift(c: Column, n: Int, w: WindowSpec): Column =
     if (n >= 0) lag(c, n).over(w) else lead(c, -n).over(w)
 
