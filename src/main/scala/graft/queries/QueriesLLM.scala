@@ -390,6 +390,21 @@ object QueriesLLM {
         shardCol = pmod(col("doc_id"), lit(8)))
     }),
 
+    // corpus data-card summary: token/char accounting at every granularity
+    // — per (lang, source), per lang, per source, and overall — in ONE
+    // pass via CUBE (partial+final agg; each input row expands to its 4
+    // grouping sets map-side, no repeated scans). The reference has no
+    // grouping-sets analog; this is the Spark-first way to build the
+    // "data card" tables every corpus release ships.
+    "q161_corpus_cube" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+    }),
+
     // exactly-n-per-stratum sample: rank-by-md5 semantics; the engine runs
     // the two-phase prefilter+window (the window only ever sees ~4n rows
     // per stratum), the oracle ranks the full stratum — equal by the
@@ -1064,6 +1079,14 @@ object QueriesLLM {
              FROM r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
            SELECT * FROM r)
          SELECT doc_id, shard, eff, seq, pos FROM rec""",
+    // cube oracle: DuckDB CUBE over the same token expression (NULL marks
+    // the rolled-up level on both sides)
+    "q161_corpus_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
+           sum(n_chars) AS n_chars
+         FROM documents
+         GROUP BY CUBE (lang, source)""",
     // exact-sample oracle: the rank semantics stated directly
     "q150_exact_sample" ->
       """SELECT lang, doc_id, rn AS rank FROM (
