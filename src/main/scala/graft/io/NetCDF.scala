@@ -430,15 +430,24 @@ object NetCDF {
                    version: Int = 1, maxCells: Long = 10000000L): Unit = {
     import org.apache.spark.sql.functions.col
     val dims = ds.meta.dims
-    val dimVals: Seq[Array[Double]] = dims.map { d =>
-      ds.df.select(col(d).cast("double")).distinct().orderBy(col(d))
-        .collect().map(_.getDouble(0))
+    val dataVarNames = ds.dataVars
+    // ONE collect feeds both the dim labels and every data array — an
+    // uncached upstream plan would otherwise re-execute per dim + per var
+    val rows = ds.df.select((dims.map(d => col(d).cast("double")) ++
+      dataVarNames.map(v => col(v).cast("double"))): _*).collect()
+    require(rows.nonEmpty, "to_netcdf of an empty dataset (a size-0 dim " +
+      "would read as the UNLIMITED record dimension)")
+    require(rows.length <= maxCells,
+      s"dense export of ${rows.length} rows exceeds maxCells=$maxCells " +
+        "(to_netcdf is the bounded-file path; use parquet/zarr for bulk)")
+    val dimVals: Seq[Array[Double]] = dims.indices.map { k =>
+      rows.map(_.getDouble(k)).distinct.sorted.toArray
     }
     val shape = dimVals.map(_.length)
     val cells = shape.map(_.toLong).product
-    require(cells <= maxCells,
-      s"dense export of $cells cells exceeds maxCells=$maxCells " +
-        "(to_netcdf is the bounded-file path; use parquet/zarr for bulk)")
+    require(cells <= math.min(maxCells, Int.MaxValue.toLong),
+      s"dense export of $cells grid cells exceeds " +
+        s"${math.min(maxCells, Int.MaxValue.toLong)}")
     val dimDefs = dims.zip(shape).map { case (d, n) => Dim(d, n) }
     val idx: Seq[Map[Double, Int]] = dimVals.map(_.zipWithIndex.toMap)
     val strides = shape.scanRight(1)(_ * _).tail
@@ -447,26 +456,30 @@ object NetCDF {
         case "long" | "integer" | "short" => true
         case _ => false
       })
+    // NC_INT64 is a CDF-5 type: classic containers carry integral coords
+    // as NC_DOUBLE (exact to 2^53) so external readers accept the file
+    val intCoordType = if (version == 5) NC_INT64 else NC_DOUBLE
     val coordVars = dims.zipWithIndex.map { case (d, k) =>
-      Var(d, Seq(k), if (dimIntegral(k)) NC_INT64 else NC_DOUBLE, dimVals(k))
+      Var(d, Seq(k), if (dimIntegral(k)) intCoordType else NC_DOUBLE,
+        dimVals(k))
     }
-    val dataVars = ds.dataVars.map { v =>
+    // strict decimal-literal check: String.toDouble would also accept
+    // "NaN"/"Infinity"/"1d"/hex floats and silently re-type string attrs
+    val numericPat = "^-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?$".r
+    val dataVars = dataVarNames.zipWithIndex.map { case (v, j) =>
       val arr = Array.fill(cells.toInt)(Double.NaN)
-      ds.df.select((dims.map(d => col(d).cast("double")) :+
-          col(v).cast("double")): _*)
-        .collect().foreach { r =>
-          val flat = dims.indices.map(k =>
-            idx(k)(r.getDouble(k)) * strides(k)).sum
-          arr(flat) = if (r.isNullAt(dims.length)) Double.NaN
-                      else r.getDouble(dims.length)
-        }
+      rows.foreach { r =>
+        val flat = dims.indices.map(k =>
+          idx(k)(r.getDouble(k)) * strides(k)).sum
+        val c = dims.length + j
+        arr(flat) = if (r.isNullAt(c)) Double.NaN else r.getDouble(c)
+      }
       val atts = ds.meta.varAttrs.getOrElse(v, Map.empty).toSeq.sortBy(_._1)
         .map { case (k, value) =>
-          // numeric-looking attrs encode as doubles so CF coders see them
-          scala.util.Try(value.toDouble).toOption match {
-            case Some(d) if k != "units" && k != "calendar" => Att.dbl(k, d)
-            case _ => Att.str(k, value)
-          }
+          // numeric attrs encode as doubles so the CF coders see them
+          if (numericPat.matches(value) && k != "units" && k != "calendar")
+            Att.dbl(k, value.toDouble)
+          else Att.str(k, value)
         }
       Var(v, dims.indices, NC_DOUBLE, arr, atts)
     }

@@ -149,6 +149,16 @@ object Numerics {
     coalesce(run.cast("double"), lit(0.0))
   }
 
+  /** Timestamp coords -> exact integer micros (a fractional-seconds cast
+    * would round per-value and diverge from integer-based engines at
+    * ~1e-11); non-timestamp coords cast straight to double. ONE definition
+    * — every interp kernel shares this exactness contract. */
+  private[numerics] def tsToDouble(df: DataFrame, t: String): Column => Column = {
+    val isTs = df.schema(t).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    c => if (isTs) unix_micros(c).cast("double") else c.cast("double")
+  }
+
   /** Linear interpolation of per-`by` series (t, v) at probe times —
     * the reference's `interp(method="linear")` (`core/missing.py:616`).
     * Two as-of passes (backward + forward) + lerp; union+window plan, no
@@ -163,10 +173,7 @@ object Numerics {
     val both = AsOf.forward(back, obsF, by, t, Seq("__y1", "__t1"))
     // timestamps -> exact integer micros (a fractional-seconds cast would
     // round per-value and diverge from integer-based engines at ~1e-11)
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val tD = toD(col(t))
     val t0 = toD(col("__t0")); val t1 = toD(col("__t1"))
     // outside the observed range -> NULL (xarray: NaN, no extrapolation)
@@ -191,10 +198,7 @@ object Numerics {
                               by: Seq[String], t: String,
                               v: String): DataFrame = {
     val base = interpLinear(series, probes, by, t, v)
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val ends = series.groupBy(by.map(col): _*)
       .agg(min(struct(col(t), col(v))).as("__lo"),
         max(struct(col(t), col(v))).as("__hi"))
@@ -255,10 +259,7 @@ object Numerics {
       col(t).as("__t1")): _*)
     val back = AsOf.backward(probes, obsB, by, t, Seq("__y0", "__t0"))
     val both = AsOf.forward(back, obsF, by, t, Seq("__y1", "__t1"))
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val dBack = toD(col(t)) - toD(col("__t0"))
     val dFwd = toD(col("__t1")) - toD(col(t))
     val nearest = when(col("__t0").isNull, col("__y1"))
@@ -348,10 +349,7 @@ object Numerics {
     * (y, y', y'') at both ends — C2 overall, window-local, declarative. */
   def interpQuintic(series: DataFrame, probes: DataFrame, by: Seq[String],
                     t: String, v: String): DataFrame = {
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
     val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
       col(v).cast("double").as("__y")): _*)
@@ -416,10 +414,7 @@ object Numerics {
     * Probes outside the knot range -> NULL (no extrapolation). */
   def interpPchip(series: DataFrame, probes: DataFrame, by: Seq[String],
                   t: String, v: String): DataFrame = {
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
     val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+
       col(v).cast("double").as("__y")): _*)
@@ -523,10 +518,7 @@ object Numerics {
   private def interpAkimaLike(series: DataFrame, probes: DataFrame,
                               by: Seq[String], t: String, v: String,
                               makima: Boolean, outName: String): DataFrame = {
-    val isTs = series.schema(t).dataType ==
-      org.apache.spark.sql.types.TimestampType
-    def toD(c: Column): Column =
-      if (isTs) unix_micros(c).cast("double") else c.cast("double")
+    val toD = tsToDouble(series, t)
     val w = Window.partitionBy(by.map(col): _*).orderBy(col("__t"))
     val wAll = Window.partitionBy(by.map(col): _*)
     val kn = series.select((by.map(col) :+ toD(col(t)).as("__t") :+

@@ -35,7 +35,6 @@ object Windows {
   def withMinPeriods(agg: Column, c: Column, w: WindowSpec, mp: Int): Column =
     when(count(c).over(w) >= mp, agg)
 
-  /** shift by n along the window order (ref `dataset.py:7967`). */
   /** rolling(...).reduce(func) — the reference's arbitrary-function
     * contract (`computation/rolling.py` Rolling.reduce): the window
     * materializes as an array (construct) and a caller-supplied fold
@@ -49,6 +48,7 @@ object Windows {
     finish(aggregate(arr, zero, merge), arr)
   }
 
+  /** shift by n along the window order (ref `dataset.py:7967`). */
   def shift(c: Column, n: Int, w: WindowSpec): Column =
     if (n >= 0) lag(c, n).over(w) else lead(c, -n).over(w)
 
