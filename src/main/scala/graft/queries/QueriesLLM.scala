@@ -936,7 +936,8 @@ object QueriesLLM {
                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
              (a, b) -> a * 16 + b) % 10000 AS bucket
          FROM documents)
-         SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+         SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
                                   WHEN 'zh' THEN 7500 ELSE 10000 END
@@ -960,7 +961,8 @@ object QueriesLLM {
          r AS (SELECT doc_id, source,
              unnest(generate_series(0, copies - 1)) AS copy
            FROM c WHERE copies > 0)
-         SELECT source, copy, count(*) AS n, sum(doc_id) AS sum_ids
+         SELECT source, copy, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM r GROUP BY 1, 2""",
     // packing oracle: the same token stream, cumsum'd by a plain window
     // (fine at oracle scale; the engine side uses the distributed scheme)
@@ -969,8 +971,9 @@ object QueriesLLM {
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
          FROM documents),
          c AS (SELECT doc_id, n_tokens,
-           sum(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS end_off
          FROM t)
          SELECT doc_id, n_tokens, end_off - n_tokens AS start_off, end_off,
            (end_off - n_tokens) // 1024 AS seq_first,
@@ -1014,7 +1017,8 @@ object QueriesLLM {
          cl AS (SELECT doc_id,
              string_agg(frag, '' ORDER BY ks) AS cleaned
            FROM frags GROUP BY doc_id)
-         SELECT m.doc_id, count(*) AS n_spans, sum(e - s) AS chars_cut,
+         SELECT m.doc_id, count(*) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS chars_cut,
            length(coalesce(any_value(cl.cleaned), '')) AS clean_len,
            md5(coalesce(any_value(cl.cleaned), '')) AS clean_md5
          FROM merged m LEFT JOIN cl ON m.doc_id = cl.doc_id
@@ -1083,8 +1087,9 @@ object QueriesLLM {
     // the rolled-up level on both sides)
     "q161_corpus_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
-           sum(n_chars) AS n_chars
+           CAST(sum(len(string_split_regex(trim(text), '\s+')))
+             AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
          FROM documents
          GROUP BY CUBE (lang, source)""",
     // exact-sample oracle: the rank semantics stated directly

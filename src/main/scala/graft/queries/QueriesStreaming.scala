@@ -54,28 +54,21 @@ object QueriesStreaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
-    // streaming curation pipeline: quality-gate + exact-dedup keep-first
-    // over a DOCUMENT stream — the scan-stage curation ops (token gate,
-    // content key) run per micro-batch. NOTE on state: a keep-first dedup
-    // keyed by content alone must remember every key, so this runs in
-    // complete mode with unbounded state by design; a continuous
-    // deployment bounds state by scoping the key with a time bucket (the
-    // q99 shape) or fronting it with [[graft.llm.Dedup.bloomPrefilter]].
-    // Over the finite source the result equals the batch filter+group —
-    // which the oracle checks.
+    // streaming curation pipeline: quality-gate + keep-first dedup over a
+    // DOCUMENT stream — the scan-stage curation ops (token gate, content
+    // key) run per micro-batch. The dedup key is WATERMARK-BOUNDED by
+    // default (round-7 verdict #2): scoped to a 1-day event-time window
+    // (event time synthesized deterministically from doc_id so the batch
+    // oracle can replay it), so a continuous deployment evicts closed
+    // windows instead of remembering every content key forever.
+    // StreamingSpec asserts the eviction actually happens in update mode.
+    // Over the finite source the result equals the batch filter+group.
     "q158_stream_curation" -> ((s, dir) => {
-      import graft.llm.{Dedup, TextAnalysis}
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val docs = StreamOps.documentsStream(s, dir)
-          .withColumn("content_key", Dedup.contentKey(col("text")))
-          .filter(TextAnalysis.tokenCount(col("text")) >= 30)
-        val agg = docs
-          .groupBy("content_key")
-          .agg(min(col("doc_id")).as("keep_id"),
-            count(lit(1)).as("n_kept"),
-            sum(col("n_chars")).as("sum_chars"))
+        val agg = StreamOps.curationDedup(
+          StreamOps.documentsStream(s, dir), "1 day", "1 hour")
         StreamOps.runToCompletion(s, agg,
           s"stream_curation_${System.nanoTime}", availableNow = true)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -126,13 +119,15 @@ object QueriesStreaming {
            min(event_id) AS first_event, count(*) AS n_events
          FROM events GROUP BY 1, 2""",
     "q158_stream_curation" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      """SELECT date_trunc('day',
+             TIMESTAMP '1970-01-01' + doc_id * INTERVAL 1 SECOND) AS bucket,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
              AS content_key,
            min(doc_id) AS keep_id, count(*) AS n_kept,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents
          WHERE len(string_split_regex(trim(text), '\s+')) >= 30
-         GROUP BY 1""",
+         GROUP BY 1, 2""",
     "q127_stream_join" ->
       """SELECT e.event_id AS event_id, p.event_id AS purchase_id,
            p.value AS p_value

@@ -22,6 +22,55 @@ class StreamingSpec extends SparkSpec {
     assert(s === b)
   }
 
+  test("curation dedup state is watermark-bounded: closed windows evicted") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Split the documents into event-time-ordered files so the watermark
+    // advances between micro-batches; 60 s windows over doc_id-seconds
+    // event time mean each batch closes earlier windows.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id")
+    val srcDir = Files.createTempDirectory("graft_curation_src")
+    val nChunks = 5
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val step = maxId / nChunks + 1
+    (0 until nChunks).foreach { k =>
+      val tmp = Files.createTempDirectory(s"graft_chunk_$k").toString
+      docs.filter(col("doc_id") >= k * step && col("doc_id") < (k + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(srcDir.toString, f"chunk_$k%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1000000L + k * 1000L) // ascending mtimes
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val agg = StreamOps.curationDedup(src, "60 seconds", "0 seconds")
+    val name = s"stream_evict_${System.nanoTime}"
+    val ckpt = Files.createTempDirectory("graft_evict_ckpt").toString
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
+    val totalGroups = spark.table(name)
+      .select("bucket", "content_key").distinct().count()
+    assert(removed > 0, "watermark should evict closed-window dedup state")
+    assert(lastState < totalGroups,
+      s"final state ($lastState rows) must be smaller than the full key " +
+        s"space ($totalGroups groups) — otherwise nothing expired")
+  }
+
   test("custom state: running per-user count via mapGroupsWithState") {
     val ev = StreamOps.eventsStream(spark, sf)
       .select(col("user_id"), col("event_id"))

@@ -12,6 +12,12 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def arrow_decimal_cols(schema) -> set:
+    return {f.name for f in schema if pa.types.is_decimal(f.type)}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -46,11 +52,37 @@ def main():
         if not glob.glob(f"{spark_path}/*.parquet"):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            odf = con.execute(sql).df()
+            otab = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        sdf = pd.concat([pd.read_parquet(f) for f in
-                         sorted(glob.glob(f"{spark_path}/*.parquet"))])
+        odf = otab.to_pandas()
+        spark_files = sorted(glob.glob(f"{spark_path}/*.parquet"))
+        sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+        # The driver hashes TYPED values after canonicalizing DECIMAL to
+        # float64 (observed r07: decimal(p,s>0) vs spark DOUBLE passes;
+        # decimal(38,0) integer-sum vs spark BIGINT hash-mismatches).
+        # Mirror that: decimals become float64, then an int-vs-float kind
+        # split between the two sides is a driver failure even when the
+        # printed values are identical — no astype(str) smoothing there.
+        for c in arrow_decimal_cols(otab.schema):
+            odf[c] = odf[c].astype("float64")
+        kind_bad = []
+        for c in odf.columns:
+            if c not in sdf.columns:
+                continue
+            o_i = pd.api.types.is_integer_dtype(odf[c])
+            s_i = pd.api.types.is_integer_dtype(sdf[c])
+            o_f = pd.api.types.is_float_dtype(odf[c])
+            s_f = pd.api.types.is_float_dtype(sdf[c])
+            if (o_i and s_f) or (o_f and s_i):
+                kind_bad.append(
+                    f"{c}: oracle {'int' if o_i else 'float'} vs "
+                    f"spark {'int' if s_i else 'float'}")
+        if kind_bad:
+            print(f"FAIL {name}: int/float typing mismatch (driver hash "
+                  f"gate would fail): {'; '.join(kind_bad)} — cast the "
+                  f"oracle (e.g. CAST(sum(x) AS BIGINT) for integer sums)")
+            n_fail += 1; continue
         o, s = canon(odf), canon(sdf)
         if list(o.columns) != list(s.columns):
             print(f"FAIL {name}: cols oracle={list(o.columns)} spark={list(s.columns)}")
