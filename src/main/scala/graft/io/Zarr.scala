@@ -617,7 +617,7 @@ object Zarr {
     writeLongDF(rows, store, varName, m.dims, dimValues, m.chunks,
       kind = m.kind, size = m.size, compressor = m.compressor,
       fillValue = m.fillValue, dimIntegral = cm.integral, region = true,
-      zarrFormat = if (m.v3) 3 else 2)
+      zarrFormat = if (m.v3) 3 else 2, separator = Some(m.separator))
   }
 
   /** Consolidated metadata (`.zmetadata`, zarr v2 convention; the
@@ -789,16 +789,36 @@ object Zarr {
                   dimIntegral: Boolean = true,
                   region: Boolean = false,
                   zarrFormat: Int = 2,
-                  writeCoords: Boolean = true): Unit = {
+                  writeCoords: Boolean = true,
+                  separator: Option[String] = None): Unit = {
     val spark = df.sparkSession
+    // Coord vectors are driver-held and broadcast — metadata-scale by
+    // contract (mirrors NetCDF.writeDataset's maxCells). A billion-label
+    // dim would OOM the driver; fail loudly with the knob to raise.
+    val maxLabels = spark.conf.getOption("graft.zarr.maxCoordLabels")
+      .map(_.toLong).getOrElse(50000000L)
+    val nLabels = dimValues.map(_.length.toLong).sum
+    require(nLabels <= maxLabels,
+      s"$nLabels coordinate labels across ${dims.mkString(",")} exceed " +
+        s"the driver-side cap $maxLabels (set graft.zarr.maxCoordLabels " +
+        "to raise); dims this large need a chunked coord write path")
     val shape = dimValues.map(_.length)
     val isV3 = zarrFormat == 3
     // v2's default byte codec is raw zlib; v3's standard one is gzip
     val comp = compressor.map { case (id, lvl) =>
       if (isV3 && id == "zlib") ("gzip", lvl) else (id, lvl)
     }
+    // chunk-key separator: an explicit caller choice wins; a region write
+    // into an existing store MUST honour the store's declared separator
+    // (a "."-separated v3 store written with "/" keys would leave readers
+    // looking at c.i.j while we wrote c/i/j — silent stale data);
+    // otherwise the format default ("/" nested for v3, "." flat for v2).
+    val sep = separator
+      .orElse(if (region) Some(openMetaAny(spark, store, varName).separator)
+              else None)
+      .getOrElse(if (isV3) "/" else ".")
     val m = ArrayMeta(shape, chunks, '<', kind, size, comp, fillValue,
-      if (isV3) "/" else ".", dims, Map.empty, v3 = isV3)
+      sep, dims, Map.empty, v3 = isV3)
     if (!region) {
       // writeCoords=false: an additional variable of an already-initialised
       // store — skip the store/coord rewrite, still write THIS var's meta

@@ -226,9 +226,12 @@ object Dedup {
       .withColumn("island", sum(
         when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1)
           .otherwise(0)).over(w))
+    // localCheckpoint, not persist: eagerly materialised (spans are small),
+    // no CacheManager entry to leak — blocks are freed by the
+    // ContextCleaner once the returned frame is unreachable
     val merged = isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("s"), (max(col("p")) + gramLen).as("e"))
-      .persist()
+      .localCheckpoint()
     val w2 = Window.partitionBy("doc_id").orderBy("s")
     val segs = merged
       .select(col("doc_id"), lag(col("e"), 1, 0).over(w2).as("ks"),
@@ -393,31 +396,27 @@ object Dedup {
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     // The aggregate SILENTLY clamps to the runtime-join-pruning conf caps
     // (4M items / 8 MB bits by default) — a saturated filter would pass
-    // ~everything and quietly defeat the prefilter, so raise the caps for
-    // the build and restore them after.
+    // ~everything and quietly defeat the prefilter. Raise the caps on a
+    // CLONED session (isolated SQL conf, shared context + cache) and run
+    // the build there: concurrent queries on the caller's session keep
+    // their caps, and concurrent builds can't race each other's restores.
     val spark = reference.sparkSession
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.getOption(itemsKey)
-    val prevBits = spark.conf.getOption(bitsKey)
-    spark.conf.set(itemsKey, math.max(expectedItems, 4000000L))
-    spark.conf.set(bitsKey, math.max(numBits, 67108864L))
+    val build = GraftBridge.cloneSession(spark)
+    build.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(expectedItems, 4000000L))
+    build.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits, 67108864L))
     // the filter aggregates distributedly; only the finished bitset (KBs
     // to ~100s of MB, per numBits) returns to the driver and ships as a
     // plan literal — might_contain requires a CONSTANT bloom
-    val bloomBytes =
-      try reference.select(contentKey(col(text)).as("__k"))
-        .agg(GraftBridge.column(new BloomFilterAggregate(
-          GraftBridge.expression(xxhash64(col("__k"))),
-          GraftBridge.expression(lit(expectedItems)),
-          GraftBridge.expression(lit(numBits))).toAggregateExpression())
-          .as("__bloom"))
-        .collect()(0).getAs[Array[Byte]](0)
-      finally {
-        def restore(k: String, v: Option[String]): Unit =
-          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-        restore(itemsKey, prevItems); restore(bitsKey, prevBits)
-      }
+    val bloomBytes = GraftBridge.inSession(
+        reference.select(contentKey(col(text)).as("__k"))
+          .agg(GraftBridge.column(new BloomFilterAggregate(
+            GraftBridge.expression(xxhash64(col("__k"))),
+            GraftBridge.expression(lit(expectedItems)),
+            GraftBridge.expression(lit(numBits))).toAggregateExpression())
+            .as("__bloom")), build)
+      .collect()(0).getAs[Array[Byte]](0)
     candidates.withColumn("__ck", contentKey(col(text)))
       .filter(GraftBridge.column(BloomFilterMightContain(
         GraftBridge.expression(lit(bloomBytes)),
@@ -432,20 +431,24 @@ object Dedup {
     * inside each cluster drop every doc that has a LOWER-id doc with
     * cosine >= `threshold` — the keep-first greedy approximation, which is
     * one within-cluster self-join instead of a sequential scan. Returns
-    * the PRUNED rows: (id, cluster, max_cos to a surviving lower id).
+    * the PRUNED rows: (id, cluster, max_cos to a lower-id cluster member
+    * — greedy approximation: the neighbor may itself be pruned, so this
+    * prunes slightly more than true keep-first sequential SemDeDup).
     *
     * Scale: the self-join is quadratic per cluster, so k must scale with
     * the corpus (k ~ N/C bounds expected cluster population at C); the
     * cluster key partitions the join, so skew stays per-cluster. */
   def semDedup(vecs: DataFrame, id: String, vec: String,
                k: Int, iters: Int, threshold: Double): DataFrame = {
-    // persist: the Lloyd loop makes iters+2 passes (init collect, per-round
-    // assign+update, final assign) — without this each re-runs the
-    // normalization projection from the source scan
+    // localCheckpoint, not persist: the Lloyd loop makes iters+2 passes
+    // (init collect, per-round assign+update, final assign) — without
+    // materialisation each re-runs the normalization from the source
+    // scan; unlike persist there is no CacheManager entry to leak, the
+    // ContextCleaner frees blocks when the result goes unreachable
     val normed = vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv"))
-      .persist()
+      .localCheckpoint()
     val assigned = Cluster.kmeans(normed, id, "__nv", k, iters)
-      .select(col(id), col("__nv"), col("cluster")).persist()
+      .select(col(id), col("__nv"), col("cluster")).localCheckpoint()
     val lo = assigned.select(col("cluster"), col(id).as("id_a"),
       col("__nv").as("__va"))
     val hi = assigned.select(col("cluster"), col(id).as("id_b"),

@@ -31,12 +31,16 @@ object Packing {
                        sumCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(spark.sparkContext.defaultParallelism, 1)
+    // localCheckpoint: pins partition ids between the totals collect and
+    // the final join, eagerly (the collect runs next anyway), without a
+    // session-lifetime cache entry — ContextCleaner frees the blocks when
+    // the returned frame is dropped
     val ranged = df
       .withColumn("__v", valCol.cast(LongType))
       .repartitionByRange(p, orderCol)
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     // explicit ROWS frame: the default RANGE frame sums all PEERS of a
     // tied order value into every tied row, breaking the per-row running
     // total (ties then share arithmetic, not just arbitrary order)

@@ -159,10 +159,21 @@ object DataTree {
       val groupDir = if (path == "/") root else root + path
       val dims = ds.meta.dims
       // one coord-collect per dim per node; coords write with the FIRST
-      // variable only (writeCoords=false for the rest)
+      // variable only (writeCoords=false for the rest). The collect is
+      // capped (limit cap+1, then require) — coords are metadata-scale
+      // by contract and an unbounded distinct-collect would OOM the
+      // driver on a degenerate billion-label dim.
+      val maxLabels = spark.conf.getOption("graft.zarr.maxCoordLabels")
+        .map(_.toLong).getOrElse(50000000L)
       val dimValues = dims.map { d =>
-        ds.df.select(col(d).cast("double")).distinct().orderBy(col(d))
+        val vs = ds.df.select(col(d).cast("double")).distinct()
+          .orderBy(col(d))
+          .limit(math.min(maxLabels + 1, Int.MaxValue.toLong).toInt)
           .collect().map(_.getDouble(0))
+        require(vs.length <= maxLabels,
+          s"dim $d has more than $maxLabels distinct labels (driver-side" +
+            " cap; set graft.zarr.maxCoordLabels to raise)")
+        vs
       }
       val dimIntegral = dims.forall { d =>
         ds.df.schema(d).dataType.typeName match {

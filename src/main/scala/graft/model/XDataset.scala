@@ -70,6 +70,16 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   def dropSel(dim: String, values: Seq[Any]): XDataset =
     withDf(df.filter(!col(dim).isin(values: _*)))
 
+  /** Positional anti-selection (ref `drop_isel`, `dataset.py:6192`):
+    * drop the rows at the given positions along `dim`'s sort order —
+    * the position anti-filter over the same ordinals [[isel]] uses. */
+  def dropIsel(dim: String, positions: Seq[Long],
+               extraOrder: Seq[String] = Nil): XDataset = {
+    val pos = "__pos"
+    val ordered = Positions.zipWithIndex(df, (dim +: extraOrder).map(col), pos)
+    withDf(ordered.filter(!col(pos).isin(positions: _*)).drop(pos))
+  }
+
   // ---- positional selection (ref `dataset.py:2801` isel) -----------------
   /** `isel(dim, from until step)` — positions along `dim`'s sort order.
     * `extraOrder` breaks ties deterministically. */

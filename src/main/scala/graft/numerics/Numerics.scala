@@ -120,11 +120,18 @@ object Numerics {
             ((h1 + h2) / (h1 * h2)) * vP +
             (h1 / (h2 * (h1 + h2))) * vP2
         }
-        (coalesce(f2, first1), coalesce(l2, last1))
+        // fall back to the order-1 edge only when the series is too SHORT
+        // (second neighbor coord absent) — not when a value is null, which
+        // must propagate like numpy's NaN
+        (when(tN2.isNull, first1).otherwise(f2),
+         when(tP2.isNull, last1).otherwise(l2))
       }
-    when(vP.isNull && vN.isNull, lit(null).cast("double"))
-      .when(vP.isNull, first)
-      .when(vN.isNull, last)
+    // Series boundaries are where the neighbor COORD is absent; a null
+    // neighbor VALUE mid-series must yield null (numpy.gradient with NaN),
+    // not silently degrade to a one-sided stencil.
+    when(tP.isNull && tN.isNull, lit(null).cast("double"))
+      .when(tP.isNull, first)
+      .when(tN.isNull, last)
       .otherwise(interior)
   }
 

@@ -27,6 +27,16 @@ class XDatasetSpec extends SparkSpec {
     assert(ds.df.count() === 2)
   }
 
+  test("drop_isel: positional anti-filter (ref dataset.py:6192)") {
+    val ds = fixture.dropIsel("dim1", Seq(0L, 5L), extraOrder = Seq("dim2"))
+    assert(ds.df.count() === 10)
+    // complement of isel at the same positions: together they tile the rows
+    val kept = fixture.isel("dim1", 0, 1, extraOrder = Seq("dim2")).df
+      .union(fixture.isel("dim1", 5, 6, extraOrder = Seq("dim2")).df)
+    assert(ds.df.intersect(kept).count() === 0)
+    assert(ds.df.union(kept).distinct().count() === 12)
+  }
+
   test("whereMask keeps shape, nulls masked cells (ref common.py:1131)") {
     val m = fixture.whereMask(col("var1") > 5.0)
     assert(m.df.count() === 12)                       // shape preserved
