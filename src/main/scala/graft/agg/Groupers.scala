@@ -46,6 +46,85 @@ object Groupers {
       .when(month(t).isin(6, 7, 8), "JJA")
       .otherwise("SON")
 
+  // --- SeasonResampler (ref `groupers.py:874`) -------------------------
+
+  /** season_to_month_tuple (ref `groupers.py:682`): "DJFM" -> months
+    * (12,1,2,3). Single-letter seasons disambiguate via the NEXT season's
+    * first letter, exactly like the reference. */
+  def seasonMonths(seasons: Seq[String]): Seq[Seq[Int]] = {
+    val initials = "JFMAMJJASOND"
+    val wrapped = initials + "J"
+    val starts = (0 until 12)
+      .map(i => s"${wrapped(i)}${wrapped(i + 1)}" -> (i + 1)).toMap
+    val tuples = seasons.zipWithIndex.map { case (season, i) =>
+      val suffix =
+        if (season.length == 1)
+          (if (i < seasons.length - 1) seasons(i + 1) else seasons.head).head
+        else season(1)
+      val start = starts(s"${season.head}$suffix")
+      start +: (1 until season.length).map { k =>
+        val e = start + k; if (e > 12) e - 12 else e
+      }
+    }
+    // NOTE: overlap is allowed here (SeasonGrouper supports it); the
+    // RESAMPLER path rejects it in [[seasonLabel]], mirroring the split
+    // between `groupers.py:820` and `SeasonResampler.__post_init__:903`.
+    tuples
+  }
+
+  /** SeasonResampler group LABEL: timestamp(year, first month of season, 1)
+    * with the year WRAP — in a season containing "D" followed by more
+    * months (DJF), the months after December belong to DECEMBER's year, so
+    * Jan/Feb 2001 label 2000-12-01 (ref `groupers.py:940` "offset years
+    * for seasons with December and January"). Months in no season -> NULL. */
+  def seasonLabel(t: Column, seasons: Seq[String]): Column = {
+    val tuples = seasonMonths(seasons)
+    require(tuples.flatten.distinct.length == tuples.flatten.length,
+      s"Overlapping seasons are not allowed. Received $seasons")
+    val m = month(t)
+    tuples.zip(seasons).foldLeft(lit(null).cast("timestamp")) {
+      case (acc, (months, s)) =>
+        val idxD = s.indexOf('D')
+        val yr =
+          if (idxD >= 0 && idxD < s.length - 1) {
+            val afterDec = months.drop(idxD + 1)
+            when(m.isin(afterDec: _*), year(t) - 1).otherwise(year(t))
+          } else year(t)
+        when(m.isin(months: _*),
+          to_timestamp(format_string("%04d-%02d-01", yr, lit(months.head))))
+          .otherwise(acc)
+    }
+  }
+
+  /** Map a season label's month (= the season's FIRST month) to the
+    * season's LAST month — the drop_incomplete completeness test. */
+  def seasonLastMonth(labelMonth: Column, seasons: Seq[String]): Column =
+    seasonMonths(seasons).foldLeft(lit(null).cast("int")) { (acc, months) =>
+      when(labelMonth === months.head, lit(months.last)).otherwise(acc)
+    }
+
+  /** drop_incomplete (ref `groupers.py:1026`): remove the FIRST group when
+    * the data's earliest in-season month isn't that season's first month,
+    * and the LAST group when the latest month isn't its season's last —
+    * partial boundary seasons would otherwise masquerade as totals. One
+    * scalar min/max aggregate, broadcast back (no window, no collect of
+    * data rows). `lab` must be the [[seasonLabel]] column name in `df`. */
+  def seasonDropIncomplete(df: DataFrame, t: String, lab: String,
+                           seasons: Seq[String]): DataFrame = {
+    val b = df.filter(col(lab).isNotNull)
+      .agg(min(struct(col(t), col(lab))).as("f"),
+        max(struct(col(t), col(lab))).as("l"))
+      .select(
+        col("f").getField(t).as("__ft"), col("f").getField(lab).as("__fl"),
+        col("l").getField(t).as("__lt"), col("l").getField(lab).as("__ll"))
+    df.crossJoin(broadcast(b))
+      .filter(!(col(lab) === col("__fl") &&
+        month(col("__ft")) =!= month(col("__fl"))))
+      .filter(!(col(lab) === col("__ll") &&
+        month(col("__lt")) =!= seasonLastMonth(month(col("__ll")), seasons)))
+      .drop("__ft", "__fl", "__lt", "__ll")
+  }
+
   /** Reinstate empty groups: left join the aggregated result back onto the
     * full bucket table so empty buckets appear as NULL rows — matching
     * xarray's `full_index` re-index (`groupby.py:976` `_maybe_reindex`). */

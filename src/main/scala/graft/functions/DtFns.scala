@@ -92,6 +92,21 @@ object DtFns {
     timestamp_micros(m - pmod(m, lit(usPeriod)))
   }
 
+  // --- timedelta accessor components (ref `accessor_dt.py:660`
+  // TimedeltaAccessor): pandas decomposition of a POSITIVE duration in
+  // exact epoch-µs arithmetic — days, then seconds within the day, then
+  // microseconds within the second. ---
+  def tdMicrosBetween(a: Column, b: Column): Column =
+    unix_micros(a) - unix_micros(b)
+  def tdDays(us: Column): Column =
+    ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long")
+  def tdSeconds(us: Column): Column = {
+    val inDay = pmod(us, lit(86400000000L))
+    ((inDay - pmod(inDay, lit(1000000L))) / lit(1000000L)).cast("long")
+  }
+  def tdMicroseconds(us: Column): Column = pmod(us, lit(1000000L))
+  def tdTotalSeconds(us: Column): Column = us.cast("double") / 1e6
+
   // --- isocalendar (ref `accessor_dt.py:561`): ISO 8601 (year, week, day).
   // ISO year computed as the year of that week's Thursday, so it matches
   // isoyear() in any engine without week-based-year format patterns. ---

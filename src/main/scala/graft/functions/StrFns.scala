@@ -81,8 +81,10 @@ object StrFns {
     * at scale that's a separate distinct-agg pass feeding this. */
   def getDummies(c: Column, sep: String, vocab: Seq[String]): Column = {
     val toks = split(c, java.util.regex.Pattern.quote(sep))
+    // NA mode (`accessor_str.py:1048`): a null string dummies to all-0s,
+    // like pandas get_dummies on NaN — not to a null struct
     struct(vocab.map(v =>
-      array_contains(toks, v).cast("int").as(v)): _*)
+      coalesce(array_contains(toks, v), lit(false)).cast("int").as(v)): _*)
   }
 
   /** Greedy word-boundary line fill (textwrap.wrap with default
@@ -122,6 +124,32 @@ object StrFns {
 
   /** casefold ~ lower for the ASCII data this engine targets. */
   def casefold(c: Column): Column = lower(c)
+
+  /** Unicode normalization (`accessor_str.py:1879` normalize). */
+  def normalizeUnicode(c: Column, form: String): Column =
+    graft.exprs.MathExprs.unicodeNormalize(c, form)
+
+  /** istitle (`accessor_str.py:2899` family): every word starts upper,
+    * continues lower — expressed as the initcap fixed point. */
+  def isTitle(c: Column): Column =
+    c === initcap(c) && c.rlike("[A-Za-z]")
+
+  /** rsplit with maxsplit=1 (`accessor_str.py:2404` family): split on the
+    * LAST `sep`; pandas keeps a single element when `sep` is absent, so
+    * the tail slot is null then. Regex form keeps both engines identical. */
+  def rsplit1Head(c: Column, sep: String): Column = {
+    require(sep.length == 1, "rsplit1 supports single-char separators")
+    when(c.contains(sep),
+      regexp_extract(c, "^(.*)" + java.util.regex.Pattern.quote(sep) +
+        "([^" + java.util.regex.Pattern.quote(sep) + "]*)$", 1)).otherwise(c)
+  }
+  def rsplit1Tail(c: Column, sep: String): Column = {
+    require(sep.length == 1, "rsplit1 supports single-char separators")
+    when(c.contains(sep),
+      regexp_extract(c, "^(.*)" + java.util.regex.Pattern.quote(sep) +
+        "([^" + java.util.regex.Pattern.quote(sep) + "]*)$", 2))
+      .otherwise(lit(null).cast("string"))
+  }
 
   def isAlnum(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
 }

@@ -151,6 +151,127 @@ object QueriesFunctions {
           (col("o_orderkey") % 4 + 1).cast("int").as("ln"))
       li.selPoints(points, Map("l_orderkey" -> "ok", "l_linenumber" -> "ln"))
         .df.select(col("pt_id"), col("l_quantity"), col("l_returnflag"))
+    }),
+
+    // ufunc battery 3 — the float-special tail of `xarray/ufuncs.py`
+    // (copysign:201, ldexp:215, logaddexp:219, heaviside:212, hypot:213,
+    // nextafter:227, spacing:175, rint:180, signbit:182, fmax/fmin/fmod,
+    // float_power, isfinite/isinf/isnan, angle:242). libm outputs round
+    // to 8 dp at the source (cross-engine policy); nextafter/spacing are
+    // IEEE-exact bit steps, no rounding needed.
+    "q162_ufunc_battery3" -> ((s, dir) => {
+      import graft.exprs.MathExprs
+      val q = col("l_quantity")
+      Tables.lineitem(s, dir)
+        .withColumn("x", col("l_discount") - 0.05)
+        .withColumn("y",
+          when(q > 40, lit(Double.NaN))
+            .when(q > 25, lit(Double.PositiveInfinity)).otherwise(col("x")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("x") < 0, -q).otherwise(q).as("copysign_qx"),
+          (col("x") * pow(lit(2.0), col("l_linenumber"))).as("ldexp_xn"),
+          round(log(exp(col("x")) + exp(q / 10)), 8).as("logaddexp"),
+          round(log2(pow(lit(2.0), col("x")) + pow(lit(2.0), q / 10)), 8)
+            .as("logaddexp2"),
+          when(col("x") < 0, 0.0).when(col("x") === 0.0, 0.5)
+            .otherwise(1.0).as("heaviside_x"),
+          round(pow(q, 2.5), 4).as("float_power_q"),
+          greatest(col("x"), col("l_tax") - 0.04).as("fmax_xt"),
+          least(col("x"), col("l_tax") - 0.04).as("fmin_xt"),
+          (col("x") % 0.03).as("fmod_x"),
+          MathExprs.nextafter(col("x"), lit(1.0)).as("nextafter_x1"),
+          MathExprs.spacing(col("x")).as("spacing_x"),
+          bround(q / 7.0).as("rint_q7"),
+          (col("x") < 0).as("signbit_x"),
+          abs(col("x")).as("fabs_x"),
+          (col("x") * 100).cast("long").cast("double").as("trunc_x100"),
+          when(col("x") < 0, lit(3.14159265)).otherwise(0.0).as("angle_x"),
+          (!isnan(col("y")) && col("y") =!= Double.PositiveInfinity &&
+            col("y") =!= Double.NegativeInfinity).as("isfinite_y"),
+          (col("y") === Double.PositiveInfinity ||
+            col("y") === Double.NegativeInfinity).as("isinf_y"),
+          isnan(col("y")).as("isnan_y"))
+    }),
+
+    // ufunc battery 4 — the integer/bitwise/logical tail of
+    // `xarray/ufuncs.py` (gcd:211, lcm:214, bitwise_count:134,
+    // bitwise_invert, shifts, and/or/xor, logical_*, comparisons,
+    // maximum/minimum, isnat:168). All integer-exact — no float hazard.
+    "q163_ufunc_battery4" -> ((s, dir) => {
+      import graft.exprs.MathExprs
+      val pk = col("l_partkey"); val sk = col("l_suppkey")
+      val ln = col("l_linenumber").cast("long")
+      val a = col("l_quantity") > 25; val b = col("l_discount") > 0.05
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        MathExprs.gcd(pk % 120, sk % 120).as("gcd_ps"),
+        MathExprs.lcm(ln, lit(6L)).as("lcm_ln6"),
+        bit_count(pk).cast("long").as("bitcnt_pk"),
+        expr("~ CAST(l_linenumber AS BIGINT)").as("invert_ln"),
+        shiftleft(ln, 2).as("lshift_ln"),
+        shiftright(pk, 3).as("rshift_pk"),
+        pk.bitwiseAND(sk).as("band_ps"),
+        pk.bitwiseOR(sk).as("bor_ps"),
+        pk.bitwiseXOR(sk).as("bxor_ps"),
+        (a && b).as("land_ab"),
+        (a || b).as("lor_ab"),
+        (a =!= b).as("lxor_ab"),
+        (!a).as("lnot_a"),
+        greatest(pk % 100, sk % 100).as("maximum_ps"),
+        least(pk % 100, sk % 100).as("minimum_ps"),
+        (ln >= 4).as("ge_ln4"),
+        (ln < 4).as("lt_ln4"),
+        (pk % 2 === 0).as("eq_pk2"),
+        (pk % 2 =!= sk % 2).as("ne_psk"),
+        when(col("l_returnflag") === "N", lit(null).cast("timestamp"))
+          .otherwise(col("l_shipdate")).isNull.as("isnat_ship"))
+    }),
+
+    // .str accessor tail 2 (ref `accessor_str.py`: extractall:626 — the
+    // extra match dim becomes EXPLODED ROWS, the long-format analog of
+    // xarray's new dimension; translate:1840; normalize:1879; rsplit:2404;
+    // split n=2:2330; get(-1):283; istitle:2899; get_dummies NA mode:1048)
+    "q164_str_tail2" -> ((s, dir) => {
+      val p = col("p_name")
+      Tables.part(s, dir)
+        .select(col("p_partkey"), p,
+          posexplode_outer(StrFns.extractAll(p, "([a-z]+)o", 1)))
+        .select(
+          col("p_partkey"), col("p_name"), col("pos"), col("col").as("m"),
+          StrFns.translateS(p, "aeiou", "12345").as("devowel_map"),
+          StrFns.normalizeUnicode(concat(p, lit("e\u0301")), "NFC")
+            .as("nfc"),
+          StrFns.rsplit1Head(p, " ").as("rsplit_head"),
+          StrFns.rsplit1Tail(p, " ").as("rsplit_tail"),
+          regexp_extract(p, "^([^ ]*) ?([^ ]*) ?(.*)$", 1).as("sp0"),
+          regexp_extract(p, "^([^ ]*) ?([^ ]*) ?(.*)$", 2).as("sp1"),
+          regexp_extract(p, "^([^ ]*) ?([^ ]*) ?(.*)$", 3).as("sp2"),
+          p.substr(length(p), lit(1)).as("get_last"),
+          StrFns.isTitle(p).as("istitle_p"),
+          StrFns.isTitle(initcap(p)).as("istitle_cap"),
+          StrFns.getDummies(
+            when(col("p_partkey") % 10 === 0, lit(null).cast("string"))
+              .otherwise(p), " ", Seq("red", "olive"))
+            .getField("olive").as("dum_olive_na"))
+    }),
+
+    // .dt accessor tail 2 (ref `accessor_dt.py:660` TimedeltaAccessor
+    // components + days_in_year:271 family): duration since year start
+    // decomposed in exact epoch-µs arithmetic.
+    "q165_dt_tail2" -> ((s, dir) => {
+      val t = col("ts")
+      val us = DtFns.tdMicrosBetween(t, date_trunc("YEAR", t))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        DtFns.tdDays(us).as("td_days"),
+        DtFns.tdSeconds(us).as("td_seconds"),
+        DtFns.tdMicroseconds(us).as("td_micros"),
+        DtFns.tdTotalSeconds(us).as("td_total_sec"),
+        DtFns.daysInYear(t).cast("int").as("days_in_year"),
+        DtFns.isYearStart(t).as("y_start"),
+        DtFns.isYearEnd(t).as("y_end"),
+        DtFns.isQuarterEnd(t).as("q_end"))
     })
   )
 
@@ -272,6 +393,101 @@ object QueriesFunctions {
          FROM orders
          JOIN lineitem ON l_orderkey = o_orderkey
            AND l_linenumber = CAST(o_orderkey % 4 + 1 AS INT)
-         WHERE o_orderkey % 13 = 0"""
+         WHERE o_orderkey % 13 = 0""",
+    "q162_ufunc_battery3" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN x < 0 THEN -l_quantity ELSE l_quantity END AS copysign_qx,
+         x * pow(2.0, l_linenumber) AS ldexp_xn,
+         round(ln(exp(x) + exp(l_quantity / 10)), 8) AS logaddexp,
+         round(log2(pow(2.0, x) + pow(2.0, l_quantity / 10)), 8) AS logaddexp2,
+         CASE WHEN x < 0 THEN 0.0 WHEN x = 0.0 THEN 0.5 ELSE 1.0 END
+           AS heaviside_x,
+         round(pow(l_quantity, 2.5), 4) AS float_power_q,
+         greatest(x, l_tax - 0.04) AS fmax_xt,
+         least(x, l_tax - 0.04) AS fmin_xt,
+         x % 0.03 AS fmod_x,
+         nextafter(x, 1.0) AS nextafter_x1,
+         CASE WHEN x < 0 THEN nextafter(x, '-infinity'::DOUBLE) - x
+              ELSE nextafter(x, 'infinity'::DOUBLE) - x END AS spacing_x,
+         floor(l_quantity / 7.0 + 0.5) AS rint_q7,
+         x < 0 AS signbit_x,
+         abs(x) AS fabs_x,
+         trunc(x * 100) AS trunc_x100,
+         CASE WHEN x < 0 THEN 3.14159265 ELSE 0.0 END AS angle_x,
+         isfinite(y) AS isfinite_y,
+         isinf(y) AS isinf_y,
+         isnan(y) AS isnan_y
+         FROM (SELECT *, l_discount - 0.05 AS x,
+             CASE WHEN l_quantity > 40 THEN 'nan'::DOUBLE
+                  WHEN l_quantity > 25 THEN 'infinity'::DOUBLE
+                  ELSE l_discount - 0.05 END AS y
+           FROM lineitem)""",
+    "q163_ufunc_battery4" ->
+      """SELECT l_orderkey, l_linenumber,
+         gcd(l_partkey % 120, l_suppkey % 120) AS gcd_ps,
+         lcm(CAST(l_linenumber AS BIGINT), 6) AS lcm_ln6,
+         CAST(bit_count(l_partkey) AS BIGINT) AS bitcnt_pk,
+         ~ CAST(l_linenumber AS BIGINT) AS invert_ln,
+         CAST(l_linenumber AS BIGINT) << 2 AS lshift_ln,
+         l_partkey >> 3 AS rshift_pk,
+         l_partkey & l_suppkey AS band_ps,
+         l_partkey | l_suppkey AS bor_ps,
+         xor(l_partkey, l_suppkey) AS bxor_ps,
+         (l_quantity > 25 AND l_discount > 0.05) AS land_ab,
+         (l_quantity > 25 OR l_discount > 0.05) AS lor_ab,
+         ((l_quantity > 25) <> (l_discount > 0.05)) AS lxor_ab,
+         NOT (l_quantity > 25) AS lnot_a,
+         greatest(l_partkey % 100, l_suppkey % 100) AS maximum_ps,
+         least(l_partkey % 100, l_suppkey % 100) AS minimum_ps,
+         CAST(l_linenumber AS BIGINT) >= 4 AS ge_ln4,
+         CAST(l_linenumber AS BIGINT) < 4 AS lt_ln4,
+         l_partkey % 2 = 0 AS eq_pk2,
+         l_partkey % 2 <> l_suppkey % 2 AS ne_psk,
+         (CASE WHEN l_returnflag = 'N' THEN NULL
+               ELSE l_shipdate END) IS NULL AS isnat_ship
+         FROM lineitem""",
+    "q164_str_tail2" ->
+      """WITH e AS (SELECT *,
+             regexp_extract_all(p_name, '([a-z]+)o', 1) AS ms
+           FROM part)
+         SELECT p_partkey, p_name,
+           CAST(t.i - 1 AS INT) AS pos, ms[t.i] AS m,
+           translate(p_name, 'aeiou', '12345') AS devowel_map,
+           nfc_normalize(p_name || 'e' || chr(769)) AS nfc,
+           CASE WHEN contains(p_name, ' ')
+                THEN regexp_extract(p_name, '^(.*) ([^ ]*)$', 1)
+                ELSE p_name END AS rsplit_head,
+           CASE WHEN contains(p_name, ' ')
+                THEN regexp_extract(p_name, '^(.*) ([^ ]*)$', 2)
+                ELSE NULL END AS rsplit_tail,
+           regexp_extract(p_name, '^([^ ]*) ?([^ ]*) ?(.*)$', 1) AS sp0,
+           regexp_extract(p_name, '^([^ ]*) ?([^ ]*) ?(.*)$', 2) AS sp1,
+           regexp_extract(p_name, '^([^ ]*) ?([^ ]*) ?(.*)$', 3) AS sp2,
+           substr(p_name, length(p_name), 1) AS get_last,
+           false AS istitle_p,
+           true AS istitle_cap,
+           CASE WHEN p_partkey % 10 = 0 THEN 0
+                WHEN list_contains(string_split(p_name, ' '), 'olive')
+                THEN 1 ELSE 0 END AS dum_olive_na
+         FROM e LEFT JOIN LATERAL
+           unnest(generate_series(1, greatest(len(ms), 0))) AS t(i) ON true""",
+    "q165_dt_tail2" ->
+      """WITH d AS (SELECT event_id,
+             epoch_us(ts) - epoch_us(date_trunc('year', ts)) AS us, ts
+           FROM events)
+         SELECT event_id,
+           (us - us % 86400000000) // 86400000000 AS td_days,
+           (us % 86400000000 - us % 86400000000 % 1000000) // 1000000
+             AS td_seconds,
+           us % 1000000 AS td_micros,
+           CAST(us AS DOUBLE) / 1e6 AS td_total_sec,
+           CAST(CASE WHEN (year(ts) % 4 = 0 AND year(ts) % 100 <> 0)
+                       OR year(ts) % 400 = 0 THEN 366 ELSE 365 END AS INT)
+             AS days_in_year,
+           dayofyear(ts) = 1 AS y_start,
+           (month(ts) = 12 AND day(ts) = 31) AS y_end,
+           (day(ts) = day(last_day(ts::DATE))
+             AND month(ts) IN (3, 6, 9, 12)) AS q_end
+         FROM d"""
   )
 }

@@ -24,6 +24,30 @@ object QueriesGroupBy {
       Groupers.reinstate(buckets, monthly, "month")
     }),
 
+    // SeasonResampler (ref `groupers.py:874`): season-year groups with the
+    // DJF year WRAP (Jan/Feb count into the previous year's December
+    // season), drop_incomplete boundary trimming, and empty-season
+    // reinstatement from the generated full index. The sparse filter
+    // guarantees empty season-years so the reinstatement is exercised.
+    "q166_season_resample" -> ((s, dir) => {
+      val seasons = Seq("DJF", "MAM", "JJA", "SON")
+      val src = Tables.orders(s, dir).filter(col("o_orderkey") % 997 === 0)
+        .withColumn("slab", Groupers.seasonLabel(col("o_orderdate"), seasons))
+      val kept = Groupers.seasonDropIncomplete(
+        src, "o_orderdate", "slab", seasons)
+      val agged = kept.groupBy(col("slab"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("rev"))
+      val bounds = agged.agg(min("slab").as("lo"), max("slab").as("hi"))
+      val grid = s.sql(
+        """SELECT explode(sequence(timestamp'1990-01-01 00:00:00',
+             timestamp'2000-12-01 00:00:00', interval 1 month)) AS slab""")
+        .filter(month(col("slab")).isin(12, 3, 6, 9))
+        .crossJoin(broadcast(bounds))
+        .filter(col("slab") >= col("lo") && col("slab") <= col("hi"))
+        .select("slab")
+      Groupers.reinstate(grid, agged, "slab")
+    }),
+
     // SeasonGrouper DJF/MAM/JJA/SON (ref `groupers.py:801`)
     "q18_season_groupby" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -175,6 +199,34 @@ object QueriesGroupBy {
              count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
            FROM orders GROUP BY 1) o ON b.month = o.month""",
+    "q166_season_resample" ->
+      """WITH src AS (SELECT o_orderdate AS t, o_totalprice,
+             month(o_orderdate) AS m, year(o_orderdate) AS y
+           FROM orders WHERE o_orderkey % 997 = 0),
+         lab AS (SELECT *, CASE
+             WHEN m IN (12,1,2) THEN make_timestamp(
+               CASE WHEN m IN (1,2) THEN y-1 ELSE y END, 12, 1, 0, 0, 0)
+             WHEN m IN (3,4,5) THEN make_timestamp(y, 3, 1, 0, 0, 0)
+             WHEN m IN (6,7,8) THEN make_timestamp(y, 6, 1, 0, 0, 0)
+             ELSE make_timestamp(y, 9, 1, 0, 0, 0) END AS slab
+           FROM src),
+         b AS (SELECT arg_min(slab, t) AS fl, min(t) AS ft,
+                      arg_max(slab, t) AS ll, max(t) AS lt FROM lab),
+         kept AS (SELECT lab.* FROM lab, b
+           WHERE NOT (slab = fl AND month(ft) <> month(fl))
+             AND NOT (slab = ll AND month(lt) <> CASE month(ll)
+               WHEN 12 THEN 2 WHEN 3 THEN 5 WHEN 6 THEN 8 ELSE 11 END)),
+         agged AS (SELECT slab, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM kept GROUP BY 1),
+         bounds AS (SELECT min(slab) AS lo, max(slab) AS hi FROM agged),
+         grid AS (SELECT generate_series AS slab
+           FROM generate_series(TIMESTAMP '1990-01-01',
+             TIMESTAMP '2000-12-01', INTERVAL 1 MONTH), bounds
+           WHERE month(generate_series) IN (12, 3, 6, 9)
+             AND generate_series BETWEEN lo AND hi)
+         SELECT g.slab, n, rev
+         FROM grid g LEFT JOIN agged a ON g.slab = a.slab""",
     "q18_season_groupby" ->
       """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'DJF'
                      WHEN month(o_orderdate) IN (3,4,5) THEN 'MAM'
