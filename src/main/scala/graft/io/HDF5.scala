@@ -1,0 +1,996 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal netCDF-4 (HDF5 container) reader + fixture writer — the
+  * missing-most-often real-data entry point (reference engine
+  * `backends/netCDF4_.py:680`, `backends/h5netcdf_.py`; every structure
+  * below is from the public "HDF5 File Format Specification Version
+  * 2.0/3.0", https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html).
+  *
+  * Bounded scope, mirroring the classic-CDF parser next door:
+  *  - superblock v0 AND v2/v3 (scanned at the spec's 0/512/1024/... offsets)
+  *  - v1 object headers (+ continuations) and v2 "OHDR" headers
+  *  - old-style groups (v1 B-tree + SNOD + local heap) and v2 COMPACT
+  *    groups (link messages); dense fractal-heap groups are rejected
+  *    with a clear error
+  *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
+  *    contiguous and chunked (v1 chunk B-tree) layouts, deflate filter
+  *  - attributes: fixed-size strings/numbers, and vlen-of-object-reference
+  *    via the global heap — exactly what netCDF-4's DIMENSION_LIST needs
+  *  - netCDF-4 dimension model: datasets attributed
+  *    CLASS="DIMENSION_SCALE" are dims; data variables map their axes
+  *    through the DIMENSION_LIST references (netcdf-c docs, "NetCDF-4
+  *    Format" dimension-scale convention)
+  *
+  * The writer emits the same subset (superblock v0, dimension scales,
+  * DIMENSION_LIST, chunked+deflate) so the roundtrip exercises every
+  * reader path; it is the fixture/export path, bulk data goes to parquet.
+  *
+  * 100 TB shape: like [[NetCDF.toLongDF]] — .nc4 files are bounded
+  * self-describing binaries; the converter decodes them one-per-task via
+  * the binaryFile source, with only a driver-side header parse for schema. */
+object HDF5 {
+
+  private val UNDEF = -1L // 0xFFFFFFFFFFFFFFFF
+  private val SIG = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+    .map(_.toByte)
+
+  // ------------------------------------------------------------------
+  // model
+  // ------------------------------------------------------------------
+
+  /** Datatype subset: fixed-point / float / string / reference / vlen. */
+  case class DType(clazz: Int, size: Int, littleEndian: Boolean,
+                   signed: Boolean, base: Option[DType] = None)
+
+  sealed trait Layout
+  case class Contiguous(addr: Long, size: Long) extends Layout
+  case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+
+  case class Attr(name: String, text: String = null,
+                  nums: Array[Double] = null, refs: Array[Long] = null)
+
+  case class DatasetMetaH5(name: String, addr: Long, shape: Seq[Long],
+                           dtype: DType, layout: Layout, deflate: Boolean,
+                           attrs: Seq[Attr]) {
+    def attr(n: String): Option[Attr] = attrs.find(_.name == n)
+    def isDimScale: Boolean =
+      attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
+  }
+
+  case class H5File(datasets: Seq[DatasetMetaH5]) {
+    def byName(n: String): DatasetMetaH5 = datasets.find(_.name == n)
+      .getOrElse(throw new NoSuchElementException(n))
+    def byAddr(a: Long): Option[DatasetMetaH5] = datasets.find(_.addr == a)
+    /** netCDF-4 dims: dimension-scale datasets (name -> length). */
+    def dims: Seq[(String, Long)] =
+      datasets.filter(_.isDimScale).map(d => d.name -> d.shape.head)
+    /** A variable's dim names via its DIMENSION_LIST references. */
+    def varDims(v: DatasetMetaH5): Seq[String] =
+      v.attr("DIMENSION_LIST") match {
+        case Some(a) if a.refs != null =>
+          a.refs.toSeq.map(r => byAddr(r).getOrElse(sys.error(
+            s"DIMENSION_LIST of ${v.name} references unknown object $r"))
+            .name)
+        case _ => sys.error(s"${v.name} has no DIMENSION_LIST " +
+          "(only dimension-scale-attributed netCDF-4 files are supported)")
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // reader
+  // ------------------------------------------------------------------
+
+  private def buf(bytes: Array[Byte], pos: Long, len: Int): ByteBuffer = {
+    val b = ByteBuffer.wrap(bytes, pos.toInt, len)
+    b.order(ByteOrder.LITTLE_ENDIAN); b
+  }
+
+  /** Superblock scan per spec: byte 0, then 512, 1024, ... */
+  private def findSuperblock(bytes: Array[Byte]): Long = {
+    def sigAt(off: Long): Boolean =
+      off + 8 <= bytes.length &&
+        (0 until 8).forall(i => bytes(off.toInt + i) == SIG(i))
+    if (sigAt(0)) 0L
+    else Iterator.iterate(512L)(_ * 2).takeWhile(_ < bytes.length)
+      .find(sigAt)
+      .getOrElse(sys.error("not an HDF5 file (no superblock signature)"))
+  }
+
+  /** Parse the file: returns every dataset reachable from the root group. */
+  def parseFile(bytes: Array[Byte]): H5File = {
+    val sb = findSuperblock(bytes)
+    val ver = bytes(sb.toInt + 8) & 0xff
+    val rootEntries: Seq[(String, Long)] = ver match {
+      case 0 | 1 =>
+        val b = buf(bytes, sb + 8, 88)
+        b.get() // superblock version
+        b.get(); b.get(); b.get(); b.get() // freespace/root/reserved/shm vers
+        val offSz = b.get() & 0xff; val lenSz = b.get() & 0xff
+        require(offSz == 8 && lenSz == 8,
+          s"only 8-byte offsets/lengths supported (got $offSz/$lenSz)")
+        b.get() // reserved
+        b.getShort(); b.getShort() // group leaf/internal k
+        b.getInt() // consistency flags
+        b.getLong() // base address
+        b.getLong() // free space
+        b.getLong() // eof
+        b.getLong() // driver info
+        // root group symbol table entry
+        b.getLong() // link name offset
+        val rootOH = b.getLong()
+        b.getInt(); b.getInt() // cache type + reserved
+        val btreeAddr = b.getLong(); val heapAddr = b.getLong()
+        // the root OH's symbol-table message repeats btree/heap; trust the
+        // cached entry (same data) and walk it
+        val _ = rootOH
+        walkGroupV1(bytes, btreeAddr, heapAddr)
+      case 2 | 3 =>
+        val b = buf(bytes, sb + 8, 40)
+        b.get() // version
+        val offSz = b.get() & 0xff; val lenSz = b.get() & 0xff
+        require(offSz == 8 && lenSz == 8, "only 8-byte offsets/lengths")
+        b.get() // consistency flags
+        b.getLong() // base address
+        b.getLong() // superblock extension
+        b.getLong() // eof
+        val rootOH = b.getLong()
+        val msgs = parseObjectHeader(bytes, rootOH)
+        val links = msgs.collect { case m if m.typ == 0x06 =>
+          parseLinkMessage(m.body) }
+        if (links.isEmpty && msgs.exists(_.typ == 0x02))
+          sys.error("dense (fractal-heap) groups are not supported — " +
+            "write with earliest-compatible libver (compact links)")
+        links
+      case v => sys.error(s"unsupported superblock version $v")
+    }
+    H5File(rootEntries.map { case (name, addr) =>
+      parseDataset(bytes, name, addr) })
+  }
+
+  /** v1 group: B-tree (node type 0) over SNOD symbol nodes + local heap. */
+  private def walkGroupV1(bytes: Array[Byte], btreeAddr: Long,
+                          heapAddr: Long): Seq[(String, Long)] = {
+    // local heap: "HEAP" v0, data segment size/free-list/data address
+    val hb = buf(bytes, heapAddr, 32)
+    require(hb.get() == 'H' && hb.get() == 'E' && hb.get() == 'A' &&
+      hb.get() == 'P', "bad local heap signature")
+    hb.get(); hb.get(); hb.get(); hb.get() // version + reserved
+    hb.getLong() // data segment size
+    hb.getLong() // free list head
+    val heapData = hb.getLong()
+    def heapName(off: Long): String = {
+      var i = (heapData + off).toInt; val sb = new StringBuilder
+      while (bytes(i) != 0) { sb.append(bytes(i).toChar); i += 1 }
+      sb.toString
+    }
+    def walkNode(addr: Long): Seq[(String, Long)] = {
+      val b = buf(bytes, addr, 24)
+      require(b.get() == 'T' && b.get() == 'R' && b.get() == 'E' &&
+        b.get() == 'E', "bad group B-tree signature")
+      val nodeType = b.get() & 0xff; val level = b.get() & 0xff
+      require(nodeType == 0, s"expected group B-tree, got type $nodeType")
+      val used = b.getShort() & 0xffff
+      b.getLong(); b.getLong() // siblings
+      // keys are heap offsets (8), children are addresses (8), interleaved
+      val kb = buf(bytes, addr + 24, (used * 2 + 1) * 8)
+      val childAddrs = (0 until used).map { _ =>
+        kb.getLong() // key i (heap offset of the lowest name — unused)
+        kb.getLong() // child i
+      }
+      childAddrs.flatMap { child =>
+        if (level > 0) walkNode(child)
+        else { // SNOD
+          val s = buf(bytes, child, 8)
+          require(s.get() == 'S' && s.get() == 'N' && s.get() == 'O' &&
+            s.get() == 'D', "bad symbol node signature")
+          s.get(); s.get() // version + reserved
+          val n = s.getShort() & 0xffff
+          (0 until n).map { i =>
+            val e = buf(bytes, child + 8 + i * 40L, 40)
+            val nameOff = e.getLong(); val oh = e.getLong()
+            (heapName(nameOff), oh)
+          }
+        }
+      }
+    }
+    walkNode(btreeAddr)
+  }
+
+  private case class Msg(typ: Int, body: Array[Byte])
+
+  /** Object header messages, v1 (with continuations) or v2 "OHDR". */
+  private def parseObjectHeader(bytes: Array[Byte], addr: Long): Seq[Msg] = {
+    if (bytes(addr.toInt) == 'O' && bytes(addr.toInt + 1) == 'H') {
+      // v2: OHDR
+      val b = buf(bytes, addr, 16)
+      b.get(); b.get(); b.get(); b.get() // "OHDR"
+      require(b.get() == 2, "OHDR version")
+      val flags = b.get() & 0xff
+      if ((flags & 0x20) != 0) { b.getInt(); b.getInt(); b.getInt(); b.getInt() }
+      if ((flags & 0x10) != 0) { b.getShort(); b.getShort() }
+      val szBytes = 1 << (flags & 0x3)
+      val chunk0 = szBytes match {
+        case 1 => b.get() & 0xffL
+        case 2 => b.getShort() & 0xffffL
+        case 4 => b.getInt() & 0xffffffffL
+        case 8 => b.getLong()
+      }
+      val start = addr + (b.position() - addr.toInt)
+      parseV2Messages(bytes, start, chunk0, (flags & 0x4) != 0)
+    } else {
+      // v1
+      val b = buf(bytes, addr, 16)
+      require(b.get() == 1, "v1 object header version")
+      b.get() // reserved
+      val nmsg = b.getShort() & 0xffff
+      b.getInt() // ref count
+      val hdrSize = b.getInt() & 0xffffffffL
+      // messages start 8-aligned (prefix is 16 bytes with padding)
+      var out = Vector.empty[Msg]
+      var blocks = List((addr + 16, hdrSize))
+      var remaining = nmsg
+      while (remaining > 0 && blocks.nonEmpty) {
+        val (bAddr, bSize) = blocks.head; blocks = blocks.tail
+        var p = bAddr
+        val end = bAddr + bSize
+        while (remaining > 0 && p + 8 <= end) {
+          val mb = buf(bytes, p, 8)
+          val typ = mb.getShort() & 0xffff
+          val size = mb.getShort() & 0xffff
+          mb.get(); mb.get(); mb.get(); mb.get() // flags + reserved
+          val body = java.util.Arrays.copyOfRange(
+            bytes, (p + 8).toInt, (p + 8 + size).toInt)
+          if (typ == 0x10) { // continuation
+            val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            blocks = blocks :+ ((cb.getLong(), cb.getLong()))
+          } else out :+= Msg(typ, body)
+          remaining -= 1
+          p += 8 + size
+        }
+      }
+      out
+    }
+  }
+
+  /** v2 message stream (chunk 0 body; OCHK continuations). */
+  private def parseV2Messages(bytes: Array[Byte], start: Long, size: Long,
+                              creationOrder: Boolean): Seq[Msg] = {
+    var out = Vector.empty[Msg]
+    var blocks = List((start, size, false))
+    while (blocks.nonEmpty) {
+      val (bAddr, bSize, isCont) = blocks.head; blocks = blocks.tail
+      var p = bAddr + (if (isCont) 4 else 0) // skip OCHK signature
+      val end = bAddr + bSize - 4 // gap-free files: checksum at the end
+      while (p + 4 <= end) {
+        val mb = buf(bytes, p, 8)
+        val typ = mb.get() & 0xff
+        val size = mb.getShort() & 0xffff
+        mb.get() // flags
+        val hdr = if (creationOrder) { 6 } else 4
+        if (creationOrder) buf(bytes, p + 4, 2).getShort()
+        val body = java.util.Arrays.copyOfRange(
+          bytes, (p + hdr).toInt, (p + hdr + size).toInt)
+        if (typ == 0x10) {
+          val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+          blocks = blocks :+ ((cb.getLong(), cb.getLong(), true))
+        } else out :+= Msg(typ, body)
+        p += hdr + size
+      }
+    }
+    out
+  }
+
+  /** Link message (v2 groups): hard links only. */
+  private def parseLinkMessage(body: Array[Byte]): (String, Long) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 1, "link message version")
+    val flags = b.get() & 0xff
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xff else 0
+    require(linkType == 0, s"only hard links supported (type $linkType)")
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen: Long = (flags & 0x3) match {
+      case 0 => b.get() & 0xffL
+      case 1 => b.getShort() & 0xffffL
+      case 2 => b.getInt() & 0xffffffffL
+      case 3 => b.getLong()
+    }
+    val name = new Array[Byte](nameLen.toInt); b.get(name)
+    (new String(name, "UTF-8"), b.getLong())
+  }
+
+  private def parseDType(b: ByteBuffer): DType = {
+    val cv = b.get() & 0xff
+    val clazz = cv & 0xf
+    val b0 = b.get() & 0xff; val b1 = b.get() & 0xff; b.get()
+    val size = b.getInt()
+    clazz match {
+      case 0 => // fixed point: props bitoffset(2) precision(2)
+        b.getShort(); b.getShort()
+        DType(0, size, littleEndian = (b0 & 1) == 0, signed = (b0 & 8) != 0)
+      case 1 => // float: props 12 bytes
+        b.getShort(); b.getShort(); b.get(); b.get(); b.get(); b.get()
+        b.getInt()
+        DType(1, size, littleEndian = (b0 & 1) == 0, signed = true)
+      case 3 => // string
+        DType(3, size, littleEndian = true, signed = false)
+      case 7 => // reference
+        DType(7, size, littleEndian = true, signed = false)
+      case 9 => // vlen: base type follows
+        val base = parseDType(b)
+        DType(9, size, littleEndian = true, signed = false, Some(base))
+      case c => sys.error(s"unsupported datatype class $c")
+    }
+  }
+
+  private def parseDataspace(b: ByteBuffer): Seq[Long] = {
+    val ver = b.get() & 0xff
+    val rank = b.get() & 0xff
+    val flags = b.get() & 0xff
+    if (ver == 1) { b.get(); b.getInt() } // reserved(5)
+    else b.get() // v2: type
+    val dims = (0 until rank).map(_ => b.getLong())
+    val _ = flags
+    dims
+  }
+
+  /** GCOL global heap object lookup (for vlen attribute values). */
+  private def gheapObject(bytes: Array[Byte], collection: Long,
+                          index: Int): Array[Byte] = {
+    val b = buf(bytes, collection, 16)
+    require(b.get() == 'G' && b.get() == 'C' && b.get() == 'O' &&
+      b.get() == 'L', "bad global heap signature")
+    b.get(); b.get(); b.get(); b.get() // version + reserved
+    val collSize = b.getLong()
+    var p = collection + 16
+    val end = collection + collSize
+    while (p + 16 <= end) {
+      val ob = buf(bytes, p, 16)
+      val idx = ob.getShort() & 0xffff
+      ob.getShort(); ob.getInt() // refcount + reserved
+      val size = ob.getLong()
+      if (idx == 0) return sys.error(s"global heap object $index not found")
+      if (idx == index)
+        return java.util.Arrays.copyOfRange(
+          bytes, (p + 16).toInt, (p + 16 + size).toInt)
+      val padded = (size + 7) / 8 * 8
+      p += 16 + padded
+    }
+    sys.error(s"global heap object $index not found")
+  }
+
+  private def parseAttr(bytes: Array[Byte], body: Array[Byte]): Attr = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = b.get() & 0xff
+    require(ver == 1 || ver == 3, s"attribute message version $ver")
+    val flags = if (ver == 3) { b.get() & 0xff } else { b.get(); 0 }
+    require(flags == 0, "shared attribute datatypes not supported")
+    val nameSize = b.getShort() & 0xffff
+    val dtSize = b.getShort() & 0xffff
+    val dsSize = b.getShort() & 0xffff
+    if (ver == 3) b.get() // name charset
+    def pad8(n: Int): Int = if (ver == 1) (n + 7) / 8 * 8 else n
+    val name = new String(body, b.position(), nameSize, "UTF-8")
+      .takeWhile(_ != 0)
+    var p = b.position() + pad8(nameSize)
+    val dt = parseDType(
+      ByteBuffer.wrap(body, p, dtSize).order(ByteOrder.LITTLE_ENDIAN))
+    p += pad8(dtSize)
+    val shape = parseDataspace(
+      ByteBuffer.wrap(body, p, dsSize).order(ByteOrder.LITTLE_ENDIAN))
+    p += pad8(dsSize)
+    val n = shape.product.max(1L).toInt
+    dt.clazz match {
+      case 3 =>
+        Attr(name, text = new String(body, p, dt.size, "UTF-8")
+          .takeWhile(_ != 0))
+      case 0 | 1 =>
+        val db = ByteBuffer.wrap(body, p, n * dt.size)
+          .order(if (dt.littleEndian) ByteOrder.LITTLE_ENDIAN
+                 else ByteOrder.BIG_ENDIAN)
+        Attr(name, nums = Array.fill(n)(readScalar(db, dt)))
+      case 9 if dt.base.exists(_.clazz == 7) =>
+        // vlen of object references: per element 4-byte count + 12-byte
+        // global heap ID; each heap object holds `count` 8-byte addresses
+        val db = ByteBuffer.wrap(body, p, n * 16)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val refs = (0 until n).flatMap { _ =>
+          val cnt = db.getInt()
+          val coll = db.getLong(); val idx = db.getInt()
+          val data = gheapObject(bytes, coll, idx)
+          val rb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until cnt).map(_ => rb.getLong())
+        }
+        Attr(name, refs = refs.toArray)
+      case _ => Attr(name) // unsupported payload: keep the name only
+    }
+  }
+
+  private def readScalar(b: ByteBuffer, dt: DType): Double = dt.clazz match {
+    case 1 => if (dt.size == 4) b.getFloat().toDouble else b.getDouble()
+    case 0 => dt.size match {
+      case 1 => val v = b.get(); if (dt.signed) v.toDouble else (v & 0xff).toDouble
+      case 2 => val v = b.getShort(); if (dt.signed) v.toDouble else (v & 0xffff).toDouble
+      case 4 => val v = b.getInt(); if (dt.signed) v.toDouble else (v & 0xffffffffL).toDouble
+      case 8 => b.getLong().toDouble
+    }
+    case c => sys.error(s"non-numeric scalar class $c")
+  }
+
+  private def parseDataset(bytes: Array[Byte], name: String,
+                           addr: Long): DatasetMetaH5 = {
+    val msgs = parseObjectHeader(bytes, addr)
+    var shape: Seq[Long] = Nil
+    var dtype: DType = null
+    var layout: Layout = null
+    var deflate = false
+    val attrs = Vector.newBuilder[Attr]
+    msgs.foreach { m =>
+      val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+      m.typ match {
+        case 0x01 => shape = parseDataspace(b)
+        case 0x03 => dtype = parseDType(b)
+        case 0x08 =>
+          val ver = b.get() & 0xff
+          require(ver == 3, s"only layout message v3 supported (got $ver)")
+          val cls = b.get() & 0xff
+          layout = cls match {
+            case 1 => Contiguous(b.getLong(), b.getLong())
+            case 2 =>
+              val rank = b.get() & 0xff
+              val btree = b.getLong()
+              val cd = (0 until rank).map(_ => b.getInt())
+              Chunked(btree, cd.init) // last entry = element size
+            case 0 => sys.error("compact layout not supported")
+          }
+        case 0x0B =>
+          val ver = b.get() & 0xff
+          val nf = b.get() & 0xff
+          if (ver == 1) { b.getShort(); b.getInt() }
+          (0 until nf).foreach { _ =>
+            val id = b.getShort() & 0xffff
+            if (id == 1) deflate = true
+          }
+        case 0x0C => attrs += parseAttr(bytes, m.body)
+        case _ => ()
+      }
+    }
+    require(dtype != null && layout != null,
+      s"dataset $name lacks datatype/layout")
+    DatasetMetaH5(name, addr, shape, dtype, layout, deflate, attrs.result())
+  }
+
+  /** Decode a dataset to a dense row-major Double array. */
+  def readVar(bytes: Array[Byte], f: H5File, name: String): Array[Double] = {
+    val d = f.byName(name)
+    val n = d.shape.product.toInt
+    val out = new Array[Double](n)
+    def decodeInto(raw: Array[Byte], chunkOrigin: Seq[Long],
+                   chunkDims: Seq[Int]): Unit = {
+      val db = ByteBuffer.wrap(raw)
+        .order(if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+               else ByteOrder.BIG_ENDIAN)
+      val strides = d.shape.scanRight(1L)(_ * _).tail
+      val cElems = chunkDims.map(_.toLong).product.toInt
+      val cStrides = chunkDims.scanRight(1)(_ * _).tail
+      var i = 0
+      while (i < cElems) {
+        val gIdx = chunkDims.indices.map { k =>
+          chunkOrigin(k) + (i / cStrides(k)) % chunkDims(k) }
+        val v = readScalar(db, d.dtype)
+        // edge chunks run past the shape; those cells are padding
+        if (gIdx.indices.forall(k => gIdx(k) < d.shape(k)))
+          out(gIdx.indices.map(k => (gIdx(k) * strides(k)).toInt).sum) = v
+        i += 1
+      }
+    }
+    d.layout match {
+      case Contiguous(addr, size) =>
+        require(addr != UNDEF, s"$name has no allocated data")
+        decodeInto(java.util.Arrays.copyOfRange(
+          bytes, addr.toInt, (addr + size).toInt),
+          d.shape.map(_ => 0L), d.shape.map(_.toInt))
+      case Chunked(btree, chunkDims) =>
+        def walk(addr: Long): Unit = {
+          val b = buf(bytes, addr, 24)
+          require(b.get() == 'T' && b.get() == 'R' && b.get() == 'E' &&
+            b.get() == 'E', "bad chunk B-tree signature")
+          require((b.get() & 0xff) == 1, "expected raw-data chunk B-tree")
+          val level = b.get() & 0xff
+          val used = b.getShort() & 0xffff
+          b.getLong(); b.getLong()
+          // key: chunk size(4) + filter mask(4) + (rank+1) offsets(8)
+          val keySize = 8 + (chunkDims.length + 1) * 8
+          var p = addr + 24
+          (0 until used).foreach { _ =>
+            val kb = buf(bytes, p, keySize)
+            val chunkBytes = kb.getInt()
+            kb.getInt() // filter mask
+            val origin = chunkDims.indices.map(_ => kb.getLong())
+            kb.getLong() // trailing element offset
+            val child = buf(bytes, p + keySize, 8).getLong()
+            if (level > 0) walk(child)
+            else {
+              val raw0 = java.util.Arrays.copyOfRange(
+                bytes, child.toInt, child.toInt + chunkBytes)
+              val raw = if (d.deflate) inflate(raw0,
+                chunkDims.map(_.toLong).product.toInt * d.dtype.size) else raw0
+              decodeInto(raw, origin, chunkDims)
+            }
+            p += keySize + 8
+          }
+        }
+        walk(btree)
+    }
+    out
+  }
+
+  private def inflate(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (!inf.finished() && off < expected)
+      off += inf.inflate(out, off, expected - off)
+    inf.end()
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // distributed converter (mirror of NetCDF.toLongDF)
+  // ------------------------------------------------------------------
+
+  /** Open a directory of .nc4/.h5 files as ONE long-format DataFrame for
+    * `varName`: a column per netCDF-4 dimension (the dimension-scale's
+    * values) plus the value column. Schema from one driver-side parse;
+    * decode runs in the executors (one task per file). */
+  def toLongDF(spark: SparkSession, dir: String, varName: String): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
+        || f.getName.endsWith(".nc")).sortBy(_.getName)
+    require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
+    val f0 = parseFile(Files.readAllBytes(files.head.toPath))
+    val v0 = f0.byName(varName)
+    val dimNames = f0.varDims(v0)
+    val fields = dimNames.map { dn =>
+      val ds = f0.byName(dn)
+      StructField(dn,
+        if (ds.dtype.clazz == 0) LongType else DoubleType)
+    } :+ StructField(varName,
+      if (v0.dtype.clazz == 0) LongType else DoubleType)
+    val schema = StructType(fields)
+    val varNameL = varName
+    val binary = spark.read.format("binaryFile")
+      .load(files.map(_.getAbsolutePath): _*)
+      .select("content")
+    val rdd = binary.rdd.flatMap { row =>
+      val bytes = row.getAs[Array[Byte]](0)
+      val f = parseFile(bytes)
+      val v = f.byName(varNameL)
+      val dns = f.varDims(v)
+      val sizes = v.shape.map(_.toInt)
+      val coords = dns.map(dn => readVar(bytes, f, dn))
+      val coordIntegral = dns.map(dn => f.byName(dn).dtype.clazz == 0)
+      val data = readVar(bytes, f, varNameL)
+      val strides = sizes.scanRight(1)(_ * _).tail
+      val valIntegral = v.dtype.clazz == 0
+      data.indices.iterator.map { flat =>
+        val idx = sizes.indices.map(k => (flat / strides(k)) % sizes(k))
+        val coordVals: Seq[Any] = idx.zipWithIndex.map { case (i, k) =>
+          if (coordIntegral(k)) coords(k)(i).toLong else coords(k)(i)
+        }
+        val value: Any =
+          if (valIntegral) data(flat).toLong else data(flat)
+        Row.fromSeq(coordVals :+ value)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Converter job: .nc4 directory -> partitioned parquet. */
+  def convert(spark: SparkSession, inDir: String, varName: String,
+              outDir: String, chunkCols: Seq[String] = Nil): Unit =
+    Store.write(toLongDF(spark, inDir, varName), outDir, chunkCols)
+
+  // ------------------------------------------------------------------
+  // writer (fixture/export path: superblock v0, dimension scales,
+  // DIMENSION_LIST, contiguous or chunked+deflate)
+  // ------------------------------------------------------------------
+
+  /** Writer-side variable: `dims` by index into `dimDefs`; data row-major
+    * doubles; f64 unless `f32`; chunked+deflate when `chunk` is set. */
+  case class WVar(name: String, dims: Seq[Int], data: Array[Double],
+                  chunk: Option[Seq[Int]] = None, f32: Boolean = false,
+                  integral: Boolean = false)
+
+  def writeNc4(path: String, dimDefs: Seq[(String, Array[Double])],
+               vars: Seq[WVar], deflateLevel: Int = 1): Unit = {
+    val out = new growable()
+    out.bytes(SIG)
+    // ---- layout plan: superblock(96) | heap hdr(32) | heap data |
+    // btree(~) | snod | gcol(4096) | per-object: OH, then raw data ----
+    val dimVars = dimDefs.zipWithIndex.map { case ((n, vals), k) =>
+      WVar(n, Seq(k), vals, None, f32 = false,
+        integral = vals.forall(v => v == math.rint(v) && math.abs(v) < 1e15))
+    }
+    val all = (dimVars ++ vars).sortBy(_.name)
+    // local heap data: "" at 0, then names
+    val nameOff = scala.collection.mutable.Map.empty[String, Long]
+    var hOff = 8L
+    all.foreach { v =>
+      nameOff(v.name) = hOff
+      hOff += (v.name.length + 1 + 7) / 8 * 8
+    }
+    val heapDataSize = hOff
+    val superEnd = 96L
+    val heapHdr = superEnd
+    val heapData = heapHdr + 32
+    val btreeAddr = heapData + heapDataSize
+    val btreeSize = 24L + (1 * 2 + 1) * 8
+    val snodAddr = btreeAddr + btreeSize
+    val snodSize = 8L + all.length * 40L
+    val gcolAddr = snodAddr + snodSize
+    val gcolSize = 4096L
+    // object headers + data, assigned sequentially after the heap block
+    var cursor = gcolAddr + gcolSize
+    val ohAddr = scala.collection.mutable.Map.empty[String, Long]
+    val dataAddr = scala.collection.mutable.Map.empty[String, Long]
+    val chunkAddrs = scala.collection.mutable.Map.empty[String,
+      Seq[(Seq[Long], Long, Int)]] // (origin, addr, storedBytes)
+    val chunkBlobs = scala.collection.mutable.Map.empty[String,
+      Seq[Array[Byte]]]
+    val btreeOf = scala.collection.mutable.Map.empty[String, Long]
+    // precompute encoded payloads
+    def elemSize(v: WVar): Int = elemSizeOf(v)
+    def encode(v: WVar, slice: Array[Double]): Array[Byte] = {
+      val eb = ByteBuffer.allocate(slice.length * elemSize(v))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      slice.foreach { x =>
+        if (v.integral) eb.putLong(x.toLong)
+        else if (v.f32) eb.putFloat(x.toFloat)
+        else eb.putDouble(x) }
+      eb.array()
+    }
+    def shapeOf(v: WVar): Seq[Int] =
+      v.dims.map(k => dimDefs(k)._2.length)
+    all.foreach { v =>
+      val ohSize = ohSizeOf(v, dimDefs)
+      ohAddr(v.name) = cursor
+      cursor += ohSize
+      v.chunk match {
+        case None =>
+          dataAddr(v.name) = cursor
+          cursor += shapeOf(v).map(_.toLong).product * elemSize(v)
+        case Some(cd) =>
+          val shape = shapeOf(v)
+          val strides = shape.scanRight(1)(_ * _).tail
+          val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
+          val gridIdx = cartesian(grid.map(g => (0 until g).toSeq))
+          val blobs = gridIdx.map { gi =>
+            val origin = gi.zip(cd).map { case (g, c) => g.toLong * c }
+            val cElems = cd.product
+            val cStrides = cd.scanRight(1)(_ * _).tail
+            val slice = Array.tabulate(cElems) { i =>
+              val idx = cd.indices.map(k => origin(k) + (i / cStrides(k)) % cd(k))
+              if (idx.indices.forall(k => idx(k) < shape(k)))
+                v.data(idx.indices.map(k => (idx(k) * strides(k)).toInt).sum)
+              else 0.0
+            }
+            val enc = encode(v, slice)
+            (origin, deflateBytes(enc, deflateLevel))
+          }
+          chunkBlobs(v.name) = blobs.map(_._2)
+          chunkAddrs(v.name) = blobs.map { case (origin, blob) =>
+            val a = cursor; cursor += blob.length
+            (origin, a, blob.length)
+          }
+          btreeOf(v.name) = cursor
+          cursor += 24L + blobs.length * (8 + (cd.length + 1) * 8 + 8) +
+            (8 + (cd.length + 1) * 8) // final key
+      }
+    }
+    val eof = cursor
+    // ---- emit ----
+    // superblock v0
+    out.u8(0); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u8(8); out.u8(8); out.u8(0)
+    out.u16(4); out.u16(16); out.u32(0)
+    out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(UNDEF)
+    // root group symbol table entry: the cache-type-1 scratch carries the
+    // group B-tree + heap addresses, which is what every reader (ours
+    // included) actually walks; the root OH address is left undefined —
+    // the bounded-writer contract, documented for external tools.
+    out.u64(0); out.u64(UNDEF)
+    out.u32(1); out.u32(0)
+    out.u64(btreeAddr); out.u64(heapHdr)
+    require(out.size == 96, s"superblock size ${out.size}")
+    // local heap
+    out.bytes("HEAP".getBytes); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u64(heapDataSize); out.u64(1L); out.u64(heapData)
+    // heap data: empty string slot then names
+    val heapBytes = new Array[Byte](heapDataSize.toInt)
+    all.foreach { v =>
+      val off = nameOff(v.name).toInt
+      val nb = v.name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, heapBytes, off, nb.length)
+    }
+    out.bytes(heapBytes)
+    // group B-tree: one leaf with one SNOD child
+    out.bytes("TREE".getBytes); out.u8(0); out.u8(0); out.u16(1)
+    out.u64(UNDEF); out.u64(UNDEF)
+    out.u64(0) // key 0: offset of "" (lowest)
+    out.u64(snodAddr)
+    out.u64(nameOff(all.last.name)) // key 1: greatest name
+    // SNOD
+    out.bytes("SNOD".getBytes); out.u8(1); out.u8(0); out.u16(all.length)
+    all.foreach { v =>
+      out.u64(nameOff(v.name)); out.u64(ohAddr(v.name))
+      out.u32(0); out.u32(0); out.u64(0); out.u64(0)
+    }
+    // global heap: one object per variable with a DIMENSION_LIST, each
+    // holding ONE object reference (one heap object per (var, axis))
+    val gIndex = scala.collection.mutable.Map.empty[(String, Int), Int]
+    var gi = 1
+    vars.foreach { v => v.dims.indices.foreach { k =>
+      gIndex((v.name, k)) = gi; gi += 1 } }
+    val gcol = ByteBuffer.allocate(gcolSize.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    gcol.put('G'.toByte); gcol.put('C'.toByte); gcol.put('O'.toByte)
+    gcol.put('L'.toByte); gcol.put(1.toByte)
+    gcol.put(0.toByte); gcol.put(0.toByte); gcol.put(0.toByte)
+    gcol.putLong(gcolSize)
+    vars.foreach { v => v.dims.indices.foreach { k =>
+      gcol.putShort(gIndex((v.name, k)).toShort)
+      gcol.putShort(1.toShort); gcol.putInt(0)
+      gcol.putLong(8L)
+      gcol.putLong(ohAddr(dimDefs(v.dims(k))._1))
+    } }
+    // free-space object (index 0): size = rest of collection incl. header
+    val freeStart = gcol.position()
+    gcol.putShort(0.toShort); gcol.putShort(0.toShort); gcol.putInt(0)
+    gcol.putLong(gcolSize - freeStart)
+    out.bytes(gcol.array())
+    // objects
+    all.foreach { v =>
+      out.bytes(renderOH(v, shapeOf(v), elemSize(v), dataAddr.get(v.name),
+        btreeOf.get(v.name), deflateLevel, dimDefs, gcolAddr, gIndex))
+      v.chunk match {
+        case None =>
+          out.bytes(encode(v, v.data))
+        case Some(cd) =>
+          chunkBlobs(v.name).foreach(out.bytes)
+          // chunk B-tree leaf
+          val entries = chunkAddrs(v.name)
+          out.bytes("TREE".getBytes); out.u8(1); out.u8(0)
+          out.u16(entries.length)
+          out.u64(UNDEF); out.u64(UNDEF)
+          entries.foreach { case (origin, addr, stored) =>
+            out.u32(stored); out.u32(0)
+            origin.foreach(out.u64); out.u64(0)
+            out.u64(addr)
+          }
+          // final key: offsets just past the last chunk row
+          out.u32(0); out.u32(0)
+          shapeOf(v).zip(cd).foreach { case (s, c) =>
+            out.u64(((s + c - 1) / c).toLong * c) }
+          out.u64(0)
+      }
+    }
+    require(out.size == eof, s"layout drift: ${out.size} vs planned $eof")
+    Files.write(Paths.get(path), out.result())
+  }
+
+  private def cartesian(axes: Seq[Seq[Int]]): Seq[Seq[Int]] =
+    axes.foldLeft(Seq(Seq.empty[Int])) { (acc, ax) =>
+      acc.flatMap(pfx => ax.map(pfx :+ _)) }
+
+  private def deflateBytes(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) {
+      val n = d.deflate(buf); bos.write(buf, 0, n)
+    }
+    d.end(); bos.toByteArray
+  }
+
+  // ---- v1 object header rendering --------------------------------------
+
+  private def msg(typ: Int, body: Array[Byte]): Array[Byte] = {
+    val padded = (body.length + 7) / 8 * 8
+    val b = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(typ.toShort); b.putShort(padded.toShort)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.put(body)
+    b.array()
+  }
+
+  private def dataspaceBody(shape: Seq[Int]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + shape.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(shape.length.toByte); b.put(1.toByte)
+    b.put(0.toByte); b.putInt(0)
+    shape.foreach(s => b.putLong(s.toLong))
+    shape.foreach(s => b.putLong(s.toLong)) // maxdims = dims
+    b.array()
+  }
+
+  private def dtypeBody(elemSize: Int, integral: Boolean): Array[Byte] = {
+    val b = ByteBuffer.allocate(if (integral) 12 else 20)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if (integral) { // fixed-point, LE, signed
+      b.put(0x10.toByte); b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putInt(elemSize)
+      b.putShort(0.toShort); b.putShort((elemSize * 8).toShort)
+    } else { // IEEE float, LE
+      b.put(0x11.toByte); b.put(0x20.toByte)
+      b.put((if (elemSize == 4) 31 else 63).toByte); b.put(0.toByte)
+      b.putInt(elemSize)
+      b.putShort(0.toShort); b.putShort((elemSize * 8).toShort)
+      if (elemSize == 4) { b.put(23.toByte); b.put(8.toByte)
+        b.put(0.toByte); b.put(23.toByte); b.putInt(127) }
+      else { b.put(52.toByte); b.put(11.toByte)
+        b.put(0.toByte); b.put(52.toByte); b.putInt(1023) }
+    }
+    b.array()
+  }
+
+  private def fillBody(): Array[Byte] =
+    Array[Byte](2, 2, 2, 0) // v2, alloc late, write late, undefined
+
+  private def scalarStrAttrBody(name: String, value: String): Array[Byte] = {
+    val nb = name.getBytes("UTF-8") :+ 0.toByte
+    val vb = value.getBytes("UTF-8") :+ 0.toByte
+    val dt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x13.toByte); dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(vb.length)
+    val ds = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    ds.put(1.toByte); ds.put(0.toByte); ds.put(0.toByte); ds.put(0.toByte)
+    ds.putInt(0)
+    attrBody(nb, dt.array(), ds.array(), vb)
+  }
+
+  private def dimListAttrBody(v: WVar, gcolAddr: Long,
+                              gIndex: ((String, Int)) => Int): Array[Byte] = {
+    val nb = "DIMENSION_LIST".getBytes("UTF-8") :+ 0.toByte
+    // vlen(sequence) of object references: base type class 7 size 8
+    val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x19.toByte); dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(16)
+    dt.put(0x17.toByte); dt.put(0.toByte); dt.put(0.toByte); dt.put(0.toByte)
+    dt.putInt(8)
+    val ds = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    ds.put(1.toByte); ds.put(1.toByte); ds.put(0.toByte); ds.put(0.toByte)
+    ds.putInt(0)
+    ds.putLong(v.dims.length.toLong)
+    val data = ByteBuffer.allocate(v.dims.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    v.dims.indices.foreach { k =>
+      data.putInt(1); data.putLong(gcolAddr); data.putInt(gIndex((v.name, k)))
+    }
+    attrBody(nb, dt.array(), ds.array(), data.array())
+  }
+
+  private def attrBody(name: Array[Byte], dt: Array[Byte], ds: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    def p8(n: Int) = (n + 7) / 8 * 8
+    val b = ByteBuffer.allocate(8 + p8(name.length) + p8(dt.length) +
+      p8(ds.length) + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(name.length.toShort)
+    b.putShort(dt.length.toShort); b.putShort(ds.length.toShort)
+    b.put(name); b.position(8 + p8(name.length))
+    b.put(dt); b.position(8 + p8(name.length) + p8(dt.length))
+    b.put(ds); b.position(8 + p8(name.length) + p8(dt.length) + p8(ds.length))
+    b.put(data)
+    b.array()
+  }
+
+  private def layoutBodyContig(addr: Long, size: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(1.toByte); b.putLong(addr); b.putLong(size)
+    b.array()
+  }
+
+  private def layoutBodyChunked(btree: Long, chunk: Seq[Int],
+                                elemSize: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(11 + (chunk.length + 1) * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(2.toByte); b.put((chunk.length + 1).toByte)
+    b.putLong(btree)
+    chunk.foreach(b.putInt); b.putInt(elemSize)
+    b.array()
+  }
+
+  private def pipelineBody(level: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(1.toByte)
+    b.putShort(0.toShort); b.putInt(0)
+    b.putShort(1.toShort) // deflate
+    b.putShort(0.toShort) // name length
+    b.putShort(1.toShort) // flags: optional
+    b.putShort(1.toShort) // one client value
+    b.putInt(level); b.putInt(0) // value + pad to 8
+    b.array()
+  }
+
+  private def messagesOf(v: WVar, shape: Seq[Int], elemSize: Int,
+                         dataAddr: Option[Long], btree: Option[Long],
+                         level: Int, dimDefs: Seq[(String, Array[Double])],
+                         gcolAddr: Long,
+                         gIndex: ((String, Int)) => Int): Seq[Array[Byte]] = {
+    val isDim = v.dims.length == 1 &&
+      dimDefs.exists(_._1 == v.name)
+    val base = Seq(
+      msg(0x01, dataspaceBody(shape)),
+      msg(0x03, dtypeBody(elemSize, v.integral)),
+      msg(0x05, fillBody()),
+      v.chunk match {
+        case None => msg(0x08, layoutBodyContig(dataAddr.get,
+          shape.map(_.toLong).product * elemSize))
+        case Some(cd) => msg(0x08, layoutBodyChunked(btree.get, cd, elemSize))
+      })
+    val filters = if (v.chunk.isDefined)
+      Seq(msg(0x0B, pipelineBody(level))) else Nil
+    val attrs =
+      if (isDim) Seq(
+        msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),
+        msg(0x0C, scalarStrAttrBody("NAME", v.name)))
+      else Seq(msg(0x0C, dimListAttrBody(v, gcolAddr, gIndex)))
+    base ++ filters ++ attrs
+  }
+
+  private def elemSizeOf(v: WVar): Int =
+    if (v.integral) 8 else if (v.f32) 4 else 8
+
+  /** Rendered header size — MUST agree with [[renderOH]], so it renders
+    * the same message set with dummy addresses (sizes are
+    * address-independent). */
+  private def ohSizeOf(v: WVar,
+                       dimDefs: Seq[(String, Array[Double])]): Long = {
+    val shape = v.dims.map(_ => 1)
+    val msgs = messagesOf(v, shape, elemSizeOf(v), Some(0L), Some(0L), 1,
+      dimDefs, 0L, _ => 1)
+    16L + msgs.map(_.length.toLong).sum
+  }
+
+  private def renderOH(v: WVar, shape: Seq[Int], elemSize: Int,
+                       dataAddr: Option[Long], btree: Option[Long],
+                       level: Int, dimDefs: Seq[(String, Array[Double])],
+                       gcolAddr: Long,
+                       gIndex: ((String, Int)) => Int): Array[Byte] = {
+    val msgs = messagesOf(v, shape, elemSize, dataAddr, btree, level,
+      dimDefs, gcolAddr, gIndex)
+    val total = msgs.map(_.length).sum
+    val b = ByteBuffer.allocate(16 + total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(msgs.length.toShort)
+    b.putInt(1) // ref count
+    b.putInt(total)
+    b.putInt(0) // pad to 8-aligned message start
+    msgs.foreach(b.put)
+    b.array()
+  }
+
+  /** tiny growable byte sink */
+  private final class growable {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def bytes(a: Array[Byte]): Unit = bos.write(a)
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def u64(v: Long): Unit = (0 until 8).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def size: Long = bos.size().toLong
+    def result(): Array[Byte] = bos.toByteArray
+  }
+}

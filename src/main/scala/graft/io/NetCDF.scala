@@ -21,9 +21,9 @@ import org.apache.spark.sql.types._
   * data") widens EVERY NON_NEG field (numrecs, name lengths, dim lengths,
   * nelems counts, dimids, vsize) to INT64 and adds the 64-bit types.
   * Scope: fixed-size (non-record) variables; attributes parsed and
-  * skipped. netCDF-4 (HDF5 container) is a documented NON-GOAL — those
-  * files go through an external converter job (ncks/nccopy to classic),
-  * see README.
+  * skipped. netCDF-4 (HDF5 container) files are handled by the bounded
+  * native reader in [[HDF5]]; exotic HDF5 features route through an
+  * external converter job (ncks/nccopy to classic), see README.
   *
   * 100 TB shape: .nc files are bounded self-describing binaries, so the
   * convert job reads a directory with Spark's `binaryFile` source (one
@@ -242,7 +242,7 @@ object NetCDF {
       "not a netCDF classic file")
     val version = buf.get()
     require(version == 1 || version == 2 || version == 5,
-      s"unsupported CDF version $version (netCDF-4/HDF5 needs the converter job)")
+      s"unsupported CDF version $version (netCDF-4/HDF5 files go through graft.io.HDF5)")
     // NON_NEG: INT for CDF-1/2, INT64 for CDF-5 (grammar rule)
     def nonNeg(): Long = if (version == 5) buf.getLong() else buf.getInt().toLong
     // OFFSET: INT for CDF-1, INT64 for CDF-2/5

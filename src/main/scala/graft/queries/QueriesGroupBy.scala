@@ -24,6 +24,25 @@ object QueriesGroupBy {
       Groupers.reinstate(buckets, monthly, "month")
     }),
 
+    // Categorical dictionary encoding (SURVEY §1.3; ref
+    // `core/extension_array.py`): the string var becomes (code, dict
+    // table); the groupBy runs ON THE INT CODE (narrow shuffle key) and
+    // the dictionary label joins back only at the edge — results must
+    // equal plain-string grouping. Nulls take the pandas NaN code -1.
+    "q167_categorical" -> ((s, dir) => {
+      import graft.model.Categorical
+      val src = Tables.customer(s, dir).withColumn("seg",
+        when(col("c_custkey") % 50 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")))
+      val dict = Categorical.dictionary(src, "seg")
+      val enc = Categorical.encode(src, "seg", dict, "seg_code")
+      val agged = enc.groupBy("seg_code")
+        .agg(count(lit(1)).as("n"), exactSum(col("c_acctbal")).as("sum_bal"))
+        .withColumn("code", col("seg_code"))
+      Categorical.decode(agged, dict, "seg_code", "label")
+        .select("code", "label", "n", "sum_bal")
+    }),
+
     // SeasonResampler (ref `groupers.py:874`): season-year groups with the
     // DJF year WRAP (Jan/Feb count into the previous year's December
     // season), drop_incomplete boundary trimming, and empty-season
@@ -199,6 +218,17 @@ object QueriesGroupBy {
              count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
            FROM orders GROUP BY 1) o ON b.month = o.month""",
+    "q167_categorical" ->
+      """WITH src AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+               ELSE c_mktsegment END AS label, c_acctbal
+           FROM customer)
+         SELECT CASE WHEN label IS NULL THEN -1
+             ELSE CAST(dense_rank() OVER (ORDER BY label NULLS LAST) - 1
+               AS BIGINT) END AS code,
+           label, n, sum_bal
+         FROM (SELECT label, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+           FROM src GROUP BY 1)""",
     "q166_season_resample" ->
       """WITH src AS (SELECT o_orderdate AS t, o_totalprice,
              month(o_orderdate) AS m, year(o_orderdate) AS y

@@ -541,6 +541,28 @@ object QueriesMore {
         .select("time", "lat", "temp")
     }),
 
+    // netCDF-4 / HDF5 engine (ref `backends/netCDF4_.py:680`,
+    // `backends/h5netcdf_.py`): write a dimension-scale .nc4 fixture
+    // (chunked + deflate, edge chunks, DIMENSION_LIST via the global
+    // heap), then the distributed binaryFile read -> parquet convert.
+    // The reader walks the real HDF5 structures — superblock, v1 group
+    // B-tree, chunk B-tree, filter pipeline — not a replay of the writer.
+    "q168_netcdf4_roundtrip" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_nc4_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("time" -> Array.tabulate(6)(_.toDouble),
+          "lat" -> Array.tabulate(5)(_ * 0.5)),
+        Seq(HDF5.WVar("temp", Seq(0, 1),
+          (for (t <- 0 until 6; l <- 0 until 5)
+            yield t * 100.0 + l * 1.5).toArray,
+          chunk = Some(Seq(4, 2)))))
+      HDF5.convert(s, base, "temp", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet")
+        .select("time", "lat", "temp")
+    }),
+
     // same converter pipeline through a CDF-5 container (64-bit sizes,
     // INT64 variable): proves the version-5 header/offset path end to end
     "q115b_netcdf_cdf5" -> ((s, dir) => {
@@ -851,6 +873,13 @@ object QueriesMore {
     // closed-form fixture grid regenerated independently of the .nc path
     "q115_netcdf_roundtrip" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    // netCDF-4 (HDF5) roundtrip: the same closed-form grid, regenerated
+    // independently of the HDF5 codec (lat is a FLOAT coord: 0.5 steps)
+    "q168_netcdf4_roundtrip" ->
+      """SELECT t.t AS time, l.l * 0.5 AS lat,
+           t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
     "q115b_netcdf_cdf5" ->

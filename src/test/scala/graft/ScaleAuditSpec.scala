@@ -53,7 +53,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q124_interp_calendar" -> "generated 120-date grid cross 4 event types",
     "q128_qcut" -> "broadcast of the 1-row quantile-boundary aggregate",
     "q140_interp_2d" -> ("generated 9x9 probe grid + probe-x cross grid-y " +
-      "lines (both driver-bounded axes; the orthogonal-interp contract)"))
+      "lines (both driver-bounded axes; the orthogonal-interp contract)"),
+    "q166_season_resample" -> ("broadcast of two 1-row scalar aggregates " +
+      "(drop_incomplete bounds + kept-label bounds) and the generated " +
+      "season-label grid (~45 rows)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
