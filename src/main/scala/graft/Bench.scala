@@ -39,6 +39,9 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
+        // operators persist() intermediates scoped to one query; drop them
+        // here so cache memory never accumulates across the 184-query run
+        spark.catalog.clearCache()
         if (!ok) System.err.println(s"[bench] $name FAILED")
         name -> (if (ok) Some(secs) else None)
       }.toMap

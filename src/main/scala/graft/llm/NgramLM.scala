@@ -36,12 +36,14 @@ object NgramLM {
     * Returns (id, n_bigrams, avg_nll); docs with < 2 tokens drop out. */
   def bigramPerplexity(corpus: DataFrame, id: String, text: String,
                        alpha: Double = 0.5): DataFrame = {
-    // localCheckpoint (eager, ContextCleaner-scoped) instead of persist:
-    // three downstream consumers, no session-lifetime cache entry
+    // persist: three downstream consumers + the count() action below;
+    // callers clearCache() per query so the entry is query-scoped (an
+    // eager localCheckpoint here forced an extra blocking job — measured
+    // regression on the perplexity query)
     val docBi = corpus
       .select(col(id), explode(bigrams(col(text))).as("bg"))
       .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biCounts = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
     // vocabulary = distinct context tokens (the smoothing denominator's V)
@@ -69,7 +71,7 @@ object Tfidf {
     import org.apache.spark.sql.expressions.Window
     val tokd = corpus
       .select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("term"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = tokd.groupBy(col(id)).agg(count(lit(1)).as("len"))
     val tf = tokd.groupBy(col(id), col("term")).agg(count(lit(1)).as("tc"))
     val n = docLen.count()

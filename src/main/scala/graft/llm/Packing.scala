@@ -31,16 +31,18 @@ object Packing {
                        sumCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(spark.sparkContext.defaultParallelism, 1)
-    // localCheckpoint: pins partition ids between the totals collect and
-    // the final join, eagerly (the collect runs next anyway), without a
-    // session-lifetime cache entry — ContextCleaner frees the blocks when
-    // the returned frame is dropped
+    // persist pins partition ids between the totals collect and the final
+    // join (the collect materialises the cache; the join reads it).
+    // Callers (Bench/Verify) clearCache() per query, so the entry is
+    // query-scoped, not session-lifetime. An eager localCheckpoint here
+    // cost an extra blocking job and cut the plan off from AQE (measured
+    // 2-4× on the packing queries).
     val ranged = df
       .withColumn("__v", valCol.cast(LongType))
       .repartitionByRange(p, orderCol)
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explicit ROWS frame: the default RANGE frame sums all PEERS of a
     // tied order value into every tied row, breaking the per-row running
     // total (ties then share arithmetic, not just arbitrary order)

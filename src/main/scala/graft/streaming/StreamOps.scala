@@ -15,20 +15,26 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** The events parquet as a stream (schema pinned; ns timestamps read as
-    * long and truncated to µs exactly like the batch path in Tables). */
+  /** The events parquet as a stream. The stream source needs a pinned
+    * schema, so probe the batch footer first: old testdata drops carry
+    * TIMESTAMP(NANOS) `ts` (readable only as INT64 via the legacy flag —
+    * truncate to µs like the batch path in Tables); current drops carry
+    * TIMESTAMP(MICROS), read natively. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file stream source requires a directory; select just the events
     // table out of the testdata dir with a glob
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** The documents table as a file stream — the entry point of a STREAMING
