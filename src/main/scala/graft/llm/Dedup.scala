@@ -215,10 +215,24 @@ object Dedup {
                            gramLen: Int, stride: Int,
                            minDocs: Int = 2): DataFrame = {
     val grams = windowGrams(docs, id, text, gramLen, stride)
-    val dupKeys = grams.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs).select("h")
-    val dup = grams.join(dupKeys, "h").select("doc_id", "p")
+    // minDocs == 2 ("shared by ANY other doc", the default and the q156
+    // shape) needs no distinct count: a gram hash is duplicated iff its
+    // h-group spans more than one doc_id, i.e. min(doc_id) != max(doc_id)
+    // over the h-window. ONE shuffle with O(1) window state (skew-safe on
+    // boilerplate grams), replacing the two-shuffle distinct agg + join
+    // back onto grams that re-ran the explode a second time.
+    val dup =
+      if (minDocs == 2) {
+        val hw = Window.partitionBy("h")
+        grams.withColumn("__lo", min(col("doc_id")).over(hw))
+          .withColumn("__hi", max(col("doc_id")).over(hw))
+          .filter(col("__lo") =!= col("__hi")).select("doc_id", "p")
+      } else {
+        val dupKeys = grams.groupBy("h")
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .filter(col("df") >= minDocs).select("h")
+        grams.join(dupKeys, "h").select("doc_id", "p")
+      }
     val w = Window.partitionBy("doc_id").orderBy("p")
     val isl = dup
       .withColumn("maxEnd", max(col("p") + gramLen)
@@ -226,12 +240,13 @@ object Dedup {
       .withColumn("island", sum(
         when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1)
           .otherwise(0)).over(w))
-    // localCheckpoint, not persist: eagerly materialised (spans are small),
-    // no CacheManager entry to leak — blocks are freed by the
-    // ContextCleaner once the returned frame is unreachable
+    // persist, not eager localCheckpoint: merged feeds three consumers
+    // (segs, tails, the final span agg); the eager checkpoint ran the
+    // whole gram pipeline as a separate blocking job outside AQE —
+    // measured ~9× on this query. Callers clearCache() per query.
     val merged = isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("s"), (max(col("p")) + gramLen).as("e"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w2 = Window.partitionBy("doc_id").orderBy("s")
     val segs = merged
       .select(col("doc_id"), lag(col("e"), 1, 0).over(w2).as("ks"),
@@ -440,15 +455,15 @@ object Dedup {
     * cluster key partitions the join, so skew stays per-cluster. */
   def semDedup(vecs: DataFrame, id: String, vec: String,
                k: Int, iters: Int, threshold: Double): DataFrame = {
-    // localCheckpoint, not persist: the Lloyd loop makes iters+2 passes
-    // (init collect, per-round assign+update, final assign) — without
-    // materialisation each re-runs the normalization from the source
-    // scan; unlike persist there is no CacheManager entry to leak, the
-    // ContextCleaner frees blocks when the result goes unreachable
+    // persist: the Lloyd loop makes iters+2 passes (init collect,
+    // per-round assign+update, final assign) — without materialisation
+    // each re-runs the normalization from the source scan. Callers
+    // clearCache() per query, so the entries are query-scoped.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val normed = vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv"))
-      .localCheckpoint()
+      .persist(lvl)
     val assigned = Cluster.kmeans(normed, id, "__nv", k, iters)
-      .select(col(id), col("__nv"), col("cluster")).localCheckpoint()
+      .select(col(id), col("__nv"), col("cluster")).persist(lvl)
     val lo = assigned.select(col("cluster"), col(id).as("id_a"),
       col("__nv").as("__va"))
     val hi = assigned.select(col("cluster"), col(id).as("id_b"),
