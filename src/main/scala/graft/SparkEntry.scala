@@ -25,7 +25,8 @@ object SparkEntry {
       QueriesWindow.queries ++ QueriesReshape.queries ++
       QueriesFunctions.queries ++ QueriesNumerics.queries ++
       QueriesLLM.queries ++ QueriesUdf.queries ++ QueriesStreaming.queries ++
-      QueriesMore.queries ++ QueriesCalendar.queries
+      QueriesMore.queries ++ QueriesCalendar.queries ++
+      QueriesCoverage.queries
 
   /** DuckDB-runnable oracle for each query (same column names/aliases).
     * Queries absent here get the driver's weaker rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       QueriesWindow.oracles ++ QueriesReshape.oracles ++
       QueriesFunctions.oracles ++ QueriesNumerics.oracles ++
       QueriesLLM.oracles ++ QueriesUdf.oracles ++ QueriesStreaming.oracles ++
-      QueriesMore.oracles ++ QueriesCalendar.oracles
+      QueriesMore.oracles ++ QueriesCalendar.oracles ++
+      QueriesCoverage.oracles
 }

@@ -1,9 +1,9 @@
 package graft.exprs
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import scala.collection.mutable.ArrayBuffer
 
 /** Exact quantiles with all nine Hyndman & Fan methods (ref
   * `xarray/core/variable.py:1929` quantile -> `np.quantile(method=...)`;
@@ -18,18 +18,16 @@ import scala.collection.mutable.ArrayBuffer
   * (the reference's own use case — it materializes the axis in memory too).
   */
 class HFQuantile(q: Double, method: Int)
-  extends Aggregator[java.lang.Double, ArrayBuffer[Double], java.lang.Double] {
+  extends Aggregator[java.lang.Double, List[Double], java.lang.Double] {
 
-  def zero: ArrayBuffer[Double] = ArrayBuffer.empty
+  def zero: List[Double] = Nil
 
-  def reduce(b: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
-    if (x != null) b += x.doubleValue   // skipna: NULLs never enter the buffer
-    b
-  }
+  def reduce(b: List[Double], x: java.lang.Double): List[Double] =
+    if (x != null) x.doubleValue :: b else b // skipna: NULLs never enter
 
-  def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = a ++= b
+  def merge(a: List[Double], b: List[Double]): List[Double] = a ::: b
 
-  def finish(b: ArrayBuffer[Double]): java.lang.Double = {
+  def finish(b: List[Double]): java.lang.Double = {
     if (b.isEmpty) return null
     val x = b.toArray; java.util.Arrays.sort(x)
     val n = x.length
@@ -58,7 +56,9 @@ class HFQuantile(q: Double, method: Int)
     }
   }
 
-  def bufferEncoder: Encoder[ArrayBuffer[Double]] = Encoders.kryo[ArrayBuffer[Double]]
+  // a NATIVE list encoder (ArrayType(Double) in the agg buffer), not
+  // kryo: Tungsten-serializable, and independent of --add-opens flags
+  def bufferEncoder: Encoder[List[Double]] = ExpressionEncoder[List[Double]]()
   def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 
@@ -78,18 +78,16 @@ object HFQuantile {
   * sorts once and evaluates every q. Returns NULL for an empty group,
   * else an array aligned with `qs`. */
 class HFQuantileMulti(qs: Seq[Double], method: Int)
-  extends Aggregator[java.lang.Double, ArrayBuffer[Double], Array[Double]] {
+  extends Aggregator[java.lang.Double, List[Double], Array[Double]] {
 
-  def zero: ArrayBuffer[Double] = ArrayBuffer.empty
+  def zero: List[Double] = Nil
 
-  def reduce(b: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
-    if (x != null) b += x.doubleValue
-    b
-  }
+  def reduce(b: List[Double], x: java.lang.Double): List[Double] =
+    if (x != null) x.doubleValue :: b else b
 
-  def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = a ++= b
+  def merge(a: List[Double], b: List[Double]): List[Double] = a ::: b
 
-  def finish(b: ArrayBuffer[Double]): Array[Double] = {
+  def finish(b: List[Double]): Array[Double] = {
     if (b.isEmpty) return null
     val x = b.toArray; java.util.Arrays.sort(x)
     val n = x.length
@@ -118,9 +116,8 @@ class HFQuantileMulti(qs: Seq[Double], method: Int)
     }.toArray
   }
 
-  def bufferEncoder: Encoder[ArrayBuffer[Double]] = Encoders.kryo[ArrayBuffer[Double]]
-  def outputEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  def bufferEncoder: Encoder[List[Double]] = ExpressionEncoder[List[Double]]()
+  def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
 }
 
 /** Weighted quantile, H&F type-7 generalized to weights (ref
@@ -130,17 +127,16 @@ class HFQuantileMulti(qs: Seq[Double], method: Int)
   * cumulative weights. */
 class WeightedQuantile(q: Double)
   extends Aggregator[(java.lang.Double, java.lang.Double),
-    ArrayBuffer[(Double, Double)], java.lang.Double] {
+    List[(Double, Double)], java.lang.Double] {
 
-  def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
-  def reduce(b: ArrayBuffer[(Double, Double)],
-             x: (java.lang.Double, java.lang.Double)): ArrayBuffer[(Double, Double)] = {
+  def zero: List[(Double, Double)] = Nil
+  def reduce(b: List[(Double, Double)],
+             x: (java.lang.Double, java.lang.Double)): List[(Double, Double)] =
     if (x._1 != null && x._2 != null && x._2.doubleValue > 0)
-      b += ((x._1.doubleValue, x._2.doubleValue))
-    b
-  }
-  def merge(a: ArrayBuffer[(Double, Double)], b: ArrayBuffer[(Double, Double)]) = a ++= b
-  def finish(b: ArrayBuffer[(Double, Double)]): java.lang.Double = {
+      (x._1.doubleValue, x._2.doubleValue) :: b
+    else b
+  def merge(a: List[(Double, Double)], b: List[(Double, Double)]) = a ::: b
+  def finish(b: List[(Double, Double)]): java.lang.Double = {
     if (b.isEmpty) return null
     // sort by (value, weight): ties in value are ordered deterministically
     // so the plotting positions don't depend on partition arrival order
@@ -158,8 +154,8 @@ class WeightedQuantile(q: Double)
     val (h0, h1) = (h(j), h(j + 1))
     if (h1 == h0) v(j) else v(j) + (q - h0) / (h1 - h0) * (v(j + 1) - v(j))
   }
-  def bufferEncoder: Encoder[ArrayBuffer[(Double, Double)]] =
-    Encoders.kryo[ArrayBuffer[(Double, Double)]]
+  def bufferEncoder: Encoder[List[(Double, Double)]] =
+    ExpressionEncoder[List[(Double, Double)]]()
   def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 

@@ -240,35 +240,37 @@ object Dedup {
       .withColumn("island", sum(
         when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1)
           .otherwise(0)).over(w))
-    // persist, not eager localCheckpoint: merged feeds three consumers
-    // (segs, tails, the final span agg); the eager checkpoint ran the
-    // whole gram pipeline as a separate blocking job outside AQE —
-    // measured ~9× on this query. Callers clearCache() per query.
+    // Both aggregations below run WITHOUT a new exchange: the island
+    // window left rows hash-partitioned by doc_id, which satisfies
+    // groupBy(doc_id, island) and groupBy(doc_id) alike. The per-doc span
+    // list is bounded by the doc's window count (a doc-local quantity) —
+    // safe to collect per row, never corpus-global.
     val merged = isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("p")).as("s"), (max(col("p")) + gramLen).as("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w2 = Window.partitionBy("doc_id").orderBy("s")
-    val segs = merged
-      .select(col("doc_id"), lag(col("e"), 1, 0).over(w2).as("ks"),
-        col("s").as("ke"))
+    val spans = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("chars_cut"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
     val base = docs.select(col(id).as("doc_id"), col(text).as("t"),
       length(col(text)).as("len"))
-    val tails = merged.groupBy("doc_id").agg(max(col("e")).as("ks"))
-      .join(base.select("doc_id", "len"), "doc_id")
-      .select(col("doc_id"), col("ks"), col("len").as("ke"))
-    val frags = segs.unionByName(tails).filter(col("ke") > col("ks"))
-      .join(base.select("doc_id", "t"), "doc_id")
-      .select(col("doc_id"), col("ks"),
-        expr("substring(t, ks + 1, ke - ks)").as("frag"))
-    val cleaned = frags.groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("ks"), col("frag")))),
-        s => s.getField("frag")), "").as("cleaned"))
-    merged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s")).as("chars_cut"))
-      .join(cleaned, Seq("doc_id"), "left")
-      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+    // Rebuild each cleaned doc in ONE fold over its (disjoint, sorted)
+    // span list: emit the text between the previous span's end and the
+    // next span's start, then the tail after the last span. Replaces the
+    // former segs/tails/frags union + two joins + re-aggregation (three
+    // extra shuffles and a multi-consumer persist) with a single join.
+    spans.join(base, "doc_id")
+      .withColumn("cleaned", aggregate(
+        col("spans"),
+        struct(lit(0).as("prev"), lit("").as("acc")),
+        (acc, sp) => struct(
+          sp.getField("e").as("prev"),
+          concat(acc.getField("acc"),
+            col("t").substr(acc.getField("prev") + 1,
+              sp.getField("s") - acc.getField("prev"))).as("acc")),
+        acc => concat(acc.getField("acc"),
+          col("t").substr(acc.getField("prev") + 1,
+            col("len") - acc.getField("prev")))))
+      .select("doc_id", "n_spans", "chars_cut", "cleaned")
   }
 
   /** Connected components over an undirected pair graph by iterative

@@ -169,6 +169,21 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   def resetCoords(names: String*): XDataset =
     new XDataset(df, meta.copy(coords = meta.coords -- names))
 
+  /** Attach per-variable attrs (the assignment half of the attrs model;
+    * ref `dataarray.py` .attrs). Meta-only. */
+  def withVarAttrs(variable: String, attrs: Map[String, String]): XDataset =
+    new XDataset(df, meta.copy(varAttrs = meta.varAttrs +
+      (variable -> (meta.varAttrs.getOrElse(variable, Map.empty) ++ attrs))))
+
+  /** filter_by_attrs (ref `dataset.py:9810`): keep the data variables whose
+    * attrs satisfy the predicate; key columns always survive. A projection
+    * decision made on the driver from metadata — the scan then prunes the
+    * dropped columns for free. */
+  def filterByAttrs(pred: Map[String, String] => Boolean): XDataset = {
+    val keep = dataVars.filter(v => pred(meta.varAttrs.getOrElse(v, Map.empty)))
+    selectVars(keep: _*)
+  }
+
   /** swap_dims: replace a dimension coordinate by another coord column
     * (ref `dataset.py:4428`) — metadata only; the old dim becomes a
     * non-dim coordinate. */

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.model.{MultiDataset, XDataset}
+import graft.model.XDataset.exactSum
+import graft.io.Tables
+
+/** Driver-checked queries for operators that previously had only unit
+  * coverage (SURVEY.md §2 "unit"-status rows): meta verbs (drop_vars,
+  * squeeze, rename, transpose, filter_by_attrs, drop_isel, map/pipe,
+  * equals/identical, set_xindex), dataset-level reduce / groupby-coord,
+  * the skew-safe salted aggregate, the bloom dedup prefilter, bucketed
+  * co-located joins, save_mfdataset, and the dict round-trip. Each entry
+  * runs the op through the public library API and lands on a DuckDB-
+  * expressible result so the driver's oracle hash-checks it. */
+object QueriesCoverage {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 drop_vars (ref `dataset.py:6053`): metadata projection; the
+    // parquet scan must prune the dropped column (ReadSchema shrinks)
+    "q171_drop_vars" -> ((s, dir) => {
+      XDataset(Tables.nation(s, dir), dims = Seq("n_nationkey"))
+        .dropVars("n_regionkey")
+        .df.select("n_nationkey", "n_name")
+    }),
+
+    // §2.2/§2.8 squeeze (ref `variable.py:1146`): a dim pinned to one
+    // label by sel collapses out of the key set and its column drops
+    "q172_squeeze" -> ((s, dir) => {
+      XDataset(Tables.supplier(s, dir), dims = Seq("s_nationkey", "s_suppkey"))
+        .sel("s_nationkey", Seq(7))
+        .squeeze("s_nationkey")
+        .df.select("s_suppkey", "s_name", "s_acctbal")
+    }),
+
+    // §2.2 filter_by_attrs (ref `dataset.py:9810`): select data vars by
+    // their attrs (CF `standard_name` style); projection-only plan
+    "q173_filter_by_attrs" -> ((s, dir) => {
+      XDataset(Tables.supplier(s, dir), dims = Seq("s_suppkey"))
+        .withVarAttrs("s_acctbal", Map("units" -> "usd", "kind" -> "measure"))
+        .withVarAttrs("s_name", Map("kind" -> "label"))
+        .withVarAttrs("s_nationkey", Map("kind" -> "key"))
+        .filterByAttrs(a => a.get("kind").contains("measure"))
+        .df.select("s_suppkey", "s_acctbal")
+    }),
+
+    // §2.8 rename vars + dims (ref `dataset.py:4108` rename): pure
+    // projection renames, meta follows
+    "q174_rename" -> ((s, dir) => {
+      XDataset(Tables.supplier(s, dir), dims = Seq("s_suppkey"))
+        .rename(Map("s_acctbal" -> "balance", "s_name" -> "supplier_name"))
+        .df.select("s_suppkey", "supplier_name", "balance")
+    }),
+
+    // §2.4 skew-safe salted aggregate (SURVEY §2.4 extension): two-stage
+    // sum/count/min/max — salt breaks a hot key across partitions, the
+    // final combine is algebraic so results are exactly the plain agg's
+    "q175_salted_agg" -> ((s, dir) => {
+      graft.agg.Skew.saltedAgg(Tables.lineitem(s, dir),
+        key = Seq("l_returnflag"), value = "l_quantity", salt = 16)
+    }),
+
+    // §2.4 dataset-level reduce (ref `dataset.py` ds.sum(dim=...)): every
+    // variable carrying the dim aggregates it away in one partial+final
+    // hash agg; decimal accumulation keeps both engines bit-identical
+    "q176_dataset_reduce" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val md = MultiDataset(
+        Seq("l_orderkey", "l_linenumber") -> li)
+      val reduced = md.reduce("l_linenumber", c => exactSum(c))
+      reduced.groups(Seq("l_orderkey")).df
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    }),
+
+    // §2.4 groupby over a non-dim coordinate variable (ref `ds.groupby(
+    // "label").sum()`): the coord table joins broadcast, then one hash agg
+    "q177_groupby_coord" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val md = MultiDataset(
+        Seq("c_nationkey", "c_custkey") ->
+          cust.select("c_nationkey", "c_custkey", "c_acctbal"),
+        Seq("c_custkey") -> cust.select("c_custkey", "c_mktsegment"))
+      md.groupByCoord("c_mktsegment", c => exactSum(c))
+        .variable("c_acctbal").df
+        .select("c_mktsegment", "c_nationkey", "c_acctbal")
+    }),
+
+    // LLM: bloom-prefiltered cross-corpus dedup (new-crawl vs historical):
+    // the bloom pass bounds the candidate set, the exact key join on the
+    // survivors removes false positives — output is exactly the true
+    // cross-corpus duplicate set
+    "q178_bloom_prefilter" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val docs = Tables.documents(s, dir)
+      val reference = docs.filter(col("doc_id") % 3 === 0)
+      // "new crawl" = the other docs plus a re-crawled slice of the
+      // reference corpus (fresh ids) — the true-duplicate set the
+      // prefilter+verify pipeline must recover exactly
+      val candidates = docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text", "source")
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("recrawl").as("source")))
+      val maybe = Dedup.bloomPrefilter(reference, candidates, "text",
+        expectedItems = 100000L)
+      val refKeys = reference
+        .select(Dedup.contentKey(col("text")).as("__k")).distinct()
+      maybe.withColumn("__k", Dedup.contentKey(col("text")))
+        .join(refKeys, "__k")
+        .select("doc_id", "source")
+    }),
+
+    // §2.1 to_dict / from_dict round-trip (ref `dataset.py:7425/7516`):
+    // the dict form re-materializes with the same schema and rows
+    "q179_dict_roundtrip" -> ((s, dir) => {
+      import graft.io.DictIO
+      val ds = XDataset(Tables.region(s, dir), dims = Seq("r_regionkey"))
+      DictIO.fromDict(s, DictIO.toDict(ds))
+        .df.select("r_regionkey", "r_name")
+    }),
+
+    // §2.1 save_mfdataset + open_mfdataset (ref `backends/api.py:1582`):
+    // one store per year-slice, read back together and combined
+    "q180_save_mfdataset" -> ((s, dir) => {
+      import graft.io.Store
+      val base = "/tmp/graft_mf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+      val parts = Seq(1995, 1996)
+      parts.foreach { y =>
+        Store.writeDataset(
+          XDataset(orders.filter(col("o_year") === y), Seq("o_orderkey")),
+          s"$base/y$y")
+      }
+      parts.map(y => Store.openDataset(s, s"$base/y$y").df)
+        .reduce(_ unionByName _)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+    }),
+
+    // §2.7 equals / identical (ref `dataset.py:1559/1588`): distributed
+    // symmetric-difference comparison; a perturbed copy must compare false
+    "q181_equals_identical" -> ((s, dir) => {
+      import s.implicits._
+      val a = XDataset(Tables.nation(s, dir), dims = Seq("n_nationkey"))
+      val same = XDataset(Tables.nation(s, dir), dims = Seq("n_nationkey"))
+      val perturbed = same.assign("n_name",
+        when(col("n_nationkey") === 0, lit("MUTATED")).otherwise(col("n_name")))
+      Seq(
+        ("same_equals", a.equalsData(same)),
+        ("same_identical", a.identical(same)),
+        ("perturbed_equals", a.equalsData(perturbed)))
+        .toDF("chk", "result")
+    }),
+
+    // §2.4 approximate distinct (extension; HLL++): the sketch's rsd
+    // guarantee is the cross-engine contract — assert it against the
+    // exact count rather than comparing sketch internals
+    "q182_approx_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+        countDistinct(col("o_custkey")).as("exact_cnt"),
+        (abs(approx_count_distinct(col("o_custkey"), 0.02) -
+          countDistinct(col("o_custkey"))).cast("double") /
+          countDistinct(col("o_custkey")) <= 0.05).as("within_tol"))
+    }),
+
+    // §2.8 transpose (ref `dataset.py:5570`): dim reorder is O(1) driver
+    // metadata — emit the resulting dim order as the checked result
+    "q183_transpose_dims" -> ((s, dir) => {
+      import s.implicits._
+      val ds = XDataset(Tables.lineitem(s, dir),
+        dims = Seq("l_orderkey", "l_linenumber"))
+        .transpose("l_linenumber", "l_orderkey")
+      ds.meta.dims.zipWithIndex
+        .map { case (d, i) => (i.toLong, d) }.toDF("pos", "dim")
+    }),
+
+    // §2.8 map + pipe (ref `dataset.py:6833` map, `common.py:718` pipe):
+    // one projection over every data var, applied in chain position
+    "q184_map_pipe" -> ((s, dir) => {
+      XDataset(Tables.supplier(s, dir), dims = Seq("s_suppkey"))
+        .selectVars("s_acctbal")
+        .mapVars(c => round(c * 2, 2))
+        .pipe(ds => ds.df.select("s_suppkey", "s_acctbal"))
+    }),
+
+    // §2.2 set_xindex + custom index sel (ref `dataset.py:4978` set_xindex):
+    // the range index re-lays rows out range-partitioned+sorted so parquet
+    // row-group stats line up with the dim; sel goes through the plug-in
+    "q185_xindex_range_sel" -> ((s, dir) => {
+      XDataset(Tables.orders(s, dir), dims = Seq("o_orderkey"))
+        .setXIndex("o_orderdate", "range")
+        .sel("o_orderdate", Seq(java.sql.Timestamp.valueOf("1995-07-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1995-07-02 00:00:00")))
+        .df.select("o_orderkey", "o_custkey", "o_orderdate")
+    }),
+
+    // §2.2 drop_isel (ref `dataset.py:6192`): anti-select positions along
+    // the dim's sort order
+    "q186_drop_isel" -> ((s, dir) => {
+      XDataset(Tables.nation(s, dir), dims = Seq("n_nationkey"))
+        .dropIsel("n_nationkey", Seq(0L, 5L, 10L))
+        .df.select("n_nationkey", "n_name")
+    }),
+
+    // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
+    // sides bucketed by the join key -> the sort-merge join reads
+    // pre-bucketed files with NO exchange on either side at any scale
+    "q187_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ordersT = s"graft_bkt_orders_$tag"
+      val custT = s"graft_bkt_customer_$tag"
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"/tmp/graft_bkt/$ordersT")
+        .saveAsTable(ordersT)
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"/tmp/graft_bkt/$custT")
+        .saveAsTable(custT)
+      s.table(ordersT)
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(exactSum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q171_drop_vars" ->
+      "SELECT n_nationkey, n_name FROM nation",
+    "q172_squeeze" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_nationkey = 7""",
+    "q173_filter_by_attrs" ->
+      "SELECT s_suppkey, s_acctbal FROM supplier",
+    "q174_rename" ->
+      """SELECT s_suppkey, s_name AS supplier_name, s_acctbal AS balance
+         FROM supplier""",
+    "q175_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS l_quantity_sum,
+           count(l_quantity) AS l_quantity_count,
+           min(l_quantity) AS l_quantity_min,
+           max(l_quantity) AS l_quantity_max
+         FROM lineitem GROUP BY l_returnflag""",
+    "q176_dataset_reduce" ->
+      """SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+             AS l_quantity,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS l_extendedprice
+         FROM lineitem GROUP BY l_orderkey""",
+    "q177_groupby_coord" ->
+      """SELECT c_mktsegment, c_nationkey,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS c_acctbal
+         FROM customer GROUP BY c_mktsegment, c_nationkey""",
+    "q178_bloom_prefilter" ->
+      """WITH cand AS (
+           SELECT doc_id, text, source FROM documents WHERE doc_id % 3 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, 'recrawl' FROM documents
+           WHERE doc_id % 9 = 0)
+         SELECT c.doc_id, c.source FROM cand c
+         JOIN (SELECT DISTINCT
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+               FROM documents WHERE doc_id % 3 = 0) r
+           ON md5(lower(trim(regexp_replace(c.text, '\s+', ' ', 'g')))) = r.k""",
+    // from_dict re-infers integer coords as BIGINT (JSON has one int type)
+    "q179_dict_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "q180_save_mfdataset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           year(o_orderdate) AS o_year
+         FROM orders WHERE year(o_orderdate) IN (1995, 1996)""",
+    "q181_equals_identical" ->
+      """SELECT 'same_equals' AS chk, true AS result
+         UNION ALL SELECT 'same_identical', true
+         UNION ALL SELECT 'perturbed_equals', false""",
+    "q182_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_cnt, true AS within_tol
+         FROM orders""",
+    "q183_transpose_dims" ->
+      """SELECT CAST(0 AS BIGINT) AS pos, 'l_linenumber' AS dim
+         UNION ALL SELECT 1, 'l_orderkey'""",
+    "q184_map_pipe" ->
+      """SELECT s_suppkey, round(s_acctbal * 2, 2) AS s_acctbal
+         FROM supplier""",
+    "q185_xindex_range_sel" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+         WHERE o_orderdate IN (TIMESTAMP '1995-07-01', TIMESTAMP '1995-07-02')""",
+    "q186_drop_isel" ->
+      """WITH t AS (SELECT n_nationkey, n_name,
+             row_number() OVER (ORDER BY n_nationkey) - 1 AS p
+           FROM nation)
+         SELECT n_nationkey, n_name FROM t WHERE p NOT IN (0, 5, 10)""",
+    "q187_bucketed_join" ->
+      """SELECT c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""
+  )
+}
