@@ -44,9 +44,11 @@ object HDF5 {
   // model
   // ------------------------------------------------------------------
 
-  /** Datatype subset: fixed-point / float / string / reference / vlen. */
+  /** Datatype subset: fixed-point / float / string / reference / vlen /
+    * compound (members = (name, byteOffset, type)). */
   case class DType(clazz: Int, size: Int, littleEndian: Boolean,
-                   signed: Boolean, base: Option[DType] = None)
+                   signed: Boolean, base: Option[DType] = None,
+                   members: Seq[(String, Int, DType)] = Nil)
 
   sealed trait Layout
   case class Contiguous(addr: Long, size: Long) extends Layout
@@ -57,7 +59,8 @@ object HDF5 {
 
   case class DatasetMetaH5(name: String, addr: Long, shape: Seq[Long],
                            dtype: DType, layout: Layout, deflate: Boolean,
-                           attrs: Seq[Attr]) {
+                           attrs: Seq[Attr],
+                           shuffleElem: Option[Int] = None) {
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -124,12 +127,31 @@ object HDF5 {
         // root group symbol table entry
         b.getLong() // link name offset
         val rootOH = b.getLong()
-        b.getInt(); b.getInt() // cache type + reserved
+        val cacheType = b.getInt(); b.getInt() // cache type + reserved
         val btreeAddr = b.getLong(); val heapAddr = b.getLong()
-        // the root OH's symbol-table message repeats btree/heap; trust the
-        // cached entry (same data) and walk it
-        val _ = rootOH
-        walkGroupV1(bytes, btreeAddr, heapAddr)
+        if (cacheType == 1)
+          // cached symbol-table scratch: B-tree + heap addresses are right
+          // in the superblock entry; walk them
+          walkGroupV1(bytes, btreeAddr, heapAddr)
+        else {
+          // no cached scratch: the root OH says how links are stored —
+          // symbol-table message (old groups), link messages (compact), or
+          // Link Info (dense fractal heap; libhdf5 emits these under a v0
+          // superblock too once a group outgrows compact storage)
+          val msgs = parseObjectHeader(bytes, rootOH)
+          val links = msgs.collect { case m if m.typ == 0x06 =>
+            parseLinkMessage(m.body) }
+          msgs.find(_.typ == 0x11) match {
+            case Some(st) =>
+              val sb2 = ByteBuffer.wrap(st.body).order(ByteOrder.LITTLE_ENDIAN)
+              walkGroupV1(bytes, sb2.getLong(), sb2.getLong())
+            case None if links.nonEmpty => links
+            case None => msgs.find(_.typ == 0x02) match {
+              case Some(li) => walkDenseGroup(bytes, li.body)
+              case None => sys.error("root group has no link storage")
+            }
+          }
+        }
       case 2 | 3 =>
         val b = buf(bytes, sb + 8, 40)
         b.get() // version
@@ -143,10 +165,14 @@ object HDF5 {
         val msgs = parseObjectHeader(bytes, rootOH)
         val links = msgs.collect { case m if m.typ == 0x06 =>
           parseLinkMessage(m.body) }
-        if (links.isEmpty && msgs.exists(_.typ == 0x02))
-          sys.error("dense (fractal-heap) groups are not supported — " +
-            "write with earliest-compatible libver (compact links)")
-        links
+        // no compact link messages + a Link Info message -> DENSE group:
+        // links live as fractal-heap objects indexed by a name v2 B-tree
+        // (libhdf5's storage once a group passes the compact limit)
+        if (links.nonEmpty) links
+        else msgs.find(_.typ == 0x02) match {
+          case Some(li) => walkDenseGroup(bytes, li.body)
+          case None => links
+        }
       case v => sys.error(s"unsupported superblock version $v")
     }
     H5File(rootEntries.map { case (name, addr) =>
@@ -200,6 +226,182 @@ object HDF5 {
       }
     }
     walkNode(btreeAddr)
+  }
+
+  // ------------------------------------------------------------------
+  // dense (fractal-heap) link/attribute storage
+  // ------------------------------------------------------------------
+
+  /** Fractal heap header fields needed to resolve managed heap IDs
+    * (spec "Fractal Heap" / FRHP). */
+  private case class FractalHeap(idLen: Int, flags: Int, maxManagedSize: Int,
+                                 tableWidth: Int, startBlockSize: Long,
+                                 maxDirectSize: Long, maxHeapBits: Int,
+                                 rootAddr: Long, curRows: Int) {
+    def offSize: Int = (maxHeapBits + 7) / 8
+    def lenSize: Int = minBytes(maxManagedSize.toLong & 0xffffffffL)
+  }
+
+  private def minBytes(v: Long): Int = {
+    var n = 1; var x = v >>> 8
+    while (x != 0) { n += 1; x >>>= 8 }
+    n
+  }
+
+  private def parseFRHP(bytes: Array[Byte], addr: Long): FractalHeap = {
+    val b = buf(bytes, addr, 160)
+    require(b.get() == 'F' && b.get() == 'R' && b.get() == 'H' &&
+      b.get() == 'P', "bad fractal heap signature")
+    require((b.get() & 0xff) == 0, "fractal heap version")
+    val idLen = b.getShort() & 0xffff
+    val filterLen = b.getShort() & 0xffff
+    require(filterLen == 0, "filtered fractal heaps not supported")
+    val flags = b.get() & 0xff
+    val maxManaged = b.getInt()
+    b.getLong(); b.getLong() // next huge id + huge v2 btree
+    b.getLong(); b.getLong() // free space + free space mgr
+    b.getLong(); b.getLong() // managed space + allocated managed space
+    b.getLong() // direct block iterator offset
+    b.getLong() // number of managed objects
+    b.getLong(); b.getLong() // huge size + count
+    b.getLong(); b.getLong() // tiny size + count
+    val tableWidth = b.getShort() & 0xffff
+    val startBlock = b.getLong()
+    val maxDirect = b.getLong()
+    val maxHeapBits = b.getShort() & 0xffff
+    b.getShort() // starting # rows in root indirect block
+    val rootAddr = b.getLong()
+    val curRows = b.getShort() & 0xffff
+    FractalHeap(idLen, flags, maxManaged, tableWidth, startBlock,
+      maxDirect, maxHeapBits, rootAddr, curRows)
+  }
+
+  /** Direct blocks of the heap as (heapSpaceOffset, size, fileAddr).
+    * Root-direct and root-indirect-with-direct-children layouts (covers
+    * any group/attribute set libhdf5 keeps in direct blocks; nested
+    * indirect blocks would mean GBs of link storage — rejected). */
+  private def directBlocks(bytes: Array[Byte],
+                           fh: FractalHeap): Seq[(Long, Long, Long)] = {
+    if (fh.curRows == 0)
+      // root IS a single direct block covering heap offsets [0, size);
+      // every managed offset lands in it, so treat it as unbounded
+      Seq((0L, Long.MaxValue, fh.rootAddr))
+    else {
+      val b = buf(bytes, fh.rootAddr, 16 + fh.offSize)
+      require(b.get() == 'F' && b.get() == 'H' && b.get() == 'I' &&
+        b.get() == 'B', "bad fractal heap indirect block signature")
+      require((b.get() & 0xff) == 0, "indirect block version")
+      b.getLong() // heap header address
+      (0 until fh.offSize).foreach(_ => b.get()) // block offset (root: 0)
+      val maxDirectRows =
+        (64 - java.lang.Long.numberOfLeadingZeros(
+          fh.maxDirectSize / fh.startBlockSize)).toInt + 1
+      require(fh.curRows <= maxDirectRows,
+        s"nested indirect fractal-heap blocks not supported " +
+          s"(${fh.curRows} rows > $maxDirectRows direct rows)")
+      var heapOff = 0L
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      val ab = buf(bytes, fh.rootAddr + 4 + 1 + 8 + fh.offSize,
+        fh.curRows * fh.tableWidth * 8)
+      (0 until fh.curRows).foreach { r =>
+        val size = if (r <= 1) fh.startBlockSize else fh.startBlockSize << (r - 1)
+        (0 until fh.tableWidth).foreach { _ =>
+          val addr = ab.getLong()
+          if (addr != UNDEF) out += ((heapOff, size, addr))
+          heapOff += size // unallocated blocks still occupy heap space
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** Resolve a MANAGED heap ID to object bytes. */
+  private def fheapObject(bytes: Array[Byte], fh: FractalHeap,
+                          heapId: Array[Byte]): Array[Byte] = {
+    val idFlags = heapId(0) & 0xff
+    require((idFlags & 0x30) == 0,
+      s"only managed fractal-heap objects supported (type ${(idFlags >> 4) & 3})")
+    var off = 0L
+    (0 until fh.offSize).foreach(i => off |= (heapId(1 + i) & 0xffL) << (8 * i))
+    var len = 0L
+    (0 until fh.lenSize).foreach(i =>
+      len |= (heapId(1 + fh.offSize + i) & 0xffL) << (8 * i))
+    val (bo, _, ba) = directBlocks(bytes, fh)
+      .find(t => off >= t._1 && off < t._1 + t._2)
+      .getOrElse(sys.error(s"heap offset $off outside any direct block"))
+    java.util.Arrays.copyOfRange(bytes,
+      (ba + (off - bo)).toInt, (ba + (off - bo) + len).toInt)
+  }
+
+  /** v2 B-tree (BTHD) records; depth-0 trees (a single BTLF leaf) hold
+    * ~nodeSize/recordSize entries — hundreds of links/attrs, the whole
+    * netCDF-4 range. Deeper trees error out explicitly. */
+  private def v2BtreeRecords(bytes: Array[Byte],
+                             addr: Long): Seq[Array[Byte]] = {
+    val b = buf(bytes, addr, 38)
+    require(b.get() == 'B' && b.get() == 'T' && b.get() == 'H' &&
+      b.get() == 'D', "bad v2 B-tree signature")
+    require((b.get() & 0xff) == 0, "v2 B-tree version")
+    b.get() // record type
+    b.getInt() // node size
+    val recSize = b.getShort() & 0xffff
+    val depth = b.getShort() & 0xffff
+    require(depth == 0,
+      s"v2 B-tree depth $depth not supported (single-leaf trees only)")
+    b.get(); b.get() // split/merge percent
+    val rootAddr = b.getLong()
+    val rootNrec = b.getShort() & 0xffff
+    val lb = buf(bytes, rootAddr, 6)
+    require(lb.get() == 'B' && lb.get() == 'T' && lb.get() == 'L' &&
+      lb.get() == 'F', "bad v2 B-tree leaf signature")
+    (0 until rootNrec).map { i =>
+      java.util.Arrays.copyOfRange(bytes,
+        (rootAddr + 6 + i.toLong * recSize).toInt,
+        (rootAddr + 6 + (i + 1).toLong * recSize).toInt)
+    }
+  }
+
+  /** Link Info message (0x02) -> (fractal heap addr, name v2 btree addr). */
+  private def parseLinkInfo(body: Array[Byte]): (Long, Long) = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require((b.get() & 0xff) == 0, "link info version")
+    val flags = b.get() & 0xff
+    if ((flags & 1) != 0) b.getLong() // max creation index
+    (b.getLong(), b.getLong())
+  }
+
+  /** Dense group walk: every name-index record's heap ID resolves to a
+    * serialized link message in the group's fractal heap. Record type 5 =
+    * hash(4) + heap ID; the hash is a lookup key we don't need — records
+    * are enumerated exhaustively. */
+  private def walkDenseGroup(bytes: Array[Byte],
+                             linkInfoBody: Array[Byte]): Seq[(String, Long)] = {
+    val (fheapAddr, btAddr) = parseLinkInfo(linkInfoBody)
+    require(fheapAddr != UNDEF && btAddr != UNDEF,
+      "dense group without fractal heap / name index")
+    val fh = parseFRHP(bytes, fheapAddr)
+    v2BtreeRecords(bytes, btAddr).map { rec =>
+      parseLinkMessage(fheapObject(bytes, fh, rec.drop(4)))
+    }
+  }
+
+  /** Attribute Info message (0x15) -> dense attributes. Record type 8 =
+    * heap ID(8) + message flags(1) + creation order(4) + hash(4). */
+  private def denseAttrs(bytes: Array[Byte],
+                         body: Array[Byte]): Seq[Attr] = {
+    val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    require((b.get() & 0xff) == 0, "attribute info version")
+    val flags = b.get() & 0xff
+    if ((flags & 1) != 0) b.getShort() // max creation index (2 bytes here)
+    val fheapAddr = b.getLong()
+    val btAddr = b.getLong()
+    if (fheapAddr == UNDEF || btAddr == UNDEF) Nil
+    else {
+      val fh = parseFRHP(bytes, fheapAddr)
+      v2BtreeRecords(bytes, btAddr).map { rec =>
+        parseAttr(bytes, fheapObject(bytes, fh, rec.take(8)))
+      }
+    }
   }
 
   private case class Msg(typ: Int, body: Array[Byte])
@@ -322,6 +524,37 @@ object HDF5 {
         DType(3, size, littleEndian = true, signed = false)
       case 7 => // reference
         DType(7, size, littleEndian = true, signed = false)
+      case 6 => // compound: members inline, each a (name, offset, type)
+        val ver = (cv >> 4) & 0xf
+        val nMembers = b0 | (b1 << 8)
+        val members = (0 until nMembers).map { _ =>
+          val name = {
+            val sb = new StringBuilder
+            var c = b.get()
+            while (c != 0) { sb.append(c.toChar); c = b.get() }
+            if (ver <= 2) { // v1/v2 names null-pad to 8-byte multiples
+              var read = sb.length + 1
+              while (read % 8 != 0) { b.get(); read += 1 }
+            }
+            sb.toString
+          }
+          val off = ver match {
+            case 1 | 2 => b.getInt()
+            case _ => // v3: offset uses min bytes for the compound's size
+              var v = 0L
+              (0 until minBytes(size.toLong)).foreach(i =>
+                v |= (b.get() & 0xffL) << (8 * i))
+              v.toInt
+          }
+          if (ver == 1) { // v1: dimensionality + perm + reserved + 4 sizes
+            b.get(); b.get(); b.get(); b.get()
+            b.getInt(); b.getInt()
+            (0 until 4).foreach(_ => b.getInt())
+          }
+          (name, off, parseDType(b))
+        }
+        DType(6, size, littleEndian = true, signed = false,
+          members = members)
       case 9 => // vlen: base type follows
         val base = parseDType(b)
         DType(9, size, littleEndian = true, signed = false, Some(base))
@@ -430,6 +663,7 @@ object HDF5 {
     var dtype: DType = null
     var layout: Layout = null
     var deflate = false
+    var shuffleElem: Option[Int] = None
     val attrs = Vector.newBuilder[Attr]
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
@@ -450,31 +684,72 @@ object HDF5 {
             case 0 => sys.error("compact layout not supported")
           }
         case 0x0B =>
+          // filter pipeline: full per-filter walk (id, name, client data)
           val ver = b.get() & 0xff
           val nf = b.get() & 0xff
           if (ver == 1) { b.getShort(); b.getInt() }
           (0 until nf).foreach { _ =>
             val id = b.getShort() & 0xffff
-            if (id == 1) deflate = true
+            val nameLen =
+              if (ver == 2 && id < 256) 0 else b.getShort() & 0xffff
+            b.getShort() // flags
+            val ncd = b.getShort() & 0xffff
+            b.position(b.position() + nameLen) // v1 length includes padding
+            val cd = (0 until ncd).map(_ => b.getInt())
+            if (ver == 1 && ncd % 2 == 1) b.getInt() // pad to 8
+            id match {
+              case 1 => deflate = true
+              case 2 => shuffleElem = Some(cd.headOption.getOrElse(1))
+              case other => sys.error(s"unsupported filter id $other " +
+                "(deflate + shuffle only)")
+            }
           }
         case 0x0C => attrs += parseAttr(bytes, m.body)
+        case 0x15 => attrs ++= denseAttrs(bytes, m.body)
         case _ => ()
       }
     }
     require(dtype != null && layout != null,
       s"dataset $name lacks datatype/layout")
-    DatasetMetaH5(name, addr, shape, dtype, layout, deflate, attrs.result())
+    DatasetMetaH5(name, addr, shape, dtype, layout, deflate, attrs.result(),
+      shuffleElem)
   }
 
   /** Decode a dataset to a dense row-major Double array. */
-  def readVar(bytes: Array[Byte], f: H5File, name: String): Array[Double] = {
+  def readVar(bytes: Array[Byte], f: H5File, name: String): Array[Double] =
+    readVarImpl(bytes, f, name, None)
+
+  /** Decode ONE member of a compound dataset (ref user-defined compound
+    * types, `backends/netCDF4_.py` usertype handling) to doubles. */
+  def readVarMember(bytes: Array[Byte], f: H5File, name: String,
+                    member: String): Array[Double] =
+    readVarImpl(bytes, f, name, Some(member))
+
+  private def readVarImpl(bytes: Array[Byte], f: H5File, name: String,
+                          member: Option[String]): Array[Double] = {
     val d = f.byName(name)
+    // element stride is the FULL (possibly compound) type size; the value
+    // read per element is either the scalar itself or one compound member
+    val (mOff, edt) = member match {
+      case None =>
+        require(d.dtype.clazz != 6,
+          s"$name is compound — read a member via readVarMember " +
+            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})")
+        (0, d.dtype)
+      case Some(m) =>
+        require(d.dtype.clazz == 6, s"$name is not compound")
+        val (_, off, t) = d.dtype.members.find(_._1 == m)
+          .getOrElse(sys.error(s"$name has no member $m " +
+            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})"))
+        (off, t)
+    }
+    val stride = d.dtype.size
     val n = d.shape.product.toInt
     val out = new Array[Double](n)
     def decodeInto(raw: Array[Byte], chunkOrigin: Seq[Long],
                    chunkDims: Seq[Int]): Unit = {
       val db = ByteBuffer.wrap(raw)
-        .order(if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+        .order(if (edt.littleEndian) ByteOrder.LITTLE_ENDIAN
                else ByteOrder.BIG_ENDIAN)
       val strides = d.shape.scanRight(1L)(_ * _).tail
       val cElems = chunkDims.map(_.toLong).product.toInt
@@ -483,7 +758,8 @@ object HDF5 {
       while (i < cElems) {
         val gIdx = chunkDims.indices.map { k =>
           chunkOrigin(k) + (i / cStrides(k)) % chunkDims(k) }
-        val v = readScalar(db, d.dtype)
+        db.position(i * stride + mOff)
+        val v = readScalar(db, edt)
         // edge chunks run past the shape; those cells are padding
         if (gIdx.indices.forall(k => gIdx(k) < d.shape(k)))
           out(gIdx.indices.map(k => (gIdx(k) * strides(k)).toInt).sum) = v
@@ -519,8 +795,14 @@ object HDF5 {
             else {
               val raw0 = java.util.Arrays.copyOfRange(
                 bytes, child.toInt, child.toInt + chunkBytes)
-              val raw = if (d.deflate) inflate(raw0,
-                chunkDims.map(_.toLong).product.toInt * d.dtype.size) else raw0
+              val raw1 = if (d.deflate) inflate(raw0,
+                chunkDims.map(_.toLong).product.toInt * stride) else raw0
+              // decode order reverses write order (shuffle ran FIRST on
+              // write, so it is undone LAST)
+              val raw = d.shuffleElem match {
+                case Some(es) => unshuffle(raw1, es)
+                case None => raw1
+              }
               decodeInto(raw, origin, chunkDims)
             }
             p += keySize + 8
@@ -528,6 +810,24 @@ object HDF5 {
         }
         walk(btree)
     }
+    out
+  }
+
+  /** Undo the byte-shuffle filter (id 2): written data holds all byte-0s,
+    * then all byte-1s, ... of the `es`-byte elements; any tail shorter
+    * than one element is stored unshuffled. */
+  private def unshuffle(raw: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1) return raw
+    val n = raw.length / es
+    val out = new Array[Byte](raw.length)
+    var j = 0
+    var b = 0
+    while (b < es) {
+      var r = 0
+      while (r < n) { out(r * es + b) = raw(j); j += 1; r += 1 }
+      b += 1
+    }
+    System.arraycopy(raw, n * es, out, n * es, raw.length - n * es)
     out
   }
 
@@ -607,14 +907,20 @@ object HDF5 {
     * doubles; f64 unless `f32`; chunked+deflate when `chunk` is set. */
   case class WVar(name: String, dims: Seq[Int], data: Array[Double],
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
-                  integral: Boolean = false)
+                  integral: Boolean = false, shuffle: Boolean = false)
 
   def writeNc4(path: String, dimDefs: Seq[(String, Array[Double])],
-               vars: Seq[WVar], deflateLevel: Int = 1): Unit = {
+               vars: Seq[WVar], deflateLevel: Int = 1,
+               dense: Boolean = false): Unit = {
     val out = new growable()
     out.bytes(SIG)
-    // ---- layout plan: superblock(96) | heap hdr(32) | heap data |
-    // btree(~) | snod | gcol(4096) | per-object: OH, then raw data ----
+    // ---- layout plan.
+    // compact (dense=false): superblock v0(96) | heap hdr(32) | heap data
+    //   | group btree | snod | gcol(4096) | per-object OH + raw data.
+    // dense: superblock v2(48) | root OH w/ Link Info(48) | FRHP(146) |
+    //   FHDB direct block (one power-of-2 block holding every link
+    //   message) | BTHD(38) | BTLF | per-data-var dense-attr region
+    //   (FRHP+FHDB+BTHD+BTLF each) | gcol | objects. ----
     val dimVars = dimDefs.zipWithIndex.map { case ((n, vals), k) =>
       WVar(n, Seq(k), vals, None, f32 = false,
         integral = vals.forall(v => v == math.rint(v) && math.abs(v) < 1e15))
@@ -628,14 +934,37 @@ object HDF5 {
       hOff += (v.name.length + 1 + 7) / 8 * 8
     }
     val heapDataSize = hOff
-    val superEnd = 96L
+    val superEnd = if (dense) 48L else 96L
     val heapHdr = superEnd
     val heapData = heapHdr + 32
     val btreeAddr = heapData + heapDataSize
     val btreeSize = 24L + (1 * 2 + 1) * 8
     val snodAddr = btreeAddr + btreeSize
     val snodSize = 8L + all.length * 40L
-    val gcolAddr = snodAddr + snodSize
+    // dense-group region (v2-superblock path)
+    val rootOHAddr = superEnd
+    val rootOHSize = 16L + 8 + 24 // one Link Info message, 8-padded
+    val frhpAddr = rootOHAddr + rootOHSize
+    val linkBodies = all.map(v => linkMsgBody(v.name)) // addr patched later
+    val fhdbContent = 17L + linkBodies.map(_.length.toLong).sum
+    val linkBlockSize = math.max(512L,
+      java.lang.Long.highestOneBit(fhdbContent - 1) * 2)
+    val bthdAddr = frhpAddr + FRHP_SIZE + linkBlockSize
+    val btlfSize = 6L + all.length * 11L + 4
+    // one dense-attribute region per data var (the DIMENSION_LIST attr
+    // moves into a per-object fractal heap; dim vars stay compact)
+    val denseAttrStart = bthdAddr + BTHD_SIZE + btlfSize
+    val attrRegion = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var attrCursor = denseAttrStart
+    if (dense) vars.foreach { v =>
+      val fr = attrCursor
+      val bt = fr + FRHP_SIZE + 512L
+      attrRegion(v.name) = (fr, bt)
+      attrCursor = bt + BTHD_SIZE + (6L + 17L + 4)
+    }
+    val gcolAddr =
+      if (dense) attrCursor
+      else snodAddr + snodSize
     val gcolSize = 4096L
     // object headers + data, assigned sequentially after the heap block
     var cursor = gcolAddr + gcolSize
@@ -660,7 +989,7 @@ object HDF5 {
     def shapeOf(v: WVar): Seq[Int] =
       v.dims.map(k => dimDefs(k)._2.length)
     all.foreach { v =>
-      val ohSize = ohSizeOf(v, dimDefs)
+      val ohSize = ohSizeOf(v, dimDefs, dense && attrRegion.contains(v.name))
       ohAddr(v.name) = cursor
       cursor += ohSize
       v.chunk match {
@@ -683,7 +1012,9 @@ object HDF5 {
               else 0.0
             }
             val enc = encode(v, slice)
-            (origin, deflateBytes(enc, deflateLevel))
+            val filtered =
+              if (v.shuffle) shuffleBytes(enc, elemSize(v)) else enc
+            (origin, deflateBytes(filtered, deflateLevel))
           }
           chunkBlobs(v.name) = blobs.map(_._2)
           chunkAddrs(v.name) = blobs.map { case (origin, blob) =>
@@ -696,49 +1027,139 @@ object HDF5 {
       }
     }
     val eof = cursor
-    // ---- emit ----
-    // superblock v0
-    out.u8(0); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
-    out.u8(8); out.u8(8); out.u8(0)
-    out.u16(4); out.u16(16); out.u32(0)
-    out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(UNDEF)
-    // root group symbol table entry: the cache-type-1 scratch carries the
-    // group B-tree + heap addresses, which is what every reader (ours
-    // included) actually walks; the root OH address is left undefined —
-    // the bounded-writer contract, documented for external tools.
-    out.u64(0); out.u64(UNDEF)
-    out.u32(1); out.u32(0)
-    out.u64(btreeAddr); out.u64(heapHdr)
-    require(out.size == 96, s"superblock size ${out.size}")
-    // local heap
-    out.bytes("HEAP".getBytes); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
-    out.u64(heapDataSize); out.u64(1L); out.u64(heapData)
-    // heap data: empty string slot then names
-    val heapBytes = new Array[Byte](heapDataSize.toInt)
-    all.foreach { v =>
-      val off = nameOff(v.name).toInt
-      val nb = v.name.getBytes("UTF-8")
-      System.arraycopy(nb, 0, heapBytes, off, nb.length)
-    }
-    out.bytes(heapBytes)
-    // group B-tree: one leaf with one SNOD child
-    out.bytes("TREE".getBytes); out.u8(0); out.u8(0); out.u16(1)
-    out.u64(UNDEF); out.u64(UNDEF)
-    out.u64(0) // key 0: offset of "" (lowest)
-    out.u64(snodAddr)
-    out.u64(nameOff(all.last.name)) // key 1: greatest name
-    // SNOD
-    out.bytes("SNOD".getBytes); out.u8(1); out.u8(0); out.u16(all.length)
-    all.foreach { v =>
-      out.u64(nameOff(v.name)); out.u64(ohAddr(v.name))
-      out.u32(0); out.u32(0); out.u64(0); out.u64(0)
-    }
-    // global heap: one object per variable with a DIMENSION_LIST, each
-    // holding ONE object reference (one heap object per (var, axis))
+    // global-heap object index per (var, axis): DIMENSION_LIST references
+    // resolve through these (needed by both group-storage branches)
     val gIndex = scala.collection.mutable.Map.empty[(String, Int), Int]
     var gi = 1
     vars.foreach { v => v.dims.indices.foreach { k =>
       gIndex((v.name, k)) = gi; gi += 1 } }
+    // ---- emit ----
+    if (dense) {
+      // superblock v2: rootOH address is REAL (the dense root needs its
+      // Link Info message); trailing lookup3 checksum per spec
+      out.u8(2); out.u8(8); out.u8(8); out.u8(0)
+      out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(rootOHAddr)
+      out.u32(lookup3(out.result(), 0) & 0xffffffffL)
+      require(out.size == 48, s"superblock v2 size ${out.size}")
+      // root OH (v1) with a single Link Info message
+      val liBody = {
+        val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0.toByte); b.put(0.toByte)
+        b.putLong(frhpAddr); b.putLong(bthdAddr)
+        b.array()
+      }
+      val rootMsgs = Seq(msg(0x02, liBody))
+      out.u8(1); out.u8(0); out.u16(rootMsgs.length)
+      out.u32(1); out.u32(rootMsgs.map(_.length).sum.toLong); out.u32(0)
+      rootMsgs.foreach(out.bytes)
+      require(out.size == frhpAddr, s"root OH drift ${out.size}")
+      // link fractal heap: header + one root DIRECT block with every
+      // link message packed at sequential heap offsets (header included
+      // in heap space, so object offsets start at 17)
+      var lOff = 17L
+      val linkIds = all.zip(linkBodies).map { case (v, body) =>
+        val id = heapId7(lOff, body.length)
+        lOff += body.length
+        (v.name, id)
+      }.toMap
+      out.bytes(frhpBytes(idLen = 7, maxManaged = 4096,
+        startBlock = linkBlockSize, rootAddr = frhpAddr + FRHP_SIZE,
+        nObjects = all.length, usedBytes = lOff))
+      val fhdb = new growable()
+      fhdb.bytes("FHDB".getBytes); fhdb.u8(0); fhdb.u64(frhpAddr)
+      fhdb.u32(0) // block offset (offSize = 4)
+      all.zip(linkBodies).foreach { case (v, body0) =>
+        // patch the target OH address into the link body tail
+        val body = body0.clone()
+        val ab = ByteBuffer.wrap(body, body.length - 8, 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        ab.putLong(ohAddr(v.name))
+        fhdb.bytes(body)
+      }
+      val fhdbArr = fhdb.result()
+      out.bytes(fhdbArr)
+      out.bytes(new Array[Byte]((linkBlockSize - fhdbArr.length).toInt))
+      // name-index v2 B-tree: header + single leaf, records sorted by
+      // Jenkins lookup3 name hash (type 5: hash + 7-byte heap ID)
+      val btlfAddr = bthdAddr + BTHD_SIZE
+      out.bytes(bthdBytes(recType = 5, recSize = 11, rootAddr = btlfAddr,
+        nRec = all.length))
+      val recs = all.map { v =>
+        (lookup3(v.name.getBytes("UTF-8"), 0), linkIds(v.name))
+      }.sortBy(r => r._1 & 0xffffffffL)
+      val leaf = new growable()
+      leaf.bytes("BTLF".getBytes); leaf.u8(0); leaf.u8(5)
+      recs.foreach { case (h, id) => leaf.u32(h & 0xffffffffL); leaf.bytes(id) }
+      leaf.u32(lookup3(leaf.result(), 0) & 0xffffffffL)
+      out.bytes(leaf.result())
+      // per-data-var dense-attribute regions (heap ID length 8:
+      // offset 4 + length 3; record type 8 is 17 bytes)
+      vars.foreach { v =>
+        val (fr, bt) = attrRegion(v.name)
+        require(out.size == fr, s"attr region drift ${out.size} vs $fr")
+        val attrMsg = dimListAttrBody(v, gcolAddr, gIndex)
+        require(attrMsg.length <= 512 - 17, s"attr too large for block")
+        out.bytes(frhpBytes(idLen = 8, maxManaged = 65536,
+          startBlock = 512L, rootAddr = fr + FRHP_SIZE,
+          nObjects = 1, usedBytes = 17L + attrMsg.length))
+        val ab = new growable()
+        ab.bytes("FHDB".getBytes); ab.u8(0); ab.u64(fr); ab.u32(0)
+        ab.bytes(attrMsg)
+        out.bytes(ab.result())
+        out.bytes(new Array[Byte](512 - ab.result().length.toInt))
+        val leafA = bt + BTHD_SIZE
+        out.bytes(bthdBytes(recType = 8, recSize = 17, rootAddr = leafA,
+          nRec = 1))
+        val la = new growable()
+        la.bytes("BTLF".getBytes); la.u8(0); la.u8(8)
+        la.bytes(heapId8(17L, attrMsg.length)) // heap ID first in type 8
+        la.u8(0) // message flags
+        la.u32(0) // creation order
+        la.u32(lookup3("DIMENSION_LIST".getBytes("UTF-8"), 0) & 0xffffffffL)
+        la.u32(lookup3(la.result(), 0) & 0xffffffffL)
+        out.bytes(la.result())
+      }
+      require(out.size == gcolAddr, s"group region drift ${out.size}")
+    } else {
+      // superblock v0
+      out.u8(0); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+      out.u8(8); out.u8(8); out.u8(0)
+      out.u16(4); out.u16(16); out.u32(0)
+      out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(UNDEF)
+      // root group symbol table entry: the cache-type-1 scratch carries the
+      // group B-tree + heap addresses, which is what every reader (ours
+      // included) actually walks; the root OH address is left undefined —
+      // the bounded-writer contract, documented for external tools.
+      out.u64(0); out.u64(UNDEF)
+      out.u32(1); out.u32(0)
+      out.u64(btreeAddr); out.u64(heapHdr)
+      require(out.size == 96, s"superblock size ${out.size}")
+      // local heap
+      out.bytes("HEAP".getBytes); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+      out.u64(heapDataSize); out.u64(1L); out.u64(heapData)
+      // heap data: empty string slot then names
+      val heapBytes = new Array[Byte](heapDataSize.toInt)
+      all.foreach { v =>
+        val off = nameOff(v.name).toInt
+        val nb = v.name.getBytes("UTF-8")
+        System.arraycopy(nb, 0, heapBytes, off, nb.length)
+      }
+      out.bytes(heapBytes)
+      // group B-tree: one leaf with one SNOD child
+      out.bytes("TREE".getBytes); out.u8(0); out.u8(0); out.u16(1)
+      out.u64(UNDEF); out.u64(UNDEF)
+      out.u64(0) // key 0: offset of "" (lowest)
+      out.u64(snodAddr)
+      out.u64(nameOff(all.last.name)) // key 1: greatest name
+      // SNOD
+      out.bytes("SNOD".getBytes); out.u8(1); out.u8(0); out.u16(all.length)
+      all.foreach { v =>
+        out.u64(nameOff(v.name)); out.u64(ohAddr(v.name))
+        out.u32(0); out.u32(0); out.u64(0); out.u64(0)
+      }
+    }
+    // global heap: one object per variable with a DIMENSION_LIST, each
+    // holding ONE object reference (one heap object per (var, axis))
     val gcol = ByteBuffer.allocate(gcolSize.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     gcol.put('G'.toByte); gcol.put('C'.toByte); gcol.put('O'.toByte)
@@ -759,7 +1180,8 @@ object HDF5 {
     // objects
     all.foreach { v =>
       out.bytes(renderOH(v, shapeOf(v), elemSize(v), dataAddr.get(v.name),
-        btreeOf.get(v.name), deflateLevel, dimDefs, gcolAddr, gIndex))
+        btreeOf.get(v.name), deflateLevel, dimDefs, gcolAddr, gIndex,
+        attrRegion.get(v.name)))
       v.chunk match {
         case None =>
           out.bytes(encode(v, v.data))
@@ -784,6 +1206,205 @@ object HDF5 {
     }
     require(out.size == eof, s"layout drift: ${out.size} vs planned $eof")
     Files.write(Paths.get(path), out.result())
+  }
+
+  /** Fixture writer for the compound-datatype read path: ONE 1-D
+    * contiguous dataset whose element type is a compound of f64 members
+    * (spec "Datatype Message", class 6 version 1) in a minimal
+    * v0-superblock file. Interleaved storage, row-major — exactly what
+    * [[readVarMember]] must unpick. */
+  def writeCompoundFixture(path: String, dsName: String,
+                           members: Seq[(String, Array[Double])]): Unit = {
+    val out = new growable()
+    out.bytes(SIG)
+    val n = members.head._2.length
+    require(members.forall(_._2.length == n), "ragged members")
+    val esz = 8 * members.length
+    val nameHeapSize = 8L + (dsName.length + 1 + 7) / 8 * 8
+    val heapHdr = 96L
+    val heapData = heapHdr + 32
+    val btreeAddr = heapData + nameHeapSize
+    val snodAddr = btreeAddr + 24 + 24
+    val ohAddr = snodAddr + 8 + 40
+    val dt = {
+      val g = new growable()
+      g.u8(0x16) // class 6, version 1
+      g.u8(members.length & 0xff); g.u8((members.length >> 8) & 0xff)
+      g.u8(0)
+      g.u32(esz.toLong)
+      members.zipWithIndex.foreach { case ((mn, _), i) =>
+        val nb = mn.getBytes("UTF-8")
+        val padded = (nb.length + 1 + 7) / 8 * 8
+        g.bytes(nb)
+        (nb.length until padded).foreach(_ => g.u8(0))
+        g.u32(i * 8L) // byte offset within the element
+        g.u8(0); g.u8(0); g.u8(0); g.u8(0) // v1 dimensionality + reserved
+        g.u32(0); g.u32(0) // dim permutation + reserved
+        (0 until 4).foreach(_ => g.u32(0)) // dim sizes
+        g.bytes(dtypeBody(8, integral = false))
+      }
+      g.result()
+    }
+    val headMsgs = Seq(
+      msg(0x01, dataspaceBody(Seq(n))),
+      msg(0x03, dt),
+      msg(0x05, fillBody()))
+    val layoutMsgSize = 8L + 24 // 18-byte contiguous body, 8-padded
+    val ohSize = 16L + headMsgs.map(_.length.toLong).sum + layoutMsgSize
+    val dataAddr = ohAddr + ohSize
+    val eof = dataAddr + n.toLong * esz
+    // superblock v0 + root symbol-table scratch
+    out.u8(0); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u8(8); out.u8(8); out.u8(0)
+    out.u16(4); out.u16(16); out.u32(0)
+    out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(UNDEF)
+    out.u64(0); out.u64(UNDEF)
+    out.u32(1); out.u32(0)
+    out.u64(btreeAddr); out.u64(heapHdr)
+    // local heap with the single name
+    out.bytes("HEAP".getBytes); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u64(nameHeapSize); out.u64(1L); out.u64(heapData)
+    val heapBytes = new Array[Byte](nameHeapSize.toInt)
+    System.arraycopy(dsName.getBytes("UTF-8"), 0, heapBytes, 8,
+      dsName.length)
+    out.bytes(heapBytes)
+    out.bytes("TREE".getBytes); out.u8(0); out.u8(0); out.u16(1)
+    out.u64(UNDEF); out.u64(UNDEF)
+    out.u64(0); out.u64(snodAddr); out.u64(8L)
+    out.bytes("SNOD".getBytes); out.u8(1); out.u8(0); out.u16(1)
+    out.u64(8L); out.u64(ohAddr)
+    out.u32(0); out.u32(0); out.u64(0); out.u64(0)
+    // object header
+    val allMsgs = headMsgs :+ msg(0x08,
+      layoutBodyContig(dataAddr, n.toLong * esz))
+    out.u8(1); out.u8(0); out.u16(allMsgs.length)
+    out.u32(1); out.u32(allMsgs.map(_.length).sum.toLong); out.u32(0)
+    allMsgs.foreach(out.bytes)
+    require(out.size == dataAddr, s"layout drift ${out.size} vs $dataAddr")
+    // interleaved element storage
+    val db = ByteBuffer.allocate(n * esz).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      members.foreach { case (_, vals) => db.putDouble(vals(i)) }
+    }
+    out.bytes(db.array())
+    Files.write(Paths.get(path), out.result())
+  }
+
+  // ---- dense-group writer helpers --------------------------------------
+
+  private val FRHP_SIZE = 146L
+  private val BTHD_SIZE = 38L
+
+  /** Bob Jenkins lookup3 hashlittle (public domain; the hash HDF5 uses
+    * for v2 B-tree name records and metadata checksums). */
+  private[graft] def lookup3(data: Array[Byte], init: Int): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def word(o: Int, n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n && o + i < data.length) {
+        v |= (data(o + i) & 0xff) << (8 * i); i += 1
+      }
+      v
+    }
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var off = 0; var len = data.length
+    while (len > 12) {
+      a += word(off, 4); b += word(off + 4, 4); c += word(off + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      off += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(off, math.min(len, 4))
+      b += word(off + 4, math.max(0, math.min(len - 4, 4)))
+      c += word(off + 8, math.max(0, len - 8))
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
+  /** Hard-link message body with an 8-byte address placeholder at the
+    * tail (patched once object header addresses are final). */
+  private def linkMsgBody(name: String): Array[Byte] = {
+    val nb = name.getBytes("UTF-8")
+    require(nb.length < 256, s"link name too long: $name")
+    val b = ByteBuffer.allocate(3 + nb.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte) // version
+    b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
+    b.put(nb.length.toByte)
+    b.put(nb)
+    b.putLong(0L) // OH address placeholder
+    b.array()
+  }
+
+  /** Managed heap ID, 7 bytes (links): flags + offset(4) + length(2). */
+  private def heapId7(off: Long, len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte); b.putInt(off.toInt); b.putShort(len.toShort)
+    b.array()
+  }
+
+  /** Managed heap ID, 8 bytes (attributes): flags + offset(4) + length(3). */
+  private def heapId8(off: Long, len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte); b.putInt(off.toInt)
+    b.put((len & 0xff).toByte); b.put(((len >> 8) & 0xff).toByte)
+    b.put(((len >> 16) & 0xff).toByte)
+    b.array()
+  }
+
+  /** Fractal heap header: root is a single DIRECT block (curRows = 0). */
+  private def frhpBytes(idLen: Int, maxManaged: Int, startBlock: Long,
+                        rootAddr: Long, nObjects: Int,
+                        usedBytes: Long): Array[Byte] = {
+    val g = new growable()
+    g.bytes("FRHP".getBytes); g.u8(0)
+    g.u16(idLen); g.u16(0) // ID length + I/O filter length
+    g.u8(0) // flags: no checksummed direct blocks
+    g.u32(maxManaged.toLong)
+    g.u64(0); g.u64(UNDEF) // next huge ID + huge v2 B-tree
+    g.u64(startBlock - usedBytes); g.u64(UNDEF) // free space + manager
+    g.u64(startBlock); g.u64(startBlock) // managed + allocated space
+    g.u64(usedBytes) // direct block iterator offset
+    g.u64(nObjects.toLong)
+    g.u64(0); g.u64(0); g.u64(0); g.u64(0) // huge/tiny sizes + counts
+    g.u16(4) // table width
+    g.u64(startBlock); g.u64(65536L) // starting + max direct block size
+    g.u16(32) // max heap size (bits) -> 4-byte offsets
+    g.u16(1) // starting rows in root indirect block
+    g.u64(rootAddr)
+    g.u16(0) // current rows: 0 = root is a direct block
+    g.u32(lookup3(g.result(), 0) & 0xffffffffL)
+    val arr = g.result()
+    require(arr.length == FRHP_SIZE, s"FRHP size ${arr.length}")
+    arr
+  }
+
+  /** v2 B-tree header over a single leaf. */
+  private def bthdBytes(recType: Int, recSize: Int, rootAddr: Long,
+                        nRec: Int): Array[Byte] = {
+    val g = new growable()
+    g.bytes("BTHD".getBytes); g.u8(0); g.u8(recType)
+    g.u32(2048L) // node size
+    g.u16(recSize); g.u16(0) // depth 0
+    g.u8(100); g.u8(40) // split / merge percent
+    g.u64(rootAddr); g.u16(nRec); g.u64(nRec.toLong)
+    g.u32(lookup3(g.result(), 0) & 0xffffffffL)
+    val arr = g.result()
+    require(arr.length == BTHD_SIZE, s"BTHD size ${arr.length}")
+    arr
   }
 
   private def cartesian(axes: Seq[Seq[Int]]): Seq[Seq[Int]] =
@@ -909,10 +1530,20 @@ object HDF5 {
     b.array()
   }
 
-  private def pipelineBody(level: Int): Array[Byte] = {
-    val b = ByteBuffer.allocate(8 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
-    b.put(1.toByte); b.put(1.toByte)
+  private def pipelineBody(level: Int,
+                           shuffleElem: Option[Int]): Array[Byte] = {
+    val nf = if (shuffleElem.isDefined) 2 else 1
+    val b = ByteBuffer.allocate(8 + nf * 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(nf.toByte)
     b.putShort(0.toShort); b.putInt(0)
+    // write order = apply order: shuffle first, then deflate
+    shuffleElem.foreach { es =>
+      b.putShort(2.toShort) // shuffle
+      b.putShort(0.toShort) // name length
+      b.putShort(1.toShort) // flags: optional
+      b.putShort(1.toShort) // one client value: element size
+      b.putInt(es); b.putInt(0) // value + pad to 8
+    }
     b.putShort(1.toShort) // deflate
     b.putShort(0.toShort) // name length
     b.putShort(1.toShort) // flags: optional
@@ -921,11 +1552,29 @@ object HDF5 {
     b.array()
   }
 
+  /** The byte-shuffle filter (id 2), write direction. */
+  private def shuffleBytes(raw: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1) return raw
+    val n = raw.length / es
+    val out = new Array[Byte](raw.length)
+    var j = 0
+    var b = 0
+    while (b < es) {
+      var r = 0
+      while (r < n) { out(j) = raw(r * es + b); j += 1; r += 1 }
+      b += 1
+    }
+    System.arraycopy(raw, n * es, out, n * es, raw.length - n * es)
+    out
+  }
+
   private def messagesOf(v: WVar, shape: Seq[Int], elemSize: Int,
                          dataAddr: Option[Long], btree: Option[Long],
                          level: Int, dimDefs: Seq[(String, Array[Double])],
                          gcolAddr: Long,
-                         gIndex: ((String, Int)) => Int): Seq[Array[Byte]] = {
+                         gIndex: ((String, Int)) => Int,
+                         attrRegion: Option[(Long, Long)] = None
+                        ): Seq[Array[Byte]] = {
     val isDim = v.dims.length == 1 &&
       dimDefs.exists(_._1 == v.name)
     val base = Seq(
@@ -938,13 +1587,27 @@ object HDF5 {
         case Some(cd) => msg(0x08, layoutBodyChunked(btree.get, cd, elemSize))
       })
     val filters = if (v.chunk.isDefined)
-      Seq(msg(0x0B, pipelineBody(level))) else Nil
+      Seq(msg(0x0B, pipelineBody(level,
+        if (v.shuffle) Some(elemSize) else None))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),
         msg(0x0C, scalarStrAttrBody("NAME", v.name)))
-      else Seq(msg(0x0C, dimListAttrBody(v, gcolAddr, gIndex)))
+      else attrRegion match {
+        case Some((fr, bt)) =>
+          // DENSE attribute storage: Attribute Info message pointing at
+          // the per-object fractal heap + name-index v2 B-tree
+          Seq(msg(0x15, attrInfoBody(fr, bt)))
+        case None => Seq(msg(0x0C, dimListAttrBody(v, gcolAddr, gIndex)))
+      }
     base ++ filters ++ attrs
+  }
+
+  private def attrInfoBody(fheapAddr: Long, btAddr: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte); b.put(0.toByte) // version + flags (no creation order)
+    b.putLong(fheapAddr); b.putLong(btAddr)
+    b.array()
   }
 
   private def elemSizeOf(v: WVar): Int =
@@ -954,10 +1617,11 @@ object HDF5 {
     * the same message set with dummy addresses (sizes are
     * address-independent). */
   private def ohSizeOf(v: WVar,
-                       dimDefs: Seq[(String, Array[Double])]): Long = {
+                       dimDefs: Seq[(String, Array[Double])],
+                       denseAttr: Boolean): Long = {
     val shape = v.dims.map(_ => 1)
     val msgs = messagesOf(v, shape, elemSizeOf(v), Some(0L), Some(0L), 1,
-      dimDefs, 0L, _ => 1)
+      dimDefs, 0L, _ => 1, if (denseAttr) Some((0L, 0L)) else None)
     16L + msgs.map(_.length.toLong).sum
   }
 
@@ -965,9 +1629,11 @@ object HDF5 {
                        dataAddr: Option[Long], btree: Option[Long],
                        level: Int, dimDefs: Seq[(String, Array[Double])],
                        gcolAddr: Long,
-                       gIndex: ((String, Int)) => Int): Array[Byte] = {
+                       gIndex: ((String, Int)) => Int,
+                       attrRegion: Option[(Long, Long)] = None
+                      ): Array[Byte] = {
     val msgs = messagesOf(v, shape, elemSize, dataAddr, btree, level,
-      dimDefs, gcolAddr, gIndex)
+      dimDefs, gcolAddr, gIndex, attrRegion)
     val total = msgs.map(_.length).sum
     val b = ByteBuffer.allocate(16 + total).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(0.toByte)

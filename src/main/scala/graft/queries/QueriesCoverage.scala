@@ -207,6 +207,46 @@ object QueriesCoverage {
         .df.select("n_nationkey", "n_name")
     }),
 
+    // §2.1 netCDF-4 with DENSE (fractal-heap) group + attribute storage,
+    // shuffle+deflate chunks — the storage libhdf5 switches to once a
+    // group/object outgrows compact messages (ref `backends/netCDF4_.py`;
+    // HDF5 spec "Fractal Heap"/"Version 2 B-trees"/filter id 2)
+    "q169_netcdf4_dense" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_nc4d_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("time" -> Array.tabulate(6)(_.toDouble),
+          "lat" -> Array.tabulate(5)(_ * 0.5)),
+        Seq(HDF5.WVar("temp", Seq(0, 1),
+          (for (t <- 0 until 6; l <- 0 until 5)
+            yield t * 100.0 + l * 1.5).toArray,
+          chunk = Some(Seq(4, 2)), shuffle = true)),
+        dense = true)
+      HDF5.convert(s, base, "temp", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet")
+        .select("time", "lat", "temp")
+    }),
+
+    // §2.1 compound (struct) datatype: per-member column extraction from
+    // interleaved element storage (HDF5 spec Datatype Message class 6)
+    "q169b_hdf5_compound" -> ((s, dir) => {
+      import s.implicits._
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5comp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val path = base + "/obs.h5"
+      HDF5.writeCompoundFixture(path, "obs",
+        Seq("t" -> Array.tabulate(12)(_ * 10.0),
+          "v" -> Array.tabulate(12)(i => i * 1.5 - 2.0)))
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      val f = HDF5.parseFile(bytes)
+      val t = HDF5.readVarMember(bytes, f, "obs", "t")
+      val v = HDF5.readVarMember(bytes, f, "obs", "v")
+      t.zip(v).toSeq.toDF("t", "v")
+    }),
+
     // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
     // sides bucketed by the join key -> the sort-merge join reads
     // pre-bucketed files with NO exchange on either side at any scale
@@ -299,6 +339,14 @@ object QueriesCoverage {
              row_number() OVER (ORDER BY n_nationkey) - 1 AS p
            FROM nation)
          SELECT n_nationkey, n_name FROM t WHERE p NOT IN (0, 5, 10)""",
+    "q169_netcdf4_dense" ->
+      """SELECT t.t AS time, l.l * 0.5 AS lat,
+           t.t * 100 + l.l * 1.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    "q169b_hdf5_compound" ->
+      """SELECT i * 10.0 AS t, i * 1.5 - 2.0 AS v
+         FROM (SELECT unnest(generate_series(0, 11)) AS i)""",
     "q187_bucketed_join" ->
       """SELECT c_mktsegment,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.io.HDF5
+import graft.io.HDF5.WVar
+
+/** Dense (fractal-heap) group + attribute storage, byte-shuffle filter,
+  * and compound datatypes — the netCDF-4 reader tail (HDF5 File Format
+  * Specification v3: "Fractal Heap", "Version 2 B-trees", "Datatype
+  * Message" class 6, filter id 2). The writer emits the same structures
+  * (superblock v2, Link Info -> FRHP/FHDB/BTHD/BTLF, Attribute Info per
+  * data var) so the roundtrip covers every new reader branch. */
+class HDF5DenseSpec extends SparkSpec {
+
+  private def denseFixture(path: String): Unit = {
+    val time = Array.tabulate(6)(_.toDouble)
+    val lat = Array.tabulate(5)(i => i * 0.5)
+    val temp = (for (t <- 0 until 6; l <- 0 until 5)
+      yield t * 100.0 + l * 1.5).toArray
+    val press = (for (t <- 0 until 6; l <- 0 until 5)
+      yield (t + l * 10).toFloat.toDouble).toArray
+    HDF5.writeNc4(path,
+      Seq("time" -> time, "lat" -> lat),
+      Seq(
+        // shuffle + deflate, with edge chunks on both axes
+        WVar("temp", Seq(0, 1), temp, chunk = Some(Seq(4, 2)),
+          shuffle = true),
+        WVar("press", Seq(0, 1), press, f32 = true)),
+      dense = true)
+  }
+
+  test("dense group: superblock v2 + fractal-heap links + name index") {
+    val dir = Files.createTempDirectory("graft_h5d").toString
+    val path = s"$dir/dense.nc4"
+    denseFixture(path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.datasets.map(_.name).sorted ===
+      Seq("lat", "press", "temp", "time"))
+    assert(f.dims.toMap === Map("time" -> 6L, "lat" -> 5L))
+    // DIMENSION_LIST arrives via DENSE attribute storage on data vars
+    val temp = f.byName("temp")
+    assert(f.varDims(temp) === Seq("time", "lat"))
+    assert(temp.shuffleElem === Some(8))
+    assert(temp.deflate)
+  }
+
+  test("shuffle+deflate chunks decode to the original values") {
+    val dir = Files.createTempDirectory("graft_h5d2").toString
+    val path = s"$dir/dense.nc4"
+    denseFixture(path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(HDF5.readVar(bytes, f, "temp").toSeq ===
+      (for (t <- 0 until 6; l <- 0 until 5) yield t * 100.0 + l * 1.5))
+    assert(HDF5.readVar(bytes, f, "press").toSeq ===
+      (for (t <- 0 until 6; l <- 0 until 5)
+        yield (t + l * 10).toFloat.toDouble))
+    assert(HDF5.readVar(bytes, f, "time").toSeq ===
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("dense toLongDF matches the compact-group decode") {
+    val dirD = Files.createTempDirectory("graft_h5d3").toString
+    denseFixture(s"$dirD/part0.nc4")
+    val df = HDF5.toLongDF(spark, dirD, "temp")
+    assert(df.count() === 30)
+    val row = df.filter(org.apache.spark.sql.functions.col("time") === 3L)
+      .filter(org.apache.spark.sql.functions.col("lat") === 1.0)
+      .head()
+    assert(row.getDouble(2) === 303.0)
+  }
+
+  test("compound datatype: per-member extraction") {
+    val dir = Files.createTempDirectory("graft_h5c").toString
+    val path = s"$dir/compound.h5"
+    val t = Array.tabulate(7)(_ * 10.0)
+    val v = Array.tabulate(7)(i => i * 1.5 - 2.0)
+    HDF5.writeCompoundFixture(path, "obs", Seq("t" -> t, "v" -> v))
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val obs = f.byName("obs")
+    assert(obs.dtype.clazz === 6)
+    assert(obs.dtype.members.map(_._1) === Seq("t", "v"))
+    assert(HDF5.readVarMember(bytes, f, "obs", "t").toSeq === t.toSeq)
+    assert(HDF5.readVarMember(bytes, f, "obs", "v").toSeq === v.toSeq)
+    // whole-compound read is rejected with the member list
+    val e = intercept[RuntimeException](HDF5.readVar(bytes, f, "obs"))
+    assert(e.getMessage.contains("readVarMember"))
+  }
+
+  test("lookup3 matches the published test vectors") {
+    // Bob Jenkins' lookup3.c self-test values for hashlittle(...)
+    assert(HDF5.lookup3("".getBytes("UTF-8"), 0) === 0xdeadbeef)
+    assert(HDF5.lookup3("Four score and seven years ago".getBytes("UTF-8"),
+      0) === 0x17770551)
+    assert(HDF5.lookup3("Four score and seven years ago".getBytes("UTF-8"),
+      1) === 0xcd628161)
+  }
+}
