@@ -178,6 +178,23 @@ object CFDecode {
       day.cast("long") - 1L
   }
 
+  /** proleptic_gregorian decode: Spark's DateType IS the proleptic
+    * Gregorian calendar (Proleptic since 3.0 / Java 8 time), so the
+    * decode is native date arithmetic — date_add from the epoch, then
+    * field extraction. Codegen'd, no CASE chains. */
+  def prolepticDecode(days: Column, epochYear: Int): Column = {
+    val dt = date_add(make_date(lit(epochYear), lit(1), lit(1)),
+      days.cast("int"))
+    struct(year(dt).as("year"), month(dt).as("month"),
+      dayofmonth(dt).as("day"), dayofyear(dt).as("doy"))
+  }
+
+  /** proleptic_gregorian encode back to days since epoch. */
+  def prolepticEncode(y: Column, m: Column, d: Column,
+                      epochYear: Int): Column =
+    datediff(make_date(y, m, d),
+      make_date(lit(epochYear), lit(1), lit(1))).cast("long")
+
   /** Is (y, m, d) a real date in the proleptic-gregorian calendar? */
   def gregorianValid(y: Column, m: Column, d: Column): Column = {
     val leap = (pmod(y, lit(4)) === 0 && pmod(y, lit(100)) =!= 0) ||
@@ -202,6 +219,11 @@ object CFDecode {
       starts.sliding(2).toSeq.zipWithIndex.foldLeft(lit(31)) {
         case (acc, (b, i)) => when(m === i + 1, b(1) - b.head).otherwise(acc)
       }
+    calendar match {
+      case "proleptic_gregorian" | "standard" | "gregorian" =>
+        return gregorianValid(y, m, d) && m >= 1 && m <= 12
+      case _ => ()
+    }
     val len = calendar match {
       case "360_day"  => lit(30)
       case "noleap"   => lenFrom(monthStartsNoLeap)
@@ -224,6 +246,8 @@ object CFDecode {
       case "noleap"   => noleapEncode(y, m, d, epochYear)
       case "all_leap" => allLeapEncode(y, m, d, epochYear)
       case "julian"   => julianEncode(y, m, d, epochYear)
+      case "proleptic_gregorian" | "standard" | "gregorian" =>
+        prolepticEncode(y, m, d, epochYear)
     }
     when(calendarValid(target, y, m, d), enc)
   }
@@ -265,6 +289,64 @@ object CFDecode {
   /** Day-counts since epoch for `n` consecutive days. */
   def cftimeRangeDays(startDay: Long, n: Int): Seq[Long] =
     startDay until (startDay + n)
+
+  /** Day count since epoch of the START of (year, month0) in `calendar`
+    * (month0 is 0-based). The single anchor every offset frequency below
+    * derives from. */
+  private def monthStartDay(calendar: String, epochYear: Int,
+                            year: Int, month0: Int): Long = calendar match {
+    case "360_day"  => (year - epochYear).toLong * 360L + month0 * 30L
+    case "noleap"   => (year - epochYear).toLong * 365L +
+      monthStartsNoLeap(month0)
+    case "all_leap" => (year - epochYear).toLong * 366L +
+      monthStartsAllLeap(month0)
+    case "julian" =>
+      require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
+      val yrs = year - epochYear
+      val cycles = Math.floorDiv(yrs, 4)
+      val yic = Math.floorMod(yrs, 4)
+      cycles.toLong * 1461L + Seq(0L, 366L, 731L, 1096L)(yic) +
+        (if (yic == 0) monthStartsAllLeap(month0)
+         else monthStartsNoLeap(month0))
+    case "proleptic_gregorian" | "standard" | "gregorian" =>
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(epochYear, 1, 1),
+        java.time.LocalDate.of(year, month0 + 1, 1))
+    case c => sys.error(s"unknown calendar $c")
+  }
+
+  /** Calendar-aware date_range over the cftime offset family (ref
+    * `coding/cftime_offsets.py` Day/MonthBegin/MonthEnd/QuarterBegin/
+    * QuarterEnd/YearBegin/YearEnd, `:1221` cftime_range): day counts
+    * since epoch of `periods` ticks from January 1 of `startYear`.
+    * Driver-side generation — the result is a small axis/probe grid that
+    * broadcasts with the plan. Anchored frequencies:
+    * D, MS, ME, QS (Jan anchor), QE, YS, YE, and n-multiples like "3D". */
+  def cftimeRange(calendar: String, epochYear: Int, startYear: Int,
+                  periods: Int, freq: String): Seq[Long] = {
+    val (n, unit) = {
+      val m = "^(\\d*)([A-Z]+)$".r.findFirstMatchIn(freq)
+        .getOrElse(sys.error(s"unparseable freq $freq"))
+      (if (m.group(1).isEmpty) 1 else m.group(1).toInt, m.group(2))
+    }
+    require(n > 0, s"freq multiple must be positive: $freq")
+    def ms(k: Int): Long = // start of the k-th month from startYear-01
+      monthStartDay(calendar, epochYear, startYear + Math.floorDiv(k, 12),
+        Math.floorMod(k, 12))
+    (0 until periods).map { i =>
+      val k = i * n
+      unit match {
+        case "D"  => ms(0) + k
+        case "MS" => ms(k)
+        case "ME" => ms(k + 1) - 1 // last day of month k
+        case "QS" => ms(k * 3)
+        case "QE" => ms(k * 3 + 3) - 1
+        case "YS" => ms(k * 12)
+        case "YE" => ms(k * 12 + 12) - 1
+        case u => sys.error(s"unsupported freq $u (D/MS/ME/QS/QE/YS/YE)")
+      }
+    }
+  }
 
   /** Day-counts of `months` consecutive month STARTS (freq="MS") from
     * January of `startYear`, in the given calendar. */

@@ -63,6 +63,43 @@ object QueriesCalendar {
           col("d360")), "yyyy-MM-dd").as("std_360"))
     }),
 
+    // proleptic_gregorian decode/encode + convert_calendar INTO it (ref
+    // `coding/times.py` standard-calendar path; drop semantics for dates
+    // the target lacks, e.g. all_leap Feb 29 of a non-leap year). Spark's
+    // DateType IS proleptic Gregorian, so the codec is native date math.
+    "q170_cftime_proleptic" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select((col("event_id") % 150000L).as("days")).distinct()
+      val dec = base.select(col("days"),
+        CFDecode.prolepticDecode(col("days"), 2000).as("p"),
+        CFDecode.allLeapDecode(col("days"), 2000).as("a"))
+      val flat = dec.select(col("days"),
+        col("p.year").as("yp"), col("p.month").as("mp"),
+        col("p.day").as("dp"), col("p.doy").as("doyp"),
+        col("a.year").as("ya"), col("a.month").as("ma"),
+        col("a.day").as("da"))
+      flat.select(col("*"),
+        CFDecode.prolepticEncode(col("yp"), col("mp"), col("dp"), 2000)
+          .as("rtp"),
+        CFDecode.convertCalendar(col("ya"), col("ma"), col("da"),
+          "proleptic_gregorian", 2000).as("conv"))
+    }),
+
+    // cftime_range over the offset family (ref `coding/cftime_offsets.py`
+    // MonthBegin/MonthEnd/QuarterBegin/QuarterEnd/YearBegin/YearEnd/Day +
+    // n-multiples): 24 periods of each anchored freq in both a real
+    // calendar (proleptic) and a fixed-length one (noleap)
+    "q170b_cftime_range_freqs" -> ((s, dir) => {
+      import s.implicits._
+      val freqs = Seq("MS", "ME", "QS", "QE", "YS", "YE", "3D")
+      val rows = for {
+        cal <- Seq("proleptic_gregorian", "noleap")
+        f <- freqs
+        (d, i) <- CFDecode.cftimeRange(cal, 2000, 2001, 24, f).zipWithIndex
+      } yield (cal, f, i.toLong, d)
+      rows.toDF("calendar", "freq", "i", "day")
+    }),
+
     // interp_calendar (ref `coding/calendar_ops.py:190`): source series on
     // a noleap time axis, target on the standard calendar — both become
     // DECIMAL YEARS (noleap: exactly year + days/365) and the values
@@ -92,7 +129,73 @@ object QueriesCalendar {
     })
   )
 
+  /** Noleap month-start day count since epoch 2000 for SQL month index
+    * expression `k` (startYear folds in at the call site). */
+  private def nlMonthStart(k: String): String = {
+    val cases = (0 until 12).map(i =>
+      s"WHEN ${i} THEN ${startsNoLeap(i)}").mkString(" ")
+    s"((1 + ($k) // 12) * 365 + CASE (($k) % 12) $cases END)"
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q170_cftime_proleptic" -> {
+      val mAl = sqlMonth("doyal", startsLeap)
+      val dAl = sqlDay("doyal", startsLeap)
+      s"""WITH b AS (SELECT DISTINCT event_id % 150000 AS days FROM events),
+        p AS (SELECT days, DATE '2000-01-01' + CAST(days AS INT) AS dt
+          FROM b),
+        f AS (SELECT days,
+          CAST(year(dt) AS INT) AS yp, CAST(month(dt) AS INT) AS mp,
+          CAST(day(dt) AS INT) AS dp, CAST(dayofyear(dt) AS INT) AS doyp,
+          CAST(days // 366 AS INT) + 2000 AS ya,
+          CAST(days % 366 AS INT) AS doyal
+        FROM p),
+        g AS (SELECT days, yp, mp, dp, doyp, ya,
+          $mAl AS ma, $dAl AS da FROM f)
+        SELECT days, yp, mp, dp, doyp, ya,
+          CAST(ma AS INT) AS ma, CAST(da AS INT) AS da,
+          datediff('day', DATE '2000-01-01', make_date(yp, mp, dp)) AS rtp,
+          CASE WHEN da <= (CASE WHEN ma IN (1,3,5,7,8,10,12) THEN 31
+                 WHEN ma IN (4,6,9,11) THEN 30
+                 WHEN ((ya % 4 = 0 AND ya % 100 <> 0) OR ya % 400 = 0)
+                   THEN 29 ELSE 28 END)
+            THEN datediff('day', DATE '2000-01-01', make_date(ya, ma, da))
+          END AS conv
+        FROM g""".stripMargin
+    },
+
+    "q170b_cftime_range_freqs" -> {
+      // proleptic arm: native DuckDB date arithmetic; noleap arm: the
+      // fixed-length closed form, both replayed independently
+      val pro = Seq(
+        "MS" -> "DATE '2001-01-01' + to_months(CAST(i AS INT))",
+        "ME" -> "DATE '2001-01-01' + to_months(CAST(i + 1 AS INT)) - to_days(1)",
+        "QS" -> "DATE '2001-01-01' + to_months(CAST(3 * i AS INT))",
+        "QE" -> "DATE '2001-01-01' + to_months(CAST(3 * i + 3 AS INT)) - to_days(1)",
+        "YS" -> "DATE '2001-01-01' + to_years(CAST(i AS INT))",
+        "YE" -> "DATE '2001-01-01' + to_years(CAST(i + 1 AS INT)) - to_days(1)",
+        "3D" -> "DATE '2001-01-01' + to_days(CAST(3 * i AS INT))")
+        .map { case (f, dt) =>
+          s"""SELECT 'proleptic_gregorian' AS calendar, '$f' AS freq, i,
+             datediff('day', DATE '2000-01-01', CAST($dt AS DATE)) AS day
+           FROM (SELECT unnest(generate_series(0, 23)) AS i)"""
+        }
+      val nl = Seq(
+        "MS" -> nlMonthStart("i"),
+        "ME" -> s"(${nlMonthStart("i + 1")} - 1)",
+        "QS" -> nlMonthStart("3 * i"),
+        "QE" -> s"(${nlMonthStart("3 * i + 3")} - 1)",
+        "YS" -> nlMonthStart("12 * i"),
+        "YE" -> s"(${nlMonthStart("12 * i + 12")} - 1)",
+        "3D" -> "(365 + 3 * i)")
+        .map { case (f, e) =>
+          s"""SELECT 'noleap' AS calendar, '$f' AS freq, i,
+             CAST($e AS BIGINT) AS day
+           FROM (SELECT unnest(generate_series(0, 23)) AS i)"""
+        }
+      (pro ++ nl).mkString(" UNION ALL ")
+    },
     "q119_cftime_calendars" -> {
       val mJulL = sqlMonth("doyjul", startsLeap)
       val mJulN = sqlMonth("doyjul", startsNoLeap)

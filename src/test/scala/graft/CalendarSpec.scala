@@ -131,4 +131,39 @@ class CalendarSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(out === Seq(null, "2000-02-29", null, "2004-02-29"))
   }
+
+  test("proleptic_gregorian decode/encode roundtrip across century rules") {
+    // 2100 is NOT a leap year (century), 2000 IS (quadricentennial)
+    val days = Seq(0L, 59L, 60L, 36524L, 36585L, 150000L)
+    val df = days.toDF("days")
+      .select(col("days"), CFDecode.prolepticDecode(col("days"), 2000).as("p"))
+      .select(col("days"), col("p.year"), col("p.month"), col("p.day"),
+        CFDecode.prolepticEncode(col("p.year"), col("p.month"), col("p.day"),
+          2000).as("rt"))
+      .collect()
+    df.foreach(r => assert(r.getLong(4) === r.getLong(0)))
+    // day 59 = 2000-02-29 (leap); day 36585 = 2100-03-02 (2100 NOT leap)
+    val d59 = df.find(_.getLong(0) == 59L).get
+    assert((d59.getInt(1), d59.getInt(2), d59.getInt(3)) === ((2000, 2, 29)))
+    val d36585 = df.find(_.getLong(0) == 36585L).get
+    assert((d36585.getInt(1), d36585.getInt(2), d36585.getInt(3)) ===
+      ((2100, 3, 2)))
+  }
+
+  test("cftime_range anchors: julian leap handling and n-multiples") {
+    // julian: 2100 IS a leap year (no century rule), so noleap/julian
+    // diverge at 2100-02-end; ME of Feb 2100 in julian = day 29
+    val jME = CFDecode.cftimeRange("julian", 2000, 2100, 2, "ME")
+    val nME = CFDecode.cftimeRange("noleap", 2000, 2100, 2, "ME")
+    // Feb end (index 1): julian Feb has 29 days in 2100, noleap 28
+    assert(jME(1) - jME(0) === 29)
+    assert(nME(1) - nME(0) === 28)
+    // n-multiple: 3D steps by 3 days
+    assert(CFDecode.cftimeRange("360_day", 2000, 2001, 4, "3D") ===
+      Seq(360L, 363L, 366L, 369L))
+    // QE/YE land one day before the next anchor's start
+    val qs = CFDecode.cftimeRange("proleptic_gregorian", 2000, 2001, 2, "QS")
+    val qe = CFDecode.cftimeRange("proleptic_gregorian", 2000, 2001, 1, "QE")
+    assert(qe.head === qs(1) - 1)
+  }
 }
