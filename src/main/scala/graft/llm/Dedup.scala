@@ -177,8 +177,12 @@ object Dedup {
     * reduction; boilerplate windows shared by the whole corpus concentrate
     * on single keys, but the per-key payload is a count, not a pair
     * blow-up — no k² term anywhere (contrast [[ngramJaccard]]). */
-  /** (doc_id, p, h): md5 of every gramLen-char window at `stride`.
-    * Docs shorter than gramLen contribute nothing. */
+  /** (doc_id, p, h): 64-bit hash of every gramLen-char window at
+    * `stride`. Docs shorter than gramLen contribute nothing. xxhash64,
+    * not md5: every consumer uses `h` purely as an equality key, and the
+    * 8-byte long keys make the window-space shuffle/sort ~4× narrower
+    * than 32-char md5 hex strings (collision odds at 2^64 are
+    * negligible next to the hash-based design itself). */
   private def windowGrams(docs: DataFrame, id: String, text: String,
                           gramLen: Int, stride: Int): DataFrame = {
     val base = docs
@@ -187,7 +191,7 @@ object Dedup {
     base.select(col("doc_id"), col("t"),
         explode(sequence(lit(0), length(col("t")) - gramLen, lit(stride))).as("p"))
       .select(col("doc_id"), col("p"),
-        expr(s"md5(substring(t, p + 1, $gramLen))").as("h"))
+        xxhash64(expr(s"substring(t, p + 1, $gramLen)")).as("h"))
   }
 
   def duplicateSpans(docs: DataFrame, id: String, text: String,

@@ -1,16 +1,20 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches (the Scala analog
-  * of `mapInPandas`). The DECODE step is a deterministic STUB — the
-  * image/audio codecs aren't in this container — but the Spark-side
-  * contract (schema, batching, partitioning) is real and tested:
-  * a production decode swaps `fakeDecode` for a JNI/codec call without
-  * touching the plan.
+  * of `mapInPandas`).
+  *
+  * The decode step is REAL for the formats the JVM ships codecs for:
+  * PNG/JPEG/BMP/GIF via `javax.imageio` (JDK java.desktop, headless-safe)
+  * and WAV/PCM via a RIFF parse — no external libraries. Payloads in any
+  * other format fall back to a deterministic stub (documented; a
+  * production build swaps in a JNI codec without touching the plan). All
+  * decoding runs inside `mapPartitions`, so the executor JVM decodes its
+  * whole partition batch with no per-row driver round trips.
   */
 object Multimodal {
 
@@ -22,30 +26,185 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false)))
 
-  /** STUB decode: derives fake dimensions from the byte payload
-    * deterministically. Real impl: ??? -> image codec over the bytes. */
+  /** Stub decode for payloads with no JVM codec: derives fake dimensions
+    * from the byte payload deterministically (kept for plumbing tests and
+    * as the documented unknown-format fallback). */
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     (n % 640 + 1, (n * 7) % 480 + 1, 3)
   }
 
+  /** Magic-byte sniff: does this payload CLAIM to be a decodable image? */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG
+      (b(0) == 'B' && b(1) == 'M') ||                 // BMP
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))    // GIF
+
+  /** Real image decode via the JDK codec; None when the payload doesn't
+    * parse (sniffed-but-corrupt falls back to the stub). */
+  private def imageDecode(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(bytes)) None
+    else Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+
   /** Decode a binary media column per partition (batched, no per-row JVM
-    * boundary crossings; the partition is the batch). */
+    * boundary crossings; the partition is the batch). Image payloads get
+    * their REAL dimensions/band count; anything else the stub. */
   def decode(df: DataFrame, id: String, media: String): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, c) = fakeDecode(bytes)
+        val (w, h, c) = imageDecode(bytes) match {
+          case Some(img) =>
+            (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+          case None => fakeDecode(bytes)
+        }
         Row(r.getLong(0), bytes.length, w, h, c)
       }
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
 
-  /** Frame sampling stub: emit every `stride`-th fixed-size chunk of the
-    * payload as a "frame" (schema/partitioning identical to real video
-    * frame extraction). */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** Image feature extraction (real decode): dimensions + per-channel
+    * mean intensity. Rows whose payload is not a decodable image are
+    * dropped — the curation-filter contract. */
+  def imageFeatures(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        imageDecode(r.getAs[Array[Byte]](1)).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(r.getLong(0), w, h, img.getRaster.getNumBands,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** Nearest-neighbor thumbnail resize (real decode): re-encodes each
+    * image as a `tw`x`th` PNG. Executor-side, batch = partition. */
+  def resize(df: DataFrame, id: String, media: String,
+             tw: Int, th: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        imageDecode(r.getAs[Array[Byte]](1)).map { img =>
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB(
+                x * img.getWidth / tw, y * img.getHeight / th))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** Parse a RIFF/WAVE header + 16-bit PCM data chunk: (sampleRate,
+    * channels, bits, nFrames, rms of normalized samples). */
+  private def wavDecode(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var out: Option[(Int, Int, Int, Long, Double)] = None
+    while (p + 8 <= bytes.length && out.isEmpty) {
+      val cid = new String(bytes, p, 4, "US-ASCII")
+      val sz = b.getInt(p + 4)
+      cid match {
+        case "fmt " =>
+          fmt = Some((b.getShort(p + 10).toInt, b.getInt(p + 12),
+            b.getShort(p + 22).toInt))
+        case "data" =>
+          val (ch, rate, bits) = fmt.getOrElse(return None)
+          if (bits != 16) return None // PCM16 is the supported subset
+          val nSamp = sz / 2
+          var ss = 0.0
+          var i = 0
+          while (i < nSamp) {
+            val v = b.getShort(p + 8 + i * 2) / 32768.0
+            ss += v * v
+            i += 1
+          }
+          out = Some((rate, ch, bits, nSamp.toLong / math.max(ch, 1),
+            math.sqrt(ss / math.max(nSamp, 1))))
+        case _ => ()
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    out
+  }
+
+  /** Real audio decode: RIFF/WAVE PCM16 header + sample statistics.
+    * Non-WAV payloads are dropped. */
+  def decodeWav(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        wavDecode(r.getAs[Array[Byte]](1)).map { case (sr, ch, bits, n, rms) =>
+          Row(r.getLong(0), sr, ch, bits, n, rms)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, wavSchema)
+  }
+
+  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
+    * payload as a "frame" — the raw-stream (e.g. RGB24 video) chunking
+    * contract; schema/partitioning identical to container-aware
+    * extraction. */
   def frameSample(df: DataFrame, id: String, media: String,
                   frameBytes: Int, stride: Int): DataFrame =
     df.select(col(id), posexplode(split_binaryChunks(col(media), frameBytes))

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{BinaryType, DecimalType, LongType,
+  StructField, StructType}
 import graft.model.{MultiDataset, XDataset}
 import graft.model.XDataset.exactSum
 import graft.io.Tables
@@ -247,6 +248,60 @@ object QueriesCoverage {
       t.zip(v).toSeq.toDF("t", "v")
     }),
 
+    // Multimodal REAL image decode (JDK javax.imageio codec, executor-side
+    // mapPartitions): constant-color PNGs with id-derived dimensions round-
+    // trip through encode -> distributed decode -> per-channel means
+    "q190_image_decode" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val rows = (0L until 60L).map { i =>
+        val w = 8 + (i % 16).toInt; val h = 6 + (i % 12).toInt
+        val (r, g, b) = ((i % 256).toInt, (i * 3 % 256).toInt,
+          (i * 7 % 256).toInt)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        (0 until h).foreach(y => (0 until w).foreach(x =>
+          img.setRGB(x, y, rgb)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(i, bos.toByteArray)
+      }
+      val media = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("media", BinaryType, nullable = false))))
+      Multimodal.imageFeatures(media, "doc_id", "media")
+    }),
+
+    // Multimodal REAL audio decode (RIFF/WAVE PCM16 parse): id-derived
+    // sample rates/lengths, constant amplitude -> rms = v/32768 exactly
+    "q191_wav_decode" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val rows = (0L until 50L).map { i =>
+        val rate = 8000 + 100 * (i % 10).toInt
+        val n = 500 + 10 * (i % 20).toInt
+        val v = ((i % 100) * 300).toShort
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes); bb.putInt(36 + n * 2)
+        bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1) // PCM, mono
+        bb.putInt(rate); bb.putInt(rate * 2)
+        bb.putShort(2); bb.putShort(16) // block align, bits
+        bb.put("data".getBytes); bb.putInt(n * 2)
+        (0 until n).foreach(_ => bb.putShort(v))
+        Row(i, bb.array())
+      }
+      val media = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("media", BinaryType, nullable = false))))
+      Multimodal.decodeWav(media, "doc_id", "media")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), round(col("rms"), 6).as("rms"))
+    }),
+
     // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
     // sides bucketed by the join key -> the sort-merge join reads
     // pre-bucketed files with NO exchange on either side at any scale
@@ -347,6 +402,22 @@ object QueriesCoverage {
     "q169b_hdf5_compound" ->
       """SELECT i * 10.0 AS t, i * 1.5 - 2.0 AS v
          FROM (SELECT unnest(generate_series(0, 11)) AS i)""",
+    "q190_image_decode" ->
+      """SELECT i AS doc_id,
+           CAST(8 + i % 16 AS INT) AS width,
+           CAST(6 + i % 12 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(i % 256 AS DOUBLE) AS mean_r,
+           CAST((i * 3) % 256 AS DOUBLE) AS mean_g,
+           CAST((i * 7) % 256 AS DOUBLE) AS mean_b
+         FROM (SELECT unnest(generate_series(0, 59)) AS i)""",
+    "q191_wav_decode" ->
+      """SELECT i AS doc_id,
+           CAST(8000 + 100 * (i % 10) AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+           CAST(500 + 10 * (i % 20) AS BIGINT) AS n_samples,
+           round(((i % 100) * 300) / 32768.0, 6) AS rms
+         FROM (SELECT unnest(generate_series(0, 49)) AS i)""",
     "q187_bucketed_join" ->
       """SELECT c_mktsegment,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,

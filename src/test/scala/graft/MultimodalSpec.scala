@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.llm.Multimodal
+
+/** Real JVM-codec multimodal paths: PNG decode via javax.imageio,
+  * nearest-neighbor resize, RIFF/WAVE PCM16 parse — plus the documented
+  * stub fallback for unknown payloads. */
+class MultimodalSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("media", BinaryType, nullable = false))))
+
+  test("decode: real dimensions for PNG, stub for unknown payloads") {
+    val df = mediaDf(Seq(
+      1L -> png(12, 7, 0x336699),
+      2L -> "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.decode(df, "doc_id", "media")
+      .orderBy("doc_id").collect()
+    assert((out(0).getInt(2), out(0).getInt(3), out(0).getInt(4)) ===
+      ((12, 7, 3)))
+    // unknown payload -> deterministic stub dims
+    val n = "not an image at all".getBytes("UTF-8").length
+    assert((out(1).getInt(2), out(1).getInt(3)) === ((n % 640 + 1, (n * 7) % 480 + 1)))
+  }
+
+  test("imageFeatures: constant fill means are exact; non-images dropped") {
+    val df = mediaDf(Seq(
+      5L -> png(9, 4, (200 << 16) | (100 << 8) | 50),
+      6L -> Array[Byte](1, 2, 3)))
+    val out = Multimodal.imageFeatures(df, "doc_id", "media").collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(4) === 200.0)
+    assert(out(0).getDouble(5) === 100.0)
+    assert(out(0).getDouble(6) === 50.0)
+  }
+
+  test("resize re-encodes a decodable thumbnail at the target size") {
+    val df = mediaDf(Seq(7L -> png(32, 16, 0xab1234)))
+    val out = Multimodal.resize(df, "doc_id", "media", 8, 8).collect()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](1)))
+    assert((img.getWidth, img.getHeight) === ((8, 8)))
+    assert((img.getRGB(3, 3) & 0xffffff) === 0xab1234)
+  }
+
+  test("decodeWav parses PCM16 and computes exact rms for constant amp") {
+    val n = 200; val v: Short = 16384 // rms = 0.5 exactly
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(44100); bb.putInt(88200)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(n * 2)
+    (0 until n).foreach(_ => bb.putShort(v))
+    val df = mediaDf(Seq(9L -> bb.array(), 10L -> "nope".getBytes))
+    val out = Multimodal.decodeWav(df, "doc_id", "media").collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(1) === 44100)
+    assert(out(0).getLong(4) === n.toLong)
+    assert(out(0).getDouble(5) === 0.5)
+  }
+}
