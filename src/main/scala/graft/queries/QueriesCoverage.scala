@@ -302,6 +302,68 @@ object QueriesCoverage {
           col("bits"), col("n_samples"), round(col("rms"), 6).as("rms"))
     }),
 
+    // §2.1 backend plugin registry (ref `backends/api.py` engine dispatch
+    // + `backends/plugins.py` entrypoints): open the classic-netCDF
+    // fixture through engine="netcdf", and a RUNTIME-REGISTERED custom
+    // engine that wraps the parquet reader — both through openDataset
+    "q192_backend_dispatch" -> ((s, dir) => {
+      import graft.io.{Backends, NetCDF}
+      val base = "/tmp/graft_beng_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      NetCDF.write(base + "/part0.nc",
+        Seq(NetCDF.Dim("time", 6), NetCDF.Dim("lat", 5)), Seq(
+          NetCDF.Var("time", Seq(0), NetCDF.NC_INT,
+            Array.tabulate(6)(_.toDouble)),
+          NetCDF.Var("lat", Seq(1), NetCDF.NC_INT,
+            Array.tabulate(5)(_.toDouble)),
+          NetCDF.Var("temp", Seq(0, 1), NetCDF.NC_DOUBLE,
+            (for (t <- 0 until 6; l <- 0 until 5)
+              yield t * 100.0 + l * 1.5).toArray)))
+      Backends.register("nation_table", new Backends.Backend {
+        def read(sp: SparkSession, path: String,
+                 options: Map[String, String]): DataFrame =
+          Tables.nation(sp, path).select("n_nationkey", "n_name")
+      })
+      val nc = Backends.openDataset(s, base, "netcdf",
+        Map("var" -> "temp"))
+        .agg(count(lit(1)).as("nc_rows"),
+          exactSum(col("temp")).as("nc_sum"))
+      val custom = Backends.openDataset(s, dir, "nation_table")
+        .agg(count(lit(1)).as("nation_rows"))
+      nc.crossJoin(custom)
+    }),
+
+    // §2.8 meta verbs set_coords / reset_coords / swap_dims / set_index
+    // (ref `dataset.py:1864/1921/4428`): O(1) driver metadata flips,
+    // checked by emitting the resulting (dims, coords, data_vars) census
+    "q193_meta_verbs" -> ((s, dir) => {
+      import s.implicits._
+      val ds = XDataset(Tables.supplier(s, dir), dims = Seq("s_suppkey"))
+        .setCoords("s_nationkey")          // promote to coordinate
+        .swapDims("s_suppkey", "s_name")   // s_name becomes the dim
+        .resetCoords("s_acctbal")          // no-op demote of a data var
+      val census =
+        ds.meta.dims.map(d => ("dim", d)) ++
+          ds.meta.coords.toSeq.sorted.map(c => ("coord", c)) ++
+          ds.dataVars.sorted.map(v => ("data_var", v))
+      census.toDF("kind", "name")
+    }),
+
+    // §2.5 ranking-window extension (SURVEY lists these as absent in the
+    // reference and free on Spark): dense_rank / percent_rank / ntile /
+    // cume_dist per group — partitioned windows, never global
+    "q194_ranking_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, dir).select(
+        col("s_suppkey"), col("s_nationkey"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
     // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
     // sides bucketed by the join key -> the sort-merge join reads
     // pre-bucketed files with NO exchange on either side at any scale
@@ -402,6 +464,27 @@ object QueriesCoverage {
     "q169b_hdf5_compound" ->
       """SELECT i * 10.0 AS t, i * 1.5 - 2.0 AS v
          FROM (SELECT unnest(generate_series(0, 11)) AS i)""",
+    "q194_ranking_windows" ->
+      """SELECT s_suppkey, s_nationkey,
+           dense_rank() OVER w AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey
+           ORDER BY s_acctbal DESC, s_suppkey)""",
+    "q192_backend_dispatch" ->
+      """SELECT count(*) AS nc_rows,
+           CAST(sum(CAST(t.t * 100 + l.l * 1.5 AS DECIMAL(30,4)))
+             AS DOUBLE) AS nc_sum,
+           (SELECT count(*) FROM nation) AS nation_rows
+         FROM (SELECT unnest(generate_series(0, 5)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    "q193_meta_verbs" ->
+      """SELECT 'dim' AS kind, 's_name' AS name
+         UNION ALL SELECT 'coord', 's_nationkey'
+         UNION ALL SELECT 'coord', 's_suppkey'
+         UNION ALL SELECT 'data_var', 's_acctbal'""",
     "q190_image_decode" ->
       """SELECT i AS doc_id,
            CAST(8 + i % 16 AS INT) AS width,

@@ -56,7 +56,9 @@ class ScaleAuditSpec extends SparkSpec {
       "lines (both driver-bounded axes; the orthogonal-interp contract)"),
     "q166_season_resample" -> ("broadcast of two 1-row scalar aggregates " +
       "(drop_incomplete bounds + kept-label bounds) and the generated " +
-      "season-label grid (~45 rows)"))
+      "season-label grid (~45 rows)"),
+    "q192_backend_dispatch" -> ("crossJoin of two 1-row aggregates " +
+      "(netcdf fixture summary x custom-engine row count)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
