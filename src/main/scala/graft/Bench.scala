@@ -36,11 +36,13 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        // QueryCache.scoped releases exactly the intermediates the
+        // operators persisted for THIS query; clearCache stays as the
+        // catch-all so cache memory never accumulates across the run
+        val ok = try {
+          graft.util.QueryCache.scoped { fn(spark, sfDir).count() }; true
+        } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
-        // operators persist() intermediates scoped to one query; drop them
-        // here so cache memory never accumulates across the 184-query run
         spark.catalog.clearCache()
         if (!ok) System.err.println(s"[bench] $name FAILED")
         name -> (if (ok) Some(secs) else None)

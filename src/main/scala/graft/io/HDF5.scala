@@ -60,7 +60,9 @@ object HDF5 {
   case class DatasetMetaH5(name: String, addr: Long, shape: Seq[Long],
                            dtype: DType, layout: Layout, deflate: Boolean,
                            attrs: Seq[Attr],
-                           shuffleElem: Option[Int] = None) {
+                           shuffleElem: Option[Int] = None,
+                           fletcher32: Boolean = false,
+                           badFilters: Seq[Int] = Nil) {
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -664,6 +666,8 @@ object HDF5 {
     var layout: Layout = null
     var deflate = false
     var shuffleElem: Option[Int] = None
+    var fletcher32 = false
+    var badFilters = Vector.empty[Int]
     val attrs = Vector.newBuilder[Attr]
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
@@ -700,8 +704,10 @@ object HDF5 {
             id match {
               case 1 => deflate = true
               case 2 => shuffleElem = Some(cd.headOption.getOrElse(1))
-              case other => sys.error(s"unsupported filter id $other " +
-                "(deflate + shuffle only)")
+              case 3 => fletcher32 = true // checksum stripped on read
+              // an exotic filter on ONE variable must not make the whole
+              // file unreadable: record it, fail only readVar of this var
+              case other => badFilters :+= other
             }
           }
         case 0x0C => attrs += parseAttr(bytes, m.body)
@@ -712,7 +718,7 @@ object HDF5 {
     require(dtype != null && layout != null,
       s"dataset $name lacks datatype/layout")
     DatasetMetaH5(name, addr, shape, dtype, layout, deflate, attrs.result(),
-      shuffleElem)
+      shuffleElem, fletcher32, badFilters)
   }
 
   /** Decode a dataset to a dense row-major Double array. */
@@ -743,6 +749,9 @@ object HDF5 {
             s"(members: ${d.dtype.members.map(_._1).mkString(", ")})"))
         (off, t)
     }
+    require(d.badFilters.isEmpty,
+      s"$name uses unsupported filter ids ${d.badFilters.mkString(",")} " +
+        "(deflate/shuffle/fletcher32 only)")
     val stride = d.dtype.size
     val n = d.shape.product.toInt
     val out = new Array[Double](n)
@@ -795,14 +804,21 @@ object HDF5 {
             else {
               val raw0 = java.util.Arrays.copyOfRange(
                 bytes, child.toInt, child.toInt + chunkBytes)
+              // fletcher32 appends a 4-byte checksum INSIDE the filtered
+              // payload (not verified here — stripped after the reversible
+              // filters are undone)
+              val fl = if (d.fletcher32) 4 else 0
               val raw1 = if (d.deflate) inflate(raw0,
-                chunkDims.map(_.toLong).product.toInt * stride) else raw0
+                chunkDims.map(_.toLong).product.toInt * stride + fl) else raw0
               // decode order reverses write order (shuffle ran FIRST on
               // write, so it is undone LAST)
-              val raw = d.shuffleElem match {
+              val raw2 = d.shuffleElem match {
                 case Some(es) => unshuffle(raw1, es)
                 case None => raw1
               }
+              val raw = if (fl > 0 && raw2.length >= fl)
+                java.util.Arrays.copyOfRange(raw2, 0, raw2.length - fl)
+              else raw2
               decodeInto(raw, origin, chunkDims)
             }
             p += keySize + 8

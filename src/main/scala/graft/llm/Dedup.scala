@@ -55,8 +55,9 @@ object Dedup {
     * lost, biasing scores down by at most capped-df/corpus. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, block: String,
                    n: Int, gramDfCap: Long): DataFrame = {
-    val ng = docs.select(col(id).as("doc_id"), col(block).as("source"),
-      explode(shingleIds(col(text), n)).as("g")).persist()
+    val ng = graft.util.QueryCache.persist(
+      docs.select(col(id).as("doc_id"), col(block).as("source"),
+        explode(shingleIds(col(text), n)).as("g")))
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = ng.groupBy("source", "g").agg(count(lit(1)).as("df"))
       .filter(col("df") > gramDfCap).select("source", "g")
@@ -221,16 +222,18 @@ object Dedup {
     val grams = windowGrams(docs, id, text, gramLen, stride)
     // minDocs == 2 ("shared by ANY other doc", the default and the q156
     // shape) needs no distinct count: a gram hash is duplicated iff its
-    // h-group spans more than one doc_id, i.e. min(doc_id) != max(doc_id)
-    // over the h-window. ONE shuffle with O(1) window state (skew-safe on
-    // boilerplate grams), replacing the two-shuffle distinct agg + join
-    // back onto grams that re-ran the explode a second time.
+    // h-group spans more than one doc_id, i.e. min(doc_id) != max(doc_id).
+    // Shape: partial+final hash agg (map-side combine collapses a
+    // corpus-wide boilerplate gram to one row per map task — a window
+    // over h would funnel ALL its rows into one task) + a join back that
+    // AQE can broadcast when the dup-key set is small and skew-split
+    // when it is not.
     val dup =
       if (minDocs == 2) {
-        val hw = Window.partitionBy("h")
-        grams.withColumn("__lo", min(col("doc_id")).over(hw))
-          .withColumn("__hi", max(col("doc_id")).over(hw))
-          .filter(col("__lo") =!= col("__hi")).select("doc_id", "p")
+        val dupKeys = grams.groupBy("h")
+          .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi")).select("h")
+        grams.join(dupKeys, "h").select("doc_id", "p")
       } else {
         val dupKeys = grams.groupBy("h")
           .agg(count_distinct(col("doc_id")).as("df"))
@@ -309,11 +312,14 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("v"), col("cluster_id").as("nl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("nl")).as("nbl"))
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist()
+      // registered with the query scope too: rounds unpersist their
+      // predecessor below, but the FINAL labels frame is returned and
+      // must be reclaimed by the enclosing scope, not leak session-wide
+      val next = graft.util.QueryCache.persist(
+        labels.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
+              .as("cluster_id")))
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -465,11 +471,11 @@ object Dedup {
     // per-round assign+update, final assign) — without materialisation
     // each re-runs the normalization from the source scan. Callers
     // clearCache() per query, so the entries are query-scoped.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val normed = vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv"))
-      .persist(lvl)
-    val assigned = Cluster.kmeans(normed, id, "__nv", k, iters)
-      .select(col(id), col("__nv"), col("cluster")).persist(lvl)
+    val normed = graft.util.QueryCache.persist(
+      vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv")))
+    val assigned = graft.util.QueryCache.persist(
+      Cluster.kmeans(normed, id, "__nv", k, iters)
+        .select(col(id), col("__nv"), col("cluster")))
     val lo = assigned.select(col("cluster"), col(id).as("id_a"),
       col("__nv").as("__va"))
     val hi = assigned.select(col("cluster"), col(id).as("id_b"),

@@ -43,12 +43,15 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))    // GIF
 
   /** Real image decode via the JDK codec; None when the payload doesn't
-    * parse (sniffed-but-corrupt falls back to the stub). */
+    * parse. ImageIO signals corrupt-after-the-magic payloads BOTH ways —
+    * null for unrecognized streams and IIOException for damaged ones —
+    * and a bad row must never fail the partition, so both become None. */
   private def imageDecode(bytes: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None
-    else Option(javax.imageio.ImageIO.read(
+    else try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** Decode a binary media column per partition (batched, no per-row JVM
     * boundary crossings; the partition is the batch). Image payloads get
@@ -163,8 +166,12 @@ object Multimodal {
     while (p + 8 <= bytes.length && out.isEmpty) {
       val cid = new String(bytes, p, 4, "US-ASCII")
       val sz = b.getInt(p + 4)
+      // a corrupt size field must DROP the row, not hang the scan (sz < 0
+      // would stall the cursor) or overrun the array (truncated payloads)
+      if (sz < 0 || p + 8 + sz > bytes.length) return None
       cid match {
         case "fmt " =>
+          if (sz < 16) return None
           fmt = Some((b.getShort(p + 10).toInt, b.getInt(p + 12),
             b.getShort(p + 22).toInt))
         case "data" =>

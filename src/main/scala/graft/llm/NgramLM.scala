@@ -40,10 +40,9 @@ object NgramLM {
     // callers clearCache() per query so the entry is query-scoped (an
     // eager localCheckpoint here forced an extra blocking job — measured
     // regression on the perplexity query)
-    val docBi = corpus
+    val docBi = graft.util.QueryCache.persist(corpus
       .select(col(id), explode(bigrams(col(text))).as("bg"))
-      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val biCounts = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
     // vocabulary = distinct context tokens (the smoothing denominator's V)
@@ -69,9 +68,8 @@ object Tfidf {
   def topTerms(corpus: DataFrame, id: String, text: String,
                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokd = corpus
-      .select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokd = graft.util.QueryCache.persist(corpus
+      .select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("term")))
     val docLen = tokd.groupBy(col(id)).agg(count(lit(1)).as("len"))
     val tf = tokd.groupBy(col(id), col("term")).agg(count(lit(1)).as("tc"))
     val n = docLen.count()

@@ -37,12 +37,11 @@ object Packing {
     // query-scoped, not session-lifetime. An eager localCheckpoint here
     // cost an extra blocking job and cut the plan off from AQE (measured
     // 2-4× on the packing queries).
-    val ranged = df
+    val ranged = graft.util.QueryCache.persist(df
       .withColumn("__v", valCol.cast(LongType))
       .repartitionByRange(p, orderCol)
       .sortWithinPartitions(orderCol)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__pid", spark_partition_id()))
     // explicit ROWS frame: the default RANGE frame sums all PEERS of a
     // tied order value into every tied row, breaking the per-row running
     // total (ties then share arithmetic, not just arbitrary order)

@@ -69,8 +69,7 @@ object Sampling {
     // persist: the collect below materialises the cache; the final window
     // pass reads it. Callers clearCache() per query (eager localCheckpoint
     // here cost an extra blocking job — measured 2× on this query).
-    val pre = joined.filter(b16 < cutoff)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = graft.util.QueryCache.persist(joined.filter(b16 < cutoff))
     val nBy = countRows.toMap
     val preBy = pre.groupBy(col("__sk")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

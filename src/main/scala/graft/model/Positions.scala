@@ -32,12 +32,11 @@ object Positions {
   def zipWithIndex(df: DataFrame, orderCols: Seq[Column], posCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(spark.sparkContext.defaultParallelism, 1)
-    val ranged = df
+    val ranged = graft.util.QueryCache.persist(df
       .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist()
+      .withColumn("__mid", monotonically_increasing_id()))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
