@@ -335,9 +335,11 @@ object HDF5 {
       (ba + (off - bo)).toInt, (ba + (off - bo) + len).toInt)
   }
 
-  /** v2 B-tree (BTHD) records; depth-0 trees (a single BTLF leaf) hold
-    * ~nodeSize/recordSize entries — hundreds of links/attrs, the whole
-    * netCDF-4 range. Deeper trees error out explicitly. */
+  /** v2 B-tree (BTHD) record enumeration, depth 0 (one BTLF leaf) and
+    * depth 1 (BTIN root over leaves — wide netCDF-4 groups/attr sets hit
+    * this past ~185 entries). Internal nodes carry REAL records as leaf
+    * separators, so enumeration interleaves child leaves and root
+    * records. Depth ≥ 2 (hundreds of thousands of links) errors out. */
   private def v2BtreeRecords(bytes: Array[Byte],
                              addr: Long): Seq[Array[Byte]] = {
     val b = buf(bytes, addr, 38)
@@ -345,21 +347,51 @@ object HDF5 {
       b.get() == 'D', "bad v2 B-tree signature")
     require((b.get() & 0xff) == 0, "v2 B-tree version")
     b.get() // record type
-    b.getInt() // node size
+    val nodeSize = b.getInt()
     val recSize = b.getShort() & 0xffff
     val depth = b.getShort() & 0xffff
-    require(depth == 0,
-      s"v2 B-tree depth $depth not supported (single-leaf trees only)")
+    require(depth <= 1, s"v2 B-tree depth $depth not supported (0/1 only)")
     b.get(); b.get() // split/merge percent
     val rootAddr = b.getLong()
     val rootNrec = b.getShort() & 0xffff
-    val lb = buf(bytes, rootAddr, 6)
-    require(lb.get() == 'B' && lb.get() == 'T' && lb.get() == 'L' &&
-      lb.get() == 'F', "bad v2 B-tree leaf signature")
-    (0 until rootNrec).map { i =>
-      java.util.Arrays.copyOfRange(bytes,
-        (rootAddr + 6 + i.toLong * recSize).toInt,
-        (rootAddr + 6 + (i + 1).toLong * recSize).toInt)
+    def leafRecords(leafAddr: Long, n: Int): Seq[Array[Byte]] = {
+      val lb = buf(bytes, leafAddr, 6)
+      require(lb.get() == 'B' && lb.get() == 'T' && lb.get() == 'L' &&
+        lb.get() == 'F', "bad v2 B-tree leaf signature")
+      (0 until n).map { i =>
+        java.util.Arrays.copyOfRange(bytes,
+          (leafAddr + 6 + i.toLong * recSize).toInt,
+          (leafAddr + 6 + (i + 1).toLong * recSize).toInt)
+      }
+    }
+    if (depth == 0) leafRecords(rootAddr, rootNrec)
+    else {
+      // child-pointer "number of records" field width derives from the
+      // max records a leaf can hold (spec: v2 B-tree node pointer sizes)
+      val szN = minBytes(((nodeSize - 10) / recSize).toLong)
+      val ib = buf(bytes, rootAddr, 6)
+      require(ib.get() == 'B' && ib.get() == 'T' && ib.get() == 'I' &&
+        ib.get() == 'N', "bad v2 B-tree internal-node signature")
+      var p = rootAddr + 6
+      def childPtr(): (Long, Int) = {
+        val cb = buf(bytes, p, 8 + szN)
+        val a = cb.getLong()
+        var n = 0L
+        (0 until szN).foreach(i => n |= (cb.get() & 0xffL) << (8 * i))
+        p += 8 + szN
+        (a, n.toInt)
+      }
+      val out = Seq.newBuilder[Array[Byte]]
+      (0 until rootNrec).foreach { _ =>
+        val (ca, cn) = childPtr()
+        out ++= leafRecords(ca, cn)
+        out += java.util.Arrays.copyOfRange(bytes, p.toInt,
+          (p + recSize).toInt)
+        p += recSize
+      }
+      val (ca, cn) = childPtr()
+      out ++= leafRecords(ca, cn)
+      out.result()
     }
   }
 
@@ -966,10 +998,28 @@ object HDF5 {
     val linkBlockSize = math.max(512L,
       java.lang.Long.highestOneBit(fhdbContent - 1) * 2)
     val bthdAddr = frhpAddr + FRHP_SIZE + linkBlockSize
-    val btlfSize = 6L + all.length * 11L + 4
+    // name-index records (hash + 7-byte heap ID, hash-sorted) and the
+    // rendered index tree: single leaf, or BTIN + leaves past ~185 links
+    val linkIds: Map[String, Array[Byte]] = {
+      var lOff = 17L
+      all.zip(linkBodies).map { case (v, body) =>
+        val hid = heapId7(lOff, body.length)
+        lOff += body.length
+        v.name -> hid
+      }.toMap
+    }
+    val linkIndex = v2BtreeBytes(
+      all.map { v =>
+        val h = lookup3(v.name.getBytes("UTF-8"), 0)
+        (h, {
+          val r = ByteBuffer.allocate(11).order(ByteOrder.LITTLE_ENDIAN)
+          r.putInt(h); r.put(linkIds(v.name)); r.array()
+        })
+      }.sortBy(_._1 & 0xffffffffL).map(_._2),
+      recType = 5, recSize = 11, addr = bthdAddr)
     // one dense-attribute region per data var (the DIMENSION_LIST attr
     // moves into a per-object fractal heap; dim vars stay compact)
-    val denseAttrStart = bthdAddr + BTHD_SIZE + btlfSize
+    val denseAttrStart = bthdAddr + linkIndex.length
     val attrRegion = scala.collection.mutable.Map.empty[String, (Long, Long)]
     var attrCursor = denseAttrStart
     if (dense) vars.foreach { v =>
@@ -981,7 +1031,13 @@ object HDF5 {
     val gcolAddr =
       if (dense) attrCursor
       else snodAddr + snodSize
-    val gcolSize = 4096L
+    // global heap sized to the DIMENSION_LIST reference objects it holds
+    // (16-byte object header + 8-byte address each, plus collection
+    // header and free-space object), 4 KiB granularity
+    val gcolSize = {
+      val need = 16L + vars.map(_.dims.length).sum.toLong * 24L + 16L
+      (math.max(need, 4096L) + 4095L) / 4096L * 4096L
+    }
     // object headers + data, assigned sequentially after the heap block
     var cursor = gcolAddr + gcolSize
     val ohAddr = scala.collection.mutable.Map.empty[String, Long]
@@ -1072,15 +1128,9 @@ object HDF5 {
       // link fractal heap: header + one root DIRECT block with every
       // link message packed at sequential heap offsets (header included
       // in heap space, so object offsets start at 17)
-      var lOff = 17L
-      val linkIds = all.zip(linkBodies).map { case (v, body) =>
-        val id = heapId7(lOff, body.length)
-        lOff += body.length
-        (v.name, id)
-      }.toMap
       out.bytes(frhpBytes(idLen = 7, maxManaged = 4096,
         startBlock = linkBlockSize, rootAddr = frhpAddr + FRHP_SIZE,
-        nObjects = all.length, usedBytes = lOff))
+        nObjects = all.length, usedBytes = fhdbContent))
       val fhdb = new growable()
       fhdb.bytes("FHDB".getBytes); fhdb.u8(0); fhdb.u64(frhpAddr)
       fhdb.u32(0) // block offset (offSize = 4)
@@ -1095,19 +1145,8 @@ object HDF5 {
       val fhdbArr = fhdb.result()
       out.bytes(fhdbArr)
       out.bytes(new Array[Byte]((linkBlockSize - fhdbArr.length).toInt))
-      // name-index v2 B-tree: header + single leaf, records sorted by
-      // Jenkins lookup3 name hash (type 5: hash + 7-byte heap ID)
-      val btlfAddr = bthdAddr + BTHD_SIZE
-      out.bytes(bthdBytes(recType = 5, recSize = 11, rootAddr = btlfAddr,
-        nRec = all.length))
-      val recs = all.map { v =>
-        (lookup3(v.name.getBytes("UTF-8"), 0), linkIds(v.name))
-      }.sortBy(r => r._1 & 0xffffffffL)
-      val leaf = new growable()
-      leaf.bytes("BTLF".getBytes); leaf.u8(0); leaf.u8(5)
-      recs.foreach { case (h, id) => leaf.u32(h & 0xffffffffL); leaf.bytes(id) }
-      leaf.u32(lookup3(leaf.result(), 0) & 0xffffffffL)
-      out.bytes(leaf.result())
+      // name index: hash-sorted records, one leaf or BTIN + leaves
+      out.bytes(linkIndex)
       // per-data-var dense-attribute regions (heap ID length 8:
       // offset 4 + length 3; record type 8 is 17 bytes)
       vars.foreach { v =>
@@ -1123,17 +1162,13 @@ object HDF5 {
         ab.bytes(attrMsg)
         out.bytes(ab.result())
         out.bytes(new Array[Byte](512 - ab.result().length.toInt))
-        val leafA = bt + BTHD_SIZE
-        out.bytes(bthdBytes(recType = 8, recSize = 17, rootAddr = leafA,
-          nRec = 1))
-        val la = new growable()
-        la.bytes("BTLF".getBytes); la.u8(0); la.u8(8)
-        la.bytes(heapId8(17L, attrMsg.length)) // heap ID first in type 8
-        la.u8(0) // message flags
-        la.u32(0) // creation order
-        la.u32(lookup3("DIMENSION_LIST".getBytes("UTF-8"), 0) & 0xffffffffL)
-        la.u32(lookup3(la.result(), 0) & 0xffffffffL)
-        out.bytes(la.result())
+        val rec = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+        rec.put(heapId8(17L, attrMsg.length)) // heap ID first in type 8
+        rec.put(0.toByte) // message flags
+        rec.putInt(0) // creation order
+        rec.putInt(lookup3("DIMENSION_LIST".getBytes("UTF-8"), 0))
+        out.bytes(v2BtreeBytes(Seq(rec.array()), recType = 8, recSize = 17,
+          addr = bt))
       }
       require(out.size == gcolAddr, s"group region drift ${out.size}")
     } else {
@@ -1408,19 +1443,80 @@ object HDF5 {
     arr
   }
 
-  /** v2 B-tree header over a single leaf. */
+  /** v2 B-tree header. */
   private def bthdBytes(recType: Int, recSize: Int, rootAddr: Long,
-                        nRec: Int): Array[Byte] = {
+                        rootNrec: Int, totalNrec: Int,
+                        depth: Int): Array[Byte] = {
     val g = new growable()
     g.bytes("BTHD".getBytes); g.u8(0); g.u8(recType)
     g.u32(2048L) // node size
-    g.u16(recSize); g.u16(0) // depth 0
+    g.u16(recSize); g.u16(depth)
     g.u8(100); g.u8(40) // split / merge percent
-    g.u64(rootAddr); g.u16(nRec); g.u64(nRec.toLong)
+    g.u64(rootAddr); g.u16(rootNrec); g.u64(totalNrec.toLong)
     g.u32(lookup3(g.result(), 0) & 0xffffffffL)
     val arr = g.result()
     require(arr.length == BTHD_SIZE, s"BTHD size ${arr.length}")
     arr
+  }
+
+  private def btlfBytes(recs: Seq[Array[Byte]], recType: Int): Array[Byte] = {
+    val g = new growable()
+    g.bytes("BTLF".getBytes); g.u8(0); g.u8(recType)
+    recs.foreach(g.bytes)
+    g.u32(lookup3(g.result(), 0) & 0xffffffffL)
+    g.result()
+  }
+
+  /** Whole v2 B-tree (header + nodes) for pre-sorted fixed-size records,
+    * starting at file address `addr`: a single leaf when everything fits,
+    * else a depth-1 BTIN root whose separator records interleave balanced
+    * leaves — the same shape libhdf5 grows into for wide groups. */
+  private def v2BtreeBytes(recs: Seq[Array[Byte]], recType: Int,
+                           recSize: Int, addr: Long): Array[Byte] = {
+    val cap = (2048 - 10) / recSize
+    val g = new growable()
+    if (recs.length <= cap) {
+      g.bytes(bthdBytes(recType, recSize, addr + BTHD_SIZE,
+        recs.length, recs.length, depth = 0))
+      g.bytes(btlfBytes(recs, recType))
+    } else {
+      val szN = minBytes(cap.toLong)
+      val l = (recs.length + cap - 1) / cap // leaves
+      val leafTotal = recs.length - (l - 1) // root holds l-1 separators
+      // balanced leaf sizes: first (leafTotal % l) leaves get one extra
+      val baseN = leafTotal / l
+      val leafNs = (0 until l).map(i =>
+        baseN + (if (i < leafTotal % l) 1 else 0))
+      // walk the sorted records into [leaf0, sep0, leaf1, sep1, ...]
+      var idx = 0
+      val leaves = Vector.newBuilder[Seq[Array[Byte]]]
+      val seps = Vector.newBuilder[Array[Byte]]
+      leafNs.zipWithIndex.foreach { case (n, i) =>
+        leaves += recs.slice(idx, idx + n); idx += n
+        if (i < l - 1) { seps += recs(idx); idx += 1 }
+      }
+      val leavesV = leaves.result(); val sepsV = seps.result()
+      val btinAddr = addr + BTHD_SIZE
+      val btinSize = 6L + (l - 1).toLong * recSize + l.toLong * (8 + szN) + 4
+      val leafAddrs = leavesV.map(_.length).scanLeft(btinAddr + btinSize) {
+        (a, n) => a + 6 + n.toLong * recSize + 4
+      }
+      g.bytes(bthdBytes(recType, recSize, btinAddr, l - 1, recs.length,
+        depth = 1))
+      val ib = new growable()
+      ib.bytes("BTIN".getBytes); ib.u8(0); ib.u8(recType)
+      (0 until l).foreach { i =>
+        ib.u64(leafAddrs(i))
+        (0 until szN).foreach(k =>
+          ib.u8((leavesV(i).length >> (8 * k)) & 0xff))
+        if (i < l - 1) ib.bytes(sepsV(i))
+      }
+      ib.u32(lookup3(ib.result(), 0) & 0xffffffffL)
+      require(ib.result().length == btinSize, "BTIN size drift")
+      g.bytes(ib.result())
+      leavesV.foreach(lv => g.bytes(btlfBytes(lv, recType)))
+    }
+    g.result()
   }
 
   private def cartesian(axes: Seq[Seq[Int]]): Seq[Seq[Int]] =

@@ -89,6 +89,30 @@ class HDF5DenseSpec extends SparkSpec {
     assert(e.getMessage.contains("readVarMember"))
   }
 
+  test("wide dense group: depth-1 name index (BTIN + leaves) roundtrips") {
+    // 200 data vars + 1 dim > the ~185-record single-leaf capacity, so
+    // the writer emits a BTIN root and the reader walks it
+    val dir = Files.createTempDirectory("graft_h5w").toString
+    val path = s"$dir/wide.nc4"
+    val time = Array.tabulate(6)(_.toDouble)
+    val vars = (0 until 200).map { i =>
+      WVar(f"v$i%03d", Seq(0), Array.tabulate(6)(t => i * 1000.0 + t))
+    }
+    HDF5.writeNc4(path, Seq("time" -> time), vars, dense = true)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.datasets.length === 201)
+    assert(f.dims.toMap === Map("time" -> 6L))
+    // spot-check vars from the first leaf, a separator record region,
+    // and the last leaf
+    Seq(0, 93, 187, 199).foreach { i =>
+      val name = f"v$i%03d"
+      assert(f.varDims(f.byName(name)) === Seq("time"))
+      assert(HDF5.readVar(bytes, f, name).toSeq ===
+        (0 until 6).map(t => i * 1000.0 + t))
+    }
+  }
+
   test("lookup3 matches the published test vectors") {
     // Bob Jenkins' lookup3.c self-test values for hashlittle(...)
     assert(HDF5.lookup3("".getBytes("UTF-8"), 0) === 0xdeadbeef)
