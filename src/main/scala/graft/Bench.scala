@@ -64,7 +64,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    try {
+    // filtered (BENCH_ONLY) iteration runs must not clobber the last
+    // full-registry detail file
+    if (only.isEmpty) try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "/root/repo/bench_detail.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
