@@ -62,7 +62,8 @@ object HDF5 {
                            attrs: Seq[Attr],
                            shuffleElem: Option[Int] = None,
                            fletcher32: Boolean = false,
-                           badFilters: Seq[Int] = Nil) {
+                           badFilters: Seq[Int] = Nil,
+                           parseError: Option[String] = None) {
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -177,8 +178,17 @@ object HDF5 {
         }
       case v => sys.error(s"unsupported superblock version $v")
     }
+    // one unparseable object (exotic datatype, unknown message layout)
+    // must not make every OTHER variable in the file unreadable: record
+    // the error on the object and fail only on access
     H5File(rootEntries.map { case (name, addr) =>
-      parseDataset(bytes, name, addr) })
+      try parseDataset(bytes, name, addr)
+      catch { case e: Exception =>
+        DatasetMetaH5(name, addr, Nil, DType(-1, 0, littleEndian = true,
+          signed = false), Contiguous(UNDEF, 0L), deflate = false, Nil,
+          parseError = Some(String.valueOf(e.getMessage)))
+      }
+    })
   }
 
   /** v1 group: B-tree (node type 0) over SNOD symbol nodes + local heap. */
@@ -781,6 +791,8 @@ object HDF5 {
             s"(members: ${d.dtype.members.map(_._1).mkString(", ")})"))
         (off, t)
     }
+    d.parseError.foreach(err =>
+      sys.error(s"$name failed metadata parse: $err"))
     require(d.badFilters.isEmpty,
       s"$name uses unsupported filter ids ${d.badFilters.mkString(",")} " +
         "(deflate/shuffle/fletcher32 only)")

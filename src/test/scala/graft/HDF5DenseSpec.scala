@@ -113,6 +113,21 @@ class HDF5DenseSpec extends SparkSpec {
     }
   }
 
+  test("one corrupt object does not make the other variables unreadable") {
+    val dir = Files.createTempDirectory("graft_h5x").toString
+    val path = s"$dir/mixed.nc4"
+    denseFixture(path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val pressAddr = HDF5.parseFile(bytes).byName("press").addr
+    bytes(pressAddr.toInt) = 99 // smash press's object-header version
+    val f = HDF5.parseFile(bytes)
+    // press carries its parse error; everything else still decodes
+    val e = intercept[RuntimeException](HDF5.readVar(bytes, f, "press"))
+    assert(e.getMessage.contains("failed metadata parse"))
+    assert(HDF5.readVar(bytes, f, "temp").toSeq ===
+      (for (t <- 0 until 6; l <- 0 until 5) yield t * 100.0 + l * 1.5))
+  }
+
   test("lookup3 matches the published test vectors") {
     // Bob Jenkins' lookup3.c self-test values for hashlittle(...)
     assert(HDF5.lookup3("".getBytes("UTF-8"), 0) === 0xdeadbeef)
