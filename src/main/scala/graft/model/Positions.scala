@@ -30,6 +30,28 @@ object Positions {
     * is persisted: the offsets job and every downstream consumer (count(),
     * pad/roll joins) reuse it instead of re-running the shuffle+sort. */
   def zipWithIndex(df: DataFrame, orderCols: Seq[Column], posCol: String): DataFrame = {
+    // Dense-integer fast path: ordering by a single integral column whose
+    // values are exactly {min..max} (generated ids, coordinate axes — the
+    // common xarray dimension shape) admits pos = col - min as a PURE
+    // PROJECTION. One (min, max, count, distinct) probe aggregate replaces
+    // the range exchange + per-partition sort + offsets join outright —
+    // at 100 TB that removes the whole shuffle, not just overhead.
+    if (orderCols.length == 1) {
+      try {
+        val c = orderCols.head
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+        val dt = df.select(c).schema.head.dataType
+        if (dt == LongType || dt == IntegerType ||
+          dt == ShortType || dt == ByteType) {
+          val r = df.agg(min(c).cast(LongType), max(c).cast(LongType),
+            count(lit(1)), count_distinct(c)).collect()(0)
+          if (!r.isNullAt(0) &&
+            r.getLong(1) - r.getLong(0) + 1 == r.getLong(2) &&
+            r.getLong(2) == r.getLong(3))
+            return df.withColumn(posCol, c.cast(LongType) - r.getLong(0))
+        }
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     val spark = df.sparkSession
     val p = math.max(spark.sparkContext.defaultParallelism, 1)
     val ranged = graft.util.QueryCache.persist(df
