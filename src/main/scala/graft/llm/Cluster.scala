@@ -70,11 +70,27 @@ object Cluster {
       .drop("__best")
   }
 
+  /** [[kmeans]] plus the stats its Lloyd loop already computed: total row
+    * count and vector dim (from the last iteration's per-dimension sums;
+    * 0/0 when `iters == 0` — the loop never ran). Lets callers size a
+    * downstream broadcast WITHOUT an extra counting job. */
+  def kmeansWithStats(vecs: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int): (DataFrame, Long, Int) = {
+    val st = new Stats
+    (kmeansImpl(vecs, id, vec, k, iters, st), st.n, st.dim)
+  }
+
+  private final class Stats { var n: Long = 0L; var dim: Int = 0 }
+
   /** Lloyd's k-means with deterministic init (the k lowest-id vectors) and
     * a fixed iteration count; returns the final assignment (input columns
     * + `cluster` + `d2`). A cluster that empties keeps its centroid. */
   def kmeans(vecs: DataFrame, id: String, vec: String,
-             k: Int, iters: Int): DataFrame = {
+             k: Int, iters: Int): DataFrame =
+    kmeansImpl(vecs, id, vec, k, iters, new Stats)
+
+  private def kmeansImpl(vecs: DataFrame, id: String, vec: String,
+                         k: Int, iters: Int, st: Stats): DataFrame = {
     // TakeOrderedAndProject returns rows already in id order
     val init = vecs.orderBy(col(id)).limit(k).select(col(id), col(vec))
       .collect()
@@ -94,9 +110,12 @@ object Cluster {
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
+      st.n = 0L; st.dim = 0
       sums.foreach { r =>
         val j = r.getInt(0); val pos = r.getInt(1)
         next(j)(pos) = r.getDecimal(2).doubleValue() / r.getLong(3)
+        if (pos == 0) st.n += r.getLong(3)
+        if (pos + 1 > st.dim) st.dim = pos + 1
       }
       cents = next
     }

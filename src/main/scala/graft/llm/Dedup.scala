@@ -186,7 +186,10 @@ object Dedup {
     * negligible next to the hash-based design itself). */
   private def windowGrams(docs: DataFrame, id: String, text: String,
                           gramLen: Int, stride: Int): DataFrame = {
-    val base = docs
+    // ensure: the explode+substring+hash windowing is the heavy stage and
+    // runs BEFORE any exchange — a narrow scan (one small file = one
+    // partition) would serialize it.
+    val base = graft.util.Parallelize.ensure(docs)
       .select(col(id).as("doc_id"), col(text).as("t"))
       .filter(length(col("t")) >= gramLen)
     base.select(col("doc_id"), col("t"),
@@ -219,7 +222,13 @@ object Dedup {
   def exciseDuplicateSpans(docs: DataFrame, id: String, text: String,
                            gramLen: Int, stride: Int,
                            minDocs: Int = 2): DataFrame = {
-    val grams = windowGrams(docs, id, text, gramLen, stride)
+    // Both the dup-key aggregation and the join probe consume the gram
+    // stream; without materialization each re-runs the explode +
+    // substring + xxhash64 windowing pass over the full corpus. The
+    // cached form is 3 longs/row — far narrower than the text it derives
+    // from — and query-scoped (callers clearCache per query).
+    val grams = graft.util.QueryCache.persist(
+      windowGrams(docs, id, text, gramLen, stride))
     // minDocs == 2 ("shared by ANY other doc", the default and the q156
     // shape) needs no distinct count: a gram hash is duplicated iff its
     // h-group spans more than one doc_id, i.e. min(doc_id) != max(doc_id).
@@ -240,24 +249,38 @@ object Dedup {
           .filter(col("df") >= minDocs).select("h")
         grams.join(dupKeys, "h").select("doc_id", "p")
       }
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val isl = dup
-      .withColumn("maxEnd", max(col("p") + gramLen)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("island", sum(
-        when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1)
-          .otherwise(0)).over(w))
-    // Both aggregations below run WITHOUT a new exchange: the island
-    // window left rows hash-partitioned by doc_id, which satisfies
-    // groupBy(doc_id, island) and groupBy(doc_id) alike. The per-doc span
-    // list is bounded by the doc's window count (a doc-local quantity) —
-    // safe to collect per row, never corpus-global.
-    val merged = isl.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("p")).as("s"), (max(col("p")) + gramLen).as("e"))
-    val spans = merged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s")).as("chars_cut"),
-        array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    // Island-merge per doc in ONE aggregation: collect the doc's dup
+    // window starts (bounded by the doc's own window count — a doc-local
+    // quantity, never corpus-global), sort, and fold overlapping/touching
+    // [p, p+gramLen) intervals into maximal spans with a single array
+    // fold. One exchange on doc_id; the former two sort-window passes +
+    // two grouped aggregations (same result, three extra stages) are gone.
+    val collected = dup.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+    val spans0 = collected.withColumn("spans", aggregate(
+      col("ps"),
+      // acc: closed spans so far + the open interval [s, e)
+      struct(array().cast("array<struct<s:int,e:int>>").as("arr"),
+        lit(-1).as("s"), lit(-1).as("e")),
+      (acc, p) => {
+        val open = acc.getField("s") >= 0
+        val extend = open && p <= acc.getField("e")
+        struct(
+          when(extend || !open, acc.getField("arr"))
+            .otherwise(concat(acc.getField("arr"), array(
+              struct(acc.getField("s").as("s"), acc.getField("e").as("e")))))
+            .as("arr"),
+          when(extend, acc.getField("s")).otherwise(p).as("s"),
+          when(extend, greatest(acc.getField("e"), p + gramLen))
+            .otherwise(p + gramLen).as("e"))
+      },
+      acc => concat(acc.getField("arr"),
+        array(struct(acc.getField("s").as("s"), acc.getField("e").as("e"))))))
+    val spans = spans0.select(col("doc_id"),
+      size(col("spans")).cast("long").as("n_spans"),
+      aggregate(col("spans"), lit(0L),
+        (a, sp) => a + (sp.getField("e") - sp.getField("s"))).as("chars_cut"),
+      col("spans"))
     val base = docs.select(col(id).as("doc_id"), col(text).as("t"),
       length(col(text)).as("len"))
     // Rebuild each cleaned doc in ONE fold over its (disjoint, sorted)
@@ -472,15 +495,32 @@ object Dedup {
     // each re-runs the normalization from the source scan. Callers
     // clearCache() per query, so the entries are query-scoped.
     val normed = graft.util.QueryCache.persist(
-      vecs.select(col(id), Cluster.l2normalize(col(vec)).as("__nv")))
+      graft.util.Parallelize.ensure(vecs)
+        .select(col(id), Cluster.l2normalize(col(vec)).as("__nv")))
+    val (km, n, dim) = Cluster.kmeansWithStats(normed, id, "__nv", k, iters)
     val assigned = graft.util.QueryCache.persist(
-      Cluster.kmeans(normed, id, "__nv", k, iters)
-        .select(col(id), col("__nv"), col("cluster")))
+      km.select(col(id), col("__nv"), col("cluster")))
     val lo = assigned.select(col("cluster"), col(id).as("id_a"),
       col("__nv").as("__va"))
     val hi = assigned.select(col("cluster"), col(id).as("id_b"),
       col("__nv").as("__vb"))
-    lo.join(hi, "cluster").filter(col("id_a") < col("id_b"))
+    // Join strategy: a shuffle join on `cluster` has parallelism = k, and
+    // SemDeDup runs are often configured with small k relative to cores
+    // (the quadratic-per-cluster bound wants k ~ N/C, but pipelines tune k
+    // down when clusters are cheap). When the whole assigned set fits a
+    // broadcast (row count × dim come free from the Lloyd loop's own
+    // per-dimension sums — no extra job), broadcast the build side: pair
+    // generation then parallelizes over the PROBE side's partitions
+    // instead of k join keys, with zero shuffle. Past the threshold (or
+    // when iters == 0 left the stats empty) the cluster-partitioned
+    // shuffle join is the only scale-correct shape, so it stays the
+    // default.
+    val approxBytes =
+      if (n == 0L) Long.MaxValue else n * (dim.toLong * 8L + 24L)
+    val joined =
+      if (approxBytes <= (64L << 20)) lo.join(broadcast(hi), "cluster")
+      else lo.join(hi, "cluster")
+    joined.filter(col("id_a") < col("id_b"))
       .withColumn("cos", Cluster.dotFold(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .groupBy(col("id_b").as(id), col("cluster"))

@@ -26,19 +26,61 @@ object Packing {
 
   /** Attach `sumCol` = running total of `valCol` in `orderCol` order
     * (INCLUSIVE of the current row), computed via per-partition partial
-    * sums + broadcast offsets. */
+    * sums + broadcast offsets.
+    *
+    * Dense-integer fast path (the [[graft.model.Positions.zipWithIndex]]
+    * scheme): when `orderCol` is an integral column whose values are
+    * exactly {min..max} — generated doc ids, the common packing shape —
+    * the row's bucket is a PURE PROJECTION `(id - min) div block`, which
+    * replaces the range-partitioner's sampling job and the pinned-
+    * partition-id persist outright: one probe aggregate, one per-bucket
+    * sums job, and the final plan's own exchange-by-bucket. Buckets are
+    * perfectly balanced by density, so no skew risk. Non-dense or
+    * non-integral order keys fall back to the sampling-based range
+    * partitioning below. */
   def globalRunningSum(df: DataFrame, orderCol: Column, valCol: Column,
                        sumCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(spark.sparkContext.defaultParallelism, 1)
-    // persist pins partition ids between the totals collect and the final
-    // join (the collect materialises the cache; the join reads it).
-    // Callers (Bench/Verify) clearCache() per query, so the entry is
-    // query-scoped, not session-lifetime. An eager localCheckpoint here
-    // cost an extra blocking job and cut the plan off from AQE (measured
-    // 2-4× on the packing queries).
-    val ranged = graft.util.QueryCache.persist(df
-      .withColumn("__v", valCol.cast(LongType))
+    // persist: the probe aggregate, the partial-sums job, and the final
+    // plan all consume this frame — without materialisation each re-runs
+    // the (often expensive) valCol from the source scan. Callers
+    // (Bench/Verify) clearCache per query, so the entry is query-scoped.
+    // An eager localCheckpoint here cost an extra blocking job and cut
+    // the plan off from AQE (measured 2-4× on the packing queries).
+    val narrow = graft.util.QueryCache.persist(
+      df.withColumn("__v", valCol.cast(LongType)))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val odt = narrow.select(orderCol).schema.head.dataType
+    if (odt == LongType || odt == IntegerType || odt == ShortType ||
+        odt == ByteType) {
+      val r = narrow.agg(min(orderCol).cast(LongType),
+        max(orderCol).cast(LongType), count(lit(1)),
+        count_distinct(orderCol)).collect()(0)
+      if (!r.isNullAt(0) &&
+          r.getLong(1) - r.getLong(0) + 1 == r.getLong(2) &&
+          r.getLong(2) == r.getLong(3)) {
+        val mn = r.getLong(0); val n = r.getLong(2)
+        val block = math.max(1L, (n + p - 1) / p)
+        val bucketOf = (orderCol.cast(LongType) - mn) / block
+        val sums = narrow.groupBy(bucketOf.cast(LongType).as("__b"))
+          .agg(sum(col("__v")).as("__tot"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+        val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) =>
+          (b, acc + t)
+        }.init.zip(sums).map { case ((_, off), (b, _)) => (b, off) }
+        import spark.implicits._
+        val offDf = offsets.toSeq.toDF("__b", "__off")
+        val localW = Window.partitionBy("__b").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return narrow.withColumn("__b", bucketOf.cast(LongType))
+          .join(broadcast(offDf), "__b")
+          .withColumn(sumCol, col("__off") + sum(col("__v")).over(localW))
+          .drop("__b", "__off", "__v")
+      }
+    }
+    // fallback: sampled range partitioning (pinned partition ids)
+    val ranged = graft.util.QueryCache.persist(narrow
       .repartitionByRange(p, orderCol)
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id()))
@@ -115,6 +157,12 @@ object Packing {
     * `seq_first`, an empty span). */
   def packSequences(docs: DataFrame, id: String, tokenCount: Column,
                     seqLen: Int): DataFrame = {
+    // Parallelize.ensure BEFORE the projection: globalRunningSum caches
+    // its input, and the cache fill evaluates tokenCount (a regex pass
+    // over every doc) map-side — on a narrow single-file scan that would
+    // serialize; repartitioning the raw docs moves the text once and the
+    // regex then runs wide. (globalRunningSum persists the projection
+    // itself, so the regex runs exactly once either way.)
     val withEnd = globalRunningSum(
       docs.select(col(id), tokenCount.cast(LongType).as("n_tokens")),
       col(id), col("n_tokens"), "end_off")
