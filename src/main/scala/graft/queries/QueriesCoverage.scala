@@ -364,6 +364,27 @@ object QueriesCoverage {
         round(cume_dist().over(w), 6).as("cdist"))
     }),
 
+    // §2.1 to_netcdf WRITE path on real table data (ref
+    // `dataset.py:2294` to_netcdf): aggregate lineitem onto a dense
+    // (month, linenumber) grid, export the XDataset as a classic .nc via
+    // writeDataset, read the FILE back through the independent header
+    // parser, and hash-compare against the oracle's own aggregation —
+    // absent grid cells come back NaN and are filtered on read
+    "q195_to_netcdf" -> ((s, dir) => {
+      import graft.io.NetCDF
+      val base = "/tmp/graft_nc_export_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val grid = Tables.lineitem(s, dir)
+        .groupBy(month(col("l_shipdate")).as("m"),
+          col("l_linenumber").as("ln"))
+        .agg(exactSum(col("l_quantity")).as("qty"))
+      NetCDF.writeDataset(XDataset(grid, dims = Seq("m", "ln")),
+        base + "/export.nc")
+      NetCDF.toLongDF(s, base, "qty")
+        .filter(!isnan(col("qty")))
+        .select(col("m"), col("ln"), col("qty"))
+    }),
+
     // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
     // sides bucketed by the join key -> the sort-merge join reads
     // pre-bucketed files with NO exchange on either side at any scale
@@ -388,6 +409,13 @@ object QueriesCoverage {
   )
 
   val oracles: Map[String, String] = Map(
+    // classic .nc stores integral coords as NC_DOUBLE, so m/ln read back
+    // as doubles; qty went through exact decimal summation on both sides
+    "q195_to_netcdf" ->
+      """SELECT CAST(month(l_shipdate) AS DOUBLE) AS m,
+           CAST(l_linenumber AS DOUBLE) AS ln,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY 1, 2""",
     "q171_drop_vars" ->
       "SELECT n_nationkey, n_name FROM nation",
     "q172_squeeze" ->

@@ -74,6 +74,21 @@ object QueriesStreaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // custom per-key state (mapGroupsWithState): longest strictly-
+    // increasing value streak per user in (ts, event_id) order — a
+    // sequential recurrence no built-in streaming aggregation expresses;
+    // over the finite source it equals the batch gaps-and-islands window
+    "q196_stream_state" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val out = StreamOps.increasingStreaks(StreamOps.eventsStream(s, dir))
+        StreamOps.runToCompletion(s, out,
+          s"stream_state_${System.nanoTime}", mode = "update",
+          availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // stream-stream interval join (streaming as-of analog): purchases in
     // the hour before each error, per user; == the batch interval join
     "q127_stream_join" -> ((s, dir) => {
@@ -135,6 +150,29 @@ object QueriesStreaming {
            ON e.event_type = 'error' AND p.event_type = 'purchase'
           AND e.user_id = p.user_id
           AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts""",
+    // batch gaps-and-islands replay of the custom-state streak fold:
+    // a streak breaks where value fails to strictly increase in
+    // (ts, event_id) order
+    "q196_stream_state" ->
+      """WITH e AS (
+           SELECT user_id, value,
+             row_number() OVER w AS rn,
+             lag(value) OVER w AS pv
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT user_id, rn,
+             sum(CASE WHEN pv IS NULL OR value <= pv THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS grp
+           FROM e),
+         streaks AS (
+           SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+         SELECT s.user_id, c.n_events, s.max_streak
+         FROM (SELECT user_id, CAST(max(len) AS INT) AS max_streak
+               FROM streaks GROUP BY 1) s
+         JOIN (SELECT user_id, count(*) AS n_events FROM events
+               GROUP BY 1) c USING (user_id)""",
     // batch islands: a session breaks where the gap to the previous event
     // is >= 30 min (session_window's end is last_ts + gap, END-EXCLUSIVE,
     // so an exactly-on-gap event opens a new session)

@@ -130,6 +130,44 @@ object StreamOps {
         col("keep_id"), col("n_kept"), col("sum_chars"))
   }
 
+  /** Custom per-key state via `mapGroupsWithState` — the escape hatch for
+    * stateful logic no built-in aggregation expresses (§2.11 custom
+    * grouped state; batch reference surface: groupby.reduce with
+    * order-dependent f). Here: per user, the LONGEST STRICTLY-INCREASING
+    * `value` streak in (ts, event_id) order — a sequential recurrence
+    * (each step depends on the previous row's value), carried across
+    * micro-batches as 4 scalars of state per key. Rows WITHIN a batch are
+    * sorted per group before folding (bounded by the group's batch rows —
+    * the session-window bound, not corpus-global); late rows past a
+    * batch boundary would mis-order, the standard caveat for
+    * order-sensitive custom state without a timeout/buffer design.
+    * Emits (user_id, n_events, max_streak) in update mode. */
+  def increasingStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id").cast(LongType), col("ts"),
+        col("event_id").cast(LongType), col("value").cast(DoubleType))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[(Double, Int, Int, Long)]) =>
+          var (last, cur, best, n) =
+            state.getOption.getOrElse((Double.NaN, 0, 0, 0L))
+          it.toArray.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+            n += 1L
+            cur = if (cur > 0 && r._4 > last) cur + 1 else 1
+            if (cur > best) best = cur
+            last = r._4
+          }
+          state.update((last, cur, best, n))
+          (uid, n, best)
+      }
+      .toDF("user_id", "n_events", "max_streak")
+  }
+
   /** Stream-stream interval join (the streaming as-of analog): right rows
     * within [left.ts - interval, left.ts] per key. Watermarks bound BOTH
     * sides' state stores — without them the join state grows forever; with
