@@ -385,6 +385,24 @@ object QueriesCoverage {
         .select(col("m"), col("ln"), col("qty"))
     }),
 
+    // §2.1 Z-order clustered layout (SURVEY §2.1 store extension; the
+    // Delta/Iceberg OPTIMIZE ZORDER practice): write events Morton-
+    // interleaved on (user_id, ts) so every file has a tight min/max
+    // envelope in BOTH keys — parquet footer stats then prune files for
+    // 2-d range predicates (ZOrderSpec asserts the per-file locality);
+    // the read-back result must be byte-identical to a plain filter
+    "q197_zorder" -> ((s, dir) => {
+      import graft.io.ZOrder
+      val base = "/tmp/graft_zorder_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      ZOrder.write(Tables.events(s, dir), base,
+        Seq("user_id", "ts"), numFiles = 16)
+      graft.io.Store.open(s, base)
+        .filter(col("user_id").between(40, 80) &&
+          col("ts").between(lit("2024-01-10").cast("timestamp"),
+            lit("2024-01-15").cast("timestamp")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
     // §2.7 bucketed co-located join (SURVEY §2.7 layout extension): both
     // sides bucketed by the join key -> the sort-merge join reads
     // pre-bucketed files with NO exchange on either side at any scale
@@ -418,6 +436,11 @@ object QueriesCoverage {
          FROM lineitem GROUP BY 1, 2""",
     "q171_drop_vars" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "q197_zorder" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE user_id BETWEEN 40 AND 80
+           AND ts BETWEEN TIMESTAMP '2024-01-10'
+                      AND TIMESTAMP '2024-01-15'""",
     "q172_squeeze" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_nationkey = 7""",
