@@ -83,6 +83,106 @@ case class DotProductF64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Unit-normalize a numeric vector (float or double elements) into
+  * array<double> — the same index-ordered sequential fold as the
+  * higher-order form `transform(v, x/sqrt(aggregate(transform(v, x*x),
+  * 0d, +)))` (bit-identical, SQL `list_reduce`-replayable), but as one
+  * generated Java loop instead of ~3 interpreted lambda passes per row.
+  * Null ELEMENTS are unsupported (embedding vectors are dense); a null
+  * array is null. Zero vectors divide by 0.0 → NaN, as in the HOF form. */
+case class L2NormalizeVec(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0; var i = 0
+    if (elemIsFloat) while (i < n) {
+      val v = x.getFloat(i).toDouble; out(i) = v; acc += v * v; i += 1
+    } else while (i < n) {
+      val v = x.getDouble(i); out(i) = v; acc += v * v; i += 1
+    }
+    val nrm = math.sqrt(acc)
+    i = 0
+    while (i < n) { out(i) = out(i) / nrm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val out = ctx.freshName("out")
+      val nrm = ctx.freshName("nrm")
+      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $get($i); $out[$i] = v; $acc += v * v;
+         |}
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $out[$i] / $nrm; }
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Sum of squared differences of two vectors (float or double elements
+  * each, independently) — the k-means assign kernel `aggregate(
+  * zip_with(v, c, (x,y) => (x-y)^2), 0d, +)` as one generated loop.
+  * Same index-ordered accumulation, bit-identical to the HOF form. */
+case class SumSqDiff(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv; acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val ga = if (isFloat(left)) s"(double) $a.getFloat" else s"$a.getDouble"
+      val gb = if (isFloat(right)) s"(double) $b.getFloat" else s"$b.getDouble"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $ga($i) - $gb($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
@@ -95,6 +195,15 @@ object VectorExprs {
   def dotF64(a: Column, b: Column): Column =
     GraftBridge.column(DotProductF64(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  /** Codegen'd unit-normalization (float or double input elements). */
+  def l2normalize(v: Column): Column =
+    GraftBridge.column(L2NormalizeVec(GraftBridge.expression(v)))
+
+  /** Codegen'd squared-L2 distance (float or double elements per side). */
+  def sumSqDiff(a: Column, b: Column): Column =
+    GraftBridge.column(SumSqDiff(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Codegen'd cosine from three dot products. */
   def cosineF32(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

@@ -32,28 +32,21 @@ object Cluster {
   def dotFold(a: Column, b: Column): Column =
     graft.exprs.VectorExprs.dotF64(a, b)
 
-  /** Squared L2 distance of `vec` to a literal centroid, as the canonical
-    * index-ordered left fold (matches a SQL `list_reduce` replay). */
-  private def dist2(vec: Column, c: Array[Double]): Column = {
-    val carr = array(c.map(lit(_)): _*)
-    aggregate(
-      zip_with(vec, carr, (x, cc) => {
-        val d = x.cast("double") - cc; d * d
-      }),
-      lit(0d), (acc, x) => acc + x)
-  }
+  /** Squared L2 distance of `vec` to a literal centroid — the native
+    * codegen kernel [[graft.exprs.SumSqDiff]], running the canonical
+    * index-ordered left fold (bit-identical to the `zip_with` +
+    * `aggregate` HOF form a SQL `list_reduce` replays, but one generated
+    * loop instead of an interpreted lambda call per element). */
+  private def dist2(vec: Column, c: Array[Double]): Column =
+    graft.exprs.VectorExprs.sumSqDiff(vec, array(c.map(lit(_)): _*))
 
-  /** Unit-normalize a vector column with the canonical index-ordered
-    * double fold for the norm (an external `list_reduce` replays it
-    * bit-for-bit). On unit vectors, k-means' squared-L2 objective is
-    * monotone in cosine (d² = 2 − 2cosθ), which is what SemDeDup-style
-    * semantic dedup clusters on. */
-  def l2normalize(vec: Column): Column = {
-    val nrm = sqrt(aggregate(
-      transform(vec, x => x.cast("double") * x.cast("double")),
-      lit(0d), (acc, x) => acc + x))
-    transform(vec, x => x.cast("double") / nrm)
-  }
+  /** Unit-normalize a vector column — native codegen kernel with the
+    * canonical index-ordered double fold for the norm (an external
+    * `list_reduce` replays it bit-for-bit). On unit vectors, k-means'
+    * squared-L2 objective is monotone in cosine (d² = 2 − 2cosθ), which
+    * is what SemDeDup-style semantic dedup clusters on. */
+  def l2normalize(vec: Column): Column =
+    graft.exprs.VectorExprs.l2normalize(vec)
 
   /** Nearest-centroid assignment: adds `cluster` (0-based centroid index,
     * ties to the lowest index) and `d2` (squared L2 to it). */
