@@ -183,6 +183,51 @@ case class SumSqDiff(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product with independent float/double element dispatch per side —
+  * for mixed pairs like a float embedding against a literal double ±1
+  * hyperplane. Same index-ordered sequential accumulation as
+  * [[DotProductF32]]/[[DotProductF64]] (list_reduce-replayable). */
+case class DotProductVec(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val ga = if (isFloat(left)) s"(double) $a.getFloat" else s"$a.getDouble"
+      val gb = if (isFloat(right)) s"(double) $b.getFloat" else s"$b.getDouble"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $ga($i) * $gb($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftBridge
 
@@ -195,6 +240,11 @@ object VectorExprs {
   def dotF64(a: Column, b: Column): Column =
     GraftBridge.column(DotProductF64(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+  /** Codegen'd dot product, float/double elements dispatched per side. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductVec(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Codegen'd unit-normalization (float or double input elements). */
   def l2normalize(v: Column): Column =
     GraftBridge.column(L2NormalizeVec(GraftBridge.expression(v)))

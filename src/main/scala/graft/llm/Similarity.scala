@@ -52,13 +52,13 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit p = sign(v · r_p) with r_p a ±1
-    * literal vector. Expression-only projection; the left fold matches a
-    * DuckDB list_reduce bit-for-bit. */
+    * literal vector. Expression-only projection via the codegen'd dot
+    * kernel — same index-ordered left fold as the HOF form, so a DuckDB
+    * list_reduce replay matches bit-for-bit. */
   def rhpSignature(vec: Column, signs: Array[Array[Int]]): Column =
     signs.zipWithIndex.map { case (row, p) =>
       val sCol = array(row.map(v => lit(v.toDouble)): _*)
-      val proj = aggregate(zip_with(vec, sCol, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.exprs.VectorExprs.dot(vec, sCol)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
