@@ -49,4 +49,50 @@ class EmptyInputSpec extends SparkSpec {
     val ranked = graft.agg.Rank.avgRank(one.select("v"), "v", "r")
     assert(ranked.head().getDouble(1) === 1.0)
   }
+
+  test("packing prefix sum: empty, single-row, and sparse-id inputs") {
+    import graft.llm.Packing
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("n", LongType))))
+    // empty: probe stats are null -> falls to the range path -> empty out
+    assert(Packing.globalRunningSum(emptyDocs, col("id"), col("n"), "s")
+      .count() === 0L)
+    // single row (dense by definition): fast path, sum = own value
+    val oneRow = Seq((7L, 5L)).toDF("id", "n")
+    assert(Packing.globalRunningSum(oneRow, col("id"), col("n"), "s")
+      .select("s").head().getLong(0) === 5L)
+    // sparse ids (holes) must NOT take the dense path silently wrong:
+    // running sums still correct via the fallback
+    val sparse = Seq((1L, 1L), (5L, 2L), (100L, 3L)).toDF("id", "n")
+    val got = Packing.globalRunningSum(sparse, col("id"), col("n"), "s")
+      .orderBy("id").select("s").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L, 6L))
+  }
+
+  test("semDedup with iters=0 (no Lloyd stats) falls back safely") {
+    import graft.llm.Dedup
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(2.0, 0.0)), (3L, Array(0.0, 1.0)))
+      .toDF("id", "vec")
+    // iters=0 -> stats stay (0, 0) -> shuffle-join path; planted exact
+    // duplicate direction (2,0) ~ (1,0) must still be pruned
+    val pruned = Dedup.semDedup(vecs, "id", "vec", k = 1, iters = 0,
+      threshold = 0.99)
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet
+      .contains(2L))
+  }
+
+  test("zorder: empty input writes an empty store; constant key is safe") {
+    import graft.io.ZOrder
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    ZOrder.write(emptyEv, "/tmp/graft_zorder_empty", Seq("a", "b"), 2)
+    assert(spark.read.parquet("/tmp/graft_zorder_empty").count() === 0L)
+    // zero span (constant key) must not divide by zero
+    val const = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    ZOrder.write(const, "/tmp/graft_zorder_const", Seq("a", "b"), 2)
+    assert(spark.read.parquet("/tmp/graft_zorder_const").count() === 3L)
+  }
 }

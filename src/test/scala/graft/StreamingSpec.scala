@@ -93,4 +93,54 @@ class StreamingSpec extends SparkSpec {
     assert(fin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("custom state: flatMapGroupsWithState with processing-time timeout " +
+    "emits sessions on expiry") {
+    // The state-lifecycle contract a production session op relies on:
+    // per-key state accumulates across batches and a processing-time
+    // timeout fires the FINAL emission once the key goes quiet. With the
+    // finite file source, batch 1 populates state and sets the timeout;
+    // the empty trailing batch triggers expiry, so each user emits
+    // exactly one summary row carrying hasTimedOut=true semantics.
+    val ev = StreamOps.eventsStream(spark, sf)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, s) = state.get
+            state.remove()
+            Iterator((user, n, s, true))
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            rows.foreach { r => n += 1L; s += r._2 }
+            state.update((n, s))
+            state.setTimeoutDuration("50 milliseconds")
+            Iterator.empty
+          }
+      }
+    val name = s"stream_timeout_${System.nanoTime}"
+    val q = sessions.toDF("user_id", "n", "sum_v", "expired").writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      // Do NOT processAllAvailable(): pending processing-time timeouts
+      // keep scheduling micro-batches, so "all available" never settles.
+      // Poll the sink — the engine runs the data batch, then an expiry
+      // batch once the 50 ms timeout passes.
+      val users = graft.io.Tables.events(spark, sf)
+        .select("user_id").distinct().count()
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table(name).count() < users &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+    } finally q.stop()
+    val emitted = spark.table(name)
+    val users = graft.io.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(emitted.count() === users,
+      "every user's state must expire into exactly one emission")
+    assert(emitted.filter(!col("expired")).count() === 0L)
+  }
 }
