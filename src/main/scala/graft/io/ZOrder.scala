@@ -43,8 +43,10 @@ object ZOrder {
   def zValue(keys: Seq[Column], stats: Seq[(Double, Double)],
              bits: Int = 21): Column = {
     val scaled = keys.zip(stats).map { case (c, (mn, mx)) =>
-      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-      val scale = ((1L << bits) - 1).toDouble / span
+      val span = mx - mn
+      // constant key (span 0): every row maps to rank 0 — the dimension
+      // carries no information, so it must not poison the interleave
+      val scale = if (span > 0) ((1L << bits) - 1).toDouble / span else 0.0
       least(greatest(((c.cast("double") - mn) * scale), lit(0.0)),
         lit(((1L << bits) - 1).toDouble)).cast(LongType)
     }

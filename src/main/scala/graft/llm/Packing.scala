@@ -62,7 +62,10 @@ object Packing {
           r.getLong(2) == r.getLong(3)) {
         val mn = r.getLong(0); val n = r.getLong(2)
         val block = math.max(1L, (n + p - 1) / p)
-        val bucketOf = (orderCol.cast(LongType) - mn) / block
+        // exact integral floor-div: Column./ is DOUBLE division; subtract
+        // the remainder first so the quotient is an exact multiple
+        val diff = orderCol.cast(LongType) - mn
+        val bucketOf = (diff - pmod(diff, lit(block))) / block
         val sums = narrow.groupBy(bucketOf.cast(LongType).as("__b"))
           .agg(sum(col("__v")).as("__tot"))
           .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
