@@ -366,6 +366,32 @@ object QueriesLLM {
           md5(col("cleaned")).as("clean_md5"))
     }),
 
+    // END-TO-END curation pipeline — the composition proof: quality gate
+    // -> exact dedup keep-first -> benchmark decontamination -> stratified
+    // sample -> data-card summary, all as ONE declarative plan (each stage
+    // is the same library verb the standalone queries check; the oracle
+    // replays the whole chain in SQL). At 100 TB this is the actual shape
+    // of a curation run: scan-stage filters fuse, the dedup and
+    // decontamination shuffles are the only exchanges.
+    "q198_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 30)
+      val keepers = Dedup.exact(gated, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), col("n_dups"))
+      val kept = gated.join(keepers, "doc_id")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpusSide = kept.filter(col("doc_id") % 10 =!= 0)
+      val hits = Dedup.contamination(corpusSide, bench, "doc_id", "text",
+        gramLen = 20, stride = 5).select("doc_id")
+      val clean = corpusSide.join(hits, Seq("doc_id"), "left_anti")
+      Sampling.stratifiedSample(clean, "doc_id", "lang",
+        Map("en" -> 5000), defaultBp = 10000)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_dups")).as("sum_dups"))
+    }),
+
     // CCNet-style perplexity filter: fit an add-0.5 bigram LM on the
     // corpus, score each doc by mean negative log2 probability. Fitting
     // is the wordcount shape; scoring is token-key joins.
@@ -496,6 +522,51 @@ object QueriesLLM {
            SELECT * FROM r)
          SELECT node AS doc_id, min(src) AS cluster_id
          FROM reach GROUP BY node""",
+    // full-chain replay of the curation pipeline: every stage reuses the
+    // replay pattern of its standalone oracle (q158 token gate, q50
+    // content key, q138 window grams, q144 sampling bucket)
+    "q198_curation_pipeline" ->
+      """WITH gated AS (
+           SELECT * FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+         keyed AS (
+           SELECT *, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             AS ck
+           FROM gated),
+         keepers AS (
+           SELECT ck, min(doc_id) AS keep_id, count(*) AS n_dups
+           FROM keyed GROUP BY 1),
+         kept AS (
+           SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars, kp.n_dups
+           FROM keyed k JOIN keepers kp ON k.doc_id = kp.keep_id),
+         bench AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         corp AS (SELECT * FROM kept WHERE doc_id % 10 <> 0),
+         bg AS (
+           SELECT DISTINCT md5(substr(text, p + 1, 20)) AS h FROM (
+             SELECT text, unnest(generate_series(0, length(text) - 20, 5)) AS p
+             FROM bench WHERE length(text) >= 20)),
+         cg AS (
+           SELECT doc_id, md5(substr(text, p + 1, 20)) AS h FROM (
+             SELECT doc_id, text,
+               unnest(generate_series(0, length(text) - 20, 5)) AS p
+             FROM corp WHERE length(text) >= 20)),
+         hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (h)),
+         clean AS (
+           SELECT * FROM corp
+           WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         sampled AS (
+           SELECT * FROM clean
+           WHERE list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#strat'),
+                 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10000
+             < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_dups) AS BIGINT) AS sum_dups
+         FROM sampled GROUP BY 1, 2""",
     // decontamination oracle: same window/hash definition in SQL
     "q138_decontaminate" ->
       """WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
