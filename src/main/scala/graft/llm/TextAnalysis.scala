@@ -141,4 +141,36 @@ object TextAnalysis {
         regexp_replace(c, ipv4Pat, "[IP]"),
         emailPat, "[EMAIL]"),
       phonePat, "[PHONE]")
+
+  /** RAG-style document chunking: overlapping token windows of
+    * `chunkTokens` tokens at stride `chunkTokens - overlap`, one row per
+    * chunk with its index, token offset, and token count. The LAST chunk
+    * is the one that first reaches the document end (no tail chunks fully
+    * contained in an earlier one); docs at or under `chunkTokens` yield
+    * one chunk. Pure scan-stage explode + slice — the canonical shape for
+    * a 100 TB corpus → vector-store ingestion pass (chunks flow straight
+    * into the embedding/ANN operators in [[Similarity]]). */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String, chunkTokens: Int,
+                     overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    docs.select(col(id), tokens(col(text)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__d", col("__n") - chunkTokens + (step - 1))
+      .withColumn("__last",
+        when(col("__n") <= chunkTokens, lit(0))
+          // exact integral floor-div (Column./ is double division)
+          .otherwise(((col("__d") - pmod(col("__d"), lit(step))) / step)
+            .cast("int")))
+      .select(col(id), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__last"))).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * step)
+      .select(col(id), col("chunk_id"), col("tok_start"),
+        least(lit(chunkTokens), col("__n") - col("tok_start")).as("n_toks"),
+        array_join(slice(col("__toks"), col("tok_start") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -366,6 +366,17 @@ object QueriesLLM {
           md5(col("cleaned")).as("clean_md5"))
     }),
 
+    // RAG-style chunking: overlapping 30-token windows at stride 20,
+    // one row per chunk with offsets; md5 of the joined window makes the
+    // hash check full-strength. Scan-stage explode — the corpus ->
+    // vector-store ingestion shape.
+    "q199_doc_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 30, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          col("n_toks"), md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
     // END-TO-END curation pipeline — the composition proof: quality gate
     // -> exact dedup keep-first -> benchmark decontamination -> stratified
     // sample -> data-card summary, all as ONE declarative plan (each stage
@@ -522,6 +533,26 @@ object QueriesLLM {
            SELECT * FROM r)
          SELECT node AS doc_id, min(src) AS cluster_id
          FROM reach GROUP BY node""",
+    // chunking oracle: same whitespace tokens, same window arithmetic,
+    // 1-based inclusive list_slice == Spark's (start, length) slice
+    "q199_doc_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         c AS (
+           SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 30 THEN 0
+                    ELSE (n - 30 + 19) // 20 END)) AS chunk_id
+           FROM n)
+         SELECT doc_id, chunk_id, chunk_id * 20 AS tok_start,
+           least(30, n - chunk_id * 20) AS n_toks,
+           md5(array_to_string(
+             list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 30),
+             ' ')) AS chunk_md5
+         FROM c""",
     // full-chain replay of the curation pipeline: every stage reuses the
     // replay pattern of its standalone oracle (q158 token gate, q50
     // content key, q138 window grams, q144 sampling bucket)
