@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Adaptive minimum parallelism for compute-heavy scan stages.
   *
@@ -14,9 +15,24 @@ import org.apache.spark.sql.DataFrame
   * exactly the small-input case where the shuffled bytes are trivial.
   */
 object Parallelize {
-  /** `df`, repartitioned to `spark.sparkContext.defaultParallelism` iff its
-    * current partition count is lower. */
+
+  /** True iff the plan is narrow scan-shaped: no node that introduces an
+    * exchange. Only such plans need (or can cheaply measure) a widen —
+    * anything with a join/aggregate/window/repartition already runs its
+    * downstream stages at `spark.sql.shuffle.partitions`, and calling
+    * `.rdd` on it under AQE would eagerly execute its shuffle stages. */
+  private def scanShaped(df: DataFrame): Boolean =
+    !df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+           _: RepartitionOperation | _: Distinct | _: Deduplicate => true
+      case _ => false
+    }
+
+  /** `df`, repartitioned to `spark.sparkContext.defaultParallelism` iff it
+    * is a narrow scan whose partition count is lower. Frames that already
+    * contain an exchange are returned untouched. */
   def ensure(df: DataFrame): DataFrame = {
+    if (!scanShaped(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
