@@ -27,6 +27,23 @@ object QueriesStreaming {
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
     }),
 
+    // the same sliding windows over the STREAM source: watermarked
+    // stateful agg; over the finite source it equals q64's batch result
+    "q64b_stream_sliding" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val agg = StreamOps.eventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"))
+        StreamOps.runToCompletion(s, agg,
+          s"stream_sliding_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // streaming exact dedup: per-user daily first-event stream. State is
     // bounded by the watermark horizon (the 100 TB contract for streaming
     // dedup: keys expire instead of accumulating forever); over the finite
@@ -123,6 +140,13 @@ object QueriesStreaming {
          CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2""",
     "q64_sliding_window" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+           SELECT unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+                  event_type
+           FROM events)
+         GROUP BY 1, 2""",
+    "q64b_stream_sliding" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
            SELECT unnest([date_trunc('hour', ts),
                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,

@@ -215,4 +215,34 @@ class LawsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(spans == Set(1L, 2L)) // only the true cross-doc duplicate
   }
+
+  test("law: chunks reassemble to the original token stream") {
+    import graft.llm.TextAnalysis
+    (1 to 5).foreach { seed =>
+      val rng = new Random(seed)
+      val docs = (0 until 8).map { i =>
+        val n = rng.nextInt(120) + 1
+        (i.toLong, (0 until n).map(j => s"w${rng.nextInt(50)}_$j")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val (c, o) = (30, 10)
+      val chunks = TextAnalysis
+        .chunkDocuments(docs, "doc_id", "text", c, o)
+        .collect().groupBy(_.getLong(0))
+      docs.collect().foreach { r =>
+        val id = r.getLong(0)
+        val toks = r.getString(1).trim.split("\\s+").toSeq
+        val cs = chunks(id).sortBy(_.getInt(1))
+        // chunk 0 whole, later chunks minus the overlapping prefix
+        val rebuilt = cs.head.getString(4).split(" ").toSeq ++
+          cs.tail.flatMap(_.getString(4).split(" ").toSeq.drop(o))
+        assert(rebuilt == toks, s"doc $id (seed $seed)")
+        // offsets/counts consistent
+        cs.foreach { ch =>
+          assert(ch.getInt(3) ==
+            math.min(c, toks.length - ch.getInt(2)))
+        }
+      }
+    }
+  }
 }
