@@ -66,8 +66,10 @@ object Packing {
         // the remainder first so the quotient is an exact multiple
         val diff = orderCol.cast(LongType) - mn
         val bucketOf = (diff - pmod(diff, lit(block))) / block
+        // coalesce: a bucket whose __v are all null must contribute 0,
+        // not a null that breaks the offsets collect
         val sums = narrow.groupBy(bucketOf.cast(LongType).as("__b"))
-          .agg(sum(col("__v")).as("__tot"))
+          .agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"))
           .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
         val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) =>
           (b, acc + t)
@@ -92,7 +94,8 @@ object Packing {
     // total (ties then share arithmetic, not just arbitrary order)
     val localW = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = ranged.groupBy("__pid").agg(sum(col("__v")).as("__tot"))
+    val totals = ranged.groupBy("__pid")
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
