@@ -213,6 +213,57 @@ object Ewm {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EWM mean with a TIME-based halflife over irregular observation times
+    * (pandas `ewm(halflife=timedelta, times=...)`; ref `rolling_exp.py:49`
+    * `window_type="halflife"` passthrough): each step decays the state by
+    * d = 0.5^(Δt / halflife) where Δt is the actual gap to the previous
+    * row, instead of a constant per-row factor. adjust=True normalized
+    * form: num = num·d + x, den = den·d + 1, ewm = num/den. NULL values
+    * decay the state without contributing (ignore_na=False positioning).
+    * `timeCol` must be a numeric epoch column (e.g. `unix_micros(ts)`);
+    * `halflife` is in the same unit. When Δt/halflife is integral the
+    * decay is an exact power of two, so the q202 oracle replays the
+    * recurrence bit-for-bit; fractional gaps are pinned in EwmSpec. */
+  def ewmMeanTimes(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                   timeCol: String, valueCol: String, idCol: String,
+                   halflife: Double): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+      .select((groupCols ++ orderCols :+ timeCol :+ valueCol :+ idCol)
+        .distinct.map(col): _*)
+    val gIdx = groupCols.indices
+    val tIdx = sorted.columns.indexOf(timeCol)
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val iIdx = sorted.columns.indexOf(idCol)
+    val outSchema = StructType(Seq(
+      StructField("id", sorted.schema(idCol).dataType, nullable = false),
+      StructField("ewm", DoubleType, nullable = true)))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var num = 0.0; var den = 0.0; var prevT = 0.0; var first = true
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; num = 0.0; den = 0.0; first = true }
+        val t = r.get(tIdx) match {
+          case l: java.lang.Long => l.toDouble
+          case i: java.lang.Integer => i.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x => x.toString.toDouble
+        }
+        val d = if (first) 1.0 else math.pow(0.5, (t - prevT) / halflife)
+        prevT = t; first = false
+        num *= d; den *= d
+        val out: Any =
+          if (r.isNullAt(vIdx)) { if (den > 0) num / den else null }
+          else { num += r.getDouble(vIdx); den += 1.0; num / den }
+        Row(r.get(iIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def ewmMean(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
               valueCol: String, idCol: String, alpha: Double): DataFrame = {
     val spark = df.sparkSession

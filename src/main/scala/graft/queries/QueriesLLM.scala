@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Cluster, Dedup, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -377,6 +377,16 @@ object QueriesLLM {
           col("n_toks"), md5(col("chunk_text")).as("chunk_md5"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): log-likelihood ratio of
+    // hashed-bigram models, target corpus = src0 docs vs the full corpus.
+    // Two scan passes + a broadcast of the 4096-row λ table — the
+    // domain-targeting pre-filter in front of the sampling verbs.
+    "q203_dsir_weights" -> ((s, dir) => {
+      Dsir.importanceWeights(Tables.documents(s, dir),
+        isTarget = col("source") === "src0",
+        textCol = "text", idCol = "doc_id", buckets = 4096)
+    }),
+
     // END-TO-END curation pipeline — the composition proof: quality gate
     // -> exact dedup keep-first -> benchmark decontamination -> stratified
     // sample -> data-card summary, all as ONE declarative plan (each stage
@@ -553,6 +563,35 @@ object QueriesLLM {
              list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 30),
              ' ')) AS chunk_md5
          FROM c""",
+    // DSIR replay: same tokens (q52's split idiom), same md5-prefix
+    // bucket fold (q133's), λ rounded to 8 dp then summed as DECIMAL so
+    // both engines add identical terms exactly
+    "q203_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+         g AS (
+           SELECT doc_id, source, unnest(w) AS g FROM t
+           UNION ALL
+           SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+         gb AS (SELECT doc_id, source,
+             list_reduce(list_transform(
+                 string_split(substr(md5(g), 1, 4), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 4096 AS b
+           FROM g),
+         bc AS (SELECT b,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+           FROM gb GROUP BY 1),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+         lam AS (SELECT b,
+             CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)),
+                 8) AS DECIMAL(28,8)) AS lam
+           FROM bc CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(lam) AS DOUBLE) AS log_weight
+         FROM gb JOIN lam USING (b) GROUP BY 1""",
     // full-chain replay of the curation pipeline: every stage reuses the
     // replay pattern of its standalone oracle (q158 token gate, q50
     // content key, q138 window grams, q144 sampling bucket)

@@ -121,6 +121,22 @@ object QueriesUdf {
         .withColumnRenamed("id", "event_id")
     }),
 
+    // EWM mean with a TIME halflife over irregular times (pandas
+    // ewm(halflife="1h", times=ts); ref `rolling_exp.py:49`): decay is
+    // 0.5^(Δt/halflife) per actual gap. The query floors times to the
+    // hour so every decay is an exact power of two and the recursive-CTE
+    // oracle replays the recurrence bit-for-bit; fractional-gap decay is
+    // pinned against pandas in EwmSpec.
+    "q202_ewm_halflife" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t_hr_us", unix_micros(date_trunc("hour", col("ts"))))
+      Ewm.ewmMeanTimes(ev, groupCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        timeCol = "t_hr_us", valueCol = "value", idCol = "event_id",
+        halflife = 3.6e9)
+        .withColumnRenamed("id", "event_id")
+    }),
+
     // exact H&F quantiles, methods beyond Spark's builtin linear
     // (ref `variable.py:1929`; SURVEY.md §2.4 quantile row)
     "q62_quantile_hf" -> ((s, dir) => {
@@ -370,6 +386,44 @@ object QueriesUdf {
                        ELSE r.wt * CAST(0.7 AS DOUBLE) + CAST(1 AS DOUBLE) END
            FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
          SELECT event_id, avg AS ewm FROM r""",
+    // time-halflife EWM replay: dk (whole hours between consecutive rows)
+    // is precomputed with lag() in the seed; the recursion multiplies both
+    // accumulators by power(0.5, dk) — an exact power of two, so the same
+    // IEEE sequence as the Scala scan. Same null conventions as q61.
+    "q202_ewm_halflife" ->
+      """WITH RECURSIVE s0 AS (
+           SELECT user_id, event_id, value,
+                  epoch_us(date_trunc('hour', ts)) AS t,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, value, rn,
+                  CAST(t - lag(t) OVER (PARTITION BY user_id ORDER BY rn)
+                       AS DOUBLE) / CAST(3600000000 AS DOUBLE) AS dk
+           FROM s0),
+         r AS (
+           SELECT user_id, rn, event_id,
+                  CAST(coalesce(value, 0) AS DOUBLE) AS num,
+                  CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS den,
+                  CAST(value AS DOUBLE) AS ewm
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn, s.event_id,
+                  CASE WHEN s.value IS NULL
+                       THEN r.num * power(CAST(0.5 AS DOUBLE), s.dk)
+                       ELSE r.num * power(CAST(0.5 AS DOUBLE), s.dk) + s.value END,
+                  CASE WHEN s.value IS NULL
+                       THEN r.den * power(CAST(0.5 AS DOUBLE), s.dk)
+                       ELSE r.den * power(CAST(0.5 AS DOUBLE), s.dk) + 1 END,
+                  CASE WHEN s.value IS NULL THEN
+                      CASE WHEN r.den * power(CAST(0.5 AS DOUBLE), s.dk) > 0
+                           THEN (r.num * power(CAST(0.5 AS DOUBLE), s.dk))
+                                / (r.den * power(CAST(0.5 AS DOUBLE), s.dk)) END
+                    ELSE (r.num * power(CAST(0.5 AS DOUBLE), s.dk) + s.value)
+                         / (r.den * power(CAST(0.5 AS DOUBLE), s.dk) + 1) END
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT event_id, ewm FROM r""",
     "q60_apply_ufunc_zscore" ->
       """SELECT event_id, (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN (

@@ -96,4 +96,41 @@ class EwmSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getDouble(1))
     assert(out.toSeq == Seq(10.0, 20.0))
   }
+
+  test("time-halflife ewm mean matches pandas (fractional gaps + NULL)") {
+    // pandas Series.ewm(halflife=Timedelta('1h'), times=...).mean() with
+    // times 00:00 / 00:30 / 02:00 / 02:15 — gaps of 0.5h, 1.5h, 0.25h,
+    // so the decay exponents are genuinely fractional
+    val us = Seq(0L, 1800L * 1000000, 7200L * 1000000, 8100L * 1000000)
+    val df = Seq(
+      (1L, 1L, us(0), java.lang.Double.valueOf(1.0)),
+      (2L, 1L, us(1), java.lang.Double.valueOf(2.0)),
+      (3L, 1L, us(2), java.lang.Double.valueOf(4.0)),
+      (4L, 1L, us(3), java.lang.Double.valueOf(8.0))
+    ).toDF("id", "g", "t", "v")
+    val out = Ewm.ewmMeanTimes(df, Seq("g"), Seq("id"), "t", "v", "id",
+      halflife = 3.6e9).orderBy("id").collect().map(_.getDouble(1))
+    val want = Seq(1.0, 1.585786437626905, 3.091326307103841,
+      5.181526905802528)
+    out.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"times-ewm got $g want $w") }
+    // NULL decays the state without contributing (ignore_na=False)
+    val dfn = Seq(
+      (1L, 1L, us(0), java.lang.Double.valueOf(1.0)),
+      (2L, 1L, us(1), null.asInstanceOf[java.lang.Double]),
+      (3L, 1L, us(2), java.lang.Double.valueOf(4.0)),
+      (4L, 1L, us(3), java.lang.Double.valueOf(8.0))
+    ).toDF("id", "g", "t", "v")
+    val outN = Ewm.ewmMeanTimes(dfn, Seq("g"), Seq("id"), "t", "v", "id",
+      halflife = 3.6e9).orderBy("id").collect().map(_.getDouble(1))
+    val wantN = Seq(1.0, 1.0, 3.4, 5.64267660395309)
+    outN.zip(wantN).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"times-ewm null got $g want $w") }
+    // per-group time origins are independent
+    val dfg = Seq((1L, 1L, 0L, 3.0), (2L, 2L, 99L * 1000000, 7.0))
+      .toDF("id", "g", "t", "v")
+    val outG = Ewm.ewmMeanTimes(dfg, Seq("g"), Seq("id"), "t", "v", "id",
+      halflife = 3.6e9).orderBy("id").collect().map(_.getDouble(1))
+    assert(outG.toSeq == Seq(3.0, 7.0))
+  }
 }

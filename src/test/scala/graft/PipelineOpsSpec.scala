@@ -305,4 +305,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("dropped_docs") === 2L)
     assert(out(1).getAs[Long]("keep_id") === 7L)   // 5-tie -> min id
   }
+
+  test("DSIR weights rank target-like documents above off-domain ones") {
+    import graft.llm.Dsir
+    // target corpus: medical-ish vocabulary; raw corpus: mixed. The doc
+    // written in target vocabulary must out-score the off-domain doc.
+    val docs = Seq(
+      (1L, true, "patient dose trial clinical patient dose"),
+      (2L, true, "clinical trial dose patient outcome"),
+      (10L, false, "football match score goal referee"),
+      (11L, false, "patient dose clinical trial outcome dose"), // target-like
+      (12L, false, "recipe butter flour sugar oven")
+    ).toDF("doc_id", "is_t", "text")
+    val w = Dsir.importanceWeights(docs, col("is_t"), "text", "doc_id",
+      buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === 5)
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(w(11L) > w(10L), s"target-like ${w(11L)} !> off-domain ${w(10L)}")
+    assert(w(11L) > w(12L), s"target-like ${w(11L)} !> off-domain ${w(12L)}")
+    // deterministic: same call, same weights
+    val again = Dsir.importanceWeights(docs, col("is_t"), "text", "doc_id",
+      buckets = 1024).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === w)
+    // single-token doc produces no bigrams and still scores finitely
+    val tiny = Seq((1L, true, "word"), (2L, false, "word")).toDF("doc_id", "is_t", "text")
+    val tw = Dsir.importanceWeights(tiny, col("is_t"), "text", "doc_id", 64)
+      .collect()
+    assert(tw.length === 2 && tw.forall(r => !r.getDouble(1).isNaN))
+  }
 }
