@@ -25,12 +25,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dsir {
 
-  /** Hashed unigram+bigram feature buckets of `text` (multiplicity kept,
-    * matching the paper's bag-of-hashed-ngrams). Portable md5-prefix
-    * 16-bit hash mod `buckets`, same construction as
-    * [[Splits.splitBucket]], so any engine can replay the features. */
-  def featureBuckets(text: Column, buckets: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  /** Unigram+bigram gram strings from a MATERIALIZED token-array column
+    * (multiplicity kept, matching the paper's bag-of-hashed-ngrams).
+    * `toks` must be an attribute reference, not the `split(...)`
+    * expression itself: a Column expression is textually duplicated at
+    * every use site, so an inline split would re-tokenize the whole
+    * document inside every element_at — O(tokens²) per doc. Grams stay
+    * STRINGS here — hash the exploded column with [[bucketOf]] so the md5
+    * runs as a codegen'd top-level expression, not interpreted inside the
+    * lambda. */
+  def gramStrings(toks: Column): Column = {
     // element_at is 1-based; sequence(1, n-1) must be guarded — Spark's
     // sequence STEPS BACKWARD when start > stop, so a 1-token doc would
     // otherwise produce [1, 0] instead of no bigrams
@@ -38,10 +42,14 @@ object Dsir {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array())
-    transform(concat(toks, bis), g =>
-      pmod(conv(substring(md5(g), 1, 4), 16, 10).cast("long"),
-        lit(buckets.toLong)))
+    concat(toks, bis)
   }
+
+  /** Portable md5-prefix 16-bit bucket of a gram, same construction as
+    * [[Splits.splitBucket]], so any engine can replay the features. */
+  def bucketOf(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast("long"),
+      lit(buckets.toLong))
 
   /** Per-document DSIR log importance weight. `isTarget` marks the target
     * corpus rows (they are scored too — harmless, and keeps the raw model
@@ -52,7 +60,11 @@ object Dsir {
                         idCol: String, buckets: Int = 4096): DataFrame = {
     val grams = graft.util.QueryCache.persist(
       docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-        explode(featureBuckets(col(textCol), buckets)).as("b")))
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+        .select(col("doc_id"), col("is_t"),
+          explode(gramStrings(col("toks"))).as("g"))
+        .select(col("doc_id"), col("is_t"),
+          bucketOf(col("g"), buckets).as("b")))
     val bc = grams.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
