@@ -387,6 +387,19 @@ object QueriesLLM {
         textCol = "text", idCol = "doc_id", buckets = 4096)
     }),
 
+    // SQ8 scalar-quantized ANN: per-dim min/max codebook (one broadcast
+    // row), int8 corpus codes, asymmetric dequantized-dot scoring — the
+    // 4x-compressed index path next to brute (q54) / LSH (q54b) / IVF
+    // (q54c). Fully oracle-checked: quantization is pure IEEE arithmetic
+    // and the dot is the same index-ordered fold as q54's.
+    "q204_sq8_ann" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.sq8TopK(corpus, probes, "vec_id", "probe_id",
+        "embedding", k = 3)
+    }),
+
     // END-TO-END curation pipeline — the composition proof: quality gate
     // -> exact dedup keep-first -> benchmark decontamination -> stratified
     // sample -> data-card summary, all as ONE declarative plan (each stage
@@ -563,6 +576,40 @@ object QueriesLLM {
              list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 30),
              ' ')) AS chunk_md5
          FROM c""",
+    // SQ8 replay: per-dim min/max via the q54 positional idiom, codebook
+    // as ordered lists, quantize+dequantize inline in the scoring lambda
+    // (identical IEEE op order to the Scala expressions), dot = the same
+    // left fold as q54's oracle
+    "q204_sq8_ann" ->
+      """WITH pos AS (
+           SELECT e.vec_id, i, CAST(e.embedding[i] AS DOUBLE) AS x
+           FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i)),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pos GROUP BY i),
+         stl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                 FROM st),
+         dq AS (
+           SELECT e.vec_id,
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> mns[i]
+                    + (CASE WHEN mxs[i] = mns[i] THEN 0
+                       ELSE floor((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                                  * 255.0 / (mxs[i] - mns[i]) + 0.5) END)
+                      * (mxs[i] - mns[i]) / 255.0) AS dv
+           FROM embeddings e CROSS JOIN stl),
+         scores AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(generate_series(1, len(p.embedding)),
+               i -> c.dv[i] * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS score
+           FROM dq c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
+         SELECT probe_id, rk, vec_id, score FROM (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY score DESC, vec_id) AS rk
+           FROM scores)
+         WHERE rk <= 3""",
     // DSIR replay: same tokens (q52's split idiom), same md5-prefix
     // bucket fold (q133's), λ rounded to 8 dp then summed as DECIMAL so
     // both engines add identical terms exactly

@@ -334,4 +334,51 @@ class PipelineOpsSpec extends SparkSpec {
       .collect()
     assert(tw.length === 2 && tw.forall(r => !r.getDouble(1).isNaN))
   }
+
+  test("SQ8 quantization: codes in [0,255], error <= half a step, top-1 matches brute force") {
+    import graft.llm.Similarity
+    // unit-normalized fixture: sq8TopK ranks by inner product (MIPS), so
+    // on unit vectors its ranking must agree with the cosine brute force
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    val vecs = Seq(
+      (0L, unit(1.0, 0.0, 0.2)),
+      (1L, unit(0.9, 0.1, 0.1)),
+      (2L, unit(-1.0, 0.8, 0.0)),
+      (3L, unit(-0.9, 0.9, -0.1)),
+      (4L, unit(0.0, -1.0, 0.7))
+    ).toDF("vec_id", "embedding")
+    val stats = Similarity.sq8Stats(vecs, "embedding")
+    val enc = vecs.crossJoin(broadcast(stats))
+      .withColumn("codes",
+        Similarity.sq8Encode(col("embedding"), col("mns"), col("mxs")))
+      .withColumn("dq",
+        Similarity.sq8Decode(col("codes"), col("mns"), col("mxs")))
+    val rows = enc.select("embedding", "codes", "dq", "mns", "mxs").collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Float](0); val c = r.getSeq[Long](1)
+      val d = r.getSeq[Double](2)
+      val mn = r.getSeq[Double](3); val mx = r.getSeq[Double](4)
+      c.foreach(v => assert(v >= 0 && v <= 255, s"code $v out of range"))
+      x.indices.foreach { i =>
+        val step = (mx(i) - mn(i)) / 255.0
+        assert(math.abs(d(i) - x(i)) <= step / 2 + 1e-12,
+          s"dequant err ${math.abs(d(i) - x(i))} > half-step ${step / 2}")
+      }
+    }
+    // well-separated clusters: quantized top-1 == exact top-1
+    val probes = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val sq = Similarity.sq8TopK(vecs, probes, "vec_id", "probe_id",
+      "embedding", k = 1)
+      .select("probe_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = Similarity.bruteForceTopK(vecs, probes, "vec_id", "probe_id",
+      "embedding", k = 1)
+      .select("probe_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq === bf, s"sq8 top-1 $sq != brute top-1 $bf")
+  }
 }
