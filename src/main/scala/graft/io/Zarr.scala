@@ -44,12 +44,24 @@ object Zarr {
     * (byteOrder, kind, size), e.g. ('<','f',8). `v3` switches the chunk
     * key scheme (v2 `"0.0"` flat names vs v3 `"c/0/0"` nested) and the
     * metadata emitter; the chunk PAYLOAD pipeline is shared. */
+  /** zarr v3 `sharding_indexed` codec configuration (spec: one storage
+    * object — the SHARD — holds a grid of independently-compressed inner
+    * chunks plus a binary (offset, nbytes) index). `inner` is the inner
+    * chunk shape (must divide the outer chunk/shard shape evenly);
+    * `innerComp` the inner chunks' compressor; `indexAtEnd` the
+    * index_location; `indexCrc` whether the index carries a crc32c. */
+  case class ShardSpec(inner: Seq[Int],
+                       innerComp: Option[(String, Int)],
+                       indexAtEnd: Boolean = true,
+                       indexCrc: Boolean = true)
+
   case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int],
                        order: Char, kind: Char, size: Int,
                        compressor: Option[(String, Int)],
                        fillValue: Double, separator: String,
                        dims: Seq[String], attrs: Map[String, String],
-                       v3: Boolean = false) {
+                       v3: Boolean = false,
+                       shard: Option[ShardSpec] = None) {
     def integral: Boolean = kind == 'i' || kind == 'u'
     def chunkGrid: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -220,9 +232,48 @@ object Zarr {
     }
     var order: Char = '<'
     var comp: Option[(String, Int)] = None
+    var shard: Option[ShardSpec] = None
+    // a plain codec chain is bytes [+ gzip]; parse one into (endian, comp)
+    def parseChain(v: JValue): (Char, Option[(String, Int)]) = {
+      var o: Char = '<'; var cm: Option[(String, Int)] = None
+      v match {
+        case JArray(cs) => cs.foreach { c =>
+          (c \ "name") match {
+            case JString("bytes") => (c \ "configuration" \ "endian") match {
+              case JString("big") => o = '>'
+              case _ => o = '<'
+            }
+            case JString("gzip") => (c \ "configuration" \ "level") match {
+              case JInt(l) => cm = Some(("gzip", l.toInt))
+              case _ => cm = Some(("gzip", 1))
+            }
+            case JString(other) =>
+              sys.error(s"unsupported v3 codec '$other' (bytes, gzip)")
+            case other => sys.error(s"bad codec $other")
+          }
+        }
+        case other => sys.error(s"bad codecs $other")
+      }
+      (o, cm)
+    }
     (j \ "codecs") match {
       case JArray(cs) => cs.foreach { c =>
         (c \ "name") match {
+          case JString("sharding_indexed") =>
+            val cfg = c \ "configuration"
+            val inner = ints(cfg \ "chunk_shape")
+            val (io, icm) = parseChain(cfg \ "codecs")
+            order = io
+            val crc = (cfg \ "index_codecs") match {
+              case JArray(ics) => ics.exists(ic =>
+                (ic \ "name") == JString("crc32c"))
+              case _ => true
+            }
+            val atEnd = (cfg \ "index_location") match {
+              case JString("start") => false
+              case _ => true
+            }
+            shard = Some(ShardSpec(inner, icm, atEnd, crc))
           case JString("bytes") => (c \ "configuration" \ "endian") match {
             case JString("big") => order = '>'
             case _ => order = '<'
@@ -232,7 +283,7 @@ object Zarr {
             case _ => comp = Some(("gzip", 1))
           }
           case JString(other) =>
-            sys.error(s"unsupported v3 codec '$other' (bytes, gzip)")
+            sys.error(s"unsupported v3 codec '$other' (bytes, gzip, sharding_indexed)")
           case other => sys.error(s"bad codec $other")
         }
       }
@@ -256,8 +307,13 @@ object Zarr {
       }.toMap
       case _ => Map.empty[String, String]
     }
+    shard.foreach { sh =>
+      require(sh.inner.length == chunks.length &&
+        sh.inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
+        s"inner chunk shape ${sh.inner} must divide the shard shape $chunks")
+    }
     ArrayMeta(shape, chunks, order, kind, size, comp, fill, sep, dims,
-      attrs, v3 = true)
+      attrs, v3 = true, shard = shard)
   }
 
   /** Open either format's metadata: a `zarr.json` array node wins (v3),
@@ -328,8 +384,14 @@ object Zarr {
   }
 
   /** Decode one chunk file's payload to doubles in C order (full chunk
-    * box — caller trims edge padding via global-index bounds). */
+    * box — caller trims edge padding via global-index bounds). A sharded
+    * array's "chunk file" is the whole SHARD; it decodes transparently to
+    * the same full outer box, so every reader path is shard-agnostic. */
   def decodeChunk(raw: Array[Byte], m: ArrayMeta): Array[Double] = {
+    m.shard match {
+      case Some(sh) => return decodeShard(raw, m, sh)
+      case None =>
+    }
     val n = m.chunkElems
     val plain = m.compressor match {
       case Some(("zlib", _)) => inflate(raw, n * m.size)
@@ -357,6 +419,10 @@ object Zarr {
   }
 
   private def encodeChunk(vals: Array[Double], m: ArrayMeta): Array[Byte] = {
+    m.shard match {
+      case Some(sh) => return encodeShard(vals, m, sh)
+      case None =>
+    }
     val buf = ByteBuffer.allocate(vals.length * m.size)
     buf.order(if (m.order == '>') ByteOrder.BIG_ENDIAN
               else ByteOrder.LITTLE_ENDIAN)
@@ -379,6 +445,115 @@ object Zarr {
       case Some(("gzip", lvl)) => gzip(buf.array(), lvl)
       case _ => buf.array()
     }
+  }
+
+  // ------------------------------------------------------------------
+  // sharding_indexed codec (zarr v3 spec: one storage object = a grid of
+  // independently-compressed inner chunks + a little-endian u64
+  // (offset, nbytes) index, missing = (2^64-1, 2^64-1), optional crc32c
+  // over the index bytes). The 100 TB lever: object count drops by the
+  // inner-grid factor while reads keep inner-chunk granularity through
+  // the index.
+  // ------------------------------------------------------------------
+
+  private def crc32c(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  /** Metadata for ONE inner chunk: shape = inner box, inner compressor,
+    * shard=None (so the recursive encode/decode terminates). */
+  private def innerMeta(m: ArrayMeta, sh: ShardSpec): ArrayMeta =
+    ArrayMeta(sh.inner, sh.inner, m.order, m.kind, m.size, sh.innerComp,
+      m.fillValue, m.separator, m.dims, Map.empty, v3 = true)
+
+  private def decodeShard(raw: Array[Byte], m: ArrayMeta,
+                          sh: ShardSpec): Array[Double] = {
+    val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
+    val nInner = innerGrid.product
+    val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+    require(raw.length >= idxLen, "shard shorter than its index")
+    val idxOff = if (sh.indexAtEnd) raw.length - idxLen else 0
+    if (sh.indexCrc) {
+      val want = ByteBuffer.wrap(raw, idxOff + nInner * 16, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(crc32c(raw, idxOff, nInner * 16) == want,
+        "shard index crc32c mismatch")
+    }
+    val ib = ByteBuffer.wrap(raw, idxOff, nInner * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val im = innerMeta(m, sh)
+    val out = Array.fill(m.chunkElems)(m.fillValue)
+    val outStrides = m.chunks.scanRight(1)(_ * _).tail
+    val inStrides = sh.inner.scanRight(1)(_ * _).tail
+    val gridStrides = innerGrid.scanRight(1)(_ * _).tail
+    var g = 0
+    while (g < nInner) {
+      val off = ib.getLong; val len = ib.getLong
+      if (off != -1L || len != -1L) { // (2^64-1, 2^64-1) = missing chunk
+        require(off >= 0 && len >= 0 && off + len <= raw.length,
+          s"inner chunk $g range [$off, ${off + len}) outside shard")
+        val slice = java.util.Arrays.copyOfRange(raw, off.toInt,
+          (off + len).toInt)
+        val vals = decodeChunk(slice, im)
+        val ci = innerGrid.indices.map(k => (g / gridStrides(k)) % innerGrid(k))
+        var f = 0
+        while (f < vals.length) {
+          val pos = sh.inner.indices.map { k =>
+            (ci(k) * sh.inner(k) + (f / inStrides(k)) % sh.inner(k)) *
+              outStrides(k)
+          }.sum
+          out(pos) = vals(f); f += 1
+        }
+      }
+      g += 1
+    }
+    out
+  }
+
+  private def encodeShard(vals: Array[Double], m: ArrayMeta,
+                          sh: ShardSpec): Array[Byte] = {
+    val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
+    val nInner = innerGrid.product
+    val im = innerMeta(m, sh)
+    val outStrides = m.chunks.scanRight(1)(_ * _).tail
+    val inStrides = sh.inner.scanRight(1)(_ * _).tail
+    val gridStrides = innerGrid.scanRight(1)(_ * _).tail
+    val body = new ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+    val headerLen =
+      if (!sh.indexAtEnd) nInner * 16 + (if (sh.indexCrc) 4 else 0) else 0
+    var g = 0
+    while (g < nInner) {
+      val ci = innerGrid.indices.map(k => (g / gridStrides(k)) % innerGrid(k))
+      val box = new Array[Double](sh.inner.product)
+      var f = 0
+      while (f < box.length) {
+        val pos = sh.inner.indices.map { k =>
+          (ci(k) * sh.inner(k) + (f / inStrides(k)) % sh.inner(k)) *
+            outStrides(k)
+        }.sum
+        box(f) = vals(pos); f += 1
+      }
+      val enc = encodeChunk(box, im)
+      index.putLong(headerLen + body.size()); index.putLong(enc.length.toLong)
+      body.write(enc)
+      g += 1
+    }
+    val idxBytes = index.array()
+    val out = new ByteArrayOutputStream()
+    def writeIndex(): Unit = {
+      out.write(idxBytes)
+      if (sh.indexCrc) {
+        val c = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        c.putInt(crc32c(idxBytes, 0, idxBytes.length))
+        out.write(c.array())
+      }
+    }
+    if (!sh.indexAtEnd) { writeIndex(); out.write(body.toByteArray) }
+    else { out.write(body.toByteArray); writeIndex() }
+    out.toByteArray
   }
 
   /** Driver-side whole-array read (coordinate vectors — 1-D, small by the
@@ -688,15 +863,30 @@ object Zarr {
     val dtypeName = v3Dtypes.collectFirst {
       case (n, (k, s)) if k == m.kind && s == m.size => n
     }.getOrElse(sys.error(s"no v3 name for dtype ${m.kind}${m.size}"))
-    val codecs =
+    def chainJson(order: Char, comp: Option[(String, Int)]): List[JObject] =
       JObject("name" -> JString("bytes"), "configuration" ->
         JObject("endian" -> JString(
-          if (m.order == '>') "big" else "little"))) ::
-      m.compressor.toList.map { case (id, lvl) =>
+          if (order == '>') "big" else "little"))) ::
+      comp.toList.map { case (id, lvl) =>
         require(id == "gzip", s"v3 writer supports gzip, got $id")
         JObject("name" -> JString("gzip"), "configuration" ->
           JObject("level" -> JInt(lvl)))
       }
+    val codecs = m.shard match {
+      case Some(sh) => List(JObject(
+        "name" -> JString("sharding_indexed"),
+        "configuration" -> JObject(
+          "chunk_shape" -> JArray(sh.inner.map(i => JInt(BigInt(i))).toList),
+          "codecs" -> JArray(chainJson(m.order, sh.innerComp)),
+          "index_codecs" -> JArray(
+            JObject("name" -> JString("bytes"), "configuration" ->
+              JObject("endian" -> JString("little"))) ::
+            (if (sh.indexCrc) List(JObject("name" -> JString("crc32c")))
+             else Nil)),
+          "index_location" -> JString(
+            if (sh.indexAtEnd) "end" else "start"))))
+      case None => chainJson(m.order, m.compressor)
+    }
     JsonMethods.compact(JsonMethods.render(JObject(
       "zarr_format" -> JInt(3),
       "node_type" -> JString("array"),
@@ -790,7 +980,8 @@ object Zarr {
                   region: Boolean = false,
                   zarrFormat: Int = 2,
                   writeCoords: Boolean = true,
-                  separator: Option[String] = None): Unit = {
+                  separator: Option[String] = None,
+                  shardInner: Option[Seq[Int]] = None): Unit = {
     val spark = df.sparkSession
     // Coord vectors are driver-held and broadcast — metadata-scale by
     // contract (mirrors NetCDF.writeDataset's maxCells). A billion-label
@@ -817,8 +1008,18 @@ object Zarr {
       .orElse(if (region) Some(openMetaAny(spark, store, varName).separator)
               else None)
       .getOrElse(if (isV3) "/" else ".")
-    val m = ArrayMeta(shape, chunks, '<', kind, size, comp, fillValue,
-      sep, dims, Map.empty, v3 = isV3)
+    // sharding (v3 only): `chunks` becomes the SHARD shape on disk; the
+    // compressor moves inside the shard onto the inner chunks
+    val shardSpec = shardInner.map { inner =>
+      require(isV3, "sharding requires zarrFormat = 3")
+      require(inner.length == chunks.length &&
+        inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
+        s"inner chunk shape $inner must divide the shard shape $chunks")
+      ShardSpec(inner, comp)
+    }
+    val m = ArrayMeta(shape, chunks, '<', kind, size,
+      if (shardSpec.isDefined) None else comp, fillValue,
+      sep, dims, Map.empty, v3 = isV3, shard = shardSpec)
     if (!region) {
       // writeCoords=false: an additional variable of an already-initialised
       // store — skip the store/coord rewrite, still write THIS var's meta

@@ -503,6 +503,24 @@ object QueriesMore {
       Zarr.toLongDF(s, store, "temp").select("time", "lat", "temp")
     }),
 
+    // zarr v3 SHARDED store: shard = 4x3 box of 2x3-gzip inner chunks +
+    // binary index + crc32c (sharding_indexed codec). The 100 TB lever:
+    // object count drops by the inner-grid factor while reads keep
+    // inner-chunk granularity. Write + format-transparent read-back.
+    "q205_zarr_sharded" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarr3s_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = s.range(0, 48).select(
+        (col("id") / 6).cast("long").as("time"),
+        (col("id") % 6).cast("long").as("lat"))
+        .withColumn("temp", col("time") * 10.0 + col("lat") * 0.5)
+      val coords = Seq(Array.tabulate(8)(_.toDouble),
+        Array.tabulate(6)(_.toDouble))
+      Zarr.writeLongDF(grid, store, "temp", Seq("time", "lat"), coords,
+        chunks = Seq(4, 6), zarrFormat = 3, shardInner = Some(Seq(2, 3)))
+      Zarr.toLongDF(s, store, "temp").select("time", "lat", "temp")
+    }),
+
     "q135_zarr_roundtrip" -> ((s, dir) => {
       import graft.io.Zarr
       val store = "/tmp/graft_zarr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -906,6 +924,11 @@ object QueriesMore {
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    // the sharded store must read back to exactly the generating surface
+    "q205_zarr_sharded" ->
+      """SELECT t.t AS time, l.l AS lat, t.t * 10 + l.l * 0.5 AS temp
+         FROM (SELECT unnest(generate_series(0, 7)) AS t) t
+         CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS l) l""",
     "q153_datatree_zarr" ->
       """WITH g AS (SELECT t.t, x.x
            FROM (SELECT unnest(generate_series(0, 5)) AS t) t

@@ -357,4 +357,52 @@ class ZarrSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](Zarr.parseMeta(bad, None))
     assert(ex.getMessage.contains("blosc"))
   }
+
+  test("v3 sharding_indexed: roundtrip, shard-count layout, index + crc format pins") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zv3shard").toString
+    val df = (for (i <- 0 until 7; j <- 0 until 10)
+      yield (i.toLong, j.toLong, i * 100.0 + j)).toSeq
+      .toDF("row", "col", "v")
+    // shard shape 4x6, inner chunks 2x3 -> 2x2 shard grid on disk, each
+    // shard holding a 2x2 grid of gzip'd inner chunks + index
+    Zarr.writeLongDF(df, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(7)(_.toDouble), Array.tabulate(10)(_.toDouble)),
+      chunks = Seq(4, 6), zarrFormat = 3, shardInner = Some(Seq(2, 3)))
+    // format pin: metadata declares the sharding codec with inner chain
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", "zarr.json")), "UTF-8")
+    assert(za.contains("\"name\":\"sharding_indexed\"") &&
+      za.contains("\"chunk_shape\":[2,3]") &&
+      za.contains("\"name\":\"crc32c\"") &&
+      za.contains("\"index_location\":\"end\""))
+    // disk layout: exactly ceil(7/4) x ceil(10/6) = 2x2 shard objects
+    val shardFiles = for (i <- 0 until 2; j <- 0 until 2)
+      yield Paths.get(store, "v", "c", i.toString, j.toString)
+    shardFiles.foreach(p => assert(Files.exists(p), s"missing shard $p"))
+    assert(!Files.exists(Paths.get(store, "v", "c", "0", "2")))
+    // binary pin: 4 inner chunks -> 64-byte index + 4-byte crc at the end;
+    // first inner chunk offset 0, all entries present (non -1)
+    val raw = Files.readAllBytes(shardFiles.head.toFile.toPath)
+    val ib = java.nio.ByteBuffer.wrap(raw, raw.length - 68, 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val entries = (0 until 4).map(_ => (ib.getLong, ib.getLong))
+    assert(entries.head._1 == 0L)
+    assert(entries.forall { case (o, l) => o >= 0 && l > 0 })
+    assert(entries.map { case (o, l) => o + l }.max <= raw.length - 68)
+    // roundtrip through the shard-transparent distributed reader
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // driver-side readArray is shard-transparent too
+    val (m, arr) = Zarr.readArray(spark, store, "v")
+    assert(m.shard.isDefined && arr(6 * 10 + 9) == 609.0)
+    // a corrupted index byte must be caught by the crc32c
+    val tampered = raw.clone(); tampered(raw.length - 68) =
+      (tampered(raw.length - 68) ^ 0x1).toByte
+    val ex2 = intercept[IllegalArgumentException](
+      Zarr.decodeChunk(tampered, m))
+    assert(ex2.getMessage.contains("crc32c"))
+  }
 }
