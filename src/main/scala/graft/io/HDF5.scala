@@ -849,8 +849,9 @@ object HDF5 {
               val raw0 = java.util.Arrays.copyOfRange(
                 bytes, child.toInt, child.toInt + chunkBytes)
               // fletcher32 appends a 4-byte checksum INSIDE the filtered
-              // payload (not verified here — stripped after the reversible
-              // filters are undone)
+              // payload (innermost filter: applied before shuffle/deflate
+              // on write, so undone last on read) — VERIFIED here, that
+              // being the filter's whole purpose
               val fl = if (d.fletcher32) 4 else 0
               val raw1 = if (d.deflate) inflate(raw0,
                 chunkDims.map(_.toLong).product.toInt * stride + fl) else raw0
@@ -860,9 +861,14 @@ object HDF5 {
                 case Some(es) => unshuffle(raw1, es)
                 case None => raw1
               }
-              val raw = if (fl > 0 && raw2.length >= fl)
-                java.util.Arrays.copyOfRange(raw2, 0, raw2.length - fl)
-              else raw2
+              val raw = if (fl > 0 && raw2.length >= fl) {
+                val dataLen = raw2.length - fl
+                val stored = ByteBuffer.wrap(raw2, dataLen, 4)
+                  .order(ByteOrder.LITTLE_ENDIAN).getInt
+                require(fletcherSum(raw2, dataLen) == stored,
+                  s"fletcher32 checksum mismatch in a chunk of ${d.name}")
+                java.util.Arrays.copyOfRange(raw2, 0, dataLen)
+              } else raw2
               decodeInto(raw, origin, chunkDims)
             }
             p += keySize + 8
@@ -871,6 +877,34 @@ object HDF5 {
         walk(btree)
     }
     out
+  }
+
+  /** HDF5's Fletcher-32 (spec: H5_checksum_fletcher32): byte pairs folded
+    * big-endian into 16-bit words, two running sums reduced mod 65535
+    * every 360 words (overflow guard), odd trailing byte treated as the
+    * high byte of a final word; result = sum2<<16 | sum1. The filter
+    * appends it little-endian after the chunk payload. */
+  private[graft] def fletcherSum(b: Array[Byte], len: Int): Int = {
+    var sum1 = 0L; var sum2 = 0L
+    var off = 0
+    var remaining = len / 2
+    while (remaining > 0) {
+      val tlen = math.min(remaining, 360)
+      var j = 0
+      while (j < tlen) {
+        sum1 += (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toLong
+        sum2 += sum1
+        off += 2; j += 1
+      }
+      sum1 %= 65535; sum2 %= 65535
+      remaining -= tlen
+    }
+    if ((len & 1) == 1) {
+      sum1 += ((b(len - 1) & 0xff) << 8).toLong
+      sum2 += sum1
+      sum1 %= 65535; sum2 %= 65535
+    }
+    ((sum2 << 16) | sum1).toInt
   }
 
   /** Undo the byte-shuffle filter (id 2): written data holds all byte-0s,
@@ -967,7 +1001,8 @@ object HDF5 {
     * doubles; f64 unless `f32`; chunked+deflate when `chunk` is set. */
   case class WVar(name: String, dims: Seq[Int], data: Array[Double],
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
-                  integral: Boolean = false, shuffle: Boolean = false)
+                  integral: Boolean = false, shuffle: Boolean = false,
+                  fletcher: Boolean = false)
 
   def writeNc4(path: String, dimDefs: Seq[(String, Array[Double])],
                vars: Seq[WVar], deflateLevel: Int = 1,
@@ -1096,8 +1131,17 @@ object HDF5 {
               else 0.0
             }
             val enc = encode(v, slice)
+            // apply order: fletcher32 (innermost, checksum appended LE),
+            // then shuffle, then deflate
+            val summed = if (v.fletcher) {
+              val withSum = java.util.Arrays.copyOf(enc, enc.length + 4)
+              ByteBuffer.wrap(withSum, enc.length, 4)
+                .order(ByteOrder.LITTLE_ENDIAN)
+                .putInt(fletcherSum(enc, enc.length))
+              withSum
+            } else enc
             val filtered =
-              if (v.shuffle) shuffleBytes(enc, elemSize(v)) else enc
+              if (v.shuffle) shuffleBytes(summed, elemSize(v)) else summed
             (origin, deflateBytes(filtered, deflateLevel))
           }
           chunkBlobs(v.name) = blobs.map(_._2)
@@ -1655,12 +1699,24 @@ object HDF5 {
   }
 
   private def pipelineBody(level: Int,
-                           shuffleElem: Option[Int]): Array[Byte] = {
-    val nf = if (shuffleElem.isDefined) 2 else 1
-    val b = ByteBuffer.allocate(8 + nf * 16).order(ByteOrder.LITTLE_ENDIAN)
+                           shuffleElem: Option[Int],
+                           fletcher: Boolean = false): Array[Byte] = {
+    val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
+      (if (fletcher) 1 else 0)
+    // entry sizes: deflate 16, shuffle 16, fletcher 8 (no client values)
+    val bodyLen = 8 + 16 + (if (shuffleElem.isDefined) 16 else 0) +
+      (if (fletcher) 8 else 0)
+    val b = ByteBuffer.allocate(bodyLen).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(nf.toByte)
     b.putShort(0.toShort); b.putInt(0)
-    // write order = apply order: shuffle first, then deflate
+    // write order = apply order: fletcher32 first (innermost checksum),
+    // then shuffle, then deflate
+    if (fletcher) {
+      b.putShort(3.toShort) // fletcher32
+      b.putShort(0.toShort) // name length
+      b.putShort(0.toShort) // flags: mandatory (checksums must not drop)
+      b.putShort(0.toShort) // no client values (entry = 8 bytes, even pad)
+    }
     shuffleElem.foreach { es =>
       b.putShort(2.toShort) // shuffle
       b.putShort(0.toShort) // name length
@@ -1712,7 +1768,7 @@ object HDF5 {
       })
     val filters = if (v.chunk.isDefined)
       Seq(msg(0x0B, pipelineBody(level,
-        if (v.shuffle) Some(elemSize) else None))) else Nil
+        if (v.shuffle) Some(elemSize) else None, v.fletcher))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

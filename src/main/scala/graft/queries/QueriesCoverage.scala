@@ -222,7 +222,9 @@ object QueriesCoverage {
         Seq(HDF5.WVar("temp", Seq(0, 1),
           (for (t <- 0 until 6; l <- 0 until 5)
             yield t * 100.0 + l * 1.5).toArray,
-          chunk = Some(Seq(4, 2)), shuffle = true)),
+          // full filter pipeline: fletcher32 (verified on read) ->
+          // shuffle -> deflate, inside a dense-group file
+          chunk = Some(Seq(4, 2)), shuffle = true, fletcher = true)),
         dense = true)
       HDF5.convert(s, base, "temp", base + "_parquet")
       graft.io.Store.open(s, base + "_parquet")

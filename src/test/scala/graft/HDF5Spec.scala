@@ -49,6 +49,41 @@ class HDF5Spec extends SparkSpec {
       Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
   }
 
+  test("fletcher32 filter: checksum roundtrip, verified on read, flip detection") {
+    val dir = Files.createTempDirectory("graft_h5fl").toString
+    val path = s"$dir/fl.nc4"
+    val x = Array.tabulate(7)(_.toDouble)
+    val v = (for (i <- 0 until 7; j <- 0 until 3)
+      yield i * 10.0 + j).toArray
+    HDF5.writeNc4(path,
+      Seq("x" -> x, "y" -> Array.tabulate(3)(_.toDouble)),
+      Seq(
+        // fletcher alone, and fletcher under the full shuffle+deflate
+        // pipeline (apply order fletcher -> shuffle -> deflate)
+        WVar("v", Seq(0, 1), v, chunk = Some(Seq(4, 2)), fletcher = true),
+        WVar("vs", Seq(0, 1), v, chunk = Some(Seq(4, 2)), shuffle = true,
+          fletcher = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.byName("v").fletcher32 && f.byName("vs").fletcher32)
+    assert(HDF5.readVar(bytes, f, "v").toSeq === v.toSeq)
+    assert(HDF5.readVar(bytes, f, "vs").toSeq === v.toSeq)
+    // algorithm pins: flipping any byte changes the sum; odd tail = high
+    // byte of a final word (HDF5 H5_checksum_fletcher32 contract)
+    val buf = Array.tabulate(1001)(i => (i * 37 + 11).toByte)
+    val base = HDF5.fletcherSum(buf, buf.length)
+    Seq(0, 1, 500, 999, 1000).foreach { k =>
+      val mut = buf.clone(); mut(k) = (mut(k) ^ 0x40).toByte
+      assert(HDF5.fletcherSum(mut, mut.length) != base, s"flip at $k undetected")
+    }
+    // deterministic spot value: sum of a single big-endian word
+    assert(HDF5.fletcherSum(Array[Byte](0x01, 0x02), 2) ==
+      ((0x0102 << 16) | 0x0102))
+    // single odd byte acts as the high byte of a word
+    assert(HDF5.fletcherSum(Array[Byte](0x01), 1) ==
+      ((0x0100 << 16) | 0x0100))
+  }
+
   test("distributed toLongDF matches the in-memory decode") {
     val dir = Files.createTempDirectory("graft_h5df").toString
     fixture(s"$dir/part0.nc4")
