@@ -29,6 +29,20 @@ object QueriesStreaming {
 
     // the same sliding windows over the STREAM source: watermarked
     // stateful agg; over the finite source it equals q64's batch result
+    // stream-static enrichment join: the event stream joins the STATIC
+    // customer dimension (broadcast, stateless) and aggregates by market
+    // segment — over the finite source it equals the batch join oracle
+    "q206_stream_static_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = StreamOps.enrichAgg(
+        StreamOps.eventsStream(s, dir), dim,
+        streamKey = "user_id", dimKey = "c_custkey",
+        groupCols = Seq("c_mktsegment", "event_type"), valueCol = "value")
+      StreamOps.runToCompletion(s, agg,
+        s"stream_static_${System.nanoTime}")
+    }),
+
     "q64b_stream_sliding" -> ((s, dir) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -145,6 +159,11 @@ object QueriesStreaming {
                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
                   event_type
            FROM events)
+         GROUP BY 1, 2""",
+    "q206_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
     "q64b_stream_sliding" ->
       """SELECT w_start, event_type, count(*) AS n FROM (

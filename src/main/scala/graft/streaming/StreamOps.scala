@@ -80,6 +80,19 @@ object StreamOps {
     * check streaming semantics. (Measured: lowering shuffle partitions for
     * the state store does NOT reduce the ~2-3s wall — the cost is
     * micro-batch planning/checkpoint machinery, not task count.) */
+  /** Stream-static enrichment: the streaming fact rows join a STATIC
+    * dimension — broadcast, so there is no streaming state and no shuffle
+    * of the stream side; each micro-batch is enriched map-side (the
+    * standard dimension join of an event firehose at any scale) — then a
+    * grouped count + decimal-exact sum. */
+  def enrichAgg(stream: DataFrame, dim: DataFrame, streamKey: String,
+                dimKey: String, groupCols: Seq[String],
+                valueCol: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(30, 6))).cast("double").as("v"))
+
   def runToCompletion(spark: SparkSession, agg: DataFrame, name: String,
                       mode: String = "complete",
                       availableNow: Boolean = false): DataFrame = {
