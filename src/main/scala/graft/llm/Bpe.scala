@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE merge training (Sennrich et al. 2016, public arXiv:1508.07909) —
+  * the vocabulary-construction step of a tokenizer pipeline, distributed.
+  *
+  * Classic structure: BPE never touches the raw corpus after one pass —
+  * it runs on the WORD-FREQUENCY dictionary (distinct words with counts),
+  * which is orders of magnitude smaller. Each round then is:
+  *   1. count adjacent symbol pairs over the dictionary, weighted by word
+  *      frequency — ONE hash-agg (the only shuffle per round);
+  *   2. pick the most frequent pair (deterministic tie-break: lexicographic
+  *      smallest) — a limit-1 TakeOrdered, 1 row to the driver (bounded
+  *      state, the k-means-centroid pattern);
+  *   3. apply the merge to every word's symbol string — a scan-stage
+  *      literal replace on the space-separated symbol form (the original
+  *      paper's representation).
+  * At 100 TB only step 0 (the word count) sees the corpus; the per-round
+  * cost is proportional to the dictionary.
+  *
+  * Merge application is sequential left-to-right non-overlapping literal
+  * replacement — deterministic and engine-portable (Java's String.replace
+  * and DuckDB's replace() scan identically), which is what lets the q207
+  * oracle replay training round by round.
+  */
+object Bpe {
+
+  /** Space-separated symbol form of the word dictionary of `textCol`:
+    * (s = " c h a r s ", f = word frequency). Words restricted to
+    * [a-z]+ so symbols never collide with the space separator. */
+  def symbolDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+          .as("s"),
+        col("f"))
+
+  /** Train `rounds` BPE merges. Returns one row per merge:
+    * (merge_rank, lhs, rhs, cnt) — the merge table a tokenizer ships. */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var syms = graft.util.QueryCache.persist(symbolDict(docs, textCol))
+    val merges = scala.collection.mutable.ArrayBuffer[Row]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val arr = syms.select(split(trim(col("s")), " ").as("a"), col("f"))
+      val pairs = arr
+        .filter(size(col("a")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
+          i => struct(element_at(col("a"), i).as("l"),
+            element_at(col("a"), i + 1).as("r")))).as("p"), col("f"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += Row(r, l, rr, cnt)
+        syms = graft.util.QueryCache.persist(syms.select(
+          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")).as("s"),
+          col("f")))
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(
+        StructField("merge_rank", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+}

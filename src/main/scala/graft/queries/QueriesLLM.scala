@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Bpe, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -400,6 +400,14 @@ object QueriesLLM {
         "embedding", k = 3)
     }),
 
+    // BPE merge training (4 rounds) on the word-frequency dictionary:
+    // per round ONE pair-count shuffle + a limit-1 argmax + a scan-stage
+    // literal-replace merge — the tokenizer-vocabulary construction step
+    // of the pipeline. Oracle replays all 4 rounds in chained CTEs.
+    "q207_bpe_train" -> ((s, dir) => {
+      Bpe.train(Tables.documents(s, dir), "text", rounds = 4)
+    }),
+
     // END-TO-END curation pipeline — the composition proof: quality gate
     // -> exact dedup keep-first -> benchmark decontamination -> stratified
     // sample -> data-card summary, all as ONE declarative plan (each stage
@@ -576,6 +584,49 @@ object QueriesLLM {
              list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 30),
              ' ')) AS chunk_md5
          FROM c""",
+    // BPE replay: the same 4 training rounds as chained CTEs — pair
+    // counts from the space-separated symbol form, argmax with the
+    // (cnt DESC, l, r) tie-break, merge via literal replace (DuckDB and
+    // Java scan left-to-right non-overlapping identically)
+    "q207_bpe_train" ->
+      """WITH w0 AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$')
+           GROUP BY 1),
+         s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+                  || ' ' AS s, f FROM w0),
+         p1 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s0) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         s1 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s0, m1),
+         p2 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s1) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         s2 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s1, m2),
+         p3 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s2) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         s3 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s2, m3),
+         p4 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s3) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1)
+         SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt FROM m1
+         UNION ALL SELECT 2, l, r, cnt FROM m2
+         UNION ALL SELECT 3, l, r, cnt FROM m3
+         UNION ALL SELECT 4, l, r, cnt FROM m4""",
     // SQ8 replay: per-dim min/max via the q54 positional idiom, codebook
     // as ordered lists, quantize+dequantize inline in the scoring lambda
     // (identical IEEE op order to the Scala expressions), dot = the same

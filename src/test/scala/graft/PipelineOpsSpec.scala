@@ -381,4 +381,22 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sq === bf, s"sq8 top-1 $sq != brute top-1 $bf")
   }
+
+  test("BPE training: frequency-ordered merges, tie-break, exhaustion") {
+    import graft.llm.Bpe
+    // words: he x3, hem x2, she x1 ->
+    //   r1 (h,e) cnt 6; r2 (he,m) cnt 2; r3 (s,he) cnt 1; then no pairs
+    val docs = Seq((1L, "he he he hem"), (2L, "hem she"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1, "h", "e", 6L), (2, "he", "m", 2L), (3, "s", "he", 1L)))
+    // non-letter tokens are excluded from the dictionary
+    val noisy = Seq((1L, "ab ab 123 a-b !")).toDF("doc_id", "text")
+    val m2 = Bpe.train(noisy, "text", rounds = 2).collect()
+    assert(m2.length === 1 &&
+      m2.head.getString(1) == "a" && m2.head.getString(2) == "b")
+  }
 }

@@ -58,7 +58,11 @@ class ScaleAuditSpec extends SparkSpec {
       "(drop_incomplete bounds + kept-label bounds) and the generated " +
       "season-label grid (~45 rows)"),
     "q192_backend_dispatch" -> ("crossJoin of two 1-row aggregates " +
-      "(netcdf fixture summary x custom-engine row count)"))
+      "(netcdf fixture summary x custom-engine row count)"),
+    "q203_dsir_weights" -> ("broadcast of the 1-row (nt, nr) totals " +
+      "aggregate onto the B-bucket λ table (B = 4096 constant)"),
+    "q204_sq8_ann" -> ("explicit broadcasts of the 1-row per-dim min/max " +
+      "codebook and the 5-probe side (the q54 ANN contract)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
