@@ -29,6 +29,50 @@ object QueriesStreaming {
 
     // the same sliding windows over the STREAM source: watermarked
     // stateful agg; over the finite source it equals q64's batch result
+    // LEFT OUTER stream-stream interval join: unmatched error events emit
+    // null-extended rows once the watermark passes their eviction bound.
+    // A left row at e_ts can match rights up to p_ts = e_ts, so its state
+    // is evictable only once the watermark passes e_ts + join delay: on
+    // the finite source the final watermark is max(ts) - 1h and the
+    // eviction bound max(ts) - 2h. The oracle null-extends exactly the
+    // unmatched left rows older than that; later unmatched rows stay in
+    // state, never emitted — the documented outer-join watermark contract.
+    "q208_stream_outer_join" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ev = StreamOps.eventsStream(s, dir).withWatermark("ts", "1 hour")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+            col("event_id").as("e_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"), col("value").as("p_value"))
+        val joined = StreamOps.intervalJoin(errors, purchases,
+            "e_user", "p_user", "e_ts", "p_ts", "1 hour",
+            joinType = "leftOuter")
+          .select(col("e_id").as("event_id"), col("p_id").as("purchase_id"),
+            col("p_value"))
+        StreamOps.runToCompletion(s, joined,
+          s"stream_outer_${System.nanoTime}", mode = "append")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming parquet FILE SINK (exactly-once manifest): purchases
+    // stream into a parquet directory via AvailableNow; the committed
+    // output re-reads to exactly the batch filter's rows
+    "q209_stream_file_sink" -> ((s, dir) => {
+      val out = "/tmp/graft_sink_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ev = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      StreamOps.runToParquetSink(s, ev, out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("double").as("v"))
+    }),
+
     // stream-static enrichment join: the event stream joins the STATIC
     // customer dimension (broadcast, stateless) and aggregates by market
     // segment — over the finite source it equals the batch join oracle
@@ -160,6 +204,25 @@ object QueriesStreaming {
                   event_type
            FROM events)
          GROUP BY 1, 2""",
+    // outer-join replay: inner matches for ALL left rows (inner results
+    // emit eagerly) + null extensions only for unmatched left rows old
+    // enough to have been evicted by the FINAL watermark (max ts - 1h)
+    "q208_stream_outer_join" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         e AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'error'),
+         p AS (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'purchase'),
+         j AS (SELECT e.event_id AS event_id, e.ts AS e_ts,
+                 p.event_id AS purchase_id, p.value AS p_value
+               FROM e LEFT JOIN p ON e.user_id = p.user_id
+                AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts)
+         SELECT event_id, purchase_id, p_value FROM j, wm
+         WHERE purchase_id IS NOT NULL OR e_ts < w""",
+    "q209_stream_file_sink" ->
+      """SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q206_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v

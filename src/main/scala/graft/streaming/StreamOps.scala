@@ -192,8 +192,29 @@ object StreamOps {
     * source replays within the delay, never past the watermark. */
   def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
                    rightKey: String, leftTs: String, rightTs: String,
-                   interval: String): DataFrame =
+                   interval: String, joinType: String = "inner"): DataFrame =
     left.join(right,
       expr(s"$leftKey = $rightKey AND " +
-        s"$rightTs BETWEEN $leftTs - interval $interval AND $leftTs"))
+        s"$rightTs BETWEEN $leftTs - interval $interval AND $leftTs"),
+      joinType)
+
+  /** Streaming parquet sink, run to completion: AvailableNow trigger, file
+    * sink with its _spark_metadata manifest — the exactly-once contract
+    * (a re-read of `path` sees only committed files, and a restarted query
+    * resumes from the checkpoint without duplicating them). Returns the
+    * batch re-read of the committed output. */
+  def runToParquetSink(spark: SparkSession, df: DataFrame,
+                       path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$path/data")
+      .option("checkpointLocation", s"$path/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    spark.read.parquet(s"$path/data")
+  }
 }
