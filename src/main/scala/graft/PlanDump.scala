@@ -76,7 +76,17 @@ object PlanDump {
     "q175_salted_agg" ->
       ("Skew-safe salted aggregation: two hash-agg stages — the salted " +
         "partial spreads a hot key across partitions, the final combine " +
-        "is algebraic; one exchange per stage, no row blow-up.")
+        "is algebraic; one exchange per stage, no row blow-up."),
+    "q203_dsir_weights" ->
+      ("DSIR importance weights: the gram stream is persisted once; the " +
+        "bucket-model fit is one partial+final hash agg over B=4096 " +
+        "constant keys, and scoring BROADCASTS the λ table back onto the " +
+        "stream — no shuffle wider than B rows, nothing driver-side."),
+    "q204_sq8_ann" ->
+      ("SQ8 quantized ANN: the per-dim codebook is a 1-row broadcast; " +
+        "corpus rows quantize+dequantize in a scan-stage projection and " +
+        "score against the broadcast probe side — the corpus never " +
+        "shuffles; ranking is a per-probe window.")
   )
 
   def main(args: Array[String]): Unit = {
