@@ -29,21 +29,21 @@ import org.apache.spark.sql.types._
 object Bpe {
 
   /** Space-separated symbol form of the word dictionary of `textCol`:
-    * (s = " c h a r s ", f = word frequency). Words restricted to
+    * (w, s = " c h a r s ", f = word frequency). Words restricted to
     * [a-z]+ so symbols never collide with the space separator. */
   def symbolDict(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(
+      .select(col("w"),
         concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
           .as("s"),
         col("f"))
 
-  /** Train `rounds` BPE merges. Returns one row per merge:
-    * (merge_rank, lhs, rhs, cnt) — the merge table a tokenizer ships. */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The training loop: returns (merge rows, final dictionary (w, s, f)
+    * with all merges applied). */
+  private def trainLoop(docs: DataFrame, textCol: String,
+                        rounds: Int): (Seq[Row], DataFrame) = {
     var syms = graft.util.QueryCache.persist(symbolDict(docs, textCol))
     val merges = scala.collection.mutable.ArrayBuffer[Row]()
     var r = 1
@@ -64,18 +64,38 @@ object Bpe {
         val (l, rr, cnt) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Row(r, l, rr, cnt)
-        syms = graft.util.QueryCache.persist(syms.select(
+        syms = graft.util.QueryCache.persist(syms.select(col("w"),
           replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")).as("s"),
           col("f")))
         r += 1
       }
     }
+    (merges.toSeq, syms)
+  }
+
+  /** Train `rounds` BPE merges. Returns one row per merge:
+    * (merge_rank, lhs, rhs, cnt) — the merge table a tokenizer ships. */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = trainLoop(docs, textCol, rounds)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1),
+      spark.sparkContext.parallelize(merges, 1),
       StructType(Seq(
         StructField("merge_rank", IntegerType, nullable = false),
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** BPE ENCODING of the training dictionary: per word, the number of
+    * symbols after all `rounds` merges (applying merges in rank order is
+    * exactly the training replace chain, so the final training dictionary
+    * IS the encoded form). Returns (w, n_sym) — broadcast-joinable onto
+    * any token stream to get corpus-level BPE token counts. */
+  def encodedCounts(docs: DataFrame, textCol: String,
+                    rounds: Int): DataFrame = {
+    val (_, dict) = trainLoop(docs, textCol, rounds)
+    dict.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
   }
 }

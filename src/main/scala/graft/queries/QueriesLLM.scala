@@ -408,6 +408,20 @@ object QueriesLLM {
       Bpe.train(Tables.documents(s, dir), "text", rounds = 4)
     }),
 
+    // BPE ENCODE: the trained merges applied back to the corpus (train ->
+    // encode composition) — per-source BPE token counts. The encoded
+    // dictionary is dictionary-sized and broadcast onto the token stream.
+    "q210_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dict = Bpe.encodedCounts(docs, "text", rounds = 4)
+      val ws = docs.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+      ws.join(broadcast(dict), "w")
+        .groupBy("source")
+        .agg(sum("n_sym").as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+    }),
+
     // END-TO-END curation pipeline — the composition proof: quality gate
     // -> exact dedup keep-first -> benchmark decontamination -> stratified
     // sample -> data-card summary, all as ONE declarative plan (each stage
@@ -627,6 +641,55 @@ object QueriesLLM {
          UNION ALL SELECT 2, l, r, cnt FROM m2
          UNION ALL SELECT 3, l, r, cnt FROM m3
          UNION ALL SELECT 4, l, r, cnt FROM m4""",
+    // BPE encode replay: q207's four training rounds, then symbol counts
+    // of the final dictionary joined onto the per-source word stream
+    "q210_bpe_encode" ->
+      """WITH w0 AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$')
+           GROUP BY 1),
+         s0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')
+                  || ' ' AS s, f FROM w0),
+         p1 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s0) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         s1 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s0, m1),
+         p2 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s1) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         s2 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s1, m2),
+         p3 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s2) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+         s3 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s2, m3),
+         p4 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
+           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s3) t,
+                LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
+           GROUP BY 1, 2),
+         m4 AS (SELECT l, r FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+         s4 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
+                  ' ' || l || r || ' ') AS s, f FROM s3, m4),
+         dict AS (SELECT w,
+             len(string_split(trim(s, ' '), ' ')) AS n_sym FROM s4),
+         ws AS (SELECT source, w FROM (
+             SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$'))
+         SELECT source, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           count(*) AS n_words
+         FROM ws JOIN dict USING (w) GROUP BY 1""",
     // SQ8 replay: per-dim min/max via the q54 positional idiom, codebook
     // as ordered lists, quantize+dequantize inline in the scoring lambda
     // (identical IEEE op order to the Scala expressions), dot = the same

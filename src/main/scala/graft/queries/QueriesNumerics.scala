@@ -67,6 +67,18 @@ object QueriesNumerics {
         .select("event_id", "user_id", "dvdt")
     }),
 
+    // lag-1 autocorrelation per group: the lagged pairs come from a
+    // partitioned window; Pearson corr over them via the exact-decimal
+    // power sums (the xr.corr(da, da.shift(time=1)) idiom)
+    "q211_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("xl", lag(col("value"), 1).over(w))
+        .filter(col("xl").isNotNull)
+        .groupBy("user_id")
+        .agg(round(Numerics.corrP(col("value"), col("xl")), 8).as("acf1"))
+    }),
+
     // trapezoidal integrate along the coord (ref `dataset.py:8545`)
     "q44_integrate" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -303,6 +315,24 @@ object QueriesNumerics {
            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
            FROM lineitem GROUP BY 1)""",
+    // same power-sum corr replay as q40, over the lagged pairs
+    "q211_autocorr" ->
+      """WITH l AS (
+           SELECT user_id, value AS x,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS xl
+           FROM events)
+         SELECT user_id,
+           round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS acf1
+         FROM (SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(xl AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * xl AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(xl * xl AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM l WHERE xl IS NOT NULL GROUP BY 1)""",
     "q41_polyval" ->
       """SELECT c_custkey,
          (0.001 * c_acctbal + (-0.5)) * c_acctbal + 2.0 AS poly

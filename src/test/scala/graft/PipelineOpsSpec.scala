@@ -398,5 +398,10 @@ class PipelineOpsSpec extends SparkSpec {
     val m2 = Bpe.train(noisy, "text", rounds = 2).collect()
     assert(m2.length === 1 &&
       m2.head.getString(1) == "a" && m2.head.getString(2) == "b")
+    // encode = the merge chain applied: after merges (h,e) and (he,m),
+    // he and hem are single symbols; she is still "s he" (2)
+    val enc = Bpe.encodedCounts(docs, "text", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc === Map("he" -> 1L, "hem" -> 1L, "she" -> 2L))
   }
 }
