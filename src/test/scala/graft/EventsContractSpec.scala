@@ -61,4 +61,39 @@ class EventsContractSpec extends SparkSpec {
     assert(stream.schema.fieldNames.toSeq == batch.schema.fieldNames.toSeq,
       "streaming and batch events readers disagree on columns")
   }
+
+  // The other two non-TPC-H tables the LLM/ANN registry depends on: pin
+  // the columns and element types so the next driver regeneration that
+  // changes them fails HERE, not as a silent query-registry breakage.
+  test("documents.parquet keeps its column contract") {
+    for (dir <- sfDirs) {
+      val d = Tables.documents(spark, dir)
+      val want = Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
+      want.foreach { case (c, t) =>
+        assert(d.schema.fieldNames.contains(c), s"$dir: documents lacks $c")
+        assert(d.schema(c).dataType == t,
+          s"$dir: documents.$c is ${d.schema(c).dataType}, expected $t")
+      }
+      assert(d.limit(1).count() == 1, s"$dir: empty documents table")
+    }
+  }
+
+  test("embeddings.parquet keeps its column contract (float vector)") {
+    for (dir <- sfDirs) {
+      val e = Tables.embeddings(spark, dir)
+      assert(e.schema("vec_id").dataType == LongType)
+      e.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => ()
+        case other => fail(s"$dir: embeddings.embedding is $other, " +
+          "expected array<float> — the codegen'd dot kernels and every " +
+          "ANN oracle's CAST(embedding[i] AS DOUBLE) depend on it")
+      }
+      // all vectors share one dimensionality (the SQ8 codebook, IVF
+      // centroids and LSH sign matrices all assume it)
+      val dims = e.select(size(col("embedding")).as("d")).distinct().collect()
+      assert(dims.length == 1 && dims.head.getInt(0) > 0,
+        s"$dir: ragged embedding dims ${dims.mkString(",")}")
+    }
+  }
 }
