@@ -136,6 +136,20 @@ object QueriesMore {
         .select("day", "rev")
     }),
 
+    // resample-up with BACKFILL (ref `resample.py` Resample.bfill): each
+    // day takes the NEXT month's aggregate — the forward as-of join,
+    // mirroring q71's ffill
+    "q212_upsample_bfill" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("m"))
+        .agg(exactSum(col("o_totalprice")).as("rev"))
+      val days = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "1995-06-30 00:00:00", "1 day", "day")
+      AsOf.forward(days, monthly.select(col("m").as("day"), col("rev")),
+        by = Nil, key = "day", rightVals = Seq("rev"))
+        .select("day", "rev")
+    }),
+
     // groupby first/last with deterministic order (ref `groupby.py:1498`)
     "q72_first_last" -> ((s, dir) => {
       Tables.orders(s, dir).groupBy("o_custkey").agg(
@@ -861,6 +875,18 @@ object QueriesMore {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // forward as-of: each day joins the first month-start at or after it
+    "q212_upsample_bfill" ->
+      """WITH days AS (SELECT generate_series AS day FROM
+             generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-06-30',
+                             INTERVAL 1 DAY)),
+         monthly AS (SELECT date_trunc('month', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         nxt AS (SELECT d.day, min(m.day) AS md
+           FROM days d LEFT JOIN monthly m ON m.day >= d.day GROUP BY 1)
+         SELECT n.day, m.rev
+         FROM nxt n LEFT JOIN monthly m ON n.md = m.day""",
     "q71_upsample_ffill" ->
       """SELECT d.day, m.rev
          FROM (SELECT generate_series AS day FROM

@@ -67,6 +67,21 @@ object QueriesNumerics {
         .select("event_id", "user_id", "dvdt")
     }),
 
+    // polyfit -> polyval composition (DETREND, the xarray
+    // `da - xr.polyval(coord, da.polyfit(...))` idiom): per-group OLS
+    // line from exact power sums, residual per row via a broadcast join
+    // of the 3-row fit table
+    "q213_detrend" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fits = li.groupBy("l_returnflag").agg(
+        Numerics.fitSlope(col("l_quantity"), col("l_extendedprice")).as("b"),
+        Numerics.fitIntercept(col("l_quantity"), col("l_extendedprice")).as("a"))
+      li.join(broadcast(fits), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") -
+            (col("a") + col("b") * col("l_quantity")), 6).as("resid"))
+    }),
+
     // lag-1 autocorrelation per group: the lagged pairs come from a
     // partitioned window; Pearson corr over them via the exact-decimal
     // power sums (the xr.corr(da, da.shift(time=1)) idiom)
@@ -315,6 +330,23 @@ object QueriesNumerics {
            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
            FROM lineitem GROUP BY 1)""",
+    // detrend replay: the q42 power-sum fit, unrounded, applied per row
+    // with the identical IEEE expression order
+    "q213_detrend" ->
+      """WITH f AS (SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1),
+         g AS (SELECT l_returnflag,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+           FROM f)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round(l.l_extendedprice - (a + b * l_quantity), 6) AS resid
+         FROM lineitem l JOIN g USING (l_returnflag)""",
     // same power-sum corr replay as q40, over the lagged pairs
     "q211_autocorr" ->
       """WITH l AS (
