@@ -143,6 +143,23 @@ object Similarity {
       .select(col(id), col(vec), col(cellId))
   }
 
+  /** Exact L2 top-k (the other ANN metric): squared euclidean distance
+    * via the codegen'd SumSqDiff kernel, ascending rank, deterministic
+    * tie-break on corpus id. Same broadcast-probe contract as
+    * [[bruteForceTopK]]. */
+  def l2TopK(corpus: DataFrame, probes: DataFrame, id: String,
+             probeId: String, vec: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(id), col(vec).as("__cv"))
+      .crossJoin(broadcast(probes.select(col(probeId), col(vec).as("__pv"))))
+      .withColumn("dist2",
+        graft.exprs.VectorExprs.sumSqDiff(col("__cv"), col("__pv")))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("dist2"), col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("dist2"))
+  }
+
   /** Per-dimension (min, max) of the corpus as ONE row of aligned arrays —
     * the scalar-quantization codebook. One posexplode + hash-agg over dim
     * keys (dim is a constant ≤ a few thousand), then a single-row
@@ -176,6 +193,40 @@ object Similarity {
       val lo = element_at(mns, i); val hi = element_at(mxs, i)
       lo + element_at(codes, i) * (hi - lo) / 255.0
     })
+
+  /** IVF + SQ8 residual quantization (the FAISS "IVF,SQ8" index shape,
+    * composed from [[ivfAssign]] and the SQ8 codec): corpus rows are
+    * assigned to coarse cells, the RESIDUAL (vec − centroid) is
+    * scalar-quantized against a per-dim residual codebook, and probes
+    * score only their own cell's candidates against the reconstruction
+    * centroid + dequant(residual codes). Storage per row = cell id + dim
+    * bytes; centroids and the codebook are broadcast. Residuals are
+    * computed in DOUBLE (exact for float inputs) so the whole pipeline is
+    * replayable bit-for-bit. `assigned` is [[ivfAssign]]'s output;
+    * `probes` carries (probeId, probeVec, cellId). */
+  def ivfSq8TopK(assigned: DataFrame, centroids: DataFrame,
+                 probes: DataFrame, id: String, vec: String,
+                 cellId: String, cellVec: String, probeId: String,
+                 probeVec: String, k: Int): DataFrame = {
+    val withRes = assigned.join(broadcast(centroids), cellId)
+      .withColumn("__res", zip_with(col(vec), col(cellVec),
+        (x, y) => x.cast("double") - y.cast("double")))
+    val stats = sq8Stats(withRes.select(col("__res").as("__v")), "__v")
+    val recon = withRes.crossJoin(broadcast(stats))
+      .withColumn("__codes", sq8Encode(col("__res"), col("mns"), col("mxs")))
+      .withColumn("__dq", sq8Decode(col("__codes"), col("mns"), col("mxs")))
+      .withColumn("__recon", zip_with(col(cellVec), col("__dq"),
+        (c, d) => c.cast("double") + d))
+      .select(col(id), col(cellId), col("__recon"))
+    val scored = recon.join(probes, cellId)
+      .withColumn("score",
+        graft.exprs.VectorExprs.dot(col("__recon"), col(probeVec)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("score").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("score"))
+  }
 
   /** SQ8 scalar-quantized ANN (the compressed-index scale path, asymmetric
     * distance: int8 corpus codes vs full-precision probes). The codebook

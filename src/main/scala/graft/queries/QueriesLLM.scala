@@ -387,6 +387,33 @@ object QueriesLLM {
         textCol = "text", idCol = "doc_id", buckets = 4096)
     }),
 
+    // IVF + SQ8 residual quantization (FAISS "IVF,SQ8" composed from the
+    // q54c coarse index and the q204 codec): candidates come from the
+    // probe's cell only, scored against centroid + dequantized residual
+    "q215_ivf_sq8" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = graft.util.QueryCache.persist(Similarity.ivfAssign(
+        corpus, centroids, "vec_id", "embedding", "cell_id", "cell_vec"))
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"),
+          col("cell_id"))
+      Similarity.ivfSq8TopK(assigned, centroids, probes,
+        "vec_id", "embedding", "cell_id", "cell_vec", "probe_id", "__pv",
+        k = 3)
+    }),
+
+    // L2-metric exact top-k (the euclidean counterpart of q54's cosine):
+    // squared distance via the codegen'd SumSqDiff kernel, ascending rank
+    "q214_l2_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.l2TopK(corpus, probes, "vec_id", "probe_id",
+        "embedding", k = 3)
+    }),
+
     // SQ8 scalar-quantized ANN: per-dim min/max codebook (one broadcast
     // row), int8 corpus codes, asymmetric dequantized-dot scoring — the
     // 4x-compressed index path next to brute (q54) / LSH (q54b) / IVF
@@ -690,6 +717,88 @@ object QueriesLLM {
          SELECT source, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
            count(*) AS n_words
          FROM ws JOIN dict USING (w) GROUP BY 1""",
+    // IVF+SQ8 replay: q54c's assignment CTEs + the q204 codec applied to
+    // the exact double residuals, reconstruction = centroid + dequant
+    "q215_ivf_sq8" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
+         assign AS (
+           SELECT vec_id, cell_id FROM (
+             SELECT d.vec_id, d.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+             FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms nc ON d.cell_id = nc.vec_id)
+           WHERE rk = 1),
+         res AS (
+           SELECT a.vec_id, a.cell_id,
+             list_transform(generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE)
+                    - CAST(c.embedding[i] AS DOUBLE)) AS r
+           FROM assign a JOIN embeddings v ON v.vec_id = a.vec_id
+           JOIN embeddings c ON c.vec_id = a.cell_id),
+         pos AS (SELECT i, r[i] AS x FROM res,
+             LATERAL (SELECT unnest(generate_series(1, len(r))) AS i)),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM pos GROUP BY i),
+         stl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                 FROM st),
+         recon AS (
+           SELECT res.vec_id, res.cell_id,
+             list_transform(generate_series(1, len(res.r)),
+               i -> CAST(c.embedding[i] AS DOUBLE)
+                    + (mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0
+                         ELSE floor((res.r[i] - mns[i]) * 255.0
+                                    / (mxs[i] - mns[i]) + 0.5) END)
+                       * (mxs[i] - mns[i]) / 255.0)) AS rv
+           FROM res JOIN embeddings c ON c.vec_id = res.cell_id
+           CROSS JOIN stl),
+         cand AS (SELECT vec_id AS probe_id, cell_id FROM assign
+                  WHERE vec_id < 5),
+         scores AS (
+           SELECT ca.probe_id, rc.vec_id,
+             list_reduce(list_transform(generate_series(1, len(rc.rv)),
+               i -> rc.rv[i] * CAST(pe.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS score
+           FROM cand ca JOIN recon rc ON rc.cell_id = ca.cell_id
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id)
+         SELECT probe_id, rk, vec_id, score FROM (
+           SELECT probe_id, vec_id, score,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY score DESC, vec_id) AS rk
+           FROM scores)
+         WHERE rk <= 3""",
+    // L2 replay: the same index-ordered fold as the SumSqDiff kernel —
+    // (x-y)*(x-y) accumulated left to right
+    "q214_l2_topk" ->
+      """WITH dists AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> (CAST(c.embedding[i] AS DOUBLE)
+                     - CAST(p.embedding[i] AS DOUBLE))
+                    * (CAST(c.embedding[i] AS DOUBLE)
+                       - CAST(p.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) AS dist2
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
+         SELECT probe_id, rk, vec_id, dist2 FROM (
+           SELECT probe_id, vec_id, dist2,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY dist2, vec_id) AS rk
+           FROM dists)
+         WHERE rk <= 3""",
     // SQ8 replay: per-dim min/max via the q54 positional idiom, codebook
     // as ordered lists, quantize+dequantize inline in the scoring lambda
     // (identical IEEE op order to the Scala expressions), dot = the same

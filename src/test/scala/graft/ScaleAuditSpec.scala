@@ -62,7 +62,11 @@ class ScaleAuditSpec extends SparkSpec {
     "q203_dsir_weights" -> ("broadcast of the 1-row (nt, nr) totals " +
       "aggregate onto the B-bucket λ table (B = 4096 constant)"),
     "q204_sq8_ann" -> ("explicit broadcasts of the 1-row per-dim min/max " +
-      "codebook and the 5-probe side (the q54 ANN contract)"))
+      "codebook and the 5-probe side (the q54 ANN contract)"),
+    "q214_l2_topk" -> "explicit broadcast of the 5-probe side (q54 contract)",
+    "q215_ivf_sq8" -> ("explicit broadcasts of the 8-centroid table and " +
+      "the 1-row residual codebook; candidate scoring is a cell-key " +
+      "equi-join"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
