@@ -13,6 +13,27 @@ object QueriesFunctions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // .str accessor battery (ref `core/accessor_str.py:144-2899`)
+    // array / map / json scalar-function family (SURVEY §2.9 last row):
+    // JSON extraction two ways (typed from_json + path get_json_object),
+    // array construct/fold/max/distinct, map construct/lookup — all
+    // codegen'd column expressions over the events.props JSON column
+    "q217_json_array_map" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val ev = Tables.events(s, dir)
+      val k = from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k")
+      ev.select(col("event_id"), k.as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k2"))
+        .withColumn("arr_sum", aggregate(
+          array(col("k"), col("k") * 2, pmod(col("k"), lit(5))),
+          lit(0), (a, x) => a + x))
+        .withColumn("amax", array_max(array(col("k"), pmod(col("k"), lit(7)))))
+        .withColumn("mval",
+          element_at(map(lit("a"), col("k"), lit("b"), col("k") * 2), "b"))
+        .withColumn("ndist",
+          size(array_distinct(array(col("k"), col("k"), col("k") * 2))))
+    }),
+
     "q36_str_battery" -> ((s, dir) => {
       val p = col("p_name")
       Tables.part(s, dir).select(
@@ -276,6 +297,15 @@ object QueriesFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    // json path extraction + the arithmetic the array/map expressions
+    // reduce to (k >= 0 in the data, so pmod == %)
+    "q217_json_array_map" ->
+      """SELECT event_id, k, k AS k2, k + k * 2 + (k % 5) AS arr_sum,
+           greatest(k, k % 7) AS amax, k * 2 AS mval,
+           CASE WHEN k = 0 THEN 1 ELSE 2 END AS ndist
+         FROM (SELECT event_id,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+           FROM events)""",
     "q36_str_battery" ->
       """SELECT p_partkey,
          length(p_name) AS len,

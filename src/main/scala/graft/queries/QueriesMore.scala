@@ -150,6 +150,32 @@ object QueriesMore {
         .select("day", "rev")
     }),
 
+    // resample-up NEAREST (the last upsample method: asfreq/ffill/bfill/
+    // nearest/interpolate): each day takes the closer of the previous and
+    // next month-start aggregates; an exact midpoint resolves BACKWARD —
+    // the documented rule both engines replay
+    "q216_upsample_nearest" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("m"))
+        .agg(exactSum(col("o_totalprice")).as("rev"))
+      val days = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "1995-06-30 00:00:00", "1 day", "day")
+      val prev = AsOf.backward(days,
+        monthly.select(col("m").as("day"), col("m").as("pk"),
+          col("rev").as("prev_rev")),
+        by = Nil, key = "day", rightVals = Seq("pk", "prev_rev"))
+      val nxt = AsOf.forward(days,
+        monthly.select(col("m").as("day"), col("m").as("nk"),
+          col("rev").as("next_rev")),
+        by = Nil, key = "day", rightVals = Seq("nk", "next_rev"))
+      prev.join(nxt, "day")
+        .withColumn("rev", when(col("nk").isNull ||
+          (unix_micros(col("day")) - unix_micros(col("pk"))) <=
+            (unix_micros(col("nk")) - unix_micros(col("day"))),
+          col("prev_rev")).otherwise(col("next_rev")))
+        .select("day", "rev")
+    }),
+
     // groupby first/last with deterministic order (ref `groupby.py:1498`)
     "q72_first_last" -> ((s, dir) => {
       Tables.orders(s, dir).groupBy("o_custkey").agg(
@@ -875,6 +901,26 @@ object QueriesMore {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // nearest replay: closer of the prev/next month-start, midpoint ties
+    // backward
+    "q216_upsample_nearest" ->
+      """WITH days AS (SELECT generate_series AS day FROM
+             generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-06-30',
+                             INTERVAL 1 DAY)),
+         monthly AS (SELECT date_trunc('month', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         prev AS (SELECT d.day, max(m.day) AS pk
+           FROM days d JOIN monthly m ON m.day <= d.day GROUP BY 1),
+         nxt AS (SELECT d.day, min(m.day) AS nk
+           FROM days d LEFT JOIN monthly m ON m.day >= d.day GROUP BY 1),
+         sel AS (SELECT p.day,
+             CASE WHEN n.nk IS NULL
+                    OR (epoch_us(p.day) - epoch_us(p.pk))
+                       <= (epoch_us(n.nk) - epoch_us(p.day))
+                  THEN p.pk ELSE n.nk END AS k
+           FROM prev p JOIN nxt n ON p.day = n.day)
+         SELECT s.day, m.rev FROM sel s JOIN monthly m ON m.day = s.k""",
     // forward as-of: each day joins the first month-start at or after it
     "q212_upsample_bfill" ->
       """WITH days AS (SELECT generate_series AS day FROM
