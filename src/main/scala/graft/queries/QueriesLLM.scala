@@ -387,6 +387,20 @@ object QueriesLLM {
         textCol = "text", idCol = "doc_id", buckets = 4096)
     }),
 
+    // Matryoshka-style truncated ANN: rank on the 16-dim PREFIX of the
+    // 64-dim embeddings (MRL truncation — 4x cheaper scoring/storage,
+    // cosine renormalizes the prefix implicitly). Same exact-top-k
+    // contract as q54 at the reduced dimension.
+    "q218_mrl_truncated_ann" -> ((s, dir) => {
+      val dim = 16
+      val corpus = Tables.embeddings(s, dir)
+        .withColumn("embedding", slice(col("embedding"), 1, dim))
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, probes, "vec_id", "probe_id",
+        "embedding", k = 3)
+    }),
+
     // IVF + SQ8 residual quantization (FAISS "IVF,SQ8" composed from the
     // q54c coarse index and the q204 codec): candidates come from the
     // probe's cell only, scored against centroid + dequantized residual
@@ -717,6 +731,29 @@ object QueriesLLM {
          SELECT source, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
            count(*) AS n_words
          FROM ws JOIN dict USING (w) GROUP BY 1""",
+    // MRL replay: q54's cosine fold over the 16-element prefix only
+    "q218_mrl_truncated_ann" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, 16),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(
+               generate_series(1, 16),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT d.probe_id, d.vec_id, d.dt / (nc.nrm * np.nrm) AS cosine,
+             row_number() OVER (PARTITION BY d.probe_id
+               ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+           FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
     // IVF+SQ8 replay: q54c's assignment CTEs + the q204 codec applied to
     // the exact double residuals, reconstruction = centroid + dequant
     "q215_ivf_sq8" ->

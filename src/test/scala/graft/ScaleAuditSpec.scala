@@ -64,6 +64,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q204_sq8_ann" -> ("explicit broadcasts of the 1-row per-dim min/max " +
       "codebook and the 5-probe side (the q54 ANN contract)"),
     "q214_l2_topk" -> "explicit broadcast of the 5-probe side (q54 contract)",
+    "q218_mrl_truncated_ann" ->
+      "explicit broadcast of the 5-probe side (q54 contract)",
     "q215_ivf_sq8" -> ("explicit broadcasts of the 8-centroid table and " +
       "the 1-row residual codebook; candidate scoring is a cell-key " +
       "equi-join"))
