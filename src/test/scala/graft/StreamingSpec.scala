@@ -143,4 +143,37 @@ class StreamingSpec extends SparkSpec {
       "every user's state must expire into exactly one emission")
     assert(emitted.filter(!col("expired")).count() === 0L)
   }
+
+  test("stateful aggregation holds across MULTIPLE micro-batches") {
+    // The driver testdata is a single parquet file, so every registry
+    // streaming query runs as ONE micro-batch. Split the events into 4
+    // files and force one file per trigger: the windowed counts must
+    // still equal the batch result, i.e. state genuinely merges across
+    // batches. The watermark is wider than the data span so no row is
+    // late regardless of file processing order.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    val ev = graft.io.Tables.events(spark, sf)
+    (0 until 4).foreach { i =>
+      ev.filter(pmod(col("user_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 4, s"expected >=4 part files, got $files")
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "40 days")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val streamed = StreamOps.runToCompletion(spark, stream,
+      s"stream_mb_${System.nanoTime}")
+    val batch = ev
+      .groupBy(date_trunc("HOUR", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() === 0L &&
+      batch.exceptAll(streamed).count() === 0L,
+      "multi-batch streaming aggregate diverged from the batch result")
+  }
 }
