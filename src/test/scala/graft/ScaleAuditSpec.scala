@@ -23,6 +23,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q44_integrate" -> "trapezoid pairs over one bounded series per group key",
     "q12_reindex_time" -> "generated daily grid (~2.4k rows) ordinal",
     "q71_upsample_ffill" -> "generated upsample grid (~181 rows)",
+    "q212_upsample_bfill" -> "generated upsample grid (~181 rows)",
+    "q216_upsample_nearest" ->
+      "generated upsample grid (~181 rows), both as-of directions",
     "q15_combine_first" -> "generated daily grid union (bounded)",
     "q45_interp_linear" -> "generated probe grid per series (bounded)",
     "q83_interp_nearest" -> "generated probe grid per series (bounded)")
@@ -79,14 +82,32 @@ class ScaleAuditSpec extends SparkSpec {
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"PLAN-ERROR ${e.getMessage}" }
-      val globalWin = plan.linesIterator.exists(l =>
-        l.contains("Window [") && !l.contains("windowspecdefinition") ||
-          l.matches(""".*Window \[.*\], \[.*\]$""") && false) ||
-        // physical WindowExec prints "Window [exprs], [partSpec], [order]";
-        // an empty partition spec shows as ", [], ["
-        plan.linesIterator.exists(l =>
-          (l.trim.startsWith("Window ") || l.contains("+- Window ")) &&
-            l.contains("], [], ["))
+      // Physical WindowExec prints "Window [exprs], [partSpec], [order]"
+      // (TWO "], [" separators) when both specs are present, and OMITS an
+      // empty group entirely: unpartitioned-with-order prints
+      // "Window [exprs], [order]" (one separator, trailing group carries
+      // ASC/DESC), partitioned-without-order prints
+      // "Window [exprs], [partCols]" (one separator, bare columns — NOT a
+      // scale hazard). The former "], [], [" pattern matched neither
+      // shape, leaving global-window detection dead.
+      def sepCount(l: String): Int = {
+        var c = 0; var i = l.indexOf("], [")
+        while (i >= 0) { c += 1; i = l.indexOf("], [", i + 1) }
+        c
+      }
+      val globalWin = plan.linesIterator.exists { l =>
+        val isWin = l.trim.startsWith("Window ") ||
+          l.contains("+- Window ") || l.contains(":- Window ")
+        isWin && {
+          val i = l.lastIndexOf("], [")
+          if (i < 0) true // a Window with no spec groups at all is global
+          else {
+            val tail = l.substring(i + 4)
+            sepCount(l) < 2 &&
+              (tail.contains(" ASC") || tail.contains(" DESC"))
+          }
+        }
+      }
       val cartesian = plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")
       if (globalWin && !allowGlobalWindow.contains(name))
