@@ -880,12 +880,16 @@ object HDF5 {
   }
 
   /** HDF5's Fletcher-32 (spec: H5_checksum_fletcher32): byte pairs folded
-    * big-endian into 16-bit words, two running sums reduced mod 65535
-    * every 360 words (overflow guard), odd trailing byte treated as the
-    * high byte of a final word; result = sum2<<16 | sum1. The filter
-    * appends it little-endian after the chunk payload. */
+    * big-endian into 16-bit words, sums reduced every 360 words by the
+    * ONE'S-COMPLEMENT fold (sum & 0xffff) + (sum >> 16) — NOT mod 65535,
+    * which differs exactly when a reduced sum lands on 0xFFFF (fold keeps
+    * 0xFFFF, mod collapses to 0; real HDF5 files would then be rejected).
+    * Odd trailing byte is the high byte of a final word; a double final
+    * fold fully reduces both sums; result = sum2<<16 | sum1, appended
+    * little-endian after the chunk payload. */
   private[graft] def fletcherSum(b: Array[Byte], len: Int): Int = {
     var sum1 = 0L; var sum2 = 0L
+    def fold(s: Long): Long = (s & 0xffffL) + (s >>> 16)
     var off = 0
     var remaining = len / 2
     while (remaining > 0) {
@@ -896,14 +900,16 @@ object HDF5 {
         sum2 += sum1
         off += 2; j += 1
       }
-      sum1 %= 65535; sum2 %= 65535
+      sum1 = fold(sum1); sum2 = fold(sum2)
       remaining -= tlen
     }
     if ((len & 1) == 1) {
       sum1 += ((b(len - 1) & 0xff) << 8).toLong
       sum2 += sum1
-      sum1 %= 65535; sum2 %= 65535
+      sum1 = fold(sum1); sum2 = fold(sum2)
     }
+    // second reduction step: one more fold fully reduces to 16 bits
+    sum1 = fold(sum1); sum2 = fold(sum2)
     ((sum2 << 16) | sum1).toInt
   }
 

@@ -468,6 +468,44 @@ object Zarr {
     ArrayMeta(sh.inner, sh.inner, m.order, m.kind, m.size, sh.innerComp,
       m.fillValue, m.separator, m.dims, Map.empty, v3 = true)
 
+  /** Per-shard coordinate tables, computed ONCE (not per element — the
+    * copy loops below run once per shard element and must stay primitive):
+    * elemMap(f) = outer-box offset of inner element f relative to the
+    * inner chunk's corner; baseOf(g) = outer-box offset of inner chunk
+    * g's corner. */
+  private def shardMaps(outer: Seq[Int], inner: Seq[Int],
+                        innerGrid: Seq[Int]): (Array[Int], Array[Int]) = {
+    val rank = outer.length
+    val outStrides = outer.scanRight(1)(_ * _).tail.toArray
+    val inStrides = inner.scanRight(1)(_ * _).tail.toArray
+    val gridStrides = innerGrid.scanRight(1)(_ * _).tail.toArray
+    val innerArr = inner.toArray
+    val gridArr = innerGrid.toArray
+    val nElem = inner.product
+    val elemMap = new Array[Int](nElem)
+    var f = 0
+    while (f < nElem) {
+      var pos = 0; var k = 0
+      while (k < rank) {
+        pos += ((f / inStrides(k)) % innerArr(k)) * outStrides(k); k += 1
+      }
+      elemMap(f) = pos; f += 1
+    }
+    val nGrid = innerGrid.product
+    val baseOf = new Array[Int](nGrid)
+    var g = 0
+    while (g < nGrid) {
+      var pos = 0; var k = 0
+      while (k < rank) {
+        pos += ((g / gridStrides(k)) % gridArr(k)) * innerArr(k) *
+          outStrides(k)
+        k += 1
+      }
+      baseOf(g) = pos; g += 1
+    }
+    (elemMap, baseOf)
+  }
+
   private def decodeShard(raw: Array[Byte], m: ArrayMeta,
                           sh: ShardSpec): Array[Double] = {
     val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
@@ -485,9 +523,7 @@ object Zarr {
       .order(ByteOrder.LITTLE_ENDIAN)
     val im = innerMeta(m, sh)
     val out = Array.fill(m.chunkElems)(m.fillValue)
-    val outStrides = m.chunks.scanRight(1)(_ * _).tail
-    val inStrides = sh.inner.scanRight(1)(_ * _).tail
-    val gridStrides = innerGrid.scanRight(1)(_ * _).tail
+    val (elemMap, baseOf) = shardMaps(m.chunks, sh.inner, innerGrid)
     var g = 0
     while (g < nInner) {
       val off = ib.getLong; val len = ib.getLong
@@ -497,14 +533,10 @@ object Zarr {
         val slice = java.util.Arrays.copyOfRange(raw, off.toInt,
           (off + len).toInt)
         val vals = decodeChunk(slice, im)
-        val ci = innerGrid.indices.map(k => (g / gridStrides(k)) % innerGrid(k))
+        val base = baseOf(g)
         var f = 0
         while (f < vals.length) {
-          val pos = sh.inner.indices.map { k =>
-            (ci(k) * sh.inner(k) + (f / inStrides(k)) % sh.inner(k)) *
-              outStrides(k)
-          }.sum
-          out(pos) = vals(f); f += 1
+          out(base + elemMap(f)) = vals(f); f += 1
         }
       }
       g += 1
@@ -517,24 +549,18 @@ object Zarr {
     val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
     val nInner = innerGrid.product
     val im = innerMeta(m, sh)
-    val outStrides = m.chunks.scanRight(1)(_ * _).tail
-    val inStrides = sh.inner.scanRight(1)(_ * _).tail
-    val gridStrides = innerGrid.scanRight(1)(_ * _).tail
+    val (elemMap, baseOf) = shardMaps(m.chunks, sh.inner, innerGrid)
     val body = new ByteArrayOutputStream()
     val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
     val headerLen =
       if (!sh.indexAtEnd) nInner * 16 + (if (sh.indexCrc) 4 else 0) else 0
     var g = 0
     while (g < nInner) {
-      val ci = innerGrid.indices.map(k => (g / gridStrides(k)) % innerGrid(k))
+      val base = baseOf(g)
       val box = new Array[Double](sh.inner.product)
       var f = 0
       while (f < box.length) {
-        val pos = sh.inner.indices.map { k =>
-          (ci(k) * sh.inner(k) + (f / inStrides(k)) % sh.inner(k)) *
-            outStrides(k)
-        }.sum
-        box(f) = vals(pos); f += 1
+        box(f) = vals(base + elemMap(f)); f += 1
       }
       val enc = encodeChunk(box, im)
       index.putLong(headerLen + body.size()); index.putLong(enc.length.toLong)
@@ -999,24 +1025,41 @@ object Zarr {
     val comp = compressor.map { case (id, lvl) =>
       if (isV3 && id == "zlib") ("gzip", lvl) else (id, lvl)
     }
+    // A region write goes into an EXISTING store, so its physical layout
+    // parameters must come from (or be validated against) the store's own
+    // metadata — a mismatch writes blobs the store's readers misparse.
+    val existing = if (region) Some(openMetaAny(spark, store, varName))
+                   else None
     // chunk-key separator: an explicit caller choice wins; a region write
-    // into an existing store MUST honour the store's declared separator
-    // (a "."-separated v3 store written with "/" keys would leave readers
-    // looking at c.i.j while we wrote c/i/j — silent stale data);
-    // otherwise the format default ("/" nested for v3, "." flat for v2).
+    // MUST honour the store's declared separator (a "."-separated v3
+    // store written with "/" keys would leave readers looking at c.i.j
+    // while we wrote c/i/j — silent stale data); otherwise the format
+    // default ("/" nested for v3, "." flat for v2).
     val sep = separator
-      .orElse(if (region) Some(openMetaAny(spark, store, varName).separator)
-              else None)
+      .orElse(existing.map(_.separator))
       .getOrElse(if (isV3) "/" else ".")
+    existing.foreach { e =>
+      require(e.chunks == chunks,
+        s"region write chunk shape $chunks != the store's ${e.chunks} — " +
+          "the store's readers would misplace every cell")
+    }
     // sharding (v3 only): `chunks` becomes the SHARD shape on disk; the
-    // compressor moves inside the shard onto the inner chunks
+    // compressor moves inside the shard onto the inner chunks. A region
+    // write into a SHARDED store inherits the store's shard spec even if
+    // the caller didn't re-pass shardInner — writing plain chunk blobs at
+    // shard keys would corrupt the store (the metadata still declares
+    // sharding_indexed).
     val shardSpec = shardInner.map { inner =>
       require(isV3, "sharding requires zarrFormat = 3")
       require(inner.length == chunks.length &&
         inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
         s"inner chunk shape $inner must divide the shard shape $chunks")
+      existing.flatMap(_.shard).foreach { es =>
+        require(es.inner == inner,
+          s"region write inner chunk shape $inner != the store's ${es.inner}")
+      }
       ShardSpec(inner, comp)
-    }
+    }.orElse(existing.flatMap(_.shard))
     val m = ArrayMeta(shape, chunks, '<', kind, size,
       if (shardSpec.isDefined) None else comp, fillValue,
       sep, dims, Map.empty, v3 = isV3, shard = shardSpec)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,29 +16,38 @@ import org.apache.spark.sql.types._
   *      smallest) — a limit-1 TakeOrdered, 1 row to the driver (bounded
   *      state, the k-means-centroid pattern);
   *   3. apply the merge to every word's symbol string — a scan-stage
-  *      literal replace on the space-separated symbol form (the original
-  *      paper's representation).
+  *      literal replace on the bracket-delimited symbol form.
   * At 100 TB only step 0 (the word count) sees the corpus; the per-round
   * cost is proportional to the dictionary.
   *
-  * Merge application is sequential left-to-right non-overlapping literal
-  * replacement — deterministic and engine-portable (Java's String.replace
-  * and DuckDB's replace() scan identically), which is what lets the q207
-  * oracle replay training round by round.
+  * Symbols travel as a bracket-delimited string "(b)(a)(n)": every
+  * symbol is fully enclosed, so adjacent occurrences of a pair share NO
+  * boundary characters and sequential left-to-right literal replacement
+  * of "(l)(r)" with "(lr)" is EXACTLY Sennrich's greedy leftmost merge —
+  * including adjacent repeats ("banana" + (a,n) -> b|an|an|a, which a
+  * space-separated form gets wrong because the shared separator is
+  * consumed by the previous match. Java's String.replace and DuckDB's
+  * replace() scan identically, which is what lets the q207/q210 oracles
+  * replay training round by round.
   */
 object Bpe {
 
-  /** Space-separated symbol form of the word dictionary of `textCol`:
-    * (w, s = " c h a r s ", f = word frequency). Words restricted to
-    * [a-z]+ so symbols never collide with the space separator. */
+  /** Bracket-delimited symbol form of the word dictionary of `textCol`:
+    * (w, s = "(c)(h)(a)(r)(s)", f = word frequency). Words restricted to
+    * [a-z]+ so symbols never collide with the delimiters. */
   def symbolDict(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"),
-        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+        concat(lit("("), array_join(split(col("w"), ""), ")("), lit(")"))
           .as("s"),
         col("f"))
+
+  /** The symbol array of a bracket-delimited form: strip the outer
+    * brackets, split on ")(". */
+  private def symsArray(s: Column): Column =
+    split(s.substr(lit(2), length(s) - 2), "\\)\\(")
 
   /** The training loop: returns (merge rows, final dictionary (w, s, f)
     * with all merges applied). */
@@ -49,7 +58,7 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val arr = syms.select(split(trim(col("s")), " ").as("a"), col("f"))
+      val arr = syms.select(symsArray(col("s")).as("a"), col("f"))
       val pairs = arr
         .filter(size(col("a")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("a")) - 1),
@@ -65,7 +74,7 @@ object Bpe {
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Row(r, l, rr, cnt)
         syms = graft.util.QueryCache.persist(syms.select(col("w"),
-          replace(col("s"), lit(s" $l $rr "), lit(s" $l$rr ")).as("s"),
+          replace(col("s"), lit(s"($l)($rr)"), lit(s"($l$rr)")).as("s"),
           col("f")))
         r += 1
       }
@@ -96,6 +105,6 @@ object Bpe {
                     rounds: Int): DataFrame = {
     val (_, dict) = trainLoop(docs, textCol, rounds)
     dict.select(col("w"),
-      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+      size(symsArray(col("s"))).cast("long").as("n_sym"))
   }
 }

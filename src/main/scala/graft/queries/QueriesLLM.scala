@@ -650,31 +650,31 @@ object QueriesLLM {
              FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$')
            GROUP BY 1),
-         s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-                  || ' ' AS s, f FROM w0),
+         s0 AS (SELECT '(' || array_to_string(string_split(w, ''), ')(')
+                  || ')' AS s, f FROM w0),
          p1 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s0) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s0) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-         s1 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s0, m1),
+         s1 AS (SELECT replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s0, m1),
          p2 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s1) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s1) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-         s2 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s1, m2),
+         s2 AS (SELECT replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s1, m2),
          p3 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s2) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s2) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
-         s3 AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s2, m3),
+         s3 AS (SELECT replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s2, m3),
          p4 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(f) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s3) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s3) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1)
@@ -691,38 +691,39 @@ object QueriesLLM {
              FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$')
            GROUP BY 1),
-         s0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')
-                  || ' ' AS s, f FROM w0),
+         s0 AS (SELECT w, '(' || array_to_string(string_split(w, ''), ')(')
+                  || ')' AS s, f FROM w0),
          p1 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s0) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s0) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-         s1 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s0, m1),
+         s1 AS (SELECT w, replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s0, m1),
          p2 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s1) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s1) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-         s2 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s1, m2),
+         s2 AS (SELECT w, replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s1, m2),
          p3 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s2) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s2) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
-         s3 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s2, m3),
+         s3 AS (SELECT w, replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s2, m3),
          p4 AS (SELECT a[i] AS l, a[i+1] AS r, sum(f) AS cnt
-           FROM (SELECT string_split(trim(s, ' '), ' ') AS a, f FROM s3) t,
+           FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS a, f FROM s3) t,
                 LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i)
            GROUP BY 1, 2),
          m4 AS (SELECT l, r FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
-         s4 AS (SELECT w, replace(s, ' ' || l || ' ' || r || ' ',
-                  ' ' || l || r || ' ') AS s, f FROM s3, m4),
+         s4 AS (SELECT w, replace(s, '(' || l || ')(' || r || ')',
+                  '(' || l || r || ')') AS s, f FROM s3, m4),
          dict AS (SELECT w,
-             len(string_split(trim(s, ' '), ' ')) AS n_sym FROM s4),
+             len(string_split(substr(s, 2, length(s) - 2), ')(')) AS n_sym
+           FROM s4),
          ws AS (SELECT source, w FROM (
              SELECT source,
                unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

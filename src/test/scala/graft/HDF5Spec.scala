@@ -82,6 +82,11 @@ class HDF5Spec extends SparkSpec {
     // single odd byte acts as the high byte of a word
     assert(HDF5.fletcherSum(Array[Byte](0x01), 1) ==
       ((0x0100 << 16) | 0x0100))
+    // one's-complement fold boundary: 0x8000 + 0x7FFF = 0xFFFF must STAY
+    // 0xFFFF (a mod-65535 reduction would collapse it to 0 and reject
+    // valid HDF5-written files); sum2 = 0x8000 + 0xFFFF folds to 0x8000
+    assert(HDF5.fletcherSum(
+      Array[Byte](0x80.toByte, 0x00, 0x7F, 0xFF.toByte), 4) == 0x8000FFFF)
   }
 
   test("distributed toLongDF matches the in-memory decode") {

@@ -403,5 +403,19 @@ class PipelineOpsSpec extends SparkSpec {
     val enc = Bpe.encodedCounts(docs, "text", rounds = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(enc === Map("he" -> 1L, "hem" -> 1L, "she" -> 2L))
+    // ADJACENT REPEATS of the merged pair (the Sennrich greedy contract):
+    // banana + (a,n) must give b|an|an|a — 4 symbols, BOTH an's merged
+    // (a separator-sharing representation merges only the first)
+    val ban = Seq((1L, "banana banana")).toDF("doc_id", "text")
+    val bm = Bpe.train(ban, "text", rounds = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,n) cnt 4 beats (n,a) on the lexicographic tie-break;
+    // r2: from b|an|an|a the pairs tie at 2, (an,a) < (an,an) < (b,an)
+    assert(bm.toSeq === Seq((1, "a", "n", 4L), (2, "an", "a", 2L)))
+    val benc = Bpe.encodedCounts(ban, "text", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(benc === Map("banana" -> 4L),
+      s"banana after (a,n) must be b|an|an|a, got $benc")
   }
 }

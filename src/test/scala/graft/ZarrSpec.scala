@@ -404,5 +404,24 @@ class ZarrSpec extends SparkSpec {
     val ex2 = intercept[IllegalArgumentException](
       Zarr.decodeChunk(tampered, m))
     assert(ex2.getMessage.contains("crc32c"))
+    // region write WITHOUT re-passing shardInner must inherit the store's
+    // shard spec (plain chunk blobs at shard keys would corrupt the store)
+    val patch = (for (i <- 4 until 7; j <- 0 until 6)
+      yield (i.toLong, j.toLong, 9000.0 + i * 10 + j)).toSeq
+      .toDF("row", "col", "v")
+    Zarr.writeLongDF(patch, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(7)(_.toDouble), Array.tabulate(10)(_.toDouble)),
+      chunks = Seq(4, 6), zarrFormat = 3, region = true)
+    val after = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(after((5L, 3L)) == 9053.0, "region write into sharded store")
+    assert(after((0L, 0L)) == 0.0, "untouched shard keeps old data")
+    // a region write with MISMATCHED geometry is rejected loudly
+    val exG = intercept[IllegalArgumentException] {
+      Zarr.writeLongDF(patch, store, "v", Seq("row", "col"),
+        Seq(Array.tabulate(7)(_.toDouble), Array.tabulate(10)(_.toDouble)),
+        chunks = Seq(2, 6), zarrFormat = 3, region = true)
+    }
+    assert(exG.getMessage.contains("chunk shape"))
   }
 }
