@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Bpe, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -441,6 +441,19 @@ object QueriesLLM {
         "embedding", k = 3)
     }),
 
+    // IN-ENGINE trained quality classifier: logistic regression over 64
+    // hashed-token buckets + bias, 2 full-batch GD epochs (each = one
+    // scan: broadcast-weight margin join + per-bucket gradient agg),
+    // labels from a token-count heuristic. The learned-filter verb of a
+    // curation pipeline; weights/probabilities round to 8 dp with
+    // decimal sums so the oracle replays both epochs exactly.
+    "q219_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Classifier.trainScore(docs, "text", "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+    }),
+
     // BPE merge training (4 rounds) on the word-frequency dictionary:
     // per round ONE pair-count shuffle + a limit-1 argmax + a scan-stage
     // literal-replace merge — the tokenizer-vocabulary construction step
@@ -639,6 +652,65 @@ object QueriesLLM {
              list_slice(toks, chunk_id * 20 + 1, chunk_id * 20 + 30),
              ' ')) AS chunk_md5
          FROM c""",
+    // classifier replay: epoch 1 is libm-free (w0 = 0 makes every
+    // probability exactly 0.5); epoch 2 and the final scoring use the
+    // round-8/round-6 sigmoid policy with decimal-exact sums throughout.
+    // Weight updates round at scale 12 where g(8dp)*2e-4 sits EXACTLY on
+    // the grid — an 8-dp scale put true ties at the 9th digit, which
+    // Spark (shortest-repr HALF_UP) and DuckDB (exact binary) resolve
+    // differently
+    "q219_quality_classifier" ->
+      """WITH x0 AS (
+           SELECT doc_id,
+             list_reduce(list_transform(
+                 string_split(substr(md5(w), 1, 4), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 64 AS b
+           FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)),
+         x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+             FROM x0 GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, 64, 1 FROM documents),
+         y AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) >= 55
+                  AS BIGINT) AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         e1 AS (SELECT doc_id,
+             CAST(0.5 AS DECIMAL(28,12)) - CAST(y AS DECIMAL(28,12)) AS e
+           FROM y),
+         g1 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e1 USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT gb.b,
+             CAST(0 AS DECIMAL(28,12)) - coalesce(
+               CAST(round(CAST(g.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM (SELECT unnest(generate_series(0, 64)) AS b) gb
+           LEFT JOIN g1 g ON g.b = gb.b CROSS JOIN n),
+         m2 AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
+           FROM x JOIN w1 w USING (b) GROUP BY 1),
+         e2 AS (SELECT m2.doc_id,
+             CAST(round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 8)
+                  AS DECIMAL(28,12))
+               - CAST(y.y AS DECIMAL(28,12)) AS e
+           FROM m2 JOIN y USING (doc_id)),
+         g2 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.b,
+             w1.w - coalesce(
+               CAST(round(CAST(g2.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM w1 LEFT JOIN g2 ON g2.b = w1.b CROSS JOIN n),
+         mf AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
+           FROM x JOIN w2 w USING (b) GROUP BY 1)
+         SELECT mf.doc_id,
+           round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS prob,
+           CAST(m >= 0 AS INT) AS pred, y.y
+         FROM mf JOIN y USING (doc_id)""",
     // BPE replay: the same 4 training rounds as chained CTEs — pair
     // counts from the space-separated symbol form, argmax with the
     // (cnt DESC, l, r) tie-break, merge via literal replace (DuckDB and

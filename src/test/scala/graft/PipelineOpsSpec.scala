@@ -418,4 +418,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(benc === Map("banana" -> 4L),
       s"banana after (a,n) must be b|an|an|a, got $benc")
   }
+
+  test("quality classifier: 2 GD epochs separate a disjoint-vocabulary corpus") {
+    import graft.llm.Classifier
+    val good = (0 until 20).map(i =>
+      (i.toLong, "excellent superb wonderful great amazing " * 3, 1))
+    val bad = (20 until 40).map(i =>
+      (i.toLong, "terrible awful horrid nasty dire " * 3, 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "yy")
+    val out = Classifier.trainScore(docs, "text", "doc_id", col("yy"),
+      buckets = 64, epochs = 2, lr = 0.5).collect()
+    assert(out.length === 40)
+    // epoch 1's gradient already signs every class-exclusive bucket
+    // correctly, so a disjoint vocabulary must classify perfectly
+    val acc = out.count(r => r.getInt(2) == r.getLong(3)).toDouble / 40
+    assert(acc == 1.0, s"separable corpus accuracy $acc")
+    // probabilities are well-ordered between the classes
+    val pGood = out.filter(_.getLong(3) == 1L).map(_.getDouble(1))
+    val pBad = out.filter(_.getLong(3) == 0L).map(_.getDouble(1))
+    assert(pGood.min > pBad.max,
+      s"class probabilities overlap: ${pGood.min} <= ${pBad.max}")
+  }
 }
