@@ -86,7 +86,13 @@ object PlanDump {
       ("SQ8 quantized ANN: the per-dim codebook is a 1-row broadcast; " +
         "corpus rows quantize+dequantize in a scan-stage projection and " +
         "score against the broadcast probe side — the corpus never " +
-        "shuffles; ranking is a per-probe window.")
+        "shuffles; ranking is a per-probe window."),
+    "q219_quality_classifier" ->
+      ("In-engine GD training: per epoch the B+1-row weight table " +
+        "BROADCASTS onto the feature stream (margin join), and the " +
+        "gradient is a partial+final hash agg over B constant bucket " +
+        "keys — the corpus-sized stream is scanned, never shuffled wider " +
+        "than B rows, and no corpus data reaches the driver.")
   )
 
   def main(args: Array[String]): Unit = {
