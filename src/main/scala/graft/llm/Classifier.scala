@@ -40,6 +40,14 @@ object Classifier {
     counts.unionByName(bias)
   }
 
+  /** Train `epochs` full-batch GD steps and return ONLY the weight table
+    * (b, w DECIMAL(18,12)) — the serveable model (broadcast it onto any
+    * token stream; see q220's streaming scorer). */
+  def trainWeights(docs: DataFrame, textCol: String, idCol: String,
+                   label: Column, buckets: Int, epochs: Int,
+                   lr: Double): DataFrame =
+    trainLoop(docs, textCol, idCol, label, buckets, epochs, lr)._1
+
   /** Train `epochs` full-batch GD steps (learning rate `lr`) and score
     * every document. Returns (doc_id, prob, pred, y): the final-model
     * probability (rounded to 6 dp), the 0.5-threshold verdict, and the
@@ -47,6 +55,23 @@ object Classifier {
   def trainScore(docs: DataFrame, textCol: String, idCol: String,
                  label: Column, buckets: Int, epochs: Int,
                  lr: Double): DataFrame = {
+    val (w, x, yd) =
+      trainLoop(docs, textCol, idCol, label, buckets, epochs, lr)
+    val finalMargin = x.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(sum((col("w") * col("x").cast(DecimalType(10, 0)))
+        .cast(DecimalType(38, 12))).as("m"))
+    finalMargin.join(yd, "doc_id")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m").cast("double"))), 6)
+          .as("prob"),
+        (col("m") >= 0).cast("int").as("pred"),
+        col("y"))
+  }
+
+  private def trainLoop(docs: DataFrame, textCol: String, idCol: String,
+                        label: Column, buckets: Int, epochs: Int,
+                        lr: Double): (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val x = graft.util.QueryCache.persist(
       features(docs, textCol, idCol, buckets))
@@ -87,15 +112,6 @@ object Classifier {
             lit(0).cast(dec))).cast(dec).as("w"))
       w = broadcast(w)
     }
-    val finalMargin = x.join(broadcast(w), "b")
-      .groupBy("doc_id")
-      .agg(sum((col("w") * col("x").cast(xDec))
-        .cast(DecimalType(38, 12))).as("m"))
-    finalMargin.join(yd, "doc_id")
-      .select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("m").cast("double"))), 6)
-          .as("prob"),
-        (col("m") >= 0).cast("int").as("pred"),
-        col("y"))
+    (w, x, yd)
   }
 }

@@ -29,6 +29,40 @@ object QueriesStreaming {
 
     // the same sliding windows over the STREAM source: watermarked
     // stateful agg; over the finite source it equals q64's batch result
+    // batch-train -> STREAM-serve: the q219 classifier trained on the
+    // static table broadcasts onto the document stream; per-doc margin is
+    // ONE streaming agg over the token-level weight join plus the bias
+    // weight (a single driver-held constant). Decimal sums are
+    // order-independent, so the served margins equal the batch model's
+    // exactly.
+    "q220_stream_classify" -> ((s, dir) => {
+      import graft.llm.{Classifier, TextAnalysis}
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, dir)
+      val w = Classifier.trainWeights(docs, "text", "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+      val wBias = w.filter(col("b") === 64)
+        .select(col("w")).head().getDecimal(0)
+      val toks = StreamOps.documentsStream(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"),
+            lit(64L)).as("b"))
+      // narrow the sum before the bias add: a (38,12) + (12,12) addition
+      // exceeds precision 38 and Spark silently reduces the result scale
+      // to 11 (the q219 decimal-precision-loss trap again)
+      val agg = toks.join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("w").cast(DecimalType(38, 12)))
+          .cast(DecimalType(26, 12)).as("ms"))
+        .select(col("doc_id"),
+          (col("ms") + lit(wBias)).cast("double").as("margin"),
+          ((col("ms") + lit(wBias)) >= 0).cast("int").as("pred"))
+      StreamOps.runToCompletion(s, agg, s"stream_clf_${System.nanoTime}")
+    }),
+
     // LEFT OUTER stream-stream interval join: unmatched error events emit
     // null-extended rows once the watermark passes their eviction bound.
     // A left row at e_ts can match rights up to p_ts = e_ts, so its state
@@ -204,6 +238,60 @@ object QueriesStreaming {
                   event_type
            FROM events)
          GROUP BY 1, 2""",
+    // stream-serve replay: q219's training chain to w2, then the
+    // token-level weight sum + the bias weight
+    "q220_stream_classify" ->
+      """WITH x0 AS (
+           SELECT doc_id,
+             list_reduce(list_transform(
+                 string_split(substr(md5(w), 1, 4), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 64 AS b
+           FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)),
+         x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+             FROM x0 GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, 64, 1 FROM documents),
+         y AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) >= 55
+                  AS BIGINT) AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         e1 AS (SELECT doc_id,
+             CAST(0.5 AS DECIMAL(28,12)) - CAST(y AS DECIMAL(28,12)) AS e
+           FROM y),
+         g1 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e1 USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT gb.b,
+             CAST(0 AS DECIMAL(28,12)) - coalesce(
+               CAST(round(CAST(g.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM (SELECT unnest(generate_series(0, 64)) AS b) gb
+           LEFT JOIN g1 g ON g.b = gb.b CROSS JOIN n),
+         m2 AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
+           FROM x JOIN w1 w USING (b) GROUP BY 1),
+         e2 AS (SELECT m2.doc_id,
+             CAST(round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 8)
+                  AS DECIMAL(28,12))
+               - CAST(y.y AS DECIMAL(28,12)) AS e
+           FROM m2 JOIN y USING (doc_id)),
+         g2 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.b,
+             w1.w - coalesce(
+               CAST(round(CAST(g2.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM w1 LEFT JOIN g2 ON g2.b = w1.b CROSS JOIN n),
+         sc AS (SELECT t.doc_id,
+             sum(CAST(w2.w AS DECIMAL(38,12))) AS ms
+           FROM x0 t JOIN w2 ON w2.b = t.b GROUP BY 1)
+         SELECT sc.doc_id, CAST(sc.ms + wb.w AS DOUBLE) AS margin,
+           CAST(sc.ms + wb.w >= 0 AS INT) AS pred
+         FROM sc CROSS JOIN (SELECT w FROM w2 WHERE b = 64) wb""",
     // outer-join replay: inner matches for ALL left rows (inner results
     // emit eagerly) + null extensions only for unmatched left rows old
     // enough to have been evicted by the FINAL watermark (max ts - 1h)
