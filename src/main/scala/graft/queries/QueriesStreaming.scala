@@ -38,12 +38,22 @@ object QueriesStreaming {
     "q220_stream_classify" -> ((s, dir) => {
       import graft.llm.{Classifier, TextAnalysis}
       import org.apache.spark.sql.types.DecimalType
+      // stateful streaming agg: scope the state-store shard count down
+      // (fixed per checkpoint at start), like q127/q208
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val docs = Tables.documents(s, dir)
-      val w = Classifier.trainWeights(docs, "text", "doc_id",
+      // materialize the 65-row model ONCE (bounded driver state, the
+      // k-means-centroid pattern) — leaving it lazy would re-run the
+      // whole training DAG inside every micro-batch
+      val trained = Classifier.trainWeights(docs, "text", "doc_id",
         label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
         buckets = 64, epochs = 2, lr = 0.1)
-      val wBias = w.filter(col("b") === 64)
-        .select(col("w")).head().getDecimal(0)
+      val wRows = trained.collect()
+      val w = s.createDataFrame(
+        s.sparkContext.parallelize(wRows.toSeq, 1), trained.schema)
+      val wBias = wRows.find(_.getLong(0) == 64L).get.getDecimal(1)
       val toks = StreamOps.documentsStream(s, dir)
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
@@ -61,6 +71,7 @@ object QueriesStreaming {
           (col("ms") + lit(wBias)).cast("double").as("margin"),
           ((col("ms") + lit(wBias)) >= 0).cast("int").as("pred"))
       StreamOps.runToCompletion(s, agg, s"stream_clf_${System.nanoTime}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     // LEFT OUTER stream-stream interval join: unmatched error events emit
