@@ -83,4 +83,19 @@ class PlanSpec extends SparkSpec {
       !l.contains("BroadcastExchange") && !l.contains("reuse"))
     assert(exchanges <= 2, s"calendar decode added shuffles:\n${p.take(1200)}")
   }
+
+  test("Z-order store read pushes both range predicates to the scan") {
+    // q197 writes the clustered store then reads with a 2-d range filter:
+    // both predicates must reach the parquet scan (row-group pruning is
+    // what the Morton layout buys — per-file min/max stats are tight in
+    // BOTH keys, so most files skip entirely at 100 TB)
+    val p = plan("q197_zorder")
+    val scanLine = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLine.contains("user_id") && scanLine.contains("ts"),
+      s"range predicates did not reach the scan:\n$scanLine")
+    assert(scanLine.contains("GreaterThanOrEqual") ||
+      scanLine.contains("LessThanOrEqual"),
+      s"no range filters pushed:\n$scanLine")
+  }
 }
