@@ -111,6 +111,78 @@ object Multimodal {
     spark.createDataFrame(rdd, imageFeatureSchema)
   }
 
+  /** Encode `frames` as one ANIMATED GIF (the multi-frame container the
+    * JDK can both write and read headlessly — the honest video stand-in:
+    * real frame enumeration, decode, and per-frame features with zero
+    * native codec dependencies). */
+  def makeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL multi-frame decode: enumerate every frame of an animated GIF
+    * (ImageReader.getNumImages + per-frame read) and emit per-frame RGB
+    * means — one row per (doc, frame). Executor-side; undecodable rows
+    * are skipped (same contract as [[imageFeatures]]). */
+  def gifFrames(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = try reader.getNumImages(true) catch { case _: Throwable => 0 }
+          val rows = (0 until n).iterator.map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = w.toLong * h
+            Row(r.getLong(0), f, w, h,
+              sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
+          }.toVector
+          reader.dispose(); iis.close()
+          rows.iterator
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameFeatureSchema)
+  }
+
   /** Nearest-neighbor thumbnail resize (real decode): re-encodes each
     * image as a `tw`x`th` PNG. Executor-side, batch = partition. */
   def resize(df: DataFrame, id: String, media: String,

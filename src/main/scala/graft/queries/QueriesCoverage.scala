@@ -275,6 +275,34 @@ object QueriesCoverage {
       Multimodal.imageFeatures(media, "doc_id", "media")
     }),
 
+    // Multimodal REAL multi-frame decode (the video stand-in): animated
+    // GIFs written frame-by-frame with explicit index color models
+    // (palette-exact solid colors), decoded by enumerating every frame —
+    // one row per (doc, frame) with closed-form channel means
+    "q221_gif_frames" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val rows = (0L until 40L).map { i =>
+        val w = 10 + (i % 6).toInt; val h = 8 + (i % 4).toInt
+        val frames = (0 until 3).map { f =>
+          val r = ((i * 5 + f * 40) % 256).toInt
+          val g = ((i * 11 + f * 30) % 256).toInt
+          val b = ((i * 17 + f * 20) % 256).toInt
+          val cm = new java.awt.image.IndexColorModel(8, 2,
+            Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+            Array(b.toByte, 0.toByte))
+          // a fresh TYPE_BYTE_INDEXED raster is all index 0 = the color
+          new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        }
+        Row(i, Multimodal.makeAnimatedGif(frames))
+      }
+      val media = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("media", BinaryType, nullable = false))))
+      Multimodal.gifFrames(media, "doc_id", "media")
+    }),
+
     // Multimodal REAL audio decode (RIFF/WAVE PCM16 parse): id-derived
     // sample rates/lengths, constant amplitude -> rms = v/32768 exactly
     "q191_wav_decode" -> ((s, dir) => {
@@ -547,6 +575,15 @@ object QueriesCoverage {
            CAST((i * 3) % 256 AS DOUBLE) AS mean_g,
            CAST((i * 7) % 256 AS DOUBLE) AS mean_b
          FROM (SELECT unnest(generate_series(0, 59)) AS i)""",
+    "q221_gif_frames" ->
+      """SELECT i.i AS doc_id, f.f AS frame_no,
+           CAST(10 + i.i % 6 AS INT) AS width,
+           CAST(8 + i.i % 4 AS INT) AS height,
+           CAST((i.i * 5 + f.f * 40) % 256 AS DOUBLE) AS mean_r,
+           CAST((i.i * 11 + f.f * 30) % 256 AS DOUBLE) AS mean_g,
+           CAST((i.i * 17 + f.f * 20) % 256 AS DOUBLE) AS mean_b
+         FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
+              (SELECT unnest(generate_series(0, 2)) AS f) f""",
     "q191_wav_decode" ->
       """SELECT i AS doc_id,
            CAST(8000 + 100 * (i % 10) AS INT) AS sample_rate,

@@ -75,4 +75,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getLong(4) === n.toLong)
     assert(out(0).getDouble(5) === 0.5)
   }
+
+  test("animated GIF roundtrip: every frame enumerated with exact palette colors") {
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int) = {
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+        Array(b.toByte, 0.toByte))
+      new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    }
+    val gif3 = Multimodal.makeAnimatedGif(Seq(
+      solid(5, 4, 200, 10, 30), solid(5, 4, 0, 255, 0),
+      solid(5, 4, 12, 34, 56)))
+    val gif1 = Multimodal.makeAnimatedGif(Seq(solid(3, 3, 7, 8, 9)))
+    val df = mediaDf(Seq(1L -> gif3, 2L -> gif1, 3L -> "junk".getBytes))
+    val out = Multimodal.gifFrames(df, "doc_id", "media")
+      .orderBy("doc_id", "frame_no").collect()
+    assert(out.length === 4, s"expected 3+1 frames, got ${out.length}")
+    val f1 = out.filter(_.getLong(0) == 1L)
+    assert(f1.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(f1(0).getDouble(4) === 200.0 && f1(0).getDouble(5) === 10.0 &&
+      f1(0).getDouble(6) === 30.0)
+    assert(f1(1).getDouble(5) === 255.0)
+    assert(f1(2).getDouble(4) === 12.0 && f1(2).getDouble(6) === 56.0)
+    assert(out.filter(_.getLong(0) == 2L).length === 1)
+  }
 }
