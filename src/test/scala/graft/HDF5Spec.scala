@@ -87,6 +87,21 @@ class HDF5Spec extends SparkSpec {
     // valid HDF5-written files); sum2 = 0x8000 + 0xFFFF folds to 0x8000
     assert(HDF5.fletcherSum(
       Array[Byte](0x80.toByte, 0x00, 0x7F, 0xFF.toByte), 4) == 0x8000FFFF)
+    // f32 + shuffle + fletcher: the 4-byte checksum occupies a FULL
+    // element slot in the shuffle (es=4), unlike the unshuffled 4-byte
+    // tail of the f64 case — both boundary treatments must roundtrip
+    val dir2 = Files.createTempDirectory("graft_h5fl32").toString
+    val p32 = s"$dir2/fl32.nc4"
+    val v32 = (for (i <- 0 until 5; j <- 0 until 4)
+      yield (i * 2.5 + j).toFloat.toDouble).toArray
+    HDF5.writeNc4(p32,
+      Seq("a" -> Array.tabulate(5)(_.toDouble),
+        "b" -> Array.tabulate(4)(_.toDouble)),
+      Seq(WVar("vf", Seq(0, 1), v32, chunk = Some(Seq(3, 2)), f32 = true,
+        shuffle = true, fletcher = true)))
+    val b32 = Files.readAllBytes(java.nio.file.Paths.get(p32))
+    val f32 = HDF5.parseFile(b32)
+    assert(HDF5.readVar(b32, f32, "vf").toSeq === v32.toSeq)
   }
 
   test("distributed toLongDF matches the in-memory decode") {

@@ -424,4 +424,34 @@ class ZarrSpec extends SparkSpec {
     }
     assert(exG.getMessage.contains("chunk shape"))
   }
+
+  test("v3 sharding: index_location=start and crc-less index both decode") {
+    import graft.io.Zarr.{ArrayMeta, ShardSpec}
+    val base = ArrayMeta(Seq(4, 6), Seq(4, 6), '<', 'f', 8,
+      None, Double.NaN, "/", Seq("r", "c"), Map.empty, v3 = true)
+    val vals = Array.tabulate(24)(_ * 1.5)
+    for ((atEnd, crc) <- Seq((false, true), (false, false), (true, false))) {
+      val m = base.copy(shard = Some(ShardSpec(Seq(2, 3),
+        Some(("gzip", 1)), indexAtEnd = atEnd, indexCrc = crc)))
+      val enc = {
+        // encodeChunk is private; roundtrip through the public store API
+        val dir = Files.createTempDirectory("zshardloc").toString
+        Zarr.writeArray(spark, dir, "v", m, vals)
+        Files.readAllBytes(Paths.get(dir, "v", "c", "0", "0"))
+      }
+      val dec = Zarr.decodeChunk(enc, m)
+      assert(dec.toSeq == vals.toSeq,
+        s"shard roundtrip failed for indexAtEnd=$atEnd crc=$crc")
+      // and the metadata on disk declares the location/codec choices
+      val dir2 = Files.createTempDirectory("zshardmeta").toString
+      Zarr.writeArray(spark, dir2, "v", m, vals)
+      val za = new String(Files.readAllBytes(
+        Paths.get(dir2, "v", "zarr.json")), "UTF-8")
+      assert(za.contains(if (atEnd) "\"index_location\":\"end\""
+                         else "\"index_location\":\"start\""))
+      assert(za.contains("crc32c") == crc)
+      val m2 = Zarr.parseMetaV3(za)
+      assert(m2.shard.get.indexAtEnd == atEnd && m2.shard.get.indexCrc == crc)
+    }
+  }
 }
