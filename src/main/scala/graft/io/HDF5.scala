@@ -15,11 +15,16 @@ import org.apache.spark.sql.types._
   * Bounded scope, mirroring the classic-CDF parser next door:
   *  - superblock v0 AND v2/v3 (scanned at the spec's 0/512/1024/... offsets)
   *  - v1 object headers (+ continuations) and v2 "OHDR" headers
-  *  - old-style groups (v1 B-tree + SNOD + local heap) and v2 COMPACT
-  *    groups (link messages); dense fractal-heap groups are rejected
-  *    with a clear error
+  *  - old-style groups (v1 B-tree + SNOD + local heap), v2 COMPACT groups
+  *    (link messages), and v2 DENSE groups (fractal heap + link-name
+  *    B-tree v2, direct blocks + single-level indirect blocks); still
+  *    rejected with clear errors: FILTERED fractal heaps and nested
+  *    (multi-level) indirect blocks
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
-  *    contiguous and chunked (v1 chunk B-tree) layouts, deflate filter
+  *    compound types (per-member reads), contiguous and chunked (v1
+  *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
+  *    fletcher32 in any declared order, honoring the per-chunk filter
+  *    mask — szip and other exotic filter ids are rejected per-variable
   *  - attributes: fixed-size strings/numbers, and vlen-of-object-reference
   *    via the global heap — exactly what netCDF-4's DIMENSION_LIST needs
   *  - netCDF-4 dimension model: datasets attributed
@@ -57,13 +62,20 @@ object HDF5 {
   case class Attr(name: String, text: String = null,
                   nums: Array[Double] = null, refs: Array[Long] = null)
 
+  /** `filters` is the DECLARED pipeline order from the 0x0B message:
+    * (filter id, client data), applied first-to-last on write and undone
+    * last-to-first on read. Order matters — h5py's set_fletcher32 puts
+    * the checksum OUTERMOST (covers the compressed bytes) while netCDF-C
+    * puts it innermost; the decode walks the recorded order either way. */
   case class DatasetMetaH5(name: String, addr: Long, shape: Seq[Long],
-                           dtype: DType, layout: Layout, deflate: Boolean,
-                           attrs: Seq[Attr],
-                           shuffleElem: Option[Int] = None,
-                           fletcher32: Boolean = false,
-                           badFilters: Seq[Int] = Nil,
+                           dtype: DType, layout: Layout, attrs: Seq[Attr],
+                           filters: Seq[(Int, Seq[Int])] = Nil,
                            parseError: Option[String] = None) {
+    def deflate: Boolean = filters.exists(_._1 == 1)
+    def shuffleElem: Option[Int] =
+      filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
+    def fletcher32: Boolean = filters.exists(_._1 == 3)
+    def badFilters: Seq[Int] = filters.map(_._1).filterNot(Set(1, 2, 3))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -185,7 +197,7 @@ object HDF5 {
       try parseDataset(bytes, name, addr)
       catch { case e: Exception =>
         DatasetMetaH5(name, addr, Nil, DType(-1, 0, littleEndian = true,
-          signed = false), Contiguous(UNDEF, 0L), deflate = false, Nil,
+          signed = false), Contiguous(UNDEF, 0L), Nil,
           parseError = Some(String.valueOf(e.getMessage)))
       }
     })
@@ -706,10 +718,7 @@ object HDF5 {
     var shape: Seq[Long] = Nil
     var dtype: DType = null
     var layout: Layout = null
-    var deflate = false
-    var shuffleElem: Option[Int] = None
-    var fletcher32 = false
-    var badFilters = Vector.empty[Int]
+    var filters = Vector.empty[(Int, Seq[Int])]
     val attrs = Vector.newBuilder[Attr]
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
@@ -743,14 +752,10 @@ object HDF5 {
             b.position(b.position() + nameLen) // v1 length includes padding
             val cd = (0 until ncd).map(_ => b.getInt())
             if (ver == 1 && ncd % 2 == 1) b.getInt() // pad to 8
-            id match {
-              case 1 => deflate = true
-              case 2 => shuffleElem = Some(cd.headOption.getOrElse(1))
-              case 3 => fletcher32 = true // checksum stripped on read
-              // an exotic filter on ONE variable must not make the whole
-              // file unreadable: record it, fail only readVar of this var
-              case other => badFilters :+= other
-            }
+            // record pipeline ORDER; an exotic filter id on ONE variable
+            // must not make the whole file unreadable — badFilters fails
+            // only readVar of this var
+            filters :+= (id -> cd)
           }
         case 0x0C => attrs += parseAttr(bytes, m.body)
         case 0x15 => attrs ++= denseAttrs(bytes, m.body)
@@ -759,8 +764,7 @@ object HDF5 {
     }
     require(dtype != null && layout != null,
       s"dataset $name lacks datatype/layout")
-    DatasetMetaH5(name, addr, shape, dtype, layout, deflate, attrs.result(),
-      shuffleElem, fletcher32, badFilters)
+    DatasetMetaH5(name, addr, shape, dtype, layout, attrs.result(), filters)
   }
 
   /** Decode a dataset to a dense row-major Double array. */
@@ -793,9 +797,21 @@ object HDF5 {
     }
     d.parseError.foreach(err =>
       sys.error(s"$name failed metadata parse: $err"))
-    require(d.badFilters.isEmpty,
-      s"$name uses unsupported filter ids ${d.badFilters.mkString(",")} " +
-        "(deflate/shuffle/fletcher32 only)")
+    require(d.badFilters.isEmpty, {
+      val names = d.badFilters.map {
+        case 4 => "4 (szip)"
+        case 5 => "5 (nbit)"
+        case 6 => "6 (scaleoffset)"
+        case 32000 => "32000 (lzf)"
+        case 32001 => "32001 (blosc)"
+        case 32015 => "32015 (zstd)"
+        case o => o.toString
+      }
+      s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
+        "reader decodes deflate/shuffle/fletcher32 only. Re-encode with " +
+        "`nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
+        "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
+    })
     val stride = d.dtype.size
     val n = d.shape.product.toInt
     val out = new Array[Double](n)
@@ -840,7 +856,7 @@ object HDF5 {
           (0 until used).foreach { _ =>
             val kb = buf(bytes, p, keySize)
             val chunkBytes = kb.getInt()
-            kb.getInt() // filter mask
+            val filterMask = kb.getInt() // bit i set = pipeline[i] skipped
             val origin = chunkDims.indices.map(_ => kb.getLong())
             kb.getLong() // trailing element offset
             val child = buf(bytes, p + keySize, 8).getLong()
@@ -848,27 +864,40 @@ object HDF5 {
             else {
               val raw0 = java.util.Arrays.copyOfRange(
                 bytes, child.toInt, child.toInt + chunkBytes)
-              // fletcher32 appends a 4-byte checksum INSIDE the filtered
-              // payload (innermost filter: applied before shuffle/deflate
-              // on write, so undone last on read) — VERIFIED here, that
-              // being the filter's whole purpose
-              val fl = if (d.fletcher32) 4 else 0
-              val raw1 = if (d.deflate) inflate(raw0,
-                chunkDims.map(_.toLong).product.toInt * stride + fl) else raw0
-              // decode order reverses write order (shuffle ran FIRST on
-              // write, so it is undone LAST)
-              val raw2 = d.shuffleElem match {
-                case Some(es) => unshuffle(raw1, es)
-                case None => raw1
+              // Undo the DECLARED pipeline last-to-first, honoring the
+              // per-chunk filter mask. The fletcher32 checksum is verified
+              // and stripped at its actual pipeline position (netCDF-C
+              // sets it innermost — checksum over the raw bytes; h5py's
+              // set_fletcher32 after compression puts it outermost — the
+              // checksum then covers the compressed bytes). Each filter
+              // inner to a deflate still to be undone contributes its 4
+              // checksum bytes to the expected inflate size.
+              val active = d.filters.zipWithIndex
+                .filter { case (_, i) => (filterMask & (1 << i)) == 0 }
+                .map(_._1)
+              val baseLen = chunkDims.map(_.toLong).product.toInt * stride
+              var raw = raw0
+              var k = active.length - 1
+              while (k >= 0) {
+                active(k) match {
+                  case (1, _) =>
+                    val innerFl = 4 * active.take(k).count(_._1 == 3)
+                    raw = inflate(raw, baseLen + innerFl)
+                  case (2, cd) => raw = unshuffle(raw, cd.headOption.getOrElse(1))
+                  case (3, _) =>
+                    require(raw.length >= 4,
+                      s"fletcher32 chunk of ${d.name} shorter than its checksum")
+                    val dataLen = raw.length - 4
+                    val stored = ByteBuffer.wrap(raw, dataLen, 4)
+                      .order(ByteOrder.LITTLE_ENDIAN).getInt
+                    require(fletcherSum(raw, dataLen) == stored,
+                      s"fletcher32 checksum mismatch in a chunk of ${d.name}")
+                    raw = java.util.Arrays.copyOfRange(raw, 0, dataLen)
+                  case (other, _) =>
+                    sys.error(s"unsupported filter id $other in ${d.name}")
+                }
+                k -= 1
               }
-              val raw = if (fl > 0 && raw2.length >= fl) {
-                val dataLen = raw2.length - fl
-                val stored = ByteBuffer.wrap(raw2, dataLen, 4)
-                  .order(ByteOrder.LITTLE_ENDIAN).getInt
-                require(fletcherSum(raw2, dataLen) == stored,
-                  s"fletcher32 checksum mismatch in a chunk of ${d.name}")
-                java.util.Arrays.copyOfRange(raw2, 0, dataLen)
-              } else raw2
               decodeInto(raw, origin, chunkDims)
             }
             p += keySize + 8
@@ -1005,10 +1034,13 @@ object HDF5 {
 
   /** Writer-side variable: `dims` by index into `dimDefs`; data row-major
     * doubles; f64 unless `f32`; chunked+deflate when `chunk` is set. */
+  /** `fletcherOuter`: declare + apply fletcher32 LAST (h5py's
+    * set_fletcher32 order — checksum covers the compressed bytes) instead
+    * of the default netCDF-C order (checksum innermost, over raw bytes). */
   case class WVar(name: String, dims: Seq[Int], data: Array[Double],
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
                   integral: Boolean = false, shuffle: Boolean = false,
-                  fletcher: Boolean = false)
+                  fletcher: Boolean = false, fletcherOuter: Boolean = false)
 
   def writeNc4(path: String, dimDefs: Seq[(String, Array[Double])],
                vars: Seq[WVar], deflateLevel: Int = 1,
@@ -1137,18 +1169,24 @@ object HDF5 {
               else 0.0
             }
             val enc = encode(v, slice)
-            // apply order: fletcher32 (innermost, checksum appended LE),
-            // then shuffle, then deflate
-            val summed = if (v.fletcher) {
-              val withSum = java.util.Arrays.copyOf(enc, enc.length + 4)
-              ByteBuffer.wrap(withSum, enc.length, 4)
+            def addSum(a: Array[Byte]): Array[Byte] = {
+              val withSum = java.util.Arrays.copyOf(a, a.length + 4)
+              ByteBuffer.wrap(withSum, a.length, 4)
                 .order(ByteOrder.LITTLE_ENDIAN)
-                .putInt(fletcherSum(enc, enc.length))
+                .putInt(fletcherSum(a, a.length))
               withSum
-            } else enc
+            }
+            // default apply order: fletcher32 (innermost, checksum over
+            // raw bytes), then shuffle, then deflate; fletcherOuter moves
+            // the checksum after deflate (h5py order)
+            val summed =
+              if (v.fletcher && !v.fletcherOuter) addSum(enc) else enc
             val filtered =
               if (v.shuffle) shuffleBytes(summed, elemSize(v)) else summed
-            (origin, deflateBytes(filtered, deflateLevel))
+            val deflated = deflateBytes(filtered, deflateLevel)
+            (origin,
+              if (v.fletcher && v.fletcherOuter) addSum(deflated)
+              else deflated)
           }
           chunkBlobs(v.name) = blobs.map(_._2)
           chunkAddrs(v.name) = blobs.map { case (origin, blob) =>
@@ -1706,7 +1744,8 @@ object HDF5 {
 
   private def pipelineBody(level: Int,
                            shuffleElem: Option[Int],
-                           fletcher: Boolean = false): Array[Byte] = {
+                           fletcher: Boolean = false,
+                           fletcherOuter: Boolean = false): Array[Byte] = {
     val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
       (if (fletcher) 1 else 0)
     // entry sizes: deflate 16, shuffle 16, fletcher 8 (no client values)
@@ -1715,14 +1754,15 @@ object HDF5 {
     val b = ByteBuffer.allocate(bodyLen).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(nf.toByte)
     b.putShort(0.toShort); b.putInt(0)
-    // write order = apply order: fletcher32 first (innermost checksum),
-    // then shuffle, then deflate
-    if (fletcher) {
+    def fletcherEntry(): Unit = {
       b.putShort(3.toShort) // fletcher32
       b.putShort(0.toShort) // name length
       b.putShort(0.toShort) // flags: mandatory (checksums must not drop)
       b.putShort(0.toShort) // no client values (entry = 8 bytes, even pad)
     }
+    // write order = apply order: default netCDF-C layout puts fletcher32
+    // first (innermost checksum); fletcherOuter declares it last (h5py)
+    if (fletcher && !fletcherOuter) fletcherEntry()
     shuffleElem.foreach { es =>
       b.putShort(2.toShort) // shuffle
       b.putShort(0.toShort) // name length
@@ -1735,6 +1775,7 @@ object HDF5 {
     b.putShort(1.toShort) // flags: optional
     b.putShort(1.toShort) // one client value
     b.putInt(level); b.putInt(0) // value + pad to 8
+    if (fletcher && fletcherOuter) fletcherEntry()
     b.array()
   }
 
@@ -1774,7 +1815,8 @@ object HDF5 {
       })
     val filters = if (v.chunk.isDefined)
       Seq(msg(0x0B, pipelineBody(level,
-        if (v.shuffle) Some(elemSize) else None, v.fletcher))) else Nil
+        if (v.shuffle) Some(elemSize) else None, v.fletcher,
+        v.fletcherOuter))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

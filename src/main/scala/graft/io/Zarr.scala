@@ -1054,9 +1054,17 @@ object Zarr {
       require(inner.length == chunks.length &&
         inner.zip(chunks).forall { case (i, c) => i > 0 && c % i == 0 },
         s"inner chunk shape $inner must divide the shard shape $chunks")
-      existing.flatMap(_.shard).foreach { es =>
-        require(es.inner == inner,
-          s"region write inner chunk shape $inner != the store's ${es.inner}")
+      existing.foreach { e =>
+        // The symmetric hazard to inheritance below: shard-encoding blobs
+        // into a store whose metadata declares a plain codec chain would
+        // silently corrupt it for readers.
+        require(e.shard.isDefined,
+          s"region write with inner chunk shape $inner targets a " +
+            "NON-sharded store — its readers expect plain chunk blobs")
+        e.shard.foreach { es =>
+          require(es.inner == inner,
+            s"region write inner chunk shape $inner != the store's ${es.inner}")
+        }
       }
       ShardSpec(inner, comp)
     }.orElse(existing.flatMap(_.shard))

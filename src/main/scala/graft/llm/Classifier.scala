@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.DecimalType
   * scan of the feature stream (margin join + per-bucket gradient agg),
   * and nothing corpus-sized ever reaches the driver. Determinism policy:
   * sigmoid outputs round to 8 dp, weights live at scale 12 where the
-  * update g(8dp)·lr/N lands EXACTLY on the decimal grid (lr/N = 2e-4
-  * here) — values sit on grid points, never on rounding boundaries, so
+  * update g(8dp)·lr/N lands EXACTLY on the decimal grid whenever lr/N
+  * has ≤4 decimal digits (the registered q219/q220 callers use lr=0.1,
+  * N=500, i.e. lr/N = 2e-4) — values sit on grid points, never on
+  * rounding boundaries, so
   * engines whose round() resolves true ties differently (shortest-repr
   * HALF_UP vs exact-binary) still agree; all sums accumulate in DECIMAL.
   * Every epoch is replayable bit-for-bit in SQL (epoch 1 is libm-free
@@ -84,7 +86,7 @@ object Classifier {
     // (10,0) = precision 29 — exact at scale 12. |w|,|e| stay < 1e6.
     val dec = DecimalType(18, 12)
     val xDec = DecimalType(10, 0)
-    // w: (b, w DECIMAL(28,12)); starts at zero for every bucket incl. bias
+    // w: (b, w DECIMAL(18,12)); starts at zero for every bucket incl. bias
     var w: DataFrame = spark.range(0, buckets + 1)
       .select(col("id").as("b"), lit(0).cast(dec).as("w"))
     (1 to epochs).foreach { _ =>

@@ -154,29 +154,40 @@ object Multimodal {
         if (!readers.hasNext) { iis.close(); Iterator.empty }
         else {
           val reader = readers.next()
-          reader.setInput(iis)
-          val n = try reader.getNumImages(true) catch { case _: Throwable => 0 }
-          val rows = (0 until n).iterator.map { f =>
-            val img = reader.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
+          try {
+            reader.setInput(iis)
+            val n = try reader.getNumImages(true) catch { case _: Throwable => 0 }
+            // A corrupt/truncated frame stops enumeration at that frame
+            // rather than failing the job (skip contract, as documented).
+            val rows = Vector.newBuilder[Row]
+            var f = 0
+            var ok = true
+            while (f < n && ok) {
+              try {
+                val img = reader.read(f)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                    sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val cnt = w.toLong * h
+                rows += Row(r.getLong(0), f, w, h,
+                  sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
+              } catch { case _: Exception => ok = false }
+              f += 1
             }
-            val cnt = w.toLong * h
-            Row(r.getLong(0), f, w, h,
-              sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
-          }.toVector
-          reader.dispose(); iis.close()
-          rows.iterator
+            rows.result().iterator
+          } finally {
+            reader.dispose(); iis.close()
+          }
         }
       }
     }

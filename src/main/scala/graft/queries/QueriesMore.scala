@@ -911,7 +911,7 @@ object QueriesMore {
              CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
            FROM orders GROUP BY 1),
          prev AS (SELECT d.day, max(m.day) AS pk
-           FROM days d JOIN monthly m ON m.day <= d.day GROUP BY 1),
+           FROM days d LEFT JOIN monthly m ON m.day <= d.day GROUP BY 1),
          nxt AS (SELECT d.day, min(m.day) AS nk
            FROM days d LEFT JOIN monthly m ON m.day >= d.day GROUP BY 1),
          sel AS (SELECT p.day,

@@ -104,6 +104,32 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.readVar(b32, f32, "vf").toSeq === v32.toSeq)
   }
 
+  test("h5py-style OUTER fletcher32: checksum at its declared pipeline position") {
+    // h5py's set_fletcher32 after shuffle/deflate declares the checksum
+    // LAST — it covers the compressed bytes, so the reader must verify
+    // and strip it BEFORE inflating (the declared order, not a hardcoded
+    // innermost assumption)
+    val dir = Files.createTempDirectory("graft_h5flo").toString
+    val path = s"$dir/flo.nc4"
+    val v = (for (i <- 0 until 7; j <- 0 until 3)
+      yield i * 10.0 + j).toArray
+    HDF5.writeNc4(path,
+      Seq("x" -> Array.tabulate(7)(_.toDouble),
+        "y" -> Array.tabulate(3)(_.toDouble)),
+      Seq(
+        WVar("vo", Seq(0, 1), v, chunk = Some(Seq(4, 2)),
+          fletcher = true, fletcherOuter = true),
+        WVar("vso", Seq(0, 1), v, chunk = Some(Seq(4, 2)), shuffle = true,
+          fletcher = true, fletcherOuter = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    // declared order is recorded, not collapsed to booleans
+    assert(f.byName("vo").filters.map(_._1) === Seq(1, 3))
+    assert(f.byName("vso").filters.map(_._1) === Seq(2, 1, 3))
+    assert(HDF5.readVar(bytes, f, "vo").toSeq === v.toSeq)
+    assert(HDF5.readVar(bytes, f, "vso").toSeq === v.toSeq)
+  }
+
   test("distributed toLongDF matches the in-memory decode") {
     val dir = Files.createTempDirectory("graft_h5df").toString
     fixture(s"$dir/part0.nc4")
