@@ -24,10 +24,12 @@ import org.json4s.jackson.JsonMethods
   * `fill_value`), then compressed. Dimension names follow the xarray
   * convention: `_ARRAY_DIMENSIONS` in `.zattrs`.
   *
-  * Codecs: `null` (raw) and `zlib` (`numcodecs.Zlib`, plain DEFLATE via
-  * `java.util.zip`). `blosc` — zarr-python's default — needs the native
-  * c-blosc library and is a documented NON-GOAL; stores meant for this
-  * engine should be written with zlib or no compressor.
+  * Codecs: `null` (raw), `zlib` (`numcodecs.Zlib`, plain DEFLATE via
+  * `java.util.zip`), and `blosc` — zarr-python's DEFAULT — decoded
+  * pure-JVM by [[Blosc]] for the lz4/lz4hc/zstd/zlib/snappy inner codecs
+  * (byte-shuffle and no-shuffle; blosclz and bit-shuffle are rejected
+  * with re-encode guidance). Pass compressor id "blosc:<cname>:<shuffle>"
+  * to write blosc-framed chunks.
   *
   * 100 TB shape: chunks are independently decodable, so the reader maps
   * one Spark task per chunk file (`binaryFile` source — no driver
@@ -122,13 +124,22 @@ object Zarr {
       case JNull | JNothing => None
       case c =>
         val id = (c \ "id") match { case JString(s) => s; case _ => "?" }
-        val lvl = (c \ "level") match {
-          case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
+        def int(field: String, dflt: Int): Int = (c \ field) match {
+          case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => dflt
         }
-        require(id == "zlib",
-          s"unsupported compressor '$id' (supported: null, zlib; " +
-            "blosc is a documented non-goal)")
-        Some((id, lvl))
+        id match {
+          case "zlib" => Some((id, int("level", 1)))
+          case "blosc" =>
+            // numcodecs Blosc carries cname/clevel/shuffle; pack cname and
+            // shuffle into the id ("blosc:<cname>:<shuffle>") so the
+            // (String, Int) compressor slot round-trips the write config
+            Some((s"blosc:${(c \ "cname") match {
+              case JString(s) => s; case _ => "lz4"
+            }}:${int("shuffle", 1)}", int("clevel", 5)))
+          case other => sys.error(
+            s"unsupported compressor '$other' (supported: null, zlib, " +
+              "blosc[lz4/lz4hc/zstd/zlib/snappy])")
+        }
     }
     val fill = (j \ "fill_value") match {
       case JDouble(d) => d
@@ -233,7 +244,24 @@ object Zarr {
     var order: Char = '<'
     var comp: Option[(String, Int)] = None
     var shard: Option[ShardSpec] = None
-    // a plain codec chain is bytes [+ gzip]; parse one into (endian, comp)
+    // v3 blosc codec config -> the same packed "blosc:<cname>:<shuffle>"
+    // id the v2 path uses (shuffle is a string enum in v3)
+    def bloscOf(c: JValue): (String, Int) = {
+      val cfg = c \ "configuration"
+      val cname = (cfg \ "cname") match {
+        case JString(s) => s; case _ => "lz4"
+      }
+      val shuffle = (cfg \ "shuffle") match {
+        case JString("noshuffle") => 0
+        case JString("bitshuffle") => 2
+        case _ => 1
+      }
+      val clevel = (cfg \ "clevel") match {
+        case JInt(l) => l.toInt; case JLong(l) => l.toInt; case _ => 5
+      }
+      (s"blosc:$cname:$shuffle", clevel)
+    }
+    // a plain codec chain is bytes [+ gzip|blosc]; parse into (endian, comp)
     def parseChain(v: JValue): (Char, Option[(String, Int)]) = {
       var o: Char = '<'; var cm: Option[(String, Int)] = None
       v match {
@@ -247,8 +275,9 @@ object Zarr {
               case JInt(l) => cm = Some(("gzip", l.toInt))
               case _ => cm = Some(("gzip", 1))
             }
+            case JString("blosc") => cm = Some(bloscOf(c))
             case JString(other) =>
-              sys.error(s"unsupported v3 codec '$other' (bytes, gzip)")
+              sys.error(s"unsupported v3 codec '$other' (bytes, gzip, blosc)")
             case other => sys.error(s"bad codec $other")
           }
         }
@@ -282,8 +311,10 @@ object Zarr {
             case JInt(l) => comp = Some(("gzip", l.toInt))
             case _ => comp = Some(("gzip", 1))
           }
+          case JString("blosc") => comp = Some(bloscOf(c))
           case JString(other) =>
-            sys.error(s"unsupported v3 codec '$other' (bytes, gzip, sharding_indexed)")
+            sys.error(s"unsupported v3 codec '$other' " +
+              "(bytes, gzip, blosc, sharding_indexed)")
           case other => sys.error(s"bad codec $other")
         }
       }
@@ -396,6 +427,10 @@ object Zarr {
     val plain = m.compressor match {
       case Some(("zlib", _)) => inflate(raw, n * m.size)
       case Some(("gzip", _)) => gunzip(raw, n * m.size)
+      // the blosc frame header self-describes codec/shuffle/split — the
+      // packed id only matters for writes
+      case Some((id, _)) if id.startsWith("blosc") =>
+        Blosc.decompress(raw, n * m.size)
       case None => { require(raw.length >= n * m.size, "short raw chunk"); raw }
       case Some((id, _)) => sys.error(s"unsupported compressor $id")
     }
@@ -443,6 +478,11 @@ object Zarr {
     m.compressor match {
       case Some(("zlib", lvl)) => deflate(buf.array(), lvl)
       case Some(("gzip", lvl)) => gzip(buf.array(), lvl)
+      case Some((id, lvl)) if id.startsWith("blosc") =>
+        val parts = id.split(":") // "blosc:<cname>:<shuffle>"
+        Blosc.compress(buf.array(), m.size,
+          if (parts.length > 1) parts(1) else "lz4", lvl,
+          if (parts.length > 2) parts(2).toInt else 1)
       case _ => buf.array()
     }
   }
@@ -861,6 +901,13 @@ object Zarr {
 
   private def metaJson(m: ArrayMeta): String = {
     val comp = m.compressor match {
+      case Some((id, lvl)) if id.startsWith("blosc") =>
+        val parts = id.split(":")
+        JObject("id" -> JString("blosc"),
+          "cname" -> JString(if (parts.length > 1) parts(1) else "lz4"),
+          "clevel" -> JInt(lvl),
+          "shuffle" -> JInt(if (parts.length > 2) parts(2).toInt else 1),
+          "blocksize" -> JInt(0))
       case Some((id, lvl)) =>
         JObject("id" -> JString(id), "level" -> JInt(lvl))
       case None => JNull
@@ -894,9 +941,21 @@ object Zarr {
         JObject("endian" -> JString(
           if (order == '>') "big" else "little"))) ::
       comp.toList.map { case (id, lvl) =>
-        require(id == "gzip", s"v3 writer supports gzip, got $id")
-        JObject("name" -> JString("gzip"), "configuration" ->
-          JObject("level" -> JInt(lvl)))
+        if (id.startsWith("blosc")) {
+          val parts = id.split(":")
+          JObject("name" -> JString("blosc"), "configuration" -> JObject(
+            "cname" -> JString(if (parts.length > 1) parts(1) else "lz4"),
+            "clevel" -> JInt(lvl),
+            "shuffle" -> JString(
+              if (parts.length > 2 && parts(2) == "0") "noshuffle"
+              else "shuffle"),
+            "typesize" -> JInt(m.size),
+            "blocksize" -> JInt(0)))
+        } else {
+          require(id == "gzip", s"v3 writer supports gzip/blosc, got $id")
+          JObject("name" -> JString("gzip"), "configuration" ->
+            JObject("level" -> JInt(lvl)))
+        }
       }
     val codecs = m.shard match {
       case Some(sh) => List(JObject(

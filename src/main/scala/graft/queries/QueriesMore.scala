@@ -561,6 +561,32 @@ object QueriesMore {
       Zarr.toLongDF(s, store, "temp").select("time", "lat", "temp")
     }),
 
+    // zarr v2 with BLOSC — zarr-python's default compressor (numcodecs
+    // Blosc cname=lz4, shuffle=1), decoded by the pure-JVM c-blosc frame
+    // parser in io/Blosc.scala. DERIVATIONAL: the grid is a real orders
+    // aggregation (1995 revenue by quarter x priority), written as a
+    // blosc-framed store, read back distributed. The oracle recomputes
+    // the aggregate straight from the parquet — independent of the codec.
+    "q222_zarr_blosc" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarrbl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("long").as("p"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 4)))
+          .cast("double").as("rev"))
+      Zarr.writeLongDF(grid, store, "rev", Seq("q", "p"),
+        Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(5)(_.toDouble)),
+        chunks = Seq(2, 3), compressor = Some(("blosc:lz4:1", 5)))
+      // a cell no 1995 order hits reads back as the NaN fill — drop it so
+      // both engines describe only observed cells
+      Zarr.toLongDF(s, store, "rev").filter(!isnan(col("rev")))
+        .select("q", "p", "rev")
+    }),
+
     "q135_zarr_roundtrip" -> ((s, dir) => {
       import graft.io.Zarr
       val store = "/tmp/graft_zarr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -996,6 +1022,14 @@ object QueriesMore {
       """SELECT t.t AS time, l.l AS lat, t.t * 100 + l.l * 1.5 AS temp
          FROM (SELECT unnest(generate_series(0, 5)) AS t) t
          CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS l) l""",
+    // derivational: recomputed from the parquet, not the store — a codec
+    // bug (mis-shuffled bytes, wrong stream splits) breaks the hash
+    "q222_zarr_blosc" ->
+      """SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+           CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1 AS BIGINT)
+             AS p,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+         FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2""",
     // the sharded store must read back to exactly the generating surface
     "q205_zarr_sharded" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 10 + l.l * 0.5 AS temp
