@@ -419,6 +419,70 @@ class PipelineOpsSpec extends SparkSpec {
       s"banana after (a,n) must be b|an|an|a, got $benc")
   }
 
+  test("batched BPE is bit-identical to one-merge-at-a-time training") {
+    import graft.llm.Bpe
+    // driver-side sequential reference: classic Sennrich loop, one merge
+    // per pass, greedy leftmost replace, (cnt desc, l, r) pick order
+    def seqBpe(freq: Map[String, Long],
+               rounds: Int): Seq[(Int, String, String, Long)] = {
+      var dict: Map[String, (Vector[String], Long)] =
+        freq.map { case (w, f) => w -> (w.split("").toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for ((_, (syms, f)) <- dict; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r, l, rr, cnt))
+          dict = dict.map { case (w, (syms, f)) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            w -> (b.result(), f)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    // seeded random corpus over a 5-letter alphabet: rich enough to hit
+    // the batch gates (shared symbols, created-symbol collisions, bound
+    // stops) across 12 passes
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(60)(
+      (1 to 3 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(5)).toChar)
+        .mkString)
+    val docs = Seq((1L, words.take(30).mkString(" ")),
+      (2L, words.drop(30).mkString(" "))).toDF("doc_id", "text")
+    val freq = words.groupBy(identity).map { case (w, ws) =>
+      w -> ws.size.toLong }
+    val expect = seqBpe(freq, 12)
+    val got = Bpe.train(docs, "text", rounds = 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // fully disjoint pairs: the case where one pass accepts several
+    // merges at once must still match the sequential table exactly
+    val dis = Seq((1L, ("ab " * 8 + "cd " * 6 + "ef " * 4).trim))
+      .toDF("doc_id", "text")
+    val got2 = Bpe.train(dis, "text", rounds = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got2.toSeq === Seq(
+      (1, "a", "b", 8L), (2, "c", "d", 6L), (3, "e", "f", 4L)))
+  }
+
   test("quality classifier: 2 GD epochs separate a disjoint-vocabulary corpus") {
     import graft.llm.Classifier
     val good = (0 until 20).map(i =>
