@@ -248,6 +248,46 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
   def identical(other: XDataset): Boolean =
     meta.attrs == other.meta.attrs &&
       meta.varAttrs == other.meta.varAttrs && equalsData(other)
+
+  /** loc — label-dict selection sugar over [[sel]] (ref `dataset.py:632`
+    * `_LocIndexer`): `ds.loc(Map("x" -> 3, "y" -> "a"))`. Each entry is an
+    * exact-label filter; all are ANDed in one scan-stage predicate. */
+  def loc(labels: Map[String, Any]): XDataset =
+    labels.foldLeft(this) { case (d, (dim, v)) => d.sel(dim, Seq(v)) }
+
+  /** load / compute (ref `dataset.py:1381` Dataset.load): force eager
+    * materialization. The Spark analog of pulling a lazy store read into
+    * memory: persist + one count action. Registered with [[graft.util
+    * .QueryCache]] so an enclosing scope releases it. */
+  def load(): XDataset = {
+    graft.util.QueryCache.persist(df)
+    df.count()
+    this
+  }
+
+  /** to_dataframe (ref `dataset.py:7353`): the tidy long-format frame IS
+    * this representation, so the export is a deterministic ordering —
+    * index (dim) columns first, rows sorted by them, exactly pandas'
+    * MultiIndex order. */
+  def toDataFrame(): DataFrame = {
+    val ordered = (meta.keyCols ++ dataVars).map(col)
+    df.select(ordered: _*).orderBy(meta.dims.map(col): _*)
+  }
+
+  /** chunk (ref `dataset.py:2565` Dataset.chunk): re-chunk the data into
+    * `n` partitions, hash-distributed on the dim keys so one dim label
+    * never straddles more partitions than it must. Data-invariant. */
+  def chunk(n: Int): XDataset =
+    withDf(df.repartition(n, meta.dims.map(col): _*))
+
+  /** map_blocks (ref `core/parallel.py:228`): apply `f` to each chunk
+    * (partition) of rows, schema declared up front like the reference's
+    * `template`. The escape hatch for per-block imperative logic — the
+    * result is a plain DataFrame because `f` may change the schema. */
+  def mapBlocks(schema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[org.apache.spark.sql.Row] =>
+        Iterator[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(df.rdd.mapPartitions(f), schema)
 }
 
 object XDataset {
@@ -256,8 +296,34 @@ object XDataset {
            coords: Set[String] = Set.empty): XDataset =
     new XDataset(spark.read.parquet(path), DatasetMeta(dims, coords))
 
+  /** open_dataarray (ref `backends/api.py:637`): open a store that must
+    * hold exactly one data variable of interest — [[open]] + a projection
+    * to the dims and that variable, so the scan's ReadSchema shrinks to
+    * the dataarray's columns. */
+  def openDataArray(spark: SparkSession, path: String, dims: Seq[String],
+                    varName: String): XDataset =
+    open(spark, path, dims).selectVars(varName)
+
+  /** from_dataframe (ref `dataset.py:7460`): a tidy frame with its index
+    * columns named — identity modulo metadata, the long format IS the
+    * dataset. */
+  def fromDataFrame(df: DataFrame, dims: Seq[String],
+                    coords: Set[String] = Set.empty): XDataset =
+    apply(df, dims, coords)
+
   def apply(df: DataFrame, dims: Seq[String], coords: Set[String] = Set.empty): XDataset =
     new XDataset(df, DatasetMeta(dims, coords))
+
+  /** unify_chunks (ref `dataset.py:8856`): bring two datasets onto the
+    * SAME chunk scheme — `n` partitions hash-distributed on their shared
+    * dims — so a following binary op or join is co-partitioned (one
+    * exchange each, same layout, no re-shuffle between them). */
+  def unifyChunks(a: XDataset, b: XDataset, n: Int): (XDataset, XDataset) = {
+    val shared = a.meta.dims.filter(b.meta.dims.contains)
+    require(shared.nonEmpty, "unifyChunks needs a shared dim")
+    (new XDataset(a.df.repartition(n, shared.map(col): _*), a.meta, a.indexes),
+      new XDataset(b.df.repartition(n, shared.map(col): _*), b.meta, b.indexes))
+  }
 
   /** Exact cross-engine-stable sum of a double column: accumulate in decimal
     * (associative, order-independent) and cast back. At 100 TB a plain

@@ -453,6 +453,111 @@ object QueriesCoverage {
         .groupBy("c_mktsegment")
         .agg(exactSum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // §2.1 open_dataarray (ref `backends/api.py:637`): single-variable
+    // open — the projection must reach the scan (ReadSchema = dims + var)
+    "q223_open_dataarray" -> ((s, dir) => {
+      XDataset.openDataArray(s, s"$dir/orders.parquet",
+        dims = Seq("o_orderkey"), varName = "o_totalprice")
+        .headDim("o_orderkey", 100)
+        .df.select("o_orderkey", "o_totalprice")
+    }),
+
+    // §2.1 load_* (ref `dataset.py:1381`): eager materialization — the
+    // persisted frame must answer identically to the lazy scan
+    "q224_load_eager" -> ((s, dir) => {
+      graft.util.QueryCache.scoped {
+        XDataset(Tables.supplier(s, dir), dims = Seq("s_suppkey"))
+          .load()
+          .df.groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            exactSum(col("s_acctbal")).as("bal"))
+      }
+    }),
+
+    // §2.2 loc (ref `dataset.py:632` _LocIndexer): label-dict selection
+    // sugar; both labels must land in ONE scan-stage predicate
+    "q225_loc" -> ((s, dir) => {
+      XDataset(Tables.lineitem(s, dir),
+        dims = Seq("l_returnflag", "l_linestatus", "l_orderkey"))
+        .loc(Map("l_returnflag" -> "R", "l_linestatus" -> "F"))
+        .df.groupBy("l_orderkey")
+        .agg(exactSum(col("l_quantity")).as("qty"))
+    }),
+
+    // §2.1 from_dataframe -> to_dataframe (ref `dataset.py:7460/7353`):
+    // the long format IS the frame, so the roundtrip is identity plus
+    // the deterministic index-first export order
+    "q226_to_dataframe" -> ((s, dir) => {
+      val src = Tables.customer(s, dir)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+      XDataset.fromDataFrame(src, dims = Seq("c_custkey"))
+        .toDataFrame()
+        .filter(col("c_custkey") <= 500)
+    }),
+
+    // §2.10 chunk (ref `dataset.py:2565`): re-chunk to a partition count;
+    // the data is invariant — the oracle sees straight through it
+    "q227_chunk" -> ((s, dir) => {
+      XDataset(Tables.lineitem(s, dir), dims = Seq("l_orderkey"))
+        .chunk(16)
+        .df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("qty"))
+    }),
+
+    // §2.7 unify_chunks (ref `dataset.py:8856`): both sides repartitioned
+    // onto one scheme on the shared dim, then joined — co-partitioned, no
+    // third exchange between the unify and the join
+    "q228_unify_chunks" -> ((s, dir) => {
+      val o = XDataset(Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        dims = Seq("custkey"))
+      val c = XDataset(Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        dims = Seq("custkey"))
+      val (ou, cu) = XDataset.unifyChunks(o, c, 32)
+      ou.df.join(cu.df, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(exactSum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // §2.12 accessor registration (ref `core/extensions.py:55`): the
+    // implicit-value-class namespace (`ds.stats.describe()`) — zero
+    // registry, compile-checked; one aggregation pass per variable
+    "q229_accessor" -> ((s, dir) => {
+      import graft.model.Accessors._
+      XDataset(Tables.customer(s, dir)
+        .select("c_custkey", "c_acctbal", "c_nationkey"),
+        dims = Seq("c_custkey"))
+        .stats.describe()
+        .select(col("c_acctbal_count"),
+          round(col("c_acctbal_mean"), 4).as("c_acctbal_mean"),
+          col("c_acctbal_min"), col("c_acctbal_max"),
+          col("c_nationkey_count"),
+          round(col("c_nationkey_mean"), 4).as("c_nationkey_mean"))
+    }),
+
+    // §2.12 map_blocks (ref `core/parallel.py:228`): per-chunk imperative
+    // logic with a declared template schema — the mapPartitions escape
+    // hatch; the block function here is replayable in SQL so the oracle
+    // checks the plumbing end to end
+    "q230_map_blocks" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val ds = XDataset(Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice"), dims = Seq("o_orderkey"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = false),
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("o_totalprice", DoubleType, nullable = false)))
+      val blocks = ds.mapBlocks(schema) { it =>
+        it.map { r =>
+          val price = r.getDouble(1)
+          Row(r.getLong(0), (price / 50000.0).toInt, price)
+        }
+      }
+      blocks.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"))
     })
   )
 
@@ -596,6 +701,50 @@ object QueriesCoverage {
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
            count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment"""
+         GROUP BY c_mktsegment""",
+    "q223_open_dataarray" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 100""",
+    // eager load is an execution-strategy choice; the answer is the scan's
+    "q224_load_eager" ->
+      """SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS bal
+         FROM supplier GROUP BY s_nationkey""",
+    "q225_loc" ->
+      """SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+         FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+         GROUP BY l_orderkey""",
+    "q226_to_dataframe" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         WHERE c_custkey <= 500""",
+    // chunk is data-invariant: the oracle sees straight through it
+    "q227_chunk" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q228_unify_chunks" ->
+      """SELECT c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    // describe() means are exactAvg: decimal sum cast double / count
+    "q229_accessor" ->
+      """SELECT count(c_acctbal) AS c_acctbal_count,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(c_acctbal), 4) AS c_acctbal_mean,
+           min(c_acctbal) AS c_acctbal_min,
+           max(c_acctbal) AS c_acctbal_max,
+           count(c_nationkey) AS c_nationkey_count,
+           round(CAST(sum(CAST(c_nationkey AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(c_nationkey), 4) AS c_nationkey_mean
+         FROM customer""",
+    // the block function is replayable in SQL (prices positive, so the
+    // Scala toInt truncation == floor)
+    "q230_map_blocks" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1"""
   )
 }

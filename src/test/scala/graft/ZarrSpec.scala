@@ -332,9 +332,16 @@ class ZarrSpec extends SparkSpec {
     val badCodec = """{"zarr_format":3,"node_type":"array","shape":[2],
       "data_type":"float64","chunk_grid":{"name":"regular",
       "configuration":{"chunk_shape":[2]}},"fill_value":0.0,
-      "codecs":[{"name":"blosc"}],"dimension_names":["d"]}"""
+      "codecs":[{"name":"vlen-utf8"}],"dimension_names":["d"]}"""
     val ex = intercept[RuntimeException](Zarr.parseMetaV3(badCodec))
-    assert(ex.getMessage.contains("blosc"))
+    assert(ex.getMessage.contains("vlen-utf8"))
+    // blosc (bare config -> numcodecs defaults) is a supported codec now
+    val bloscCodec = """{"zarr_format":3,"node_type":"array","shape":[2],
+      "data_type":"float64","chunk_grid":{"name":"regular",
+      "configuration":{"chunk_shape":[2]}},"fill_value":0.0,
+      "codecs":[{"name":"blosc"}],"dimension_names":["d"]}"""
+    assert(Zarr.parseMetaV3(bloscCodec).compressor
+      .contains(("blosc:lz4:1", 5)))
     val badGrid = """{"zarr_format":3,"node_type":"array","shape":[2],
       "data_type":"float64","chunk_grid":{"name":"rectangular"},
       "fill_value":0.0,"codecs":[],"dimension_names":["d"]}"""
@@ -352,10 +359,16 @@ class ZarrSpec extends SparkSpec {
     assert(back.toSeq == Seq(1.0, 2.0, -1.5, -1.5))
 
     val bad = """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
-      "compressor":{"id":"blosc","cname":"lz4"},"fill_value":0.0,
+      "compressor":{"id":"bz2","level":9},"fill_value":0.0,
       "order":"C","filters":null}"""
-    val ex = intercept[IllegalArgumentException](Zarr.parseMeta(bad, None))
-    assert(ex.getMessage.contains("blosc"))
+    val ex = intercept[RuntimeException](Zarr.parseMeta(bad, None))
+    assert(ex.getMessage.contains("bz2"))
+    // blosc (numcodecs defaults filled in) parses to the packed id
+    val blosc = """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+      "compressor":{"id":"blosc","cname":"zstd","clevel":3,"shuffle":2},
+      "fill_value":0.0,"order":"C","filters":null}"""
+    assert(Zarr.parseMeta(blosc, None).compressor
+      .contains(("blosc:zstd:2", 3)))
   }
 
   test("v3 sharding_indexed: roundtrip, shard-count layout, index + crc format pins") {
