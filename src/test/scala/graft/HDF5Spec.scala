@@ -130,6 +130,19 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.readVar(bytes, f, "vso").toSeq === v.toSeq)
   }
 
+  test("szip-filtered variables fail with actionable re-encode guidance") {
+    import graft.io.HDF5.{Contiguous, DType, DatasetMetaH5, H5File}
+    // climate archives commonly ship szip-compressed netCDF-4; the reader
+    // must name the filter and point at the re-encode path, per-variable
+    val d = DatasetMetaH5("v", 0L, Seq(1L),
+      DType(0, 8, littleEndian = true, signed = true), Contiguous(0L, 8L),
+      Nil, filters = Seq(1 -> Nil, 4 -> Nil))
+    val f = H5File(Seq(d))
+    val e = intercept[IllegalArgumentException](
+      HDF5.readVar(Array.empty[Byte], f, "v"))
+    assert(e.getMessage.contains("szip") && e.getMessage.contains("h5repack"))
+  }
+
   test("distributed toLongDF matches the in-memory decode") {
     val dir = Files.createTempDirectory("graft_h5df").toString
     fixture(s"$dir/part0.nc4")
