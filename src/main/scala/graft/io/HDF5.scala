@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   *  - v1 object headers (+ continuations) and v2 "OHDR" headers
   *  - old-style groups (v1 B-tree + SNOD + local heap), v2 COMPACT groups
   *    (link messages), and v2 DENSE groups (fractal heap + link-name
-  *    B-tree v2, direct blocks + single-level indirect blocks); still
-  *    rejected with clear errors: FILTERED fractal heaps and nested
-  *    (multi-level) indirect blocks
+  *    B-tree v2; direct, root-indirect, and NESTED indirect blocks via
+  *    the spec's doubling table); still rejected with a clear error:
+  *    FILTERED fractal heaps
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
   *    compound types (per-member reads), contiguous and chunked (v1
   *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
@@ -258,7 +258,7 @@ object HDF5 {
 
   /** Fractal heap header fields needed to resolve managed heap IDs
     * (spec "Fractal Heap" / FRHP). */
-  private case class FractalHeap(idLen: Int, flags: Int, maxManagedSize: Int,
+  private[graft] case class FractalHeap(idLen: Int, flags: Int, maxManagedSize: Int,
                                  tableWidth: Int, startBlockSize: Long,
                                  maxDirectSize: Long, maxHeapBits: Int,
                                  rootAddr: Long, curRows: Int) {
@@ -272,7 +272,7 @@ object HDF5 {
     n
   }
 
-  private def parseFRHP(bytes: Array[Byte], addr: Long): FractalHeap = {
+  private[graft] def parseFRHP(bytes: Array[Byte], addr: Long): FractalHeap = {
     val b = buf(bytes, addr, 160)
     require(b.get() == 'F' && b.get() == 'R' && b.get() == 'H' &&
       b.get() == 'P', "bad fractal heap signature")
@@ -301,46 +301,58 @@ object HDF5 {
   }
 
   /** Direct blocks of the heap as (heapSpaceOffset, size, fileAddr).
-    * Root-direct and root-indirect-with-direct-children layouts (covers
-    * any group/attribute set libhdf5 keeps in direct blocks; nested
-    * indirect blocks would mean GBs of link storage — rejected). */
-  private def directBlocks(bytes: Array[Byte],
+    * Root-direct, root-indirect, and NESTED indirect layouts (the spec's
+    * doubling table: row r holds `tableWidth` blocks of
+    * `startBlockSize << max(r-1, 0)` bytes; rows past the max-direct row
+    * hold child indirect blocks whose own row grid restarts at
+    * `startBlockSize` and tiles exactly the parent entry's span —
+    * nrows(S) = log2(S / (startBlockSize*tableWidth)) + 1). Each FHIB
+    * stores the heap offset it covers, so the walk trusts the file
+    * rather than re-deriving child offsets. */
+  private[graft] def directBlocks(bytes: Array[Byte],
                            fh: FractalHeap): Seq[(Long, Long, Long)] = {
     if (fh.curRows == 0)
       // root IS a single direct block covering heap offsets [0, size);
       // every managed offset lands in it, so treat it as unbounded
-      Seq((0L, Long.MaxValue, fh.rootAddr))
-    else {
-      val b = buf(bytes, fh.rootAddr, 16 + fh.offSize)
+      return Seq((0L, Long.MaxValue, fh.rootAddr))
+    def dblockSize(r: Int): Long =
+      if (r <= 1) fh.startBlockSize else fh.startBlockSize << (r - 1)
+    val maxDirectRows =
+      (64 - java.lang.Long.numberOfLeadingZeros(
+        fh.maxDirectSize / fh.startBlockSize)).toInt + 1
+    def nrowsOf(iblockSize: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(
+        iblockSize / (fh.startBlockSize * fh.tableWidth))).toInt + 1
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    def walk(addr: Long, nrows: Int): Unit = {
+      val b = buf(bytes, addr,
+        4 + 1 + 8 + fh.offSize + nrows * fh.tableWidth * 8)
       require(b.get() == 'F' && b.get() == 'H' && b.get() == 'I' &&
         b.get() == 'B', "bad fractal heap indirect block signature")
       require((b.get() & 0xff) == 0, "indirect block version")
       b.getLong() // heap header address
-      (0 until fh.offSize).foreach(_ => b.get()) // block offset (root: 0)
-      val maxDirectRows =
-        (64 - java.lang.Long.numberOfLeadingZeros(
-          fh.maxDirectSize / fh.startBlockSize)).toInt + 1
-      require(fh.curRows <= maxDirectRows,
-        s"nested indirect fractal-heap blocks not supported " +
-          s"(${fh.curRows} rows > $maxDirectRows direct rows)")
-      var heapOff = 0L
-      val out = Seq.newBuilder[(Long, Long, Long)]
-      val ab = buf(bytes, fh.rootAddr + 4 + 1 + 8 + fh.offSize,
-        fh.curRows * fh.tableWidth * 8)
-      (0 until fh.curRows).foreach { r =>
-        val size = if (r <= 1) fh.startBlockSize else fh.startBlockSize << (r - 1)
+      var blockOff = 0L
+      (0 until fh.offSize).foreach(i =>
+        blockOff |= (b.get() & 0xffL) << (8 * i))
+      var heapOff = blockOff
+      (0 until nrows).foreach { r =>
+        val size = dblockSize(r)
         (0 until fh.tableWidth).foreach { _ =>
-          val addr = ab.getLong()
-          if (addr != UNDEF) out += ((heapOff, size, addr))
+          val a = b.getLong()
+          if (a != UNDEF) {
+            if (r < maxDirectRows) out += ((heapOff, size, a))
+            else walk(a, nrowsOf(size))
+          }
           heapOff += size // unallocated blocks still occupy heap space
         }
       }
-      out.result()
     }
+    walk(fh.rootAddr, fh.curRows)
+    out.result()
   }
 
   /** Resolve a MANAGED heap ID to object bytes. */
-  private def fheapObject(bytes: Array[Byte], fh: FractalHeap,
+  private[graft] def fheapObject(bytes: Array[Byte], fh: FractalHeap,
                           heapId: Array[Byte]): Array[Byte] = {
     val idFlags = heapId(0) & 0xff
     require((idFlags & 0x30) == 0,

@@ -128,6 +128,66 @@ class HDF5DenseSpec extends SparkSpec {
       (for (t <- 0 until 6; l <- 0 until 5) yield t * 100.0 + l * 1.5))
   }
 
+  test("nested indirect fractal-heap blocks resolve managed heap IDs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // Hand-assembled heap per the spec's doubling table: start=512,
+    // maxDirect=512, width=2 -> rows 0-1 direct, row 2+ indirect. Root
+    // FHIB (3 rows) -> child FHIB covering [2048,3072) -> FHDB at heap
+    // offset 2560. The object lives in that nested direct block.
+    val bytes = new Array[Byte](1024 + 512)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def put(pos: Int)(f: ByteBuffer => Unit): Unit = { bb.position(pos); f(bb) }
+    // FRHP at 0 (maxHeapBits 32 -> offSize 4; maxManaged 4096 -> lenSize 2)
+    put(0) { b =>
+      b.put("FRHP".getBytes).put(0.toByte)
+      b.putShort(7)           // heap id length
+      b.putShort(0)           // io filter length (unfiltered)
+      b.put(0.toByte)         // flags: no checksums
+      b.putInt(4096)          // max managed object size
+      (0 until 12).foreach(_ => b.putLong(0L)) // huge/free/managed/tiny stats
+      b.putShort(2)           // table width
+      b.putLong(512L)         // starting block size
+      b.putLong(512L)         // max direct block size
+      b.putShort(32)          // max heap size (bits)
+      b.putShort(1)           // starting rows
+      b.putLong(160L)         // root block address
+      b.putShort(3)           // current rows (root is INDIRECT, 3 rows)
+    }
+    // root FHIB at 160: block offset 0; rows 0-1 direct (all absent),
+    // row 2 = two 1024-byte spans -> entry 0 is the child FHIB
+    put(160) { b =>
+      b.put("FHIB".getBytes).put(0.toByte)
+      b.putLong(0L)                        // heap header address
+      b.putInt(0)                          // block offset (offSize = 4)
+      Seq(-1L, -1L, -1L, -1L, 240L, -1L).foreach(b.putLong)
+    }
+    // child FHIB at 240: covers heap [2048, 3072); nrows(1024) = 1;
+    // its row 0 holds two 512-byte direct blocks, only the second present
+    put(240) { b =>
+      b.put("FHIB".getBytes).put(0.toByte)
+      b.putLong(0L)
+      b.putInt(2048)
+      Seq(-1L, 320L).foreach(b.putLong)
+    }
+    // FHDB at 320: the direct block covering heap [2560, 3072)
+    put(320) { b =>
+      b.put("FHDB".getBytes).put(0.toByte)
+      b.putLong(0L)
+      b.putInt(2560)
+    }
+    val payload = "nested!".getBytes
+    put(320 + 100)(_.put(payload)) // heap offset 2560 + 100 = 2660
+    val fh = HDF5.parseFRHP(bytes, 0L)
+    assert(fh.tableWidth === 2 && fh.curRows === 3 && fh.offSize === 4)
+    // the walk must surface all three present direct blocks... here just
+    // the nested one, at its true heap offset
+    assert(HDF5.directBlocks(bytes, fh) === Seq((2560L, 512L, 320L)))
+    val heapId = Array[Byte](0,
+      (2660 & 0xff).toByte, ((2660 >> 8) & 0xff).toByte, 0, 0, // offset LE32
+      payload.length.toByte, 0)                                // length LE16
+    assert(new String(HDF5.fheapObject(bytes, fh, heapId)) === "nested!")
+  }
+
   test("lookup3 matches the published test vectors") {
     // Bob Jenkins' lookup3.c self-test values for hashlittle(...)
     assert(HDF5.lookup3("".getBytes("UTF-8"), 0) === 0xdeadbeef)
