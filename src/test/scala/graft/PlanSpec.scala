@@ -84,6 +84,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"calendar decode added shuffles:\n${p.take(1200)}")
   }
 
+  test("open_dataarray prunes the scan to dims + the one variable") {
+    val p = plan("q223_open_dataarray")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") &&
+      readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("o_custkey") &&
+      !readSchema.contains("o_orderdate"),
+      s"open_dataarray must not read the other variables: $readSchema")
+  }
+
+  test("unify_chunks co-partitions: the join adds no third exchange") {
+    // both sides repartition(32, custkey); the join must consume those
+    // layouts directly — exactly two hashpartitioning exchanges on
+    // custkey in the whole plan, none between repartition and join
+    val p = plan("q228_unify_chunks")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(custkey")).toSeq
+    assert(exchanges.size == 2,
+      s"expected exactly 2 custkey exchanges (one per side):\n" +
+        exchanges.mkString("\n"))
+  }
+
+  test("loc labels land in one scan-stage predicate (pushed filters)") {
+    val p = plan("q225_loc")
+    val scanLine = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLine.contains("l_returnflag") &&
+      scanLine.contains("l_linestatus"),
+      s"loc labels did not reach the scan:\n$scanLine")
+  }
+
   test("Z-order store read pushes both range predicates to the scan") {
     // q197 writes the clustered store then reads with a 2-d range filter:
     // both predicates must reach the parquet scan (row-group pruning is
