@@ -18,8 +18,8 @@ import org.apache.spark.sql.types._
   *  - old-style groups (v1 B-tree + SNOD + local heap), v2 COMPACT groups
   *    (link messages), and v2 DENSE groups (fractal heap + link-name
   *    B-tree v2; direct, root-indirect, and NESTED indirect blocks via
-  *    the spec's doubling table); still rejected with a clear error:
-  *    FILTERED fractal heaps
+  *    the spec's doubling table; FILTERED heaps — deflate/shuffle/
+  *    fletcher32 on whole direct blocks with per-block masks)
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
   *    compound types (per-member reads), contiguous and chunked (v1
   *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
@@ -257,14 +257,29 @@ object HDF5 {
   // ------------------------------------------------------------------
 
   /** Fractal heap header fields needed to resolve managed heap IDs
-    * (spec "Fractal Heap" / FRHP). */
+    * (spec "Fractal Heap" / FRHP). A FILTERED heap (libhdf5's
+    * H5Pset_link/attr_phase_change + deflate world) carries its own
+    * embedded filter-pipeline message; every direct block is then stored
+    * filtered whole — header included — with per-block stored sizes and
+    * filter masks (in the FRHP for a root direct block, in the parent
+    * FHIB entries otherwise). */
   private[graft] case class FractalHeap(idLen: Int, flags: Int, maxManagedSize: Int,
                                  tableWidth: Int, startBlockSize: Long,
                                  maxDirectSize: Long, maxHeapBits: Int,
-                                 rootAddr: Long, curRows: Int) {
+                                 rootAddr: Long, curRows: Int,
+                                 filters: Seq[(Int, Seq[Int])] = Nil,
+                                 filteredRootSize: Long = 0L,
+                                 rootFilterMask: Int = 0,
+                                 managedSpace: Long = 0L) {
     def offSize: Int = (maxHeapBits + 7) / 8
     def lenSize: Int = minBytes(maxManagedSize.toLong & 0xffffffffL)
   }
+
+  /** One managed direct block: heap-space offset, nominal size, file
+    * address, and (filtered heaps only) the stored on-disk size + the
+    * per-block filter mask (`stored` = -1 means unfiltered). */
+  private[graft] case class DirectBlk(off: Long, size: Long, addr: Long,
+                                      stored: Long = -1L, mask: Int = 0)
 
   private def minBytes(v: Long): Int = {
     var n = 1; var x = v >>> 8
@@ -272,19 +287,75 @@ object HDF5 {
     n
   }
 
+  /** Filter-pipeline message body (object-header message 0x0B, and the
+    * identical copy a filtered fractal heap embeds): (id, client data)
+    * in declared pipeline order. */
+  private def parseFilterPipeline(b: ByteBuffer): Seq[(Int, Seq[Int])] = {
+    val ver = b.get() & 0xff
+    val nf = b.get() & 0xff
+    if (ver == 1) { b.getShort(); b.getInt() }
+    (0 until nf).map { _ =>
+      val id = b.getShort() & 0xffff
+      val nameLen =
+        if (ver == 2 && id < 256) 0 else b.getShort() & 0xffff
+      b.getShort() // flags
+      val ncd = b.getShort() & 0xffff
+      b.position(b.position() + nameLen) // v1 length includes padding
+      val cd = (0 until ncd).map(_ => b.getInt())
+      if (ver == 1 && ncd % 2 == 1) b.getInt() // pad to 8
+      id -> cd
+    }
+  }
+
+  /** Undo a declared pipeline on ONE storage block (chunk or fractal-heap
+    * direct block), last-to-first, honoring the per-block filter mask
+    * (bit i set = pipeline[i] skipped). fletcher32 is verified + stripped
+    * at its actual position; each fletcher inner to a deflate contributes
+    * its 4 checksum bytes to that inflate's expected size. */
+  private def defilter(raw: Array[Byte], filters: Seq[(Int, Seq[Int])],
+                       mask: Int, nominal: Int,
+                       what: String): Array[Byte] = {
+    val active = filters.zipWithIndex
+      .filter { case (_, i) => (mask & (1 << i)) == 0 }
+      .map(_._1)
+    var cur = raw
+    var k = active.length - 1
+    while (k >= 0) {
+      active(k) match {
+        case (1, _) =>
+          val innerFl = 4 * active.take(k).count(_._1 == 3)
+          cur = inflate(cur, nominal + innerFl)
+        case (2, cd) => cur = unshuffle(cur, cd.headOption.getOrElse(1))
+        case (3, _) =>
+          require(cur.length >= 4,
+            s"fletcher32 block of $what shorter than its checksum")
+          val dataLen = cur.length - 4
+          val stored = ByteBuffer.wrap(cur, dataLen, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          require(fletcherSum(cur, dataLen) == stored,
+            s"fletcher32 checksum mismatch in $what")
+          cur = java.util.Arrays.copyOfRange(cur, 0, dataLen)
+        case (other, _) =>
+          sys.error(s"unsupported filter id $other in $what")
+      }
+      k -= 1
+    }
+    cur
+  }
+
   private[graft] def parseFRHP(bytes: Array[Byte], addr: Long): FractalHeap = {
-    val b = buf(bytes, addr, 160)
+    val b = buf(bytes, addr, 200)
     require(b.get() == 'F' && b.get() == 'R' && b.get() == 'H' &&
       b.get() == 'P', "bad fractal heap signature")
     require((b.get() & 0xff) == 0, "fractal heap version")
     val idLen = b.getShort() & 0xffff
     val filterLen = b.getShort() & 0xffff
-    require(filterLen == 0, "filtered fractal heaps not supported")
     val flags = b.get() & 0xff
     val maxManaged = b.getInt()
     b.getLong(); b.getLong() // next huge id + huge v2 btree
     b.getLong(); b.getLong() // free space + free space mgr
-    b.getLong(); b.getLong() // managed space + allocated managed space
+    val managedSpace = b.getLong()
+    b.getLong() // allocated managed space
     b.getLong() // direct block iterator offset
     b.getLong() // number of managed objects
     b.getLong(); b.getLong() // huge size + count
@@ -296,8 +367,18 @@ object HDF5 {
     b.getShort() // starting # rows in root indirect block
     val rootAddr = b.getLong()
     val curRows = b.getShort() & 0xffff
+    // filtered heap: stored size + mask of the ROOT direct block (only
+    // meaningful when curRows == 0), then the embedded pipeline message
+    val (filters, filtRootSize, rootMask) =
+      if (filterLen == 0) (Nil, 0L, 0)
+      else {
+        val frs = b.getLong()
+        val fm = b.getInt()
+        (parseFilterPipeline(b), frs, fm)
+      }
     FractalHeap(idLen, flags, maxManaged, tableWidth, startBlock,
-      maxDirect, maxHeapBits, rootAddr, curRows)
+      maxDirect, maxHeapBits, rootAddr, curRows,
+      filters, filtRootSize, rootMask, managedSpace)
   }
 
   /** Direct blocks of the heap as (heapSpaceOffset, size, fileAddr).
@@ -310,11 +391,17 @@ object HDF5 {
     * stores the heap offset it covers, so the walk trusts the file
     * rather than re-deriving child offsets. */
   private[graft] def directBlocks(bytes: Array[Byte],
-                           fh: FractalHeap): Seq[(Long, Long, Long)] = {
+                           fh: FractalHeap): Seq[DirectBlk] = {
+    val filtered = fh.filters.nonEmpty
     if (fh.curRows == 0)
       // root IS a single direct block covering heap offsets [0, size);
-      // every managed offset lands in it, so treat it as unbounded
-      return Seq((0L, Long.MaxValue, fh.rootAddr))
+      // every managed offset lands in it. Unfiltered needs no size bound;
+      // filtered must know the nominal size to defilter, and a single-
+      // block heap's managed space IS that block's size.
+      return Seq(
+        if (filtered) DirectBlk(0L, fh.managedSpace, fh.rootAddr,
+          fh.filteredRootSize, fh.rootFilterMask)
+        else DirectBlk(0L, Long.MaxValue, fh.rootAddr))
     def dblockSize(r: Int): Long =
       if (r <= 1) fh.startBlockSize else fh.startBlockSize << (r - 1)
     val maxDirectRows =
@@ -323,10 +410,15 @@ object HDF5 {
     def nrowsOf(iblockSize: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(
         iblockSize / (fh.startBlockSize * fh.tableWidth))).toInt + 1
-    val out = Seq.newBuilder[(Long, Long, Long)]
+    val out = Seq.newBuilder[DirectBlk]
     def walk(addr: Long, nrows: Int): Unit = {
+      val directRows = math.min(nrows, maxDirectRows)
+      // filtered heaps append (stored size: offSize bytes, mask: 4) to
+      // every DIRECT-row entry — absent entries included
+      val entryExtra = if (filtered) fh.offSize + 4 else 0
       val b = buf(bytes, addr,
-        4 + 1 + 8 + fh.offSize + nrows * fh.tableWidth * 8)
+        4 + 1 + 8 + fh.offSize + nrows * fh.tableWidth * 8 +
+          directRows * fh.tableWidth * entryExtra)
       require(b.get() == 'F' && b.get() == 'H' && b.get() == 'I' &&
         b.get() == 'B', "bad fractal heap indirect block signature")
       require((b.get() & 0xff) == 0, "indirect block version")
@@ -339,10 +431,16 @@ object HDF5 {
         val size = dblockSize(r)
         (0 until fh.tableWidth).foreach { _ =>
           val a = b.getLong()
-          if (a != UNDEF) {
-            if (r < maxDirectRows) out += ((heapOff, size, a))
-            else walk(a, nrowsOf(size))
-          }
+          if (r < maxDirectRows) {
+            var stored = -1L; var mask = 0
+            if (filtered) {
+              stored = 0L
+              (0 until fh.offSize).foreach(i =>
+                stored |= (b.get() & 0xffL) << (8 * i))
+              mask = b.getInt()
+            }
+            if (a != UNDEF) out += DirectBlk(heapOff, size, a, stored, mask)
+          } else if (a != UNDEF) walk(a, nrowsOf(size))
           heapOff += size // unallocated blocks still occupy heap space
         }
       }
@@ -351,7 +449,9 @@ object HDF5 {
     out.result()
   }
 
-  /** Resolve a MANAGED heap ID to object bytes. */
+  /** Resolve a MANAGED heap ID to object bytes. Filtered heaps defilter
+    * the whole containing direct block (header included — that is how
+    * libhdf5 stores them) before slicing the object out. */
   private[graft] def fheapObject(bytes: Array[Byte], fh: FractalHeap,
                           heapId: Array[Byte]): Array[Byte] = {
     val idFlags = heapId(0) & 0xff
@@ -362,11 +462,19 @@ object HDF5 {
     var len = 0L
     (0 until fh.lenSize).foreach(i =>
       len |= (heapId(1 + fh.offSize + i) & 0xffL) << (8 * i))
-    val (bo, _, ba) = directBlocks(bytes, fh)
-      .find(t => off >= t._1 && off < t._1 + t._2)
+    val blk = directBlocks(bytes, fh)
+      .find(t => off >= t.off && off < t.off + t.size)
       .getOrElse(sys.error(s"heap offset $off outside any direct block"))
-    java.util.Arrays.copyOfRange(bytes,
-      (ba + (off - bo)).toInt, (ba + (off - bo) + len).toInt)
+    if (blk.stored >= 0) {
+      val raw = java.util.Arrays.copyOfRange(bytes,
+        blk.addr.toInt, (blk.addr + blk.stored).toInt)
+      val plain = defilter(raw, fh.filters, blk.mask, blk.size.toInt,
+        "a fractal-heap direct block")
+      java.util.Arrays.copyOfRange(plain,
+        (off - blk.off).toInt, (off - blk.off + len).toInt)
+    } else java.util.Arrays.copyOfRange(bytes,
+      (blk.addr + (off - blk.off)).toInt,
+      (blk.addr + (off - blk.off) + len).toInt)
   }
 
   /** v2 B-tree (BTHD) record enumeration, depth 0 (one BTLF leaf) and
@@ -751,24 +859,10 @@ object HDF5 {
             case 0 => sys.error("compact layout not supported")
           }
         case 0x0B =>
-          // filter pipeline: full per-filter walk (id, name, client data)
-          val ver = b.get() & 0xff
-          val nf = b.get() & 0xff
-          if (ver == 1) { b.getShort(); b.getInt() }
-          (0 until nf).foreach { _ =>
-            val id = b.getShort() & 0xffff
-            val nameLen =
-              if (ver == 2 && id < 256) 0 else b.getShort() & 0xffff
-            b.getShort() // flags
-            val ncd = b.getShort() & 0xffff
-            b.position(b.position() + nameLen) // v1 length includes padding
-            val cd = (0 until ncd).map(_ => b.getInt())
-            if (ver == 1 && ncd % 2 == 1) b.getInt() // pad to 8
-            // record pipeline ORDER; an exotic filter id on ONE variable
-            // must not make the whole file unreadable — badFilters fails
-            // only readVar of this var
-            filters :+= (id -> cd)
-          }
+          // record pipeline ORDER; an exotic filter id on ONE variable
+          // must not make the whole file unreadable — badFilters fails
+          // only readVar of this var
+          filters ++= parseFilterPipeline(b)
         case 0x0C => attrs += parseAttr(bytes, m.body)
         case 0x15 => attrs ++= denseAttrs(bytes, m.body)
         case _ => ()
@@ -877,40 +971,13 @@ object HDF5 {
               val raw0 = java.util.Arrays.copyOfRange(
                 bytes, child.toInt, child.toInt + chunkBytes)
               // Undo the DECLARED pipeline last-to-first, honoring the
-              // per-chunk filter mask. The fletcher32 checksum is verified
-              // and stripped at its actual pipeline position (netCDF-C
-              // sets it innermost — checksum over the raw bytes; h5py's
-              // set_fletcher32 after compression puts it outermost — the
-              // checksum then covers the compressed bytes). Each filter
-              // inner to a deflate still to be undone contributes its 4
-              // checksum bytes to the expected inflate size.
-              val active = d.filters.zipWithIndex
-                .filter { case (_, i) => (filterMask & (1 << i)) == 0 }
-                .map(_._1)
+              // per-chunk filter mask (netCDF-C declares fletcher32
+              // innermost — checksum over raw bytes; h5py's
+              // set_fletcher32 after compression declares it outermost —
+              // checksum over the compressed bytes; both decode here).
               val baseLen = chunkDims.map(_.toLong).product.toInt * stride
-              var raw = raw0
-              var k = active.length - 1
-              while (k >= 0) {
-                active(k) match {
-                  case (1, _) =>
-                    val innerFl = 4 * active.take(k).count(_._1 == 3)
-                    raw = inflate(raw, baseLen + innerFl)
-                  case (2, cd) => raw = unshuffle(raw, cd.headOption.getOrElse(1))
-                  case (3, _) =>
-                    require(raw.length >= 4,
-                      s"fletcher32 chunk of ${d.name} shorter than its checksum")
-                    val dataLen = raw.length - 4
-                    val stored = ByteBuffer.wrap(raw, dataLen, 4)
-                      .order(ByteOrder.LITTLE_ENDIAN).getInt
-                    require(fletcherSum(raw, dataLen) == stored,
-                      s"fletcher32 checksum mismatch in a chunk of ${d.name}")
-                    raw = java.util.Arrays.copyOfRange(raw, 0, dataLen)
-                  case (other, _) =>
-                    sys.error(s"unsupported filter id $other in ${d.name}")
-                }
-                k -= 1
-              }
-              decodeInto(raw, origin, chunkDims)
+              decodeInto(defilter(raw0, d.filters, filterMask, baseLen,
+                s"a chunk of ${d.name}"), origin, chunkDims)
             }
             p += keySize + 8
           }

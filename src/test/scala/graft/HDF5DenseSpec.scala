@@ -181,11 +181,100 @@ class HDF5DenseSpec extends SparkSpec {
     assert(fh.tableWidth === 2 && fh.curRows === 3 && fh.offSize === 4)
     // the walk must surface all three present direct blocks... here just
     // the nested one, at its true heap offset
-    assert(HDF5.directBlocks(bytes, fh) === Seq((2560L, 512L, 320L)))
+    assert(HDF5.directBlocks(bytes, fh) ===
+      Seq(HDF5.DirectBlk(2560L, 512L, 320L)))
     val heapId = Array[Byte](0,
       (2660 & 0xff).toByte, ((2660 >> 8) & 0xff).toByte, 0, 0, // offset LE32
       payload.length.toByte, 0)                                // length LE16
     assert(new String(HDF5.fheapObject(bytes, fh, heapId)) === "nested!")
+  }
+
+  test("FILTERED fractal heaps: deflated direct blocks, per-block mask") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf2 = new Array[Byte](1024)
+      while (!d.finished()) bos.write(buf2, 0, d.deflate(buf2))
+      d.end(); bos.toByteArray
+    }
+    // embedded pipeline message (v2): one deflate filter, level 6
+    val pipeMsg = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte).put(1.toByte)      // version 2, one filter
+      b.putShort(1).putShort(1.toShort)  // id=deflate, flags=optional
+      b.putShort(1).putInt(6)            // 1 client value: level
+      b.array()
+    }
+    def frhp(bb: ByteBuffer, curRows: Int, rootAddr: Long,
+             filteredRootSize: Long, managed: Long): Unit = {
+      bb.put("FRHP".getBytes).put(0.toByte)
+      bb.putShort(7).putShort(pipeMsg.length.toShort) // idLen, filterLen
+      bb.put(0.toByte).putInt(4096)
+      (0 until 4).foreach(_ => bb.putLong(0L))
+      bb.putLong(managed)                 // managed space = root blk size
+      (0 until 7).foreach(_ => bb.putLong(0L))
+      bb.putShort(2).putLong(512L).putLong(512L) // width, start, maxDirect
+      bb.putShort(32).putShort(1)
+      bb.putLong(rootAddr).putShort(curRows.toShort)
+      bb.putLong(filteredRootSize).putInt(0)      // root stored size, mask
+      bb.put(pipeMsg)
+    }
+    val payload = "filtered heap!".getBytes
+
+    // --- case 1: ROOT DIRECT block, stored deflated whole ---
+    val block = new Array[Byte](512)
+    val blkB = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+    blkB.put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+    blkB.position(64); blkB.put(payload) // heap offset 64
+    val packed = deflate(block)
+    val bytes1 = new Array[Byte](256 + packed.length)
+    val b1 = ByteBuffer.wrap(bytes1).order(ByteOrder.LITTLE_ENDIAN)
+    frhp(b1, curRows = 0, rootAddr = 256L,
+      filteredRootSize = packed.length, managed = 512L)
+    b1.position(256); b1.put(packed)
+    val fh1 = HDF5.parseFRHP(bytes1, 0L)
+    assert(fh1.filters === Seq(1 -> Seq(6)))
+    val id1 = Array[Byte](0, 64, 0, 0, 0, payload.length.toByte, 0)
+    assert(new String(HDF5.fheapObject(bytes1, fh1, id1)) === "filtered heap!")
+
+    // --- case 2: root INDIRECT; entry 0 deflated, entry 1 mask=1 (raw,
+    // deflate skipped for that block) ---
+    val blockA = new Array[Byte](512)
+    val aB = ByteBuffer.wrap(blockA).order(ByteOrder.LITTLE_ENDIAN)
+    aB.put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+    aB.position(100); aB.put(payload) // heap offset 100
+    val packedA = deflate(blockA)
+    val blockB = new Array[Byte](512)
+    val bB = ByteBuffer.wrap(blockB).order(ByteOrder.LITTLE_ENDIAN)
+    bB.put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(512)
+    bB.position(40); bB.put("raw block".getBytes) // heap offset 512 + 40
+    // FHIB at 256: 1 row x 2 filtered direct entries:
+    // (addr 8, stored size 4 = offSize, mask 4) each
+    val fhibLen = 4 + 1 + 8 + 4 + 2 * (8 + 4 + 4)
+    val addrA = 256L + fhibLen
+    val addrB = addrA + packedA.length
+    val bytes2 = new Array[Byte]((addrB + 512).toInt)
+    val b2 = ByteBuffer.wrap(bytes2).order(ByteOrder.LITTLE_ENDIAN)
+    frhp(b2, curRows = 1, rootAddr = 256L,
+      filteredRootSize = 0L, managed = 1024L)
+    b2.position(256)
+    b2.put("FHIB".getBytes).put(0.toByte).putLong(0L).putInt(0)
+    b2.putLong(addrA).putInt(packedA.length).putInt(0) // deflated
+    b2.putLong(addrB).putInt(512).putInt(1)            // mask: skip deflate
+    b2.position(addrA.toInt); b2.put(packedA)
+    b2.position(addrB.toInt); b2.put(blockB)
+    val fh2 = HDF5.parseFRHP(bytes2, 0L)
+    assert(HDF5.directBlocks(bytes2, fh2) === Seq(
+      HDF5.DirectBlk(0L, 512L, addrA, packedA.length.toLong, 0),
+      HDF5.DirectBlk(512L, 512L, addrB, 512L, 1)))
+    val idA = Array[Byte](0, 100, 0, 0, 0, payload.length.toByte, 0)
+    assert(new String(HDF5.fheapObject(bytes2, fh2, idA)) === "filtered heap!")
+    val off2 = 512 + 40
+    val idB = Array[Byte](0, (off2 & 0xff).toByte, ((off2 >> 8) & 0xff).toByte,
+      0, 0, 9, 0)
+    assert(new String(HDF5.fheapObject(bytes2, fh2, idB)) === "raw block")
   }
 
   test("lookup3 matches the published test vectors") {
