@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
   *    compound types (per-member reads), contiguous and chunked (v1
   *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
-  *    fletcher32 in any declared order, honoring the per-chunk filter
-  *    mask — szip and other exotic filter ids are rejected per-variable
+  *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) in any
+  *    declared order, honoring the per-chunk filter mask — nbit/
+  *    scaleoffset/lzf/zstd and other exotic ids are rejected per-variable
   *  - attributes: fixed-size strings/numbers, and vlen-of-object-reference
   *    via the global heap — exactly what netCDF-4's DIMENSION_LIST needs
   *  - netCDF-4 dimension model: datasets attributed
@@ -75,7 +76,7 @@ object HDF5 {
     def shuffleElem: Option[Int] =
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
     def fletcher32: Boolean = filters.exists(_._1 == 3)
-    def badFilters: Seq[Int] = filters.map(_._1).filterNot(Set(1, 2, 3))
+    def badFilters: Seq[Int] = filters.map(_._1).filterNot(Set(1, 2, 3, 4))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -326,6 +327,7 @@ object HDF5 {
           val innerFl = 4 * active.take(k).count(_._1 == 3)
           cur = inflate(cur, nominal + innerFl)
         case (2, cd) => cur = unshuffle(cur, cd.headOption.getOrElse(1))
+        case (4, cd) => cur = Szip.hdf5Decode(cur, cd, what)
         case (3, _) =>
           require(cur.length >= 4,
             s"fletcher32 block of $what shorter than its checksum")
@@ -905,7 +907,6 @@ object HDF5 {
       sys.error(s"$name failed metadata parse: $err"))
     require(d.badFilters.isEmpty, {
       val names = d.badFilters.map {
-        case 4 => "4 (szip)"
         case 5 => "5 (nbit)"
         case 6 => "6 (scaleoffset)"
         case 32000 => "32000 (lzf)"
@@ -914,10 +915,16 @@ object HDF5 {
         case o => o.toString
       }
       s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
-        "reader decodes deflate/shuffle/fletcher32 only. Re-encode with " +
-        "`nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
+        "reader decodes deflate/shuffle/fletcher32/szip only. Re-encode " +
+        "with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
         "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
     })
+    d.filters.find(_._1 == 4).foreach { case (_, cd) =>
+      require(cd.length >= 4 && Set(8, 16, 32).contains(cd(1)),
+        s"$name uses szip with parameters [${cd.mkString(", ")}] — this " +
+          "reader decodes 8/16/32-bit szip samples only. Re-encode with " +
+          "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read.")
+    }
     val stride = d.dtype.size
     val n = d.shape.product.toInt
     val out = new Array[Double](n)
@@ -1119,7 +1126,21 @@ object HDF5 {
   case class WVar(name: String, dims: Seq[Int], data: Array[Double],
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
                   integral: Boolean = false, shuffle: Boolean = false,
-                  fletcher: Boolean = false, fletcherOuter: Boolean = false)
+                  fletcher: Boolean = false, fletcherOuter: Boolean = false,
+                  szip: Boolean = false) {
+    require(!szip || f32,
+      "szip write path codes 32-bit samples — set f32 (8/16-bit reads " +
+        "are supported; the f64 writer default cannot szip)")
+    /** H5Z_set_local_szip-shaped client data: [mask, bpp, pixels/block,
+      * pixels/scanline]; RAW+NN+LSB matches what libhdf5 stores for
+      * little-endian data. */
+    def szipCd(chunkDims: Seq[Int]): Seq[Int] = {
+      val ppb = 16
+      val elems = chunkDims.product
+      Seq(Szip.RawMask | Szip.NnMask | Szip.LsbMask, 32, ppb,
+        math.max(ppb, math.min(elems, 128 * ppb)))
+    }
+  }
 
   def writeNc4(path: String, dimDefs: Seq[(String, Array[Double])],
                vars: Seq[WVar], deflateLevel: Int = 1,
@@ -1262,7 +1283,9 @@ object HDF5 {
               if (v.fletcher && !v.fletcherOuter) addSum(enc) else enc
             val filtered =
               if (v.shuffle) shuffleBytes(summed, elemSize(v)) else summed
-            val deflated = deflateBytes(filtered, deflateLevel)
+            val deflated =
+              if (v.szip) Szip.hdf5Encode(filtered, v.szipCd(cd))
+              else deflateBytes(filtered, deflateLevel)
             (origin,
               if (v.fletcher && v.fletcherOuter) addSum(deflated)
               else deflated)
@@ -1824,11 +1847,14 @@ object HDF5 {
   private def pipelineBody(level: Int,
                            shuffleElem: Option[Int],
                            fletcher: Boolean = false,
-                           fletcherOuter: Boolean = false): Array[Byte] = {
+                           fletcherOuter: Boolean = false,
+                           szipCd: Option[Seq[Int]] = None): Array[Byte] = {
     val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
       (if (fletcher) 1 else 0)
-    // entry sizes: deflate 16, shuffle 16, fletcher 8 (no client values)
-    val bodyLen = 8 + 16 + (if (shuffleElem.isDefined) 16 else 0) +
+    // entry sizes: deflate 16 / szip 24 (4 client values), shuffle 16,
+    // fletcher 8 (no client values)
+    val bodyLen = 8 + (if (szipCd.isDefined) 24 else 16) +
+      (if (shuffleElem.isDefined) 16 else 0) +
       (if (fletcher) 8 else 0)
     val b = ByteBuffer.allocate(bodyLen).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(nf.toByte)
@@ -1849,11 +1875,20 @@ object HDF5 {
       b.putShort(1.toShort) // one client value: element size
       b.putInt(es); b.putInt(0) // value + pad to 8
     }
-    b.putShort(1.toShort) // deflate
-    b.putShort(0.toShort) // name length
-    b.putShort(1.toShort) // flags: optional
-    b.putShort(1.toShort) // one client value
-    b.putInt(level); b.putInt(0) // value + pad to 8
+    szipCd match {
+      case Some(cd) =>
+        b.putShort(4.toShort) // szip
+        b.putShort(0.toShort) // name length
+        b.putShort(1.toShort) // flags: optional
+        b.putShort(4.toShort) // [mask, bpp, pixels/block, pixels/scanline]
+        cd.foreach(b.putInt) // 4 values: even count, no pad
+      case None =>
+        b.putShort(1.toShort) // deflate
+        b.putShort(0.toShort) // name length
+        b.putShort(1.toShort) // flags: optional
+        b.putShort(1.toShort) // one client value
+        b.putInt(level); b.putInt(0) // value + pad to 8
+    }
     if (fletcher && fletcherOuter) fletcherEntry()
     b.array()
   }
@@ -1895,7 +1930,8 @@ object HDF5 {
     val filters = if (v.chunk.isDefined)
       Seq(msg(0x0B, pipelineBody(level,
         if (v.shuffle) Some(elemSize) else None, v.fletcher,
-        v.fletcherOuter))) else Nil
+        v.fletcherOuter,
+        if (v.szip) Some(v.szipCd(v.chunk.get)) else None))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

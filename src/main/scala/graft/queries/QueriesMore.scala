@@ -647,6 +647,38 @@ object QueriesMore {
         .select("time", "lat", "temp")
     }),
 
+    // szip-compressed netCDF-4 (ref `backends/netCDF4_.py:680` — szip is
+    // the classic climate-archive encoding): the pure-JVM CCSDS 121 Rice
+    // codec in io/Szip.scala, end to end through writer -> distributed
+    // convert. DERIVATIONAL: the 4x5 grid is real 1995 order counts by
+    // (quarter, priority) — the collect is bounded at the 20-cell grid —
+    // and the oracle recomputes them straight from the parquet, so a
+    // codec bug (bad split k, broken zero-run, wrong delta unmap) breaks
+    // the hash. Counts are < 2^24, exact in the f32 samples szip codes.
+    "q231_hdf5_szip" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5sz_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("int").as("p"))
+        .count().collect()
+      val grid = new Array[Double](20)
+      cells.foreach(r => grid(r.getInt(0) * 5 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("q" -> Array.tabulate(4)(_.toDouble),
+          "p" -> Array.tabulate(5)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), grid,
+          // 3x2 chunks over 4x5: edge chunks exercise szip's padding
+          chunk = Some(Seq(3, 2)), f32 = true, szip = true)))
+      HDF5.convert(s, base, "cnt", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet").select("q", "p", "cnt")
+    }),
+
     // same converter pipeline through a CDF-5 container (64-bit sizes,
     // INT64 variable): proves the version-5 header/offset path end to end
     "q115b_netcdf_cdf5" -> ((s, dir) => {
@@ -1030,6 +1062,19 @@ object QueriesMore {
              AS p,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2""",
+    // derivational: the count grid recomputed from the parquet, not the
+    // szip store — any Rice-coding defect surfaces as a hash mismatch
+    "q231_hdf5_szip" ->
+      """SELECT g.q, g.p, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+         FROM (SELECT q.q, p.p
+             FROM (SELECT unnest(generate_series(0, 3)) AS q) q
+             CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS p) p) g
+         LEFT JOIN (SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1
+               AS BIGINT) AS p,
+             count(*) AS cnt
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) c
+         ON c.q = g.q AND c.p = g.p""",
     // the sharded store must read back to exactly the generating surface
     "q205_zarr_sharded" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 10 + l.l * 0.5 AS temp

@@ -130,13 +130,40 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.readVar(bytes, f, "vso").toSeq === v.toSeq)
   }
 
-  test("szip-filtered variables fail with actionable re-encode guidance") {
+  test("szip roundtrip: chunked f32 variable through the CCSDS Rice codec") {
+    val dir = Files.createTempDirectory("graft_h5sz").toString
+    val path = s"$dir/sz.nc4"
+    val x = Array.tabulate(9)(_.toDouble)
+    val v = (for (i <- 0 until 9; j <- 0 until 4)
+      yield (i * 2.5f + j * 0.25f).toDouble).toArray
+    HDF5.writeNc4(path,
+      Seq("x" -> x, "y" -> Array.tabulate(4)(_.toDouble)),
+      Seq(
+        // edge chunks + szip, alone and stacked under an outer checksum
+        WVar("plain", Seq(0, 1), v, chunk = Some(Seq(4, 3)), f32 = true,
+          szip = true),
+        WVar("checked", Seq(0, 1), v, chunk = Some(Seq(4, 3)), f32 = true,
+          szip = true, fletcher = true, fletcherOuter = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val meta = f.byName("plain")
+    assert(meta.filters.map(_._1) === Seq(4))
+    assert(meta.filters.head._2.take(2) === Seq(
+      graft.io.Szip.RawMask | graft.io.Szip.NnMask | graft.io.Szip.LsbMask,
+      32))
+    val want = v.map(d => d.toFloat.toDouble).toSeq
+    assert(HDF5.readVar(bytes, f, "plain").toSeq === want)
+    assert(f.byName("checked").filters.map(_._1) === Seq(4, 3))
+    assert(HDF5.readVar(bytes, f, "checked").toSeq === want)
+  }
+
+  test("unsupported szip parameters fail with actionable re-encode guidance") {
     import graft.io.HDF5.{Contiguous, DType, DatasetMetaH5, H5File}
-    // climate archives commonly ship szip-compressed netCDF-4; the reader
-    // must name the filter and point at the re-encode path, per-variable
+    // 64-bit samples are outside szip's range; the reader must name the
+    // parameters and point at the re-encode path, per-variable
     val d = DatasetMetaH5("v", 0L, Seq(1L),
       DType(0, 8, littleEndian = true, signed = true), Contiguous(0L, 8L),
-      Nil, filters = Seq(1 -> Nil, 4 -> Nil))
+      Nil, filters = Seq(4 -> Seq(137, 64, 32, 128)))
     val f = H5File(Seq(d))
     val e = intercept[IllegalArgumentException](
       HDF5.readVar(Array.empty[Byte], f, "v"))
