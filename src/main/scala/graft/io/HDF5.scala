@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
   *    compound types (per-member reads), contiguous and chunked (v1
   *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
-  *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) in any
-  *    declared order, honoring the per-chunk filter mask — nbit/
-  *    scaleoffset/lzf/zstd and other exotic ids are rejected per-variable
+  *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) + lzf
+  *    (h5py's built-in, see [[Lzf]]) in any declared order, honoring the
+  *    per-chunk filter mask — nbit/scaleoffset/zstd and other exotic ids
+  *    are rejected per-variable
   *  - attributes: fixed-size strings/numbers, and vlen-of-object-reference
   *    via the global heap — exactly what netCDF-4's DIMENSION_LIST needs
   *  - netCDF-4 dimension model: datasets attributed
@@ -76,7 +77,8 @@ object HDF5 {
     def shuffleElem: Option[Int] =
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
     def fletcher32: Boolean = filters.exists(_._1 == 3)
-    def badFilters: Seq[Int] = filters.map(_._1).filterNot(Set(1, 2, 3, 4))
+    def badFilters: Seq[Int] =
+      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -328,6 +330,9 @@ object HDF5 {
           cur = inflate(cur, nominal + innerFl)
         case (2, cd) => cur = unshuffle(cur, cd.headOption.getOrElse(1))
         case (4, cd) => cur = Szip.hdf5Decode(cur, cd, what)
+        case (32000, _) => // h5py lzf; sized like deflate (see case 1)
+          val innerFl = 4 * active.take(k).count(_._1 == 3)
+          cur = Lzf.decompress(cur, nominal + innerFl)
         case (3, _) =>
           require(cur.length >= 4,
             s"fletcher32 block of $what shorter than its checksum")
@@ -909,14 +914,13 @@ object HDF5 {
       val names = d.badFilters.map {
         case 5 => "5 (nbit)"
         case 6 => "6 (scaleoffset)"
-        case 32000 => "32000 (lzf)"
         case 32001 => "32001 (blosc)"
         case 32015 => "32015 (zstd)"
         case o => o.toString
       }
       s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
-        "reader decodes deflate/shuffle/fletcher32/szip only. Re-encode " +
-        "with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
+        "reader decodes deflate/shuffle/fletcher32/szip/lzf only. " +
+        "Re-encode with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
         "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
     })
     d.filters.find(_._1 == 4).foreach { case (_, cd) =>
@@ -1127,7 +1131,8 @@ object HDF5 {
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
                   integral: Boolean = false, shuffle: Boolean = false,
                   fletcher: Boolean = false, fletcherOuter: Boolean = false,
-                  szip: Boolean = false) {
+                  szip: Boolean = false, lzf: Boolean = false) {
+    require(!(szip && lzf), "szip and lzf are alternative compressors")
     require(!szip || f32,
       "szip write path codes 32-bit samples — set f32 (8/16-bit reads " +
         "are supported; the f64 writer default cannot szip)")
@@ -1285,6 +1290,7 @@ object HDF5 {
               if (v.shuffle) shuffleBytes(summed, elemSize(v)) else summed
             val deflated =
               if (v.szip) Szip.hdf5Encode(filtered, v.szipCd(cd))
+              else if (v.lzf) Lzf.compress(filtered)
               else deflateBytes(filtered, deflateLevel)
             (origin,
               if (v.fletcher && v.fletcherOuter) addSum(deflated)
@@ -1848,11 +1854,12 @@ object HDF5 {
                            shuffleElem: Option[Int],
                            fletcher: Boolean = false,
                            fletcherOuter: Boolean = false,
-                           szipCd: Option[Seq[Int]] = None): Array[Byte] = {
+                           szipCd: Option[Seq[Int]] = None,
+                           lzf: Boolean = false): Array[Byte] = {
     val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
       (if (fletcher) 1 else 0)
-    // entry sizes: deflate 16 / szip 24 (4 client values), shuffle 16,
-    // fletcher 8 (no client values)
+    // entry sizes: deflate 16 / szip 24 (4 client values) / lzf 16 (8-byte
+    // padded name, ids >= 256 record one), shuffle 16, fletcher 8
     val bodyLen = 8 + (if (szipCd.isDefined) 24 else 16) +
       (if (shuffleElem.isDefined) 16 else 0) +
       (if (fletcher) 8 else 0)
@@ -1882,6 +1889,12 @@ object HDF5 {
         b.putShort(1.toShort) // flags: optional
         b.putShort(4.toShort) // [mask, bpp, pixels/block, pixels/scanline]
         cd.foreach(b.putInt) // 4 values: even count, no pad
+      case None if lzf =>
+        b.putShort(32000.toShort) // h5py lzf (registered dynamic id)
+        b.putShort(8.toShort) // name length incl. padding
+        b.putShort(1.toShort) // flags: optional (h5py marks it skippable)
+        b.putShort(0.toShort) // no client values
+        b.put("lzf".getBytes); b.put(new Array[Byte](5)) // NUL-padded to 8
       case None =>
         b.putShort(1.toShort) // deflate
         b.putShort(0.toShort) // name length
@@ -1931,7 +1944,8 @@ object HDF5 {
       Seq(msg(0x0B, pipelineBody(level,
         if (v.shuffle) Some(elemSize) else None, v.fletcher,
         v.fletcherOuter,
-        if (v.szip) Some(v.szipCd(v.chunk.get)) else None))) else Nil
+        if (v.szip) Some(v.szipCd(v.chunk.get)) else None,
+        v.lzf))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

@@ -157,6 +157,27 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.readVar(bytes, f, "checked").toSeq === want)
   }
 
+  test("lzf roundtrip: chunked f64 variable through the h5py-format codec") {
+    val dir = Files.createTempDirectory("graft_h5lzf").toString
+    val path = s"$dir/lzf.nc4"
+    val x = Array.tabulate(7)(_.toDouble)
+    val v = (for (i <- 0 until 7; j <- 0 until 5)
+      yield i * 3.0 + j * 0.125).toArray
+    HDF5.writeNc4(path,
+      Seq("x" -> x, "y" -> Array.tabulate(5)(_.toDouble)),
+      Seq(
+        WVar("plain", Seq(0, 1), v, chunk = Some(Seq(3, 2)), lzf = true),
+        // h5py's usual stack: shuffle under lzf
+        WVar("shuffled", Seq(0, 1), v, chunk = Some(Seq(3, 2)), lzf = true,
+          shuffle = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.byName("plain").filters.map(_._1) === Seq(32000))
+    assert(f.byName("shuffled").filters.map(_._1) === Seq(2, 32000))
+    assert(HDF5.readVar(bytes, f, "plain").toSeq === v.toSeq)
+    assert(HDF5.readVar(bytes, f, "shuffled").toSeq === v.toSeq)
+  }
+
   test("unsupported szip parameters fail with actionable re-encode guidance") {
     import graft.io.HDF5.{Contiguous, DType, DatasetMetaH5, H5File}
     // 64-bit samples are outside szip's range; the reader must name the
