@@ -24,9 +24,10 @@ import org.apache.spark.sql.types._
   *    compound types (per-member reads), contiguous and chunked (v1
   *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
   *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) + lzf
-  *    (h5py's built-in, see [[Lzf]]) in any declared order, honoring the
-  *    per-chunk filter mask — nbit/scaleoffset/zstd and other exotic ids
-  *    are rejected per-variable
+  *    (h5py's built-in, see [[Lzf]]) + zstd (id 32015, netCDF-C 4.9+ /
+  *    hdf5plugin, via Spark's bundled zstd-jni) in any declared order,
+  *    honoring the per-chunk filter mask — nbit/scaleoffset and other
+  *    exotic ids are rejected per-variable
   *  - attributes: fixed-size strings/numbers, and vlen-of-object-reference
   *    via the global heap — exactly what netCDF-4's DIMENSION_LIST needs
   *  - netCDF-4 dimension model: datasets attributed
@@ -78,7 +79,7 @@ object HDF5 {
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
     def fletcher32: Boolean = filters.exists(_._1 == 3)
     def badFilters: Seq[Int] =
-      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000))
+      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000, 32015))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -333,6 +334,14 @@ object HDF5 {
         case (32000, _) => // h5py lzf; sized like deflate (see case 1)
           val innerFl = 4 * active.take(k).count(_._1 == 3)
           cur = Lzf.decompress(cur, nominal + innerFl)
+        case (32015, _) => // registered zstd (netCDF-C 4.9+ / hdf5plugin)
+          val innerFl = 4 * active.take(k).count(_._1 == 3)
+          val out = new Array[Byte](nominal + innerFl)
+          val n = com.github.luben.zstd.Zstd.decompressByteArray(
+            out, 0, out.length, cur, 0, cur.length)
+          require(n == out.length,
+            s"zstd chunk of $what decoded $n of ${out.length} bytes")
+          cur = out
         case (3, _) =>
           require(cur.length >= 4,
             s"fletcher32 block of $what shorter than its checksum")
@@ -915,11 +924,10 @@ object HDF5 {
         case 5 => "5 (nbit)"
         case 6 => "6 (scaleoffset)"
         case 32001 => "32001 (blosc)"
-        case 32015 => "32015 (zstd)"
         case o => o.toString
       }
       s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
-        "reader decodes deflate/shuffle/fletcher32/szip/lzf only. " +
+        "reader decodes deflate/shuffle/fletcher32/szip/lzf/zstd only. " +
         "Re-encode with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
         "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
     })
@@ -1131,8 +1139,10 @@ object HDF5 {
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
                   integral: Boolean = false, shuffle: Boolean = false,
                   fletcher: Boolean = false, fletcherOuter: Boolean = false,
-                  szip: Boolean = false, lzf: Boolean = false) {
-    require(!(szip && lzf), "szip and lzf are alternative compressors")
+                  szip: Boolean = false, lzf: Boolean = false,
+                  zstd: Boolean = false) {
+    require(Seq(szip, lzf, zstd).count(identity) <= 1,
+      "szip/lzf/zstd are alternative compressors")
     require(!szip || f32,
       "szip write path codes 32-bit samples — set f32 (8/16-bit reads " +
         "are supported; the f64 writer default cannot szip)")
@@ -1291,6 +1301,8 @@ object HDF5 {
             val deflated =
               if (v.szip) Szip.hdf5Encode(filtered, v.szipCd(cd))
               else if (v.lzf) Lzf.compress(filtered)
+              else if (v.zstd)
+                com.github.luben.zstd.Zstd.compress(filtered, 3)
               else deflateBytes(filtered, deflateLevel)
             (origin,
               if (v.fletcher && v.fletcherOuter) addSum(deflated)
@@ -1855,12 +1867,14 @@ object HDF5 {
                            fletcher: Boolean = false,
                            fletcherOuter: Boolean = false,
                            szipCd: Option[Seq[Int]] = None,
-                           lzf: Boolean = false): Array[Byte] = {
+                           lzf: Boolean = false,
+                           zstd: Boolean = false): Array[Byte] = {
     val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
       (if (fletcher) 1 else 0)
     // entry sizes: deflate 16 / szip 24 (4 client values) / lzf 16 (8-byte
-    // padded name, ids >= 256 record one), shuffle 16, fletcher 8
-    val bodyLen = 8 + (if (szipCd.isDefined) 24 else 16) +
+    // padded name, ids >= 256 record one) / zstd 24 (name + level),
+    // shuffle 16, fletcher 8
+    val bodyLen = 8 + (if (szipCd.isDefined || zstd) 24 else 16) +
       (if (shuffleElem.isDefined) 16 else 0) +
       (if (fletcher) 8 else 0)
     val b = ByteBuffer.allocate(bodyLen).order(ByteOrder.LITTLE_ENDIAN)
@@ -1895,6 +1909,13 @@ object HDF5 {
         b.putShort(1.toShort) // flags: optional (h5py marks it skippable)
         b.putShort(0.toShort) // no client values
         b.put("lzf".getBytes); b.put(new Array[Byte](5)) // NUL-padded to 8
+      case None if zstd =>
+        b.putShort(32015.toShort) // registered zstd
+        b.putShort(8.toShort) // name length incl. padding
+        b.putShort(1.toShort) // flags: optional
+        b.putShort(1.toShort) // one client value: level
+        b.put("zstd".getBytes); b.put(new Array[Byte](4))
+        b.putInt(3); b.putInt(0) // level + pad to 8
       case None =>
         b.putShort(1.toShort) // deflate
         b.putShort(0.toShort) // name length
@@ -1945,7 +1966,7 @@ object HDF5 {
         if (v.shuffle) Some(elemSize) else None, v.fletcher,
         v.fletcherOuter,
         if (v.szip) Some(v.szipCd(v.chunk.get)) else None,
-        v.lzf))) else Nil
+        v.lzf, v.zstd))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

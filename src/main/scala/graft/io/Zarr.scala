@@ -25,8 +25,10 @@ import org.json4s.jackson.JsonMethods
   * convention: `_ARRAY_DIMENSIONS` in `.zattrs`.
   *
   * Codecs: `null` (raw), `zlib` (`numcodecs.Zlib`, plain DEFLATE via
-  * `java.util.zip`), and `blosc` — zarr-python's DEFAULT — decoded
-  * pure-JVM by [[Blosc]] for the lz4/lz4hc/zstd/zlib/snappy inner codecs
+  * `java.util.zip`), `zstd` (`numcodecs.Zstd` in v2 and the v3 `zstd`
+  * codec — zarr-python 3's default chain — via the zstd-jni Spark
+  * bundles), and `blosc` — zarr-python 2's DEFAULT — decoded pure-JVM by
+  * [[Blosc]] for the lz4/lz4hc/zstd/zlib/snappy inner codecs
   * (byte-shuffle and no-shuffle; blosclz and bit-shuffle are rejected
   * with re-encode guidance). Pass compressor id "blosc:<cname>:<shuffle>"
   * to write blosc-framed chunks.
@@ -129,6 +131,7 @@ object Zarr {
         }
         id match {
           case "zlib" => Some((id, int("level", 1)))
+          case "zstd" => Some((id, int("level", 1))) // numcodecs Zstd
           case "blosc" =>
             // numcodecs Blosc carries cname/clevel/shuffle; pack cname and
             // shuffle into the id ("blosc:<cname>:<shuffle>") so the
@@ -138,7 +141,7 @@ object Zarr {
             }}:${int("shuffle", 1)}", int("clevel", 5)))
           case other => sys.error(
             s"unsupported compressor '$other' (supported: null, zlib, " +
-              "blosc[lz4/lz4hc/zstd/zlib/snappy])")
+              "zstd, blosc[lz4/lz4hc/zstd/zlib/snappy])")
         }
     }
     val fill = (j \ "fill_value") match {
@@ -276,8 +279,13 @@ object Zarr {
               case _ => cm = Some(("gzip", 1))
             }
             case JString("blosc") => cm = Some(bloscOf(c))
+            case JString("zstd") => (c \ "configuration" \ "level") match {
+              case JInt(l) => cm = Some(("zstd", l.toInt))
+              case _ => cm = Some(("zstd", 0))
+            }
             case JString(other) =>
-              sys.error(s"unsupported v3 codec '$other' (bytes, gzip, blosc)")
+              sys.error(
+                s"unsupported v3 codec '$other' (bytes, gzip, blosc, zstd)")
             case other => sys.error(s"bad codec $other")
           }
         }
@@ -312,9 +320,13 @@ object Zarr {
             case _ => comp = Some(("gzip", 1))
           }
           case JString("blosc") => comp = Some(bloscOf(c))
+          case JString("zstd") => (c \ "configuration" \ "level") match {
+            case JInt(l) => comp = Some(("zstd", l.toInt))
+            case _ => comp = Some(("zstd", 0))
+          }
           case JString(other) =>
             sys.error(s"unsupported v3 codec '$other' " +
-              "(bytes, gzip, blosc, sharding_indexed)")
+              "(bytes, gzip, blosc, zstd, sharding_indexed)")
           case other => sys.error(s"bad codec $other")
         }
       }
@@ -377,6 +389,16 @@ object Zarr {
     out
   }
 
+  /** zstd frame (numcodecs Zstd in v2; the v3 `zstd` codec — zarr-python
+    * 3's default chain) via the zstd-jni Spark already bundles. */
+  private def unzstd(b: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    val n = com.github.luben.zstd.Zstd.decompressByteArray(
+      out, 0, expect, b, 0, b.length)
+    require(n == expect, s"zstd chunk decoded $n of $expect bytes")
+    out
+  }
+
   private def deflate(b: Array[Byte], level: Int): Array[Byte] = {
     val d = new Deflater(level)
     d.setInput(b); d.finish()
@@ -427,6 +449,7 @@ object Zarr {
     val plain = m.compressor match {
       case Some(("zlib", _)) => inflate(raw, n * m.size)
       case Some(("gzip", _)) => gunzip(raw, n * m.size)
+      case Some(("zstd", _)) => unzstd(raw, n * m.size)
       // the blosc frame header self-describes codec/shuffle/split — the
       // packed id only matters for writes
       case Some((id, _)) if id.startsWith("blosc") =>
@@ -478,6 +501,8 @@ object Zarr {
     m.compressor match {
       case Some(("zlib", lvl)) => deflate(buf.array(), lvl)
       case Some(("gzip", lvl)) => gzip(buf.array(), lvl)
+      case Some(("zstd", lvl)) =>
+        com.github.luben.zstd.Zstd.compress(buf.array(), lvl)
       case Some((id, lvl)) if id.startsWith("blosc") =>
         val parts = id.split(":") // "blosc:<cname>:<shuffle>"
         Blosc.compress(buf.array(), m.size,
@@ -951,8 +976,12 @@ object Zarr {
               else "shuffle"),
             "typesize" -> JInt(m.size),
             "blocksize" -> JInt(0)))
+        } else if (id == "zstd") {
+          // zarr-python 3's default codec chain is bytes + zstd
+          JObject("name" -> JString("zstd"), "configuration" -> JObject(
+            "level" -> JInt(lvl), "checksum" -> JBool(false)))
         } else {
-          require(id == "gzip", s"v3 writer supports gzip/blosc, got $id")
+          require(id == "gzip", s"v3 writer supports gzip/blosc/zstd, got $id")
           JObject("name" -> JString("gzip"), "configuration" ->
             JObject("level" -> JInt(lvl)))
         }

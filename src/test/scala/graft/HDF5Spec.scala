@@ -178,6 +178,21 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.readVar(bytes, f, "shuffled").toSeq === v.toSeq)
   }
 
+  test("zstd filter roundtrip (id 32015, the netCDF-C 4.9+ encoding)") {
+    val dir = Files.createTempDirectory("graft_h5zst").toString
+    val path = s"$dir/z.nc4"
+    val x = Array.tabulate(6)(_.toDouble)
+    val v = (for (i <- 0 until 6; j <- 0 until 4)
+      yield i * 7.0 - j * 0.5).toArray
+    HDF5.writeNc4(path,
+      Seq("x" -> x, "y" -> Array.tabulate(4)(_.toDouble)),
+      Seq(WVar("zv", Seq(0, 1), v, chunk = Some(Seq(4, 3)), zstd = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.byName("zv").filters.map(_._1) === Seq(32015))
+    assert(HDF5.readVar(bytes, f, "zv").toSeq === v.toSeq)
+  }
+
   test("unsupported szip parameters fail with actionable re-encode guidance") {
     import graft.io.HDF5.{Contiguous, DType, DatasetMetaH5, H5File}
     // 64-bit samples are outside szip's range; the reader must name the

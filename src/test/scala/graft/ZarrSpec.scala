@@ -100,6 +100,46 @@ class ZarrSpec extends SparkSpec {
     assert(back.toSeq == data.toSeq)
   }
 
+  test("v2 zstd compressor (numcodecs Zstd): roundtrip + format pins") {
+    val store = Files.createTempDirectory("zzstd").toString
+    Zarr.initStore(spark, store)
+    val data = Array.tabulate(4 * 6)(i => (i % 5) * 1.25)
+    val m = ArrayMeta(Seq(4, 6), Seq(2, 4), '<', 'f', 8,
+      Some(("zstd", 3)), Double.NaN, ".", Seq("a", "b"), Map())
+    Zarr.writeArray(spark, store, "v", m, data)
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", ".zarray")), "UTF-8")
+    assert(za.contains("\"id\":\"zstd\"") && za.contains("\"level\":3"))
+    // chunk payload is a real zstd frame (magic 28 B5 2F FD)
+    val chunk = Files.readAllBytes(Paths.get(store, "v", "0.0"))
+    assert((chunk(0) & 0xff) == 0x28 && (chunk(1) & 0xff) == 0xb5 &&
+      (chunk(2) & 0xff) == 0x2f && (chunk(3) & 0xff) == 0xfd)
+    val (m2, back) = Zarr.readArray(spark, store, "v")
+    assert(m2.compressor.contains(("zstd", 3)))
+    assert(back.toSeq == data.toSeq)
+  }
+
+  test("v3 zstd codec (zarr-python 3's default chain): roundtrip + metadata pin") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("zv3zstd").toString
+    val df = (for (i <- 0 until 5; j <- 0 until 7)
+      yield (i.toLong, j.toLong, i * 100.0 + j)).toSeq
+      .toDF("row", "col", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(5)(_.toDouble), Array.tabulate(7)(_.toDouble)),
+      chunks = Seq(2, 3), zarrFormat = 3, compressor = Some(("zstd", 0)))
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", "zarr.json")), "UTF-8")
+    assert(za.contains("\"name\":\"zstd\"") &&
+      za.contains("\"checksum\":false"))
+    val chunk = Files.readAllBytes(Paths.get(store, "v", "c", "0", "0"))
+    assert((chunk(0) & 0xff) == 0x28 && (chunk(1) & 0xff) == 0xb5)
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("dtype battery roundtrips: f4, i2, u1, big-endian f8") {
     val store = Files.createTempDirectory("zdt").toString
     val cases = Seq(
