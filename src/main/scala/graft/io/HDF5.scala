@@ -108,16 +108,14 @@ object HDF5 {
   // reader
   // ------------------------------------------------------------------
 
-  private def buf(bytes: Array[Byte], pos: Long, len: Int): ByteBuffer = {
-    val b = ByteBuffer.wrap(bytes, pos.toInt, len)
-    b.order(ByteOrder.LITTLE_ENDIAN); b
-  }
+  private def buf(bytes: H5Src, pos: Long, len: Int): ByteBuffer =
+    bytes.at(pos, len)
 
   /** Superblock scan per spec: byte 0, then 512, 1024, ... */
-  private def findSuperblock(bytes: Array[Byte]): Long = {
+  private def findSuperblock(bytes: H5Src): Long = {
     def sigAt(off: Long): Boolean =
       off + 8 <= bytes.length &&
-        (0 until 8).forall(i => bytes(off.toInt + i) == SIG(i))
+        (0 until 8).forall(i => bytes.byteAt(off + i) == SIG(i))
     if (sigAt(0)) 0L
     else Iterator.iterate(512L)(_ * 2).takeWhile(_ < bytes.length)
       .find(sigAt)
@@ -125,9 +123,9 @@ object HDF5 {
   }
 
   /** Parse the file: returns every dataset reachable from the root group. */
-  def parseFile(bytes: Array[Byte]): H5File = {
+  def parseFile(bytes: H5Src): H5File = {
     val sb = findSuperblock(bytes)
-    val ver = bytes(sb.toInt + 8) & 0xff
+    val ver = bytes.byteAt(sb + 8) & 0xff
     val rootEntries: Seq[(String, Long)] = ver match {
       case 0 | 1 =>
         val b = buf(bytes, sb + 8, 88)
@@ -208,7 +206,7 @@ object HDF5 {
   }
 
   /** v1 group: B-tree (node type 0) over SNOD symbol nodes + local heap. */
-  private def walkGroupV1(bytes: Array[Byte], btreeAddr: Long,
+  private def walkGroupV1(bytes: H5Src, btreeAddr: Long,
                           heapAddr: Long): Seq[(String, Long)] = {
     // local heap: "HEAP" v0, data segment size/free-list/data address
     val hb = buf(bytes, heapAddr, 32)
@@ -219,8 +217,10 @@ object HDF5 {
     hb.getLong() // free list head
     val heapData = hb.getLong()
     def heapName(off: Long): String = {
-      var i = (heapData + off).toInt; val sb = new StringBuilder
-      while (bytes(i) != 0) { sb.append(bytes(i).toChar); i += 1 }
+      var i = heapData + off; val sb = new StringBuilder
+      while (bytes.byteAt(i) != 0) {
+        sb.append(bytes.byteAt(i).toChar); i += 1
+      }
       sb.toString
     }
     def walkNode(addr: Long): Seq[(String, Long)] = {
@@ -359,7 +359,7 @@ object HDF5 {
     cur
   }
 
-  private[graft] def parseFRHP(bytes: Array[Byte], addr: Long): FractalHeap = {
+  private[graft] def parseFRHP(bytes: H5Src, addr: Long): FractalHeap = {
     val b = buf(bytes, addr, 200)
     require(b.get() == 'F' && b.get() == 'R' && b.get() == 'H' &&
       b.get() == 'P', "bad fractal heap signature")
@@ -406,7 +406,7 @@ object HDF5 {
     * nrows(S) = log2(S / (startBlockSize*tableWidth)) + 1). Each FHIB
     * stores the heap offset it covers, so the walk trusts the file
     * rather than re-deriving child offsets. */
-  private[graft] def directBlocks(bytes: Array[Byte],
+  private[graft] def directBlocks(bytes: H5Src,
                            fh: FractalHeap): Seq[DirectBlk] = {
     val filtered = fh.filters.nonEmpty
     if (fh.curRows == 0)
@@ -468,7 +468,7 @@ object HDF5 {
   /** Resolve a MANAGED heap ID to object bytes. Filtered heaps defilter
     * the whole containing direct block (header included — that is how
     * libhdf5 stores them) before slicing the object out. */
-  private[graft] def fheapObject(bytes: Array[Byte], fh: FractalHeap,
+  private[graft] def fheapObject(bytes: H5Src, fh: FractalHeap,
                           heapId: Array[Byte]): Array[Byte] = {
     val idFlags = heapId(0) & 0xff
     require((idFlags & 0x30) == 0,
@@ -482,15 +482,12 @@ object HDF5 {
       .find(t => off >= t.off && off < t.off + t.size)
       .getOrElse(sys.error(s"heap offset $off outside any direct block"))
     if (blk.stored >= 0) {
-      val raw = java.util.Arrays.copyOfRange(bytes,
-        blk.addr.toInt, (blk.addr + blk.stored).toInt)
+      val raw = bytes.slice(blk.addr, blk.stored.toInt)
       val plain = defilter(raw, fh.filters, blk.mask, blk.size.toInt,
         "a fractal-heap direct block")
       java.util.Arrays.copyOfRange(plain,
         (off - blk.off).toInt, (off - blk.off + len).toInt)
-    } else java.util.Arrays.copyOfRange(bytes,
-      (blk.addr + (off - blk.off)).toInt,
-      (blk.addr + (off - blk.off) + len).toInt)
+    } else bytes.slice(blk.addr + (off - blk.off), len.toInt)
   }
 
   /** v2 B-tree (BTHD) record enumeration, depth 0 (one BTLF leaf) and
@@ -498,7 +495,7 @@ object HDF5 {
     * this past ~185 entries). Internal nodes carry REAL records as leaf
     * separators, so enumeration interleaves child leaves and root
     * records. Depth ≥ 2 (hundreds of thousands of links) errors out. */
-  private def v2BtreeRecords(bytes: Array[Byte],
+  private def v2BtreeRecords(bytes: H5Src,
                              addr: Long): Seq[Array[Byte]] = {
     val b = buf(bytes, addr, 38)
     require(b.get() == 'B' && b.get() == 'T' && b.get() == 'H' &&
@@ -517,9 +514,7 @@ object HDF5 {
       require(lb.get() == 'B' && lb.get() == 'T' && lb.get() == 'L' &&
         lb.get() == 'F', "bad v2 B-tree leaf signature")
       (0 until n).map { i =>
-        java.util.Arrays.copyOfRange(bytes,
-          (leafAddr + 6 + i.toLong * recSize).toInt,
-          (leafAddr + 6 + (i + 1).toLong * recSize).toInt)
+        bytes.slice(leafAddr + 6 + i.toLong * recSize, recSize)
       }
     }
     if (depth == 0) leafRecords(rootAddr, rootNrec)
@@ -543,8 +538,7 @@ object HDF5 {
       (0 until rootNrec).foreach { _ =>
         val (ca, cn) = childPtr()
         out ++= leafRecords(ca, cn)
-        out += java.util.Arrays.copyOfRange(bytes, p.toInt,
-          (p + recSize).toInt)
+        out += bytes.slice(p, recSize)
         p += recSize
       }
       val (ca, cn) = childPtr()
@@ -566,7 +560,7 @@ object HDF5 {
     * serialized link message in the group's fractal heap. Record type 5 =
     * hash(4) + heap ID; the hash is a lookup key we don't need — records
     * are enumerated exhaustively. */
-  private def walkDenseGroup(bytes: Array[Byte],
+  private def walkDenseGroup(bytes: H5Src,
                              linkInfoBody: Array[Byte]): Seq[(String, Long)] = {
     val (fheapAddr, btAddr) = parseLinkInfo(linkInfoBody)
     require(fheapAddr != UNDEF && btAddr != UNDEF,
@@ -579,7 +573,7 @@ object HDF5 {
 
   /** Attribute Info message (0x15) -> dense attributes. Record type 8 =
     * heap ID(8) + message flags(1) + creation order(4) + hash(4). */
-  private def denseAttrs(bytes: Array[Byte],
+  private def denseAttrs(bytes: H5Src,
                          body: Array[Byte]): Seq[Attr] = {
     val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     require((b.get() & 0xff) == 0, "attribute info version")
@@ -599,8 +593,8 @@ object HDF5 {
   private case class Msg(typ: Int, body: Array[Byte])
 
   /** Object header messages, v1 (with continuations) or v2 "OHDR". */
-  private def parseObjectHeader(bytes: Array[Byte], addr: Long): Seq[Msg] = {
-    if (bytes(addr.toInt) == 'O' && bytes(addr.toInt + 1) == 'H') {
+  private def parseObjectHeader(bytes: H5Src, addr: Long): Seq[Msg] = {
+    if (bytes.byteAt(addr) == 'O' && bytes.byteAt(addr + 1) == 'H') {
       // v2: OHDR
       val b = buf(bytes, addr, 16)
       b.get(); b.get(); b.get(); b.get() // "OHDR"
@@ -638,8 +632,7 @@ object HDF5 {
           val typ = mb.getShort() & 0xffff
           val size = mb.getShort() & 0xffff
           mb.get(); mb.get(); mb.get(); mb.get() // flags + reserved
-          val body = java.util.Arrays.copyOfRange(
-            bytes, (p + 8).toInt, (p + 8 + size).toInt)
+          val body = bytes.slice(p + 8, size)
           if (typ == 0x10) { // continuation
             val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
             blocks = blocks :+ ((cb.getLong(), cb.getLong()))
@@ -653,7 +646,7 @@ object HDF5 {
   }
 
   /** v2 message stream (chunk 0 body; OCHK continuations). */
-  private def parseV2Messages(bytes: Array[Byte], start: Long, size: Long,
+  private def parseV2Messages(bytes: H5Src, start: Long, size: Long,
                               creationOrder: Boolean): Seq[Msg] = {
     var out = Vector.empty[Msg]
     var blocks = List((start, size, false))
@@ -668,8 +661,7 @@ object HDF5 {
         mb.get() // flags
         val hdr = if (creationOrder) { 6 } else 4
         if (creationOrder) buf(bytes, p + 4, 2).getShort()
-        val body = java.util.Arrays.copyOfRange(
-          bytes, (p + hdr).toInt, (p + hdr + size).toInt)
+        val body = bytes.slice(p + hdr, size)
         if (typ == 0x10) {
           val cb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
           blocks = blocks :+ ((cb.getLong(), cb.getLong(), true))
@@ -766,7 +758,7 @@ object HDF5 {
   }
 
   /** GCOL global heap object lookup (for vlen attribute values). */
-  private def gheapObject(bytes: Array[Byte], collection: Long,
+  private def gheapObject(bytes: H5Src, collection: Long,
                           index: Int): Array[Byte] = {
     val b = buf(bytes, collection, 16)
     require(b.get() == 'G' && b.get() == 'C' && b.get() == 'O' &&
@@ -782,15 +774,14 @@ object HDF5 {
       val size = ob.getLong()
       if (idx == 0) return sys.error(s"global heap object $index not found")
       if (idx == index)
-        return java.util.Arrays.copyOfRange(
-          bytes, (p + 16).toInt, (p + 16 + size).toInt)
+        return bytes.slice(p + 16, size.toInt)
       val padded = (size + 7) / 8 * 8
       p += 16 + padded
     }
     sys.error(s"global heap object $index not found")
   }
 
-  private def parseAttr(bytes: Array[Byte], body: Array[Byte]): Attr = {
+  private def parseAttr(bytes: H5Src, body: Array[Byte]): Attr = {
     val b = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
     val ver = b.get() & 0xff
     require(ver == 1 || ver == 3, s"attribute message version $ver")
@@ -848,7 +839,7 @@ object HDF5 {
     case c => sys.error(s"non-numeric scalar class $c")
   }
 
-  private def parseDataset(bytes: Array[Byte], name: String,
+  private def parseDataset(bytes: H5Src, name: String,
                            addr: Long): DatasetMetaH5 = {
     val msgs = parseObjectHeader(bytes, addr)
     var shape: Seq[Long] = Nil
@@ -890,33 +881,19 @@ object HDF5 {
   }
 
   /** Decode a dataset to a dense row-major Double array. */
-  def readVar(bytes: Array[Byte], f: H5File, name: String): Array[Double] =
+  def readVar(bytes: H5Src, f: H5File, name: String): Array[Double] =
     readVarImpl(bytes, f, name, None)
 
   /** Decode ONE member of a compound dataset (ref user-defined compound
     * types, `backends/netCDF4_.py` usertype handling) to doubles. */
-  def readVarMember(bytes: Array[Byte], f: H5File, name: String,
+  def readVarMember(bytes: H5Src, f: H5File, name: String,
                     member: String): Array[Double] =
     readVarImpl(bytes, f, name, Some(member))
 
-  private def readVarImpl(bytes: Array[Byte], f: H5File, name: String,
-                          member: Option[String]): Array[Double] = {
-    val d = f.byName(name)
-    // element stride is the FULL (possibly compound) type size; the value
-    // read per element is either the scalar itself or one compound member
-    val (mOff, edt) = member match {
-      case None =>
-        require(d.dtype.clazz != 6,
-          s"$name is compound — read a member via readVarMember " +
-            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})")
-        (0, d.dtype)
-      case Some(m) =>
-        require(d.dtype.clazz == 6, s"$name is not compound")
-        val (_, off, t) = d.dtype.members.find(_._1 == m)
-          .getOrElse(sys.error(s"$name has no member $m " +
-            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})"))
-        (off, t)
-    }
+  /** Per-variable readability gate: metadata parse errors and filters
+    * this reader cannot decode fail HERE with actionable guidance, not
+    * deep inside a chunk decode. */
+  private def checkReadable(d: DatasetMetaH5, name: String): Unit = {
     d.parseError.foreach(err =>
       sys.error(s"$name failed metadata parse: $err"))
     require(d.badFilters.isEmpty, {
@@ -937,6 +914,64 @@ object HDF5 {
           "reader decodes 8/16/32-bit szip samples only. Re-encode with " +
           "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read.")
     }
+  }
+
+  /** One stored chunk: grid origin, file address, stored (possibly
+    * filtered) byte count, per-chunk filter mask. The unit of parallelism
+    * for the distributed read path. */
+  private[graft] case class ChunkRef(origin: Seq[Long], addr: Long,
+                                     stored: Int, mask: Int)
+
+  /** Walk a v1 raw-data chunk B-tree to the full chunk list. */
+  private[graft] def chunkRefs(bytes: H5Src, btree: Long,
+                               rank: Int): Seq[ChunkRef] = {
+    val out = Seq.newBuilder[ChunkRef]
+    def walk(addr: Long): Unit = {
+      val b = buf(bytes, addr, 24)
+      require(b.get() == 'T' && b.get() == 'R' && b.get() == 'E' &&
+        b.get() == 'E', "bad chunk B-tree signature")
+      require((b.get() & 0xff) == 1, "expected raw-data chunk B-tree")
+      val level = b.get() & 0xff
+      val used = b.getShort() & 0xffff
+      b.getLong(); b.getLong()
+      // key: chunk size(4) + filter mask(4) + (rank+1) offsets(8)
+      val keySize = 8 + (rank + 1) * 8
+      var p = addr + 24
+      (0 until used).foreach { _ =>
+        val kb = buf(bytes, p, keySize)
+        val chunkBytes = kb.getInt()
+        val filterMask = kb.getInt() // bit i set = pipeline[i] skipped
+        val origin = (0 until rank).map(_ => kb.getLong())
+        kb.getLong() // trailing element offset
+        val child = buf(bytes, p + keySize, 8).getLong()
+        if (level > 0) walk(child)
+        else out += ChunkRef(origin, child, chunkBytes, filterMask)
+        p += keySize + 8
+      }
+    }
+    walk(btree)
+    out.result()
+  }
+
+  private def readVarImpl(bytes: H5Src, f: H5File, name: String,
+                          member: Option[String]): Array[Double] = {
+    val d = f.byName(name)
+    // element stride is the FULL (possibly compound) type size; the value
+    // read per element is either the scalar itself or one compound member
+    val (mOff, edt) = member match {
+      case None =>
+        require(d.dtype.clazz != 6,
+          s"$name is compound — read a member via readVarMember " +
+            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})")
+        (0, d.dtype)
+      case Some(m) =>
+        require(d.dtype.clazz == 6, s"$name is not compound")
+        val (_, off, t) = d.dtype.members.find(_._1 == m)
+          .getOrElse(sys.error(s"$name has no member $m " +
+            s"(members: ${d.dtype.members.map(_._1).mkString(", ")})"))
+        (off, t)
+    }
+    checkReadable(d, name)
     val stride = d.dtype.size
     val n = d.shape.product.toInt
     val out = new Array[Double](n)
@@ -963,45 +998,20 @@ object HDF5 {
     d.layout match {
       case Contiguous(addr, size) =>
         require(addr != UNDEF, s"$name has no allocated data")
-        decodeInto(java.util.Arrays.copyOfRange(
-          bytes, addr.toInt, (addr + size).toInt),
+        decodeInto(bytes.slice(addr, size.toInt),
           d.shape.map(_ => 0L), d.shape.map(_.toInt))
       case Chunked(btree, chunkDims) =>
-        def walk(addr: Long): Unit = {
-          val b = buf(bytes, addr, 24)
-          require(b.get() == 'T' && b.get() == 'R' && b.get() == 'E' &&
-            b.get() == 'E', "bad chunk B-tree signature")
-          require((b.get() & 0xff) == 1, "expected raw-data chunk B-tree")
-          val level = b.get() & 0xff
-          val used = b.getShort() & 0xffff
-          b.getLong(); b.getLong()
-          // key: chunk size(4) + filter mask(4) + (rank+1) offsets(8)
-          val keySize = 8 + (chunkDims.length + 1) * 8
-          var p = addr + 24
-          (0 until used).foreach { _ =>
-            val kb = buf(bytes, p, keySize)
-            val chunkBytes = kb.getInt()
-            val filterMask = kb.getInt() // bit i set = pipeline[i] skipped
-            val origin = chunkDims.indices.map(_ => kb.getLong())
-            kb.getLong() // trailing element offset
-            val child = buf(bytes, p + keySize, 8).getLong()
-            if (level > 0) walk(child)
-            else {
-              val raw0 = java.util.Arrays.copyOfRange(
-                bytes, child.toInt, child.toInt + chunkBytes)
-              // Undo the DECLARED pipeline last-to-first, honoring the
-              // per-chunk filter mask (netCDF-C declares fletcher32
-              // innermost — checksum over raw bytes; h5py's
-              // set_fletcher32 after compression declares it outermost —
-              // checksum over the compressed bytes; both decode here).
-              val baseLen = chunkDims.map(_.toLong).product.toInt * stride
-              decodeInto(defilter(raw0, d.filters, filterMask, baseLen,
-                s"a chunk of ${d.name}"), origin, chunkDims)
-            }
-            p += keySize + 8
-          }
+        // Undo the DECLARED pipeline last-to-first, honoring the
+        // per-chunk filter mask (netCDF-C declares fletcher32
+        // innermost — checksum over raw bytes; h5py's set_fletcher32
+        // after compression declares it outermost — checksum over the
+        // compressed bytes; both decode here).
+        val baseLen = chunkDims.map(_.toLong).product.toInt * stride
+        chunkRefs(bytes, btree, chunkDims.length).foreach { c =>
+          val raw0 = bytes.slice(c.addr, c.stored)
+          decodeInto(defilter(raw0, d.filters, c.mask, baseLen,
+            s"a chunk of ${d.name}"), c.origin, chunkDims)
         }
-        walk(btree)
     }
     out
   }
@@ -1077,44 +1087,120 @@ object HDF5 {
     * `varName`: a column per netCDF-4 dimension (the dimension-scale's
     * values) plus the value column. Schema from one driver-side parse;
     * decode runs in the executors (one task per file). */
+  /** One unit of distributed read work: decode `cdims` cells at grid
+    * `origin` from `stored` bytes at `addr` of `path`. Contiguous
+    * layouts are split into row-band tasks (`mask` = 0, no filters). */
+  private case class ReadTask(path: String, origin: Array[Long],
+                              addr: Long, stored: Int, mask: Int,
+                              cdims: Array[Int])
+
+  /** target bytes of DECODED data per read task when banding a
+    * contiguous variable (chunked variables parallelize per chunk) */
+  private val ContigBandBytes = 32L << 20
+
   def toLongDF(spark: SparkSession, dir: String, varName: String): DataFrame = {
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
         || f.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
-    val f0 = parseFile(Files.readAllBytes(files.head.toPath))
-    val v0 = f0.byName(varName)
-    val dimNames = f0.varDims(v0)
-    val fields = dimNames.map { dn =>
-      val ds = f0.byName(dn)
-      StructField(dn,
-        if (ds.dtype.clazz == 0) LongType else DoubleType)
-    } :+ StructField(varName,
-      if (v0.dtype.clazz == 0) LongType else DoubleType)
-    val schema = StructType(fields)
-    val varNameL = varName
-    val binary = spark.read.format("binaryFile")
-      .load(files.map(_.getAbsolutePath): _*)
-      .select("content")
-    val rdd = binary.rdd.flatMap { row =>
-      val bytes = row.getAs[Array[Byte]](0)
-      val f = parseFile(bytes)
-      val v = f.byName(varNameL)
-      val dns = f.varDims(v)
-      val sizes = v.shape.map(_.toInt)
-      val coords = dns.map(dn => readVar(bytes, f, dn))
-      val coordIntegral = dns.map(dn => f.byName(dn).dtype.clazz == 0)
-      val data = readVar(bytes, f, varNameL)
-      val strides = sizes.scanRight(1)(_ * _).tail
-      val valIntegral = v.dtype.clazz == 0
-      data.indices.iterator.map { flat =>
-        val idx = sizes.indices.map(k => (flat / strides(k)) % sizes(k))
-        val coordVals: Seq[Any] = idx.zipWithIndex.map { case (i, k) =>
-          if (coordIntegral(k)) coords(k)(i).toLong else coords(k)(i)
+    // Driver pass: METADATA ONLY, through the paged pread source — the
+    // object headers, B-trees and 1-D coordinate scales it touches are
+    // kilobytes even when the file is not; the variable's payload is
+    // never read here. Each stored chunk (or contiguous row band)
+    // becomes one executor task that preads exactly its byte range —
+    // chunk-granular parallelism and one-chunk peak memory per task,
+    // independent of file count and file size.
+    case class FilePlan(path: String, d: DatasetMetaH5, dims: Seq[String],
+                        coords: Seq[Array[Double]],
+                        coordIntegral: Seq[Boolean],
+                        tasks: Seq[ReadTask])
+    val plans = files.toSeq.map { file =>
+      val src = new PreadSrc(file.getAbsolutePath)
+      try {
+        val f = parseFile(src)
+        val v = f.byName(varName)
+        checkReadable(v, varName)
+        require(v.dtype.clazz != 6,
+          s"$varName is compound — convert one member at a time")
+        val dns = f.varDims(v)
+        val coords = dns.map(dn => readVar(src, f, dn))
+        val coordIntegral = dns.map(dn => f.byName(dn).dtype.clazz == 0)
+        val tasks = v.layout match {
+          case Chunked(btree, cdims) =>
+            chunkRefs(src, btree, cdims.length).map(c =>
+              ReadTask(file.getAbsolutePath, c.origin.toArray, c.addr,
+                c.stored, c.mask, cdims.toArray))
+          case Contiguous(addr, size) =>
+            require(addr != UNDEF, s"$varName has no allocated data")
+            val sizes = v.shape.map(_.toInt)
+            val rowBytes = sizes.tail.map(_.toLong).product * v.dtype.size
+            val band = math.max(1L,
+              ContigBandBytes / math.max(1L, rowBytes)).toInt
+            (0 until sizes.head by band).map { r0 =>
+              val rows = math.min(band, sizes.head - r0)
+              ReadTask(file.getAbsolutePath,
+                (r0.toLong +: sizes.tail.map(_ => 0L)).toArray,
+                addr + r0 * rowBytes, (rows * rowBytes).toInt, 0,
+                (rows +: sizes.tail).toArray)
+            }
         }
-        val value: Any =
-          if (valIntegral) data(flat).toLong else data(flat)
-        Row.fromSeq(coordVals :+ value)
+        FilePlan(file.getAbsolutePath, v, dns, coords, coordIntegral, tasks)
+      } finally src.close()
+    }
+    val p0 = plans.head
+    val fields = p0.dims.zipWithIndex.map { case (dn, k) =>
+      StructField(dn, if (p0.coordIntegral(k)) LongType else DoubleType)
+    } :+ StructField(varName,
+      if (p0.d.dtype.clazz == 0) LongType else DoubleType)
+    val schema = StructType(fields)
+    val metaByPath = plans.map(p =>
+      p.path -> (p.d, p.coords, p.coordIntegral)).toMap
+    val metaB = spark.sparkContext.broadcast(metaByPath)
+    val tasks = plans.flatMap(_.tasks)
+    val slices = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext.parallelize(tasks, slices).flatMap { t =>
+      val (d, coords, coordIntegral) = metaB.value(t.path)
+      val raw = {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(t.path),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val b = ByteBuffer.allocate(t.stored)
+          var o = 0
+          while (o < t.stored) {
+            val n = ch.read(b, t.addr + o)
+            require(n > 0, s"short read at ${t.addr + o} of ${t.path}")
+            o += n
+          }
+          b.array()
+        } finally ch.close()
+      }
+      val stride = d.dtype.size
+      val baseLen = t.cdims.map(_.toLong).product.toInt * stride
+      val plain = defilter(raw, d.filters, t.mask, baseLen,
+        s"a chunk of ${d.name}")
+      val db = ByteBuffer.wrap(plain)
+        .order(if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+               else ByteOrder.BIG_ENDIAN)
+      val cStrides = t.cdims.scanRight(1)(_ * _).tail
+      val valIntegral = d.dtype.clazz == 0
+      val rank = t.cdims.length
+      (0 until t.cdims.product).iterator.flatMap { i =>
+        val gIdx = (0 until rank).map(k =>
+          t.origin(k) + (i / cStrides(k)) % t.cdims(k))
+        // edge chunks run past the shape; those cells are padding
+        if (gIdx.indices.exists(k => gIdx(k) >= d.shape(k))) None
+        else {
+          db.position(i * stride)
+          val v = readScalar(db, d.dtype)
+          val coordVals: Seq[Any] = gIdx.zipWithIndex.map { case (gi, k) =>
+            if (coordIntegral(k)) coords(k)(gi.toInt).toLong
+            else coords(k)(gi.toInt)
+          }
+          Some(Row.fromSeq(coordVals :+
+            (if (valIntegral) v.toLong else v: Any)))
+        }
       }
     }
     spark.createDataFrame(rdd, schema)
