@@ -1098,7 +1098,8 @@ object HDF5 {
     * contiguous variable (chunked variables parallelize per chunk) */
   private val ContigBandBytes = 32L << 20
 
-  def toLongDF(spark: SparkSession, dir: String, varName: String): DataFrame = {
+  def toLongDF(spark: SparkSession, dir: String, varName: String,
+               bandBytes: Long = ContigBandBytes): DataFrame = {
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
         || f.getName.endsWith(".nc")).sortBy(_.getName)
@@ -1135,7 +1136,7 @@ object HDF5 {
             val sizes = v.shape.map(_.toInt)
             val rowBytes = sizes.tail.map(_.toLong).product * v.dtype.size
             val band = math.max(1L,
-              ContigBandBytes / math.max(1L, rowBytes)).toInt
+              bandBytes / math.max(1L, rowBytes)).toInt
             (0 until sizes.head by band).map { r0 =>
               val rows = math.min(band, sizes.head - r0)
               ReadTask(file.getAbsolutePath,

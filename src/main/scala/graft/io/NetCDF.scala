@@ -25,11 +25,13 @@ import org.apache.spark.sql.types._
   * native reader in [[HDF5]]; exotic HDF5 features route through an
   * external converter job (ncks/nccopy to classic), see README.
   *
-  * 100 TB shape: .nc files are bounded self-describing binaries, so the
-  * convert job reads a directory with Spark's `binaryFile` source (one
-  * task per file, no driver bottleneck), decodes in the executors, and
-  * writes a partitioned parquet store; only the SCHEMA comes from one
-  * driver-side header parse. */
+  * 100 TB shape: the header sits at the file start, so the driver
+  * parses a GROWING PREFIX (kilobytes) per file plus the small fixed
+  * coordinates, then bands the payload into ~32 MiB tasks — record
+  * ranges for record variables (one contiguous pread spans the
+  * interleaved records, which also carries the record coordinate),
+  * row bands otherwise. Parallelism scales with data volume, not file
+  * count, and no task ever holds more than one band. */
 object NetCDF {
 
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
@@ -341,53 +343,186 @@ object NetCDF {
     * index) plus the value column — `open_dataset(engine=
     * "netcdf-converted")`. Schema from one driver-side header parse;
     * decoding runs in the executors via the binaryFile source. */
-  def toLongDF(spark: SparkSession, dir: String, varName: String): DataFrame = {
+  /** Parse just the header by reading a GROWING PREFIX of the file —
+    * classic netCDF puts the whole header first, so a multi-gigabyte
+    * archive file costs kilobytes of driver IO. A truncated prefix
+    * surfaces as buffer underflow; retry bigger until the header fits. */
+  def parseHeaderFile(path: String): Header = {
+    val fileLen = new java.io.File(path).length()
+    var sz = 64L * 1024
+    while (true) {
+      val take = math.min(sz, fileLen).toInt
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path), java.nio.file.StandardOpenOption.READ)
+      val prefix = try {
+        val b = ByteBuffer.allocate(take)
+        var o = 0
+        var n = 0
+        while (o < take && { n = ch.read(b, o.toLong); n > 0 }) o += n
+        b.array()
+      } finally ch.close()
+      try return parseHeader(prefix)
+      catch {
+        case _: java.nio.BufferUnderflowException if take < fileLen =>
+          sz *= 8
+        case _: IndexOutOfBoundsException if take < fileLen =>
+          sz *= 8
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def pread(ch: java.nio.channels.FileChannel, pos: Long,
+                    len: Int): ByteBuffer = {
+    val b = ByteBuffer.allocate(len)
+    var o = 0
+    while (o < len) {
+      val n = ch.read(b, pos + o)
+      require(n > 0, s"short read at ${pos + o}")
+      o += n
+    }
+    b.flip(); b
+  }
+
+  /** One distributed read unit: `count` leading-dim slices (records for
+    * a record variable, rows otherwise) starting at `first`, covered by
+    * ONE contiguous pread of [`spanPos`, `spanPos` + `spanLen`). */
+  private case class NcTask(path: String, first: Long, count: Int,
+                            spanPos: Long, spanLen: Long)
+
+  /** decoded bytes of the target variable per read task */
+  private val BandBytes = 32L << 20
+
+  def toLongDF(spark: SparkSession, dir: String, varName: String,
+               bandBytes: Long = BandBytes): DataFrame = {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc files under $dir")
-    val hdr = parseHeader(Files.readAllBytes(files.head.toPath))
-    val v = hdr.vars.find(_.name == varName)
-      .getOrElse(throw new NoSuchElementException(varName))
-    val vdims = v.dimIds.map(hdr.dims(_))
-    val coordVar = vdims.map(d => hdr.vars.find(w =>
-      w.name == d.name && w.dimIds == Seq(hdr.dims.indexWhere(_.name == d.name))))
-    val fields = vdims.zip(coordVar).map { case (d, cv) =>
-      val integral = cv.forall(c => isIntegral(c.ncType)) // index coords -> long
+    // Driver pass: header-prefix parse + SMALL fixed-coordinate reads
+    // only; the variable payload is banded into tasks that each pread
+    // exactly one contiguous span. Record variables take their record
+    // coordinate from the span itself (it is interleaved there), so no
+    // driver pass ever walks the record section.
+    def coordOf(h: Header, d: Dim): Option[VarMeta] = h.vars.find(w =>
+      w.name == d.name &&
+        w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
+    case class FilePlan(path: String, h: Header, v: VarMeta,
+                        fixedCoords: Seq[Option[Array[Double]]],
+                        tasks: Seq[NcTask])
+    val plans = files.toSeq.map { file =>
+      val path = file.getAbsolutePath
+      val h = parseHeaderFile(path)
+      val v = h.vars.find(_.name == varName)
+        .getOrElse(throw new NoSuchElementException(varName))
+      val ds = v.dimIds.map(h.dims(_))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path), java.nio.file.StandardOpenOption.READ)
+      val (fixedCoords, tasks) = try {
+        // 1-D fixed coordinates: contiguous, small — pread driver-side.
+        // The record coordinate (if any) is dim 0 of a record var and is
+        // read per task from the span; None here.
+        val fixedCoords = ds.zipWithIndex.map { case (d, k) =>
+          coordOf(h, d).filter(c => !(h.isRecord(v) && k == 0)).map { c =>
+            val n = d.size
+            val b = pread(ch, c.begin, n * typeSize(c.ncType))
+            Array.fill(n)(get1(b, c.ncType))
+          }
+        }
+        val tasks = if (h.isRecord(v)) {
+          val rec = h.recSize
+          // the span preads whole interleaved records, so the band is
+          // bounded by the full record stride, not the target's slab
+          val band = math.max(1L, bandBytes / math.max(1L, rec)).toInt
+          val recBegin = h.vars.filter(h.isRecord).map(_.begin).min
+          (0L until h.numrecs by band.toLong).map { r0 =>
+            val n = math.min(band.toLong, h.numrecs - r0).toInt
+            NcTask(path, r0, n, recBegin + r0 * rec, n.toLong * rec)
+          }
+        } else {
+          val sizes = v.dimIds.map(h.dims(_).size)
+          val rowBytes = sizes.tail.map(_.toLong).product * typeSize(v.ncType)
+          val band = math.max(1L, bandBytes / math.max(1L, rowBytes)).toInt
+          (0 until sizes.head by band).map { r0 =>
+            val rows = math.min(band, sizes.head - r0)
+            NcTask(path, r0.toLong, rows,
+              v.begin + r0 * rowBytes, rows * rowBytes)
+          }
+        }
+        (fixedCoords, tasks)
+      } finally ch.close()
+      FilePlan(path, h, v, fixedCoords, tasks)
+    }
+    val p0 = plans.head
+    val vdims0 = p0.v.dimIds.map(p0.h.dims(_))
+    val fields = vdims0.map { d =>
+      val integral = coordOf(p0.h, d).forall(c => isIntegral(c.ncType))
       StructField(d.name, if (integral) LongType else DoubleType)
-    } :+ StructField(varName, if (isIntegral(v.ncType)) LongType else DoubleType)
+    } :+ StructField(varName,
+      if (isIntegral(p0.v.ncType)) LongType else DoubleType)
     val schema = StructType(fields)
-    val varNameL = varName
-    val binary = spark.read.format("binaryFile")
-      .load(files.map(_.getAbsolutePath): _*)
-      .select("content")
-    val rdd = binary.rdd.flatMap { row =>
-      val bytes = row.getAs[Array[Byte]](0)
-      val h = parseHeader(bytes)
-      val vv = h.vars.find(_.name == varNameL).get
-      val ds = vv.dimIds.map(h.dims(_))
-      val sizes = vv.dimIds.map(h.dimSize) // record dim reads as numrecs
-      val coords: Seq[Option[Array[Double]]] = ds.map { d =>
-        h.vars.find(w => w.name == d.name &&
-          w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
-          .map(_ => readVar(bytes, h, d.name))
+    val metaB = spark.sparkContext.broadcast(plans.map(p =>
+      p.path -> (p.h, p.v, p.fixedCoords)).toMap)
+    val tasks = plans.flatMap(_.tasks)
+    val slices = math.max(1, math.min(tasks.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext.parallelize(tasks, slices).flatMap { t =>
+      val (h, v, fixedCoords) = metaB.value(t.path)
+      val ds = v.dimIds.map(h.dims(_))
+      val isRec = h.isRecord(v)
+      val span = {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(t.path), java.nio.file.StandardOpenOption.READ)
+        try pread(ch, t.spanPos, t.spanLen.toInt) finally ch.close()
       }
-      // SAME coordinate-variable criterion as the driver-side schema
-      // (name match alone could hit a non-coord var of that name and
-      // disagree with the schema's dtype)
-      val coordTypes = ds.map { d =>
-        h.vars.find(w => w.name == d.name &&
-          w.dimIds == Seq(h.dims.indexWhere(_.name == d.name)))
-          .map(_.ncType).getOrElse(NC_INT)
+      val slab = v.dimIds.tail.map(h.dims(_).size).product
+      val ts = typeSize(v.ncType)
+      // values of this band, leading-dim-major
+      val data = new Array[Double](t.count * math.max(1, slab))
+      val recBegin = if (isRec) h.vars.filter(h.isRecord).map(_.begin).min
+                     else 0L
+      if (isRec) {
+        val inRecOff = v.begin - recBegin
+        (0 until t.count).foreach { r =>
+          val b = span.duplicate().order(span.order())
+          b.position((r * h.recSize + inRecOff).toInt)
+          (0 until slab).foreach(i => data(r * slab + i) = get1(b, v.ncType))
+        }
+      } else {
+        val b = span.duplicate().order(span.order())
+        (0 until t.count * slab).foreach(i => data(i) = get1(b, v.ncType))
       }
-      val data = readVar(bytes, h, varNameL)
-      val strides = sizes.scanRight(1)(_ * _).tail
+      // record coordinate cells, extracted from the same span
+      val recCoord: Option[(Array[Double], Int)] =
+        if (!isRec) None
+        else coordOf(h, ds.head).map { c =>
+          val off = c.begin - recBegin
+          val arr = (0 until t.count).map { r =>
+            val b = span.duplicate().order(span.order())
+            b.position((r * h.recSize + off).toInt)
+            get1(b, c.ncType)
+          }.toArray
+          (arr, c.ncType)
+        }
+      val coordTypes = ds.map(d =>
+        coordOf(h, d).map(_.ncType).getOrElse(NC_INT))
+      val sizes = v.dimIds.map(h.dimSize)
+      val tailSizes = sizes.tail
+      val tailStrides = tailSizes.scanRight(1)(_ * _).tail
       data.indices.iterator.map { flat =>
-        val idx = sizes.indices.map(k => (flat / strides(k)) % sizes(k))
-        val coordVals: Seq[Any] = idx.zipWithIndex.map { case (i, k) =>
-          val raw = coords(k).map(_(i)).getOrElse(i.toDouble)
+        val lead = t.first + flat / math.max(1, slab)
+        val rest = flat % math.max(1, slab)
+        val coordVals: Seq[Any] = (0 until sizes.length).map { k =>
+          val gi = if (k == 0) lead
+                   else (rest / tailStrides(k - 1)) % tailSizes(k - 1)
+          val raw =
+            if (k == 0 && isRec)
+              recCoord.map(_._1(flat / math.max(1, slab)))
+                .getOrElse(lead.toDouble)
+            else fixedCoords(k).map(_(gi.toInt)).getOrElse(gi.toDouble)
           if (isIntegral(coordTypes(k))) raw.toLong else raw
         }
-        val value: Any = if (isIntegral(vv.ncType)) data(flat).toLong else data(flat)
+        val value: Any =
+          if (isIntegral(v.ncType)) data(flat).toLong else data(flat)
         Row.fromSeq(coordVals :+ value)
       }
     }

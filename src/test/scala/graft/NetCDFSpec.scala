@@ -120,6 +120,42 @@ class NetCDFSpec extends SparkSpec {
       .select("temp").collect().head.getDouble(0) === 16.5)
   }
 
+  test("banded reads: tiny bandBytes forces per-record / per-row tasks") {
+    val dir = java.nio.file.Files.createTempDirectory("ncband").toString
+    val p = s"$dir/band.nc"
+    // time is UNLIMITED with its own RECORD coordinate (the archive
+    // shape); temp(time,x) interleaves with it record by record
+    NetCDF.write(p,
+      dims = Seq(Dim("time", 0), Dim("x", 3)),
+      vars = Seq(
+        Var("x", Seq(1), NC_INT, Array(10.0, 20.0, 30.0)),
+        Var("time", Seq(0), NC_DOUBLE, Array(100.0, 101.0, 102.0, 103.0)),
+        Var("temp", Seq(0, 1), NC_DOUBLE,
+          Array.tabulate(12)(i => i * 1.5))))
+    def rows(bandBytes: Long) =
+      NetCDF.toLongDF(spark, dir, "temp", bandBytes)
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneBand = rows(32L << 20)
+    // recSize = 8 (time) + 24 (temp) = 32 -> bandBytes 33 = 1 record/task
+    assert(rows(33L) === oneBand)
+    assert(oneBand.contains((103.0, 30L, 16.5)))
+    assert(oneBand.size === 12)
+    // fixed variable banding: one row per task must agree too
+    val fx = s"$dir/fx"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(fx))
+    NetCDF.write(s"$fx/f.nc",
+      dims = Seq(Dim("t", 5), Dim("x", 3)),
+      vars = Seq(
+        Var("t", Seq(0), NC_INT, Array.tabulate(5)(_ + 1.0)),
+        Var("v", Seq(0, 1), NC_DOUBLE, Array.tabulate(15)(_ * 2.0))))
+    def fxRows(bandBytes: Long) =
+      NetCDF.toLongDF(spark, fx, "v", bandBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fxRows(25L) === fxRows(32L << 20)) // rowBytes 24 -> 1 row/task
+    assert(fxRows(25L).size === 15)
+  }
+
   test("single record variable uses the unpadded record stride (spec note)") {
     val dir = java.nio.file.Files.createTempDirectory("ncrec1").toString
     val p = s"$dir/one.nc"
