@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   *    the spec's doubling table; FILTERED heaps — deflate/shuffle/
   *    fletcher32 on whole direct blocks with per-block masks)
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
-  *    compound types (per-member reads), contiguous and chunked (v1
-  *    chunk B-tree) layouts; filter pipeline deflate + byte-shuffle +
+  *    compound types (per-member reads), contiguous and chunked layouts —
+  *    the v1 chunk B-tree plus the layout-v4 indexes HDF5 1.10+ writes
+  *    under libver="latest" (single chunk, implicit, fixed array incl.
+  *    paged data blocks, v2 B-tree; extensible array is rejected with
+  *    guidance); filter pipeline deflate + byte-shuffle +
   *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) + lzf
   *    (h5py's built-in, see [[Lzf]]) + zstd (id 32015, netCDF-C 4.9+ /
   *    hdf5plugin, via Spark's bundled zstd-jni) in any declared order,
@@ -61,6 +64,12 @@ object HDF5 {
   sealed trait Layout
   case class Contiguous(addr: Long, size: Long) extends Layout
   case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  /** Layout-message v4 chunked storage (HDF5 1.10+). `indexType`:
+    * 1 = single chunk, 2 = implicit, 3 = fixed array, 5 = v2 B-tree
+    * (all decoded); 4 = extensible array (rejected with guidance). */
+  case class ChunkedV4(indexType: Int, addr: Long, chunkDims: Seq[Int],
+                       flags: Int, pageBits: Int,
+                       singleSize: Long, singleMask: Int) extends Layout
 
   case class Attr(name: String, text: String = null,
                   nums: Array[Double] = null, refs: Array[Long] = null)
@@ -854,16 +863,45 @@ object HDF5 {
         case 0x03 => dtype = parseDType(b)
         case 0x08 =>
           val ver = b.get() & 0xff
-          require(ver == 3, s"only layout message v3 supported (got $ver)")
+          require(ver == 3 || ver == 4,
+            s"only layout message v3/v4 supported (got $ver)")
           val cls = b.get() & 0xff
-          layout = cls match {
-            case 1 => Contiguous(b.getLong(), b.getLong())
-            case 2 =>
+          layout = (ver, cls) match {
+            case (_, 1) => Contiguous(b.getLong(), b.getLong())
+            case (3, 2) =>
               val rank = b.get() & 0xff
               val btree = b.getLong()
               val cd = (0 until rank).map(_ => b.getInt())
               Chunked(btree, cd.init) // last entry = element size
-            case 0 => sys.error("compact layout not supported")
+            case (4, 2) =>
+              // HDF5 1.10+ ("latest" libver) chunked layout: chunk dims
+              // at a declared encoded width, then one of five chunk
+              // index types (spec "Data Layout Message" version 4)
+              val flags = b.get() & 0xff
+              val ndims = b.get() & 0xff // rank + 1, elem size last (as v3)
+              val encLen = b.get() & 0xff
+              val dims = (0 until ndims).map { _ =>
+                var v = 0L
+                (0 until encLen).foreach(i =>
+                  v |= (b.get() & 0xffL) << (8 * i))
+                v.toInt
+              }
+              val idxType = b.get() & 0xff
+              var sSize = 0L; var sMask = 0; var pageBits = 0
+              idxType match {
+                case 1 => // single chunk; filtered variant carries size+mask
+                  if ((flags & 2) != 0) { sSize = b.getLong(); sMask = b.getInt() }
+                case 2 => () // implicit: dense unfiltered grid at address
+                case 3 => pageBits = b.get() & 0xff // fixed array
+                case 4 => // extensible array creation params (5 bytes)
+                  b.get(); b.get(); b.get(); b.get(); b.get()
+                case 5 => // v2 b-tree creation params
+                  b.getInt(); b.get(); b.get()
+                case o => sys.error(s"unknown chunk index type $o")
+              }
+              ChunkedV4(idxType, b.getLong(), dims.init, flags,
+                pageBits, sSize, sMask)
+            case (_, 0) => sys.error("compact layout not supported")
           }
         case 0x0B =>
           // record pipeline ORDER; an exotic filter id on ONE variable
@@ -953,6 +991,126 @@ object HDF5 {
     out.result()
   }
 
+  /** Chunk-grid origins in C order (the order fixed-array and implicit
+    * indexes store entries in). */
+  private def gridOrigins(shape: Seq[Long], cd: Seq[Int]): Seq[Seq[Long]] = {
+    val grid = shape.zip(cd).map { case (s, c) => ((s + c - 1) / c).toInt }
+    val n = grid.product
+    val strides = grid.scanRight(1)(_ * _).tail
+    (0 until n).map(i => grid.indices.map(k =>
+      ((i / strides(k)) % grid(k)).toLong * cd(k)))
+  }
+
+  /** All stored chunks of a chunked dataset, whichever index structure
+    * the file uses — the single entry point the distributed reader and
+    * in-memory decode share. */
+  private[graft] def chunkRefsOf(bytes: H5Src,
+                                 d: DatasetMetaH5): Seq[ChunkRef] = {
+    def nominal(cd: Seq[Int]): Int = cd.product * d.dtype.size
+    d.layout match {
+      case Chunked(btree, cd) => chunkRefs(bytes, btree, cd.length)
+      case ChunkedV4(1, addr, cd, flags, _, sSize, sMask) =>
+        if (addr == UNDEF) Nil // never written: all fill
+        else if ((flags & 2) != 0)
+          Seq(ChunkRef(cd.map(_ => 0L), addr, sSize.toInt, sMask))
+        else Seq(ChunkRef(cd.map(_ => 0L), addr, nominal(cd), 0))
+      case ChunkedV4(2, addr, cd, _, _, _, _) =>
+        // implicit: dense unfiltered grid laid out back to back
+        gridOrigins(d.shape, cd).zipWithIndex.map { case (o, i) =>
+          ChunkRef(o, addr + i.toLong * nominal(cd), nominal(cd), 0)
+        }
+      case ChunkedV4(3, addr, cd, _, _, _, _) =>
+        fixedArrayRefs(bytes, addr, cd, d.shape, nominal(cd))
+      case ChunkedV4(5, addr, cd, _, _, _, _) =>
+        btree2ChunkRefs(bytes, addr, cd, nominal(cd))
+      case ChunkedV4(4, _, _, _, _, _, _) =>
+        sys.error(s"${d.name} uses the extensible-array chunk index " +
+          "(HDF5 1.10+ unlimited dimension) — re-encode with " +
+          "`h5repack -l CHUNK=...` under the default libver, then re-read")
+      case other => sys.error(s"${d.name}: $other is not chunked")
+    }
+  }
+
+  /** Fixed Array chunk index (spec "Fixed Array"): FAHD header ->
+    * FADB data block of (address [, stored size, filter mask]) entries
+    * in C chunk order, paged above 2^pageBits elements. */
+  private[graft] def fixedArrayRefs(bytes: H5Src, addr: Long, cd: Seq[Int],
+                                    shape: Seq[Long],
+                                    nominal: Int): Seq[ChunkRef] = {
+    val h = buf(bytes, addr, 28)
+    require(h.get() == 'F' && h.get() == 'A' && h.get() == 'H' &&
+      h.get() == 'D', "bad fixed-array header signature")
+    require((h.get() & 0xff) == 0, "fixed-array version")
+    val client = h.get() & 0xff // 0 = chunks, 1 = filtered chunks
+    require(client <= 1, s"fixed-array client $client")
+    val entrySize = h.get() & 0xff
+    val pageBits = h.get() & 0xff
+    val nelmts = h.getLong()
+    val dblk = h.getLong()
+    val origins = gridOrigins(shape, cd)
+    require(origins.length.toLong == nelmts,
+      s"fixed array holds $nelmts entries, grid has ${origins.length}")
+    val db = buf(bytes, dblk, 14)
+    require(db.get() == 'F' && db.get() == 'A' && db.get() == 'D' &&
+      db.get() == 'B', "bad fixed-array data-block signature")
+    require((db.get() & 0xff) == 0 && (db.get() & 0xff) == client,
+      "fixed-array data-block version/client")
+    def parseEntries(pos: Long, n: Int, first: Int): Seq[ChunkRef] = {
+      val eb = buf(bytes, pos, n * entrySize)
+      (0 until n).flatMap { i =>
+        val a = eb.getLong()
+        val (stored, mask) =
+          if (client == 1) {
+            var s = 0L
+            (0 until entrySize - 12).foreach(k =>
+              s |= (eb.get() & 0xffL) << (8 * k))
+            (s.toInt, eb.getInt())
+          } else (nominal, 0)
+        if (a == UNDEF) None // missing chunk: fill value
+        else Some(ChunkRef(origins(first + i), a, stored, mask))
+      }
+    }
+    val pageSize = 1L << pageBits
+    if (nelmts <= pageSize) parseEntries(dblk + 14, nelmts.toInt, 0)
+    else {
+      val npages = ((nelmts + pageSize - 1) / pageSize).toInt
+      val bitmapBytes = (npages + 7) / 8
+      var pos = dblk + 14 + bitmapBytes
+      (0 until npages).flatMap { p =>
+        val n = math.min(pageSize, nelmts - p.toLong * pageSize).toInt
+        val refs = parseEntries(pos, n, (p.toLong * pageSize).toInt)
+        pos += n.toLong * entrySize + 4 // + page checksum
+        refs
+      }
+    }
+  }
+
+  /** v2 B-tree chunk index (record types 10/11): address, then for the
+    * filtered record a stored size + filter mask, then SCALED offsets
+    * (chunk-grid units, unlike the v1 tree's element offsets). */
+  private[graft] def btree2ChunkRefs(bytes: H5Src, addr: Long,
+                                     cd: Seq[Int],
+                                     nominal: Int): Seq[ChunkRef] = {
+    val rank = cd.length
+    v2BtreeRecords(bytes, addr).map { rec =>
+      val rb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+      val a = rb.getLong()
+      // type 10 records are exactly 8 + 8*rank; anything longer carries
+      // the filtered chunk's stored size (rec.length - 12 - 8*rank
+      // bytes) and filter mask
+      val (stored, mask) =
+        if (rec.length == 8 + 8 * rank) (nominal, 0)
+        else {
+          val csize = rec.length - 12 - 8 * rank
+          var s = 0L
+          (0 until csize).foreach(k => s |= (rb.get() & 0xffL) << (8 * k))
+          (s.toInt, rb.getInt())
+        }
+      val origin = (0 until rank).map(k => rb.getLong() * cd(k))
+      ChunkRef(origin, a, stored, mask)
+    }
+  }
+
   private def readVarImpl(bytes: H5Src, f: H5File, name: String,
                           member: Option[String]): Array[Double] = {
     val d = f.byName(name)
@@ -1000,14 +1158,19 @@ object HDF5 {
         require(addr != UNDEF, s"$name has no allocated data")
         decodeInto(bytes.slice(addr, size.toInt),
           d.shape.map(_ => 0L), d.shape.map(_.toInt))
-      case Chunked(btree, chunkDims) =>
+      case chunked =>
+        val chunkDims = chunked match {
+          case Chunked(_, cd) => cd
+          case c4: ChunkedV4 => c4.chunkDims
+          case _ => sys.error("unreachable")
+        }
         // Undo the DECLARED pipeline last-to-first, honoring the
         // per-chunk filter mask (netCDF-C declares fletcher32
         // innermost — checksum over raw bytes; h5py's set_fletcher32
         // after compression declares it outermost — checksum over the
         // compressed bytes; both decode here).
         val baseLen = chunkDims.map(_.toLong).product.toInt * stride
-        chunkRefs(bytes, btree, chunkDims.length).foreach { c =>
+        chunkRefsOf(bytes, d).foreach { c =>
           val raw0 = bytes.slice(c.addr, c.stored)
           decodeInto(defilter(raw0, d.filters, c.mask, baseLen,
             s"a chunk of ${d.name}"), c.origin, chunkDims)
@@ -1127,8 +1290,13 @@ object HDF5 {
         val coords = dns.map(dn => readVar(src, f, dn))
         val coordIntegral = dns.map(dn => f.byName(dn).dtype.clazz == 0)
         val tasks = v.layout match {
-          case Chunked(btree, cdims) =>
-            chunkRefs(src, btree, cdims.length).map(c =>
+          case chunked @ (_: Chunked | _: ChunkedV4) =>
+            val cdims = chunked match {
+              case Chunked(_, cd) => cd
+              case c4: ChunkedV4 => c4.chunkDims
+              case _ => sys.error("unreachable")
+            }
+            chunkRefsOf(src, v).map(c =>
               ReadTask(file.getAbsolutePath, c.origin.toArray, c.addr,
                 c.stored, c.mask, cdims.toArray))
           case Contiguous(addr, size) =>
@@ -1227,9 +1395,13 @@ object HDF5 {
                   integral: Boolean = false, shuffle: Boolean = false,
                   fletcher: Boolean = false, fletcherOuter: Boolean = false,
                   szip: Boolean = false, lzf: Boolean = false,
-                  zstd: Boolean = false) {
+                  zstd: Boolean = false, index4: Option[String] = None) {
     require(Seq(szip, lzf, zstd).count(identity) <= 1,
       "szip/lzf/zstd are alternative compressors")
+    require(index4.forall(Set("single", "fixed")),
+      "index4 writes layout-v4 'single' or 'fixed' chunk indexes")
+    require(index4.isEmpty || chunk.isDefined,
+      "index4 applies to chunked variables")
     require(!szip || f32,
       "szip write path codes 32-bit samples — set f32 (8/16-bit reads " +
         "are supported; the f64 writer default cannot szip)")
@@ -1400,9 +1572,20 @@ object HDF5 {
             val a = cursor; cursor += blob.length
             (origin, a, blob.length)
           }
-          btreeOf(v.name) = cursor
-          cursor += 24L + blobs.length * (8 + (cd.length + 1) * 8 + 8) +
-            (8 + (cd.length + 1) * 8) // final key
+          v.index4 match {
+            case None =>
+              btreeOf(v.name) = cursor
+              cursor += 24L + blobs.length * (8 + (cd.length + 1) * 8 + 8) +
+                (8 + (cd.length + 1) * 8) // final key
+            case Some("single") =>
+              require(blobs.length == 1,
+                s"${v.name}: single-chunk index needs chunk >= shape " +
+                  s"(got ${blobs.length} chunks)")
+              btreeOf(v.name) = chunkAddrs(v.name).head._2
+            case Some(_) => // fixed array: FAHD(28) + non-paged FADB
+              btreeOf(v.name) = cursor
+              cursor += 28L + 14L + blobs.length * 20L + 4L
+          }
       }
     }
     val eof = cursor
@@ -1539,27 +1722,54 @@ object HDF5 {
     all.foreach { v =>
       out.bytes(renderOH(v, shapeOf(v), elemSize(v), dataAddr.get(v.name),
         btreeOf.get(v.name), deflateLevel, dimDefs, gcolAddr, gIndex,
-        attrRegion.get(v.name)))
+        attrRegion.get(v.name),
+        if (v.index4.contains("single"))
+          Some(chunkAddrs(v.name).head._3) else None))
       v.chunk match {
         case None =>
           out.bytes(encode(v, v.data))
         case Some(cd) =>
           chunkBlobs(v.name).foreach(out.bytes)
-          // chunk B-tree leaf
           val entries = chunkAddrs(v.name)
-          out.bytes("TREE".getBytes); out.u8(1); out.u8(0)
-          out.u16(entries.length)
-          out.u64(UNDEF); out.u64(UNDEF)
-          entries.foreach { case (origin, addr, stored) =>
-            out.u32(stored); out.u32(0)
-            origin.foreach(out.u64); out.u64(0)
-            out.u64(addr)
+          v.index4 match {
+            case Some("single") => () // layout message points at the chunk
+            case Some(_) =>
+              // fixed array: FAHD header + non-paged FADB of
+              // (addr, stored size, mask) entries, lookup3 checksums
+              val fahdAddr = btreeOf(v.name)
+              val hdr = new growable()
+              hdr.bytes("FAHD".getBytes); hdr.u8(0)
+              hdr.u8(1) // client: filtered dataset chunks
+              hdr.u8(20) // entry size: addr(8) + size(8) + mask(4)
+              hdr.u8(fixedArrayPageBits(entries.length))
+              hdr.u64(entries.length.toLong)
+              hdr.u64(fahdAddr + 28)
+              hdr.u32(lookup3(hdr.result(), 0) & 0xffffffffL)
+              out.bytes(hdr.result())
+              val db = new growable()
+              db.bytes("FADB".getBytes); db.u8(0); db.u8(1)
+              db.u64(fahdAddr)
+              entries.foreach { case (_, addr, stored) =>
+                db.u64(addr); db.u64(stored.toLong); db.u32(0)
+              }
+              db.u32(lookup3(db.result(), 0) & 0xffffffffL)
+              out.bytes(db.result())
+            case None =>
+              // v1 chunk B-tree leaf
+              out.bytes("TREE".getBytes); out.u8(1); out.u8(0)
+              out.u16(entries.length)
+              out.u64(UNDEF); out.u64(UNDEF)
+              entries.foreach { case (origin, addr, stored) =>
+                out.u32(stored); out.u32(0)
+                origin.foreach(out.u64); out.u64(0)
+                out.u64(addr)
+              }
+              // final key: offsets just past the last chunk row
+              out.u32(0); out.u32(0)
+              shapeOf(v).zip(cd).foreach { case (s, c) =>
+                out.u64(((s + c - 1) / c).toLong * c) }
+              out.u64(0)
           }
-          // final key: offsets just past the last chunk row
-          out.u32(0); out.u32(0)
-          shapeOf(v).zip(cd).foreach { case (s, c) =>
-            out.u64(((s + c - 1) / c).toLong * c) }
-          out.u64(0)
       }
     }
     require(out.size == eof, s"layout drift: ${out.size} vs planned $eof")
@@ -1939,6 +2149,35 @@ object HDF5 {
     b.array()
   }
 
+  /** Layout-message v4 chunked body: "single" embeds the filtered
+    * chunk's stored size + mask; "fixed" points at an FAHD header. */
+  private def layoutBodyChunkedV4(indexAddr: Long, chunk: Seq[Int],
+                                  elemSize: Int, index: String,
+                                  singleStored: Option[Int],
+                                  gridN: Int): Array[Byte] = {
+    val dims = chunk :+ elemSize
+    val idxType = if (index == "single") 1 else 3
+    val flags = if (idxType == 1) 2 else 0 // single carries size+mask
+    val len = 5 + dims.length * 4 + 1 +
+      (if (idxType == 1) 12 else 1) + 8
+    val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(4.toByte).put(2.toByte) // version 4, chunked
+    b.put(flags.toByte)
+    b.put(dims.length.toByte)
+    b.put(4.toByte) // dim size encoded length
+    dims.foreach(b.putInt)
+    b.put(idxType.toByte)
+    if (idxType == 1) {
+      b.putLong(singleStored.getOrElse(0).toLong); b.putInt(0)
+    } else b.put(fixedArrayPageBits(gridN).toByte)
+    b.putLong(indexAddr)
+    b.array()
+  }
+
+  /** big enough that the data block stays non-paged */
+  private def fixedArrayPageBits(n: Int): Int =
+    math.max(10, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, n - 1).toLong))
+
   private def layoutBodyChunked(btree: Long, chunk: Seq[Int],
                                 elemSize: Int): Array[Byte] = {
     val b = ByteBuffer.allocate(11 + (chunk.length + 1) * 4)
@@ -2035,7 +2274,8 @@ object HDF5 {
                          level: Int, dimDefs: Seq[(String, Array[Double])],
                          gcolAddr: Long,
                          gIndex: ((String, Int)) => Int,
-                         attrRegion: Option[(Long, Long)] = None
+                         attrRegion: Option[(Long, Long)] = None,
+                         singleStored: Option[Int] = None
                         ): Seq[Array[Byte]] = {
     val isDim = v.dims.length == 1 &&
       dimDefs.exists(_._1 == v.name)
@@ -2046,7 +2286,14 @@ object HDF5 {
       v.chunk match {
         case None => msg(0x08, layoutBodyContig(dataAddr.get,
           shape.map(_.toLong).product * elemSize))
-        case Some(cd) => msg(0x08, layoutBodyChunked(btree.get, cd, elemSize))
+        case Some(cd) => msg(0x08, v.index4 match {
+          case None => layoutBodyChunked(btree.get, cd, elemSize)
+          case Some(ix) =>
+            val gridN = shape.zip(cd)
+              .map { case (s, c) => (s + c - 1) / c }.product
+            layoutBodyChunkedV4(btree.get, cd, elemSize, ix,
+              singleStored, gridN)
+        })
       })
     val filters = if (v.chunk.isDefined)
       Seq(msg(0x0B, pipelineBody(level,
@@ -2086,7 +2333,8 @@ object HDF5 {
                        denseAttr: Boolean): Long = {
     val shape = v.dims.map(_ => 1)
     val msgs = messagesOf(v, shape, elemSizeOf(v), Some(0L), Some(0L), 1,
-      dimDefs, 0L, _ => 1, if (denseAttr) Some((0L, 0L)) else None)
+      dimDefs, 0L, _ => 1, if (denseAttr) Some((0L, 0L)) else None,
+      if (v.index4.contains("single")) Some(0) else None)
     16L + msgs.map(_.length.toLong).sum
   }
 
@@ -2095,10 +2343,11 @@ object HDF5 {
                        level: Int, dimDefs: Seq[(String, Array[Double])],
                        gcolAddr: Long,
                        gIndex: ((String, Int)) => Int,
-                       attrRegion: Option[(Long, Long)] = None
+                       attrRegion: Option[(Long, Long)] = None,
+                       singleStored: Option[Int] = None
                       ): Array[Byte] = {
     val msgs = messagesOf(v, shape, elemSize, dataAddr, btree, level,
-      dimDefs, gcolAddr, gIndex, attrRegion)
+      dimDefs, gcolAddr, gIndex, attrRegion, singleStored)
     val total = msgs.map(_.length).sum
     val b = ByteBuffer.allocate(16 + total).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(0.toByte)
