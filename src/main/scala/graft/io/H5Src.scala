@@ -33,13 +33,25 @@ object H5Src {
 
 final case class ArraySrc(a: Array[Byte]) extends H5Src {
   def length: Long = a.length.toLong
+  // bounds are REQUIREs, not array faults: a corrupted length field in
+  // a parsed structure must raise a clear error, never a gigabyte
+  // allocation attempt or a negative-size fault
+  private def check(pos: Long, len: Int): Unit =
+    require(pos >= 0 && len >= 0 && pos + len <= a.length,
+      s"read [$pos, ${pos + len}) outside a ${a.length}-byte buffer")
   def at(pos: Long, len: Int): ByteBuffer = {
+    check(pos, len)
     val b = ByteBuffer.wrap(a, pos.toInt, len)
     b.order(ByteOrder.LITTLE_ENDIAN); b
   }
-  def slice(pos: Long, len: Int): Array[Byte] =
+  def slice(pos: Long, len: Int): Array[Byte] = {
+    check(pos, len)
     java.util.Arrays.copyOfRange(a, pos.toInt, pos.toInt + len)
-  def byteAt(pos: Long): Byte = a(pos.toInt)
+  }
+  def byteAt(pos: Long): Byte = {
+    check(pos, 1)
+    a(pos.toInt)
+  }
 }
 
 /** Positional-read source over a local or Hadoop-visible file with an

@@ -251,8 +251,15 @@ object NetCDF {
     def offset(): Long =
       if (version == 1) buf.getInt().toLong else buf.getLong()
     val numrecs = nonNeg()
+    // length fields bound by the remaining buffer BEFORE allocating —
+    // a corrupted header must raise, never attempt a huge allocation
+    def bounded(len: Long, what: String): Int = {
+      require(len >= 0 && len <= buf.remaining,
+        s"$what of $len bytes exceeds the ${buf.remaining} remaining")
+      len.toInt
+    }
     def name(): String = {
-      val len = nonNeg().toInt
+      val len = bounded(nonNeg(), "name")
       val b = new Array[Byte](len); buf.get(b)
       buf.position(buf.position() + pad4(len))
       new String(b, "UTF-8")
@@ -262,12 +269,16 @@ object NetCDF {
       require(tag == NC_ATTRIBUTE || (tag == 0 && n == 0), "bad att_list")
       (0 until n).map { _ =>
         val an = name()
-        val t = buf.getInt(); val nelems = nonNeg().toInt
+        val t = buf.getInt()
+        val rawN = nonNeg()
         if (t == NC_CHAR) {
+          val nelems = bounded(rawN, "attribute text")
           val b = new Array[Byte](nelems); buf.get(b)
           buf.position(buf.position() + pad4(nelems))
           Att(an, t, text = new String(b, "UTF-8"))
         } else {
+          val nelems = bounded(rawN * typeSize(t), "attribute values") /
+            typeSize(t)
           val nums = Array.fill(nelems)(get1(buf, t))
           val sz = nelems.toLong * typeSize(t)
           buf.position(buf.position() + pad4L(sz).toInt)
@@ -363,9 +374,15 @@ object NetCDF {
       } finally ch.close()
       try return parseHeader(prefix)
       catch {
+        // a truncated prefix surfaces as underflow OR as the bounded-
+        // allocation guard tripping on a length past the prefix end; at
+        // take == fileLen the same exceptions mean real corruption and
+        // propagate
         case _: java.nio.BufferUnderflowException if take < fileLen =>
           sz *= 8
         case _: IndexOutOfBoundsException if take < fileLen =>
+          sz *= 8
+        case _: IllegalArgumentException if take < fileLen =>
           sz *= 8
       }
     }
