@@ -699,8 +699,7 @@ object Zarr {
     require(m.dims.length == m.shape.length,
       s"$varName lacks dimension names " +
         "(v2 _ARRAY_DIMENSIONS / v3 dimension_names)")
-    require(m.v3 || m.separator == ".",
-      "v2 distributed reader supports dimension_separator '.' (flat chunk files)")
+
     val fs = fsFor(store, spark)
     // coordinate vectors (optional per dim)
     val coords: Seq[Option[(ArrayMeta, Array[Double])]] = m.dims.map { d =>
@@ -715,12 +714,15 @@ object Zarr {
     val schema = StructType(fields)
 
     val chunkFiles =
-      if (m.v3 && m.separator == "/") {
-        // nested "c/i/j/..." keys: one glob with rank wildcards
+      if (m.separator == "/") {
+        // nested chunk keys — v3's "c/i/j/..." and v2's NestedDirectoryStore
+        // "i/j/..." — resolve with one glob of rank wildcards
+        val base = if (m.v3) varName + "/c/" else varName + "/"
         val pat = new Path(store,
-          varName + "/c/" + Seq.fill(m.shape.length)("*").mkString("/"))
+          base + Seq.fill(m.shape.length)("*").mkString("/"))
         val hits = fs.globStatus(pat)
-        if (hits == null) Array.empty[Path] else hits.map(_.getPath)
+        if (hits == null) Array.empty[Path]
+        else hits.map(_.getPath).filter(p => !p.getName.startsWith("."))
       } else if (m.v3) // "." separator: flat "c.0.0" files in the array dir
         fs.listStatus(new Path(store, varName))
           .map(_.getPath).filter(_.getName.startsWith("c."))
@@ -742,7 +744,7 @@ object Zarr {
       val cs = coordsB.value
       val segs = row.getString(0).split('/')
       val ci =
-        if (mm.v3 && mm.separator == "/")
+        if (mm.separator == "/")
           segs.takeRight(mm.shape.length).map(_.toInt).toSeq
         else if (mm.v3) // "c.0.0" -> drop the "c" prefix segment
           segs.last.split(java.util.regex.Pattern.quote(mm.separator))

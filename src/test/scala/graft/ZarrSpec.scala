@@ -100,6 +100,27 @@ class ZarrSpec extends SparkSpec {
     assert(back.toSeq == data.toSeq)
   }
 
+  test("v2 nested chunk keys (dimension_separator '/'): distributed roundtrip") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("znest").toString
+    val df = (for (i <- 0 until 5; j <- 0 until 7)
+      yield (i.toLong, j.toLong, i * 100.0 + j)).toSeq
+      .toDF("row", "col", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("row", "col"),
+      Seq(Array.tabulate(5)(_.toDouble), Array.tabulate(7)(_.toDouble)),
+      chunks = Seq(2, 3), separator = Some("/"))
+    // NestedDirectoryStore layout: "<i>/<j>" chunk files, "/" declared
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", ".zarray")), "UTF-8")
+    assert(za.contains("\"dimension_separator\":\"/\""))
+    assert(Files.exists(Paths.get(store, "v", "2", "2")))
+    assert(!Files.exists(Paths.get(store, "v", "2.2")))
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("v2 zstd compressor (numcodecs Zstd): roundtrip + format pins") {
     val store = Files.createTempDirectory("zzstd").toString
     Zarr.initStore(spark, store)
