@@ -679,6 +679,74 @@ object QueriesMore {
       graft.io.Store.open(s, base + "_parquet").select("q", "p", "cnt")
     }),
 
+    // lzf-compressed netCDF-4 (h5py's built-in compression="lzf"):
+    // derivational 7x4 (year x quarter, 1995-2001) order-count grid through the
+    // libLZF codec in io/Lzf.scala and the chunk-granular convert
+    "q232_hdf5_lzf" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5lzf_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.orders(s, dir)
+        .groupBy((year(col("o_orderdate")) - 1995).cast("int").as("y"),
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"))
+        .count().collect() // bounded at the 28-cell grid
+      val grid = new Array[Double](28)
+      cells.foreach(r => grid(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("y" -> Array.tabulate(7)(_.toDouble),
+          "q" -> Array.tabulate(4)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), grid,
+          chunk = Some(Seq(3, 2)), lzf = true)))
+      HDF5.convert(s, base, "cnt", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet").select("y", "q", "cnt")
+    }),
+
+    // layout-v4 FIXED ARRAY chunk index (what HDF5 1.10+ writes under
+    // libver="latest"): the same grid discipline through the FAHD/FADB
+    // walk — 5x5 supplier counts by nation, deflate-filtered entries
+    "q233_hdf5_v4fixed" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5v4_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.supplier(s, dir)
+        .groupBy((col("s_nationkey") / 5).cast("int").as("r"),
+          (col("s_nationkey") % 5).cast("int").as("c"))
+        .count().collect() // bounded at the 25-cell grid
+      val grid = new Array[Double](25)
+      cells.foreach(r => grid(r.getInt(0) * 5 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("r" -> Array.tabulate(5)(_.toDouble),
+          "c" -> Array.tabulate(5)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), grid,
+          chunk = Some(Seq(2, 3)), index4 = Some("fixed"))))
+      HDF5.convert(s, base, "cnt", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet").select("r", "c", "cnt")
+    }),
+
+    // zarr v2 NESTED keys + zstd compressor together (NestedDirectoryStore
+    // with numcodecs Zstd): 1996 revenue by quarter x priority, read back
+    // through the nested-key glob + zstd frame decode
+    "q234_zarr_nested_zstd" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarrnz_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("long").as("p"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 4)))
+          .cast("double").as("rev"))
+      Zarr.writeLongDF(grid, store, "rev", Seq("q", "p"),
+        Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(5)(_.toDouble)),
+        chunks = Seq(2, 3), separator = Some("/"),
+        compressor = Some(("zstd", 3)))
+      Zarr.toLongDF(s, store, "rev").filter(!isnan(col("rev")))
+        .select("q", "p", "rev")
+    }),
+
     // same converter pipeline through a CDF-5 container (64-bit sizes,
     // INT64 variable): proves the version-5 header/offset path end to end
     "q115b_netcdf_cdf5" -> ((s, dir) => {
@@ -1075,6 +1143,37 @@ object QueriesMore {
              count(*) AS cnt
            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) c
          ON c.q = g.q AND c.p = g.p""",
+    // derivational: order counts recomputed from the parquet — an lzf
+    // defect (bad back-reference, wrong run length) breaks the hash
+    "q232_hdf5_lzf" ->
+      """SELECT g.y, g.q, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+         FROM (SELECT y.y, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS y) y
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             count(*) AS cnt
+           FROM orders GROUP BY 1, 2) c
+         ON c.y = g.y AND c.q = g.q""",
+    // derivational: supplier counts recomputed from the parquet — a
+    // fixed-array index defect (wrong entry order, bad paging) breaks it
+    "q233_hdf5_v4fixed" ->
+      """SELECT g.r, g.c, CAST(coalesce(s.cnt, 0) AS DOUBLE) AS cnt
+         FROM (SELECT r.r, c.c
+             FROM (SELECT unnest(generate_series(0, 4)) AS r) r
+             CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS c) c) g
+         LEFT JOIN (SELECT CAST(s_nationkey // 5 AS BIGINT) AS r,
+             CAST(s_nationkey % 5 AS BIGINT) AS c, count(*) AS cnt
+           FROM supplier GROUP BY 1, 2) s
+         ON s.r = g.r AND s.c = g.c""",
+    // derivational: the 1996 revenue grid recomputed from the parquet,
+    // independent of the nested-key layout and the zstd frames
+    "q234_zarr_nested_zstd" ->
+      """SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+           CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1 AS BIGINT)
+             AS p,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2""",
     // the sharded store must read back to exactly the generating surface
     "q205_zarr_sharded" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 10 + l.l * 0.5 AS temp
