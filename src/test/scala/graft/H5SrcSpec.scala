@@ -56,6 +56,26 @@ class H5SrcSpec extends AnyFunSuite {
     } finally src.close()
   }
 
+  test("multi-file directory: chunk tasks carry their own file's metadata") {
+    val dir = Files.createTempDirectory("graft_mf").toString
+    // different chunkings per file — tasks must use per-file chunk dims
+    Seq(("a.nc4", Seq(8, 2), 0), ("b.nc4", Seq(4, 5), 1000)).foreach {
+      case (name, chunk, base) =>
+        HDF5.writeNc4(s"$dir/$name",
+          Seq("time" -> Array.tabulate(12)(i => (base + i).toDouble),
+            "lat" -> Array.tabulate(5)(i => i * 0.5)),
+          Seq(WVar("temp", Seq(0, 1),
+            (for (t <- 0 until 12; l <- 0 until 5)
+              yield base + t * 100.0 + l * 1.5).toArray,
+            chunk = Some(chunk))))
+    }
+    val rows = HDF5.toLongDF(TestSpark.spark, dir, "temp")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = (for (base <- Seq(0, 1000); t <- 0 until 12; l <- 0 until 5)
+      yield ((base + t).toLong, l * 0.5, base + t * 100.0 + l * 1.5)).toSet
+    assert(rows === want)
+  }
+
   test("metadata walk touches a bounded page set, not the data payload") {
     val dir = Files.createTempDirectory("graft_pread3").toString
     val path = s"$dir/big.nc4"

@@ -156,6 +156,25 @@ class NetCDFSpec extends SparkSpec {
     assert(fxRows(25L).size === 15)
   }
 
+  test("multi-file directory: per-file plans union with each file's coords") {
+    val dir = java.nio.file.Files.createTempDirectory("ncmf").toString
+    // two shards of one logical series, distinct coordinate ranges
+    Seq((0, "a.nc"), (10, "b.nc")).foreach { case (base, name) =>
+      NetCDF.write(s"$dir/$name",
+        dims = Seq(Dim("t", 3), Dim("x", 2)),
+        vars = Seq(
+          Var("t", Seq(0), NetCDF.NC_INT,
+            Array.tabulate(3)(i => (base + i).toDouble)),
+          Var("v", Seq(0, 1), NetCDF.NC_DOUBLE,
+            Array.tabulate(6)(i => base * 100.0 + i))))
+    }
+    val rows = NetCDF.toLongDF(spark, dir, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for (base <- Seq(0, 10); i <- 0 until 3; j <- 0 until 2)
+      yield ((base + i).toLong, j.toLong, base * 100.0 + i * 2 + j)).toSet
+    assert(rows === want)
+  }
+
   test("single record variable uses the unpadded record stride (spec note)") {
     val dir = java.nio.file.Files.createTempDirectory("ncrec1").toString
     val p = s"$dir/one.nc"
