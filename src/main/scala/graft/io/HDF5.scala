@@ -1303,6 +1303,9 @@ object HDF5 {
             require(addr != UNDEF, s"$varName has no allocated data")
             val sizes = v.shape.map(_.toInt)
             val rowBytes = sizes.tail.map(_.toLong).product * v.dtype.size
+            require(rowBytes <= Int.MaxValue,
+              s"$varName: one row spans $rowBytes bytes — a single task " +
+                "cannot band it; re-chunk the file")
             val band = math.max(1L,
               bandBytes / math.max(1L, rowBytes)).toInt
             (0 until sizes.head by band).map { r0 =>

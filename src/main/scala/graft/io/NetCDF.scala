@@ -447,6 +447,9 @@ object NetCDF {
         }
         val tasks = if (h.isRecord(v)) {
           val rec = h.recSize
+          require(rec <= Int.MaxValue,
+            s"$varName: one record spans $rec bytes — a single task " +
+              "cannot band it")
           // the span preads whole interleaved records, so the band is
           // bounded by the full record stride, not the target's slab
           val band = math.max(1L, bandBytes / math.max(1L, rec)).toInt
@@ -458,6 +461,9 @@ object NetCDF {
         } else {
           val sizes = v.dimIds.map(h.dims(_).size)
           val rowBytes = sizes.tail.map(_.toLong).product * typeSize(v.ncType)
+          require(rowBytes <= Int.MaxValue,
+            s"$varName: one row spans $rowBytes bytes — a single task " +
+              "cannot band it")
           val band = math.max(1L, bandBytes / math.max(1L, rowBytes)).toInt
           (0 until sizes.head by band).map { r0 =>
             val rows = math.min(band, sizes.head - r0)
