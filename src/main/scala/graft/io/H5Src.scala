@@ -29,6 +29,20 @@ sealed trait H5Src {
 object H5Src {
   import scala.language.implicitConversions
   implicit def fromArray(a: Array[Byte]): H5Src = ArraySrc(a)
+
+  /** Positional full read — the one pread idiom every reader shares. */
+  def preadFully(ch: java.nio.channels.FileChannel, pos: Long,
+                 len: Int, what: String): ByteBuffer = {
+    require(len >= 0, s"negative read of $len bytes from $what")
+    val b = ByteBuffer.allocate(len)
+    var o = 0
+    while (o < len) {
+      val n = ch.read(b, pos + o)
+      require(n > 0, s"short read at ${pos + o} of $what")
+      o += n
+    }
+    b.flip(); b
+  }
 }
 
 final case class ArraySrc(a: Array[Byte]) extends H5Src {
@@ -79,20 +93,14 @@ final class PreadSrc(path: String, pageSize: Int = 64 * 1024,
       val off = idx * pageSize
       val len = math.min(pageSize.toLong, length - off).toInt
       require(len > 0, s"read past EOF at page $idx of $path")
-      val b = ByteBuffer.allocate(len)
-      var o = 0
-      while (o < len) {
-        val n = ch.read(b, off + o)
-        require(n > 0, s"short read at ${off + o} of $path")
-        o += n
-      }
+      val b = H5Src.preadFully(ch, off, len, path)
       pagesRead += 1
       cache.put(idx, b.array())
       b.array()
     }
   }
   def slice(pos: Long, len: Int): Array[Byte] = {
-    require(pos >= 0 && pos + len <= length,
+    require(pos >= 0 && len >= 0 && pos + len <= length,
       s"read [$pos, ${pos + len}) outside $path of $length bytes")
     val out = new Array[Byte](len)
     var done = 0

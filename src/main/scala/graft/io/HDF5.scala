@@ -438,9 +438,10 @@ object HDF5 {
     val out = Seq.newBuilder[DirectBlk]
     def walk(addr: Long, nrows: Int): Unit = {
       val directRows = math.min(nrows, maxDirectRows)
-      // filtered heaps append (stored size: offSize bytes, mask: 4) to
+      // filtered heaps append (stored size: size-of-lengths = 8 bytes,
+      // as libhdf5's H5HF indirect child entries encode it, mask: 4) to
       // every DIRECT-row entry — absent entries included
-      val entryExtra = if (filtered) fh.offSize + 4 else 0
+      val entryExtra = if (filtered) 8 + 4 else 0
       val b = buf(bytes, addr,
         4 + 1 + 8 + fh.offSize + nrows * fh.tableWidth * 8 +
           directRows * fh.tableWidth * entryExtra)
@@ -459,9 +460,7 @@ object HDF5 {
           if (r < maxDirectRows) {
             var stored = -1L; var mask = 0
             if (filtered) {
-              stored = 0L
-              (0 until fh.offSize).foreach(i =>
-                stored |= (b.get() & 0xffL) << (8 * i))
+              stored = b.getLong()
               mask = b.getInt()
             }
             if (a != UNDEF) out += DirectBlk(heapOff, size, a, stored, mask)
@@ -474,30 +473,43 @@ object HDF5 {
     out.result()
   }
 
-  /** Resolve a MANAGED heap ID to object bytes. Filtered heaps defilter
-    * the whole containing direct block (header included — that is how
-    * libhdf5 stores them) before slicing the object out. */
-  private[graft] def fheapObject(bytes: H5Src, fh: FractalHeap,
-                          heapId: Array[Byte]): Array[Byte] = {
-    val idFlags = heapId(0) & 0xff
-    require((idFlags & 0x30) == 0,
-      s"only managed fractal-heap objects supported (type ${(idFlags >> 4) & 3})")
-    var off = 0L
-    (0 until fh.offSize).foreach(i => off |= (heapId(1 + i) & 0xffL) << (8 * i))
-    var len = 0L
-    (0 until fh.lenSize).foreach(i =>
-      len |= (heapId(1 + fh.offSize + i) & 0xffL) << (8 * i))
-    val blk = directBlocks(bytes, fh)
-      .find(t => off >= t.off && off < t.off + t.size)
-      .getOrElse(sys.error(s"heap offset $off outside any direct block"))
-    if (blk.stored >= 0) {
-      val raw = bytes.slice(blk.addr, blk.stored.toInt)
-      val plain = defilter(raw, fh.filters, blk.mask, blk.size.toInt,
-        "a fractal-heap direct block")
-      java.util.Arrays.copyOfRange(plain,
-        (off - blk.off).toInt, (off - blk.off + len).toInt)
-    } else bytes.slice(blk.addr + (off - blk.off), len.toInt)
+  /** Per-heap walk context: the direct-block table is computed ONCE and
+    * defiltered block bytes are memoized, so resolving N objects costs
+    * one defilter per block, not per object (a dense group keeps every
+    * link in a handful of blocks — per-object defiltering was O(N) whole-
+    * block inflates). */
+  private[graft] final class HeapCtx(bytes: H5Src, fh: FractalHeap) {
+    private val blocks = directBlocks(bytes, fh)
+    private val plain =
+      scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+    /** Resolve a MANAGED heap ID to object bytes. Filtered heaps
+      * defilter the whole containing direct block (header included —
+      * that is how libhdf5 stores them) before slicing the object out. */
+    def objectAt(heapId: Array[Byte]): Array[Byte] = {
+      val idFlags = heapId(0) & 0xff
+      require((idFlags & 0x30) == 0,
+        s"only managed fractal-heap objects supported (type ${(idFlags >> 4) & 3})")
+      var off = 0L
+      (0 until fh.offSize).foreach(i => off |= (heapId(1 + i) & 0xffL) << (8 * i))
+      var len = 0L
+      (0 until fh.lenSize).foreach(i =>
+        len |= (heapId(1 + fh.offSize + i) & 0xffL) << (8 * i))
+      val blk = blocks
+        .find(t => off >= t.off && off < t.off + t.size)
+        .getOrElse(sys.error(s"heap offset $off outside any direct block"))
+      if (blk.stored >= 0) {
+        val p = plain.getOrElseUpdate(blk.addr, defilter(
+          bytes.slice(blk.addr, blk.stored.toInt), fh.filters, blk.mask,
+          blk.size.toInt, "a fractal-heap direct block"))
+        java.util.Arrays.copyOfRange(p,
+          (off - blk.off).toInt, (off - blk.off + len).toInt)
+      } else bytes.slice(blk.addr + (off - blk.off), len.toInt)
+    }
   }
+
+  private[graft] def fheapObject(bytes: H5Src, fh: FractalHeap,
+                          heapId: Array[Byte]): Array[Byte] =
+    new HeapCtx(bytes, fh).objectAt(heapId)
 
   /** v2 B-tree (BTHD) record enumeration, depth 0 (one BTLF leaf) and
     * depth 1 (BTIN root over leaves — wide netCDF-4 groups/attr sets hit
@@ -574,9 +586,9 @@ object HDF5 {
     val (fheapAddr, btAddr) = parseLinkInfo(linkInfoBody)
     require(fheapAddr != UNDEF && btAddr != UNDEF,
       "dense group without fractal heap / name index")
-    val fh = parseFRHP(bytes, fheapAddr)
+    val heap = new HeapCtx(bytes, parseFRHP(bytes, fheapAddr))
     v2BtreeRecords(bytes, btAddr).map { rec =>
-      parseLinkMessage(fheapObject(bytes, fh, rec.drop(4)))
+      parseLinkMessage(heap.objectAt(rec.drop(4)))
     }
   }
 
@@ -592,9 +604,9 @@ object HDF5 {
     val btAddr = b.getLong()
     if (fheapAddr == UNDEF || btAddr == UNDEF) Nil
     else {
-      val fh = parseFRHP(bytes, fheapAddr)
+      val heap = new HeapCtx(bytes, parseFRHP(bytes, fheapAddr))
       v2BtreeRecords(bytes, btAddr).map { rec =>
-        parseAttr(bytes, fheapObject(bytes, fh, rec.take(8)))
+        parseAttr(bytes, heap.objectAt(rec.take(8)))
       }
     }
   }
@@ -1014,6 +1026,8 @@ object HDF5 {
         else if ((flags & 2) != 0)
           Seq(ChunkRef(cd.map(_ => 0L), addr, sSize.toInt, sMask))
         else Seq(ChunkRef(cd.map(_ => 0L), addr, nominal(cd), 0))
+      case ChunkedV4(_, UNDEF, _, _, _, _, _) =>
+        Nil // index never allocated: dataset is all fill
       case ChunkedV4(2, addr, cd, _, _, _, _) =>
         // implicit: dense unfiltered grid laid out back to back
         gridOrigins(d.shape, cd).zipWithIndex.map { case (o, i) =>
@@ -1075,7 +1089,9 @@ object HDF5 {
     else {
       val npages = ((nelmts + pageSize - 1) / pageSize).toInt
       val bitmapBytes = (npages + 7) / 8
-      var pos = dblk + 14 + bitmapBytes
+      // the paged data-block PREFIX (header fields + bitmap) carries its
+      // own 4-byte checksum before the first page
+      var pos = dblk + 14 + bitmapBytes + 4
       (0 until npages).flatMap { p =>
         val n = math.min(pageSize, nelmts - p.toLong * pageSize).toInt
         val refs = parseEntries(pos, n, (p.toLong * pageSize).toInt)
@@ -1262,7 +1278,10 @@ object HDF5 {
   private val ContigBandBytes = 32L << 20
 
   def toLongDF(spark: SparkSession, dir: String, varName: String,
-               bandBytes: Long = ContigBandBytes): DataFrame = {
+               bandBytesReq: Long = ContigBandBytes): DataFrame = {
+    // clamp so a generous caller value can never overflow a task's
+    // Int-sized pread (band * rowBytes stays well under 2 GiB)
+    val bandBytes = math.min(math.max(1L, bandBytesReq), 1L << 30)
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
         || f.getName.endsWith(".nc")).sortBy(_.getName)
@@ -1337,16 +1356,8 @@ object HDF5 {
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(t.path),
           java.nio.file.StandardOpenOption.READ)
-        try {
-          val b = ByteBuffer.allocate(t.stored)
-          var o = 0
-          while (o < t.stored) {
-            val n = ch.read(b, t.addr + o)
-            require(n > 0, s"short read at ${t.addr + o} of ${t.path}")
-            o += n
-          }
-          b.array()
-        } finally ch.close()
+        try H5Src.preadFully(ch, t.addr, t.stored, t.path).array()
+        finally ch.close()
       }
       val stride = d.dtype.size
       val baseLen = t.cdims.map(_.toLong).product.toInt * stride

@@ -360,12 +360,16 @@ object NetCDF {
     * surfaces as buffer underflow; retry bigger until the header fits. */
   def parseHeaderFile(path: String): Header = {
     val fileLen = new java.io.File(path).length()
+    // headers are KBs; cap the prefix so >2 GiB files cannot truncate
+    // the Int conversion into an ever-retrying loop
+    val maxTake = math.min(fileLen, (Int.MaxValue - 8).toLong)
     var sz = 64L * 1024
     while (true) {
-      val take = math.min(sz, fileLen).toInt
+      val take = math.min(sz, maxTake).toInt
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(path), java.nio.file.StandardOpenOption.READ)
       val prefix = try {
+        // a prefix may legitimately end at EOF mid-read: fill what exists
         val b = ByteBuffer.allocate(take)
         var o = 0
         var n = 0
@@ -378,11 +382,11 @@ object NetCDF {
         // allocation guard tripping on a length past the prefix end; at
         // take == fileLen the same exceptions mean real corruption and
         // propagate
-        case _: java.nio.BufferUnderflowException if take < fileLen =>
+        case _: java.nio.BufferUnderflowException if take < maxTake =>
           sz *= 8
-        case _: IndexOutOfBoundsException if take < fileLen =>
+        case _: IndexOutOfBoundsException if take < maxTake =>
           sz *= 8
-        case _: IllegalArgumentException if take < fileLen =>
+        case _: IllegalArgumentException if take < maxTake =>
           sz *= 8
       }
     }
@@ -390,16 +394,8 @@ object NetCDF {
   }
 
   private def pread(ch: java.nio.channels.FileChannel, pos: Long,
-                    len: Int): ByteBuffer = {
-    val b = ByteBuffer.allocate(len)
-    var o = 0
-    while (o < len) {
-      val n = ch.read(b, pos + o)
-      require(n > 0, s"short read at ${pos + o}")
-      o += n
-    }
-    b.flip(); b
-  }
+                    len: Int): ByteBuffer =
+    H5Src.preadFully(ch, pos, len, "netCDF data section")
 
   /** One distributed read unit: `count` leading-dim slices (records for
     * a record variable, rows otherwise) starting at `first`, covered by
@@ -411,7 +407,8 @@ object NetCDF {
   private val BandBytes = 32L << 20
 
   def toLongDF(spark: SparkSession, dir: String, varName: String,
-               bandBytes: Long = BandBytes): DataFrame = {
+               bandBytesReq: Long = BandBytes): DataFrame = {
+    val bandBytes = math.min(math.max(1L, bandBytesReq), 1L << 30)
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc files under $dir")

@@ -299,17 +299,22 @@ object Szip {
         val cnt = p.ppb - (if (hasRef) 1 else 0)
         if (id == 0) {
           // second extension; a foreign reference block pairs a phantom
-          // leading zero with the first delta
-          var i = 0
-          while (i < cnt) {
+          // leading zero with the first delta — the phantom is DISCARDED
+          // (only the pair's second member is a real sample)
+          var out2 = d0
+          var first = hasRef
+          while (out2 < d0 + cnt) {
             val v = r.fs()
             // invert m = s(s+1)/2 + b2 without floating point
             var s = 0L
             while ((s + 1) * (s + 2) / 2 <= v) s += 1
             val b2 = v - s * (s + 1) / 2
-            m(d0 + i) = s - b2
-            if (i + 1 < cnt) m(d0 + i + 1) = b2
-            i += 2
+            if (first) { m(out2) = b2; out2 += 1; first = false }
+            else {
+              m(out2) = s - b2
+              if (out2 + 1 < d0 + cnt) m(out2 + 1) = b2
+              out2 += 2
+            }
           }
         } else if (id == (1 << p.idLen) - 1) {
           var i = 0

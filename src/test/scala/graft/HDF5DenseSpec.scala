@@ -251,8 +251,8 @@ class HDF5DenseSpec extends SparkSpec {
     bB.put("FHDB".getBytes).put(0.toByte).putLong(0L).putInt(512)
     bB.position(40); bB.put("raw block".getBytes) // heap offset 512 + 40
     // FHIB at 256: 1 row x 2 filtered direct entries:
-    // (addr 8, stored size 4 = offSize, mask 4) each
-    val fhibLen = 4 + 1 + 8 + 4 + 2 * (8 + 4 + 4)
+    // (addr 8, stored size 8 = size-of-lengths, mask 4) each
+    val fhibLen = 4 + 1 + 8 + 4 + 2 * (8 + 8 + 4)
     val addrA = 256L + fhibLen
     val addrB = addrA + packedA.length
     val bytes2 = new Array[Byte]((addrB + 512).toInt)
@@ -261,8 +261,8 @@ class HDF5DenseSpec extends SparkSpec {
       filteredRootSize = 0L, managed = 1024L)
     b2.position(256)
     b2.put("FHIB".getBytes).put(0.toByte).putLong(0L).putInt(0)
-    b2.putLong(addrA).putInt(packedA.length).putInt(0) // deflated
-    b2.putLong(addrB).putInt(512).putInt(1)            // mask: skip deflate
+    b2.putLong(addrA).putLong(packedA.length.toLong).putInt(0) // deflated
+    b2.putLong(addrB).putLong(512L).putInt(1)        // mask: skip deflate
     b2.position(addrA.toInt); b2.put(packedA)
     b2.position(addrB.toInt); b2.put(blockB)
     val fh2 = HDF5.parseFRHP(bytes2, 0L)

@@ -89,6 +89,7 @@ class HDF5V4Spec extends AnyFunSuite {
     b.put("FADB".getBytes); b.put(0.toByte); b.put(0.toByte)
     b.putLong(10L) // header addr
     b.put(0x03.toByte) // page bitmap: both pages present
+    b.putInt(0) // data-block prefix checksum (after the bitmap)
     // page 0: 4 entries + checksum; page 1: 2 entries + checksum
     Seq(500L, 600L, -1L, 700L).foreach(b.putLong); b.putInt(0)
     Seq(800L, 900L).foreach(b.putLong); b.putInt(0)
