@@ -1394,6 +1394,31 @@ object HDF5 {
               outDir: String, chunkCols: Seq[String] = Nil): Unit =
     Store.write(toLongDF(spark, inDir, varName), outDir, chunkCols)
 
+  /** `open_dataset` over a .nc4/.h5 directory: EVERY data variable
+    * (mirror of `Zarr.openDataset` — same-dims requirement, full-outer
+    * join on the dim columns). Dimension scales become dim columns. */
+  def openDataset(spark: SparkSession, dir: String): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
+        || f.getName.endsWith(".nc")).sortBy(_.getName)
+    require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
+    val src = new PreadSrc(files.head.getAbsolutePath)
+    val (names, dims) = try {
+      val f = parseFile(src)
+      val dataVars = f.datasets
+        .filter(d => d.parseError.isEmpty && !d.isDimScale)
+      require(dataVars.nonEmpty, s"no data variables under $dir")
+      val dims = f.varDims(dataVars.head)
+      require(dataVars.forall(v => f.varDims(v) == dims),
+        "open_dataset requires all data vars on the same dims; got " +
+          dataVars.map(v => s"${v.name}:${f.varDims(v).mkString("x")}")
+            .mkString(", "))
+      (dataVars.map(_.name), dims)
+    } finally src.close()
+    names.map(n => toLongDF(spark, dir, n))
+      .reduce(_.join(_, dims, "full_outer"))
+  }
+
   // ------------------------------------------------------------------
   // writer (fixture/export path: superblock v0, dimension scales,
   // DIMENSION_LIST, contiguous or chunked+deflate)

@@ -554,12 +554,34 @@ object NetCDF {
     * missing_value masking and scale_factor/add_offset unpacking come
     * straight from the header's variable attributes (the packed-integer
     * convention real .nc archives use). */
+  /** `open_dataset` over a .nc directory: EVERY data variable (mirror
+    * of `Zarr.openDataset` — same-dims requirement, full-outer join on
+    * the dim columns). Coordinate variables become the dim columns. */
+  def openDataset(spark: SparkSession, dir: String): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+    require(files.nonEmpty, s"no .nc files under $dir")
+    val hdr = parseHeaderFile(files.head.getAbsolutePath)
+    def isCoord(v: VarMeta): Boolean =
+      v.dimIds.length == 1 && hdr.dims(v.dimIds.head).name == v.name
+    val dataVars = hdr.vars.filterNot(isCoord)
+    require(dataVars.nonEmpty, s"no data variables under $dir")
+    val dims = dataVars.head.dimIds.map(hdr.dims(_).name)
+    require(dataVars.forall(_.dimIds.map(hdr.dims(_).name) == dims),
+      "open_dataset requires all data vars on the same dims; got " +
+        dataVars.map(v =>
+          s"${v.name}:${v.dimIds.map(hdr.dims(_).name).mkString("x")}")
+          .mkString(", "))
+    dataVars.map(v => toLongDF(spark, dir, v.name))
+      .reduce(_.join(_, dims, "full_outer"))
+  }
+
   def openDecoded(spark: SparkSession, dir: String,
                   varName: String): graft.model.XDataset = {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc files under $dir")
-    val hdr = parseHeader(Files.readAllBytes(files.head.toPath))
+    val hdr = parseHeaderFile(files.head.getAbsolutePath)
     val v = hdr.vars.find(_.name == varName)
       .getOrElse(throw new NoSuchElementException(varName))
     val dims = v.dimIds.map(hdr.dims(_).name)

@@ -747,6 +747,68 @@ object QueriesMore {
         .select("q", "p", "rev")
     }),
 
+    // open_dataset over netCDF-4: EVERY data variable joined on the dims
+    // (ref `backends/api.py:637` open_dataset -> all data_vars). Two
+    // measures — count and revenue — written as separate variables,
+    // read back through HDF5.openDataset's full-outer dim join;
+    // derivational oracle recomputes both from the parquet
+    "q235_h5_open_dataset" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5od_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("int").as("p"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(30, 4)))
+            .cast("double").as("rev"))
+        .collect() // bounded at the 20-cell grid
+      val cnt = new Array[Double](20)
+      val rev = new Array[Double](20)
+      cells.foreach { r =>
+        val i = r.getInt(0) * 5 + r.getInt(1)
+        cnt(i) = r.getLong(2).toDouble; rev(i) = r.getDouble(3)
+      }
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("q" -> Array.tabulate(4)(_.toDouble),
+          "p" -> Array.tabulate(5)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), cnt, chunk = Some(Seq(3, 2))),
+          HDF5.WVar("rev", Seq(0, 1), rev, chunk = Some(Seq(2, 3)))))
+      HDF5.openDataset(s, base).select("q", "p", "cnt", "rev")
+    }),
+
+    // the classic-netCDF twin of q235: customer count + balance grid
+    // through NetCDF.openDataset's banded reads + dim join
+    "q236_nc_open_dataset" -> ((s, dir) => {
+      import graft.io.NetCDF
+      val base = "/tmp/graft_ncod_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.customer(s, dir)
+        .groupBy((col("c_nationkey") / 5).cast("int").as("r"),
+          (col("c_nationkey") % 5).cast("int").as("c"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(DecimalType(30, 2)))
+            .cast("double").as("bal"))
+        .collect() // bounded at the 25-cell grid
+      val cnt = new Array[Double](25)
+      val bal = new Array[Double](25)
+      cells.foreach { r =>
+        val i = r.getInt(0) * 5 + r.getInt(1)
+        cnt(i) = r.getLong(2).toDouble; bal(i) = r.getDouble(3)
+      }
+      NetCDF.write(base + "/part0.nc",
+        Seq(NetCDF.Dim("r", 5), NetCDF.Dim("c", 5)),
+        Seq(
+          NetCDF.Var("r", Seq(0), NetCDF.NC_INT, Array.tabulate(5)(_.toDouble)),
+          NetCDF.Var("c", Seq(1), NetCDF.NC_INT, Array.tabulate(5)(_.toDouble)),
+          NetCDF.Var("cnt", Seq(0, 1), NetCDF.NC_DOUBLE, cnt),
+          NetCDF.Var("bal", Seq(0, 1), NetCDF.NC_DOUBLE, bal)))
+      NetCDF.openDataset(s, base).select("r", "c", "cnt", "bal")
+    }),
+
     // same converter pipeline through a CDF-5 container (64-bit sizes,
     // INT64 variable): proves the version-5 header/offset path end to end
     "q115b_netcdf_cdf5" -> ((s, dir) => {
@@ -1130,6 +1192,32 @@ object QueriesMore {
              AS p,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2""",
+    // derivational: both measures recomputed from the parquet; the
+    // full-outer dim join must reassemble exactly the written grids
+    "q235_h5_open_dataset" ->
+      """SELECT g.q, g.p, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt,
+           CAST(coalesce(c.rev, 0) AS DOUBLE) AS rev
+         FROM (SELECT q.q, p.p
+             FROM (SELECT unnest(generate_series(0, 3)) AS q) q
+             CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS p) p) g
+         LEFT JOIN (SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1
+               AS BIGINT) AS p,
+             count(*) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) c
+         ON c.q = g.q AND c.p = g.p""",
+    "q236_nc_open_dataset" ->
+      """SELECT g.r, g.c, CAST(coalesce(x.cnt, 0) AS DOUBLE) AS cnt,
+           CAST(coalesce(x.bal, 0) AS DOUBLE) AS bal
+         FROM (SELECT r.r, c.c
+             FROM (SELECT unnest(generate_series(0, 4)) AS r) r
+             CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS c) c) g
+         LEFT JOIN (SELECT CAST(c_nationkey // 5 AS BIGINT) AS r,
+             CAST(c_nationkey % 5 AS BIGINT) AS c, count(*) AS cnt,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+           FROM customer GROUP BY 1, 2) x
+         ON x.r = g.r AND x.c = g.c""",
     // derivational: the count grid recomputed from the parquet, not the
     // szip store — any Rice-coding defect surfaces as a hash mismatch
     "q231_hdf5_szip" ->
