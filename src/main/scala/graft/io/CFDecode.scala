@@ -372,4 +372,156 @@ object CFDecode {
       }
     }
   }
+
+  // --- date_range_like (ref `coding/cftime_offsets.py:1553`): a range
+  // with the same start, end, and inferred frequency as a source axis,
+  // re-expressed in a different calendar. Driver-side like cftimeRange —
+  // the result is an axis grid that broadcasts with the plan, never data.
+
+  /** Scalar (year, month 1-12, day 1-31) of a day count since January 1
+    * of `epochYear` — the driver-side mirror of the column decoders above,
+    * for axis generation. */
+  private[graft] def ymdOfDay(calendar: String, epochYear: Int,
+                              day: Long): (Int, Int, Int) = {
+    def fromDoy(y: Int, doy: Int, starts: Seq[Int]): (Int, Int, Int) = {
+      val m0 = starts.indexWhere(_ > doy) - 1
+      (y, m0 + 1, doy - starts(m0) + 1)
+    }
+    calendar match {
+      case "360_day" =>
+        val doy = Math.floorMod(day, 360L).toInt
+        (Math.floorDiv(day, 360L).toInt + epochYear, doy / 30 + 1, doy % 30 + 1)
+      case "noleap" =>
+        fromDoy(Math.floorDiv(day, 365L).toInt + epochYear,
+          Math.floorMod(day, 365L).toInt, monthStartsNoLeap)
+      case "all_leap" =>
+        fromDoy(Math.floorDiv(day, 366L).toInt + epochYear,
+          Math.floorMod(day, 366L).toInt, monthStartsAllLeap)
+      case "julian" =>
+        require(epochYear % 4 == 0, "julian epochYear must be divisible by 4")
+        val cyc = Math.floorDiv(day, 1461L)
+        val dic = Math.floorMod(day, 1461L).toInt // day in the 4-year cycle
+        val yearStarts = Seq(0, 366, 731, 1096, 1461)
+        val yic = yearStarts.indexWhere(_ > dic) - 1
+        fromDoy(epochYear + cyc.toInt * 4 + yic, dic - yearStarts(yic),
+          if (yic == 0) monthStartsAllLeap else monthStartsNoLeap)
+      case "proleptic_gregorian" | "standard" | "gregorian" =>
+        val d = java.time.LocalDate.of(epochYear, 1, 1).plusDays(day)
+        (d.getYear, d.getMonthValue, d.getDayOfMonth)
+      case c => sys.error(s"unknown calendar $c")
+    }
+  }
+
+  /** Days in (year, month 1-12) of `calendar`. */
+  private[graft] def daysInMonthCal(calendar: String, year: Int,
+                                    month: Int): Int = calendar match {
+    case "360_day"  => 30
+    case "noleap"   => monthStartsNoLeap(month) - monthStartsNoLeap(month - 1)
+    case "all_leap" => monthStartsAllLeap(month) - monthStartsAllLeap(month - 1)
+    case "julian" =>
+      val s = if (year % 4 == 0) monthStartsAllLeap else monthStartsNoLeap
+      s(month) - s(month - 1)
+    case "proleptic_gregorian" | "standard" | "gregorian" =>
+      java.time.LocalDate.of(year, month, 1).lengthOfMonth
+    case c => sys.error(s"unknown calendar $c")
+  }
+
+  /** Day count since epoch of (year, month 1-12, day 1-31) in `calendar`
+    * — scalar inverse of [[ymdOfDay]]. */
+  def dayOfYmd(calendar: String, epochYear: Int,
+               year: Int, month: Int, day: Int): Long =
+    monthStartDay(calendar, epochYear, year, month - 1) + day - 1L
+
+  /** Day count of the LAST day of (year, month 1-12) in `calendar`. */
+  def monthEndDay(calendar: String, epochYear: Int,
+                  year: Int, month: Int): Long =
+    dayOfYmd(calendar, epochYear, year, month,
+      daysInMonthCal(calendar, year, month))
+
+  /** infer_freq over a day-count axis (ref `coding/frequencies.py:34`
+    * `_CFTimeFrequencyInferer.get_freq`, mirroring pandas): month-anchored
+    * rules are checked BEFORE constant day spacing — a 360_day month-end
+    * series is "ME", not "30D" — because the two convert differently
+    * across calendars. Subset: D / MS / ME / QS (Jan/Apr/Jul/Oct) /
+    * QE (Mar/Jun/Sep/Dec) / YS (Jan) / YE (Dec) and n-multiples. */
+  def inferFreqDays(calendar: String, epochYear: Int,
+                    days: Seq[Long]): Option[String] = {
+    if (days.length < 3 || days.sliding(2).exists(p => p(1) <= p(0)))
+      return None
+    def multi(n: Int, u: String) = Some(if (n == 1) u else s"$n$u")
+    val ymds = days.map(ymdOfDay(calendar, epochYear, _))
+    val mIdx = ymds.map { case (y, m, _) => (y - epochYear) * 12 + (m - 1) }
+    val mDeltas = mIdx.sliding(2).map(p => p(1) - p(0)).toSeq
+    val monthly =
+      if (mDeltas.distinct.size == 1 && mDeltas.head > 0) {
+        val k = mDeltas.head
+        val m0 = ymds.head._2
+        if (ymds.forall(_._3 == 1)) {
+          if (k % 12 == 0 && m0 == 1) multi(k / 12, "YS")
+          else if (k % 3 == 0 && Set(1, 4, 7, 10)(m0)) multi(k / 3, "QS")
+          else multi(k, "MS")
+        } else if (ymds.forall { case (y, m, d) =>
+            d == daysInMonthCal(calendar, y, m) }) {
+          if (k % 12 == 0 && m0 == 12) multi(k / 12, "YE")
+          else if (k % 3 == 0 && Set(3, 6, 9, 12)(m0)) multi(k / 3, "QE")
+          else multi(k, "ME")
+        } else None
+      } else None
+    monthly.orElse {
+      val deltas = days.sliding(2).map(p => p(1) - p(0)).toSeq
+      if (deltas.distinct.size == 1) multi(deltas.head.toInt, "D") else None
+    }
+  }
+
+  /** date_range_like (ref `coding/cftime_offsets.py:1553`): day counts
+    * with the same start, end, and inferred frequency as `sourceDays` (in
+    * `sourceCal`), in `targetCal`. Start/end keep their (y, m, d)
+    * identity, clamped back to the target month's last day when shorter
+    * (the reference's "try 1 and 2 calendar days before"); a source
+    * ending on its month's last day keeps ending on the TARGET month's
+    * last day for D/ME/QE/YE (the reference's end-of-month special case).
+    * Month-anchored ticks walk the anchored month grid, so e.g. a noleap
+    * Feb 28 month-end maps to Feb 29 in a leap year. Same `epochYear`
+    * convention on both sides. */
+  def dateRangeLike(sourceDays: Seq[Long], sourceCal: String,
+                    targetCal: String, epochYear: Int): Seq[Long] = {
+    require(sourceDays.nonEmpty, "date_range_like: empty source axis")
+    if (targetCal == sourceCal) return sourceDays
+    val freq = inferFreqDays(sourceCal, epochYear, sourceDays).getOrElse(
+      sys.error("date_range_like: source frequency was not inferable"))
+    val (n, unit) = {
+      val m = "^(\\d*)([A-Z]+)$".r.findFirstMatchIn(freq).get
+      (if (m.group(1).isEmpty) 1 else m.group(1).toInt, m.group(2))
+    }
+    val (ys, ms, ds) = ymdOfDay(sourceCal, epochYear, sourceDays.head)
+    val (ye, me, de) = ymdOfDay(sourceCal, epochYear, sourceDays.last)
+    def clamp(y: Int, m: Int, d: Int): Int =
+      math.min(d, daysInMonthCal(targetCal, y, m))
+    val dEnd =
+      if (de == daysInMonthCal(sourceCal, ye, me) &&
+          Set("D", "ME", "QE", "YE")(unit))
+        daysInMonthCal(targetCal, ye, me)
+      else clamp(ye, me, de)
+    val startDay = dayOfYmd(targetCal, epochYear, ys, ms, clamp(ys, ms, ds))
+    val endDay = dayOfYmd(targetCal, epochYear, ye, me, dEnd)
+    unit match {
+      case "D" => (startDay to endDay by n.toLong)
+      case _ =>
+        val monthsPer = unit match {
+          case "MS" | "ME" => n
+          case "QS" | "QE" => 3 * n
+          case "YS" | "YE" => 12 * n
+        }
+        val isEnd = unit.endsWith("E")
+        val k0 = (ys - epochYear) * 12 + (ms - 1)
+        def msAt(k: Int): Long = monthStartDay(targetCal, epochYear,
+          epochYear + Math.floorDiv(k, 12), Math.floorMod(k, 12))
+        Iterator.from(0)
+          .map(i => if (isEnd) msAt(k0 + i * monthsPer + 1) - 1L
+                    else msAt(k0 + i * monthsPer))
+          .takeWhile(_ <= endDay)
+          .dropWhile(_ < startDay)
+          .toSeq
+    }
+  }
 }

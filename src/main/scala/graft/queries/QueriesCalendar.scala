@@ -126,6 +126,33 @@ object QueriesCalendar {
           t = "x", v = "v")
         .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
           col("v_interp"))
+    }),
+
+    // date_range_like (ref `coding/cftime_offsets.py:1553`): the orders
+    // table's month-end axis (standard calendar, freq inferred = ME),
+    // re-expressed in noleap and 360_day. The span derives from the data
+    // via a 1-row agg (bounded driver state, like the other audited
+    // collects); the output is a generated axis grid, the reference's
+    // exact shape. Epoch 1988 keeps all day counts positive.
+    "q237_date_range_like" -> ((s, dir) => {
+      import s.implicits._
+      val b = Tables.orders(s, dir)
+        .agg(min(trunc(col("o_orderdate"), "month")).as("m0"),
+             max(trunc(col("o_orderdate"), "month")).as("m1"))
+        .head()
+      val (m0, m1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      def kOf(d: java.time.LocalDate): Int =
+        (d.getYear - 1988) * 12 + d.getMonthValue - 1
+      val src = (kOf(m0) to kOf(m1)).map { k =>
+        CFDecode.monthEndDay("proleptic_gregorian", 1988,
+          1988 + k / 12, k % 12 + 1)
+      }
+      val rows = for {
+        cal <- Seq("noleap", "360_day")
+        (d, i) <- CFDecode.dateRangeLike(src, "proleptic_gregorian", cal,
+          1988).zipWithIndex
+      } yield (cal, i.toLong, d)
+      rows.toDF("calendar", "i", "day")
     })
   )
 
@@ -195,6 +222,25 @@ object QueriesCalendar {
            FROM (SELECT unnest(generate_series(0, 23)) AS i)"""
         }
       (pro ++ nl).mkString(" UNION ALL ")
+    },
+
+    // replay: month index k since 1988-01 over the orders span; noleap
+    // month-end = next month start - 1 (fixed-length closed form),
+    // 360_day month-end = (k+1)*30 - 1. Both derive from the same table
+    // the Spark side aggregated.
+    "q237_date_range_like" -> {
+      val nlCase = (0 until 12).map(i => s"WHEN $i THEN ${startsNoLeap(i)}")
+        .mkString("CASE (k + 1) % 12 ", " ", " END")
+      s"""WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS m0,
+               date_trunc('month', max(o_orderdate)) AS m1 FROM orders),
+         g AS (SELECT unnest(generate_series(0, datediff('month', m0, m1))) AS i,
+               (year(m0) - 1988) * 12 + month(m0) - 1 AS k0 FROM b),
+         k AS (SELECT i, k0 + i AS k FROM g)
+         SELECT 'noleap' AS calendar, i,
+           CAST(((k + 1) // 12) * 365 + $nlCase - 1 AS BIGINT) AS day FROM k
+         UNION ALL
+         SELECT '360_day' AS calendar, i,
+           CAST(k * 30 + 29 AS BIGINT) AS day FROM k"""
     },
     "q119_cftime_calendars" -> {
       val mJulL = sqlMonth("doyjul", startsLeap)

@@ -166,4 +166,57 @@ class CalendarSpec extends SparkSpec {
     val qe = CFDecode.cftimeRange("proleptic_gregorian", 2000, 2001, 1, "QE")
     assert(qe.head === qs(1) - 1)
   }
+
+  // --- date_range_like (ref `coding/cftime_offsets.py:1553`) + the
+  // infer_freq it builds on (`coding/frequencies.py:34`) ---
+
+  test("infer_freq: anchored month rules win over constant day spacing") {
+    def me(cal: String, months: Range) =
+      months.map(m => CFDecode.monthEndDay(cal, 2000, 2000, m))
+    assert(CFDecode.inferFreqDays("standard", 2000,
+      me("standard", 1 to 12)) === Some("ME"))
+    // 360_day month-ends are exactly 30 days apart — must still be ME,
+    // because ME and 30D convert differently across calendars
+    assert(CFDecode.inferFreqDays("360_day", 2000,
+      me("360_day", 1 to 4)) === Some("ME"))
+    assert(CFDecode.inferFreqDays("noleap", 2000,
+      Seq(0L, 730L, 1460L)) === Some("2YS")) // Jan 1 every 2nd noleap year
+    assert(CFDecode.inferFreqDays("standard", 2000,
+      Seq(0L, 3L, 6L, 9L)) === Some("3D"))
+    // monthly on day 15: not an anchored rule, not constant-day -> None
+    assert(CFDecode.inferFreqDays("standard", 2000,
+      (1 to 5).map(m => CFDecode.dayOfYmd("standard", 2000, 2000, m, 15)))
+      === None)
+    assert(CFDecode.inferFreqDays("standard", 2000, Seq(0L, 1L)) === None)
+  }
+
+  test("date_range_like ME: leap-year Feb 29 becomes noleap Feb 28") {
+    val src = (1 to 12).map(m => CFDecode.monthEndDay("standard", 2000, 2000, m))
+    val out = CFDecode.dateRangeLike(src, "standard", "noleap", 2000)
+    assert(out === (1 to 12).map(m => CFDecode.monthEndDay("noleap", 2000, 2000, m)))
+    assert(out(1) === 58L) // noleap Feb 28 = 31 + 28 - 1 days since Jan 1
+  }
+
+  test("date_range_like daily: month-end source end snaps to target month end") {
+    // noleap February 2000, daily -> standard 2000 gains Feb 29 (the
+    // reference's "daily or coarser ending on the last day of the month")
+    val src = (31L to 58L) // noleap Feb 1 .. Feb 28
+    val out = CFDecode.dateRangeLike(src, "noleap", "standard", 2000)
+    assert(out === (31L to 59L)) // standard Feb 1 .. Feb 29
+  }
+
+  test("date_range_like daily: length follows the target calendar span") {
+    // standard 2001-01-01..2001-03-01 is 60 dates; the same (y,m,d)
+    // endpoints in 360_day span 61
+    val src = (0L to 59L)
+    val out = CFDecode.dateRangeLike(src, "standard", "360_day", 2001)
+    assert(out === (0L to 60L))
+  }
+
+  test("date_range_like: same calendar returns the source; 2YS walks the grid") {
+    val src = Seq(5L, 6L, 7L)
+    assert(CFDecode.dateRangeLike(src, "noleap", "noleap", 2000) eq src)
+    assert(CFDecode.dateRangeLike(Seq(0L, 730L, 1460L), "noleap", "360_day",
+      2000) === Seq(0L, 720L, 1440L))
+  }
 }
