@@ -82,6 +82,38 @@ final class DataTree(val nodes: Map[String, XDataset]) {
   def prune(): DataTree =
     new DataTree(nodes.filter { case (_, ds) => ds.df.columns.nonEmpty })
 
+  /** drop_nodes (ref `datatree.py:1122`): remove the named nodes and
+    * their descendants; errors on unknown paths like the reference's
+    * default (errors="raise"). */
+  def dropNodes(paths: String*): DataTree = {
+    val roots = paths.map(norm)
+    val missing = roots.filterNot(nodes.contains)
+    require(missing.isEmpty, s"no nodes at: ${missing.mkString(", ")}")
+    new DataTree(nodes.filterNot { case (p, _) =>
+      roots.exists(r => p == r || p.startsWith(r + "/"))
+    })
+  }
+
+  /** filter_like (ref `datatree.py:1621`): keep only the node paths the
+    * other tree also has — align one tree's structure to another's. */
+  def filterLike(other: DataTree): DataTree =
+    filter((p, _) => other.nodes.contains(p))
+
+  /** True when the node at `path` carries data variables (ref
+    * `datatree.py:741` has_data). */
+  def hasData(path: String): Boolean = {
+    val ds = nodes(norm(path))
+    ds.dataVars.nonEmpty
+  }
+
+  /** is_hollow (ref `datatree.py:756`): data lives only at the leaves. */
+  def isHollow: Boolean = {
+    val paths = nodes.keySet
+    def isLeaf(p: String) =
+      !paths.exists(q => q != p && q.startsWith(if (p == "/") "/" else p + "/"))
+    nodes.forall { case (p, ds) => isLeaf(p) || ds.dataVars.isEmpty }
+  }
+
   // Glob-pattern node match (ref `datatree.py:1742` `match`): fnmatch
   // semantics like the reference — '*' matches ANY run of characters
   // including '/', '?' matches one character. matchGlob("*" + "/B")

@@ -175,6 +175,56 @@ final class XDataset(val df: DataFrame, val meta: DatasetMeta,
     new XDataset(df, meta.copy(varAttrs = meta.varAttrs +
       (variable -> (meta.varAttrs.getOrElse(variable, Map.empty) ++ attrs))))
 
+  /** drop_attrs (ref `dataset.py:9004`): clear dataset attrs; with
+    * `deep` (the default, like the reference) also every variable's
+    * attrs. Meta-only — the plan is untouched. */
+  def dropAttrs(deep: Boolean = true): XDataset =
+    new XDataset(df, meta.copy(attrs = Map.empty,
+      varAttrs = if (deep) Map.empty else meta.varAttrs), indexes)
+
+  /** CF coder parameters treated as ENCODING rather than attrs — the keys
+    * `decode_cf_variable` consumes (ref `conventions.py:109`). In the
+    * reference these live in `.encoding` after decode; our model keeps
+    * them in varAttrs, so encoding ops filter on this set. */
+  private val encodingKeys = Set("_FillValue", "missing_value",
+    "scale_factor", "add_offset", "dtype", "compressor", "chunks",
+    "chunksizes", "zlib", "complevel", "shuffle", "fletcher32")
+
+  /** drop_encoding (ref `dataset.py:9022`): strip the CF/storage coder
+    * parameters from every variable, keeping descriptive attrs. A fresh
+    * to_netcdf/to_zarr then writes plain unencoded values. Meta-only. */
+  def dropEncoding(): XDataset =
+    new XDataset(df, meta.copy(varAttrs = meta.varAttrs
+      .map { case (v, a) => v -> a.filterNot(kv => encodingKeys(kv._1)) }
+      .filter(_._2.nonEmpty)), indexes)
+
+  /** drop_indexes (ref `dataset.py:6457`): detach the index objects from
+    * the named dims; the coordinate COLUMNS stay (exactly the reference's
+    * semantics — data is untouched, only lookup structures go). */
+  def dropIndexes(dims: Seq[String]): XDataset = {
+    val missing = dims.filterNot(indexes.contains)
+    require(missing.isEmpty, s"no index over dims: ${missing.mkString(", ")}")
+    new XDataset(df, meta, indexes -- dims)
+  }
+
+  /** info (ref `dataset.py:1529`): a netCDF-CDL-flavored text summary of
+    * dims, variables, and attrs — driver-side metadata only, never
+    * touches data. */
+  def info: String = {
+    val sb = new StringBuilder("xarray.Dataset {\ndimensions:\n")
+    meta.dims.foreach(d => sb.append(s"\t$d ;\n"))
+    sb.append("\nvariables:\n")
+    df.schema.fields.foreach { f =>
+      sb.append(s"\t${f.dataType.simpleString} ${f.name} ;\n")
+      meta.varAttrs.getOrElse(f.name, Map.empty).toSeq.sortBy(_._1)
+        .foreach { case (k, v) => sb.append(s"\t\t${f.name}:$k = $v ;\n") }
+    }
+    sb.append("\n// global attributes:\n")
+    meta.attrs.toSeq.sortBy(_._1)
+      .foreach { case (k, v) => sb.append(s"\t:$k = $v ;\n") }
+    sb.append("}").toString
+  }
+
   /** filter_by_attrs (ref `dataset.py:9810`): keep the data variables whose
     * attrs satisfy the predicate; key columns always survive. A projection
     * decision made on the driver from metadata — the scan then prunes the

@@ -107,4 +107,25 @@ class DataTreeSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
     assert(fields.toSeq == Seq("nat", "seg"))
   }
+
+  test("dropNodes removes subtrees, filterLike aligns structure") {
+    val tree = new DataTree(Map("/" -> ds((0, 0.0)), "/a" -> ds((1, 1.0)),
+      "/a/b" -> ds((2, 2.0)), "/c" -> ds((3, 3.0))))
+    val dropped = tree.dropNodes("/a")
+    assert(dropped.groups == Seq("/", "/c")) // /a/b went with its parent
+    intercept[IllegalArgumentException](tree.dropNodes("/nope"))
+    val template = new DataTree(Map("/" -> ds((0, 0.0)), "/c" -> ds((9, 9.0))))
+    assert(tree.filterLike(template).groups == Seq("/", "/c"))
+  }
+
+  test("hasData and isHollow reflect where data variables live") {
+    val empty = new XDataset(Seq.empty[(Int, Double)].toDF("k", "v")
+      .select("k"), graft.model.DatasetMeta(Seq("k")))
+    val hollow = new DataTree(Map("/" -> empty, "/a" -> empty,
+      "/a/leaf" -> ds((1, 1.0))))
+    assert(hollow.isHollow)
+    assert(!hollow.hasData("/a") && hollow.hasData("/a/leaf"))
+    val solid = new DataTree(Map("/" -> ds((0, 0.0)), "/a" -> ds((1, 1.0))))
+    assert(!solid.isHollow) // the root holds data but has a child
+  }
 }

@@ -119,4 +119,26 @@ class XDatasetSpec extends SparkSpec {
     assert(withAttrs.identical(withAttrs))
     assert(!a.equalsData(different))
   }
+
+  test("drop_attrs / drop_encoding / drop_indexes are metadata-only") {
+    val base = new XDataset(Seq((1L, 2.0)).toDF("k", "v"),
+      graft.model.DatasetMeta(Seq("k"), attrs = Map("title" -> "t"),
+        varAttrs = Map("v" -> Map("units" -> "m", "scale_factor" -> "0.5",
+          "_FillValue" -> "-9"))))
+      .setXIndex("k", "hash")
+    val bare = base.dropAttrs()
+    assert(bare.meta.attrs.isEmpty && bare.meta.varAttrs.isEmpty)
+    assert(bare.indexes.contains("k")) // indexes survive attr drop
+    val shallow = base.dropAttrs(deep = false)
+    assert(shallow.meta.attrs.isEmpty &&
+      shallow.meta.varAttrs("v")("units") == "m")
+    val dec = base.dropEncoding()
+    assert(dec.meta.varAttrs("v") == Map("units" -> "m")) // coders gone
+    assert(dec.meta.attrs("title") == "t")                // attrs stay
+    val noIdx = base.dropIndexes(Seq("k"))
+    assert(noIdx.indexes.isEmpty && noIdx.df.columns.contains("k"))
+    intercept[IllegalArgumentException](base.dropIndexes(Seq("v")))
+    val txt = base.info
+    assert(txt.contains("dimensions:") && txt.contains("v:units = m"))
+  }
 }
