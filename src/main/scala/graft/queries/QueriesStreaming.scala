@@ -234,6 +234,27 @@ object QueriesStreaming {
           s"stream_join_${System.nanoTime}", mode = "append",
           availableNow = true)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming near-dup filter: the document STREAM (mirrored ids — the
+    // "new crawl") probes a static LSH index over the documents table
+    // (the "historical corpus") and exact-verifies candidates by shingle
+    // Jaccard. Oracle = the full exact-Jaccard cross check at the same
+    // threshold; equality holds because at J >= 0.9 these LSH params
+    // (16 bands x 4 rows) miss with probability < 1e-7 and the planted
+    // mirrors are exact (J = 1), the same argument q51 rests on.
+    "q238_stream_lsh_filter" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ref = Tables.documents(s, dir).select("doc_id", "text")
+        val stream = StreamOps.documentsStream(s, dir)
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text"))
+        val out = StreamOps.streamNearDup(stream, ref, "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.9)
+        StreamOps.runToCompletion(s, out,
+          s"stream_lsh_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
@@ -394,6 +415,24 @@ object QueriesStreaming {
            FROM o)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
-         FROM sess GROUP BY user_id, sid"""
+         FROM sess GROUP BY user_id, sid""",
+    // exact shingle-Jaccard cross check between the mirrored stream ids
+    // and the reference corpus (no LSH in the oracle — see the q238
+    // registration comment for why the candidate sets coincide)
+    "q238_stream_lsh_filter" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         ng AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)),
+         sz AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY 1),
+         co AS (SELECT a.doc_id AS sd, b.doc_id AS ref_id, count(*) AS c
+           FROM ng a JOIN ng b ON a.g = b.g GROUP BY 1, 2)
+         SELECT -sd - 1 AS s_id, ref_id,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM co JOIN sz sa ON co.sd = sa.doc_id
+           JOIN sz sb ON co.ref_id = sb.doc_id
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9"""
   )
 }

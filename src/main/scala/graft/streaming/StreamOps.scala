@@ -198,6 +198,58 @@ object StreamOps {
         s"$rightTs BETWEEN $leftTs - interval $interval AND $leftTs"),
       joinType)
 
+  /** Streaming near-dup filter — the new-crawl-versus-historical-corpus
+    * topology: MinHash signatures, LSH band buckets, and the candidate
+    * probe all run on the STREAM's scan stage (pure projections + an
+    * explode, per micro-batch), against a STATIC reference index that is
+    * computed once and persisted. Candidates sharing any (band, bucket)
+    * with a reference doc verify EXACTLY by shingle-set Jaccard before
+    * the final per-pair aggregation, so LSH false positives cannot leak.
+    *
+    * Scale shape: the corpus never streams and the stream never shuffles
+    * until the final bounded pair agg — the bucket index and shingle
+    * sides broadcast here; at 100 TB both live as parquet bucketed by
+    * (band, bucket) / ref id and the probes become co-located sort-merge
+    * joins. The pair agg is run-to-completion here; a continuous
+    * deployment would watermark it on stream event time (the q99/q158
+    * state contract). Kernels: [[graft.llm.Dedup.shingleIds]] /
+    * [[graft.llm.Dedup.minhashFromHashes]] / [[graft.llm.Dedup.lshBuckets]]
+    * (ref near-dup pipeline: Lee et al. 2022 dedup; GPT-3 appx. A). */
+  def streamNearDup(stream: DataFrame, ref: DataFrame, id: String,
+                    text: String, k: Int, numHashes: Int, bands: Int,
+                    threshold: Double): DataFrame = {
+    import graft.llm.Dedup
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    def withSig(df: DataFrame): DataFrame = df
+      .withColumn("sh_x", Dedup.shingleIds(col(text), k))
+      .withColumn("sig", Dedup.minhashFromHashes(
+        transform(col("sh_x"), h => pmod(h, lit(2147483647L))), numHashes))
+    // static side: computed ONCE and persisted — an unpersisted static
+    // plan re-evaluates per micro-batch in a stream-static join
+    val refSig = withSig(ref).persist()
+    val refBuckets = Dedup.lshBuckets(refSig.select(col(id), col("sig")),
+      id, "sig", bands, rows).withColumnRenamed(id, "ref_id")
+    val refSh = refSig.select(col(id).as("ref_id"), col("sh_x").as("ref_sh"))
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    withSig(stream)
+      .select(col(id).as("s_id"), col("sh_x"),
+        explode(array(bandRows: _*)).as("bb"))
+      .select(col("s_id"), col("sh_x"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .join(broadcast(refBuckets), Seq("band", "bucket"))
+      .join(broadcast(refSh), "ref_id")
+      .withColumn("inter", size(array_intersect(col("sh_x"), col("ref_sh"))))
+      .withColumn("uni", size(array_union(col("sh_x"), col("ref_sh"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("s_id"), col("ref_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** Streaming parquet sink, run to completion: AvailableNow trigger, file
     * sink with its _spark_metadata manifest — the exactly-once contract
     * (a re-read of `path` sees only committed files, and a restarted query
