@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed PCA over an embedding column — the dimensionality-reduction
+  * step in front of ANN / SemDeDup (whitening, Matryoshka-style truncation
+  * with learned axes instead of prefix axes).
+  *
+  * Scale shape (the only part that touches data):
+  *  - [[covariance]] is ONE scan. A row explodes to its d(d+1)/2 upper-
+  *    triangle products, which feed the partial hash aggregate INSIDE the
+  *    same stage — the shuffle carries only (#partitions × d(d+1)/2)
+  *    decimal partials, never row data. Means ride the same pass.
+  *  - the d×d matrix (bounded driver state, like the k-means centroids)
+  *    is eigendecomposed on the driver by cyclic Jacobi — O(d³) flops,
+  *    microseconds at d=64, fine to ~2k dims; data volume plays no role.
+  *  - [[project]] broadcasts the k chosen axes back as literal arrays into
+  *    the codegen'd [[graft.exprs.VectorExprs.dot]] kernel — a pure
+  *    projection, no shuffle.
+  *
+  * Cross-engine exactness: per-row float products are EXACT doubles
+  * (24+24 mantissa bits < 53), accumulated on the DECIMAL(30,12) grid in
+  * any order (the q147 k-means convention), so the covariance long form is
+  * oracle-checkable in SQL; the eigen step is pinned by unit laws
+  * (orthonormality, A·v = λ·v, trace preservation) instead.
+  *
+  * Ref: reference has no PCA (numpy/dask users call sklearn); this is the
+  * pipeline-native equivalent. Jacobi: Golub & Van Loan §8.5.
+  */
+object Pca {
+
+  /** Long-form upper-triangle sample covariance of `vecCol`:
+    * (i, j, cov) for 0 <= i <= j < d, cov rounded to `scale` dp.
+    *
+    * Homogeneous-coordinate trick: a 1.0 appended to each vector makes
+    * the j == d products the FIRST moments and the (d, d) cell the row
+    * count, so second moments, means, and n all ride one scan and one
+    * aggregate instead of three. */
+  def covariance(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+    val dec = (c: Column) => c.cast(DecimalType(30, 12))
+    val d = df.select(size(col(vecCol))).head().getInt(0) // schema probe, 1 row
+    val x = df.select(concat(col(vecCol), array(lit(1.0f))).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+    // products xi*v[j] for j >= i via a sliced re-explode — exactly
+    // (d+1)(d+2)/2 rows per input row, no i > j waste
+    val prods = x.select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, lit(d + 1) - col("i")))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("xi").cast("double") * col("xj").cast("double")).as("p"))
+    val m = prods.groupBy("i", "j").agg(sum(dec(col("p"))).as("s2")).persist()
+    val n = m.filter(col("i") === d && col("j") === d)
+      .head().getDecimal(2).doubleValue() // bounded: the count cell
+    val s1 = m.filter(col("j") === d && col("i") < d)
+      .select(col("i"), col("s2").as("s1"))
+    m.filter(col("j") < d)
+      .join(s1.select(col("i"), col("s1").as("sa")), "i")
+      .join(s1.select(col("i").as("j"), col("s1").as("sb")), "j")
+      .select(col("i"), col("j"),
+        round((col("s2").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double") / lit(n)) /
+          lit(n - 1), scale).as("cov"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as rows), sorted by descending eigenvalue,
+    * each vector sign-normalized so its largest-|coeff| entry is positive
+    * (deterministic output). Driver-side; `a` is d×d bounded state. */
+  def jacobiEigen(a: Array[Array[Double]],
+                  sweeps: Int = 50, tol: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(m)
+    while (sweep < sweeps && off > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(m(p)(q)) > tol / (d * d)) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) { // rotate rows/cols p and q of m
+              val mkp = m(k)(p); val mkq = m(k)(q)
+              m(k)(p) = c * mkp - s * mkq
+              m(k)(q) = s * mkp + c * mkq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val mpk = m(p)(k); val mqk = m(q)(k)
+              m(p)(k) = c * mpk - s * mqk
+              m(q)(k) = s * mpk + c * mqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(m)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -m(i)(i))
+    val vals = order.map(i => m(i)(i)).toArray
+    val vecs = order.map { i =>
+      val row = v(i)
+      val mx = row.maxBy(math.abs)
+      if (mx < 0) row.map(-_) else row.clone()
+    }.toArray
+    (vals, vecs)
+  }
+
+  private def offDiag(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- m.indices; j <- m.indices if i != j) s += m(i)(j) * m(i)(j)
+    math.sqrt(s)
+  }
+
+  /** Fit: distributed covariance -> driver Jacobi -> top-k components.
+    * Returns (eigenvalues, components) — both bounded k×d driver state. */
+  def fit(df: DataFrame, vecCol: String, k: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    val cov = covariance(df, vecCol, scale = 12).collect()
+    val d = cov.iterator.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(a)
+    (vals.take(k), vecs.take(k))
+  }
+
+  /** Project `vecCol` onto fitted components: k codegen'd dot products
+    * against broadcast literal axes — scan-stage only, no shuffle. */
+  def project(df: DataFrame, vecCol: String,
+              components: Array[Array[Double]]): DataFrame = {
+    val cols = components.zipWithIndex.map { case (axis, n) =>
+      graft.exprs.VectorExprs.dot(col(vecCol),
+        array(axis.map(lit(_)): _*)).as(s"pc$n")
+    }
+    df.select(col("*") +: cols: _*)
+  }
+}

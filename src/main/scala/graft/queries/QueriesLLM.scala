@@ -590,7 +590,14 @@ object QueriesLLM {
       Cluster.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 4, iters = 2)
         .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
-    })
+    }),
+
+    // distributed PCA covariance (the data-touching half of Pca.fit):
+    // one scan, the upper-triangle explode feeds the partial hash agg
+    // in-stage, decimal-grid sums make the long form oracle-exact; the
+    // driver-side Jacobi eigen step is pinned by laws in PcaSpec
+    "q239_pca_covariance" -> ((s, dir) =>
+      graft.llm.Pca.covariance(Tables.embeddings(s, dir), "embedding", 6))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1752,6 +1759,28 @@ object QueriesLLM {
          SELECT vec_id, cid AS cluster, round(d, 6) AS d2 FROM (
            SELECT vec_id, cid, d,
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-           FROM d3) WHERE rk = 1"""
+           FROM d3) WHERE rk = 1""",
+    // covariance replay: float products are exact doubles (24+24 < 53
+    // mantissa bits), summed on the DECIMAL(30,12) grid in both engines,
+    // then the identical final double expression
+    "q239_pca_covariance" ->
+      """WITH x AS (SELECT embedding AS v FROM embeddings),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+         idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         m2 AS (SELECT p.i, p.j,
+             sum(CAST(CAST(x.v[p.i] AS DOUBLE) * CAST(x.v[p.j] AS DOUBLE)
+               AS DECIMAL(30,12))) AS s2
+           FROM x, (SELECT a.i AS i, b.i AS j FROM idx a, idx b
+                    WHERE b.i >= a.i) p
+           GROUP BY 1, 2),
+         s1 AS (SELECT i, sum(CAST(CAST(x.v[i] AS DOUBLE)
+               AS DECIMAL(30,12))) AS s1
+           FROM x, idx GROUP BY 1)
+         SELECT m2.i - 1 AS i, m2.j - 1 AS j,
+           round((CAST(m2.s2 AS DOUBLE)
+               - CAST(sa.s1 AS DOUBLE) * CAST(sb.s1 AS DOUBLE) / nn.n)
+             / (nn.n - 1), 6) AS cov
+         FROM m2 JOIN s1 sa ON sa.i = m2.i
+           JOIN s1 sb ON sb.i = m2.j, nn"""
   )
 }
