@@ -597,7 +597,16 @@ object QueriesLLM {
     // in-stage, decimal-grid sums make the long form oracle-exact; the
     // driver-side Jacobi eigen step is pinned by laws in PcaSpec
     "q239_pca_covariance" -> ((s, dir) =>
-      graft.llm.Pca.covariance(Tables.embeddings(s, dir), "embedding", 6))
+      graft.llm.Pca.covariance(Tables.embeddings(s, dir), "embedding", 6)),
+
+    // distribution-drift gate: PSI of the value distribution per
+    // event_type, first half of January vs second — the snapshot
+    // admission check of a continuously-fed pipeline. One wordcount-
+    // shaped aggregate; everything after runs on the (groups x bins)
+    // grid.
+    "q240_drift_psi" -> ((s, dir) =>
+      graft.llm.Drift.psi(Tables.events(s, dir), "event_type", "value",
+        "ts", "2024-01-16", bins = 10, lo = 0.0, hi = 500.0))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1781,6 +1790,37 @@ object QueriesLLM {
                - CAST(sa.s1 AS DOUBLE) * CAST(sb.s1 AS DOUBLE) / nn.n)
              / (nn.n - 1), 6) AS cov
          FROM m2 JOIN s1 sa ON sa.i = m2.i
-           JOIN s1 sb ON sb.i = m2.j, nn"""
+           JOIN s1 sb ON sb.i = m2.j, nn""",
+    // PSI replay: identical fixed-grid binning, Laplace-smoothed ratios
+    // as explicit DOUBLE arithmetic (DuckDB decimal literals would change
+    // the division), 12-dp term grid summed in decimal
+    "q240_drift_psi" ->
+      """WITH c AS (
+           SELECT event_type,
+             CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin,
+             (ts < TIMESTAMP '2024-01-16') AS ref, count(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+         grid AS (SELECT DISTINCT event_type, b.bin
+           FROM c, (SELECT unnest(generate_series(0, 9)) AS bin) b),
+         wide AS (SELECT g.event_type, g.bin,
+             coalesce(r.n, 0) AS nr, coalesce(u.n, 0) AS nc
+           FROM grid g
+           LEFT JOIN c r ON r.event_type = g.event_type
+             AND r.bin = g.bin AND r.ref
+           LEFT JOIN c u ON u.event_type = g.event_type
+             AND u.bin = g.bin AND NOT u.ref),
+         tot AS (SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
+           FROM wide GROUP BY 1),
+         t AS (SELECT w.event_type, t.tr, t.tc,
+             (CAST(w.nr AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(t.tr AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS pr,
+             (CAST(w.nc AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(t.tc AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS pc
+           FROM wide w JOIN tot t ON w.event_type = t.event_type)
+         SELECT event_type, CAST(max(tr) AS BIGINT) AS n_ref,
+           CAST(max(tc) AS BIGINT) AS n_cur,
+           round(CAST(sum(CAST(round((pc - pr) * ln(pc / pr), 12)
+             AS DECIMAL(30,12))) AS DOUBLE), 6) AS psi
+         FROM t GROUP BY 1"""
   )
 }

@@ -503,4 +503,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pGood.min > pBad.max,
       s"class probabilities overlap: ${pGood.min} <= ${pBad.max}")
   }
+
+  test("drift PSI: identical windows score exactly 0, a shifted one doesn't") {
+    import graft.llm.Drift
+    import java.sql.Timestamp
+    val ref = Timestamp.valueOf("2024-01-01 00:00:00")
+    val cur = Timestamp.valueOf("2024-02-01 00:00:00")
+    // same per-bin histogram on both sides -> every term is (p-p)ln(1) = 0
+    val same = (0 until 100).flatMap(i =>
+      Seq(("a", i * 5.0 % 500.0, ref), ("a", i * 5.0 % 500.0, cur)))
+      .toDF("g", "value", "ts")
+    val psi0 = Drift.psi(same, "g", "value", "ts", "2024-01-16",
+      bins = 10, lo = 0.0, hi = 500.0).head()
+    assert(psi0.getDouble(3) === 0.0)
+    assert(psi0.getLong(1) === 100L && psi0.getLong(2) === 100L)
+    // mass moved from the bottom to the top bin -> strictly positive PSI
+    val shifted = ((0 until 100).map(i => ("a", 10.0, ref)) ++
+      (0 until 100).map(i => ("a", 490.0, cur))).toDF("g", "value", "ts")
+    val psi1 = Drift.psi(shifted, "g", "value", "ts", "2024-01-16",
+      bins = 10, lo = 0.0, hi = 500.0).head().getDouble(3)
+    assert(psi1 > 1.0, s"shifted PSI $psi1") // far past the 0.25 alarm
+  }
 }
