@@ -48,6 +48,55 @@ object XIndexes {
       df.filter(col(dim).isin(values: _*))
   }
 
+  /** xarray.indexes.RangeIndex analog (ref `indexes/range_index.py:144`):
+    * an evenly-spaced float coordinate that is NEVER materialized. The
+    * stored dim column holds integer positions (`spark.range` — a virtual
+    * axis with no storage at all); labels derive as start + pos*step on
+    * demand, and label lookups compile to pure position arithmetic that
+    * pushes down on the long column. sel uses the nearest-position
+    * contract of the reference; selSlice keeps xarray's inclusive-ends
+    * label-slice semantics. */
+  final class AffineRangeIndex(val start: Double, val step: Double)
+      extends XIndex {
+    require(step != 0.0, "step must be nonzero")
+    private def posOf(v: Any): Double =
+      (v.toString.toDouble - start) / step
+    /** Derive the float label column from the stored position column. */
+    def label(posCol: Column): Column =
+      lit(start) + posCol.cast("double") * lit(step)
+    def sel(df: DataFrame, dim: String, values: Seq[Any]): DataFrame = {
+      val ps = values.map(v => math.round(posOf(v)))
+      df.filter(col(dim).isin(ps: _*))
+    }
+    override def selSlice(df: DataFrame, dim: String,
+                          lo: Any, hi: Any): DataFrame = {
+      val (a, b) = (posOf(lo), posOf(hi))
+      val (l, h) = if (step > 0) (a, b) else (b, a)
+      df.filter(col(dim).between(
+        lit(math.ceil(l).toLong), lit(math.floor(h).toLong)))
+    }
+  }
+
+  object AffineRangeIndex {
+    /** arange (ref `range_index.py` RangeIndex.arange): a dataset whose
+      * only content is the virtual axis — `spark.range` scans nothing. */
+    def arange(spark: org.apache.spark.sql.SparkSession, start: Double,
+               stop: Double, step: Double, dim: String): XDataset = {
+      val n = math.max(0L, math.ceil((stop - start) / step).toLong)
+      new XDataset(spark.range(n).toDF(dim), DatasetMeta(Seq(dim)))
+        .setXIndex(dim, new AffineRangeIndex(start, step))
+    }
+
+    /** linspace (ref `range_index.py` RangeIndex.linspace): `num` evenly
+      * spaced labels from start to stop inclusive. */
+    def linspace(spark: org.apache.spark.sql.SparkSession, start: Double,
+                 stop: Double, num: Long, dim: String): XDataset = {
+      require(num >= 2, s"linspace needs num >= 2, got $num")
+      new XDataset(spark.range(num).toDF(dim), DatasetMeta(Seq(dim)))
+        .setXIndex(dim, new AffineRangeIndex(start, (stop - start) / (num - 1)))
+    }
+  }
+
   // ---- plug-in registry (ref `set_xindex(index_cls)`) --------------------
   @volatile private var registry: Map[String, () => XIndex] = Map(
     "hash" -> (() => HashIndex),

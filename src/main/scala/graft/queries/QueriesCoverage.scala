@@ -200,6 +200,22 @@ object QueriesCoverage {
         .df.select("o_orderkey", "o_custkey", "o_orderdate")
     }),
 
+    // xarray.indexes.RangeIndex analog (ref `indexes/range_index.py:144`):
+    // event_id doubles as the position axis of a lazy evenly-spaced float
+    // coordinate x = 2000 + 0.5*pos; a LABEL slice compiles to a long
+    // between-predicate on the stored column (scan pushdown), and the
+    // float labels never exist in storage
+    "q241_lazy_range_index" -> ((s, dir) => {
+      import graft.model.{DatasetMeta, XDataset, XIndexes}
+      val idx = new XIndexes.AffineRangeIndex(2000.0, 0.5)
+      val ds = new XDataset(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        DatasetMeta(Seq("event_id"))).setXIndex("event_id", idx)
+      ds.selSlice("event_id", 2100.0, 2200.0)
+        .df.select(col("event_id"), idx.label(col("event_id")).as("x"),
+          col("value"))
+    }),
+
     // §2.2 drop_isel (ref `dataset.py:6192`): anti-select positions along
     // the dim's sort order
     "q186_drop_isel" -> ((s, dir) => {
@@ -637,6 +653,13 @@ object QueriesCoverage {
     "q185_xindex_range_sel" ->
       """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
          WHERE o_orderdate IN (TIMESTAMP '1995-07-01', TIMESTAMP '1995-07-02')""",
+    // label slice [2100, 2200] over x = 2000 + 0.5*pos is positions
+    // [200, 400]; labels derive arithmetically
+    "q241_lazy_range_index" ->
+      """SELECT event_id,
+           CAST(2000.0 AS DOUBLE) + event_id * CAST(0.5 AS DOUBLE) AS x,
+           value
+         FROM events WHERE event_id BETWEEN 200 AND 400""",
     "q186_drop_isel" ->
       """WITH t AS (SELECT n_nationkey, n_name,
              row_number() OVER (ORDER BY n_nationkey) - 1 AS p

@@ -90,4 +90,30 @@ class PluginSpec extends SparkSpec {
     assert(XIndexes.names === Seq("hash", "range"))
     intercept[IllegalArgumentException] { XIndexes.create("btree") }
   }
+
+  test("AffineRangeIndex: lazy labels, nearest sel, inclusive label slices") {
+    import XIndexes.AffineRangeIndex
+    // linspace(0, 1, 5): labels 0, 0.25, 0.5, 0.75, 1 over positions 0-4
+    val ds = AffineRangeIndex.linspace(spark, 0.0, 1.0, 5, "x")
+    assert(ds.df.count() === 5L)
+    val idx = ds.indexes("x").asInstanceOf[AffineRangeIndex]
+    assert(idx.step === 0.25)
+    // label 0.26 snaps to the nearest position (1 -> label 0.25)
+    assert(ds.sel("x", Seq(0.26)).df.collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // label slice [0.25, 0.8] is positions 1..3 (inclusive ends)
+    assert(ds.selSlice("x", 0.25, 0.8).df.collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    // the label column derives lazily — no value column is stored
+    assert(ds.df.columns.toSeq === Seq("x"))
+    val labels = ds.df.select(idx.label(col("x")).as("lab"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(labels.toSeq === Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // arange end-exclusive count + descending-step slice ordering
+    assert(AffineRangeIndex.arange(spark, 2.0, 4.0, 0.5, "t").df.count() === 4L)
+    val desc = new AffineRangeIndex(10.0, -1.0)
+    val base = spark.range(5).toDF("p") // labels 10, 9, 8, 7, 6
+    assert(desc.selSlice(base, "p", 7.0, 9.0).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
 }
