@@ -343,6 +343,55 @@ object NetCDF {
     }
   }
 
+  /** NC_CHAR variable decoded to fixed-width STRINGS: the last dimension
+    * is the string length and collapses away (ref `coding/strings.py`
+    * `char_to_bytes` / CharacterArrayCoder — how xarray surfaces classic
+    * netCDF station-name matrices); trailing NUL and space padding is
+    * stripped per the netCDF convention. */
+  def readCharVar(bytes: Array[Byte], hdr: Header,
+                  varName: String): Array[String] = {
+    val v = hdr.vars.find(_.name == varName)
+      .getOrElse(throw new NoSuchElementException(varName))
+    require(v.ncType == NC_CHAR, s"$varName is not NC_CHAR")
+    require(v.dimIds.nonEmpty, s"$varName is a char scalar (no string dim)")
+    require(!(hdr.isRecord(v) && v.dimIds.length == 1),
+      s"$varName: the record dimension cannot be the string-length dim")
+    val strlen = hdr.dims(v.dimIds.last).size
+    require(strlen > 0, s"$varName has a zero-length string dimension")
+    val raw: Array[Byte] =
+      if (hdr.isRecord(v)) {
+        val slab = v.dimIds.tail.map(hdr.dims(_).size).product
+        val out = new Array[Byte](hdr.numrecs.toInt * slab)
+        (0 until hdr.numrecs.toInt).foreach { r =>
+          val pos = v.begin + r * hdr.recSize
+          require(pos + slab <= bytes.length, "record slab beyond file end")
+          System.arraycopy(bytes, pos.toInt, out, r * slab, slab)
+        }
+        out
+      } else {
+        val n = v.dimIds.map(hdr.dims(_).size).product
+        require(v.begin + n <= bytes.length, "char data beyond file end")
+        java.util.Arrays.copyOfRange(bytes, v.begin.toInt, v.begin.toInt + n)
+      }
+    raw.grouped(strlen).map { g =>
+      var e = g.length
+      while (e > 0 && (g(e - 1) == 0 || g(e - 1) == ' '.toByte)) e -= 1
+      new String(g, 0, e, "UTF-8")
+    }.toArray
+  }
+
+  /** Writer-side inverse (ref `coding/strings.py` `bytes_to_char` /
+    * EncodedStringCoder): strings NUL-padded to `strlen`, emitted as the
+    * byte-valued doubles [[write]]'s NC_CHAR variables carry. */
+  def charData(strings: Seq[String], strlen: Int): Array[Double] = {
+    strings.flatMap { s =>
+      val b = s.getBytes("UTF-8")
+      require(b.length <= strlen,
+        s"string '$s' (${b.length} bytes) exceeds strlen=$strlen")
+      b.map(_.toDouble) ++ Array.fill(strlen - b.length)(0.0)
+    }.toArray
+  }
+
   private def isIntegral(t: Int): Boolean =
     t == NC_BYTE || t == NC_SHORT || t == NC_INT ||
       t == NC_UBYTE || t == NC_USHORT || t == NC_UINT ||

@@ -305,4 +305,28 @@ class NetCDFSpec extends SparkSpec {
       readVar(bytes, patched, "v") }
     assert(e.getMessage.contains("2 GiB"))
   }
+
+  test("NC_CHAR variables roundtrip as strings (char_to_bytes semantics)") {
+    val path = java.nio.file.Files.createTempDirectory("ncchar").toString
+    val names = Seq("OSLO", "NAIROBI", "LA PAZ") // padding + inner space
+    val f = s"$path/stations.nc"
+    NetCDF.write(f, Seq(Dim("station", 3), Dim("strlen", 8)), Seq(
+      Var("name", Seq(0, 1), NC_CHAR, NetCDF.charData(names, 8)),
+      Var("elev", Seq(0), NC_DOUBLE, Array(23.0, 1795.0, 3640.0))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val hdr = parseHeader(bytes)
+    assert(NetCDF.readCharVar(bytes, hdr, "name").toSeq === names)
+    assert(readVar(bytes, hdr, "elev").toSeq === Seq(23.0, 1795.0, 3640.0))
+    // record-dim char variable: strings grow along the unlimited dim
+    val f2 = s"$path/rec.nc"
+    NetCDF.write(f2, Seq(Dim("time", 0), Dim("strlen", 4)), Seq(
+      Var("tag", Seq(0, 1), NC_CHAR, NetCDF.charData(Seq("ab", "cdef"), 4))))
+    val b2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f2))
+    assert(NetCDF.readCharVar(b2, parseHeader(b2), "tag").toSeq
+      === Seq("ab", "cdef"))
+    // guards: non-char vars and oversized strings refuse loudly
+    intercept[IllegalArgumentException] {
+      NetCDF.readCharVar(bytes, hdr, "elev") }
+    intercept[IllegalArgumentException] { NetCDF.charData(Seq("toolong"), 3) }
+  }
 }
