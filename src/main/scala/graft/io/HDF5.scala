@@ -1128,7 +1128,32 @@ object HDF5 {
   }
 
   private def readVarImpl(bytes: H5Src, f: H5File, name: String,
-                          member: Option[String]): Array[Double] = {
+                          member: Option[String]): Array[Double] =
+    readVarGeneric[Double](bytes, f, name, member,
+      new Array[Double](_), readScalar)
+
+  /** Fixed-length string dataset (datatype class 3) decoded to strings,
+    * trailing NUL padding stripped (ref `coding/strings.py`
+    * CharacterArrayCoder surface; `backends/netCDF4_.py` char/str vars).
+    * Same contiguous/chunked/filtered machinery as the numeric path. */
+  def readStringVar(bytes: H5Src, f: H5File, name: String): Array[String] = {
+    val d = f.byName(name)
+    require(d.dtype.clazz == 3,
+      s"$name is not a fixed-length string dataset (class ${d.dtype.clazz})")
+    readVarGeneric[String](bytes, f, name, None, new Array[String](_),
+      (b, dt) => {
+        val a = new Array[Byte](dt.size)
+        b.get(a)
+        var e = a.length
+        while (e > 0 && a(e - 1) == 0) e -= 1
+        new String(a, 0, e, "UTF-8")
+      })
+  }
+
+  private def readVarGeneric[T](bytes: H5Src, f: H5File, name: String,
+                                member: Option[String],
+                                alloc: Int => Array[T],
+                                read: (ByteBuffer, DType) => T): Array[T] = {
     val d = f.byName(name)
     // element stride is the FULL (possibly compound) type size; the value
     // read per element is either the scalar itself or one compound member
@@ -1148,7 +1173,7 @@ object HDF5 {
     checkReadable(d, name)
     val stride = d.dtype.size
     val n = d.shape.product.toInt
-    val out = new Array[Double](n)
+    val out = alloc(n)
     def decodeInto(raw: Array[Byte], chunkOrigin: Seq[Long],
                    chunkDims: Seq[Int]): Unit = {
       val db = ByteBuffer.wrap(raw)
@@ -1162,7 +1187,7 @@ object HDF5 {
         val gIdx = chunkDims.indices.map { k =>
           chunkOrigin(k) + (i / cStrides(k)) % chunkDims(k) }
         db.position(i * stride + mOff)
-        val v = readScalar(db, edt)
+        val v = read(db, edt)
         // edge chunks run past the shape; those cells are padding
         if (gIdx.indices.forall(k => gIdx(k) < d.shape(k)))
           out(gIdx.indices.map(k => (gIdx(k) * strides(k)).toInt).sum) = v
@@ -1894,6 +1919,72 @@ object HDF5 {
       members.foreach { case (_, vals) => db.putDouble(vals(i)) }
     }
     out.bytes(db.array())
+    Files.write(Paths.get(path), out.result())
+  }
+
+  /** Minimal fixture: ONE fixed-length string dataset (datatype class 3,
+    * null-terminated, contiguous layout) — the shape netCDF-4 stores
+    * fixed-width char/str variables in. Mirrors
+    * [[writeCompoundFixture]]'s layout arithmetic with strlen elements. */
+  def writeStringFixture(path: String, dsName: String,
+                         strings: Seq[String], strlen: Int): Unit = {
+    val out = new growable()
+    out.bytes(SIG)
+    val n = strings.length
+    strings.foreach(s => require(s.getBytes("UTF-8").length <= strlen,
+      s"string '$s' exceeds strlen=$strlen"))
+    val esz = strlen
+    val nameHeapSize = 8L + (dsName.length + 1 + 7) / 8 * 8
+    val heapHdr = 96L
+    val heapData = heapHdr + 32
+    val btreeAddr = heapData + nameHeapSize
+    val snodAddr = btreeAddr + 24 + 24
+    val ohAddr = snodAddr + 8 + 40
+    val dt = {
+      val g = new growable()
+      g.u8(0x13) // version 1, class 3 (string)
+      g.u8(0); g.u8(0); g.u8(0) // null-terminated, ASCII charset
+      g.u32(esz.toLong)
+      g.result()
+    }
+    val headMsgs = Seq(
+      msg(0x01, dataspaceBody(Seq(n))),
+      msg(0x03, dt),
+      msg(0x05, fillBody()))
+    val layoutMsgSize = 8L + 24
+    val ohSize = 16L + headMsgs.map(_.length.toLong).sum + layoutMsgSize
+    val dataAddr = ohAddr + ohSize
+    val eof = dataAddr + n.toLong * esz
+    out.u8(0); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u8(8); out.u8(8); out.u8(0)
+    out.u16(4); out.u16(16); out.u32(0)
+    out.u64(0); out.u64(UNDEF); out.u64(eof); out.u64(UNDEF)
+    out.u64(0); out.u64(UNDEF)
+    out.u32(1); out.u32(0)
+    out.u64(btreeAddr); out.u64(heapHdr)
+    out.bytes("HEAP".getBytes); out.u8(0); out.u8(0); out.u8(0); out.u8(0)
+    out.u64(nameHeapSize); out.u64(1L); out.u64(heapData)
+    val heapBytes = new Array[Byte](nameHeapSize.toInt)
+    System.arraycopy(dsName.getBytes("UTF-8"), 0, heapBytes, 8,
+      dsName.length)
+    out.bytes(heapBytes)
+    out.bytes("TREE".getBytes); out.u8(0); out.u8(0); out.u16(1)
+    out.u64(UNDEF); out.u64(UNDEF)
+    out.u64(0); out.u64(snodAddr); out.u64(8L)
+    out.bytes("SNOD".getBytes); out.u8(1); out.u8(0); out.u16(1)
+    out.u64(8L); out.u64(ohAddr)
+    out.u32(0); out.u32(0); out.u64(0); out.u64(0)
+    val allMsgs = headMsgs :+ msg(0x08,
+      layoutBodyContig(dataAddr, n.toLong * esz))
+    out.u8(1); out.u8(0); out.u16(allMsgs.length)
+    out.u32(1); out.u32(allMsgs.map(_.length).sum.toLong); out.u32(0)
+    allMsgs.foreach(out.bytes)
+    require(out.size == dataAddr, s"layout drift ${out.size} vs $dataAddr")
+    strings.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      out.bytes(b)
+      (b.length until esz).foreach(_ => out.u8(0))
+    }
     Files.write(Paths.get(path), out.result())
   }
 

@@ -217,4 +217,19 @@ class HDF5Spec extends SparkSpec {
       .head()
     assert(row.getDouble(2) === 3 * 100.0 + 2 * 1.5)
   }
+
+  test("fixed-length string dataset reads back as strings (class 3)") {
+    val dir = Files.createTempDirectory("graft_h5s").toString
+    val path = s"$dir/names.h5"
+    val names = Seq("OSLO", "NAIROBI", "LA PAZ", "") // padding + empty
+    HDF5.writeStringFixture(path, "station", names, strlen = 8)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val d = f.byName("station")
+    assert(d.dtype.clazz === 3 && d.dtype.size === 8)
+    assert(d.shape === Seq(4L))
+    assert(HDF5.readStringVar(bytes, f, "station").toSeq === names)
+    // numeric read of a string dataset refuses with the member hint absent
+    intercept[RuntimeException] { HDF5.readVar(bytes, f, "station") }
+  }
 }
