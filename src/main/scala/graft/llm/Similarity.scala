@@ -228,6 +228,66 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("score"))
   }
 
+  /** Product quantization + asymmetric-distance (ADC) top-k — the FAISS
+    * "PQm" index shape next to SQ8 (q204) and IVF+SQ8 (q215): each corpus
+    * vector is stored as `m` sub-space centroid ids (m small ints instead
+    * of 4·dim float bytes), and probes score candidates by LOOKUP — the
+    * per-probe distance tables t[j][c] = ⟨probe_j, centroid_{j,c}⟩ are
+    * broadcast, and a candidate's inner product is the fixed-order fold
+    * Σ_j t[j][codes_j]; query time never touches the corpus floats. The
+    * codebook of sub-space j is the j-th slice of the first `ksub` corpus
+    * rows (the registry's deterministic stand-in for trained centroids,
+    * same convention as the IVF cells of q54c), so the whole index
+    * replays in SQL. Assignment = argmin of the codegen'd SumSqDiff
+    * kernel on sub-slices; a strict-< left fold breaks ties to the
+    * lowest code on both engines. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, id: String,
+             probeId: String, vec: String, dim: Int, m: Int, ksub: Int,
+             k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    import graft.exprs.VectorExprs.{dot, sumSqDiff}
+    // ONE broadcast row: the ksub codebook vectors as doubles, id order
+    val cbRow = corpus.filter(col(id) < ksub)
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__cv"))
+      .agg(sort_array(collect_list(struct(col(id), col("__cv")))).as("__s"))
+      .select(transform(col("__s"), e => e.getField("__cv")).as("__cb"))
+    def sl(v: Column, j: Int) = slice(v, j * sub + 1, sub)
+    def cbVec(c: Int) = element_at(col("__cb"), c + 1)
+    // encode: each of the m·ksub sub-distances appears exactly ONCE (the
+    // materialized __dists array — a Column reused in a fold would be
+    // textually duplicated per step), then argmin per sub-space
+    val coded = corpus
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("__dists", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          sumSqDiff(sl(col("__v"), j), sl(cbVec(c), j))): _*)): _*))
+      .withColumn("__codes", transform(col("__dists"), ds =>
+        aggregate(sequence(lit(1), lit(ksub - 1)), lit(0),
+          (best, c) => when(element_at(ds, c + 1) < element_at(ds, best + 1),
+            c.cast("int")).otherwise(best))))
+      .select(col(id), col("__codes"))
+    // per-probe ADC tables: m × ksub sub-slice inner products
+    val tabbed = probes
+      .select(col(probeId),
+        transform(col(vec), x => x.cast("double")).as("__pv"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("__t", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          dot(sl(col("__pv"), j), sl(cbVec(c), j))): _*)): _*))
+      .select(col(probeId), col("__t"))
+    val scored = coded.crossJoin(broadcast(tabbed))
+      .withColumn("score", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("__t"), j + 1),
+          element_at(col("__codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("score").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("score"))
+  }
+
   /** SQ8 scalar-quantized ANN (the compressed-index scale path, asymmetric
     * distance: int8 corpus codes vs full-precision probes). The codebook
     * is 2·dim doubles (one broadcast row), corpus rows carry only their

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -606,7 +606,41 @@ object QueriesLLM {
     // grid.
     "q240_drift_psi" -> ((s, dir) =>
       graft.llm.Drift.psi(Tables.events(s, dir), "event_type", "value",
-        "ts", "2024-01-16", bins = 10, lo = 0.0, hi = 500.0))
+        "ts", "2024-01-16", bins = 10, lo = 0.0, hi = 500.0)),
+
+    // product-quantization ADC: corpus stored as m=4 sub-space codes
+    // against an 8-entry-per-sub-space codebook, probes rank candidates
+    // purely by broadcast table lookups (FAISS "PQ4" next to q204's SQ8
+    // and q215's IVF+SQ8)
+    "q242_pq_adc" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.pqTopK(corpus, probes, "vec_id", "probe_id", "embedding",
+        dim = 64, m = 4, ksub = 8, k = 3)
+    }),
+
+    // Okapi BM25 sparse retrieval: literal 3-term query against the
+    // whitespace-tokenized corpus, top-10 docs (the lexical half of a
+    // hybrid retrieval stack)
+    "q243_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "window", "merge"), k = 10)),
+
+    // hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25 top-20
+    // lexical ranking with the dense cosine top-20 of probe vec_id=0,
+    // joined on doc_id = vec_id — the standard sparse+dense fusion verb
+    "q244_hybrid_rrf" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("spark", "window", "merge"), k = 20)
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+        "probe_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rk"))
+      Retrieval.rrfFuse(lex, dense, "doc_id", "rk", k = 10)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1821,6 +1855,127 @@ object QueriesLLM {
            CAST(max(tc) AS BIGINT) AS n_cur,
            round(CAST(sum(CAST(round((pc - pr) * ln(pc / pr), 12)
              AS DECIMAL(30,12))) AS DOUBLE), 6) AS psi
-         FROM t GROUP BY 1"""
+         FROM t GROUP BY 1""",
+    // PQ/ADC replay: codebook = sub-slices of vec_id<8; assignment is the
+    // same strict-< argmin (ORDER BY d ASC, c ASC); every fold is the
+    // kernel's left-to-right index order; scores fuse in sub-space order
+    "q242_pq_adc" ->
+      """WITH corp AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         cb AS (SELECT vec_id AS c, v FROM corp WHERE vec_id < 8),
+         sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+         dists AS (
+           SELECT corp.vec_id, sub.j, cb.c,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (corp.v[sub.j * 16 + i] - cb.v[sub.j * 16 + i])
+                    * (corp.v[sub.j * 16 + i] - cb.v[sub.j * 16 + i])),
+               (x, y) -> x + y) AS d
+           FROM corp CROSS JOIN sub CROSS JOIN cb),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c, row_number() OVER (
+               PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rk
+             FROM dists) WHERE rk = 1),
+         tabs AS (
+           SELECT p.vec_id AS probe_id, sub.j, cb.c,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> p.v[sub.j * 16 + i] * cb.v[sub.j * 16 + i]),
+               (x, y) -> x + y) AS t
+           FROM corp p CROSS JOIN sub CROSS JOIN cb WHERE p.vec_id < 5),
+         scores AS (
+           SELECT tb.probe_id, co.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(tb.t ORDER BY tb.j)), (x, y) -> x + y) AS score
+           FROM codes co JOIN tabs tb ON tb.j = co.j AND tb.c = co.code
+           GROUP BY 1, 2)
+         SELECT probe_id, rk, vec_id, score FROM (
+           SELECT probe_id, vec_id, score, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rk
+           FROM scores) WHERE rk <= 3""",
+    // BM25 replay: idf's ln rounded to 8 dp at birth, per-term
+    // contributions pivoted and added in fixed query order, score rounded
+    // to 6 dp before the ranking — the engine's exact arithmetic
+    "q243_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+         dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         contrib AS (SELECT tf.doc_id, tf.term,
+             (round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 8)
+                * (tf * (1.2 + 1.0)))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS c
+           FROM tf JOIN df USING (term) JOIN dlen USING (doc_id)
+           CROSS JOIN st),
+         agg AS (SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN c END) AS t0,
+             max(CASE WHEN term = 'window' THEN c END) AS t1,
+             max(CASE WHEN term = 'merge' THEN c END) AS t2
+           FROM contrib GROUP BY 1),
+         sc AS (SELECT doc_id, round(COALESCE(t0, 0.0) + COALESCE(t1, 0.0)
+             + COALESCE(t2, 0.0), 6) AS score FROM agg)
+         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             AS rk, score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+    // RRF replay: the q243 CTEs at k=20 + the q54 cosine CTEs for probe 0
+    // at k=20, fused by 1/(60+rank) with full-outer semantics
+    "q244_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+         dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         contrib AS (SELECT tf.doc_id, tf.term,
+             (round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 8)
+                * (tf * (1.2 + 1.0)))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS c
+           FROM tf JOIN df USING (term) JOIN dlen USING (doc_id)
+           CROSS JOIN st),
+         agg AS (SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN c END) AS t0,
+             max(CASE WHEN term = 'window' THEN c END) AS t1,
+             max(CASE WHEN term = 'merge' THEN c END) AS t2
+           FROM contrib GROUP BY 1),
+         sc AS (SELECT doc_id, round(COALESCE(t0, 0.0) + COALESCE(t1, 0.0)
+             + COALESCE(t2, 0.0), 6) AS score FROM agg),
+         lex AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT c.vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = 0) p),
+         dense AS (SELECT vec_id AS doc_id, rk FROM (
+             SELECT d.vec_id, row_number() OVER (
+               ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON np.vec_id = 0)
+           WHERE rk <= 20),
+         fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + l.rk), 0.0)
+               + COALESCE(1.0 / (60.0 + de.rk), 0.0) AS rrf
+           FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+         SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id)
+             AS rk, rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
   )
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Retrieval, Similarity}
+
+/** BM25 / RRF / PQ-ADC retrieval semantics on hand-checkable corpora. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25: term-frequency and length normalization rank as Okapi says") {
+    // doc 1: two hits of 'spark' in 4 tokens; doc 2: one hit in 4; doc 3:
+    // one hit diluted in 8 tokens; doc 4: no query terms at all
+    val docs = Seq(
+      (1L, "spark spark x y"),
+      (2L, "spark a b c"),
+      (3L, "spark a b c d e f g"),
+      (4L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("spark"), k = 10).collect().sortBy(_.getInt(1))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // 4 drops out
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // same tf, longer doc => strictly smaller score (the b·dl/avgdl term)
+    val score = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(score(2L) > score(3L) && score(1L) > score(2L))
+  }
+
+  test("bm25: multi-term scores add per-term contributions once each") {
+    val docs = Seq(
+      (1L, "spark window"),
+      (2L, "spark spark"),
+      (3L, "window window")).toDF("doc_id", "text")
+    val both = Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("spark", "window"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sparkOnly = Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("spark"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val winOnly = Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("window"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 holds one of each: its two-term score is the sum of its
+    // single-term scores (fixed-order add, rounding at 6 dp)
+    assert(math.abs(both(1L) - (sparkOnly(1L) + winOnly(1L))) < 2e-6)
+    assert(both.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("rrf: fusion favors ids present in both lists; singletons survive") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rk")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rk")
+    val out = Retrieval.rrfFuse(a, b, "id", "rk", k = 10).collect()
+      .sortBy(_.getInt(1))
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(20L) == 1.0 / 62 + 1.0 / 61)       // both lists
+    assert(byId(10L) == 1.0 / 61)                  // a only
+    assert(byId(40L) == 1.0 / 62)                  // b only
+    assert(out.head.getLong(0) == 20L)             // fusion wins
+    assert(out.map(_.getInt(1)).toSeq == (1 to out.length).toSeq)
+  }
+
+  test("pq-adc: exact on codebook members; codes bounded; top-1 sane") {
+    val dim = 8
+    // corpus rows 0..3 are the codebook (ksub=4); rows 4..7 are noisy
+    // copies of them — PQ must send each noisy copy's top-1 to itself or
+    // its clean source (quantization folds both onto the same codes)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 4).map(i => (i.toLong, base(i).toSeq)) ++
+      (0 until 4).map(i => (4L + i,
+        base(i).map(x => x + (rnd.nextFloat() - 0.5f) * 1e-3f).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") >= 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Similarity.pqTopK(corpus, probes, "vec_id", "probe_id",
+      "embedding", dim = dim, m = 2, ksub = 4, k = 2).collect()
+    val top1 = out.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // ADC scores collapse each noisy copy and its source onto identical
+    // codes, so top-1 is the tie-break winner: the lower corpus id, i.e.
+    // the clean source vector
+    (0 until 4).foreach { i => assert(top1(4L + i) == i.toLong) }
+  }
+
+  test("pq-adc: assignment tie-breaks to the lowest code") {
+    // two identical codebook vectors: every row must code to the FIRST
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(1f, 0f, 0f, 1f)),
+      (2L, Seq(0.9f, 0.1f, 0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 2)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Similarity.pqTopK(corpus, probes, "vec_id", "probe_id",
+      "embedding", dim = 4, m = 2, ksub = 2, k = 3).collect()
+    // rows 0 and 1 share codes => identical scores; rank breaks by id
+    val r = out.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+    assert(r(0)._2 == r(1)._2)
+    assert(r(0)._1 == 0L && r(1)._1 == 1L)
+  }
+}

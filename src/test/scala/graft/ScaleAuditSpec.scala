@@ -28,7 +28,13 @@ class ScaleAuditSpec extends SparkSpec {
       "generated upsample grid (~181 rows), both as-of directions",
     "q15_combine_first" -> "generated daily grid union (bounded)",
     "q45_interp_linear" -> "generated probe grid per series (bounded)",
-    "q83_interp_nearest" -> "generated probe grid per series (bounded)")
+    "q83_interp_nearest" -> "generated probe grid per series (bounded)",
+    "q243_bm25" ->
+      ("rank ordinal over the k-row TakeOrdered result (global top-k is " +
+        "TakeOrderedAndProject; the window sees only the k survivors)"),
+    "q244_hybrid_rrf" ->
+      ("ordinals over TakeOrdered results and the fusion of two " +
+        "already-limited (<= 20-row) rank lists"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -71,7 +77,13 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 5-probe side (q54 contract)",
     "q215_ivf_sq8" -> ("explicit broadcasts of the 8-centroid table and " +
       "the 1-row residual codebook; candidate scoring is a cell-key " +
-      "equi-join"))
+      "equi-join"),
+    "q242_pq_adc" -> ("explicit broadcasts of the 1-row codebook and the " +
+      "5-probe ADC tables (the q54 ANN contract); the corpus carries " +
+      "only its integer codes"),
+    "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
+    "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
+      "and the 1-probe dense side (q243/q54 contracts)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
