@@ -30,6 +30,42 @@ object Dedup {
       .groupBy("content_key")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Segment-level exact dedup with document reassembly — the C4 /
+    * RefinedWeb "line dedup" verb at sub-document granularity (C4 kept one
+    * occurrence of any repeated three-sentence span corpus-wide; with no
+    * line structure in the corpus the segment is a fixed `segTokens`-token
+    * non-overlapping window, ref `c4_utils` line-dedup semantics). Each
+    * distinct segment keeps exactly its globally-FIRST occurrence — the
+    * smallest (doc, position) pair — every later occurrence is cut, and
+    * the survivors re-concatenate in position order; documents that lose
+    * every segment drop out.
+    *
+    * Scale shape: segmentation is a scan-stage explode (q199's chunker at
+    * overlap 0); first-occurrence election is ONE shuffle — a window over
+    * the 128-bit segment key (each key's partition is exactly its
+    * duplicate set); reassembly is one hash aggregation on doc id whose
+    * per-group state is bounded by the document's own segment count. No
+    * join, no global window, nothing quadratic. */
+  def segmentDedup(docs: DataFrame, id: String, text: String,
+                   segTokens: Int): DataFrame = {
+    val segs = TextAnalysis.chunkDocuments(docs, id, text, segTokens,
+      overlap = 0)
+      .withColumn("__k", md5(col("chunk_text")))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col(id), col("chunk_id"))
+    segs.withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(transform(filter(sort_array(collect_list(struct(
+            col("chunk_id"),
+            when(col("__keep"), col("chunk_text")).as("t")))),
+          s => s.getField("t").isNotNull), s => s.getField("t")), " ")
+          .as("text_kept"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Distinct hashed word k-shingles in one native pass (compiled loop;
     * byte-identical hashes to `transform(shingles(text,k), xxhash64)`). */
   def shingleIds(text: Column, k: Int): Column =

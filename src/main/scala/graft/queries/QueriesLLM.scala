@@ -640,7 +640,15 @@ object QueriesLLM {
         "probe_id", "embedding", k = 20)
         .select(col("vec_id").as("doc_id"), col("rk"))
       Retrieval.rrfFuse(lex, dense, "doc_id", "rk", k = 10)
-    })
+    }),
+
+    // C4/RefinedWeb-style segment-level dedup: 16-token non-overlapping
+    // segments, each distinct segment keeps its globally-first occurrence,
+    // documents reassemble from the survivors (78 duplicate occurrences
+    // cut at sf0.01 — the path is live, not a no-op)
+    "q245_segment_dedup" -> ((s, dir) =>
+      graft.llm.Dedup.segmentDedup(Tables.documents(s, dir), "doc_id",
+        "text", segTokens = 16))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1976,6 +1984,37 @@ object QueriesLLM {
            FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
          SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id)
              AS rk, rrf
-         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // segment-dedup replay: q199's window arithmetic at overlap 0, global
+    // first occurrence by (doc_id, chunk_id) over the md5 segment key,
+    // survivors re-joined in position order
+    "q245_segment_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         c AS (
+           SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 16 THEN 0 ELSE (n - 1) // 16 END)) AS chunk_id
+           FROM n),
+         seg AS (
+           SELECT doc_id, chunk_id,
+             array_to_string(list_slice(toks,
+               chunk_id * 16 + 1, chunk_id * 16 + 16), ' ') AS seg_text
+           FROM c),
+         k AS (
+           SELECT doc_id, chunk_id, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text)
+               ORDER BY doc_id, chunk_id) AS rk
+           FROM seg)
+         SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           string_agg(seg_text, ' ' ORDER BY chunk_id)
+             FILTER (WHERE rk = 1) AS text_kept
+         FROM k GROUP BY doc_id
+         HAVING CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0"""
   )
 }

@@ -158,4 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._3 == 0 && out(1)._3 == 10) // first duplicated offset
     assert(out.forall(_._2 >= 1L))
   }
+
+  test("segment dedup keeps globally-first occurrences and reassembles") {
+    // 2-token segments: doc 1 = [a b][c d], doc 2 repeats [a b] then adds
+    // [e f]; doc 3 is entirely segments seen earlier and must vanish
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))                  // doc 3 vanished
+    assert(out(1L) == ((2L, 2L, "a b c d")))           // first owner keeps all
+    assert(out(2L) == ((2L, 1L, "e f")))               // repeated [a b] cut
+  }
+
+  test("segment dedup: within-doc repeats keep only the first; partial tail") {
+    // 5 tokens at segTokens=2 -> segments [x y][x y][z]: the second [x y]
+    // is a within-doc duplicate, the 1-token tail survives as its own
+    // segment
+    val d = Seq((7L, "x y x y z")).toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "x y z")
+  }
 }
