@@ -288,6 +288,74 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("score"))
   }
 
+  /** IVF + PQ with residual codes — the FAISS "IVF{cells},PQ{m}" index,
+    * the production shape for billion-scale ANN (coarse cells bound the
+    * scan, PQ codes bound the memory): corpus rows are assigned to coarse
+    * cells ([[ivfAssign]]), the RESIDUAL (vec − centroid) is
+    * product-quantized against a cell-shared residual codebook (the
+    * [[pqTopK]] codec on residuals), and probes score only their own
+    * cell's candidates by pure table lookup —
+    * score = ⟨probe, centroid⟩ + Σ_j t[j][codes_j] with the per-probe ADC
+    * tables t[j][c] = ⟨probe_j, cb_{j,c}⟩ broadcast. Query time touches
+    * per candidate only its m small ints; storage per row = cell id + m
+    * codes. The residual codebook stand-in is the residuals of the first
+    * `ksub` corpus rows in id order (the q54c/q242 trained-centroid
+    * convention), so the whole index replays in SQL. `assigned` is
+    * [[ivfAssign]]'s output; `probes` carries (probeId, probeVec, cellId).
+    * All arithmetic is fixed-order IEEE double folds — bit-replayable. */
+  def ivfPqTopK(assigned: DataFrame, centroids: DataFrame,
+                probes: DataFrame, id: String, vec: String,
+                cellId: String, cellVec: String, probeId: String,
+                probeVec: String, dim: Int, m: Int, ksub: Int,
+                k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    import graft.exprs.VectorExprs.{dot, sumSqDiff}
+    val withRes = assigned.join(broadcast(centroids), cellId)
+      .withColumn("__res", zip_with(col(vec), col(cellVec),
+        (x, y) => x.cast("double") - y.cast("double")))
+    // ONE broadcast row: residuals of the ksub stand-in rows, id order
+    val cbRow = withRes.filter(col(id) < ksub)
+      .agg(sort_array(collect_list(struct(col(id), col("__res")))).as("__s"))
+      .select(transform(col("__s"), e => e.getField("__res")).as("__cb"))
+    def sl(v: Column, j: Int) = slice(v, j * sub + 1, sub)
+    def cbVec(c: Int) = element_at(col("__cb"), c + 1)
+    // encode residuals: materialized sub-distance matrix, then strict-<
+    // argmin per sub-space (ties to the lowest code, q242 convention)
+    val coded = withRes.crossJoin(broadcast(cbRow))
+      .withColumn("__dists", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          sumSqDiff(sl(col("__res"), j), sl(cbVec(c), j))): _*)): _*))
+      .withColumn("__codes", transform(col("__dists"), ds =>
+        aggregate(sequence(lit(1), lit(ksub - 1)), lit(0),
+          (best, c) => when(element_at(ds, c + 1) < element_at(ds, best + 1),
+            c.cast("int")).otherwise(best))))
+      .select(col(id), col(cellId), col("__codes"))
+    // probe side: per-cell centroid inner product + the m×ksub ADC tables
+    val tabbed = probes
+      .select(col(probeId), col(cellId),
+        transform(col(probeVec), x => x.cast("double")).as("__pv"))
+      .join(broadcast(centroids), cellId)
+      .withColumn("__cterm", dot(col("__pv"), col(cellVec)))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("__t", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          dot(sl(col("__pv"), j), sl(cbVec(c), j))): _*)): _*))
+      .select(col(probeId), col(cellId), col("__cterm"), col("__t"))
+    // candidates = the probe's own cell only (q215's single-probe
+    // contract); the join key is the cell id, tables ride along broadcast
+    val scored = coded.join(broadcast(tabbed), cellId)
+      .withColumn("score", col("__cterm") +
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("__t"), j + 1),
+            element_at(col("__codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("score").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("score"))
+  }
+
   /** SQ8 scalar-quantized ANN (the compressed-index scale path, asymmetric
     * distance: int8 corpus codes vs full-precision probes). The codebook
     * is 2·dim doubles (one broadcast row), corpus rows carry only their

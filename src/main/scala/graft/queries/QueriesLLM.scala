@@ -648,7 +648,25 @@ object QueriesLLM {
     // cut at sf0.01 — the path is live, not a no-op)
     "q245_segment_dedup" -> ((s, dir) =>
       graft.llm.Dedup.segmentDedup(Tables.documents(s, dir), "doc_id",
-        "text", segTokens = 16))
+        "text", segTokens = 16)),
+
+    // IVF+PQ residual codes (FAISS "IVF8,PQ4" — q54c's coarse cells +
+    // q242's PQ codec on residuals): probes score their own cell's
+    // candidates by centroid-dot + broadcast ADC table lookups; the
+    // query path touches per candidate only its 4 small ints
+    "q246_ivf_pq" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = graft.util.QueryCache.persist(Similarity.ivfAssign(
+        corpus, centroids, "vec_id", "embedding", "cell_id", "cell_vec"))
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__qv"),
+          col("cell_id"))
+      Similarity.ivfPqTopK(assigned, centroids, probes,
+        "vec_id", "embedding", "cell_id", "cell_vec", "probe_id", "__qv",
+        dim = 64, m = 4, ksub = 8, k = 3)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -2015,6 +2033,87 @@ object QueriesLLM {
            string_agg(seg_text, ' ' ORDER BY chunk_id)
              FILTER (WHERE rk = 1) AS text_kept
          FROM k GROUP BY doc_id
-         HAVING CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0"""
+         HAVING CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0""",
+    // IVF+PQ replay: q215's assignment + residual CTEs, q242's PQ
+    // encode/ADC on the residuals (codebook = residuals of vec_id<8 in id
+    // order), score = centroid dot + fixed-order table-lookup fold
+    "q246_ivf_pq" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
+         assign AS (
+           SELECT vec_id, cell_id FROM (
+             SELECT d.vec_id, d.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+             FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms nc ON d.cell_id = nc.vec_id)
+           WHERE rk = 1),
+         res AS (
+           SELECT a.vec_id, a.cell_id,
+             list_transform(generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE)
+                    - CAST(c.embedding[i] AS DOUBLE)) AS r
+           FROM assign a JOIN embeddings v ON v.vec_id = a.vec_id
+           JOIN embeddings c ON c.vec_id = a.cell_id),
+         cb AS (SELECT vec_id AS cid, r FROM res WHERE vec_id < 8),
+         sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+         dists AS (
+           SELECT res.vec_id, sub.j, cb.cid AS c,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (res.r[sub.j * 16 + i] - cb.r[sub.j * 16 + i])
+                    * (res.r[sub.j * 16 + i] - cb.r[sub.j * 16 + i])),
+               (x, y) -> x + y) AS d
+           FROM res CROSS JOIN sub CROSS JOIN cb),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c, row_number() OVER (
+               PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rk
+             FROM dists) WHERE rk = 1),
+         pr AS (
+           SELECT a.vec_id AS probe_id, a.cell_id,
+             list_transform(generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE)) AS pv
+           FROM assign a JOIN embeddings v ON v.vec_id = a.vec_id
+           WHERE a.vec_id < 5),
+         cterm AS (
+           SELECT p.probe_id,
+             list_reduce(list_transform(generate_series(1, len(p.pv)),
+               i -> p.pv[i] * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS ct
+           FROM pr p JOIN embeddings c ON c.vec_id = p.cell_id),
+         tabs AS (
+           SELECT p.probe_id, sub.j, cb.cid AS c,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> p.pv[sub.j * 16 + i] * cb.r[sub.j * 16 + i]),
+               (x, y) -> x + y) AS t
+           FROM pr p CROSS JOIN sub CROSS JOIN cb),
+         scores AS (
+           SELECT p.probe_id, a.vec_id,
+             any_value(ct.ct) + list_reduce(list_prepend(
+               CAST(0.0 AS DOUBLE), list(tb.t ORDER BY tb.j)),
+               (x, y) -> x + y) AS score
+           FROM pr p
+           JOIN assign a ON a.cell_id = p.cell_id
+           JOIN codes co ON co.vec_id = a.vec_id
+           JOIN tabs tb ON tb.probe_id = p.probe_id AND tb.j = co.j
+             AND tb.c = co.code
+           JOIN cterm ct ON ct.probe_id = p.probe_id
+           GROUP BY 1, 2)
+         SELECT probe_id, rk, vec_id, score FROM (
+           SELECT probe_id, vec_id, score, row_number() OVER (
+             PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rk
+           FROM scores) WHERE rk <= 3"""
   )
 }

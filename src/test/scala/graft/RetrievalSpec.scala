@@ -81,6 +81,43 @@ class RetrievalSpec extends SparkSpec {
     (0 until 4).foreach { i => assert(top1(4L + i) == i.toLong) }
   }
 
+  test("ivf-pq: exact scores when residuals coincide with codebook rows") {
+    // centroids far apart; every corpus row = centroid + one of two
+    // residual patterns, and the codebook (residuals of rows 0,1) contains
+    // exactly those patterns per sub-space -> PQ reconstruction is EXACT,
+    // so each score must equal the plain inner product probe . candidate
+    val corpus = Seq(
+      (0L, Seq(11f, 0f, 0f, 1f)),   // c0 + (1,0,0,1)
+      (1L, Seq(10f, 1f, 1f, 0f)),   // c0 + (0,1,1,0)
+      (2L, Seq(1f, 0f, 10f, 1f)),   // c1 + (1,0,0,1)
+      (3L, Seq(0f, 1f, 11f, 0f))    // c1 + (0,1,1,0)
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(10f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 0f, 10f, 0f))).toDF("cell_id", "cell_vec")
+    val assigned = Similarity.ivfAssign(corpus, centroids, "vec_id",
+      "embedding", "cell_id", "cell_vec")
+    val probes = assigned
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__qv"),
+        col("cell_id"))
+    val out = Similarity.ivfPqTopK(assigned, centroids, probes, "vec_id",
+      "embedding", "cell_id", "cell_vec", "probe_id", "__qv",
+      dim = 4, m = 2, ksub = 2, k = 2).collect()
+    val vecs = Map(
+      0L -> Seq(11.0, 0.0, 0.0, 1.0), 1L -> Seq(10.0, 1.0, 1.0, 0.0),
+      2L -> Seq(1.0, 0.0, 10.0, 1.0), 3L -> Seq(0.0, 1.0, 11.0, 0.0))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // each probe sees exactly its cell's 2 candidates, scored exactly
+    assert(out.length == 8)
+    out.foreach { r =>
+      val (p, c, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(math.abs(s - dot(vecs(p), vecs(c))) < 1e-12,
+        s"probe $p cand $c: got $s want ${dot(vecs(p), vecs(c))}")
+      assert((p < 2) == (c < 2)) // candidates stay in the probe's cell
+    }
+  }
+
   test("pq-adc: assignment tie-breaks to the lowest code") {
     // two identical codebook vectors: every row must code to the FIRST
     val corpus = Seq(

@@ -81,6 +81,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q242_pq_adc" -> ("explicit broadcasts of the 1-row codebook and the " +
       "5-probe ADC tables (the q54 ANN contract); the corpus carries " +
       "only its integer codes"),
+    "q246_ivf_pq" -> ("explicit broadcasts of the 8-centroid table, the " +
+      "1-row residual codebook and the 5-probe ADC tables; candidate " +
+      "scoring is a cell-key equi-join over integer codes"),
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"))
