@@ -31,7 +31,9 @@ import org.json4s.jackson.JsonMethods
   * [[Blosc]] for the lz4/lz4hc/zstd/zlib/snappy inner codecs
   * (byte-shuffle and no-shuffle; blosclz and bit-shuffle are rejected
   * with re-encode guidance). Pass compressor id "blosc:<cname>:<shuffle>"
-  * to write blosc-framed chunks.
+  * to write blosc-framed chunks. The v3 `transpose` array->array codec
+  * reads and writes at the top level of the chain (inside
+  * sharding_indexed it is rejected with guidance).
   *
   * 100 TB shape: chunks are independently decodable, so the reader maps
   * one Spark task per chunk file (`binaryFile` source — no driver
@@ -65,7 +67,8 @@ object Zarr {
                        fillValue: Double, separator: String,
                        dims: Seq[String], attrs: Map[String, String],
                        v3: Boolean = false,
-                       shard: Option[ShardSpec] = None) {
+                       shard: Option[ShardSpec] = None,
+                       tperm: Option[Seq[Int]] = None) {
     def integral: Boolean = kind == 'i' || kind == 'u'
     def chunkGrid: Seq[Int] =
       shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -247,6 +250,7 @@ object Zarr {
     var order: Char = '<'
     var comp: Option[(String, Int)] = None
     var shard: Option[ShardSpec] = None
+    var tperm: Option[Seq[Int]] = None
     // v3 blosc codec config -> the same packed "blosc:<cname>:<shuffle>"
     // id the v2 path uses (shuffle is a string enum in v3)
     def bloscOf(c: JValue): (String, Int) = {
@@ -283,6 +287,10 @@ object Zarr {
               case JInt(l) => cm = Some(("zstd", l.toInt))
               case _ => cm = Some(("zstd", 0))
             }
+            case JString("transpose") =>
+              sys.error("transpose inside sharding_indexed is not " +
+                "supported — re-encode with the transpose codec at the " +
+                "top level (or without it)")
             case JString(other) =>
               sys.error(
                 s"unsupported v3 codec '$other' (bytes, gzip, blosc, zstd)")
@@ -324,9 +332,18 @@ object Zarr {
             case JInt(l) => comp = Some(("zstd", l.toInt))
             case _ => comp = Some(("zstd", 0))
           }
+          case JString("transpose") =>
+            // array->array codec (v3 spec §transpose): the encoded chunk
+            // has shape chunk_shape[order[i]]; decode inverse-permutes
+            val p = ints(c \ "configuration" \ "order")
+            require(p.length == chunks.length &&
+              p.sorted == chunks.indices.toList,
+              s"transpose order $p is not a permutation of the " +
+                s"${chunks.length} chunk dims")
+            tperm = Some(p)
           case JString(other) =>
             sys.error(s"unsupported v3 codec '$other' " +
-              "(bytes, gzip, blosc, zstd, sharding_indexed)")
+              "(bytes, gzip, blosc, zstd, transpose, sharding_indexed)")
           case other => sys.error(s"bad codec $other")
         }
       }
@@ -356,7 +373,7 @@ object Zarr {
         s"inner chunk shape ${sh.inner} must divide the shard shape $chunks")
     }
     ArrayMeta(shape, chunks, order, kind, size, comp, fill, sep, dims,
-      attrs, v3 = true, shard = shard)
+      attrs, v3 = true, shard = shard, tperm = tperm)
   }
 
   /** Open either format's metadata: a `zarr.json` array node wins (v3),
@@ -440,6 +457,39 @@ object Zarr {
     * box — caller trims edge padding via global-index bounds). A sharded
     * array's "chunk file" is the whole SHARD; it decodes transparently to
     * the same full outer box, so every reader path is shard-agnostic. */
+  /** transpose codec remap between the chunk's LOGICAL C-order layout
+    * (shape = chunks) and its STORED C-order layout (shape =
+    * chunks[p(i)]). `toStored=true` is the encode direction. One div-free
+    * odometer walk over the stored index space; logical offsets accumulate
+    * through the permuted strides. */
+  private def permuteChunk(src: Array[Double], chunks: Seq[Int],
+                           p: Seq[Int], toStored: Boolean): Array[Double] = {
+    val d = chunks.length
+    val s = chunks.toArray
+    val t = p.map(s(_)).toArray                        // stored shape
+    val strideS = new Array[Int](d)                    // logical C strides
+    var acc = 1
+    var k = d - 1
+    while (k >= 0) { strideS(k) = acc; acc *= s(k); k -= 1 }
+    val strideL = p.map(strideS(_)).toArray            // logical stride of
+    val out = new Array[Double](src.length)            // stored axis i
+    val idx = new Array[Int](d)
+    var ls = 0                                         // stored linear
+    var ll = 0                                         // logical linear
+    while (ls < src.length) {
+      if (toStored) out(ls) = src(ll) else out(ll) = src(ls)
+      var i = d - 1
+      var carry = true
+      while (carry && i >= 0) {
+        idx(i) += 1; ll += strideL(i)
+        if (idx(i) < t(i)) carry = false
+        else { ll -= idx(i) * strideL(i); idx(i) = 0; i -= 1 }
+      }
+      ls += 1
+    }
+    out
+  }
+
   def decodeChunk(raw: Array[Byte], m: ArrayMeta): Array[Double] = {
     m.shard match {
       case Some(sh) => return decodeShard(raw, m, sh)
@@ -460,7 +510,7 @@ object Zarr {
     val buf = ByteBuffer.wrap(plain, 0, n * m.size)
     buf.order(if (m.order == '>') ByteOrder.BIG_ENDIAN
               else ByteOrder.LITTLE_ENDIAN)
-    Array.tabulate(n) { _ =>
+    val vals = Array.tabulate(n) { _ =>
       (m.kind, m.size) match {
         case ('f', 8) => buf.getDouble()
         case ('f', 4) => buf.getFloat().toDouble
@@ -474,12 +524,20 @@ object Zarr {
         case (k, s) => sys.error(s"unsupported dtype $k$s")
       }
     }
+    m.tperm match {
+      case Some(p) => permuteChunk(vals, m.chunks, p, toStored = false)
+      case None => vals
+    }
   }
 
-  private def encodeChunk(vals: Array[Double], m: ArrayMeta): Array[Byte] = {
+  private def encodeChunk(vals0: Array[Double], m: ArrayMeta): Array[Byte] = {
     m.shard match {
-      case Some(sh) => return encodeShard(vals, m, sh)
+      case Some(sh) => return encodeShard(vals0, m, sh)
       case None =>
+    }
+    val vals = m.tperm match {
+      case Some(p) => permuteChunk(vals0, m.chunks, p, toStored = true)
+      case None => vals0
     }
     val buf = ByteBuffer.allocate(vals.length * m.size)
     buf.order(if (m.order == '>') ByteOrder.BIG_ENDIAN
@@ -988,8 +1046,16 @@ object Zarr {
             JObject("level" -> JInt(lvl)))
         }
       }
+    // transpose is array->array: it precedes the bytes codec in the chain
+    val tJson = m.tperm.toList.map { p =>
+      JObject("name" -> JString("transpose"), "configuration" ->
+        JObject("order" -> JArray(p.map(i => JInt(BigInt(i))).toList)))
+    }
     val codecs = m.shard match {
-      case Some(sh) => List(JObject(
+      case Some(sh) =>
+        require(m.tperm.isEmpty,
+          "transpose inside sharding_indexed is not supported")
+        List(JObject(
         "name" -> JString("sharding_indexed"),
         "configuration" -> JObject(
           "chunk_shape" -> JArray(sh.inner.map(i => JInt(BigInt(i))).toList),
@@ -1001,7 +1067,7 @@ object Zarr {
              else Nil)),
           "index_location" -> JString(
             if (sh.indexAtEnd) "end" else "start"))))
-      case None => chainJson(m.order, m.compressor)
+      case None => tJson ::: chainJson(m.order, m.compressor)
     }
     JsonMethods.compact(JsonMethods.render(JObject(
       "zarr_format" -> JInt(3),
@@ -1097,7 +1163,8 @@ object Zarr {
                   zarrFormat: Int = 2,
                   writeCoords: Boolean = true,
                   separator: Option[String] = None,
-                  shardInner: Option[Seq[Int]] = None): Unit = {
+                  shardInner: Option[Seq[Int]] = None,
+                  transposeOrder: Option[Seq[Int]] = None): Unit = {
     val spark = df.sparkSession
     // Coord vectors are driver-held and broadcast — metadata-scale by
     // contract (mirrors NetCDF.writeDataset's maxCells). A billion-label
@@ -1158,9 +1225,26 @@ object Zarr {
       }
       ShardSpec(inner, comp)
     }.orElse(existing.flatMap(_.shard))
+    // transpose (v3 array->array codec): a region write into a transposed
+    // store INHERITS the store's permutation (plain-layout blobs at the
+    // same keys would be misread), and an explicit mismatch fails loudly
+    val tperm = transposeOrder.map { p =>
+      require(isV3, "the transpose codec requires zarrFormat = 3")
+      require(p.length == chunks.length &&
+        p.sorted == chunks.indices.toList,
+        s"transpose order $p is not a permutation of the " +
+          s"${chunks.length} chunk dims")
+      existing.foreach { e =>
+        require(e.tperm.contains(p),
+          s"region write transpose order $p != the store's ${e.tperm}")
+      }
+      p
+    }.orElse(existing.flatMap(_.tperm))
+    require(tperm.isEmpty || shardSpec.isEmpty,
+      "transpose inside sharding_indexed is not supported")
     val m = ArrayMeta(shape, chunks, '<', kind, size,
       if (shardSpec.isDefined) None else comp, fillValue,
-      sep, dims, Map.empty, v3 = isV3, shard = shardSpec)
+      sep, dims, Map.empty, v3 = isV3, shard = shardSpec, tperm = tperm)
     if (!region) {
       // writeCoords=false: an additional variable of an already-initialised
       // store — skip the store/coord rewrite, still write THIS var's meta

@@ -747,6 +747,30 @@ object QueriesMore {
         .select("q", "p", "rev")
     }),
 
+    // zarr v3 transpose codec (array->array, spec §transpose): the 1995
+    // revenue grid written with order=[1,0] — chunks serialize in the
+    // PERMUTED C-order — and read back through the inverse permutation;
+    // derivational oracle recomputes from parquet, layout-independent
+    "q247_zarr_transpose" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarrtp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("long").as("p"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 4)))
+          .cast("double").as("rev"))
+      Zarr.writeLongDF(grid, store, "rev", Seq("q", "p"),
+        Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(5)(_.toDouble)),
+        chunks = Seq(2, 3), zarrFormat = 3,
+        compressor = Some(("gzip", 5)),
+        transposeOrder = Some(Seq(1, 0)))
+      Zarr.toLongDF(s, store, "rev").filter(!isnan(col("rev")))
+        .select("q", "p", "rev")
+    }),
+
     // open_dataset over netCDF-4: EVERY data variable joined on the dims
     // (ref `backends/api.py:637` open_dataset -> all data_vars). Two
     // measures — count and revenue — written as separate variables,
@@ -1262,6 +1286,14 @@ object QueriesMore {
              AS p,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2""",
+    // derivational: the 1995 revenue grid recomputed from parquet,
+    // independent of the transposed chunk layout
+    "q247_zarr_transpose" ->
+      """SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+           CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1 AS BIGINT)
+             AS p,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+         FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2""",
     // the sharded store must read back to exactly the generating surface
     "q205_zarr_sharded" ->
       """SELECT t.t AS time, l.l AS lat, t.t * 10 + l.l * 0.5 AS temp

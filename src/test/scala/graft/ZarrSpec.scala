@@ -528,4 +528,92 @@ class ZarrSpec extends SparkSpec {
       assert(m2.shard.get.indexAtEnd == atEnd && m2.shard.get.indexCrc == crc)
     }
   }
+
+  test("v3 transpose codec: format pin — stored bytes are the permuted layout") {
+    // hand-written store, independent of our writer: logical 2x3 chunk
+    // a[i][j] = i*3+j with transpose order [1,0] -> stored C-order is the
+    // 3x2 transposed sequence [0,3,1,4,2,5]
+    val store = Files.createTempDirectory("ztp").toString
+    Files.createDirectories(Paths.get(store, "v", "c", "0"))
+    val meta =
+      """{"zarr_format":3,"node_type":"array","shape":[2,3],
+         "data_type":"float64",
+         "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+         "chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         "fill_value":0.0,
+         "codecs":[{"name":"transpose","configuration":{"order":[1,0]}},
+                   {"name":"bytes","configuration":{"endian":"little"}}],
+         "dimension_names":["i","j"]}"""
+    Files.write(Paths.get(store, "v", "zarr.json"), meta.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 3.0, 1.0, 4.0, 2.0, 5.0).foreach(bb.putDouble)
+    Files.write(Paths.get(store, "v", "c", "0", "0"), bb.array())
+    val m = Zarr.openMetaAny(spark, store, "v")
+    assert(m.tperm.contains(Seq(1, 0)))
+    val back = Zarr.toLongDF(spark, store, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back == (for (i <- 0 until 2; j <- 0 until 3)
+      yield (i.toLong, j.toLong, (i * 3 + j).toDouble)).toSet)
+  }
+
+  test("v3 transpose codec: write roundtrip, 3-D permutation, edge chunks") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("ztp3").toString
+    // 3x4x5 with chunks 2x3x2 (edge chunks in every dim) and a rotation
+    // permutation [2,0,1]
+    val df = (for (i <- 0 until 3; j <- 0 until 4; k <- 0 until 5)
+      yield (i.toLong, j.toLong, k.toLong, i * 100.0 + j * 10.0 + k)).toSeq
+      .toDF("a", "b", "c", "v")
+    Zarr.writeLongDF(df, store, "v", Seq("a", "b", "c"),
+      Seq(Array.tabulate(3)(_.toDouble), Array.tabulate(4)(_.toDouble),
+        Array.tabulate(5)(_.toDouble)),
+      chunks = Seq(2, 3, 2), zarrFormat = 3,
+      transposeOrder = Some(Seq(2, 0, 1)))
+    val za = new String(Files.readAllBytes(
+      Paths.get(store, "v", "zarr.json")), "UTF-8")
+    assert(za.contains("\"name\":\"transpose\"") &&
+      za.contains("\"order\":[2,0,1]"))
+    // transpose must precede bytes in the chain (array->array first)
+    assert(za.indexOf("\"name\":\"transpose\"") <
+      za.indexOf("\"name\":\"bytes\""))
+    val back = Zarr.toLongDF(spark, store, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet)
+  }
+
+  test("v3 transpose codec: guards — bad permutation, sharding, v2") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, 1.0)).toDF("a", "b", "v")
+    def w(fmt: Int, tp: Option[Seq[Int]], inner: Option[Seq[Int]] = None) =
+      Zarr.writeLongDF(df, Files.createTempDirectory("ztpg").toString, "v",
+        Seq("a", "b"), Seq(Array(0.0), Array(0.0)), chunks = Seq(1, 1),
+        zarrFormat = fmt, transposeOrder = tp, shardInner = inner)
+    intercept[IllegalArgumentException] { w(3, Some(Seq(0, 0))) }
+    intercept[IllegalArgumentException] { w(3, Some(Seq(0))) }
+    intercept[IllegalArgumentException] { w(2, Some(Seq(1, 0))) }
+    intercept[IllegalArgumentException] {
+      w(3, Some(Seq(1, 0)), inner = Some(Seq(1, 1)))
+    }
+    // parser: transpose nested inside sharding_indexed is rejected loudly
+    val badMeta =
+      """{"zarr_format":3,"node_type":"array","shape":[2,2],
+         "data_type":"float64",
+         "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,2]}},
+         "chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         "fill_value":0.0,
+         "codecs":[{"name":"sharding_indexed","configuration":{
+           "chunk_shape":[1,1],
+           "codecs":[{"name":"transpose","configuration":{"order":[1,0]}},
+                     {"name":"bytes","configuration":{"endian":"little"}}],
+           "index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+                           {"name":"crc32c"}],
+           "index_location":"end"}}],
+         "dimension_names":["i","j"]}"""
+    val e = intercept[RuntimeException] { Zarr.parseMetaV3(badMeta) }
+    assert(e.getMessage.contains("transpose inside sharding_indexed"))
+  }
 }
