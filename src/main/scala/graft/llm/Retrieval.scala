@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Sparse + hybrid retrieval over a document corpus — the query-side
   * counterpart of the dedup/ANN family: BM25 term scoring and
@@ -92,5 +93,104 @@ object Retrieval {
     val w = Window.orderBy(col("rrf").desc, col(id))
     top.withColumn("rk", row_number().over(w))
       .select(col(id), col("rk"), col("rrf"))
+  }
+
+  /** MMR diversified rerank (Carbonell & Goldstein 1998): greedily select
+    * `k` of each probe's candidates maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the standard
+    * redundancy-suppressing post-processor behind a retrieval stage.
+    *
+    * The greedy step is inherently sequential PER PROBE, but the input is
+    * an upstream top-n (bounded by contract, guarded by `maxCandidates`),
+    * so it runs the [[Packing]] shape: one shuffle on the probe key, a
+    * partition-local scan that holds exactly one probe's candidate set,
+    * and an O(n²) in-memory greedy over it. Nothing global, nothing
+    * quadratic in the corpus.
+    *
+    * Determinism: candidate-candidate cosines use EXACTLY the
+    * [[graft.exprs.VectorExprs.cosineF32]] arithmetic (sequential double
+    * fold over float elements, dot/(√·√)), scores are plain IEEE
+    * `λ·rel − (1−λ)·maxSim`, and ties break to the lowest candidate id —
+    * a DuckDB recursive-CTE replay reproduces every pick bit-for-bit.
+    * `cands` carries (probeId, id, rel, vec); returns
+    * (probeId, rk, id, mmr). */
+  def mmrRerank(cands: DataFrame, probeId: String, id: String,
+                rel: String, vec: String, lambda: Double, k: Int,
+                maxCandidates: Int = 4096): DataFrame = {
+    val spark = cands.sparkSession
+    val sorted = cands
+      .select(col(probeId).cast(LongType).as("__p"),
+        col(id).cast(LongType).as("__i"),
+        col(rel).cast("double").as("__r"), col(vec).as("__v"))
+      .repartition(col("__p"))
+      .sortWithinPartitions(col("__p"), col("__i"))
+    val outSchema = StructType(Seq(
+      StructField(probeId, LongType, nullable = false),
+      StructField("rk", IntegerType, nullable = false),
+      StructField(id, LongType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false)))
+    val lam = lambda
+    val rdd = sorted.rdd.mapPartitions { it =>
+      // the cosineF32 fold, mirrored exactly (double acc over floats)
+      def dotf(a: Array[Float], b: Array[Float]): Double = {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Array[Float])]
+      var cur = Long.MinValue
+      var have = false
+      def flush(p: Long): Iterator[Row] = {
+        if (buf.isEmpty) return Iterator.empty
+        val items = buf.toArray // already id-sorted within the probe
+        buf.clear()
+        val n = items.length
+        val norm = items.map(c => math.sqrt(dotf(c._3, c._3)))
+        def cos(a: Int, b: Int): Double =
+          dotf(items(a)._3, items(b)._3) / (norm(a) * norm(b))
+        val picked = new Array[Boolean](n)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var rk = 1
+        while (rk <= math.min(k, n)) {
+          var best = -1; var bestScore = 0.0
+          var c = 0
+          while (c < n) {
+            if (!picked(c)) {
+              var maxSim = 0.0
+              var si = 0
+              while (si < selected.length) {
+                val v = cos(c, selected(si))
+                if (si == 0 || v > maxSim) maxSim = v
+                si += 1
+              }
+              val score = lam * items(c)._2 - (1 - lam) * maxSim
+              // strict > keeps the FIRST (lowest-id) maximum
+              if (best < 0 || score > bestScore) { best = c; bestScore = score }
+            }
+            c += 1
+          }
+          picked(best) = true
+          selected += best
+          out += Row(p, rk, items(best)._1, bestScore)
+          rk += 1
+        }
+        out.iterator
+      }
+      val main = it.flatMap { r =>
+        val p = r.getLong(0)
+        val pre = if (have && p != cur) flush(cur) else Iterator.empty
+        cur = p; have = true
+        buf += ((r.getLong(1), r.getDouble(2), r.getSeq[Float](3).toArray))
+        require(buf.length <= maxCandidates,
+          s"MMR candidate set for probe $p exceeds $maxCandidates — the " +
+            "input must be an upstream top-n, not a raw corpus")
+        pre
+      }
+      main ++ (if (have) flush(cur) else Iterator.empty)
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -666,6 +666,23 @@ object QueriesLLM {
       Similarity.ivfPqTopK(assigned, centroids, probes,
         "vec_id", "embedding", "cell_id", "cell_vec", "probe_id", "__qv",
         dim = 64, m = 4, ksub = 8, k = 3)
+    }),
+
+    // MMR diversified rerank (Carbonell & Goldstein 1998): top-8 cosine
+    // candidates per probe (self excluded), then the greedy
+    // λ·rel − (1−λ)·max-sim-to-selected selection at λ=0.5, k=4 — the
+    // redundancy-suppressing stage behind a retrieval stack
+    "q248_mmr_rerank" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val cands = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+        "probe_id", "embedding", k = 9)
+        .filter(col("rk") >= 2) // rk 1 is the probe itself (cosine 1)
+        .select(col("probe_id"), col("vec_id"), col("cosine"))
+      val withVec = corpus.join(broadcast(cands), "vec_id")
+      Retrieval.mmrRerank(withVec, "probe_id", "vec_id", "cosine",
+        "embedding", lambda = 0.5, k = 4)
     })
   )
 
@@ -2114,6 +2131,67 @@ object QueriesLLM {
          SELECT probe_id, rk, vec_id, score FROM (
            SELECT probe_id, vec_id, score, row_number() OVER (
              PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rk
-           FROM scores) WHERE rk <= 3"""
+           FROM scores) WHERE rk <= 3""",
+    // MMR replay: q54's cosine CTEs for the candidate stage (rk 2..9),
+    // pairwise candidate sims with the same fold, then a recursive CTE
+    // that re-picks greedily — each iteration carries the picked list and
+    // selects the per-probe argmax of 0.5*rel - 0.5*max(sim to picked),
+    // ties to the lowest vec_id (identical IEEE arithmetic to the engine)
+    "q248_mmr_rerank" ->
+      """WITH RECURSIVE norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) p),
+         cand AS (
+           SELECT probe_id, vec_id, rel FROM (
+             SELECT d.probe_id, d.vec_id, d.dt / (nc.nrm * np.nrm) AS rel,
+               row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON np.vec_id = d.probe_id)
+           WHERE rk BETWEEN 2 AND 9),
+         pairsim AS (
+           SELECT a.probe_id, a.vec_id AS a, b.vec_id AS b,
+             list_reduce(list_transform(generate_series(1, len(va.embedding)),
+               i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (na.nrm * nb.nrm) AS sim
+           FROM cand a JOIN cand b ON a.probe_id = b.probe_id
+           JOIN embeddings va ON va.vec_id = a.vec_id
+           JOIN embeddings vb ON vb.vec_id = b.vec_id
+           JOIN norms na ON na.vec_id = a.vec_id
+           JOIN norms nb ON nb.vec_id = b.vec_id),
+         sel AS (
+           SELECT probe_id, 1 AS step, [vec_id] AS picked,
+             0.5 * rel - 0.5 * 0.0 AS score
+           FROM (SELECT probe_id, vec_id, rel, row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id) AS rn
+             FROM cand) WHERE rn = 1
+           UNION ALL
+           SELECT probe_id, step, picked, score FROM (
+             SELECT q.probe_id, q.step, list_append(q.picked, q.vec_id)
+                 AS picked,
+               q.score, row_number() OVER (PARTITION BY q.probe_id
+                 ORDER BY q.score DESC, q.vec_id) AS rn
+             FROM (
+               SELECT r.probe_id, r.step + 1 AS step, r.picked, c.vec_id,
+                 0.5 * c.rel - 0.5 * (SELECT max(ps.sim) FROM pairsim ps
+                   WHERE ps.probe_id = r.probe_id AND ps.a = c.vec_id
+                     AND list_contains(r.picked, ps.b)) AS score
+               FROM sel r JOIN cand c ON c.probe_id = r.probe_id
+                 AND NOT list_contains(r.picked, c.vec_id)
+               WHERE r.step < 4) q) WHERE rn = 1)
+         SELECT probe_id, step AS rk, picked[len(picked)] AS vec_id,
+           score AS mmr
+         FROM sel"""
   )
 }

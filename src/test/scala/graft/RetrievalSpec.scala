@@ -118,6 +118,33 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmr: diversification demotes the near-duplicate of the first pick") {
+    // c1 most relevant; c2 nearly identical to c1 but slightly less
+    // relevant; c3 less relevant but orthogonal. Pure relevance would
+    // rank c1, c2, c3 — MMR at lambda=0.5 must pick c1, c3, c2.
+    val cands = Seq(
+      (10L, 1L, 0.90, Seq(1f, 0f)),
+      (10L, 2L, 0.89, Seq(0.999f, 0.045f)),
+      (10L, 3L, 0.50, Seq(0f, 1f)),
+      // second probe in the same partition space: order flips on rel
+      (11L, 4L, 0.30, Seq(1f, 0f)),
+      (11L, 5L, 0.80, Seq(0f, 1f))
+    ).toDF("probe_id", "vec_id", "rel", "embedding")
+    val out = Retrieval.mmrRerank(cands, "probe_id", "vec_id", "rel",
+      "embedding", lambda = 0.5, k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val p10 = out.filter(_._1 == 10L).sortBy(_._2).map(_._3).toSeq
+    assert(p10 == Seq(1L, 3L, 2L), s"got $p10")
+    val p11 = out.filter(_._1 == 11L).sortBy(_._2).map(_._3).toSeq
+    assert(p11 == Seq(5L, 4L), s"got $p11")
+    // first pick's score is exactly lambda*rel (no penalty term yet)
+    assert(out.find(r => r._1 == 10L && r._2 == 1).get._4 == 0.5 * 0.90)
+    // second pick of probe 10: orthogonal c3 scores 0.25 - 0.5*cos(c3,c1)
+    val s2 = out.find(r => r._1 == 10L && r._2 == 2).get._4
+    assert(math.abs(s2 - 0.25) < 1e-9, s"got $s2")
+  }
+
   test("pq-adc: assignment tie-breaks to the lowest code") {
     // two identical codebook vectors: every row must code to the FIRST
     val corpus = Seq(

@@ -84,6 +84,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q246_ivf_pq" -> ("explicit broadcasts of the 8-centroid table, the " +
       "1-row residual codebook and the 5-probe ADC tables; candidate " +
       "scoring is a cell-key equi-join over integer codes"),
+    "q248_mmr_rerank" -> ("explicit broadcasts of the 3-probe side (the " +
+      "q54 candidate stage) and of the 24-row candidate list re-joined " +
+      "to its embeddings; the greedy itself is a probe-partitioned scan"),
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"))
