@@ -109,4 +109,43 @@ object Sampling {
       .otherwise(array().cast("array<int>"))
     df.withColumn("copy", explode(reps))
   }
+
+  /** Token-budget mixing — the pretraining-recipe verb: mixtures are
+    * specified as TOKEN shares of a total budget (LLaMA / DoReMi style),
+    * not document fractions, so each source's epoch factor is
+    * `share · budget / sourceTokens`. Epochs are held as integer basis
+    * points `epochsBp = (shareBp · budget) div tokens` (exact integral
+    * floor-div — no float quotient to round differently across engines);
+    * per document the [[mixSources]] law applies: `epochsBp div 10000`
+    * whole copies plus one fractional draw against [[bucketBp]]. Sources
+    * absent from `sharesBp` default to share 0 and drop out.
+    *
+    * Scale shape: ONE hash aggregation for the per-source token totals
+    * (source cardinality is catalog-scale, broadcast back onto the scan),
+    * then a scan-stage explode — the only data growth is the intended
+    * epoch factor. */
+  def mixToTokenBudget(df: DataFrame, id: String, source: String,
+                       tokenCount: Column, sharesBp: Map[String, Int],
+                       budgetTokens: Long, defaultBp: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val shareCol = sharesBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col(source) === k, lit(v)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(source))
+      .agg(sum(tokenCount.cast("long")).as("__tok"))
+    // exact integral floor-div via the subtract-pmod trick (Column./ is
+    // double division; a float quotient landing near an integer could
+    // floor differently than the oracle's BIGINT //)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val num = shareCol.cast("long") * lit(budgetTokens)
+    val withE = df.join(broadcast(totals), source)
+      .withColumn("__ebp", idiv(num, col("__tok")))
+    val extra = when(
+      bucketBp(col(id), "#mixtok") < col("__ebp") % 10000, 1).otherwise(0)
+    val copies = idiv(col("__ebp"), lit(10000L)).cast("int") + extra
+    val reps = when(copies > 0, sequence(lit(0), copies - 1))
+      .otherwise(array().cast("array<int>"))
+    withE.withColumn("copy", explode(reps)).drop("__tok", "__ebp")
+  }
 }

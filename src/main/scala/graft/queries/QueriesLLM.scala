@@ -683,6 +683,22 @@ object QueriesLLM {
       val withVec = corpus.join(broadcast(cands), "vec_id")
       Retrieval.mmrRerank(withVec, "probe_id", "vec_id", "cosine",
         "embedding", lambda = 0.5, k = 4)
+    }),
+
+    // token-budget mixing: the 50k-token recipe at shares
+    // src0/src1/src3 = 50/30/20% (src2 drops) — per-source epoch factors
+    // derived from TOKEN totals, not doc counts (the LLaMA/DoReMi
+    // mixture contract); audited per (source, replica)
+    "q249_token_budget_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.mixToTokenBudget(docs, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        Map("src0" -> 5000, "src1" -> 3000, "src3" -> 2000),
+        budgetTokens = 50000L)
+        .groupBy("source", "copy")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("sum_toks"))
     })
   )
 
@@ -2192,6 +2208,34 @@ object QueriesLLM {
                WHERE r.step < 4) q) WHERE rn = 1)
          SELECT probe_id, step AS rk, picked[len(picked)] AS vec_id,
            score AS mmr
-         FROM sel"""
+         FROM sel""",
+    // token-budget replay: per-source token totals, exact BIGINT
+    // floor-div epochs-in-bp, then the q145 copies law on the #mixtok salt
+    "q249_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\s+')) AS ntok,
+           CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000
+                       WHEN 'src3' THEN 2000 ELSE 0 END AS sbp,
+           list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#mixtok'), 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10000 AS bucket
+         FROM documents),
+         tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tok
+           FROM t GROUP BY 1),
+         e AS (SELECT t.*,
+             (CAST(sbp AS BIGINT) * 50000) // tok AS ebp
+           FROM t JOIN tot USING (source)),
+         c AS (SELECT doc_id, source, ntok,
+             ebp // 10000 +
+               CASE WHEN bucket < ebp % 10000 THEN 1 ELSE 0 END AS copies
+           FROM e),
+         r AS (SELECT doc_id, source, ntok,
+             unnest(generate_series(0, copies - 1)) AS copy
+           FROM c WHERE copies > 0)
+         SELECT source, copy, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(ntok) AS BIGINT) AS sum_toks
+         FROM r GROUP BY 1, 2"""
   )
 }

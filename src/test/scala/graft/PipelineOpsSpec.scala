@@ -61,6 +61,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(up.filter(col("copy") > 2).count() === 0)
   }
 
+  test("mixToTokenBudget: epochs derive from TOKEN totals, not doc counts") {
+    // source 'a': 4 docs x 25 tokens = 100 tokens; share 100% of a
+    // 250-token budget -> epochs = 2.5 exactly (ebp = 25000): every doc
+    // gets copies 0 and 1, ~half draw copy 2. Source 'b' is absent from
+    // the shares and must vanish despite holding most of the documents.
+    val df = ((0L until 4L).map(i => (i, "a", "w " * 24 + "w")) ++
+      (100L until 200L).map(i => (i, "b", "x y z"))).toDF("id", "src", "txt")
+    val out = Sampling.mixToTokenBudget(df, "id", "src",
+      graft.llm.TextAnalysis.tokenCount(col("txt")),
+      Map("a" -> 10000), budgetTokens = 250L).cache()
+    assert(out.filter(col("src") === "b").count() === 0)
+    val a = out.filter(col("src") === "a")
+    assert(a.filter(col("copy") === 0).count() === 4)
+    assert(a.filter(col("copy") === 1).count() === 4)
+    assert(a.filter(col("copy") > 2).count() === 0)
+    // the fractional draw follows bucketBp on the #mixtok salt exactly
+    val drawn = a.filter(col("copy") === 2).select("id").as[Long]
+      .collect().toSet
+    val expect = (0L until 4L).filter { i =>
+      df.sparkSession.range(1).select(
+        Sampling.bucketBp(lit(i), "#mixtok").as[Long]).head() < 5000
+    }.toSet
+    assert(drawn == expect, s"drawn $drawn expect $expect")
+  }
+
   test("packSequences offsets are a prefix sum; chunk boundaries are honoured") {
     val docs = Seq((0L, 10L), (1L, 0L), (2L, 95L), (3L, 7L), (4L, 120L))
       .toDF("id", "n")
