@@ -35,6 +35,19 @@ object QueriesAlign {
       }
     }),
 
+    // align(join="left"/"right") — the remaining two alignment modes (ref
+    // `alignment.py` join options): left keeps the customer label set,
+    // right the supplier one; the unmatched side stays NULL (no fill)
+    "q250_align_left_right" -> ((s, dir) => {
+      val l = Align.binaryOp(custPerNation(s, dir), suppPerNation(s, dir),
+        "left") { _ => Seq(col("n_cust"), col("n_supp")) }
+        .withColumn("mode", lit("left"))
+      val r = Align.binaryOp(custPerNation(s, dir), suppPerNation(s, dir),
+        "right") { _ => Seq(col("n_cust"), col("n_supp")) }
+        .withColumn("mode", lit("right"))
+      l.unionByName(r)
+    }),
+
     // align(join="outer") with fill_value (ref `alignment.py` fill_value)
     "q11_align_outer" -> ((s, dir) => {
       Align.binaryOp(custPerNation(s, dir), suppPerNation(s, dir), "outer") { j =>
@@ -152,6 +165,17 @@ object QueriesAlign {
                FROM customer GROUP BY 1) c
          FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
                FROM supplier GROUP BY 1) s ON c.nationkey = s.nationkey""",
+    // left/right replay: NULLs preserved on the unmatched side
+    "q250_align_left_right" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             FROM supplier GROUP BY 1)
+         SELECT c.nationkey, n_cust, n_supp, 'left' AS mode
+         FROM c LEFT JOIN s ON c.nationkey = s.nationkey
+         UNION ALL
+         SELECT s.nationkey, n_cust, n_supp, 'right' AS mode
+         FROM c RIGHT JOIN s ON c.nationkey = s.nationkey""",
     "q12_reindex_time" ->
       """SELECT d.day, coalesce(n, 0) AS n, coalesce(rev, 0.0) AS rev
          FROM (SELECT generate_series AS day FROM

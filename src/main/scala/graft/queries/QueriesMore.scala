@@ -176,6 +176,39 @@ object QueriesMore {
         .select("day", "rev")
     }),
 
+    // resample-up INTERPOLATE (ref `resample.py` Resample.interpolate —
+    // the last upsample method after asfreq/ffill/bfill/nearest): each
+    // day linearly interpolates between its bracketing month-start
+    // aggregates; outside the knot range there is NO extrapolation (NULL),
+    // matching interp_1d's NaN-outside contract (q159 covers extrapolate)
+    "q251_upsample_interpolate" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).as("m"))
+        .agg(exactSum(col("o_totalprice")).as("rev"))
+      val days = Groupers.timeBuckets(s, "1995-01-01 00:00:00",
+        "1995-06-30 00:00:00", "1 day", "day")
+      val prev = AsOf.backward(days,
+        monthly.select(col("m").as("day"), col("m").as("pk"),
+          col("rev").as("prev_rev")),
+        by = Nil, key = "day", rightVals = Seq("pk", "prev_rev"))
+      val nxt = AsOf.forward(days,
+        monthly.select(col("m").as("day"), col("m").as("nk"),
+          col("rev").as("next_rev")),
+        by = Nil, key = "day", rightVals = Seq("nk", "next_rev"))
+      prev.join(nxt, "day")
+        .withColumn("rev",
+          when(col("pk").isNull || col("nk").isNull,
+            lit(null).cast("double"))
+          .when(col("pk") === col("nk"), col("prev_rev"))
+          .otherwise(col("prev_rev") +
+            (col("next_rev") - col("prev_rev")) *
+            ((unix_micros(col("day")) - unix_micros(col("pk")))
+              .cast("double") /
+             (unix_micros(col("nk")) - unix_micros(col("pk")))
+              .cast("double"))))
+        .select("day", "rev")
+    }),
+
     // groupby first/last with deterministic order (ref `groupby.py:1498`)
     "q72_first_last" -> ((s, dir) => {
       Tables.orders(s, dir).groupBy("o_custkey").agg(
@@ -1113,6 +1146,31 @@ object QueriesMore {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // interpolate replay: linear between bracketing month-starts in
+    // microsecond time, NULL outside the knot range (no extrapolation)
+    "q251_upsample_interpolate" ->
+      """WITH days AS (SELECT generate_series AS day FROM
+             generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-06-30',
+                             INTERVAL 1 DAY)),
+         monthly AS (SELECT date_trunc('month', o_orderdate) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         prev AS (SELECT d.day, max(m.day) AS pk
+           FROM days d LEFT JOIN monthly m ON m.day <= d.day GROUP BY 1),
+         nxt AS (SELECT d.day, min(m.day) AS nk
+           FROM days d LEFT JOIN monthly m ON m.day >= d.day GROUP BY 1),
+         j AS (SELECT p.day, p.pk, n.nk, mp.rev AS prev_rev,
+             mn.rev AS next_rev
+           FROM prev p JOIN nxt n ON n.day = p.day
+           LEFT JOIN monthly mp ON mp.day = p.pk
+           LEFT JOIN monthly mn ON mn.day = n.nk)
+         SELECT day,
+           CASE WHEN pk IS NULL OR nk IS NULL THEN NULL
+                WHEN pk = nk THEN prev_rev
+                ELSE prev_rev + (next_rev - prev_rev) *
+                  (CAST(epoch_us(day) - epoch_us(pk) AS DOUBLE) /
+                   CAST(epoch_us(nk) - epoch_us(pk) AS DOUBLE)) END AS rev
+         FROM j""",
     // nearest replay: closer of the prev/next month-start, midpoint ties
     // backward
     "q216_upsample_nearest" ->

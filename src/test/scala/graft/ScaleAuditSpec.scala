@@ -26,6 +26,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q212_upsample_bfill" -> "generated upsample grid (~181 rows)",
     "q216_upsample_nearest" ->
       "generated upsample grid (~181 rows), both as-of directions",
+    "q251_upsample_interpolate" ->
+      "generated upsample grid (~181 rows), both as-of directions",
     "q15_combine_first" -> "generated daily grid union (bounded)",
     "q45_interp_linear" -> "generated probe grid per series (bounded)",
     "q83_interp_nearest" -> "generated probe grid per series (bounded)",
