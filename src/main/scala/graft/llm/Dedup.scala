@@ -30,6 +30,28 @@ object Dedup {
       .groupBy("content_key")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental (cross-snapshot) exact dedup — the ingestion verb: a new
+    * batch joins an already-curated corpus, so a new document survives iff
+    * (a) its content key is absent from the EXISTING corpus index and
+    * (b) it is the first occurrence within its own batch. The existing
+    * side travels as keys only (never text), so the index is the cheap
+    * artifact a 100 TB corpus would persist between snapshots.
+    *
+    * Scale shape: one hash-agg electing the within-batch keeper, one
+    * LEFT ANTI join on the 128-bit key against the index — both shuffle
+    * on the key, nothing touches the existing corpus' text. (Fronting the
+    * anti-join with [[bloomPrefilter]] is the q178 composition when the
+    * index itself is too large to shuffle comfortably.) */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       id: String, text: String): DataFrame = {
+    val index = existing
+      .select(contentKey(col(text)).as("content_key")).distinct()
+    incoming.withColumn("content_key", contentKey(col(text)))
+      .groupBy("content_key")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_batch_dups"))
+      .join(index, Seq("content_key"), "left_anti")
+  }
+
   /** Segment-level exact dedup with document reassembly — the C4 /
     * RefinedWeb "line dedup" verb at sub-document granularity (C4 kept one
     * occurrence of any repeated three-sentence span corpus-wide; with no

@@ -699,6 +699,17 @@ object QueriesLLM {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long"))
             .as("sum_toks"))
+    }),
+
+    // incremental ingestion dedup: src2/src3 arrive as the NEW batch
+    // against the already-curated src0/src1 corpus — kept iff absent from
+    // the existing key index AND first within the batch
+    "q252_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.filter(col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src2", "src3")),
+        "doc_id", "text")
     })
   )
 
@@ -2236,6 +2247,22 @@ object QueriesLLM {
          SELECT source, copy, count(*) AS n,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(ntok) AS BIGINT) AS sum_toks
-         FROM r GROUP BY 1, 2"""
+         FROM r GROUP BY 1, 2""",
+    // incremental-dedup replay: q50's content key, batch keeper election,
+    // anti-join against the existing-corpus key set
+    "q252_incremental_dedup" ->
+      """WITH ex AS (
+           SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+           FROM documents WHERE source IN ('src0', 'src1')),
+         inc AS (
+           SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+           FROM documents WHERE source IN ('src2', 'src3')),
+         f AS (SELECT k AS content_key, min(doc_id) AS keep_id,
+             count(*) AS n_batch_dups
+           FROM inc GROUP BY 1)
+         SELECT content_key, keep_id, n_batch_dups FROM f
+         WHERE content_key NOT IN (SELECT k FROM ex)"""
   )
 }

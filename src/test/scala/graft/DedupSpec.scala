@@ -159,6 +159,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 >= 1L))
   }
 
+  test("incremental dedup: index collisions drop; batch keeper elected") {
+    val existing = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "Seen   before"), // normalizes onto the index key -> dropped
+      (11L, "fresh one"),     // kept
+      (12L, "fresh one"),     // batch dup of 11 -> folded into the keeper
+      (13L, "another")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("segment dedup keeps globally-first occurrences and reassembles") {
     // 2-token segments: doc 1 = [a b][c d], doc 2 repeats [a b] then adds
     // [e f]; doc 3 is entirely segments seen earlier and must vanish
