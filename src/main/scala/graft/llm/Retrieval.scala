@@ -95,6 +95,34 @@ object Retrieval {
       .select(col(id), col("rk"), col("rrf"))
   }
 
+  /** Convex (min-max-normalized weighted) score fusion — the score-based
+    * hybrid combiner next to rank-based [[rrfFuse]]: each list's scores
+    * normalize to [0,1] against its OWN min/max (a degenerate
+    * constant-score list normalizes to 1), then fuse as
+    * `α·a + (1−α)·b` with a missing side contributing 0 (full-outer, the
+    * usual convex-combination contract). Min/max are two 1-row broadcast
+    * aggregates over already-limited rank lists; everything else is
+    * scan-stage IEEE arithmetic, replayable exactly. */
+  def convexFuse(a: DataFrame, b: DataFrame, id: String, score: String,
+                 alpha: Double, k: Int): DataFrame = {
+    def norm(df: DataFrame, out: String): DataFrame = {
+      val st = df.agg(min(col(score)).as("__mn"), max(col(score)).as("__mx"))
+      df.crossJoin(broadcast(st))
+        .withColumn(out, when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise((col(score) - col("__mn")) /
+            (col("__mx") - col("__mn"))))
+        .select(col(id), col(out))
+    }
+    val fused = norm(a, "__na").join(norm(b, "__nb"), Seq(id), "full_outer")
+      .withColumn("fused",
+        lit(alpha) * coalesce(col("__na"), lit(0.0)) +
+          lit(1 - alpha) * coalesce(col("__nb"), lit(0.0)))
+    val top = fused.orderBy(col("fused").desc, col(id)).limit(k)
+    val w = Window.orderBy(col("fused").desc, col(id))
+    top.withColumn("rk", row_number().over(w))
+      .select(col(id), col("rk"), col("fused"))
+  }
+
   /** MMR diversified rerank (Carbonell & Goldstein 1998): greedily select
     * `k` of each probe's candidates maximizing
     * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the standard

@@ -701,6 +701,23 @@ object QueriesLLM {
             .as("sum_toks"))
     }),
 
+    // score-based hybrid fusion: min-max-normalized convex combination
+    // (alpha=0.5) of the BM25 top-20 scores with the dense cosine top-20
+    // of probe vec_id=0 — the score-fusion counterpart of q244's RRF
+    "q253_hybrid_convex" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("spark", "window", "merge"), k = 20)
+        .select(col("doc_id"), col("score"))
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+        "probe_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("cosine").as("score"))
+      Retrieval.convexFuse(lex, dense, "doc_id", "score",
+        alpha = 0.5, k = 10)
+    }),
+
     // incremental ingestion dedup: src2/src3 arrive as the NEW batch
     // against the already-curated src0/src1 corpus — kept iff absent from
     // the existing key index AND first within the batch
@@ -2263,6 +2280,69 @@ object QueriesLLM {
              count(*) AS n_batch_dups
            FROM inc GROUP BY 1)
          SELECT content_key, keep_id, n_batch_dups FROM f
-         WHERE content_key NOT IN (SELECT k FROM ex)"""
+         WHERE content_key NOT IN (SELECT k FROM ex)""",
+    // convex replay: the q244 lexical/dense CTEs carrying SCORES, each
+    // side min-max normalized against its own 20-row list (constant list
+    // -> 1.0), fused 0.5/0.5 with full-outer missing-side-0 semantics
+    "q253_hybrid_convex" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+         dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         st AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         contrib AS (SELECT tf.doc_id, tf.term,
+             (round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 8)
+                * (tf * (1.2 + 1.0)))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS c
+           FROM tf JOIN df USING (term) JOIN dlen USING (doc_id)
+           CROSS JOIN st),
+         agg AS (SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN c END) AS t0,
+             max(CASE WHEN term = 'window' THEN c END) AS t1,
+             max(CASE WHEN term = 'merge' THEN c END) AS t2
+           FROM contrib GROUP BY 1),
+         sc AS (SELECT doc_id, round(COALESCE(t0, 0.0) + COALESCE(t1, 0.0)
+             + COALESCE(t2, 0.0), 6) AS score FROM agg),
+         lex AS (SELECT doc_id, score
+           FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT c.vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = 0) p),
+         dense AS (SELECT vec_id AS doc_id, score FROM (
+             SELECT d.vec_id, d.dt / (nc.nrm * np.nrm) AS score,
+               row_number() OVER (
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON np.vec_id = 0)
+           WHERE rk <= 20),
+         lstat AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+         dstat AS (SELECT min(score) AS mn, max(score) AS mx FROM dense),
+         ln2 AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+             ELSE (score - mn) / (mx - mn) END AS na
+           FROM lex CROSS JOIN lstat),
+         dn2 AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+             ELSE (score - mn) / (mx - mn) END AS nb
+           FROM dense CROSS JOIN dstat),
+         fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             0.5 * COALESCE(l.na, 0.0) + 0.5 * COALESCE(d.nb, 0.0) AS fused
+           FROM ln2 l FULL OUTER JOIN dn2 d ON l.doc_id = d.doc_id)
+         SELECT doc_id, row_number() OVER (ORDER BY fused DESC, doc_id)
+             AS rk, fused
+         FROM fused ORDER BY fused DESC, doc_id LIMIT 10"""
   )
 }

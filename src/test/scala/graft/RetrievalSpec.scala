@@ -118,6 +118,16 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("convex fusion: per-list min-max normalization; constant list -> 1") {
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
+    val b = Seq((2L, 5.0), (3L, 5.0)).toDF("id", "score") // constant list
+    val out = Retrieval.convexFuse(a, b, "id", "score", alpha = 0.5, k = 10)
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // a normalizes to {1:0, 2:1}; b (constant) to {2:1, 3:1}
+    assert(out.toSeq == Seq((2L, 1.0), (3L, 0.5), (1L, 0.0)), s"got ${out.toSeq}")
+  }
+
   test("mmr: diversification demotes the near-duplicate of the first pick") {
     // c1 most relevant; c2 nearly identical to c1 but slightly less
     // relevant; c3 less relevant but orthogonal. Pure relevance would

@@ -36,7 +36,10 @@ class ScaleAuditSpec extends SparkSpec {
         "TakeOrderedAndProject; the window sees only the k survivors)"),
     "q244_hybrid_rrf" ->
       ("ordinals over TakeOrdered results and the fusion of two " +
-        "already-limited (<= 20-row) rank lists"))
+        "already-limited (<= 20-row) rank lists"),
+    "q253_hybrid_convex" ->
+      ("ordinals over TakeOrdered results and the fusion of two " +
+        "already-limited (<= 20-row) score lists"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -91,7 +94,9 @@ class ScaleAuditSpec extends SparkSpec {
       "to its embeddings; the greedy itself is a probe-partitioned scan"),
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
-      "and the 1-probe dense side (q243/q54 contracts)"))
+      "and the 1-probe dense side (q243/q54 contracts)"),
+    "q253_hybrid_convex" -> ("broadcasts of the 1-row corpus-stats and " +
+      "min/max aggregates and the 1-probe dense side (q243/q54 contracts)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
