@@ -129,4 +129,34 @@ class PlanSpec extends SparkSpec {
       scanLine.contains("LessThanOrEqual"),
       s"no range filters pushed:\n$scanLine")
   }
+
+  test("BM25 plan: global top-k is TakeOrdered, stats broadcast") {
+    val p = plan("q243_bm25")
+    // the corpus-wide top-k must be TakeOrderedAndProject (per-partition
+    // heaps + one k-row merge), never a global Sort of every scored doc
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the 1-row (N, avgdl) corpus-stats aggregate rides a broadcast
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("segment dedup: keeper window is partitioned by the segment key") {
+    val p = plan("q245_segment_dedup")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, "segment dedup should elect keepers via a window")
+    assert(winLines.forall(_.contains("__k")),
+      s"keeper window not partitioned by the segment key:\n" +
+        winLines.mkString("\n"))
+  }
+
+  test("IVF+PQ plan: codebook/tables broadcast; candidate join on the cell key") {
+    val p = plan("q246_ivf_pq")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // the candidate scoring join must be an equi-join on cell_id (hash or
+    // broadcast-HASH), not a nested-loop over the coded corpus
+    val hashJoins = p.linesIterator.filter(l =>
+      l.contains("HashJoin") && l.contains("cell_id")).toSeq
+    assert(hashJoins.nonEmpty,
+      s"no cell-key equi-join found:\n${p.take(1200)}")
+  }
 }
