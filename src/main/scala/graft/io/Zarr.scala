@@ -159,9 +159,14 @@ object Zarr {
       case JString(s) => s
       case _ => "."
     }
-    (j \ "order") match {
-      case JString("C") | JNothing =>
-      case other => sys.error(s"unsupported order $other (C only)")
+    // v2 "order": F(ortran) chunks are the C-order encoding of the
+    // REVERSED-dims box — exactly the transpose codec at the reversal
+    // permutation, so the same remap path decodes them (read side; the
+    // writer always emits C like zarr-python's default)
+    val forder: Option[Seq[Int]] = (j \ "order") match {
+      case JString("C") | JNothing => None
+      case JString("F") => Some(ints("chunks").indices.reverse)
+      case other => sys.error(s"unsupported order $other (C or F)")
     }
     (j \ "filters") match {
       case JNull | JNothing | JArray(Nil) =>
@@ -182,7 +187,7 @@ object Zarr {
       (d, rest)
     }.getOrElse((Nil, Map.empty[String, String]))
     ArrayMeta(ints("shape"), ints("chunks"), ord, kind, size, comp, fill,
-      sep, dims, attrs)
+      sep, dims, attrs, tperm = forder)
   }
 
   def openMeta(spark: SparkSession, store: String, name: String): ArrayMeta = {
@@ -1007,7 +1012,14 @@ object Zarr {
       "fill_value" -> (if (m.fillValue.isNaN && m.kind == 'f') JNull
                        else if (m.integral) JInt(BigInt(m.fillValue.toLong))
                        else JDouble(m.fillValue)),
-      "order" -> JString("C"),
+      // a tperm equal to the dim reversal IS v2 F-order; any other
+      // permutation has no v2 encoding (transpose is a v3 codec)
+      "order" -> JString(m.tperm match {
+        case None => "C"
+        case Some(p) if p == m.chunks.indices.reverse => "F"
+        case Some(p) => sys.error(
+          s"v2 cannot encode transpose order $p (only C / F reversal)")
+      }),
       "filters" -> JNull,
       "dimension_separator" -> JString(m.separator))))
   }

@@ -585,6 +585,44 @@ class ZarrSpec extends SparkSpec {
       .toSet)
   }
 
+  test("v2 F-order arrays decode and re-encode through the reversal perm") {
+    // hand-written order:"F" store: logical a[i][j] = i*3+j stored
+    // column-major [0,3,1,4,2,5]
+    val store = Files.createTempDirectory("zforder").toString
+    Files.createDirectories(Paths.get(store, "v"))
+    val za = """{"zarr_format":2,"shape":[2,3],"chunks":[2,3],
+      "dtype":"<f8","compressor":null,"fill_value":null,
+      "order":"F","filters":null}"""
+    Files.write(Paths.get(store, "v", ".zarray"), za.getBytes("UTF-8"))
+    Files.write(Paths.get(store, "v", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["i","j"]}""".getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.0, 3.0, 1.0, 4.0, 2.0, 5.0).foreach(bb.putDouble)
+    Files.write(Paths.get(store, "v", "0.0"), bb.array())
+    val m = Zarr.openMetaAny(spark, store, "v")
+    assert(m.tperm.contains(Seq(1, 0)))
+    val want = (for (i <- 0 until 2; j <- 0 until 3)
+      yield (i.toLong, j.toLong, (i * 3 + j).toDouble)).toSet
+    assert(Zarr.toLongDF(spark, store, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == want)
+    // writer: a reversal tperm re-emits order:"F" and roundtrips; any
+    // other permutation has no v2 encoding and fails loudly
+    val dir2 = Files.createTempDirectory("zforder2").toString
+    Zarr.writeArray(spark, dir2, "w", m, Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    val za2 = new String(Files.readAllBytes(
+      Paths.get(dir2, "w", ".zarray")), "UTF-8")
+    assert(za2.contains("\"order\":\"F\""))
+    assert(Zarr.toLongDF(spark, dir2, "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == want)
+    intercept[RuntimeException] {
+      Zarr.writeArray(spark, Files.createTempDirectory("zforder3").toString,
+        "x", m.copy(shape = Seq(2, 3, 4), chunks = Seq(2, 3, 4),
+          dims = Seq("i", "j", "k"), tperm = Some(Seq(1, 0, 2))),
+        Array.fill(24)(0.0))
+    }
+  }
+
   test("v3 transpose codec: guards — bad permutation, sharding, v2") {
     import spark.implicits._
     val df = Seq((0L, 0L, 1.0)).toDF("a", "b", "v")
