@@ -288,6 +288,27 @@ object Similarity {
       .select(col(probeId), col("rk"), col(id), col("score"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor the
+    * top-k MOST similar candidates that are NOT near-duplicates — rows
+    * with cosine ≥ `dupCeil` are positives/duplicates (the anchor itself
+    * scores 1 and is excluded by any ceiling < 1), everything below ranks
+    * by similarity descending. Same broadcast-probe one-scan contract as
+    * [[bruteForceTopK]]; the ceiling filter runs BEFORE the rank window,
+    * so survivors are the band's true top-k. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, id: String,
+                    probeId: String, vec: String, k: Int,
+                    dupCeil: Double): DataFrame = {
+    val scored = corpus.select(col(id), col(vec).as("__cv"))
+      .crossJoin(broadcast(probes.select(col(probeId), col(vec).as("__pv"))))
+      .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
+      .filter(col("cosine") < dupCeil)
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("cosine"))
+  }
+
   /** IVF + PQ with residual codes — the FAISS "IVF{cells},PQ{m}" index,
     * the production shape for billion-scale ANN (coarse cells bound the
     * scan, PQ codes bound the memory): corpus rows are assigned to coarse

@@ -701,6 +701,17 @@ object QueriesLLM {
             .as("sum_toks"))
     }),
 
+    // hard-negative mining (contrastive training): per anchor the top-3
+    // most-similar candidates BELOW the dup ceiling 0.95 — self (cos 1)
+    // and near-duplicates excluded, survivors rank by similarity
+    "q254_hard_negatives" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.hardNegatives(corpus, probes, "vec_id", "probe_id",
+        "embedding", k = 3, dupCeil = 0.95)
+    }),
+
     // score-based hybrid fusion: min-max-normalized convex combination
     // (alpha=0.5) of the BM25 top-20 scores with the dense cosine top-20
     // of probe vec_id=0 — the score-fusion counterpart of q244's RRF
@@ -1442,6 +1453,35 @@ object QueriesLLM {
                ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
            FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
+         WHERE rk <= 3""",
+    // hard-negative replay: the q54 CTEs with the dup-ceiling filter
+    // BEFORE the rank window (survivors are the band's true top-k)
+    "q254_hard_negatives" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p),
+         band AS (
+           SELECT d.probe_id, d.vec_id,
+             d.dt / (nc.nrm * np.nrm) AS cosine
+           FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+           JOIN norms np ON d.probe_id = np.vec_id
+           WHERE d.dt / (nc.nrm * np.nrm) < 0.95)
+         SELECT probe_id, rk, vec_id, cosine FROM (
+           SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM band)
          WHERE rk <= 3""",
     "q55_langid" ->
       """SELECT doc_id, lang AS lang_pred FROM (

@@ -118,6 +118,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: self and near-duplicates excluded by the ceiling") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.999f, 0.045f)), // near-dup of 0 (cos ~0.999)
+      (2L, Seq(0.7f, 0.7f)),     // the hard negative (cos ~0.707)
+      (3L, Seq(0f, 1f))          // easy negative (cos 0)
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val out = Similarity.hardNegatives(corpus, probes, "vec_id",
+      "probe_id", "embedding", k = 2, dupCeil = 0.99)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(out == Seq(2L, 3L), s"got $out") // 0 (self) and 1 (dup) gone
+  }
+
   test("convex fusion: per-list min-max normalization; constant list -> 1") {
     val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
     val b = Seq((2L, 5.0), (3L, 5.0)).toDF("id", "score") // constant list

@@ -92,6 +92,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q248_mmr_rerank" -> ("explicit broadcasts of the 3-probe side (the " +
       "q54 candidate stage) and of the 24-row candidate list re-joined " +
       "to its embeddings; the greedy itself is a probe-partitioned scan"),
+    "q254_hard_negatives" ->
+      "explicit broadcast of the 5-probe side (q54 contract)",
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"),
