@@ -83,6 +83,43 @@ class EmptyInputSpec extends SparkSpec {
       .contains(2L))
   }
 
+  test("retrieval verbs degenerate to empty, not errors") {
+    import graft.llm.{Retrieval, Similarity, Dedup}
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    // empty corpus -> empty ranking (stats aggregate yields no rows to join)
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("nothing"), k = 5).count() === 0L)
+    // terms absent from a NON-empty corpus -> every doc drops out
+    val d2 = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    assert(Retrieval.bm25TopK(d2, "doc_id", "text",
+      Seq("zzz"), k = 5).count() === 0L)
+    // fusion with one empty side keeps the other's contributions
+    val a = Seq((1L, 1)).toDF("id", "rk")
+    val none = a.filter(col("rk") < 0)
+    assert(Retrieval.rrfFuse(a, none, "id", "rk", k = 5).count() === 1L)
+    assert(Retrieval.rrfFuse(none, none, "id", "rk", k = 5).count() === 0L)
+    // MMR / segment dedup / hard negatives on empty inputs
+    val cands = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("probe_id", LongType),
+        StructField("vec_id", LongType), StructField("rel", DoubleType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Retrieval.mmrRerank(cands, "probe_id", "vec_id", "rel",
+      "embedding", lambda = 0.5, k = 3).count() === 0L)
+    assert(Dedup.segmentDedup(docs, "doc_id", "text", 4).count() === 0L)
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.hardNegatives(vecs,
+      vecs.select(col("vec_id").as("probe_id"), col("embedding")),
+      "vec_id", "probe_id", "embedding", k = 3, dupCeil = 0.9)
+      .count() === 0L)
+  }
+
   test("zorder: empty input writes an empty store; constant key is safe") {
     import graft.io.ZOrder
     val emptyEv = spark.createDataFrame(
