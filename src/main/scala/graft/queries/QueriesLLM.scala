@@ -701,6 +701,28 @@ object QueriesLLM {
             .as("sum_toks"))
     }),
 
+    // CCNet-style perplexity buckets: exact tertile thresholds of the
+    // bigram-LM avg NLL (one broadcast H&F-7 quantile agg — no global
+    // sort/ntile), head/middle/tail assigned on the scan, then the
+    // classic keep-100%/50%/10% deterministic downsample per bucket
+    "q255_ccnet_buckets" -> ((s, dir) => {
+      val pp = graft.util.QueryCache.persist(NgramLM.bigramPerplexity(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text", alpha = 0.5))
+      val th = pp.agg(
+        percentile(col("avg_nll"), lit(1.0 / 3.0)).as("t1"),
+        percentile(col("avg_nll"), lit(2.0 / 3.0)).as("t2"))
+      val bucketed = pp.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("avg_nll") <= col("t1"), "head")
+            .when(col("avg_nll") <= col("t2"), "middle")
+            .otherwise("tail"))
+      Sampling.stratifiedSample(bucketed, "doc_id", "bucket",
+        Map("head" -> 10000, "middle" -> 5000, "tail" -> 1000))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // hard-negative mining (contrastive training): per anchor the top-3
     // most-similar candidates BELOW the dup ceiling 0.95 — self (cos 1)
     // and near-duplicates excluded, survivors rank by similarity
@@ -1454,6 +1476,42 @@ object QueriesLLM {
            FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
+    // CCNet-bucket replay: the q154 perplexity CTEs, quantile_cont
+    // (= H&F 7 = Spark percentile) tertile thresholds, the same <=
+    // bucket comparisons, and the #strat bucketBp keep rule
+    "q255_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+         bi AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS bg FROM t)),
+         b12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         b1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         vv AS (SELECT count(*) AS v FROM b1),
+         pp AS (SELECT doc_id,
+           round(CAST(sum(CAST(round(
+             ln((c1 + 0.5 * v) / (c12 + 0.5)) / ln(2), 8)
+             AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+         FROM bi JOIN b12 USING (w1, w2) JOIN b1 USING (w1) CROSS JOIN vv
+         GROUP BY doc_id),
+         th AS (SELECT quantile_cont(avg_nll, 1.0/3.0) AS t1,
+             quantile_cont(avg_nll, 2.0/3.0) AS t2 FROM pp),
+         bk AS (SELECT doc_id,
+             CASE WHEN avg_nll <= t1 THEN 'head'
+                  WHEN avg_nll <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM pp CROSS JOIN th),
+         kept AS (SELECT doc_id, bucket FROM bk
+           WHERE list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10000
+             < CASE bucket WHEN 'head' THEN 10000
+                           WHEN 'middle' THEN 5000 ELSE 1000 END)
+         SELECT bucket, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM kept GROUP BY 1""",
     // hard-negative replay: the q54 CTEs with the dup-ceiling filter
     // BEFORE the rank window (survivors are the band's true top-k)
     "q254_hard_negatives" ->

@@ -94,6 +94,8 @@ class ScaleAuditSpec extends SparkSpec {
       "to its embeddings; the greedy itself is a probe-partitioned scan"),
     "q254_hard_negatives" ->
       "explicit broadcast of the 5-probe side (q54 contract)",
+    "q255_ccnet_buckets" ->
+      "explicit broadcast of the 1-row tertile-threshold aggregate",
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"),
