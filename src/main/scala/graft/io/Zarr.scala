@@ -339,7 +339,12 @@ object Zarr {
           }
           case JString("transpose") =>
             // array->array codec (v3 spec §transpose): the encoded chunk
-            // has shape chunk_shape[order[i]]; decode inverse-permutes
+            // has shape chunk_shape[order[i]]; decode inverse-permutes.
+            // Stacked transposes compose — reject rather than silently
+            // applying only the last one (same policy as bitshuffle).
+            require(tperm.isEmpty,
+              "multiple transpose codecs in one chain are not supported " +
+                "— re-encode with the composed permutation")
             val p = ints(c \ "configuration" \ "order")
             require(p.length == chunks.length &&
               p.sorted == chunks.indices.toList,

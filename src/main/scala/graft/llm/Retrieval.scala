@@ -31,7 +31,12 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, id: String, text: String,
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms == terms.distinct, "literal query terms must be distinct")
+    require(terms.nonEmpty && terms == terms.distinct,
+      "literal query terms must be distinct")
+    // the corpus tokenizes through lower(); an uppercase query term would
+    // silently score zero everywhere — fail loudly instead
+    require(terms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (corpus tokens are): $terms")
     val tokd = graft.util.QueryCache.persist(corpus
       .select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("term")))
     val docLen = tokd.groupBy(col(id)).agg(count(lit(1)).as("dl"))
@@ -176,8 +181,12 @@ object Retrieval {
         buf.clear()
         val n = items.length
         val norm = items.map(c => math.sqrt(dotf(c._3, c._3)))
+        // zero-norm guard: an all-zero embedding would make cos() NaN and
+        // (NaN comparisons being false) silently collapse the greedy into
+        // ascending-id order — define its similarity as 0 instead
         def cos(a: Int, b: Int): Double =
-          dotf(items(a)._3, items(b)._3) / (norm(a) * norm(b))
+          if (norm(a) == 0.0 || norm(b) == 0.0) 0.0
+          else dotf(items(a)._3, items(b)._3) / (norm(a) * norm(b))
         val picked = new Array[Boolean](n)
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]

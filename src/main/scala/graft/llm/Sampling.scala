@@ -133,19 +133,19 @@ object Sampling {
     }
     val totals = df.groupBy(col(source))
       .agg(sum(tokenCount.cast("long")).as("__tok"))
-    // exact integral floor-div via the subtract-pmod trick (Column./ is
-    // double division; a float quotient landing near an integer could
-    // floor differently than the oracle's BIGINT //)
-    def idiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
-    val num = shareCol.cast("long") * lit(budgetTokens)
+    // exact integral floor-div via the SQL `div` operator — Column./ is
+    // double division, and past 2^53 (shareBp·budget at real token
+    // budgets) a float quotient can truncate off-by-one vs the oracle's
+    // BIGINT //; `div` stays in long arithmetic
     val withE = df.join(broadcast(totals), source)
-      .withColumn("__ebp", idiv(num, col("__tok")))
+      .withColumn("__num", shareCol.cast("long") * lit(budgetTokens))
+      .withColumn("__ebp", expr("__num div __tok"))
     val extra = when(
       bucketBp(col(id), "#mixtok") < col("__ebp") % 10000, 1).otherwise(0)
-    val copies = idiv(col("__ebp"), lit(10000L)).cast("int") + extra
+    val copies = expr("__ebp div 10000").cast("int") + extra
     val reps = when(copies > 0, sequence(lit(0), copies - 1))
       .otherwise(array().cast("array<int>"))
-    withE.withColumn("copy", explode(reps)).drop("__tok", "__ebp")
+    withE.withColumn("copy", explode(reps))
+      .drop("__tok", "__num", "__ebp")
   }
 }

@@ -241,46 +241,79 @@ object Similarity {
     * replays in SQL. Assignment = argmin of the codegen'd SumSqDiff
     * kernel on sub-slices; a strict-< left fold breaks ties to the
     * lowest code on both engines. */
+  // ---- PQ codec kernels shared by pqTopK and ivfPqTopK (the exact
+  // fold/tie-break conventions here are pinned bit-for-bit by the q242
+  // and q246 oracles — a change must stay identical for both) ----
+
+  /** ONE broadcast row: the codebook vectors (from `rows`' (id, vecCol)
+    * pairs) as a single array column `__cb`, id order. */
+  private def pqCodebookRow(rows: DataFrame, id: String,
+                            vecCol: String): DataFrame =
+    rows.agg(sort_array(collect_list(struct(col(id), col(vecCol))))
+        .as("__s"))
+      .select(transform(col("__s"), e => e.getField(vecCol)).as("__cb"))
+
+  private def pqSlice(v: Column, j: Int, sub: Int): Column =
+    slice(v, j * sub + 1, sub)
+  private def pqCbVec(c: Int): Column = element_at(col("__cb"), c + 1)
+
+  /** Encode `vecCol` against the broadcast codebook: each of the m·ksub
+    * sub-distances appears exactly ONCE (the materialized `__dists`
+    * array — a Column reused in a fold would be textually duplicated per
+    * step), then a strict-< argmin per sub-space (ties to the lowest
+    * code). Adds `__codes`. */
+  private def pqEncode(df: DataFrame, cbRow: DataFrame, vecCol: String,
+                       m: Int, ksub: Int, sub: Int): DataFrame = {
+    import graft.exprs.VectorExprs.sumSqDiff
+    df.crossJoin(broadcast(cbRow))
+      .withColumn("__dists", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          sumSqDiff(pqSlice(col(vecCol), j, sub),
+            pqSlice(pqCbVec(c), j, sub))): _*)): _*))
+      .withColumn("__codes", transform(col("__dists"), ds =>
+        aggregate(sequence(lit(1), lit(ksub - 1)), lit(0),
+          (best, c) => when(element_at(ds, c + 1) < element_at(ds, best + 1),
+            c.cast("int")).otherwise(best))))
+  }
+
+  /** Per-probe ADC tables `__t`: the m × ksub sub-slice inner products of
+    * `vecCol` with the broadcast codebook. */
+  private def pqAdcTables(df: DataFrame, cbRow: DataFrame, vecCol: String,
+                          m: Int, ksub: Int, sub: Int): DataFrame = {
+    import graft.exprs.VectorExprs.dot
+    df.crossJoin(broadcast(cbRow))
+      .withColumn("__t", array((0 until m).map(j =>
+        array((0 until ksub).map(c =>
+          dot(pqSlice(col(vecCol), j, sub),
+            pqSlice(pqCbVec(c), j, sub))): _*)): _*))
+  }
+
+  /** The candidate's inner product by table LOOKUP: the fixed-order fold
+    * Σ_j `__t`[j][`__codes`[j]]. */
+  private def pqAdcScore(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("__t"), j + 1),
+        element_at(col("__codes"), j + 1) + 1))
+
   def pqTopK(corpus: DataFrame, probes: DataFrame, id: String,
              probeId: String, vec: String, dim: Int, m: Int, ksub: Int,
              k: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val sub = dim / m
-    import graft.exprs.VectorExprs.{dot, sumSqDiff}
-    // ONE broadcast row: the ksub codebook vectors as doubles, id order
-    val cbRow = corpus.filter(col(id) < ksub)
-      .select(col(id), transform(col(vec), x => x.cast("double")).as("__cv"))
-      .agg(sort_array(collect_list(struct(col(id), col("__cv")))).as("__s"))
-      .select(transform(col("__s"), e => e.getField("__cv")).as("__cb"))
-    def sl(v: Column, j: Int) = slice(v, j * sub + 1, sub)
-    def cbVec(c: Int) = element_at(col("__cb"), c + 1)
-    // encode: each of the m·ksub sub-distances appears exactly ONCE (the
-    // materialized __dists array — a Column reused in a fold would be
-    // textually duplicated per step), then argmin per sub-space
-    val coded = corpus
-      .select(col(id), transform(col(vec), x => x.cast("double")).as("__v"))
-      .crossJoin(broadcast(cbRow))
-      .withColumn("__dists", array((0 until m).map(j =>
-        array((0 until ksub).map(c =>
-          sumSqDiff(sl(col("__v"), j), sl(cbVec(c), j))): _*)): _*))
-      .withColumn("__codes", transform(col("__dists"), ds =>
-        aggregate(sequence(lit(1), lit(ksub - 1)), lit(0),
-          (best, c) => when(element_at(ds, c + 1) < element_at(ds, best + 1),
-            c.cast("int")).otherwise(best))))
+    val cbRow = pqCodebookRow(corpus.filter(col(id) < ksub)
+      .select(col(id), transform(col(vec), x => x.cast("double")).as("__cv")),
+      id, "__cv")
+    val coded = pqEncode(corpus
+        .select(col(id), transform(col(vec), x => x.cast("double")).as("__v")),
+      cbRow, "__v", m, ksub, sub)
       .select(col(id), col("__codes"))
-    // per-probe ADC tables: m × ksub sub-slice inner products
-    val tabbed = probes
-      .select(col(probeId),
-        transform(col(vec), x => x.cast("double")).as("__pv"))
-      .crossJoin(broadcast(cbRow))
-      .withColumn("__t", array((0 until m).map(j =>
-        array((0 until ksub).map(c =>
-          dot(sl(col("__pv"), j), sl(cbVec(c), j))): _*)): _*))
+    val tabbed = pqAdcTables(probes
+        .select(col(probeId),
+          transform(col(vec), x => x.cast("double")).as("__pv")),
+      cbRow, "__pv", m, ksub, sub)
       .select(col(probeId), col("__t"))
     val scored = coded.crossJoin(broadcast(tabbed))
-      .withColumn("score", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(element_at(col("__t"), j + 1),
-          element_at(col("__codes"), j + 1) + 1)))
+      .withColumn("score", pqAdcScore(m))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("score").desc, col(id))
     scored.withColumn("rk", row_number().over(w))
@@ -331,45 +364,29 @@ object Similarity {
                 k: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val sub = dim / m
-    import graft.exprs.VectorExprs.{dot, sumSqDiff}
+    import graft.exprs.VectorExprs.dot
     val withRes = assigned.join(broadcast(centroids), cellId)
       .withColumn("__res", zip_with(col(vec), col(cellVec),
         (x, y) => x.cast("double") - y.cast("double")))
     // ONE broadcast row: residuals of the ksub stand-in rows, id order
-    val cbRow = withRes.filter(col(id) < ksub)
-      .agg(sort_array(collect_list(struct(col(id), col("__res")))).as("__s"))
-      .select(transform(col("__s"), e => e.getField("__res")).as("__cb"))
-    def sl(v: Column, j: Int) = slice(v, j * sub + 1, sub)
-    def cbVec(c: Int) = element_at(col("__cb"), c + 1)
-    // encode residuals: materialized sub-distance matrix, then strict-<
-    // argmin per sub-space (ties to the lowest code, q242 convention)
-    val coded = withRes.crossJoin(broadcast(cbRow))
-      .withColumn("__dists", array((0 until m).map(j =>
-        array((0 until ksub).map(c =>
-          sumSqDiff(sl(col("__res"), j), sl(cbVec(c), j))): _*)): _*))
-      .withColumn("__codes", transform(col("__dists"), ds =>
-        aggregate(sequence(lit(1), lit(ksub - 1)), lit(0),
-          (best, c) => when(element_at(ds, c + 1) < element_at(ds, best + 1),
-            c.cast("int")).otherwise(best))))
+    val cbRow = pqCodebookRow(
+      withRes.filter(col(id) < ksub).select(col(id), col("__res")),
+      id, "__res")
+    // encode residuals with the shared PQ kernel (q242 conventions)
+    val coded = pqEncode(withRes, cbRow, "__res", m, ksub, sub)
       .select(col(id), col(cellId), col("__codes"))
     // probe side: per-cell centroid inner product + the m×ksub ADC tables
-    val tabbed = probes
-      .select(col(probeId), col(cellId),
-        transform(col(probeVec), x => x.cast("double")).as("__pv"))
-      .join(broadcast(centroids), cellId)
-      .withColumn("__cterm", dot(col("__pv"), col(cellVec)))
-      .crossJoin(broadcast(cbRow))
-      .withColumn("__t", array((0 until m).map(j =>
-        array((0 until ksub).map(c =>
-          dot(sl(col("__pv"), j), sl(cbVec(c), j))): _*)): _*))
+    val tabbed = pqAdcTables(probes
+        .select(col(probeId), col(cellId),
+          transform(col(probeVec), x => x.cast("double")).as("__pv"))
+        .join(broadcast(centroids), cellId)
+        .withColumn("__cterm", dot(col("__pv"), col(cellVec))),
+      cbRow, "__pv", m, ksub, sub)
       .select(col(probeId), col(cellId), col("__cterm"), col("__t"))
     // candidates = the probe's own cell only (q215's single-probe
     // contract); the join key is the cell id, tables ride along broadcast
     val scored = coded.join(broadcast(tabbed), cellId)
-      .withColumn("score", col("__cterm") +
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(element_at(col("__t"), j + 1),
-            element_at(col("__codes"), j + 1) + 1)))
+      .withColumn("score", col("__cterm") + pqAdcScore(m))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("score").desc, col(id))
     scored.withColumn("rk", row_number().over(w))

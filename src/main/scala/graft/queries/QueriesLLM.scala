@@ -678,7 +678,10 @@ object QueriesLLM {
         .select(col("vec_id").as("probe_id"), col("embedding"))
       val cands = Similarity.bruteForceTopK(corpus, probes, "vec_id",
         "probe_id", "embedding", k = 9)
-        .filter(col("rk") >= 2) // rk 1 is the probe itself (cosine 1)
+        // exclude the probe by ID, not by rank position — an exact
+        // duplicate with a lower id would steal rk 1 and leave the probe
+        // itself in a rank-based candidate set
+        .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("cosine"))
       val withVec = corpus.join(broadcast(cands), "vec_id")
       Retrieval.mmrRerank(withVec, "probe_id", "vec_id", "cosine",
@@ -2300,7 +2303,7 @@ object QueriesLLM {
                  ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
              FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
              JOIN norms np ON np.vec_id = d.probe_id)
-           WHERE rk BETWEEN 2 AND 9),
+           WHERE rk <= 9 AND vec_id <> probe_id),
          pairsim AS (
            SELECT a.probe_id, a.vec_id AS a, b.vec_id AS b,
              list_reduce(list_transform(generate_series(1, len(va.embedding)),

@@ -653,5 +653,19 @@ class ZarrSpec extends SparkSpec {
          "dimension_names":["i","j"]}"""
     val e = intercept[RuntimeException] { Zarr.parseMetaV3(badMeta) }
     assert(e.getMessage.contains("transpose inside sharding_indexed"))
+    // stacked transposes compose; silently keeping only the last would
+    // scramble the decode — must reject with re-encode guidance
+    val stacked =
+      """{"zarr_format":3,"node_type":"array","shape":[2,2],
+         "data_type":"float64",
+         "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,2]}},
+         "chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         "fill_value":0.0,
+         "codecs":[{"name":"transpose","configuration":{"order":[1,0]}},
+                   {"name":"transpose","configuration":{"order":[1,0]}},
+                   {"name":"bytes","configuration":{"endian":"little"}}],
+         "dimension_names":["i","j"]}"""
+    val e2 = intercept[IllegalArgumentException] { Zarr.parseMetaV3(stacked) }
+    assert(e2.getMessage.contains("multiple transpose codecs"))
   }
 }
