@@ -245,4 +245,54 @@ class LawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("law: segment dedup conserves counts — kept == distinct segments") {
+    import graft.llm.{Dedup, TextAnalysis}
+    (1 to 5).foreach { seed =>
+      val rng = new Random(seed * 31)
+      val words = Seq("a", "b", "c", "d")
+      val docs = (0 until rng.nextInt(12) + 1).map { i =>
+        (i.toLong,
+          (0 until rng.nextInt(12) + 1)
+            .map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val seg = 2
+      val out = Dedup.segmentDedup(docs, "doc_id", "text", seg)
+      val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        seg, 0)
+      // exactly one keeper per distinct segment text survives corpus-wide
+      // (fully-duplicated docs vanish and take their n_segments with
+      // them, so the occurrence total is conserved only over survivors)
+      val totalSegs = chunks.count()
+      val distinctSegs = chunks.select("chunk_text").distinct().count()
+      val surviving = out.select("doc_id").as[Long].collect().toSet
+      val vanishedSegs = chunks
+        .filter(!col("doc_id").isInCollection(surviving)).count()
+      val sums = out.agg(sum("n_segments"), sum("n_kept")).head()
+      assert(sums.getLong(0) == totalSegs - vanishedSegs, s"seed $seed")
+      assert(sums.getLong(1) == distinctSegs, s"seed $seed")
+    }
+  }
+
+  test("law: fusion score bounds — rrf <= 2/(c+1), convex in [0,1]") {
+    import graft.llm.Retrieval
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed * 17)
+      def list(n: Int) = (1 to n).map(i =>
+        (rng.nextInt(20).toLong + 1, i)).distinctBy(_._1)
+        .zipWithIndex.map { case ((id, _), r) => (id, r + 1) }
+        .toDF("id", "rk")
+      val a = list(rng.nextInt(8) + 1); val b = list(rng.nextInt(8) + 1)
+      Retrieval.rrfFuse(a, b, "id", "rk", k = 50).collect().foreach { r =>
+        assert(r.getDouble(2) > 0 && r.getDouble(2) <= 2.0 / 61)
+      }
+      def scored(n: Int) = (1 to n).map(i =>
+        (i.toLong, rng.nextDouble() * 10 - 5)).toDF("id", "score")
+      val sa = scored(rng.nextInt(8) + 2); val sb = scored(rng.nextInt(8) + 2)
+      Retrieval.convexFuse(sa, sb, "id", "score", alpha = 0.3, k = 50)
+        .collect().foreach { r =>
+          assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+        }
+    }
+  }
 }
