@@ -137,7 +137,7 @@ object HDF5 {
     val ver = bytes.byteAt(sb + 8) & 0xff
     val rootEntries: Seq[(String, Long)] = ver match {
       case 0 | 1 =>
-        val b = buf(bytes, sb + 8, 88)
+        val b = buf(bytes, sb + 8, if (ver == 1) 92 else 88)
         b.get() // superblock version
         b.get(); b.get(); b.get(); b.get() // freespace/root/reserved/shm vers
         val offSz = b.get() & 0xff; val lenSz = b.get() & 0xff
@@ -146,6 +146,9 @@ object HDF5 {
         b.get() // reserved
         b.getShort(); b.getShort() // group leaf/internal k
         b.getInt() // consistency flags
+        // v1 inserts Indexed Storage Internal Node K (2) + reserved (2)
+        // here — skipping it read base/root addresses 4 bytes early
+        if (ver == 1) { b.getShort(); b.getShort() }
         b.getLong() // base address
         b.getLong() // free space
         b.getLong() // eof
@@ -226,11 +229,13 @@ object HDF5 {
     hb.getLong() // free list head
     val heapData = hb.getLong()
     def heapName(off: Long): String = {
-      var i = heapData + off; val sb = new StringBuilder
-      while (bytes.byteAt(i) != 0) {
-        sb.append(bytes.byteAt(i).toChar); i += 1
-      }
-      sb.toString
+      // NUL-terminated UTF-8 (Byte.toChar would sign-extend non-ASCII
+      // bytes into mojibake — link messages already decode UTF-8, and the
+      // two group walks must agree on names)
+      var i = heapData + off
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while (bytes.byteAt(i) != 0) { bb += bytes.byteAt(i); i += 1 }
+      new String(bb.toArray, "UTF-8")
     }
     def walkNode(addr: Long): Seq[(String, Long)] = {
       val b = buf(bytes, addr, 24)
@@ -616,8 +621,15 @@ object HDF5 {
   /** Object header messages, v1 (with continuations) or v2 "OHDR". */
   private def parseObjectHeader(bytes: H5Src, addr: Long): Seq[Msg] = {
     if (bytes.byteAt(addr) == 'O' && bytes.byteAt(addr + 1) == 'H') {
-      // v2: OHDR
-      val b = buf(bytes, addr, 16)
+      // v2: OHDR — the prefix is up to 34 bytes when the times (0x20,
+      // +16, libhdf5's obj_track_times DEFAULT) and phase-change (0x10,
+      // +4) flags are set, so read a 40-byte window, and track consumed
+      // bytes relative to the buffer's OWN start (ArraySrc buffers are
+      // positioned at the absolute offset, PreadSrc copies start at 0 —
+      // `position - addr` is wrong for the latter)
+      val b = buf(bytes, addr,
+        math.min(40L, bytes.length - addr).toInt)
+      val p0 = b.position()
       b.get(); b.get(); b.get(); b.get() // "OHDR"
       require(b.get() == 2, "OHDR version")
       val flags = b.get() & 0xff
@@ -630,7 +642,7 @@ object HDF5 {
         case 4 => b.getInt() & 0xffffffffL
         case 8 => b.getLong()
       }
-      val start = addr + (b.position() - addr.toInt)
+      val start = addr + (b.position() - p0)
       parseV2Messages(bytes, start, chunk0, (flags & 0x4) != 0)
     } else {
       // v1
@@ -855,7 +867,22 @@ object HDF5 {
       case 1 => val v = b.get(); if (dt.signed) v.toDouble else (v & 0xff).toDouble
       case 2 => val v = b.getShort(); if (dt.signed) v.toDouble else (v & 0xffff).toDouble
       case 4 => val v = b.getInt(); if (dt.signed) v.toDouble else (v & 0xffffffffL).toDouble
-      case 8 => b.getLong().toDouble
+      case 8 =>
+        val v = b.getLong()
+        // 64-bit integers route through Double on the way to the long
+        // columns; past 2^53 that silently rounds (e.g. int64 nanosecond
+        // timestamps) — fail loudly rather than corrupt join keys. The
+        // unsigned top-bit range maps above 2^63 and therefore always
+        // trips the same guard (with the true value in the message).
+        val d = if (dt.signed) v.toDouble
+                else if (v >= 0) v.toDouble
+                else v.toDouble + 1.8446744073709552e19
+        require(math.abs(d) <= 9007199254740992.0, // 2^53
+          s"64-bit integer $v exceeds the exact-double range (2^53) — " +
+            "the converter would silently round it; read this variable " +
+            "through a narrower or float type, or extend the reader with " +
+            "a typed int64 path")
+        d
     }
     case c => sys.error(s"non-numeric scalar class $c")
   }
@@ -1277,8 +1304,15 @@ object HDF5 {
     inf.setInput(raw)
     val out = new Array[Byte](expected)
     var off = 0
-    while (!inf.finished() && off < expected)
-      off += inf.inflate(out, off, expected - off)
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(out, off, expected - off)
+      // a truncated deflate stream (or one demanding a preset dictionary)
+      // yields n == 0 with finished() still false — raise instead of
+      // spinning forever
+      require(n > 0,
+        s"truncated deflate stream: decoded $off of $expected bytes")
+      off += n
+    }
     inf.end()
     out
   }
@@ -1307,7 +1341,9 @@ object HDF5 {
     // clamp so a generous caller value can never overflow a task's
     // Int-sized pread (band * rowBytes stays well under 2 GiB)
     val bandBytes = math.min(math.max(1L, bandBytesReq), 1L << 30)
-    val files = new java.io.File(dir).listFiles()
+    // listFiles() returns null (not empty) for a missing/unreadable dir
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(sys.error(s"cannot list directory $dir"))
       .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
         || f.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc4/.h5 files under $dir")
@@ -1423,7 +1459,9 @@ object HDF5 {
     * (mirror of `Zarr.openDataset` — same-dims requirement, full-outer
     * join on the dim columns). Dimension scales become dim columns. */
   def openDataset(spark: SparkSession, dir: String): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
+    // listFiles() returns null (not empty) for a missing/unreadable dir
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(sys.error(s"cannot list directory $dir"))
       .filter(f => f.getName.endsWith(".nc4") || f.getName.endsWith(".h5")
         || f.getName.endsWith(".nc")).sortBy(_.getName)
     require(files.nonEmpty, s"no .nc4/.h5 files under $dir")

@@ -49,6 +49,22 @@ class HDF5Spec extends SparkSpec {
       Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
   }
 
+  test("UTF-8 variable names survive the v1 group walk (heap decode)") {
+    // 'température' is 12 chars / 14 UTF-8 bytes; Byte.toChar would
+    // sign-extend 0xC3/0xA9 into mojibake and break byName
+    val dir = Files.createTempDirectory("graft_h5utf").toString
+    val path = s"$dir/part0.nc4"
+    HDF5.writeNc4(path,
+      Seq("x" -> Array.tabulate(3)(_.toDouble)),
+      Seq(WVar("température", Seq(0),
+        Array(1.5, 2.5, 3.5))))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.datasets.map(_.name).contains("température"))
+    assert(HDF5.readVar(bytes, f, "température").toSeq ===
+      Seq(1.5, 2.5, 3.5))
+  }
+
   test("fletcher32 filter: checksum roundtrip, verified on read, flip detection") {
     val dir = Files.createTempDirectory("graft_h5fl").toString
     val path = s"$dir/fl.nc4"
