@@ -71,6 +71,43 @@ object Align {
     }
   }
 
+  /** reindex_like: conform `ds` to OTHER's label set on `dim` (ref
+    * `dataset.py:3704` `reindex_like`) — sugar that extracts the other
+    * object's distinct labels, then runs the [[reindex]] LEFT-join kernel.
+    * The label extraction is a keys-only distinct (column-pruned scan);
+    * everything else is the reindex plan. */
+  def reindexLike(ds: XDataset, like: XDataset, dim: String,
+                  fill: Map[String, Any] = Map.empty): DataFrame =
+    reindex(like.df.select(dim).distinct(), ds, fill)
+
+  /** interp_like: evaluate `series` at OTHER's coordinate labels by linear
+    * interpolation (ref `dataset.py:4158` `interp_like` — "Interpolate
+    * this object onto the coordinates of another object"). The probe grid
+    * is the other object's distinct `t` labels crossed with the series'
+    * group keys; the kernel is the bracketing as-of interp join
+    * ([[graft.numerics.Numerics.interpLinear]]), so probes outside a
+    * group's observed range stay NULL exactly like the reference. */
+  def interpLike(series: DataFrame, like: DataFrame, by: Seq[String],
+                 t: String, v: String): DataFrame = {
+    val grid = like.select(t).distinct()
+    val groups = series.select(by.map(col): _*).distinct()
+    // groups x labels: both sides are small keys-only distincts; the
+    // interp kernel's as-of join does the heavy lifting
+    val probes = groups.crossJoin(grid)
+    graft.numerics.Numerics.interpLinear(series, probes, by, t, v)
+  }
+
+  /** broadcast_like: expand `ds` against OTHER's dim set (ref
+    * `dataarray.py:1561` `broadcast_like` → `alignment.py` broadcast):
+    * self's rows multiply over the other's extra-dim label grid, values
+    * carried unchanged — the same dim-name broadcast join binary ops use,
+    * minus any arithmetic. Extra-dim labels are a keys-only distinct. */
+  def broadcastLike(ds: XDataset, like: XDataset): DataFrame = {
+    val extra = like.meta.dims.filterNot(ds.meta.dims.contains)
+    if (extra.isEmpty) ds.df
+    else ds.df.crossJoin(like.df.select(extra.map(col): _*).distinct())
+  }
+
   /** merge of two variable sets over the same dim namespace: outer align +
     * per-variable conflict resolution (ref `structure/merge.py:855`).
     * compat="override" keeps the left's value; "no_conflicts" coalesces. */

@@ -131,6 +131,60 @@ object QueriesAlign {
         .select("event_id", "user_id", "next_purchase")
     }),
 
+    // reindex_like (ref `dataset.py:3704`): conform the 'O'-status monthly
+    // revenue onto the label set of the ALL-status monthly series — months
+    // with no open orders materialize as fill=0 rows, months only in the
+    // target are impossible by construction (subset), so the output is
+    // exactly the other object's index
+    "q256_reindex_like" -> ((s, dir) => {
+      val openRev = XDataset(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+          .agg(exactSum(col("o_totalprice")).as("rev_o")),
+        dims = Seq("month"))
+      val allMonths = XDataset(
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n")),
+        dims = Seq("month"))
+      Align.reindexLike(openRev, allMonths, "month",
+        fill = Map("rev_o" -> 0.0))
+    }),
+
+    // interp_like (ref `dataset.py:4158`): evaluate the per-user purchase
+    // series at the coordinate labels of ANOTHER object — the error
+    // events' timestamp index. Linear interp, NULL outside each user's
+    // observed range (no extrapolation), exactly interp_like's contract.
+    "q257_interp_like" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val series = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val like = ev.filter(col("event_type") === "error" &&
+        to_date(col("ts")) === lit("2024-01-10"))
+      Align.interpLike(series, like, by = Seq("user_id"),
+        t = "ts", v = "value")
+        .select(col("user_id"), col("ts"),
+          round(col("v_interp"), 6).as("v_interp"))
+    }),
+
+    // broadcast_like (ref `dataarray.py:1561`): the nation-level supplier
+    // count expands against the other object's (nationkey x quarter) dim
+    // set — rows multiply over the extra dim's label grid, values ride
+    // along unchanged
+    "q258_broadcast_like" -> ((s, dir) => {
+      val supp = suppPerNation(s, dir)
+      val grid = XDataset(
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nationkey"),
+            quarter(col("o_orderdate")).as("qtr"))
+          .agg(count(lit(1)).as("n_ord")),
+        dims = Seq("nationkey", "qtr"))
+      Align.broadcastLike(supp, grid)
+        .select("nationkey", "qtr", "n_supp")
+    }),
+
     // NDPointIndex coordinate KNN (ref `xarray/indexes/nd_point_index.py`):
     // tolerance-bounded nearest in 2-d coordinate space via grid-bucketed
     // join (exact; see align.NDPointIndex). Probes are corpus points
@@ -215,6 +269,51 @@ object QueriesAlign {
          FROM (SELECT * FROM events WHERE event_type = 'error') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
          ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // reindex_like replay: the other object's month labels LEFT-join the
+    // conformed variable; fill replaces the (here impossible) misses
+    "q256_reindex_like" ->
+      """SELECT m.month, coalesce(rev_o, 0.0) AS rev_o
+         FROM (SELECT DISTINCT date_trunc('month', o_orderdate) AS month
+               FROM orders) m
+         LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS month,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                   AS rev_o
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+         USING (month)""",
+    // interp_like replay: q45's bracketing as-of lerp with the probe grid
+    // swapped for the error events' distinct timestamp labels
+    "q257_interp_like" ->
+      """WITH series AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         probes AS (
+           SELECT u.user_id, g.ts FROM
+             (SELECT DISTINCT user_id FROM series) u
+           CROSS JOIN (SELECT DISTINCT ts FROM events
+                       WHERE event_type = 'error'
+                         AND CAST(ts AS DATE) = DATE '2024-01-10') g),
+         back AS (
+           SELECT p.user_id, p.ts, s.value AS y0, s.ts AS t0
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts >= s.ts),
+         fwd AS (
+           SELECT p.user_id, p.ts, s.value AS y1, s.ts AS t1
+           FROM probes p ASOF LEFT JOIN series s
+           ON p.user_id = s.user_id AND p.ts <= s.ts)
+         SELECT b.user_id, b.ts,
+           round(CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+                WHEN CAST(epoch_us(t1) AS DOUBLE) = CAST(epoch_us(t0) AS DOUBLE) THEN y0
+                ELSE y0 + (y1 - y0) *
+                  (CAST(epoch_us(b.ts) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) /
+                  (CAST(epoch_us(t1) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE)) END,
+             6) AS v_interp
+         FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.ts = f.ts""",
+    // broadcast_like replay: values cross the extra dim's label set
+    "q258_broadcast_like" ->
+      """SELECT s.nationkey, q.qtr, s.n_supp
+         FROM (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1) s
+         CROSS JOIN (SELECT DISTINCT quarter(o_orderdate) AS qtr
+               FROM orders) q""",
     // brute-force nearest within tolerance: the grid-bucketed join must
     // reproduce the KD-tree/scan answer exactly (ties break on corpus id)
     "q120_ndpoint_knn" ->

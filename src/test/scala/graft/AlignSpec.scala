@@ -83,4 +83,37 @@ class AlignSpec extends SparkSpec {
       .orderBy("lat").as[(Double, Double)].collect()
     assert(out.toSeq === Seq((35.0, 1.0), (40.0, 2.0), (99.0, 0.0)))
   }
+
+  test("reindex_like conforms to the OTHER object's labels (dataset.py:3704)") {
+    // like's label set {35, 42}: 40 drops, 42 materializes with the fill
+    val out = Align.reindexLike(left, right, "lat", fill = Map("v_l" -> -1.0))
+      .orderBy("lat").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((35.0, 1.0), (42.0, -1.0)))
+  }
+
+  test("interp_like evaluates at the other object's coords (dataset.py:4158)") {
+    val series = Seq((1L, 10L, 1.0), (1L, 20L, 3.0)).toDF("g", "t", "v")
+      .select(col("g"), timestamp_seconds(col("t")).as("t"), col("v"))
+    val other = Seq(15L, 20L, 30L).toDF("t")
+      .select(timestamp_seconds(col("t")).as("t"))
+    val out = Align.interpLike(series, other, by = Seq("g"), t = "t", v = "v")
+      .select(unix_seconds(col("t")), col("v_interp"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(15L).contains(2.0))  // midpoint lerp
+    assert(out(20L).contains(3.0))  // exact knot
+    assert(out(30L).isEmpty)        // outside range -> NULL, no extrapolation
+  }
+
+  test("broadcast_like expands over the other's extra dims (dataarray.py:1561)") {
+    val grid = XDataset(
+      Seq((35.0, "a", 1), (35.0, "b", 2), (40.0, "a", 3))
+        .toDF("lat", "band", "n"), dims = Seq("lat", "band"))
+    val out = Align.broadcastLike(left, grid)
+      .orderBy("lat", "band").as[(Double, Double, String)].collect()
+    // every self row repeats per extra-dim label; values unchanged
+    assert(out.toSeq === Seq((35.0, 1.0, "a"), (35.0, 1.0, "b"),
+      (40.0, 2.0, "a"), (40.0, 2.0, "b")))
+    // no extra dims -> identity
+    assert(Align.broadcastLike(left, right).collect().length === 2)
+  }
 }

@@ -55,6 +55,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q82_mfopen_combine" -> "5-row combine keys",
     "q39_date_range_infer" -> "generated grid only",
     "q45_interp_linear" -> "probe grid cross user list, both driver-bounded",
+    "q257_interp_like" -> ("the other object's one-day label set cross " +
+      "the user list — both keys-only distincts (interp_like contract)"),
+    "q258_broadcast_like" -> ("broadcast_like label expansion: the extra " +
+      "dim's distinct labels (4 quarters) cross the carried variable"),
     "q159_interp_extrapolate" -> "probe grid cross user list, both driver-bounded",
     "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded",
     "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate",
@@ -96,6 +100,8 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 5-probe side (q54 contract)",
     "q255_ccnet_buckets" ->
       "explicit broadcast of the 1-row tertile-threshold aggregate",
+    "q262_cluster_balance" ->
+      "explicit broadcast of the 1-row min-cluster-size aggregate",
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"),
