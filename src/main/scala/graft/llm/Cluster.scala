@@ -114,4 +114,25 @@ object Cluster {
     }
     assign(vecs, vec, cents)
   }
+
+  /** Cluster-balanced downsample: cap every cluster at the SMALLEST
+    * cluster's size, keeping each cluster's rows closest to its centroid
+    * (ties on id) — the topic-rebalance step of cluster-proportional data
+    * curation (over-represented clusters shed their periphery first).
+    * One bounded-count window per cluster key + a 1-row min-size
+    * aggregate broadcast onto the scan; every row is returned with its
+    * in-cluster rank and a `kept` flag so callers can filter or audit. */
+  def balancedDownsample(assigned: DataFrame, id: String,
+                         cluster: String = "cluster",
+                         d2: String = "d2"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = assigned.groupBy(col(cluster)).agg(count(lit(1)).as("__n"))
+    val cap = sizes.agg(min(col("__n")).as("__cap"))
+    val w = Window.partitionBy(col(cluster)).orderBy(col(d2), col(id))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .select(col(id), col(cluster), col("rk"),
+        (col("rk") <= col("__cap")).as("kept"))
+  }
 }

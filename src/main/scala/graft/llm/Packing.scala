@@ -182,4 +182,37 @@ object Packing {
       .select(col(id), col("n_tokens"), col("start_off"), col("end_off"),
         col("seq_first"), col("seq_last"), col("pos_in_seq"))
   }
+
+  /** Length-bucketed batching accounting — the inference/eval-serving
+    * counterpart of packing: each doc pads to the next power-of-two
+    * bucket ≥ its token count, batches of `batch` docs form within a
+    * bucket, and the report shows where padding waste concentrates.
+    * Pure scan-stage bucket assignment + one hash agg on the bucket key
+    * (a handful of groups) — the same plan at any corpus size.
+    *
+    * ceil(log2(n)) is safe in IEEE double for the n here: log2 of a
+    * power of two is exact, and elsewhere log2(n) is irrational with the
+    * nearest integer more than an ulp away, so ceil never mis-rounds. */
+  def lengthBuckets(docs: DataFrame, id: String, tokenCount: Column,
+                    batch: Int): DataFrame = {
+    require(batch > 0, s"batch must be positive, got $batch")
+    val bucketed = docs
+      .select(col(id), tokenCount.cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log2(col("n_tokens")))).cast(LongType))
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket"), col("n_docs"),
+        // full batches of `batch` docs, last one partial (exact int div)
+        expr(s"(n_docs + ${batch - 1}) div $batch").as("n_batches"),
+        col("total_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_slots"),
+        // exact integers, not a ratio: power-of-two slot denominators
+        // make any fixed-dp rounding of waste/slots land on half-way
+        // ties where engines disagree (HALF_UP vs half-even)
+        (col("n_docs") * col("bucket") - col("total_tokens"))
+          .as("waste_tokens"))
+  }
 }

@@ -173,4 +173,55 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("tok_start") + 1,
           lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Per-document unigram Shannon entropy in bits — the classic
+    * low-entropy-gibberish / keyword-stuffing quality signal (a CCNet/
+    * Gopher-family statistic). H = log2(N) − (Σ c·log2 c)/N over the
+    * whitespace token counts c. Wordcount-shaped: one shuffle on
+    * (doc, word), one on doc — the same topology at 100 TB. Each libm
+    * term is rounded to 8 dp then decimal-summed (the [[NgramLM]]
+    * convention) so the fold is order-independent and oracle-exact. */
+  def wordEntropy(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(id), explode(tokens(lower(col(text)))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
+    // c·log2(c): exact integer when c is a power of two (no rounding-tie
+    // risk at the 8-dp grid), irrational otherwise
+    val term = round(col("c") * log2(col("c")), 8)
+    counts.groupBy(col(id))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .as("__slc"))
+      .select(col(id), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens")) -
+          col("__slc").cast("double") / col("n_tokens"), 6).as("entropy_bits"))
+  }
+
+  /** Pairwise vocabulary Jaccard between corpus slices (per `src` value):
+    * |Va ∩ Vb| / |Va ∪ Vb| over distinct lowercased whitespace tokens —
+    * the corpus-data-card "how much do my sources share a vocabulary"
+    * diagnostic. Distinct (src, word) is wordcount-shaped; the pair join
+    * runs on the VOCABULARY (not the corpus), keyed by word. */
+  def vocabOverlap(docs: org.apache.spark.sql.DataFrame, src: String,
+                   text: String): org.apache.spark.sql.DataFrame = {
+    val vocab = graft.util.QueryCache.persist(
+      docs.select(col(src).as("s"), explode(tokens(lower(col(text)))).as("w"))
+        .distinct())
+    val sizes = vocab.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val inter = vocab.join(
+        vocab.select(col("s").as("s2"), col("w")), Seq("w"))
+      .filter(col("s") < col("s2"))
+      .groupBy(col("s"), col("s2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("s"), col("n").as("n_a")), Seq("s"))
+      .join(sizes.select(col("s").as("s2"), col("n").as("n_b")), Seq("s2"))
+      .select(col("s").as("src_a"), col("s2").as("src_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        // parts-per-million via exact integer floor division — a double
+        // ratio rounded at fixed dp can land on engine-divergent ties
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
+          .as("jaccard_ppm"))
+  }
 }

@@ -763,6 +763,35 @@ object QueriesLLM {
         docs.filter(col("source").isin("src0", "src1")),
         docs.filter(col("source").isin("src2", "src3")),
         "doc_id", "text")
+    }),
+
+    // unigram Shannon entropy per doc (bits) — the low-entropy-gibberish
+    // quality signal; wordcount topology, decimal-summed libm terms
+    "q259_word_entropy" -> ((s, dir) =>
+      TextAnalysis.wordEntropy(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text")),
+
+    // length-bucketed batching accounting: power-of-two padding buckets,
+    // batch=32 — where does padding waste concentrate
+    "q260_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), batch = 32)),
+
+    // pairwise per-source vocabulary Jaccard — the data-card "do my
+    // sources share a vocabulary" diagnostic; the join runs on the
+    // vocabulary, not the corpus
+    "q261_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(Tables.documents(s, dir), "source", "text")),
+
+    // cluster-balanced downsample: one k-means pass (k=4, 1 Lloyd
+    // iteration) assigns topics, then every cluster is capped at the
+    // smallest cluster's size keeping centroid-closest rows — the
+    // topic-rebalance curation step; oracle replays the full pipeline
+    "q262_cluster_balance" -> ((s, dir) => {
+      val assigned = Cluster.kmeans(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 4, iters = 1)
+      Cluster.balancedDownsample(assigned, "vec_id")
     })
   )
 
@@ -2444,6 +2473,92 @@ object QueriesLLM {
            FROM ln2 l FULL OUTER JOIN dn2 d ON l.doc_id = d.doc_id)
          SELECT doc_id, row_number() OVER (ORDER BY fused DESC, doc_id)
              AS rk, fused
-         FROM fused ORDER BY fused DESC, doc_id LIMIT 10"""
+         FROM fused ORDER BY fused DESC, doc_id LIMIT 10""",
+    // entropy replay: identical 8-dp-rounded c*log2(c) terms on the
+    // decimal grid, then the same final-double expression
+    "q259_word_entropy" ->
+      """WITH counts AS (
+           SELECT doc_id, w, count(*) AS c FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents) GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(log2(sum(c)) -
+             CAST(sum(CAST(round(c * log2(c), 8) AS DECIMAL(30,8)))
+               AS DOUBLE) / sum(c), 6) AS entropy_bits
+         FROM counts GROUP BY doc_id""",
+    // power-of-two bucket replay: pow(2, ceil(log2 n)) is IEEE-exact for
+    // every n here, so both engines agree on the bucket key
+    "q260_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         b AS (SELECT doc_id, n_tokens,
+             CAST(power(2, ceil(log2(n_tokens))) AS BIGINT) AS bucket
+           FROM t WHERE n_tokens > 0)
+         SELECT bucket, count(*) AS n_docs,
+           (count(*) + 31) // 32 AS n_batches,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(*) * bucket AS padded_slots,
+           CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS waste_tokens
+         FROM b GROUP BY bucket""",
+    // vocabulary-Jaccard replay: the pair join runs on distinct
+    // (source, word); ppm by exact integer floor division
+    "q261_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source AS s,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         sz AS (SELECT s, count(*) AS n FROM v GROUP BY 1),
+         inter AS (SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_inter
+           FROM v a JOIN v b ON a.w = b.w AND a.s < b.s GROUP BY 1, 2)
+         SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+           (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
+         FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // cluster-balance replay: ONE Lloyd iteration of q147's bit-exact
+    // k-means replay (same seeds, decimal sums, (d, cid) tie-break),
+    // then the per-cluster (d, vec_id) rank against the min-size cap
+    "q262_cluster_balance" ->
+      """WITH c0 AS (SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+           FROM embeddings WHERE vec_id < 4),
+         d1 AS (SELECT v.vec_id, c0.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c0.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c0.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c0),
+         a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d1) WHERE rk = 1),
+         s1 AS (SELECT a1.cid, t.i AS pos,
+             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
+             count(*) AS n
+           FROM a1 JOIN embeddings v USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(m.c, c0.c) AS c
+           FROM c0 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s1 GROUP BY cid) m USING (cid)),
+         d2 AS (SELECT v.vec_id, c1.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c1.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c1.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c1),
+         a2 AS (SELECT vec_id, cid, d FROM (
+             SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d2) WHERE rk = 1),
+         sizes AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
+         cap AS (SELECT min(n) AS cap FROM sizes),
+         ranked AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk
+           FROM a2)
+         SELECT vec_id, cid AS cluster, rk, rk <= cap AS kept
+         FROM ranked CROSS JOIN cap"""
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Cluster, Dedup, Packing, Sampling}
+import graft.llm.{Cluster, Dedup, Packing, Sampling, TextAnalysis}
 
 /** Sampling / mixing / packing / clustering / representative-selection
   * laws on small hand-built fixtures. */
@@ -548,5 +548,64 @@ class PipelineOpsSpec extends SparkSpec {
     val psi1 = Drift.psi(shifted, "g", "value", "ts", "2024-01-16",
       bins = 10, lo = 0.0, hi = 500.0).head().getDouble(3)
     assert(psi1 > 1.0, s"shifted PSI $psi1") // far past the 0.25 alarm
+  }
+
+  test("word entropy: uniform tokens hit log2(k), repetition scores 0") {
+    val df = Seq(
+      (1L, "a b c d"),       // 4 distinct once each -> H = log2(4) = 2
+      (2L, "x x x x x"),     // single type -> H = 0
+      (3L, "a a b b")        // two types, uniform -> H = 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 2.0)))
+    assert(out(2L) === ((5L, 1L, 0.0)))
+    assert(out(3L) === ((4L, 2L, 1.0)))
+  }
+
+  test("length buckets: power-of-two caps, batch count, exact waste") {
+    val docs = Seq(
+      (1L, 5L), (2L, 8L), (3L, 7L),   // bucket 8: 3 docs, 20 tokens
+      (4L, 9L),                       // bucket 16: 1 doc
+      (5L, 1L)                        // bucket 1: exact fit, zero waste
+    ).toDF("doc_id", "n")
+    val out = Packing.lengthBuckets(docs, "doc_id", col("n"), batch = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out(8L) === ((3L, 2L, 20L, 24L, 4L)))   // ceil(3/2)=2 batches
+    assert(out(16L) === ((1L, 1L, 9L, 16L, 7L)))
+    assert(out(1L) === ((1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("vocab overlap: ppm Jaccard over distinct per-source vocabularies") {
+    val df = Seq(
+      (1L, "sa", "a b c"), (2L, "sa", "a b"),     // Va = {a,b,c}
+      (3L, "sb", "b c d"),                        // Vb = {b,c,d}
+      (4L, "sc", "x y")                           // Vc disjoint
+    ).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.vocabOverlap(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // |{b,c}| / |{a,b,c,d}| = 2/4 -> 500000 ppm
+    assert(out(("sa", "sb")) === ((3L, 3L, 2L, 500000L)))
+    // disjoint pairs never materialize (inner join on shared words)
+    assert(!out.contains(("sa", "sc")) && !out.contains(("sb", "sc")))
+  }
+
+  test("balanced downsample caps every cluster at the smallest's size") {
+    val assigned = Seq(
+      (1L, 0, 0.1), (2L, 0, 0.3), (3L, 0, 0.2),   // cluster 0: 3 rows
+      (4L, 1, 0.5), (5L, 1, 0.4)                  // cluster 1: 2 rows (min)
+    ).toDF("id", "cluster", "d2")
+    val out = Cluster.balancedDownsample(assigned, "id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toMap
+    // cap = 2: cluster 0 keeps its two centroid-closest (d2 asc) rows
+    assert(out(1L) === ((0, 1, true)))
+    assert(out(3L) === ((0, 2, true)))
+    assert(out(2L) === ((0, 3, false)))
+    assert(out(5L) === ((1, 1, true)) && out(4L) === ((1, 2, true)))
   }
 }
