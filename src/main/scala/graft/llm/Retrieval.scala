@@ -78,6 +78,92 @@ object Retrieval {
       .select(col(id), col("rk"), col("score"))
   }
 
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * language-model scorer next to [[bm25TopK]]:
+    * `score(q,d) = Σ_t ln((tf(t,d) + μ·cf(t)/|C|) / (|d| + μ))` with the
+    * collection model `cf(t)/|C|`. Terms ABSENT from a doc still
+    * contribute their smoothing mass (that is the point of Dirichlet
+    * smoothing), so the score grid is (matching docs × query terms) —
+    * built by crossing the matched-doc ids with the literal term list and
+    * LEFT-joining tf. Only docs containing ≥1 query term rank (the
+    * inverted-index pruning contract: a no-match doc's score is the
+    * background-only value and cannot enter a top-k among matches).
+    * Per-term logs round to 8 dp and combine in fixed term order, so an
+    * external engine replays the ranking bit-for-bit. */
+  def queryLikelihoodTopK(corpus: DataFrame, id: String, text: String,
+                          terms: Seq[String], k: Int,
+                          mu: Double = 300.0): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct,
+      "literal query terms must be distinct")
+    require(terms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (corpus tokens are): $terms")
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val tokd = graft.util.QueryCache.persist(corpus
+      .select(col(id), explode(TextAnalysis.tokens(lower(col(text)))).as("term")))
+    val docLen = tokd.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    // |C| = total corpus tokens — ONE row, broadcast
+    val totC = docLen.agg(sum(col("dl")).cast("double").as("ctot"))
+    val tf = tokd.filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    // collection frequency per query term (tiny: |terms| rows)
+    val cf = tokd.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val termTab = terms.zipWithIndex.toDF("term", "__ord")
+    val grid = tf.select(col(id)).distinct()
+      .crossJoin(broadcast(termTab))
+      .join(tf, Seq(id, "term"), "left")
+      .join(broadcast(cf), "term")
+      .join(docLen, Seq(id))
+      .crossJoin(broadcast(totC))
+      .withColumn("c", round(
+        log((coalesce(col("tf"), lit(0L)) +
+          lit(mu) * col("cf") / col("ctot")) / (col("dl") + lit(mu))), 8))
+    // fixed-order combine, as in bm25TopK: one column per literal term
+    val perTerm = grid.groupBy(col(id)).agg(
+      max(when(col("__ord") === 0, col("c"))).as("__t0"),
+      terms.indices.tail.map { i =>
+        max(when(col("__ord") === i, col("c"))).as(s"__t$i")
+      }: _*)
+    val score = terms.indices.map(i => col(s"__t$i")).reduceLeft(_ + _)
+    val top = perTerm.withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col(id)).limit(k)
+    val w = Window.orderBy(col("score").desc, col(id))
+    top.withColumn("rk", row_number().over(w))
+      .select(col(id), col("rk"), col("score"))
+  }
+
+  /** NDCG@k of a ranked list against graded relevance labels — the
+    * ranking-quality eval verb of the retrieval stack. Gain is the
+    * standard `(2^rel − 1) / log2(rank + 1)`; IDCG re-ranks the FULL
+    * relevance table (rel desc, id asc — deterministic ties) and takes
+    * its top k. Each gain term rounds to 8 dp and sums on the decimal
+    * grid, so both sums are order-independent and replayable; a ranked
+    * id with no label row contributes rel = 0. Returns ONE row
+    * (k, dcg, idcg, ndcg). */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, id: String,
+              rank: String, rel: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def gain(relC: Column, rankC: Column): Column = round(
+      (pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
+        log2(rankC.cast("double") + lit(1.0)), 8)
+    val dcg = ranked.filter(col(rank) <= k)
+      .join(rels.select(col(id), col(rel)), Seq(id), "left")
+      .agg(sum(gain(coalesce(col(rel), lit(0)), col(rank))
+        .cast(DecimalType(30, 8))).as("__dcg"))
+    val ideal = rels.orderBy(col(rel).desc, col(id)).limit(k)
+    val wI = Window.orderBy(col(rel).desc, col(id))
+    val idcg = ideal.withColumn("__irk", row_number().over(wI))
+      .agg(sum(gain(col(rel), col("__irk"))
+        .cast(DecimalType(30, 8))).as("__idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k).as("k"),
+        round(col("__dcg").cast("double"), 6).as("dcg"),
+        round(col("__idcg").cast("double"), 6).as("idcg"),
+        round(col("__dcg").cast("double") /
+          col("__idcg").cast("double"), 6).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke 2009): combine two rankings
     * of the same id space into `sum(1 / (c + rank))` with the standard
     * c = 60. Ranks are integers and the two addends combine in a fixed

@@ -784,6 +784,26 @@ object QueriesLLM {
     "q261_vocab_overlap" -> ((s, dir) =>
       TextAnalysis.vocabOverlap(Tables.documents(s, dir), "source", "text")),
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty): the
+    // language-model scorer over the same 3-term query as q243's BM25 —
+    // absent terms contribute their smoothing mass, docs with no match
+    // are pruned (inverted-index contract)
+    "q263_query_likelihood" -> ((s, dir) =>
+      Retrieval.queryLikelihoodTopK(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("spark", "window", "merge"), k = 10,
+        mu = 300.0)),
+
+    // NDCG@10 ranking eval: BM25's top-10 judged against the embedding
+    // table's integer labels as graded relevance (doc_id = vec_id) —
+    // the retrieval stack's quality metric as a query
+    "q264_ndcg" -> ((s, dir) => {
+      val ranked = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("spark", "window", "merge"), k = 10)
+      val rels = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      Retrieval.ndcgAtK(ranked, rels, "doc_id", "rk", "label", k = 10)
+    }),
+
     // cluster-balanced downsample: one k-means pass (k=4, 1 Lloyd
     // iteration) assigns topics, then every cluster is capped at the
     // smallest cluster's size keeping centroid-closest rows — the
@@ -2516,6 +2536,81 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // query-likelihood replay: same 8-dp-rounded per-term logs, same
+    // fixed term order, same (score desc, id) top-k
+    "q263_query_likelihood" ->
+      """WITH tokd AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tokd GROUP BY 1),
+         tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctot FROM dl),
+         terms(term, ord) AS (VALUES ('spark', 0), ('window', 1),
+           ('merge', 2)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         cf AS (SELECT term, count(*) AS cf FROM tokd
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1),
+         grid AS (SELECT m.doc_id, t.term, t.ord
+           FROM (SELECT DISTINCT doc_id FROM tf) m CROSS JOIN terms t),
+         c AS (SELECT g.doc_id, g.ord,
+             round(ln((coalesce(tf.tf, 0) + 300.0 * cf.cf / tot.ctot) /
+               (dl.dl + 300.0)), 8) AS c
+           FROM grid g
+           LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+           JOIN cf ON cf.term = g.term
+           JOIN dl ON dl.doc_id = g.doc_id
+           CROSS JOIN tot),
+         score AS (SELECT doc_id,
+             round(max(CASE WHEN ord = 0 THEN c END) +
+                   max(CASE WHEN ord = 1 THEN c END) +
+                   max(CASE WHEN ord = 2 THEN c END), 6) AS score
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             AS rk, score
+         FROM score ORDER BY score DESC, doc_id LIMIT 10""",
+    // NDCG replay: q243's BM25 CTE chain feeds the judged top-10; gains
+    // round to 8 dp on the decimal grid in both engines
+    "q264_ndcg" ->
+      """WITH tokd AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tokd GROUP BY 1),
+         stats AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tokd
+           WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         contrib AS (SELECT tf.doc_id, tf.term,
+             (round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 8)
+                * (tf * (1.2 + 1.0)))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS c
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         agg AS (SELECT doc_id,
+             max(CASE WHEN term = 'spark' THEN c END) AS t0,
+             max(CASE WHEN term = 'window' THEN c END) AS t1,
+             max(CASE WHEN term = 'merge' THEN c END) AS t2
+           FROM contrib GROUP BY 1),
+         score AS (SELECT doc_id, round(COALESCE(t0, 0.0) + COALESCE(t1, 0.0)
+             + COALESCE(t2, 0.0), 6) AS score FROM agg),
+         ranked AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM score ORDER BY score DESC, doc_id LIMIT 10),
+         dcg AS (SELECT sum(CAST(round(
+             (power(2, coalesce(e.label, 0)) - 1.0) / log2(r.rk + 1.0), 8)
+               AS DECIMAL(30,8))) AS dcg
+           FROM ranked r LEFT JOIN embeddings e ON e.vec_id = r.doc_id),
+         ideal AS (SELECT label,
+             row_number() OVER (ORDER BY label DESC, vec_id) AS irk
+           FROM embeddings ORDER BY label DESC, vec_id LIMIT 10),
+         idcg AS (SELECT sum(CAST(round(
+             (power(2, label) - 1.0) / log2(irk + 1.0), 8)
+               AS DECIMAL(30,8))) AS idcg
+           FROM ideal)
+         SELECT 10 AS k, round(CAST(dcg AS DOUBLE), 6) AS dcg,
+           round(CAST(idcg AS DOUBLE), 6) AS idcg,
+           round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+         FROM dcg CROSS JOIN idcg""",
     // cluster-balance replay: ONE Lloyd iteration of q147's bit-exact
     // k-means replay (same seeds, decimal sums, (d, cid) tie-break),
     // then the per-cluster (d, vec_id) rank against the min-size cap

@@ -185,4 +185,42 @@ class RetrievalSpec extends SparkSpec {
     assert(r(0)._2 == r(1)._2)
     assert(r(0)._1 == 0L && r(1)._1 == 1L)
   }
+
+  test("query likelihood: tf raises score, length penalizes, no-match prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark merge"),       // tf(spark)=2 in len 3
+      (2L, "spark merge"),             // tf(spark)=1 in len 2
+      (3L, "spark merge x x x x x x"), // same tfs, longer doc
+      (4L, "other words only")         // no query term -> pruned
+    ).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      terms = Seq("spark", "merge"), k = 10, mu = 10.0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(!out.contains(4L), "no-match doc must be pruned")
+    // doc 1 beats doc 2 (more spark mass in a similar length); doc 3's
+    // extra length dilutes both terms below doc 2
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+    assert(out(1L)._1 === 1 && out(3L)._1 === 3)
+  }
+
+  test("ndcg: perfect ranking scores 1, reversed ranking scores less") {
+    import spark.implicits._
+    val rels = Seq((10L, 3), (11L, 2), (12L, 0)).toDF("id", "rel")
+    val perfect = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rk")
+    val reversed = Seq((12L, 1), (11L, 2), (10L, 3)).toDF("id", "rk")
+    val p = Retrieval.ndcgAtK(perfect, rels, "id", "rk", "rel", k = 3)
+      .head()
+    assert(p.getDouble(3) === 1.0)
+    assert(p.getDouble(1) === p.getDouble(2)) // dcg == idcg
+    val rv = Retrieval.ndcgAtK(reversed, rels, "id", "rk", "rel", k = 3)
+      .head().getDouble(3)
+    assert(rv < 1.0 && rv > 0.0)
+    // unknown id contributes rel=0, lowering DCG but not crashing
+    val withUnknown = Seq((99L, 1), (10L, 2)).toDF("id", "rk")
+    val u = Retrieval.ndcgAtK(withUnknown, rels, "id", "rk", "rel", k = 3)
+      .head()
+    assert(u.getDouble(3) < 1.0)
+  }
 }

@@ -39,7 +39,12 @@ class ScaleAuditSpec extends SparkSpec {
         "already-limited (<= 20-row) rank lists"),
     "q253_hybrid_convex" ->
       ("ordinals over TakeOrdered results and the fusion of two " +
-        "already-limited (<= 20-row) score lists"))
+        "already-limited (<= 20-row) score lists"),
+    "q263_query_likelihood" ->
+      "rank ordinal over the k-row TakeOrdered result (q243 contract)",
+    "q264_ndcg" ->
+      ("ideal-ranking ordinal over a k-row TakeOrdered result; both DCG " +
+        "sums aggregate <= k rows"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -102,6 +107,11 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 1-row tertile-threshold aggregate",
     "q262_cluster_balance" ->
       "explicit broadcast of the 1-row min-cluster-size aggregate",
+    "q263_query_likelihood" -> ("broadcasts of the literal 3-term table, " +
+      "the 1-row |C| aggregate, and the term-cf table (3 rows) onto the " +
+      "matched-doc grid"),
+    "q264_ndcg" -> ("broadcast of the 1-row IDCG aggregate onto the " +
+      "1-row DCG aggregate"),
     "q243_bm25" -> "broadcast of the 1-row corpus-stats (N, avgdl) aggregate",
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"),
