@@ -77,8 +77,15 @@ object TextAnalysis {
   /** All word n-grams of a document as an array of joined strings. */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    transform(sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    // O(L) construction: n shifted slices zipped pairwise — NOT an O(L)
+    // slice+join per gram (the HOF lambda is interpreted per element, so
+    // the old transform(i -> array_join(slice(...))) was O(L²) per doc
+    // and dominated corpus-wide n-gram queries). greatest(,0) keeps the
+    // slice length legal for docs shorter than n (empty gram list).
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), m))
+    shifted.reduceLeft((acc, s) =>
+      zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
   }
 
   /** Fraction of n-grams that are duplicates of an earlier one
@@ -197,6 +204,51 @@ object TextAnalysis {
       .select(col(id), col("n_tokens"), col("n_types"),
         round(log2(col("n_tokens")) -
           col("__slc").cast("double") / col("n_tokens"), 6).as("entropy_bits"))
+  }
+
+  /** Per-slice n-gram diversity: distinct vs total word n-grams within
+    * each `src` group — the self-repetition data-card metric (low
+    * diversity ⇒ templated/boilerplate-heavy slice; the corpus-level
+    * analog of Self-BLEU). Docs with fewer than `n` tokens are skipped
+    * (no n-gram exists). Wordcount topology: explode → two aggs on the
+    * (src, gram) key. Diversity reported in exact ppm. */
+  def ngramDiversity(docs: org.apache.spark.sql.DataFrame, src: String,
+                     text: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .filter(size(tokens(lower(col(text)))) >= n)
+      .select(col(src).as("src"),
+        explode(wordNgrams(lower(col(text)), n)).as("g"))
+    grams.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("src"), col("n_grams"), col("n_distinct"),
+        expr("n_distinct * 1000000 div n_grams").as("diversity_ppm"))
+  }
+
+  /** Gopher-style top-n-gram mass (Rae et al. 2021 appx. A: "fraction of
+    * characters in the most frequent n-gram"): per doc, the modal word
+    * n-gram (count desc, gram asc — deterministic ties) and the exact-ppm
+    * share of the document's characters its occurrences cover
+    * (`count · len(gram) / len(text)`, the standard non-overlapping
+    * approximation, capped at 1e6 ppm — overlapping occurrences share
+    * tokens, so the product can exceed the document). The ranking window
+    * is per-doc (bounded by document length); the rest is scan-stage. */
+  def topNgramMass(docs: org.apache.spark.sql.DataFrame, id: String,
+                   text: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .filter(size(tokens(lower(col(text)))) >= n)
+      .select(col(id), length(col(text)).as("n_chars"),
+        explode(wordNgrams(lower(col(text)), n)).as("g"))
+      .groupBy(col(id), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("n_occ").desc, col("g"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col("g").as("top_gram"), col("n_occ"),
+        least(lit(1000000L),
+          expr("n_occ * length(g) * 1000000 div n_chars")).as("mass_ppm"))
   }
 
   /** Pairwise vocabulary Jaccard between corpus slices (per `src` value):

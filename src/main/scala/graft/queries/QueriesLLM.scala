@@ -804,6 +804,19 @@ object QueriesLLM {
       Retrieval.ndcgAtK(ranked, rels, "doc_id", "rk", "label", k = 10)
     }),
 
+    // per-source bigram diversity (distinct/total word 2-grams, exact
+    // ppm) — the self-repetition data-card metric
+    "q265_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source",
+        "text", n = 2)),
+
+    // Gopher top-2-gram character mass per doc: modal bigram (count
+    // desc, gram asc) and the exact-ppm share of doc chars it covers
+    "q266_top_ngram_mass" -> ((s, dir) =>
+      TextAnalysis.topNgramMass(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text", n = 2)),
+
     // cluster-balanced downsample: one k-means pass (k=4, 1 Lloyd
     // iteration) assigns topics, then every cluster is capped at the
     // smallest cluster's size keeping centroid-closest rows — the
@@ -2536,6 +2549,35 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // bigram-diversity replay: q52's gram construction per source
+    "q265_ngram_diversity" ->
+      """WITH t AS (SELECT source,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents WHERE len(string_split_regex(trim(lower(text)),
+             '\s+')) >= 2),
+         ng AS (SELECT source, w[i] || ' ' || w[i+1] AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i))
+         SELECT source AS src, count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           (count(DISTINCT g) * 1000000) // count(*) AS diversity_ppm
+         FROM ng GROUP BY 1""",
+    // top-bigram-mass replay: modal gram by (count desc, gram asc), ppm
+    // by exact integer division against the doc's char length
+    "q266_top_ngram_mass" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents WHERE len(string_split_regex(trim(lower(text)),
+             '\s+')) >= 2),
+         ng AS (SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+         c AS (SELECT doc_id, n_chars, g, count(*) AS n_occ
+           FROM ng GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY n_occ DESC, g) AS rn FROM c)
+         SELECT doc_id, g AS top_gram, n_occ,
+           least(1000000, (n_occ * length(g) * 1000000) // n_chars)
+             AS mass_ppm
+         FROM rk WHERE rn = 1""",
     // query-likelihood replay: same 8-dp-rounded per-term logs, same
     // fixed term order, same (score desc, id) top-k
     "q263_query_likelihood" ->

@@ -295,4 +295,57 @@ class LawsSpec extends SparkSpec {
         }
     }
   }
+
+  test("law: entropy in [0, log2(types)]; diversity and top-gram mass in ppm bounds") {
+    import graft.llm.TextAnalysis
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed * 31)
+      val words = Vector("a", "bb", "ccc", "dd", "e")
+      val docs = (1 to 12).map { i =>
+        val n = rng.nextInt(10) + 1
+        (i.toLong, "s" + rng.nextInt(2),
+          Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "src", "text")
+      TextAnalysis.wordEntropy(docs, "doc_id", "text").collect().foreach { r =>
+        val (nTok, nTyp, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(nTyp <= nTok)
+        assert(h >= 0.0 && h <= math.log(nTyp.toDouble) / math.log(2.0) + 1e-6,
+          s"H=$h outside [0, log2($nTyp)]")
+      }
+      TextAnalysis.ngramDiversity(docs, "src", "text", n = 2).collect()
+        .foreach { r =>
+          assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000L)
+          assert(r.getLong(2) <= r.getLong(1))
+        }
+      TextAnalysis.topNgramMass(docs, "doc_id", "text", n = 2).collect()
+        .foreach { r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L) }
+    }
+  }
+
+  test("law: length buckets conserve docs and tokens; bucket bounds its members") {
+    import graft.llm.Packing
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed * 13)
+      val docs = (1 to 40).map(i => (i.toLong, rng.nextInt(600).toLong))
+        .toDF("doc_id", "n")
+      val nonzero = docs.filter(col("n") > 0)
+      val out = Packing.lengthBuckets(docs, "doc_id", col("n"), batch = 8)
+        .collect()
+      assert(out.map(_.getLong(1)).sum === nonzero.count())
+      assert(out.map(_.getLong(3)).sum ===
+        nonzero.agg(sum(col("n"))).head().getLong(0))
+      out.foreach { r =>
+        val (bucket, nDocs, nBatches, total, slots, waste) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))
+        assert((bucket & (bucket - 1)) === 0L, s"bucket $bucket not a pow2")
+        assert(nBatches === (nDocs + 7) / 8)
+        assert(slots === nDocs * bucket && waste === slots - total)
+        // every member fits: total > n_docs * bucket/2 (else a smaller
+        // bucket would hold someone) and total <= slots
+        assert(total <= slots)
+        if (bucket > 1) assert(total > slots / 2)
+      }
+    }
+  }
 }
