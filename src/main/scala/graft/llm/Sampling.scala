@@ -85,6 +85,28 @@ object Sampling {
       .withColumnRenamed("__rn", "rank").drop("__N", "__sk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * every row draws the exponential key `-ln(u)/w` from a DETERMINISTIC
+    * uniform u (24-bit md5 bucket, shifted by +0.5 so u is never 0) and
+    * the n smallest keys win — inclusion probability proportional to `w`
+    * without replacement, reproducible anywhere. The top-n is
+    * TakeOrdered (per-partition heaps + one k-row merge), never a global
+    * sort; keys round to 8 dp (ties then break on id) so an external
+    * engine replays the exact draw. */
+  def weightedSample(df: DataFrame, id: String, weight: Column,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col(id).cast("string"),
+      lit("#wsample"))), 1, 6), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(16777216.0)
+    val key = round(-log(u) / weight, 8)
+    val top = df.withColumn("__key", key)
+      .orderBy(col("__key"), col(id)).limit(n)
+    val w = Window.orderBy(col("__key"), col(id))
+    top.withColumn("draw_rank", row_number().over(w))
+      .withColumnRenamed("__key", "es_key")
+  }
+
   /** Source mixing with fractional epochs (the data-mixture step of a
     * pretraining pipeline: weight 2.5 on wiki = every wiki doc appears
     * 2-3 times, deterministically). A weight of `wBp` basis points yields

@@ -804,6 +804,15 @@ object QueriesLLM {
       Retrieval.ndcgAtK(ranked, rels, "doc_id", "rk", "label", k = 10)
     }),
 
+    // Efraimidis–Spirakis weighted sample: 50 docs drawn without
+    // replacement with inclusion odds ∝ n_chars, from deterministic
+    // md5 uniforms — the length-weighted curation draw as a query
+    "q267_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), n = 50)
+        .select(col("doc_id"), col("n_chars"), col("es_key"),
+          col("draw_rank"))),
+
     // per-source bigram diversity (distinct/total word 2-grams, exact
     // ppm) — the self-repetition data-card metric
     "q265_ngram_diversity" -> ((s, dir) =>
@@ -2549,6 +2558,22 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // weighted-sample replay: q144's md5→int fold builds the 24-bit
+    // uniform; same -ln(u)/w key at 8 dp, same (key, id) top-50
+    "q267_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+           list_reduce(list_transform(
+               string_split(substr(md5(CAST(doc_id AS VARCHAR) || '#wsample'),
+                 1, 6), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h24
+         FROM documents),
+         k AS (SELECT doc_id, n_chars,
+             round(-ln((h24 + 0.5) / 16777216.0) / n_chars, 8) AS es_key
+           FROM h)
+         SELECT doc_id, n_chars, es_key,
+           row_number() OVER (ORDER BY es_key, doc_id) AS draw_rank
+         FROM k ORDER BY es_key, doc_id LIMIT 50""",
     // bigram-diversity replay: q52's gram construction per source
     "q265_ngram_diversity" ->
       """WITH t AS (SELECT source,

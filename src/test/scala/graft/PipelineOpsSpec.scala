@@ -594,6 +594,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(("sa", "sc")) && !out.contains(("sb", "sc")))
   }
 
+  test("weighted sample: deterministic, exact-n, heavy rows dominate") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("w", when(col("id") <= 100, 1000.0).otherwise(1.0))
+    val out = Sampling.weightedSample(df, "id", col("w"), n = 50).collect()
+    assert(out.length === 50)
+    assert(out.map(_.getInt(3)).sorted.toSeq === (1 to 50))
+    // 100 heavy rows carry ~99% of the total weight: essentially the
+    // whole sample should be heavy (binomial tail makes <40 impossible)
+    val heavy = out.count(_.getLong(0) <= 100L)
+    assert(heavy >= 40, s"only $heavy/50 heavy rows sampled")
+    // reproducible draw: a second invocation returns the identical set
+    val again = Sampling.weightedSample(df, "id", col("w"), n = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getLong(0)).toSet)
+  }
+
   test("balanced downsample caps every cluster at the smallest's size") {
     val assigned = Seq(
       (1L, 0, 0.1), (2L, 0, 0.3), (3L, 0, 0.2),   // cluster 0: 3 rows

@@ -159,4 +159,34 @@ class PlanSpec extends SparkSpec {
     assert(hashJoins.nonEmpty,
       s"no cell-key equi-join found:\n${p.take(1200)}")
   }
+
+  test("word entropy: wordcount topology with partial aggs, no window") {
+    val p = plan("q259_word_entropy")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final agg:\n${p.take(800)}")
+    assert(!p.contains("Window "), "entropy must not use a window")
+  }
+
+  test("query likelihood: top-k is TakeOrdered; term/stats sides broadcast") {
+    val p = plan("q263_query_likelihood")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cluster balance: rank window partitioned by cluster, cap broadcast") {
+    val p = plan("q262_cluster_balance")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("cluster")),
+      s"rank window must be per-cluster:\n${winLines.mkString("\n")}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("top-ngram mass: modal window is per-doc; grams never shuffle twice") {
+    val p = plan("q266_top_ngram_mass")
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      s"modal-gram window must be per-doc:\n${winLines.mkString("\n")}")
+  }
 }

@@ -44,7 +44,9 @@ class ScaleAuditSpec extends SparkSpec {
       "rank ordinal over the k-row TakeOrdered result (q243 contract)",
     "q264_ndcg" ->
       ("ideal-ranking ordinal over a k-row TakeOrdered result; both DCG " +
-        "sums aggregate <= k rows"))
+        "sums aggregate <= k rows"),
+    "q267_weighted_sample" ->
+      "draw ordinal over the n-row TakeOrdered winners (q243 contract)")
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
