@@ -255,6 +255,19 @@ object QueriesStreaming {
         StreamOps.runToCompletion(s, out,
           s"stream_lsh_${System.nanoTime}", availableNow = true)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming exact heavy hitters: hourly tumbling counts per
+    // event_type maintained as watermarked streaming state, top-3 per
+    // window elected over the result table (ties by type)
+    "q268_stream_topk" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try StreamOps.windowedTopK(s, StreamOps.eventsStream(s, dir),
+        windowDur = "1 hour", watermark = "10 minutes",
+        key = "event_type", k = 3,
+        name = s"stream_topk_${System.nanoTime}")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
@@ -433,6 +446,14 @@ object QueriesStreaming {
            CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
          FROM co JOIN sz sa ON co.sd = sa.doc_id
            JOIN sz sb ON co.ref_id = sb.doc_id
-         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9"""
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9""",
+    // heavy-hitters replay: q63's hourly counts + per-window rank
+    "q268_stream_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS w_start, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY w_start
+             ORDER BY n DESC, event_type) AS rk FROM c)
+         SELECT w_start, event_type, n, rk FROM rk WHERE rk <= 3"""
   )
 }

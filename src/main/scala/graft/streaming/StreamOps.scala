@@ -116,6 +116,28 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming per-window top-k (exact heavy hitters): the COUNTS run as
+    * a watermarked tumbling-window streaming aggregation — the state
+    * Spark maintains and evicts per watermark — and the k-per-window
+    * election runs over the maintained result table (the serve-side read
+    * of continuously updated state; a rank over a streaming agg is not
+    * executable inside the same streaming query). The election window is
+    * partitioned by window start and bounded by the key cardinality;
+    * ties break on the key so the ranking is deterministic. */
+  def windowedTopK(spark: SparkSession, events: DataFrame,
+                   windowDur: String, watermark: String, key: String,
+                   k: Int, name: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(key), col("n"))
+    val mat = runToCompletion(spark, counts, name)
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col(key))
+    mat.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Streaming curation keep-first dedup, WATERMARK-BOUNDED by default:
     * the dedup key is scoped to a tumbling event-time window (the q99
     * shape), so in a continuous deployment (update/append mode) state for

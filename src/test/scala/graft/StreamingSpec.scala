@@ -176,4 +176,33 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() === 0L,
       "multi-batch streaming aggregate diverged from the batch result")
   }
+
+  test("windowed top-k equals the batch election; ranks bounded by k") {
+    val out = StreamOps.windowedTopK(spark,
+      StreamOps.eventsStream(spark, sf), "1 hour", "10 minutes",
+      "event_type", k = 2, s"topk_${System.nanoTime}")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 2))
+    // per window: counts non-increasing with rank, ties broken by key asc
+    rows.groupBy(_.getTimestamp(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(3))
+      byRank.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        val (na, nb) = (a.getLong(2), b.getLong(2))
+        assert(na > nb || (na == nb && a.getString(1) < b.getString(1)))
+      }
+    }
+    // the elected rows match the batch group-count top-2 exactly
+    val batch = graft.io.Tables.events(spark, sf)
+      .groupBy(date_trunc("HOUR", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    val expect = batch.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+    assert(out.exceptAll(expect).count() === 0L &&
+      expect.exceptAll(out).count() === 0L)
+  }
 }
