@@ -804,6 +804,38 @@ object QueriesLLM {
       Retrieval.ndcgAtK(ranked, rels, "doc_id", "rk", "label", k = 10)
     }),
 
+    // ANN recall@10 eval: the IVF (8 cells, nprobe=1) top-10 judged
+    // against the brute-force cosine top-10 per probe — the index-quality
+    // metric of the ANN family as a query (next to q264's NDCG)
+    "q269_ann_recall" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val probesB = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val truth = Similarity.bruteForceTopK(corpus, probesB, "vec_id",
+        "probe_id", "embedding", k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = graft.util.QueryCache.persist(Similarity.ivfAssign(
+        corpus, centroids, "vec_id", "embedding", "cell_id", "cell_vec"))
+      val probesI = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"),
+          col("cell_id"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val approx = assigned.join(probesI, "cell_id")
+        .withColumn("cosine",
+          Similarity.cosineFast(col("embedding"), col("__pv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("__hit"))
+      truth.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+        .select(col("probe_id"), col("n_hits"),
+          expr("n_hits * 1000000 div 10").as("recall_ppm"))
+    }),
+
     // Efraimidis–Spirakis weighted sample: 50 docs drawn without
     // replacement with inclusion odds ∝ n_chars, from deterministic
     // md5 uniforms — the length-weighted curation draw as a query
@@ -2558,6 +2590,76 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // ANN-recall replay: the q54 brute-force chain (rk<=10) as truth,
+    // the q54c IVF chain (rk<=10) as approx, then the per-probe hit rate
+    "q269_ann_recall" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p),
+         truth AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT d.probe_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE rk <= 10),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
+         assign AS (
+           SELECT vec_id, cell_id FROM (
+             SELECT d.vec_id, d.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+             FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms nc ON d.cell_id = nc.vec_id)
+           WHERE rk = 1),
+         cand AS (
+           SELECT p.vec_id AS probe_id, v.vec_id
+           FROM (SELECT * FROM assign WHERE vec_id < 5) p
+           JOIN assign v ON v.cell_id = p.cell_id),
+         pd AS (
+           SELECT ca.probe_id, ca.vec_id,
+             list_reduce(list_transform(
+               generate_series(1, len(ve.embedding)),
+               i -> CAST(ve.embedding[i] AS DOUBLE) * CAST(pe.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM cand ca
+           JOIN embeddings ve ON ve.vec_id = ca.vec_id
+           JOIN embeddings pe ON pe.vec_id = ca.probe_id),
+         approx AS (
+           SELECT probe_id, vec_id FROM (
+             SELECT d.probe_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nv.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE rk <= 10)
+         SELECT t.probe_id,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           (CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // 10 AS recall_ppm
+         FROM truth t LEFT JOIN approx a
+           ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+         GROUP BY 1""",
     // weighted-sample replay: q144's md5→int fold builds the 24-bit
     // uniform; same -ln(u)/w key at 8 dp, same (key, id) top-50
     "q267_weighted_sample" ->

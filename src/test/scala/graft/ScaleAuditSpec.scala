@@ -109,6 +109,9 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 1-row tertile-threshold aggregate",
     "q262_cluster_balance" ->
       "explicit broadcast of the 1-row min-cluster-size aggregate",
+    "q269_ann_recall" -> ("explicit broadcasts of the 5-probe side (the " +
+      "q54 truth contract) and the 8-centroid table (q54c); the approx " +
+      "candidate stage is a cell-key equi-join"),
     "q263_query_likelihood" -> ("broadcasts of the literal 3-term table, " +
       "the 1-row |C| aggregate, and the term-cf table (3 rows) onto the " +
       "matched-doc grid"),
