@@ -126,10 +126,14 @@ object Cluster {
                          cluster: String = "cluster",
                          d2: String = "d2"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sizes = assigned.groupBy(col(cluster)).agg(count(lit(1)).as("__n"))
+    // persist: the cap aggregate and the ranked scan both consume the
+    // assignment — unpersisted, an upstream kmeans assign() projection
+    // would run twice (callers clearCache() per query)
+    val a = graft.util.QueryCache.persist(assigned)
+    val sizes = a.groupBy(col(cluster)).agg(count(lit(1)).as("__n"))
     val cap = sizes.agg(min(col("__n")).as("__cap"))
     val w = Window.partitionBy(col(cluster)).orderBy(col(d2), col(id))
-    assigned
+    a
       .withColumn("rk", row_number().over(w))
       .crossJoin(broadcast(cap))
       .select(col(id), col(cluster), col("rk"),

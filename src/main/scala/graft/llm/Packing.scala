@@ -190,6 +190,11 @@ object Packing {
     * Pure scan-stage bucket assignment + one hash agg on the bucket key
     * (a handful of groups) — the same plan at any corpus size.
     *
+    * The `n_tokens > 0` guard applies to the COUNT the caller supplies:
+    * note that a whitespace-tokenized empty string still counts 1 (the
+    * split yields [""]), so blank docs land in bucket 1 unless the
+    * caller pre-filters them.
+    *
     * ceil(log2(n)) is safe in IEEE double for the n here: log2 of a
     * power of two is exact, and elsewhere log2(n) is irrational with the
     * nearest integer more than an ulp away, so ceil never mis-rounds. */

@@ -88,8 +88,11 @@ object Retrieval {
     * LEFT-joining tf. Only docs containing ≥1 query term rank (the
     * inverted-index pruning contract: a no-match doc's score is the
     * background-only value and cannot enter a top-k among matches).
-    * Per-term logs round to 8 dp and combine in fixed term order, so an
-    * external engine replays the ranking bit-for-bit. */
+    * A term ABSENT from the whole corpus has no collection model and is
+    * ignored — contributes 0 to every doc, Lucene's OOV contract — rather
+    * than nulling the score sum. Per-term logs round to 8 dp and combine
+    * in fixed term order, so an external engine replays the ranking
+    * bit-for-bit. */
   def queryLikelihoodTopK(corpus: DataFrame, id: String, text: String,
                           terms: Seq[String], k: Int,
                           mu: Double = 300.0): DataFrame = {
@@ -125,7 +128,11 @@ object Retrieval {
       terms.indices.tail.map { i =>
         max(when(col("__ord") === i, col("c"))).as(s"__t$i")
       }: _*)
-    val score = terms.indices.map(i => col(s"__t$i")).reduceLeft(_ + _)
+    // __ti is NULL iff term i is corpus-OOV (the cf inner join dropped
+    // its grid rows); coalesce ignores it instead of nulling the sum
+    val score = terms.indices
+      .map(i => coalesce(col(s"__t$i"), lit(0.0)))
+      .reduceLeft(_ + _)
     val top = perTerm.withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col(id)).limit(k)
     val w = Window.orderBy(col("score").desc, col(id))
@@ -139,7 +146,9 @@ object Retrieval {
     * relevance table (rel desc, id asc — deterministic ties) and takes
     * its top k. Each gain term rounds to 8 dp and sums on the decimal
     * grid, so both sums are order-independent and replayable; a ranked
-    * id with no label row contributes rel = 0. Returns ONE row
+    * id with no label row contributes rel = 0, and duplicate label rows
+    * for one id collapse to their MAX (a multi-assessor judgment table
+    * must not fan the join out and double-count a gain). Returns ONE row
     * (k, dcg, idcg, ndcg). */
   def ndcgAtK(ranked: DataFrame, rels: DataFrame, id: String,
               rank: String, rel: String, k: Int): DataFrame = {
@@ -147,11 +156,12 @@ object Retrieval {
     def gain(relC: Column, rankC: Column): Column = round(
       (pow(lit(2.0), relC.cast("double")) - lit(1.0)) /
         log2(rankC.cast("double") + lit(1.0)), 8)
+    val relsU = rels.groupBy(col(id)).agg(max(col(rel)).as(rel))
     val dcg = ranked.filter(col(rank) <= k)
-      .join(rels.select(col(id), col(rel)), Seq(id), "left")
+      .join(relsU, Seq(id), "left")
       .agg(sum(gain(coalesce(col(rel), lit(0)), col(rank))
         .cast(DecimalType(30, 8))).as("__dcg"))
-    val ideal = rels.orderBy(col(rel).desc, col(id)).limit(k)
+    val ideal = relsU.orderBy(col(rel).desc, col(id)).limit(k)
     val wI = Window.orderBy(col(rel).desc, col(id))
     val idcg = ideal.withColumn("__irk", row_number().over(wI))
       .agg(sum(gain(col(rel), col("__irk"))

@@ -92,7 +92,10 @@ object Sampling {
     * without replacement, reproducible anywhere. The top-n is
     * TakeOrdered (per-partition heaps + one k-row merge), never a global
     * sort; keys round to 8 dp (ties then break on id) so an external
-    * engine replays the exact draw. */
+    * engine replays the exact draw. Rows with non-positive weight have
+    * no well-defined inclusion odds and are EXCLUDED from the draw (a
+    * negative weight would otherwise produce a negative key that
+    * deterministically wins). */
   def weightedSample(df: DataFrame, id: String, weight: Column,
                      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -100,7 +103,8 @@ object Sampling {
       lit("#wsample"))), 1, 6), 16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(16777216.0)
     val key = round(-log(u) / weight, 8)
-    val top = df.withColumn("__key", key)
+    val top = df.filter(weight > 0)
+      .withColumn("__key", key)
       .orderBy(col("__key"), col(id)).limit(n)
     val w = Window.orderBy(col("__key"), col(id))
     top.withColumn("draw_rank", row_number().over(w))

@@ -132,6 +132,24 @@ object Similarity {
       .select(col(probeId), col(vec), col(cellId))
   }
 
+  /** The shared IVF search tail (q54c / q157 / the ANN-recall eval):
+    * candidates = corpus rows sharing a cell with the probe (`probes`
+    * carries `probeId`, the probe vector as `__pv`, and `cellId` —
+    * either its own assignment or an [[ivfProbeCells]] multi-probe
+    * expansion), ranked by exact cosine within the per-probe group.
+    * Returns (probeId, rk, id, cosine). */
+  def ivfCandidateTopK(assigned: DataFrame, probes: DataFrame,
+                       id: String, vec: String, probeId: String,
+                       cellId: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("cosine").desc, col(id))
+    assigned.join(probes, cellId)
+      .withColumn("cosine", cosineFast(col(vec), col("__pv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(probeId), col("rk"), col(id), col("cosine"))
+  }
+
   /** IVF-style coarse index: centroid per cell (provided), assign corpus
     * rows to nearest centroid once, probe only the nearest `nprobe` cells. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,

@@ -167,13 +167,8 @@ object QueriesLLM {
       val probes = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"),
           col("cell_id"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(probes, "cell_id")
-        .withColumn("cosine", Similarity.cosineFast(col("embedding"), col("__pv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
+      Similarity.ivfCandidateTopK(assigned, probes, "vec_id", "embedding",
+        "probe_id", "cell_id", k = 3)
     }),
 
     // IVF with nprobe=2: each probe scans its two nearest cells — the
@@ -189,14 +184,8 @@ object QueriesLLM {
         corpus.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("__pv")),
         centroids, "probe_id", "__pv", "cell_id", "cell_vec", nprobe = 2)
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(probes, "cell_id")
-        .withColumn("cosine",
-          Similarity.cosineFast(col("embedding"), col("__pv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("probe_id"), col("rk"), col("vec_id"), col("cosine"))
+      Similarity.ivfCandidateTopK(assigned, probes, "vec_id", "embedding",
+        "probe_id", "cell_id", k = 3)
     }),
 
     // vocabulary build: per-source token frequencies, top-10. The classic
@@ -821,13 +810,8 @@ object QueriesLLM {
       val probesI = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("__pv"),
           col("cell_id"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val approx = assigned.join(probesI, "cell_id")
-        .withColumn("cosine",
-          Similarity.cosineFast(col("embedding"), col("__pv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
+      val approx = Similarity.ivfCandidateTopK(assigned, probesI, "vec_id",
+        "embedding", "probe_id", "cell_id", k = 10)
         .select(col("probe_id"), col("vec_id"), lit(1).as("__hit"))
       truth.join(approx, Seq("probe_id", "vec_id"), "left")
         .groupBy(col("probe_id"))
@@ -2730,9 +2714,10 @@ object QueriesLLM {
            JOIN dl ON dl.doc_id = g.doc_id
            CROSS JOIN tot),
          score AS (SELECT doc_id,
-             round(max(CASE WHEN ord = 0 THEN c END) +
-                   max(CASE WHEN ord = 1 THEN c END) +
-                   max(CASE WHEN ord = 2 THEN c END), 6) AS score
+             round(COALESCE(max(CASE WHEN ord = 0 THEN c END), 0.0) +
+                   COALESCE(max(CASE WHEN ord = 1 THEN c END), 0.0) +
+                   COALESCE(max(CASE WHEN ord = 2 THEN c END), 0.0), 6)
+               AS score
            FROM c GROUP BY doc_id)
          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
              AS rk, score

@@ -117,13 +117,21 @@ object StreamOps {
   }
 
   /** Streaming per-window top-k (exact heavy hitters): the COUNTS run as
-    * a watermarked tumbling-window streaming aggregation — the state
-    * Spark maintains and evicts per watermark — and the k-per-window
-    * election runs over the maintained result table (the serve-side read
-    * of continuously updated state; a rank over a streaming agg is not
-    * executable inside the same streaming query). The election window is
-    * partitioned by window start and bounded by the key cardinality;
-    * ties break on the key so the ranking is deterministic. */
+    * a watermarked tumbling-window streaming aggregation; the
+    * k-per-window election runs over the result table (a rank over a
+    * streaming agg is not executable inside the same streaming query).
+    * The election window is partitioned by window start and bounded by
+    * the key cardinality; ties break on the key so the ranking is
+    * deterministic.
+    *
+    * State contract, honestly: this runs the finite source in COMPLETE
+    * output mode, where Spark retains every window's count row (the
+    * watermark does NOT evict) and the memory sink holds the full
+    * history — correct and convenient for the run-to-completion oracle,
+    * but NOT the continuous deployment shape. A long-running deployment
+    * would use update mode + a sink that upserts per window, where the
+    * declared watermark does bound the state store; the aggregation
+    * topology (and this election) is unchanged. */
   def windowedTopK(spark: SparkSession, events: DataFrame,
                    windowDur: String, watermark: String, key: String,
                    k: Int, name: String): DataFrame = {
@@ -132,7 +140,7 @@ object StreamOps {
       .groupBy(window(col("ts"), windowDur), col(key))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col(key), col("n"))
-    val mat = runToCompletion(spark, counts, name)
+    val mat = runToCompletion(spark, counts, name, availableNow = true)
     val w = Window.partitionBy(col("w_start"))
       .orderBy(col("n").desc, col(key))
     mat.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

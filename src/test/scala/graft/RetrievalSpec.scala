@@ -205,6 +205,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L)._1 === 1 && out(3L)._1 === 3)
   }
 
+  test("query likelihood: a corpus-OOV term is ignored, not score-nulling") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark merge"), (2L, "spark x")).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      terms = Seq("spark", "zzznotincorpus"), k = 10, mu = 10.0)
+      .collect()
+    assert(out.length === 2)
+    // scores are finite non-null: the OOV term contributed exactly 0
+    out.foreach(r => assert(!r.isNullAt(2) && !r.getDouble(2).isNaN))
+    val only = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      terms = Seq("spark"), k = 10, mu = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(r.getDouble(2) === only(r.getLong(0))))
+  }
+
+  test("ndcg: duplicate judgment rows collapse to max, never double-count") {
+    import spark.implicits._
+    val dupRels = Seq((10L, 3), (10L, 1), (11L, 2)).toDF("id", "rel")
+    val ranked = Seq((10L, 1), (11L, 2)).toDF("id", "rk")
+    val r = Retrieval.ndcgAtK(ranked, dupRels, "id", "rk", "rel", k = 2)
+      .head()
+    // with dedup-to-max this ranking is ideal -> ndcg exactly 1
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getDouble(1) === r.getDouble(2))
+  }
+
   test("ndcg: perfect ranking scores 1, reversed ranking scores less") {
     import spark.implicits._
     val rels = Seq((10L, 3), (11L, 2), (12L, 0)).toDF("id", "rel")
