@@ -1075,7 +1075,15 @@ object QueriesMore {
       a.join(broadcast(b), "k").join(broadcast(c), "j")
         .groupBy("i")
         .agg(sum(col("va") * col("vb") * col("vc")).cast("double").as("dot3"))
-    })
+    }),
+
+    // ordered funnel view → click → purchase: per user the earliest
+    // in-order completion of each stage prefix (strictly-after contract);
+    // |stages| conditional-min hash aggs chained on the user key — no
+    // window, no per-user sort, timestamps compare exactly
+    "q270_funnel" -> ((s, dir) =>
+      graft.window.Funnel.ordered(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2000,6 +2008,22 @@ object QueriesMore {
              FROM customer GROUP BY 1)
          SELECT i, CAST(sum(va * vb * vc) AS DOUBLE) AS dot3
          FROM a JOIN b USING (k) JOIN c USING (j)
-         GROUP BY i"""
+         GROUP BY i""",
+    // funnel replay: the same chained conditional-min prefix tables
+    "q270_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           GROUP BY 1)
+         SELECT s1.user_id, t_view, t_click, t_purchase,
+           1 + CAST(t_click IS NOT NULL AS INT)
+             + CAST(t_purchase IS NOT NULL AS INT) AS stages_reached
+         FROM s1 LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)"""
   )
 }
