@@ -1083,7 +1083,19 @@ object QueriesMore {
     // window, no per-user sort, timestamps compare exactly
     "q270_funnel" -> ((s, dir) =>
       graft.window.Funnel.ordered(Tables.events(s, dir), "user_id", "ts",
-        "event_type", Seq("view", "click", "purchase")))
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // batch gap sessionization (30-min gap): gaps-and-islands fold per
+    // user, session stats — all timestamp/integer arithmetic
+    "q271_sessions" -> ((s, dir) =>
+      graft.window.Sessions.stats(Tables.events(s, dir), "user_id", "ts",
+        gapSec = 1800)),
+
+    // weekly cohort retention anchored on the first signup: exact-ppm
+    // shares, pre-anchor activity excluded
+    "q272_cohort_retention" -> ((s, dir) =>
+      graft.window.Cohort.weeklyRetention(Tables.events(s, dir),
+        "user_id", "ts", "event_type", anchor = "signup"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2024,6 +2036,40 @@ object QueriesMore {
            1 + CAST(t_click IS NOT NULL AS INT)
              + CAST(t_purchase IS NOT NULL AS INT) AS stages_reached
          FROM s1 LEFT JOIN s2 USING (user_id)
-         LEFT JOIN s3 USING (user_id)"""
+         LEFT JOIN s3 USING (user_id)""",
+    // sessionization replay: same lag flag + running sum + per-session
+    // stats; tie-order inside a user is irrelevant (equal timestamps
+    // produce the same flags and session ids either way)
+    "q271_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts)) > 1800000000
+               THEN 1 ELSE 0 END AS nw
+           FROM events),
+         s AS (SELECT user_id, ts,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+           FROM o)
+         SELECT user_id, session_seq, min(ts) AS t_start,
+           max(ts) AS t_end, count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_sec
+         FROM s GROUP BY 1, 2""",
+    // cohort replay: first-signup day cohorts, distinct active weeks,
+    // exact-ppm share
+    "q272_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         sz AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+               AS week_offset
+           FROM events e JOIN f USING (user_id)
+           WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) >= 0),
+         c AS (SELECT cohort_day, week_offset, count(*) AS n_active
+           FROM a GROUP BY 1, 2)
+         SELECT c.cohort_day, c.week_offset, n_cohort, n_active,
+           (n_active * 1000000) // n_cohort AS retained_ppm
+         FROM c JOIN sz USING (cohort_day)"""
   )
 }

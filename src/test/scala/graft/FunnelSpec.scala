@@ -44,4 +44,35 @@ class FunnelSpec extends SparkSpec {
     assert(r.getTimestamp(3).getTime === 16000L)
     assert(r.getInt(4) === 3)
   }
+
+  test("sessions: gap boundary is strict (exactly gap stays together)") {
+    import graft.window.Sessions
+    val events = ev(
+      (1L, 0L, "view"), (1L, 30L, "view"),   // 30s = gap: same session
+      (1L, 61L, "view"),                     // 31s > gap: new session
+      (2L, 0L, "view"))
+    val out = Sessions.stats(events, "user_id", "ts", gapSec = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 1L)) === ((2L, 30L)))   // 2 events, 30s duration
+    assert(out((1L, 2L)) === ((1L, 0L)))
+    assert(out((2L, 1L)) === ((1L, 0L)))
+  }
+
+  test("cohort: pre-anchor activity excluded; week 0 retention is 1e6 ppm") {
+    import graft.window.Cohort
+    val day = 86400L
+    val events = ev(
+      (1L, 0L, "signup"), (1L, 8 * day, "click"),       // week 1 active
+      (2L, 0L, "signup"),                               // week 0 only
+      (2L, -3 * day, "click"),                          // pre-anchor: ignored
+      (3L, 1L * day, "click"))                          // never signed up
+    val out = Cohort.weeklyRetention(events, "user_id", "ts",
+      "event_type", "signup")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("1970-01-01", 0L)) === ((2L, 2L, 1000000L)))
+    assert(out(("1970-01-01", 1L)) === ((2L, 1L, 500000L)))
+    assert(out.size === 2) // no negative weeks, no cohortless user rows
+  }
 }
