@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link analysis — fixed-iteration PageRank, the domain/document
+  * authority signal of web-scale curation stacks (CommonCrawl-style
+  * domain ranking feeding quality weights). Purely declarative: one
+  * equi-join + hash agg per iteration (the mass-passing shuffle), the
+  * node universe LEFT-joined back so sinks keep their teleport mass;
+  * no driver state beyond the node count.
+  *
+  * Determinism / portability: ranks are FIXED-POINT integers at scale
+  * 1e12 and every step is integer arithmetic — floor division for the
+  * per-edge share (`rank div outdeg`), an exact decimal sum for the
+  * in-mass, and the damped update as `base + (17·sum) div 20`
+  * (0.85 = 17/20 exactly). No float rounding convention exists to
+  * diverge between engines, so an external SQL engine replays every
+  * iteration bit-for-bit. Floor-division remainders (< outdeg units of
+  * 1e-12 per node per iteration) leak like dangling mass does — the
+  * ORDERING, which is what curation consumes, is standard PageRank.
+  *
+  * Simplification, documented: dangling-node mass is NOT redistributed
+  * (out-degree-0 rank leaks); ranks then sum to < 1.
+  */
+object LinkAnalysis {
+
+  /** Fixed-point scale: rank 1.0 == 1e12. */
+  val Scale = 1000000000000L
+
+  /** @param nodes rank universe (one row per id; ids absent from every
+    *              edge still receive the teleport term)
+    * @param edges directed multi-edges (parallel edges act as weight)
+    * @param damp  damping as an exact rational `dampNum/dampDen`
+    *              (default 17/20 = 0.85)
+    * @return (id, rank_e12) after `iters` damped iterations from the
+    *         uniform start `Scale div N`. */
+  def pagerank(nodes: DataFrame, edges: DataFrame, id: String,
+               src: String, dst: String, iters: Int,
+               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping $dampNum/$dampDen must be in (0, 1)")
+    val nd = graft.util.QueryCache.persist(nodes.select(col(id)).distinct())
+    val e = graft.util.QueryCache.persist(
+      edges.select(col(src).as("__s"), col(dst).as("__d")))
+    val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
+    val n = nd.count() // bounded driver state: one long
+    // teleport term (1-d)/N at the fixed-point grid, floor
+    val baseFp = (Scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nd.select(col(id), lit(Scale / n).as("rank_e12"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(r.select(col(id).as("__s"), col("rank_e12").as("__r")), "__s")
+        .join(outdeg, "__s")
+        .select(col("__d"), expr("__r div __deg").as("__c"))
+        .groupBy(col("__d"))
+        // decimal sum: overflow-safe at any in-degree; the cast back to
+        // long is ANSI-checked (loud, never silent) and exact until 2^63
+        .agg(sum(col("__c").cast(DecimalType(38, 0)))
+          .cast("long").as("__sum"))
+      r = nd.join(contribs.select(col("__d").as(id), col("__sum")),
+          Seq(id), "left")
+        .select(col(id),
+          (lit(baseFp) +
+            expr(s"($dampNum * coalesce(__sum, 0L)) div $dampDen"))
+            .as("rank_e12"))
+    }
+    r
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -791,6 +791,21 @@ object QueriesLLM {
       val rels = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("label"))
       Retrieval.ndcgAtK(ranked, rels, "doc_id", "rk", "label", k = 10)
+    }),
+
+    // fixed-iteration PageRank over the part co-purchase graph (parts
+    // sharing an order, directed both ways, parallel edges = weight) —
+    // the link-analysis authority signal of web-curation stacks; 3
+    // damped iterations in 1e12 fixed-point integer arithmetic (floor
+    // shares, 17/20 damping), replayed exactly in SQL
+    "q273_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val nodes = Tables.part(s, dir).select(col("p_partkey").as("part"))
+      LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
     // ANN recall@10 eval: the IVF (8 cells, nprobe=1) top-10 judged
@@ -2574,6 +2589,45 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // PageRank replay: all 3 iterations chained in the same 1e12
+    // fixed-point integer arithmetic (// is floor division — all values
+    // positive, so it equals Spark's div), LEFT-joined node universe
+    "q273_pagerank" ->
+      """WITH e AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+           FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+         nd AS (SELECT p_partkey AS part FROM part),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             1000000000000 // CAST(count(*) AS BIGINT) AS r0fp,
+             (1000000000000 * 3) // (20 * CAST(count(*) AS BIGINT))
+               AS basefp
+           FROM nd),
+         deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT part, nn.r0fp AS rank_e12 FROM nd CROSS JOIN nn),
+         c1 AS (SELECT e.d AS part,
+             CAST(CAST(sum(CAST(r0.rank_e12 // deg.deg AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS BIGINT) AS s
+           FROM e JOIN r0 ON r0.part = e.s JOIN deg ON deg.s = e.s
+           GROUP BY 1),
+         r1 AS (SELECT nd.part,
+             nn.basefp + (17 * COALESCE(c1.s, 0)) // 20 AS rank_e12
+           FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.part = nd.part),
+         c2 AS (SELECT e.d AS part,
+             CAST(CAST(sum(CAST(r1.rank_e12 // deg.deg AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS BIGINT) AS s
+           FROM e JOIN r1 ON r1.part = e.s JOIN deg ON deg.s = e.s
+           GROUP BY 1),
+         r2 AS (SELECT nd.part,
+             nn.basefp + (17 * COALESCE(c2.s, 0)) // 20 AS rank_e12
+           FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.part = nd.part),
+         c3 AS (SELECT e.d AS part,
+             CAST(CAST(sum(CAST(r2.rank_e12 // deg.deg AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS BIGINT) AS s
+           FROM e JOIN r2 ON r2.part = e.s JOIN deg ON deg.s = e.s
+           GROUP BY 1)
+         SELECT nd.part,
+           nn.basefp + (17 * COALESCE(c3.s, 0)) // 20 AS rank_e12
+         FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.part = nd.part""",
     // ANN-recall replay: the q54 brute-force chain (rk<=10) as truth,
     // the q54c IVF chain (rk<=10) as approx, then the per-probe hit rate
     "q269_ann_recall" ->

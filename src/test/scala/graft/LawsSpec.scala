@@ -322,6 +322,41 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: sessions partition the event log; funnel times are minimal") {
+    import graft.window.{Funnel, Sessions}
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed * 7)
+      val types = Vector("view", "click", "purchase")
+      val rows = (1 to 120).map { i =>
+        (rng.nextInt(5).toLong, rng.nextInt(5000).toLong,
+          types(rng.nextInt(3)))
+      }
+      val events = rows.toDF("user_id", "t", "event_type")
+        .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+          col("event_type"))
+      // conservation: session event counts partition each user's events
+      val sess = Sessions.stats(events, "user_id", "ts", gapSec = 300)
+        .groupBy("user_id").agg(sum(col("n_events")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perUser = events.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sess === perUser)
+      // funnel: t_view is each entrant's global minimum view time, and
+      // stage times are strictly increasing where present
+      val f = Funnel.ordered(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).collect()
+      val minView = events.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      f.foreach { r =>
+        assert(r.getTimestamp(1) === minView(r.getLong(0)))
+        if (!r.isNullAt(2)) assert(r.getTimestamp(2).after(r.getTimestamp(1)))
+        if (!r.isNullAt(3)) assert(r.getTimestamp(3).after(r.getTimestamp(2)))
+      }
+      assert(f.length === minView.size)
+    }
+  }
+
   test("law: length buckets conserve docs and tokens; bucket bounds its members") {
     import graft.llm.Packing
     (1 to 3).foreach { seed =>

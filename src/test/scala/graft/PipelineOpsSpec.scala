@@ -594,6 +594,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(("sa", "sc")) && !out.contains(("sb", "sc")))
   }
 
+  test("pagerank: hand-computed fixed-point iteration on a 3-node graph") {
+    import graft.llm.LinkAnalysis
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("s", "d")
+    val r1 = LinkAnalysis.pagerank(nodes, edges, "id", "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0 = 1e12 div 3 = 333333333333; base = 3e12 div 60 = 50000000000
+    // node 1 <- node 2's full rank: 5e10 + (17*333333333333) div 20
+    assert(r1(1L) === 50000000000L + (17L * 333333333333L) / 20L)
+    // nodes 2,3 <- half of node 1's rank (deg 2, floor)
+    val half = 333333333333L / 2
+    assert(r1(2L) === 50000000000L + (17L * half) / 20L)
+    assert(r1(3L) === r1(2L))
+    // a node with no in-edges keeps exactly the teleport term
+    val edges2 = Seq((1L, 2L)).toDF("s", "d")
+    val r = LinkAnalysis.pagerank(nodes, edges2, "id", "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) === 50000000000L && r(3L) === 50000000000L)
+    // iters = 0 is the uniform start
+    val r0 = LinkAnalysis.pagerank(nodes, edges, "id", "s", "d", iters = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(r0 === Set(333333333333L))
+  }
+
   test("weighted sample: deterministic, exact-n, heavy rows dominate") {
     val df = (1L to 1000L).toDF("id")
       .withColumn("w", when(col("id") <= 100, 1000.0).otherwise(1.0))
