@@ -1095,7 +1095,13 @@ object QueriesMore {
     // shares, pre-anchor activity excluded
     "q272_cohort_retention" -> ((s, dir) =>
       graft.window.Cohort.weeklyRetention(Tables.events(s, dir),
-        "user_id", "ts", "event_type", anchor = "signup"))
+        "user_id", "ts", "event_type", anchor = "signup")),
+
+    // first-order Markov transition matrix of the per-user event stream
+    // (ts, event_id order): counts + exact-ppm outgoing shares
+    "q274_transitions" -> ((s, dir) =>
+      graft.window.Markov.transitions(Tables.events(s, dir), "user_id",
+        "ts", "event_type", col("event_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2070,6 +2076,19 @@ object QueriesMore {
            FROM a GROUP BY 1, 2)
          SELECT c.cohort_day, c.week_offset, n_cohort, n_active,
            (n_active * 1000000) // n_cohort AS retained_ppm
-         FROM c JOIN sz USING (cohort_day)"""
+         FROM c JOIN sz USING (cohort_day)""",
+    // transition replay: same lead order, same integer shares
+    "q274_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+           (c.n * 1000000) // t.tot AS p_ppm
+         FROM c JOIN t USING (from_type)"""
   )
 }

@@ -59,6 +59,28 @@ class FunnelSpec extends SparkSpec {
     assert(out((2L, 1L)) === ((1L, 0L)))
   }
 
+  test("transitions: counts conserve (rows - entities), shares bound 1e6") {
+    import graft.window.Markov
+    val events = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "a"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+        col("event_type"), col("t").as("event_id"))
+    val out = Markov.transitions(events, "user_id", "ts", "event_type",
+      col("event_id")).collect()
+    // 5 events over 2 users -> 3 transitions: a->b, b->a, a->a
+    assert(out.map(_.getLong(2)).sum === 3L)
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(m(("a", "b")) === ((1L, 500000L)))  // a's mass splits 1/2
+    assert(m(("a", "a")) === ((1L, 500000L)))
+    assert(m(("b", "a")) === ((1L, 1000000L)))
+    out.groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.map(_.getLong(3)).sum <= 1000000L) // floor shares
+    }
+  }
+
   test("cohort: pre-anchor activity excluded; week 0 retention is 1e6 ppm") {
     import graft.window.Cohort
     val day = 86400L
