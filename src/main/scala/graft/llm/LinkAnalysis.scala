@@ -69,4 +69,38 @@ object LinkAnalysis {
     }
     r
   }
+
+  /** Market-basket affinity ("customers who took X also took Y"): per
+    * item its top-k co-basket items ranked by exact-ppb LIFT
+    * `co·N / (n_a·n_b)` (association strength normalized by marginal
+    * popularity), ties by co-count then item id. Presence-based (an
+    * item twice in one basket counts once). The self-join runs on the
+    * basket key (equi-join, baskets are small); the ranking window is
+    * per-item and bounded by its co-item count. All integer arithmetic
+    * — bit-reproducible anywhere. */
+  def alsoTook(baskets: DataFrame, basket: String, item: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = graft.util.QueryCache.persist(
+      baskets.select(col(basket).as("__b"), col(item).as("__i")).distinct())
+    val cnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val nBaskets = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val co = bi.as("a")
+      .join(bi.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") =!= col("b.__i"))
+      .groupBy(col("a.__i").as("item"), col("b.__i").as("rec_item"))
+      .agg(count(lit(1)).as("n_co"))
+    val scored = co
+      .join(cnt.select(col("__i").as("item"), col("__n").as("__na")), "item")
+      .join(cnt.select(col("__i").as("rec_item"), col("__n").as("__nb2")),
+        "rec_item")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item"), col("rec_item"), col("n_co"),
+        expr("n_co * __nb * 1000000000 div (__na * __nb2)")
+          .as("lift_ppb"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("lift_ppb").desc, col("n_co").desc, col("rec_item"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

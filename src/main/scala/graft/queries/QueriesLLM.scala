@@ -808,6 +808,15 @@ object QueriesLLM {
       LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
+    // market-basket affinity: per part the top-3 co-ordered parts by
+    // exact-ppb lift (co·N / (n_a·n_b)) — presence-based, integer-exact
+    "q275_also_bought" -> ((s, dir) =>
+      LinkAnalysis.alsoTook(
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        "ok", "pk", k = 3)),
+
     // ANN recall@10 eval: the IVF (8 cells, nprobe=1) top-10 judged
     // against the brute-force cosine top-10 per probe — the index-quality
     // metric of the ANN family as a query (next to q264's NDCG)
@@ -2589,6 +2598,22 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // also-bought replay: same presence sets, same exact-ppb lift and
+    // (lift, co, id) tie-break
+    "q275_also_bought" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         cnt AS (SELECT i, count(*) AS n FROM bi GROUP BY 1),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbk FROM bi),
+         co AS (SELECT a.i AS item, c.i AS rec_item, count(*) AS n_co
+           FROM bi a JOIN bi c ON a.b = c.b AND a.i != c.i GROUP BY 1, 2),
+         sc AS (SELECT co.item, co.rec_item, co.n_co,
+             (co.n_co * nb.nbk * 1000000000) // (ca.n * cb.n) AS lift_ppb
+           FROM co JOIN cnt ca ON ca.i = co.item
+           JOIN cnt cb ON cb.i = co.rec_item CROSS JOIN nb),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY lift_ppb DESC, n_co DESC, rec_item) AS rk FROM sc)
+         SELECT item, rec_item, n_co, lift_ppb, rk FROM rk WHERE rk <= 3""",
     // PageRank replay: all 3 iterations chained in the same 1e12
     // fixed-point integer arithmetic (// is floor division — all values
     // positive, so it equals Spark's div), LEFT-joined node universe

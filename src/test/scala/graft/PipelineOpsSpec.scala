@@ -618,6 +618,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r0 === Set(333333333333L))
   }
 
+  test("also-took: lift favors exclusive pairs over popular ones") {
+    import graft.llm.LinkAnalysis
+    // items 1,2 ALWAYS co-occur exclusively; item 9 is in every basket
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 9L),
+      (2L, 1L), (2L, 2L), (2L, 9L),
+      (3L, 4L), (3L, 9L), (4L, 5L), (4L, 9L))
+      .toDF("b", "i")
+    val out = LinkAnalysis.alsoTook(baskets, "b", "i", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    // for item 1: lift(2) = 2*4e9/(2*2) = 2e9; lift(9) = 2*4e9/(2*4) = 1e9
+    assert(out((1L, 1)) === ((2L, 2000000000L)))
+    assert(out((1L, 2)) === ((9L, 1000000000L)))
+    // presence-based: duplicating a row changes nothing
+    val dup = baskets.union(Seq((1L, 2L)).toDF("b", "i"))
+    val out2 = LinkAnalysis.alsoTook(dup, "b", "i", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    assert(out2 === out)
+  }
+
   test("weighted sample: deterministic, exact-n, heavy rows dominate") {
     val df = (1L to 1000L).toDF("id")
       .withColumn("w", when(col("id") <= 100, 1000.0).otherwise(1.0))

@@ -109,6 +109,8 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 1-row tertile-threshold aggregate",
     "q262_cluster_balance" ->
       "explicit broadcast of the 1-row min-cluster-size aggregate",
+    "q275_also_bought" ->
+      "broadcast of the 1-row basket-count aggregate onto the pair scores",
     "q269_ann_recall" -> ("explicit broadcasts of the 5-probe side (the " +
       "q54 truth contract) and the 8-centroid table (q54c); the approx " +
       "candidate stage is a cell-key equi-join"),
