@@ -47,6 +47,7 @@ object LinkAnalysis {
       edges.select(col(src).as("__s"), col(dst).as("__d")))
     val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
     val n = nd.count() // bounded driver state: one long
+    require(n > 0, "pagerank: the node universe is empty")
     // teleport term (1-d)/N at the fixed-point grid, floor
     val baseFp = (Scale * (dampDen - dampNum)) / (dampDen * n)
     var r = nd.select(col(id), lit(Scale / n).as("rank_e12"))
@@ -96,9 +97,14 @@ object LinkAnalysis {
       .join(cnt.select(col("__i").as("rec_item"), col("__n").as("__nb2")),
         "rec_item")
       .crossJoin(broadcast(nBaskets))
+      // the numerator widens to DECIMAL before the integral divide:
+      // co·N·1e9 exceeds Long already at ~1e7 baskets (the pagerank
+      // decimal-sum convention; `div` on decimals is the same exact
+      // integral quotient both engines compute)
       .select(col("item"), col("rec_item"), col("n_co"),
-        expr("n_co * __nb * 1000000000 div (__na * __nb2)")
-          .as("lift_ppb"))
+        expr("""CAST(n_co AS DECIMAL(38,0)) * __nb * 1000000000
+                div (CAST(__na AS DECIMAL(38,0)) * __nb2)""")
+          .cast("long").as("lift_ppb"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("lift_ppb").desc, col("n_co").desc, col("rec_item"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -2608,7 +2608,8 @@ object QueriesLLM {
          co AS (SELECT a.i AS item, c.i AS rec_item, count(*) AS n_co
            FROM bi a JOIN bi c ON a.b = c.b AND a.i != c.i GROUP BY 1, 2),
          sc AS (SELECT co.item, co.rec_item, co.n_co,
-             (co.n_co * nb.nbk * 1000000000) // (ca.n * cb.n) AS lift_ppb
+             CAST((CAST(co.n_co AS HUGEINT) * nb.nbk * 1000000000)
+               // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_ppb
            FROM co JOIN cnt ca ON ca.i = co.item
            JOIN cnt cb ON cb.i = co.rec_item CROSS JOIN nb),
          rk AS (SELECT *, row_number() OVER (PARTITION BY item

@@ -2049,7 +2049,7 @@ object QueriesMore {
     "q271_sessions" ->
       """WITH o AS (SELECT user_id, ts,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-                 (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                 (PARTITION BY user_id ORDER BY ts)) >= 1800000000
                THEN 1 ELSE 0 END AS nw
            FROM events),
          s AS (SELECT user_id, ts,

@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** BATCH gap-based sessionization — the offline counterpart of
-  * [[graft.streaming.StreamOps.sessionize]]: events more than `gapSec`
-  * apart start a new session (the classic gaps-and-islands fold). One
+  * [[graft.streaming.StreamOps.sessionize]]: an event `gapSec` OR MORE
+  * after its predecessor starts a new session — the exact boundary
+  * contract of Spark's `session_window` (end-EXCLUSIVE: a session
+  * covers [start, last + gap)), so swapping between the batch and
+  * streaming op never changes session counts on boundary events. The
+  * classic gaps-and-islands fold: one
   * lag + one running-sum window, both partitioned by the entity key —
   * no global window, no driver state; session stats are a following
   * hash agg on (entity, session). Timestamps compare exactly, so the
@@ -20,7 +24,7 @@ object Sessions {
     require(gapSec > 0, s"session gap must be positive, got $gapSec")
     val wOrd = Window.partitionBy(col(entity)).orderBy(col(ts))
     val newSession = when(
-      unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(wOrd)) >
+      unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(wOrd)) >=
         gapSec * 1000000L, 1).otherwise(0)
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     events

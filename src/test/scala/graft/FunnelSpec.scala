@@ -45,16 +45,16 @@ class FunnelSpec extends SparkSpec {
     assert(r.getInt(4) === 3)
   }
 
-  test("sessions: gap boundary is strict (exactly gap stays together)") {
+  test("sessions: exactly-gap splits (session_window's end-exclusive bound)") {
     import graft.window.Sessions
     val events = ev(
-      (1L, 0L, "view"), (1L, 30L, "view"),   // 30s = gap: same session
-      (1L, 61L, "view"),                     // 31s > gap: new session
+      (1L, 0L, "view"), (1L, 29L, "view"),   // 29s < gap: same session
+      (1L, 59L, "view"),                     // 30s = gap: NEW session
       (2L, 0L, "view"))
     val out = Sessions.stats(events, "user_id", "ts", gapSec = 30)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(4), r.getLong(5))).toMap
-    assert(out((1L, 1L)) === ((2L, 30L)))   // 2 events, 30s duration
+    assert(out((1L, 1L)) === ((2L, 29L)))   // 2 events, 29s duration
     assert(out((1L, 2L)) === ((1L, 0L)))
     assert(out((2L, 1L)) === ((1L, 0L)))
   }
