@@ -1101,7 +1101,17 @@ object QueriesMore {
     // (ts, event_id order): counts + exact-ppm outgoing shares
     "q274_transitions" -> ((s, dir) =>
       graft.window.Markov.transitions(Tables.events(s, dir), "user_id",
-        "ts", "event_type", col("event_id")))
+        "ts", "event_type", col("event_id"))),
+
+    // Holt linear-trend smoothing (alpha=1/2, beta=1/5) of each user's
+    // purchase-value series in 1e6 fixed-point — integer recursion, so
+    // the recursive-CTE oracle replays every step exactly
+    "q276_holt_smooth" -> ((s, dir) =>
+      graft.numerics.Holt.smooth(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id",
+        round(col("value") * 1000000, 0).cast("long"),
+        alphaDen = 2L, betaDen = 5L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -2089,6 +2099,25 @@ object QueriesMore {
            FROM c GROUP BY 1)
          SELECT c.from_type, c.to_type, c.n,
            (c.n * 1000000) // t.tot AS p_ppm
-         FROM c JOIN t USING (from_type)"""
+         FROM c JOIN t USING (from_type)""",
+    // Holt replay: the integer recursion stepped by a recursive CTE —
+    // // and Spark's div share truncation, including on negative trends
+    "q276_holt_smooth" ->
+      """WITH RECURSIVE s AS (SELECT user_id,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT user_id, rn, y AS l, CAST(0 AS BIGINT) AS b
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.rn,
+             (s.y + (r.l + r.b)) // 2 AS l,
+             (((s.y + (r.l + r.b)) // 2) - r.l + 4 * r.b) // 5 AS b
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT user_id, rn, l AS level_e, b AS trend_e,
+           l + b AS fitted_e
+         FROM r"""
   )
 }

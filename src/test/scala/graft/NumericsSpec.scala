@@ -130,4 +130,23 @@ class NumericsSpec extends SparkSpec {
       .select("d").as[Double].collect()
     assert(d2.toSeq === Seq(2.0, 2.0))
   }
+
+  test("Holt smoothing: hand-stepped integer recursion, truncating division") {
+    import graft.numerics.Holt
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 200L),
+      (2L, 1L, 100L), (2L, 2L, 49L))
+      .toDF("e", "t", "y")
+    val out = Holt.smooth(df, "e", "t", "t", col("y"),
+      alphaDen = 2L, betaDen = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // entity 1: l=(50+100)/2=75, b=(75-100)/5=-5; then
+    // l=(200+70)/2=135, b=(135-75-20)/5=8
+    assert(out((1L, 1L)) === ((100L, 0L, 100L)))
+    assert(out((1L, 2L)) === ((75L, -5L, 70L)))
+    assert(out((1L, 3L)) === ((135L, 8L, 143L)))
+    // entity 2 pins TRUNCATING division on negatives: (74-100)/5 = -5
+    // (floor would give -6), matching Spark div and DuckDB //
+    assert(out((2L, 2L)) === ((74L, -5L, 69L)))
+  }
 }
