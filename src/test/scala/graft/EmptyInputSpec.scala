@@ -120,6 +120,54 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("round-12 fourth-pass verbs return empty (or contract) on empty input") {
+    import graft.llm.{Cluster, LinkAnalysis, Packing, Retrieval, Sampling,
+      TextAnalysis}
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("src", StringType))))
+    assert(TextAnalysis.wordEntropy(docs, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.vocabOverlap(docs, "src", "text").count() === 0L)
+    assert(TextAnalysis.ngramDiversity(docs, "src", "text", 2).count() === 0L)
+    assert(TextAnalysis.topNgramMass(docs, "doc_id", "text", 2).count() === 0L)
+    assert(Packing.lengthBuckets(docs, "doc_id", lit(0L), 8).count() === 0L)
+    assert(Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("spark"), k = 5).count() === 0L)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0), 5)
+      .count() === 0L)
+    val assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("cluster", IntegerType), StructField("d2", DoubleType))))
+    assert(Cluster.balancedDownsample(assigned, "id").count() === 0L)
+    val events = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType),
+        StructField("ts", TimestampType), StructField("et", StringType),
+        StructField("eid", LongType))))
+    assert(graft.window.Funnel.ordered(events, "u", "ts", "et",
+      Seq("view", "click")).count() === 0L)
+    assert(graft.window.Sessions.stats(events, "u", "ts", 60).count() === 0L)
+    assert(graft.window.Cohort.weeklyRetention(events, "u", "ts", "et",
+      "signup").count() === 0L)
+    assert(graft.window.Markov.transitions(events, "u", "ts", "et",
+      col("eid")).count() === 0L)
+    assert(graft.numerics.Holt.smooth(events, "u", "ts", "eid", lit(0L))
+      .count() === 0L)
+    val nodes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType))))
+    val edges = nodes.select(col("id").as("s"), col("id").as("d"))
+    // pagerank REQUIRES a non-empty universe (documented contract)
+    intercept[IllegalArgumentException] {
+      LinkAnalysis.pagerank(nodes, edges, "id", "s", "d", 1)
+    }
+    assert(LinkAnalysis.alsoTook(
+      nodes.select(col("id").as("b"), col("id").as("i")), "b", "i", 3)
+      .count() === 0L)
+  }
+
   test("zorder: empty input writes an empty store; constant key is safe") {
     import graft.io.ZOrder
     val emptyEv = spark.createDataFrame(
