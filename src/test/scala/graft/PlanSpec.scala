@@ -189,4 +189,26 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
       s"modal-gram window must be per-doc:\n${winLines.mkString("\n")}")
   }
+
+  test("funnel: stage filters reach the scans; no window anywhere") {
+    val p = plan("q270_funnel")
+    assert(!p.contains("Window "), "funnel must be agg-chained, not windowed")
+    assert(p.contains("PushedFilters"), p.take(500))
+  }
+
+  test("sessions/markov/cluster-balance: every window is entity-partitioned") {
+    for ((q, key) <- Seq("q271_sessions" -> "user_id",
+        "q274_transitions" -> "user_id")) {
+      val winLines = plan(q).linesIterator
+        .filter(_.contains("Window ")).toSeq
+      assert(winLines.nonEmpty && winLines.forall(_.contains(key)),
+        s"$q window not partitioned by $key:\n${winLines.mkString("\n")}")
+    }
+  }
+
+  test("pagerank: no cartesian join; per-iteration mass join is equi-keyed") {
+    val p = plan("q273_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
 }
