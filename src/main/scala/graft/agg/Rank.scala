@@ -34,4 +34,33 @@ object Rank {
     }
     out.drop("__rank_avg")
   }
+
+  /** argsort along a per-group series (ref `dataarray.py` `argsort` →
+    * numpy): for sort rank k (0-based), the ORIGINAL 0-based position of
+    * the k-th smallest value — ties stable on position, numpy's
+    * stable-sort contract. One per-group window each way; group
+    * cardinality, not series length, carries the parallelism. */
+  def argsort(df: DataFrame, by: Seq[String], pos: String,
+              v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(v), col(pos))
+    df.withColumn("k", row_number().over(w) - 1)
+      .select(by.map(col) :+ col("k") :+ col(pos).as("idx"): _*)
+  }
+
+  /** searchsorted (ref `dataarray.py` `searchsorted` → numpy,
+    * side="left"): for each literal probe `t`, the index where `t` would
+    * insert into the group's SORTED values = the count of values
+    * strictly below `t`. Pure scan-stage explode over the literal probe
+    * list + one hash agg — no sort anywhere. */
+  def searchSorted(df: DataFrame, by: Seq[String], v: String,
+                   probes: Seq[Double]): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted,
+      s"probes must be non-empty ascending: $probes")
+    df.select(by.map(col) :+ col(v) :+
+        explode(array(probes.map(lit): _*)).as("t"): _*)
+      .groupBy(by.map(col) :+ col("t"): _*)
+      .agg(sum(when(col(v) < col("t"), 1L).otherwise(0L)).as("insert_idx"))
+  }
 }

@@ -293,6 +293,23 @@ object QueriesFunctions {
         DtFns.isYearStart(t).as("y_start"),
         DtFns.isYearEnd(t).as("y_end"),
         DtFns.isQuarterEnd(t).as("q_end"))
+    }),
+
+    // complex dtype surface (SURVEY §1.3; Spark has no complex type):
+    // struct<re,im> columns + field-wise IEEE arithmetic — product,
+    // conjugate, |z|² and the complex quotient, all scan-stage exact
+    "q279_complex_ops" -> ((s, dir) => {
+      import graft.exprs.ComplexOps._
+      val li = Tables.lineitem(s, dir)
+      val z1 = complex(col("l_extendedprice") / 100, col("l_quantity"))
+      val z2 = complex(lit(1.0) + col("l_tax"), col("l_discount"))
+      val p = mul(z1, z2)
+      val q = div(z1, z2)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        re(p).as("prod_re"), im(p).as("prod_im"),
+        im(conj(z1)).as("conj_im"),
+        abs2(z1).as("abs2"),
+        re(q).as("quot_re"), im(q).as("quot_im"))
     })
   )
 
@@ -518,6 +535,21 @@ object QueriesFunctions {
            (month(ts) = 12 AND day(ts) = 31) AS y_end,
            (day(ts) = day(last_day(ts::DATE))
              AND month(ts) IN (3, 6, 9, 12)) AS q_end
-         FROM d"""
+         FROM d""",
+    // complex replay: the same field-wise expansions in the same
+    // operation order — identical IEEE arithmetic, no rounding
+    "q279_complex_ops" ->
+      """WITH z AS (SELECT l_orderkey, l_linenumber,
+             l_extendedprice / 100 AS a, l_quantity AS b,
+             1.0 + l_tax AS c, l_discount AS d
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           a * c - b * d AS prod_re,
+           a * d + b * c AS prod_im,
+           -b AS conj_im,
+           a * a + b * b AS abs2,
+           (a * c - b * (-d)) / (c * c + d * d) AS quot_re,
+           (a * (-d) + b * c) / (c * c + d * d) AS quot_im
+         FROM z"""
   )
 }

@@ -1103,6 +1103,26 @@ object QueriesMore {
       graft.window.Markov.transitions(Tables.events(s, dir), "user_id",
         "ts", "event_type", col("event_id"))),
 
+    // argsort per user's purchase series (ref dataarray.argsort → numpy
+    // stable sort): for sort rank k, the original 0-based position
+    "q277_argsort" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("pos", row_number().over(w) - 1)
+        .select("user_id", "pos", "value")
+      graft.agg.Rank.argsort(series, Seq("user_id"), "pos", "value")
+    }),
+
+    // searchsorted (side="left") of literal thresholds into each user's
+    // sorted purchase values: insert index = count of strictly-smaller
+    "q278_searchsorted" -> ((s, dir) =>
+      graft.agg.Rank.searchSorted(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        Seq("user_id"), "value",
+        probes = Seq(0.0, 100.0, 250.0, 400.0, 500.0))),
+
     // Holt linear-trend smoothing (alpha=1/2, beta=1/5) of each user's
     // purchase-value series in 1e6 fixed-point — integer recursion, so
     // the recursive-CTE oracle replays every step exactly
@@ -2100,6 +2120,26 @@ object QueriesMore {
          SELECT c.from_type, c.to_type, c.n,
            (c.n * 1000000) // t.tot AS p_ppm
          FROM c JOIN t USING (from_type)""",
+    // argsort replay: two stable row_numbers
+    "q277_argsort" ->
+      """WITH s AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - 1 AS pos
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, pos) - 1
+             AS k,
+           pos AS idx
+         FROM s""",
+    // searchsorted replay: strictly-smaller counts per literal probe
+    "q278_searchsorted" ->
+      """SELECT user_id, t,
+           CAST(sum(CASE WHEN value < t THEN 1 ELSE 0 END) AS BIGINT)
+             AS insert_idx
+         FROM events, (SELECT unnest([0.0, 100.0, 250.0, 400.0, 500.0])
+                       AS t)
+         WHERE event_type = 'purchase'
+         GROUP BY 1, 2""",
     // Holt replay: the integer recursion stepped by a recursive CTE —
     // // and Spark's div share truncation, including on negative trends
     "q276_holt_smooth" ->

@@ -357,6 +357,37 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: argsort permutes positions; searchsorted is monotone, side=left") {
+    import graft.agg.Rank
+    val df = Seq((1L, 0L, 5.0), (1L, 1L, 2.0), (1L, 2L, 5.0), (1L, 3L, 1.0))
+      .toDF("g", "pos", "v")
+    val a = Rank.argsort(df, Seq("g"), "pos", "v")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // sorted order: 1.0(pos 3), 2.0(pos 1), then the 5.0 tie stable 0 < 2
+    assert(a === Map(0 -> 3L, 1 -> 1L, 2 -> 0L, 3 -> 2L))
+    val s = Rank.searchSorted(df, Seq("g"), "v", Seq(1.0, 2.0, 5.0, 9.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    // side="left": equal values are NOT counted
+    assert(s === Map(1.0 -> 0L, 2.0 -> 1L, 5.0 -> 2L, 9.0 -> 4L))
+  }
+
+  test("law: complex algebra — conj involution, |z|^2 = z*conj(z), div inverts mul") {
+    import graft.exprs.ComplexOps._
+    val df = Seq((3.0, 4.0, 1.0, -2.0)).toDF("a", "b", "c", "d")
+    val z1 = complex(col("a"), col("b")); val z2 = complex(col("c"), col("d"))
+    val r = df.select(
+      re(conj(conj(z1))).as("cre"), im(conj(conj(z1))).as("cim"),
+      re(mul(z1, conj(z1))).as("zz_re"), im(mul(z1, conj(z1))).as("zz_im"),
+      abs2(z1).as("a2"),
+      re(div(mul(z1, z2), z2)).as("rt_re"),
+      im(div(mul(z1, z2), z2)).as("rt_im")).head()
+    assert(r.getDouble(0) === 3.0 && r.getDouble(1) === 4.0)
+    assert(r.getDouble(2) === 25.0 && r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 25.0)
+    assert(math.abs(r.getDouble(5) - 3.0) < 1e-12 &&
+      math.abs(r.getDouble(6) - 4.0) < 1e-12)
+  }
+
   test("law: length buckets conserve docs and tokens; bucket bounds its members") {
     import graft.llm.Packing
     (1 to 3).foreach { seed =>
