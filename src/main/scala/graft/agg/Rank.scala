@@ -43,8 +43,11 @@ object Rank {
   def argsort(df: DataFrame, by: Seq[String], pos: String,
               v: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULLS LAST: numpy sorts NaN last and DuckDB's ASC default agrees;
+    // Spark's ascending default (NULLS FIRST) would diverge on any group
+    // containing a missing value
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(v), col(pos))
+      .orderBy(col(v).asc_nulls_last, col(pos))
     df.withColumn("k", row_number().over(w) - 1)
       .select(by.map(col) :+ col("k") :+ col(pos).as("idx"): _*)
   }
@@ -56,8 +59,11 @@ object Rank {
     * list + one hash agg — no sort anywhere. */
   def searchSorted(df: DataFrame, by: Seq[String], v: String,
                    probes: Seq[Double]): DataFrame = {
-    require(probes.nonEmpty && probes == probes.sorted,
-      s"probes must be non-empty ascending: $probes")
+    // distinct is the property that matters: duplicate probes would
+    // collapse into one (group, t) bucket and double its count; order is
+    // irrelevant (each probe's count is independent)
+    require(probes.nonEmpty && probes == probes.distinct,
+      s"probes must be non-empty and distinct: $probes")
     df.select(by.map(col) :+ col(v) :+
         explode(array(probes.map(lit): _*)).as("t"): _*)
       .groupBy(by.map(col) :+ col("t"): _*)

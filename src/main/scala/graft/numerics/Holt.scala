@@ -42,8 +42,12 @@ object Holt {
       s"alphaDen/betaDen must be >= 2 (alpha, beta in (0, 1/2]), " +
         s"got $alphaDen/$betaDen")
     val spark = df.sparkSession
+    // NULL values drop out of the series before the recursion (the
+    // reference's skipna contract) — a null would otherwise NPE the
+    // primitive fold mid-task
     val in = df.select(col(entity).cast("long"), col(ts), col(tiebreak),
-        yFp.cast("long"))
+        yFp.cast("long").as("__y"))
+      .filter(col(entity).isNotNull && col("__y").isNotNull)
       .repartition(col(entity))
       .sortWithinPartitions(col(entity), col(ts), col(tiebreak))
     val rdd = in.rdd.mapPartitions { it =>

@@ -369,6 +369,18 @@ class LawsSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
     // side="left": equal values are NOT counted
     assert(s === Map(1.0 -> 0L, 2.0 -> 1L, 5.0 -> 2L, 9.0 -> 4L))
+    // duplicate probes would double-count into one bucket: rejected
+    intercept[IllegalArgumentException] {
+      Rank.searchSorted(df, Seq("g"), "v", Seq(1.0, 1.0))
+    }
+    // NULL values sort LAST (numpy NaN-last; DuckDB ASC default)
+    val withNull = Seq((1L, 0L, java.lang.Double.valueOf(5.0)),
+      (1L, 1L, null.asInstanceOf[java.lang.Double]),
+      (1L, 2L, java.lang.Double.valueOf(1.0)))
+      .toDF("g", "pos", "v")
+    val an = Rank.argsort(withNull, Seq("g"), "pos", "v")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(an === Map(0 -> 2L, 1 -> 0L, 2 -> 1L))
   }
 
   test("law: complex algebra — conj involution, |z|^2 = z*conj(z), div inverts mul") {

@@ -148,5 +148,12 @@ class NumericsSpec extends SparkSpec {
     // entity 2 pins TRUNCATING division on negatives: (74-100)/5 = -5
     // (floor would give -6), matching Spark div and DuckDB //
     assert(out((2L, 2L)) === ((74L, -5L, 69L)))
+    // NULL values drop out of the series (skipna), never NPE the fold
+    val withNull = Seq((1L, 1L, java.lang.Long.valueOf(100L)),
+      (1L, 2L, null.asInstanceOf[java.lang.Long]),
+      (1L, 3L, java.lang.Long.valueOf(50L))).toDF("e", "t", "y")
+    val o2 = Holt.smooth(withNull, "e", "t", "t", col("y"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(o2 === Map(1L -> 100L, 2L -> 75L)) // 2 rows, null skipped
   }
 }

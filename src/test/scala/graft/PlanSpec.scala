@@ -198,7 +198,8 @@ class PlanSpec extends SparkSpec {
 
   test("sessions/markov/cluster-balance: every window is entity-partitioned") {
     for ((q, key) <- Seq("q271_sessions" -> "user_id",
-        "q274_transitions" -> "user_id")) {
+        "q274_transitions" -> "user_id",
+        "q262_cluster_balance" -> "cluster")) {
       val winLines = plan(q).linesIterator
         .filter(_.contains("Window ")).toSeq
       assert(winLines.nonEmpty && winLines.forall(_.contains(key)),
