@@ -128,6 +128,83 @@ final class DataTree(val nodes: Map[String, XDataset]) {
     }
     new DataTree(nodes.filter { case (p, _) => p.matches(regex) })
   }
+
+  // ---- tree-path navigation (ref `xarray/core/treenode.py`) -----------
+
+  private def parentOf(p: String): Option[String] =
+    if (p == "/") None
+    else Some(parents(p).dropRight(1).lastOption.getOrElse("/"))
+
+  /** parent path, None at the root (ref `treenode.py` `parent`). */
+  def parent(path: String): Option[String] = {
+    val p = norm(path)
+    require(nodes.contains(p), s"no node at $p")
+    parentOf(p)
+  }
+
+  /** ancestors root-first, EXCLUDING the node itself (ref `treenode.py`
+    * `parents` is closest-first; xarray's `ancestors` is root-first). */
+  def ancestors(path: String): Seq[String] =
+    parents(norm(path)).dropRight(1)
+
+  /** direct children of `path`, sorted (ref `datatree.py` `children`). */
+  def children(path: String): Seq[String] = {
+    val p = norm(path)
+    val prefix = if (p == "/") "/" else p + "/"
+    nodes.keys.filter(q => q != p && q.startsWith(prefix) &&
+      !q.stripPrefix(prefix).contains("/")).toSeq.sorted
+  }
+
+  /** every strict descendant of `path`, sorted (ref `descendants`). */
+  def descendants(path: String): Seq[String] = {
+    val p = norm(path)
+    val prefix = if (p == "/") "/" else p + "/"
+    nodes.keys.filter(q => q != p && q.startsWith(prefix)).toSeq.sorted
+  }
+
+  def isLeaf(path: String): Boolean = children(path).isEmpty
+  def isRoot(path: String): Boolean = norm(path) == "/"
+
+  /** leaf paths, sorted (ref `datatree.py` `leaves`). */
+  def leaves: Seq[String] = groups.filter(isLeaf)
+
+  /** siblings: the other children of the node's parent (ref `siblings`). */
+  def siblings(path: String): Seq[String] = {
+    val p = norm(path)
+    parentOf(p).map(children(_).filterNot(_ == p)).getOrElse(Seq.empty)
+  }
+
+  /** 0-based depth of a node (ref `treenode.py` `level`). */
+  def level(path: String): Int = norm(path).split("/").count(_.nonEmpty)
+
+  /** max node count across depth levels (ref `treenode.py` `width`). */
+  def width: Int =
+    nodes.keys.groupBy(level).values.map(_.size).maxOption.getOrElse(0)
+
+  /** deepest shared ancestor-or-self PATH of two nodes (ref
+    * `treenode.py` `find_common_ancestor`) — always exists ("/" at
+    * worst); may name an intermediate group the catalog does not
+    * materialize as a node. */
+  def findCommonAncestor(a: String, b: String): String = {
+    val (pa, pb) = (norm(a), norm(b))
+    require(nodes.contains(pa) && nodes.contains(pb),
+      s"both paths must be nodes: $pa, $pb")
+    // parents() includes the path itself, root-first
+    parents(pa).intersect(parents(pb)).last
+  }
+
+  /** path of `a` relative to ancestor-or-self `b` (ref `treenode.py`
+    * `relative_to`); "." when equal. */
+  def relativeTo(a: String, b: String): String = {
+    val (pa, pb) = (norm(a), norm(b))
+    require(pa == pb || pa.startsWith(if (pb == "/") "/" else pb + "/"),
+      s"$pa is not inside $pb")
+    if (pa == pb) "." else pa.stripPrefix(if (pb == "/") "/" else pb + "/")
+  }
+
+  /** same_tree: in this catalog model two references share a tree iff
+    * they hold the same node map (ref `treenode.py` `same_tree`). */
+  def sameTree(other: DataTree): Boolean = nodes eq other.nodes
 }
 
 object DataTree {

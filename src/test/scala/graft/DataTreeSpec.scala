@@ -128,4 +128,33 @@ class DataTreeSpec extends SparkSpec {
     val solid = new DataTree(Map("/" -> ds((0, 0.0)), "/a" -> ds((1, 1.0))))
     assert(!solid.isHollow) // the root holds data but has a child
   }
+
+  test("tree-path navigation: ancestors/children/leaves/siblings/level/width") {
+    val t = new DataTree(Map(
+      "/" -> ds((0, 0.0)), "/a" -> ds((1, 1.0)), "/a/x" -> ds((2, 2.0)),
+      "/a/y" -> ds((3, 3.0)), "/b" -> ds((4, 4.0))))
+    assert(t.parent("/a/x").contains("/a") && t.parent("/").isEmpty)
+    assert(t.ancestors("/a/x") === Seq("/", "/a"))
+    assert(t.children("/") === Seq("/a", "/b"))
+    assert(t.children("/a") === Seq("/a/x", "/a/y"))
+    assert(t.descendants("/a") === Seq("/a/x", "/a/y"))
+    assert(t.leaves === Seq("/a/x", "/a/y", "/b"))
+    assert(t.isLeaf("/b") && !t.isLeaf("/a") && t.isRoot("/"))
+    assert(t.siblings("/a/x") === Seq("/a/y") && t.siblings("/") === Nil)
+    assert(t.level("/") === 0 && t.level("/a/x") === 2)
+    assert(t.width === 2) // levels have 1, 2, 2 nodes
+  }
+
+  test("find_common_ancestor, relative_to, same_tree contracts") {
+    val m = Map("/" -> ds((0, 0.0)), "/a/x" -> ds((1, 1.0)),
+      "/a/y" -> ds((2, 2.0)))
+    val t = new DataTree(m)
+    // "/a" is the deepest shared path even though it is not materialized
+    assert(t.findCommonAncestor("/a/x", "/a/y") === "/a")
+    assert(t.findCommonAncestor("/a/x", "/") === "/")
+    assert(t.relativeTo("/a/x", "/") === "a/x")
+    assert(t.relativeTo("/a/x", "/a/x") === ".")
+    intercept[IllegalArgumentException] { t.relativeTo("/a/x", "/a/y") }
+    assert(t.sameTree(t) && !t.sameTree(new DataTree(Map("/" -> ds((0, 0.0))))))
+  }
 }
