@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Annotation / prediction quality-assurance verbs — the eval side of a
+  * labeling pipeline (Cohen 1960 inter-annotator agreement; per-class
+  * precision/recall/F1). Every statistic here is a RATIO OF INTEGERS
+  * reported in exact ppm via integer division — counts shuffle once on
+  * the category key, nothing else moves, and no float rounding
+  * convention exists to diverge between engines. */
+object Agreement {
+
+  /** Cohen's kappa between two categorical columns:
+    * `κ = (p_o − p_e) / (1 − p_e)` cleared of denominators to the pure
+    * integer form `(N·agree − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c)`
+    * and reported in exact ppm (negative = worse than chance; truncating
+    * division, identical in Spark and DuckDB). One scan into four
+    * bounded aggregates (total, agreement, the two marginal tables);
+    * the expected-agreement join runs on the CATEGORY key. */
+  def cohensKappa(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val pairs = graft.util.QueryCache.persist(
+      df.select(truth.cast("string").as("t"), pred.cast("string").as("p")))
+    val tot = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_agree"))
+    val rowc = pairs.groupBy(col("t").as("c")).agg(count(lit(1)).as("rc"))
+    val colc = pairs.groupBy(col("p").as("c")).agg(count(lit(1)).as("cc"))
+    // categories absent from one side contribute rc·0 = 0: inner join
+    val sumRc = rowc.join(colc, "c")
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("sum_rc"))
+    tot.crossJoin(broadcast(sumRc))
+      .select(col("n"), col("n_agree"), col("sum_rc"),
+        expr("""CASE WHEN n * n = sum_rc THEN NULL
+                ELSE (n * n_agree - sum_rc) * 1000000
+                     div (n * n - sum_rc) END""").as("kappa_ppm"))
+  }
+
+  /** Per-class precision / recall / F1 from the confusion counts of a
+    * (truth, pred) pair — exact ppm, NULL where a class has no
+    * predictions (precision) or no truth rows (recall). The F1 clears
+    * denominators to `2·tp / (2·tp + fp + fn)` — still a pure integer
+    * ratio. Classes = values seen on either side. */
+  def classReport(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val pairs = graft.util.QueryCache.persist(
+      df.select(truth.cast("string").as("t"), pred.cast("string").as("p")))
+    val classes = pairs.select(col("t").as("c")).distinct()
+      .unionByName(pairs.select(col("p").as("c")).distinct()).distinct()
+    val tp = pairs.filter(col("t") === col("p"))
+      .groupBy(col("t").as("c")).agg(count(lit(1)).as("tp"))
+    val predTot = pairs.groupBy(col("p").as("c")).agg(count(lit(1)).as("np"))
+    val truthTot = pairs.groupBy(col("t").as("c")).agg(count(lit(1)).as("nt"))
+    classes
+      .join(tp, Seq("c"), "left").join(predTot, Seq("c"), "left")
+      .join(truthTot, Seq("c"), "left")
+      .select(col("c"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("nt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("c"), col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("""CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * tp * 1000000 div (2 * tp + fp + fn) END""")
+          .as("f1_ppm"))
+  }
+}

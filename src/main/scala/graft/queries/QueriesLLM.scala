@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Bpe, Classifier, Cluster, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Agreement, Bpe, Classifier, Cluster, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -808,6 +808,24 @@ object QueriesLLM {
       LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
+    // Cohen's kappa between the annotated lang column and the q55 langid
+    // prediction — inter-annotator agreement as a pure integer ratio
+    "q280_cohens_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Agreement.cohensKappa(docs, col("lang"),
+        TextAnalysis.langId(col("text"), lexicons))
+    }),
+
+    // per-class precision/recall/F1 of the q219 quality classifier
+    // against its training labels — the confusion-matrix eval verb
+    "q281_classifier_eval" -> ((s, dir) => {
+      val scored = Classifier.trainScore(Tables.documents(s, dir), "text",
+        "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+      Agreement.classReport(scored, col("y"), col("pred"))
+    }),
+
     // market-basket affinity: per part the top-3 co-ordered parts by
     // exact-ppb lift (co·N / (n_a·n_b)) — presence-based, integer-exact
     "q275_also_bought" -> ((s, dir) =>
@@ -877,6 +895,80 @@ object QueriesLLM {
     })
   )
 
+  /** q55's full langid replay — shared verbatim by q280's kappa oracle
+    * so the two can never drift apart. */
+  private val q55Sql =
+    """SELECT doc_id, lang AS lang_pred FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+           FROM (
+             SELECT doc_id, 'en' AS lang,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS score FROM documents
+             UNION ALL SELECT doc_id, 'de',
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'es',
+               len(regexp_extract_all(lower(text), '\b(el|la|que|los|una)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'fr',
+               len(regexp_extract_all(lower(text), '\b(le|les|et|des|un)\b')) FROM documents
+             UNION ALL SELECT doc_id, 'zh',
+               len(regexp_extract_all(lower(text), '\b(zhong|wen|shi|bu|ren)\b')) FROM documents))
+         WHERE rk = 1"""
+
+  /** q219's full 2-epoch GD replay — shared by q281's
+    * per-class eval oracle. */
+  private val q219Sql =
+    """WITH x0 AS (
+           SELECT doc_id,
+             list_reduce(list_transform(
+                 string_split(substr(md5(w), 1, 4), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 64 AS b
+           FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)),
+         x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
+             FROM x0 GROUP BY 1, 2
+           UNION ALL
+           SELECT doc_id, 64, 1 FROM documents),
+         y AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) >= 55
+                  AS BIGINT) AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         e1 AS (SELECT doc_id,
+             CAST(0.5 AS DECIMAL(28,12)) - CAST(y AS DECIMAL(28,12)) AS e
+           FROM y),
+         g1 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e1 USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT gb.b,
+             CAST(0 AS DECIMAL(28,12)) - coalesce(
+               CAST(round(CAST(g.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM (SELECT unnest(generate_series(0, 64)) AS b) gb
+           LEFT JOIN g1 g ON g.b = gb.b CROSS JOIN n),
+         m2 AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
+           FROM x JOIN w1 w USING (b) GROUP BY 1),
+         e2 AS (SELECT m2.doc_id,
+             CAST(round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 8)
+                  AS DECIMAL(28,12))
+               - CAST(y.y AS DECIMAL(28,12)) AS e
+           FROM m2 JOIN y USING (doc_id)),
+         g2 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
+           FROM x JOIN e2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT w1.b,
+             w1.w - coalesce(
+               CAST(round(CAST(g2.g AS DOUBLE) * 0.1 / n.n, 12)
+                    AS DECIMAL(28,12)),
+               CAST(0 AS DECIMAL(28,12))) AS w
+           FROM w1 LEFT JOIN g2 ON g2.b = w1.b CROSS JOIN n),
+         mf AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
+           FROM x JOIN w2 w USING (b) GROUP BY 1)
+         SELECT mf.doc_id,
+           round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS prob,
+           CAST(m >= 0 AS INT) AS pred, y.y
+         FROM mf JOIN y USING (doc_id)"""
+
   val oracles: Map[String, String] = Map(
     "q50_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
@@ -943,58 +1035,7 @@ object QueriesLLM {
     // the grid — an 8-dp scale put true ties at the 9th digit, which
     // Spark (shortest-repr HALF_UP) and DuckDB (exact binary) resolve
     // differently
-    "q219_quality_classifier" ->
-      """WITH x0 AS (
-           SELECT doc_id,
-             list_reduce(list_transform(
-                 string_split(substr(md5(w), 1, 4), ''),
-                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-               (a, b) -> a * 16 + b) % 64 AS b
-           FROM (SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-             FROM documents)),
-         x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x
-             FROM x0 GROUP BY 1, 2
-           UNION ALL
-           SELECT doc_id, 64, 1 FROM documents),
-         y AS (SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) >= 55
-                  AS BIGINT) AS y
-           FROM documents),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         e1 AS (SELECT doc_id,
-             CAST(0.5 AS DECIMAL(28,12)) - CAST(y AS DECIMAL(28,12)) AS e
-           FROM y),
-         g1 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
-           FROM x JOIN e1 USING (doc_id) GROUP BY 1),
-         w1 AS (SELECT gb.b,
-             CAST(0 AS DECIMAL(28,12)) - coalesce(
-               CAST(round(CAST(g.g AS DOUBLE) * 0.1 / n.n, 12)
-                    AS DECIMAL(28,12)),
-               CAST(0 AS DECIMAL(28,12))) AS w
-           FROM (SELECT unnest(generate_series(0, 64)) AS b) gb
-           LEFT JOIN g1 g ON g.b = gb.b CROSS JOIN n),
-         m2 AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
-           FROM x JOIN w1 w USING (b) GROUP BY 1),
-         e2 AS (SELECT m2.doc_id,
-             CAST(round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 8)
-                  AS DECIMAL(28,12))
-               - CAST(y.y AS DECIMAL(28,12)) AS e
-           FROM m2 JOIN y USING (doc_id)),
-         g2 AS (SELECT b, sum(CAST(e * x AS DECIMAL(38,8))) AS g
-           FROM x JOIN e2 USING (doc_id) GROUP BY 1),
-         w2 AS (SELECT w1.b,
-             w1.w - coalesce(
-               CAST(round(CAST(g2.g AS DOUBLE) * 0.1 / n.n, 12)
-                    AS DECIMAL(28,12)),
-               CAST(0 AS DECIMAL(28,12))) AS w
-           FROM w1 LEFT JOIN g2 ON g2.b = w1.b CROSS JOIN n),
-         mf AS (SELECT doc_id, sum(CAST(w.w * x.x AS DECIMAL(38,12))) AS m
-           FROM x JOIN w2 w USING (b) GROUP BY 1)
-         SELECT mf.doc_id,
-           round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS prob,
-           CAST(m >= 0 AS INT) AS pred, y.y
-         FROM mf JOIN y USING (doc_id)""",
+    "q219_quality_classifier" -> q219Sql,
     // BPE replay: the same 4 training rounds as chained CTEs — pair
     // counts from the space-separated symbol form, argmax with the
     // (cnt DESC, l, r) tie-break, merge via literal replace (DuckDB and
@@ -1655,22 +1696,27 @@ object QueriesLLM {
                ORDER BY cosine DESC, vec_id) AS rk
            FROM band)
          WHERE rk <= 3""",
-    "q55_langid" ->
-      """SELECT doc_id, lang AS lang_pred FROM (
-           SELECT doc_id, lang, row_number() OVER (
-             PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
-           FROM (
-             SELECT doc_id, 'en' AS lang,
-               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS score FROM documents
-             UNION ALL SELECT doc_id, 'de',
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) FROM documents
-             UNION ALL SELECT doc_id, 'es',
-               len(regexp_extract_all(lower(text), '\b(el|la|que|los|una)\b')) FROM documents
-             UNION ALL SELECT doc_id, 'fr',
-               len(regexp_extract_all(lower(text), '\b(le|les|et|des|un)\b')) FROM documents
-             UNION ALL SELECT doc_id, 'zh',
-               len(regexp_extract_all(lower(text), '\b(zhong|wen|shi|bu|ren)\b')) FROM documents))
-         WHERE rk = 1""",
+    "q55_langid" -> q55Sql,
+    // kappa replay: q55's prediction CTE verbatim, truth = the annotated
+    // lang column, then the denominator-cleared integer formula
+    "q280_cohens_kappa" ->
+      s"""WITH pred AS (SELECT * FROM ($q55Sql) __p),
+         pr AS (SELECT d.lang AS t, pred.lang_pred AS p
+           FROM documents d JOIN pred USING (doc_id)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+           FROM pr),
+         rowc AS (SELECT t AS c, count(*) AS rc FROM pr GROUP BY 1),
+         colc AS (SELECT p AS c, count(*) AS cc FROM pr GROUP BY 1),
+         src AS (SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT)
+               AS sum_rc
+           FROM rowc JOIN colc USING (c))
+         SELECT n, n_agree, sum_rc,
+           CASE WHEN n * n = sum_rc THEN NULL
+                ELSE (n * n_agree - sum_rc) * 1000000 // (n * n - sum_rc)
+           END AS kappa_ppm
+         FROM tot CROSS JOIN src""",
     "q56_text_quality" ->
       """SELECT doc_id,
          length(text) AS n_chars,
@@ -2598,6 +2644,32 @@ object QueriesLLM {
          SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
            (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_ppm
          FROM inter JOIN sz sa ON sa.s = src_a JOIN sz sb ON sb.s = src_b""",
+    // classifier-eval replay: q219's GD chain verbatim feeds the
+    // confusion counts; every stat is an integer ratio in ppm
+    "q281_classifier_eval" ->
+      s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
+         pr AS (SELECT CAST(y AS VARCHAR) AS t, CAST(pred AS VARCHAR) AS p
+           FROM base),
+         cls AS (SELECT DISTINCT t AS c FROM pr
+           UNION SELECT DISTINCT p FROM pr),
+         tpc AS (SELECT t AS c, count(*) AS tp FROM pr WHERE t = p
+           GROUP BY 1),
+         npc AS (SELECT p AS c, count(*) AS np FROM pr GROUP BY 1),
+         ntc AS (SELECT t AS c, count(*) AS nt FROM pr GROUP BY 1),
+         cm AS (SELECT cls.c,
+             CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(np, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+             CAST(coalesce(nt, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+           FROM cls LEFT JOIN tpc USING (c) LEFT JOIN npc USING (c)
+           LEFT JOIN ntc USING (c))
+         SELECT c, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
+             AS precision_ppm,
+           CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END
+             AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+             THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+         FROM cm""",
     // also-bought replay: same presence sets, same exact-ppb lift and
     // (lift, co, id) tie-break
     "q275_also_bought" ->

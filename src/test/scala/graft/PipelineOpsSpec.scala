@@ -594,6 +594,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(("sa", "sc")) && !out.contains(("sb", "sc")))
   }
 
+  test("cohen's kappa: perfect 1e6, disjoint marginals exact, chance NULL") {
+    import graft.llm.Agreement
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("t", "p")
+    val kp = Agreement.cohensKappa(perfect, col("t"), col("p")).head()
+    assert(kp.getLong(3) === 1000000L)
+    // hand case: n=4, agree=2, marginals t:(a2,b2) p:(a2,b2) -> sum_rc=8
+    // kappa = (8-8)/(16-8) = 0
+    val mixed = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("t", "p")
+    assert(Agreement.cohensKappa(mixed, col("t"), col("p"))
+      .head().getLong(3) === 0L)
+    // degenerate: one category both sides -> pe = 1 -> NULL (undefined)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
+    assert(Agreement.cohensKappa(const, col("t"), col("p"))
+      .head().isNullAt(3))
+  }
+
+  test("class report: hand confusion counts; absent-side classes guarded") {
+    import graft.llm.Agreement
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("z", "y"))
+      .toDF("t", "p")
+    val m = Agreement.classReport(df, col("t"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    // x: tp=1 fp=0 fn=1 -> precision 1e6, recall 5e5
+    assert(m("x") === ((1L, 0L, 1L, 1000000L, 500000L)))
+    // y: tp=1 fp=2 fn=0 -> precision 333333, recall 1e6
+    assert(m("y") === ((1L, 2L, 0L, 333333L, 1000000L)))
+    // z: never predicted -> precision NULL, recall 0
+    assert(m("z") === ((0L, 0L, 1L, -1L, 0L)))
+  }
+
   test("pagerank: hand-computed fixed-point iteration on a 3-node graph") {
     import graft.llm.LinkAnalysis
     val nodes = Seq(1L, 2L, 3L).toDF("id")

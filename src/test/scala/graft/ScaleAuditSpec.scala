@@ -111,6 +111,8 @@ class ScaleAuditSpec extends SparkSpec {
       "explicit broadcast of the 1-row min-cluster-size aggregate",
     "q275_also_bought" ->
       "broadcast of the 1-row basket-count aggregate onto the pair scores",
+    "q280_cohens_kappa" -> ("broadcast of the 1-row expected-agreement " +
+      "aggregate onto the 1-row totals aggregate"),
     "q269_ann_recall" -> ("explicit broadcasts of the 5-probe side (the " +
       "q54 truth contract) and the 8-centroid table (q54c); the approx " +
       "candidate stage is a cell-key equi-join"),
