@@ -28,11 +28,14 @@ object Agreement {
     // categories absent from one side contribute rc·0 = 0: inner join
     val sumRc = rowc.join(colc, "c")
       .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("sum_rc"))
+    // DECIMAL-widened numerator/denominator (the LinkAnalysis lift
+    // convention): n²·1e6 exceeds Long already at ~3M rows
     tot.crossJoin(broadcast(sumRc))
       .select(col("n"), col("n_agree"), col("sum_rc"),
-        expr("""CASE WHEN n * n = sum_rc THEN NULL
-                ELSE (n * n_agree - sum_rc) * 1000000
-                     div (n * n - sum_rc) END""").as("kappa_ppm"))
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n = sum_rc THEN NULL
+                ELSE (CAST(n AS DECIMAL(38,0)) * n_agree - sum_rc) * 1000000
+                     div (CAST(n AS DECIMAL(38,0)) * n - sum_rc) END""")
+          .cast("long").as("kappa_ppm"))
   }
 
   /** Per-class precision / recall / F1 from the confusion counts of a

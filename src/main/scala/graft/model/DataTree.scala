@@ -142,40 +142,54 @@ final class DataTree(val nodes: Map[String, XDataset]) {
     parentOf(p)
   }
 
-  /** ancestors root-first, EXCLUDING the node itself (ref `treenode.py`
-    * `parents` is closest-first; xarray's `ancestors` is root-first). */
-  def ancestors(path: String): Seq[String] =
-    parents(norm(path)).dropRight(1)
-
-  /** direct children of `path`, sorted (ref `datatree.py` `children`). */
-  def children(path: String): Seq[String] = {
+  private def node(path: String): String = {
     val p = norm(path)
+    require(nodes.contains(p), s"no node at $p")
+    p
+  }
+
+  /** ancestors root-first, INCLUDING the node itself — the reference's
+    * `reversed(lineage)` contract (`treenode.py`: the root's ancestors
+    * are `(self,)`). */
+  def ancestors(path: String): Seq[String] =
+    parents(node(path))
+
+  private def childrenOfPath(p: String): Seq[String] = {
     val prefix = if (p == "/") "/" else p + "/"
     nodes.keys.filter(q => q != p && q.startsWith(prefix) &&
       !q.stripPrefix(prefix).contains("/")).toSeq.sorted
   }
 
+  /** MATERIALIZED direct children of `path`, sorted (ref `datatree.py`
+    * `children`; a holey catalog's grandchildren do not appear — see
+    * [[descendants]] for the transitive view). */
+  def children(path: String): Seq[String] = childrenOfPath(node(path))
+
   /** every strict descendant of `path`, sorted (ref `descendants`). */
   def descendants(path: String): Seq[String] = {
-    val p = norm(path)
+    val p = node(path)
     val prefix = if (p == "/") "/" else p + "/"
     nodes.keys.filter(q => q != p && q.startsWith(prefix)).toSeq.sorted
   }
 
-  def isLeaf(path: String): Boolean = children(path).isEmpty
-  def isRoot(path: String): Boolean = norm(path) == "/"
+  /** leaf = no descendants AT ALL (consistent with [[isHollow]]; in a
+    * holey catalog a node whose only descendants sit behind
+    * unmaterialized groups is still interior). */
+  def isLeaf(path: String): Boolean = descendants(path).isEmpty
+  def isRoot(path: String): Boolean = node(path) == "/"
 
   /** leaf paths, sorted (ref `datatree.py` `leaves`). */
   def leaves: Seq[String] = groups.filter(isLeaf)
 
-  /** siblings: the other children of the node's parent (ref `siblings`). */
+  /** siblings: the other children of the node's parent PATH (which may
+    * itself be an unmaterialized group in a holey catalog). */
   def siblings(path: String): Seq[String] = {
-    val p = norm(path)
-    parentOf(p).map(children(_).filterNot(_ == p)).getOrElse(Seq.empty)
+    val p = node(path)
+    parentOf(p).map(childrenOfPath(_).filterNot(_ == p)).getOrElse(Seq.empty)
   }
 
   /** 0-based depth of a node (ref `treenode.py` `level`). */
-  def level(path: String): Int = norm(path).split("/").count(_.nonEmpty)
+  def level(path: String): Int = node(path).split("/").count(_.nonEmpty)
 
   /** max node count across depth levels (ref `treenode.py` `width`). */
   def width: Int =
@@ -193,10 +207,11 @@ final class DataTree(val nodes: Map[String, XDataset]) {
     parents(pa).intersect(parents(pb)).last
   }
 
-  /** path of `a` relative to ancestor-or-self `b` (ref `treenode.py`
-    * `relative_to`); "." when equal. */
+  /** path of node `a` relative to ancestor-or-self PATH `b` (ref
+    * `treenode.py` `relative_to`); "." when equal. `b` may be an
+    * unmaterialized group (e.g. a [[findCommonAncestor]] result). */
   def relativeTo(a: String, b: String): String = {
-    val (pa, pb) = (norm(a), norm(b))
+    val (pa, pb) = (node(a), norm(b))
     require(pa == pb || pa.startsWith(if (pb == "/") "/" else pb + "/"),
       s"$pa is not inside $pb")
     if (pa == pb) "." else pa.stripPrefix(if (pb == "/") "/" else pb + "/")

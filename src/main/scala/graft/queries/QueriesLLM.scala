@@ -1713,8 +1713,9 @@ object QueriesLLM {
                AS sum_rc
            FROM rowc JOIN colc USING (c))
          SELECT n, n_agree, sum_rc,
-           CASE WHEN n * n = sum_rc THEN NULL
-                ELSE (n * n_agree - sum_rc) * 1000000 // (n * n - sum_rc)
+           CASE WHEN CAST(n AS HUGEINT) * n = sum_rc THEN NULL
+                ELSE CAST((CAST(n AS HUGEINT) * n_agree - sum_rc) * 1000000
+                     // (CAST(n AS HUGEINT) * n - sum_rc) AS BIGINT)
            END AS kappa_ppm
          FROM tot CROSS JOIN src""",
     "q56_text_quality" ->

@@ -134,7 +134,9 @@ class DataTreeSpec extends SparkSpec {
       "/" -> ds((0, 0.0)), "/a" -> ds((1, 1.0)), "/a/x" -> ds((2, 2.0)),
       "/a/y" -> ds((3, 3.0)), "/b" -> ds((4, 4.0))))
     assert(t.parent("/a/x").contains("/a") && t.parent("/").isEmpty)
-    assert(t.ancestors("/a/x") === Seq("/", "/a"))
+    // ancestors INCLUDE self (treenode.py reversed-lineage contract)
+    assert(t.ancestors("/a/x") === Seq("/", "/a", "/a/x"))
+    assert(t.ancestors("/") === Seq("/"))
     assert(t.children("/") === Seq("/a", "/b"))
     assert(t.children("/a") === Seq("/a/x", "/a/y"))
     assert(t.descendants("/a") === Seq("/a/x", "/a/y"))
@@ -143,6 +145,15 @@ class DataTreeSpec extends SparkSpec {
     assert(t.siblings("/a/x") === Seq("/a/y") && t.siblings("/") === Nil)
     assert(t.level("/") === 0 && t.level("/a/x") === 2)
     assert(t.width === 2) // levels have 1, 2, 2 nodes
+    // navigation validates its node argument like parent() does
+    intercept[IllegalArgumentException] { t.children("/nope") }
+    intercept[IllegalArgumentException] { t.siblings("/nope") }
+    // holey catalog: "/" has a descendant behind the unmaterialized
+    // "/a", so it is INTERIOR (consistent with isHollow), and the
+    // grandchild's siblings resolve through the hole
+    val holey = new DataTree(Map("/" -> ds((0, 0.0)), "/a/x" -> ds((1, 1.0))))
+    assert(!holey.isLeaf("/") && holey.leaves === Seq("/a/x"))
+    assert(holey.siblings("/a/x") === Nil)
   }
 
   test("find_common_ancestor, relative_to, same_tree contracts") {

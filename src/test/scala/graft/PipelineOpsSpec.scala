@@ -609,23 +609,30 @@ class PipelineOpsSpec extends SparkSpec {
     val const = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
     assert(Agreement.cohensKappa(const, col("t"), col("p"))
       .head().isNullAt(3))
+    // systematically swapped labels: kappa = (0-8)/(16-8) = exactly -1e6
+    // (the negative regime where truncating-division parity matters)
+    val swapped = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "a"))
+      .toDF("t", "p")
+    assert(Agreement.cohensKappa(swapped, col("t"), col("p"))
+      .head().getLong(3) === -1000000L)
   }
 
   test("class report: hand confusion counts; absent-side classes guarded") {
     import graft.llm.Agreement
     val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("z", "y"))
       .toDF("t", "p")
+    def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -1L else r.getLong(i)
     val m = Agreement.classReport(df, col("t"), col("p"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3),
-          if (r.isNullAt(4)) -1L else r.getLong(4),
-          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
-    // x: tp=1 fp=0 fn=1 -> precision 1e6, recall 5e5
-    assert(m("x") === ((1L, 0L, 1L, 1000000L, 500000L)))
-    // y: tp=1 fp=2 fn=0 -> precision 333333, recall 1e6
-    assert(m("y") === ((1L, 2L, 0L, 333333L, 1000000L)))
-    // z: never predicted -> precision NULL, recall 0
-    assert(m("z") === ((0L, 0L, 1L, -1L, 0L)))
+          opt(r, 4), opt(r, 5), opt(r, 6))).toMap
+    // x: tp=1 fp=0 fn=1 -> precision 1e6, recall 5e5, f1 = 2/(2+1)
+    assert(m("x") === ((1L, 0L, 1L, 1000000L, 500000L, 666666L)))
+    // y: tp=1 fp=2 fn=0 -> precision 333333, recall 1e6, f1 = 2/(2+2)
+    assert(m("y") === ((1L, 2L, 0L, 333333L, 1000000L, 500000L)))
+    // z: never predicted -> precision NULL, recall 0, f1 = 0/(0+1)
+    assert(m("z") === ((0L, 0L, 1L, -1L, 0L, 0L)))
   }
 
   test("pagerank: hand-computed fixed-point iteration on a 3-node graph") {
