@@ -1123,6 +1123,22 @@ object QueriesMore {
         Seq("user_id"), "value",
         probes = Seq(0.0, 100.0, 250.0, 400.0, 500.0))),
 
+    // batch point-in-interval join via the time-bucket decomposition:
+    // every event lands back in exactly the q271 session that contains
+    // it — an equi-join on (user, bucket), never a nested loop
+    "q282_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = graft.window.Sessions.stats(ev, "user_id", "ts",
+        gapSec = 1800)
+      graft.align.IntervalJoin.pointInInterval(
+        ev.select("event_id", "user_id", "ts"),
+        sessions.select(col("user_id"), col("t_start"), col("t_end"),
+          col("session_seq")),
+        by = Seq("user_id"), t = "ts", start = "t_start", end = "t_end",
+        bucketMicros = 3600L * 1000000L)
+        .select("event_id", "user_id", "session_seq")
+    }),
+
     // Holt linear-trend smoothing (alpha=1/2, beta=1/5) of each user's
     // purchase-value series in 1e6 fixed-point — integer recursion, so
     // the recursive-CTE oracle replays every step exactly
@@ -2140,6 +2156,24 @@ object QueriesMore {
                        AS t)
          WHERE event_type = 'purchase'
          GROUP BY 1, 2""",
+    // interval-join replay: q271's session CTEs + a BETWEEN containment
+    // join (the oracle can afford the naive form)
+    "q282_interval_join" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+               THEN 1 ELSE 0 END AS nw
+           FROM events),
+         s AS (SELECT user_id, event_id, ts,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+           FROM o),
+         sess AS (SELECT user_id, session_seq, min(ts) AS t_start,
+             max(ts) AS t_end
+           FROM s GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, sess.session_seq
+         FROM events e JOIN sess ON e.user_id = sess.user_id
+           AND e.ts >= sess.t_start AND e.ts <= sess.t_end""",
     // Holt replay: the integer recursion stepped by a recursive CTE —
     // // and Spark's div share truncation, including on negative trends
     "q276_holt_smooth" ->

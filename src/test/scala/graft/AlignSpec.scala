@@ -104,6 +104,28 @@ class AlignSpec extends SparkSpec {
     assert(out(30L).isEmpty)        // outside range -> NULL, no extrapolation
   }
 
+  test("interval join: containment bounds inclusive, multi-bucket spans exact") {
+    import graft.align.IntervalJoin
+    def ts(s: Long) = timestamp_seconds(lit(s))
+    val points = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (1L, 9999L),
+      (2L, 100L))
+      .toDF("g", "t").select(col("g"),
+        timestamp_seconds(col("t")).as("ts"))
+    // interval [100, 5000] spans many 1000-second buckets; [0,0] is a
+    // degenerate point interval
+    val ivs = Seq((1L, 100L, 5000L, "a"), (1L, 0L, 0L, "b"),
+      (2L, 0L, 50L, "c"))
+      .toDF("g", "s", "e", "tag")
+      .select(col("g"), timestamp_seconds(col("s")).as("s"),
+        timestamp_seconds(col("e")).as("e"), col("tag"))
+    val out = IntervalJoin.pointInInterval(points, ivs, Seq("g"), "ts",
+      "s", "e", bucketMicros = 1000L * 1000000L)
+      .select(col("g"), unix_seconds(col("ts")).as("t"), col("tag"))
+      .as[(Long, Long, String)].collect().toSet
+    // inclusive bounds both ends; 9999 outside; group-2 point outside c
+    assert(out === Set((1L, 100L, "a"), (1L, 5000L, "a"), (1L, 0L, "b")))
+  }
+
   test("broadcast_like expands over the other's extra dims (dataarray.py:1561)") {
     val grid = XDataset(
       Seq((35.0, "a", 1), (35.0, "b", 2), (40.0, "a", 3))

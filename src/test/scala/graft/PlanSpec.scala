@@ -207,6 +207,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join decomposes to an equi-join — never a nested loop") {
+    val p = plan("q282_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join must bucket-decompose:\n${p.take(1000)}")
+  }
+
   test("pagerank: no cartesian join; per-iteration mass join is equi-keyed") {
     val p = plan("q273_pagerank")
     assert(!p.contains("CartesianProduct") &&
