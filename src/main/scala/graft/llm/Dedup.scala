@@ -599,4 +599,32 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Blocked fuzzy record linkage (edit distance): per record, how many
+    * OTHER records in its block sit within `maxDist` Levenshtein edits
+    * (strictly > 0 — exact duplicates are [[exact]]'s job) and the
+    * nearest such neighbor (ties: smaller distance, then smaller id).
+    * Levenshtein is the same integer DP in every engine, so the profile
+    * is oracle-exact. Candidate pairs are quadratic WITHIN a block —
+    * the standard record-linkage cost — so the blocking key must keep
+    * blocks bounded; the output is one row per record with a match. */
+  def fuzzyNeighbors(df: DataFrame, id: String, name: String,
+                     block: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val keyed = graft.util.QueryCache.persist(
+      df.select(col(id).as("__id"), col(name).as("__nm"),
+        block.as("__blk")))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as(id), col("b.__id").as("__oid"),
+        levenshtein(col("a.__nm"), col("b.__nm")).as("__d"))
+      .filter(col("__d") > 0 && col("__d") <= maxDist)
+    pairs.groupBy(col(id))
+      .agg(count(lit(1)).as("n_near"),
+        min(struct(col("__d"), col("__oid"))).as("__best"))
+      .select(col(id), col("n_near"),
+        col("__best.__oid").as("nearest_id"),
+        col("__best.__d").as("nearest_dist"))
+  }
 }

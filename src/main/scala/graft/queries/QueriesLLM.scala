@@ -808,6 +808,18 @@ object QueriesLLM {
       LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
+    // blocked fuzzy record linkage on a 1-in-8 part sample: per part the
+    // count of near-miss names (0 < levenshtein <= 4) within its
+    // widget-type block and the nearest one — both engines share the
+    // exact integer edit distance. (The synthetic names draw from a tiny
+    // vocabulary, so blocks are fat; the sample keeps the inherently
+    // quadratic-per-block candidate set bench-sized.)
+    "q283_fuzzy_match" -> ((s, dir) =>
+      Dedup.fuzzyNeighbors(
+        Tables.part(s, dir).filter(col("p_partkey") % 8 === 0),
+        "p_partkey", "p_name",
+        block = element_at(split(col("p_name"), " "), 2), maxDist = 4)),
+
     // Cohen's kappa between the annotated lang column and the q55 langid
     // prediction — inter-annotator agreement as a pure integer ratio
     "q280_cohens_kappa" -> ((s, dir) => {
@@ -1697,6 +1709,25 @@ object QueriesLLM {
            FROM band)
          WHERE rk <= 3""",
     "q55_langid" -> q55Sql,
+    // fuzzy-linkage replay: same blocking, same integer edit distance,
+    // same (dist, id) nearest tie-break
+    "q283_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[2] AS blk FROM part
+           WHERE p_partkey % 8 = 0),
+         pr AS (SELECT a.p_partkey, b.p_partkey AS oid,
+             levenshtein(a.p_name, b.p_name) AS d
+           FROM p a JOIN p b
+           ON a.blk = b.blk AND a.p_partkey != b.p_partkey),
+         f AS (SELECT * FROM pr WHERE d > 0 AND d <= 4),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+             ORDER BY d, oid) AS rn FROM f)
+         SELECT p_partkey, count(*) AS n_near,
+           CAST(max(CASE WHEN rn = 1 THEN oid END) AS BIGINT)
+             AS nearest_id,
+           CAST(max(CASE WHEN rn = 1 THEN d END) AS BIGINT)
+             AS nearest_dist
+         FROM rk GROUP BY 1""",
     // kappa replay: q55's prediction CTE verbatim, truth = the annotated
     // lang column, then the denominator-cleared integer formula
     "q280_cohens_kappa" ->

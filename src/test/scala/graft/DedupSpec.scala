@@ -197,4 +197,23 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
     assert(r.getString(3) == "x y z")
   }
+
+  test("fuzzy neighbors: blocked edit distance, exact dups excluded") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "kitten", "k"), (2L, "sitting", "k"),   // d=3, same block
+      (3L, "kittens", "k"),                        // d(1,3)=1, d(2,3)=4
+      (4L, "kitten", "k"),                         // exact dup of 1: d=0
+      (5L, "kitten", "other"))                     // right name, wrong block
+      .toDF("id", "nm", "blk")
+    val out = Dedup.fuzzyNeighbors(df, "id", "nm", col("blk"), maxDist = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // id 1: near = {2 (d3), 3 (d1)}; exact dup 4 (d0) excluded
+    assert(out(1L) === ((2L, 3L, 1)))
+    // id 2: near = {1 (d3), 3 (d3: s→k, i→e, g→s), 4 (d3)}; ties -> min id
+    assert(out(2L) === ((3L, 1L, 3)))
+    // id 5 matches nothing (different block) and emits no row
+    assert(!out.contains(5L))
+  }
 }
