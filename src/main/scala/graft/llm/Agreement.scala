@@ -25,13 +25,19 @@ object Agreement {
       sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_agree"))
     val rowc = pairs.groupBy(col("t").as("c")).agg(count(lit(1)).as("rc"))
     val colc = pairs.groupBy(col("p").as("c")).agg(count(lit(1)).as("cc"))
-    // categories absent from one side contribute rc·0 = 0: inner join
+    // categories absent from one side contribute rc·0 = 0: inner join.
+    // The marginal products widen to DECIMAL too — rc·cc alone overflows
+    // Long at ~3e9 rows in one category
     val sumRc = rowc.join(colc, "c")
-      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("sum_rc"))
+      .agg(coalesce(sum(col("rc").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)) * col("cc")),
+        lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("sum_rc"))
     // DECIMAL-widened numerator/denominator (the LinkAnalysis lift
     // convention): n²·1e6 exceeds Long already at ~3M rows
     tot.crossJoin(broadcast(sumRc))
-      .select(col("n"), col("n_agree"), col("sum_rc"),
+      .select(col("n"), col("n_agree"),
+        col("sum_rc").cast("long").as("sum_rc"),
         expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n = sum_rc THEN NULL
                 ELSE (CAST(n AS DECIMAL(38,0)) * n_agree - sum_rc) * 1000000
                      div (CAST(n AS DECIMAL(38,0)) * n - sum_rc) END""")

@@ -202,7 +202,10 @@ object TextAnalysis {
         sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 8)))
           .as("__slc"))
       .select(col(id), col("n_tokens"), col("n_types"),
-        round(log2(col("n_tokens")) -
+        // log2(N) pins to the 8-dp grid like every other libm term:
+        // Spark's log2 is ln/ln2 while DuckDB's is native log2, and the
+        // two differ in the last ulp for ~30% of integer inputs
+        round(round(log2(col("n_tokens")), 8) -
           col("__slc").cast("double") / col("n_tokens"), 6).as("entropy_bits"))
   }
 
@@ -214,8 +217,10 @@ object TextAnalysis {
     * (src, gram) key. Diversity reported in exact ppm. */
   def ngramDiversity(docs: org.apache.spark.sql.DataFrame, src: String,
                      text: String, n: Int): org.apache.spark.sql.DataFrame = {
+    // no pre-filter: wordNgrams yields an EMPTY gram list for docs
+    // shorter than n and explode drops them — a size(tokens(..)) filter
+    // would re-tokenize every document in a second operator
     val grams = docs
-      .filter(size(tokens(lower(col(text)))) >= n)
       .select(col(src).as("src"),
         explode(wordNgrams(lower(col(text)), n)).as("g"))
     grams.groupBy(col("src"))
@@ -236,8 +241,9 @@ object TextAnalysis {
   def topNgramMass(docs: org.apache.spark.sql.DataFrame, id: String,
                    text: String, n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no pre-filter — empty gram lists explode to nothing (see
+    // [[ngramDiversity]]); short docs drop for free
     val counts = docs
-      .filter(size(tokens(lower(col(text)))) >= n)
       .select(col(id), length(col(text)).as("n_chars"),
         explode(wordNgrams(lower(col(text)), n)).as("g"))
       .groupBy(col(id), col("n_chars"), col("g"))

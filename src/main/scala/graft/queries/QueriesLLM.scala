@@ -1740,13 +1740,13 @@ object QueriesLLM {
            FROM pr),
          rowc AS (SELECT t AS c, count(*) AS rc FROM pr GROUP BY 1),
          colc AS (SELECT p AS c, count(*) AS cc FROM pr GROUP BY 1),
-         src AS (SELECT CAST(coalesce(sum(rc * cc), 0) AS BIGINT)
-               AS sum_rc
+         src AS (SELECT coalesce(sum(CAST(rc AS HUGEINT) * cc), 0)
+               AS src_h
            FROM rowc JOIN colc USING (c))
-         SELECT n, n_agree, sum_rc,
-           CASE WHEN CAST(n AS HUGEINT) * n = sum_rc THEN NULL
-                ELSE CAST((CAST(n AS HUGEINT) * n_agree - sum_rc) * 1000000
-                     // (CAST(n AS HUGEINT) * n - sum_rc) AS BIGINT)
+         SELECT n, n_agree, CAST(src_h AS BIGINT) AS sum_rc,
+           CASE WHEN CAST(n AS HUGEINT) * n = src_h THEN NULL
+                ELSE CAST((CAST(n AS HUGEINT) * n_agree - src_h) * 1000000
+                     // (CAST(n AS HUGEINT) * n - src_h) AS BIGINT)
            END AS kappa_ppm
          FROM tot CROSS JOIN src""",
     "q56_text_quality" ->
@@ -2644,7 +2644,7 @@ object QueriesLLM {
              FROM documents) GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
-           round(log2(sum(c)) -
+           round(round(log2(sum(c)), 8) -
              CAST(sum(CAST(round(c * log2(c), 8) AS DECIMAL(30,8)))
                AS DOUBLE) / sum(c), 6) AS entropy_bits
          FROM counts GROUP BY doc_id""",
@@ -2720,8 +2720,9 @@ object QueriesLLM {
              ORDER BY lift_ppb DESC, n_co DESC, rec_item) AS rk FROM sc)
          SELECT item, rec_item, n_co, lift_ppb, rk FROM rk WHERE rk <= 3""",
     // PageRank replay: all 3 iterations chained in the same 1e12
-    // fixed-point integer arithmetic (// is floor division — all values
-    // positive, so it equals Spark's div), LEFT-joined node universe
+    // fixed-point integer arithmetic (// TRUNCATES toward zero, exactly
+    // like Spark's div and Java's / — see the q276 Holt contract; all
+    // values here are positive anyway), LEFT-joined node universe
     "q273_pagerank" ->
       """WITH e AS (SELECT a.l_partkey AS s, b.l_partkey AS d
            FROM lineitem a JOIN lineitem b

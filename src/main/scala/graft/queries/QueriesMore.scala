@@ -2181,7 +2181,8 @@ object QueriesMore {
              CAST(round(value * 1000000, 0) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY user_id
                ORDER BY ts, event_id) AS rn
-           FROM events WHERE event_type = 'purchase'),
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
          r AS (
            SELECT user_id, rn, y AS l, CAST(0 AS BIGINT) AS b
            FROM s WHERE rn = 1
