@@ -100,4 +100,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2).getDouble(4) === 12.0 && f1(2).getDouble(6) === 56.0)
     assert(out.filter(_.getLong(0) == 2L).length === 1)
   }
+
+  test("truncated media at ANY cut point skips or parses — never throws") {
+    // WAV: the valid PCM16 container from the decodeWav test
+    val n = 64; val v: Short = 16384
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + n * 2); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(44100); bb.putInt(88200)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(n * 2)
+    (0 until n).foreach(_ => bb.putShort(v))
+    val wav = bb.array()
+    val wavCuts = (0 until wav.length by 7).map(c =>
+      c.toLong -> wav.take(c))
+    // each row decodes to AT MOST one record; no exception anywhere
+    assert(Multimodal.decodeWav(mediaDf(wavCuts), "doc_id", "media")
+      .collect().length <= wavCuts.length)
+    // PNG: a real encoded image truncated at every 13th byte
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val pngCuts = (0 until png.length by 13).map(c =>
+      c.toLong -> png.take(c))
+    assert(Multimodal.imageFeatures(mediaDf(pngCuts), "doc_id", "media")
+      .collect().length <= pngCuts.length)
+    // GIF frames: truncation must stop enumeration, not fail the job
+    val gos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gos)
+    val gif = gos.toByteArray
+    val gifCuts = (0 until gif.length by 11).map(c =>
+      c.toLong -> gif.take(c))
+    Multimodal.gifFrames(mediaDf(gifCuts), "doc_id", "media").collect()
+  }
 }
