@@ -53,15 +53,20 @@ object Pca {
     val m = prods.groupBy("i", "j").agg(sum(dec(col("p"))).as("s2")).persist()
     val n = m.filter(col("i") === d && col("j") === d)
       .head().getDecimal(2).doubleValue() // bounded: the count cell
+    require(n >= 2, s"covariance needs >= 2 rows, got ${n.toLong}")
     val s1 = m.filter(col("j") === d && col("i") < d)
       .select(col("i"), col("s2").as("s1"))
     m.filter(col("j") < d)
       .join(s1.select(col("i"), col("s1").as("sa")), "i")
       .join(s1.select(col("i").as("j"), col("s1").as("sb")), "j")
       .select(col("i"), col("j"),
-        round((col("s2").cast("double") -
+        // + 0.0 normalizes signed zero: Spark's round (BigDecimal, no -0.0)
+        // emits +0.0 where a C-library round keeps -0.0 for a tiny negative
+        // cov; IEEE -0.0 + 0.0 = +0.0 converges both engines (oracle SQL
+        // carries the same term).
+        (round((col("s2").cast("double") -
             col("sa").cast("double") * col("sb").cast("double") / lit(n)) /
-          lit(n - 1), scale).as("cov"))
+          lit(n - 1), scale) + lit(0.0)).as("cov"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

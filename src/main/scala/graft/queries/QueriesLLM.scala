@@ -2096,7 +2096,7 @@ object QueriesLLM {
              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
            JOIN nv va ON va.vec_id = a.vec_id
            JOIN nv vb ON vb.vec_id = b.vec_id)
-         SELECT vec_id, cluster, round(max(cos), 6) AS max_cos
+         SELECT vec_id, cluster, round(max(cos), 6) + 0.0 AS max_cos
          FROM prs WHERE cos >= 0.95 GROUP BY 1, 2""",
     // quality-filter oracle: q56/q126's signal fragments + the same
     // thresholds
@@ -2199,7 +2199,7 @@ object QueriesLLM {
          SELECT m2.i - 1 AS i, m2.j - 1 AS j,
            round((CAST(m2.s2 AS DOUBLE)
                - CAST(sa.s1 AS DOUBLE) * CAST(sb.s1 AS DOUBLE) / nn.n)
-             / (nn.n - 1), 6) AS cov
+             / (nn.n - 1), 6) + 0.0 AS cov
          FROM m2 JOIN s1 sa ON sa.i = m2.i
            JOIN s1 sb ON sb.i = m2.j, nn""",
     // PSI replay: identical fixed-grid binning, Laplace-smoothed ratios

@@ -1448,7 +1448,7 @@ object QueriesMore {
     "q90_curvefit" ->
       """SELECT l_returnflag,
          round(exp(regr_intercept(ln(y), x)), 4) AS a_fit,
-         round(regr_slope(ln(y), x), 4) AS b_fit
+         round(regr_slope(ln(y), x), 4) + 0.0 AS b_fit
          FROM (SELECT l_returnflag, l_quantity / 10.0 AS x,
                  (100.0 + g * 25.0) * exp((0.2 + g * 0.1) * (l_quantity / 10.0)) AS y
                FROM (SELECT l_returnflag, l_quantity,
@@ -1509,11 +1509,11 @@ object QueriesMore {
     "q78_cross" ->
       """SELECT vec_id,
          round(CAST(embedding[2] AS DOUBLE) * CAST(embedding[6] AS DOUBLE)
-             - CAST(embedding[3] AS DOUBLE) * CAST(embedding[5] AS DOUBLE), 8) AS cx,
+             - CAST(embedding[3] AS DOUBLE) * CAST(embedding[5] AS DOUBLE), 8) + 0.0 AS cx,
          round(CAST(embedding[3] AS DOUBLE) * CAST(embedding[4] AS DOUBLE)
-             - CAST(embedding[1] AS DOUBLE) * CAST(embedding[6] AS DOUBLE), 8) AS cy,
+             - CAST(embedding[1] AS DOUBLE) * CAST(embedding[6] AS DOUBLE), 8) + 0.0 AS cy,
          round(CAST(embedding[1] AS DOUBLE) * CAST(embedding[5] AS DOUBLE)
-             - CAST(embedding[2] AS DOUBLE) * CAST(embedding[4] AS DOUBLE), 8) AS cz
+             - CAST(embedding[2] AS DOUBLE) * CAST(embedding[4] AS DOUBLE), 8) + 0.0 AS cz
          FROM embeddings""",
     "q79_cumulative_integrate" ->
       """SELECT event_id, user_id,
@@ -2015,11 +2015,11 @@ object QueriesMore {
     "q84_polyfit2" ->
       """SELECT l_returnflag,
          round((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
-            + s2 * (t1 * s3 - s2 * t2)) / det, 4) AS c0,
+            + s2 * (t1 * s3 - s2 * t2)) / det, 4) + 0.0 AS c0,
          round((s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s3 * s2)
-            + s2 * (s1 * t2 - t1 * s2)) / det, 4) AS c1,
+            + s2 * (s1 * t2 - t1 * s2)) / det, 4) + 0.0 AS c1,
          round((s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0)
-            + t0 * (s1 * s3 - s2 * s2)) / det, 6) AS c2
+            + t0 * (s1 * s3 - s2 * s2)) / det, 6) + 0.0 AS c2
          FROM (SELECT *,
              s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
                + s2 * (s1 * s3 - s2 * s2) AS det

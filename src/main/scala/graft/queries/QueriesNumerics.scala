@@ -319,9 +319,9 @@ object QueriesNumerics {
   val oracles: Map[String, String] = Map(
     "q40_cov_corr" ->
       """SELECT l_returnflag,
-         round((sxy - sx * sy / n) / (n - 1), 4) AS cov_qp,
+         round((sxy - sx * sy / n) / (n - 1), 4) + 0.0 AS cov_qp,
          round((n * sxy - sx * sy) /
-           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_qp
+           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) + 0.0 AS corr_qp
          FROM (SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
@@ -345,7 +345,7 @@ object QueriesNumerics {
              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
            FROM f)
          SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-           round(l.l_extendedprice - (a + b * l_quantity), 6) AS resid
+           round(l.l_extendedprice - (a + b * l_quantity), 6) + 0.0 AS resid
          FROM lineitem l JOIN g USING (l_returnflag)""",
     // same power-sum corr replay as q40, over the lagged pairs
     "q211_autocorr" ->
@@ -356,7 +356,7 @@ object QueriesNumerics {
            FROM events)
          SELECT user_id,
            round((n * sxy - sx * sy) /
-             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS acf1
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) + 0.0 AS acf1
          FROM (SELECT user_id,
              CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
@@ -371,8 +371,8 @@ object QueriesNumerics {
          FROM customer""",
     "q42_polyfit" ->
       """SELECT l_returnflag,
-         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) + 0.0 AS intercept
          FROM (SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
@@ -382,9 +382,9 @@ object QueriesNumerics {
            FROM lineitem GROUP BY 1)""",
     "q132_polyfit_weighted" ->
       """SELECT l_returnflag,
-         round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6) AS wslope,
+         round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6) + 0.0 AS wslope,
          round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
-           / sw, 4) AS wintercept
+           / sw, 4) + 0.0 AS wintercept
          FROM (SELECT l_returnflag,
            CAST(sum(CAST(l_discount + 0.01 AS DECIMAL(38,6))) AS DOUBLE) AS sw,
            CAST(sum(CAST((l_discount + 0.01) * l_quantity AS DECIMAL(38,6)))
@@ -885,8 +885,9 @@ object QueriesNumerics {
       val tDefs = (0 to 3).map(k =>
         (if (k == 0) ds(y) else ds(s"(${pw(k)} * $y)")) + s" AS t$k")
       val moments = (sDefs ++ tDefs :+ (ds(s"($y * $y)") + " AS syy")).mkString(",\n           ")
-      val outs = ((0 to 3).map(k => s"round(${cs(k)}, 6) AS c$k") ++
-        (0 to 3).map(k => s"round(${vs(k)}, 9) AS v$k")).mkString(",\n         ")
+      // + 0.0 normalizes signed zero (Spark round can't emit -0.0; DuckDB's can)
+      val outs = ((0 to 3).map(k => s"round(${cs(k)}, 6) + 0.0 AS c$k") ++
+        (0 to 3).map(k => s"round(${vs(k)}, 9) + 0.0 AS v$k")).mkString(",\n         ")
       s"""SELECT l_returnflag,
          $outs
          FROM (SELECT l_returnflag,

@@ -95,8 +95,13 @@ def main():
             oc, sc = o[c].values, s[c].values
             if pd.api.types.is_float_dtype(o[c]) or pd.api.types.is_float_dtype(s[c]):
                 oc = np.asarray(oc, dtype=np.float64); sc = np.asarray(sc, dtype=np.float64)
-                both_nan = np.isnan(oc) & np.isnan(sc)
-                eq = (oc == sc) | both_nan
+                # BIT-EXACT: the driver hashes the serialized float bits, so
+                # -0.0 vs +0.0 and NaN-payload differences must FAIL here too.
+                # Canonicalize NaNs to one pattern, then compare raw bits.
+                canon_nan = np.float64("nan")
+                ocb = np.where(np.isnan(oc), canon_nan, oc).view(np.int64)
+                scb = np.where(np.isnan(sc), canon_nan, sc).view(np.int64)
+                eq = ocb == scb
                 if not eq.all():
                     bad = ~eq
                     diff = np.nanmax(np.abs(oc[bad] - sc[bad]))
