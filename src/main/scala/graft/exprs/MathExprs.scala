@@ -66,7 +66,78 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Python str.isdecimal/isdigit/isnumeric (`core/accessor_str.py` is*
+  * predicates) over Unicode general categories: decimal = Nd only; digit
+  * additionally admits No characters whose numeric value is a single digit
+  * (superscripts, circled digits); numeric admits all of Nd/Nl/No.
+  * BMP-category approximation: CJK ideographic numerals (category Lo with
+  * Numeric_Type=Numeric) are NOT counted numeric, matching
+  * java.lang.Character rather than full UCD Numeric_Type. Empty -> false. */
+case class StrIsClass(child: Expression, mode: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(Set("decimal", "digit", "numeric")(mode), s"bad mode $mode")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  private def test(cp: Int): Boolean = {
+    val t = java.lang.Character.getType(cp)
+    mode match {
+      case "decimal" => t == java.lang.Character.DECIMAL_DIGIT_NUMBER
+      case "digit" => t == java.lang.Character.DECIMAL_DIGIT_NUMBER ||
+        (t == java.lang.Character.OTHER_NUMBER && {
+          val v = java.lang.Character.getNumericValue(cp); v >= 0 && v <= 9
+        })
+      case "numeric" => t == java.lang.Character.DECIMAL_DIGIT_NUMBER ||
+        t == java.lang.Character.LETTER_NUMBER ||
+        t == java.lang.Character.OTHER_NUMBER
+    }
+  }
+  override def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var ok = str.length > 0
+    var i = 0
+    while (ok && i < str.length) {
+      val cp = str.codePointAt(i)
+      ok = test(cp)
+      i += java.lang.Character.charCount(cp)
+    }
+    ok
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str"); val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp"); val t = ctx.freshName("t")
+      val charTest = mode match {
+        case "decimal" =>
+          s"$t == java.lang.Character.DECIMAL_DIGIT_NUMBER"
+        case "digit" =>
+          s"$t == java.lang.Character.DECIMAL_DIGIT_NUMBER || " +
+            s"($t == java.lang.Character.OTHER_NUMBER && " +
+            s"java.lang.Character.getNumericValue($cp) >= 0 && " +
+            s"java.lang.Character.getNumericValue($cp) <= 9)"
+        case "numeric" =>
+          s"$t == java.lang.Character.DECIMAL_DIGIT_NUMBER || " +
+            s"$t == java.lang.Character.LETTER_NUMBER || " +
+            s"$t == java.lang.Character.OTHER_NUMBER"
+      }
+      s"""
+         |String $str = $s.toString();
+         |${ev.value} = $str.length() > 0;
+         |int $i = 0;
+         |while (${ev.value} && $i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  int $t = java.lang.Character.getType($cp);
+         |  ${ev.value} = $charTest;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MathExprs {
+  def strIsClass(c: Column, mode: String): Column =
+    GraftBridge.column(StrIsClass(GraftBridge.expression(c), mode))
+
   def unicodeNormalize(c: Column, form: String): Column = {
     require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"bad form $form")
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(c), form))

@@ -152,4 +152,25 @@ object StrFns {
   }
 
   def isAlnum(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
+
+  /** Unicode-category is* predicates (`accessor_str.py` isdecimal:2856,
+    * isdigit:2870, isnumeric:2884 — distinct classes: decimal ⊂ digit ⊂
+    * numeric; '²' is digit+numeric but not decimal, '½' numeric only). */
+  def isDecimalU(c: Column): Column = graft.exprs.MathExprs.strIsClass(c, "decimal")
+  def isDigitU(c: Column): Column = graft.exprs.MathExprs.strIsClass(c, "digit")
+  def isNumericU(c: Column): Column = graft.exprs.MathExprs.strIsClass(c, "numeric")
+
+  /** index/rindex (`accessor_str.py:737,758`) — the raise-variants of
+    * find/rfind: ValueError when the substring is absent becomes a
+    * per-row raise_error (ANSI-style loud failure, not a silent -1). */
+  def index(c: Column, sub: String): Column = {
+    val f = find(c, sub)
+    when(f === -1, raise_error(concat(
+      lit(s"substring '$sub' not found in: "), c)).cast("int")).otherwise(f)
+  }
+  def rindex(c: Column, sub: String): Column = {
+    val f = rfind(c, sub)
+    when(f === -1, raise_error(concat(
+      lit(s"substring '$sub' not found in: "), c)).cast("int")).otherwise(f)
+  }
 }

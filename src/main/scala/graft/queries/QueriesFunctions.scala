@@ -310,6 +310,85 @@ object QueriesFunctions {
         im(conj(z1)).as("conj_im"),
         abs2(z1).as("abs2"),
         re(q).as("quot_re"), im(q).as("quot_im"))
+    }),
+
+    // ufunc battery 5 — the remaining named tail of `xarray/ufuncs.py`
+    // (ceil:150, floor:161, sqrt:186, square:187, sign:181, negative:176,
+    // positive:177, reciprocal:179, conj:148, isreal/iscomplex:243-244,
+    // add/subtract/multiply/divide/floor_divide/remainder:194-258,
+    // greater:205, less_equal:221, fmax/fmin:202-203 NaN-IGNORING
+    // semantics vs maximum's NaN propagation, heaviside:212 with a
+    // non-default h0). All arithmetic is single-op IEEE (deterministic
+    // across engines, no libm except sqrt which is IEEE-exact) — no
+    // rounding grid needed; NaN never reaches an output column (fmax/fmin
+    // resolve it, the propagation witness is a boolean).
+    "q284_ufunc_battery5" -> ((s, dir) => {
+      val q = col("l_quantity"); val t = col("l_tax") - 0.04
+      Tables.lineitem(s, dir)
+        .withColumn("x", col("l_discount") - 0.05)
+        .withColumn("y",
+          when(q > 40, lit(Double.NaN)).otherwise(col("l_discount") - 0.05))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          ceil(col("x") * 7).cast("long").as("ceil_x7"),
+          floor(col("x") * 7).cast("long").as("floor_x7"),
+          sqrt(q).as("sqrt_q"),
+          (col("x") * col("x")).as("square_x"),
+          signum(col("x")).cast("int").as("sign_x"),
+          (-col("x")).as("negative_x"),
+          col("x").as("positive_x"),
+          (lit(1.0) / q).as("reciprocal_q"),
+          col("x").as("conj_x"), // real conjugate is the identity
+          lit(true).as("isreal_x"),
+          lit(false).as("iscomplex_x"),
+          (col("x") + q).as("add_xq"),
+          (col("x") - q).as("subtract_xq"),
+          (col("x") * q).as("multiply_xq"),
+          (col("x") / q).as("divide_xq"),
+          floor(q / lit(7.0)).cast("long").as("floordiv_q7"),
+          // numpy remainder/mod: sign of the DIVISOR (python %), not the
+          // C fmod battery-3 already pins — expressed as x - floor(x/m)*m
+          (col("x") - floor(col("x") / lit(0.03)) * lit(0.03)).as("mod_py"),
+          // fmax/fmin IGNORE NaN (numpy): the non-NaN operand wins
+          when(isnan(col("y")), t).otherwise(greatest(col("y"), t)).as("fmax_nan"),
+          when(isnan(col("y")), t).otherwise(least(col("y"), t)).as("fmin_nan"),
+          // maximum/minimum PROPAGATE NaN — witnessed as a boolean so no
+          // raw NaN reaches the hashed output
+          isnan(greatest(col("y"), t)).as("maximum_prop_nan"),
+          when(col("x") < 0, 0.0).when(col("x") === 0.0, lit(0.7))
+            .otherwise(1.0).as("heaviside_h07"),
+          (col("x") > 0.0).as("greater_x0"),
+          (col("x") <= 0.0).as("lessequal_x0"))
+    }),
+
+    // .str accessor tail 3 (ref `accessor_str.py`: index:737 / rindex:758
+    // — the raise-variants of find/rfind, exercised on rows where the
+    // substring exists (the raise path is pinned by StrTailSpec); and the
+    // THREE distinct unicode numeric predicates isdecimal:2856,
+    // isdigit:2870, isnumeric:2884 — '²' is digit+numeric but not
+    // decimal, '½' is numeric only, letters are none).
+    "q285_str_tail3" -> ((s, dir) => {
+      val p = col("p_name")
+      Tables.part(s, dir)
+        .filter(p.contains("o"))
+        .withColumn("s_num", col("p_partkey").cast("string"))
+        .withColumn("s_sup", concat(col("p_partkey").cast("string"), lit("²")))
+        .withColumn("s_frac", concat(col("p_partkey").cast("string"), lit("½")))
+        .select(
+          col("p_partkey"), p,
+          StrFns.index(p, "o").as("index_o"),
+          StrFns.rindex(p, "o").as("rindex_o"),
+          StrFns.isDecimalU(col("s_num")).as("dec_num"),
+          StrFns.isDigitU(col("s_num")).as("dig_num"),
+          StrFns.isNumericU(col("s_num")).as("num_num"),
+          StrFns.isDecimalU(col("s_sup")).as("dec_sup"),
+          StrFns.isDigitU(col("s_sup")).as("dig_sup"),
+          StrFns.isNumericU(col("s_sup")).as("num_sup"),
+          StrFns.isDecimalU(col("s_frac")).as("dec_frac"),
+          StrFns.isDigitU(col("s_frac")).as("dig_frac"),
+          StrFns.isNumericU(col("s_frac")).as("num_frac"),
+          StrFns.isDecimalU(p).as("dec_name"),
+          StrFns.isNumericU(lit("")).as("num_empty"))
     })
   )
 
@@ -550,6 +629,67 @@ object QueriesFunctions {
            a * a + b * b AS abs2,
            (a * c - b * (-d)) / (c * c + d * d) AS quot_re,
            (a * (-d) + b * c) / (c * c + d * d) AS quot_im
-         FROM z"""
+         FROM z""",
+    // battery-5 replay: every op is a single IEEE arithmetic step (or an
+    // integer cast of one), so no rounding grid is needed; the NaN lane
+    // resolves through the same CASE shortcuts as the Spark side
+    "q284_ufunc_battery5" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(ceil(x * 7) AS BIGINT) AS ceil_x7,
+         CAST(floor(x * 7) AS BIGINT) AS floor_x7,
+         sqrt(l_quantity) AS sqrt_q,
+         x * x AS square_x,
+         CAST(sign(x) AS INT) AS sign_x,
+         -x AS negative_x,
+         x AS positive_x,
+         1.0 / l_quantity AS reciprocal_q,
+         x AS conj_x,
+         TRUE AS isreal_x,
+         FALSE AS iscomplex_x,
+         x + l_quantity AS add_xq,
+         x - l_quantity AS subtract_xq,
+         x * l_quantity AS multiply_xq,
+         x / l_quantity AS divide_xq,
+         CAST(floor(l_quantity / 7.0) AS BIGINT) AS floordiv_q7,
+         x - floor(x / 0.03) * 0.03 AS mod_py,
+         CASE WHEN isnan(y) THEN t
+              ELSE greatest(y, t) END AS fmax_nan,
+         CASE WHEN isnan(y) THEN t
+              ELSE least(y, t) END AS fmin_nan,
+         isnan(y) AS maximum_prop_nan,
+         CASE WHEN x < 0 THEN 0.0 WHEN x = 0.0 THEN 0.7
+              ELSE 1.0 END AS heaviside_h07,
+         x > 0.0 AS greater_x0,
+         x <= 0.0 AS lessequal_x0
+         FROM (SELECT *, l_discount - 0.05 AS x,
+             l_tax - 0.04 AS t,
+             CASE WHEN l_quantity > 40 THEN CAST('nan' AS DOUBLE)
+                  ELSE l_discount - 0.05 END AS y
+           FROM lineitem)""",
+    // str-tail-3 replay: index/rindex via 1-based strpos over the rows
+    // where 'o' exists; the unicode class predicates replay as regex
+    // char-classes RESTRICTED to the alphabet actually present
+    // ({0-9, ², ½} + ascii letters) — on that alphabet the regex IS the
+    // category definition (decimal=[0-9] ⊂ digit=[0-9²] ⊂ numeric=[0-9²½])
+    "q285_str_tail3" ->
+      """SELECT p_partkey, p_name,
+         strpos(p_name, 'o') - 1 AS index_o,
+         length(p_name) - strpos(reverse(p_name), 'o') AS rindex_o,
+         regexp_full_match(s_num, '[0-9]+') AS dec_num,
+         regexp_full_match(s_num, '[0-9²]+') AS dig_num,
+         regexp_full_match(s_num, '[0-9²½]+') AS num_num,
+         regexp_full_match(s_sup, '[0-9]+') AS dec_sup,
+         regexp_full_match(s_sup, '[0-9²]+') AS dig_sup,
+         regexp_full_match(s_sup, '[0-9²½]+') AS num_sup,
+         regexp_full_match(s_frac, '[0-9]+') AS dec_frac,
+         regexp_full_match(s_frac, '[0-9²]+') AS dig_frac,
+         regexp_full_match(s_frac, '[0-9²½]+') AS num_frac,
+         regexp_full_match(p_name, '[0-9]+') AS dec_name,
+         regexp_full_match('', '[0-9²½]+') AS num_empty
+         FROM (SELECT p_partkey, p_name,
+             CAST(p_partkey AS VARCHAR) AS s_num,
+             CAST(p_partkey AS VARCHAR) || '²' AS s_sup,
+             CAST(p_partkey AS VARCHAR) || '½' AS s_frac
+           FROM part WHERE p_name LIKE '%o%')"""
   )
 }

@@ -78,4 +78,50 @@ class PcaSpec extends SparkSpec {
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("CovMoments aggregator is BIT-identical to the explode formulation") {
+    val rng = new scala.util.Random(13)
+    val pts = (0 until 300).map { _ =>
+      Array.fill(8)((rng.nextGaussian() * 3.0).toFloat)
+    }
+    val df = pts.map(Tuple1(_)).toDF("embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getInt(1))
+    val agg = Pca.covariance(df, "embedding", 12).collect()
+      .map(r => key(r) -> java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+    val exp = Pca.covarianceExplode(df, "embedding", 12).collect()
+      .map(r => key(r) -> java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+    assert(agg.keySet === exp.keySet)
+    // raw bit equality — the decimal grids must coincide exactly
+    agg.foreach { case (k, bits) => assert(bits === exp(k), s"cell $k") }
+  }
+
+  test("covariance rejects fewer than 2 rows loudly") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Pca.covariance(df, "embedding")
+    }
+    assert(ex.getMessage.contains("covariance needs >= 2 rows"))
+  }
+
+  test("d=512: one-pass aggregator beats the d^2-row explode path") {
+    // 64 rows x d=512 -> the explode path materializes 64 * 131,841
+    // ~ 8.4M product rows through two generators + a 131k-group hash
+    // aggregate; the aggregator runs the same products in-buffer.
+    val rng = new scala.util.Random(31)
+    val pts = (0 until 64).map(_ => Array.fill(512)(rng.nextFloat() - 0.5f))
+    val df = pts.map(Tuple1(_)).toDF("embedding").cache()
+    df.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tAgg = time { Pca.covariance(df, "embedding", 9).count() }
+    val tExp = time { Pca.covarianceExplode(df, "embedding", 9).count() }
+    info(f"d=512: aggregator $tAgg%.2fs vs explode $tExp%.2fs " +
+      f"(${tExp / tAgg}%.1fx)")
+    // generous bound: the row blow-up must cost at least 1.5x even on a
+    // noisy box (measured ~5-15x)
+    assert(tAgg * 1.5 < tExp,
+      f"aggregator ($tAgg%.2fs) not faster than explode ($tExp%.2fs)")
+    df.unpersist()
+  }
 }

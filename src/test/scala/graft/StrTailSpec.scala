@@ -45,4 +45,33 @@ class StrTailSpec extends SparkSpec {
     // 'abcdefg'[:2] + 'XX' + 'abcdefg'[5:] == 'abXXfg'
     assert(one[String](StrFns.sliceReplace(col("s"), 2, 5, "XX"), "abcdefg") === "abXXfg")
   }
+
+  test("index/rindex equal find/rfind when present, RAISE when absent") {
+    // 'red widget'.index('e') == 1, .rindex('e') == 8
+    assert(one[Int](StrFns.index(col("s"), "e"), "red widget") === 1)
+    assert(one[Int](StrFns.rindex(col("s"), "e"), "red widget") === 8)
+    // python raises ValueError; here the per-row raise_error surfaces as
+    // a SparkException wrapping the not-found message
+    val ex = intercept[Exception] {
+      Seq("red widget").toDF("s")
+        .select(StrFns.index(col("s"), "zz").as("r")).collect()
+    }
+    assert(ex.getMessage.contains("not found") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not found")))
+  }
+
+  test("isdecimal ⊂ isdigit ⊂ isnumeric distinctions (pandas truth table)") {
+    def tbl(s: String): (Boolean, Boolean, Boolean) = (
+      one[Boolean](StrFns.isDecimalU(col("s")), s),
+      one[Boolean](StrFns.isDigitU(col("s")), s),
+      one[Boolean](StrFns.isNumericU(col("s")), s))
+    assert(tbl("123") === ((true, true, true)))     // Nd
+    assert(tbl("12²") === ((false, true, true)))  // superscript two: No digit
+    assert(tbl("½") === ((false, false, true)))   // vulgar half: No numeric
+    assert(tbl("Ⅲ") === ((false, false, true)))   // roman III: Nl numeric
+    assert(tbl("abc") === ((false, false, false)))
+    assert(tbl("12a") === ((false, false, false)))
+    assert(tbl("") === ((false, false, false)))     // pandas: empty is False
+    assert(tbl("1 2") === ((false, false, false)))  // space breaks the class
+  }
 }
