@@ -243,8 +243,11 @@ object Blosc {
     }
 
   /** Byte transpose within one block: all byte-0s, then all byte-1s, ...
-    * of the `es`-byte elements (blosc shuffles whole blocks whose size is
-    * a multiple of the typesize — no unshuffled tail, unlike HDF5's). */
+    * of the `es`-byte elements. zarr-python always shuffles blocks whose
+    * size is a multiple of the typesize, but c-blosc itself copies a
+    * `nbytes % typesize` leftover VERBATIM after the transposed region
+    * (shuffle.c leftover handling) — a foreign writer can produce such
+    * frames, so both directions carry the tail through unchanged. */
   private def shuffleBytes(raw: Array[Byte], es: Int): Array[Byte] = {
     val n = raw.length / es
     val out = new Array[Byte](raw.length)
@@ -255,6 +258,7 @@ object Blosc {
       while (r < n) { out(j) = raw(r * es + b); j += 1; r += 1 }
       b += 1
     }
+    System.arraycopy(raw, n * es, out, n * es, raw.length - n * es)
     out
   }
 
@@ -268,6 +272,7 @@ object Blosc {
       while (r < n) { out(r * es + b) = raw(j); j += 1; r += 1 }
       b += 1
     }
+    System.arraycopy(raw, n * es, out, n * es, raw.length - n * es)
     out
   }
 }

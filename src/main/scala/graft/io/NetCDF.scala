@@ -500,9 +500,29 @@ object NetCDF {
           // bounded by the full record stride, not the target's slab
           val band = math.max(1L, bandBytes / math.max(1L, rec)).toInt
           val recBegin = h.vars.filter(h.isRecord).map(_.begin).min
+          val fileLen = ch.size()
+          // bytes of THIS variable (and its record coord, if any) that a
+          // span must cover within its final record — writers MAY omit
+          // the padding after the last variable of the last record, so
+          // the final span is clamped to the bytes that exist instead of
+          // demanding the full n*recSize.
+          val slabBytes = v.dimIds.tail.map(h.dims(_).size.toLong).product *
+            typeSize(v.ncType)
+          val coordEnd = coordOf(h, ds.head)
+            .filter(_ => h.isRecord(v))
+            .map(c => c.begin - recBegin + typeSize(c.ncType).toLong)
+            .getOrElse(0L)
+          val lastNeeded = math.max(v.begin - recBegin + slabBytes, coordEnd)
           (0L until h.numrecs by band.toLong).map { r0 =>
             val n = math.min(band.toLong, h.numrecs - r0).toInt
-            NcTask(path, r0, n, recBegin + r0 * rec, n.toLong * rec)
+            val pos = recBegin + r0 * rec
+            val len = math.min(n.toLong * rec, fileLen - pos)
+            require(len >= (n - 1).toLong * rec + lastNeeded,
+              s"$varName: file ends ${(n - 1).toLong * rec + lastNeeded - len}" +
+                s" bytes before record ${r0 + n - 1}'s data for this " +
+                "variable — truncated file (unpadded final-record tails " +
+                "are tolerated, missing variable bytes are not)")
+            NcTask(path, r0, n, pos, len)
           }
         } else {
           val sizes = v.dimIds.map(h.dims(_).size)

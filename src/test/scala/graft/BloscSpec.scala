@@ -107,6 +107,18 @@ class BloscSpec extends SparkSpec {
     }
   }
 
+  test("shuffle with a non-multiple-of-typesize tail copies the leftover verbatim (c-blosc)") {
+    // nbytes % typesize != 0 never comes from zarr-python, but c-blosc's
+    // shuffle copies the leftover bytes through unchanged — roundtrip a
+    // 21-byte payload at typesize 8 (5-byte tail) through every codec
+    val plain = Array.tabulate(21)(i => (i * 7 + 3).toByte)
+    for (cname <- Seq("zlib", "lz4", "zstd")) {
+      val frame = Blosc.compress(plain, 8, cname, 5, 1)
+      assert(Blosc.decompress(frame, plain.length).toSeq === plain.toSeq,
+        s"codec $cname")
+    }
+  }
+
   test("incompressible data falls back to the memcpy frame") {
     val rnd = new scala.util.Random(42)
     val plain = Array.fill[Byte](512)(rnd.nextInt().toByte)

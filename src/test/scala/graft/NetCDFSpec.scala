@@ -120,6 +120,34 @@ class NetCDFSpec extends SparkSpec {
       .select("temp").collect().head.getDouble(0) === 16.5)
   }
 
+  test("final-record padding omitted by the writer is tolerated; real truncation still raises") {
+    val dir = java.nio.file.Files.createTempDirectory("ncunpad").toString
+    val p = s"$dir/unpad.nc"
+    // two record vars force interleaving; cnt (NC_SHORT, slab 2) is
+    // padded to 4 inside the record stride, so the file's final 2 bytes
+    // are pure alignment padding a spec-lenient writer MAY omit
+    NetCDF.write(p,
+      dims = Seq(Dim("time", 0), Dim("x", 3)),
+      vars = Seq(
+        Var("temp", Seq(0, 1), NC_DOUBLE, Array.tabulate(12)(i => i * 1.5)),
+        Var("cnt", Seq(0), NC_SHORT, Array(5.0, 6.0, 7.0, 8.0))))
+    val path = java.nio.file.Paths.get(p)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    java.nio.file.Files.write(path, bytes.dropRight(2)) // strip final pad
+    import org.apache.spark.sql.functions.col
+    assert(NetCDF.toLongDF(spark, dir, "cnt")
+      .filter(col("time") === 3).select("cnt").collect().head.getLong(0) === 8L)
+    assert(NetCDF.toLongDF(spark, dir, "temp").count() === 12)
+    // cut into cnt's DATA bytes: cnt must refuse loudly, while temp —
+    // whose bytes all still exist — keeps reading
+    java.nio.file.Files.write(path, bytes.dropRight(4))
+    val ex = intercept[IllegalArgumentException] {
+      NetCDF.toLongDF(spark, dir, "cnt").collect()
+    }
+    assert(ex.getMessage.contains("truncated"))
+    assert(NetCDF.toLongDF(spark, dir, "temp").count() === 12)
+  }
+
   test("banded reads: tiny bandBytes forces per-record / per-row tasks") {
     val dir = java.nio.file.Files.createTempDirectory("ncband").toString
     val p = s"$dir/band.nc"
