@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke (BENCH_SCALE.md): synthesize an ~sf1 replica of the
+  * driver tables by unioning sf0.1 `reps` times with remapped keys, then
+  * single-pass-time the most expensive registry queries against it.
+  *
+  * Replica semantics (chosen so the stress is realistic, not degenerate):
+  *  - every long key space (doc/vec/order/cust/event/user ids) shifts by
+  *    r·10^7 per replica — MORE entities, not deeper per-entity history,
+  *    so windows/sessions/groups scale in count, not in state size;
+  *  - document text and customer names get a per-replica suffix: replicas
+  *    are realistic NEAR-duplicates (high-Jaccard, distinct hashes), so
+  *    exact dedup does not collapse them and LSH/fuzzy blocking is
+  *    stressed without the quadratic exact-copy pathology;
+  *  - embeddings replicate verbatim under new ids (covariance/clustering
+  *    are invariant; candidate-bounded ANN paths are not in this list);
+  *  - dimension tables (part/supplier/nation/region) stay as-is, like a
+  *    real star schema scaling facts against fixed dims.
+  *
+  * Usage: runMain graft.ScaleSmoke [srcDir] [outDir] [query ...]
+  */
+object ScaleSmoke {
+
+  private val OFF = 10_000_000L
+
+  private val DEFAULT = Seq(
+    "q50_dedup_exact", "q51_minhash_lsh", "q52_ngram_jaccard",
+    "q136_substring_dedup", "q142_dedup_clusters",
+    "q143_dedup_representatives", "q146_seq_packing", "q197_zorder",
+    "q239_pca_covariance", "q275_also_bought", "q281_classifier_eval",
+    "q283_fuzzy_match")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val names = if (args.length > 2) args.drop(2).toSeq else DEFAULT
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_DONE"))) {
+      build(spark, src, out, reps)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_DONE"),
+        Array.emptyByteArray)
+    }
+
+    val results = names.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val t0 = System.nanoTime()
+      val rows = graft.util.QueryCache.scoped { fn(spark, out).count() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"""SCALE {"name":"$name","sec":$secs%.3f,"rows":$rows}""")
+      name -> (secs, rows)
+    }
+    val total = results.map(_._2._1).sum
+    println(f"""SCALE_TOTAL {"reps":$reps,"sec":$total%.3f}""")
+    spark.stop()
+  }
+
+  private def rep(spark: SparkSession, src: String, t: String): DataFrame = {
+    val base = spark.read.parquet(s"$src/$t.parquet")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    base.crossJoin(
+      spark.range(reps.toLong).toDF("__r").hint("broadcast"))
+  }
+
+  private def build(spark: SparkSession, src: String, out: String,
+                    reps: Int): Unit = {
+    val r = col("__r")
+    def shift(c: String) = (col(c) + r * OFF).as(c)
+    def save(df: DataFrame, t: String): Unit = {
+      df.drop("__r").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SCALE_BUILT $t")
+    }
+    save(rep(spark, src, "documents").select(
+      shift("doc_id"),
+      when(r === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" r"), r)).as("text"),
+      col("lang"), col("source"),
+      when(r === 0, col("n_chars"))
+        .otherwise(col("n_chars") + length(concat(lit(" r"), r))).as("n_chars"),
+      r), "documents")
+    save(rep(spark, src, "embeddings")
+      .select(shift("vec_id"), col("embedding"), col("label"), r), "embeddings")
+    save(rep(spark, src, "lineitem").select(
+      shift("l_orderkey") +: spark.read.parquet(s"$src/lineitem.parquet")
+        .columns.filter(_ != "l_orderkey").map(col).toSeq :+ r: _*), "lineitem")
+    save(rep(spark, src, "orders").select(
+      shift("o_orderkey") +: spark.read.parquet(s"$src/orders.parquet")
+        .columns.filter(_ != "o_orderkey").map(col).toSeq :+ r: _*), "orders")
+    save(rep(spark, src, "customer").select(
+      shift("c_custkey"),
+      when(r === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit(" "), r)).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), r), "customer")
+    save(rep(spark, src, "events").select(
+      shift("event_id"), col("ts"), shift("user_id"),
+      col("event_type"), col("value"), col("props"), r), "events")
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"SCALE_BUILT $t (verbatim)")
+    }
+  }
+}

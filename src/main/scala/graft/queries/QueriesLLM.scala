@@ -904,6 +904,55 @@ object QueriesLLM {
       val assigned = Cluster.kmeans(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 4, iters = 1)
       Cluster.balancedDownsample(assigned, "vec_id")
+    }),
+
+    // content-defined chunking dedup (FastCDC/LBFS lineage): rolling-hash
+    // cut points follow the content, so shared passages land in identical
+    // chunks regardless of surrounding edits — per source, the chunk-level
+    // duplication ratio in exact ppm. One scan; the codegen CdcChunks
+    // kernel emits bounded per-row spans, the only shuffle is the
+    // per-source distinct-count aggregate.
+    "q286_cdc_chunking" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .select(col("source"), col("text"),
+          posexplode(graft.exprs.CdcExprs.cdcChunks(col("text")))
+            .as(Seq("ci", "c")))
+        .select(col("source"),
+          md5(col("text").substr(col("c.start") + 1, col("c.len"))).as("h"),
+          col("c.len").cast("long").as("clen"))
+      chunks.groupBy("source").agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("clen")).as("total_len"),
+        expr("(count(1) - count(DISTINCT h)) * 1000000 div count(1)")
+          .as("dup_ppm"))
+    }),
+
+    // readability battery: Flesch reading ease on the exact-integer
+    // micro grid (206.835 − 1.015·w/s − 84.6·sy/w, each ratio as a
+    // truncating integral div shared by Spark div and DuckDB //);
+    // syllables = non-overlapping [aeiouy]+ runs per word, min 1 — the
+    // quality-scoring curation verb next to q56/q149
+    "q287_readability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val perDoc = words
+        .select(col("doc_id"),
+          greatest(regexp_count(col("w"), lit("[aeiouy]+")), lit(1)).as("sy"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          sum(col("sy")).cast("long").as("n_syllables"))
+      docs.select(col("doc_id"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          expr("""206835000 - (1015000 * n_words) div n_sentences
+                  - (84600000 * n_syllables) div n_words""")
+            .as("flesch_micro"))
     })
   )
 
@@ -2993,6 +3042,65 @@ object QueriesLLM {
              row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk
            FROM a2)
          SELECT vec_id, cid AS cluster, rk, rk <= cap AS kept
-         FROM ranked CROSS JOIN cap"""
+         FROM ranked CROSS JOIN cap""",
+    // CDC replay: the window-hash at char p (1-based) is the 8-term
+    // polynomial sum with B^k mod P from a recursive powers table —
+    // identical by construction to the kernel's incremental
+    // h' = (h·B + c_in − c_out·B^w) mod P; cut after p when H % 64 = 0,
+    // final cut at len, chunks dedup by md5 per source
+    "q286_cdc_chunking" ->
+      """WITH RECURSIVE pw(k, v) AS (
+           SELECT 0, CAST(1 AS BIGINT) UNION ALL
+           SELECT k + 1, v * 131 % 2147483647 FROM pw WHERE k < 7),
+         d AS (SELECT doc_id, source, text, length(text) AS L
+           FROM documents),
+         pos AS (SELECT doc_id, text,
+             unnest(generate_series(8, L)) AS p FROM d),
+         hh AS (SELECT t.doc_id, t.p,
+             sum(unicode(substr(t.text, t.p - pw.k, 1)) * pw.v)
+               % 2147483647 AS H
+           FROM pos t JOIN pw ON TRUE GROUP BY 1, 2),
+         cuts AS (
+           -- explicit DISTINCT: under WITH RECURSIVE scoping DuckDB does
+           -- NOT dedup a plain UNION here (observed: a hash cut at L
+           -- survived next to the forced final cut)
+           SELECT DISTINCT doc_id, cut FROM (
+             SELECT doc_id, p AS cut FROM hh WHERE H % 64 = 0
+             UNION ALL
+             SELECT doc_id, L FROM d)),
+         chunks AS (SELECT doc_id, cut,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+               AS start
+           FROM cuts),
+         hashed AS (SELECT d.source,
+             md5(substr(d.text, c.start + 1, c.cut - c.start)) AS h,
+             c.cut - c.start AS clen
+           FROM chunks c JOIN d USING (doc_id))
+         SELECT source,
+           count(*) AS n_chunks,
+           count(DISTINCT h) AS n_distinct,
+           CAST(sum(clen) AS BIGINT) AS total_len,
+           (count(*) - count(DISTINCT h)) * 1000000 // count(*) AS dup_ppm
+         FROM hashed GROUP BY 1""",
+    // readability replay: identical tokenization (q203's convention),
+    // identical regexes, truncating integral divisions on both engines
+    "q287_readability" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         syl AS (SELECT doc_id,
+             greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS sy
+           FROM w WHERE length(w) > 0),
+         pd AS (SELECT doc_id, count(*) AS n_words,
+             CAST(sum(sy) AS BIGINT) AS n_syllables FROM syl GROUP BY 1),
+         sent AS (SELECT doc_id,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences
+           FROM documents)
+         SELECT d.doc_id, pd.n_words, sent.n_sentences, pd.n_syllables,
+           206835000 - (1015000 * pd.n_words) // sent.n_sentences
+                     - (84600000 * pd.n_syllables) // pd.n_words
+             AS flesch_micro
+         FROM documents d JOIN pd USING (doc_id) JOIN sent USING (doc_id)"""
   )
 }
