@@ -1,0 +1,135 @@
+package graft.numerics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Hypothesis-test verbs over grouped data — the A/B-readout layer a
+  * pipeline needs next to its aggregations (xarray users reach for
+  * scipy.stats here; these are the distributed equivalents).
+  *
+  * Exactness contract (the q40 power-sum convention): every data-touching
+  * sum rides the DECIMAL grid (order-free), the final statistic is ONE
+  * identical IEEE expression on both engines, rounded on a fixed grid
+  * with the `+ 0.0` signed-zero normalization for negative-capable
+  * statistics.
+  */
+object Stats {
+
+  private def dec(c: Column) = c.cast(DecimalType(38, 6))
+
+  /** Welch's two-sample t-test of `valueCol` between the `groupCol`
+    * levels `a` and `b`: one scan of conditional decimal power sums →
+    * a single-row (n_a, n_b, t, df) frame. t and df are the textbook
+    * Welch expressions evaluated in one fixed IEEE order. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String,
+             tScale: Int = 8, dfScale: Int = 6): DataFrame = {
+    val v = col(valueCol)
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val agg = df.filter(inA || inB).agg(
+      sum(when(inA, 1L).otherwise(0L)).as("na"),
+      sum(when(inB, 1L).otherwise(0L)).as("nb"),
+      sum(when(inA, dec(v)).otherwise(lit(null))).as("sa"),
+      sum(when(inB, dec(v)).otherwise(lit(null))).as("sb"),
+      sum(when(inA, dec(v * v)).otherwise(lit(null))).as("saa"),
+      sum(when(inB, dec(v * v)).otherwise(lit(null))).as("sbb"))
+    // every division happens on DOUBLES (decimal division scale rules
+    // differ between engines; the decimal grid is for the SUMS only)
+    agg
+      .withColumn("qa", expr(
+        """((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+              / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE))
+           / CAST(na AS DOUBLE)"""))
+      .withColumn("qb", expr(
+        """((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+              / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+           / CAST(nb AS DOUBLE)"""))
+      .select(
+        col("na"), col("nb"),
+        (round(expr(
+          """(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(qa + qb)"""),
+          tScale) + lit(0.0)).as("t_stat"),
+        (round(expr(
+          """pow(qa + qb, 2) /
+             (pow(qa, 2) / CAST(na - 1 AS DOUBLE)
+              + pow(qb, 2) / CAST(nb - 1 AS DOUBLE))"""), dfScale) + lit(0.0))
+          .as("df_welch"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: contingency counts in one scan, expected counts e = r·c/N
+    * as identical IEEE doubles, per-cell terms (o−e)²/e rounded to 8 dp
+    * onto the decimal grid, summed exactly. Returns one row
+    * (n, dof, chi2). The per-cell frame never leaves the executor as
+    * more than (#levels_x × #levels_y) rows. */
+  def chi2Independence(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(xCol, yCol).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(xCol).agg(sum("o").as("r"))
+    val cols_ = cells.groupBy(yCol).agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val terms = cells
+      .join(broadcast(rows), Seq(xCol))
+      .join(broadcast(cols_), Seq(yCol))
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        round(expr("""pow(CAST(o AS DOUBLE) -
+            CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2) /
+            (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"""),
+          8).cast(DecimalType(28, 8)).as("term"))
+    val dims = cells.agg(
+      countDistinct(col(xCol)).as("nx"), countDistinct(col(yCol)).as("ny"))
+    terms.groupBy(col("n")).agg(sum("term").as("__chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((col("nx") - 1) * (col("ny") - 1)).as("dof"),
+        col("__chi2").cast("double").as("chi2"))
+  }
+
+  /** Mann–Whitney U between the `groupCol` levels `a` and `b` on
+    * `valueCol`, average-tie ranks, tie-corrected normal approximation.
+    *
+    * Rank sums come from VALUE-LEVEL prefix sums: one conditional count
+    * aggregate per distinct value, a running total over that (small,
+    * aggregated) frame, then 2·rank_avg(v) = 2·cntBelow(v) + cntEq(v) + 1
+    * keeps everything integer. u1_x2/u2_x2 are exact; z is the one IEEE
+    * expression, rounded with the signed-zero normalization. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  a: String, b: String, zScale: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val perValue = df.filter(inA || inB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("cb"))
+    // prefix over the aggregated value-level frame (cardinality = number
+    // of DISTINCT metric values — 50 here; a two-level prefix sum à la
+    // Packing is the swap-in for genuinely high-cardinality metrics)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue
+      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("r2", lit(2) * col("below") + (col("ca") + col("cb")) + 1)
+    val agg = ranked.agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(col("ca") * col("r2")).as("r1_x2"),
+      // tie correction Σ(t³ − t) over tie-group sizes t
+      sum((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+        (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie3"))
+    agg.select(col("n1"), col("n2"),
+      expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+      expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").as("u2_x2"),
+      (round(expr(
+        """(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+           sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+             (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(tie3 AS DOUBLE) /
+                (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))"""),
+        zScale) + lit(0.0)).as("z_stat"))
+  }
+}

@@ -313,7 +313,28 @@ object QueriesNumerics {
         .select(col("l_returnflag") +:
           ((0 to 3).map(k => round(col(s"f.c$k"), 6).as(s"c$k")) ++
            (0 to 3).map(k => round(col(s"f.v$k"), 9).as(s"v$k"))): _*)
-    })
+    }),
+
+    // Welch's two-sample t: ONE scan of conditional decimal power sums,
+    // statistic assembled in a single fixed IEEE expression (the A/B
+    // readout verb; scipy.stats.ttest_ind(equal_var=False))
+    "q288_welch_ttest" -> ((s, dir) =>
+      graft.numerics.Stats.welchT(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", a = "A", b = "N")),
+
+    // chi-square independence of two categoricals: contingency counts in
+    // one scan, per-cell (o-e)^2/e terms on the 8-dp decimal grid, exact
+    // sum (scipy.stats.chi2_contingency's statistic)
+    "q289_chi2_independence" -> ((s, dir) =>
+      graft.numerics.Stats.chi2Independence(Tables.lineitem(s, dir),
+        "l_returnflag", "l_linestatus")),
+
+    // Mann-Whitney U with average-tie ranks and tie-corrected z: rank
+    // sums from VALUE-LEVEL prefix sums (integer-exact via 2x ranks);
+    // the only window runs over the aggregated distinct-value frame
+    "q290_mannwhitney_u" -> ((s, dir) =>
+      graft.numerics.Stats.mannWhitney(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", a = "A", b = "N"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -893,6 +914,90 @@ object QueriesNumerics {
          FROM (SELECT l_returnflag,
            $moments
            FROM lineitem GROUP BY 1)"""
-    }
+    },
+    // Welch replay: identical decimal power sums, identical IEEE
+    // assembly (every division on doubles; + 0.0 signed-zero idiom on
+    // the negative-capable t)
+    "q288_welch_ttest" ->
+      """WITH s AS (SELECT
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb,
+           sum(CASE WHEN l_returnflag = 'A'
+               THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS sa,
+           sum(CASE WHEN l_returnflag = 'N'
+               THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS sb,
+           sum(CASE WHEN l_returnflag = 'A'
+               THEN CAST(l_quantity * l_quantity AS DECIMAL(38,6)) END) AS saa,
+           sum(CASE WHEN l_returnflag = 'N'
+               THEN CAST(l_quantity * l_quantity AS DECIMAL(38,6)) END) AS sbb
+           FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+         q AS (SELECT *,
+           ((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE))
+             / CAST(na AS DOUBLE) AS qa,
+           ((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+               / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+             / CAST(nb AS DOUBLE) AS qb
+           FROM s)
+         SELECT na, nb,
+           round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt(qa + qb), 8) + 0.0 AS t_stat,
+           round(pow(qa + qb, 2) /
+             (pow(qa, 2) / CAST(na - 1 AS DOUBLE)
+              + pow(qb, 2) / CAST(nb - 1 AS DOUBLE)), 6) + 0.0 AS df_welch
+         FROM q""",
+    // chi2 replay: same contingency counts, identical e = r*c/N doubles,
+    // 8-dp decimal terms summed exactly, one final cast
+    "q289_chi2_independence" ->
+      """WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y,
+             count(*) AS o FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+         c AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+         n AS (SELECT sum(o) AS n FROM cells),
+         t AS (SELECT CAST(n.n AS BIGINT) AS n,
+             CAST(round(pow(CAST(o AS DOUBLE)
+                 - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                   / CAST(n.n AS DOUBLE), 2)
+               / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                  / CAST(n.n AS DOUBLE)), 8) AS DECIMAL(28,8)) AS term
+           FROM cells JOIN r USING (x) JOIN c USING (y) CROSS JOIN n),
+         d AS (SELECT count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+           FROM cells)
+         SELECT t.n, (d.nx - 1) * (d.ny - 1) AS dof,
+           CAST(sum(term) AS DOUBLE) AS chi2
+         FROM t CROSS JOIN d GROUP BY 1, 2""",
+    // Mann-Whitney replay: identical value-level prefix, integer 2x
+    // ranks, identical tie-corrected z expression
+    "q290_mannwhitney_u" ->
+      """WITH pv AS (SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+         rk AS (SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pv),
+         r2 AS (SELECT *, 2 * below + (ca + cb) + 1 AS r2 FROM rk),
+         agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(cb) AS BIGINT) AS n2,
+             CAST(sum(ca * r2) AS BIGINT) AS r1_x2,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+               AS BIGINT) AS tie3
+           FROM r2)
+         SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+           round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                 (CAST(n1 + n2 + 1 AS DOUBLE)
+                  - CAST(tie3 AS DOUBLE) /
+                    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+             8) + 0.0 AS z_stat
+         FROM agg"""
   )
 }

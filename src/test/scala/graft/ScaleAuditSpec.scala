@@ -46,7 +46,11 @@ class ScaleAuditSpec extends SparkSpec {
       ("ideal-ranking ordinal over a k-row TakeOrdered result; both DCG " +
         "sums aggregate <= k rows"),
     "q267_weighted_sample" ->
-      "draw ordinal over the n-row TakeOrdered winners (q243 contract)")
+      "draw ordinal over the n-row TakeOrdered winners (q243 contract)",
+    "q290_mannwhitney_u" ->
+      ("rank prefix over the AGGREGATED distinct-value frame (50 rows " +
+        "for this metric); a Packing-style two-level prefix sum is the " +
+        "swap-in for genuinely high-cardinality metrics"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -69,6 +73,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q159_interp_extrapolate" -> "probe grid cross user list, both driver-bounded",
     "q83_interp_nearest" -> "probe grid cross user list, both driver-bounded",
     "q106_pad_stat" -> "broadcast of the 1-row series-stats aggregate",
+    "q289_chi2_independence" -> ("broadcasts of the 1-row N total and the " +
+      "1-row (#levels_x, #levels_y) dims aggregate onto the bounded " +
+      "contingency-cell frame"),
     "q108_interp_zero" -> "probe grid cross user list, both driver-bounded",
     "q109_interp_slinear" -> "probe grid cross user list, both driver-bounded",
     "q110_interp_quadratic" -> "probe grid cross user list, both driver-bounded",

@@ -1,0 +1,70 @@
+package graft
+
+import graft.numerics.Stats
+
+/** Hypothesis-test verbs vs driver-side brute force on small samples. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = Seq(12.0, 15.0, 11.0, 14.0, 13.0, 16.0, 12.0)
+  private val b = Seq(10.0, 9.0, 11.0, 8.0, 12.0, 10.0)
+
+  private def df = (a.map(("A", _)) ++ b.map(("N", _)) ++
+    Seq(("R", 99.0))) // a third group that must be ignored
+    .toDF("g", "v")
+
+  test("welchT matches the textbook computation") {
+    def meanVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val qa = va / a.size; val qb = vb / b.size
+    val t = (ma - mb) / math.sqrt(qa + qb)
+    val dfW = math.pow(qa + qb, 2) /
+      (math.pow(qa, 2) / (a.size - 1) + math.pow(qb, 2) / (b.size - 1))
+    val r = Stats.welchT(df, "g", "v", "A", "N").head()
+    assert(r.getLong(0) === a.size && r.getLong(1) === b.size)
+    assert(math.abs(r.getDouble(2) - t) < 1e-7, s"t ${r.getDouble(2)} vs $t")
+    assert(math.abs(r.getDouble(3) - dfW) < 1e-5)
+  }
+
+  test("chi2Independence matches brute force on a 2x2 table") {
+    // x in {p,q}, y in {u,w} with known counts 10/20/30/40
+    val rows = Seq.fill(10)(("p", "u")) ++ Seq.fill(20)(("p", "w")) ++
+      Seq.fill(30)(("q", "u")) ++ Seq.fill(40)(("q", "w"))
+    val d = rows.toDF("x", "y")
+    val o = Map(("p", "u") -> 10.0, ("p", "w") -> 20.0,
+      ("q", "u") -> 30.0, ("q", "w") -> 40.0)
+    val n = 100.0
+    val rTot = Map("p" -> 30.0, "q" -> 70.0)
+    val cTot = Map("u" -> 40.0, "w" -> 60.0)
+    val chi2 = o.map { case ((x, y), ob) =>
+      val e = rTot(x) * cTot(y) / n; (ob - e) * (ob - e) / e
+    }.sum
+    val r = Stats.chi2Independence(d, "x", "y").head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 1L) // (2-1)*(2-1)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-7)
+  }
+
+  test("mannWhitney matches brute-force average-tie ranks") {
+    val all = (a.map((_, "A")) ++ b.map((_, "N")))
+    val ranks = all.map { case (v, g) =>
+      val less = all.count(_._1 < v); val eq = all.count(_._1 == v)
+      (g, less + (eq + 1) / 2.0)
+    }
+    val r1 = ranks.filter(_._1 == "A").map(_._2).sum
+    val u1 = r1 - a.size * (a.size + 1) / 2.0
+    val n1 = a.size.toDouble; val n2 = b.size.toDouble; val n = n1 + n2
+    val tieSizes = all.map(_._1).groupBy(identity).values.map(_.size)
+    val tie3 = tieSizes.map(t => t.toLong * t * t - t).sum
+    val sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1))))
+    val z = (u1 - n1 * n2 / 2.0) / sigma
+    val r = Stats.mannWhitney(df, "g", "v", "A", "N").head()
+    assert(r.getLong(0) === a.size && r.getLong(1) === b.size)
+    assert(r.getLong(2) === (2 * u1).toLong, "u1_x2")
+    assert(r.getLong(3) === (2 * (n1 * n2 - u1)).toLong, "u2_x2")
+    assert(math.abs(r.getDouble(4) - z) < 1e-7)
+  }
+}
