@@ -89,6 +89,64 @@ object Stats {
         col("__chi2").cast("double").as("chi2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov D between the `groupCol` levels `a`
+    * and `b`: D = max_v |F_a(v) − F_b(v)| over the pooled support. On the
+    * common denominator n1·n2 the statistic is an exact INTEGER —
+    * d_num = max |cumA·n2 − cumB·n1|, D = d_num/(n1·n2) — so the whole
+    * test is engine-divergence-free. Same value-level prefix shape as
+    * [[mannWhitney]]. */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val perValue = df.filter(inA || inB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    cum.crossJoin(broadcast(cum.agg(
+        sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
+          .as("d_num"))
+  }
+
+  /** One-way ANOVA F across ALL levels of `groupCol`: per-group decimal
+    * power sums in one scan, then SSB/SSW assembled in one fixed IEEE
+    * expression over the k-row aggregate. Returns (k, n, f_stat). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+             fScale: Int = 8): DataFrame = {
+    val v = col(valueCol)
+    val g = df.groupBy(groupCol).agg(
+      count(lit(1)).as("ni"),
+      sum(dec(v)).as("si"),
+      sum(dec(v * v)).as("qi"))
+    // per-group terms on a 4-dp decimal grid: si²/ni reaches ~1e8 at
+    // sf0.1, and 8 dp there would need >17 significant digits — past
+    // double's shortest-repr, where Spark's and DuckDB's round diverge
+    // (the repo's round-grid lesson). 4 dp keeps total digits ≤ 14.
+    val terms = g.select(
+      col("ni"), col("si"),
+      round(expr("""CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+          / CAST(ni AS DOUBLE)"""), 4).cast(DecimalType(28, 4)).as("gsq"),
+      col("qi"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"), sum(col("ni")).as("n"),
+      sum(col("si")).as("s"), sum(col("qi")).as("q"),
+      sum(col("gsq")).as("gs"))
+    agg.select(col("k"), col("n"),
+      (round(expr(
+        """((CAST(gs AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+           ((CAST(q AS DOUBLE) - CAST(gs AS DOUBLE))
+            / CAST(n - k AS DOUBLE))"""), fScale) + lit(0.0)).as("f_stat"))
+  }
+
   /** Mann–Whitney U between the `groupCol` levels `a` and `b` on
     * `valueCol`, average-tie ranks, tie-corrected normal approximation.
     *

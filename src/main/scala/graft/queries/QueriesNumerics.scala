@@ -334,7 +334,20 @@ object QueriesNumerics {
     // the only window runs over the aggregated distinct-value frame
     "q290_mannwhitney_u" -> ((s, dir) =>
       graft.numerics.Stats.mannWhitney(Tables.lineitem(s, dir),
-        "l_returnflag", "l_quantity", a = "A", b = "N"))
+        "l_returnflag", "l_quantity", a = "A", b = "N")),
+
+    // two-sample Kolmogorov-Smirnov: D on the common n1*n2 denominator is
+    // an exact INTEGER max over value-level cumulative counts — zero
+    // cross-engine float surface
+    "q291_ks_test" -> ((s, dir) =>
+      graft.numerics.Stats.ksTest(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", a = "A", b = "N")),
+
+    // one-way ANOVA F across all return flags: per-group decimal power
+    // sums, 4-dp-grid group terms, one fixed IEEE assembly
+    "q292_anova_f" -> ((s, dir) =>
+      graft.numerics.Stats.anovaF(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,6 +1011,46 @@ object QueriesNumerics {
                   - CAST(tie3 AS DOUBLE) /
                     (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
              8) + 0.0 AS z_stat
-         FROM agg"""
+         FROM agg""",
+    // KS replay: same value-level cumulatives; the statistic is an exact
+    // integer on the n1*n2 denominator
+    "q291_ks_test" ->
+      """WITH pv AS (SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+         cum AS (SELECT *,
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cumb
+           FROM pv),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(cb) AS BIGINT) AS n2 FROM pv)
+         SELECT tot.n1, tot.n2,
+           CAST(max(abs(cuma * tot.n2 - cumb * tot.n1)) AS BIGINT) AS d_num
+         FROM cum CROSS JOIN tot GROUP BY 1, 2""",
+    // ANOVA replay: identical power sums, identical 4-dp group-term grid,
+    // identical final IEEE expression
+    "q292_anova_f" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS ni,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS si,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS qi
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT ni, si, qi,
+             CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+               / CAST(ni AS DOUBLE), 4) AS DECIMAL(28,4)) AS gsq
+           FROM g),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ni) AS BIGINT) AS n,
+             sum(si) AS s, sum(qi) AS q, sum(gsq) AS gs FROM t)
+         SELECT k, n,
+           round(((CAST(gs AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(q AS DOUBLE) - CAST(gs AS DOUBLE))
+                / CAST(n - k AS DOUBLE)), 8) + 0.0 AS f_stat
+         FROM a"""
   )
 }

@@ -50,7 +50,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q290_mannwhitney_u" ->
       ("rank prefix over the AGGREGATED distinct-value frame (50 rows " +
         "for this metric); a Packing-style two-level prefix sum is the " +
-        "swap-in for genuinely high-cardinality metrics"))
+        "swap-in for genuinely high-cardinality metrics"),
+    "q291_ks_test" ->
+      ("cumulative counts over the AGGREGATED distinct-value frame " +
+        "(q290's contract; 50 rows for this metric)"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -76,6 +79,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q289_chi2_independence" -> ("broadcasts of the 1-row N total and the " +
       "1-row (#levels_x, #levels_y) dims aggregate onto the bounded " +
       "contingency-cell frame"),
+    "q291_ks_test" -> ("broadcast of the 1-row (n1, n2) totals onto the " +
+      "aggregated distinct-value frame"),
     "q108_interp_zero" -> "probe grid cross user list, both driver-bounded",
     "q109_interp_slinear" -> "probe grid cross user list, both driver-bounded",
     "q110_interp_quadratic" -> "probe grid cross user list, both driver-bounded",

@@ -48,6 +48,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - chi2) < 1e-7)
   }
 
+  test("ksTest D is the exact integer max gap on the n1*n2 denominator") {
+    val pooled = (a ++ b).distinct.sorted
+    val dNum = pooled.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)
+    }.max
+    val r = Stats.ksTest(df, "g", "v", "A", "N").head()
+    assert(r.getLong(0) === a.size && r.getLong(1) === b.size)
+    assert(r.getLong(2) === dNum)
+  }
+
+  test("anovaF matches brute force with the 4-dp group-term grid") {
+    val groups = Seq(a, b, Seq(99.0)) // brute over all three levels
+    val k = groups.size; val n = groups.map(_.size).sum
+    val s = groups.flatten.sum
+    val q = groups.flatten.map(x => x * x).sum
+    val gs = groups.map { xs =>
+      BigDecimal(math.round(xs.sum * xs.sum / xs.size * 1e4)) / 1e4
+    }.sum.toDouble
+    val f = ((gs - s * s / n) / (k - 1)) / ((q - gs) / (n - k))
+    val r = Stats.anovaF(df, "g", "v").head()
+    assert(r.getLong(0) === k.toLong && r.getLong(1) === n.toLong)
+    assert(math.abs(r.getDouble(2) - f) < 1e-6, s"F ${r.getDouble(2)} vs $f")
+  }
+
   test("mannWhitney matches brute-force average-tie ranks") {
     val all = (a.map((_, "A")) ++ b.map((_, "N")))
     val ranks = all.map { case (v, g) =>
