@@ -347,7 +347,20 @@ object QueriesNumerics {
     // sums, 4-dp-grid group terms, one fixed IEEE assembly
     "q292_anova_f" -> ((s, dir) =>
       graft.numerics.Stats.anovaF(Tables.lineitem(s, dir),
-        "l_returnflag", "l_quantity"))
+        "l_returnflag", "l_quantity")),
+
+    // Spearman's rho = Pearson over average-tie ranks: the distributed
+    // Rank (Positions ordinals — no global window) feeds the q40
+    // decimal-power-sum correlation; rank values are exact half-integers
+    // so every sum is exact
+    "q293_spearman" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ranked = graft.agg.Rank.avgRank(
+        graft.agg.Rank.avgRank(li, "l_quantity", "rx"),
+        "l_extendedprice", "ry")
+      ranked.agg(count(lit(1)).as("n"),
+        (round(Numerics.corrP(col("rx"), col("ry")), 8) + lit(0.0)).as("rho"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1051,6 +1064,36 @@ object QueriesNumerics {
                  / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
              / ((CAST(q AS DOUBLE) - CAST(gs AS DOUBLE))
                 / CAST(n - k AS DOUBLE)), 8) + 0.0 AS f_stat
-         FROM a"""
+         FROM a""",
+    // Spearman replay: average-tie rank = cntBelow + (cntEq+1)/2 (the
+    // exact half-integer Rank.avgRank computes), then the q40 corr
+    // power-sum expression over the rank pairs
+    "q293_spearman" ->
+      """WITH vx AS (SELECT l_quantity AS v, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         rx AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS r FROM vx),
+         vy AS (SELECT l_extendedprice AS v, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         ry AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS r FROM vy),
+         p AS (SELECT rx.r AS x, ry.r AS y
+           FROM lineitem l
+           JOIN rx ON l.l_quantity = rx.v
+           JOIN ry ON l.l_extendedprice = ry.v),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+           FROM p)
+         SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) + 0.0
+             AS rho
+         FROM s"""
   )
 }

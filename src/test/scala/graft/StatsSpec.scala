@@ -72,6 +72,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - f) < 1e-6, s"F ${r.getDouble(2)} vs $f")
   }
 
+  test("spearman rho (rank-rank pearson) matches brute force with ties") {
+    import org.apache.spark.sql.functions._
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val ys = Seq(2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0)
+    val d = xs.zip(ys).toDF("x", "y")
+    def avgRanks(v: Seq[Double]): Seq[Double] = v.map { x =>
+      v.count(_ < x) + (v.count(_ == x) + 1) / 2.0
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sx, sy) = (a.sum, b.sum)
+      val sxy = a.zip(b).map { case (p, q) => p * q }.sum
+      val sxx = a.map(p => p * p).sum; val syy = b.map(q => q * q).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val expected = pearson(rx, ry)
+    val got = graft.agg.Rank.avgRank(
+        graft.agg.Rank.avgRank(d, "x", "rx"), "y", "ry")
+      .agg(graft.numerics.Numerics.corrP(col("rx"), col("ry")).as("rho"))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
+  }
+
   test("mannWhitney matches brute-force average-tie ranks") {
     val all = (a.map((_, "A")) ++ b.map((_, "N")))
     val ranks = all.map { case (v, g) =>
