@@ -71,6 +71,60 @@ object LinkAnalysis {
     r
   }
 
+  /** HITS hubs & authorities on a bipartite edge set, MAX-normalized
+    * integer fixed point.
+    *
+    * Classic HITS L2-normalizes each iteration — a sqrt whose rounding
+    * convention diverges between engines (why HITS was deliberately
+    * skipped in earlier rounds). Normalizing by the MAX instead keeps the
+    * same fixed-point direction (scores are only ever read relative to
+    * each other) while staying in pure integer arithmetic:
+    * `x' = x·1e6 div max(x)` — the truncating integral div shared by
+    * Java `/`, Spark `div`, and DuckDB `//` — so every engine computes
+    * identical scores. Each iteration is two equi-join aggregates plus a
+    * 1-row broadcast max; round count is bounded by `iters`, never by
+    * data. Returns (role 'hub'|'auth', node, score_ppm). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters $iters out of range")
+    val M = 1000000L
+    val e = graft.util.QueryCache.persist(
+      edges.select(col(src).cast("string").as("__u"),
+        col(dst).cast("string").as("__t")).distinct())
+    var h = e.select(col("__u")).distinct().select(col("__u"),
+      lit(M).as("__h"))
+    var a = e.select(col("__t")).distinct().select(col("__t"),
+      lit(0L).as("__a"))
+    def maxNorm(df0: DataFrame, c: String): DataFrame = {
+      // persist BEFORE branching: the frame feeds both its own max
+      // aggregate and the normalized select — unpersisted, that branch
+      // point doubles the recomputed lineage at every iteration
+      val df = graft.util.QueryCache.persist(df0)
+      val mx = df.agg(max(col(c)).as("__mx"))
+      // decimal-widened numerator: score·1e6 can pass 2^63 at extreme
+      // in-degrees; `div` on decimals is the same exact integral quotient
+      // both engines compute (the alsoTook convention)
+      df.crossJoin(broadcast(mx))
+        .select(df.columns.filter(_ != c).map(col) :+
+          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * ${M}L) div __mx AS BIGINT)")
+            .as(c): _*)
+    }
+    for (_ <- 1 to iters) {
+      // authority pull: a(t) = Σ_{(u,t)} h(u); decimal sum stays exact
+      // at any in-degree, the cast back is ANSI-loud
+      a = maxNorm(e.join(h, "__u").groupBy(col("__t"))
+        .agg(sum(col("__h").cast(DecimalType(38, 0))).cast("long")
+          .as("__a")), "__a")
+      h = maxNorm(e.join(a, "__t").groupBy(col("__u"))
+        .agg(sum(col("__a").cast(DecimalType(38, 0))).cast("long")
+          .as("__h")), "__h")
+    }
+    h.select(lit("hub").as("role"), col("__u").as("node"),
+        col("__h").as("score_ppm"))
+      .unionByName(a.select(lit("auth").as("role"), col("__t").as("node"),
+        col("__a").as("score_ppm")))
+  }
+
   /** Market-basket affinity ("customers who took X also took Y"): per
     * item its top-k co-basket items ranked by exact-ppb LIFT
     * `co·N / (n_a·n_b)` (association strength normalized by marginal

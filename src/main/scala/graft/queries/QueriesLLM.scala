@@ -906,6 +906,16 @@ object QueriesLLM {
       Cluster.balancedDownsample(assigned, "vec_id")
     }),
 
+    // HITS hubs/authorities on the user->event_type bipartite graph —
+    // the link-analysis verb previously skipped for its L2-normalization
+    // divergence, now on the integer fixed-point grid: max-normalization
+    // via the truncating integral div all three engines share (the q273
+    // PageRank lesson applied). Two equi-join aggregates + a 1-row
+    // broadcast max per iteration.
+    "q294_hits" -> ((s, dir) =>
+      LinkAnalysis.hits(Tables.events(s, dir), "user_id", "event_type",
+        iters = 2)),
+
     // content-defined chunking dedup (FastCDC/LBFS lineage): rolling-hash
     // cut points follow the content, so shared passages land in identical
     // chunks regardless of surrounding edits — per source, the chunk-level
@@ -3043,6 +3053,36 @@ object QueriesLLM {
            FROM a2)
          SELECT vec_id, cid AS cluster, rk, rk <= cap AS kept
          FROM ranked CROSS JOIN cap""",
+    // HITS replay: two unrolled iterations of the same pull-normalize
+    // chain; HUGEINT-widened numerators, // = the shared truncating div
+    "q294_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+             event_type AS t FROM events),
+         h0 AS (SELECT u, CAST(1000000 AS BIGINT) AS h
+           FROM (SELECT DISTINCT u FROM e)),
+         a1r AS (SELECT t, CAST(sum(h) AS BIGINT) AS a
+           FROM e JOIN h0 USING (u) GROUP BY 1),
+         a1 AS (SELECT t, CAST((CAST(a AS HUGEINT) * 1000000)
+             // mx AS BIGINT) AS a
+           FROM a1r CROSS JOIN (SELECT max(a) AS mx FROM a1r)),
+         h1r AS (SELECT u, CAST(sum(a) AS BIGINT) AS h
+           FROM e JOIN a1 USING (t) GROUP BY 1),
+         h1 AS (SELECT u, CAST((CAST(h AS HUGEINT) * 1000000)
+             // mx AS BIGINT) AS h
+           FROM h1r CROSS JOIN (SELECT max(h) AS mx FROM h1r)),
+         a2r AS (SELECT t, CAST(sum(h) AS BIGINT) AS a
+           FROM e JOIN h1 USING (u) GROUP BY 1),
+         a2 AS (SELECT t, CAST((CAST(a AS HUGEINT) * 1000000)
+             // mx AS BIGINT) AS a
+           FROM a2r CROSS JOIN (SELECT max(a) AS mx FROM a2r)),
+         h2r AS (SELECT u, CAST(sum(a) AS BIGINT) AS h
+           FROM e JOIN a2 USING (t) GROUP BY 1),
+         h2 AS (SELECT u, CAST((CAST(h AS HUGEINT) * 1000000)
+             // mx AS BIGINT) AS h
+           FROM h2r CROSS JOIN (SELECT max(h) AS mx FROM h2r))
+         SELECT 'hub' AS role, u AS node, h AS score_ppm FROM h2
+         UNION ALL
+         SELECT 'auth' AS role, t AS node, a AS score_ppm FROM a2""",
     // CDC replay: the window-hash at char p (1-based) is the 8-term
     // polynomial sum with B^k mod P from a recursive powers table —
     // identical by construction to the kernel's incremental

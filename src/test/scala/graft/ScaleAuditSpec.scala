@@ -81,6 +81,9 @@ class ScaleAuditSpec extends SparkSpec {
       "contingency-cell frame"),
     "q291_ks_test" -> ("broadcast of the 1-row (n1, n2) totals onto the " +
       "aggregated distinct-value frame"),
+    "q294_hits" -> ("per-iteration broadcast of the 1-row max onto the " +
+      "node-score frame (max-normalization; 4 such broadcasts at " +
+      "iters = 2)"),
     "q108_interp_zero" -> "probe grid cross user list, both driver-bounded",
     "q109_interp_slinear" -> "probe grid cross user list, both driver-bounded",
     "q110_interp_quadratic" -> "probe grid cross user list, both driver-bounded",
