@@ -22,10 +22,10 @@ import org.apache.spark.sql.types._
   *    fletcher32 on whole direct blocks with per-block masks)
   *  - datasets: fixed-point + IEEE-float datatypes (LE/BE, 1/2/4/8),
   *    compound types (per-member reads), contiguous and chunked layouts —
-  *    the v1 chunk B-tree plus the layout-v4 indexes HDF5 1.10+ writes
-  *    under libver="latest" (single chunk, implicit, fixed array incl.
-  *    paged data blocks, v2 B-tree; extensible array is rejected with
-  *    guidance); filter pipeline deflate + byte-shuffle +
+  *    the v1 chunk B-tree plus ALL five layout-v4 indexes HDF5 1.10+
+  *    writes under libver="latest" (single chunk, implicit, fixed array
+  *    incl. paged data blocks, extensible array incl. super blocks and
+  *    paged data blocks, v2 B-tree); filter pipeline deflate + byte-shuffle +
   *    fletcher32 + szip (pure-JVM CCSDS 121 Rice, see [[Szip]]) + lzf
   *    (h5py's built-in, see [[Lzf]]) + zstd (id 32015, netCDF-C 4.9+ /
   *    hdf5plugin, via Spark's bundled zstd-jni) in any declared order,
@@ -65,8 +65,8 @@ object HDF5 {
   case class Contiguous(addr: Long, size: Long) extends Layout
   case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
   /** Layout-message v4 chunked storage (HDF5 1.10+). `indexType`:
-    * 1 = single chunk, 2 = implicit, 3 = fixed array, 5 = v2 B-tree
-    * (all decoded); 4 = extensible array (rejected with guidance). */
+    * 1 = single chunk, 2 = implicit, 3 = fixed array, 4 = extensible
+    * array, 5 = v2 B-tree — all five decoded. */
   case class ChunkedV4(indexType: Int, addr: Long, chunkDims: Seq[Int],
                        flags: Int, pageBits: Int,
                        singleSize: Long, singleMask: Int) extends Layout
@@ -82,13 +82,14 @@ object HDF5 {
   case class DatasetMetaH5(name: String, addr: Long, shape: Seq[Long],
                            dtype: DType, layout: Layout, attrs: Seq[Attr],
                            filters: Seq[(Int, Seq[Int])] = Nil,
-                           parseError: Option[String] = None) {
+                           parseError: Option[String] = None,
+                           unlimDims: Seq[Int] = Nil) {
     def deflate: Boolean = filters.exists(_._1 == 1)
     def shuffleElem: Option[Int] =
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
     def fletcher32: Boolean = filters.exists(_._1 == 3)
     def badFilters: Seq[Int] =
-      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000, 32015))
+      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000, 32001, 32015))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -348,6 +349,10 @@ object HDF5 {
         case (32000, _) => // h5py lzf; sized like deflate (see case 1)
           val innerFl = 4 * active.take(k).count(_._1 == 3)
           cur = Lzf.decompress(cur, nominal + innerFl)
+        case (32001, _) => // hdf5-blosc plugin: payload is a self-
+          // describing c-blosc frame (cd values only matter on write)
+          val innerFl = 4 * active.take(k).count(_._1 == 3)
+          cur = Blosc.decompress(cur, nominal + innerFl)
         case (32015, _) => // registered zstd (netCDF-C 4.9+ / hdf5plugin)
           val innerFl = 4 * active.take(k).count(_._1 == 3)
           val out = new Array[Byte](nominal + innerFl)
@@ -779,15 +784,24 @@ object HDF5 {
     }
   }
 
-  private def parseDataspace(b: ByteBuffer): Seq[Long] = {
+  private def parseDataspace(b: ByteBuffer): Seq[Long] =
+    parseDataspaceFull(b)._1
+
+  /** (dims, indices of UNLIMITED dims). Max dims follow the current dims
+    * when flags bit 0 is set; H5S_UNLIMITED is the undefined address. */
+  private def parseDataspaceFull(b: ByteBuffer): (Seq[Long], Seq[Int]) = {
     val ver = b.get() & 0xff
     val rank = b.get() & 0xff
     val flags = b.get() & 0xff
     if (ver == 1) { b.get(); b.getInt() } // reserved(5)
     else b.get() // v2: type
     val dims = (0 until rank).map(_ => b.getLong())
-    val _ = flags
-    dims
+    val unlim =
+      if ((flags & 1) != 0)
+        (0 until rank).map(_ => b.getLong()).zipWithIndex
+          .collect { case (m, i) if m == UNDEF => i }
+      else Nil
+    (dims, unlim)
   }
 
   /** GCOL global heap object lookup (for vlen attribute values). */
@@ -891,6 +905,7 @@ object HDF5 {
                            addr: Long): DatasetMetaH5 = {
     val msgs = parseObjectHeader(bytes, addr)
     var shape: Seq[Long] = Nil
+    var unlimDims: Seq[Int] = Nil
     var dtype: DType = null
     var layout: Layout = null
     var filters = Vector.empty[(Int, Seq[Int])]
@@ -898,7 +913,9 @@ object HDF5 {
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
       m.typ match {
-        case 0x01 => shape = parseDataspace(b)
+        case 0x01 =>
+          val (dims, ul) = parseDataspaceFull(b)
+          shape = dims; unlimDims = ul
         case 0x03 => dtype = parseDType(b)
         case 0x08 =>
           val ver = b.get() & 0xff
@@ -954,7 +971,8 @@ object HDF5 {
     }
     require(dtype != null && layout != null,
       s"dataset $name lacks datatype/layout")
-    DatasetMetaH5(name, addr, shape, dtype, layout, attrs.result(), filters)
+    DatasetMetaH5(name, addr, shape, dtype, layout, attrs.result(), filters,
+      unlimDims = unlimDims)
   }
 
   /** Decode a dataset to a dense row-major Double array. */
@@ -977,11 +995,11 @@ object HDF5 {
       val names = d.badFilters.map {
         case 5 => "5 (nbit)"
         case 6 => "6 (scaleoffset)"
-        case 32001 => "32001 (blosc)"
         case o => o.toString
       }
       s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
-        "reader decodes deflate/shuffle/fletcher32/szip/lzf/zstd only. " +
+        "reader decodes deflate/shuffle/fletcher32/szip/lzf/blosc/zstd " +
+        "only. " +
         "Re-encode with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
         "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
     })
@@ -1064,10 +1082,20 @@ object HDF5 {
         fixedArrayRefs(bytes, addr, cd, d.shape, nominal(cd))
       case ChunkedV4(5, addr, cd, _, _, _, _) =>
         btree2ChunkRefs(bytes, addr, cd, nominal(cd))
-      case ChunkedV4(4, _, _, _, _, _, _) =>
-        sys.error(s"${d.name} uses the extensible-array chunk index " +
-          "(HDF5 1.10+ unlimited dimension) — re-encode with " +
-          "`h5repack -l CHUNK=...` under the default libver, then re-read")
+      case ChunkedV4(4, addr, cd, _, _, _, _) =>
+        require(d.unlimDims.forall(_ == 0),
+          s"${d.name} uses the extensible-array chunk index with an " +
+            s"unlimited dimension at position ${d.unlimDims.mkString(",")}" +
+            " — HDF5 swizzles the chunk order in that case, which this " +
+            "reader does not decode; re-encode with `h5repack -l " +
+            "CHUNK=...` under the default libver, then re-read")
+        try extensibleArrayRefs(bytes, addr, cd, d.shape, nominal(cd))
+        catch {
+          case e: Exception => sys.error(s"${d.name}: extensible-array " +
+            s"chunk index parse failed (${e.getMessage}) — re-encode " +
+            "with `h5repack -l CHUNK=...` under the default libver, " +
+            "then re-read")
+        }
       case other => sys.error(s"${d.name}: $other is not chunked")
     }
   }
@@ -1152,6 +1180,221 @@ object HDF5 {
       val origin = (0 until rank).map(k => rb.getLong() * cd(k))
       ChunkRef(origin, a, stored, mask)
     }
+  }
+
+  /** Read a `len`-byte metadata block and verify its trailing Jenkins
+    * lookup3 checksum — the guard that turns ANY layout misparse of the
+    * extensible-array structures into a loud error instead of a silent
+    * mis-decode (every EA block is checksummed per spec). */
+  private def checkedBuf(bytes: H5Src, pos: Long, len: Int,
+                         what: String): ByteBuffer = {
+    val raw = bytes.slice(pos, len)
+    val stored = ByteBuffer.wrap(raw, len - 4, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require(lookup3(java.util.Arrays.copyOfRange(raw, 0, len - 4), 0)
+      == stored, s"$what checksum mismatch at 0x${pos.toHexString} " +
+      "(block-length or field-layout drift, or a corrupt file)")
+    ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  private def log2of2(v: Int): Int = {
+    require(v > 0 && (v & (v - 1)) == 0, s"$v is not a power of two")
+    java.lang.Integer.numberOfTrailingZeros(v)
+  }
+
+  /** Extensible Array chunk index (spec "Extensible Array", the HDF5
+    * 1.10+ index for ONE unlimited dimension; `backends/h5netcdf_.py`
+    * reads these through h5py). Structure: EAHD header -> EAIB index
+    * block holding the first `idxBlkElmts` elements + direct data-block
+    * pointers for the first `2*(supBlkMinDataPtrs-1)` data blocks +
+    * super-block pointers; super block u holds 2^(u/2) data blocks of
+    * 2^((u+1)/2)*dataBlkMinElmts elements each (the doubling schedule
+    * from the H5EA design); EADB data blocks hold the elements, paged
+    * above 2^maxDblkPageNelmtsBits with per-page checksums and a
+    * validity bitmap in the super block. Every block's checksum is
+    * VERIFIED, so a real file laid out differently than parsed here
+    * fails loudly rather than mis-decoding. */
+  private[graft] def extensibleArrayRefs(bytes: H5Src, addr: Long,
+                                         cd: Seq[Int], shape: Seq[Long],
+                                         nominal: Int): Seq[ChunkRef] = {
+    // ---- header (EAHD): creation params + stats + index block addr ----
+    val h = checkedBuf(bytes, addr, 72, "extensible-array header")
+    require(h.get() == 'E' && h.get() == 'A' && h.get() == 'H' &&
+      h.get() == 'D', "bad extensible-array header signature")
+    require((h.get() & 0xff) == 0, "extensible-array header version")
+    val client = h.get() & 0xff // 0 = chunks, 1 = filtered chunks
+    require(client <= 1, s"extensible-array client $client")
+    val eltSize = h.get() & 0xff
+    val maxNelmtsBits = h.get() & 0xff
+    val idxBlkElmts = h.get() & 0xff
+    val dataBlkMinElmts = h.get() & 0xff
+    val supBlkMinDataPtrs = h.get() & 0xff
+    val maxDblkPageNelmtsBits = h.get() & 0xff
+    (0 until 6).foreach(_ => h.getLong()) // stats: nsblks/sblk size/
+    // ndblks/dblk size/max index set/nelmts — informational
+    val iblkAddr = h.getLong()
+    require(eltSize == (if (client == 0) 8 else eltSize) && eltSize >= 8,
+      s"extensible-array element size $eltSize")
+    if (client == 1) require(eltSize >= 13 && eltSize <= 20,
+      s"filtered extensible-array element size $eltSize")
+    val arrOffSize = (maxNelmtsBits + 7) / 8
+    val pageNelmts = 1 << maxDblkPageNelmtsBits
+    val nsblksTotal = 1 + maxNelmtsBits - log2of2(dataBlkMinElmts)
+    val firstSblk = 2 * log2of2(supBlkMinDataPtrs)
+    val ndblkAddrs = 2 * (supBlkMinDataPtrs - 1)
+    val nsblkAddrs = nsblksTotal - firstSblk
+    // super-block schedule: (ndblks, dblkNelmts, startIdx, startDblk)
+    val sblkInfo = {
+      var si = 0L; var sd = 0
+      (0 until nsblksTotal).map { u =>
+        val nd = 1 << (u / 2)
+        val ne = (1 << ((u + 1) / 2)) * dataBlkMinElmts
+        val r = (nd, ne, si, sd)
+        si += nd.toLong * ne; sd += nd
+        r
+      }
+    }
+
+    def readElt(b: ByteBuffer): Option[(Long, Int, Int)] = {
+      val a = b.getLong()
+      val (stored, mask) =
+        if (client == 1) {
+          var s = 0L
+          (0 until eltSize - 12).foreach(k =>
+            s |= (b.get() & 0xffL) << (8 * k))
+          (s.toInt, b.getInt())
+        } else (nominal, 0)
+      if (a == UNDEF) None else Some((a, stored, mask))
+    }
+
+    val grid = gridOrigins(shape, cd)
+    val need = grid.length // elements past the grid are never-written fill
+    val out = Array.fill[Option[(Long, Int, Int)]](need)(None)
+
+    // ---- index block (EAIB) ----
+    if (iblkAddr != UNDEF && need > 0) {
+      val iblkLen = 14 + idxBlkElmts * eltSize + (ndblkAddrs + nsblkAddrs) * 8 + 4
+      val ib = checkedBuf(bytes, iblkAddr, iblkLen,
+        "extensible-array index block")
+      require(ib.get() == 'E' && ib.get() == 'A' && ib.get() == 'I' &&
+        ib.get() == 'B', "bad extensible-array index-block signature")
+      require((ib.get() & 0xff) == 0 && (ib.get() & 0xff) == client,
+        "extensible-array index-block version/client")
+      require(ib.getLong() == addr,
+        "extensible-array index block does not point back to its header")
+      (0 until idxBlkElmts).foreach { k =>
+        val e = readElt(ib)
+        if (k < need) out(k) = e
+      }
+      val dblkAddrs = (0 until ndblkAddrs).map(_ => ib.getLong())
+      val sblkAddrs = (0 until nsblkAddrs).map(_ => ib.getLong())
+
+      /** Decode one data block of `nelmts` elements whose first element
+        * is array index `base`; `pageInit` gives per-page validity for
+        * paged blocks (from the owning super block's bitmap). */
+      def dblock(daddr: Long, nelmts: Int, base: Long,
+                 pageInit: Int => Boolean): Unit = {
+        if (daddr == UNDEF) return
+        val npages = if (nelmts > pageNelmts) nelmts / pageNelmts else 0
+        if (npages == 0) {
+          val len = 14 + arrOffSize + nelmts * eltSize + 4
+          val db = checkedBuf(bytes, daddr, len,
+            "extensible-array data block")
+          require(db.get() == 'E' && db.get() == 'A' && db.get() == 'D' &&
+            db.get() == 'B', "bad extensible-array data-block signature")
+          require((db.get() & 0xff) == 0 && (db.get() & 0xff) == client,
+            "extensible-array data-block version/client")
+          require(db.getLong() == addr,
+            "extensible-array data block does not point back to its header")
+          (0 until arrOffSize).foreach(_ => db.get()) // block offset
+          (0 until nelmts).foreach { k =>
+            val e = readElt(db)
+            if (base + k < need) out((base + k).toInt) = e
+          }
+        } else {
+          val prefixLen = 14 + arrOffSize + 4
+          checkedBuf(bytes, daddr, prefixLen,
+            "extensible-array paged data-block prefix")
+          val pageBytes = pageNelmts * eltSize + 4
+          (0 until npages).foreach { p =>
+            val pos = daddr + prefixLen + p.toLong * pageBytes
+            if (pageInit(p)) {
+              val pb = checkedBuf(bytes, pos, pageBytes,
+                "extensible-array data-block page")
+              (0 until pageNelmts).foreach { k =>
+                val idx = base + p.toLong * pageNelmts + k
+                val e = readElt(pb)
+                if (idx < need) out(idx.toInt) = e
+              }
+            } else {
+              // an UNinitialized page whose checksum nonetheless verifies
+              // means the bitmap was misread — fail loudly rather than
+              // silently dropping real chunks (a short read = the page
+              // space was never allocated, which is fine)
+              val genuinelyUninit =
+                try {
+                  val raw = bytes.slice(pos, pageBytes)
+                  val stored = ByteBuffer.wrap(raw, pageBytes - 4, 4)
+                    .order(ByteOrder.LITTLE_ENDIAN).getInt
+                  lookup3(java.util.Arrays.copyOfRange(
+                    raw, 0, pageBytes - 4), 0) != stored
+                } catch { case _: Exception => true }
+              require(genuinelyUninit,
+                "extensible-array page marked uninitialized carries a " +
+                  "valid checksum — page-bitmap parse drift")
+            }
+          }
+        }
+      }
+
+      // data blocks pointed at DIRECTLY from the index block (never paged:
+      // their sizes precede the paging threshold under real cparams)
+      var u = 0
+      while (u < firstSblk && idxBlkElmts + sblkInfo(u)._3 < need) {
+        val (nd, ne, si, sd) = sblkInfo(u)
+        require(ne <= pageNelmts,
+          "paged data block pointed directly from the index block")
+        (0 until nd).foreach { k =>
+          val base = idxBlkElmts.toLong + si + k.toLong * ne
+          if (base < need) dblock(dblkAddrs(sd + k), ne, base, _ => false)
+        }
+        u += 1
+      }
+      // super blocks (EASB)
+      u = firstSblk
+      while (u < nsblksTotal && idxBlkElmts + sblkInfo(u)._3 < need) {
+        val (nd, ne, si, _) = sblkInfo(u)
+        val saddr = sblkAddrs(u - firstSblk)
+        if (saddr != UNDEF) {
+          val npagesPer = if (ne > pageNelmts) ne / pageNelmts else 0
+          val bitmapBytes = (nd * npagesPer + 7) / 8
+          val len = 14 + arrOffSize + bitmapBytes + nd * 8 + 4
+          val sb = checkedBuf(bytes, saddr, len,
+            "extensible-array super block")
+          require(sb.get() == 'E' && sb.get() == 'A' && sb.get() == 'S' &&
+            sb.get() == 'B', "bad extensible-array super-block signature")
+          require((sb.get() & 0xff) == 0 && (sb.get() & 0xff) == client,
+            "extensible-array super-block version/client")
+          require(sb.getLong() == addr,
+            "extensible-array super block does not point back to its header")
+          (0 until arrOffSize).foreach(_ => sb.get()) // block offset
+          val bitmap = new Array[Byte](bitmapBytes)
+          sb.get(bitmap)
+          // H5VM bit order: bit 0 of the bitmap is the MSB of byte 0
+          def pageBit(i: Int): Boolean =
+            (bitmap(i / 8) & (1 << (7 - i % 8))) != 0
+          (0 until nd).foreach { k =>
+            val daddr = sb.getLong()
+            val base = idxBlkElmts.toLong + si + k.toLong * ne
+            if (base < need)
+              dblock(daddr, ne, base, p => pageBit(k * npagesPer + p))
+          }
+        }
+        u += 1
+      }
+    }
+    grid.indices.flatMap(i =>
+      out(i).map { case (a, s, m) => ChunkRef(grid(i), a, s, m) })
   }
 
   private def readVarImpl(bytes: H5Src, f: H5File, name: String,
@@ -1500,8 +1743,8 @@ object HDF5 {
                   zstd: Boolean = false, index4: Option[String] = None) {
     require(Seq(szip, lzf, zstd).count(identity) <= 1,
       "szip/lzf/zstd are alternative compressors")
-    require(index4.forall(Set("single", "fixed")),
-      "index4 writes layout-v4 'single' or 'fixed' chunk indexes")
+    require(index4.forall(Set("single", "fixed", "ea")),
+      "index4 writes layout-v4 'single', 'fixed', or 'ea' chunk indexes")
     require(index4.isEmpty || chunk.isDefined,
       "index4 applies to chunked variables")
     require(!szip || f32,
@@ -1684,6 +1927,10 @@ object HDF5 {
                 s"${v.name}: single-chunk index needs chunk >= shape " +
                   s"(got ${blobs.length} chunks)")
               btreeOf(v.name) = chunkAddrs(v.name).head._2
+            case Some("ea") => // EAHD + EAIB + direct data blocks
+              btreeOf(v.name) = cursor
+              cursor += 72L + eaIblkLen +
+                eaDirectPlan(blobs.length).map(p => 22L + 20L * p._1).sum
             case Some(_) => // fixed array: FAHD(28) + non-paged FADB
               btreeOf(v.name) = cursor
               cursor += 28L + 14L + blobs.length * 20L + 4L
@@ -1835,6 +2082,56 @@ object HDF5 {
           val entries = chunkAddrs(v.name)
           v.index4 match {
             case Some("single") => () // layout message points at the chunk
+            case Some("ea") =>
+              // extensible array: EAHD + EAIB (4 elements inline, direct
+              // data-block pointers) + EADB blocks, lookup3 checksums
+              val eaAddr = btreeOf(v.name)
+              require(entries.length <= 124,
+                s"${v.name}: the EA fixture writer covers <= 124 chunks " +
+                  s"(got ${entries.length}) — the reader itself handles " +
+                  "super blocks; extend eaDirectPlan if a larger fixture " +
+                  "is ever needed")
+              val plan = eaDirectPlan(entries.length)
+              val iblkAddr = eaAddr + 72
+              val dblkAddrs = plan.scanLeft(iblkAddr + eaIblkLen) {
+                case (a, (ne, _)) => a + 22L + 20L * ne
+              }.init
+              def elt(g: growable, i: Long): Unit =
+                if (i < entries.length) {
+                  val (_, a, stored) = entries(i.toInt)
+                  g.u64(a); g.u64(stored.toLong); g.u32(0)
+                } else { g.u64(UNDEF); g.u64(0); g.u32(0) }
+              val hdr = new growable()
+              hdr.bytes("EAHD".getBytes); hdr.u8(0)
+              hdr.u8(1) // client: filtered dataset chunks
+              hdr.u8(20); hdr.u8(EaMaxBits); hdr.u8(EaIdxElmts)
+              hdr.u8(EaMinElmts); hdr.u8(EaMinPtrs); hdr.u8(EaPageBits)
+              hdr.u64(0L); hdr.u64(0L) // nsblks, sblk size
+              hdr.u64(plan.length.toLong) // ndblks
+              hdr.u64(plan.map(22L + 20L * _._1).sum) // dblk size
+              hdr.u64(entries.length.toLong) // max index set
+              hdr.u64(entries.length.toLong) // nelmts
+              hdr.u64(iblkAddr)
+              hdr.u32(lookup3(hdr.result(), 0) & 0xffffffffL)
+              out.bytes(hdr.result())
+              val ib = new growable()
+              ib.bytes("EAIB".getBytes); ib.u8(0); ib.u8(1)
+              ib.u64(eaAddr)
+              (0 until EaIdxElmts).foreach(i => elt(ib, i.toLong))
+              (0 until 6).foreach(k => // direct data-block pointers
+                ib.u64(if (k < plan.length) dblkAddrs(k) else UNDEF))
+              (0 until 26).foreach(_ => ib.u64(UNDEF)) // super blocks
+              ib.u32(lookup3(ib.result(), 0) & 0xffffffffL)
+              out.bytes(ib.result())
+              plan.zip(dblkAddrs).foreach { case ((ne, base), _) =>
+                val db = new growable()
+                db.bytes("EADB".getBytes); db.u8(0); db.u8(1)
+                db.u64(eaAddr)
+                db.u32(0) // block offset (arrOffSize = 4 at 32 bits)
+                (0 until ne).foreach(k => elt(db, base + k))
+                db.u32(lookup3(db.result(), 0) & 0xffffffffL)
+                out.bytes(db.result())
+              }
             case Some(_) =>
               // fixed array: FAHD header + non-paged FADB of
               // (addr, stored size, mask) entries, lookup3 checksums
@@ -2324,10 +2621,14 @@ object HDF5 {
                                   singleStored: Option[Int],
                                   gridN: Int): Array[Byte] = {
     val dims = chunk :+ elemSize
-    val idxType = if (index == "single") 1 else 3
+    val idxType = index match {
+      case "single" => 1
+      case "ea" => 4
+      case _ => 3
+    }
     val flags = if (idxType == 1) 2 else 0 // single carries size+mask
     val len = 5 + dims.length * 4 + 1 +
-      (if (idxType == 1) 12 else 1) + 8
+      (idxType match { case 1 => 12; case 4 => 5; case _ => 1 }) + 8
     val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
     b.put(4.toByte).put(2.toByte) // version 4, chunked
     b.put(flags.toByte)
@@ -2335,11 +2636,43 @@ object HDF5 {
     b.put(4.toByte) // dim size encoded length
     dims.foreach(b.putInt)
     b.put(idxType.toByte)
-    if (idxType == 1) {
-      b.putLong(singleStored.getOrElse(0).toLong); b.putInt(0)
-    } else b.put(fixedArrayPageBits(gridN).toByte)
+    idxType match {
+      case 1 =>
+        b.putLong(singleStored.getOrElse(0).toLong); b.putInt(0)
+      case 4 => // EA creation params (the reader re-reads them from EAHD)
+        b.put(EaMaxBits.toByte).put(EaIdxElmts.toByte)
+          .put(EaMinPtrs.toByte).put(EaMinElmts.toByte)
+          .put(EaPageBits.toByte)
+      case _ => b.put(fixedArrayPageBits(gridN).toByte)
+    }
     b.putLong(indexAddr)
     b.array()
+  }
+
+  /** Writer-side extensible-array creation params: filtered client,
+    * 20-byte elements (addr 8 + size 8 + mask 4), a 4-element index
+    * block, and direct data blocks 8/16/16/32/32 — covers up to 124
+    * chunks without super blocks (the fixture writer's bound; the READER
+    * handles super blocks and paging generally). */
+  private val EaMaxBits = 32
+  private val EaIdxElmts = 4
+  private val EaMinElmts = 8
+  private val EaMinPtrs = 4
+  private val EaPageBits = 10
+  private val eaIblkLen: Long = // 6 direct dblk ptrs + 26 sblk ptrs
+    14L + EaIdxElmts * 20L + (6 + 26) * 8L + 4L
+
+  /** (nelmts, first element index) of each direct data block actually
+    * needed for `n` total elements. */
+  private def eaDirectPlan(n: Int): Seq[(Int, Long)] = {
+    var si = EaIdxElmts.toLong
+    (0 until 4).flatMap { u =>
+      val nd = 1 << (u / 2); val ne = (1 << ((u + 1) / 2)) * EaMinElmts
+      (0 until nd).flatMap { _ =>
+        val base = si; si += ne
+        if (base < n) Some((ne, base)) else None
+      }
+    }
   }
 
   /** big enough that the data block stays non-paged */

@@ -125,7 +125,7 @@ class HDF5V4Spec extends AnyFunSuite {
       ChunkRef(Seq(4L, 6L), 2000L, 55, 0)))
   }
 
-  test("extensible-array index fails with re-encode guidance") {
+  test("a broken extensible-array index fails with re-encode guidance") {
     val d = DatasetMetaH5("v", 0L, Seq(4L),
       DType(1, 8, littleEndian = true, signed = true),
       ChunkedV4(4, 50L, Seq(2), 0, 0, 0L, 0), Nil)
@@ -133,5 +133,27 @@ class HDF5V4Spec extends AnyFunSuite {
       HDF5.readVar(Array.empty[Byte], HDF5.H5File(Seq(d)), "v"))
     assert(e.getMessage.contains("extensible-array") &&
       e.getMessage.contains("h5repack"))
+  }
+
+  test("extensible-array index: multi-data-block deflate roundtrip " +
+    "through a full .nc4 file") {
+    val dir = Files.createTempDirectory("h5ea").toString
+    val path = s"$dir/ea.nc4"
+    write(path, "ea", Seq(2, 1)) // 4x5 = 20 chunks: iblock(4) + 8 + 16
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val v = f.byName("v")
+    v.layout match {
+      case ChunkedV4(4, addr, cd, _, _, _, _) =>
+        assert(cd === Seq(2, 1))
+        assert(new String(bytes.slice(addr.toInt, addr.toInt + 4)) === "EAHD")
+        val refs = HDF5.chunkRefsOf(ArraySrc(bytes), v)
+        assert(refs.length === 20)
+        assert(refs.map(_.origin).toSet ===
+          (for (t <- 0 until 4; l <- 0 until 5)
+            yield Seq(t * 2L, l.toLong)).toSet)
+      case other => fail(s"expected extensible-array ChunkedV4, got $other")
+    }
+    assert(HDF5.readVar(bytes, f, "v").toSeq === grid.toSeq)
   }
 }
