@@ -69,13 +69,18 @@ object Blosc {
       System.arraycopy(raw, 16, out, 0, nbytes)
       return out
     }
-    require((flags & FlagBitShuffle) == 0,
-      "blosc bit-shuffle is not supported (byte-shuffle and no-shuffle " +
-        "are) — re-encode with numcodecs Blosc(shuffle=Blosc.SHUFFLE)")
     require(blocksize > 0, "blosc frame declares blocksize 0")
     val code = (flags >> 5) & 0x7
     val byteShuffle = (flags & FlagShuffle) != 0 && typesize > 1
-    val dontSplit = (flags & FlagDontSplit) != 0
+    val bitShuffle = (flags & FlagBitShuffle) != 0
+    // c-blosc's blosc_d reads the split decision from the DONT_SPLIT
+    // flag ALONE (format version 2 records it at compress time; the
+    // compressor splits lz4/blosclz frames regardless of shuffle mode) —
+    // keying on the shuffle flag would mis-frame no-shuffle split
+    // frames. v1 frames predate the bit; infer by the era's policy
+    // (split iff byte-shuffled).
+    val dontSplit =
+      if (version >= 2) (flags & FlagDontSplit) != 0 else !byteShuffle
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var j = 0
@@ -83,9 +88,9 @@ object Blosc {
       val bsize = math.min(blocksize.toLong, nbytes.toLong - j.toLong * blocksize).toInt
       val leftover = bsize != blocksize
       val nstreams =
-        if (byteShuffle && !dontSplit && !leftover) typesize else 1
-      require(bsize % nstreams == 0,
-        s"blosc block size $bsize not divisible into $nstreams streams")
+        if (!dontSplit && !leftover && typesize > 1 && bsize % typesize == 0)
+          typesize
+        else 1
       val neblock = bsize / nstreams
       val block = new Array[Byte](bsize)
       var src = b.getInt(16 + 4 * j)
@@ -100,7 +105,11 @@ object Blosc {
         src += clen
         s += 1
       }
-      val plain = if (byteShuffle) unshuffle(block, typesize) else block
+      val plain =
+        if (bitShuffle && blocksize >= typesize)
+          bitUnshuffle(block, typesize)
+        else if (byteShuffle) unshuffle(block, typesize)
+        else block
       System.arraycopy(plain, 0, out, j * blocksize, bsize)
       j += 1
     }
@@ -141,18 +150,20 @@ object Blosc {
     }
 
   /** Encode `plain` as a c-blosc v1 frame. `shuffle` follows numcodecs:
-    * 0 = none, 1 = byte-shuffle (2 = bit-shuffle is rejected). Falls back
-    * to the memcpy frame when compression does not pay, like c-blosc. */
+    * 0 = none, 1 = byte-shuffle, 2 = bit-shuffle. Falls back to the
+    * memcpy frame when compression does not pay, like c-blosc. */
   def compress(plain: Array[Byte], typesize: Int, cname: String, level: Int,
                shuffle: Int, blocksizeReq: Int = 0): Array[Byte] = {
-    require(shuffle == 0 || shuffle == 1,
-      s"unsupported blosc shuffle mode $shuffle (0 = none, 1 = byte)")
+    require(shuffle >= 0 && shuffle <= 2,
+      s"unsupported blosc shuffle mode $shuffle (0 = none, 1 = byte, " +
+        "2 = bit)")
     val code = cnames.getOrElse(cname,
       sys.error(s"unsupported blosc cname '$cname' " +
         s"(${cnames.keys.toSeq.sorted.mkString(", ")})"))
     val ts = math.max(typesize, 1)
     val nbytes = plain.length
     val byteShuffle = shuffle == 1 && ts > 1 && nbytes % ts == 0
+    val bitShuffle = shuffle == 2 && ts > 1 && nbytes % ts == 0
     // any blocksize that is a multiple of typesize yields a valid frame;
     // default 64 KiB ~ c-blosc's L1-scaled choice at mid levels
     val blocksize = {
@@ -176,7 +187,10 @@ object Blosc {
       val neblock = bsize / nstreams
       val src = new Array[Byte](bsize)
       System.arraycopy(plain, j * blocksize, src, 0, bsize)
-      val block = if (byteShuffle) shuffleBytes(src, ts) else src
+      val block =
+        if (bitShuffle) bitShuffleBytes(src, ts)
+        else if (byteShuffle) shuffleBytes(src, ts)
+        else src
       bstarts(j) = bodyBase + body.size()
       var s = 0
       while (s < nstreams) {
@@ -204,6 +218,7 @@ object Blosc {
       return out.array()
     }
     val flags = (if (byteShuffle) FlagShuffle else 0) |
+      (if (bitShuffle) FlagBitShuffle else 0) |
       (if (split) 0 else FlagDontSplit) | (code << 5)
     val cbytes = bodyBase + body.size()
     val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -259,6 +274,76 @@ object Blosc {
       b += 1
     }
     System.arraycopy(raw, n * es, out, n * es, raw.length - n * es)
+    out
+  }
+
+  /** Bit transpose within one block (c-blosc's BITSHUFFLE, the kiyo-masui
+    * bitshuffle algorithm): for the first `elems - elems % 8` elements,
+    * bit b of element e (b counted LSB-first across the element's bytes
+    * in memory order) lands in bit-row b — one of 8*es rows of size/8
+    * bytes — packed 8 elements per byte, LSB-first by element order. The
+    * `blocksize % (8*es)` tail is copied verbatim, exactly c-blosc's
+    * leftover handling. */
+  private[graft] def bitShuffleBytes(raw: Array[Byte], es0: Int): Array[Byte] = {
+    val es = math.max(es0, 1)
+    val size = raw.length / es - (raw.length / es) % 8
+    if (size == 0) return raw.clone()
+    val rowBytes = size / 8
+    val out = new Array[Byte](raw.length)
+    var e = 0
+    while (e < size) {
+      var b = 0
+      while (b < es) {
+        val v = raw(e * es + b) & 0xff
+        if (v != 0) {
+          var k = 0
+          while (k < 8) {
+            if ((v & (1 << k)) != 0) {
+              val row = (b * 8 + k) * rowBytes
+              out(row + e / 8) = (out(row + e / 8) | (1 << (e % 8))).toByte
+            }
+            k += 1
+          }
+        }
+        b += 1
+      }
+      e += 1
+    }
+    System.arraycopy(raw, size * es, out, size * es, raw.length - size * es)
+    out
+  }
+
+  private[graft] def bitUnshuffle(raw: Array[Byte], es0: Int): Array[Byte] = {
+    val es = math.max(es0, 1)
+    val size = raw.length / es - (raw.length / es) % 8
+    if (size == 0) return raw.clone()
+    val rowBytes = size / 8
+    val out = new Array[Byte](raw.length)
+    var b = 0
+    while (b < es) {
+      var k = 0
+      while (k < 8) {
+        val row = (b * 8 + k) * rowBytes
+        var eb = 0
+        while (eb < rowBytes) {
+          val v = raw(row + eb) & 0xff
+          if (v != 0) {
+            var i = 0
+            while (i < 8) {
+              if ((v & (1 << i)) != 0) {
+                val e = eb * 8 + i
+                out(e * es + b) = (out(e * es + b) | (1 << k)).toByte
+              }
+              i += 1
+            }
+          }
+          eb += 1
+        }
+        k += 1
+      }
+      b += 1
+    }
+    System.arraycopy(raw, size * es, out, size * es, raw.length - size * es)
     out
   }
 

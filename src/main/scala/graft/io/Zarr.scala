@@ -29,7 +29,7 @@ import org.json4s.jackson.JsonMethods
   * codec — zarr-python 3's default chain — via the zstd-jni Spark
   * bundles), and `blosc` — zarr-python 2's DEFAULT — decoded pure-JVM by
   * [[Blosc]] for the lz4/lz4hc/zstd/zlib/snappy inner codecs
-  * (byte-shuffle and no-shuffle; blosclz and bit-shuffle are rejected
+  * (no-shuffle, byte-shuffle, and bit-shuffle; blosclz is rejected
   * with re-encode guidance). Pass compressor id "blosc:<cname>:<shuffle>"
   * to write blosc-framed chunks. The v3 `transpose` array->array codec
   * reads and writes at the top level of the chain (inside

@@ -620,6 +620,28 @@ object QueriesMore {
         .select("q", "p", "rev")
     }),
 
+    // blosc BITSHUFFLE (shuffle=2 — the common zarr encoding for integer
+    // science data, e.g. hdf5plugin/bitshuffle-written stores): same
+    // derivational grid discipline, different grid (1996 order counts),
+    // zstd inner codec. Exercises the LSB-first bit-transpose decode in
+    // io/Blosc.scala end to end through the store machinery.
+    "q296_zarr_bitshuffle" -> ((s, dir) => {
+      import graft.io.Zarr
+      val store = "/tmp/graft_zarrbs_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val grid = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(
+          (quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") - 1)
+            .cast("long").as("p"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      Zarr.writeLongDF(grid, store, "cnt", Seq("q", "p"),
+        Seq(Array.tabulate(4)(_.toDouble), Array.tabulate(5)(_.toDouble)),
+        chunks = Seq(2, 3), compressor = Some(("blosc:zstd:2", 5)))
+      Zarr.toLongDF(s, store, "cnt").filter(!isnan(col("cnt")))
+        .select("q", "p", "cnt")
+    }),
+
     "q135_zarr_roundtrip" -> ((s, dir) => {
       import graft.io.Zarr
       val store = "/tmp/graft_zarr_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -710,6 +732,33 @@ object QueriesMore {
           chunk = Some(Seq(3, 2)), f32 = true, szip = true)))
       HDF5.convert(s, base, "cnt", base + "_parquet")
       graft.io.Store.open(s, base + "_parquet").select("q", "p", "cnt")
+    }),
+
+    // EXTENSIBLE-ARRAY chunk index (what HDF5 1.10+ writes for a dataset
+    // with an unlimited dimension under libver="latest" — the most common
+    // real-file shape this reader used to reject): derivational 7x4
+    // lineitem-count grid, chunk 2x1 -> 16 chunks spread across the EA
+    // index block AND two direct data blocks, deflate-filtered entries
+    // with per-chunk stored sizes. The reader walks EAHD -> EAIB -> EADB
+    // with every block's lookup3 checksum verified.
+    "q295_hdf5_extensible_array" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5ea_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val cells = Tables.lineitem(s, dir)
+        .groupBy((col("l_linenumber") - 1).cast("int").as("ln"),
+          (quarter(col("l_shipdate")) - 1).cast("int").as("q"))
+        .count().collect() // bounded at the 28-cell grid
+      val grid = new Array[Double](28)
+      cells.foreach(r => grid(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("ln" -> Array.tabulate(7)(_.toDouble),
+          "q" -> Array.tabulate(4)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), grid,
+          chunk = Some(Seq(2, 1)), index4 = Some("ea"))))
+      HDF5.convert(s, base, "cnt", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet").select("ln", "q", "cnt")
     }),
 
     // lzf-compressed netCDF-4 (h5py's built-in compression="lzf"):
@@ -1385,6 +1434,28 @@ object QueriesMore {
              count(*) AS cnt
            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2) c
          ON c.q = g.q AND c.p = g.p""",
+    // derivational: counts recomputed from the parquet — a bit-transpose
+    // defect (wrong bit order, bad row stride) breaks the hash
+    "q296_zarr_bitshuffle" ->
+      """SELECT CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+           CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) - 1 AS BIGINT)
+             AS p,
+           CAST(count(*) AS DOUBLE) AS cnt
+         FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2""",
+
+    // derivational: the count grid recomputed from the parquet, not the
+    // EA store — a mis-walked index block / data block (wrong entry
+    // widths, bad direct-pointer count) breaks the hash
+    "q295_hdf5_extensible_array" ->
+      """SELECT g.ln, g.q, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS cnt
+         FROM (SELECT ln.ln, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS ln) ln
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         LEFT JOIN (SELECT CAST(l_linenumber - 1 AS BIGINT) AS ln,
+             CAST(quarter(l_shipdate) - 1 AS BIGINT) AS q, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2) c
+         ON c.ln = g.ln AND c.q = g.q""",
+
     // derivational: order counts recomputed from the parquet — an lzf
     // defect (bad back-reference, wrong run length) breaks the hash
     "q232_hdf5_lzf" ->

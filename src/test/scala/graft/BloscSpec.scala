@@ -92,7 +92,7 @@ class BloscSpec extends SparkSpec {
     // compressible (repetitive) data across block boundaries + leftover
     for {
       cname <- Seq("lz4", "lz4hc", "zlib", "zstd", "snappy")
-      shuffle <- Seq(0, 1)
+      shuffle <- Seq(0, 1, 2)
       n <- Seq(1, 6, 1000, 4099) // 4099*8 spans blocksize 16384 with leftover
     } {
       val plain = f64(Seq.tabulate(n)(i => (i % 17) * 0.25 - 2))
@@ -128,14 +128,11 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.decompress(frame, 512).toSeq === plain.toSeq)
   }
 
-  test("rejects blosclz, bit-shuffle, and wrong sizes with clear errors") {
+  test("rejects blosclz and wrong sizes with clear errors") {
     val plain = f64(Seq.fill(64)(1.5)) // compressible -> a real framed body
     val ok = Blosc.compress(plain, 8, "lz4", 5, 1)
     assert((ok(2) & 0x02) === 0, "fixture unexpectedly memcpy'ed")
-    val bitshuffled = ok.clone(); bitshuffled(2) = (bitshuffled(2) | 0x04).toByte
     val blosclz = ok.clone(); blosclz(2) = (blosclz(2) & 0x1f).toByte
-    assert(intercept[Exception](Blosc.decompress(bitshuffled, plain.length))
-      .getMessage.contains("bit-shuffle"))
     // blosclz only errors when a compressed stream must be decoded
     val e = intercept[Exception](Blosc.decompress(blosclz, plain.length))
     assert(e.getMessage.contains("blosclz") || e.getMessage.contains("lz4"))
@@ -143,8 +140,102 @@ class BloscSpec extends SparkSpec {
       .getMessage.contains("expects"))
     assert(intercept[Exception](Blosc.compress(plain, 8, "blosclz", 5, 1))
       .getMessage.contains("cname"))
-    assert(intercept[Exception](Blosc.compress(plain, 8, "lz4", 5, 2))
+    assert(intercept[Exception](Blosc.compress(plain, 8, "lz4", 5, 3))
       .getMessage.contains("shuffle"))
+  }
+
+  test("decodes a hand-assembled BITSHUFFLE frame (LSB-first bit rows)") {
+    // 8 u16 elements, element e = 1 << e (all bits in byte 0): bit-row b
+    // of byte 0 is set exactly in element b, so the transposed block is
+    // the identity matrix over the first 8 rows and zeros for byte 1 —
+    // hand-written here, NOT produced by the Scala kernel
+    val plain = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 8).foreach(e => b.putShort((1 << e).toShort))
+      b.array()
+    }
+    val shuffled =
+      (0 until 8).map(b => (1 << b).toByte).toArray ++ Array.fill(8)(0.toByte)
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val s0 = zlib(shuffled)
+    val bodyBase = 16 + 4
+    val cbytes = bodyBase + 4 + s0.length
+    val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte)
+      .put((0x04 | 0x10 | (3 << 5)).toByte) // bitshuffle | dont-split | zlib
+      .put(2.toByte)
+      .putInt(16).putInt(16).putInt(cbytes)
+    out.putInt(bodyBase)
+    out.putInt(s0.length); out.put(s0)
+    assert(Blosc.decompress(out.array(), 16).toSeq === plain.toSeq)
+  }
+
+  test("bitshuffle leftover: elements past the 8-element groups and the " +
+    "sub-typesize tail pass through verbatim") {
+    // 11 elements x 4 bytes + 3 tail bytes: only the first 8 elements are
+    // bit-transposed; elements 8-10 and the tail copy through
+    val plain = Array.tabulate(11 * 4 + 3)(i => (i * 13 + 1).toByte)
+    for (cname <- Seq("zlib", "lz4", "zstd")) {
+      val frame = Blosc.compress(plain, 4, cname, 5, 2)
+      assert(Blosc.decompress(frame, plain.length).toSeq === plain.toSeq,
+        s"codec $cname")
+    }
+  }
+
+  test("decodes a no-shuffle SPLIT v2 frame (c-blosc splits lz4 frames " +
+    "regardless of shuffle mode)") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val plain = f64(vals)
+    val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val streams = (0 until 8).map { s =>
+      val buf = new Array[Byte](c.maxCompressedLength(6))
+      val n = c.compress(plain, s * 6, 6, buf, 0, buf.length)
+      if (n >= 6) (6, java.util.Arrays.copyOfRange(plain, s * 6, s * 6 + 6))
+      else (n, java.util.Arrays.copyOf(buf, n))
+    }
+    val bodyBase = 16 + 4
+    val cbytes = bodyBase + streams.map(4 + _._1).sum
+    val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte)
+      .put((1 << 5).toByte) // lz4, NO shuffle, split (dont-split clear)
+      .put(8.toByte)
+      .putInt(48).putInt(48).putInt(cbytes)
+    out.putInt(bodyBase)
+    streams.foreach { case (n, bs) => out.putInt(n); out.put(bs) }
+    val got = ByteBuffer.wrap(Blosc.decompress(out.array(), 48))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 6).map(_ => got.getDouble()) === vals)
+  }
+
+  test("a VERSION-1 no-shuffle frame is single-stream (the don't-split " +
+    "bit postdates v1; infer by the era's shuffle-only split policy)") {
+    val plain = Array.tabulate(48)(i => (i * 7 + 3).toByte)
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val s0 = zlib(plain)
+    val bodyBase = 16 + 4
+    val cbytes = bodyBase + 4 + s0.length
+    val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(1.toByte).put(1.toByte) // format VERSION 1
+      .put((3 << 5).toByte)         // zlib, no shuffle, no dont-split bit
+      .put(8.toByte)                // typesize 8 would split if v2 policy
+      .putInt(48).putInt(48).putInt(cbytes)
+    out.putInt(bodyBase)
+    out.putInt(s0.length); out.put(s0)
+    assert(Blosc.decompress(out.array(), 48).toSeq === plain.toSeq)
   }
 
   test("zarr v2 store roundtrip with the numcodecs-default blosc-lz4+shuffle") {
