@@ -174,4 +174,19 @@ object Sampling {
     withE.withColumn("copy", explode(reps))
       .drop("__tok", "__num", "__ebp")
   }
+
+  /** Bottom-k deterministic sample: the k rows with the smallest
+    * md5(id + salt) per stratum — a uniform without-replacement draw
+    * that is a pure function of the ids, and MERGEABLE: the bottom-k of
+    * a union is the bottom-k of the parts' bottom-k's (the KMV sketch
+    * property), so incremental corpus drops re-sample consistently.
+    * One partitioned window per stratum; no global window. */
+  def bottomK(df: DataFrame, id: String, stratum: String, k: Int,
+              salt: String = ""): DataFrame = {
+    require(k > 0, s"bottomK needs k > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(md5(concat(col(id).cast("string"), lit(salt))), col(id))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Agreement, Bpe, Classifier, Cluster, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -963,7 +963,42 @@ object QueriesLLM {
           expr("""206835000 - (1015000 * n_words) div n_sentences
                   - (84600000 * n_syllables) div n_words""")
             .as("flesch_micro"))
-    })
+    }),
+
+    // count-min sketch: the fixed-memory heavy-hitter estimator (d=4
+    // Carter-Wegman rows x w=512 cells mod 2^31-1 over the portable
+    // md5-prefix token key). One scan builds the d*w-bounded sketch;
+    // the top-15 exact tokens are then point-estimated — CMS guarantees
+    // est >= n, and the oracle replays the identical hash arithmetic,
+    // so every estimated cell count is bit-exact.
+    "q297_countmin_sketch" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val top = exact.orderBy(col("n").desc, col("tok")).limit(15)
+      val sk = Sketch.countMin(toks, "tok", w = 512)
+      top.join(Sketch.estimate(sk, top.select("tok"), "tok", w = 512), "tok")
+        .select(col("tok"), col("n"), col("est"),
+          (col("est") - col("n")).as("over_cnt"))
+    }),
+
+    // bottom-k deterministic sample: k smallest md5(doc_id) per source —
+    // a uniform without-replacement draw that is a pure function of the
+    // ids and mergeable across corpus drops (KMV property). Partitioned
+    // window, no global sort.
+    "q298_bottomk_sample" -> ((s, dir) =>
+      Sampling.bottomK(Tables.documents(s, dir), "doc_id", "source", k = 5)
+        .select(col("source"), col("rk"), col("doc_id"))),
+
+    // cross-source overlap matrix: exact Jaccard (integer ppm) over the
+    // distinct 3-shingle sets of every source pair — the composition
+    // diagnostic run before mixing weights. Shingles travel as 64-bit
+    // hashes (q51/q52 w.h.p.-exact convention); the pair join fans out
+    // by SOURCES per gram, not documents.
+    "q299_source_overlap" -> ((s, dir) =>
+      CorpusStats.sourceOverlap(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "source", "text", k = 3))
   )
 
   /** q55's full langid replay — shared verbatim by q280's kappa oracle
@@ -3141,6 +3176,64 @@ object QueriesLLM {
            206835000 - (1015000 * pd.n_words) // sent.n_sentences
                      - (84600000 * pd.n_syllables) // pd.n_words
              AS flesch_micro
-         FROM documents d JOIN pd USING (doc_id) JOIN sent USING (doc_id)"""
+         FROM documents d JOIN pd USING (doc_id) JOIN sent USING (doc_id)""",
+
+    // identical Carter-Wegman arithmetic over the same md5-prefix keys:
+    // every sketch cell, and therefore every min-estimate, is bit-exact
+    "q297_countmin_sketch" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         ex AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+         ky AS (SELECT tok, list_reduce(list_transform(
+               string_split(substr(md5(tok), 1, 7), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+           FROM ex),
+         rw(j, a, b) AS (VALUES
+           (CAST(0 AS BIGINT), CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)),
+           (1, 1664525, 1013904223),
+           (2, 22695477, 1),
+           (3, 69069, 362437)),
+         sk AS (
+           SELECT rw.j, ((rw.a * ky.h + rw.b) % 2147483647) % 512 AS cell,
+             CAST(sum(ex.n) AS BIGINT) AS cnt
+           FROM ex JOIN ky USING (tok) CROSS JOIN rw
+           GROUP BY 1, 2),
+         top AS (SELECT tok, n FROM ex ORDER BY n DESC, tok LIMIT 15)
+         SELECT t.tok, t.n, min(sk.cnt) AS est,
+           min(sk.cnt) - t.n AS over_cnt
+         FROM top t JOIN ky USING (tok)
+         CROSS JOIN rw
+         JOIN sk ON sk.j = rw.j
+           AND sk.cell = ((rw.a * ky.h + rw.b) % 2147483647) % 512
+         GROUP BY 1, 2""",
+
+    "q298_bottomk_sample" ->
+      """SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5""",
+
+    // exact string 3-grams here vs 64-bit hashed shingles on the Spark
+    // side: set sizes agree w.h.p. (the q51/q52 convention)
+    "q299_source_overlap" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         g AS (SELECT DISTINCT source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+         sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         co AS (SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS inter
+           FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, inter,
+           CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
+             AS jaccard_ppm
+         FROM co JOIN sz sa ON sa.source = src_a
+         JOIN sz sb ON sb.source = src_b"""
   )
 }

@@ -360,6 +360,21 @@ object QueriesNumerics {
         "l_extendedprice", "ry")
       ranked.agg(count(lit(1)).as("n"),
         (round(Numerics.corrP(col("rx"), col("ry")), 8) + lit(0.0)).as("rho"))
+    }),
+
+    // additive seasonal decomposition (classic decompose(): series =
+    // trend + seasonal + residual) over daily revenue, weekly period —
+    // EXACT integer grid: cents in, trend as the centered 7-row moving
+    // SUM (trend_xp = 7*trend), per-weekday seasonal via the truncating
+    // integral div both engines share (toward zero incl. negatives),
+    // residual the exact remainder. The unpartitioned window runs over
+    // the aggregated daily grid (calendar-bounded, ~2.4k rows).
+    "q300_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .withColumn("wd", dayofweek(col("d")))
+      graft.window.Seasonal.decomposeAdditive(daily, "d", "rev_c", "wd", 7)
     })
   )
 
@@ -1094,6 +1109,29 @@ object QueriesNumerics {
            round((n * sxy - sx * sy) /
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) + 0.0
              AS rho
-         FROM s"""
+         FROM s""",
+
+    // same integer grid: DuckDB dayofweek is 0-based (Sunday=0) vs
+    // Spark's 1-based, hence the +1; // truncates toward zero like div
+    "q300_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+           FROM orders GROUP BY 1),
+         t AS (
+           SELECT d, dayofweek(d) + 1 AS wd, rev_c,
+             count(*) OVER w AS cnt7,
+             CAST(sum(rev_c) OVER w AS BIGINT) AS trend_xp
+           FROM daily
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         v AS (SELECT d, wd, rev_c, trend_xp,
+             7 * rev_c - trend_xp AS detr FROM t WHERE cnt7 = 7),
+         sn AS (SELECT wd, CAST(sum(detr) AS BIGINT) AS snum,
+             count(*) AS sden FROM v GROUP BY 1)
+         SELECT v.d, v.wd, v.rev_c, v.trend_xp,
+           snum // sden AS seas_xp,
+           v.detr - (snum // sden) AS resid_xp
+         FROM v JOIN sn USING (wd)"""
   )
 }

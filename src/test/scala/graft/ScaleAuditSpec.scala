@@ -22,6 +22,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q82_mfopen_combine" -> "ordinal over 5 aggregated combine keys",
     "q44_integrate" -> "trapezoid pairs over one bounded series per group key",
     "q12_reindex_time" -> "generated daily grid (~2.4k rows) ordinal",
+    "q300_seasonal_decompose" -> ("centered moving sum over the " +
+      "AGGREGATED daily-revenue series — one row per calendar day, " +
+      "bounded by the calendar, not the data"),
     "q71_upsample_ffill" -> "generated upsample grid (~181 rows)",
     "q212_upsample_bfill" -> "generated upsample grid (~181 rows)",
     "q216_upsample_nearest" ->
