@@ -195,7 +195,29 @@ object QueriesGroupBy {
           Groupers.qcutAssign(col("o_totalprice"), col("bs"), 4).as("qbin"))
         .groupBy("qbin")
         .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"))
-    })
+    }),
+
+    // robust-stats family (agg/Robust.scala): quantiles at EXACT binary
+    // fractions over integer-valued columns, so Hyndman-Fan-7
+    // interpolation and every derived bound are bit-identical across
+    // engines — no rounding needed on the raw med/mad/fences.
+    "q301_mad" -> ((s, dir) =>
+      graft.agg.Robust.mad(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")),
+
+    // 25%-trimmed (interquartile) mean; the mean itself is the repo's
+    // exactAvg (decimal sum / count) rounded at 6 dp
+    "q302_interquartile_mean" -> ((s, dir) =>
+      graft.agg.Robust.interquartileMean(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")),
+
+    // Tukey 1.5*IQR fences over integer CENTS of l_extendedprice —
+    // fences are exact multiples of 1/8 cent, comparisons cannot flip
+    "q303_tukey_outliers" -> ((s, dir) =>
+      graft.agg.Robust.tukeyOutliers(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("ep_c")),
+        "l_returnflag", "ep_c"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,6 +369,45 @@ object QueriesGroupBy {
                      WHEN o_totalprice <= bs[3] THEN 2 ELSE 3 END AS qbin,
            count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
-         FROM orders, b GROUP BY 1"""
+         FROM orders, b GROUP BY 1""",
+
+    "q301_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, max(m.med) AS med,
+           quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+         FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1""",
+
+    "q302_interquartile_mean" ->
+      """WITH q AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, count(*) AS n_kept,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+             / count(*), 6) AS iqm
+         FROM lineitem l JOIN q USING (l_returnflag)
+         WHERE l.l_quantity >= q.q1 AND l.l_quantity <= q.q3
+         GROUP BY 1""",
+
+    "q303_tukey_outliers" ->
+      """WITH c AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c
+           FROM lineitem),
+         q AS (SELECT l_returnflag,
+             quantile_cont(ep_c, 0.25) AS q1,
+             quantile_cont(ep_c, 0.75) AS q3
+           FROM c GROUP BY 1)
+         SELECT c.l_returnflag,
+           max(q.q1 - 1.5 * (q.q3 - q.q1)) AS lo,
+           max(q.q3 + 1.5 * (q.q3 - q.q1)) AS hi,
+           CAST(sum(CASE WHEN c.ep_c < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR c.ep_c > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           CAST(coalesce(sum(CASE WHEN c.ep_c < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR c.ep_c > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN c.ep_c END), 0) AS BIGINT) AS out_sum
+         FROM c JOIN q USING (l_returnflag) GROUP BY 1"""
   )
 }

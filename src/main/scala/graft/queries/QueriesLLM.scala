@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf}
+import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf, Vocab}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -998,7 +998,25 @@ object QueriesLLM {
     "q299_source_overlap" -> ((s, dir) =>
       CorpusStats.sourceOverlap(
         Tables.documents(s, dir).repartition(col("doc_id")),
-        "source", "text", k = 3))
+        "source", "text", k = 3)),
+
+    // top-K vocabulary with dense ids + the OOV mass row — the token ->
+    // id table in front of any text model. TakeOrdered cut, then ids
+    // over the ALREADY-LIMITED K-row frame.
+    "q304_vocab_encode" -> ((s, dir) =>
+      Vocab.buildVocab(
+        Tables.documents(s, dir).repartition(col("doc_id"))
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("tok")),
+        "tok", topK = 20)),
+
+    // hashing trick (HashingVectorizer): token -> md5-key % 64 bucket,
+    // parity sign from hash bit 20, summed per (doc, bucket). Fixed
+    // dimensionality, no vocabulary state; every row bit-exact.
+    "q305_feature_hashing" -> ((s, dir) =>
+      Vocab.featureHash(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text", dim = 64))
   )
 
   /** q55's full langid replay — shared verbatim by q280's kappa oracle
@@ -3234,6 +3252,35 @@ object QueriesLLM {
            CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
              AS jaccard_ppm
          FROM co JOIN sz sa ON sa.source = src_a
-         JOIN sz sb ON sb.source = src_b"""
+         JOIN sz sb ON sb.source = src_b""",
+
+    "q304_vocab_encode" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+         top AS (SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS id
+           FROM c ORDER BY n DESC, tok LIMIT 20)
+         SELECT id, tok, n FROM top
+         UNION ALL
+         SELECT 0, '<unk>',
+           (SELECT count(*) FROM tk) - (SELECT CAST(sum(n) AS BIGINT) FROM top)""",
+
+    // identical md5-prefix key, % bucket, and (h >> 20) & 1 parity sign
+    "q305_feature_hashing" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         ky AS (SELECT doc_id, list_reduce(list_transform(
+               string_split(substr(md5(tok), 1, 7), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+           FROM tk)
+         SELECT doc_id, h % 64 AS idx,
+           CAST(sum(CASE WHEN ((h >> 20) & 1) = 0 THEN 1 ELSE -1 END)
+             AS BIGINT) AS val
+         FROM ky GROUP BY 1, 2"""
   )
 }

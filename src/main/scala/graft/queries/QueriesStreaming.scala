@@ -268,10 +268,49 @@ object QueriesStreaming {
         key = "event_type", k = 3,
         name = s"stream_topk_${System.nanoTime}")
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming count-min sketch: the q297 cell aggregation maintained
+    // as streaming state over the document stream — the fixed-memory
+    // heavy-hitter monitor a live ingest pipeline runs. The (row, cell)
+    // keyspace is d*w-bounded, so the state NEVER grows with the
+    // corpus; the memory-sink result equals the batch sketch cell for
+    // cell (same md5-prefix keys, same Carter-Wegman rows).
+    "q306_stream_countmin" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val toks = StreamOps.documentsStream(s, dir)
+          .select(explode(graft.llm.TextAnalysis.tokens(
+            lower(col("text")))).as("tok"))
+        val sk = graft.llm.Sketch.countMin(toks, "tok", w = 512)
+        StreamOps.runToCompletion(s, sk,
+          s"stream_cms_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the batch q297 sketch build, cell for cell
+    "q306_stream_countmin" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         ex AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+         ky AS (SELECT tok, list_reduce(list_transform(
+               string_split(substr(md5(tok), 1, 7), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+           FROM ex),
+         rw(j, a, b) AS (VALUES
+           (CAST(0 AS BIGINT), CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)),
+           (1, 1664525, 1013904223),
+           (2, 22695477, 1),
+           (3, 69069, 362437))
+         SELECT rw.j AS row, ((rw.a * ky.h + rw.b) % 2147483647) % 512 AS cell,
+           CAST(sum(ex.n) AS BIGINT) AS cnt
+         FROM ex JOIN ky USING (tok) CROSS JOIN rw
+         GROUP BY 1, 2""",
     "q63_stream_resample" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v

@@ -25,6 +25,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q300_seasonal_decompose" -> ("centered moving sum over the " +
       "AGGREGATED daily-revenue series — one row per calendar day, " +
       "bounded by the calendar, not the data"),
+    "q304_vocab_encode" -> ("dense ids over the top-K vocabulary frame " +
+      "AFTER the TakeOrdered limit(K) cut — K-bounded by construction"),
     "q71_upsample_ffill" -> "generated upsample grid (~181 rows)",
     "q212_upsample_bfill" -> "generated upsample grid (~181 rows)",
     "q216_upsample_nearest" ->
@@ -143,7 +145,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q244_hybrid_rrf" -> ("broadcasts of the 1-row corpus-stats aggregate " +
       "and the 1-probe dense side (q243/q54 contracts)"),
     "q253_hybrid_convex" -> ("broadcasts of the 1-row corpus-stats and " +
-      "min/max aggregates and the 1-probe dense side (q243/q54 contracts)"))
+      "min/max aggregates and the 1-probe dense side (q243/q54 contracts)"),
+    "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
+      "kept-mass aggregates to form the OOV row — both sides single-row " +
+      "by construction"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
