@@ -1126,6 +1126,36 @@ object QueriesMore {
         .agg(sum(col("va") * col("vb") * col("vc")).cast("double").as("dot3"))
     }),
 
+    // last-touch attribution: each purchase credited to the user's most
+    // recent click/view/signup within a 7-day lookback — the AsOf union
+    // + partitioned-window machinery (one shuffle on user_id, no row
+    // multiplication); oracle = DuckDB's native ASOF JOIN. Touches are
+    // pre-deduped per (user, ts) to the max-event-id row so the as-of
+    // pick is unambiguous on both engines.
+    "q307_last_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"))
+      graft.align.Attribution.lastTouch(conv, touches,
+          "user_id", "ts", "event_type", "event_id",
+          toleranceMicros = 7L * 24 * 3600 * 1000000L)
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double")
+            .as("rev"))
+    }),
+
+    // event-path mining: top-10 3-step event-type sequences (the Markov
+    // matrix generalized to paths) — per-user lead() windows, wordcount
+    // aggregate, TakeOrdered cut
+    "q308_event_paths" -> ((s, dir) =>
+      graft.window.Paths.topPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", n = 3, k = 10)),
+
     // ordered funnel view → click → purchase: per user the earliest
     // in-order completion of each stage prefix (strictly-after contract);
     // |stages| conditional-min hash aggs chained on the user key — no
@@ -2144,6 +2174,39 @@ object QueriesMore {
          SELECT i, CAST(sum(va * vb * vc) AS DOUBLE) AS dot3
          FROM a JOIN b USING (k) JOIN c USING (j)
          GROUP BY i""",
+    // native ASOF JOIN replay, same (user, ts) dedupe and 7-day fence
+    "q307_last_touch" ->
+      """WITH tch AS (
+           SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events
+           WHERE event_type IN ('click', 'view', 'signup')),
+         t1 AS (SELECT user_id, ts, event_type FROM tch WHERE rn = 1),
+         conv AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.value,
+             CASE WHEN t.ts IS NOT NULL AND c.ts - t.ts <= INTERVAL 7 DAY
+                  THEN t.event_type ELSE '(none)' END AS attributed
+           FROM conv c ASOF LEFT JOIN t1 t
+             ON c.user_id = t.user_id AND c.ts >= t.ts)
+         SELECT attributed, count(*) AS n_conv,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rev
+         FROM j GROUP BY 1""",
+
+    "q308_event_paths" ->
+      """WITH o AS (
+           SELECT event_type,
+             lead(event_type, 1) OVER w AS l1,
+             lead(event_type, 2) OVER w AS l2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || '>' || l1 || '>' || l2 AS path,
+           count(*) AS n
+         FROM o WHERE l2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+
     // funnel replay: the same chained conditional-min prefix tables
     "q270_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events

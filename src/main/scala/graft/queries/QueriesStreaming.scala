@@ -103,6 +103,17 @@ object QueriesStreaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // A FULL OUTER stream-stream interval join is expressible with the
+    // same machinery (intervalJoin(joinType = "fullOuter") — Spark
+    // supports it) but is deliberately NOT oracle-gated: the final-batch
+    // eviction boundary differs per side and is implementation-defined
+    // (measured on this data: the right side null-extends only up to
+    // max(rightTs) - 2h, the left side's cut is not a closed form of
+    // the data), so a batch-SQL oracle would be green only until the
+    // data lands on the boundary — the exact fragility class the
+    // round-12 signed-zero audit removed. The LEFT outer contract
+    // (q208 above) is clean and stays gated.
+
     // streaming parquet FILE SINK (exactly-once manifest): purchases
     // stream into a parquet directory via AvailableNow; the committed
     // output re-reads to exactly the batch filter's rows
