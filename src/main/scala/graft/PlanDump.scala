@@ -92,7 +92,28 @@ object PlanDump {
         "BROADCASTS onto the feature stream (margin join), and the " +
         "gradient is a partial+final hash agg over B constant bucket " +
         "keys — the corpus-sized stream is scanned, never shuffled wider " +
-        "than B rows, and no corpus data reaches the driver.")
+        "than B rows, and no corpus data reaches the driver."),
+    "q239_pca_covariance" ->
+      ("One-pass PCA covariance: the CovMoments aggregator runs the " +
+        "d(d+1)/2 products in a fixed in-JVM buffer INSIDE the scan " +
+        "stage — no pre-aggregate Generate, the shuffle carries one " +
+        "buffer per partition (the round-12 d^2-row explode is gone; " +
+        "PcaSpec pins bit-identical output and the no-Generate shape)."),
+    "q297_countmin_sketch" ->
+      ("Count-min sketch: tokens explode to d (row, cell) coords that " +
+        "feed the partial hash agg in the SAME stage — the shuffle and " +
+        "the sketch are d*w-bounded regardless of corpus size; the " +
+        "top-k probe side is TakeOrdered + a broadcast-scale join."),
+    "q299_source_overlap" ->
+      ("Source overlap matrix: distinct (source, gram-hash) partial+" +
+        "final agg, then a gram-key equi-join whose per-gram fan-out is " +
+        "bounded by |sources| — pair rows scale with grams x S^2, never " +
+        "documents^2."),
+    "q307_last_touch" ->
+      ("Last-touch attribution: the AsOf union + window — ONE shuffle " +
+        "on user_id, last-observation propagation in a partitioned " +
+        "window, zero row multiplication; the 7-day fence is a " +
+        "post-projection, not a range join.")
   )
 
   def main(args: Array[String]): Unit = {
