@@ -31,7 +31,10 @@ object ScaleSmoke {
     "q136_substring_dedup", "q142_dedup_clusters",
     "q143_dedup_representatives", "q146_seq_packing", "q197_zorder",
     "q239_pca_covariance", "q275_also_bought", "q281_classifier_eval",
-    "q283_fuzzy_match")
+    "q283_fuzzy_match",
+    // round-13 additions: the new heaviest verbs
+    "q297_countmin_sketch", "q299_source_overlap", "q306_stream_countmin",
+    "q307_last_touch")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
