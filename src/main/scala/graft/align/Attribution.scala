@@ -16,6 +16,60 @@ import org.apache.spark.sql.functions._
   */
 object Attribution {
 
+  /** Linear (equal-split) multi-touch attribution: every touch inside
+    * the conversion's lookback window receives an equal share of the
+    * conversion value — the multi-touch complement of [[lastTouch]].
+    *
+    * The (conversion x touch) candidate set comes from
+    * [[IntervalJoin.pointInInterval]]'s time-bucket decomposition, so
+    * the range match is an EQUI-join on (user, bucket) — never a
+    * nested loop — and its fan-out is bounded by touches-per-window,
+    * the rows the answer genuinely needs.
+    *
+    * Exactness: the per-touch share rides the ppm integer grid —
+    * credit_ppm = valueCents·10⁶ div n_touches, the truncating integral
+    * division all engines share — so credit sums are exact BIGINTs (a
+    * conversion's total credited ppm may undershoot its value by < n
+    * ppm: the documented fixed-point remainder, identical everywhere).
+    *
+    * @param conversions (by, key, convId, valueCents) — valueCents an
+    *                    integral column
+    * @param touches     (by, key, touchType)
+    * @return one row per (attributed touch type + `noTouchLabel`):
+    *         n_touch, credit_ppm */
+  def linearTouch(conversions: DataFrame, touches: DataFrame,
+                  by: String, key: String, convId: String,
+                  valueCents: String, touchType: String,
+                  lookbackMicros: Long, bucketMicros: Long,
+                  noTouchLabel: String = "(none)"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ivs = conversions
+      .withColumn("__start",
+        expr(s"timestampadd(MICROSECOND, -$lookbackMicros, $key)"))
+      .withColumnRenamed(key, "__end")
+    val matched = IntervalJoin.pointInInterval(
+      touches.select(col(by), col(key), col(touchType)), ivs,
+      Seq(by), key, "__start", "__end", bucketMicros)
+    val n = matched.groupBy(col(convId)).agg(count(lit(1)).as("__n"))
+    val credited = matched.join(n, convId)
+      .withColumn("__credit_ppm",
+        expr(s"$valueCents * 1000000L div __n"))
+      .groupBy(col(touchType).as("attributed"))
+      .agg(count(lit(1)).as("n_touch"),
+        sum(col("__credit_ppm")).cast(DecimalType(38, 0))
+          .as("credit_ppm"))
+    val untouched = conversions
+      .join(matched.select(col(convId)).distinct(), Seq(convId),
+        "left_anti")
+      .agg(count(lit(1)).as("n_touch"),
+        sum(col(valueCents) * lit(1000000L)).cast(DecimalType(38, 0))
+          .as("credit_ppm"))
+      .select(lit(noTouchLabel).as("attributed"), col("n_touch"),
+        col("credit_ppm"))
+      .filter(col("n_touch") > 0)
+    credited.unionByName(untouched)
+  }
+
   /** @param conversions probe side: (by, key, ...valueCols)
     * @param touches     observation side: (by, key, touchType, tieBreak)
     * @param toleranceMicros lookback window; older matches -> credited

@@ -147,6 +147,64 @@ object Stats {
             / CAST(n - k AS DOUBLE))"""), fScale) + lit(0.0)).as("f_stat"))
   }
 
+  /** Kruskal–Wallis H across the named `levels` of `groupCol`
+    * (rank-based one-way ANOVA), average-tie ranks, tie-corrected:
+    * H = 12/(N(N+1))·Σ R_i²/n_i − 3(N+1),  H_c = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Rank sums use the [[mannWhitney]] VALUE-LEVEL prefix shape
+    * generalized to k groups: one conditional-count aggregate per
+    * distinct value, one running total over that aggregated frame, and
+    * 2·R_i = Σ c_i(v)·(2·below(v) + ct(v) + 1) stays an exact BIGINT.
+    * The k-group sum Σ R_i²/n_i is NOT a float aggregate (whose order
+    * would be engine-dependent): `levels` is an explicit constant list,
+    * so the statistic is ONE fixed left-to-right IEEE expression over
+    * the single aggregate row — term order is syntactic on both
+    * engines. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    levels: Seq[String], hScale: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(levels.size >= 2, s"kruskalWallis needs >= 2 levels")
+    val in = levels.map(l => col(groupCol) === l)
+    val cnts = levels.zip(in).map { case (l, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"c_${l.toLowerCase}")
+    }
+    val perValue = df.filter(in.reduce(_ || _))
+      .groupBy(col(valueCol).as("v"))
+      .agg(cnts.head, cnts.tail: _*)
+    val ct = levels.map(l => col(s"c_${l.toLowerCase}")).reduce(_ + _)
+    // prefix over the aggregated distinct-value frame (small by
+    // construction; the two-level Packing prefix is the swap-in for
+    // genuinely high-cardinality metrics)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue
+      .withColumn("below", coalesce(sum(ct).over(w), lit(0L)))
+      .withColumn("r2", lit(2) * col("below") + ct + 1)
+    val aggCols = levels.map(l => sum(col(s"c_${l.toLowerCase}"))
+        .as(s"n_${l.toLowerCase}")) ++
+      levels.map(l => sum(col(s"c_${l.toLowerCase}") * col("r2"))
+        .as(s"rx2_${l.toLowerCase}")) :+
+      sum(ct * ct * ct - ct).as("tie3")
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    // Σ R_i²/n_i written out term by term: rx2 casts to double exactly
+    // (< 2^53), each term is the same IEEE product/quotient, the sum is
+    // fixed left-to-right. /4 folds the 2x-rank scaling once at the end.
+    val sTerms = levels.map(_.toLowerCase).map(l =>
+      s"""CAST(rx2_$l AS DOUBLE) * CAST(rx2_$l AS DOUBLE)
+          / CAST(n_$l AS DOUBLE)""").mkString(" + ")
+    val nExpr = levels.map(l => s"n_${l.toLowerCase}").mkString(" + ")
+    agg.select(
+      (levels.map(l => col(s"n_${l.toLowerCase}")) :+
+        (round(expr(
+          s"""(12.0 / (CAST($nExpr AS DOUBLE) * CAST(($nExpr) + 1 AS DOUBLE))
+               * (($sTerms) / 4.0)
+               - 3.0 * CAST(($nExpr) + 1 AS DOUBLE))
+              / (1.0 - CAST(tie3 AS DOUBLE)
+                 / (CAST($nExpr AS DOUBLE) * CAST($nExpr AS DOUBLE)
+                    * CAST($nExpr AS DOUBLE) - CAST($nExpr AS DOUBLE)))"""),
+          hScale) + lit(0.0)).as("h_stat")): _*)
+  }
+
   /** Mann–Whitney U between the `groupCol` levels `a` and `b` on
     * `valueCol`, average-tie ranks, tie-corrected normal approximation.
     *

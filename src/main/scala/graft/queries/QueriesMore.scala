@@ -1156,6 +1156,94 @@ object QueriesMore {
       graft.window.Paths.topPaths(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type", n = 3, k = 10)),
 
+    // changelog application (CDC apply / MERGE INTO): a derived I/U/D
+    // changelog (lineitem lines >= 4, line 7 rows as inserts under
+    // shifted keys, low-quantity rows as deletes, linenumber as the
+    // version) folded into the orders snapshot — per-key winner in ONE
+    // combiner-friendly max-struct aggregate, then a single anti-join +
+    // union. This lineitem has DUPLICATE (orderkey, linenumber) pairs,
+    // so version ties are real: the max-struct total order (seq, op,
+    // payload...) is the deterministic tiebreak, replayed verbatim by
+    // the oracle's ORDER BY chain
+    "q310_changelog_merge" -> ((s, dir) => {
+      val snap = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("totalprice_c"))
+      val changes = Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") >= 4)
+        .select(
+          when(col("l_linenumber") === 7, col("l_orderkey") + 600000000L)
+            .otherwise(col("l_orderkey")).as("o_orderkey"),
+          col("l_linenumber").as("seq"),
+          when(col("l_linenumber") === 7, "I")
+            .when(col("l_quantity") < 10, "D").otherwise("U").as("op"),
+          col("l_suppkey").as("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("totalprice_c"))
+      graft.align.ChangelogMerge.applyChangelog(snap, changes,
+        "o_orderkey", "seq", "op")
+    }),
+
+    // JSONL corpus interchange: documents written as JSON-Lines by the
+    // distributed native sink (one file per partition — no driver
+    // collect at any size), read back with a PINNED schema (inference
+    // is an extra full pass at 100 TB) in FAILFAST mode, then an
+    // integrity aggregate whose oracle reads the ORIGINAL parquet —
+    // the md5-key sum proves text survived JSON escaping byte-exactly
+    "q311_jsonl_roundtrip" -> ((s, dir) => {
+      val path = "/tmp/graft_jsonl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.io.JsonLines.write(docs, path)
+      graft.io.JsonLines.read(s, path, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("len_sum"),
+          sum(graft.llm.Sketch.tokenKey(col("text"))).as("text_key_sum"))
+    }),
+
+    // equi-width histogram sketch + quantiles read off it: bin counts
+    // (range/width-bounded state, mergeable by cell addition) instead
+    // of shuffled values; rank targets and in-bin interpolation on the
+    // exact integer/ppm grid
+    "q312_histogram_quantile" -> ((s, dir) =>
+      graft.llm.Sketch.histogramQuantile(
+        Tables.lineitem(s, dir).select(
+          round(col("l_extendedprice") * 100).cast("long").as("price_c")),
+        "price_c", width = 500000L, qPcts = Seq(25, 50, 75, 90, 99))),
+
+    // KMV (bottom-k minimum hash values) distinct sketches per source +
+    // union/Jaccard/intersection ESTIMATES for every source pair — the
+    // mergeable-synopsis complement of q299's exact overlap; all
+    // estimates on truncating integer division
+    "q313_kmv_set_ops" -> ((s, dir) =>
+      graft.llm.Sketch.kmvPairs(
+        Tables.documents(s, dir).select(col("source"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0),
+        "source", "tok", k = 64)),
+
+    // linear (equal-split) multi-touch attribution: every touch in the
+    // 7-day lookback shares the conversion equally — the range match is
+    // IntervalJoin's time-bucket EQUI-join (1-day buckets), credit on
+    // the ppm grid via truncating division
+    "q314_linear_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("conv_id"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      graft.align.Attribution.linearTouch(conv, touches,
+        "user_id", "ts", "conv_id", "value_c", "event_type",
+        lookbackMicros = 7L * 24 * 3600 * 1000000L,
+        bucketMicros = 24L * 3600 * 1000000L)
+    }),
+
     // ordered funnel view → click → purchase: per user the earliest
     // in-order completion of each stage prefix (strictly-after contract);
     // |stages| conditional-min hash aggs chained on the user key — no
@@ -2206,6 +2294,130 @@ object QueriesMore {
            count(*) AS n
          FROM o WHERE l2 IS NOT NULL
          GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+
+    // MERGE replay: same derived changelog, row_number() pick = the
+    // max-struct winner (seq unique per key), anti-join + union
+    "q310_changelog_merge" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+           FROM orders),
+         chg AS (SELECT
+             CASE WHEN l_linenumber = 7 THEN l_orderkey + 600000000
+                  ELSE l_orderkey END AS o_orderkey,
+             l_linenumber AS seq,
+             CASE WHEN l_linenumber = 7 THEN 'I'
+                  WHEN l_quantity < 10 THEN 'D' ELSE 'U' END AS op,
+             l_suppkey AS o_custkey,
+             'U' AS o_orderstatus,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS totalprice_c
+           FROM lineitem WHERE l_linenumber >= 4),
+         win AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY seq DESC, op DESC, o_custkey DESC,
+               o_orderstatus DESC, totalprice_c DESC) AS rn FROM chg),
+         w1 AS (SELECT * FROM win WHERE rn = 1)
+         SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.totalprice_c
+         FROM snap s LEFT JOIN w1 ON s.o_orderkey = w1.o_orderkey
+         WHERE w1.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, totalprice_c
+         FROM w1 WHERE op <> 'D'""",
+
+    // roundtrip integrity oracle reads the ORIGINAL parquet — equality
+    // proves the JSONL write+read preserved every field bit-exactly
+    "q311_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS len_sum,
+           CAST(sum(list_reduce(list_transform(
+               string_split(substr(md5(text), 1, 7), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b)) AS BIGINT) AS text_key_sum
+         FROM documents GROUP BY 1""",
+
+    // histogram replay: same truncating-div bins, same prefix, same
+    // ceil-rank targets and ppm interpolation
+    "q312_histogram_quantile" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             // 500000 AS bin FROM lineitem),
+         b AS (SELECT bin, count(*) AS cnt FROM v GROUP BY 1),
+         c AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum FROM b),
+         p AS (SELECT *, cum - cnt AS prev,
+             (SELECT CAST(sum(cnt) AS BIGINT) FROM b) AS n FROM c),
+         q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct),
+         t AS (SELECT q.q_pct, p.*, (q.q_pct * p.n + 99) // 100 AS target
+           FROM q CROSS JOIN p),
+         pick AS (SELECT *, row_number() OVER (PARTITION BY q_pct
+             ORDER BY bin) AS rk FROM t WHERE cum >= target)
+         SELECT q_pct, target AS target_rank, bin, bin * 500000 AS lo,
+           bin * 500000 * 1000000
+             + (500000 * (target - prev) * 1000000) // cnt AS est_ppm
+         FROM pick WHERE rk = 1""",
+
+    // KMV replay: same md5-prefix keys, same bottom-64 windows, same
+    // truncating-div estimates
+    "q313_kmv_set_ops" ->
+      """WITH tk AS (SELECT DISTINCT source AS s,
+             list_reduce(list_transform(
+                 string_split(substr(md5(tok), 1, 7), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+           FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             FROM documents)
+           WHERE tok <> ''),
+         sig AS (SELECT s, h FROM (SELECT *, row_number() OVER (
+               PARTITION BY s ORDER BY h) AS rk FROM tk) WHERE rk <= 64),
+         pr AS (SELECT a.s AS s1, b.s AS s2
+           FROM (SELECT DISTINCT s FROM sig) a,
+                (SELECT DISTINCT s FROM sig) b
+           WHERE a.s < b.s),
+         u AS (SELECT s1, s2, h, count(DISTINCT s) = 2 AS in_both FROM (
+             SELECT pr.s1, pr.s2, g.s, g.h FROM pr JOIN sig g ON g.s = pr.s1
+             UNION ALL
+             SELECT pr.s1, pr.s2, g.s, g.h FROM pr JOIN sig g ON g.s = pr.s2)
+           GROUP BY 1, 2, 3),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY s1, s2
+             ORDER BY h) AS rk FROM u),
+         agg AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS m,
+             CAST(max(h) AS BIGINT) AS hk,
+             CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+           FROM rk WHERE rk <= 64 GROUP BY 1, 2)
+         SELECT s1, s2, m, hk, n_both,
+           CASE WHEN m < 64 THEN m
+                ELSE (CAST(63 AS BIGINT) * 268435456) // hk END AS union_est,
+           n_both * 1000000 // m AS jaccard_ppm,
+           n_both * (CASE WHEN m < 64 THEN m
+                     ELSE (CAST(63 AS BIGINT) * 268435456) // hk END) // m AS inter_est
+         FROM agg""",
+
+    // linear attribution replay: direct range join (fine at oracle
+    // scale), per-conversion touch counts, ppm truncating-div credit,
+    // untouched conversions to the (none) bucket at full value
+    "q314_linear_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('click', 'view', 'signup')),
+         m AS (SELECT c.conv_id, c.value_c, t.event_type
+           FROM conv c JOIN tch t ON c.user_id = t.user_id
+             AND t.ts >= c.ts - INTERVAL 7 DAY AND t.ts <= c.ts),
+         n AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS nt
+           FROM m GROUP BY 1),
+         cr AS (SELECT m.event_type AS attributed,
+             m.value_c * 1000000 // n.nt AS credit
+           FROM m JOIN n USING (conv_id))
+         SELECT attributed, count(*) AS n_touch,
+           CAST(sum(credit) AS DECIMAL(38,0)) AS credit_ppm
+         FROM cr GROUP BY 1
+         UNION ALL
+         SELECT '(none)' AS attributed, count(*) AS n_touch,
+           CAST(sum(value_c) * 1000000 AS DECIMAL(38,0)) AS credit_ppm
+         FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM m)
+         HAVING count(*) > 0""",
 
     // funnel replay: the same chained conditional-min prefix tables
     "q270_funnel" ->

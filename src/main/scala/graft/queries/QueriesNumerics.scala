@@ -362,6 +362,14 @@ object QueriesNumerics {
         (round(Numerics.corrP(col("rx"), col("ry")), 8) + lit(0.0)).as("rho"))
     }),
 
+    // Kruskal-Wallis H (rank one-way ANOVA) across all three return
+    // flags: value-level prefix rank sums (exact BIGINT via 2x ranks),
+    // tie-corrected, the k-group term sum written as ONE fixed
+    // left-to-right IEEE expression — never a float aggregate
+    "q309_kruskal_wallis" -> ((s, dir) =>
+      graft.numerics.Stats.kruskalWallis(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", levels = Seq("A", "N", "R"))),
+
     // additive seasonal decomposition (classic decompose(): series =
     // trend + seasonal + residual) over daily revenue, weekly period —
     // EXACT integer grid: cents in, trend as the centered 7-row moving
@@ -1110,6 +1118,49 @@ object QueriesNumerics {
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) + 0.0
              AS rho
          FROM s""",
+
+    // KW replay: same value-level prefix, same exact 2x-rank sums, the
+    // identical fixed-order H expression (a+b+c associates left to
+    // right in both SQL dialects)
+    "q309_kruskal_wallis" ->
+      """WITH pv AS (SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_r
+           FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R') GROUP BY 1),
+         rk AS (SELECT *, coalesce(sum(c_a + c_n + c_r) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pv),
+         r2 AS (SELECT *, 2 * below + (c_a + c_n + c_r) + 1 AS r2 FROM rk),
+         agg AS (SELECT
+             CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_n) AS BIGINT) AS n_n,
+             CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(sum(c_a * r2) AS BIGINT) AS rx2_a,
+             CAST(sum(c_n * r2) AS BIGINT) AS rx2_n,
+             CAST(sum(c_r * r2) AS BIGINT) AS rx2_r,
+             CAST(sum((c_a + c_n + c_r) * (c_a + c_n + c_r)
+                 * (c_a + c_n + c_r) - (c_a + c_n + c_r)) AS BIGINT) AS tie3
+           FROM r2)
+         SELECT n_a, n_n, n_r,
+           round((12.0 / (CAST(n_a + n_n + n_r AS DOUBLE)
+                 * CAST((n_a + n_n + n_r) + 1 AS DOUBLE))
+               * ((CAST(rx2_a AS DOUBLE) * CAST(rx2_a AS DOUBLE)
+                     / CAST(n_a AS DOUBLE)
+                   + CAST(rx2_n AS DOUBLE) * CAST(rx2_n AS DOUBLE)
+                     / CAST(n_n AS DOUBLE)
+                   + CAST(rx2_r AS DOUBLE) * CAST(rx2_r AS DOUBLE)
+                     / CAST(n_r AS DOUBLE)) / 4.0)
+               - 3.0 * CAST((n_a + n_n + n_r) + 1 AS DOUBLE))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                / (CAST(n_a + n_n + n_r AS DOUBLE)
+                   * CAST(n_a + n_n + n_r AS DOUBLE)
+                   * CAST(n_a + n_n + n_r AS DOUBLE)
+                   - CAST(n_a + n_n + n_r AS DOUBLE))), 8) + 0.0 AS h_stat
+         FROM agg""",
 
     // same integer grid: DuckDB dayofweek is 0-based (Sunday=0) vs
     // Spark's 1-based, hence the +1; // truncates toward zero like div

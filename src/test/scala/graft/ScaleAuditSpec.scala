@@ -58,7 +58,13 @@ class ScaleAuditSpec extends SparkSpec {
         "swap-in for genuinely high-cardinality metrics"),
     "q291_ks_test" ->
       ("cumulative counts over the AGGREGATED distinct-value frame " +
-        "(q290's contract; 50 rows for this metric)"))
+        "(q290's contract; 50 rows for this metric)"),
+    "q309_kruskal_wallis" ->
+      ("rank prefix over the AGGREGATED distinct-value frame " +
+        "(q290's contract; 50 rows for this metric)"),
+    "q312_histogram_quantile" ->
+      ("cumulative counts over the AGGREGATED bin frame — bounded by " +
+        "value range / bin width, not by rows"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -146,6 +152,11 @@ class ScaleAuditSpec extends SparkSpec {
       "and the 1-probe dense side (q243/q54 contracts)"),
     "q253_hybrid_convex" -> ("broadcasts of the 1-row corpus-stats and " +
       "min/max aggregates and the 1-probe dense side (q243/q54 contracts)"),
+    "q312_histogram_quantile" -> ("broadcast of the 1-row histogram " +
+      "total onto the bounded bin frame"),
+    "q313_kmv_set_ops" -> ("stratum-pair grid: #strata x #strata rows " +
+      "of NAMES over the two distinct-strata frames — sketch-sized by " +
+      "construction, data volume never enters the cross"),
     "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
       "kept-mass aggregates to form the OOV row — both sides single-row " +
       "by construction"))

@@ -97,6 +97,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
   }
 
+  test("kruskalWallis matches brute-force tie-corrected H over 3 groups") {
+    val c = Seq(9.0, 14.0, 12.0, 7.0, 15.0)
+    val all = a.map((_, "A")) ++ b.map((_, "N")) ++ c.map((_, "R"))
+    val ranks = all.map { case (v, g) =>
+      val less = all.count(_._1 < v); val eq = all.count(_._1 == v)
+      (g, less + (eq + 1) / 2.0)
+    }
+    val n = all.size.toDouble
+    val groups = Seq("A" -> a.size, "N" -> b.size, "R" -> c.size)
+    val s = groups.map { case (g, ni) =>
+      val ri = ranks.filter(_._1 == g).map(_._2).sum
+      ri * ri / ni
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    val tie3 = all.map(_._1).groupBy(identity).values
+      .map(_.size).map(t => t.toLong * t * t - t).sum
+    val hc = h / (1.0 - tie3 / (n * n * n - n))
+    val d3 = (a.map(("A", _)) ++ b.map(("N", _)) ++ c.map(("R", _)) ++
+      Seq(("X", 1234.0))) // a fourth level that must be ignored
+      .toDF("g", "v")
+    val r = Stats.kruskalWallis(d3, "g", "v", Seq("A", "N", "R")).head()
+    assert(r.getLong(0) === a.size && r.getLong(1) === b.size &&
+      r.getLong(2) === c.size)
+    assert(math.abs(r.getDouble(3) - hc) < 1e-7,
+      s"${r.getDouble(3)} vs $hc")
+  }
+
   test("mannWhitney matches brute-force average-tie ranks") {
     val all = (a.map((_, "A")) ++ b.map((_, "N")))
     val ranks = all.map { case (v, g) =>
