@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object ChangelogMerge {
 
+  /** SCD type-2 history build: every non-delete change becomes a
+    * version row with a validity range [valid_from, valid_to) on the
+    * version axis — valid_to is the NEXT change's version (a delete
+    * closes the prior version without emitting a row), null marks the
+    * current version. One partitioned window per key; version ties
+    * (possible when the changelog source has duplicate sequence
+    * numbers) are ordered by the same (seq, op, payload...) total order
+    * [[applyChangelog]] uses, so both builds agree on history. */
+  def scd2History(changes: DataFrame, key: String, seqCol: String,
+                  opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = changes.columns
+      .filterNot(Set(key, seqCol, opCol)).toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(seqCol) +: col(opCol) +: payload.map(col))
+        .map(_.asc): _*)
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(col(key) +: payload.map(col) :+
+        col(seqCol).as("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
   /** @param snapshot base table; `key` unique
     * @param changes  changelog carrying `key`, `seqCol` (version — ties
     *                 broken by the max full record, so make seq unique

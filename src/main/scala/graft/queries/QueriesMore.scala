@@ -1225,6 +1225,49 @@ object QueriesMore {
           .filter(length(col("tok")) > 0),
         "source", "tok", k = 64)),
 
+    // SCD type-2 history over the q310 changelog: every non-delete
+    // change becomes a version row with [valid_from, valid_to) on the
+    // version axis (delete closes, null = current) — one partitioned
+    // window per key, the q310 total order resolving version ties
+    "q315_scd2_history" -> ((s, dir) => {
+      val changes = Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") >= 4)
+        .select(
+          when(col("l_linenumber") === 7, col("l_orderkey") + 600000000L)
+            .otherwise(col("l_orderkey")).as("o_orderkey"),
+          col("l_linenumber").as("seq"),
+          when(col("l_linenumber") === 7, "I")
+            .when(col("l_quantity") < 10, "D").otherwise("U").as("op"),
+          col("l_suppkey").as("o_custkey"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("totalprice_c"))
+      graft.align.ChangelogMerge.scd2History(changes,
+        "o_orderkey", "seq", "op")
+    }),
+
+    // URL canonicalization dedup (the web-corpus dedup key): synthetic
+    // crawl URLs with case noise, default ports, trailing slashes,
+    // utm_* tracking params, unsorted query strings and fragments are
+    // canonicalized by a pure codegen'd string expression, then
+    // per-host dedup accounting
+    "q316_url_dedup" -> ((s, dir) => {
+      val urls = Tables.orders(s, dir).select(concat(
+        lit("HTTP://Shop"), (col("o_custkey") % 5).cast("string"),
+        lit(".Example.COM"),
+        when(col("o_orderkey") % 2 === 0, ":80").otherwise(""),
+        lit("/item/"), (col("o_orderkey") % 1000).cast("string"),
+        when(col("o_orderkey") % 3 === 0, "/").otherwise(""),
+        lit("?utm_source=x&ref="), (col("o_custkey") % 7).cast("string"),
+        lit("&b=2&a=1"),
+        when(col("o_orderkey") % 5 === 0, "#sec").otherwise(""))
+        .as("url"))
+      urls.select(graft.llm.Url.canonicalize(col("url")).as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("n_raw"))
+        .groupBy(regexp_extract(col("canon"), "://([^/]+)", 1).as("host"))
+        .agg(count(lit(1)).as("n_canonical"),
+          sum(col("n_raw")).as("n_urls"))
+    }),
+
     // linear (equal-split) multi-touch attribution: every touch in the
     // 7-day lookback shares the conversion equally — the range match is
     // IntervalJoin's time-bucket EQUI-join (1-day buckets), credit on
@@ -2392,6 +2435,63 @@ object QueriesMore {
            n_both * (CASE WHEN m < 64 THEN m
                      ELSE (CAST(63 AS BIGINT) * 268435456) // hk END) // m AS inter_est
          FROM agg""",
+
+    // SCD2 replay: same changelog, lead() over the identical
+    // (seq, op, payload...) total order
+    "q315_scd2_history" ->
+      """WITH chg AS (SELECT
+             CASE WHEN l_linenumber = 7 THEN l_orderkey + 600000000
+                  ELSE l_orderkey END AS o_orderkey,
+             l_linenumber AS seq,
+             CASE WHEN l_linenumber = 7 THEN 'I'
+                  WHEN l_quantity < 10 THEN 'D' ELSE 'U' END AS op,
+             l_suppkey AS o_custkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS totalprice_c
+           FROM lineitem WHERE l_linenumber >= 4),
+         v AS (SELECT *, lead(seq, 1) OVER (PARTITION BY o_orderkey
+             ORDER BY seq, op, o_custkey, totalprice_c) AS valid_to
+           FROM chg)
+         SELECT o_orderkey, o_custkey, totalprice_c,
+           seq AS valid_from, valid_to, valid_to IS NULL AS is_current
+         FROM v WHERE op <> 'D'""",
+
+    // URL canonicalization replay: the same parse + filter + sort
+    // pipeline in DuckDB string/list functions
+    "q316_url_dedup" ->
+      """WITH u AS (SELECT 'HTTP://Shop' || (o_custkey % 5) ||
+             '.Example.COM' ||
+             CASE WHEN o_orderkey % 2 = 0 THEN ':80' ELSE '' END ||
+             '/item/' || (o_orderkey % 1000) ||
+             CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END ||
+             '?utm_source=x&ref=' || (o_custkey % 7) || '&b=2&a=1' ||
+             CASE WHEN o_orderkey % 5 = 0 THEN '#sec' ELSE '' END AS url
+           FROM orders),
+         c AS (SELECT
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+               AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS rawq
+           FROM u),
+         k AS (SELECT scheme || '://' ||
+             (CASE WHEN scheme = 'http'
+                   THEN regexp_replace(hostport, ':80$', '')
+                   WHEN scheme = 'https'
+                   THEN regexp_replace(hostport, ':443$', '')
+                   ELSE hostport END) ||
+             (CASE WHEN rawpath IN ('', '/') THEN '/'
+                   ELSE regexp_replace(rawpath, '/+$', '') END) ||
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+           FROM (SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(rawq, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+             FROM c)),
+         g AS (SELECT canon, count(*) AS n_raw FROM k GROUP BY 1)
+         SELECT regexp_extract(canon, '://([^/]+)', 1) AS host,
+           count(*) AS n_canonical,
+           CAST(sum(n_raw) AS BIGINT) AS n_urls
+         FROM g GROUP BY 1""",
 
     // linear attribution replay: direct range join (fine at oracle
     // scale), per-conversion touch counts, ppm truncating-div credit,

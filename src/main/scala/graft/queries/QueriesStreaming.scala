@@ -298,6 +298,23 @@ object QueriesStreaming {
         StreamOps.runToCompletion(s, sk,
           s"stream_cms_${System.nanoTime}", availableNow = true)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming equi-width histogram sketch (q312's streaming twin):
+    // the aggregation STATE is one counter per bin — bounded by value
+    // range / width, never by stream length — and the memory-sink
+    // result equals the batch histogram cell for cell
+    "q317_stream_histogram" -> ((s, dir) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val bins = StreamOps.eventsStream(s, dir)
+          .select(expr(
+            "CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        StreamOps.runToCompletion(s, bins,
+          s"stream_hist_${System.nanoTime}", availableNow = true)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
@@ -322,6 +339,11 @@ object QueriesStreaming {
            CAST(sum(ex.n) AS BIGINT) AS cnt
          FROM ex JOIN ky USING (tok) CROSS JOIN rw
          GROUP BY 1, 2""",
+    // the batch histogram, cell for cell
+    "q317_stream_histogram" ->
+      """SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bin,
+           count(*) AS cnt
+         FROM events GROUP BY 1""",
     "q63_stream_resample" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v

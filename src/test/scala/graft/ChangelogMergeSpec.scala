@@ -48,6 +48,27 @@ class ChangelogMergeSpec extends SparkSpec {
       (3L, "c", 300L), (4L, "d", 400L)))
   }
 
+  test("scd2History: version chains, deletes close without emitting, " +
+    "current flag on open versions") {
+    val chg = Seq(
+      // key 1: U(1) -> U(3) -> D(5): two history rows, none current
+      (1L, 1, "U", "a1", 110L), (1L, 3, "U", "a3", 130L),
+      (1L, 5, "D", "x", 0L),
+      // key 2: I(2) -> U(4): two rows, the last current
+      (2L, 2, "I", "b2", 220L), (2L, 4, "U", "b4", 240L))
+      .toDF("k", "seq", "op", "s", "v")
+    val out = ChangelogMerge.scd2History(chg, "k", "seq", "op")
+      .orderBy("k", "valid_from").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+          Option(r.get(4)).map(_.asInstanceOf[Int]),
+          r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      (1L, "a1", 110L, 1, Some(3), false),
+      (1L, "a3", 130L, 3, Some(5), false),
+      (2L, "b2", 220L, 2, Some(4), false),
+      (2L, "b4", 240L, 4, None, true)))
+  }
+
   test("empty changelog is the identity") {
     val chg = Seq.empty[(Long, Int, String, String, Long)]
       .toDF("k", "seq", "op", "s", "v")
