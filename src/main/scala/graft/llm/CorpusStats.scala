@@ -21,6 +21,51 @@ object CorpusStats {
     * truncating integral division all engines share). Pairs with empty
     * intersection do not appear (nothing joins) — same on both engines.
     */
+  /** Zipf power-law fit over the top-K vocabulary: the corpus-health
+    * diagnostic (natural text fits slope ≈ −1; template/boilerplate
+    * corpora flatten it). Least squares of y = round(ln n, 8) on
+    * x = round(ln rank, 8): the rounded points ride the 8-dp decimal
+    * grid so every power sum is exact and order-free; slope and
+    * intercept are ONE fixed IEEE expression each over the single
+    * aggregate row (the q40 correlation convention). The only window
+    * attaches ranks to the K-row TakeOrdered result. */
+  def zipfFit(docs: DataFrame, text: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(explode(graft.llm.TextAnalysis.tokens(
+        trim(lower(col(text))))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val pts = top.withColumn("rank", row_number().over(w))
+      .select(
+        round(log(col("rank").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("x"),
+        round(log(col("n").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("y"))
+    val agg = pts.agg(count(lit(1)).as("np"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 16))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 16))).as("sxx"))
+    agg.select(col("np").as("n_pts"),
+      (round(expr(
+        """(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 6)
+        + lit(0.0)).as("slope"),
+      (round(expr(
+        """(CAST(sy AS DOUBLE)
+            - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE)"""), 6)
+        + lit(0.0)).as("intercept"))
+  }
+
   def sourceOverlap(docs: DataFrame, source: String, text: String,
                     k: Int): DataFrame = {
     val grams = docs

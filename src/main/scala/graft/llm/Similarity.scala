@@ -161,6 +161,33 @@ object Similarity {
       .select(col(id), col(vec), col(cellId))
   }
 
+  /** Cell-bucketed mutual nearest neighbors between the two sides of an
+    * assigned corpus (side 0 vs side 1) — the bitext-mining /
+    * cross-encoder-pairing verb: a pair (a, b) survives iff b is a's
+    * top-1 on the other side AND a is b's top-1, candidates restricted
+    * to pairs sharing an IVF cell (the q148 SemDeDup bound: per-cell
+    * pair fan-out, never all-pairs; at 100 TB the cell count scales
+    * with the corpus so cells stay bounded). Exact cosine within the
+    * cell, deterministic id tie-breaks on both directions. */
+  def mutualNN(assigned: DataFrame, id: String, vec: String,
+               cellId: String, sideCol: String): DataFrame = {
+    val a = assigned.filter(col(sideCol) === 0)
+      .select(col(cellId), col(id).as("a_id"), col(vec).as("__av"))
+    val b = assigned.filter(col(sideCol) === 1)
+      .select(col(cellId), col(id).as("b_id"), col(vec).as("__bv"))
+    val scored = a.join(b, cellId)
+      .withColumn("cosine", cosineFast(col("__av"), col("__bv")))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cosine").desc, col("a_id"))
+    scored
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** Exact L2 top-k (the other ANN metric): squared euclidean distance
     * via the codegen'd SumSqDiff kernel, ascending rank, deterministic
     * tie-break on corpus id. Same broadcast-probe contract as

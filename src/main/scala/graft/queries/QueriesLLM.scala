@@ -171,6 +171,27 @@ object QueriesLLM {
         "probe_id", "cell_id", k = 3)
     }),
 
+    // cell-bucketed mutual nearest neighbors (bitext mining / pair
+    // curation): even vec_ids vs odd vec_ids, candidates share an IVF
+    // cell (the SemDeDup per-cell pair bound — never all-pairs), a pair
+    // survives only if each side is the other's top-1
+    "q318_mutual_nn" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val centroids = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val assigned = graft.util.QueryCache.persist(Similarity.ivfAssign(
+          corpus, centroids, "vec_id", "embedding", "cell_id", "cell_vec")
+        .withColumn("side", (col("vec_id") % 2).cast("int")))
+      Similarity.mutualNN(assigned, "vec_id", "embedding", "cell_id",
+        "side")
+    }),
+
+    // Zipf power-law fit over the top-500 vocabulary: corpus-health
+    // slope via least squares on the 8-dp log-log decimal grid (exact
+    // power sums, one fixed IEEE expression per coefficient)
+    "q319_zipf_fit" -> ((s, dir) =>
+      CorpusStats.zipfFit(Tables.documents(s, dir), "text", topK = 500)),
+
     // IVF with nprobe=2: each probe scans its two nearest cells — the
     // recall knob missing from q54c's single-cell probe; candidates stay
     // disjoint (a corpus row lives in exactly one cell)
@@ -1694,6 +1715,85 @@ object QueriesLLM {
            FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
+    // mutual-NN replay: the q54c assignment CTEs, even/odd split, pair
+    // scores within the shared cell, row_number in BOTH directions
+    "q318_mutual_nn" ->
+      """WITH norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         cdots AS (
+           SELECT v.vec_id, c.vec_id AS cell_id,
+             list_reduce(list_transform(
+               generate_series(1, len(v.embedding)),
+               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings v
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c),
+         assign AS (
+           SELECT vec_id, cell_id FROM (
+             SELECT d.vec_id, d.cell_id,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY d.dt / (nv.nrm * nc.nrm) DESC, d.cell_id) AS rk
+             FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+             JOIN norms nc ON d.cell_id = nc.vec_id)
+           WHERE rk = 1),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_reduce(list_transform(
+               generate_series(1, len(ea.embedding)),
+               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) / (na.nrm * nb.nrm) AS cosine
+           FROM assign a JOIN assign b ON a.cell_id = b.cell_id
+             AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           JOIN norms na ON na.vec_id = a.vec_id
+           JOIN norms nb ON nb.vec_id = b.vec_id),
+         rked AS (
+           SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id
+               ORDER BY cosine DESC, a_id) AS rb
+           FROM pairs)
+         SELECT a_id, b_id, cosine FROM rked WHERE ra = 1 AND rb = 1""",
+
+    // Zipf replay: same tokenization, same (count DESC, token) top-500
+    // cut and ranks, the identical 8-dp log grid and IEEE assembly
+    "q319_zipf_fit" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cn AS (SELECT tok, count(*) AS n FROM tk WHERE tok <> ''
+           GROUP BY 1),
+         top AS (SELECT tok, n FROM cn ORDER BY n DESC, tok LIMIT 500),
+         pts AS (SELECT
+             CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok)
+               AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+           FROM top),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,16))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,16))) AS sxx
+           FROM pts)
+         SELECT np AS n_pts,
+           round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+             AS slope,
+           round((CAST(sy AS DOUBLE)
+               - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE), 6) + 0.0
+             AS intercept
+         FROM agg""",
+
     // SimHash is fully deterministic given the portable 60-bit md5-prefix
     // token hash, so the signature itself is oracle-checkable. The planted
     // copy has byte-identical text -> identical signature -> distance 0.

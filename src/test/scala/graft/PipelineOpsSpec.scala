@@ -711,4 +711,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) === ((0, 3, false)))
     assert(out(5L) === ((1, 1, true)) && out(4L) === ((1, 2, true)))
   }
+
+  test("mutualNN: returned pairs are each other's top-1 within the cell; " +
+    "one-sided crushes don't survive") {
+    import graft.llm.Similarity
+    def unit(xs: Double*): Array[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toArray
+    }
+    // one cell; evens = {0, 2, 4}, odds = {1, 3, 5}
+    // 0 <-> 1 mutual; 2's top-1 is 1 (taken: 1 prefers 0) -> 2 unmatched;
+    // 4 <-> 5 mutual in the orthogonal direction
+    val vecs = Seq(
+      (0L, unit(1.0, 0.0, 0.0)),
+      (1L, unit(0.99, 0.1, 0.0)),
+      (2L, unit(0.9, 0.3, 0.0)),
+      (3L, unit(0.5, 0.5, 0.0)),
+      (4L, unit(0.0, 0.0, 1.0)),
+      (5L, unit(0.0, 0.1, 0.99))
+    ).toDF("vec_id", "embedding")
+      .withColumn("cell_id", lit(0))
+      .withColumn("side", (col("vec_id") % 2).cast("int"))
+    val out = Similarity.mutualNN(vecs, "vec_id", "embedding",
+        "cell_id", "side")
+      .orderBy("a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (4L, 5L)))
+    // brute mutual check: every returned pair is a two-way top-1
+    val all = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((aId, bId) <- out) {
+      val bestB = Seq(1L, 3L, 5L).maxBy(x => (cos(all(aId), all(x)), -x))
+      val bestA = Seq(0L, 2L, 4L).maxBy(x => (cos(all(bId), all(x)), -x))
+      assert(bestB == bId && bestA == aId)
+    }
+  }
+
+  test("zipfFit recovers the slope of a planted power law") {
+    import graft.llm.CorpusStats
+    // vocabulary where token t_r appears ~C/r times: slope -> -1
+    val docs = (1 to 50).flatMap(r =>
+      Seq.fill(math.max(1, 1000 / r))(s"t${"%03d".format(r)}"))
+    val df = Seq(docs.mkString(" ")).toDF("text")
+    val row = CorpusStats.zipfFit(df, "text", topK = 50).head()
+    assert(row.getLong(0) == 50L)
+    val slope = row.getDouble(1)
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+  }
 }

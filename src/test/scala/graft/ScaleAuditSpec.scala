@@ -64,7 +64,10 @@ class ScaleAuditSpec extends SparkSpec {
         "(q290's contract; 50 rows for this metric)"),
     "q312_histogram_quantile" ->
       ("cumulative counts over the AGGREGATED bin frame — bounded by " +
-        "value range / bin width, not by rows"))
+        "value range / bin width, not by rows"),
+    "q319_zipf_fit" ->
+      ("rank ordinal over the 500-row TakeOrdered vocabulary cut " +
+        "(the q304 contract)"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -157,6 +160,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q313_kmv_set_ops" -> ("stratum-pair grid: #strata x #strata rows " +
       "of NAMES over the two distinct-strata frames — sketch-sized by " +
       "construction, data volume never enters the cross"),
+    "q318_mutual_nn" ->
+      "explicit broadcast of the 8-centroid side (q54c contract)",
     "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
       "kept-mass aggregates to form the OOV row — both sides single-row " +
       "by construction"))
