@@ -113,7 +113,27 @@ object PlanDump {
       ("Last-touch attribution: the AsOf union + window — ONE shuffle " +
         "on user_id, last-observation propagation in a partitioned " +
         "window, zero row multiplication; the 7-day fence is a " +
-        "post-projection, not a range join.")
+        "post-projection, not a range join."),
+    "q310_changelog_merge" ->
+      ("CDC apply / MERGE INTO: the changelog collapses to its per-key " +
+        "winner in one partial+final max-struct hash agg (map-side " +
+        "combine — full change multiplicity never reaches the join), " +
+        "then ONE left-anti join + union; AQE broadcasts the collapsed " +
+        "side when small."),
+    "q313_kmv_set_ops" ->
+      ("KMV set ops: the corpus-touching work is one distinct agg on " +
+        "(stratum, hash) + a stratum-partitioned bottom-k window; the " +
+        "pair stage (grid join, union ranks, estimates) runs over " +
+        "#strata x k sketch rows only."),
+    "q314_linear_attribution" ->
+      ("Linear attribution: the range match is the IntervalJoin " +
+        "time-bucket EQUI-join (1-day buckets; no nested loop), fan-out " +
+        "bounded by touches-per-window; credit is a ppm integral-div " +
+        "projection plus one per-conversion count agg."),
+    "q318_mutual_nn" ->
+      ("Mutual NN: 8-centroid broadcast assignment, per-cell A x B " +
+        "equi-join (pair fan-out bounded per cell), two partitioned " +
+        "row_number windows (a-side, b-side), two-way rank-1 filter.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -59,13 +59,16 @@ object ChangelogMerge {
       : DataFrame = {
     val payload = snapshot.columns.filter(_ != key)
     // per-key winner in ONE aggregate: max over (seq, op, payload...)
-    // structs orders by seq first — no window, combiner-friendly
-    val winner = changes
+    // structs orders by seq first — no window, combiner-friendly.
+    // Persisted (QueryCache-scoped): the winner frame feeds BOTH the
+    // anti-join key side and the upsert side — unpersisted, the
+    // changelog would be scanned and aggregated twice.
+    val winner = graft.util.QueryCache.persist(changes
       .groupBy(col(key))
       .agg(max(struct((col(seqCol) +: col(opCol) +: payload.map(col))
         : _*)).as("__w"))
       .select(col(key) +: col(s"__w.$opCol").as("__op") +:
-        payload.map(c => col(s"__w.$c").as(c)): _*)
+        payload.map(c => col(s"__w.$c").as(c)): _*))
     val upserts = winner.filter(col("__op") =!= "D").drop("__op")
     val touched = winner.select(col(key))
     snapshot.join(touched, Seq(key), "left_anti")

@@ -168,6 +168,45 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("round-13 third-pass verbs return empty (not throw) on empty input") {
+    import graft.llm.{CorpusStats, Sketch, Url}
+    val toks = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", StringType),
+        StructField("tok", StringType))))
+    assert(Sketch.kmvPairs(toks, "src", "tok", 8).count() === 0L)
+    val vals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", LongType))))
+    assert(Sketch.histogramQuantile(vals, "v", 100L, Seq(50))
+      .count() === 0L)
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("text", StringType))))
+    // zipf on empty: one aggregate row with np = 0; slope/intercept null
+    val zf = CorpusStats.zipfFit(docs, "text", 10).collect()
+    assert(zf.length === 1 && zf.head.getLong(0) === 0L &&
+      zf.head.isNullAt(1))
+    val snap = Seq((1L, 10L)).toDF("k", "v")
+    val chg = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType),
+        StructField("seq", IntegerType), StructField("op", StringType),
+        StructField("v", LongType))))
+    assert(graft.align.ChangelogMerge.scd2History(chg, "k", "seq", "op")
+      .count() === 0L)
+    val conv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType),
+        StructField("t", TimestampType), StructField("cid", LongType),
+        StructField("vc", LongType))))
+    val tch = conv.select(col("u"), col("t"), lit("x").as("tt"))
+    assert(graft.align.Attribution.linearTouch(conv, tch, "u", "t",
+      "cid", "vc", "tt", 1000000L, 1000000L).count() === 0L)
+    assert(Seq.empty[String].toDF("url")
+      .select(Url.canonicalize(col("url"))).count() === 0L)
+  }
+
   test("zorder: empty input writes an empty store; constant key is safe") {
     import graft.io.ZOrder
     val emptyEv = spark.createDataFrame(
