@@ -44,6 +44,46 @@ object Agreement {
           .cast("long").as("kappa_ppm"))
   }
 
+  /** Krippendorff's alpha (nominal, complete data) across m >= 2 rater
+    * columns — the multi-rater generalization of [[cohensKappa]]
+    * (Krippendorff, "Content Analysis", ch. 12).
+    *
+    * Denominator-cleared integer form: per item, ordered DISAGREEING
+    * rater pairs P_i = m(m−1) − Σ_c cnt_ic(cnt_ic − 1); with global
+    * value marginals n_c, n = N·m and S_neq = n² − Σ_c n_c²,
+    *   alpha_ppm = 10⁶ − (ΣP_i · (n−1) · 10⁶) div ((m−1) · S_neq)
+    * — every quantity an exact integer (DECIMAL-widened products), the
+    * one division the truncating integral div all engines share.
+    *
+    * Scale shape: one explode to (item, value) long form, two hash
+    * aggregates (per-item, per-value), 1-row combine. */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+                        raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "krippendorffAlpha needs >= 2 raters")
+    val m = raters.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val long_ = df.select(item.as("i"),
+      explode(array(raters.map(_.cast("string")): _*)).as("v"))
+    val cells = long_.groupBy(col("i"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cells.groupBy(col("i"))
+      .agg(sum(col("c") * (col("c") - 1)).as("agree"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lit(m.toLong * (m - 1)) - col("agree")).as("p_neq"))
+    val marg = cells.groupBy(col("v")).agg(sum(col("c")).as("nc"))
+      .agg(sum(col("nc")).as("n"),
+        sum(col("nc").cast(dec) * col("nc")).as("sum_nc2"))
+    perItem.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n"), col("p_neq"),
+        expr(s"""CASE WHEN CAST(n AS DECIMAL(38,0)) * n - sum_nc2 = 0
+                 THEN NULL
+                 ELSE 1000000 - (CAST(p_neq AS DECIMAL(38,0)) * (n - 1)
+                      * 1000000)
+                      div ((${m - 1}) * (CAST(n AS DECIMAL(38,0)) * n
+                           - sum_nc2)) END""")
+          .cast("long").as("alpha_ppm"))
+  }
+
   /** Per-class precision / recall / F1 from the confusion counts of a
     * (truth, pred) pair — exact ppm, NULL where a class has no
     * predictions (precision) or no truth rows (recall). The F1 clears

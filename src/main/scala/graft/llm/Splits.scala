@@ -25,4 +25,31 @@ object Splits {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Group-holdout split (leakage hygiene): rows split by their GROUP
+    * key's hash, so a group (user, session, document family) never
+    * straddles train/val/test — the contract that makes eval scores
+    * honest. Returns per-split row/group counts plus the global
+    * straddle count, which is 0 by construction (the split is a pure
+    * function of the group key) — emitted so the hygiene property is
+    * part of the checked output, not an unstated assumption.
+    *
+    * Scale shape: one labeling projection, two hash aggregates, a
+    * 1-row broadcast. */
+  def groupHoldout(df: org.apache.spark.sql.DataFrame, group: String,
+                   trainPct: Int = 80, valPct: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, countDistinct,
+      lit, sum}
+    val lab = df.withColumn("split",
+      assignSplit(col(group), trainPct, valPct))
+    val per = lab.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(group)).as("n_groups"))
+    val straddle = lab.groupBy(col(group))
+      .agg(countDistinct(col("split")).as("__ns"))
+      .agg(coalesce(sum(when(col("__ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("straddle_groups"))
+    per.crossJoin(broadcast(straddle))
+  }
 }

@@ -29,6 +29,35 @@ object Vocab {
     vocab.select(col("id"), col(tokCol), col("n")).unionByName(unk)
   }
 
+  /** Vocabulary coverage curve: for each coverage target (percent of
+    * total token mass), the smallest top-K vocabulary that reaches it —
+    * the tokenizer-budget planning verb ("how big a vocab covers
+    * 95%?"). Pure integer comparison cum·100 >= pct·total, so the pick
+    * is engine-exact; a target unreachable within `topK` emits no row
+    * (same on every engine). Same K-bounded TakeOrdered + ordinal
+    * window contract as [[buildVocab]]; the cumulative sum runs over
+    * the K-row cut only. */
+  def coverageCurve(toks: DataFrame, tokCol: String, topK: Int,
+                    targetsPct: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = toks.groupBy(tokCol).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col(tokCol)).limit(topK)
+    val w = Window.orderBy(col("n").desc, col(tokCol))
+    val cum = top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val total = toks.agg(count(lit(1)).as("total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("rank"), col("cum"), col("total"),
+        explode(array(targetsPct.map(lit(_)): _*)).as("target_pct"))
+      .filter(col("cum") * 100 >= col("target_pct") * col("total"))
+      .groupBy(col("target_pct"))
+      .agg(min(struct(col("rank"), col("cum"), col("total"))).as("__p"))
+      .select(col("target_pct"), col("__p.rank").as("vocab_size"),
+        col("__p.cum").as("covered_tokens"),
+        col("__p.total").as("total_tokens"))
+  }
+
   /** Hashing trick (feature hashing a la HashingVectorizer): token ->
     * bucket `key % dim` with a parity sign from the next hash bit, summed
     * per (doc, bucket) — fixed dimensionality with no vocabulary state,

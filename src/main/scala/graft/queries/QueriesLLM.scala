@@ -192,6 +192,40 @@ object QueriesLLM {
     "q319_zipf_fit" -> ((s, dir) =>
       CorpusStats.zipfFit(Tables.documents(s, dir), "text", topK = 500)),
 
+    // group-holdout split (leakage hygiene): events split by the USER's
+    // hash so no user straddles train/val/test; the straddle count (0
+    // by construction) is part of the checked output
+    "q320_group_holdout" -> ((s, dir) =>
+      Splits.groupHoldout(Tables.events(s, dir), "user_id")),
+
+    // vocabulary coverage curve: smallest top-K vocab reaching each
+    // token-mass target — pure integer comparison, K-bounded window
+    "q321_vocab_coverage" -> ((s, dir) =>
+      graft.llm.Vocab.coverageCurve(
+        Tables.documents(s, dir).select(
+            explode(TextAnalysis.tokens(trim(lower(col("text")))))
+              .as("tok"))
+          .filter(col("tok") =!= ""),
+        "tok", topK = 2000, targetsPct = Seq(50, 75, 90, 95))),
+
+    // Krippendorff's alpha across three length raters (char-count /
+    // token-count / byte-length bucketers) — multi-rater agreement on
+    // the exact-ppm integer grid
+    "q322_krippendorff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val r1 = when(col("n_chars") < 300, "S")
+        .when(col("n_chars") < 700, "M").otherwise("L")
+      val r2 = {
+        val t = size(TextAnalysis.tokens(trim(col("text"))))
+        when(t < 50, "S").when(t < 120, "M").otherwise("L")
+      }
+      val r3 = {
+        val l = length(col("text"))
+        when(l < 320, "S").when(l < 720, "M").otherwise("L")
+      }
+      Agreement.krippendorffAlpha(d, col("doc_id"), Seq(r1, r2, r3))
+    }),
+
     // IVF with nprobe=2: each probe scans its two nearest cells — the
     // recall knob missing from q54c's single-cell probe; candidates stay
     // disjoint (a corpus row lives in exactly one cell)
@@ -1715,6 +1749,84 @@ object QueriesLLM {
            FROM pd d JOIN norms nv ON d.vec_id = nv.vec_id
            JOIN norms np ON d.probe_id = np.vec_id)
          WHERE rk <= 3""",
+    // group-holdout replay: the q133 md5-bucket fold on user_id,
+    // per-split counts + the (necessarily zero) straddle count
+    "q320_group_holdout" ->
+      """WITH b AS (SELECT user_id,
+           CASE WHEN bk < 80 THEN 'train'
+                WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT user_id, list_reduce(list_transform(
+               string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 4), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 100 AS bk
+           FROM events)),
+         per AS (SELECT split, count(*) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups
+           FROM b GROUP BY 1),
+         st AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1
+               ELSE 0 END), 0) AS BIGINT) AS straddle_groups
+           FROM (SELECT user_id, count(DISTINCT split) AS ns
+             FROM b GROUP BY 1))
+         SELECT per.*, st.straddle_groups FROM per CROSS JOIN st""",
+
+    // coverage replay: same (count DESC, token) cut, integer comparison
+    "q321_vocab_coverage" ->
+      """WITH tk AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         cn AS (SELECT tok, count(*) AS n FROM tk WHERE tok <> ''
+           GROUP BY 1),
+         top AS (SELECT tok, n FROM cn ORDER BY n DESC, tok LIMIT 2000),
+         cm AS (SELECT
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+               AS rank,
+             CAST(sum(n) OVER (ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM top),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk
+           WHERE tok <> ''),
+         t AS (SELECT unnest([50, 75, 90, 95]) AS target_pct),
+         hit AS (SELECT t.target_pct, cm.rank, cm.cum, tot.total,
+             row_number() OVER (PARTITION BY t.target_pct
+               ORDER BY cm.rank) AS rk
+           FROM cm CROSS JOIN tot CROSS JOIN t
+           WHERE cm.cum * 100 >= t.target_pct * tot.total)
+         SELECT target_pct, rank AS vocab_size, cum AS covered_tokens,
+           total AS total_tokens
+         FROM hit WHERE rk = 1""",
+
+    // alpha replay: identical per-item disagreeing-pair counts,
+    // identical marginals, the one truncating division
+    "q322_krippendorff" ->
+      """WITH r AS (SELECT doc_id,
+           CASE WHEN n_chars < 300 THEN 'S'
+                WHEN n_chars < 700 THEN 'M' ELSE 'L' END AS r1,
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) < 50
+                THEN 'S'
+                WHEN len(string_split_regex(trim(text), '\s+')) < 120
+                THEN 'M' ELSE 'L' END AS r2,
+           CASE WHEN length(text) < 320 THEN 'S'
+                WHEN length(text) < 720 THEN 'M' ELSE 'L' END AS r3
+         FROM documents),
+         lf AS (SELECT doc_id AS i, unnest([r1, r2, r3]) AS v FROM r),
+         cells AS (SELECT i, v, count(*) AS c FROM lf GROUP BY 1, 2),
+         pi AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(6 - agree) AS BIGINT) AS p_neq
+           FROM (SELECT i, sum(c * (c - 1)) AS agree
+             FROM cells GROUP BY 1)),
+         mg AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+             sum(CAST(nc AS HUGEINT) * nc) AS sum_nc2
+           FROM (SELECT v, sum(c) AS nc FROM cells GROUP BY 1))
+         SELECT pi.n_items, mg.n, pi.p_neq,
+           CAST(CASE WHEN CAST(mg.n AS HUGEINT) * mg.n - sum_nc2 = 0
+                THEN NULL
+                ELSE 1000000 - (CAST(p_neq AS HUGEINT) * (mg.n - 1)
+                     * 1000000)
+                     // (2 * (CAST(mg.n AS HUGEINT) * mg.n
+                          - sum_nc2)) END AS BIGINT) AS alpha_ppm
+         FROM pi CROSS JOIN mg""",
+
     // mutual-NN replay: the q54c assignment CTEs, even/odd split, pair
     // scores within the shared cell, row_number in BOTH directions
     "q318_mutual_nn" ->

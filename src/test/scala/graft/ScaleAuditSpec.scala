@@ -67,7 +67,10 @@ class ScaleAuditSpec extends SparkSpec {
         "value range / bin width, not by rows"),
     "q319_zipf_fit" ->
       ("rank ordinal over the 500-row TakeOrdered vocabulary cut " +
-        "(the q304 contract)"))
+        "(the q304 contract)"),
+    "q321_vocab_coverage" ->
+      ("ordinal + cumulative mass over the 2000-row TakeOrdered " +
+        "vocabulary cut (the q304 contract)"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -162,6 +165,12 @@ class ScaleAuditSpec extends SparkSpec {
       "construction, data volume never enters the cross"),
     "q318_mutual_nn" ->
       "explicit broadcast of the 8-centroid side (q54c contract)",
+    "q320_group_holdout" ->
+      "broadcast of the 1-row straddle-count aggregate",
+    "q321_vocab_coverage" -> ("broadcast of the 1-row corpus-total " +
+      "onto the 2000-row vocabulary cut"),
+    "q322_krippendorff" ->
+      "broadcast of the 1-row marginals aggregate",
     "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
       "kept-mass aggregates to form the OOV row — both sides single-row " +
       "by construction"))
