@@ -48,6 +48,26 @@ object Robust {
           .cast("double") / count(lit(1)), scale).as("iqm"))
   }
 
+  /** Winsorized mean: values CLAMPED to [q1, q3] (quartile
+    * winsorization — the clip-don't-drop robust location estimator;
+    * [[interquartileMean]] is the drop variant). The clamped values are
+    * either the original integers or the exact quarter-valued quartile
+    * bounds, so the 4-dp decimal sum is exact. */
+  def winsorizedMean(df: DataFrame, group: String, v: String,
+                     scale: Int = 6): DataFrame = {
+    val qs = df.groupBy(group).agg(
+      percentile(col(v), lit(0.25)).as("q1"),
+      percentile(col(v), lit(0.75)).as("q3"))
+    df.join(broadcast(qs), group)
+      .withColumn("__w", least(greatest(col(v).cast("double"),
+        col("q1")), col("q3")))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__w").cast(org.apache.spark.sql.types
+            .DecimalType(30, 4)))
+          .cast("double") / count(lit(1)), scale).as("wmean"))
+  }
+
   /** Tukey fences: flag values outside [q1 - k*IQR, q3 + k*IQR]
     * (k = 1.5 classic). Returns per-group fences, outlier count, and the
     * outliers' integral sum (0 when none). k must be an exact binary

@@ -205,6 +205,13 @@ object QueriesGroupBy {
       graft.agg.Robust.mad(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity")),
 
+    // quartile-winsorized mean: values CLAMPED to [q1, q3] (the
+    // clip-don't-drop sibling of q302); clamped values are integers or
+    // exact quarter-valued bounds, so the decimal sum is exact
+    "q324_winsorized_mean" -> ((s, dir) =>
+      graft.agg.Robust.winsorizedMean(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")),
+
     // 25%-trimmed (interquartile) mean; the mean itself is the repo's
     // exactAvg (decimal sum / count) rounded at 6 dp
     "q302_interquartile_mean" -> ((s, dir) =>
@@ -370,6 +377,18 @@ object QueriesGroupBy {
            count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
          FROM orders, b GROUP BY 1""",
+
+    "q324_winsorized_mean" ->
+      """WITH q AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, count(*) AS n,
+           round(CAST(sum(CAST(least(greatest(CAST(l.l_quantity AS DOUBLE),
+                 q.q1), q.q3) AS DECIMAL(30,4))) AS DOUBLE)
+             / count(*), 6) AS wmean
+         FROM lineitem l JOIN q USING (l_returnflag)
+         GROUP BY 1""",
 
     "q301_mad" ->
       """WITH m AS (SELECT l_returnflag,

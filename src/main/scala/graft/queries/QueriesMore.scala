@@ -1225,6 +1225,13 @@ object QueriesMore {
           .filter(length(col("tok")) > 0),
         "source", "tok", k = 64)),
 
+    // RFM segmentation: per-user recency/frequency/monetary scored 1-4
+    // by quartile position (exact binary-fraction quantiles over
+    // integer columns - ulp-safe comparisons), 64-cell segment grid
+    "q323_rfm_segments" -> ((s, dir) =>
+      graft.window.Rfm.segments(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "value", purchaseType = "purchase")),
+
     // SCD type-2 history over the q310 changelog: every non-delete
     // change becomes a version row with [valid_from, valid_to) on the
     // version axis (delete closes, null = current) — one partitioned
@@ -2435,6 +2442,41 @@ object QueriesMore {
            n_both * (CASE WHEN m < 64 THEN m
                      ELSE (CAST(63 AS BIGINT) * 268435456) // hk END) // m AS inter_est
          FROM agg""",
+
+    // RFM replay: epoch-second recency via the same truncating div,
+    // quantile_cont (= H&F-7 = Spark percentile) quartiles, identical
+    // score comparisons
+    "q323_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+             count(*) AS f,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS m
+           FROM events GROUP BY 1),
+         a AS (SELECT max(last_us) AS anchor FROM per),
+         rfm AS (SELECT user_id, (a.anchor - per.last_us) // 1000000 AS r,
+             f, m FROM per CROSS JOIN a),
+         q AS (SELECT
+             quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+             quantile_cont(r, 0.75) AS r3,
+             quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+             quantile_cont(f, 0.75) AS f3,
+             quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+             quantile_cont(m, 0.75) AS m3
+           FROM rfm),
+         sc AS (SELECT
+             5 - (1 + CAST(r > q.r1 AS INT) + CAST(r > q.r2 AS INT)
+                  + CAST(r > q.r3 AS INT)) AS rs,
+             1 + CAST(f > q.f1 AS INT) + CAST(f > q.f2 AS INT)
+               + CAST(f > q.f3 AS INT) AS fs,
+             1 + CAST(m > q.m1 AS INT) + CAST(m > q.m2 AS INT)
+               + CAST(m > q.m3 AS INT) AS ms,
+             m
+           FROM rfm CROSS JOIN q)
+         SELECT rs || '' || fs || '' || ms AS segment,
+           count(*) AS n_users, CAST(sum(m) AS BIGINT) AS monetary_c
+         FROM sc GROUP BY 1""",
 
     // SCD2 replay: same changelog, lead() over the identical
     // (seq, op, payload...) total order

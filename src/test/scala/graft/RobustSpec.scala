@@ -53,6 +53,46 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean clamps to [q1, q3] and matches the brute force") {
+    val got = Robust.winsorizedMean(df, "g", "v").orderBy("g").collect()
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { r =>
+      val xs = byG(r.getString(0))
+      val (q1, q3) = (q(xs, 0.25), q(xs, 0.75))
+      val clamped = xs.map(x => math.min(math.max(x.toDouble, q1), q3))
+      assert(r.getLong(1) == xs.length.toLong)
+      val wm = clamped.sum / xs.length
+      assert(math.abs(r.getDouble(2) - wm) < 1e-6,
+        s"group ${r.getString(0)}: ${r.getDouble(2)} vs $wm")
+    }
+    // the outlier is clamped, not dropped: winsorized mean of group a
+    // sits strictly between the trimmed mean and the raw mean
+    val a = got.find(_.getString(0) == "a").get.getDouble(2)
+    val raw = byG("a").map(_.toDouble).sum / byG("a").size
+    assert(a < raw && a > 2.0)
+  }
+
+  test("RFM segments: scores in 1..4, users partition, monetary exact") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 8 users with distinct recency/frequency/monetary profiles
+    val ev = (1L to 8L).flatMap { u =>
+      (1 to u.toInt).map(i =>
+        (u, ts(u.toInt), if (i == 1) "purchase" else "view",
+          u.toDouble * 10))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = graft.window.Rfm.segments(ev, "user_id", "ts",
+      "event_type", "value", "purchase").collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum == 8L)
+    out.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '4'), seg)
+    }
+    // total monetary = sum of each user's one purchase (u * 10 dollars)
+    assert(out.map(_.getAs[Long]("monetary_c")).sum ==
+      (1L to 8L).map(_ * 1000L).sum)
+  }
+
   test("tukey fences flag the planted outlier and only it") {
     val got = Robust.tukeyOutliers(df, "g", "v").collect()
       .map(r => r.getString(0) -> r).toMap

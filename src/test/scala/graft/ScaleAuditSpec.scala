@@ -171,6 +171,8 @@ class ScaleAuditSpec extends SparkSpec {
       "onto the 2000-row vocabulary cut"),
     "q322_krippendorff" ->
       "broadcast of the 1-row marginals aggregate",
+    "q323_rfm_segments" -> ("broadcasts of the 1-row anchor and 1-row " +
+      "quartile-bounds aggregates onto the per-user frame"),
     "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
       "kept-mass aggregates to form the OOV row — both sides single-row " +
       "by construction"))
