@@ -35,6 +35,41 @@ object Rank {
     out.drop("__rank_avg")
   }
 
+  /** Value-level average-tie rank map via a TWO-LEVEL distributed
+    * prefix (the Packing pattern): ranks need only the distinct-value
+    * frame — per-value counts, a within-bucket prefix (window
+    * partitioned by a monotone bucket of the value), and a broadcast
+    * prefix over the bucket totals (bounded by range/width, not rows).
+    * rank(v) = below(v) + (cnt(v)+1)/2 — the identical half-integer
+    * [[avgRank]]'s ordinal average produces, with no per-row ordinal
+    * pass and no global window over values.
+    *
+    * @param bucket monotone non-decreasing function of the value column
+    * @return (value, rank) map — join it back on the value */
+  def avgRankMap(df: DataFrame, valueCol: String,
+                 bucket: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__b", bucket(col("__v")))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = pv.withColumn("__below",
+      coalesce(sum(col("__c")).over(wIn), lit(0L)))
+    // bucket totals: one row per bucket — the global prefix runs over
+    // this bounded frame only
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = pv.groupBy(col("__b")).agg(sum(col("__c")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    within.join(broadcast(boff), "__b")
+      .select(col("__v"),
+        (col("__off") + col("__below") +
+          (col("__c") + 1) / lit(2.0)).as("__r"),
+        col("__c"))
+  }
+
   /** argsort along a per-group series (ref `dataarray.py` `argsort` →
     * numpy): for sort rank k (0-based), the ORIGINAL 0-based position of
     * the k-th smallest value — ties stable on position, numpy's

@@ -349,17 +349,48 @@ object QueriesNumerics {
       graft.numerics.Stats.anovaF(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity")),
 
-    // Spearman's rho = Pearson over average-tie ranks: the distributed
-    // Rank (Positions ordinals — no global window) feeds the q40
-    // decimal-power-sum correlation; rank values are exact half-integers
-    // so every sum is exact
+    // Spearman's rho = Pearson over average-tie ranks. Ranks come from
+    // Rank.avgRankMap's two-level distributed prefix (value-level frame
+    // only — no per-row ordinal pass, no global window over values),
+    // and the correlation is assembled from WEIGHTED decimal power sums
+    // over the (quantity, price) pair-count frame — each pair's c·x·y
+    // term is exact on the half-integer grid, so the sums (and rho)
+    // are bit-identical to the per-row formulation the oracle replays
     "q293_spearman" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val ranked = graft.agg.Rank.avgRank(
-        graft.agg.Rank.avgRank(li, "l_quantity", "rx"),
-        "l_extendedprice", "ry")
-      ranked.agg(count(lit(1)).as("n"),
-        (round(Numerics.corrP(col("rx"), col("ry")), 8) + lit(0.0)).as("rho"))
+      val rx = graft.agg.Rank.avgRankMap(li, "l_quantity",
+          v => floor(v)) // 1..50: value-grained buckets
+        .select(col("__v").as("__qv"), col("__r").as("rx"))
+      val ry = graft.agg.Rank.avgRankMap(li, "l_extendedprice",
+          v => floor(v / 1000)) // ~100 range buckets
+        .select(col("__v").as("__pv"), col("__r").as("ry"))
+      // narrow operand types so every c·term product is EXACT decimal
+      // (18,6)x(10,0) -> (29,6); a long operand would widen past 38 and
+      // silently shrink the scale (the repo's precision-loss lesson)
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val cDec = org.apache.spark.sql.types.DecimalType(10, 0)
+      li.groupBy(col("l_quantity").as("__qv"),
+          col("l_extendedprice").as("__pv"))
+        .agg(count(lit(1)).as("c"))
+        .join(ry, "__pv").join(broadcast(rx), "__qv")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast(cDec) * col("rx").cast(dec)).as("sx"),
+          sum(col("c").cast(cDec) * col("ry").cast(dec)).as("sy"),
+          sum(col("c").cast(cDec) * (col("rx") * col("ry")).cast(dec))
+            .as("sxy"),
+          sum(col("c").cast(cDec) * (col("rx") * col("rx")).cast(dec))
+            .as("sxx"),
+          sum(col("c").cast(cDec) * (col("ry") * col("ry")).cast(dec))
+            .as("syy"))
+        .select(col("n"),
+          (round(expr(
+            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 8)
+            + lit(0.0)).as("rho"))
     }),
 
     // Kruskal-Wallis H (rank one-way ANOVA) across all three return

@@ -59,6 +59,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q291_ks_test" ->
       ("cumulative counts over the AGGREGATED distinct-value frame " +
         "(q290's contract; 50 rows for this metric)"),
+    "q293_spearman" ->
+      ("Rank.avgRankMap bucket-total prefix: one row per range bucket " +
+        "(~50 and ~110 here) — bounded by range/width, not rows; the " +
+        "per-value prefix is bucket-PARTITIONED"),
     "q309_kruskal_wallis" ->
       ("rank prefix over the AGGREGATED distinct-value frame " +
         "(q290's contract; 50 rows for this metric)"),

@@ -97,6 +97,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
   }
 
+  test("avgRankMap (two-level prefix) equals avgRank (ordinal average) " +
+    "value for value, ties included") {
+    import org.apache.spark.sql.functions._
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 9.0, 1.0, 7.0, 3.0, 12.0, 5.0)
+    val d = vals.toDF("v")
+    val viaOrdinals = graft.agg.Rank.avgRank(d, "v", "r")
+      .select("v", "r").distinct().orderBy("v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val viaMap = graft.agg.Rank.avgRankMap(d, "v", x => floor(x / 4))
+      .select(col("__v"), col("__r")).orderBy("__v")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(viaMap == viaOrdinals)
+  }
+
   test("kruskalWallis matches brute-force tie-corrected H over 3 groups") {
     val c = Seq(9.0, 14.0, 12.0, 7.0, 15.0)
     val all = a.map((_, "A")) ++ b.map((_, "N")) ++ c.map((_, "R"))
