@@ -83,4 +83,54 @@ object CorpusStats {
       .select(col("src_a"), col("src_b"), col("inter"),
         expr("inter * 1000000 div (na + nb - inter)").as("jaccard_ppm"))
   }
+
+  /** Collocation mining: the top-K adjacent-token bigrams by pointwise
+    * LIFT — p(xy)/(p(x)·p(y)) = c_xy·Nuni² / (Nbi·c_x·c_y) — the
+    * exact-integer monotone of PMI (PMI = log lift; mining only ranks,
+    * so the log adds nothing but a float). A min-count floor keeps the
+    * classic PMI pathology (hapax pairs with sky-high lift) out, as
+    * collocation extractors do.
+    *
+    * Everything is integer: lift_ppm is the decimal-widened truncating
+    * division all engines share; the cut is a TakeOrdered top-K with
+    * (lift desc, count desc, bigram) total order.
+    *
+    * Scale shape: bigrams are built by zipping each token array with its
+    * own tail (a per-doc projection, no self-join and no per-doc window);
+    * unigram and bigram counts are partial+final hash aggregates; the
+    * two marginal lookups join on the (already aggregated) distinct-token
+    * frames; the 1-row totals broadcast. */
+  def collocations(docs: DataFrame, text: String, minCount: Long,
+                   topK: Int): DataFrame = {
+    val toks = graft.util.QueryCache.persist(
+      graft.util.Parallelize.ensure(docs)
+        .select(array_remove(graft.llm.TextAnalysis.tokens(
+          trim(lower(col(text)))), "").as("ts")))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val bi = toks
+      .filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("bg"))
+      .groupBy(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    // grand totals in one scan of the (persisted) token arrays: Nuni =
+    // Σ len, Nbi = Σ max(len−1, 0)
+    val t2 = toks.agg(
+      sum(size(col("ts"))).cast("long").as("n_uni"),
+      sum(greatest(size(col("ts")) - 1, lit(0))).cast("long").as("n_bi"))
+    val scored = bi
+      .join(uni.select(col("tok").as("t1"), col("n").as("__nx")), "t1")
+      .join(uni.select(col("tok").as("t2"), col("n").as("__ny")), "t2")
+      .crossJoin(broadcast(t2))
+      .select(col("t1"), col("t2"), col("n_xy"),
+        expr("""CAST((CAST(n_xy AS DECIMAL(38,0)) * n_uni * n_uni * 1000000)
+                div (CAST(n_bi AS DECIMAL(38,0)) * __nx * __ny) AS BIGINT)""")
+          .as("lift_ppm"))
+    scored.orderBy(col("lift_ppm").desc, col("n_xy").desc, col("t1"),
+      col("t2")).limit(topK)
+  }
 }

@@ -163,4 +163,79 @@ object LinkAnalysis {
       .orderBy(col("lift_ppb").desc, col("n_co").desc, col("rec_item"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Triangle counting + local clustering coefficient on an undirected
+    * simple graph, by degree-ordered edge orientation (the node-iterator++
+    * / MapReduce-triangles scheme): every edge is directed from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * enumerated exactly once — as a wedge at its lowest-ordered vertex
+    * closed by one equi-join — and the wedge fan-out at a vertex is
+    * quadratic only in its ORIENTED out-degree, which the ordering caps
+    * near sqrt(|E|). That bound is what keeps power-law graphs (web,
+    * co-purchase) tractable at 100 TB where the naive adjacency self-join
+    * explodes quadratically on hub nodes.
+    *
+    * All-integer output: cc_ppm = (2·tri·1e6) div (deg·(deg−1)) on the
+    * truncating-div grid shared by Spark `div` and DuckDB `//`.
+    *
+    * @param edges undirected edge list; direction, duplicates and
+    *              self-loops are normalized away
+    * @return (node, degree, triangles, cc_ppm) for every node with
+    *         degree >= 2 */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // canonical undirected simple edges as (lo, hi) id pairs
+    val e0 = graft.util.QueryCache.persist(
+      edges.select(least(col(src), col(dst)).as("__lo"),
+          greatest(col(src), col(dst)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi") &&
+          col("__lo").isNotNull && col("__hi").isNotNull)
+        .distinct())
+    val deg = graft.util.QueryCache.persist(
+      e0.select(col("__lo").as("__n"))
+        .unionByName(e0.select(col("__hi").as("__n")))
+        .groupBy(col("__n")).agg(count(lit(1)).as("__deg")))
+    // orient each edge from the lower (deg, id) endpoint; carry the
+    // head's (deg, id) so the wedge join can order its two heads without
+    // another lookup
+    val orient = graft.util.QueryCache.persist(e0
+      .join(deg.select(col("__n").as("__lo"), col("__deg").as("__dl")),
+        "__lo")
+      .join(deg.select(col("__n").as("__hi"), col("__deg").as("__dh")),
+        "__hi")
+      .select(
+        when(col("__dl") < col("__dh") ||
+            (col("__dl") === col("__dh") && col("__lo") < col("__hi")),
+            struct(col("__lo").as("a"), col("__hi").as("b"),
+              col("__dh").as("db")))
+          .otherwise(struct(col("__hi").as("a"), col("__lo").as("b"),
+            col("__dl").as("db"))).as("__e"))
+      .select(col("__e.a").as("__a"), col("__e.b").as("__b"),
+        col("__e.db").as("__db")))
+    // wedges at the anchor a: unordered head pairs (b, c) taken with
+    // b <ord c so the closing edge, if present, is oriented exactly (b, c)
+    val wedges = orient.as("x").join(orient.as("y"),
+        col("x.__a") === col("y.__a") &&
+          (col("x.__db") < col("y.__db") ||
+            (col("x.__db") === col("y.__db") &&
+              col("x.__b") < col("y.__b"))))
+      .select(col("x.__a").as("__t1"), col("x.__b").as("__t2"),
+        col("y.__b").as("__t3"))
+    val tris = wedges.join(orient.select(col("__a").as("__t2"),
+        col("__b").as("__t3")), Seq("__t2", "__t3"))
+    // each triangle credits all three corners
+    val perNode = tris
+      .select(explode(array(col("__t1"), col("__t2"), col("__t3")))
+        .as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__tri"))
+    deg.filter(col("__deg") >= 2)
+      .join(perNode, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__deg").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("triangles"))
+      // decimal-widened numerator (the alsoTook convention): tri·2e6
+      // can pass 2^63 on hub nodes of a web-scale graph
+      .withColumn("cc_ppm",
+        expr("""CAST((CAST(triangles AS DECIMAL(38,0)) * 2000000)
+                div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))
+                AS BIGINT)"""))
+  }
 }

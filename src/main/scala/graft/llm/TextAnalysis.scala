@@ -71,6 +71,64 @@ object TextAnalysis {
       lit(0L),
       (acc, h) => pmod(acc * lit(31L) + pmod(h, lit(1000003L)), lit(1000000007L)))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every k-char gram, slide a w-gram window, select
+    * each window's minimum hash, dedupe selections per document. Any
+    * match of length >= k+w-1 between two documents is guaranteed to
+    * share a fingerprint, at ~2/(w+1) of the full gram density — the
+    * SPARSE sibling of [[graft.llm.Dedup.duplicateSpans]]'s stride grid
+    * (winnowing thins by local minima, a stride thins blindly).
+    *
+    * Portability: the gram hash is the 28-bit md5 prefix (the repo's
+    * cross-engine hash convention), and the window selection key packs
+    * (hash, position) into one BIGINT as h·2^24 + p, so a plain MIN
+    * window aggregate picks the min-hash-then-LEFTMOST gram — one
+    * deterministic tie rule shared with the SQL replay (MOSS picks
+    * rightmost; any fixed rule preserves the winnowing guarantee).
+    * Positions are bounded by the packing at 2^24 chars (~16 MB) per
+    * document — far past any training document; longer ones would need
+    * a wider shift, not a new algorithm.
+    *
+    * Scale shape: the heavy stage (explode + substring + md5) is a
+    * per-doc projection before any exchange; the selection window is
+    * doc-partitioned; the share join carries 28-bit hashes, never text.
+    *
+    * @return (doc_id, n_fps [distinct selected (hash,pos) grams],
+    *         shared_fps [distinct selected hashes also selected by
+    *         another doc]) */
+  def winnow(docs: org.apache.spark.sql.DataFrame, id: String,
+             text: String, k: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 2 && w >= 2, s"winnow wants k >= 2, w >= 2; got $k, $w")
+    val base = graft.util.Parallelize.ensure(docs)
+      .select(col(id).as("doc_id"), col(text).as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+    val keys = base
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        (conv(substring(md5(expr(s"substring(t, p + 1, $k)")), 1, 7),
+          16, 10).cast("long") * lit(16777216L) + col("p")).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    val fps = keys
+      .withColumn("__cnt", count(lit(1)).over(win))
+      .withColumn("__mk", min(col("key")).over(win))
+      .filter(col("__cnt") === w)
+      .select(col("doc_id"), col("__mk")).distinct()
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val docHash = fps
+      .select(col("doc_id"), expr("__mk div 16777216").as("h")).distinct()
+    val sharedH = docHash.groupBy("h")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") >= 2).select("h")
+    val shared = docHash.join(sharedH, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
+    perDoc.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("shared_fps"), lit(0L)).as("shared_fps"))
+  }
+
   // --- repetition signals (Gopher-rule family: "fraction of duplicate
   // word n-grams" quality filters) — expression-only, zero shuffle ---
 

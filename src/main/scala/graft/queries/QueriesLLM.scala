@@ -863,6 +863,39 @@ object QueriesLLM {
       LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
+    // winnowing fingerprints (MOSS) on a 1-in-10 doc sample: k=8-char
+    // gram hashes (28-bit md5 prefix — the portable convention), w=5
+    // window minima with the (hash, leftmost-pos) packed-BIGINT tie
+    // rule, per-doc dedupe; shared_fps counts hashes selected by >= 2
+    // docs. The sparse fingerprint sibling of q136's stride grid.
+    "q327_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8, w = 5)),
+
+    // collocation mining: top-20 adjacent-token bigrams by exact-ppm
+    // LIFT (the integer monotone of PMI), min pair count 20 — hapax
+    // pathology floored out as collocation extractors do
+    "q328_collocations" -> ((s, dir) =>
+      CorpusStats.collocations(Tables.documents(s, dir), "text",
+        minCount = 20L, topK = 20)),
+
+    // triangle counting + local clustering coefficient on the part
+    // co-purchase graph (1-in-4 order sample) — degree-ordered edge
+    // orientation, so each triangle closes as ONE equi-join and wedge
+    // fan-out is bounded by the oriented out-degree (~sqrt|E|), the
+    // scheme that survives power-law hubs at 100 TB; all-integer cc_ppm
+    "q325_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      LinkAnalysis.triangles(edges, "src", "dst")
+    }),
+
     // blocked fuzzy record linkage on a 1-in-8 part sample: per part the
     // count of near-miss names (0 < levenshtein <= 4) within its
     // widget-type block and the nearest one — both engines share the
@@ -3043,6 +3076,94 @@ object QueriesLLM {
          rk AS (SELECT *, row_number() OVER (PARTITION BY item
              ORDER BY lift_ppb DESC, n_co DESC, rec_item) AS rk FROM sc)
          SELECT item, rec_item, n_co, lift_ppb, rk FROM rk WHERE rk <= 3""",
+    // winnowing replay: same 28-bit md5-prefix gram hash (hex fold),
+    // same h*2^24+p packed selection key, same w-row min windows
+    "q327_winnow" ->
+      """WITH base AS (SELECT doc_id, text AS t FROM documents
+           WHERE doc_id % 10 = 0 AND length(text) >= 12),
+         pos AS (SELECT doc_id, t,
+             unnest(generate_series(0, length(t) - 8)) AS p
+           FROM base),
+         g AS (SELECT doc_id, p,
+             list_reduce(list_transform(
+               string_split(substr(md5(substr(t, p + 1, 8)), 1, 7), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) * 16777216 + p AS key
+           FROM pos),
+         wm AS (SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id, mk FROM wm WHERE cnt = 5),
+         fph AS (SELECT DISTINCT doc_id, mk // 16777216 AS h FROM fp),
+         sh AS (SELECT h FROM fph GROUP BY h HAVING count(*) >= 2),
+         a AS (SELECT doc_id, count(*) AS n_fps FROM fp GROUP BY 1),
+         b AS (SELECT doc_id, count(*) AS shared_fps
+           FROM fph JOIN sh USING (h) GROUP BY 1)
+         SELECT a.doc_id, a.n_fps, COALESCE(b.shared_fps, 0) AS shared_fps
+         FROM a LEFT JOIN b USING (doc_id)""",
+    // collocation replay: same tokenization, adjacency via pos+1
+    // self-pairing, identical HUGEINT lift and (lift, n, bigram) cut
+    "q328_collocations" ->
+      """WITH dt AS (SELECT row_number() OVER () AS rid,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         tk AS (SELECT rid, unnest(ts) AS tok,
+             generate_subscripts(ts, 1) AS p FROM dt),
+         uni AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+         bi AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_xy
+           FROM tk a JOIN tk b ON a.rid = b.rid AND b.p = a.p + 1
+           GROUP BY 1, 2 HAVING count(*) >= 20),
+         tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_uni,
+             CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bi
+           FROM dt)
+         SELECT t1, t2, n_xy,
+           CAST((CAST(n_xy AS HUGEINT) * n_uni * n_uni * 1000000)
+             // (CAST(n_bi AS HUGEINT) * ux.n * uy.n) AS BIGINT)
+             AS lift_ppm
+         FROM bi JOIN uni ux ON ux.tok = bi.t1
+         JOIN uni uy ON uy.tok = bi.t2
+         CROSS JOIN tot
+         ORDER BY lift_ppm DESC, n_xy DESC, t1, t2 LIMIT 20""",
+    // triangle replay: same canonical (lo,hi) edges, same (deg,id)
+    // orientation, wedge + closing equi-join, 3-corner credit, and the
+    // HUGEINT-widened truncating cc_ppm
+    "q325_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         e0 AS (SELECT DISTINCT least(a.pk, b.pk) AS lo,
+             greatest(a.pk, b.pk) AS hi
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+             SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0) u
+           GROUP BY 1),
+         ori AS (SELECT
+             CASE WHEN dl.dg < dh.dg OR (dl.dg = dh.dg AND lo < hi)
+                  THEN lo ELSE hi END AS a,
+             CASE WHEN dl.dg < dh.dg OR (dl.dg = dh.dg AND lo < hi)
+                  THEN hi ELSE lo END AS b,
+             CASE WHEN dl.dg < dh.dg OR (dl.dg = dh.dg AND lo < hi)
+                  THEN dh.dg ELSE dl.dg END AS db
+           FROM e0 JOIN deg dl ON dl.n = e0.lo
+           JOIN deg dh ON dh.n = e0.hi),
+         w AS (SELECT x.a AS t1, x.b AS t2, y.b AS t3
+           FROM ori x JOIN ori y ON x.a = y.a
+             AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))),
+         tr AS (SELECT t1, t2, t3
+           FROM w JOIN ori o ON o.a = w.t2 AND o.b = w.t3),
+         pn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM (
+             SELECT t1 AS n FROM tr UNION ALL SELECT t2 FROM tr
+             UNION ALL SELECT t3 FROM tr) u GROUP BY 1)
+         SELECT deg.n AS node, deg.dg AS degree,
+           COALESCE(pn.tri, 0) AS triangles,
+           CAST((CAST(COALESCE(pn.tri, 0) AS HUGEINT) * 2000000)
+             // (CAST(deg.dg AS HUGEINT) * (deg.dg - 1)) AS BIGINT)
+             AS cc_ppm
+         FROM deg LEFT JOIN pn ON pn.n = deg.n
+         WHERE deg.dg >= 2""",
     // PageRank replay: all 3 iterations chained in the same 1e12
     // fixed-point integer arithmetic (// TRUNCATES toward zero, exactly
     // like Spark's div and Java's / — see the q276 Holt contract; all

@@ -414,6 +414,41 @@ object QueriesNumerics {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
         .withColumn("wd", dayofweek(col("d")))
       graft.window.Seasonal.decomposeAdditive(daily, "d", "rev_c", "wd", 7)
+    }),
+
+    // CUSUM changepoint over daily revenue: argmax_t |n·S_t − t·S_n|
+    // (the mean-shift estimator), denominator-cleared so EVERYTHING is
+    // integer — no division anywhere. The unpartitioned prefix window
+    // runs over the aggregated daily grid (calendar-bounded, ~2.4k rows);
+    // total / max / tie-break are 1-row broadcasts.
+    "q326_cusum_changepoint" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      graft.window.Changepoint.cusum(daily, "d", "rev_c")
+    }),
+
+    // seasonal anomaly flags: the monitoring composition — q300's exact
+    // integer decomposition, then a 3×MAD fence on the residuals (q301's
+    // robust scale). Residuals and the median/MAD all live on exact
+    // half-integer grids (< 2^53), so the flag comparison is
+    // deterministic on every engine; the median/MAD are 1-row broadcasts.
+    "q329_seasonal_anomaly" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .withColumn("wd", dayofweek(col("d")))
+      val dec = graft.util.QueryCache.persist(
+        graft.window.Seasonal.decomposeAdditive(daily, "d", "rev_c",
+          "wd", 7))
+      val med = dec.agg(percentile(col("resid_xp"), lit(0.5)).as("med"))
+      val mad = dec.crossJoin(broadcast(med))
+        .agg(max(col("med")).as("med"),
+          percentile(abs(col("resid_xp") - col("med")), lit(0.5)).as("mad"))
+      dec.crossJoin(broadcast(mad))
+        .select(col("d"), col("rev_c"), col("resid_xp"),
+          (abs(col("resid_xp") - col("med")) > lit(3.0) * col("mad"))
+            .as("is_anomaly"))
     })
   )
 
@@ -1214,6 +1249,60 @@ object QueriesNumerics {
          SELECT v.d, v.wd, v.rev_c, v.trend_xp,
            snum // sden AS seas_xp,
            v.detr - (snum // sden) AS resid_xp
-         FROM v JOIN sn USING (wd)"""
+         FROM v JOIN sn USING (wd)""",
+
+    // CUSUM replay: same prefix sums, the same denominator-cleared
+    // HUGEINT statistic, max + earliest-bucket tie-break
+    "q326_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+           FROM orders GROUP BY 1),
+         p AS (SELECT d, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY d) AS BIGINT) AS cum,
+             CAST(count(*) OVER (ORDER BY d) AS BIGINT) AS t
+           FROM daily),
+         g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rev_c) AS HUGEINT) AS tot FROM daily),
+         sc AS (SELECT d, rev_c, cum,
+             CAST(abs(n * CAST(cum AS HUGEINT) - t * tot) AS BIGINT)
+               AS d_stat
+           FROM p CROSS JOIN g),
+         mx AS (SELECT max(d_stat) AS m FROM sc),
+         cp AS (SELECT min(d) AS cpd FROM sc CROSS JOIN mx
+           WHERE d_stat = m)
+         SELECT d, rev_c, cum, d_stat, d = cpd AS is_changepoint
+         FROM sc CROSS JOIN cp""",
+
+    // anomaly replay: the q300 decomposition verbatim, then the same
+    // median / MAD quantiles and the 3x fence on the exact grid
+    "q329_seasonal_anomaly" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+           FROM orders GROUP BY 1),
+         t AS (
+           SELECT d, dayofweek(d) + 1 AS wd, rev_c,
+             count(*) OVER w AS cnt7,
+             CAST(sum(rev_c) OVER w AS BIGINT) AS trend_xp
+           FROM daily
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         v AS (SELECT d, wd, rev_c, trend_xp,
+             7 * rev_c - trend_xp AS detr FROM t WHERE cnt7 = 7),
+         sn AS (SELECT wd, CAST(sum(detr) AS BIGINT) AS snum,
+             count(*) AS sden FROM v GROUP BY 1),
+         dec AS (SELECT v.d, v.rev_c,
+             v.detr - (snum // sden) AS resid_xp
+           FROM v JOIN sn USING (wd)),
+         m AS (SELECT quantile_cont(CAST(resid_xp AS DOUBLE), 0.5) AS med
+           FROM dec),
+         md AS (SELECT max(med) AS med,
+             quantile_cont(abs(resid_xp - med), 0.5) AS mad
+           FROM dec CROSS JOIN m)
+         SELECT d, rev_c, resid_xp,
+           abs(resid_xp - med) > 3 * mad AS is_anomaly
+         FROM dec CROSS JOIN md"""
   )
 }

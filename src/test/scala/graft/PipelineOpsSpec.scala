@@ -765,4 +765,116 @@ class PipelineOpsSpec extends SparkSpec {
     val slope = row.getDouble(1)
     assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
   }
+
+  test("triangles: hand graph counts, then brute-force on a hashed random graph") {
+    import graft.llm.LinkAnalysis
+    // two triangles sharing node 3, plus a pendant edge (5,6); input is
+    // noisy: duplicates, both directions, a self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L), (2L, 1L), (1L, 2L), (4L, 4L)).toDF("s", "d")
+    val out = LinkAnalysis.triangles(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // deg: 1:2 2:2 3:4 4:2 5:3 (6 has deg 1 -> excluded)
+    assert(!out.contains(6L))
+    assert(out(1L) === ((2L, 1L, 1000000L)))
+    assert(out(2L) === ((2L, 1L, 1000000L)))
+    assert(out(3L) === ((4L, 2L, 333333L))) // 2*2e6 div 12
+    assert(out(4L) === ((2L, 1L, 1000000L)))
+    assert(out(5L) === ((3L, 1L, 333333L))) // 2e6 div 6
+    // brute force: 40-node hash-deterministic graph, count triples
+    val n = 40
+    def has(a: Int, b: Int): Boolean =
+      a != b && ((a * 31 + b) * (b * 31 + a)) % 7 == 0
+    val re = (for (a <- 0 until n; b <- a + 1 until n if has(a, b))
+      yield (a.toLong, b.toLong))
+    val brute = (for (a <- 0 until n; b <- a + 1 until n;
+                      c <- b + 1 until n
+                      if has(a, b) && has(b, c) && has(a, c)) yield 1).size
+    val got = LinkAnalysis.triangles(re.toDF("s", "d"), "s", "d")
+      .agg(sum(col("triangles"))).head().getLong(0)
+    assert(got === 3L * brute, s"3x$brute triangles expected, got $got")
+  }
+
+  test("winnow: coverage guarantee, shared fingerprints on planted plagiarism") {
+    // doc 2 contains doc 1's exact text inside noise: the k+w-1 match
+    // guarantee forces shared fingerprints; doc 3 is unrelated
+    val core = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, core),
+      (2L, "zzyy prefix junk " + core + " suffix junk qqff"),
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(docs, "doc_id", "text", k = 8, w = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.size === 3)
+    // winnowing guarantee: >= 1 fingerprint per w-gram window
+    val nGrams1 = core.length - 8 + 1
+    assert(out(1L)._1 >= nGrams1.toLong / 5,
+      s"too few fingerprints: ${out(1L)}")
+    // the planted containment shares fingerprints both ways; doc 3 none
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(3L)._2 === 0L)
+    // brute-force replica of the selection on doc 1: leftmost-min of
+    // every 5-window of 28-bit md5-prefix hashes
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 7), 16)
+    }
+    val keys = (0 until nGrams1).map(p =>
+      h28(core.substring(p, p + 8)) * 16777216L + p)
+    val brute = (0 to nGrams1 - 5).map(s => keys.slice(s, s + 5).min)
+      .distinct.size
+    assert(out(1L)._1 === brute.toLong)
+  }
+
+  test("collocations: planted bigram tops the lift ranking, counts exact") {
+    import graft.llm.CorpusStats
+    // "alpha beta" always adjacent (25x); filler tokens are frequent but
+    // weakly paired
+    val docs = (1 to 25).map(i =>
+      (i.toLong, s"alpha beta c$i d${i % 3} c$i d${i % 3} c$i d${i % 3} " +
+        s"c$i d${i % 3} c$i d${i % 3} c$i d${i % 3} c$i d${i % 3} " +
+        s"c$i d${i % 3} c$i d${i % 3} c$i"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.collocations(docs, "text", minCount = 20L,
+      topK = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) === "alpha" && top.getString(1) === "beta")
+    assert(top.getLong(2) === 25L)
+    // exact lift replica: n_uni = 25*21, n_bi = 25*20, c_alpha=c_beta=25
+    val nUni = 25L * 21; val nBi = 25L * 20
+    val lift = (BigInt(25) * nUni * nUni * 1000000) / (BigInt(nBi) * 25 * 25)
+    assert(top.getLong(3) === lift.toLong)
+  }
+
+  test("cusum: the argmax of |n*S_t - t*S_n| lands on a planted level shift") {
+    import graft.window.Changepoint
+    val vals = (1 to 100).map(t => (t.toLong, if (t <= 60) 10L else 50L))
+    val out = Changepoint.cusum(vals.toDF("t", "v"), "t", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size === 100)
+    // brute-force replica of the statistic
+    val total = vals.map(_._2).sum
+    val pre = vals.scanLeft(0L)(_ + _._2).tail
+    val d = pre.zipWithIndex.map { case (s, i) =>
+      math.abs(100L * s - (i + 1) * total) }
+    for (t <- 1 to 100) {
+      val (v, cum, stat, flag) = out(t.toLong)
+      assert(v === vals(t - 1)._2 && cum === pre(t - 1) &&
+        stat === d(t - 1))
+      assert(flag === (t == 60), s"flag at t=$t")
+    }
+    // ties break to the earliest bucket: a flat series maxes at D=0
+    // everywhere -> only the first bucket is flagged
+    val flat = (1 to 5).map(t => (t.toLong, 7L))
+    val f = Changepoint.cusum(flat.toDF("t", "v"), "t", "v")
+      .filter(col("is_changepoint")).collect()
+    assert(f.length === 1 && f(0).getLong(0) === 1L)
+  }
 }

@@ -74,7 +74,13 @@ class ScaleAuditSpec extends SparkSpec {
         "(the q304 contract)"),
     "q321_vocab_coverage" ->
       ("ordinal + cumulative mass over the 2000-row TakeOrdered " +
-        "vocabulary cut (the q304 contract)"))
+        "vocabulary cut (the q304 contract)"),
+    "q326_cusum_changepoint" ->
+      ("prefix sum over the AGGREGATED daily-revenue series — one row " +
+        "per calendar day, bounded by the calendar (q300's contract)"),
+    "q329_seasonal_anomaly" ->
+      ("q300's centered moving sum over the AGGREGATED daily-revenue " +
+        "series (calendar-bounded)"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -179,7 +185,14 @@ class ScaleAuditSpec extends SparkSpec {
       "quartile-bounds aggregates onto the per-user frame"),
     "q304_vocab_encode" -> ("cross of the 1-row corpus-total and 1-row " +
       "kept-mass aggregates to form the OOV row — both sides single-row " +
-      "by construction"))
+      "by construction"),
+    "q326_cusum_changepoint" -> ("broadcasts of three 1-row aggregates " +
+      "(grand total, max statistic, tie-break bucket) onto the " +
+      "calendar-bounded daily frame"),
+    "q328_collocations" -> ("broadcast of the 1-row (n_uni, n_bi) " +
+      "totals aggregate onto the min-count-floored bigram frame"),
+    "q329_seasonal_anomaly" -> ("broadcasts of the 1-row median and " +
+      "1-row MAD aggregates onto the calendar-bounded daily frame"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
