@@ -248,4 +248,64 @@ object Stats {
                 (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))"""),
         zScale) + lit(0.0)).as("z_stat"))
   }
+
+  /** Two-proportion z battery: each `groupCol` level against THE REST of
+    * the data — the screening stage in front of [[benjaminiHochberg]].
+    * One scan builds (n_i, k_i) per group; the grand totals broadcast;
+    * z is the pooled-variance textbook expression in one fixed IEEE
+    * order, rounded at `zScale` (signed-zero-normalized). The two-sided
+    * p rides the Abramowitz–Stegun 26.2.17 polynomial tail evaluated on
+    * the ALREADY-ROUNDED z (so both engines start from the identical
+    * double; exp() is the only libm call, handled by the repo's
+    * round-at-8dp policy) and lands as DECIMAL(18,8) so the BH threshold
+    * comparison downstream is exact decimal arithmetic, never float. */
+  def twoPropZBattery(df: DataFrame, groupCol: String, succ: Column,
+                      zScale: Int = 8): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(succ, 1L).otherwise(0L)).as("k"))
+    val tot = g.agg(sum(col("n")).cast("long").as("__nn"),
+      sum(col("k")).cast("long").as("__kk"))
+    val z = g.crossJoin(broadcast(tot))
+      .withColumn("z8", round(expr(
+        """(CAST(k AS DOUBLE) / n - CAST(__kk - k AS DOUBLE) / (__nn - n)) /
+           sqrt((CAST(__kk AS DOUBLE) / __nn)
+                * (1.0 - CAST(__kk AS DOUBLE) / __nn)
+                * (1.0 / n + 1.0 / (__nn - n)))"""), zScale) + lit(0.0))
+      .withColumn("__t", expr("1.0 / (1.0 + 0.2316419 * abs(z8))"))
+    z.select(col("grp"), col("n"), col("k"), col("z8"),
+      round(expr(
+        """2.0 * (0.3989422804014327 * exp(-abs(z8) * abs(z8) / 2.0)
+             * (__t * (0.319381530 + __t * (-0.356563782
+                + __t * (1.781477937 + __t * (-1.821255978
+                + __t * 1.330274429))))))"""), 8)
+        .cast(DecimalType(18, 8)).as("p8"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control at level
+    * `alphaNum/alphaDen`: rank hypotheses by (p, id), find the largest k
+    * with p_(k) <= (k/m)·α, reject ranks 1..k. The threshold test is the
+    * denominator-cleared EXACT comparison p·alphaDen·m <= alphaNum·k on
+    * the p column's decimal grid — no float boundary anywhere in the
+    * procedure itself. The ranking window runs over the hypothesis frame
+    * (one row per GROUP — bounded by group cardinality, not data); m and
+    * k_max are 1-row broadcasts. */
+  def benjaminiHochberg(hyp: DataFrame, idCol: String, pCol: String,
+                        alphaNum: Int, alphaDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha $alphaNum/$alphaDen must be in (0, 1)")
+    val m = hyp.agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col(pCol), col(idCol))
+    val ranked = graft.util.QueryCache.persist(
+      hyp.crossJoin(broadcast(m))
+        .withColumn("rank", row_number().over(w).cast("long")))
+    val kmax = ranked
+      .filter(col(pCol) * lit(alphaDen) * col("__m") <=
+        lit(alphaNum) * col("rank"))
+      .agg(coalesce(max(col("rank")), lit(0L)).as("__kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .withColumn("rejected", col("rank") <= col("__kmax"))
+      .drop("__m", "__kmax")
+  }
 }

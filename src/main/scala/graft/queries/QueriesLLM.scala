@@ -863,6 +863,37 @@ object QueriesLLM {
       LinkAnalysis.pagerank(nodes, edges, "part", "src", "dst", iters = 3)
     }),
 
+    // MRR of the LSH index against brute-force truth: per probe the
+    // true nearest NON-SELF neighbor's reciprocal rank in the LSH
+    // candidate list (0 when the bucket misses it) — the ANN eval
+    // completing recall@10 (q269) and NDCG (q264); exact ppm integers
+    "q330_mrr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val truth = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+          "probe_id", "embedding", k = 2)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"))
+        .agg(min_by(col("vec_id"), col("rk")).as("true_id"))
+      val cands = Similarity.lshTopK(corpus, probes, "vec_id",
+          "probe_id", "embedding", rhpSignsM, k = 11)
+        .filter(col("vec_id") =!= col("probe_id"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("rk"))
+      val reranked = cands.withColumn("arank",
+        row_number().over(w).cast("long"))
+      truth.join(reranked.select(col("probe_id"),
+            col("vec_id").as("true_id"), col("arank")),
+          Seq("probe_id", "true_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("arank").isNotNull, 1L).otherwise(0L))
+            .as("n_found"),
+          sum(coalesce(expr("1000000 div arank"), lit(0L))).as("__rr"))
+        .select(col("n_probes"), col("n_found"),
+          expr("__rr div n_probes").as("mrr_ppm"))
+    }),
+
     // winnowing fingerprints (MOSS) on a 1-in-10 doc sample: k=8-char
     // gram hashes (28-bit md5 prefix — the portable convention), w=5
     // window minima with the (hash, leftmost-pos) packed-BIGINT tie
@@ -3076,6 +3107,65 @@ object QueriesLLM {
          rk AS (SELECT *, row_number() OVER (PARTITION BY item
              ORDER BY lift_ppb DESC, n_co DESC, rec_item) AS rk FROM sc)
          SELECT item, rec_item, n_co, lift_ppb, rk FROM rk WHERE rk <= 3""",
+    // MRR replay: q54b's signature + bucket join (self excluded, ranks
+    // cut at 10), brute-force non-self truth, LEFT-joined reciprocal
+    // ranks on the ppm grid
+    "q330_mrr" ->
+      s"""WITH sigs AS (
+           SELECT e2.vec_id, e2.embedding,
+             sum(CASE WHEN list_reduce(list_transform(
+                 generate_series(1, 64),
+                 i -> CAST(e2.embedding[i] AS DOUBLE) * ($rhpSignsSql)[g.p + 1][i]),
+                 (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << g.p) ELSE 0 END) AS sig
+           FROM embeddings e2, (SELECT unnest(generate_series(0, 7)) AS p) g
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) p
+           WHERE c.vec_id <> p.vec_id),
+         truth AS (
+           SELECT probe_id, vec_id AS true_id FROM (
+             SELECT d.probe_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS rk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE rk = 1),
+         cand AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM sigs c JOIN (SELECT * FROM sigs WHERE vec_id < 50) p
+           ON c.sig = p.sig
+           WHERE c.vec_id <> p.vec_id),
+         lsh AS (
+           SELECT probe_id, vec_id, arank FROM (
+             SELECT d.probe_id, d.vec_id,
+               CAST(row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id)
+                 AS BIGINT) AS arank
+             FROM cand d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE arank <= 10)
+         SELECT count(*) AS n_probes,
+           CAST(sum(CASE WHEN l.arank IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_found,
+           CAST(sum(COALESCE(1000000 // l.arank, 0)) AS BIGINT)
+             // count(*) AS mrr_ppm
+         FROM truth t LEFT JOIN lsh l
+         ON l.probe_id = t.probe_id AND l.vec_id = t.true_id""",
     // winnowing replay: same 28-bit md5-prefix gram hash (hex fold),
     // same h*2^24+p packed selection key, same w-row min windows
     "q327_winnow" ->

@@ -449,6 +449,24 @@ object QueriesNumerics {
         .select(col("d"), col("rev_c"), col("resid_xp"),
           (abs(col("resid_xp") - col("med")) > lit(3.0) * col("mad"))
             .as("is_anomaly"))
+    }),
+
+    // multiple-testing correction: per-brand two-proportion z screens
+    // ('is this brand's return rate different from the rest?'), p via
+    // the A&S 26.2.17 normal tail on the rounded z, then the
+    // Benjamini–Hochberg step-up at FDR 1/20 — the BH threshold test is
+    // EXACT decimal arithmetic (p·20·m <= k), no float boundary
+    "q331_bh_fdr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_returnflag")
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val joined = li.join(broadcast(pt),
+        col("l_partkey") === col("p_partkey"))
+      val battery = graft.numerics.Stats.twoPropZBattery(joined, "p_brand",
+        col("l_returnflag") === "R")
+      graft.numerics.Stats.benjaminiHochberg(battery, "grp", "p8",
+          alphaNum = 1, alphaDen = 20)
+        .select(col("grp").as("brand"), col("n"), col("k"), col("z8"),
+          col("p8"), col("rank"), col("rejected"))
     })
   )
 
@@ -1303,6 +1321,41 @@ object QueriesNumerics {
            FROM dec CROSS JOIN m)
          SELECT d, rev_c, resid_xp,
            abs(resid_xp - med) > 3 * mad AS is_anomaly
-         FROM dec CROSS JOIN md"""
+         FROM dec CROSS JOIN md""",
+
+    // BH replay: identical pooled z (one IEEE expression, rounded 8),
+    // A&S tail on the rounded z, exact-decimal step-up threshold
+    "q331_bh_fdr" ->
+      """WITH g AS (SELECT p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(k) AS BIGINT) AS kk FROM g),
+         z AS (SELECT brand, n, k,
+             round((CAST(k AS DOUBLE) / n
+                    - CAST(kk - k AS DOUBLE) / (nn - n)) /
+                 sqrt((CAST(kk AS DOUBLE) / nn)
+                      * (1.0 - CAST(kk AS DOUBLE) / nn)
+                      * (1.0 / n + 1.0 / (nn - n))), 8) + 0.0 AS z8
+           FROM g CROSS JOIN tot),
+         p AS (SELECT brand, n, k, z8,
+             CAST(round(2.0 * (0.3989422804014327
+                 * exp(-abs(z8) * abs(z8) / 2.0)
+                 * (tt * (0.319381530 + tt * (-0.356563782
+                    + tt * (1.781477937 + tt * (-1.821255978
+                    + tt * 1.330274429)))))), 8) AS DECIMAL(18,8)) AS p8
+           FROM (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z8)) AS tt
+                 FROM z)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+         r AS (SELECT p.*, m.m,
+             CAST(row_number() OVER (ORDER BY p8, brand) AS BIGINT)
+               AS rank
+           FROM p CROSS JOIN m),
+         km AS (SELECT COALESCE(max(rank), 0) AS kmax FROM r
+           WHERE p8 * 20 * m <= rank)
+         SELECT brand, n, k, z8, p8, rank, rank <= kmax AS rejected
+         FROM r CROSS JOIN km"""
   )
 }

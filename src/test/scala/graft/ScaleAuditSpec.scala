@@ -80,7 +80,10 @@ class ScaleAuditSpec extends SparkSpec {
         "per calendar day, bounded by the calendar (q300's contract)"),
     "q329_seasonal_anomaly" ->
       ("q300's centered moving sum over the AGGREGATED daily-revenue " +
-        "series (calendar-bounded)"))
+        "series (calendar-bounded)"),
+    "q331_bh_fdr" ->
+      ("BH step-up rank over the HYPOTHESIS frame — one row per group " +
+        "(25 brands); bounded by group cardinality, not data"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -192,7 +195,12 @@ class ScaleAuditSpec extends SparkSpec {
     "q328_collocations" -> ("broadcast of the 1-row (n_uni, n_bi) " +
       "totals aggregate onto the min-count-floored bigram frame"),
     "q329_seasonal_anomaly" -> ("broadcasts of the 1-row median and " +
-      "1-row MAD aggregates onto the calendar-bounded daily frame"))
+      "1-row MAD aggregates onto the calendar-bounded daily frame"),
+    "q330_mrr" -> ("explicit broadcast of the 50-probe side for the " +
+      "brute-force truth stage (q54 contract); the LSH candidate stage " +
+      "is a signature equi-join"),
+    "q331_bh_fdr" -> ("broadcasts of three 1-row aggregates (grand " +
+      "totals, m, k_max) onto the group-cardinality hypothesis frame"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",

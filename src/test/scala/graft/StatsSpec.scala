@@ -157,4 +157,65 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(3) === (2 * (n1 * n2 - u1)).toLong, "u2_x2")
     assert(math.abs(r.getDouble(4) - z) < 1e-7)
   }
+
+  test("twoPropZBattery matches the brute-force pooled z per group") {
+    import org.apache.spark.sql.functions._
+    // (group, success) with deliberately different rates per group
+    val rows = Seq.tabulate(60) { i =>
+      val g = "G" + (i % 3)
+      val succ = (i % 3, i % 5) match {
+        case (0, r) => r < 4 // 80%
+        case (1, r) => r < 2 // 40%
+        case (_, r) => r < 1 // 20%
+      }
+      (g, succ)
+    }
+    val d = rows.toDF("g", "s")
+    val got = Stats.twoPropZBattery(d, "g", col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDecimal(4).doubleValue)).toMap
+    val nn = rows.size.toDouble
+    val kk = rows.count(_._2).toDouble
+    for (g <- Seq("G0", "G1", "G2")) {
+      val n = rows.count(_._1 == g).toDouble
+      val k = rows.count(r => r._1 == g && r._2).toDouble
+      val pPool = kk / nn
+      val z = (k / n - (kk - k) / (nn - n)) /
+        math.sqrt(pPool * (1 - pPool) * (1 / n + 1 / (nn - n)))
+      val (gn, gk, gz, gp) = got(g)
+      assert(gn == n.toLong && gk == k.toLong)
+      assert(math.abs(gz - z) < 1e-7, s"$g z: $gz vs $z")
+      // A&S 26.2.17 tail is accurate to ~7.5e-8; two-sided doubles that
+      val pRef = {
+        val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+        2.0 * (0.3989422804014327 * math.exp(-z * z / 2.0) *
+          (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+            t * (-1.821255978 + t * 1.330274429))))))
+      }
+      assert(math.abs(gp - pRef) < 1e-6, s"$g p: $gp vs $pRef")
+    }
+  }
+
+  test("benjaminiHochberg reproduces the textbook step-up rejections") {
+    import org.apache.spark.sql.functions._
+    // Classic m=10 example at alpha=0.05: reject ranks 1..4
+    val ps = Seq(
+      ("h1", "0.00017"), ("h2", "0.00448"), ("h3", "0.00671"),
+      ("h4", "0.00907"), ("h5", "0.01220"), ("h6", "0.33626"),
+      ("h7", "0.39341"), ("h8", "0.53882"), ("h9", "0.58125"),
+      ("h10", "0.98617"))
+    val d = ps.toDF("id", "p")
+      .select(col("id"), col("p").cast("decimal(18,8)").as("p"))
+    val out = Stats.benjaminiHochberg(d, "id", "p", 1, 20)
+      .select("id", "rank", "rejected").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // p_(4)=0.00907 <= 4/10*0.05=0.02; p_(5)=0.0122 > 0.025? no:
+    // 0.0122 <= 5/10*0.05 = 0.025 → k_max = 5; p_(6)=0.33626 > 0.03
+    for ((id, (rk, rej)) <- out)
+      assert(rej == (rk <= 5L), s"$id rank=$rk rejected=$rej")
+    assert(out("h5") == (5L, true) && out("h6") == (6L, false))
+    // rank order follows ascending p with id tiebreak
+    assert(out("h1")._1 == 1L && out("h10")._1 == 10L)
+  }
 }
