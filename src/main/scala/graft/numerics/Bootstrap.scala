@@ -1,0 +1,86 @@
+package graft.numerics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap (Hanley & MacGibbon 2006; Chamandy et al., "Estimating
+  * Uncertainty for Massive Data Streams", Google 2012) — THE bootstrap that
+  * works on a cluster: instead of resampling n rows with replacement
+  * (which needs global coordination), every row independently receives a
+  * Poisson(1) weight per replicate. Replicate sums are then one partial
+  * aggregate per replicate — a single scan, map-side combined, shuffling
+  * B rows per partition regardless of data size.
+  *
+  * Determinism contract: the weight is a PURE FUNCTION of (row id,
+  * replicate) — an md5-prefix uniform on the 1e12 grid cut by the
+  * Poisson(1) inverse-CDF thresholds below (integer constants shared
+  * verbatim with the oracle SQL). No RNG state, no partition order
+  * dependence: any engine replays the exact resample, and reprocessing a
+  * subset reproduces its weights (the Splits.scala property applied to
+  * resampling). */
+object Bootstrap {
+
+  /** floor(1e12 · P[Poisson(1) ≤ k]) for k = 0..8; u ≥ last ⇒ weight 9.
+    * Shared with the oracle SQL via [[thresholdsSql]]. */
+  val poissonCdf1e12: Seq[Long] = Seq(
+    367879441171L, 735758882342L, 919698602928L, 981011843123L,
+    996340153172L, 999405815182L, 999916758850L, 999989750803L,
+    999998874797L)
+
+  /** The CASE expression both engines share, over a u-in-[0,1e12) col. */
+  def thresholdsSql(u: String): String =
+    poissonCdf1e12.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  /** md5-prefix uniform on [0, 1e12): 13 hex chars (52 bits) mod 1e12. */
+  def uniform1e12(key: Column): Column =
+    pmod(conv(substring(md5(key), 1, 13), 16, 10).cast("long"),
+      lit(1000000000000L))
+
+  /** Poisson(1) weight from an ALREADY-MATERIALIZED uniform column —
+    * the caller must bind [[uniform1e12]] with withColumn first, or the
+    * md5 is textually duplicated (and recomputed) once per threshold. */
+  def poissonWeight(u: Column): Column =
+    poissonCdf1e12.zipWithIndex.foldRight(lit(9)) { case ((t, k), e) =>
+      when(u < t, k).otherwise(e)
+    }.cast("long")
+
+  /** Percentile-bootstrap CI for the mean of an integer fixed-point
+    * value: B replicate means (each `Σ w·v div Σ w` — exact truncating
+    * integer division), CI endpoints as the (⌊αB⌋+1)-th and (B−⌊αB⌋)-th
+    * order statistics of the B means, selected via sort_array on the
+    * 1-row collect of the B-row replicate frame (B is a constant — no
+    * window, no unbounded collect).
+    *
+    * @param id       stable row-identity column (hash input)
+    * @param valueFp  integer fixed-point value column (e.g. cents)
+    * @param reps     B, the replicate count
+    * @param alphaPm  tail mass in per-mille (25 = 2.5% each side)
+    * @return 1 row: (n_reps, mean_fp, lo_fp, hi_fp) */
+  def meanCI(df: DataFrame, id: Column, valueFp: Column, reps: Int = 48,
+             alphaPm: Int = 25): DataFrame = {
+    require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
+    val cut = alphaPm * reps / 1000 // floor(alpha*B)
+    require(cut * 2 < reps, s"alpha $alphaPm‰ too wide for B=$reps")
+    val means = df
+      .select(id.cast("string").as("__id"), valueFp.cast("long").as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),
+        col("__b").cast("string"))))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .groupBy(col("__b"))
+      // decimal(38,0) accumulation + IntegralDivide: exact at any scale
+      // (long sums would wrap past 2^63; doubles lose cents past 2^53)
+      .agg(expr("sum(CAST(__w * __v AS DECIMAL(38,0))) div sum(__w)")
+        .as("__m"))
+    val full = df.select(valueFp.cast("long").as("__v"))
+      .agg(expr("sum(CAST(__v AS DECIMAL(38,0))) div count(1)").as("__f"))
+    means.agg(count(lit(1)).as("n_reps"),
+        sort_array(collect_list(col("__m"))).as("__ms"))
+      .crossJoin(broadcast(full))
+      .select(col("n_reps"), col("__f").as("mean_fp"),
+        element_at(col("__ms"), cut + 1).as("lo_fp"),
+        element_at(col("__ms"), reps - cut).as("hi_fp"))
+  }
+}

@@ -282,6 +282,32 @@ object Stats {
         .cast(DecimalType(18, 8)).as("p8"))
   }
 
+  /** Wilson score interval per group (Wilson 1927) — the proportion CI
+    * that behaves at small n and extreme rates, the one worth shipping
+    * for per-slice success-rate dashboards. One scan builds (n, k) per
+    * group; lo/hi are each ONE fixed IEEE expression over (n, k, z)
+    * rounded at 8 dp (signed-zero-normalized); p_hat rides the exact ppm
+    * integer grid. z defaults to the 97.5% normal quantile (95% CI). */
+  def wilsonInterval(df: DataFrame, groupCol: String, succ: Column,
+                     z: Double = 1.959963984540054): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(succ, 1L).otherwise(0L)).as("k"))
+      .select(col("grp"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("p_ppm"),
+        (round(expr(
+          s"""((CAST(k AS DOUBLE) / n + $z * $z / (2.0 * n))
+               - $z * sqrt((CAST(k AS DOUBLE) / n)
+                   * (1.0 - CAST(k AS DOUBLE) / n) / n
+                   + $z * $z / (4.0 * n * n)))
+              / (1.0 + $z * $z / n)"""), 8) + lit(0.0)).as("wilson_lo8"),
+        (round(expr(
+          s"""((CAST(k AS DOUBLE) / n + $z * $z / (2.0 * n))
+               + $z * sqrt((CAST(k AS DOUBLE) / n)
+                   * (1.0 - CAST(k AS DOUBLE) / n) / n
+                   + $z * $z / (4.0 * n * n)))
+              / (1.0 + $z * $z / n)"""), 8) + lit(0.0)).as("wilson_hi8"))
+
   /** Benjamini–Hochberg step-up FDR control at level
     * `alphaNum/alphaDen`: rank hypotheses by (p, id), find the largest k
     * with p_(k) <= (k/m)·α, reject ranks 1..k. The threshold test is the

@@ -467,6 +467,50 @@ object QueriesNumerics {
           alphaNum = 1, alphaDen = 20)
         .select(col("grp").as("brand"), col("n"), col("k"), col("z8"),
           col("p8"), col("rank"), col("rejected"))
+    }),
+
+    // Kaplan-Meier survival + Nelson-Aalen cumulative hazard over
+    // customer lifetimes: duration = days first->last order, event = no
+    // order in the final 90 days (churn observed), else right-censored.
+    // Both recursions in BigInteger fixed-point on the 1e12 grid
+    // (truncating div) — DuckDB replays with HUGEINT `//` bit-for-bit
+    "q332_kaplan_meier" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      val mx = o.agg(max(col("o_orderdate")).as("m"))
+      val subjects = perCust.crossJoin(broadcast(mx))
+        .select(datediff(col("l"), col("f")).as("dur"),
+          when(col("l") < col("m") - expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0).as("ev"))
+      graft.numerics.Survival.kaplanMeier(subjects, "dur", "ev")
+    }),
+
+    // Poisson bootstrap 95% CI for mean line revenue (cents): B=48
+    // replicates, each row's weight a pure md5 function of (row id,
+    // replicate) cut by the shared Poisson(1) inverse-CDF integer
+    // thresholds; replicate means exact integer div; CI = order stats
+    // of the 48 means (no RNG state, any engine replays the resample)
+    "q333_poisson_bootstrap" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.numerics.Bootstrap.meanCI(li,
+        concat_ws("#", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        reps = 48, alphaPm = 25)
+    }),
+
+    // Wilson score 95% CI per brand on the return rate — the
+    // small-n-safe proportion interval next to q331's z screens; p_hat
+    // exact ppm, bounds one IEEE expression rounded 8dp
+    "q334_wilson_interval" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_returnflag")
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val joined = li.join(broadcast(pt),
+        col("l_partkey") === col("p_partkey"))
+      graft.numerics.Stats.wilsonInterval(joined, "p_brand",
+          col("l_returnflag") === "R")
+        .withColumnRenamed("grp", "brand")
     })
   )
 
@@ -1356,6 +1400,102 @@ object QueriesNumerics {
          km AS (SELECT COALESCE(max(rank), 0) AS kmax FROM r
            WHERE p8 * 20 * m <= rank)
          SELECT brand, n, k, z8, p8, rank, rank <= kmax AS rejected
-         FROM r CROSS JOIN km"""
+         FROM r CROSS JOIN km""",
+
+    // KM replay: same per-duration aggregate, same 1e12 fixed-point
+    // recursions via HUGEINT `//` in a recursive CTE (the q276 Holt
+    // convention — truncating integer division shared by both engines)
+    "q332_kaplan_meier" ->
+      """WITH RECURSIVE pc AS (
+           SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS m FROM orders),
+         subj AS (SELECT
+             date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS dur,
+             CASE WHEN l < m - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+           FROM pc CROSS JOIN mx),
+         agg AS (SELECT CAST(dur AS BIGINT) AS t,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+           FROM subj GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM agg),
+         ord AS (SELECT t, d, c,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+             nn - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM agg CROSS JOIN tot),
+         r AS (
+           SELECT t, rn, n_risk, d, c,
+             1000000000000::HUGEINT * (n_risk - d) // n_risk AS s,
+             d::HUGEINT * 1000000000000 // n_risk AS h
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.t, o.rn, o.n_risk, o.d, o.c,
+             r.s * (o.n_risk - o.d) // o.n_risk,
+             r.h + o.d::HUGEINT * 1000000000000 // o.n_risk
+           FROM r JOIN ord o ON o.rn = r.rn + 1)
+         SELECT t AS duration, n_risk, d AS d_events, c AS c_censored,
+           CAST(s AS BIGINT) AS survival_e, CAST(h AS BIGINT) AS hazard_cum_e
+         FROM r""",
+
+    // Poisson bootstrap replay: identical md5(id#b) 13-hex uniform mod
+    // 1e12, identical inverse-CDF integer thresholds, HUGEINT-exact
+    // replicate means, order-stat CI from the sorted 48-list
+    "q333_poisson_bootstrap" ->
+      s"""WITH rows_in AS (
+           SELECT CAST(l_orderkey AS VARCHAR) || '#' ||
+               CAST(l_linenumber AS VARCHAR) || '#' ||
+               CAST(l_partkey AS VARCHAR) || '#' ||
+               CAST(l_suppkey AS VARCHAR) AS id,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+           FROM lineitem),
+         u AS (
+           SELECT g.b, v,
+             list_reduce(list_transform(
+                 string_split(substr(md5(id || '#' || CAST(g.b AS VARCHAR)),
+                   1, 13), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1000000000000 AS uu
+           FROM rows_in, (SELECT unnest(generate_series(0, 47)) AS b) g),
+         w AS (
+           SELECT b, v,
+             ${graft.numerics.Bootstrap.thresholdsSql("uu")} AS wt
+           FROM u),
+         reps AS (
+           SELECT b, sum(CAST(wt * v AS HUGEINT)) // sum(wt) AS m
+           FROM w GROUP BY b),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             list_sort(list(m)) AS ms FROM reps),
+         f AS (SELECT sum(CAST(v AS HUGEINT)) // count(*) AS mean_fp
+           FROM rows_in)
+         SELECT n_reps, CAST(mean_fp AS BIGINT) AS mean_fp,
+           CAST(ms[2] AS BIGINT) AS lo_fp, CAST(ms[47] AS BIGINT) AS hi_fp
+         FROM ci CROSS JOIN f""",
+
+    // Wilson replay: identical z literal, identical IEEE expression
+    // shape, 8-dp round + signed-zero normalize; p_hat exact ppm
+    "q334_wilson_interval" ->
+      """WITH g AS (SELECT p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+         SELECT brand, n, k, k * 1000000 // n AS p_ppm,
+           round(((CAST(k AS DOUBLE) / n
+               + 1.959963984540054 * 1.959963984540054 / (2.0 * n))
+             - 1.959963984540054 * sqrt((CAST(k AS DOUBLE) / n)
+                 * (1.0 - CAST(k AS DOUBLE) / n) / n
+                 + 1.959963984540054 * 1.959963984540054 / (4.0 * n * n)))
+            / (1.0 + 1.959963984540054 * 1.959963984540054 / n), 8) + 0.0
+             AS wilson_lo8,
+           round(((CAST(k AS DOUBLE) / n
+               + 1.959963984540054 * 1.959963984540054 / (2.0 * n))
+             + 1.959963984540054 * sqrt((CAST(k AS DOUBLE) / n)
+                 * (1.0 - CAST(k AS DOUBLE) / n) / n
+                 + 1.959963984540054 * 1.959963984540054 / (4.0 * n * n)))
+            / (1.0 + 1.959963984540054 * 1.959963984540054 / n), 8) + 0.0
+             AS wilson_hi8
+         FROM g"""
   )
 }

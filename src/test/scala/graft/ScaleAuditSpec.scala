@@ -200,7 +200,13 @@ class ScaleAuditSpec extends SparkSpec {
       "brute-force truth stage (q54 contract); the LSH candidate stage " +
       "is a signature equi-join"),
     "q331_bh_fdr" -> ("broadcasts of three 1-row aggregates (grand " +
-      "totals, m, k_max) onto the group-cardinality hypothesis frame"))
+      "totals, m, k_max) onto the group-cardinality hypothesis frame"),
+    "q332_kaplan_meier" -> ("broadcast of the 1-row max-order-date " +
+      "aggregate onto the per-customer frame; the estimator itself is " +
+      "a fold over the duration-bounded aggregate"),
+    "q333_poisson_bootstrap" -> ("broadcast of the 1-row full-data " +
+      "mean onto the 1-row CI aggregate (B-row replicate frame " +
+      "collapses in one collect_list aggregate, B = 48 constant)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.numerics.{Bootstrap, Survival}
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier matches the brute-force product-limit estimator " +
+    "with censoring") {
+    // classic worked example: durations with events (1) and censorings (0)
+    val subj = Seq(
+      (1L, 1), (2L, 1), (2L, 0), (3L, 1), (4L, 0), (4L, 1), (5L, 0),
+      (6L, 1), (6L, 1), (7L, 0), (8L, 1), (9L, 0), (10L, 0))
+    val df = subj.toDF("dur", "ev")
+    val got = Survival.kaplanMeier(df, "dur", "ev")
+      .orderBy("duration").collect()
+
+    // brute force in exact BigInt fixed-point (independent reimpl)
+    val grid = BigInt(1000000000000L)
+    val byT = subj.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2 == 1).toLong, xs.count(_._2 == 0).toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = subj.size.toLong
+    var s = grid
+    var h = BigInt(0)
+    val expect = byT.map { case (t, d, c) =>
+      val n = atRisk
+      s = s * BigInt(n - d) / BigInt(n)
+      h = h + BigInt(d) * grid / BigInt(n)
+      atRisk -= d + c
+      (t, n, d, c, s.toLong, h.toLong)
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (t, n, d, c, se, he)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == n &&
+        r.getLong(2) == d && r.getLong(3) == c, s"counts at t=$t")
+      assert(r.getLong(4) == se, s"survival at t=$t")
+      assert(r.getLong(5) == he, s"hazard at t=$t")
+    }
+    // survival is non-increasing and hazard non-decreasing
+    val surv = got.map(_.getLong(4))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
+    val haz = got.map(_.getLong(5))
+    assert(haz.zip(haz.tail).forall { case (a, b) => b >= a })
+    // all-event data at one time: survival drops to 0
+    val allEv = Survival.kaplanMeier(
+      Seq((3L, 1), (3L, 1)).toDF("dur", "ev"), "dur", "ev").collect()
+    assert(allEv.length == 1 && allEv.head.getLong(4) == 0L)
+  }
+
+  test("poisson bootstrap weights are deterministic with the Poisson(1) " +
+    "pmf shape, and the CI brackets the mean") {
+    val df = (1 to 2000).map(i => (i.toLong, 100L + (i % 7))).toDF("id", "v")
+    val w1 = df.withColumn("u",
+        Bootstrap.uniform1e12(concat(col("id"), lit("#0"))))
+      .withColumn("w", Bootstrap.poissonWeight(col("u")))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pmf at k=0 and k=1 are both 1/e ~ 0.368: expect ~736 each ±80
+    assert(math.abs(w1.getOrElse(0L, 0L) - 736) < 80, w1.toString)
+    assert(math.abs(w1.getOrElse(1L, 0L) - 736) < 80, w1.toString)
+    // k=2 ~ 0.184 => ~368
+    assert(math.abs(w1.getOrElse(2L, 0L) - 368) < 60, w1.toString)
+    // determinism: a second evaluation is identical
+    val w2 = df.withColumn("u",
+        Bootstrap.uniform1e12(concat(col("id"), lit("#0"))))
+      .withColumn("w", Bootstrap.poissonWeight(col("u")))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == w2)
+
+    val ci = Bootstrap.meanCI(df, col("id"), col("v"), reps = 48,
+      alphaPm = 25).head()
+    val mean = ci.getLong(1); val lo = ci.getLong(2); val hi = ci.getLong(3)
+    assert(ci.getLong(0) == 48L)
+    assert(lo <= mean && mean <= hi, s"$lo <= $mean <= $hi")
+    assert(hi - lo < 10, s"CI implausibly wide for near-constant data: " +
+      s"[$lo, $hi]")
+  }
+
+  test("wilsonInterval matches the closed form and brackets p_hat") {
+    val rows = Seq.fill(40)(("A", true)) ++ Seq.fill(60)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(9)(("B", false))
+    val got = graft.numerics.Stats.wilsonInterval(
+        rows.toDF("g", "s"), "g", col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    def wilson(n: Double, k: Double): (Double, Double) = {
+      val z = 1.959963984540054
+      val p = k / n
+      val center = p + z * z / (2 * n)
+      val spread = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+      val den = 1 + z * z / n
+      ((center - spread) / den, (center + spread) / den)
+    }
+    val (loA, hiA) = wilson(100, 40)
+    val (gnA, gkA, gpA, gloA, ghiA) = got("A")
+    assert(gnA == 100L && gkA == 40L && gpA == 400000L)
+    assert(math.abs(gloA - loA) < 1e-7 && math.abs(ghiA - hiA) < 1e-7)
+    // textbook check: n=100, k=40 -> [0.3094, 0.4980] approximately
+    assert(math.abs(gloA - 0.30933) < 5e-4 && math.abs(ghiA - 0.49793) < 5e-4)
+    val (loB, hiB) = wilson(10, 1)
+    val (_, _, _, gloB, ghiB) = got("B")
+    assert(math.abs(gloB - loB) < 1e-7 && math.abs(ghiB - hiB) < 1e-7)
+    // Wilson never leaves [0, 1] even at extreme rates
+    assert(gloB >= 0.0 && ghiB <= 1.0)
+  }
+}
