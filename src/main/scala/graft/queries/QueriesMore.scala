@@ -1364,10 +1364,164 @@ object QueriesMore {
         Tables.events(s, dir).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id",
         round(col("value") * 1000000, 0).cast("long"),
-        alphaDen = 2L, betaDen = 5L))
+        alphaDen = 2L, betaDen = 5L)),
+
+    // Markov removal-effect attribution: the data-driven credit model
+    // next to last-touch q307 and linear q314 — absorption probability
+    // drop per removed channel, 12 Jacobi rounds in BigInteger ppb
+    // fixed-point on the COLLECTED (bounded) transition-count aggregate;
+    // the oracle unrolls the identical recursion in HUGEINT SQL
+    "q335_markov_attribution" -> ((s, dir) =>
+      graft.window.Markov.removalAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        col("event_id"), convType = "purchase", iters = 12)),
+
+    // single-pass column profiling (null rate / exact distinct / typed
+    // ranges) over lineitem — numeric ranges on the column's own cent
+    // grid, string ranges as strings; no float/timestamp rendering
+    "q336_column_profile" -> ((s, dir) =>
+      graft.io.Profile.profile(Tables.lineitem(s, dir), Seq(
+        ("l_orderkey", col("l_orderkey"), true),
+        ("l_quantity", col("l_quantity").cast("long"), true),
+        ("l_extendedprice",
+          round(col("l_extendedprice") * 100, 0).cast("long"), true),
+        ("l_returnflag", col("l_returnflag"), false),
+        ("l_linestatus", col("l_linestatus"), false)))),
+
+    // compaction planning over daily event-log segments: batch =
+    // running-bytes div target (integer, locality-preserving — the
+    // Delta OPTIMIZE planning shape; the prefix sum sees only the
+    // calendar-bounded segment-metadata aggregate)
+    "q337_compaction_plan" -> ((s, dir) => {
+      val segs = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((count(lit(1)) * 64 +
+          sum(octet_length(coalesce(col("props"), lit(""))))).as("b"))
+      graft.io.Compaction.plan(segs, "day", col("b"),
+        targetBytes = 256L * 1024)
+    })
   )
 
+  /** q335 oracle: the 12 Jacobi rounds unrolled as chained CTEs — each
+    * round is the SAME integer expression the Scala fold runs
+    * ((Σ n·p) // tot on the 1e9 grid, HUGEINT exact). */
+  private def markovOracle(iters: Int): String = {
+    val step = (k: Int) => s"""
+         it$k AS MATERIALIZED (
+           SELECT g.rm, g.s,
+             CAST(CASE WHEN g.s = 'CONV' THEN 1000000000
+                  WHEN g.s = 'NULL' OR g.s = g.rm THEN 0
+                  ELSE COALESCE(a.acc, 0) END AS HUGEINT) AS p
+           FROM it${k - 1} g LEFT JOIN (
+             SELECT p.rm, c.f AS s,
+               sum(c.n::HUGEINT * p.p) // min(t.tn) AS acc
+             FROM cnt c JOIN it${k - 1} p ON p.s = c.t
+             JOIN tot t ON t.f = c.f
+             GROUP BY p.rm, c.f) a ON a.rm = g.rm AND a.s = g.s)"""
+    s"""WITH seq0 AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS st,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         fc AS (SELECT user_id, min(rn) AS fcrn FROM seq0
+           WHERE st = 'CONV' GROUP BY 1),
+         j AS (SELECT s.user_id, s.st, s.rn, f.fcrn
+           FROM seq0 s LEFT JOIN fc f USING (user_id)
+           WHERE f.fcrn IS NULL OR s.rn <= f.fcrn),
+         edges AS (
+           SELECT COALESCE(lag(st) OVER (PARTITION BY user_id
+               ORDER BY rn), 'START') AS f, st AS t
+           FROM j
+           UNION ALL
+           SELECT max_by(st, rn) AS f, 'NULL' AS t FROM j
+           WHERE fcrn IS NULL GROUP BY user_id),
+         cnt AS MATERIALIZED (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+           FROM edges GROUP BY 1, 2),
+         tot AS MATERIALIZED (SELECT f, CAST(sum(n) AS BIGINT) AS tn
+           FROM cnt GROUP BY 1),
+         states AS (SELECT DISTINCT f AS s FROM cnt
+           UNION SELECT DISTINCT t FROM cnt),
+         var_s AS (SELECT 'FULL' AS rm
+           UNION ALL SELECT s FROM states
+           WHERE s NOT IN ('START', 'CONV', 'NULL')),
+         it0 AS MATERIALIZED (SELECT v.rm, s.s,
+             CAST(CASE WHEN s.s = 'CONV' THEN 1000000000 ELSE 0 END
+               AS HUGEINT) AS p
+           FROM states s CROSS JOIN var_s v),${(1 to iters).map(step)
+      .mkString(",")},
+         fin AS (SELECT rm, p FROM it$iters WHERE s = 'START'),
+         fp AS (SELECT p AS pf FROM fin WHERE rm = 'FULL'),
+         rem AS (SELECT f.rm AS channel, fp.pf AS pfull, f.p AS prem,
+             fp.pf - f.p AS removal
+           FROM fin f CROSS JOIN fp WHERE f.rm <> 'FULL'),
+         sr AS (SELECT sum(removal) AS srem FROM rem)
+         SELECT channel, CAST(pfull AS BIGINT) AS p_full_e,
+           CAST(prem AS BIGINT) AS p_removed_e,
+           CAST(removal AS BIGINT) AS removal_e,
+           CAST(CASE WHEN sr.srem = 0 THEN 0
+             ELSE removal * 1000000 // sr.srem END AS BIGINT) AS share_ppm
+         FROM rem CROSS JOIN sr"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q335_markov_attribution" -> markovOracle(12),
+
+    // profiling replay: one wide aggregate, five long-form projections
+    "q336_column_profile" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS nu1,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
+           CAST(min(l_orderkey) AS BIGINT) AS mn1,
+           CAST(max(l_orderkey) AS BIGINT) AS mx1,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS nu2,
+           CAST(count(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS d2,
+           CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mn2,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mx2,
+           CAST(count(*) - count(l_extendedprice) AS BIGINT) AS nu3,
+           CAST(count(DISTINCT CAST(round(l_extendedprice * 100, 0)
+             AS BIGINT)) AS BIGINT) AS d3,
+           CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS mn3,
+           CAST(max(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS mx3,
+           CAST(count(*) - count(l_returnflag) AS BIGINT) AS nu4,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d4,
+           min(l_returnflag) AS mn4, max(l_returnflag) AS mx4,
+           CAST(count(*) - count(l_linestatus) AS BIGINT) AS nu5,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS d5,
+           min(l_linestatus) AS mn5, max(l_linestatus) AS mx5
+         FROM lineitem)
+         SELECT 'l_orderkey' AS "column", n_rows, nu1 AS n_null,
+           d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM b
+         UNION ALL SELECT 'l_quantity', n_rows, nu2, d2, mn2, mx2,
+           NULL, NULL FROM b
+         UNION ALL SELECT 'l_extendedprice', n_rows, nu3, d3, mn3, mx3,
+           NULL, NULL FROM b
+         UNION ALL SELECT 'l_returnflag', n_rows, nu4, d4,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
+         UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // compaction replay: identical running-bytes integer cut
+    "q337_compaction_plan" ->
+      """WITH segs AS (SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) * 64 + sum(strlen(COALESCE(props, '')))
+             AS BIGINT) AS b
+           FROM events GROUP BY 1),
+         c AS (SELECT day, b AS bytes,
+           CAST(COALESCE(sum(b) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 262144 AS BIGINT) AS batch
+           FROM segs),
+         t AS (SELECT batch, CAST(sum(bytes) AS BIGINT) AS batch_bytes,
+           CAST(count(*) AS BIGINT) AS batch_segments FROM c GROUP BY 1)
+         SELECT day, bytes, batch, batch_bytes, batch_segments
+         FROM c JOIN t USING (batch)""",
     "q65_tail" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_orderkey DESC LIMIT 50""",

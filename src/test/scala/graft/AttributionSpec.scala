@@ -58,4 +58,41 @@ class AttributionSpec extends SparkSpec {
     assert(out.head.getLong(1) == 3L)
     assert(out.head.getDecimal(2).longValueExact() == 3L * 33333333L)
   }
+
+  test("markov removal attribution matches the hand-solved chain") {
+    // A: click->purchase, B: click (null), C: view->click->purchase,
+    // D: view (null). True absorption from START = 1/2; removal(click)
+    // = 1/2, removal(view) = 1/6 -> shares 3/4 and 1/4.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 10L),
+      (1L, ts("2024-01-01 01:00:00"), "purchase", 11L),
+      (2L, ts("2024-01-01 00:00:00"), "click", 20L),
+      (3L, ts("2024-01-01 00:00:00"), "view", 30L),
+      (3L, ts("2024-01-01 01:00:00"), "click", 31L),
+      (3L, ts("2024-01-01 02:00:00"), "purchase", 32L),
+      (4L, ts("2024-01-01 00:00:00"), "view", 40L))
+      .toDF("user_id", "t", "et", "eid")
+    val out = graft.window.Markov.removalAttribution(
+        ev, "user_id", "t", "et", col("eid"), "purchase", iters = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ppb fixed-point Jacobi: p_click=666666666, p_view=333333333,
+    // p_START=499999999 (exact truncating-division values)
+    val (pf, prC, remC, shC) = out("click")
+    assert(pf == 499999999L, s"p_full $pf")
+    assert(prC == 0L && remC == 499999999L, s"click $prC $remC")
+    assert(shC == 750000L, s"click share $shC")
+    val (_, prV, remV, shV) = out("view")
+    assert(prV == 333333333L && remV == 166666666L, s"view $prV $remV")
+    assert(shV == 249999L, s"view share $shV")
+    // events after the first purchase never count: a post-conversion
+    // tail must not change anything
+    val ev2 = ev.union(Seq((1L, ts("2024-01-02 00:00:00"), "view", 12L))
+      .toDF("user_id", "t", "et", "eid"))
+    val out2 = graft.window.Markov.removalAttribution(
+        ev2, "user_id", "t", "et", col("eid"), "purchase", iters = 12)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out2 == out)
+  }
 }

@@ -78,6 +78,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q326_cusum_changepoint" ->
       ("prefix sum over the AGGREGATED daily-revenue series — one row " +
         "per calendar day, bounded by the calendar (q300's contract)"),
+    "q337_compaction_plan" ->
+      ("running-bytes cut over the SEGMENT-METADATA aggregate (one row " +
+        "per daily segment, calendar-bounded) — the Delta OPTIMIZE " +
+        "planning shape: metadata-sized plan, parallel rewrite"),
     "q329_seasonal_anomaly" ->
       ("q300's centered moving sum over the AGGREGATED daily-revenue " +
         "series (calendar-bounded)"),
