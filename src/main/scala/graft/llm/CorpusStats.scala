@@ -6,6 +6,53 @@ import org.apache.spark.sql.functions._
 /** Corpus-level composition statistics for training-data curation. */
 object CorpusStats {
 
+  /** RAKE keyword extraction (Rose et al. 2010) — candidate phrases are
+    * the maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) (deg = Σ length of phrases containing w, freq = its
+    * occurrence count in candidates) and a phrase scores the sum of its
+    * words' scores. All scoring on the exact ppm integer grid
+    * (deg·1e6 div freq — RAKE only ranks, so the grid loses nothing).
+    *
+    * Scale shape: phrase islands come from ONE doc-partitioned window
+    * (run = pos − row_number over non-stopword tokens — gaps-and-
+    * islands); word stats and phrase scores are hash aggregates and an
+    * equi-join on the word key; the final top-K is TakeOrdered. */
+  def rakeKeywords(docs: DataFrame, id: String, text: String,
+                   stopwords: Seq[String], maxLen: Int,
+                   topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(id).as("__d"),
+        posexplode(array_remove(
+          TextAnalysis.tokens(trim(lower(col(text)))), "")).as(Seq("p", "t")))
+      .filter(!col("t").isInCollection(stopwords))
+    val w = Window.partitionBy(col("__d")).orderBy(col("p"))
+    val phrases = graft.util.QueryCache.persist(toks
+      .withColumn("run", col("p") - row_number().over(w))
+      .groupBy(col("__d"), col("run"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          x => x.getField("t")), " ").as("phrase"),
+        count(lit(1)).cast("long").as("len"))
+      .filter(col("len") <= maxLen)
+      .select("phrase", "len"))
+    val members = phrases
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+    val wstats = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), first(col("len")).as("len"))
+    val scored = distinctPhrases
+      .select(col("phrase"), col("n_occ"), col("len"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, "w")
+      .groupBy(col("phrase"), col("n_occ"), col("len"))
+      .agg(sum(expr("deg * 1000000 div freq")).cast("long")
+        .as("score_ppm"))
+    scored.orderBy(col("score_ppm").desc, col("n_occ").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Pairwise corpus overlap: exact Jaccard over the distinct word
     * k-shingle sets of every pair of sources — the "how much does web2
     * duplicate web1" diagnostic run before mixing weights are chosen.

@@ -213,6 +213,50 @@ object Dedup {
     * by the native one-pass [[graft.exprs.SimHash60]] kernel: a pure
     * projection, no explode, NO shuffle (the declarative form needed a
     * per-doc hash aggregation of 60 conditional sums). */
+  /** Containment near-dup detection — the ASYMMETRIC sibling of Jaccard
+    * (Broder 1997's "containment"): C(A→B) = |A∩B|/|A|. Catches
+    * near-SUBSET duplication (a doc quoted or embedded inside a larger
+    * one) that resemblance misses: a 50-shingle doc fully inside a
+    * 500-shingle doc has Jaccard 0.1 but containment 1.0.
+    *
+    * Candidates are blocked on RARE shingles (document frequency in
+    * [2, maxDf]), so a shingle contributes at most maxDf·(maxDf−1)/2
+    * pair rows — the q52 stop-gram bound; docs sharing ONLY
+    * boilerplate shingles (df > maxDf) are not candidates, which is the
+    * deliberate recall trade every blocked dedup makes. Verification
+    * joins each pair to its PRE-COMPUTED distinct shingle arrays and
+    * computes both directions exactly on the ppm integer grid.
+    *
+    * @return pairs with max(C(a→b), C(b→a)) ≥ minContainPpm */
+  def containmentDedup(docs: DataFrame, id: String, text: String, k: Int,
+                       maxDf: Long, minContainPpm: Long): DataFrame = {
+    val sh = graft.util.QueryCache.persist(
+      graft.util.Parallelize.ensure(docs)
+        .select(col(id), shingles(col(text), k).as("sh")))
+    val postings = sh.select(col(id), explode(col("sh")).as("s"))
+    val rare = postings.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("s")
+    val rarePost = postings.join(rare, "s")
+    val pairs = rarePost.select(col("s"), col(id).as("id_a"))
+      .join(rarePost.select(col("s"), col(id).as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"))
+      .withColumn("cont_a_ppm", expr("inter * 1000000 div n_a"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000 div n_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= minContainPpm)
+  }
+
   def simhash(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id),
       graft.exprs.ShingleExprs.simhash60(

@@ -894,6 +894,23 @@ object QueriesLLM {
           expr("__rr div n_probes").as("mrr_ppm"))
     }),
 
+    // RAKE keyword extraction: stopword-free token runs as candidate
+    // phrases (gaps-and-islands, one doc-partitioned window), word
+    // scores deg*1e6 div freq on the exact ppm grid, phrase = sum of
+    // member word scores, top-20 TakeOrdered
+    "q338_rake_keywords" -> ((s, dir) =>
+      CorpusStats.rakeKeywords(Tables.documents(s, dir), "doc_id",
+        "text", stopwords = Seq("a", "the"), maxLen = 3, topK = 20)),
+
+    // containment near-dup (Broder's asymmetric C(A->B) = |A∩B|/|A|):
+    // catches near-subset duplication Jaccard misses; candidates
+    // blocked on rare shingles (df in [2,10] — the q52 stop-gram
+    // bound), verification exact on the ppm grid via the precomputed
+    // distinct shingle arrays
+    "q339_containment_dedup" -> ((s, dir) =>
+      Dedup.containmentDedup(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, maxDf = 10, minContainPpm = 500000)),
+
     // winnowing fingerprints (MOSS) on a 1-in-10 doc sample: k=8-char
     // gram hashes (28-bit md5 prefix — the portable convention), w=5
     // window minima with the (hash, leftmost-pos) packed-BIGINT tie
@@ -3166,6 +3183,66 @@ object QueriesLLM {
              // count(*) AS mrr_ppm
          FROM truth t LEFT JOIN lsh l
          ON l.probe_id = t.probe_id AND l.vec_id = t.true_id""",
+    // RAKE replay: same islands (p - row_number), same ppm word scores
+    "q338_rake_keywords" ->
+      """WITH base AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ts
+           FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(generate_series(1, len(ts))) AS p, ts
+           FROM base),
+         ns AS (SELECT doc_id, p, ts[p] AS t FROM tok
+           WHERE ts[p] NOT IN ('a', 'the')),
+         runs AS (SELECT doc_id, p, t,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+           FROM ns),
+         ph AS (SELECT string_agg(t, ' ' ORDER BY p) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM runs GROUP BY doc_id, run HAVING count(*) <= 3),
+         mem AS (SELECT len, unnest(string_split(phrase, ' ')) AS w
+           FROM ph),
+         ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(len) AS BIGINT) AS deg FROM mem GROUP BY w),
+         dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             min(len) AS len FROM ph GROUP BY phrase),
+         sc AS (SELECT d.phrase, d.n_occ, d.len,
+             CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_ppm
+           FROM (SELECT phrase, n_occ, len,
+               unnest(string_split(phrase, ' ')) AS w FROM dp) d
+           JOIN ws USING (w)
+           GROUP BY 1, 2, 3)
+         SELECT phrase, n_occ, len, score_ppm FROM sc
+         ORDER BY score_ppm DESC, n_occ DESC, phrase LIMIT 20""",
+
+    // containment replay: same rare-shingle blocking, same exact
+    // array-intersect verification on the ppm grid
+    "q339_containment_dedup" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(0, greatest(len(ts) - 3, 0)),
+             i -> array_to_string(ts[i + 1:i + 3], ' '))) AS sh
+           FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ts
+             FROM documents)),
+         post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         rare AS (SELECT s FROM post GROUP BY s
+           HAVING count(*) BETWEEN 2 AND 10),
+         rp AS (SELECT p.doc_id, p.s FROM post p JOIN rare USING (s)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM rp a JOIN rp b ON a.s = b.s AND a.doc_id < b.doc_id),
+         c AS (SELECT id_a, id_b,
+             CAST(len(sa.sh) AS BIGINT) AS n_a,
+             CAST(len(sb.sh) AS BIGINT) AS n_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter
+           FROM pairs
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, n_a, n_b, inter,
+           inter * 1000000 // n_a AS cont_a_ppm,
+           inter * 1000000 // n_b AS cont_b_ppm
+         FROM c
+         WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b)
+           >= 500000""",
+
     // winnowing replay: same 28-bit md5-prefix gram hash (hex fold),
     // same h*2^24+p packed selection key, same w-row min windows
     "q327_winnow" ->

@@ -216,4 +216,29 @@ class DedupSpec extends SparkSpec {
     // id 5 matches nothing (different block) and emits no row
     assert(!out.contains(5L))
   }
+
+  test("containment dedup finds near-subset pairs Jaccard would miss") {
+    import org.apache.spark.sql.functions.col
+    // doc 2 is doc 1 plus a long unique tail: containment(1->2) = 1.0,
+    // Jaccard well under 0.5. doc 3 shares nothing rare with 1/2.
+    val core = "alpha beta gamma delta epsilon zeta"
+    val tail = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, core), (2L, s"$core $tail"),
+      (3L, "omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentDedup(docs, "doc_id", "text", k = 3,
+        maxDf = 10, minContainPpm = 900000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    val (nA, nB, inter, contA, contB) = out((1L, 2L))
+    // doc 1 has 4 distinct 3-shingles, all contained in doc 2
+    assert(nA == 4L && inter == 4L && contA == 1000000L)
+    assert(nB > nA && contB < 500000L) // Jaccard-style view misses it
+    // the asymmetric metric must NOT fire for disjoint docs even at
+    // threshold 0 beyond blocked candidates: doc 3 pairs with nobody
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

@@ -877,4 +877,23 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("is_changepoint")).collect()
     assert(f.length === 1 && f(0).getLong(0) === 1L)
   }
+
+  test("RAKE scores phrases by summed deg/freq of member words") {
+    val docs = Seq((1L, "red apple the red apple juice the zeta"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.CorpusStats.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("the"), maxLen = 3, topK = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // words: red/apple freq 2 deg 5 -> 2500000; juice freq 1 deg 3 ->
+    // 3000000; zeta freq 1 deg 1 -> 1000000
+    assert(out("red apple") == ((1L, 2L, 5000000L)), out.toString)
+    assert(out("red apple juice") == ((1L, 3L, 8000000L)))
+    assert(out("zeta") == ((1L, 1L, 1000000L)))
+    assert(out.size == 3)
+    // maxLen drops long runs entirely (they are not truncated)
+    val out2 = graft.llm.CorpusStats.rakeKeywords(docs, "doc_id", "text",
+      stopwords = Seq("the"), maxLen = 2, topK = 20).collect()
+    assert(out2.map(_.getString(0)).toSet == Set("red apple", "zeta"))
+  }
 }
