@@ -74,4 +74,82 @@ object Holt {
       StructField("trend_e", LongType, nullable = false),
       StructField("fitted_e", LongType, nullable = false))))
   }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (Winters 1960) — the
+    * three-component member of the family, per entity with season
+    * length m:
+    *
+    *   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_t)     + (1−γ)·s_{t−m}
+    *
+    * Initialization (the textbook simple scheme): l_m = mean(y_1..m)
+    * (truncating), b_m = 0, s_i = y_i − l_m for i ≤ m; the recursion
+    * emits from t = m+1 with the one-step fit l+b+s_{t−m}.
+    *
+    * Same exactness contract as [[smooth]]: pure truncating integer
+    * fixed-point with α,β,γ = 1/den — an external engine replays the
+    * recursion bit-for-bit by carrying the m-slot seasonal ring as a
+    * list in a recursive CTE. Same distributed shape: series count
+    * carries the parallelism; the per-series fold is O(1) state plus
+    * the m-slot ring. */
+  def holtWinters(df: DataFrame, entity: String, ts: String,
+                  yFp: Column, m: Int, alphaDen: Long = 2L,
+                  betaDen: Long = 5L, gammaDen: Long = 4L): DataFrame = {
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    require(alphaDen >= 2 && betaDen >= 2 && gammaDen >= 2,
+      "smoothing denominators must be >= 2")
+    val spark = df.sparkSession
+    val in = df.select(col(entity).cast("long"), col(ts),
+        yFp.cast("long").as("__y"))
+      .filter(col(entity).isNotNull && col("__y").isNotNull)
+      .repartition(col(entity))
+      .sortWithinPartitions(col(entity), col(ts))
+    val rdd = in.rdd.mapPartitions { it =>
+      var cur = 0L
+      var init = false
+      var rn = 0L
+      var l = 0L; var b = 0L
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](m)
+      var ring: Array[Long] = null
+      var ringPos = 0
+      it.flatMap { row =>
+        val e = row.getLong(0); val y = row.getLong(2)
+        if (!init || e != cur) {
+          cur = e; init = true; rn = 1L
+          buf.clear(); buf += y; ring = null; ringPos = 0; l = 0L; b = 0L
+          Iterator.empty
+        } else {
+          rn += 1
+          if (ring == null) {
+            buf += y
+            if (buf.size == m) {
+              l = buf.sum / m // truncating init mean
+              b = 0L
+              ring = buf.map(_ - l).toArray
+              ringPos = 0
+            }
+            Iterator.empty
+          } else {
+            val sPrevM = ring(ringPos)
+            val lPrev = l
+            val fitted = l + b + sPrevM
+            l = ((y - sPrevM) + (alphaDen - 1) * (l + b)) / alphaDen
+            b = ((l - lPrev) + (betaDen - 1) * b) / betaDen
+            val sNew = ((y - l) + (gammaDen - 1) * sPrevM) / gammaDen
+            ring(ringPos) = sNew
+            ringPos = (ringPos + 1) % m
+            Iterator.single(Row(e, rn, l, b, sNew, fitted))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField(entity, LongType, nullable = false),
+      StructField("rn", LongType, nullable = false),
+      StructField("level_e", LongType, nullable = false),
+      StructField("trend_e", LongType, nullable = false),
+      StructField("season_e", LongType, nullable = false),
+      StructField("fitted_e", LongType, nullable = false))))
+  }
 }

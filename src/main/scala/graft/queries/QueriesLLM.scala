@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf, Vocab}
+import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf, Trees, Vocab}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -893,6 +893,15 @@ object QueriesLLM {
         .select(col("n_probes"), col("n_found"),
           expr("__rr div n_probes").as("mrr_ppm"))
     }),
+
+    // decision stump (one-level CART): best single Gini split over
+    // integer-grid features — per-distinct-value aggregates, prefix
+    // thresholds, exact DECIMAL/ppb criterion, 1-row TakeOrdered winner
+    "q341_decision_stump" -> ((s, dir) =>
+      Trees.trainStump(Tables.lineitem(s, dir),
+        col("l_returnflag") === "R", Seq(
+          ("quantity", col("l_quantity")),
+          ("discount_pct", round(col("l_discount") * 100, 0))))),
 
     // RAKE keyword extraction: stopword-free token runs as candidate
     // phrases (gaps-and-islands, one doc-partitioned window), word
@@ -3183,6 +3192,47 @@ object QueriesLLM {
              // count(*) AS mrr_ppm
          FROM truth t LEFT JOIN lsh l
          ON l.probe_id = t.probe_id AND l.vec_id = t.true_id""",
+    // stump replay: same per-value aggregates, same prefix thresholds,
+    // same HUGEINT-exact ppb criterion and tiebreak
+    "q341_decision_stump" ->
+      """WITH f AS (
+           SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem WHERE l_quantity IS NOT NULL
+           UNION ALL
+           SELECT 'discount_pct',
+             CAST(round(l_discount * 100, 0) AS BIGINT),
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+           FROM lineitem WHERE l_discount IS NOT NULL),
+         a AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS k
+           FROM f GROUP BY 1, 2),
+         t AS (SELECT feature, CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(k) AS BIGINT) AS tk FROM a GROUP BY 1),
+         p AS (SELECT a.feature, a.v AS threshold,
+             CAST(sum(a.n) OVER (PARTITION BY a.feature ORDER BY a.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_left,
+             CAST(sum(a.k) OVER (PARTITION BY a.feature ORDER BY a.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k_left,
+             t.tn, t.tk
+           FROM a JOIN t USING (feature)),
+         sc AS (SELECT feature, threshold, n_left, k_left,
+             tn - n_left AS n_right, tk - k_left AS k_right,
+             CAST((CAST(k_left AS HUGEINT) * k_left
+                 + CAST(n_left - k_left AS HUGEINT) * (n_left - k_left))
+               * 1000000000 // n_left
+             + (CAST(tk - k_left AS HUGEINT) * (tk - k_left)
+                 + CAST((tn - n_left) - (tk - k_left) AS HUGEINT)
+                   * ((tn - n_left) - (tk - k_left)))
+               * 1000000000 // (tn - n_left) AS BIGINT) AS score_ppb
+           FROM p WHERE n_left < tn)
+         SELECT feature, threshold, n_left, k_left, n_right, k_right,
+           score_ppb, k_left * 1000000 // n_left AS rate_left_ppm,
+           k_right * 1000000 // n_right AS rate_right_ppm
+         FROM sc ORDER BY score_ppb DESC, feature, threshold LIMIT 1""",
+
     // RAKE replay: same islands (p - row_number), same ppm word scores
     "q338_rake_keywords" ->
       """WITH base AS (SELECT doc_id,

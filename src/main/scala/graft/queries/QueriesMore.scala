@@ -1388,6 +1388,23 @@ object QueriesMore {
         ("l_returnflag", col("l_returnflag"), false),
         ("l_linestatus", col("l_linestatus"), false)))),
 
+    // Holt-Winters additive seasonal smoothing (m=7 weekly) of each
+    // order priority's daily revenue — level+trend+season integer
+    // fixed-point recursion (alpha=1/2, beta=1/5, gamma=1/4); the
+    // oracle carries the 7-slot seasonal ring as a LIST through a
+    // recursive CTE and replays every step exactly
+    "q340_holt_winters" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pid"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_c"))
+      graft.numerics.Holt.holtWinters(daily, "pid", "day",
+          col("rev_c"), m = 7, alphaDen = 2L, betaDen = 5L, gammaDen = 4L)
+        .withColumnRenamed("pid", "priority_id")
+    }),
+
     // compaction planning over daily event-log segments: batch =
     // running-bytes div target (integer, locality-preserving — the
     // Delta OPTIMIZE planning shape; the prefix sum sees only the
@@ -1506,6 +1523,46 @@ object QueriesMore {
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
          UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // Holt-Winters replay: the 7-slot seasonal ring rides a LIST column
+    // through the recursion; two nested subqueries sequence the l' ->
+    // (b', s') dependencies; all arithmetic truncating integer
+    "q340_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pid,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         s AS (SELECT pid, y,
+             CAST(row_number() OVER (PARTITION BY pid ORDER BY day)
+               AS BIGINT) AS rn
+           FROM daily),
+         init AS (
+           SELECT pid, CAST(sum(y) // 7 AS BIGINT) AS l0,
+             list(y ORDER BY rn) AS ys
+           FROM s WHERE rn <= 7 GROUP BY pid HAVING count(*) = 7),
+         r AS (
+           SELECT pid, CAST(7 AS BIGINT) AS rn, l0 AS l,
+             CAST(0 AS BIGINT) AS b,
+             list_transform(ys, v -> v - l0) AS ring,
+             CAST(NULL AS BIGINT) AS sn, CAST(NULL AS BIGINT) AS fit
+           FROM init
+           UNION ALL
+           SELECT pid, rn, l2 AS l, b2 AS b,
+             list_append(ring[2:7], s2) AS ring, s2 AS sn, fit
+           FROM (
+             SELECT pid, rn, y, lprev, b, ring, fit, l2,
+               ((l2 - lprev) + 4 * b) // 5 AS b2,
+               ((y - l2) + 3 * ring[1]) // 4 AS s2
+             FROM (
+               SELECT s.pid, s.rn, s.y, r.l AS lprev, r.b, r.ring,
+                 r.l + r.b + r.ring[1] AS fit,
+                 ((s.y - r.ring[1]) + 1 * (r.l + r.b)) // 2 AS l2
+               FROM r JOIN s ON s.pid = r.pid AND s.rn = r.rn + 1)))
+         SELECT pid AS priority_id, rn, l AS level_e, b AS trend_e,
+           sn AS season_e, fit AS fitted_e
+         FROM r WHERE rn > 7""",
 
     // compaction replay: identical running-bytes integer cut
     "q337_compaction_plan" ->

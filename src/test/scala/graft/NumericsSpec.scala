@@ -156,4 +156,23 @@ class NumericsSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(o2 === Map(1L -> 100L, 2L -> 75L)) // 2 rows, null skipped
   }
+
+  test("Holt-Winters: hand-stepped seasonal recursion with m=2 ring") {
+    import graft.numerics.Holt
+    // entity 1, m=2: init over y1=10,y2=30 -> l=20, b=0, ring=[-10,10]
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 14L),
+      (1L, 4L, 40L), (9L, 1L, 5L)) // entity 9: too short, no output
+      .toDF("e", "t", "y")
+    val out = Holt.holtWinters(df, "e", "t", col("y"), m = 2,
+        alphaDen = 2L, betaDen = 5L, gammaDen = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // t=3: sPrev=-10, fit=20+0-10=10; l=((14+10)+1*(20+0))/2=22;
+    // b=((22-20)+4*0)/5=0 (trunc 2/5); s=((14-22)+3*(-10))/4=-9 (trunc)
+    assert(out((1L, 3L)) === ((22L, 0L, -9L, 10L)))
+    // t=4: sPrev=10, fit=22+0+10=32; l=((40-10)+(22+0))/2=26;
+    // b=((26-22)+0)/5=0; s=((40-26)+3*10)/4=11
+    assert(out((1L, 4L)) === ((26L, 0L, 11L, 32L)))
+    assert(out.size === 2) // entity 9 (< m+1 points) emits nothing
+  }
 }

@@ -896,4 +896,32 @@ class PipelineOpsSpec extends SparkSpec {
       stopwords = Seq("the"), maxLen = 2, topK = 20).collect()
     assert(out2.map(_.getString(0)).toSet == Set("red apple", "zeta"))
   }
+
+  test("decision stump finds the pure split and beats the noisy feature") {
+    // f1 separates perfectly at <= 2; f2 is constant (useless)
+    val rows = Seq(
+      (1L, 7L, true), (2L, 7L, true), (1L, 7L, true), (2L, 7L, true),
+      (3L, 7L, false), (4L, 7L, false), (3L, 7L, false), (5L, 7L, false))
+    val df = rows.toDF("f1", "f2", "y")
+    val r = graft.llm.Trees.trainStump(df, col("y"), Seq(
+      ("f1", col("f1")), ("f2", col("f2")))).head()
+    assert(r.getString(0) == "f1" && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L) // left: n=4, all pos
+    assert(r.getLong(4) == 4L && r.getLong(5) == 0L) // right: n=4, none
+    // perfect split score: (16+0)*1e9/4 + (0+16)*1e9/4 = 8e9
+    assert(r.getLong(6) == 8000000000L)
+    assert(r.getLong(7) == 1000000L && r.getLong(8) == 0L)
+    // brute-force check: no other threshold of f1 scores higher
+    def score(t: Long): Long = {
+      val (l, rr) = rows.partition(_._1 <= t)
+      def side(xs: Seq[(Long, Long, Boolean)]): Long =
+        if (xs.isEmpty) 0L
+        else {
+          val k = xs.count(_._3).toLong; val n = xs.size.toLong
+          (k * k + (n - k) * (n - k)) * 1000000000L / n
+        }
+      side(l) + side(rr)
+    }
+    assert(Seq(1L, 3L, 4L).forall(t => score(t) <= score(2L)))
+  }
 }

@@ -82,6 +82,9 @@ class ScaleAuditSpec extends SparkSpec {
       ("running-bytes cut over the SEGMENT-METADATA aggregate (one row " +
         "per daily segment, calendar-bounded) — the Delta OPTIMIZE " +
         "planning shape: metadata-sized plan, parallel rewrite"),
+    "q341_decision_stump" ->
+      ("threshold prefix over the AGGREGATED distinct-value frame per " +
+        "feature (value-bounded, the q290 contract)"),
     "q329_seasonal_anomaly" ->
       ("q300's centered moving sum over the AGGREGATED daily-revenue " +
         "series (calendar-bounded)"),
@@ -210,7 +213,9 @@ class ScaleAuditSpec extends SparkSpec {
       "a fold over the duration-bounded aggregate"),
     "q333_poisson_bootstrap" -> ("broadcast of the 1-row full-data " +
       "mean onto the 1-row CI aggregate (B-row replicate frame " +
-      "collapses in one collect_list aggregate, B = 48 constant)"))
+      "collapses in one collect_list aggregate, B = 48 constant)"),
+    "q341_decision_stump" -> ("broadcast of the 1-row per-feature " +
+      "totals aggregate onto the value-bounded threshold frame"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
