@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
-import graft.llm.{Agreement, Bpe, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf, Trees, Vocab}
+import graft.llm.{Agreement, Bpe, Calibration, Classifier, Cluster, CorpusStats, Dedup, Dsir, LinkAnalysis, Multimodal, NgramLM, Packing, Retrieval, Sampling, Similarity, Sketch, Splits, TextAnalysis, Tfidf, Trees, Vocab}
 
 /** Training-data pipeline operator queries: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), embedding similarity search, text analysis,
@@ -892,6 +892,35 @@ object QueriesLLM {
           sum(coalesce(expr("1000000 div arank"), lit(0L))).as("__rr"))
         .select(col("n_probes"), col("n_found"),
           expr("__rr div n_probes").as("mrr_ppm"))
+    }),
+
+    // calibration report for the GD classifier: decile buckets of the
+    // 6-dp probability, per-bucket accuracy vs mean confidence (exact:
+    // probs summed in DECIMAL, rates on the ppm grid, squared errors on
+    // the e12 grid), and ECE = Σ n_b·|acc−conf| div N as a constant
+    // column — the eval that says WHETHER the probabilities are usable,
+    // next to q281's P/R/F1 that says whether the verdicts are
+    "q342_calibration_ece" -> ((s, dir) => {
+      val scored = Classifier.trainScore(Tables.documents(s, dir), "text",
+        "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+      Calibration.eceReport(scored, buckets = 10)
+    }),
+
+    // isotonic calibration fit (PAVA by its minimax characterization
+    // fit_b = max_{j<=b} min_{k>=b} rate(j..k), rates on the exact ppm
+    // grid): the monotone regression that turns q342's raw reliability
+    // curve into a usable calibrator; all joins run on the decile-
+    // bounded bucket AGGREGATE, never data
+    "q343_isotonic_fit" -> ((s, dir) => {
+      val scored = Classifier.trainScore(Tables.documents(s, dir), "text",
+        "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+      Calibration.isotonicFit(scored
+        .groupBy(floor(col("prob") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k")))
     }),
 
     // decision stump (one-level CART): best single Gini split over
@@ -3192,6 +3221,52 @@ object QueriesLLM {
              // count(*) AS mrr_ppm
          FROM truth t LEFT JOIN lsh l
          ON l.probe_id = t.probe_id AND l.vec_id = t.true_id""",
+    // calibration replay: q219's scored frame, DECIMAL-exact sums,
+    // same ppm/e12 grids, same ECE reduction
+    "q342_calibration_ece" ->
+      s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
+         pd AS (SELECT y, CAST(prob AS DECIMAL(10,6)) AS p,
+             CAST(floor(prob * 10) AS BIGINT) AS bucket FROM base),
+         perb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS k, sum(p) AS sp,
+             sum(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS sq
+           FROM pd GROUP BY 1),
+         r AS (SELECT bucket, n, k, k * 1000000 // n AS acc_ppm,
+             CAST(CAST(sp * 1000000 AS HUGEINT) // n AS BIGINT)
+               AS conf_ppm,
+             CAST(sq * 1000000000000 AS BIGINT) AS sqerr_e12
+           FROM perb),
+         e AS (SELECT CAST(sum(n * abs(acc_ppm - conf_ppm)) // sum(n)
+             AS BIGINT) AS ece_ppm FROM r)
+         SELECT bucket, n, k, acc_ppm, conf_ppm, sqerr_e12, ece_ppm
+         FROM r CROSS JOIN e""",
+
+    // isotonic replay: same decile aggregate, same gridded minimax
+    "q343_isotonic_fit" ->
+      s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
+         perb AS (SELECT CAST(floor(prob * 10) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
+           FROM base GROUP BY 1),
+         pre AS (SELECT bucket, n, k,
+             CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(sum(k) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+           FROM perb),
+         segs AS (SELECT j.bucket AS jb, kq.bucket AS kb,
+             (kq.ck - (j.ck - j.k)) * 1000000
+               // (kq.cn - (j.cn - j.n)) AS avg_ppm
+           FROM pre j JOIN pre kq ON j.bucket <= kq.bucket),
+         fitj AS (SELECT b.bucket, s.jb, min(s.avg_ppm) AS mn
+           FROM pre b JOIN segs s
+           ON s.jb <= b.bucket AND s.kb >= b.bucket
+           GROUP BY 1, 2),
+         fit AS (SELECT bucket, CAST(max(mn) AS BIGINT) AS fit_ppm
+           FROM fitj GROUP BY 1)
+         SELECT p.bucket, p.n, p.k, p.k * 1000000 // p.n AS raw_ppm,
+           f.fit_ppm
+         FROM perb p JOIN fit f USING (bucket)""",
+
     // stump replay: same per-value aggregates, same prefix thresholds,
     // same HUGEINT-exact ppb criterion and tiebreak
     "q341_decision_stump" ->

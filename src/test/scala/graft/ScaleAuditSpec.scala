@@ -85,6 +85,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q341_decision_stump" ->
       ("threshold prefix over the AGGREGATED distinct-value frame per " +
         "feature (value-bounded, the q290 contract)"),
+    "q343_isotonic_fit" ->
+      ("prefix sums over the probability-DECILE aggregate (<= 11 rows " +
+        "by construction)"),
     "q329_seasonal_anomaly" ->
       ("q300's centered moving sum over the AGGREGATED daily-revenue " +
         "series (calendar-bounded)"),
@@ -215,7 +218,12 @@ class ScaleAuditSpec extends SparkSpec {
       "mean onto the 1-row CI aggregate (B-row replicate frame " +
       "collapses in one collect_list aggregate, B = 48 constant)"),
     "q341_decision_stump" -> ("broadcast of the 1-row per-feature " +
-      "totals aggregate onto the value-bounded threshold frame"))
+      "totals aggregate onto the value-bounded threshold frame"),
+    "q342_calibration_ece" -> ("broadcast of the 1-row ECE aggregate " +
+      "onto the decile-bounded reliability frame"),
+    "q343_isotonic_fit" -> ("PAVA minimax range joins over the " +
+      "probability-DECILE aggregate: B^2 segments, B^3 join rows with " +
+      "B <= 11 by construction — bin-bounded, never data"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
