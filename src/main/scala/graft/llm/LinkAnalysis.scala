@@ -133,6 +133,53 @@ object LinkAnalysis {
     * basket key (equi-join, baskets are small); the ranking window is
     * per-item and bounded by its co-item count. All integer arithmetic
     * — bit-reproducible anywhere. */
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003) —
+    * score NON-edges of the co-occurrence graph by shared neighborhood:
+    * cn = |Γ(a)∩Γ(c)| and the neighborhood Jaccard cn/(deg_a+deg_c−cn)
+    * on the exact ppm grid. The "which parts will be bought together
+    * NEXT" sibling of [[alsoTook]]'s existing-edge lift.
+    *
+    * Scale shape: wedges close at the shared MIDDLE node, so fan-out is
+    * deg(n)² per node — the `maxDeg` cap anti-joins hub middles out of
+    * wedge formation (the q52 stop-gram / q325 degree-orientation
+    * lesson: hubs carry no discriminative signal and all the quadratic
+    * cost); degrees for the Jaccard keep the FULL graph. Existing edges
+    * are anti-joined away; winner ranking is one TakeOrdered. */
+  def linkPrediction(baskets: DataFrame, basket: String, item: String,
+                     maxDeg: Long, topK: Int): DataFrame = {
+    val bi = graft.util.QueryCache.persist(
+      baskets.select(col(basket).as("__b"), col(item).as("__i")).distinct())
+    val edges = graft.util.QueryCache.persist(bi.as("a")
+      .join(bi.as("b"), col("a.__b") === col("b.__b")
+        && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("u"), col("b.__i").as("v")).distinct())
+    val adj = graft.util.QueryCache.persist(
+      edges.union(edges.select(col("v"), col("u")))
+        .toDF("x", "nbr"))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val midOk = deg.filter(col("deg") <= maxDeg)
+      .select(col("x").as("__mid"))
+    // wedges a—n—c with non-hub middles; a < c dedupes the pair space
+    val viaMid = adj.join(midOk, col("x") === col("__mid"))
+      .select(col("x").as("n"), col("nbr"))
+    val wedges = viaMid.as("l")
+      .join(viaMid.as("r"), col("l.n") === col("r.n")
+        && col("l.nbr") < col("r.nbr"))
+      .groupBy(col("l.nbr").as("a"), col("r.nbr").as("c"))
+      .agg(count(lit(1)).as("cn")) // middles are distinct per (a,c) pair
+    val cand = wedges.join(edges,
+      wedges("a") === edges("u") && wedges("c") === edges("v"),
+      "left_anti")
+    cand
+      .join(deg.select(col("x").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("x").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c"), col("cn"), col("deg_a"), col("deg_c"),
+        expr("cn * 1000000 div (deg_a + deg_c - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("a"),
+        col("c"))
+      .limit(topK)
+  }
+
   def alsoTook(baskets: DataFrame, basket: String, item: String,
                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1388,6 +1388,45 @@ object QueriesMore {
         ("l_returnflag", col("l_returnflag"), false),
         ("l_linestatus", col("l_linestatus"), false)))),
 
+    // common-neighbor link prediction on the co-purchase graph: score
+    // NON-edges by shared neighborhood (cn + neighborhood Jaccard ppm);
+    // hub middles (deg > 60) anti-joined out of wedge formation
+    "q344_link_prediction" -> ((s, dir) =>
+      graft.llm.LinkAnalysis.linkPrediction(
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        "ok", "pk", maxDeg = 60, topK = 20)),
+
+    // peak concurrent sessions per day: sweep-line (+1/-1 boundaries,
+    // ends before starts at an instant) running-summed by the
+    // DISTRIBUTED two-level prefix (Packing.globalRunningSum) — never a
+    // global window over the boundary stream
+    "q345_concurrency" -> ((s, dir) => {
+      val sess = graft.window.Sessions.stats(Tables.events(s, dir),
+        "user_id", "ts", gapSec = 1800)
+      graft.window.Concurrency.dailyPeak(sess, "t_start", "t_end")
+    }),
+
+    // declarative data-quality suite (dbt-test verbs): referential
+    // integrity, row predicates, uniqueness — each check ONE summary
+    // row, the suite a union of 1-row aggregates
+    "q346_data_checks" -> ((s, dir) => {
+      import graft.io.Checks
+      Checks.suite(Seq(
+        Checks.fkCheck("orders_fk_customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        Checks.fkCheck("lineitem_fk_orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        Checks.predicateCheck("orders_price_positive",
+          Tables.orders(s, dir), col("o_totalprice") > 0),
+        Checks.predicateCheck("events_value_nonneg",
+          Tables.events(s, dir),
+          col("value").isNotNull && col("value") >= 0),
+        Checks.uniqueCheck("customer_pk_unique",
+          Tables.customer(s, dir), Seq("c_custkey"))))
+    }),
+
     // Holt-Winters additive seasonal smoothing (m=7 weekly) of each
     // order priority's daily revenue — level+trend+season integer
     // fixed-point recursion (alpha=1/2, beta=1/5, gamma=1/4); the
@@ -1523,6 +1562,94 @@ object QueriesMore {
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
          UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // link-prediction replay: same hub cap, same wedge close, same
+    // anti-join of existing edges, same ppm Jaccard and tiebreak
+    "q344_link_prediction" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         e AS (SELECT DISTINCT a.i AS u, b2.i AS v
+           FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i),
+         adj AS (SELECT u AS x, v AS nbr FROM e
+           UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM adj
+           GROUP BY 1),
+         mid AS (SELECT x FROM deg WHERE deg <= 60),
+         vm AS (SELECT a.x AS n, a.nbr FROM adj a JOIN mid USING (x)),
+         w AS (SELECT l.nbr AS a, r.nbr AS c,
+             CAST(count(*) AS BIGINT) AS cn
+           FROM vm l JOIN vm r ON l.n = r.n AND l.nbr < r.nbr
+           GROUP BY 1, 2),
+         cand AS (SELECT w.a, w.c, w.cn FROM w
+           LEFT JOIN e ON w.a = e.u AND w.c = e.v WHERE e.u IS NULL),
+         sc AS (SELECT cand.a, cand.c, cand.cn,
+             da.deg AS deg_a, dc.deg AS deg_c,
+             cand.cn * 1000000 // (da.deg + dc.deg - cand.cn)
+               AS jaccard_ppm
+           FROM cand JOIN deg da ON da.x = cand.a
+           JOIN deg dc ON dc.x = cand.c)
+         SELECT a, c, cn, deg_a, deg_c, jaccard_ppm FROM sc
+         ORDER BY cn DESC, jaccard_ppm DESC, a, c LIMIT 20""",
+
+    // concurrency replay: q271's sessions, tie-collapsed boundaries,
+    // ends-before-starts key, one running sum, per-day max
+    "q345_concurrency" ->
+      """WITH o AS (SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+               THEN 1 ELSE 0 END AS nw
+           FROM events),
+         s AS (SELECT user_id, ts,
+             CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+           FROM o),
+         sess AS (SELECT min(ts) AS t_start, max(ts) AS t_end
+           FROM s GROUP BY user_id, session_seq),
+         b AS (SELECT epoch_us(t_start) AS us, CAST(1 AS BIGINT) AS d
+             FROM sess
+           UNION ALL
+           SELECT epoch_us(t_end), CAST(-1 AS BIGINT) FROM sess),
+         a AS (SELECT us, d, CAST(sum(d) AS BIGINT) AS dd,
+             us * 2 + CASE WHEN d = 1 THEN 1 ELSE 0 END AS key
+           FROM b GROUP BY us, d),
+         r AS (SELECT us, CAST(sum(dd) OVER (ORDER BY key
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+           FROM a)
+         SELECT CAST(make_timestamp(us) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+         FROM r GROUP BY 1""",
+
+    // checks replay: same anti-joins / predicates / group counts
+    "q346_data_checks" ->
+      """SELECT 'orders_fk_customer' AS check, CAST((SELECT count(*)
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON o.o_custkey = c.c_custkey
+           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+           AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total
+         UNION ALL
+         SELECT 'lineitem_fk_orders', CAST((SELECT count(*)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+           AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+         UNION ALL
+         SELECT 'orders_price_positive', CAST((SELECT count(*)
+           FROM orders WHERE NOT (o_totalprice > 0)
+             OR o_totalprice IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+         UNION ALL
+         SELECT 'events_value_nonneg', CAST((SELECT count(*)
+           FROM events WHERE NOT (value IS NOT NULL AND value >= 0))
+           AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+         UNION ALL
+         SELECT 'customer_pk_unique',
+           CAST((SELECT sum(n - 1) FROM (SELECT count(*) AS n
+             FROM customer GROUP BY c_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)""",
 
     // Holt-Winters replay: the 7-slot seasonal ring rides a LIST column
     // through the recursion; two nested subqueries sequence the l' ->

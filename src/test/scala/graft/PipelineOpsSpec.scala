@@ -924,4 +924,61 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(Seq(1L, 3L, 4L).forall(t => score(t) <= score(2L)))
   }
+
+  test("link prediction scores non-edges by common neighbors, skips " +
+    "existing edges and hub middles") {
+    // baskets: {1,2}, {2,3}, {1,3}? NO — make 1-3 a non-edge:
+    // b10: {1,2}; b20: {2,3}; b30: {2,4}; edges 1-2, 2-3, 2-4.
+    // non-edges via middle 2: (1,3), (1,4), (3,4) each cn=1
+    val baskets = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L),
+      (30L, 2L), (30L, 4L)).toDF("b", "i")
+    val out = graft.llm.LinkAnalysis.linkPrediction(baskets, "b", "i",
+        maxDeg = 10, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    // deg: 1->1, 2->3, 3->1, 4->1; jaccard(1,3) = 1/(1+1-1) = 1.0
+    assert(out((1L, 3L)) == ((1L, 1L, 1L, 1000000L)))
+    assert(out((3L, 4L)) == ((1L, 1L, 1L, 1000000L)))
+    // hub cap: with maxDeg = 2 node 2 (deg 3) cannot be a middle ->
+    // no wedges close at all
+    val capped = graft.llm.LinkAnalysis.linkPrediction(baskets, "b", "i",
+      maxDeg = 2, topK = 10).collect()
+    assert(capped.isEmpty)
+  }
+
+  test("dailyPeak concurrency: sweep-line with ends before starts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three sessions on one day: A 10:00-11:00, B 10:30-12:00,
+    // C 11:00-11:30 (C starts exactly when A ends -> no triple overlap)
+    val sess = Seq(
+      (ts("2024-03-01 10:00:00"), ts("2024-03-01 11:00:00")),
+      (ts("2024-03-01 10:30:00"), ts("2024-03-01 12:00:00")),
+      (ts("2024-03-01 11:00:00"), ts("2024-03-01 11:30:00")),
+      // next day: one lone session
+      (ts("2024-03-02 09:00:00"), ts("2024-03-02 09:10:00")))
+      .toDF("t_start", "t_end")
+    val out = graft.window.Concurrency.dailyPeak(sess, "t_start", "t_end")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("2024-03-01") == ((6L, 2L)), out.toString)
+    assert(out("2024-03-02") == ((2L, 1L)))
+  }
+
+  test("data checks count FK, predicate and uniqueness violations") {
+    import graft.io.Checks
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((1L, 10L), (2L, -5L), (9L, 7L), (9L, 0L))
+      .toDF("fk", "v")
+    val dup = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
+    val out = Checks.suite(Seq(
+        Checks.fkCheck("fk", child, "fk", parent, "pk"),
+        Checks.predicateCheck("pos", child, col("v") > 0),
+        Checks.uniqueCheck("uniq", dup, Seq("k"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("fk") == ((2L, 4L)))   // two rows with fk=9
+    assert(out("pos") == ((2L, 4L)))  // -5 and 0
+    assert(out("uniq") == ((3L, 6L))) // 1 extra of k=1, 2 extra of k=3
+  }
 }

@@ -223,7 +223,10 @@ class ScaleAuditSpec extends SparkSpec {
       "onto the decile-bounded reliability frame"),
     "q343_isotonic_fit" -> ("PAVA minimax range joins over the " +
       "probability-DECILE aggregate: B^2 segments, B^3 join rows with " +
-      "B <= 11 by construction — bin-bounded, never data"))
+      "B <= 11 by construction — bin-bounded, never data"),
+    "q346_data_checks" -> ("per-check broadcast of the 1-row total " +
+      "aggregate onto the 1-row violation aggregate (suite = union of " +
+      "1-row summaries)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
