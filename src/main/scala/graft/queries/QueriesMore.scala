@@ -1388,6 +1388,37 @@ object QueriesMore {
         ("l_returnflag", col("l_returnflag"), false),
         ("l_linestatus", col("l_linestatus"), false)))),
 
+    // keyed snapshot diff between two table versions (version B derived
+    // deterministically: %97 keys deleted, %101 cents bumped, %103 keys
+    // cloned under shifted ids): one full outer join on the key, rows
+    // compared by portable md5-prefix hashes, 4-row status summary
+    "q347_snapshot_diff" -> ((s, dir) => {
+      val a = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 101 === 0, col("cents") + 1)
+            .otherwise(col("cents")).as("cents"))
+        .union(a.filter(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("cents")))
+      graft.io.Snapshot.diff(a, b, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "cents"))
+    }),
+
+    // order-invariant table fingerprint: Σ md5-prefix row hashes (exact
+    // DECIMAL sum — commutative, layout never matters) + row count; the
+    // rewrite-validation verb next to q347's keyed diff
+    "q348_table_fingerprint" -> ((s, dir) =>
+      graft.io.Snapshot.fingerprint(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents"), col("l_returnflag")),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "cents", "l_returnflag"))),
+
     // common-neighbor link prediction on the co-purchase graph: score
     // NON-edges by shared neighborhood (cn + neighborhood Jaccard ppm);
     // hub middles (deg > 60) anti-joined out of wedge formation
@@ -1562,6 +1593,56 @@ object QueriesMore {
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
          UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // diff replay: same derived version B, same md5-prefix row hashes
+    "q347_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN cents + 1
+                  ELSE cents END AS cents
+           FROM a WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, cents
+           FROM a WHERE o_orderkey % 103 = 0),
+         hx AS (SELECT o_orderkey AS k,
+             list_reduce(list_transform(string_split(substr(md5(
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                 || '|' || CAST(cents AS VARCHAR)), 1, 13), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) AS h
+           FROM a),
+         hy AS (SELECT o_orderkey AS k,
+             list_reduce(list_transform(string_split(substr(md5(
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                 || '|' || CAST(cents AS VARCHAR)), 1, 13), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) AS h
+           FROM b)
+         SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CASE WHEN hx.h IS NULL THEN 'added'
+                       WHEN hy.h IS NULL THEN 'removed'
+                       WHEN hx.h = hy.h THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM hx FULL OUTER JOIN hy USING (k))
+         GROUP BY status""",
+
+    // fingerprint replay: same canonical rendering, same DECIMAL sum
+    "q348_table_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(list_reduce(list_transform(
+               string_split(substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR) || '|'
+                 || CAST(l_partkey AS VARCHAR) || '|'
+                 || CAST(l_suppkey AS VARCHAR) || '|'
+                 || CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   AS VARCHAR) || '|' || l_returnflag), 1, 13), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) AS HUGEINT)) AS DECIMAL(38,0))
+             AS content_sum
+         FROM lineitem""",
 
     // link-prediction replay: same hub cap, same wedge close, same
     // anti-join of existing edges, same ppm Jaccard and tiebreak

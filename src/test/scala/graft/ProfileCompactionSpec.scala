@@ -49,4 +49,26 @@ class ProfileCompactionSpec extends SparkSpec {
     val bts = got.map(_._3)
     assert(bts.zip(bts.tail).forall { case (x, y) => y >= x })
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged; " +
+    "fingerprint is order-invariant and content-sensitive") {
+    import graft.io.Snapshot
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
+      .toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20L), (3L, "z", 31L), (4L, "w", 40L))
+      .toDF("k", "s", "v")
+    val d = Snapshot.diff(a, b, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+    // fingerprint: permuting rows changes nothing; changing a value does
+    val f1 = Snapshot.fingerprint(a, Seq("k", "s", "v")).head()
+    val f2 = Snapshot.fingerprint(
+      a.orderBy(org.apache.spark.sql.functions.col("v").desc),
+      Seq("k", "s", "v")).head()
+    assert(f1.getLong(0) == 3L &&
+      f1.getDecimal(1) == f2.getDecimal(1))
+    val f3 = Snapshot.fingerprint(b, Seq("k", "s", "v")).head()
+    assert(f1.getDecimal(1) != f3.getDecimal(1))
+  }
 }
