@@ -34,7 +34,10 @@ object ScaleSmoke {
     "q283_fuzzy_match",
     // round-13 additions: the new heaviest verbs
     "q297_countmin_sketch", "q299_source_overlap", "q306_stream_countmin",
-    "q307_last_touch")
+    "q307_last_touch",
+    // round-13 late additions: the heaviest of the new batch
+    "q339_containment_dedup", "q344_link_prediction", "q345_concurrency",
+    "q333_poisson_bootstrap", "q332_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -46,12 +46,17 @@ object Profile {
           .otherwise(0L)).cast("long").as("n_distinct"),
         min(col("vn")).as("min_num"), max(col("vn")).as("max_num"),
         min(col("vs")).as("min_str"), max(col("vs")).as("max_str"))
-    val name = specs.map(_._1).zipWithIndex
-      .foldLeft(lit(null).cast("string")) { case (e, (n, i)) =>
-        when(col("i") === i, n).otherwise(e)
-      }
-    stats.select(name.as("column"), col("n_rows"), col("n_null"),
-      col("n_distinct"), col("min_num"), col("max_num"), col("min_str"),
-      col("max_str"))
+    // left-join the literal spec frame so an EMPTY input still reports
+    // every profiled column (with zero counts), not an empty frame
+    val spark = df.sparkSession
+    import spark.implicits._
+    val specFrame = specs.map(_._1).zipWithIndex
+      .map { case (n, i) => (i, n) }.toDF("i", "column")
+    specFrame.join(stats, Seq("i"), "left")
+      .select(col("column"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 }

@@ -72,12 +72,18 @@ object Bootstrap {
       .groupBy(col("__b"))
       // decimal(38,0) accumulation + IntegralDivide: exact at any scale
       // (long sums would wrap past 2^63; doubles lose cents past 2^53)
-      .agg(expr("sum(CAST(__w * __v AS DECIMAL(38,0))) div sum(__w)")
-        .as("__m"))
+      .agg(expr("""sum(CAST(__w * __v AS DECIMAL(38,0)))
+            div nullif(sum(__w), 0)""").as("__m"))
+    // empty-input guards: count(1)=0 would make the IntegralDivide and
+    // the order-statistic element_at THROW under ANSI — an empty input
+    // must yield an empty frame instead (the EmptyInputSpec contract)
     val full = df.select(valueFp.cast("long").as("__v"))
-      .agg(expr("sum(CAST(__v AS DECIMAL(38,0))) div count(1)").as("__f"))
+      .agg(expr("""CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)
+          ELSE sum(CAST(__v AS DECIMAL(38,0))) div count(1) END""")
+        .as("__f"))
     means.agg(count(lit(1)).as("n_reps"),
         sort_array(collect_list(col("__m"))).as("__ms"))
+      .filter(col("n_reps") === reps)
       .crossJoin(broadcast(full))
       .select(col("n_reps"), col("__f").as("mean_fp"),
         element_at(col("__ms"), cut + 1).as("lo_fp"),

@@ -1463,7 +1463,7 @@ object QueriesNumerics {
              ${graft.numerics.Bootstrap.thresholdsSql("uu")} AS wt
            FROM u),
          reps AS (
-           SELECT b, sum(CAST(wt * v AS HUGEINT)) // sum(wt) AS m
+           SELECT b, sum(CAST(wt * v AS HUGEINT)) // nullif(sum(wt), 0) AS m
            FROM w GROUP BY b),
          ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
              list_sort(list(m)) AS ms FROM reps),

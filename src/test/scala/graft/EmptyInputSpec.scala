@@ -207,6 +207,76 @@ class EmptyInputSpec extends SparkSpec {
       .select(Url.canonicalize(col("url"))).count() === 0L)
   }
 
+  test("round-13 late additions on empty input") {
+    val empt = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType),
+        StructField("v", LongType), StructField("s", BooleanType))))
+    // survival: no subjects -> no duration rows
+    assert(graft.numerics.Survival.kaplanMeier(
+      empt.select(col("v").as("dur"), lit(1).as("ev")), "dur", "ev")
+      .count() === 0L)
+    // stats batteries: no groups -> no rows
+    assert(graft.numerics.Stats.twoPropZBattery(empt, "g", col("s"))
+      .count() === 0L)
+    assert(graft.numerics.Stats.wilsonInterval(empt, "g", col("s"))
+      .count() === 0L)
+    assert(graft.numerics.Stats.benjaminiHochberg(
+      empt.select(col("g").as("id"),
+        col("v").cast("decimal(18,8)").as("p")),
+      "id", "p", 1, 20).count() === 0L)
+    // bootstrap: empty input -> empty CI frame (no replicate rows)
+    assert(graft.numerics.Bootstrap.meanCI(empt, col("g"), col("v"))
+      .count() === 0L)
+    // calibration / isotonic: empty scored frame -> empty reports
+    val scored0 = empt.select(col("v").as("y"),
+      col("v").cast("double").as("prob"))
+    assert(graft.llm.Calibration.eceReport(scored0).count() === 0L)
+    assert(graft.llm.Calibration.isotonicFit(
+      empt.select(col("v").as("bucket"), col("v").as("n"),
+        col("v").as("k"))).count() === 0L)
+    // profiling: zero rows still produces one row per spec (n_rows 0)
+    val prof = graft.io.Profile.profile(empt, Seq(("v", col("v"), true)))
+      .collect()
+    assert(prof.length === 1 && prof.head.getLong(1) === 0L)
+    // compaction / markov / concurrency / trees / snapshot
+    assert(graft.io.Compaction.plan(
+      empt.select(col("g").as("k"), col("v").as("b")), "k", col("b"),
+      1000L).count() === 0L)
+    val ev0 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType),
+        StructField("t", TimestampType), StructField("et", StringType),
+        StructField("eid", LongType))))
+    assert(graft.window.Markov.removalAttribution(ev0, "u", "t", "et",
+      col("eid")).count() === 0L)
+    assert(graft.window.Concurrency.dailyPeak(
+      ev0.select(col("t").as("t_start"), col("t").as("t_end")),
+      "t_start", "t_end").count() === 0L)
+    assert(graft.llm.Trees.trainStump(empt, col("s"),
+      Seq(("v", col("v")))).count() === 0L)
+    assert(graft.io.Snapshot.diff(empt, empt, "g", Seq("v"))
+      .count() === 0L)
+    val fp = graft.io.Snapshot.fingerprint(empt, Seq("g", "v")).head()
+    assert(fp.getLong(0) === 0L && fp.isNullAt(1))
+    // holt-winters: series shorter than m -> no rows
+    assert(graft.numerics.Holt.holtWinters(
+      empt.select(col("v").as("e"), col("v").as("t"),
+        col("v").as("y")), "e", "t", col("y"), m = 7).count() === 0L)
+    // rake / containment / link prediction on empty docs
+    val docs0 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    assert(graft.llm.CorpusStats.rakeKeywords(docs0, "doc_id", "text",
+      Seq("the"), 3, 10).count() === 0L)
+    assert(graft.llm.Dedup.containmentDedup(docs0, "doc_id", "text", 3,
+      10L, 500000L).count() === 0L)
+    assert(graft.llm.LinkAnalysis.linkPrediction(
+      empt.select(col("v").as("b"), col("v").as("i")), "b", "i", 60L,
+      10).count() === 0L)
+  }
+
   test("zorder: empty input writes an empty store; constant key is safe") {
     import graft.io.ZOrder
     val emptyEv = spark.createDataFrame(
