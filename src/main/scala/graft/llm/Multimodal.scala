@@ -291,6 +291,88 @@ object Multimodal {
     spark.createDataFrame(rdd, wavSchema)
   }
 
+  /** Audio frame features over decoded PCM16: per non-overlapping
+    * `frameLen`-sample frame, the MEAN SQUARE energy (Σ s² div n —
+    * exact integer on the raw sample grid; rms = sqrt(meansq)/32768
+    * whenever a float view is wanted) and the zero-crossing rate
+    * (adjacent sign products < 0) — the two classic VAD/segmentation
+    * features. Trailing partial frames are dropped (fixed batch shape).
+    * Executor-side decode, one row per frame — the q190/q191 decode
+    * contract extended to real per-frame DSP. */
+  def wavFrameFeatures(df: DataFrame, id: String, media: String,
+                       frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val docId = r.getLong(0)
+        samplesPcm16(bytes) match {
+          case None => Iterator.empty
+          case Some(samples) =>
+            val nFrames = samples.length / frameLen
+            (0 until nFrames).iterator.map { f =>
+              var ss = 0L
+              var zc = 0L
+              var j = f * frameLen
+              val end = j + frameLen
+              while (j < end) {
+                val s = samples(j).toLong
+                ss += s * s
+                if (j + 1 < end &&
+                  samples(j).toLong * samples(j + 1) < 0) zc += 1
+                j += 1
+              }
+              Row(docId, f.toLong, frameLen.toLong, ss / frameLen, zc)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("frame_no",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("meansq",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("zcr",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** PCM16 sample extraction from a RIFF/WAVE payload (mono stream
+    * view: channels interleave untouched); None on non-WAV. */
+  private def samplesPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var p = 12
+    var bits = -1
+    while (p + 8 <= bytes.length) {
+      val cid = new String(bytes, p, 4, "US-ASCII")
+      val sz = b.getInt(p + 4)
+      if (sz < 0 || p + 8 + sz > bytes.length) return None
+      cid match {
+        case "fmt " =>
+          if (sz < 16) return None
+          bits = b.getShort(p + 22).toInt
+        case "data" =>
+          if (bits != 16) return None
+          val n = sz / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = b.getShort(p + 8 + i * 2); i += 1 }
+          return Some(out)
+        case _ => ()
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
   /** Frame sampling: emit every `stride`-th fixed-size chunk of the
     * payload as a "frame" — the raw-stream (e.g. RGB24 video) chunking
     * contract; schema/partitioning identical to container-aware

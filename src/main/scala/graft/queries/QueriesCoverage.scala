@@ -348,6 +348,40 @@ object QueriesCoverage {
           col("bits"), col("n_samples"), round(col("rms"), 6).as("rms"))
     }),
 
+    // per-frame audio features on REAL decoded PCM16 (square waves with
+    // id-derived amplitude A and half-period P): mean-square energy
+    // (exact integer — Σ s² div n = A²) and zero-crossing count, whose
+    // closed form floor((f·512+511)/P) − floor((f·512)/P) the oracle
+    // replays — the VAD/segmentation stage of an audio pipeline
+    "q349_audio_features" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val rows = (0L until 50L).map { i =>
+        val amp = ((i % 50) + 1).toInt * 100
+        val half = 8 + (i % 8).toInt
+        val n = 2048
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes); bb.putInt(36 + n * 2)
+        bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1)
+        bb.putInt(16000); bb.putInt(32000)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes); bb.putInt(n * 2)
+        (0 until n).foreach { j =>
+          bb.putShort(if ((j / half) % 2 == 0) amp.toShort
+          else (-amp).toShort)
+        }
+        Row(i, bb.array())
+      }
+      val media = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("media", BinaryType, nullable = false))))
+      Multimodal.wavFrameFeatures(media, "doc_id", "media",
+        frameLen = 512)
+    }),
+
     // §2.1 backend plugin registry (ref `backends/api.py` engine dispatch
     // + `backends/plugins.py` entrypoints): open the classic-netCDF
     // fixture through engine="netcdf", and a RUNTIME-REGISTERED custom
@@ -712,6 +746,18 @@ object QueriesCoverage {
            CAST((i.i * 17 + f.f * 20) % 256 AS DOUBLE) AS mean_b
          FROM (SELECT unnest(generate_series(0, 39)) AS i) i,
               (SELECT unnest(generate_series(0, 2)) AS f) f""",
+    // audio-features replay: the square wave's closed forms — meansq is
+    // A² exactly, zcr counts the half-period boundaries inside each
+    // 512-sample frame
+    "q349_audio_features" ->
+      """SELECT i.i AS doc_id, CAST(f.f AS BIGINT) AS frame_no,
+           CAST(512 AS BIGINT) AS n,
+           CAST(((i.i % 50 + 1) * 100) * ((i.i % 50 + 1) * 100)
+             AS BIGINT) AS meansq,
+           CAST((f.f * 512 + 511) // (8 + i.i % 8)
+             - (f.f * 512) // (8 + i.i % 8) AS BIGINT) AS zcr
+         FROM (SELECT unnest(generate_series(0, 49)) AS i) i,
+              (SELECT unnest(generate_series(0, 3)) AS f) f""",
     "q191_wav_decode" ->
       """SELECT i AS doc_id,
            CAST(8000 + 100 * (i % 10) AS INT) AS sample_rate,

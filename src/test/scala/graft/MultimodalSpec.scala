@@ -136,4 +136,28 @@ class MultimodalSpec extends SparkSpec {
       c.toLong -> gif.take(c))
     Multimodal.gifFrames(mediaDf(gifCuts), "doc_id", "media").collect()
   }
+
+  test("wavFrameFeatures: exact per-frame mean-square and ZCR, trailing " +
+    "partial frame dropped, non-WAV dropped") {
+    val samples = Seq[Short](100, -100, 100, 0, -50, -50, 77) // 7 samples
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples.size * 2)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(samples.size * 2)
+    samples.foreach(bb.putShort)
+    val df = mediaDf(Seq(1L -> bb.array(), 2L -> "junk".getBytes))
+    val out = Multimodal.wavFrameFeatures(df, "doc_id", "media", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // frame 0: [100,-100,100]: meansq = 30000/3 = 10000; zcr 2
+    // frame 1: [0,-50,-50]: meansq = 5000/3 = 1666; 0*(-50) not < 0
+    // sample 7 (77) is a trailing partial frame: dropped
+    assert(out == Map(
+      (1L, 0L) -> ((3L, 10000L, 2L)),
+      (1L, 1L) -> ((3L, 1666L, 0L))))
+  }
 }
