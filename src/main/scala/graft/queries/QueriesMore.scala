@@ -1388,6 +1388,19 @@ object QueriesMore {
         ("l_returnflag", col("l_returnflag"), false),
         ("l_linestatus", col("l_linestatus"), false)))),
 
+    // 2-D skyline / Pareto frontier (both maximized) over per-order
+    // (total quantity, revenue cents): dominance via a prefix max over
+    // the distinct-quantity AGGREGATE — the sort-filter skyline with
+    // the sort touching only the aggregate
+    "q350_pareto_frontier" -> ((s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("rev_c"))
+      graft.agg.Skyline.frontier2d(per, col("qty"), col("rev_c"))
+    }),
+
     // keyed snapshot diff between two table versions (version B derived
     // deterministically: %97 keys deleted, %101 cents bumped, %103 keys
     // cloned under shifted ids): one full outer join on the key, rows
@@ -1593,6 +1606,25 @@ object QueriesMore {
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
          UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // skyline replay: same aggregate, same strictly-greater prefix rule
+    "q350_pareto_frontier" ->
+      """WITH per AS (SELECT l_orderkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM lineitem GROUP BY 1),
+         agg AS (SELECT qty AS x, CAST(max(rev_c) AS BIGINT) AS y
+           FROM per GROUP BY 1),
+         sky AS (SELECT x, y FROM (
+             SELECT x, y, max(y) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_right
+             FROM agg)
+           WHERE best_right IS NULL OR y > best_right)
+         SELECT s.x, s.y, CAST(count(*) AS BIGINT) AS n
+         FROM sky s JOIN per p ON p.qty = s.x AND p.rev_c = s.y
+         GROUP BY 1, 2""",
 
     // diff replay: same derived version B, same md5-prefix row hashes
     "q347_snapshot_diff" ->

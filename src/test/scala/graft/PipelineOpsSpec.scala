@@ -965,6 +965,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("2024-03-02") == ((2L, 1L)))
   }
 
+  test("skyline keeps exactly the non-dominated points with counts") {
+    val pts = Seq((1L, 5L), (2L, 9L), (2L, 9L), (3L, 9L), (4L, 4L),
+      (5L, 2L), (3L, 1L), (5L, 2L))
+    val out = graft.agg.Skyline.frontier2d(pts.toDF("a", "b"),
+        col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (2,9) dominated by (3,9) (equal y, larger x); (1,5) dominated;
+    // (4,4) beats everything right of it except (5,2)? (5,2): no x>5.
+    // frontier: (3,9), (4,4), (5,2) with counts 1, 1, 2
+    assert(out == Map((3L, 9L) -> 1L, (4L, 4L) -> 1L, (5L, 2L) -> 2L))
+    // brute-force dominance check
+    val dist = pts.distinct
+    val brute = dist.filterNot { case (x, y) =>
+      dist.exists { case (x2, y2) =>
+        (x2 >= x && y2 >= y) && (x2 > x || y2 > y) }
+    }.toSet
+    assert(out.keySet == brute)
+  }
+
   test("data checks count FK, predicate and uniqueness violations") {
     import graft.io.Checks
     val parent = Seq(1L, 2L, 3L).toDF("pk")

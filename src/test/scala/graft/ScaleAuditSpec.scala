@@ -88,6 +88,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q343_isotonic_fit" ->
       ("prefix sums over the probability-DECILE aggregate (<= 11 rows " +
         "by construction)"),
+    "q350_pareto_frontier" ->
+      ("dominance prefix max over the distinct-quantity AGGREGATE " +
+        "(value-bounded, the q290 contract)"),
     "q329_seasonal_anomaly" ->
       ("q300's centered moving sum over the AGGREGATED daily-revenue " +
         "series (calendar-bounded)"),
