@@ -894,6 +894,44 @@ object QueriesLLM {
           expr("__rr div n_probes").as("mrr_ppm"))
     }),
 
+    // MAP@10 of the LSH index against the brute-force top-3 relevant
+    // set — the 4th ANN-eval metric (recall@10 q269, NDCG q264, MRR
+    // q330): AP = Σ precision@hit-rank div |relevant|, missing
+    // relevants contribute 0; all exact ppm integers
+    "q351_map_at_k" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = Tables.embeddings(s, dir)
+      val probes = corpus.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val truth = Similarity.bruteForceTopK(corpus, probes, "vec_id",
+          "probe_id", "embedding", k = 4)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("trk", row_number().over(Window
+          .partitionBy(col("probe_id")).orderBy(col("rk"))).cast("long"))
+        .filter(col("trk") <= 3)
+        .select(col("probe_id"), col("vec_id").as("rel_id"))
+      val cands = Similarity.lshTopK(corpus, probes, "vec_id",
+          "probe_id", "embedding", rhpSignsM, k = 11)
+        .filter(col("vec_id") =!= col("probe_id"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("rk"))
+      val reranked = cands
+        .withColumn("arank", row_number().over(w).cast("long"))
+        .filter(col("arank") <= 10)
+      val hits = truth.join(reranked.select(col("probe_id"),
+          col("vec_id").as("rel_id"), col("arank")),
+        Seq("probe_id", "rel_id"))
+      val wh = Window.partitionBy(col("probe_id")).orderBy(col("arank"))
+      val ap = hits
+        .withColumn("hrk", row_number().over(wh).cast("long"))
+        .groupBy(col("probe_id"))
+        .agg(expr("sum(hrk * 1000000 div arank) div 3").as("ap_ppm"))
+      probes.select(col("probe_id")).join(ap, Seq("probe_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("ap_ppm"), lit(0L))).as("__sap"))
+        .select(col("n_probes"),
+          expr("__sap div n_probes").as("map_ppm"))
+    }),
+
     // calibration report for the GD classifier: decile buckets of the
     // 6-dp probability, per-bucket accuracy vs mean confidence (exact:
     // probs summed in DECIMAL, rates on the ppm grid, squared errors on
@@ -3221,6 +3259,73 @@ object QueriesLLM {
              // count(*) AS mrr_ppm
          FROM truth t LEFT JOIN lsh l
          ON l.probe_id = t.probe_id AND l.vec_id = t.true_id""",
+    // MAP replay: q330's sigs/norms machinery, top-3 non-self truth,
+    // precision@hit-rank sums on the ppm grid
+    "q351_map_at_k" ->
+      s"""WITH sigs AS (
+           SELECT e2.vec_id, e2.embedding,
+             sum(CASE WHEN list_reduce(list_transform(
+                 generate_series(1, 64),
+                 i -> CAST(e2.embedding[i] AS DOUBLE) * ($rhpSignsSql)[g.p + 1][i]),
+                 (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << g.p) ELSE 0 END) AS sig
+           FROM embeddings e2, (SELECT unnest(generate_series(0, 7)) AS p) g
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT vec_id, sqrt(list_reduce(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)) AS nrm
+           FROM embeddings),
+         dots AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 50) p
+           WHERE c.vec_id <> p.vec_id),
+         truth AS (
+           SELECT probe_id, vec_id AS rel_id FROM (
+             SELECT d.probe_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id) AS trk
+             FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE trk <= 3),
+         cand AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             list_reduce(list_transform(generate_series(1, len(c.embedding)),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) AS dt
+           FROM sigs c JOIN (SELECT * FROM sigs WHERE vec_id < 50) p
+           ON c.sig = p.sig
+           WHERE c.vec_id <> p.vec_id),
+         lsh AS (
+           SELECT probe_id, vec_id, arank FROM (
+             SELECT d.probe_id, d.vec_id,
+               CAST(row_number() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dt / (nc.nrm * np.nrm) DESC, d.vec_id)
+                 AS BIGINT) AS arank
+             FROM cand d JOIN norms nc ON d.vec_id = nc.vec_id
+             JOIN norms np ON d.probe_id = np.vec_id)
+           WHERE arank <= 10),
+         hits AS (
+           SELECT t.probe_id, l.arank,
+             CAST(row_number() OVER (PARTITION BY t.probe_id
+               ORDER BY l.arank) AS BIGINT) AS hrk
+           FROM truth t JOIN lsh l
+           ON l.probe_id = t.probe_id AND l.vec_id = t.rel_id),
+         ap AS (SELECT probe_id,
+             CAST(sum(hrk * 1000000 // arank) AS BIGINT) // 3 AS ap_ppm
+           FROM hits GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(COALESCE(ap.ap_ppm, 0)) AS BIGINT) // count(*)
+             AS map_ppm
+         FROM (SELECT vec_id AS probe_id FROM embeddings
+               WHERE vec_id < 50) p
+         LEFT JOIN ap USING (probe_id)""",
+
     // calibration replay: q219's scored frame, DECIMAL-exact sums,
     // same ppm/e12 grids, same ECE reduction
     "q342_calibration_ece" ->

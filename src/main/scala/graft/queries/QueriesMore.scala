@@ -1388,6 +1388,39 @@ object QueriesMore {
         ("l_returnflag", col("l_returnflag"), false),
         ("l_linestatus", col("l_linestatus"), false)))),
 
+    // forecastability diagnostic per order priority: seasonal-naive
+    // (lag-7) vs naive (lag-1) absolute-error sums over the daily
+    // revenue series, and their MASE-style ratio — count-normalized,
+    // decimal-widened, on the exact ppm grid. The denominator metric
+    // every forecast eval (q276 Holt, q340 Holt-Winters) is judged
+    // against; windows are per-priority lags over the calendar-bounded
+    // daily aggregate
+    "q352_forecast_mase" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pid"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("y"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("day"))
+      daily
+        .withColumn("l1", lag(col("y"), 1).over(w))
+        .withColumn("l7", lag(col("y"), 7).over(w))
+        .groupBy(col("pid"))
+        .agg(sum(when(col("l7").isNotNull, abs(col("y") - col("l7"))))
+          .cast("long").as("err_sn"),
+          sum(when(col("l7").isNotNull, 1L).otherwise(0L)).as("n_sn"),
+          sum(when(col("l1").isNotNull, abs(col("y") - col("l1"))))
+            .cast("long").as("err_n"),
+          sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n_n"))
+        .select(col("pid"), col("err_sn"), col("n_sn"), col("err_n"),
+          col("n_n"),
+          expr("""CAST(CAST(err_sn AS DECIMAL(38,0)) * n_n * 1000000
+                  div (CAST(err_n AS DECIMAL(38,0)) * n_sn) AS BIGINT)""")
+            .as("mase_ppm"))
+    }),
+
     // 2-D skyline / Pareto frontier (both maximized) over per-order
     // (total quantity, revenue cents): dominance via a prefix max over
     // the distinct-quantity AGGREGATE — the sort-filter skyline with
@@ -1606,6 +1639,33 @@ object QueriesMore {
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn4, mx4 FROM b
          UNION ALL SELECT 'l_linestatus', n_rows, nu5, d5,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn5, mx5 FROM b""",
+
+    // MASE replay: same lags, same count-normalized decimal ratio
+    "q352_forecast_mase" ->
+      """WITH daily AS (
+           SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pid,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         lagged AS (SELECT pid, y,
+             lag(y, 1) OVER (PARTITION BY pid ORDER BY day) AS l1,
+             lag(y, 7) OVER (PARTITION BY pid ORDER BY day) AS l7
+           FROM daily),
+         agg AS (SELECT pid,
+             CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(y - l7) END)
+               AS BIGINT) AS err_sn,
+             CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sn,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(y - l1) END)
+               AS BIGINT) AS err_n,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_n
+           FROM lagged GROUP BY 1)
+         SELECT pid, err_sn, n_sn, err_n, n_n,
+           CAST(CAST(err_sn AS HUGEINT) * n_n * 1000000
+             // (CAST(err_n AS HUGEINT) * n_sn) AS BIGINT) AS mase_ppm
+         FROM agg""",
 
     // skyline replay: same aggregate, same strictly-greater prefix rule
     "q350_pareto_frontier" ->

@@ -212,6 +212,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q330_mrr" -> ("explicit broadcast of the 50-probe side for the " +
       "brute-force truth stage (q54 contract); the LSH candidate stage " +
       "is a signature equi-join"),
+    "q351_map_at_k" -> ("explicit broadcast of the 50-probe side for " +
+      "the brute-force truth stage (q330 contract); the LSH candidate " +
+      "stage is a signature equi-join"),
     "q331_bh_fdr" -> ("broadcasts of three 1-row aggregates (grand " +
       "totals, m, k_max) onto the group-cardinality hypothesis frame"),
     "q332_kaplan_meier" -> ("broadcast of the 1-row max-order-date " +
