@@ -63,7 +63,10 @@ object Bootstrap {
     require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
     val cut = alphaPm * reps / 1000 // floor(alpha*B)
     require(cut * 2 < reps, s"alpha $alphaPm‰ too wide for B=$reps")
-    val means = df
+    // the md5 fan-out runs BEFORE the first exchange: a single-file
+    // scan would serialize all B x rows hashes on one core without the
+    // parallelism floor (no-op on already-wide inputs)
+    val means = graft.util.Parallelize.ensure(df)
       .select(id.cast("string").as("__id"), valueFp.cast("long").as("__v"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),
@@ -88,5 +91,59 @@ object Bootstrap {
       .select(col("n_reps"), col("__f").as("mean_fp"),
         element_at(col("__ms"), cut + 1).as("lo_fp"),
         element_at(col("__ms"), reps - cut).as("hi_fp"))
+  }
+
+  /** Percentile-bootstrap CI for the DIFFERENCE OF MEANS between two
+    * groups (the A/B-test uncertainty verb): per replicate,
+    * diff_b = mean_A(b) − mean_B(b) with both means the exact
+    * truncating integer division over Poisson(1)-weighted sums; CI as
+    * in [[meanCI]]. One scan: the group key rides the aggregate, the
+    * weights stay the same pure function of (row id, replicate) —
+    * reprocessing either arm alone reproduces its exact weights.
+    *
+    * @param isA boolean column selecting arm A (false ⇒ arm B)
+    * @return 1 row: (n_reps, diff_fp, lo_fp, hi_fp); diff_fp is the
+    *         full-data mean_A − mean_B. */
+  def diffMeansCI(df: DataFrame, id: Column, isA: Column, valueFp: Column,
+                  reps: Int = 48, alphaPm: Int = 25): DataFrame = {
+    require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
+    val cut = alphaPm * reps / 1000
+    require(cut * 2 < reps, s"alpha $alphaPm‰ too wide for B=$reps")
+    val diffs = graft.util.Parallelize.ensure(df)
+      .select(id.cast("string").as("__id"), isA.as("__a"),
+        valueFp.cast("long").as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),
+        col("__b").cast("string"))))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .groupBy(col("__b"))
+      .agg(expr("""sum(CASE WHEN __a THEN CAST(__w * __v AS DECIMAL(38,0))
+               ELSE 0 END) div nullif(sum(CASE WHEN __a THEN __w
+               ELSE 0L END), 0)""").as("__ma"),
+        expr("""sum(CASE WHEN __a THEN 0 ELSE
+               CAST(__w * __v AS DECIMAL(38,0)) END)
+               div nullif(sum(CASE WHEN __a THEN 0L ELSE __w END), 0)""")
+          .as("__mb"))
+      .select(col("__b"), (col("__ma") - col("__mb")).as("__d"))
+      // an empty arm makes the replicate diff NULL (nullif guard):
+      // drop such replicates so the CI frame is empty, never a throw
+      .filter(col("__d").isNotNull)
+    val full = df
+      .select(isA.as("__a"), valueFp.cast("long").as("__v"))
+      .agg(expr("""CASE WHEN count(CASE WHEN __a THEN 1 END) = 0
+            OR count(CASE WHEN NOT __a THEN 1 END) = 0
+          THEN CAST(NULL AS BIGINT)
+          ELSE sum(CASE WHEN __a THEN CAST(__v AS DECIMAL(38,0))
+                 ELSE 0 END) div count(CASE WHEN __a THEN 1 END)
+             - sum(CASE WHEN __a THEN 0 ELSE CAST(__v AS DECIMAL(38,0))
+                 END) div count(CASE WHEN NOT __a THEN 1 END)
+          END""").as("__f"))
+    diffs.agg(count(lit(1)).as("n_reps"),
+        sort_array(collect_list(col("__d"))).as("__ds"))
+      .filter(col("n_reps") === reps)
+      .crossJoin(broadcast(full))
+      .select(col("n_reps"), col("__f").as("diff_fp"),
+        element_at(col("__ds"), cut + 1).as("lo_fp"),
+        element_at(col("__ds"), reps - cut).as("hi_fp"))
   }
 }

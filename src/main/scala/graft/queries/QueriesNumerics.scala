@@ -500,6 +500,19 @@ object QueriesNumerics {
         reps = 48, alphaPm = 25)
     }),
 
+    // A/B difference-in-means bootstrap CI: high-discount vs
+    // low-discount line revenue, same deterministic Poisson(1)
+    // resample as q333 — the "is the lift real" uncertainty verb
+    "q353_ab_bootstrap" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.numerics.Bootstrap.diffMeansCI(li,
+        concat_ws("#", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        col("l_discount") >= 0.05,
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        reps = 48, alphaPm = 25)
+    }),
+
     // Wilson score 95% CI per brand on the return rate — the
     // small-n-safe proportion interval next to q331's z screens; p_hat
     // exact ppm, bounds one IEEE expression rounded 8dp
@@ -1471,6 +1484,48 @@ object QueriesNumerics {
            FROM rows_in)
          SELECT n_reps, CAST(mean_fp AS BIGINT) AS mean_fp,
            CAST(ms[2] AS BIGINT) AS lo_fp, CAST(ms[47] AS BIGINT) AS hi_fp
+         FROM ci CROSS JOIN f""",
+
+    // A/B bootstrap replay: q333's uniform + thresholds, per-arm
+    // weighted means, HUGEINT-exact, order-stat CI on the diffs
+    "q353_ab_bootstrap" ->
+      s"""WITH rows_in AS (
+           SELECT CAST(l_orderkey AS VARCHAR) || '#' ||
+               CAST(l_linenumber AS VARCHAR) || '#' ||
+               CAST(l_partkey AS VARCHAR) || '#' ||
+               CAST(l_suppkey AS VARCHAR) AS id,
+             l_discount >= 0.05 AS a,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+           FROM lineitem),
+         u AS (
+           SELECT g.b, a, v,
+             list_reduce(list_transform(
+                 string_split(substr(md5(id || '#' || CAST(g.b AS VARCHAR)),
+                   1, 13), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) % 1000000000000 AS uu
+           FROM rows_in, (SELECT unnest(generate_series(0, 47)) AS b) g),
+         w AS (
+           SELECT b, a, v,
+             ${graft.numerics.Bootstrap.thresholdsSql("uu")} AS wt
+           FROM u),
+         reps AS (
+           SELECT b,
+             sum(CASE WHEN a THEN CAST(wt * v AS HUGEINT) ELSE 0 END)
+               // nullif(sum(CASE WHEN a THEN wt ELSE 0 END), 0)
+             - sum(CASE WHEN a THEN 0 ELSE CAST(wt * v AS HUGEINT) END)
+               // nullif(sum(CASE WHEN a THEN 0 ELSE wt END), 0) AS d
+           FROM w GROUP BY b),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             list_sort(list(d)) AS ds FROM reps),
+         f AS (SELECT
+             sum(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END)
+               // count(CASE WHEN a THEN 1 END)
+             - sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) END)
+               // count(CASE WHEN NOT a THEN 1 END) AS diff_fp
+           FROM rows_in)
+         SELECT n_reps, CAST(diff_fp AS BIGINT) AS diff_fp,
+           CAST(ds[2] AS BIGINT) AS lo_fp, CAST(ds[47] AS BIGINT) AS hi_fp
          FROM ci CROSS JOIN f""",
 
     // Wilson replay: identical z literal, identical IEEE expression

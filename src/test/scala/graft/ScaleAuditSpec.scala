@@ -223,6 +223,8 @@ class ScaleAuditSpec extends SparkSpec {
     "q333_poisson_bootstrap" -> ("broadcast of the 1-row full-data " +
       "mean onto the 1-row CI aggregate (B-row replicate frame " +
       "collapses in one collect_list aggregate, B = 48 constant)"),
+    "q353_ab_bootstrap" -> ("broadcast of the 1-row full-data diff " +
+      "onto the 1-row CI aggregate (the q333 contract)"),
     "q341_decision_stump" -> ("broadcast of the 1-row per-feature " +
       "totals aggregate onto the value-bounded threshold frame"),
     "q342_calibration_ece" -> ("broadcast of the 1-row ECE aggregate " +

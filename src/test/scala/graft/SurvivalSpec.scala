@@ -79,6 +79,24 @@ class SurvivalSpec extends SparkSpec {
       s"[$lo, $hi]")
   }
 
+  test("diffMeansCI brackets a planted between-arm lift") {
+    // arm A mean 200, arm B mean 100 (+/- small id-derived noise)
+    val df = (1 to 3000).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, a, (if (a) 200L else 100L) + (i % 5) - 2)
+    }.toDF("id", "a", "v")
+    val r = Bootstrap.diffMeansCI(df, col("id"), col("a"), col("v"),
+      reps = 48, alphaPm = 25).head()
+    val diff = r.getLong(1); val lo = r.getLong(2); val hi = r.getLong(3)
+    assert(r.getLong(0) == 48L)
+    assert(lo <= diff && diff <= hi, s"$lo <= $diff <= $hi")
+    assert(diff >= 98L && diff <= 102L, s"full-data diff $diff")
+    assert(lo > 90L && hi < 110L, s"CI [$lo, $hi] too wide")
+    // single-arm input yields no CI row (diff undefined), never a throw
+    assert(Bootstrap.diffMeansCI(df.filter(col("a")), col("id"),
+      col("a"), col("v")).count() == 0L)
+  }
+
   test("wilsonInterval matches the closed form and brackets p_hat") {
     val rows = Seq.fill(40)(("A", true)) ++ Seq.fill(60)(("A", false)) ++
       Seq.fill(1)(("B", true)) ++ Seq.fill(9)(("B", false))
