@@ -31,6 +31,10 @@ object Attribution {
     * division all engines share — so credit sums are exact BIGINTs (a
     * conversion's total credited ppm may undershoot its value by < n
     * ppm: the documented fixed-point remainder, identical everywhere).
+    * The sum is widened through DECIMAL(38,0) internally (overflow-safe
+    * at any scale) and EMITTED as BIGINT — the output-type contract is
+    * BIGINT/DOUBLE/STRING/BOOL/DATE/TIMESTAMP only; a corpus whose total
+    * credited ppm exceeds 2⁶³ should re-grid to cents upstream.
     *
     * @param conversions (by, key, convId, valueCents) — valueCents an
     *                    integral column
@@ -56,14 +60,14 @@ object Attribution {
         expr(s"$valueCents * 1000000L div __n"))
       .groupBy(col(touchType).as("attributed"))
       .agg(count(lit(1)).as("n_touch"),
-        sum(col("__credit_ppm")).cast(DecimalType(38, 0))
+        sum(col("__credit_ppm").cast(DecimalType(38, 0))).cast("long")
           .as("credit_ppm"))
     val untouched = conversions
       .join(matched.select(col(convId)).distinct(), Seq(convId),
         "left_anti")
       .agg(count(lit(1)).as("n_touch"),
-        sum(col(valueCents) * lit(1000000L)).cast(DecimalType(38, 0))
-          .as("credit_ppm"))
+        sum((col(valueCents) * lit(1000000L)).cast(DecimalType(38, 0)))
+          .cast("long").as("credit_ppm"))
       .select(lit(noTouchLabel).as("attributed"), col("n_touch"),
         col("credit_ppm"))
       .filter(col("n_touch") > 0)

@@ -40,13 +40,20 @@ object Snapshot {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
-  /** Order-invariant table fingerprint: Σ row-hash (exact DECIMAL sum —
-    * commutative, so layout never matters) + row count. Two engines, or
-    * the same table before/after a rewrite, agree iff content agrees
-    * (w.h.p. of the 52-bit hash). */
+  /** Order-invariant table fingerprint: Σ row-hash mod 2⁶² (modular
+    * addition is commutative AND associative, so layout/partitioning
+    * never matters) + row count. Two engines, or the same table
+    * before/after a rewrite, agree iff content agrees (w.h.p. of the
+    * 52-bit hash). The sum is widened through DECIMAL(38,0) internally
+    * (exact at any row count — 10¹² rows of 52-bit hashes is ~4.5e27,
+    * well inside 38 digits) and folded mod 2⁶² so the EMITTED column is
+    * a plain BIGINT: the driver-hashable output-type contract. */
+  val FingerprintMod = 4611686018427387904L // 2^62
+
   def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(rowHash(cols.map(col)).as("__h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h").cast("decimal(38,0)")).cast("decimal(38,0)")
+        (sum(col("__h").cast("decimal(38,0)")) %
+          lit(FingerprintMod).cast("decimal(38,0)")).cast("long")
           .as("content_sum"))
 }

@@ -22,7 +22,11 @@ object Calibration {
   def eceReport(scored: DataFrame, buckets: Int = 10): DataFrame = {
     val pd = scored.select(col("y"),
       col("prob").cast(DecimalType(10, 6)).as("p"),
-      floor(col("prob") * buckets).cast("long").as("bucket"))
+      // clamp the right edge: prob == 1.0 belongs to the TOP bin, not a
+      // phantom (buckets+1)-th one — the standard reliability-diagram
+      // half-open [lo, hi) binning with a closed last interval
+      least(floor(col("prob") * buckets), lit(buckets - 1).cast("long"))
+        .cast("long").as("bucket"))
     val perB = pd.groupBy("bucket").agg(
       count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"),
       sum(col("p")).as("sp"),

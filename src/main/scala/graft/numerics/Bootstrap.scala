@@ -84,7 +84,16 @@ object Bootstrap {
       .agg(expr("""CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)
           ELSE sum(CAST(__v AS DECIMAL(38,0))) div count(1) END""")
         .as("__f"))
-    means.agg(count(lit(1)).as("n_reps"),
+    // a replicate whose Poisson weights are ALL zero yields a NULL mean
+    // (the nullif guard): drop it BEFORE the aggregate, so n_reps and
+    // collect_list agree — otherwise collect_list silently drops the
+    // null while count still sees the row, and element_at indexes past
+    // the short array (near-certain on tiny inputs: n=1 ⇒ ~37% of
+    // replicates are all-zero). The n_reps === reps filter then
+    // correctly EMPTIES the result for such degenerate inputs, same as
+    // diffMeansCI's existing guard.
+    means.filter(col("__m").isNotNull)
+      .agg(count(lit(1)).as("n_reps"),
         sort_array(collect_list(col("__m"))).as("__ms"))
       .filter(col("n_reps") === reps)
       .crossJoin(broadcast(full))

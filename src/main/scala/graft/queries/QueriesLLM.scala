@@ -881,8 +881,13 @@ object QueriesLLM {
           "probe_id", "embedding", rhpSignsM, k = 11)
         .filter(col("vec_id") =!= col("probe_id"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("rk"))
+      // cut at rank 10 AFTER the self-removal re-rank — k=11 candidates
+      // exist precisely so removing self leaves 10; without the cut a
+      // probe whose self misses its own LSH top-11 would score an
+      // arank=11 hit on the Spark side only (oracle cuts at 10)
       val reranked = cands.withColumn("arank",
         row_number().over(w).cast("long"))
+        .filter(col("arank") <= 10)
       truth.join(reranked.select(col("probe_id"),
             col("vec_id").as("true_id"), col("arank")),
           Seq("probe_id", "true_id"), "left")
@@ -957,7 +962,8 @@ object QueriesLLM {
         label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
         buckets = 64, epochs = 2, lr = 0.1)
       Calibration.isotonicFit(scored
-        .groupBy(floor(col("prob") * 10).cast("long").as("bucket"))
+        .groupBy(least(floor(col("prob") * 10), lit(9L)).cast("long")
+          .as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k")))
     }),
 
@@ -3331,7 +3337,7 @@ object QueriesLLM {
     "q342_calibration_ece" ->
       s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
          pd AS (SELECT y, CAST(prob AS DECIMAL(10,6)) AS p,
-             CAST(floor(prob * 10) AS BIGINT) AS bucket FROM base),
+             CAST(least(floor(prob * 10), 9) AS BIGINT) AS bucket FROM base),
          perb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS k, sum(p) AS sp,
              sum(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS sq
@@ -3349,7 +3355,7 @@ object QueriesLLM {
     // isotonic replay: same decile aggregate, same gridded minimax
     "q343_isotonic_fit" ->
       s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
-         perb AS (SELECT CAST(floor(prob * 10) AS BIGINT) AS bucket,
+         perb AS (SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
            FROM base GROUP BY 1),
          pre AS (SELECT bucket, n, k,

@@ -1720,7 +1720,8 @@ object QueriesMore {
            FROM hx FULL OUTER JOIN hy USING (k))
          GROUP BY status""",
 
-    // fingerprint replay: same canonical rendering, same DECIMAL sum
+    // fingerprint replay: same canonical rendering, same exact HUGEINT
+    // sum folded mod 2^62 -> BIGINT (modular addition is order-invariant)
     "q348_table_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(list_reduce(list_transform(
@@ -1732,7 +1733,8 @@ object QueriesMore {
                  || CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                    AS VARCHAR) || '|' || l_returnflag), 1, 13), ''),
                c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-               (x, y) -> x * 16 + y) AS HUGEINT)) AS DECIMAL(38,0))
+               (x, y) -> x * 16 + y) AS HUGEINT))
+             % 4611686018427387904 AS BIGINT)
              AS content_sum
          FROM lineitem""",
 
@@ -3064,11 +3066,12 @@ object QueriesMore {
              m.value_c * 1000000 // n.nt AS credit
            FROM m JOIN n USING (conv_id))
          SELECT attributed, count(*) AS n_touch,
-           CAST(sum(credit) AS DECIMAL(38,0)) AS credit_ppm
+           CAST(sum(CAST(credit AS HUGEINT)) AS BIGINT) AS credit_ppm
          FROM cr GROUP BY 1
          UNION ALL
          SELECT '(none)' AS attributed, count(*) AS n_touch,
-           CAST(sum(value_c) * 1000000 AS DECIMAL(38,0)) AS credit_ppm
+           CAST(sum(CAST(value_c AS HUGEINT)) * 1000000 AS BIGINT)
+             AS credit_ppm
          FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM m)
          HAVING count(*) > 0""",
 

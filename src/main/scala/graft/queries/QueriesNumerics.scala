@@ -463,10 +463,16 @@ object QueriesNumerics {
         col("l_partkey") === col("p_partkey"))
       val battery = graft.numerics.Stats.twoPropZBattery(joined, "p_brand",
         col("l_returnflag") === "R")
+      // p8 rides the decimal(18,8) grid through the EXACT step-up
+      // comparison; the EMITTED column is the 8-dp double (the
+      // driver-hashable output-type contract — both engines apply IEEE
+      // round-to-nearest to the identical decimal, so bit patterns
+      // agree; + 0.0 kills signed zero)
       graft.numerics.Stats.benjaminiHochberg(battery, "grp", "p8",
           alphaNum = 1, alphaDen = 20)
         .select(col("grp").as("brand"), col("n"), col("k"), col("z8"),
-          col("p8"), col("rank"), col("rejected"))
+          (col("p8").cast("double") + lit(0.0)).as("p8"),
+          col("rank"), col("rejected"))
     }),
 
     // Kaplan-Meier survival + Nelson-Aalen cumulative hazard over
@@ -1412,7 +1418,8 @@ object QueriesNumerics {
            FROM p CROSS JOIN m),
          km AS (SELECT COALESCE(max(rank), 0) AS kmax FROM r
            WHERE p8 * 20 * m <= rank)
-         SELECT brand, n, k, z8, p8, rank, rank <= kmax AS rejected
+         SELECT brand, n, k, z8, CAST(p8 AS DOUBLE) + 0.0 AS p8,
+           rank, rank <= kmax AS rejected
          FROM r CROSS JOIN km""",
 
     // KM replay: same per-duration aggregate, same 1e12 fixed-point

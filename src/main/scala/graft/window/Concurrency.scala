@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   * identical total order. */
 object Concurrency {
 
-  /** @param sessions one row per session with timestamp columns
-    * @return per day: boundary count and peak concurrency (exact). */
+  /** Per-day peak concurrency, evaluated AT BOUNDARY INSTANTS of that
+    * day only — the exact contract (both engines replay it): a day is
+    * present iff at least one session starts or ends inside it, and its
+    * peak is the max running level over those instants. A day that
+    * falls entirely INSIDE a multi-day session emits no row, and a day
+    * whose true peak is the level carried over midnight (before its
+    * first boundary) reports the boundary-instant max instead —
+    * sessions are assumed intra-day (true of gap-sessionized streams,
+    * whose sessions can't outlive the gap). For multi-day sessions,
+    * split rows at midnight upstream before calling this.
+    *
+    * @param sessions one row per session with timestamp columns
+    * @return per day: boundary count and peak concurrency. */
   def dailyPeak(sessions: DataFrame, tStart: String,
                 tEnd: String): DataFrame = {
     val b = sessions

@@ -57,6 +57,20 @@ def main():
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         odf = otab.to_pandas()
         spark_files = sorted(glob.glob(f"{spark_path}/*.parquet"))
+        # Output-type contract (r13 verdict): driver-hashable output
+        # types are BIGINT/DOUBLE/STRING/BOOL/DATE/TIMESTAMP — a
+        # DecimalType column in the SPARK output schema is a guaranteed
+        # driver hash mismatch (r13: q314/q331/q348, 3-for-3), however
+        # value-exact the cells are. Decimals are internal only.
+        s_schema = pq.read_schema(spark_files[0])
+        s_dec = arrow_decimal_cols(s_schema)
+        if s_dec:
+            print(f"FAIL {name}: Spark output has DECIMAL column(s) "
+                  f"{sorted(s_dec)} — the driver hash cannot canonicalize "
+                  f"Spark-side decimals; cast the output to BIGINT "
+                  f"(integer grids, widen via DECIMAL internally) or "
+                  f"DOUBLE (rounded grids) in BOTH engines")
+            n_fail += 1; continue
         sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
         # The driver hashes TYPED values after canonicalizing DECIMAL to
         # float64 (observed r07: decimal(p,s>0) vs spark DOUBLE passes;
