@@ -56,10 +56,15 @@ object HDF5 {
   // ------------------------------------------------------------------
 
   /** Datatype subset: fixed-point / float / string / reference / vlen /
-    * compound (members = (name, byteOffset, type)). */
+    * compound (members = (name, byteOffset, type)). `precBits`/`bitOff`
+    * carry a fixed-point type's declared precision/bit-offset (0/full =
+    * ordinary full-width integers) — an nbit-filtered variable restores
+    * bytes with ONLY those bits populated, so the scalar decode must
+    * extract + sign-extend that span, exactly as H5T conversion does. */
   case class DType(clazz: Int, size: Int, littleEndian: Boolean,
                    signed: Boolean, base: Option[DType] = None,
-                   members: Seq[(String, Int, DType)] = Nil)
+                   members: Seq[(String, Int, DType)] = Nil,
+                   precBits: Int = 0, bitOff: Int = 0)
 
   sealed trait Layout
   case class Contiguous(addr: Long, size: Long) extends Layout
@@ -89,7 +94,8 @@ object HDF5 {
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
     def fletcher32: Boolean = filters.exists(_._1 == 3)
     def badFilters: Seq[Int] =
-      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 32000, 32001, 32015))
+      filters.map(_._1).filterNot(Set(1, 2, 3, 4, 5, 6, 32000, 32001,
+        32015))
     def attr(n: String): Option[Attr] = attrs.find(_.name == n)
     def isDimScale: Boolean =
       attr("CLASS").exists(a => Option(a.text).contains("DIMENSION_SCALE"))
@@ -337,28 +343,44 @@ object HDF5 {
     val active = filters.zipWithIndex
       .filter { case (_, i) => (mask & (1 << i)) == 0 }
       .map(_._1)
+    // expected payload size of the decompressor at pipeline stage k:
+    // the nominal chunk size transformed by every INNER (earlier-
+    // applied) stage in order — fletcher appends 4 checksum bytes,
+    // nbit shrinks to its exact packed size, scale-offset's packed
+    // size is chunk-dependent so use its 21-byte-header upper bound
+    // (the bit decoders ignore trailing slack, and inflate/lzf stop
+    // at actual stream end)
+    def innerSize(k: Int): Int = {
+      var sz = nominal
+      active.take(k).foreach {
+        case (3, _) => sz += 4
+        case (5, cd) if cd.length >= 8 && cd(1) == 0 && cd(3) == 1 =>
+          sz = NbitSO.nbitPackedSize(cd)
+        case (6, _) => sz += NbitSO.SoHeader
+        case _ => ()
+      }
+      sz
+    }
+    def soInner(k: Int): Boolean = active.take(k).exists(_._1 == 6)
     var cur = raw
     var k = active.length - 1
     while (k >= 0) {
       active(k) match {
-        case (1, _) =>
-          val innerFl = 4 * active.take(k).count(_._1 == 3)
-          cur = inflate(cur, nominal + innerFl)
+        case (1, _) => cur = inflate(cur, innerSize(k))
         case (2, cd) => cur = unshuffle(cur, cd.headOption.getOrElse(1))
         case (4, cd) => cur = Szip.hdf5Decode(cur, cd, what)
+        case (5, cd) => cur = NbitSO.nbitDecode(cur, cd)
+        case (6, cd) => cur = NbitSO.soDecode(cur, cd)
         case (32000, _) => // h5py lzf; sized like deflate (see case 1)
-          val innerFl = 4 * active.take(k).count(_._1 == 3)
-          cur = Lzf.decompress(cur, nominal + innerFl)
+          cur = Lzf.decompress(cur, innerSize(k))
         case (32001, _) => // hdf5-blosc plugin: payload is a self-
           // describing c-blosc frame (cd values only matter on write)
-          val innerFl = 4 * active.take(k).count(_._1 == 3)
-          cur = Blosc.decompress(cur, nominal + innerFl)
+          cur = Blosc.decompress(cur, innerSize(k))
         case (32015, _) => // registered zstd (netCDF-C 4.9+ / hdf5plugin)
-          val innerFl = 4 * active.take(k).count(_._1 == 3)
-          val out = new Array[Byte](nominal + innerFl)
+          val out = new Array[Byte](innerSize(k))
           val n = com.github.luben.zstd.Zstd.decompressByteArray(
             out, 0, out.length, cur, 0, cur.length)
-          require(n == out.length,
+          require(n == out.length || soInner(k),
             s"zstd chunk of $what decoded $n of ${out.length} bytes")
           cur = out
         case (3, _) =>
@@ -736,8 +758,9 @@ object HDF5 {
     val size = b.getInt()
     clazz match {
       case 0 => // fixed point: props bitoffset(2) precision(2)
-        b.getShort(); b.getShort()
-        DType(0, size, littleEndian = (b0 & 1) == 0, signed = (b0 & 8) != 0)
+        val bo = b.getShort() & 0xffff; val pr = b.getShort() & 0xffff
+        DType(0, size, littleEndian = (b0 & 1) == 0,
+          signed = (b0 & 8) != 0, precBits = pr, bitOff = bo)
       case 1 => // float: props 12 bytes
         b.getShort(); b.getShort(); b.get(); b.get(); b.get(); b.get()
         b.getInt()
@@ -877,6 +900,28 @@ object HDF5 {
 
   private def readScalar(b: ByteBuffer, dt: DType): Double = dt.clazz match {
     case 1 => if (dt.size == 4) b.getFloat().toDouble else b.getDouble()
+    case 0 if dt.precBits > 0 &&
+      (dt.bitOff != 0 || dt.precBits < dt.size * 8) =>
+      // reduced-precision fixed point (nbit variables): the restored
+      // bytes carry the value at bits [bitOff, bitOff+precBits); other
+      // bits are zero. Extract the span and sign-extend from its top
+      // bit — the H5T conversion step the full-width read skips.
+      require(dt.size <= 8 && dt.precBits + dt.bitOff <= 64,
+        s"fixed-point precision ${dt.precBits}+${dt.bitOff} in " +
+          s"${dt.size}-byte type")
+      var raw = 0L
+      var i = 0
+      while (i < dt.size) { raw |= (b.get() & 0xffL) << (8 * i); i += 1 }
+      require(dt.littleEndian, "reduced-precision big-endian fixed " +
+        "point is unimplemented (BE nbit is rejected upstream)")
+      val span = raw >>> dt.bitOff
+      val v =
+        if (dt.signed) (span << (64 - dt.precBits)) >> (64 - dt.precBits)
+        else span & (if (dt.precBits == 64) -1L
+        else (1L << dt.precBits) - 1)
+      require(math.abs(v.toDouble) <= 9007199254740992.0,
+        s"reduced-precision integer $v exceeds the exact-double range")
+      v.toDouble
     case 0 => dt.size match {
       case 1 => val v = b.get(); if (dt.signed) v.toDouble else (v & 0xff).toDouble
       case 2 => val v = b.getShort(); if (dt.signed) v.toDouble else (v & 0xffff).toDouble
@@ -991,23 +1036,29 @@ object HDF5 {
   private def checkReadable(d: DatasetMetaH5, name: String): Unit = {
     d.parseError.foreach(err =>
       sys.error(s"$name failed metadata parse: $err"))
-    require(d.badFilters.isEmpty, {
-      val names = d.badFilters.map {
-        case 5 => "5 (nbit)"
-        case 6 => "6 (scaleoffset)"
-        case o => o.toString
-      }
-      s"$name uses unsupported filter ids ${names.mkString(", ")} — this " +
-        "reader decodes deflate/shuffle/fletcher32/szip/lzf/blosc/zstd " +
-        "only. " +
+    require(d.badFilters.isEmpty,
+      s"$name uses unsupported filter ids ${d.badFilters.mkString(", ")}" +
+        " — this reader decodes deflate/shuffle/fletcher32/szip/nbit/" +
+        "scaleoffset/lzf/blosc/zstd only. " +
         "Re-encode with `nccopy -F \"*,1\" in.nc4 out.nc4` (netCDF-C) or " +
-        "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read."
-    })
+        "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read.")
     d.filters.find(_._1 == 4).foreach { case (_, cd) =>
       require(cd.length >= 4 && Set(8, 16, 32).contains(cd(1)),
         s"$name uses szip with parameters [${cd.mkString(", ")}] — this " +
           "reader decodes 8/16/32-bit szip samples only. Re-encode with " +
           "`h5repack -f GZIP=1 in.h5 out.h5` to deflate, then re-read.")
+    }
+    d.filters.find(_._1 == 5).foreach { case (_, cd) =>
+      require(cd.length >= 4 && (cd(1) != 0 || cd(3) == 1 || cd(3) == 4),
+        s"$name uses nbit on an array/compound datatype " +
+          s"[${cd.mkString(", ")}] — this reader decodes atomic nbit " +
+          "only. Re-encode with `h5repack -f GZIP=1` to deflate.")
+    }
+    d.filters.find(_._1 == 6).foreach { case (_, cd) =>
+      require(cd.length >= 8 && (cd(0) == 2 || cd(0) == 0),
+        s"$name uses scale-offset E-scaling [${cd.mkString(", ")}] — " +
+          "unimplemented in the HDF5 C library itself; re-encode with " +
+          "INT or FLOAT_DSCALE scaling.")
     }
   }
 
@@ -1735,14 +1786,44 @@ object HDF5 {
   /** `fletcherOuter`: declare + apply fletcher32 LAST (h5py's
     * set_fletcher32 order — checksum covers the compressed bytes) instead
     * of the default netCDF-C order (checksum innermost, over raw bytes). */
+  /** `nbitPrec` > 0 declares + applies the built-in n-bit filter (id 5,
+    * integral vars, offset 0); `soScale` = (scaleType, scaleFactor)
+    * declares + applies scale-offset (id 6): (2, 0|minbits) for
+    * integers, (0, D) for D-scaled f64. Both precede the deflate stage
+    * in pipeline order, as libhdf5 arranges them. */
   case class WVar(name: String, dims: Seq[Int], data: Array[Double],
                   chunk: Option[Seq[Int]] = None, f32: Boolean = false,
                   integral: Boolean = false, shuffle: Boolean = false,
                   fletcher: Boolean = false, fletcherOuter: Boolean = false,
                   szip: Boolean = false, lzf: Boolean = false,
-                  zstd: Boolean = false, index4: Option[String] = None) {
+                  zstd: Boolean = false, index4: Option[String] = None,
+                  nbitPrec: Int = 0,
+                  soScale: Option[(Int, Int)] = None) {
     require(Seq(szip, lzf, zstd).count(identity) <= 1,
       "szip/lzf/zstd are alternative compressors")
+    require(nbitPrec == 0 || soScale.isEmpty,
+      "nbit and scale-offset are alternative pre-compression filters")
+    require(nbitPrec == 0 || (integral && chunk.isDefined),
+      "nbit applies to chunked integral variables (precision of the " +
+        "64-bit fixed-point element)")
+    require(soScale.isEmpty || chunk.isDefined,
+      "scale-offset applies to chunked variables")
+    require(soScale.forall { case (st, _) =>
+      (st == 2 && integral) || (st == 0 && !integral && !f32) },
+      "scale-offset: INT (2) needs integral, FLOAT_DSCALE (0) needs f64")
+    /** H5Z__set_local_nbit-shaped client data for the atomic class:
+      * [nValid, noNeedFlag, nelmts, class=atomic, size, order=LE,
+      * precision, offset=0]. */
+    def nbitCd(chunkDims: Seq[Int]): Seq[Int] =
+      Seq(8, 0, chunkDims.product, 1, 8, 0, nbitPrec, 0)
+    /** H5Z__set_local_scaleoffset-shaped client data (20 words):
+      * [scaleType, scaleFactor, nelmts, class, size, sign, order=LE,
+      * filavail=undefined, 12 fill words]. */
+    def soCd(chunkDims: Seq[Int]): Seq[Int] = {
+      val (st, sf) = soScale.get
+      Seq(st, sf, chunkDims.product, if (integral) 0 else 1, 8,
+        if (integral) 1 else 0, 0, 0) ++ Seq.fill(12)(0)
+    }
     require(index4.forall(Set("single", "fixed", "ea")),
       "index4 writes layout-v4 'single', 'fixed', or 'ea' chunk indexes")
     require(index4.isEmpty || chunk.isDefined,
@@ -1887,7 +1968,13 @@ object HDF5 {
                 v.data(idx.indices.map(k => (idx(k) * strides(k)).toInt).sum)
               else 0.0
             }
-            val enc = encode(v, slice)
+            val enc0 = encode(v, slice)
+            // nbit / scale-offset run FIRST in pipeline (apply) order
+            val enc =
+              if (v.nbitPrec > 0) NbitSO.nbitEncode(enc0, v.nbitCd(cd))
+              else if (v.soScale.isDefined)
+                NbitSO.soEncode(enc0, v.soCd(cd))
+              else enc0
             def addSum(a: Array[Byte]): Array[Byte] = {
               val withSum = java.util.Arrays.copyOf(a, a.length + 4)
               ByteBuffer.wrap(withSum, a.length, 4)
@@ -2537,13 +2624,16 @@ object HDF5 {
     b.array()
   }
 
-  private def dtypeBody(elemSize: Int, integral: Boolean): Array[Byte] = {
+  private def dtypeBody(elemSize: Int, integral: Boolean,
+                        precBits: Int = 0): Array[Byte] = {
     val b = ByteBuffer.allocate(if (integral) 12 else 20)
       .order(ByteOrder.LITTLE_ENDIAN)
-    if (integral) { // fixed-point, LE, signed
+    if (integral) { // fixed-point, LE, signed; nbit vars declare their
+      // reduced precision (libhdf5 derives the filter cd from it)
       b.put(0x10.toByte); b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
       b.putInt(elemSize)
-      b.putShort(0.toShort); b.putShort((elemSize * 8).toShort)
+      b.putShort(0.toShort)
+      b.putShort((if (precBits > 0) precBits else elemSize * 8).toShort)
     } else { // IEEE float, LE
       b.put(0x11.toByte); b.put(0x20.toByte)
       b.put((if (elemSize == 4) 31 else 63).toByte); b.put(0.toByte)
@@ -2695,18 +2785,35 @@ object HDF5 {
                            fletcherOuter: Boolean = false,
                            szipCd: Option[Seq[Int]] = None,
                            lzf: Boolean = false,
-                           zstd: Boolean = false): Array[Byte] = {
+                           zstd: Boolean = false,
+                           nbitCd: Option[Seq[Int]] = None,
+                           soCd: Option[Seq[Int]] = None): Array[Byte] = {
     val nf = 1 + (if (shuffleElem.isDefined) 1 else 0) +
-      (if (fletcher) 1 else 0)
+      (if (fletcher) 1 else 0) +
+      (if (nbitCd.isDefined) 1 else 0) + (if (soCd.isDefined) 1 else 0)
     // entry sizes: deflate 16 / szip 24 (4 client values) / lzf 16 (8-byte
     // padded name, ids >= 256 record one) / zstd 24 (name + level),
-    // shuffle 16, fletcher 8
+    // shuffle 16, fletcher 8, nbit 40 (8 cd), scaleoffset 88 (20 cd)
     val bodyLen = 8 + (if (szipCd.isDefined || zstd) 24 else 16) +
       (if (shuffleElem.isDefined) 16 else 0) +
-      (if (fletcher) 8 else 0)
+      (if (fletcher) 8 else 0) +
+      (if (nbitCd.isDefined) 40 else 0) + (if (soCd.isDefined) 88 else 0)
     val b = ByteBuffer.allocate(bodyLen).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(nf.toByte)
     b.putShort(0.toShort); b.putInt(0)
+    // nbit / scale-offset apply first: declare them first
+    nbitCd.foreach { cd =>
+      b.putShort(5.toShort); b.putShort(0.toShort)
+      b.putShort(0.toShort) // mandatory (skipping would corrupt data)
+      b.putShort(cd.length.toShort)
+      cd.foreach(b.putInt) // 8 values: even count, no pad
+    }
+    soCd.foreach { cd =>
+      b.putShort(6.toShort); b.putShort(0.toShort)
+      b.putShort(0.toShort) // mandatory
+      b.putShort(cd.length.toShort)
+      cd.foreach(b.putInt) // 20 values: even count, no pad
+    }
     def fletcherEntry(): Unit = {
       b.putShort(3.toShort) // fletcher32
       b.putShort(0.toShort) // name length
@@ -2782,7 +2889,7 @@ object HDF5 {
       dimDefs.exists(_._1 == v.name)
     val base = Seq(
       msg(0x01, dataspaceBody(shape)),
-      msg(0x03, dtypeBody(elemSize, v.integral)),
+      msg(0x03, dtypeBody(elemSize, v.integral, v.nbitPrec)),
       msg(0x05, fillBody()),
       v.chunk match {
         case None => msg(0x08, layoutBodyContig(dataAddr.get,
@@ -2801,7 +2908,9 @@ object HDF5 {
         if (v.shuffle) Some(elemSize) else None, v.fletcher,
         v.fletcherOuter,
         if (v.szip) Some(v.szipCd(v.chunk.get)) else None,
-        v.lzf, v.zstd))) else Nil
+        v.lzf, v.zstd,
+        if (v.nbitPrec > 0) Some(v.nbitCd(v.chunk.get)) else None,
+        v.soScale.map(_ => v.soCd(v.chunk.get))))) else Nil
     val attrs =
       if (isDim) Seq(
         msg(0x0C, scalarStrAttrBody("CLASS", "DIMENSION_SCALE")),

@@ -761,6 +761,51 @@ object QueriesMore {
       graft.io.Store.open(s, base + "_parquet").select("ln", "q", "cnt")
     }),
 
+    // n-bit + scale-offset filtered netCDF-4 (HDF5 built-in filters 5
+    // and 6 — the last real-file read gaps): derivational 7x4
+    // (year x quarter) count grids, cnt_nb through nbit (24-bit
+    // precision on int64 elements, reduced-precision dtype sign
+    // extension) + deflate, cnt_so through scale-offset INT (per-chunk
+    // minbits/minval header) + deflate; both read back through
+    // openDataset's full-outer dim join, counts recomputed by the
+    // oracle straight from the parquet — any packing defect (bit
+    // order, span walk, header layout) breaks the hash
+    "q354_hdf5_nbit_scaleoffset" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5nb_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val li = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")).between(1995, 2001))
+        .groupBy((year(col("l_shipdate")) - 1995).cast("int").as("y"),
+          (quarter(col("l_shipdate")) - 1).cast("int").as("q"))
+        .count().collect() // bounded at the 28-cell grid
+      val gridNb = new Array[Double](28)
+      li.foreach(r => gridNb(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      val od = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1995, 2001))
+        .groupBy((year(col("o_orderdate")) - 1995).cast("int").as("y"),
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"))
+        .count().collect()
+      val gridSo = new Array[Double](28)
+      od.foreach(r => gridSo(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("y" -> Array.tabulate(7)(_.toDouble),
+          "q" -> Array.tabulate(4)(_.toDouble)),
+        Seq(
+          // 3x2 chunks over 7x4: edge chunks exercise the packers' pad
+          HDF5.WVar("cnt_nb", Seq(0, 1), gridNb,
+            chunk = Some(Seq(3, 2)), integral = true, nbitPrec = 24),
+          HDF5.WVar("cnt_so", Seq(0, 1), gridSo,
+            chunk = Some(Seq(3, 2)), integral = true,
+            soScale = Some((2, 0)))))
+      HDF5.openDataset(s, base)
+        .select(col("y"), col("q"),
+          col("cnt_nb").cast("double").as("cnt_nb"),
+          col("cnt_so").cast("double").as("cnt_so"))
+    }),
+
     // lzf-compressed netCDF-4 (h5py's built-in compression="lzf"):
     // derivational 7x4 (year x quarter, 1995-2001) order-count grid through the
     // libLZF codec in io/Lzf.scala and the chunk-granular convert
@@ -2136,6 +2181,27 @@ object QueriesMore {
              CAST(quarter(l_shipdate) - 1 AS BIGINT) AS q, count(*) AS cnt
            FROM lineitem GROUP BY 1, 2) c
          ON c.ln = g.ln AND c.q = g.q""",
+
+    // derivational: both count grids recomputed from the parquet — an
+    // nbit bit-walk or scale-offset header/minbits defect breaks it
+    "q354_hdf5_nbit_scaleoffset" ->
+      """SELECT g.y, g.q,
+           CAST(coalesce(l.cnt, 0) AS DOUBLE) AS cnt_nb,
+           CAST(coalesce(o.cnt, 0) AS DOUBLE) AS cnt_so
+         FROM (SELECT y.y, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS y) y
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         LEFT JOIN (SELECT CAST(year(l_shipdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(l_shipdate) - 1 AS BIGINT) AS q, count(*) AS cnt
+           FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 2001
+           GROUP BY 1, 2) l
+         ON l.y = g.y AND l.q = g.q
+         LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             count(*) AS cnt
+           FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+           GROUP BY 1, 2) o
+         ON o.y = g.y AND o.q = g.q""",
 
     // derivational: order counts recomputed from the parquet — an lzf
     // defect (bad back-reference, wrong run length) breaks the hash
