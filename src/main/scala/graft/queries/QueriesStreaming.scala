@@ -103,16 +103,60 @@ object QueriesStreaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
-    // A FULL OUTER stream-stream interval join is expressible with the
-    // same machinery (intervalJoin(joinType = "fullOuter") — Spark
-    // supports it) but is deliberately NOT oracle-gated: the final-batch
-    // eviction boundary differs per side and is implementation-defined
-    // (measured on this data: the right side null-extends only up to
-    // max(rightTs) - 2h, the left side's cut is not a closed form of
-    // the data), so a batch-SQL oracle would be green only until the
-    // data lands on the boundary — the exact fragility class the
-    // round-12 signed-zero audit removed. The LEFT outer contract
-    // (q208 above) is clean and stays gated.
+    // FULL OUTER stream-stream interval join, gated on a CONSTRUCTED
+    // stream whose watermark boundary is CLOSED by design: the raw
+    // events table can't gate this (the per-side eviction cuts are
+    // implementation-defined and its rows land on them), so the
+    // fixture places every potentially-unmatched row >= 6h older than
+    // the final watermark — far below BOTH sides' eviction bounds
+    // (left evicts below wm - 30min, right below wm - 30min for this
+    // condition; wm = max ts - 1h) — and pins the watermark with one
+    // anchor pair at max ts that always MATCHES (matches emit eagerly,
+    // so the anchors are boundary-insensitive). Every null extension is
+    // then a closed form of the data and the batch FULL OUTER replays
+    // it exactly.
+    "q355_stream_full_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val base = "/tmp/graft_fo_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val ev = Tables.events(s, dir)
+        val mx = ev.agg(max(col("ts")).as("m")) // 1-row bound
+        val old = col("ts") <= col("m") - expr("INTERVAL 6 HOURS")
+        ev.crossJoin(broadcast(mx))
+          .filter(col("event_type") === "error" && old)
+          .select(col("user_id").as("k"), col("ts").as("e_ts"),
+            col("event_id").as("e_id"))
+          .unionByName(mx.select(lit(-1L).as("k"), col("m").as("e_ts"),
+            lit(-1L).as("e_id")))
+          .write.mode("overwrite").parquet(base + "/left")
+        ev.crossJoin(broadcast(mx))
+          .filter(col("event_type") === "purchase" && old)
+          .select(col("user_id").as("k"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"), col("value").as("p_value"))
+          .unionByName(mx.select(lit(-1L).as("k"), col("m").as("p_ts"),
+            lit(-2L).as("p_id"), lit(0.0).as("p_value")))
+          .write.mode("overwrite").parquet(base + "/right")
+        val lSchema = StructType(Seq(StructField("k", LongType),
+          StructField("e_ts", TimestampType), StructField("e_id", LongType)))
+        val rSchema = StructType(Seq(StructField("k", LongType),
+          StructField("p_ts", TimestampType), StructField("p_id", LongType),
+          StructField("p_value", DoubleType)))
+        val lhs = s.readStream.schema(lSchema).parquet(base + "/left")
+          .withWatermark("e_ts", "1 hour")
+          .select(col("k").as("lk"), col("e_ts"), col("e_id"))
+        val rhs = s.readStream.schema(rSchema).parquet(base + "/right")
+          .withWatermark("p_ts", "1 hour")
+          .select(col("k").as("rk"), col("p_ts"), col("p_id"),
+            col("p_value"))
+        val joined = StreamOps.intervalJoin(lhs, rhs, "lk", "rk",
+            "e_ts", "p_ts", "30 minutes", joinType = "fullOuter")
+          .select(col("e_id"), col("p_id"), col("p_value"))
+        StreamOps.runToCompletion(s, joined,
+          s"stream_fo_${System.nanoTime}", mode = "append")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
 
     // streaming parquet FILE SINK (exactly-once manifest): purchases
     // stream into a parquet directory via AvailableNow; the committed
@@ -424,6 +468,23 @@ object QueriesStreaming {
                 AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts)
          SELECT event_id, purchase_id, p_value FROM j, wm
          WHERE purchase_id IS NOT NULL OR e_ts < w""",
+    // full-outer replay on the constructed fixture: the 6h-old rows are
+    // all strictly evictable by the final watermark, the anchor pair
+    // always matches, so the batch FULL OUTER is the exact contract
+    "q355_stream_full_outer" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         l AS (SELECT user_id AS k, ts AS e_ts, event_id AS e_id
+               FROM events CROSS JOIN mx
+               WHERE event_type = 'error' AND ts <= m - INTERVAL 6 HOUR
+               UNION ALL SELECT -1, m, -1 FROM mx),
+         r AS (SELECT user_id AS k, ts AS p_ts, event_id AS p_id,
+                 value AS p_value
+               FROM events CROSS JOIN mx
+               WHERE event_type = 'purchase' AND ts <= m - INTERVAL 6 HOUR
+               UNION ALL SELECT -1, m, -2, 0.0 FROM mx)
+         SELECT l.e_id, r.p_id, r.p_value
+         FROM l FULL OUTER JOIN r ON l.k = r.k
+           AND r.p_ts BETWEEN l.e_ts - INTERVAL 30 MINUTE AND l.e_ts""",
     "q209_stream_file_sink" ->
       """SELECT user_id, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
