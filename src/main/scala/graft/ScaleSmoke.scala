@@ -86,17 +86,35 @@ object ScaleSmoke {
                     reps: Int): Unit = {
     val r = col("__r")
     def shift(c: String) = (col(c) + r * OFF).as(c)
-    def save(df: DataFrame, t: String): Unit = {
-      df.drop("__r").write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"SCALE_BUILT $t")
-    }
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def save(df: DataFrame, t: String): Unit =
+      if (tables.forall(_(t))) {
+        df.drop("__r").write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"SCALE_BUILT $t")
+      }
+    // SPARK_GRAFT_SCALE_MUTATE=1 dilutes near-dup density to ZERO
+    // across replicas: every token of every r>0 replica gets a
+    // replica-specific suffix, so replicas share no shingles at all
+    // (each replica family keeps only its ORIGINAL intra-corpus
+    // overlaps). Pair-emission verbs then scale linearly in replica
+    // count — the control experiment for the suffix-only replica whose
+    // quadratic sibling pairs dominate.
+    val mutate = sys.env.get("SPARK_GRAFT_SCALE_MUTATE").contains("1")
+    val mutText =
+      if (mutate)
+        when(r === 0, col("text")).otherwise(array_join(
+          transform(split(col("text"), " "),
+            t => concat(t, lit("~"), r.cast("string"))), " "))
+      else
+        when(r === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), r))
     save(rep(spark, src, "documents").select(
       shift("doc_id"),
-      when(r === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" r"), r)).as("text"),
+      mutText.as("text"),
       col("lang"), col("source"),
       when(r === 0, col("n_chars"))
-        .otherwise(col("n_chars") + length(concat(lit(" r"), r))).as("n_chars"),
+        .otherwise(length(mutText)).as("n_chars"),
       r), "documents")
     save(rep(spark, src, "embeddings")
       .select(shift("vec_id"), col("embedding"), col("label"), r), "embeddings")
@@ -115,9 +133,11 @@ object ScaleSmoke {
       shift("event_id"), col("ts"), shift("user_id"),
       col("event_type"), col("value"), col("props"), r), "events")
     Seq("part", "supplier", "nation", "region").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"SCALE_BUILT $t (verbatim)")
+      if (tables.forall(_(t))) {
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"SCALE_BUILT $t (verbatim)")
+      }
     }
   }
 }
