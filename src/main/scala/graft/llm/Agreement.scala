@@ -84,6 +84,50 @@ object Agreement {
           .cast("long").as("alpha_ppm"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) for m raters per item, nominal
+    * categories — the FIXED-rater-count companion of
+    * [[krippendorffAlpha]] (which handles the general pairable-values
+    * form): chance agreement uses the squared GLOBAL category
+    * proportions instead of Krippendorff's permutation expectation.
+    *
+    * Denominator-cleared integer form (N items, m raters,
+    * S2 = Σ_i Σ_c n_ic², S_c = Σ_c n_c² with n_c the global category
+    * marginals):
+    *   P̄  − P̄e  ∝ A = (S2 − N·m)·N·m − S_c·(m−1)
+    *   1 − P̄e   ∝ B = ((N·m)² − S_c)·(m−1)
+    *   kappa_ppm = A·10⁶ div B
+    * — every quantity an exact integer (DECIMAL-widened products), one
+    * truncating division. Scale shape mirrors krippendorffAlpha: one
+    * explode to (item, value) long form, two hash aggregates, a 1-row
+    * combine. */
+  def fleissKappa(df: DataFrame, item: Column,
+                  raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa needs >= 2 raters")
+    val m = raters.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val long_ = df.select(item.as("i"),
+      explode(array(raters.map(_.cast("string")): _*)).as("v"))
+    val cells = graft.util.QueryCache.persist(
+      long_.groupBy(col("i"), col("v")).agg(count(lit(1)).as("c")))
+    val perItem = cells
+      .groupBy(col("i")).agg(sum(col("c") * col("c")).as("s2i"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("s2i")).cast(dec).as("s2"))
+    val marg = cells.groupBy(col("v")).agg(sum(col("c")).as("nc"))
+      .agg(sum(col("nc").cast(dec) * col("nc")).as("sum_nc2"))
+    perItem.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("s2").cast("long").as("s2"),
+        col("sum_nc2").cast("long").as("sum_nc2"),
+        expr(s"""CASE WHEN (CAST(n_items AS DECIMAL(38,0)) * $m
+                       * n_items * $m - sum_nc2) = 0 THEN NULL
+                 ELSE ((s2 - CAST(n_items AS DECIMAL(38,0)) * $m)
+                       * n_items * $m - CAST(sum_nc2 AS DECIMAL(38,0))
+                       * ${m - 1}) * 1000000
+                      div ((CAST(n_items AS DECIMAL(38,0)) * $m
+                            * n_items * $m - sum_nc2) * ${m - 1}) END""")
+          .cast("long").as("kappa_ppm"))
+  }
+
   /** Per-class precision / recall / F1 from the confusion counts of a
     * (truth, pred) pair — exact ppm, NULL where a class has no
     * predictions (precision) or no truth rows (recall). The F1 clears

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level composition statistics for training-data curation. */
@@ -179,5 +179,92 @@ object CorpusStats {
           .as("lift_ppm"))
     scored.orderBy(col("lift_ppm").desc, col("n_xy").desc, col("t1"),
       col("t2")).limit(topK)
+  }
+
+  /** Corpus concentration: Gini coefficient + top-decile share of an
+    * integer weight (token counts) across documents — the "how much of
+    * my corpus lives in how few documents" diagnostic that decides
+    * whether a dedup/length-cap pass is worth running.
+    *
+    * Exactness: with x sorted ascending and strict 1..n ranking,
+    * Gini = (2·Σ rank·x − (n+1)·S) / (n·S). Σ rank·x does not depend on
+    * tie order (a tie group's rank sum is fixed), so it folds over the
+    * PER-VALUE frame: Σ_v v·(c_v·below_v + c_v(c_v+1)/2). below_v comes
+    * from the two-level prefix (within-bucket window + broadcast bucket
+    * totals — never a global window); the value frame is bounded by the
+    * distinct weights, not rows. Top-decile share replays the same
+    * frame from above: the top n div 10 items' weight, split exactly at
+    * the threshold value. Everything integer; two truncating ppm divs. */
+  def weightConcentration(df: DataFrame, weight: Column,
+                          bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pv = graft.util.QueryCache.persist(
+      df.select(weight.cast("long").as("v"))
+        .filter(col("v").isNotNull && col("v") >= 0)
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("b", expr(s"v div $bucketWidth")))
+    // bucket totals -> driver (bounded by weight-range/bucketWidth —
+    // token counts, not rows), prefix offsets broadcast back: the
+    // globalRunningSum discipline, never a global window
+    val bt = pv.groupBy(col("b"))
+      .agg(sum(col("c")).as("ct"),
+        sum(col("v").cast(dec) * col("c")).cast(dec).as("wt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .sortBy(_._1)
+    val offsets = bt.scanLeft((0L, 0L, BigDecimal(0))) {
+      case ((_, accC, accW), (b, ct, wt)) => (b, accC + ct, accW + wt)
+    }.init.zip(bt).map { case ((_, offC, offW), (b, _, _)) =>
+      (b, offC, offW)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("b", "off_c", "off_w")
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = graft.util.QueryCache.persist(
+      pv.join(broadcast(offDf), "b")
+        .withColumn("below",
+          col("off_c") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+        .withColumn("below_w",
+          (col("off_w").cast(dec) + coalesce(
+            sum(col("v").cast(dec) * col("c")).over(wIn),
+            lit(0).cast(dec))).cast(dec))
+        .select(col("v"), col("c"), col("below"), col("below_w")))
+    val tot = ranked.agg(sum(col("c")).as("n"),
+      sum(col("v").cast(dec) * col("c")).cast(dec).as("s"),
+      // Σ rank·x folded over the per-value frame: tie groups have a
+      // fixed rank sum c·below + c(c+1)/2 regardless of tie order
+      sum(expr("""CAST(v AS DECIMAL(38,0))
+          * (CAST(c AS DECIMAL(38,0)) * below
+             + CAST(c AS DECIMAL(38,0)) * (c + 1) div 2)"""))
+        .cast(dec).as("w"))
+    // top-decile threshold: the value v* with above < k <= above + c,
+    // k = n div 10, above = n - below - c; its tie group contributes
+    // (k - above) of its c items
+    val thr = ranked
+      .crossJoin(broadcast(ranked.agg(sum(col("c")).as("nn"))))
+      .withColumn("above", col("nn") - col("below") - col("c"))
+      .withColumn("k", expr("nn div 10"))
+      .filter(col("above") < col("k") &&
+        col("k") <= col("above") + col("c"))
+      .select(col("v").as("thr"), col("c").as("thr_c"),
+        col("below_w").as("thr_below_w"), col("above"), col("k"))
+    tot.crossJoin(broadcast(thr))
+      .select(col("n").cast("long").as("n"),
+        col("s").cast("long").as("total_weight"),
+        expr("""CASE WHEN n <= 1 OR s = 0 THEN NULL
+                ELSE (2 * w - (CAST(n AS DECIMAL(38,0)) + 1) * s)
+                     * 1000000 div (CAST(n AS DECIMAL(38,0)) * s) END""")
+          .cast("long").as("gini_ppm"),
+        // weight strictly above thr = s - thr_below_w - thr·thr_c;
+        // plus the threshold group's partial take (k - above)·thr
+        expr("""CASE WHEN s = 0 OR k = 0 THEN NULL
+                ELSE ((s - thr_below_w
+                       - CAST(thr AS DECIMAL(38,0)) * thr_c)
+                      + (k - above) * CAST(thr AS DECIMAL(38,0)))
+                     * 1000000 div s END""")
+          .cast("long").as("top_decile_share_ppm"))
   }
 }

@@ -671,4 +671,88 @@ object Dedup {
         col("__best.__oid").as("nearest_id"),
         col("__best.__d").as("nearest_dist"))
   }
+
+  /** MinHash-LSH index quality: recall AND precision of the banded
+    * bucket join's CANDIDATE pairs against the exact n-gram-Jaccard
+    * ground truth at threshold tauNum/tauDen — the dedup-index eval
+    * completing the ANN quartet (recall@k / NDCG / MRR / MAP judge the
+    * vector index; this judges the text index). A tail-truncated
+    * near-dup copy of every document is planted so the truth set is
+    * dense at high Jaccard.
+    *
+    * Portability: unlike the production path's xxhash64 minhash (q51),
+    * every hash here is the 52-bit md5-prefix value reduced mod
+    * 2³¹−1 with affine coefficients that are CLOSED FORMS of the hash
+    * index — an external SQL engine replays the full signature/band/
+    * bucket pipeline bit-for-bit, so the candidate SET itself (not
+    * just the verified output) is gated.
+    *
+    * Scale shape: signatures are one hash-agg over distinct (doc,
+    * shingle-hash); candidates an equi-join on (band, key); truth the
+    * df-bounded co-shingle join of q52. The threshold test clears
+    * denominators: c·tauDen >= (na+nb−c)·tauNum, exact integers. */
+  def lshIndexEval(docs: DataFrame, id: String, text: String,
+                   dropTail: Int = 5, n: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4,
+                   tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val p = 2147483647L // 2^31 - 1: a*h + b < 2^62, ANSI-safe
+    val toks = TextAnalysis.tokens(lower(col(text)))
+    val base = docs.select(col(id).cast("long").as("d"), toks.as("w"))
+    val all = base.unionByName(base.select((-col("d") - 1).as("d"),
+      org.apache.spark.sql.functions.slice(col("w"), lit(1),
+        greatest(size(col("w")) - dropTail, lit(1))).as("w")))
+    // n-gram shingles from the token array (sequence() runs BACKWARD
+    // when empty — guard on size)
+    val grams = when(size(col("w")) >= n,
+      transform(sequence(lit(1), size(col("w")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(col("w"), i + lit(k))): _*)))
+      .otherwise(array())
+    val sh = graft.util.QueryCache.persist(
+      all.select(col("d"), explode(grams).as("g")).distinct())
+    val hashed = sh.select(col("d"),
+      pmod(expr("conv(substring(md5(g), 1, 13), 16, 10)").cast("long"),
+        lit(p)).as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val a = (1299721L * (i + 1)) % p
+      val b = (104729L * (i + 1)) % p
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("d")).agg(minCols.head, minCols.tail: _*)
+    val bnd = sig.select(col("d"), explode(array((0 until bands).map {
+      bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(",", (0 until rows).map(r =>
+            col(s"m${bd * rows + r}")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select(col("d"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = graft.util.QueryCache.persist(
+      bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") && col("a.d") < col("b.d"))
+        .select(col("a.d").as("x"), col("b.d").as("y")).distinct())
+    val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("nsz"))
+    val truth = graft.util.QueryCache.persist(
+      sh.as("s1").join(sh.as("s2"),
+          col("s1.g") === col("s2.g") && col("s1.d") < col("s2.d"))
+        .groupBy(col("s1.d").as("x"), col("s2.d").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("d").as("x"), col("nsz").as("na")), "x")
+        .join(sizes.select(col("d").as("y"), col("nsz").as("nb")), "y")
+        .filter(col("c") * tauDen >=
+          (col("na") + col("nb") - col("c")) * tauNum)
+        .select(col("x"), col("y")))
+    val hit = truth.join(cand, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("""CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_hit * 1000000 div n_truth END""").as("recall_ppm"),
+        expr("""CASE WHEN n_cand = 0 THEN NULL
+                ELSE n_hit * 1000000 div n_cand END""").as("precision_ppm"))
+  }
 }

@@ -285,4 +285,50 @@ object LinkAnalysis {
                 div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))
                 AS BIGINT)"""))
   }
+
+  /** k-core decomposition for a FIXED k: the maximal subgraph in which
+    * every node has degree >= k, computed by synchronized peeling —
+    * each round drops ALL nodes of current degree < k, so the result is
+    * the k-core's unique fixpoint and the round schedule is the same on
+    * any engine (the k-core is order-independent: peeling is
+    * confluent). Output: one row per surviving node with its degree
+    * INSIDE the core.
+    *
+    * Scale shape: per round one degree aggregate + two anti-joins on
+    * the (bounded, shrinking) dropped-node frame; the loop is
+    * driver-side but each trip is a full distributed pass (the
+    * connected-components / PageRank iteration discipline). `maxRounds`
+    * bounds the loop; the method THROWS if the peel has not reached its
+    * fixpoint by then — a silent partial core is not a k-core. */
+  def kcore(edges: DataFrame, src: String, dst: String, k: Int,
+            maxRounds: Int = 8): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"kcore(k=$k, maxRounds=$maxRounds)")
+    var e = graft.util.QueryCache.persist(
+      edges.select(least(col(src), col(dst)).as("u"),
+          greatest(col(src), col(dst)).as("v"))
+        .filter(col("u") =!= col("v") &&
+          col("u").isNotNull && col("v").isNotNull)
+        .distinct())
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val drop = graft.util.QueryCache.persist(
+        deg.filter(col("d") < k).select("n"))
+      if (drop.isEmpty) converged = true
+      else e = graft.util.QueryCache.persist(
+        e.join(drop, col("u") === col("n"), "left_anti")
+          .join(drop, col("v") === col("n"), "left_anti"))
+      round += 1
+    }
+    require(converged,
+      s"$k-core peel did not converge in $maxRounds rounds — raise " +
+        "maxRounds (each round is one distributed pass)")
+    e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
+      .select(col("n").as("node"), col("core_degree"))
+  }
 }

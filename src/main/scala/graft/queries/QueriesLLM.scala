@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
@@ -1045,6 +1045,39 @@ object QueriesLLM {
       Agreement.cohensKappa(docs, col("lang"),
         TextAnalysis.langId(col("text"), lexicons))
     }),
+
+    // Fleiss' kappa across THREE length raters on a shared 4-category
+    // scale (token count / char count / non-space char count with
+    // aligned thresholds) — the fixed-rater-count agreement statistic
+    // next to Cohen (q280, 2 raters) and Krippendorff (q321 family);
+    // all-integer denominator-cleared form, exact ppm
+    "q357_fleiss_kappa" -> ((s, dir) => {
+      def bucket(c: Column, t1: Int, t2: Int, t3: Int): Column =
+        when(c < t1, 0).when(c < t2, 1).when(c < t3, 2).otherwise(3)
+      val docs = Tables.documents(s, dir)
+      Agreement.fleissKappa(docs, col("doc_id"), Seq(
+        bucket(TextAnalysis.tokenCount(col("text")), 40, 55, 70),
+        bucket(col("n_chars"), 220, 300, 380),
+        bucket(length(regexp_replace(col("text"), " ", "")),
+          180, 250, 320)))
+    }),
+
+    // MinHash-LSH index quality eval: candidate recall + precision vs
+    // the exact 3-gram-Jaccard >= 1/2 truth over the corpus + planted
+    // tail-truncated near-dups — the dedup-index eval completing the
+    // ANN quartet; the md5-portable signature pipeline means the
+    // CANDIDATE SET itself is oracle-gated, not just verified output
+    "q358_lsh_index_eval" -> ((s, dir) =>
+      Dedup.lshIndexEval(Tables.documents(s, dir), "doc_id", "text")),
+
+    // corpus concentration: Gini + top-decile share of tokens across
+    // documents — the "is the corpus dominated by few documents"
+    // health check in front of dedup/length-cap decisions; exact
+    // integer Lorenz arithmetic over the bounded per-value frame
+    // (never a global window — the globalRunningSum offset discipline)
+    "q360_token_gini" -> ((s, dir) =>
+      CorpusStats.weightConcentration(Tables.documents(s, dir),
+        TextAnalysis.tokenCount(col("text")))),
 
     // per-class precision/recall/F1 of the q219 quality classifier
     // against its training labels — the confusion-matrix eval verb
@@ -2236,6 +2269,113 @@ object QueriesLLM {
                      // (CAST(n AS HUGEINT) * n - src_h) AS BIGINT)
            END AS kappa_ppm
          FROM tot CROSS JOIN src""",
+
+    // Fleiss replay: the same three CASE raters, the same
+    // denominator-cleared integer form with m = 3 (HUGEINT widening)
+    "q357_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 40
+                  THEN 0
+                  WHEN len(string_split_regex(trim(text), '\s+')) < 55
+                  THEN 1
+                  WHEN len(string_split_regex(trim(text), '\s+')) < 70
+                  THEN 2 ELSE 3 END AS r1,
+             CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 300 THEN 1
+                  WHEN n_chars < 380 THEN 2 ELSE 3 END AS r2,
+             CASE WHEN length(replace(text, ' ', '')) < 180 THEN 0
+                  WHEN length(replace(text, ' ', '')) < 250 THEN 1
+                  WHEN length(replace(text, ' ', '')) < 320 THEN 2
+                  ELSE 3 END AS r3
+           FROM documents),
+         lng AS (SELECT doc_id AS i, unnest([r1, r2, r3]) AS v FROM r),
+         cells AS (SELECT i, v, count(*) AS c FROM lng GROUP BY 1, 2),
+         a AS (SELECT CAST(count(DISTINCT i) AS HUGEINT) AS n_items,
+             CAST(sum(c * c) AS HUGEINT) AS s2 FROM cells),
+         b AS (SELECT CAST(sum(nc * nc) AS HUGEINT) AS sum_nc2
+           FROM (SELECT v, CAST(sum(c) AS HUGEINT) AS nc FROM cells
+                 GROUP BY 1))
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(s2 AS BIGINT) AS s2,
+           CAST(sum_nc2 AS BIGINT) AS sum_nc2,
+           CASE WHEN n_items * 3 * n_items * 3 - sum_nc2 = 0 THEN NULL
+                ELSE CAST(((s2 - n_items * 3) * n_items * 3
+                           - sum_nc2 * 2) * 1000000
+                     // ((n_items * 3 * n_items * 3 - sum_nc2) * 2)
+                     AS BIGINT) END AS kappa_ppm
+         FROM a CROSS JOIN b""",
+
+    // LSH-eval replay: the identical md5-mod-p signature pipeline —
+    // affine coefficients are closed forms of the hash index, band keys
+    // are the comma-joined mins in index order, truth the co-shingle
+    // Jaccard with cleared denominators
+    "q358_lsh_index_eval" ->
+      """WITH t0 AS (SELECT doc_id AS d,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         alltok AS (SELECT d, w FROM t0
+           UNION ALL
+           SELECT -d - 1, w[1:greatest(len(w) - 5, 1)] FROM t0),
+         sh AS MATERIALIZED (SELECT DISTINCT d,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM alltok, LATERAL (SELECT unnest(generate_series(1,
+             greatest(len(w) - 2, 0))) AS i)),
+         hh AS MATERIALIZED (SELECT d,
+             CAST(list_reduce(list_transform(
+               string_split(substr(md5(g), 1, 13), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) % 2147483647 AS BIGINT) AS h
+           FROM sh),
+         mins AS (SELECT d, i,
+             min(((1299721 * (i + 1) % 2147483647) * h
+                  + (104729 * (i + 1) % 2147483647)) % 2147483647) AS mh
+           FROM hh CROSS JOIN
+             (SELECT unnest(generate_series(0, 15)) AS i)
+           GROUP BY 1, 2),
+         bnd AS MATERIALIZED (SELECT d, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+           FROM mins GROUP BY 1, 2),
+         cand AS MATERIALIZED (SELECT DISTINCT a.d AS x, b.d AS y
+           FROM bnd a JOIN bnd b
+           ON a.band = b.band AND a.key = b.key AND a.d < b.d),
+         sz AS (SELECT d, count(*) AS n FROM sh GROUP BY 1),
+         co AS (SELECT a.d AS x, b.d AS y, count(*) AS c
+           FROM sh a JOIN sh b ON a.g = b.g AND a.d < b.d GROUP BY 1, 2),
+         truth AS MATERIALIZED (SELECT x, y
+           FROM co JOIN sz sa ON sa.d = co.x JOIN sz sb ON sb.d = co.y
+           WHERE c * 2 >= (sa.n + sb.n - c) * 1),
+         hit AS (SELECT count(*) AS n_hit
+           FROM truth JOIN cand USING (x, y)),
+         tt AS (SELECT count(*) AS n_truth FROM truth),
+         cc AS (SELECT count(*) AS n_cand FROM cand)
+         SELECT n_truth, n_cand, n_hit,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_hit * 1000000 // n_truth END AS recall_ppm,
+           CASE WHEN n_cand = 0 THEN NULL
+                ELSE n_hit * 1000000 // n_cand END AS precision_ppm
+         FROM tt CROSS JOIN cc CROSS JOIN hit""",
+
+    // Gini replay: per-row strict ranks (tie order cannot change the
+    // rank-weighted sum), top decile = the n//10 largest by value
+    "q360_token_gini" ->
+      """WITH x AS (SELECT len(string_split_regex(trim(text), '\s+'))
+             AS v FROM documents),
+         o AS (SELECT CAST(v AS HUGEINT) AS v,
+             CAST(row_number() OVER (ORDER BY v) AS HUGEINT) AS rk
+           FROM x),
+         t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(v) AS s, sum(rk * v) AS w FROM o),
+         dsc AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rd
+           FROM x),
+         td AS (SELECT CAST(sum(CASE WHEN rd <= (SELECT n // 10 FROM t)
+               THEN v ELSE 0 END) AS HUGEINT) AS sa FROM dsc)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total_weight,
+           CASE WHEN n <= 1 OR s = 0 THEN NULL
+                ELSE CAST((2 * w - (n + 1) * s) * 1000000 // (n * s)
+                  AS BIGINT) END AS gini_ppm,
+           CASE WHEN s = 0 OR n // 10 = 0 THEN NULL
+                ELSE CAST(sa * 1000000 // s AS BIGINT) END
+             AS top_decile_share_ppm
+         FROM t CROSS JOIN td""",
     "q56_text_quality" ->
       """SELECT doc_id,
          length(text) AS n_chars,

@@ -17,6 +17,33 @@ import graft.window.Pad
   * eval, multi-file open. */
 object QueriesMore {
 
+  /** q356's oracle: 8 synchronized 3-core peel rounds unrolled as CTE
+    * stages (standard SQL forbids aggregates in a recursive term, so
+    * the bounded unroll IS the portable replay; rounds past the
+    * fixpoint are identity). */
+  private def kcoreOracleSql: String = {
+    // MATERIALIZED: each round references the previous edge frame
+    // several times — inlined CTEs would re-evaluate the whole prefix
+    // exponentially across 8 rounds (observed as an fd explosion)
+    val rounds = (0 until 8).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e$r
+              UNION ALL SELECT v FROM e$r) GROUP BY 1
+            HAVING count(*) < 3),
+         e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+            WHERE u NOT IN (SELECT n FROM d$r)
+              AND v NOT IN (SELECT n FROM d$r))"""
+    }.mkString(",\n")
+    s"""WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+            l_partkey AS i
+          FROM lineitem WHERE l_orderkey % 10 = 0),
+        e0 AS MATERIALIZED (SELECT DISTINCT a.i AS u, b2.i AS v
+          FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i),
+        $rounds
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT u AS n FROM e8 UNION ALL SELECT v FROM e8)
+        GROUP BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // tail per dim (ref `dataset.py:3213`) — TakeOrdered on the reversed key
@@ -804,6 +831,49 @@ object QueriesMore {
         .select(col("y"), col("q"),
           col("cnt_nb").cast("double").as("cnt_nb"),
           col("cnt_so").cast("double").as("cnt_so"))
+    }),
+
+    // k-core decomposition (k=3) of the co-purchase graph: synchronized
+    // peeling to the UNIQUE fixpoint (order-independent, so any engine
+    // replays it) — per round one degree aggregate + two anti-joins on
+    // the shrinking dropped-node set; output = surviving nodes with
+    // their in-core degree. The community-core companion of q325's
+    // triangles and q344's link prediction.
+    "q356_kcore" -> ((s, dir) => {
+      val bi = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = bi.as("a").join(bi.as("b2"),
+          col("a.b") === col("b2.b") && col("a.i") < col("b2.i"))
+        .select(col("a.i").as("x"), col("b2.i").as("y"))
+      graft.llm.LinkAnalysis.kcore(edges, "x", "y", k = 3, maxRounds = 8)
+    }),
+
+    // CSV sink -> source round-trip with quoting hazards: memo embeds
+    // commas and double quotes, so a broken writer dialect (unescaped
+    // quote, naive split) corrupts rows; the oracle recomputes the
+    // aggregate straight from the parquet, so the CSV-borne values must
+    // come back byte-faithful (doubles round-trip via shortest repr)
+    "q359_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = "/tmp/graft_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.customer(s, dir).select(col("c_custkey"),
+          concat(col("c_name"), lit(", \""), col("c_mktsegment"),
+            lit("\" x")).as("memo"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(base)
+      val back = s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("memo", StringType),
+          StructField("c_mktsegment", StringType),
+          StructField("c_acctbal", DoubleType))))
+        .csv(base)
+      back.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("memo"))).as("memo_chars"),
+          exactSum(col("c_acctbal")).as("bal"))
     }),
 
     // lzf-compressed netCDF-4 (h5py's built-in compression="lzf"):
@@ -2181,6 +2251,23 @@ object QueriesMore {
              CAST(quarter(l_shipdate) - 1 AS BIGINT) AS q, count(*) AS cnt
            FROM lineitem GROUP BY 1, 2) c
          ON c.ln = g.ln AND c.q = g.q""",
+
+    // k-core replay: the same 8 synchronized peel rounds UNROLLED (the
+    // Spark side caps at the same 8 and THROWS if not converged, so the
+    // two engines peel the identical schedule; rounds past the fixpoint
+    // are no-ops). The k-core is the unique maximal deg>=k subgraph —
+    // order-independent by construction.
+    "q356_kcore" -> kcoreOracleSql,
+
+    // CSV replay: the aggregate recomputed from the parquet — a broken
+    // CSV quote/escape dialect corrupts memo/segment/balance columns on
+    // the Spark side and breaks the hash
+    "q359_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(length(c_name || ', "' || c_mktsegment || '" x'))
+             AS BIGINT) AS memo_chars,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS bal
+         FROM customer GROUP BY 1""",
 
     // derivational: both count grids recomputed from the parquet — an
     // nbit bit-walk or scale-offset header/minbits defect breaks it

@@ -33,7 +33,7 @@ class AttributionSpec extends SparkSpec {
         lookbackMicros = 7L * day, bucketMicros = day)
       .orderBy("attributed").collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2).longValueExact())).toSeq
+        r.getLong(2))).toSeq
     // 3 touches share 300 cents: each gets 300*1e6 div 3 = 100e6 ppm
     assert(out == Seq(
       ("(none)", 1L, 500L * 1000000L),
@@ -56,7 +56,7 @@ class AttributionSpec extends SparkSpec {
         lookbackMicros = 7L * day, bucketMicros = day).collect()
     assert(out.length == 1)
     assert(out.head.getLong(1) == 3L)
-    assert(out.head.getDecimal(2).longValueExact() == 3L * 33333333L)
+    assert(out.head.getLong(2) == 3L * 33333333L)
   }
 
   test("markov removal attribution matches the hand-solved chain") {

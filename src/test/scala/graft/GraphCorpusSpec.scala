@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Agreement, CorpusStats, Dedup, LinkAnalysis}
+
+/** Round-14 verbs: k-core peeling, Fleiss' kappa, weight concentration
+  * (Gini/Lorenz), and the portable LSH index eval — hand-computed
+  * pins so the oracle queries cannot pass by symmetric mistakes. */
+class GraphCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kcore: K4 + pendant peels to the K4 (unique fixpoint)") {
+    // K4 on {1,2,3,4} plus pendant edge 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val core = LinkAnalysis.kcore(edges, "x", "y", k = 3)
+      .orderBy("node").collect()
+    assert(core.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k=2: triangle {1,2,3} with a 2-path tail 3-4-5 keeps only the
+    // triangle after two peel rounds (5 drops, then 4)
+    val e2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val c2 = LinkAnalysis.kcore(e2, "x", "y", k = 2)
+      .orderBy("node").collect()
+    assert(c2.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcore: everything below k yields an empty core, not a throw") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(LinkAnalysis.kcore(path, "x", "y", k = 2).isEmpty)
+  }
+
+  test("fleissKappa: perfect agreement pins 1e6 ppm") {
+    val df = Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"),
+      (3L, "a", "a", "a"), (4L, "c", "c", "c"))
+      .toDF("i", "r1", "r2", "r3")
+    val r = Agreement.fleissKappa(df, col("i"),
+      Seq(col("r1"), col("r2"), col("r3"))).collect()(0)
+    assert(r.getAs[Long]("kappa_ppm") === 1000000L)
+  }
+
+  test("fleissKappa: hand-computed mixed case") {
+    // N=2, m=3: item1 (a,a,b), item2 (b,b,b)
+    // S2 = (4+1) + 9 = 14; nc: a=2, b=4 -> sum_nc2 = 4 + 16 = 20
+    // A = (14-6)*6 - 20*2 = 8; B = (36-20)*2 = 32 -> 250000 ppm
+    val df = Seq((1L, "a", "a", "b"), (2L, "b", "b", "b"))
+      .toDF("i", "r1", "r2", "r3")
+    val r = Agreement.fleissKappa(df, col("i"),
+      Seq(col("r1"), col("r2"), col("r3"))).collect()(0)
+    assert(r.getAs[Long]("s2") === 14L)
+    assert(r.getAs[Long]("sum_nc2") === 20L)
+    assert(r.getAs[Long]("kappa_ppm") === 250000L)
+  }
+
+  test("weightConcentration: hand-computed Gini + top decile") {
+    // ten 1s + one 10: n=11, S=20, ranks ascending sum w=55+110=165
+    // gini = (330 - 12*20)/(11*20) = 90/220 -> 409090 ppm (trunc)
+    // top decile k = 11 div 10 = 1 -> the 10 -> 500000 ppm
+    val df = (Seq.fill(10)(1L) :+ 10L).toDF("v")
+    val r = CorpusStats.weightConcentration(df, col("v")).collect()(0)
+    assert(r.getAs[Long]("n") === 11L)
+    assert(r.getAs[Long]("total_weight") === 20L)
+    assert(r.getAs[Long]("gini_ppm") === 409090L)
+    assert(r.getAs[Long]("top_decile_share_ppm") === 500000L)
+    // equal weights -> Gini 0
+    val eq = Seq.fill(20)(7L).toDF("v")
+    val re = CorpusStats.weightConcentration(eq, col("v")).collect()(0)
+    assert(re.getAs[Long]("gini_ppm") === 0L)
+    assert(re.getAs[Long]("top_decile_share_ppm") === 100000L)
+  }
+
+  test("weightConcentration: threshold tie group splits exactly") {
+    // 20 items: ten 1s, ten 5s; k=2 from the 5s tie group
+    // top share = 10/60 -> 166666 ppm
+    val df = (Seq.fill(10)(1L) ++ Seq.fill(10)(5L)).toDF("v")
+    val r = CorpusStats.weightConcentration(df, col("v")).collect()(0)
+    assert(r.getAs[Long]("top_decile_share_ppm") === 166666L)
+  }
+
+  test("lshIndexEval: identical docs are all caught (recall 1e6)") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((0L, txt), (1L, txt)).toDF("doc_id", "text")
+    val r = Dedup.lshIndexEval(docs, "doc_id", "text").collect()(0)
+    // 4 docs after planting (2 originals + 2 truncated copies). The
+    // 10-token originals have 8 shingles, the 5-token copies 3 (all
+    // shared) -> original-vs-copy J = 3/8 < 1/2, so truth is exactly
+    // the two identical pairs (0,1) and (-2,-1); identical signatures
+    // MUST bucket, so recall is 1e6
+    assert(r.getAs[Long]("n_truth") === 2L)
+    assert(r.getAs[Long]("n_cand") >= 2L)
+    assert(r.getAs[Long]("recall_ppm") === 1000000L)
+  }
+}

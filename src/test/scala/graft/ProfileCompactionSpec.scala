@@ -67,8 +67,8 @@ class ProfileCompactionSpec extends SparkSpec {
       a.orderBy(org.apache.spark.sql.functions.col("v").desc),
       Seq("k", "s", "v")).head()
     assert(f1.getLong(0) == 3L &&
-      f1.getDecimal(1) == f2.getDecimal(1))
+      f1.getLong(1) == f2.getLong(1))
     val f3 = Snapshot.fingerprint(b, Seq("k", "s", "v")).head()
-    assert(f1.getDecimal(1) != f3.getDecimal(1))
+    assert(f1.getLong(1) != f3.getLong(1))
   }
 }

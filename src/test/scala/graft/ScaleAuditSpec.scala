@@ -234,7 +234,18 @@ class ScaleAuditSpec extends SparkSpec {
       "B <= 11 by construction — bin-bounded, never data"),
     "q346_data_checks" -> ("per-check broadcast of the 1-row total " +
       "aggregate onto the 1-row violation aggregate (suite = union of " +
-      "1-row summaries)"))
+      "1-row summaries)"),
+    "q360_token_gini" -> ("broadcasts of the 1-row grand-total and " +
+      "1-row decile-threshold aggregates onto the 1-row Lorenz " +
+      "aggregate — the per-VALUE frame they reduce is bounded by " +
+      "distinct token counts, never rows"),
+    "q358_lsh_index_eval" -> ("broadcasts of the three 1-row counts " +
+      "(truth, candidates, hits) into the final ratio row — candidate " +
+      "generation itself is the banded signature EQUI-join, truth the " +
+      "co-shingle equi-join"),
+    "q357_fleiss_kappa" -> ("broadcast of the 1-row category-marginal " +
+      "aggregate onto the 1-row per-item aggregate (the q322 " +
+      "Krippendorff contract)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
