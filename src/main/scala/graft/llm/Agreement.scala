@@ -128,6 +128,58 @@ object Agreement {
           .cast("long").as("kappa_ppm"))
   }
 
+  /** ROC AUC by the Mann–Whitney rank-sum identity,
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the sum of AVERAGE
+    * ranks of the positives — the threshold-free ranking quality of a
+    * scorer, completing the eval set (P/R/F1 q281, calibration q342).
+    * Ties (scores on a rounded grid) get the standard midrank: a tie
+    * group at score v with c items, p of them positive, contributes
+    * p·(below_v + (c+1)/2) to R⁺ — doubled to stay integral:
+    *   auc_ppm = (Σ_v p_v·(2·below_v + c_v + 1) − n⁺(n⁺+1)) · 10⁶
+    *             div (2·n⁺·n⁻)
+    * — every quantity an exact integer on any engine.
+    *
+    * Scale shape: one hash-agg to the per-SCORE frame (bounded by the
+    * score grid, not rows), prefix via bucket offsets collected on the
+    * driver (bounded by `bucketFn`'s range — the globalRunningSum
+    * discipline, no global window), one widened final aggregate.
+    *
+    * @param bucketFn monotone non-decreasing function of the score
+    *                 column with bounded range (e.g. floor(p·64)) */
+  def rocAuc(scored: DataFrame, y: Column, score: Column,
+             bucketFn: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pv = graft.util.QueryCache.persist(
+      scored.select(y.cast("long").as("yy"), score.as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("c"), sum(col("yy")).as("pos"))
+        .withColumn("b", bucketFn(col("v")).cast("long")))
+    val bt = pv.groupBy(col("b")).agg(sum(col("c")).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bt.scanLeft((0L, 0L)) { case ((_, acc), (b, ct)) =>
+      (b, acc + ct)
+    }.init.zip(bt).map { case ((_, off), (b, _)) => (b, off) }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("b", "off")
+    val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pv.join(broadcast(offDf), "b")
+      .withColumn("below",
+        col("off") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .agg(sum(col("pos")).cast(dec).as("np"),
+        sum(col("c") - col("pos")).cast(dec).as("nn"),
+        sum(col("pos").cast(dec) *
+          (col("below") * 2 + col("c") + 1)).cast(dec).as("r2"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        expr("""CASE WHEN np = 0 OR nn = 0 THEN NULL
+                ELSE (r2 - np * (np + 1)) * 1000000
+                     div (2 * np * nn) END""")
+          .cast("long").as("auc_ppm"))
+  }
+
   /** Per-class precision / recall / F1 from the confusion counts of a
     * (truth, pred) pair — exact ppm, NULL where a class has no
     * predictions (precision) or no truth rows (recall). The F1 clears

@@ -1062,6 +1062,22 @@ object QueriesLLM {
           180, 250, 320)))
     }),
 
+    // ROC AUC of the GD classifier's probabilities against its training
+    // labels (Mann-Whitney rank-sum identity with exact midranks on the
+    // 6-dp probability grid) — the threshold-free ranking eval next to
+    // q281's P/R/F1 and q342's calibration. At gate scale the 2-epoch
+    // model is genuinely ANTI-calibrated (q342 shows low-prob buckets
+    // with high accuracy), so the honest AUC is near 0 — the metric
+    // exposing exactly the failure it exists to expose
+    "q361_roc_auc" -> ((s, dir) => {
+      val scored = Classifier.trainScore(Tables.documents(s, dir), "text",
+        "doc_id",
+        label = (size(TextAnalysis.tokens(col("text"))) >= 55).cast("int"),
+        buckets = 64, epochs = 2, lr = 0.1)
+      Agreement.rocAuc(scored, col("y"), col("prob"),
+        v => floor(v * 64))
+    }),
+
     // MinHash-LSH index quality eval: candidate recall + precision vs
     // the exact 3-gram-Jaccard >= 1/2 truth over the corpus + planted
     // tail-truncated near-dups — the dedup-index eval completing the
@@ -2303,6 +2319,28 @@ object QueriesLLM {
                      // ((n_items * 3 * n_items * 3 - sum_nc2) * 2)
                      AS BIGINT) END AS kappa_ppm
          FROM a CROSS JOIN b""",
+
+    // AUC replay: per-score tie groups, midrank prefix, the identical
+    // doubled-integer rank-sum
+    "q361_roc_auc" ->
+      s"""WITH base AS (SELECT * FROM ($q219Sql) __b),
+         pv AS (SELECT prob AS v, CAST(count(*) AS HUGEINT) AS c,
+             CAST(sum(y) AS HUGEINT) AS pos
+           FROM base GROUP BY 1),
+         o AS (SELECT v, c, pos,
+             coalesce(CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT),
+               CAST(0 AS HUGEINT)) AS below
+           FROM pv),
+         t AS (SELECT CAST(sum(pos) AS HUGEINT) AS np,
+             CAST(sum(c - pos) AS HUGEINT) AS nn,
+             CAST(sum(pos * (2 * below + c + 1)) AS HUGEINT) AS r2
+           FROM o)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np = 0 OR nn = 0 THEN NULL
+                ELSE CAST((r2 - np * (np + 1)) * 1000000
+                     // (2 * np * nn) AS BIGINT) END AS auc_ppm
+         FROM t""",
 
     // LSH-eval replay: the identical md5-mod-p signature pipeline —
     // affine coefficients are closed forms of the hash index, band keys

@@ -79,6 +79,29 @@ class GraphCorpusSpec extends SparkSpec {
     assert(r.getAs[Long]("top_decile_share_ppm") === 166666L)
   }
 
+  test("rocAuc: hand-computed midrank cases") {
+    // perfect separation: positives all above negatives -> 1e6
+    val perfect = Seq((0L, 0.1), (0L, 0.2), (1L, 0.8), (1L, 0.9))
+      .toDF("y", "prob")
+    val rp = Agreement.rocAuc(perfect, col("y"), col("prob"),
+      v => floor(v * 10)).collect()(0)
+    assert(rp.getAs[Long]("auc_ppm") === 1000000L)
+    // inverted -> 0
+    val inv = Seq((1L, 0.1), (1L, 0.2), (0L, 0.8), (0L, 0.9))
+      .toDF("y", "prob")
+    assert(Agreement.rocAuc(inv, col("y"), col("prob"),
+      v => floor(v * 10)).collect()(0).getAs[Long]("auc_ppm") === 0L)
+    // tie across classes: scores [0.5(+), 0.5(-), 0.9(+)]:
+    // midranks 1.5, 1.5, 3; R+ = 4.5; AUC = (4.5 - 3)/(2*1) = 0.75
+    val tied = Seq((1L, 0.5), (0L, 0.5), (1L, 0.9)).toDF("y", "prob")
+    assert(Agreement.rocAuc(tied, col("y"), col("prob"),
+      v => floor(v * 10)).collect()(0).getAs[Long]("auc_ppm") === 750000L)
+    // degenerate single-class input -> NULL, not a throw
+    val one = Seq((1L, 0.5), (1L, 0.7)).toDF("y", "prob")
+    assert(Agreement.rocAuc(one, col("y"), col("prob"),
+      v => floor(v * 10)).collect()(0).isNullAt(2))
+  }
+
   test("lshIndexEval: identical docs are all caught (recall 1e6)") {
     val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq((0L, txt), (1L, txt)).toDF("doc_id", "text")
