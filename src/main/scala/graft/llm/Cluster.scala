@@ -82,8 +82,48 @@ object Cluster {
              k: Int, iters: Int): DataFrame =
     kmeansImpl(vecs, id, vec, k, iters, new Stats)
 
-  private def kmeansImpl(vecs: DataFrame, id: String, vec: String,
-                         k: Int, iters: Int, st: Stats): DataFrame = {
+  /** The Lloyd loop's FINAL centroids (the driver-held k x dim array
+    * [[kmeansImpl]] assigns against) — for callers that need distances
+    * to every centroid, not just the nearest (silhouette, soft
+    * assignment). */
+  def kmeansCentroids(vecs: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int): Array[Array[Double]] =
+    lloydCents(vecs, id, vec, k, iters, new Stats)
+
+  /** Simplified (centroid-based) silhouette per cluster: for each point
+    * a = distance to its own centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1] — the standard
+    * clustering-quality score at the centroid approximation that keeps
+    * the computation ONE broadcast-assign pass (the full silhouette's
+    * all-pairs a_i is quadratic and adds nothing at corpus scale).
+    * Distances take one sqrt each (IEEE-exact), s rounds to 8 dp, the
+    * per-cluster mean accumulates in decimal (6 dp out). */
+  def simplifiedSilhouette(vecs: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int): DataFrame = {
+    val cents = lloydCents(vecs, id, vec, k, iters, new Stats)
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(dist2(col(vec), c).as("d"), lit(j).as("cid"))
+    }
+    // ascending (d, cid): slot 0 = own centroid, slot 1 = nearest other
+    val ranked = vecs.withColumn("__ds", array_sort(array(scored: _*)))
+      .select(
+        col("__ds")(0).getField("cid").as("cluster"),
+        col("__ds")(0).getField("d").as("a2"),
+        col("__ds")(1).getField("d").as("b2"))
+    ranked
+      .withColumn("sil",
+        when(greatest(col("a2"), col("b2")) === 0, lit(0.0))
+          .otherwise(round((sqrt(col("b2")) - sqrt(col("a2"))) /
+            sqrt(greatest(col("a2"), col("b2"))), 8)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast(DecimalType(30, 8))).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"))
+  }
+
+  private def lloydCents(vecs: DataFrame, id: String, vec: String,
+                         k: Int, iters: Int,
+                         st: Stats): Array[Array[Double]] = {
     // TakeOrderedAndProject returns rows already in id order
     val init = vecs.orderBy(col(id)).limit(k).select(col(id), col(vec))
       .collect()
@@ -112,8 +152,12 @@ object Cluster {
       }
       cents = next
     }
-    assign(vecs, vec, cents)
+    cents
   }
+
+  private def kmeansImpl(vecs: DataFrame, id: String, vec: String,
+                         k: Int, iters: Int, st: Stats): DataFrame =
+    assign(vecs, vec, lloydCents(vecs, id, vec, k, iters, st))
 
   /** Cluster-balanced downsample: cap every cluster at the SMALLEST
     * cluster's size, keeping each cluster's rows closest to its centroid

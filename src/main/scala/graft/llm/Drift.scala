@@ -63,4 +63,42 @@ object Drift {
       .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
         round(sum(col("term")).cast("double"), 6).as("psi"))
   }
+
+  /** Jensen–Shannon divergence (bits) between the item distributions
+    * of two slices — PSI's BOUNDED, symmetric sibling (0 = identical,
+    * 1 bit = disjoint), the drift score that never blows up on
+    * vocabulary the other side lacks:
+    *   JSD = Σ_w [p·log2(2p/(p+q)) + q·log2(2q/(p+q))] / 2
+    * over the union vocabulary, with a side's term vanishing where its
+    * count is zero (lim x→0 x·log x = 0 — no smoothing needed).
+    *
+    * Scale shape: the wordcount aggregate on (side, item), a pivot to
+    * the per-item wide frame, two 1-row total broadcasts; per-item libm
+    * terms round to 12 dp before the decimal sum (the [[psi]]
+    * convention), output at 6 dp.
+    *
+    * @param isA boolean column selecting side A (false ⇒ side B) */
+  def jsDivergence(df: DataFrame, isA: org.apache.spark.sql.Column,
+                   item: org.apache.spark.sql.Column): DataFrame = {
+    val counts = graft.util.QueryCache.persist(
+      df.select(isA.as("a"), item.as("w"))
+        .groupBy(col("w"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("a"), 0L).otherwise(1L)).as("nb")))
+    val tot = counts.agg(sum(col("na")).cast("long").as("ta"),
+      sum(col("nb")).cast("long").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("na").cast("double") / col("ta"))
+      .withColumn("q", col("nb").cast("double") / col("tb"))
+      .withColumn("term", round(
+        when(col("na") > 0,
+          col("p") * log2(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)) +
+        when(col("nb") > 0,
+          col("q") * log2(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)), 12).cast(DecimalType(30, 12)))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        count(lit(1)).as("vocab_union"),
+        round(sum(col("term")).cast("double") / 2.0, 6).as("jsd_bits"))
+  }
 }

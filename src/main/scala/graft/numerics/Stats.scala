@@ -334,4 +334,29 @@ object Stats {
       .withColumn("rejected", col("rank") <= col("__kmax"))
       .drop("__m", "__kmax")
   }
+
+  /** Mutual information (bits) between two categorical columns — the
+    * feature-selection / association strength next to [[chiSquare]]'s
+    * significance: MI = Σ_xy (n_xy/N)·log2(N·n_xy / (n_x·n_y)).
+    *
+    * Scale shape: ONE contingency aggregate over the scan; the two
+    * marginal frames and every join after run on the (|X|·|Y|) cell
+    * grid, never data. Each libm term rides the 8-dp round + decimal
+    * sum convention (order-independent, oracle-exact at 6 dp out). */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = graft.util.QueryCache.persist(
+      df.select(x.cast("string").as("xx"), y.cast("string").as("yy"))
+        .groupBy(col("xx"), col("yy")).agg(count(lit(1)).as("nxy")))
+    val mx = cells.groupBy(col("xx")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("yy")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).cast("long").as("nn"))
+    cells.join(mx, "xx").join(my, "yy").crossJoin(broadcast(tot))
+      .withColumn("term", round(col("nxy") *
+        log2(col("nn").cast("double") * col("nxy") /
+          (col("nx").cast("double") * col("ny"))), 8)
+        .cast(DecimalType(30, 8)))
+      .agg(max(col("nn")).as("n"), count(lit(1)).as("n_cells"),
+        round(sum(col("term")).cast("double") / max(col("nn")), 6)
+          .as("mi_bits"))
+  }
 }

@@ -1062,6 +1062,27 @@ object QueriesLLM {
           180, 250, 320)))
     }),
 
+    // Jensen-Shannon divergence between the src0 and src1 token
+    // distributions — PSI's bounded symmetric sibling (q240), the
+    // corpus-drift score that tolerates one-sided vocabulary; wordcount
+    // shape + 12-dp decimal-summed terms
+    "q363_jsd_sources" -> ((s, dir) =>
+      graft.llm.Drift.jsDivergence(
+        Tables.documents(s, dir)
+          .filter(col("source").isin("src0", "src1"))
+          .select((col("source") === "src0").as("a"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("w")),
+        col("a"), col("w"))),
+
+    // simplified (centroid-based) silhouette of the q147 k-means
+    // clustering: per cluster the mean of (b - a)/max(a, b) with a/b
+    // the own/nearest-other centroid distances — the clustering-quality
+    // eval at ONE broadcast-assign pass (full silhouette's all-pairs a
+    // is quadratic and adds nothing at corpus scale)
+    "q364_silhouette" -> ((s, dir) =>
+      Cluster.simplifiedSilhouette(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 4, iters = 2)),
+
     // ROC AUC of the GD classifier's probabilities against its training
     // labels (Mann-Whitney rank-sum identity with exact midranks on the
     // 6-dp probability grid) — the threshold-free ranking eval next to
@@ -1307,6 +1328,60 @@ object QueriesLLM {
 
   /** q219's full 2-epoch GD replay — shared by q281's
     * per-class eval oracle. */
+  /** q147's 2-Lloyd-iteration replay through the final distance
+    * frame d3 — shared by the q147 assignment oracle and q364's
+    * silhouette oracle (CTE-body fragment: c0..d3). */
+  private val kmeansD3Sql =
+    """c0 AS (SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+           FROM embeddings WHERE vec_id < 4),
+         d1 AS (SELECT v.vec_id, c0.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c0.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c0.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c0),
+         a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d1) WHERE rk = 1),
+         s1 AS (SELECT a1.cid, t.i AS pos,
+             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
+             count(*) AS n
+           FROM a1 JOIN embeddings v USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(m.c, c0.c) AS c
+           FROM c0 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s1 GROUP BY cid) m USING (cid)),
+         d2 AS (SELECT v.vec_id, c1.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c1.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c1.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c1),
+         a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+             FROM d2) WHERE rk = 1),
+         s2 AS (SELECT a2.cid, t.i AS pos,
+             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
+             count(*) AS n
+           FROM a2 JOIN embeddings v USING (vec_id)
+           CROSS JOIN generate_series(1, 64) t(i)
+           GROUP BY 1, 2),
+         c2 AS (SELECT c1.cid, coalesce(m.c, c1.c) AS c
+           FROM c1 LEFT JOIN (SELECT cid,
+               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+             FROM s2 GROUP BY cid) m USING (cid)),
+         d3 AS (SELECT v.vec_id, c2.cid,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - c2.c[i]) *
+                    (CAST(v.embedding[i] AS DOUBLE) - c2.c[i])),
+               (x, y) -> x + y) AS d
+           FROM embeddings v CROSS JOIN c2)"""
+
   private val q219Sql =
     """WITH x0 AS (
            SELECT doc_id,
@@ -2320,6 +2395,32 @@ object QueriesLLM {
                      AS BIGINT) END AS kappa_ppm
          FROM a CROSS JOIN b""",
 
+    // JSD replay: identical union-vocab counts, identical p/q columns
+    // and 12-dp term shape (a side's term vanishes at zero count)
+    "q363_jsd_sources" ->
+      """WITH tok AS (SELECT source = 'src0' AS a,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents WHERE source IN ('src0', 'src1')),
+         counts AS (SELECT w,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+           FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb FROM counts),
+         wide AS (SELECT na, nb, ta, tb,
+             CAST(na AS DOUBLE) / ta AS p,
+             CAST(nb AS DOUBLE) / tb AS q
+           FROM counts CROSS JOIN tot)
+         SELECT max(ta) AS n_a, max(tb) AS n_b,
+           CAST(count(*) AS BIGINT) AS vocab_union,
+           round(CAST(sum(CAST(round(
+               CASE WHEN na > 0
+                    THEN p * log2(2.0 * p / (p + q)) ELSE 0.0 END
+             + CASE WHEN nb > 0
+                    THEN q * log2(2.0 * q / (p + q)) ELSE 0.0 END, 12)
+             AS DECIMAL(30,12))) AS DOUBLE) / 2.0, 6) AS jsd_bits
+         FROM wide""",
+
     // AUC replay: per-score tie groups, midrank prefix, the identical
     // doubled-integer rank-sum
     "q361_roc_auc" ->
@@ -2792,59 +2893,32 @@ object QueriesLLM {
     // (vec_id < 4), same index-ordered distance folds, same decimal sums
     // and cast-to-double means, same (d, cid) tie-break
     "q147_kmeans" ->
-      """WITH c0 AS (SELECT vec_id AS cid,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-           FROM embeddings WHERE vec_id < 4),
-         d1 AS (SELECT v.vec_id, c0.cid,
-             list_reduce(list_transform(generate_series(1, 64),
-               i -> (CAST(v.embedding[i] AS DOUBLE) - c0.c[i]) *
-                    (CAST(v.embedding[i] AS DOUBLE) - c0.c[i])),
-               (x, y) -> x + y) AS d
-           FROM embeddings v CROSS JOIN c0),
-         a1 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-             FROM d1) WHERE rk = 1),
-         s1 AS (SELECT a1.cid, t.i AS pos,
-             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
-             count(*) AS n
-           FROM a1 JOIN embeddings v USING (vec_id)
-           CROSS JOIN generate_series(1, 64) t(i)
-           GROUP BY 1, 2),
-         c1 AS (SELECT c0.cid, coalesce(m.c, c0.c) AS c
-           FROM c0 LEFT JOIN (SELECT cid,
-               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
-             FROM s1 GROUP BY cid) m USING (cid)),
-         d2 AS (SELECT v.vec_id, c1.cid,
-             list_reduce(list_transform(generate_series(1, 64),
-               i -> (CAST(v.embedding[i] AS DOUBLE) - c1.c[i]) *
-                    (CAST(v.embedding[i] AS DOUBLE) - c1.c[i])),
-               (x, y) -> x + y) AS d
-           FROM embeddings v CROSS JOIN c1),
-         a2 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-             FROM d2) WHERE rk = 1),
-         s2 AS (SELECT a2.cid, t.i AS pos,
-             sum(CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(30,12))) AS s,
-             count(*) AS n
-           FROM a2 JOIN embeddings v USING (vec_id)
-           CROSS JOIN generate_series(1, 64) t(i)
-           GROUP BY 1, 2),
-         c2 AS (SELECT c1.cid, coalesce(m.c, c1.c) AS c
-           FROM c1 LEFT JOIN (SELECT cid,
-               list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
-             FROM s2 GROUP BY cid) m USING (cid)),
-         d3 AS (SELECT v.vec_id, c2.cid,
-             list_reduce(list_transform(generate_series(1, 64),
-               i -> (CAST(v.embedding[i] AS DOUBLE) - c2.c[i]) *
-                    (CAST(v.embedding[i] AS DOUBLE) - c2.c[i])),
-               (x, y) -> x + y) AS d
-           FROM embeddings v CROSS JOIN c2)
+      s"""WITH $kmeansD3Sql
          SELECT vec_id, cid AS cluster, round(d, 6) AS d2 FROM (
            SELECT vec_id, cid, d,
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
            FROM d3) WHERE rk = 1""",
+
+    // silhouette replay: the identical 2-iteration centroid replay, own
+    // + nearest-other distances per point, the same 8-dp score
+    "q364_silhouette" ->
+      s"""WITH $kmeansD3Sql,
+         r AS (SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           FROM d3),
+         ab AS (SELECT a.cid AS cluster, a.d AS a2, b.d AS b2
+           FROM r a JOIN r b
+           ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2),
+         s AS (SELECT cluster,
+             CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+                  ELSE round((sqrt(b2) - sqrt(a2))
+                       / sqrt(greatest(a2, b2)), 8) END AS sil
+           FROM ab)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(sil AS DECIMAL(30,8))) AS DOUBLE)
+             / count(*), 6) AS mean_silhouette
+         FROM s GROUP BY 1""",
+
     // covariance replay: float products are exact doubles (24+24 < 53
     // mantissa bits), summed on the DECIMAL(30,12) grid in both engines,
     // then the identical final double expression

@@ -451,6 +451,14 @@ object QueriesNumerics {
             .as("is_anomaly"))
     }),
 
+    // mutual information (bits) between return flag and line status —
+    // the association-STRENGTH companion of q289's chi-square
+    // significance; one contingency aggregate, everything after on the
+    // cell grid, 8-dp libm terms decimal-summed
+    "q362_mutual_information" -> ((s, dir) =>
+      graft.numerics.Stats.mutualInformation(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_linestatus"))),
+
     // multiple-testing correction: per-brand two-proportion z screens
     // ('is this brand's return rate different from the rest?'), p via
     // the A&S 26.2.17 normal tail on the rounded z, then the
@@ -1385,6 +1393,23 @@ object QueriesNumerics {
          SELECT d, rev_c, resid_xp,
            abs(resid_xp - med) > 3 * mad AS is_anomaly
          FROM dec CROSS JOIN md""",
+
+    // MI replay: identical contingency cells, identical 8-dp terms
+    "q362_mutual_information" ->
+      """WITH cells AS (SELECT l_returnflag AS xx, l_linestatus AS yy,
+             CAST(count(*) AS BIGINT) AS nxy FROM lineitem GROUP BY 1, 2),
+         mx AS (SELECT xx, CAST(sum(nxy) AS BIGINT) AS nx
+           FROM cells GROUP BY 1),
+         my AS (SELECT yy, CAST(sum(nxy) AS BIGINT) AS ny
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM cells)
+         SELECT max(nn) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(CAST(round(nxy *
+               log2(CAST(nn AS DOUBLE) * nxy
+                    / (CAST(nx AS DOUBLE) * ny)), 8)
+             AS DECIMAL(30,8))) AS DOUBLE) / max(nn), 6) AS mi_bits
+         FROM cells JOIN mx USING (xx) JOIN my USING (yy)
+         CROSS JOIN tot""",
 
     // BH replay: identical pooled z (one IEEE expression, rounded 8),
     // A&S tail on the rounded z, exact-decimal step-up threshold

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Agreement, CorpusStats, Dedup, LinkAnalysis}
+import graft.llm.{Agreement, Cluster, CorpusStats, Dedup, LinkAnalysis}
 
 /** Round-14 verbs: k-core peeling, Fleiss' kappa, weight concentration
   * (Gini/Lorenz), and the portable LSH index eval — hand-computed
@@ -77,6 +77,48 @@ class GraphCorpusSpec extends SparkSpec {
     val df = (Seq.fill(10)(1L) ++ Seq.fill(10)(5L)).toDF("v")
     val r = CorpusStats.weightConcentration(df, col("v")).collect()(0)
     assert(r.getAs[Long]("top_decile_share_ppm") === 166666L)
+  }
+
+  test("mutualInformation: independence pins 0, identity pins H") {
+    // independent uniform 2x2 -> MI 0
+    val ind = Seq(("a","x"),("a","y"),("b","x"),("b","y")).toDF("u","v")
+    val ri = graft.numerics.Stats.mutualInformation(ind, col("u"),
+      col("v")).collect()(0)
+    assert(ri.getAs[Double]("mi_bits") === 0.0)
+    // y == x on a uniform binary -> MI = H = 1 bit
+    val dep = Seq(("a","a"),("b","b"),("a","a"),("b","b")).toDF("u","v")
+    val rd = graft.numerics.Stats.mutualInformation(dep, col("u"),
+      col("v")).collect()(0)
+    assert(rd.getAs[Double]("mi_bits") === 1.0)
+  }
+
+  test("jsDivergence: identical pins 0, disjoint pins 1 bit") {
+    val same = Seq((true,"w1"),(true,"w2"),(false,"w1"),(false,"w2"))
+      .toDF("a","w")
+    val rs = graft.llm.Drift.jsDivergence(same, col("a"), col("w"))
+      .collect()(0)
+    assert(rs.getAs[Double]("jsd_bits") === 0.0)
+    val disj = Seq((true,"w1"),(true,"w2"),(false,"w3"),(false,"w4"))
+      .toDF("a","w")
+    val rdj = graft.llm.Drift.jsDivergence(disj, col("a"), col("w"))
+      .collect()(0)
+    assert(rdj.getAs[Double]("jsd_bits") === 1.0)
+    assert(rdj.getAs[Long]("vocab_union") === 4L)
+  }
+
+  test("simplifiedSilhouette: tight separated clusters score near 1") {
+    // two obvious 2-d clusters around (0,0) and (10,10); k=2, ids pick
+    // one seed in each cluster
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (4L, Seq(0.0f, 0.0f)),
+      (1L, Seq(10.0f, 10.1f)), (3L, Seq(10.1f, 10.0f)),
+      (5L, Seq(10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val r = Cluster.simplifiedSilhouette(vecs, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+    assert(r.length === 2)
+    r.foreach(row =>
+      assert(row.getAs[Double]("mean_silhouette") > 0.9,
+        row.toString))
   }
 
   test("rocAuc: hand-computed midrank cases") {

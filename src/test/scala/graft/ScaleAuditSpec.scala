@@ -245,7 +245,11 @@ class ScaleAuditSpec extends SparkSpec {
       "co-shingle equi-join"),
     "q357_fleiss_kappa" -> ("broadcast of the 1-row category-marginal " +
       "aggregate onto the 1-row per-item aggregate (the q322 " +
-      "Krippendorff contract)"))
+      "Krippendorff contract)"),
+    "q362_mutual_information" -> ("broadcast of the 1-row grand total " +
+      "onto the contingency CELL grid (|X|*|Y| rows, never data)"),
+    "q363_jsd_sources" -> ("broadcast of the 1-row side totals onto " +
+      "the union-vocabulary count frame (wordcount-bounded)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
