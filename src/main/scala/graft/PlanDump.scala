@@ -133,7 +133,18 @@ object PlanDump {
     "q318_mutual_nn" ->
       ("Mutual NN: 8-centroid broadcast assignment, per-cell A x B " +
         "equi-join (pair fan-out bounded per cell), two partitioned " +
-        "row_number windows (a-side, b-side), two-way rank-1 filter.")
+        "row_number windows (a-side, b-side), two-way rank-1 filter."),
+    "q358_lsh_index_eval" ->
+      ("LSH index eval: signatures in ONE hash aggregate over distinct " +
+        "(doc, shingle-hash); candidates an EQUI-join on (band, key); " +
+        "truth the co-shingle equi-join — no nested loop anywhere in " +
+        "candidate generation (the final ratio row crosses three 1-row " +
+        "counts)."),
+    "q360_token_gini" ->
+      ("Lorenz/Gini: the data-sized work is ONE per-value hash " +
+        "aggregate; the prefix rides broadcast bucket offsets + a " +
+        "bucket-PARTITIONED window (value-bounded frame, no global " +
+        "window, no sort of the data).")
   )
 
   def main(args: Array[String]): Unit = {

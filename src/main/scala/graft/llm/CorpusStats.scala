@@ -223,15 +223,16 @@ object CorpusStats {
     val offDf = offsets.toSeq.toDF("b", "off_c", "off_w")
     val wIn = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // both prefixes in ONE projection so Spark plans a single Window
+    // operator (two withColumn calls planned two stacked Windows)
     val ranked = graft.util.QueryCache.persist(
       pv.join(broadcast(offDf), "b")
-        .withColumn("below",
-          col("off_c") + coalesce(sum(col("c")).over(wIn), lit(0L)))
-        .withColumn("below_w",
+        .select(col("v"), col("c"),
+          (col("off_c") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+            .as("below"),
           (col("off_w").cast(dec) + coalesce(
             sum(col("v").cast(dec) * col("c")).over(wIn),
-            lit(0).cast(dec))).cast(dec))
-        .select(col("v"), col("c"), col("below"), col("below_w")))
+            lit(0).cast(dec))).cast(dec).as("below_w")))
     val tot = ranked.agg(sum(col("c")).as("n"),
       sum(col("v").cast(dec) * col("c")).cast(dec).as("s"),
       // Σ rank·x folded over the per-value frame: tie groups have a
