@@ -82,4 +82,71 @@ object Survival {
       StructField("survival_e", LongType, nullable = false),
       StructField("hazard_cum_e", LongType, nullable = false))))
   }
+
+  /** Two-sample log-rank test (Mantel 1966) — "do groups A and B have
+    * the same survival curve?", the hypothesis test over
+    * [[kaplanMeier]]'s estimate. At each distinct EVENT time t with
+    * n_A/n_B at risk and d_A/d_B events (d = d_A + d_B, n = n_A + n_B):
+    *   E_A(t) = d·n_A/n,
+    *   V(t)   = d·n_A·n_B·(n − d) / (n²·(n − 1)),
+    *   χ² = (Σ(d_A − E_A))² / ΣV  (1 df).
+    * Per-time terms ride the 1e12 fixed-point grid with truncating
+    * division (the [[kaplanMeier]] convention — DECIMAL-widened
+    * products are exact up to ~10⁶ subjects per cohort), so the sums
+    * are order-independent and engine-exact; only the final χ² takes
+    * one fixed double expression rounded at 6 dp.
+    *
+    * Distributed shape: one (group, duration) aggregate; the at-risk
+    * prefixes run in a window PARTITIONED by group over the
+    * duration-bounded frame (the KM argument: distinct times, never
+    * subjects); everything after is a 1-row combine. */
+  def logRank(df: DataFrame, duration: String, event: String,
+              isA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val agg = graft.util.QueryCache.persist(df
+      .filter(col(duration).isNotNull && col(event).isNotNull)
+      .groupBy(isA.as("a"), col(duration).cast("long").as("t"))
+      .agg(sum(when(col(event) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(event) === 1, 0L).otherwise(1L)).as("c")))
+    // reinstate the full (group x event-time) grid: a group with no
+    // row at t still has an at-risk count there
+    val times = agg.select(col("t")).distinct()
+    val grid = times.crossJoin(
+      agg.select(col("a")).distinct()) // 2 groups: bounded cross
+    val filled = grid.join(agg, Seq("a", "t"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    val tots = agg.groupBy(col("a"))
+      .agg(sum(col("d") + col("c")).as("tot"))
+    val w = Window.partitionBy(col("a")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = filled.join(tots, "a")
+      .select(col("a"), col("t"), col("d"),
+        (col("tot") - coalesce(sum(col("d") + col("c")).over(w),
+          lit(0L))).as("n"))
+    val wide = atRisk.groupBy(col("t"))
+      .agg(sum(when(col("a"), col("d")).otherwise(0L)).as("da"),
+        sum(when(col("a"), 0L).otherwise(col("d"))).as("db"),
+        sum(when(col("a"), col("n")).otherwise(0L)).as("na"),
+        sum(when(col("a"), 0L).otherwise(col("n"))).as("nb"))
+      .filter(col("da") + col("db") > 0) // event times only
+    wide.agg(
+        sum(col("da")).cast("long").as("o_a"),
+        sum(expr("""CAST(da + db AS DECIMAL(38,0)) * na * 1000000000000
+            div (na + nb)""").cast(dec)).cast("long").as("e_a_e12"),
+        sum(expr(
+          """CASE WHEN na + nb > 1 THEN
+               CAST(da + db AS DECIMAL(38,0)) * na * nb
+                 * (na + nb - da - db) * 1000000000000
+               div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb)
+                    * (na + nb - 1))
+             ELSE 0 END""").cast(dec)).cast("long").as("var_e12"))
+      .select(col("o_a"), col("e_a_e12"), col("var_e12"),
+        expr("""CASE WHEN var_e12 = 0 THEN NULL ELSE
+            round((CAST(o_a AS DOUBLE) - CAST(e_a_e12 AS DOUBLE) / 1e12)
+                  * (CAST(o_a AS DOUBLE) - CAST(e_a_e12 AS DOUBLE) / 1e12)
+                  / (CAST(var_e12 AS DOUBLE) / 1e12), 6) END""")
+          .as("chi2"))
+  }
 }

@@ -500,6 +500,47 @@ object QueriesNumerics {
       graft.numerics.Survival.kaplanMeier(subjects, "dur", "ev")
     }),
 
+    // split conformal interval for the seasonal-naive daily-revenue
+    // forecaster: 90% half-width = the ceil((n+1)*0.9)-th smallest
+    // absolute calibration residual (March 1995), realized coverage on
+    // April — the distribution-free calibration wrap any forecaster
+    // gets for free; pure order statistics + exact ppm
+    "q366_conformal" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .filter(col("o_orderdate").between("1995-02-20", "1995-04-30"))
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev"))
+      val lag = daily.select(date_add(col("day"), 7).as("day"),
+        col("rev").as("pred"))
+      val joined = daily.join(lag, "day")
+        .filter(col("day").between("1995-03-01", "1995-04-30"))
+      graft.numerics.Conformal.splitInterval(joined,
+        col("day") < "1995-04-01", col("rev"), col("pred"))
+    }),
+
+    // two-sample log-rank test over the q332 cohorts: do BUILDING-
+    // segment customers churn on the same curve as the rest? Per-event-
+    // time O-E and variance terms on the 1e12 grid (truncating div),
+    // chi-square(1) at the end — the hypothesis test over the KM curve
+    "q365_log_rank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("f"),
+          max(col("o_orderdate")).as("l"))
+      val mx = o.agg(max(col("o_orderdate")).as("m"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val subjects = perCust
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .select((col("c_mktsegment") === "BUILDING").as("grp"),
+          datediff(col("l"), col("f")).as("dur"),
+          when(col("l") < col("m") - expr("INTERVAL 90 DAYS"), 1)
+            .otherwise(0).as("ev"))
+      graft.numerics.Survival.logRank(subjects, "dur", "ev", col("grp"))
+    }),
+
     // Poisson bootstrap 95% CI for mean line revenue (cents): B=48
     // replicates, each row's weight a pure md5 function of (row id,
     // replicate) cut by the shared Poisson(1) inverse-CDF integer
@@ -1446,6 +1487,88 @@ object QueriesNumerics {
          SELECT brand, n, k, z8, CAST(p8 AS DOUBLE) + 0.0 AS p8,
            rank, rank <= kmax AS rejected
          FROM r CROSS JOIN km""",
+
+    // conformal replay: identical daily aggregate, lag-7 self-join,
+    // order-statistic k and exact coverage ratio
+    "q366_conformal" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM orders
+           WHERE o_orderdate BETWEEN DATE '1995-02-20'
+             AND DATE '1995-04-30'
+           GROUP BY 1),
+         j AS (SELECT d.day, d.rev, l.rev AS pred
+           FROM daily d JOIN daily l ON d.day = l.day + INTERVAL 7 DAY
+           WHERE d.day BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'),
+         r AS (SELECT day < DATE '1995-04-01' AS cal,
+             abs(rev - pred) AS r FROM j),
+         nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             ((count(*) + 1) * 900 + 999) // 1000 AS k
+           FROM r WHERE cal),
+         q AS (SELECT min(r) AS q_hat FROM (
+             SELECT r, CAST(count(*) OVER (ORDER BY r ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM r WHERE cal) x CROSS JOIN nk WHERE cum >= k)
+         SELECT nk.n AS n_calib, q.q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END)
+             AS BIGINT) AS covered,
+           CASE WHEN count(*) = 0 OR q.q_hat IS NULL THEN NULL
+                ELSE CAST(sum(CASE WHEN r.r <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // count(*) END AS coverage_ppm
+         FROM r CROSS JOIN q CROSS JOIN nk WHERE NOT r.cal
+         GROUP BY 1, 2""",
+
+    // log-rank replay: identical per-(group, time) aggregate, grid
+    // reinstatement, at-risk prefixes, and 1e12-grid O-E/variance terms
+    "q365_log_rank" ->
+      """WITH pc AS (SELECT o_custkey, min(o_orderdate) AS f,
+             max(o_orderdate) AS l FROM orders GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS m FROM orders),
+         subj AS (SELECT c.c_mktsegment = 'BUILDING' AS a,
+             CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+               AS BIGINT) AS t,
+             CASE WHEN l < m - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+           FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+           CROSS JOIN mx),
+         agg AS (SELECT a, t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS c FROM subj GROUP BY 1, 2),
+         filled AS (SELECT g.a, ti.t, coalesce(x.d, 0) AS d,
+             coalesce(x.c, 0) AS c
+           FROM (SELECT DISTINCT t FROM agg) ti
+           CROSS JOIN (SELECT DISTINCT a FROM agg) g
+           LEFT JOIN agg x ON x.a = g.a AND x.t = ti.t),
+         tots AS (SELECT a, sum(d + c) AS tot FROM agg GROUP BY 1),
+         ar AS (SELECT f.a, f.t, f.d,
+             tots.tot - coalesce(sum(f.d + f.c) OVER (PARTITION BY f.a
+               ORDER BY f.t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n
+           FROM filled f JOIN tots USING (a)),
+         wide AS (SELECT t,
+             sum(CASE WHEN a THEN d ELSE 0 END) AS da,
+             sum(CASE WHEN a THEN 0 ELSE d END) AS db,
+             sum(CASE WHEN a THEN n ELSE 0 END) AS na,
+             sum(CASE WHEN a THEN 0 ELSE n END) AS nb
+           FROM ar GROUP BY 1),
+         ev2 AS (SELECT * FROM wide WHERE da + db > 0),
+         s AS (SELECT CAST(sum(da) AS BIGINT) AS o_a,
+             CAST(sum(CAST(da + db AS HUGEINT) * na * 1000000000000
+               // (na + nb)) AS BIGINT) AS e_a_e12,
+             CAST(sum(CASE WHEN na + nb > 1 THEN
+                 CAST(da + db AS HUGEINT) * na * nb
+                   * (na + nb - da - db) * 1000000000000
+                 // (CAST(na + nb AS HUGEINT) * (na + nb)
+                      * (na + nb - 1))
+               ELSE 0 END) AS BIGINT) AS var_e12
+           FROM ev2)
+         SELECT o_a, e_a_e12, var_e12,
+           CASE WHEN var_e12 = 0 THEN NULL ELSE
+             round((CAST(o_a AS DOUBLE) - CAST(e_a_e12 AS DOUBLE) / 1e12)
+                   * (CAST(o_a AS DOUBLE)
+                      - CAST(e_a_e12 AS DOUBLE) / 1e12)
+                   / (CAST(var_e12 AS DOUBLE) / 1e12), 6) END AS chi2
+         FROM s""",
 
     // KM replay: same per-duration aggregate, same 1e12 fixed-point
     // recursions via HUGEINT `//` in a recursive CTE (the q276 Holt

@@ -96,7 +96,11 @@ class ScaleAuditSpec extends SparkSpec {
         "series (calendar-bounded)"),
     "q331_bh_fdr" ->
       ("BH step-up rank over the HYPOTHESIS frame — one row per group " +
-        "(25 brands); bounded by group cardinality, not data"))
+        "(25 brands); bounded by group cardinality, not data"),
+    "q366_conformal" ->
+      ("cumulative count over the per-distinct-RESIDUAL aggregate of " +
+        "the calibration window (calendar-bounded; the q312 histogram " +
+        "contract)"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -249,7 +253,11 @@ class ScaleAuditSpec extends SparkSpec {
     "q362_mutual_information" -> ("broadcast of the 1-row grand total " +
       "onto the contingency CELL grid (|X|*|Y| rows, never data)"),
     "q363_jsd_sources" -> ("broadcast of the 1-row side totals onto " +
-      "the union-vocabulary count frame (wordcount-bounded)"))
+      "the union-vocabulary count frame (wordcount-bounded)"),
+    "q365_log_rank" -> ("2-group grid cross over the duration-bounded " +
+      "event-time frame (the PSI empty-bin reinstatement pattern)"),
+    "q366_conformal" -> ("broadcasts of the 1-row (n, k) and 1-row " +
+      "q-hat aggregates onto the test-window aggregate"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
