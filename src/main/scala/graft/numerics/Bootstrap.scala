@@ -155,4 +155,65 @@ object Bootstrap {
         element_at(col("__ds"), cut + 1).as("lo_fp"),
         element_at(col("__ds"), reps - cut).as("hi_fp"))
   }
+
+  /** Percentile-bootstrap CI for the DIFFERENCE-IN-DIFFERENCES across
+    * the (treated × post) 2×2 — the canonical panel causal estimate
+    * did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), completing the
+    * causal family next to the attribution verbs and [[diffMeansCI]]'s
+    * plain A/B. Per replicate every cell mean is the exact truncating
+    * integer division of Poisson(1)-weighted sums (the [[meanCI]]
+    * grid); a replicate with ANY empty cell drops (nullif guard), and
+    * the n_reps === reps filter then empties the result — the
+    * documented degenerate-input behavior.
+    *
+    * @param isTreated boolean column: treatment group
+    * @param isPost    boolean column: post-intervention period
+    * @return 1 row: (n_reps, did_fp, lo_fp, hi_fp) */
+  def didCI(df: DataFrame, id: Column, isTreated: Column, isPost: Column,
+            valueFp: Column, reps: Int = 48,
+            alphaPm: Int = 25): DataFrame = {
+    require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
+    val cut = alphaPm * reps / 1000
+    require(cut * 2 < reps, s"alpha $alphaPm‰ too wide for B=$reps")
+    def cell(t: String, p: String): String =
+      s"""sum(CASE WHEN $t AND $p THEN CAST(__w * __v AS DECIMAL(38,0))
+             ELSE 0 END)
+          div nullif(sum(CASE WHEN $t AND $p THEN __w ELSE 0L END), 0)"""
+    val diffs = graft.util.Parallelize.ensure(df)
+      .select(id.cast("string").as("__id"), isTreated.as("__t"),
+        isPost.as("__p"), valueFp.cast("long").as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),
+        col("__b").cast("string"))))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .groupBy(col("__b"))
+      .agg(expr(cell("__t", "__p")).as("m11"),
+        expr(cell("__t", "NOT __p")).as("m10"),
+        expr(cell("NOT __t", "__p")).as("m01"),
+        expr(cell("NOT __t", "NOT __p")).as("m00"))
+      .select(col("__b"),
+        (col("m11") - col("m10") - col("m01") + col("m00")).as("__d"))
+      // an empty cell makes the replicate did NULL: drop it so the CI
+      // frame empties instead of throwing (the diffMeansCI contract)
+      .filter(col("__d").isNotNull)
+    def fullCell(t: String, p: String): String =
+      s"""CASE WHEN count(CASE WHEN $t AND $p THEN 1 END) = 0
+          THEN CAST(NULL AS BIGINT)
+          ELSE sum(CASE WHEN $t AND $p THEN CAST(__v AS DECIMAL(38,0))
+                 ELSE 0 END)
+               div count(CASE WHEN $t AND $p THEN 1 END) END"""
+    val full = df
+      .select(isTreated.as("__t"), isPost.as("__p"),
+        valueFp.cast("long").as("__v"))
+      .agg(expr(s"""${fullCell("__t", "__p")} - ${fullCell("__t", "NOT __p")}
+          - ${fullCell("NOT __t", "__p")} + ${fullCell("NOT __t", "NOT __p")}""")
+        .as("__f"))
+    diffs.agg(count(lit(1)).as("n_reps"),
+        sort_array(collect_list(col("__d"))).as("__ds"))
+      .filter(col("n_reps") === reps)
+      .crossJoin(broadcast(full))
+      .select(col("n_reps"), col("__f").as("did_fp"),
+        element_at(col("__ds"), cut + 1).as("lo_fp"),
+        element_at(col("__ds"), reps - cut).as("hi_fp"))
+  }
 }

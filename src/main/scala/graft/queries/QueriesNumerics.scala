@@ -500,6 +500,20 @@ object QueriesNumerics {
       graft.numerics.Survival.kaplanMeier(subjects, "dur", "ev")
     }),
 
+    // difference-in-differences with a Poisson-bootstrap 95% CI: the
+    // 2x2 (even-user "treated" cohort x mid-January split) panel
+    // estimate over purchase cents — the canonical causal verb next to
+    // q353's plain A/B; cell means on the exact fixed-point grid,
+    // deterministic md5 weights
+    "q367_did_bootstrap" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      graft.numerics.Bootstrap.didCI(p, col("event_id"),
+        pmod(col("user_id"), lit(2)) === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp"),
+        round(col("value") * 100, 0).cast("long"))
+    }),
+
     // split conformal interval for the seasonal-naive daily-revenue
     // forecaster: 90% half-width = the ceil((n+1)*0.9)-th smallest
     // absolute calibration residual (March 1995), realized coverage on
@@ -1487,6 +1501,64 @@ object QueriesNumerics {
          SELECT brand, n, k, z8, CAST(p8 AS DOUBLE) + 0.0 AS p8,
            rank, rank <= kmax AS rejected
          FROM r CROSS JOIN km""",
+
+    // DID replay: the q353 bootstrap machinery over four cells
+    "q367_did_bootstrap" ->
+      s"""WITH rows_in AS (
+           SELECT CAST(event_id AS VARCHAR) AS id,
+             user_id % 2 = 0 AS t,
+             ts >= TIMESTAMP '2024-01-16' AS p,
+             CAST(round(value * 100, 0) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         u AS (
+           SELECT g.b, t, p, v,
+             list_reduce(list_transform(
+                 string_split(substr(md5(id || '#' || CAST(g.b AS VARCHAR)),
+                   1, 13), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (x, y) -> x * 16 + y) % 1000000000000 AS uu
+           FROM rows_in, (SELECT unnest(generate_series(0, 47)) AS b) g),
+         w AS (
+           SELECT b, t, p, v,
+             ${graft.numerics.Bootstrap.thresholdsSql("uu")} AS wt
+           FROM u),
+         reps AS (
+           SELECT b,
+             sum(CASE WHEN t AND p THEN CAST(wt * v AS HUGEINT)
+               ELSE 0 END)
+               // nullif(sum(CASE WHEN t AND p THEN wt ELSE 0 END), 0)
+             - sum(CASE WHEN t AND NOT p THEN CAST(wt * v AS HUGEINT)
+               ELSE 0 END)
+               // nullif(sum(CASE WHEN t AND NOT p THEN wt
+                 ELSE 0 END), 0)
+             - sum(CASE WHEN NOT t AND p THEN CAST(wt * v AS HUGEINT)
+               ELSE 0 END)
+               // nullif(sum(CASE WHEN NOT t AND p THEN wt
+                 ELSE 0 END), 0)
+             + sum(CASE WHEN NOT t AND NOT p THEN CAST(wt * v AS HUGEINT)
+               ELSE 0 END)
+               // nullif(sum(CASE WHEN NOT t AND NOT p THEN wt
+                 ELSE 0 END), 0) AS d
+           FROM w GROUP BY b),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             list_sort(list(d)) AS ds
+           FROM reps WHERE d IS NOT NULL),
+         f AS (SELECT
+             sum(CASE WHEN t AND p THEN CAST(v AS HUGEINT) ELSE 0 END)
+               // count(CASE WHEN t AND p THEN 1 END)
+             - sum(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT)
+               ELSE 0 END)
+               // count(CASE WHEN t AND NOT p THEN 1 END)
+             - sum(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT)
+               ELSE 0 END)
+               // count(CASE WHEN NOT t AND p THEN 1 END)
+             + sum(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT)
+               ELSE 0 END)
+               // count(CASE WHEN NOT t AND NOT p THEN 1 END) AS did_fp
+           FROM rows_in)
+         SELECT n_reps, CAST(did_fp AS BIGINT) AS did_fp,
+           CAST(ds[2] AS BIGINT) AS lo_fp, CAST(ds[47] AS BIGINT) AS hi_fp
+         FROM ci CROSS JOIN f WHERE n_reps = 48""",
 
     // conformal replay: identical daily aggregate, lag-7 self-join,
     // order-statistic k and exact coverage ratio

@@ -257,7 +257,9 @@ class ScaleAuditSpec extends SparkSpec {
     "q365_log_rank" -> ("2-group grid cross over the duration-bounded " +
       "event-time frame (the PSI empty-bin reinstatement pattern)"),
     "q366_conformal" -> ("broadcasts of the 1-row (n, k) and 1-row " +
-      "q-hat aggregates onto the test-window aggregate"))
+      "q-hat aggregates onto the test-window aggregate"),
+    "q367_did_bootstrap" -> ("broadcast of the 1-row full-data DID " +
+      "onto the 1-row CI aggregate (the q333/q353 contract)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",

@@ -97,6 +97,27 @@ class SurvivalSpec extends SparkSpec {
       col("a"), col("v")).count() == 0L)
   }
 
+  test("didCI brackets a planted interaction effect") {
+    // base 100; post +10 everywhere; treated post gets +50 extra:
+    // true did = 50 (the parallel-trends construction)
+    val df = (1 to 4000).map { i =>
+      val t = i % 2 == 0
+      val p = (i / 2) % 2 == 0
+      val v = 100L + (if (p) 10L else 0L) +
+        (if (t && p) 50L else 0L) + (i % 5) - 2
+      (i.toLong, t, p, v)
+    }.toDF("id", "t", "p", "v")
+    val r = Bootstrap.didCI(df, col("id"), col("t"), col("p"), col("v"),
+      reps = 48, alphaPm = 25).head()
+    val did = r.getLong(1); val lo = r.getLong(2); val hi = r.getLong(3)
+    assert(r.getLong(0) == 48L)
+    assert(lo <= did && did <= hi, s"$lo <= $did <= $hi")
+    assert(did >= 48L && did <= 52L, s"full-data did $did")
+    // a missing cell (no control-post rows) empties the result
+    assert(Bootstrap.didCI(df.filter(col("t") || !col("p")), col("id"),
+      col("t"), col("p"), col("v")).count() == 0L)
+  }
+
   test("wilsonInterval matches the closed form and brackets p_hat") {
     val rows = Seq.fill(40)(("A", true)) ++ Seq.fill(60)(("A", false)) ++
       Seq.fill(1)(("B", true)) ++ Seq.fill(9)(("B", false))
