@@ -335,6 +335,42 @@ object Stats {
       .drop("__m", "__kmax")
   }
 
+  /** Experiment power planning per group: the minimum detectable
+    * absolute effect (MDE) of a two-proportion test at alpha = 5%
+    * (two-sided) / power = 80% given the group's CURRENT size split
+    * into two equal arms, and the per-arm n required to detect a
+    * target absolute lift — the PRE-experiment companion of
+    * [[wilsonInterval]] (post) and [[benjaminiHochberg]] (screening).
+    *
+    *   mde  = (z_{α/2} + z_β) · sqrt(2·p(1−p) / n_arm)
+    *   n_req = ceil((z_{α/2} + z_β)² · 2·p(1−p) / mde_target²)
+    *
+    * The two normal quantiles are literals (1.959963984540054,
+    * 0.8416212335729143), p̂ rides the exact ppm grid, and each double
+    * lands on the 8-dp grid via one fixed IEEE expression (the Wilson
+    * convention).
+    *
+    * @param mdeTargetPm target absolute lift in permille (10 = 1 pt) */
+  def powerMde(df: DataFrame, groupCol: String, succ: Column,
+               mdeTargetPm: Int = 10): DataFrame = {
+    val zSum = 1.959963984540054 + 0.8416212335729143
+    val t = mdeTargetPm / 1000.0
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(succ, 1L).otherwise(0L)).as("k"))
+      .select(col("grp"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("p_ppm"),
+        (round(expr(
+          s"""CASE WHEN n < 2 THEN NULL ELSE
+             $zSum * sqrt(2.0 * (CAST(k AS DOUBLE) / n)
+               * (1.0 - CAST(k AS DOUBLE) / n) / (n div 2)) END"""), 8)
+          + lit(0.0)).as("mde8"),
+        expr(
+          s"""CAST(ceil($zSum * $zSum * 2.0 * (CAST(k AS DOUBLE) / n)
+               * (1.0 - CAST(k AS DOUBLE) / n) / ($t * $t))
+             AS BIGINT)""").as("n_req_per_arm"))
+  }
+
   /** Mutual information (bits) between two categorical columns — the
     * feature-selection / association strength next to [[chiSquare]]'s
     * significance: MI = Σ_xy (n_xy/N)·log2(N·n_xy / (n_x·n_y)).

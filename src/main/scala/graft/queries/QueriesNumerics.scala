@@ -500,6 +500,20 @@ object QueriesNumerics {
       graft.numerics.Survival.kaplanMeier(subjects, "dur", "ev")
     }),
 
+    // experiment power planning per brand: MDE of a two-proportion test
+    // at the brand's current volume (alpha 5%/power 80%) and the per-arm
+    // n to detect a 1-pt lift — the PRE-experiment verb completing the
+    // q331 (screen) / q334 (post) / q353 (uncertainty) battery
+    "q368_power_mde" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_returnflag")
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      graft.numerics.Stats.powerMde(
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey")),
+        "p_brand", col("l_returnflag") === "R")
+        .select(col("grp").as("brand"), col("n"), col("k"),
+          col("p_ppm"), col("mde8"), col("n_req_per_arm"))
+    }),
+
     // difference-in-differences with a Poisson-bootstrap 95% CI: the
     // 2x2 (even-user "treated" cohort x mid-January split) panel
     // estimate over purchase cents — the canonical causal verb next to
@@ -1501,6 +1515,23 @@ object QueriesNumerics {
          SELECT brand, n, k, z8, CAST(p8 AS DOUBLE) + 0.0 AS p8,
            rank, rank <= kmax AS rejected
          FROM r CROSS JOIN km""",
+
+    // power replay: identical z-sum literal, identical IEEE shapes
+    "q368_power_mde" ->
+      """WITH g AS (SELECT p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+         SELECT brand, n, k, k * 1000000 // n AS p_ppm,
+           round(CASE WHEN n < 2 THEN NULL ELSE
+             2.8015852181129683 * sqrt(2.0 * (CAST(k AS DOUBLE) / n)
+               * (1.0 - CAST(k AS DOUBLE) / n) / (n // 2)) END, 8) + 0.0
+             AS mde8,
+           CAST(ceil(2.8015852181129683 * 2.8015852181129683 * 2.0
+               * (CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+               / (0.01 * 0.01)) AS BIGINT) AS n_req_per_arm
+         FROM g""",
 
     // DID replay: the q353 bootstrap machinery over four cells
     "q367_did_bootstrap" ->
