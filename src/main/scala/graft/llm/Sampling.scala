@@ -189,4 +189,69 @@ object Sampling {
       .orderBy(md5(concat(col(id).cast("string"), lit(salt))), col(id))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Neyman-optimal sample allocation (Neyman 1934): split a total
+    * budget B across strata proportional to N_h·σ_h — the
+    * variance-minimizing design for a stratified mean, the
+    * labeling-budget verb in front of [[exactStratifiedSample]].
+    *
+    * Exactness: σ_h is the ONE libm value (sqrt of the exact
+    * integer-moment variance), rounded to 2 dp the moment it is
+    * produced; the weight then rides an e2 integer grid and the
+    * allocation is pure largest-remainder integer arithmetic —
+    * base_h = B·w_h div Σw, the Σbase shortfall going to the largest
+    * remainders (ties to the smaller stratum key, the deterministic
+    * tie-break both engines share). Σ alloc = B exactly.
+    *
+    * Scale shape: one moments aggregate over the scan; everything
+    * after runs on the STRATUM frame (windows included — bounded by
+    * stratum cardinality, never data). */
+  def neymanAllocation(df: DataFrame, stratum: String, valueFp: Column,
+                       budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(budget > 0, s"budget $budget")
+    val dec = DecimalType(38, 0)
+    val m = df
+      .select(col(stratum).as("stratum"), valueFp.cast("long").as("v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("v").cast(dec)).as("s1"),
+        sum(col("v").cast(dec) * col("v")).as("s2"))
+      // population variance from exact integer moments, ONE fixed IEEE
+      // expression; sigma rounded at 8 dp (the repo libm policy)
+      // sigma rounds at 2 dp, NOT the usual 8: at cents magnitudes
+      // (~1e7) an 8-dp grid is below the double ulp and the engines'
+      // rounding paths legitimately disagree — the grid must sit well
+      // above the ulp (the "pick s so the value lands ON the grid"
+      // rule from the round policy)
+      .withColumn("sigma2",
+        when(col("nh") < 1, lit(null))
+          .otherwise(round(sqrt(
+            greatest((col("s2").cast("double") * col("nh") -
+              col("s1").cast("double") * col("s1").cast("double")),
+              lit(0.0)) / (col("nh").cast("double") * col("nh"))), 2)))
+      // e2 integer weight: w = N_h * sigma2 * 100 (exact: sigma2 has
+      // <= 2 dp, so *100 rounds to the integer it already is)
+      .withColumn("w",
+        round(col("sigma2") * 100.0).cast(dec) * col("nh"))
+    val tot = m.agg(sum(col("w")).cast(dec).as("tw"))
+    val based = graft.util.QueryCache.persist(
+      m.crossJoin(broadcast(tot))
+        .withColumn("base",
+          expr(s"CAST($budget AS DECIMAL(38,0)) * w div nullif(tw, 0)")
+            .cast("long"))
+        .withColumn("rem",
+          expr(s"(CAST($budget AS DECIMAL(38,0)) * w) % nullif(tw, 0)")))
+    val short = based.agg((lit(budget) - sum(col("base"))).cast("long")
+      .as("short"))
+    // +1 to the `short` largest remainders — a window over the STRATUM
+    // frame (bounded by stratum cardinality)
+    val w2 = Window.orderBy(col("rem").desc, col("stratum"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(w2))
+      .select(col("stratum"), col("nh"), col("sigma2"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

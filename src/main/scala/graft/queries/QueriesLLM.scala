@@ -1062,6 +1062,19 @@ object QueriesLLM {
           180, 250, 320)))
     }),
 
+    // Neyman-optimal labeling-budget allocation: split 10k annotation
+    // slots across market segments proportional to N_h * sigma_h of
+    // order value — the variance-minimizing stratified design in front
+    // of the exact stratified sampler (q150); one moments scan, exact
+    // largest-remainder integers (allocations sum to the budget)
+    "q369_neyman_allocation" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      Sampling.neymanAllocation(o, "c_mktsegment",
+        round(col("o_totalprice") * 100, 0).cast("long"), budget = 10000L)
+    }),
+
     // Jensen-Shannon divergence between the src0 and src1 token
     // distributions — PSI's bounded symmetric sibling (q240), the
     // corpus-drift score that tolerates one-sided vocabulary; wordcount
@@ -2394,6 +2407,41 @@ object QueriesLLM {
                      // ((n_items * 3 * n_items * 3 - sum_nc2) * 2)
                      AS BIGINT) END AS kappa_ppm
          FROM a CROSS JOIN b""",
+
+    // Neyman replay: identical integer moments, identical 8-dp sigma,
+    // identical e8-grid largest-remainder arithmetic
+    "q369_neyman_allocation" ->
+      """WITH m AS (SELECT c_mktsegment AS stratum,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)
+               * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS s2
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         sig AS (SELECT stratum, nh,
+             CASE WHEN nh < 1 THEN NULL ELSE
+               round(sqrt(greatest(CAST(s2 AS DOUBLE) * nh
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
+                 / (CAST(nh AS DOUBLE) * nh)), 2) END AS sigma2
+           FROM m),
+         wts AS (SELECT stratum, nh, sigma2,
+             CAST(round(sigma2 * 100.0) AS HUGEINT) * nh AS w
+           FROM sig),
+         tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM wts),
+         based AS (SELECT stratum, nh, sigma2,
+             CAST(CAST(10000 AS HUGEINT) * w // nullif(tw, 0) AS BIGINT)
+               AS base,
+             (CAST(10000 AS HUGEINT) * w) % nullif(tw, 0) AS rem
+           FROM wts CROSS JOIN tot),
+         sh AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS short
+           FROM based)
+         SELECT stratum, nh, sigma2,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+             stratum) <= short THEN 1 ELSE 0 END AS alloc
+         FROM based CROSS JOIN sh""",
 
     // JSD replay: identical union-vocab counts, identical p/q columns
     // and 12-dp term shape (a side's term vanishes at zero count)

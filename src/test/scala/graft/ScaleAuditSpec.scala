@@ -100,7 +100,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q366_conformal" ->
       ("cumulative count over the per-distinct-RESIDUAL aggregate of " +
         "the calibration window (calendar-bounded; the q312 histogram " +
-        "contract)"))
+        "contract)"),
+    "q369_neyman_allocation" ->
+      ("largest-remainder rank over the STRATUM frame (one row per " +
+        "market segment) — bounded by stratum cardinality, not data"))
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
@@ -259,7 +262,10 @@ class ScaleAuditSpec extends SparkSpec {
     "q366_conformal" -> ("broadcasts of the 1-row (n, k) and 1-row " +
       "q-hat aggregates onto the test-window aggregate"),
     "q367_did_bootstrap" -> ("broadcast of the 1-row full-data DID " +
-      "onto the 1-row CI aggregate (the q333/q353 contract)"))
+      "onto the 1-row CI aggregate (the q333/q353 contract)"),
+    "q369_neyman_allocation" -> ("broadcasts of the 1-row weight total " +
+      "and 1-row shortfall aggregates onto the stratum frame (one row " +
+      "per market segment)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
