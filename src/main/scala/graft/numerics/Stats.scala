@@ -371,6 +371,63 @@ object Stats {
              AS BIGINT)""").as("n_req_per_arm"))
   }
 
+  /** James–Stein shrinkage of per-group means toward the mean of group
+    * means (Efron & Morris 1975 — the empirical-Bayes estimator that
+    * dominates raw group means for k >= 4): with per-group sampling
+    * variance v_g = s²_g/n_g averaged to v̄ and between-group spread
+    * S = Σ(ȳ_g − m̄)²,
+    *   shrink = max(0, 1 − (k−3)·v̄/S),
+    *   js_g   = m̄ + shrink·(ȳ_g − m̄)
+    * — the "small groups borrow strength" verb behind per-slice
+    * dashboards that would otherwise chase noise in thin slices.
+    *
+    * Exactness: group moments are exact decimal integers; every
+    * derived double lands on a declared grid the moment it is produced
+    * (means 2 dp, variances 2 dp, shrink 8 dp, js 2 dp) via fixed IEEE
+    * expressions, so both engines replay bit-for-bit. One moments scan;
+    * everything after runs on the GROUP frame. */
+  def jamesSteinMeans(df: DataFrame, groupCol: String,
+                      valueFp: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = graft.util.QueryCache.persist(
+      df.select(col(groupCol).as("grp"), valueFp.cast("long").as("v"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec)).as("s1"),
+          sum(col("v").cast(dec) * col("v")).as("s2"))
+        .filter(col("n") >= 2)
+        .select(col("grp"), col("n"),
+          round(col("s1").cast("double") / col("n"), 2).as("mean2"),
+          // unbiased within-group variance of the MEAN: s²/(n(n−1))
+          round(expr("""(CAST(s2 AS DOUBLE) * n
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * n * (n - 1))"""), 2).as("vmean2")))
+    val hyper = g.agg(count(lit(1)).as("k"),
+        round(avg(col("mean2")), 2).as("mbar2"),
+        round(avg(col("vmean2")), 2).as("vbar2"))
+      .select(col("k"), col("mbar2"), col("vbar2"))
+    val withS = g.crossJoin(broadcast(hyper))
+      .select(col("grp"), col("n"), col("mean2"), col("k"),
+        col("mbar2"), col("vbar2"),
+        // per-group deviation term on the 2-dp grid (cents² magnitudes
+        // sit far above the ulp there — the q369 grid rule), then an
+        // exact decimal sum
+        round((col("mean2") - col("mbar2")) *
+          (col("mean2") - col("mbar2")), 2).as("dev2"))
+    val sTot = withS.agg(sum(col("dev2")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+      .cast("double").as("ss"))
+    withS.crossJoin(broadcast(sTot))
+      .select(col("grp"), col("n"), col("mean2"),
+        expr("""CASE WHEN k <= 3 OR ss = 0 THEN 1.0 ELSE
+            round(greatest(0.0, 1.0 - (k - 3) * vbar2 / ss), 8) END""")
+          .as("shrink8"),
+        expr("""CASE WHEN k <= 3 OR ss = 0 THEN mean2 ELSE
+            round(mbar2 + round(greatest(0.0,
+                1.0 - (k - 3) * vbar2 / ss), 8)
+              * (mean2 - mbar2), 2) END""").as("js_mean2"))
+  }
+
   /** Mutual information (bits) between two categorical columns — the
     * feature-selection / association strength next to [[chiSquare]]'s
     * significance: MI = Σ_xy (n_xy/N)·log2(N·n_xy / (n_x·n_y)).

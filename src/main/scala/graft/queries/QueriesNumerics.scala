@@ -500,6 +500,18 @@ object QueriesNumerics {
       graft.numerics.Survival.kaplanMeier(subjects, "dur", "ev")
     }),
 
+    // James-Stein shrinkage of per-brand mean order value toward the
+    // mean of brand means — the empirical-Bayes "thin slices borrow
+    // strength" verb (Efron-Morris) behind per-slice dashboards; one
+    // moments scan, every derived double on a declared grid
+    "q370_james_stein" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      graft.numerics.Stats.jamesSteinMeans(o, "c_mktsegment",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+    }),
+
     // experiment power planning per brand: MDE of a two-proportion test
     // at the brand's current volume (alpha 5%/power 80%) and the per-arm
     // n to detect a 1-pt lift — the PRE-experiment verb completing the
@@ -1515,6 +1527,42 @@ object QueriesNumerics {
          SELECT brand, n, k, z8, CAST(p8 AS DOUBLE) + 0.0 AS p8,
            rank, rank <= kmax AS rejected
          FROM r CROSS JOIN km""",
+
+    // JS replay: identical moments, identical declared grids
+    "q370_james_stein" ->
+      """WITH g AS (SELECT c_mktsegment AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 AS HUGEINT)
+               * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS HUGEINT) AS s2
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1 HAVING count(*) >= 2),
+         gg AS (SELECT grp, n,
+             round(CAST(s1 AS DOUBLE) / n, 2) AS mean2,
+             round((CAST(s2 AS DOUBLE) * n
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * n * (n - 1)), 2) AS vmean2
+           FROM g),
+         h AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             round(avg(mean2), 2) AS mbar2,
+             round(avg(vmean2), 2) AS vbar2 FROM gg),
+         ws AS (SELECT grp, n, mean2, k, mbar2, vbar2,
+             round((mean2 - mbar2) * (mean2 - mbar2), 2) AS dev2
+           FROM gg CROSS JOIN h),
+         st AS (SELECT CAST(sum(CAST(dev2 AS DECIMAL(38,2))) AS DOUBLE)
+             AS ss FROM ws)
+         SELECT grp, n, mean2,
+           CASE WHEN k <= 3 OR ss = 0 THEN 1.0 ELSE
+             round(greatest(0.0, 1.0 - (k - 3) * vbar2 / ss), 8) END
+             AS shrink8,
+           CASE WHEN k <= 3 OR ss = 0 THEN mean2 ELSE
+             round(mbar2 + round(greatest(0.0,
+                 1.0 - (k - 3) * vbar2 / ss), 8)
+               * (mean2 - mbar2), 2) END AS js_mean2
+         FROM ws CROSS JOIN st""",
 
     // power replay: identical z-sum literal, identical IEEE shapes
     "q368_power_mde" ->

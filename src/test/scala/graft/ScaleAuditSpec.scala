@@ -265,7 +265,10 @@ class ScaleAuditSpec extends SparkSpec {
       "onto the 1-row CI aggregate (the q333/q353 contract)"),
     "q369_neyman_allocation" -> ("broadcasts of the 1-row weight total " +
       "and 1-row shortfall aggregates onto the stratum frame (one row " +
-      "per market segment)"))
+      "per market segment)"),
+    "q370_james_stein" -> ("broadcasts of the 1-row hyperparameter and " +
+      "1-row spread aggregates onto the group frame (one row per " +
+      "market segment)"))
 
   test("no unpartitioned Window or cartesian join outside the whitelist") {
     val skip = Set("q63_stream_resample", "q99_stream_dedup",
