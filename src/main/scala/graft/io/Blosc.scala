@@ -47,7 +47,8 @@ object Blosc {
   private val cnames = Map("lz4" -> 1, "lz4hc" -> 1, "snappy" -> 2,
     "zlib" -> 3, "zstd" -> 4)
 
-  def decompress(raw: Array[Byte], expect: Int): Array[Byte] = {
+  def decompress(raw: Array[Byte], expect: Int,
+                 exactSize: Boolean = true): Array[Byte] = {
     require(raw.length >= 16, "blosc frame shorter than its 16-byte header")
     val h = ByteBuffer.wrap(raw, 0, 16).order(ByteOrder.LITTLE_ENDIAN)
     val version = h.get() & 0xff
@@ -59,8 +60,12 @@ object Blosc {
     val cbytes = h.getInt()
     require(version >= 1 && version <= 2,
       s"unsupported blosc format version $version (a c-blosc2 frame?)")
-    require(nbytes == expect,
-      s"blosc frame holds $nbytes bytes, chunk expects $expect")
+    // exactSize=false: `expect` is only an upper bound (a scale-offset
+    // stage below this one has a chunk-dependent packed size); the
+    // frame's own nbytes header is authoritative for the output size
+    require(if (exactSize) nbytes == expect else nbytes <= expect,
+      s"blosc frame holds $nbytes bytes, chunk expects " +
+        (if (exactSize) s"$expect" else s"at most $expect"))
     require(cbytes >= 16 && cbytes <= raw.length,
       s"blosc frame truncated: header says $cbytes, have ${raw.length}")
     val out = new Array[Byte](nbytes)

@@ -374,8 +374,10 @@ object HDF5 {
         case (32000, _) => // h5py lzf; sized like deflate (see case 1)
           cur = Lzf.decompress(cur, innerSize(k))
         case (32001, _) => // hdf5-blosc plugin: payload is a self-
-          // describing c-blosc frame (cd values only matter on write)
-          cur = Blosc.decompress(cur, innerSize(k))
+          // describing c-blosc frame (cd values only matter on write);
+          // with scale-offset inner, innerSize is an upper bound and the
+          // frame's nbytes header is the real output size
+          cur = Blosc.decompress(cur, innerSize(k), exactSize = !soInner(k))
         case (32015, _) => // registered zstd (netCDF-C 4.9+ / hdf5plugin)
           val out = new Array[Byte](innerSize(k))
           val n = com.github.luben.zstd.Zstd.decompressByteArray(

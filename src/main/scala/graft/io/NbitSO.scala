@@ -127,6 +127,31 @@ object NbitSO {
     val prec = cd(6); val off = cd(7)
     require(data.length == nelmts * size,
       s"nbit encode: ${data.length} bytes != $nelmts x $size")
+    // loud fit check: packing keeps only bits [off, off+prec) of each
+    // element — a value with significant bits outside that window would
+    // round-trip corrupted. Accept all-zero high bits (unsigned fit) or
+    // the sign-extension of the window's top bit (signed fit); reject
+    // any nonzero bits below `off`.
+    if (prec + off < size * 8 || off > 0) {
+      val total = size * 8
+      val hiBits = total - (off + prec)
+      var e = 0
+      while (e < nelmts) {
+        val v = readLeLong(data, e * size, size)
+        val low = if (off == 0) 0L else v & ((1L << off) - 1)
+        val hi =
+          if (hiBits == 0) 0L
+          else (v >>> (off + prec)) & ((1L << hiBits) - 1)
+        val signPat =
+          if (hiBits == 0 || ((v >>> (off + prec - 1)) & 1L) == 0L) 0L
+          else (1L << hiBits) - 1
+        require(low == 0L && (hi == 0L || hi == signPat),
+          s"nbit encode: element $e value 0x${v.toHexString} does not " +
+            s"fit in bits [$off, ${off + prec}) of a $size-byte type — " +
+            "raise the declared precision or fix the fixture")
+        e += 1
+      }
+    }
     val out = new Array[Byte](nbitPackedSize(cd))
     val cur = new Cursor
     val beginI =

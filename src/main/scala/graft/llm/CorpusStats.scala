@@ -252,7 +252,10 @@ object CorpusStats {
         col("k") <= col("above") + col("c"))
       .select(col("v").as("thr"), col("c").as("thr_c"),
         col("below_w").as("thr_below_w"), col("above"), col("k"))
-    tot.crossJoin(broadcast(thr))
+    // left join on TRUE, not crossJoin: when n < 10 the threshold k =
+    // n div 10 is 0 and `thr` is EMPTY — the verb must still emit its
+    // one row (gini valid, top_decile_share NULL), matching the oracle
+    tot.join(broadcast(thr), lit(true), "left")
       .select(col("n").cast("long").as("n"),
         col("s").cast("long").as("total_weight"),
         expr("""CASE WHEN n <= 1 OR s = 0 THEN NULL
@@ -261,7 +264,7 @@ object CorpusStats {
           .cast("long").as("gini_ppm"),
         // weight strictly above thr = s - thr_below_w - thr·thr_c;
         // plus the threshold group's partial take (k - above)·thr
-        expr("""CASE WHEN s = 0 OR k = 0 THEN NULL
+        expr("""CASE WHEN s = 0 OR k IS NULL OR k = 0 THEN NULL
                 ELSE ((s - thr_below_w
                        - CAST(thr AS DECIMAL(38,0)) * thr_c)
                       + (k - above) * CAST(thr AS DECIMAL(38,0)))

@@ -333,6 +333,17 @@ object LinkAnalysis {
       }
       round += 1
     }
+    if (!converged) {
+      // the in-loop check observes convergence one round LATE (an empty
+      // drop costs a round): a graph needing exactly maxRounds real
+      // peels exits the loop unconverged even though the fixpoint was
+      // reached — one final degree check settles it without peeling
+      val lastDrop = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k)
+      if (lastDrop.isEmpty) converged = true
+    }
     require(converged,
       s"$k-core peel did not converge in $maxRounds rounds — raise " +
         "maxRounds (each round is one distributed pass)")

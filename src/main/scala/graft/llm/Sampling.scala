@@ -219,22 +219,21 @@ object Sampling {
         sum(col("v").cast(dec)).as("s1"),
         sum(col("v").cast(dec) * col("v")).as("s2"))
       // population variance from exact integer moments, ONE fixed IEEE
-      // expression; sigma rounded at 8 dp (the repo libm policy)
-      // sigma rounds at 2 dp, NOT the usual 8: at cents magnitudes
+      // expression; sigma rounds at 2 dp, NOT the usual 8: at cents magnitudes
       // (~1e7) an 8-dp grid is below the double ulp and the engines'
       // rounding paths legitimately disagree — the grid must sit well
       // above the ulp (the "pick s so the value lands ON the grid"
       // rule from the round policy)
-      .withColumn("sigma2",
+      .withColumn("sigma",
         when(col("nh") < 1, lit(null))
           .otherwise(round(sqrt(
             greatest((col("s2").cast("double") * col("nh") -
               col("s1").cast("double") * col("s1").cast("double")),
               lit(0.0)) / (col("nh").cast("double") * col("nh"))), 2)))
-      // e2 integer weight: w = N_h * sigma2 * 100 (exact: sigma2 has
+      // e2 integer weight: w = N_h * sigma * 100 (exact: sigma has
       // <= 2 dp, so *100 rounds to the integer it already is)
       .withColumn("w",
-        round(col("sigma2") * 100.0).cast(dec) * col("nh"))
+        round(col("sigma") * 100.0).cast(dec) * col("nh"))
     val tot = m.agg(sum(col("w")).cast(dec).as("tw"))
     val based = graft.util.QueryCache.persist(
       m.crossJoin(broadcast(tot))
@@ -250,7 +249,7 @@ object Sampling {
     val w2 = Window.orderBy(col("rem").desc, col("stratum"))
     based.crossJoin(broadcast(short))
       .withColumn("rk", row_number().over(w2))
-      .select(col("stratum"), col("nh"), col("sigma2"),
+      .select(col("stratum"), col("nh"), col("sigma"),
         (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
           .as("alloc"))
   }

@@ -2408,8 +2408,9 @@ object QueriesLLM {
                      AS BIGINT) END AS kappa_ppm
          FROM a CROSS JOIN b""",
 
-    // Neyman replay: identical integer moments, identical 8-dp sigma,
-    // identical e8-grid largest-remainder arithmetic
+    // Neyman replay: identical integer moments, identical 2-dp sigma
+    // (the cents-magnitude grid), identical e2-grid largest-remainder
+    // arithmetic
     "q369_neyman_allocation" ->
       """WITH m AS (SELECT c_mktsegment AS stratum,
              CAST(count(*) AS BIGINT) AS nh,
@@ -2425,20 +2426,20 @@ object QueriesLLM {
              CASE WHEN nh < 1 THEN NULL ELSE
                round(sqrt(greatest(CAST(s2 AS DOUBLE) * nh
                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
-                 / (CAST(nh AS DOUBLE) * nh)), 2) END AS sigma2
+                 / (CAST(nh AS DOUBLE) * nh)), 2) END AS sigma
            FROM m),
-         wts AS (SELECT stratum, nh, sigma2,
-             CAST(round(sigma2 * 100.0) AS HUGEINT) * nh AS w
+         wts AS (SELECT stratum, nh, sigma,
+             CAST(round(sigma * 100.0) AS HUGEINT) * nh AS w
            FROM sig),
          tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM wts),
-         based AS (SELECT stratum, nh, sigma2,
+         based AS (SELECT stratum, nh, sigma,
              CAST(CAST(10000 AS HUGEINT) * w // nullif(tw, 0) AS BIGINT)
                AS base,
              (CAST(10000 AS HUGEINT) * w) % nullif(tw, 0) AS rem
            FROM wts CROSS JOIN tot),
          sh AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS short
            FROM based)
-         SELECT stratum, nh, sigma2,
+         SELECT stratum, nh, sigma,
            base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
              stratum) <= short THEN 1 ELSE 0 END AS alloc
          FROM based CROSS JOIN sh""",

@@ -144,6 +144,20 @@ class BloscSpec extends SparkSpec {
       .getMessage.contains("shuffle"))
   }
 
+  test("exactSize=false takes the frame's nbytes as authoritative") {
+    // the scale-offset-inner case: the caller only knows an UPPER BOUND
+    // on the decoded size (packed size is chunk-dependent), so the
+    // frame's own nbytes header must drive the output length
+    val plain = f64(Seq.tabulate(64)(_ * 0.25))
+    val ok = Blosc.compress(plain, 8, "lz4", 5, 1)
+    val out = Blosc.decompress(ok, plain.length + 21, exactSize = false)
+    assert(out.toSeq === plain.toSeq)
+    // but a frame LARGER than the declared bound still fails loudly
+    assert(intercept[Exception](
+      Blosc.decompress(ok, plain.length - 8, exactSize = false))
+      .getMessage.contains("at most"))
+  }
+
   test("decodes a hand-assembled BITSHUFFLE frame (LSB-first bit rows)") {
     // 8 u16 elements, element e = 1 << e (all bits in byte 0): bit-row b
     // of byte 0 is set exactly in element b, so the transposed block is

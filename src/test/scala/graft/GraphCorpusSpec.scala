@@ -32,6 +32,22 @@ class GraphCorpusSpec extends SparkSpec {
     assert(LinkAnalysis.kcore(path, "x", "y", k = 2).isEmpty)
   }
 
+  test("kcore: a graph needing exactly maxRounds peels converges") {
+    // triangle {1,2,3} + tail 3-4-5 needs exactly 2 real peel rounds
+    // at k=2 (drop 5, then 4); the fixpoint must be accepted with
+    // maxRounds = 2 via the post-loop degree check, not require a
+    // third round just to observe the empty drop
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val core = LinkAnalysis.kcore(e, "x", "y", k = 2, maxRounds = 2)
+      .orderBy("node").collect()
+    assert(core.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // one round short must still throw loudly
+    assertThrows[IllegalArgumentException] {
+      LinkAnalysis.kcore(e, "x", "y", k = 2, maxRounds = 1).collect()
+    }
+  }
+
   test("fleissKappa: perfect agreement pins 1e6 ppm") {
     val df = Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"),
       (3L, "a", "a", "a"), (4L, "c", "c", "c"))
@@ -69,6 +85,18 @@ class GraphCorpusSpec extends SparkSpec {
     val re = CorpusStats.weightConcentration(eq, col("v")).collect()(0)
     assert(re.getAs[Long]("gini_ppm") === 0L)
     assert(re.getAs[Long]("top_decile_share_ppm") === 100000L)
+  }
+
+  test("weightConcentration: n < 10 still emits its one row (NULL decile)") {
+    // k = 3 div 10 = 0: no decile threshold exists, but the verb must
+    // emit one row like the oracle — gini from ranks 1·1+2·2+3·3 = 14:
+    // (2·14 - 4·6)·1e6 div (3·6) = 222222 ppm, top decile NULL
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val rows = CorpusStats.weightConcentration(df, col("v")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("n") === 3L)
+    assert(rows(0).getAs[Long]("gini_ppm") === 222222L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("top_decile_share_ppm")))
   }
 
   test("weightConcentration: threshold tie group splits exactly") {

@@ -38,6 +38,32 @@ class NbitSOSpec extends AnyFunSuite {
     assert(NbitSO.nbitDecode(packed, cd).toSeq === data.toSeq)
   }
 
+  test("nbit encode rejects values exceeding the declared precision") {
+    // prec=6 window holds [0, 64) unsigned or [-32, 32) signed; 64 is
+    // silently-truncatable garbage and must raise, naming the value
+    val cd = Seq(8, 0, 1, 1, 4, 0, 6, 0)
+    def le4(v: Int): Array[Byte] = {
+      val a = new Array[Byte](4)
+      java.nio.ByteBuffer.wrap(a)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v)
+      a
+    }
+    val e = intercept[IllegalArgumentException](
+      NbitSO.nbitEncode(le4(64), cd))
+    assert(e.getMessage.contains("does not fit"))
+    // boundary fits: 63 unsigned, and -32 as a signed two's-complement
+    // fill (high bits = sign extension of the window's top bit)
+    assert(NbitSO.nbitEncode(le4(63), cd).nonEmpty)
+    assert(NbitSO.nbitEncode(le4(-32), cd).nonEmpty)
+    assert(intercept[IllegalArgumentException](
+      NbitSO.nbitEncode(le4(-33), cd)).getMessage.contains("does not fit"))
+    // nonzero bits BELOW a nonzero offset are also a corrupt fixture
+    val cdOff = Seq(8, 0, 1, 1, 4, 0, 6, 2)
+    assert(intercept[IllegalArgumentException](
+      NbitSO.nbitEncode(le4(1), cdOff)).getMessage.contains("does not fit"))
+    assert(NbitSO.nbitEncode(le4(4), cdOff).nonEmpty)
+  }
+
   test("nbit no-need-to-compress flag is identity") {
     val cd = Seq(8, 1, 2, 1, 4, 0, 32, 0)
     val data = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
