@@ -67,15 +67,23 @@ object Packing {
         val diff = orderCol.cast(LongType) - mn
         val bucketOf = (diff - pmod(diff, lit(block))) / block
         // coalesce: a bucket whose __v are all null must contribute 0,
-        // not a null that breaks the offsets collect
+        // not a null that poisons the running offsets
+        // Per-bucket offsets IN-PLAN, not via a driver collect: the
+        // exclusive prefix runs as an unpartitioned window over the
+        // bucket-sums AGGREGATE (<= p rows by construction — parallelism-
+        // bounded, never data), and the broadcast join folds it into the
+        // SAME action as the final plan. The previous collect+rebroadcast
+        // was a whole extra driver job — at small inputs this verb is
+        // per-job fixed overhead, which is what the round-14 q146 flag
+        // measured (5000 rows, ~0.2 s/job); at scale both shapes shuffle
+        // identical bytes.
         val sums = narrow.groupBy(bucketOf.cast(LongType).as("__b"))
           .agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"))
-          .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
-        val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) =>
-          (b, acc + t)
-        }.init.zip(sums).map { case ((_, off), (b, _)) => (b, off) }
-        import spark.implicits._
-        val offDf = offsets.toSeq.toDF("__b", "__off")
+        val wOff = Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offDf = sums
+          .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+          .drop("__tot")
         val localW = Window.partitionBy("__b").orderBy(orderCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return narrow.withColumn("__b", bucketOf.cast(LongType))
@@ -169,8 +177,9 @@ object Packing {
     // serialize; repartitioning the raw docs moves the text once and the
     // regex then runs wide. (globalRunningSum persists the projection
     // itself, so the regex runs exactly once either way.)
+    val base = graft.util.Parallelize.ensure(docs)
     val withEnd = globalRunningSum(
-      docs.select(col(id), tokenCount.cast(LongType).as("n_tokens")),
+      base.select(col(id), tokenCount.cast(LongType).as("n_tokens")),
       col(id), col("n_tokens"), "end_off")
     withEnd
       .withColumn("start_off", col("end_off") - col("n_tokens"))

@@ -12,6 +12,12 @@ class ScaleAuditSpec extends SparkSpec {
   // Unpartitioned windows allowed ONLY over provably-small inputs:
   private val allowGlobalWindow: Map[String, String] = Map(
     "q39_date_range_infer" -> "window over a generated 37-row time grid",
+    "q146_seq_packing" -> ("globalRunningSum's exclusive bucket-offset " +
+      "prefix: an unpartitioned window over the per-bucket sums " +
+      "AGGREGATE — <= defaultParallelism rows by construction, never " +
+      "data (the round-15 in-plan replacement of the offsets collect)"),
+    "q345_concurrency" -> ("same globalRunningSum bucket-offset prefix " +
+      "as q146, over the parallelism-bounded bucket-sums aggregate"),
     "q03_isel_head" -> ("head() takes a global prefix by definition; " +
       "TakeOrderedAndProject, not a window, does the work at scale"),
     "q31_concat_newdim" -> "per-month ordinal over an aggregated 158-row frame",
