@@ -75,17 +75,35 @@ object Bench {
 
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail; sbt then appends its own "[success] ..."
-    // line (~80 chars). A full-name map for 126 queries is ~2.7k chars and
-    // gets truncated mid-line, so the stdout line uses the qNN prefix of
-    // each query name (unique by registry convention; full name kept on
-    // collision) and, if the registry ever outgrows even that, drops the
-    // fastest queries first under a "truncated":N marker.
+    // line (~80 chars). Query NAMES alone for a 385-entry registry run
+    // ~2.3k chars, so NO name-keyed map can ever fit — the round-14 line
+    // carried "truncated":256. The self-contained replacement: per-query
+    // times as CENTISECOND integers in sorted-full-name order ("q_cs",
+    // ~4 chars/query), which tools/bench_decode.py re-keys using the
+    // registry (or bench_detail.json, whose md5 is embedded for
+    // integrity). Failed queries render as null, same contract as before.
+    // 2000-char tail minus sbt's "[info] " prefix, its trailing
+    // "[success] Total time ..." line, and slack for stray warnings
+    val budget = 1780
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(detail.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val csArr = results.sortBy(_._1).map {
+      case (_, Some(v)) => Math.round(v * 100).toString
+      case (_, None)    => "null"
+    }.mkString("[", ",", "]")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"q_order":"sorted_name","q_unit":"centisec","q_cs":$csArr,"detail_md5":"$md5","sf":"$sfDir"}"""
+    // small (filtered-iteration) runs keep the qNN-keyed map — names in
+    // place beat a positional array when they fit
     def short(name: String): String = name.takeWhile(_ != '_')
     val collided = results.groupBy { case (k, _) => short(k) }
-      .collect { case (_, vs) if vs.size > 1 => vs.map(_._1) }.flatten.toSet
+      .collect { case (_, vs) if vs.size > 1 => vs.map(_._1) }
+      .flatten.toSet
     def key(name: String): String =
       if (collided(name)) name else short(name)
-    def render(entries: Seq[(String, Option[Double])], dropped: Int): String = {
+    def render(entries: Seq[(String, Option[Double])],
+               dropped: Int): String = {
       val qs = entries.sortBy(_._1).map {
         case (k, Some(v)) => "\"" + key(k) + "\":" + f"$v%.3f"
         case (k, None)    => "\"" + key(k) + "\":null"
@@ -93,16 +111,21 @@ object Bench {
       val trunc = if (dropped > 0) s""","truncated":$dropped""" else ""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir"}"""
     }
-    // 2000-char tail minus sbt's "[info] " prefix, its trailing
-    // "[success] Total time ..." line, and slack for stray warnings
-    val budget = 1780
-    var entries = results
-    var line = render(entries, results.size - entries.size)
-    while (line.length > budget && entries.nonEmpty) {
-      // keep the slowest (most informative) queries; nulls sort as +inf
-      entries = entries.sortBy(_._2.getOrElse(Double.MaxValue)).drop(1)
-      line = render(entries, results.size - entries.size)
-    }
+    val named = render(results, 0)
+    val line =
+      if (named.length <= budget) named
+      else if (compact.length <= budget) compact
+      else {
+        // registry too large even for the cs array: keep the slowest
+        // (most informative) queries under a "truncated":N marker
+        var entries = results
+        var l = named
+        while (l.length > budget && entries.nonEmpty) {
+          entries = entries.sortBy(_._2.getOrElse(Double.MaxValue)).drop(1)
+          l = render(entries, results.size - entries.size)
+        }
+        l
+      }
     println(line)
     spark.stop()
   }
