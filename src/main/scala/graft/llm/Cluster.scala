@@ -52,6 +52,12 @@ object Cluster {
     * ties to the lowest index) and `d2` (squared L2 to it). */
   def assign(vecs: DataFrame, vec: String,
              cents: Array[Array[Double]]): DataFrame = {
+    // zero centroids (empty seed input): array() of no structs cannot be
+    // typed — the assignment is the empty frame with the same columns
+    if (cents.isEmpty)
+      return vecs.filter(lit(false))
+        .withColumn("cluster", lit(0))
+        .withColumn("d2", lit(0.0))
     val scored = cents.zipWithIndex.map { case (c, j) =>
       struct(dist2(col(vec), c).as("d"), lit(j).as("cid"))
     }
@@ -101,6 +107,20 @@ object Cluster {
   def simplifiedSilhouette(vecs: DataFrame, id: String, vec: String,
                            k: Int, iters: Int): DataFrame = {
     val cents = lloydCents(vecs, id, vec, k, iters, new Stats)
+    // fewer than 2 seedable centroids (input has < 2 rows): "nearest
+    // OTHER centroid" is undefined — return the empty per-cluster frame
+    // instead of an unresolvable slot-1 extraction
+    if (cents.length < 2)
+      return vecs.sparkSession.createDataFrame(
+        vecs.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mean_silhouette",
+            org.apache.spark.sql.types.DoubleType))))
     val scored = cents.zipWithIndex.map { case (c, j) =>
       struct(dist2(col(vec), c).as("d"), lit(j).as("cid"))
     }
@@ -133,6 +153,11 @@ object Cluster {
         case d: Double => d
         case x => x.toString.toDouble
       }.toArray)
+
+    // no seedable rows at all: the Lloyd loop (and assign's per-centroid
+    // struct array) cannot even be EXPRESSED over zero centroids —
+    // return the empty centroid set for callers to contract on
+    if (cents.isEmpty) return cents
 
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, vec, cents)

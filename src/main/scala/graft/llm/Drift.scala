@@ -87,9 +87,14 @@ object Drift {
           sum(when(col("a"), 0L).otherwise(1L)).as("nb")))
     val tot = counts.agg(sum(col("na")).cast("long").as("ta"),
       sum(col("nb")).cast("long").as("tb"))
+    // an empty SIDE (ta or tb = 0) makes its distribution — and the
+    // divergence — undefined: NULL out the ratio (ANSI division would
+    // throw), which propagates to a NULL jsd_bits on the summary row
     counts.crossJoin(broadcast(tot))
-      .withColumn("p", col("na").cast("double") / col("ta"))
-      .withColumn("q", col("nb").cast("double") / col("tb"))
+      .withColumn("p",
+        col("na").cast("double") / when(col("ta") =!= 0, col("ta")))
+      .withColumn("q",
+        col("nb").cast("double") / when(col("tb") =!= 0, col("tb")))
       .withColumn("term", round(
         when(col("na") > 0,
           col("p") * log2(lit(2.0) * col("p") / (col("p") + col("q"))))

@@ -277,6 +277,115 @@ class EmptyInputSpec extends SparkSpec {
       10).count() === 0L)
   }
 
+  test("round-14 stats verbs: empty / one-group / all-censored / " +
+    "single-arm contracts") {
+    import graft.llm.{Agreement, Cluster, CorpusStats, Dedup, Drift,
+      LinkAnalysis, Sampling}
+    import graft.numerics.{Bootstrap, Conformal, Stats, Survival}
+    val e3 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("g", StringType),
+        StructField("v", LongType), StructField("s", BooleanType))))
+    val docs0 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    def oneNullRow(df: org.apache.spark.sql.DataFrame,
+                   nullCols: Seq[String]): Unit = {
+      val rows = df.collect()
+      assert(rows.length === 1, df.columns.mkString(","))
+      nullCols.foreach(c =>
+        assert(rows(0).isNullAt(rows(0).fieldIndex(c)), s"$c not null"))
+    }
+    // q356 k-core: empty edge set -> empty core (converges round 1)
+    assert(LinkAnalysis.kcore(
+      e3.select(col("v").as("x"), col("v").as("y")), "x", "y", 2)
+      .count() === 0L)
+    // q357 Fleiss: empty -> 1 row, kappa NULL; single item -> the
+    // chance-agreement denominator vanishes -> kappa NULL, moments real
+    oneNullRow(Agreement.fleissKappa(
+      e3.select(col("v").as("i"), col("g").as("r1"), col("g").as("r2")),
+      col("i"), Seq(col("r1"), col("r2"))), Seq("kappa_ppm"))
+    val f1 = Agreement.fleissKappa(Seq((1L, "a", "a")).toDF("i", "r1", "r2"),
+      col("i"), Seq(col("r1"), col("r2"))).collect()(0)
+    assert(f1.getAs[Long]("s2") === 4L &&
+      f1.isNullAt(f1.fieldIndex("kappa_ppm")))
+    // q358 LSH index eval: empty corpus -> 1 summary row, 0 counts,
+    // NULL ratios (0/0 recall is undefined, not 100%)
+    oneNullRow(Dedup.lshIndexEval(docs0, "doc_id", "text"),
+      Seq("recall_ppm", "precision_ppm"))
+    // q360 token gini: empty -> its one summary row, all NULL
+    oneNullRow(CorpusStats.weightConcentration(e3, col("v")),
+      Seq("gini_ppm", "top_decile_share_ppm"))
+    // q361 ROC AUC: empty -> NULL AUC; one CLASS (no negatives) ->
+    // Mann-Whitney denominator pos*neg = 0 -> NULL, not 0 or 1
+    oneNullRow(Agreement.rocAuc(e3, col("s"), col("v"), c => c),
+      Seq("auc_ppm"))
+    val r1 = Agreement.rocAuc(Seq((true, 1L), (true, 2L)).toDF("s", "v"),
+      col("s"), col("v"), c => c).collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("auc_ppm")))
+    // q362 MI: empty -> NULL; a single row carries no information -> 0
+    oneNullRow(Stats.mutualInformation(e3, col("g"), col("g")),
+      Seq("mi_bits"))
+    assert(Stats.mutualInformation(Seq(("a", "b")).toDF("u", "w"),
+      col("u"), col("w")).collect()(0).getAs[Double]("mi_bits") === 0.0)
+    // q363 JSD: empty -> NULL; one side EMPTY -> that distribution is
+    // undefined -> NULL jsd (was an ANSI divide-by-zero before r15)
+    oneNullRow(Drift.jsDivergence(e3, col("s"), col("g")),
+      Seq("jsd_bits"))
+    oneNullRow(Drift.jsDivergence(Seq((true, "x")).toDF("a", "w"),
+      col("a"), col("w")), Seq("jsd_bits"))
+    // q364 silhouette: < 2 seedable rows -> "nearest OTHER centroid"
+    // undefined -> empty per-cluster frame (was an AnalysisException)
+    assert(Cluster.simplifiedSilhouette(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("vec", ArrayType(DoubleType))))),
+      "id", "vec", 2, 2).count() === 0L)
+    // q365 log-rank: empty AND all-censored -> no events -> NULL chi2;
+    // single-arm -> variance 0 -> NULL chi2, observed counts real
+    oneNullRow(Survival.logRank(
+      e3.select(col("v").as("dur"), col("v").as("ev"), col("s")),
+      "dur", "ev", col("s")), Seq("chi2"))
+    oneNullRow(Survival.logRank(
+      Seq((5L, 0, true), (6L, 0, false)).toDF("dur", "ev", "grp"),
+      "dur", "ev", col("grp")), Seq("chi2"))
+    oneNullRow(Survival.logRank(
+      Seq((5L, 1, true), (6L, 1, true)).toDF("dur", "ev", "grp"),
+      "dur", "ev", col("grp")), Seq("chi2"))
+    // q366 conformal: empty -> 1 row, NULL q-hat; no calibration rows ->
+    // NULL q-hat with the test side still counted
+    oneNullRow(Conformal.splitInterval(
+      e3.select(col("s").as("cal"), col("v").as("a"), col("v").as("p")),
+      col("cal"), col("a"), col("p")), Seq("q_hat", "coverage_ppm"))
+    val c1 = Conformal.splitInterval(
+      Seq((false, 5L, 4L)).toDF("cal", "a", "p"),
+      col("cal"), col("a"), col("p")).collect()(0)
+    assert(c1.isNullAt(c1.fieldIndex("q_hat")) &&
+      c1.getAs[Long]("n_test") === 1L)
+    // q367 DiD, q368 power/MDE, q369 Neyman, q370 James-Stein: empty ->
+    // empty frames (no groups/strata -> no rows)
+    assert(Bootstrap.didCI(
+      e3.select(col("v").as("id"), col("s").as("t"), col("s").as("p"),
+        col("v").as("y")),
+      col("id"), col("t"), col("p"), col("y")).count() === 0L)
+    assert(Stats.powerMde(e3, "g", col("s")).count() === 0L)
+    assert(Sampling.neymanAllocation(e3, "g", col("v"), 100L)
+      .count() === 0L)
+    assert(Stats.jamesSteinMeans(e3, "g", col("v")).count() === 0L)
+    // single-arm / single-group degenerates: one full-budget stratum,
+    // one unshrunk group (zero spread -> shrink target is itself)
+    val ney1 = Sampling.neymanAllocation(
+      Seq(("a", 1L), ("a", 3L)).toDF("g", "v"), "g", col("v"), 100L)
+      .collect()(0)
+    assert(ney1.getAs[Long]("alloc") === 100L)
+    val js1 = Stats.jamesSteinMeans(
+      Seq(("a", 1L), ("a", 3L)).toDF("g", "v"), "g", col("v"))
+      .collect()(0)
+    assert(js1.getAs[Double]("js_mean2") === 2.0)
+  }
+
   test("zorder: empty input writes an empty store; constant key is safe") {
     import graft.io.ZOrder
     val emptyEv = spark.createDataFrame(
