@@ -46,8 +46,15 @@ object ScaleSmoke {
     val names = if (args.length > 2) args.drop(2).toSeq else DEFAULT
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // SPARK_GRAFT_SCALE_PARTS: shuffle partitions sized to the DATA,
+      // not the box — the knob a real 100 TB deployment turns (the
+      // round-14 30x control attributed its residual super-linearity to
+      // 15.4M distinct pairs hash-aggregating inside 32 fixed
+      // partitions; scaling partitions with reps is the cluster-shaped
+      // control for that attribution)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
