@@ -911,11 +911,14 @@ object HDF5 {
       require(dt.size <= 8 && dt.precBits + dt.bitOff <= 64,
         s"fixed-point precision ${dt.precBits}+${dt.bitOff} in " +
           s"${dt.size}-byte type")
+      // assemble the element's logical value from its memory order —
+      // byte 0 is least significant for LE, most significant for BE
       var raw = 0L
       var i = 0
-      while (i < dt.size) { raw |= (b.get() & 0xffL) << (8 * i); i += 1 }
-      require(dt.littleEndian, "reduced-precision big-endian fixed " +
-        "point is unimplemented (BE nbit is rejected upstream)")
+      if (dt.littleEndian)
+        while (i < dt.size) { raw |= (b.get() & 0xffL) << (8 * i); i += 1 }
+      else
+        while (i < dt.size) { raw = (raw << 8) | (b.get() & 0xffL); i += 1 }
       val span = raw >>> dt.bitOff
       val v =
         if (dt.signed) (span << (64 - dt.precBits)) >> (64 - dt.precBits)
@@ -1800,7 +1803,8 @@ object HDF5 {
                   szip: Boolean = false, lzf: Boolean = false,
                   zstd: Boolean = false, index4: Option[String] = None,
                   nbitPrec: Int = 0,
-                  soScale: Option[(Int, Int)] = None) {
+                  soScale: Option[(Int, Int)] = None,
+                  bigEndian: Boolean = false) {
     require(Seq(szip, lzf, zstd).count(identity) <= 1,
       "szip/lzf/zstd are alternative compressors")
     require(nbitPrec == 0 || soScale.isEmpty,
@@ -1813,11 +1817,14 @@ object HDF5 {
     require(soScale.forall { case (st, _) =>
       (st == 2 && integral) || (st == 0 && !integral && !f32) },
       "scale-offset: INT (2) needs integral, FLOAT_DSCALE (0) needs f64")
+    require(!bigEndian || integral,
+      "bigEndian fixtures are supported for integral variables only")
     /** H5Z__set_local_nbit-shaped client data for the atomic class:
-      * [nValid, noNeedFlag, nelmts, class=atomic, size, order=LE,
-      * precision, offset=0]. */
+      * [nValid, noNeedFlag, nelmts, class=atomic, size, order,
+      * precision, offset=0] — order follows the declared dtype. */
     def nbitCd(chunkDims: Seq[Int]): Seq[Int] =
-      Seq(8, 0, chunkDims.product, 1, 8, 0, nbitPrec, 0)
+      Seq(8, 0, chunkDims.product, 1, 8, if (bigEndian) 1 else 0,
+        nbitPrec, 0)
     /** H5Z__set_local_scaleoffset-shaped client data (20 words):
       * [scaleType, scaleFactor, nelmts, class, size, sign, order=LE,
       * filavail=undefined, 12 fill words]. */
@@ -1938,7 +1945,8 @@ object HDF5 {
     def elemSize(v: WVar): Int = elemSizeOf(v)
     def encode(v: WVar, slice: Array[Double]): Array[Byte] = {
       val eb = ByteBuffer.allocate(slice.length * elemSize(v))
-        .order(ByteOrder.LITTLE_ENDIAN)
+        .order(if (v.bigEndian) ByteOrder.BIG_ENDIAN
+               else ByteOrder.LITTLE_ENDIAN)
       slice.foreach { x =>
         if (v.integral) eb.putLong(x.toLong)
         else if (v.f32) eb.putFloat(x.toFloat)
@@ -2627,12 +2635,16 @@ object HDF5 {
   }
 
   private def dtypeBody(elemSize: Int, integral: Boolean,
-                        precBits: Int = 0): Array[Byte] = {
+                        precBits: Int = 0,
+                        bigEndian: Boolean = false): Array[Byte] = {
     val b = ByteBuffer.allocate(if (integral) 12 else 20)
       .order(ByteOrder.LITTLE_ENDIAN)
-    if (integral) { // fixed-point, LE, signed; nbit vars declare their
-      // reduced precision (libhdf5 derives the filter cd from it)
-      b.put(0x10.toByte); b.put(0x08.toByte); b.put(0.toByte); b.put(0.toByte)
+    if (integral) { // fixed-point, signed; bit 0 of the class field is
+      // the byte order; nbit vars declare their reduced precision
+      // (libhdf5 derives the filter cd from it)
+      b.put(0x10.toByte)
+      b.put((0x08 | (if (bigEndian) 1 else 0)).toByte)
+      b.put(0.toByte); b.put(0.toByte)
       b.putInt(elemSize)
       b.putShort(0.toShort)
       b.putShort((if (precBits > 0) precBits else elemSize * 8).toShort)
@@ -2891,7 +2903,8 @@ object HDF5 {
       dimDefs.exists(_._1 == v.name)
     val base = Seq(
       msg(0x01, dataspaceBody(shape)),
-      msg(0x03, dtypeBody(elemSize, v.integral, v.nbitPrec)),
+      msg(0x03, dtypeBody(elemSize, v.integral, v.nbitPrec,
+        v.bigEndian)),
       msg(0x05, fillBody()),
       v.chunk match {
         case None => msg(0x08, layoutBodyContig(dataAddr.get,

@@ -12,11 +12,12 @@ package graft.io
   * + 9 reserved bytes in front of the packed payload.
   *
   * Decode supports the cases the C library itself implements: atomic
-  * little-endian datatypes for n-bit (the ARRAY/COMPOUND recursions and
-  * big-endian walks are loud rejects — cd describes them, so the error
-  * names the gap), and integer / float-D-scale for scale-offset
-  * (E-scale is unimplemented in the C library too). Encode exists for
-  * the fixture writer so round-trip specs pin the bitstream.
+  * little-endian AND big-endian datatypes for n-bit (the byte walk
+  * mirrors per the element order; the ARRAY/COMPOUND recursions remain
+  * loud rejects — cd describes them, so the error names the gap), and
+  * integer / float-D-scale for scale-offset (E-scale is unimplemented
+  * in the C library too). Encode exists for the fixture writer so
+  * round-trip specs pin the bitstream.
   *
   * Reference behavior spec: xarray reads these through h5py/netCDF-C
   * (reference/xarray/backends/h5netcdf_.py) — the filter layer is
@@ -57,24 +58,33 @@ object NbitSO {
       case NbitAtomic =>
         val size = cd(4); val order = cd(5)
         val prec = cd(6); val off = cd(7)
-        require(order == 0,
-          "n-bit decode implements little-endian atomic types only — " +
-            "big-endian n-bit data needs the BE byte walk (unimplemented)")
+        require(order == 0 || order == 1,
+          s"n-bit atomic byte order $order is neither LE (0) nor BE (1)")
         require(prec > 0 && prec + off <= size * 8,
           s"nbit precision $prec + offset $off exceed size $size bytes")
         val out = new Array[Byte](nelmts * size)
         val cur = new Cursor
-        val beginI =
-          if ((prec + off) % 8 != 0) (prec + off) / 8
-          else (prec + off) / 8 - 1
-        val endI = off / 8
+        // the packed stream and the per-byte kernel are order-agnostic;
+        // the byte WALK differs (H5Z__nbit_decompress_one_atomic): LE
+        // descends from the top partial byte to the offset byte, BE
+        // ascends — byte 0 is the most significant there, so the window
+        // indices mirror around the element
+        val (beginI, endI, step) =
+          if (order == 0)
+            (if ((prec + off) % 8 != 0) (prec + off) / 8
+             else (prec + off) / 8 - 1,
+             off / 8, -1)
+          else
+            (if ((prec + off) % 8 != 0) size - (prec + off) / 8 - 1
+             else size - (prec + off) / 8,
+             size - off / 8 - 1, 1)
         var i = 0
         while (i < nelmts) {
           var k = beginI
-          while (k >= endI) {
+          while (if (step < 0) k >= endI else k <= endI) {
             nbitDecodeByte(out, i * size, k, beginI, endI, raw, cur,
               size * 8, prec, off)
-            k -= 1
+            k += step
           }
           i += 1
         }
@@ -118,12 +128,14 @@ object NbitSO {
     }
   }
 
-  /** Fixture-writer encode (mirror of H5Z__nbit_compress, atomic LE). */
+  /** Fixture-writer encode (mirror of H5Z__nbit_compress, atomic
+    * LE/BE). */
   def nbitEncode(data: Array[Byte], cd: Seq[Int]): Array[Byte] = {
-    require(cd.length >= 8 && cd(3) == NbitAtomic && cd(5) == 0,
-      s"nbit encode supports atomic little-endian only, got $cd")
+    require(cd.length >= 8 && cd(3) == NbitAtomic &&
+      (cd(5) == 0 || cd(5) == 1),
+      s"nbit encode supports atomic LE/BE only, got $cd")
     if (cd(1) != 0) return data
-    val nelmts = cd(2); val size = cd(4)
+    val nelmts = cd(2); val size = cd(4); val order = cd(5)
     val prec = cd(6); val off = cd(7)
     require(data.length == nelmts * size,
       s"nbit encode: ${data.length} bytes != $nelmts x $size")
@@ -137,7 +149,9 @@ object NbitSO {
       val hiBits = total - (off + prec)
       var e = 0
       while (e < nelmts) {
-        val v = readLeLong(data, e * size, size)
+        val v =
+          if (order == 0) readLeLong(data, e * size, size)
+          else readBeLong(data, e * size, size)
         val low = if (off == 0) 0L else v & ((1L << off) - 1)
         val hi =
           if (hiBits == 0) 0L
@@ -154,17 +168,23 @@ object NbitSO {
     }
     val out = new Array[Byte](nbitPackedSize(cd))
     val cur = new Cursor
-    val beginI =
-      if ((prec + off) % 8 != 0) (prec + off) / 8
-      else (prec + off) / 8 - 1
-    val endI = off / 8
+    // same walk mirror as decode: LE descends, BE ascends
+    val (beginI, endI, step) =
+      if (order == 0)
+        (if ((prec + off) % 8 != 0) (prec + off) / 8
+         else (prec + off) / 8 - 1,
+         off / 8, -1)
+      else
+        (if ((prec + off) % 8 != 0) size - (prec + off) / 8 - 1
+         else size - (prec + off) / 8,
+         size - off / 8 - 1, 1)
     var i = 0
     while (i < nelmts) {
       var k = beginI
-      while (k >= endI) {
+      while (if (step < 0) k >= endI else k <= endI) {
         nbitEncodeByte(data, i * size, k, beginI, endI, out, cur,
           size * 8, prec, off)
-        k -= 1
+        k += step
       }
       i += 1
     }
@@ -329,6 +349,12 @@ object NbitSO {
   private def readLeLong(a: Array[Byte], pos: Int, size: Int): Long = {
     var v = 0L; var i = 0
     while (i < size) { v |= (a(pos + i) & 0xffL) << (i * 8); i += 1 }
+    v
+  }
+
+  private def readBeLong(a: Array[Byte], pos: Int, size: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < size) { v = (v << 8) | (a(pos + i) & 0xffL); i += 1 }
     v
   }
 

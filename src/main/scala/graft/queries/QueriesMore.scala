@@ -833,6 +833,36 @@ object QueriesMore {
           col("cnt_so").cast("double").as("cnt_so"))
     }),
 
+    // big-endian n-bit (round 15): the BE byte walk of H5Z__nbit —
+    // signed quarterly deviations (count − grid mean) pack negatives
+    // through the reduced-precision BE dtype; the oracle recomputes the
+    // deviations straight from the parquet, so a wrong walk direction,
+    // span extraction, or sign extension breaks the hash
+    "q371_hdf5_nbit_bigendian" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5benb_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val od = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1995, 2001))
+        .groupBy((year(col("o_orderdate")) - 1995).cast("int").as("y"),
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"))
+        .count().collect() // bounded at the 28-cell grid
+      val grid = new Array[Double](28)
+      od.foreach(r => grid(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      val mean = (grid.map(_.toLong).sum / 28).toDouble // exact int div
+      val dev = grid.map(_ - mean)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("y" -> Array.tabulate(7)(_.toDouble),
+          "q" -> Array.tabulate(4)(_.toDouble)),
+        Seq(HDF5.WVar("dev_be", Seq(0, 1), dev,
+          chunk = Some(Seq(3, 2)), integral = true, nbitPrec = 24,
+          bigEndian = true)))
+      HDF5.openDataset(s, base)
+        .select(col("y"), col("q"),
+          col("dev_be").cast("long").as("dev_be"))
+    }),
+
     // k-core decomposition (k=3) of the co-purchase graph: synchronized
     // peeling to the UNIQUE fixpoint (order-independent, so any engine
     // replays it) — per round one degree aggregate + two anti-joins on
@@ -2283,6 +2313,24 @@ object QueriesMore {
            FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 2001
            GROUP BY 1, 2) l
          ON l.y = g.y AND l.q = g.q
+         LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             count(*) AS cnt
+           FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+           GROUP BY 1, 2) o
+         ON o.y = g.y AND o.q = g.q""",
+
+    // derivational: signed quarterly deviations recomputed from the
+    // parquet — a BE-walk/sign-extension defect breaks the hash
+    "q371_hdf5_nbit_bigendian" ->
+      """SELECT g.y, g.q,
+           CAST(coalesce(o.cnt, 0) - m.mean AS BIGINT) AS dev_be
+         FROM (SELECT y.y, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS y) y
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         CROSS JOIN (SELECT count(*) // 28 AS mean
+           FROM orders
+           WHERE year(o_orderdate) BETWEEN 1995 AND 2001) m
          LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
              CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
              count(*) AS cnt

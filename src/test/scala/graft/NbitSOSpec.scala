@@ -64,6 +64,57 @@ class NbitSOSpec extends AnyFunSuite {
     assert(NbitSO.nbitEncode(le4(4), cdOff).nonEmpty)
   }
 
+  test("nbit BE packs the same MSB-first stream from BE memory (pinned)") {
+    // big-endian memory of 0x0ABC at size=2, prec=12: bytes [0x0A, 0xBC].
+    // The packed stream is the LOGICAL value MSB-first, identical to the
+    // LE fixture's 0xAB 0xC0 — only the element byte walk differs
+    // (ascending from the most significant byte, per H5Z__nbit_compress).
+    val cd = Seq(8, 0, 1, 1, 2, 1, 12, 0)
+    val data = Array[Byte](0x0A.toByte, 0xBC.toByte)
+    val packed = NbitSO.nbitEncode(data, cd)
+    assert(packed.toSeq === Seq(0xAB.toByte, 0xC0.toByte))
+    assert(NbitSO.nbitDecode(packed, cd).toSeq === data.toSeq)
+  }
+
+  test("nbit BE codec round-trips randomized offsets/precisions") {
+    val rnd = new scala.util.Random(11)
+    for (size <- Seq(2, 4, 8); _ <- 1 to 15) {
+      val prec = 1 + rnd.nextInt(size * 8 - 1)
+      val off = rnd.nextInt(size * 8 - prec + 1)
+      val n = 1 + rnd.nextInt(40)
+      val cd = Seq(8, 0, n, 1, size, 1, prec, off)
+      val data = new Array[Byte](n * size)
+      for (e <- 0 until n) {
+        val v = (rnd.nextLong().abs &
+          (if (prec == 64) -1L else (1L << prec) - 1)) << off
+        var i = 0
+        // big-endian fill: byte 0 holds the most significant bits
+        while (i < size) {
+          data(e * size + i) = ((v >> (8 * (size - 1 - i))) & 0xff).toByte
+          i += 1
+        }
+      }
+      val dec = NbitSO.nbitDecode(NbitSO.nbitEncode(data, cd), cd)
+      assert(dec.toSeq === data.toSeq, s"BE size=$size prec=$prec off=$off")
+    }
+  }
+
+  test("netCDF-4 big-endian nbit writer->reader round-trip") {
+    val dir = Files.createTempDirectory("graft_benb").toString
+    val path = s"$dir/part0.nc4"
+    // negatives exercise the sign-extension through the BE span read
+    val vals = Array(7.0, -3.0, 1023.0, -1024.0, 0.0, 512.0)
+    HDF5.writeNc4(path,
+      Seq("x" -> Array.tabulate(6)(_.toDouble)),
+      Seq(WVar("packed_be", Seq(0), vals, chunk = Some(Seq(4)),
+        integral = true, nbitPrec = 11, bigEndian = true)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val d = f.byName("packed_be")
+    assert(d.filters.map(_._1) === Seq(5, 1))
+    assert(HDF5.readVar(bytes, f, "packed_be").toSeq === vals.toSeq)
+  }
+
   test("nbit no-need-to-compress flag is identity") {
     val cd = Seq(8, 1, 2, 1, 4, 0, 32, 0)
     val data = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)

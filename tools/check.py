@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <outDir> [--json gate.json] [query ...]
+
+--json writes a CORRECTNESS-shaped gate file ({name: {rows_match,
+schema_match, hash_match, err}}) consumable by tools/coverage_audit.py,
+so the close sweep can audit §2 parity against its OWN full run before
+the driver writes the official artifact.
 
 Runs each oracle SQL (outDir/oracle_sql.json) in DuckDB over the parquet
 tables in sfDir, loads the Spark result parquet from outDir/<name>, and
@@ -36,8 +41,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    gate_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        gate_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
+    gate = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -138,6 +150,8 @@ def main():
             print(f"PASS {name} ({len(o)} rows)"); n_pass += 1
         else:
             print(f"FAIL {name}: {msg}"); n_fail += 1
+        gate[name] = {"rows_match": ok, "schema_match": ok,
+                      "hash_match": ok, "err": None if ok else msg}
     # queries with no oracle (rows-only check)
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -149,6 +163,8 @@ def main():
             if n == 0: n_fail += 1
             else: n_skip += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    if gate_path:
+        json.dump(gate, open(gate_path, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

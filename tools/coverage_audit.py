@@ -31,7 +31,8 @@ ROWS = [
      ["q168_netcdf4_roundtrip", "q169_netcdf4_dense", "q231_hdf5_szip",
       "q232_hdf5_lzf", "q233_hdf5_v4fixed",
       "q235_h5_open_dataset", "q295_hdf5_extensible_array",
-      "q354_hdf5_nbit_scaleoffset"],
+      "q354_hdf5_nbit_scaleoffset",
+      "q371_hdf5_nbit_bigendian"],
      "io/HDF5.scala, io/NbitSO.scala"),
     ("2.1", "pydap / OPeNDAP",
      ["ungated:documented non-goal (SURVEY §7.5) — network protocol"],
