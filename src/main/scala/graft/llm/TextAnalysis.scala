@@ -340,4 +340,37 @@ object TextAnalysis {
         expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
           .as("jaccard_ppm"))
   }
+
+  /** Tokenizer fertility per group (tokens-per-word): how many
+    * sub-word-ish tokens the punct-splitting tokenizer emits per
+    * whitespace word, by language — the standard multilingual-corpus
+    * budgeting metric (a high-fertility language consumes more context
+    * per sentence). The punctuation class is the EXPLICIT ASCII range
+    * `[!-/:-@\[-`{-~]` — spelled out (not \p{Punct}) so any replaying
+    * engine's regex sees the identical character set.
+    *
+    * One scan, per-group counts, exact ppm floor-div. Blank texts
+    * (whitespace-only) still count 1 whitespace token (split yields
+    * [""]) — the [[lengthBuckets]] caveat — and are reported via
+    * n_docs so callers can pre-filter. */
+  def tokenizerFertility(docs: org.apache.spark.sql.DataFrame,
+                         group: String, text: String)
+      : org.apache.spark.sql.DataFrame = {
+    val punctSpaced = regexp_replace(col(text),
+      "([!-/:-@\\[-`{-~])", " $1 ")
+    val ws = size(split(trim(col(text)), "\\s+"))
+    val bpe = size(split(trim(punctSpaced), "\\s+"))
+    graft.util.Parallelize.ensure(docs)
+      .select(col(group).as("grp"), ws.cast("long").as("w"),
+        bpe.cast("long").as("t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("ws_tokens"),
+        sum(col("t")).as("sub_tokens"))
+      .select(col("grp"), col("n_docs"), col("ws_tokens"),
+        col("sub_tokens"),
+        expr("""CASE WHEN ws_tokens = 0 THEN NULL
+                ELSE sub_tokens * 1000000 div ws_tokens END""")
+          .as("fertility_ppm"))
+  }
 }

@@ -436,6 +436,108 @@ object Stats {
     * marginal frames and every join after run on the (|X|·|Y|) cell
     * grid, never data. Each libm term rides the 8-dp round + decimal
     * sum convention (order-independent, oracle-exact at 6 dp out). */
+  /** Brown–Forsythe homogeneity-of-variance test (the robust Levene
+    * variant): per-group MEDIAN absolute deviations fed to the exact
+    * [[anovaF]] machinery. Medians double to stay integral (even-n
+    * groups average two middles: med2 = lo + hi, exact in double while
+    * values < 2^52), so z = |2v − med2| is a pure integer and the F
+    * that follows inherits anovaF's decimal-moment exactness. One
+    * group-median aggregate (exact percentile over each group's
+    * value multiset), one broadcast join, one anovaF scan. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    fScale: Int = 8): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val meds = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)") * 2)
+        .cast("long").as("__med2"))
+    val z = df.join(broadcast(meds), groupCol)
+      .select(col(groupCol),
+        abs(v * 2 - col("__med2")).as("__z"))
+    anovaF(z, groupCol, "__z", fScale)
+  }
+
+  /** Benford first-digit conformance of a positive integral column:
+    * observed leading-digit counts vs n·log10(1+1/d), chi-square with
+    * 8 dof. The nine expected proportions are PINNED 8-dp constants
+    * (public math, identical literals in any replaying engine — no
+    * libm call at query time); per-digit terms (o−e)²/e round to 8 dp
+    * onto the decimal grid and sum exactly (the chi2Independence
+    * discipline). Zero/negative/NULL values are excluded and counted. */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    // round(log10(1+1/d), 8) for d = 1..9 — pinned, not computed
+    val exp8 = Seq(0.30103, 0.17609126, 0.12493874, 0.09691001,
+      0.07918125, 0.06694679, 0.05799195, 0.05115252, 0.04575749)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expDf = exp8.zipWithIndex.map { case (e, i) => (i + 1, e) }
+      .toDF("d", "e8")
+    val digits = df.select(value.cast("long").as("v"))
+      .select(when(col("v") > 0,
+        substring(col("v").cast("string"), 1, 1).cast("int"))
+        .as("d"))
+    val obs = digits.groupBy(col("d")).agg(count(lit(1)).as("o"))
+    val tot = obs.filter(col("d").isNotNull)
+      .agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val excluded = obs.filter(col("d").isNull)
+      .agg(coalesce(sum(col("o")), lit(0L)).as("n_excluded"))
+    val terms = expDf.join(obs, Seq("d"), "left")
+      .crossJoin(broadcast(tot))
+      // the coalesce must land BEFORE the term expression sees `o` —
+      // in one select the expr would read the pre-coalesce NULL and
+      // silently drop every zero-count digit from the sum
+      .select(col("d"), coalesce(col("o"), lit(0L)).as("o"), col("n"),
+        col("e8"))
+      .select(col("d"), col("o"), col("n"),
+        round(expr("""CASE WHEN n = 0 THEN NULL ELSE
+            (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * e8)
+            * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * e8)
+            / (CAST(n AS DOUBLE) * e8) END"""), 8)
+          .cast(DecimalType(30, 8)).as("term"))
+    terms.crossJoin(broadcast(excluded))
+      .agg(max(col("n")).as("nn"), max(col("n_excluded")).as("ne"),
+        sum(col("term")).as("chi2d"))
+      .select(col("nn").cast("long").as("n"),
+        col("ne").cast("long").as("n_excluded"),
+        when(col("nn") === 0, lit(null))
+          .otherwise(round(col("chi2d").cast("double"), 6))
+          .as("chi2"))
+  }
+
+  /** Cliff's delta rank effect size between the `groupCol` levels `a`
+    * and `b`: δ = P(x_a > x_b) − P(x_a < x_b) = 2U₁/(n₁n₂) − 1, from
+    * the same doubled-midrank value-level frame as [[mannWhitney]] —
+    * δ_ppm = (u1_x2 − n₁·n₂)·10⁶ div (n₁·n₂), exact integers end to
+    * end (u1_x2 is 2·U₁). The magnitude-not-significance companion of
+    * q290's z. */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+                  a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val perValue = df.filter(inA || inB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue
+      .withColumn("below",
+        coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("r2", lit(2) * col("below") + (col("ca") + col("cb")) + 1)
+    ranked.agg(
+        sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca") * col("r2")).as("r1_x2"))
+      .select(col("n1"), col("n2"),
+        // divide the NONNEGATIVE u1_x2 first, then shift by −10⁶: the
+        // quotient is floor semantics on both engines (a negative
+        // dividend would split Spark's truncate-to-zero from floor)
+        expr("""CASE WHEN n1 IS NULL OR n1 = 0 OR n2 = 0 THEN NULL
+                ELSE CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0))
+                     * 1000000
+                     div (CAST(n1 AS DECIMAL(19,0)) * n2) - 1000000 END""")
+          .cast("long").as("delta_ppm"))
+  }
+
   def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
     val cells = graft.util.QueryCache.persist(
       df.select(x.cast("string").as("xx"), y.cast("string").as("yy"))

@@ -1129,6 +1129,14 @@ object QueriesLLM {
       CorpusStats.weightConcentration(Tables.documents(s, dir),
         TextAnalysis.tokenCount(col("text")))),
 
+    // tokenizer fertility by language (sub-word tokens per whitespace
+    // word): the multilingual context-budgeting metric — an explicit
+    // ASCII punct class both engines' regexes read identically, one
+    // scan, exact ppm floor-div per language
+    "q378_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir),
+        "lang", "text")),
+
     // per-class precision/recall/F1 of the q219 quality classifier
     // against its training labels — the confusion-matrix eval verb
     "q281_classifier_eval" -> ((s, dir) => {
@@ -2541,6 +2549,26 @@ object QueriesLLM {
            CASE WHEN n_cand = 0 THEN NULL
                 ELSE n_hit * 1000000 // n_cand END AS precision_ppm
          FROM tt CROSS JOIN cc CROSS JOIN hit""",
+
+    // fertility replay: identical explicit punct class (RE2 reads the
+    // same ASCII ranges Java does), identical whitespace split, exact
+    // ppm floor division
+    "q378_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang AS grp,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS w,
+             CAST(len(string_split_regex(trim(regexp_replace(text,
+               '([!-/:-@\[-`{-~])', ' \1 ', 'g')), '\s+')) AS BIGINT)
+               AS t
+           FROM documents)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS ws_tokens,
+           CAST(sum(t) AS BIGINT) AS sub_tokens,
+           CASE WHEN sum(w) = 0 THEN NULL
+             ELSE CAST(CAST(sum(t) AS HUGEINT) * 1000000
+                  // CAST(sum(w) AS HUGEINT) AS BIGINT)
+           END AS fertility_ppm
+         FROM d GROUP BY 1""",
 
     // Gini replay: per-row strict ranks (tie order cannot change the
     // rank-weighted sum), top decile = the n//10 largest by value

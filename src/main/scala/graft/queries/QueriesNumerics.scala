@@ -401,6 +401,63 @@ object QueriesNumerics {
       graft.numerics.Stats.kruskalWallis(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity", levels = Seq("A", "N", "R"))),
 
+    // Brown-Forsythe homogeneity of variance (robust Levene): exact
+    // doubled group medians -> |2v - med2| integers -> the q292 anovaF
+    // decimal-moment machinery on the deviations
+    "q372_brown_forsythe" -> ((s, dir) =>
+      graft.numerics.Stats.brownForsythe(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")),
+
+    // Mann-Kendall monotonic trend + Sen's slope over daily revenue:
+    // S and the tie-corrected z from the calendar-bounded day-pair
+    // grid; the slope is the exact doubled median of per-pair slopes
+    // on a shifted-floor e6 grid (both engines replay the floor)
+    "q373_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1992-01-01"))
+          .cast("long").as("t"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_c"))
+      graft.numerics.Trend.mannKendallSen(daily, "t", "rev_c")
+    }),
+
+    // Pettitt rank changepoint over daily order counts: the
+    // nonparametric companion of q326's CUSUM — U_t from doubled
+    // midranks by the exact integer identity t(n+1) - sum r2
+    "q374_pettitt" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n_ord"))
+      graft.window.Changepoint.pettitt(daily, "d", "n_ord")
+        .select(col("d"), col("n_ord"), col("u_abs"),
+          col("is_changepoint"))
+    }),
+
+    // Benford first-digit conformance of order totals (cents): pinned
+    // 8-dp expected proportions, chi-square over the 9-digit grid
+    "q375_benford" -> ((s, dir) =>
+      graft.numerics.Stats.benford(Tables.orders(s, dir),
+        round(col("o_totalprice") * 100, 0).cast("long"))),
+
+    // ACF lags 1..14 of daily revenue + cumulative Ljung-Box Q: exact
+    // cleared-deviation decimal moments per lag (equi-join on t+lag),
+    // one IEEE division per lag at 8 dp, Q from the rounded grid
+    "q376_acf_ljung_box" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1992-01-01"))
+          .cast("long").as("t"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_c"))
+      graft.numerics.Trend.acfLjungBox(daily, "t", "rev_c", maxLag = 14)
+    }),
+
+    // Cliff's delta rank effect size (A vs N return flags on quantity):
+    // the magnitude companion of q290's significance z, exact ppm from
+    // the same doubled-midrank value frame
+    "q377_cliffs_delta" -> ((s, dir) =>
+      graft.numerics.Stats.cliffsDelta(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", a = "A", b = "N")),
+
     // additive seasonal decomposition (classic decompose(): series =
     // trend + seasonal + residual) over daily revenue, weekly period —
     // EXACT integer grid: cents in, trend as the centered 7-row moving
@@ -1324,6 +1381,209 @@ object QueriesNumerics {
              / ((CAST(q AS DOUBLE) - CAST(gs AS DOUBLE))
                 / CAST(n - k AS DOUBLE)), 8) + 0.0 AS f_stat
          FROM a""",
+    // Brown-Forsythe replay: exact doubled group medians (DuckDB's
+    // interpolated quantile_cont equals Spark's percentile average on
+    // the integer grid), |2v - med2| deviations, then the q292 anovaF
+    // decimal-moment pipeline verbatim
+    "q372_brown_forsythe" ->
+      """WITH med AS (SELECT l_returnflag,
+             CAST(round(quantile_cont(l_quantity, 0.5) * 2) AS BIGINT)
+               AS med2
+           FROM lineitem GROUP BY 1),
+         z AS (SELECT l.l_returnflag,
+             abs(CAST(2 * l.l_quantity AS BIGINT) - m.med2) AS zz
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         g AS (SELECT l_returnflag, count(*) AS ni,
+             sum(CAST(zz AS DECIMAL(38,6))) AS si,
+             sum(CAST(zz * zz AS DECIMAL(38,6))) AS qi
+           FROM z GROUP BY 1),
+         t AS (SELECT ni, si, qi,
+             CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+               / CAST(ni AS DOUBLE), 4) AS DECIMAL(28,4)) AS gsq
+           FROM g),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ni) AS BIGINT) AS n,
+             sum(si) AS s, sum(qi) AS q, sum(gsq) AS gs FROM t)
+         SELECT k, n,
+           round(((CAST(gs AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(q AS DOUBLE) - CAST(gs AS DOUBLE))
+                / CAST(n - k AS DOUBLE)), 8) + 0.0 AS f_stat
+         FROM a""",
+
+    // Mann-Kendall replay: identical day-pair grid, sign sum, tie
+    // term, shifted-floor e6 slope grid and doubled median — HUGEINT
+    // floor division matches the Spark decimal div on positives
+    "q373_mann_kendall" ->
+      """WITH d AS MATERIALIZED (SELECT
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS t,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         p AS MATERIALIZED (SELECT b.v - a.v AS dv, b.t - a.t AS dt
+           FROM d a JOIN d b ON a.t < b.t),
+         sl AS MATERIALIZED (SELECT dv, dt,
+             CAST((CAST(dv AS HUGEINT) + 10000000000 * dt) * 1000000
+               // dt - 10000000000 * CAST(1000000 AS HUGEINT) AS BIGINT)
+               AS s_e6
+           FROM p),
+         mk AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(coalesce(sum(sign(dv)), 0) AS BIGINT) AS s,
+             min(CAST(dv AS HUGEINT) + 10000000000 * dt) AS minsh
+           FROM sl),
+         ties AS (SELECT
+             CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1)
+               * (2 * c + 5)), 0) AS HUGEINT) AS t3,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+           FROM (SELECT v, count(*) AS c FROM d GROUP BY 1)),
+         sv AS (SELECT s_e6, count(*) AS c FROM sl GROUP BY 1),
+         cum AS (SELECT s_e6, sum(c) OVER (ORDER BY s_e6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+           FROM sv),
+         npt AS (SELECT coalesce(sum(c), 0) AS np FROM sv),
+         med AS (SELECT
+             min(CASE WHEN cumc >= (np + 1) // 2 THEN s_e6 END) AS m_lo,
+             min(CASE WHEN cumc >= np // 2 + 1 THEN s_e6 END) AS m_hi
+           FROM cum CROSS JOIN npt)
+         SELECT ties.n AS n, mk.np AS n_pairs, mk.s AS s,
+           CASE WHEN ties.n < 3 THEN NULL ELSE round(
+             (CAST(mk.s AS DOUBLE) - CASE WHEN mk.s > 0 THEN 1.0
+                 WHEN mk.s < 0 THEN -1.0 ELSE 0.0 END)
+             / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1)
+                 * (2 * ties.n + 5) - CAST(ties.t3 AS DOUBLE)) / 18.0),
+             6) END AS z,
+           CASE WHEN mk.minsh <= 0 THEN NULL
+             ELSE CAST(med.m_lo + med.m_hi AS BIGINT) END
+             AS sen_slope_e6_x2
+         FROM mk CROSS JOIN ties CROSS JOIN med""",
+
+    // Pettitt replay: doubled midranks of the daily counts, the exact
+    // integer identity U_t = t(n+1) - sum r2, earliest-argmax flag
+    "q374_pettitt" ->
+      """WITH d AS MATERIALIZED (SELECT o_orderdate AS d,
+             CAST(count(*) AS BIGINT) AS n_ord FROM orders GROUP BY 1),
+         rv AS (SELECT n_ord AS v, count(*) AS c FROM d GROUP BY 1),
+         rk AS (SELECT v,
+             2 * coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+           FROM rv),
+         nn AS (SELECT count(*) AS n FROM d),
+         sc AS (SELECT d.d, d.n_ord,
+             row_number() OVER (ORDER BY d.d) AS t,
+             sum(rk.r2) OVER (ORDER BY d.d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS rsum
+           FROM d JOIN rk ON d.n_ord = rk.v),
+         u AS MATERIALIZED (SELECT d, n_ord,
+             CAST(abs(t * (nn.n + 1) - rsum) AS BIGINT) AS u_abs
+           FROM sc CROSS JOIN nn),
+         mx AS (SELECT max(u_abs) AS mx FROM u),
+         cp AS (SELECT min(d) AS cp FROM u CROSS JOIN mx
+           WHERE u_abs = mx)
+         SELECT u.d, u.n_ord, u.u_abs,
+           u.d = cp.cp AS is_changepoint
+         FROM u CROSS JOIN cp""",
+
+    // Benford replay: identical pinned 8-dp expected constants, the
+    // chi2Independence per-digit term grid
+    "q375_benford" ->
+      """WITH e AS (SELECT * FROM (VALUES
+             (1, 0.30103), (2, 0.17609126), (3, 0.12493874),
+             (4, 0.09691001), (5, 0.07918125), (6, 0.06694679),
+             (7, 0.05799195), (8, 0.05115252), (9, 0.04575749))
+           AS t(d, e8)),
+         dg AS (SELECT CASE WHEN v > 0 THEN
+             CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) END AS d
+           FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             AS v FROM orders)),
+         obs AS (SELECT d, count(*) AS o FROM dg GROUP BY 1),
+         tot AS (SELECT coalesce(sum(o), 0) AS n FROM obs
+           WHERE d IS NOT NULL),
+         exc AS (SELECT coalesce(sum(o), 0) AS ne FROM obs
+           WHERE d IS NULL),
+         terms AS (SELECT e.d, coalesce(obs.o, 0) AS o, tot.n,
+             CAST(round(CASE WHEN tot.n = 0 THEN NULL ELSE
+               (CAST(coalesce(obs.o, 0) AS DOUBLE)
+                  - CAST(tot.n AS DOUBLE) * e.e8)
+               * (CAST(coalesce(obs.o, 0) AS DOUBLE)
+                  - CAST(tot.n AS DOUBLE) * e.e8)
+               / (CAST(tot.n AS DOUBLE) * e.e8) END, 8)
+               AS DECIMAL(30,8)) AS term
+           FROM e LEFT JOIN obs USING (d) CROSS JOIN tot)
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(exc.ne) AS BIGINT) AS n_excluded,
+           CASE WHEN max(n) = 0 THEN NULL
+             ELSE round(CAST(sum(term) AS DOUBLE), 6) END AS chi2
+         FROM terms CROSS JOIN exc""",
+
+    // ACF/Ljung-Box replay: identical cleared-deviation decimal
+    // moments, one IEEE division per lag at 8 dp, 12-dp Q terms
+    // decimal-summed cumulatively
+    "q376_acf_ljung_box" ->
+      """WITH d AS MATERIALIZED (SELECT
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS t,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         tot AS (SELECT count(*) AS n,
+             CAST(coalesce(sum(CAST(v AS HUGEINT)), 0) AS HUGEINT) AS sv
+           FROM d),
+         b AS MATERIALIZED (SELECT t, n,
+             CAST(n AS HUGEINT) * v AS nv, sv
+           FROM d CROSS JOIN tot),
+         den AS (SELECT max(n) AS n,
+             CAST(coalesce(sum((nv - sv) * (nv - sv)), 0) AS HUGEINT)
+               AS den FROM b),
+         lg AS (SELECT unnest(generate_series(1, 14)) AS lag),
+         nums AS (SELECT lag,
+             sum((x.nv - x.sv) * (y.nv - y.sv)) AS num,
+             count(*) AS n_pairs
+           FROM b x CROSS JOIN lg JOIN b y ON x.t + lg.lag = y.t
+           GROUP BY 1),
+         acf AS (SELECT lg.lag AS lag,
+             CAST(coalesce(nums.n_pairs, 0) AS BIGINT) AS n_pairs,
+             den.n,
+             CASE WHEN den.den = 0 OR nums.num IS NULL THEN NULL
+               ELSE round(CAST(nums.num AS DOUBLE)
+                 / CAST(den.den AS DOUBLE), 8) END AS acf8
+           FROM lg LEFT JOIN nums ON lg.lag = nums.lag
+           CROSS JOIN den),
+         t2 AS (SELECT lag, n_pairs, n, acf8,
+             CAST(round(acf8 * acf8 / CAST(n - lag AS DOUBLE), 12)
+               AS DECIMAL(30,12)) AS term
+           FROM acf)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs, acf8,
+           CASE WHEN n <= lag THEN NULL ELSE
+             round(CAST(n AS DOUBLE) * (n + 2)
+               * CAST(sum(term) OVER (ORDER BY lag ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+           END AS q
+         FROM t2""",
+
+    // Cliff's delta replay: the q290 doubled-midrank value frame;
+    // nonnegative dividend then the -1e6 shift keeps the floor
+    // division identical on both engines
+    "q377_cliffs_delta" ->
+      """WITH pv AS (SELECT l_quantity AS v,
+             sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+           FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+         rk AS (SELECT v, ca, cb,
+             2 * coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (ca + cb) + 1 AS r2
+           FROM pv),
+         a AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(cb) AS BIGINT) AS n2,
+             CAST(sum(ca * r2) AS BIGINT) AS r1_x2 FROM rk)
+         SELECT n1, n2,
+           CASE WHEN n1 IS NULL OR n1 = 0 OR n2 = 0 THEN NULL
+             ELSE CAST(CAST(r1_x2 - n1 * (n1 + 1) AS HUGEINT) * 1000000
+                  // (CAST(n1 AS HUGEINT) * n2) - 1000000 AS BIGINT)
+           END AS delta_ppm
+         FROM a""",
+
     // Spearman replay: average-tie rank = cntBelow + (cntEq+1)/2 (the
     // exact half-integer Rank.avgRank computes), then the q40 corr
     // power-sum expression over the rank pairs

@@ -56,4 +56,48 @@ object Changepoint {
       .select(col(bucketCol), col(valCol), col("cum"), col("d_stat"),
         (col(bucketCol) === col("__cp")).as("is_changepoint"))
   }
+
+  /** Pettitt rank-based changepoint over the aggregated series: the
+    * nonparametric companion of [[cusum]] (robust to level scale —
+    * it sees only ranks). With doubled midranks r2_i = 2·below + c + 1
+    * of the series VALUES, the pairwise statistic collapses to the
+    * exact integer identity
+    *   U_t = t·(n+1) − Σ_{i≤t} r2_i
+    * (U_t = Σ_{i≤t} Σ_{j} sgn(v_j − v_i), the i,j≤t block cancelling
+    * by antisymmetry), so K = max_t |U_t| and the argmax bucket are
+    * pure BIGINT arithmetic both engines replay. Ties on |U_t| break
+    * to the earliest bucket, like [[cusum]].
+    *
+    * Scale shape: midranks come from a prefix over the per-VALUE
+    * aggregate of the bucket frame; every window in sight runs on
+    * calendar-bounded aggregates. */
+  def pettitt(series: DataFrame, bucketCol: String, valCol: String)
+      : DataFrame = {
+    val s = graft.util.QueryCache.persist(
+      series.select(col(bucketCol).as("b"),
+        col(valCol).cast("long").as("v")))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = s.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("v"), (col("below") * 2 + col("c") + 1).as("r2"))
+    val wt = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = s.agg(count(lit(1)).as("n"))
+    val scored = graft.util.QueryCache.persist(
+      s.join(ranks, "v").crossJoin(broadcast(tot))
+        .withColumn("__t", count(lit(1)).over(wt))
+        .withColumn("__rsum", sum(col("r2")).over(wt))
+        .select(col("b"), col("v"),
+          abs(col("__t") * (col("n") + 1) - col("__rsum"))
+            .as("u_abs")))
+    val best = scored.agg(max(col("u_abs")).as("__mx"))
+    val flagged = scored.crossJoin(broadcast(best))
+      .withColumn("__isMax", col("u_abs") === col("__mx"))
+    val firstMax = flagged.filter(col("__isMax"))
+      .agg(min(col("b")).as("__cp"))
+    flagged.crossJoin(broadcast(firstMax))
+      .select(col("b").as(bucketCol), col("v").as(valCol), col("u_abs"),
+        (col("b") === col("__cp")).as("is_changepoint"))
+  }
 }

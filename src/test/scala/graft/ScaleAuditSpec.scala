@@ -12,6 +12,15 @@ class ScaleAuditSpec extends SparkSpec {
   // Unpartitioned windows allowed ONLY over provably-small inputs:
   private val allowGlobalWindow: Map[String, String] = Map(
     "q39_date_range_infer" -> "window over a generated 37-row time grid",
+    "q373_mann_kendall" -> ("slope-median order statistic over the " +
+      "per-distinct-slope aggregate of the calendar-bounded pair grid " +
+      "(and the value-tie frame) — bounded by |days|^2, never data"),
+    "q374_pettitt" -> ("midrank + time-prefix windows over the " +
+      "calendar-bounded daily aggregate (the q326 CUSUM contract)"),
+    "q376_acf_ljung_box" -> ("cumulative Ljung-Box over the 14-row " +
+      "lag frame"),
+    "q377_cliffs_delta" -> ("value-level midrank prefix over the " +
+      "distinct-quantity aggregate (the q290 Mann-Whitney contract)"),
     "q146_seq_packing" -> ("globalRunningSum's exclusive bucket-offset " +
       "prefix: an unpartitioned window over the per-bucket sums " +
       "AGGREGATE — <= defaultParallelism rows by construction, never " +
@@ -113,6 +122,15 @@ class ScaleAuditSpec extends SparkSpec {
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
+    "q373_mann_kendall" -> ("day-pair grid over the CALENDAR-bounded " +
+      "daily aggregate (|days|^2 pairs, independent of data volume) + " +
+      "1-row statistic broadcasts"),
+    "q374_pettitt" -> ("broadcasts of the 1-row n/max/argmax " +
+      "aggregates onto the calendar-bounded daily frame"),
+    "q375_benford" -> ("broadcasts of the 1-row total/excluded " +
+      "aggregates onto the 9-digit grid"),
+    "q376_acf_ljung_box" -> ("14-lag grid cross + 1-row total/denominator " +
+      "broadcasts onto the calendar-bounded daily frame"),
     "q35_expand_dims" -> "broadcast of a literal new-dim axis (3 rows)",
     "q54_cosine_topk" -> "explicit broadcast of the 5-probe side",
     "q54c_ivf_ann" -> "explicit broadcast of the 8-centroid side",

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.numerics.{Stats, Trend}
+import graft.window.Changepoint
+
+/** Round-15 verbs: Mann–Kendall/Sen, Pettitt, Benford, ACF/Ljung–Box,
+  * Brown–Forsythe, Cliff's delta, tokenizer fertility — hand-computed
+  * pins so the oracle queries cannot pass by symmetric mistakes. */
+class TrendStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannKendallSen: monotone up/down pins S, z, doubled Sen slope") {
+    val up = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("t", "v")
+    val r = Trend.mannKendallSen(up, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Long]("s") === 10L)
+    // z = (10-1)/sqrt(5*4*15/18) = 9/sqrt(16.666...) -> 2.204541
+    assert(r.getAs[Double]("z") === 2.204541)
+    // every pair slope is exactly 1/day -> doubled median 2e6
+    assert(r.getAs[Long]("sen_slope_e6_x2") === 2000000L)
+    val down = Seq((0L, 5L), (1L, 3L), (2L, 1L)).toDF("t", "v")
+    val rd = Trend.mannKendallSen(down, "t", "v").collect()(0)
+    assert(rd.getAs[Long]("s") === -3L)
+    // z = (-3+1)/sqrt(3*2*11/18) -> -1.044466
+    assert(rd.getAs[Double]("z") === -1.044466)
+    // all slopes exactly -2/day, floor grid included
+    assert(rd.getAs[Long]("sen_slope_e6_x2") === -4000000L)
+  }
+
+  test("pettitt: level shift pins U_t and the argmax bucket") {
+    // [1,1,1,5,5,5]: r2(1)=4, r2(5)=10; U_t = 7t - sum r2 ->
+    // 3,6,9,6,3,0 -> K=9 at bucket 3
+    val s = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L),
+      (6L, 5L)).toDF("b", "v")
+    val r = Changepoint.pettitt(s, "b", "v")
+      .orderBy("b").collect()
+    assert(r.map(_.getAs[Long]("u_abs")).toSeq ===
+      Seq(3L, 6L, 9L, 6L, 3L, 0L))
+    assert(r.filter(_.getAs[Boolean]("is_changepoint"))
+      .map(_.getAs[Long]("b")).toSeq === Seq(3L))
+  }
+
+  test("benford: hand case counts digits and excludes nonpositives") {
+    val df = Seq(1L, 19L, 2L, 3L, 0L, -7L).toDF("v")
+    val r = Stats.benford(df, col("v")).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_excluded") === 2L)
+    // chi2 from the pinned 8-dp expected grid, obs = [2,1,1,0,...],
+    // n = 4: per-digit terms (o−4e)²/(4e) rounded at 8 dp sum to
+    // 2.742627 (hand-computed on the same grid)
+    assert(r.getAs[Double]("chi2") === 2.742627)
+  }
+
+  test("acfLjungBox: linear ramp pins exact rational lags") {
+    val s = (0L to 9L).map(t => (t, t)).toDF("t", "v")
+    val r = Trend.acfLjungBox(s, "t", "v", maxLag = 3)
+      .orderBy("lag").collect()
+    // dev_t = 10t - 45; den = 8250; num1 = 5775 -> 0.7 exactly;
+    // num2 = 3400 -> 0.41212121
+    assert(r(0).getAs[Long]("n_pairs") === 9L)
+    assert(r(0).getAs[Double]("acf8") === 0.7)
+    assert(r(1).getAs[Double]("acf8") === 0.41212121)
+    assert(r(0).getAs[Double]("q") > 0.0)
+    // constant series: zero variance -> NULL acf
+    val const = (0L to 5L).map(t => (t, 7L)).toDF("t", "v")
+    val rc = Trend.acfLjungBox(const, "t", "v", maxLag = 2).collect()
+    assert(rc.forall(_.isNullAt(rc(0).fieldIndex("acf8"))))
+  }
+
+  test("brownForsythe: hand-computed F on median deviations") {
+    // a: [1,1,5,5,3] -> med2 6, z = [4,4,4,4,0]; b: [2,4,2,4] ->
+    // med2 6, z = [2,2,2,2]; anovaF -> F = 3.2/(12.8/7) = 1.75
+    val df = (Seq.fill(2)(("a", 1L)) ++ Seq.fill(2)(("a", 5L)) :+
+      ("a", 3L)) ++ Seq(("b", 2L), ("b", 4L), ("b", 2L), ("b", 4L))
+    val r = Stats.brownForsythe(df.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Double]("f_stat") === 1.75)
+  }
+
+  test("cliffsDelta: full separation pins +-1e6, overlap pins 0") {
+    val sep = Seq(("A", 3L), ("A", 4L), ("N", 1L), ("N", 2L))
+      .toDF("g", "v")
+    val r = Stats.cliffsDelta(sep, "g", "v", "A", "N").collect()(0)
+    assert(r.getAs[Long]("delta_ppm") === 1000000L)
+    val rev = Stats.cliffsDelta(sep, "g", "v", "N", "A").collect()(0)
+    assert(rev.getAs[Long]("delta_ppm") === -1000000L)
+    val tie = Seq(("A", 1L), ("N", 1L)).toDF("g", "v")
+    val rt = Stats.cliffsDelta(tie, "g", "v", "A", "N").collect()(0)
+    assert(rt.getAs[Long]("delta_ppm") === 0L)
+  }
+
+  test("tokenizerFertility: punct splits add tokens; ppm is floor-div") {
+    val docs = Seq(("en", "hello, world"), ("en", "ok")).toDF("lang", "t")
+    val r = graft.llm.TextAnalysis
+      .tokenizerFertility(docs, "lang", "t").collect()(0)
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    assert(r.getAs[Long]("sub_tokens") === 4L)
+    assert(r.getAs[Long]("fertility_ppm") === 1333333L)
+  }
+
+  test("round-15 verbs on empty input degrade per contract") {
+    val e = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType))))
+    val mk = Trend.mannKendallSen(e, "t", "v").collect()
+    assert(mk.length === 1 && mk(0).getAs[Long]("n_pairs") === 0L &&
+      mk(0).isNullAt(mk(0).fieldIndex("z")))
+    assert(Changepoint.pettitt(e, "t", "v").count() === 0L)
+    val bf = Stats.benford(e, col("v")).collect()
+    assert(bf.length === 1 && bf(0).getAs[Long]("n") === 0L &&
+      bf(0).isNullAt(bf(0).fieldIndex("chi2")))
+    val acf = Trend.acfLjungBox(e, "t", "v", maxLag = 5).collect()
+    assert(acf.length === 5 &&
+      acf.forall(_.isNullAt(acf(0).fieldIndex("acf8"))))
+    val cd = Stats.cliffsDelta(e, "g", "v", "A", "N").collect()
+    assert(cd.length === 1 &&
+      cd(0).isNullAt(cd(0).fieldIndex("delta_ppm")))
+    assert(graft.llm.TextAnalysis.tokenizerFertility(
+      e.select(col("g").as("lang"), col("g").as("text")),
+      "lang", "text").count() === 0L)
+  }
+}
