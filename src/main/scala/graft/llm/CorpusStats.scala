@@ -113,6 +113,73 @@ object CorpusStats {
         + lit(0.0)).as("intercept"))
   }
 
+  /** Heaps' law fit V(N) ≈ k·N^β — vocabulary growth against corpus
+    * size, the companion of [[zipfFit]] (a corpus whose β drifts across
+    * ingestion batches is changing register/noise profile). The corpus
+    * prefix order is doc-ID RANGE slices (`nSlices` checkpoints at
+    * equal id-range cuts — a pure projection, no rank pass): per slice,
+    * cumulative token count N_k and cumulative first-occurrence vocab
+    * V_k (a token counts for V at the slice of its MINIMUM doc id);
+    * then the q319 log-log OLS over the (ln N_k, ln V_k) points on the
+    * 8-dp grid. Windows touch only the nSlices-row frame. */
+  def heapsFit(docs: DataFrame, id: String, text: String,
+               nSlices: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(nSlices >= 2 && nSlices <= 1000, s"nSlices $nSlices")
+    val toks = graft.util.QueryCache.persist(docs
+      .select(col(id).cast("long").as("did"),
+        explode(graft.llm.TextAnalysis.tokens(
+          trim(lower(col(text))))).as("tok"))
+      .filter(col("tok") =!= ""))
+    val bounds = toks.agg(min(col("did")).as("lo"), max(col("did")).as("hi"))
+    def sliceOf(c: Column) = // 0..nSlices-1 by id range, pure projection
+      least(expr(s"((${c.toString} - lo) * $nSlices) div (hi - lo + 1)"),
+        lit(nSlices - 1))
+    val withB = toks.crossJoin(broadcast(bounds))
+    val tokPerSlice = withB
+      .groupBy(sliceOf(col("did")).as("s"))
+      .agg(count(lit(1)).as("nt"))
+    val vocabPerSlice = withB
+      .groupBy(col("tok"))
+      .agg(min(col("did")).as("fd"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+      .groupBy(sliceOf(col("fd")).as("s"))
+      .agg(count(lit(1)).as("nv"))
+    val wcum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokPerSlice.join(vocabPerSlice, Seq("s"), "left")
+      .withColumn("cn", sum(col("nt")).over(wcum))
+      .withColumn("cv", sum(coalesce(col("nv"), lit(0L))).over(wcum))
+      .filter(col("cn") > 0 && col("cv") > 0)
+      .select(
+        round(log(col("cn").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("x"),
+        round(log(col("cv").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("y"))
+    val agg = pts.agg(count(lit(1)).as("np"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 16))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 16))).as("sxx"))
+    agg.select(col("np").as("n_pts"),
+      expr("""CASE WHEN np < 2
+                OR np * sxx - sx * sx = 0 THEN NULL ELSE
+              round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+              END""").as("beta"),
+      expr("""CASE WHEN np < 2
+                OR np * sxx - sx * sx = 0 THEN NULL ELSE
+              round((CAST(sy AS DOUBLE)
+                - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE), 6) + 0.0
+              END""").as("log_k"))
+  }
+
   def sourceOverlap(docs: DataFrame, source: String, text: String,
                     k: Int): DataFrame = {
     val grams = docs

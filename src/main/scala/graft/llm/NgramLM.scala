@@ -58,6 +58,46 @@ object NgramLM {
         round(sum(nll.cast(DecimalType(30, 8))).cast("double") /
           count(lit(1)), 6).as("avg_nll"))
   }
+
+  /** Per-document mean negative log2 probability under an INTERPOLATED
+    * KNESER–NEY bigram model fit on `corpus` (the standard n-gram
+    * smoothing; [[bigramPerplexity]]'s add-alpha is the baseline):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *
+    * with fixed discount D = 3/4 (exact double). Scoring the corpus on
+    * itself keeps every bigram seen, so max(c12 − D, 0) never clips and
+    * the formula is one fixed IEEE expression over five INTEGER counts
+    * (c12, c1, distinct continuations forward/backward, distinct bigram
+    * types) — rounded at 8 dp before the per-doc decimal sum, like
+    * every libm term in the repo. Same count-table join shape (and the
+    * same top-V broadcast note) as the add-alpha model. */
+  def kneserNeyPerplexity(corpus: DataFrame, id: String,
+                          text: String): DataFrame = {
+    val docBi = graft.util.QueryCache.persist(corpus
+      .select(col(id), explode(bigrams(col(text))).as("bg"))
+      .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val biCounts = graft.util.QueryCache.persist(
+      docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val fwd = biCounts.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val bwd = biCounts.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nTypes = biCounts.count()
+    val nll = round(expr(
+      s"""-ln((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+           + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+             * CAST(n1b AS DOUBLE) / CAST($nTypes AS DOUBLE))""")
+      / math.log(2.0), 8)
+    docBi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .join(fwd, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(nll.cast(DecimalType(30, 8))).cast("double") /
+          count(lit(1)), 6).as("avg_nll_kn"))
+  }
 }
 
 /** tf-idf keyword extraction: per-document top-k terms by

@@ -253,4 +253,50 @@ object Sampling {
         (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** Temperature-scaled source mixing (the mT5/XLM-R multilingual
+    * recipe): sampling weight p_i ∝ c_i^τ flattens the source-size
+    * distribution (τ < 1 up-samples small sources), then a `budget` of
+    * tokens splits by exact largest-remainder division.
+    *
+    * Determinism: c^τ goes through the declared grid
+    * round(exp(τ · round(ln c, 8)), 4) — ln rounded the moment libm
+    * produces it, τ an exact shared literal, the 4-dp power re-scaled
+    * to an e4 INTEGER weight — after which every division is integer
+    * arithmetic (the [[neymanAllocation]] largest-remainder shape, one
+    * window over the source frame). */
+  def temperatureMix(df: DataFrame, source: String, tokenCount: Column,
+                     budget: Long, tau: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(budget > 0, s"budget $budget")
+    require(tau > 0 && tau <= 1, s"tau $tau")
+    val dec = DecimalType(38, 0)
+    val m = graft.util.QueryCache.persist(df
+      .select(col(source).as("src"), tokenCount.cast("long").as("c"))
+      .groupBy(col("src"))
+      .agg(sum(col("c")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("w",
+        round(round(exp(lit(tau) *
+          round(log(col("n_tokens").cast("double")), 8)), 4) * 1e4)
+          .cast(dec)))
+    val tot = m.agg(sum(col("w")).cast(dec).as("tw"))
+    val based = graft.util.QueryCache.persist(
+      m.crossJoin(broadcast(tot))
+        .withColumn("base",
+          expr(s"CAST($budget AS DECIMAL(38,0)) * w div nullif(tw, 0)")
+            .cast("long"))
+        .withColumn("rem",
+          expr(s"(CAST($budget AS DECIMAL(38,0)) * w) % nullif(tw, 0)")))
+    val short = based.agg((lit(budget) - sum(col("base"))).cast("long")
+      .as("short"))
+    val w2 = Window.orderBy(col("rem").desc, col("src"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(w2))
+      .select(col("src"), col("n_tokens"),
+        col("w").cast("long").as("weight_e4"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -1137,6 +1137,29 @@ object QueriesLLM {
       TextAnalysis.tokenizerFertility(Tables.documents(s, dir),
         "lang", "text")),
 
+    // interpolated Kneser-Ney bigram perplexity — the standard n-gram
+    // smoothing next to q154's add-alpha baseline; five integer count
+    // tables, one fixed IEEE probability expression per bigram at 8 dp
+    "q379_kneser_ney" -> ((s, dir) =>
+      NgramLM.kneserNeyPerplexity(
+        Tables.documents(s, dir).repartition(col("doc_id")),
+        "doc_id", "text")),
+
+    // Heaps' law vocabulary-growth fit V ~ k N^beta over 20 doc-id
+    // range slices — the q319 Zipf companion; windows only on the
+    // 20-row checkpoint frame
+    "q380_heaps_law" -> ((s, dir) =>
+      CorpusStats.heapsFit(Tables.documents(s, dir), "doc_id", "text",
+        nSlices = 20)),
+
+    // temperature-scaled source mixing (p_i ~ c_i^0.7, the mT5/XLM-R
+    // recipe): declared ln/exp grid to an e4 integer weight, then the
+    // exact largest-remainder split of a 1M-token budget
+    "q381_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")), budget = 1000000L,
+        tau = 0.7)),
+
     // per-class precision/recall/F1 of the q219 quality classifier
     // against its training labels — the confusion-matrix eval verb
     "q281_classifier_eval" -> ((s, dir) => {
@@ -2569,6 +2592,107 @@ object QueriesLLM {
                   // CAST(sum(w) AS HUGEINT) AS BIGINT)
            END AS fertility_ppm
          FROM d GROUP BY 1""",
+
+    // Kneser-Ney replay: identical count tables, identical discount
+    // 0.75, the q154 8-dp ln/ln(2) term grid decimal-summed
+    "q379_kneser_ney" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+         bi AS MATERIALIZED (SELECT doc_id, bg['w1'] AS w1,
+           bg['w2'] AS w2 FROM (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS bg FROM t)),
+         b12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12
+           FROM bi GROUP BY 1, 2),
+         b1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         f AS (SELECT w1, count(*) AS n1f FROM b12 GROUP BY 1),
+         bwd AS (SELECT w2, count(*) AS n1b FROM b12 GROUP BY 1),
+         tt AS (SELECT count(*) AS nt FROM b12)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(
+             -ln((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+               + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                 * CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE)) / ln(2), 8)
+             AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS avg_nll_kn
+         FROM bi JOIN b12 USING (w1, w2) JOIN b1 USING (w1)
+           JOIN f USING (w1) JOIN bwd USING (w2) CROSS JOIN tt
+         GROUP BY doc_id""",
+
+    // Heaps replay: identical id-range slices, cumulative token/vocab
+    // checkpoints, the q319 log-log OLS on the 8-dp grid
+    "q380_heaps_law" ->
+      """WITH tk AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS did,
+             w AS tok
+           FROM (SELECT doc_id, unnest(string_split_regex(
+             trim(lower(text)), '\s+')) AS w FROM documents)
+           WHERE w <> ''),
+         bd AS (SELECT min(did) AS lo, max(did) AS hi FROM tk),
+         tp AS (SELECT least(((did - lo) * 20) // (hi - lo + 1), 19)
+             AS s, count(*) AS nt
+           FROM tk CROSS JOIN bd GROUP BY 1),
+         fv AS (SELECT tok, min(did) AS fd, min(lo) AS lo,
+             min(hi) AS hi FROM tk CROSS JOIN bd GROUP BY 1),
+         vp AS (SELECT least(((fd - lo) * 20) // (hi - lo + 1), 19)
+             AS s, count(*) AS nv
+           FROM fv GROUP BY 1),
+         c AS (SELECT tp.s,
+             sum(tp.nt) OVER (ORDER BY tp.s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cn,
+             sum(coalesce(vp.nv, 0)) OVER (ORDER BY tp.s ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+           FROM tp LEFT JOIN vp ON tp.s = vp.s),
+         pts AS (SELECT
+             CAST(round(ln(CAST(cn AS DOUBLE)), 8) AS DECIMAL(18,8))
+               AS x,
+             CAST(round(ln(CAST(cv AS DOUBLE)), 8) AS DECIMAL(18,8))
+               AS y
+           FROM c WHERE cn > 0 AND cv > 0),
+         a AS (SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)))
+               AS sxy,
+             sum(CAST(x AS DECIMAL(19,8)) * CAST(x AS DECIMAL(19,8)))
+               AS sxx FROM pts)
+         SELECT CAST(np AS BIGINT) AS n_pts,
+           CASE WHEN np < 2 OR np * sxx - sx * sx = 0 THEN NULL ELSE
+             round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+           END AS beta,
+           CASE WHEN np < 2 OR np * sxx - sx * sx = 0 THEN NULL ELSE
+             round((CAST(sy AS DOUBLE)
+               - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE), 6) + 0.0
+           END AS log_k
+         FROM a""",
+
+    // temperature-mix replay: identical ln->exp declared grid, e4
+    // integer weights, identical largest-remainder arithmetic
+    "q381_temperature_mix" ->
+      """WITH m AS (SELECT source AS src,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w0 AS (SELECT src, n_tokens,
+             CAST(round(round(exp(0.7 * round(ln(CAST(n_tokens
+               AS DOUBLE)), 8)), 4) * 10000) AS HUGEINT) AS w
+           FROM m WHERE n_tokens > 0),
+         tw AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM w0),
+         based AS (SELECT src, n_tokens, w,
+             CAST(CAST(1000000 AS HUGEINT) * w // nullif(tw, 0)
+               AS BIGINT) AS base,
+             (CAST(1000000 AS HUGEINT) * w) % nullif(tw, 0) AS rem
+           FROM w0 CROSS JOIN tw),
+         sh AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS short
+           FROM based)
+         SELECT src, n_tokens, CAST(w AS BIGINT) AS weight_e4,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, src)
+             <= short THEN 1 ELSE 0 END AS alloc
+         FROM based CROSS JOIN sh""",
 
     // Gini replay: per-row strict ranks (tie order cannot change the
     // rank-weighted sum), top decile = the n//10 largest by value

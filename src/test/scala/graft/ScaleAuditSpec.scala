@@ -12,6 +12,10 @@ class ScaleAuditSpec extends SparkSpec {
   // Unpartitioned windows allowed ONLY over provably-small inputs:
   private val allowGlobalWindow: Map[String, String] = Map(
     "q39_date_range_infer" -> "window over a generated 37-row time grid",
+    "q380_heaps_law" -> ("cumulative checkpoints over the nSlices-row " +
+      "(20) id-range frame; the OLS runs on <= 20 points"),
+    "q381_temperature_mix" -> ("largest-remainder rank over the SOURCE " +
+      "frame (one row per corpus source — the q369 Neyman contract)"),
     "q373_mann_kendall" -> ("slope-median order statistic over the " +
       "per-distinct-slope aggregate of the calendar-bounded pair grid " +
       "(and the value-tie frame) — bounded by |days|^2, never data"),
@@ -122,6 +126,10 @@ class ScaleAuditSpec extends SparkSpec {
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
+    "q380_heaps_law" -> ("broadcast of the 1-row id-bounds aggregate " +
+      "onto the token scan"),
+    "q381_temperature_mix" -> ("broadcasts of the 1-row weight-total " +
+      "and shortfall aggregates onto the source frame"),
     "q373_mann_kendall" -> ("day-pair grid over the CALENDAR-bounded " +
       "daily aggregate (|days|^2 pairs, independent of data volume) + " +
       "1-row statistic broadcasts"),

@@ -101,6 +101,46 @@ class TrendStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("fertility_ppm") === 1333333L)
   }
 
+  test("kneserNeyPerplexity: hand-computed tiny-corpus pin") {
+    // "a b a b": c12(a,b)=2 c12(b,a)=1, c1(a)=2 c1(b)=1, n1f=n1b=1
+    // everywhere, 2 bigram types. P(b|a) = 1.25/2 + .75*(1/2)*(1/2)
+    // = 0.8125; P(a|b) = .25 + .75*(1/2) = 0.625. avg of the 8-dp
+    // -log2 terms over 3 bigrams -> 0.425731
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = graft.llm.NgramLM.kneserNeyPerplexity(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_bigrams") === 3L)
+    assert(r.getAs[Double]("avg_nll_kn") === 0.425731)
+  }
+
+  test("heapsFit: all-unique tokens pin beta exactly 1") {
+    // every token globally unique -> V_k = N_k at every checkpoint ->
+    // log-log points on the identity line -> slope 1, intercept 0
+    val docs = (0L until 40L)
+      .map(i => (i, s"u${i}_1 u${i}_2 u${i}_3")).toDF("doc_id", "text")
+    val r = graft.llm.CorpusStats.heapsFit(docs, "doc_id", "text",
+      nSlices = 8).collect()(0)
+    assert(r.getAs[Long]("n_pts") === 8L)
+    assert(r.getAs[Double]("beta") === 1.0)
+    assert(r.getAs[Double]("log_k") === 0.0)
+  }
+
+  test("temperatureMix: hand-computed e4 weights and remainders") {
+    // sources with 30 and 10 tokens, tau = 0.7, budget 100:
+    // w = round(exp(.7*round(ln c, 8)), 4)*1e4 -> 108140 / 50119;
+    // bases 68/31, the one shortfall goes to the larger remainder
+    // (the 10-token source) -> allocs 68 and 32
+    val docs = (Seq.fill(3)(("s30", 10L)) :+ ("s10", 10L))
+      .toDF("src", "n")
+    val r = graft.llm.Sampling.temperatureMix(docs, "src", col("n"),
+      budget = 100L, tau = 0.7).orderBy(col("src"))
+      .collect()
+    assert(r.map(_.getAs[Long]("weight_e4")).toSeq ===
+      Seq(50119L, 108140L))
+    assert(r.map(_.getAs[Long]("alloc")).toSeq === Seq(32L, 68L))
+    assert(r.map(_.getAs[Long]("alloc")).sum === 100L)
+  }
+
   test("round-15 verbs on empty input degrade per contract") {
     val e = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -127,5 +167,15 @@ class TrendStatsSpec extends SparkSpec {
     assert(graft.llm.TextAnalysis.tokenizerFertility(
       e.select(col("g").as("lang"), col("g").as("text")),
       "lang", "text").count() === 0L)
+    val ed = e.select(col("t").as("doc_id"), col("g").as("text"))
+    assert(graft.llm.NgramLM.kneserNeyPerplexity(ed, "doc_id", "text")
+      .count() === 0L)
+    val hf = graft.llm.CorpusStats.heapsFit(ed, "doc_id", "text")
+      .collect()
+    assert(hf.length === 1 && hf(0).getAs[Long]("n_pts") === 0L &&
+      hf(0).isNullAt(hf(0).fieldIndex("beta")))
+    assert(graft.llm.Sampling.temperatureMix(
+      e.select(col("g").as("src"), col("v")), "src", col("v"), 100L)
+      .count() === 0L)
   }
 }
