@@ -388,4 +388,154 @@ object Multimodal {
     transform(
       sequence(lit(0), greatest(((length(media) - 1) / n).cast("int"), lit(0))),
       i => substring(media, (i * n + 1).cast("int"), lit(n)))
+
+  // ------------------------------------------------------------------
+  // Perceptual-hash near-dup (dHash): the image counterpart of the text
+  // near-dup family. Every step is DETERMINISTIC integer arithmetic so
+  // an external engine can replay the hash from a known pixel function:
+  // gray = (299R + 587G + 114B) div 1000; 9x8 box-average pool with
+  // floor(X*W/9)-boundary cells and floor-div means; bit(x,y) =
+  // pooled(x+1,y) > pooled(x,y); the 64 bits pack as FOUR 16-bit band
+  // values (two pooled rows each) — the banding is the hash layout, so
+  // LSH-style candidate blocking is a plain equi-join on (band, value).
+  // ------------------------------------------------------------------
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("b0", IntegerType, nullable = false),
+    StructField("b1", IntegerType, nullable = false),
+    StructField("b2", IntegerType, nullable = false),
+    StructField("b3", IntegerType, nullable = false)))
+
+  /** 4x16-bit dHash bands per decodable image (rows with no decodable
+    * payload drop out, the [[imageFeatures]] contract). */
+  def dHashBands(df: DataFrame, id: String, media: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        imageDecode(r.getAs[Array[Byte]](1)).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val pooled = Array.ofDim[Long](9, 8)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 9) {
+              val x0 = xx * w / 9; val x1 = (xx + 1) * w / 9
+              val y0 = yy * h / 8; val y1 = (yy + 1) * h / 8
+              var s = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += (299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) +
+                    114L * (rgb & 0xff)) / 1000L
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              pooled(xx)(yy) = if (n == 0) 0L else s / n
+              xx += 1
+            }
+            yy += 1
+          }
+          val bands = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (pooled(x + 1)(y) > pooled(x)(y))
+                bands(y / 2) |= 1 << ((y % 2) * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Near-dup image pairs from [[dHashBands]] output: candidates share
+    * at least one band value (equi-join per band, bucket-capped at
+    * `maxBucket` — the 100 TB knob that bounds any band-value hub);
+    * survivors verified by full Hamming distance ≤ `maxHamming` over
+    * the XOR bit counts. Returns (doc_a, doc_b, hamming), a < b. */
+  def phashNearDupPairs(bands: DataFrame, id: String,
+                        maxHamming: Int, maxBucket: Int = 10000)
+      : DataFrame = {
+    val b = graft.util.QueryCache.persist(bands)
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val bandIdx = Seq(0, 1, 2, 3).toDF("bi")
+    val keyed = b.join(bandIdx.hint("broadcast"), lit(true))
+      .select(col(id).as("d"), col("bi"),
+        element_at(array(col("b0"), col("b1"), col("b2"), col("b3")),
+          col("bi") + 1).as("bv"))
+    val capped = keyed.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBucket)
+      .select(col("bi"), col("bv"))
+    val inCap = keyed.join(capped, Seq("bi", "bv"))
+    val cands = inCap.as("x").join(inCap.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.d") < col("y.d"))
+      .select(col("x.d").as("a"), col("y.d").as("b")).distinct()
+    cands
+      .join(b.select(col(id).as("a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "a")
+      .join(b.select(col(id).as("b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "b")
+      .withColumn("hamming",
+        expr("""bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+                + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)""")
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+  }
+
+  /** Synthetic PNG fixture: one REAL 18x16 PNG per input id, pixel
+    * gray g = (t² + 3t) mod 251 over t = (f mod 251 + 31x + 577y)
+    * mod 251 with f = d div 10 — a NONLINEAR per-family surface, so
+    * distinct families land ~32 bits apart in Hamming space (a linear
+    * gradient shares its difference structure across families and
+    * makes the near-dup pair count quadratic in corpus size),
+    * plus a one-pixel +97 (mod 251) perturbation at
+    * ((d%10)·3 mod 18, (d%10)·5 mod 16) for members d%10 > 0 — ten-doc
+    * FAMILIES of planted near-duplicates whose dHash an external engine
+    * derives from the same closed-form pixel function (PNG is lossless,
+    * so the encode/decode round trip preserves every value). */
+  def syntheticPngs(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val rdd = ids.select(col(id)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val d = r.getLong(0)
+        val f = d / 10; val m = d % 10
+        val img = new java.awt.image.BufferedImage(18, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            val t = ((f % 251) + x * 31 + y * 577).toInt % 251
+            var g = (t * t + 3 * t) % 251
+            if (m > 0 && x == (m * 3) % 18 && y == (m * 5) % 16)
+              g = ((g + 97) % 251).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(d, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

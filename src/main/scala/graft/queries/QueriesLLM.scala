@@ -1160,6 +1160,20 @@ object QueriesLLM {
         TextAnalysis.tokenCount(col("text")), budget = 1000000L,
         tau = 0.7)),
 
+    // image near-dup via perceptual dHash: REAL PNG encode -> ImageIO
+    // decode -> integer gray pool -> 4x16-bit bands; candidates from a
+    // banded equi-join (bucket-capped), verified by Hamming <= 6. The
+    // fixture is a closed-form pixel function with planted ten-doc
+    // near-dup families, so the oracle derives the SAME hashes without
+    // any image codec — the multimodal counterpart of q51's LSH
+    "q382_image_phash_dedup" -> ((s, dir) => {
+      val pngs = Multimodal.syntheticPngs(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.phashNearDupPairs(
+        Multimodal.dHashBands(pngs, "doc_id", "png"),
+        "doc_id", maxHamming = 6)
+    }),
+
     // per-class precision/recall/F1 of the q219 quality classifier
     // against its training labels — the confusion-matrix eval verb
     "q281_classifier_eval" -> ((s, dir) => {
@@ -2693,6 +2707,60 @@ object QueriesLLM {
            base + CASE WHEN row_number() OVER (ORDER BY rem DESC, src)
              <= short THEN 1 ELSE 0 END AS alloc
          FROM based CROSS JOIN sh""",
+
+    // phash replay: the identical closed-form pixel function -> 2x2
+    // floor pools -> dHash bits -> 16-bit bands -> the same capped
+    // banding join and Hamming verify (no image codec needed — PNG is
+    // lossless, so the Spark side's decode returns these exact values)
+    "q382_image_phash_dedup" ->
+      """WITH ds AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             doc_id // 10 AS f, doc_id % 10 AS m FROM documents),
+         px AS MATERIALIZED (SELECT d, x, y,
+             CASE WHEN m > 0 AND x = (m * 3) % 18 AND y = (m * 5) % 16
+               THEN (((((f % 251) + x * 31 + y * 577) % 251)
+                      * (((f % 251) + x * 31 + y * 577) % 251)
+                      + 3 * (((f % 251) + x * 31 + y * 577) % 251))
+                     % 251 + 97) % 251
+               ELSE ((((f % 251) + x * 31 + y * 577) % 251)
+                     * (((f % 251) + x * 31 + y * 577) % 251)
+                     + 3 * (((f % 251) + x * 31 + y * 577) % 251)) % 251
+               END AS g
+           FROM ds,
+             LATERAL (SELECT unnest(generate_series(0, 17)) AS x),
+             LATERAL (SELECT unnest(generate_series(0, 15)) AS y)),
+         pool AS MATERIALIZED (SELECT d, x // 2 AS qx, y // 2 AS qy,
+             sum(g) // 4 AS p
+           FROM px GROUP BY 1, 2, 3),
+         bits AS (SELECT a.d, a.qx AS bx, a.qy AS qy,
+             CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+           FROM pool a JOIN pool b
+             ON a.d = b.d AND b.qx = a.qx + 1 AND b.qy = a.qy
+           WHERE a.qx < 8),
+         bands AS MATERIALIZED (SELECT d, qy // 2 AS bi,
+             CAST(sum(bit * (1 << ((qy % 2) * 8 + bx))) AS BIGINT) AS bv
+           FROM bits GROUP BY 1, 2),
+         capped AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+           HAVING count(*) <= 10000),
+         keyed AS (SELECT bands.d, bands.bi, bands.bv
+           FROM bands JOIN capped USING (bi, bv)),
+         cands AS MATERIALIZED (SELECT DISTINCT x.d AS a, y.d AS b
+           FROM keyed x JOIN keyed y
+             ON x.bi = y.bi AND x.bv = y.bv AND x.d < y.d),
+         wide AS MATERIALIZED (SELECT d,
+             sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS h0,
+             sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS h1,
+             sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS h2,
+             sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS h3
+           FROM bands GROUP BY 1),
+         scored AS (SELECT cands.a, cands.b,
+             CAST(bit_count(xor(wa.h0, wb.h0))
+               + bit_count(xor(wa.h1, wb.h1))
+               + bit_count(xor(wa.h2, wb.h2))
+               + bit_count(xor(wa.h3, wb.h3)) AS BIGINT) AS hamming
+           FROM cands JOIN wide wa ON cands.a = wa.d
+             JOIN wide wb ON cands.b = wb.d)
+         SELECT a AS doc_a, b AS doc_b, hamming FROM scored
+         WHERE hamming <= 6""",
 
     // Gini replay: per-row strict ranks (tie order cannot change the
     // rank-weighted sum), top decile = the n//10 largest by value

@@ -126,6 +126,9 @@ class ScaleAuditSpec extends SparkSpec {
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
+    "q382_image_phash_dedup" -> ("broadcast of the literal 4-row band " +
+      "index onto the hash frame (the candidate stage itself is the " +
+      "capped (band, value) EQUI-join)"),
     "q380_heaps_law" -> ("broadcast of the 1-row id-bounds aggregate " +
       "onto the token scan"),
     "q381_temperature_mix" -> ("broadcasts of the 1-row weight-total " +

@@ -141,6 +141,32 @@ class TrendStatsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("alloc")).sum === 100L)
   }
 
+  test("image dHash: planted families pair up through real PNG decode") {
+    // two ten-doc families: every in-family pair (one-pixel
+    // perturbations) within Hamming 6, no cross-family pair
+    val ids = (0L until 20L).toDF("doc_id")
+    val pngs = graft.llm.Multimodal.syntheticPngs(ids, "doc_id")
+    val bands = graft.llm.Multimodal.dHashBands(pngs, "doc_id", "png")
+    assert(bands.count() === 20L)
+    val pairs = graft.llm.Multimodal.phashNearDupPairs(bands, "doc_id",
+      maxHamming = 6).collect()
+    assert(pairs.length === 2 * 45)
+    assert(pairs.forall(r =>
+      r.getAs[Long]("doc_a") / 10 === r.getAs[Long]("doc_b") / 10))
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 6L))
+    // the f-mod-251 wrap makes families 0 and 251 byte-identical
+    // images: exact dups at Hamming 0 — the verb must catch them
+    val wrap = (0L until 3L).toDF("doc_id").unionByName(
+      (2510L until 2513L).toDF("doc_id"))
+    val wp = graft.llm.Multimodal.phashNearDupPairs(
+      graft.llm.Multimodal.dHashBands(
+        graft.llm.Multimodal.syntheticPngs(wrap, "doc_id"), "doc_id",
+        "png"), "doc_id", maxHamming = 6).collect()
+    assert(wp.exists(r => r.getAs[Long]("doc_a") === 0L &&
+      r.getAs[Long]("doc_b") === 2510L &&
+      r.getAs[Long]("hamming") === 0L))
+  }
+
   test("round-15 verbs on empty input degrade per contract") {
     val e = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
