@@ -863,6 +863,54 @@ object QueriesMore {
           col("dev_be").cast("long").as("dev_be"))
     }),
 
+    // NumPy .npz round-trip (round 15): quarterly revenue/count grids
+    // written as real npy-format-1.0 members of a zip container, read
+    // back through the from-scratch parser — the np.save/np.load
+    // interchange xarray users hit constantly; the oracle recomputes
+    // the grids from parquet, so any header/layout/stride defect in
+    // the codec breaks the hash
+    "q383_npz_roundtrip" -> ((s, dir) => {
+      import graft.io.Npy
+      val od = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1995, 2001))
+        .groupBy((year(col("o_orderdate")) - 1995).cast("int").as("y"),
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("r"))
+        .collect() // bounded at the 28-cell grid
+      val rev = new Array[Double](28); val cnt = new Array[Double](28)
+      od.foreach { r =>
+        val i = r.getInt(0) * 4 + r.getInt(1)
+        cnt(i) = r.getLong(2).toDouble; rev(i) = r.getLong(3).toDouble
+      }
+      val path = java.nio.file.Paths.get("/tmp/graft_npz_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_") + ".npz")
+      java.nio.file.Files.write(path, Npy.writeNpz(
+        Seq(("rev_c", Seq(7, 4), rev), ("n_ord", Seq(7, 4), cnt)),
+        integral = true))
+      val back = Npy.readNpz(java.nio.file.Files.readAllBytes(path))
+      val (shp, rv) = back("rev_c"); val (_, cv) = back("n_ord")
+      require(shp == Seq(7, 4), s"npz round-trip shape $shp")
+      import s.implicits._
+      (0 until 28).map(i => (i / 4, i % 4, cv(i).toLong, rv(i).toLong))
+        .toDF("y", "q", "n_ord", "rev_c")
+        .select(col("y").cast("long"), col("q").cast("long"),
+          col("n_ord"), col("rev_c"))
+    }),
+
+    // ORC sink -> source round-trip: Spark's built-in columnar sibling
+    // of the parquet path (per-segment aggregate out, read back) — the
+    // oracle recomputes straight from parquet
+    "q384_orc_roundtrip" -> ((s, dir) => {
+      val base = "/tmp/graft_orc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(round(col("c_acctbal") * 100, 0).cast("long")).as("bal_c"))
+        .write.mode("overwrite").orc(base)
+      s.read.orc(base).select(col("seg"), col("n_cust"), col("bal_c"))
+    }),
+
     // k-core decomposition (k=3) of the co-purchase graph: synchronized
     // peeling to the UNIQUE fixpoint (order-independent, so any engine
     // replays it) — per round one degree aggregate + two anti-joins on
@@ -2319,6 +2367,31 @@ object QueriesMore {
            FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
            GROUP BY 1, 2) o
          ON o.y = g.y AND o.q = g.q""",
+
+    // derivational: both grids recomputed from parquet — any npy
+    // header/stride/zip defect breaks the hash
+    "q383_npz_roundtrip" ->
+      """SELECT g.y, g.q,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_ord,
+           CAST(coalesce(o.r, 0) AS BIGINT) AS rev_c
+         FROM (SELECT y.y, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS y) y
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS r
+           FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+           GROUP BY 1, 2) o
+         ON o.y = g.y AND o.q = g.q""",
+
+    // derivational: the per-segment aggregate recomputed from parquet —
+    // a broken ORC writer/reader dialect corrupts rows
+    "q384_orc_roundtrip" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+             AS BIGINT) AS bal_c
+         FROM customer GROUP BY 1""",
 
     // derivational: signed quarterly deviations recomputed from the
     // parquet — a BE-walk/sign-extension defect breaks the hash

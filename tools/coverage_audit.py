@@ -59,6 +59,10 @@ ROWS = [
     ("2.1", "CF decoding pipeline", ["q77_cf_decode"], "io/CFDecode.scala"),
     ("2.1", "CSV sink->source roundtrip (ext.)", ["q359_csv_roundtrip"],
      "queries/QueriesMore.scala"),
+    ("2.1", "NumPy .npy/.npz read+write (ext.)", ["q383_npz_roundtrip"],
+     "io/Npy.scala"),
+    ("2.1", "ORC sink->source roundtrip (ext.)", ["q384_orc_roundtrip"],
+     "native spark.read/write.orc"),
     # 2.2 projection / filter / selection
     ("2.2", "select / drop_vars / drop_dims",
      ["q01_agg_partial", "q171_drop_vars"], "model/XDataset.scala"),
