@@ -496,6 +496,77 @@ object Multimodal {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
   }
 
+  val spectralSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("dominant_bin", LongType, nullable = false),
+    StructField("centroid6", DoubleType, nullable = true)))
+
+  /** Spectral centroid per audio frame — a REAL DFT over decoded PCM16
+    * frames (music/speech/noise discrimination, the frequency-domain
+    * companion of [[wavFrameFeatures]]' energy/ZCR). Determinism: the
+    * trig table is INTEGERIZED at e8 the moment libm produces it
+    * (cos8 = round(cos((2π)·k·n/N)·1e8), likewise sin), so the rfft
+    * accumulators re_e8/im_e8 are pure LONG sums any engine replays;
+    * magnitudes take one sqrt in double rounded to a 4-dp e4 integer,
+    * and the centroid (in BIN units) is one integer ratio rounded at
+    * 6 dp. `dominant_bin` = argmax magnitude, lowest bin on ties.
+    * Frames cap at `maxFrames` per doc (the scoring-prefix contract —
+    * the full-stream sweep is the same plan per frame). */
+  def spectralCentroid(df: DataFrame, id: String, media: String,
+                       frameLen: Int, maxFrames: Int): DataFrame = {
+    require(frameLen >= 4 && frameLen % 2 == 0, s"frameLen $frameLen")
+    val nBins = frameLen / 2 + 1
+    // e8 trig table, shared across rows (driver-computed, tiny)
+    val cos8 = Array.tabulate(nBins, frameLen)((k, n) =>
+      math.round(math.cos((2.0 * math.Pi) * k * n / frameLen) * 1e8))
+    val sin8 = Array.tabulate(nBins, frameLen)((k, n) =>
+      math.round(math.sin((2.0 * math.Pi) * k * n / frameLen) * 1e8))
+    val spark = df.sparkSession
+    val rdd = df.select(col(id), col(media)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        samplesPcm16(r.getAs[Array[Byte]](1)).toSeq.flatMap { xs =>
+          val nf = math.min(maxFrames, xs.length / frameLen)
+          (0 until nf).map { f =>
+            val m4 = new Array[Long](nBins)
+            var k = 0
+            while (k < nBins) {
+              var re = 0L; var im = 0L
+              var n = 0
+              while (n < frameLen) {
+                val x = xs(f * frameLen + n).toLong
+                re += x * cos8(k)(n)
+                im -= x * sin8(k)(n)
+                n += 1
+              }
+              val rd = re.toDouble / 1e8; val idd = im.toDouble / 1e8
+              m4(k) = math.round(
+                BigDecimal.valueOf(math.sqrt(rd * rd + idd * idd))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble * 1e4)
+              k += 1
+            }
+            var num = 0L; var den = 0L; var best = 0
+            var kk = 0
+            while (kk < nBins) {
+              num += kk.toLong * m4(kk); den += m4(kk)
+              if (m4(kk) > m4(best)) best = kk
+              kk += 1
+            }
+            val centroid =
+              if (den == 0L) null
+              else java.lang.Double.valueOf(
+                BigDecimal.valueOf(num.toDouble / den.toDouble)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble + 0.0)
+            Row(r.getLong(0), f, best.toLong, centroid)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, spectralSchema)
+  }
+
   /** Synthetic PNG fixture: one REAL 18x16 PNG per input id, pixel
     * gray g = (t² + 3t) mod 251 over t = (f mod 251 + 31x + 577y)
     * mod 251 with f = d div 10 — a NONLINEAR per-family surface, so

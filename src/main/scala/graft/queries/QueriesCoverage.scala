@@ -382,6 +382,40 @@ object QueriesCoverage {
         frameLen = 512)
     }),
 
+    // audio spectral centroid (round 15): a REAL rfft over the q349
+    // square-wave fixtures — e8-integerized trig table, LONG DFT
+    // accumulators, one sqrt per bin on a 4-dp e4 grid, centroid in
+    // bin units at 6 dp; the oracle replays the identical table and
+    // grids cell by cell
+    "q385_spectral_centroid" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val rows = (0L until 50L).map { i =>
+        val amp = ((i % 50) + 1).toInt * 100
+        val half = 8 + (i % 8).toInt
+        val n = 2048
+        val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes); bb.putInt(36 + n * 2)
+        bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1)
+        bb.putInt(16000); bb.putInt(32000)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes); bb.putInt(n * 2)
+        (0 until n).foreach { j =>
+          bb.putShort(if ((j / half) % 2 == 0) amp.toShort
+          else (-amp).toShort)
+        }
+        Row(i, bb.array())
+      }
+      val media = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, nullable = false),
+          StructField("media", BinaryType, nullable = false))))
+      Multimodal.spectralCentroid(media, "doc_id", "media",
+        frameLen = 16, maxFrames = 4)
+    }),
+
     // §2.1 backend plugin registry (ref `backends/api.py` engine dispatch
     // + `backends/plugins.py` entrypoints): open the classic-netCDF
     // fixture through engine="netcdf", and a RUNTIME-REGISTERED custom
@@ -749,6 +783,49 @@ object QueriesCoverage {
     // audio-features replay: the square wave's closed forms — meansq is
     // A² exactly, zcr counts the half-period boundaries inside each
     // 512-sample frame
+    // DFT replay: the identical e8 trig table (libm cos/sin on the
+    // same rational angle expression), LONG accumulators, 4-dp e4
+    // magnitude grid, 6-dp centroid
+    "q385_spectral_centroid" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 49)) AS i),
+         f AS (SELECT unnest(generate_series(0, 3)) AS f),
+         k AS (SELECT unnest(generate_series(0, 8)) AS k),
+         n AS (SELECT unnest(generate_series(0, 15)) AS n),
+         terms AS MATERIALIZED (SELECT i.i, f.f, k.k, n.n,
+             CASE WHEN (((f.f * 16 + n.n) // (8 + i.i % 8)) % 2) = 0
+               THEN (i.i % 50 + 1) * 100
+               ELSE -((i.i % 50 + 1) * 100) END AS x,
+             CAST(round(cos((2 * pi()) * k.k * n.n / 16) * 100000000)
+               AS BIGINT) AS c8,
+             CAST(round(sin((2 * pi()) * k.k * n.n / 16) * 100000000)
+               AS BIGINT) AS s8
+           FROM i, f, k, n),
+         bins AS MATERIALIZED (SELECT i, f, k,
+             CAST(sum(x * c8) AS BIGINT) AS re,
+             CAST(-sum(x * s8) AS BIGINT) AS im
+           FROM terms GROUP BY 1, 2, 3),
+         mag AS MATERIALIZED (SELECT i, f, k,
+             CAST(round(round(sqrt(
+               (CAST(re AS DOUBLE) / 1e8) * (CAST(re AS DOUBLE) / 1e8)
+               + (CAST(im AS DOUBLE) / 1e8) * (CAST(im AS DOUBLE) / 1e8)),
+               4) * 10000) AS BIGINT) AS m4
+           FROM bins),
+         agg AS (SELECT i, f, CAST(sum(k * m4) AS BIGINT) AS num,
+             CAST(sum(m4) AS BIGINT) AS den
+           FROM mag GROUP BY 1, 2),
+         mx AS (SELECT i, f, max(m4) AS mm FROM mag GROUP BY 1, 2),
+         dom AS (SELECT mag.i, mag.f, CAST(min(mag.k) AS BIGINT)
+             AS dominant_bin
+           FROM mag JOIN mx ON mag.i = mx.i AND mag.f = mx.f
+             AND mag.m4 = mx.mm
+           GROUP BY 1, 2)
+         SELECT agg.i AS doc_id, CAST(agg.f AS INT) AS frame_no,
+           dom.dominant_bin,
+           CASE WHEN den = 0 THEN NULL
+             ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               + 0.0 END AS centroid6
+         FROM agg JOIN dom ON agg.i = dom.i AND agg.f = dom.f""",
+
     "q349_audio_features" ->
       """SELECT i.i AS doc_id, CAST(f.f AS BIGINT) AS frame_no,
            CAST(512 AS BIGINT) AS n,

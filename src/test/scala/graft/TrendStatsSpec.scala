@@ -167,6 +167,35 @@ class TrendStatsSpec extends SparkSpec {
       r.getAs[Long]("hamming") === 0L))
   }
 
+  test("spectralCentroid: monochromatic frames concentrate at their bin") {
+    // 16-sample frames of cos(2*pi*2*n/16) scaled to +-1000: all
+    // energy at bin 2 -> dominant_bin 2, centroid ~2 (e8-table
+    // rounding leaks negligibly); a constant (DC) signal pins bin 0
+    def wav(f: Int => Short): Array[Byte] = {
+      val n = 32
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + n * 2)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(n * 2)
+      (0 until n).foreach(j => bb.putShort(f(j)))
+      bb.array()
+    }
+    val tone = wav(j =>
+      math.round(1000.0 * math.cos(2.0 * math.Pi * 2 * (j % 16) / 16))
+        .toShort)
+    val dc = wav(_ => 500.toShort)
+    val df = Seq((1L, tone), (2L, dc)).toDF("doc_id", "media")
+    val r = graft.llm.Multimodal.spectralCentroid(df, "doc_id", "media",
+      frameLen = 16, maxFrames = 1).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("dominant_bin") === 2L)
+    assert(math.abs(r(0).getAs[Double]("centroid6") - 2.0) < 0.1)
+    assert(r(1).getAs[Long]("dominant_bin") === 0L)
+    assert(r(1).getAs[Double]("centroid6") < 0.1)
+  }
+
   test("round-15 verbs on empty input degrade per contract") {
     val e = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
