@@ -352,4 +352,48 @@ object LinkAnalysis {
       .groupBy(col("n")).agg(count(lit(1)).as("core_degree"))
       .select(col("n").as("node"), col("core_degree"))
   }
+
+  /** SYNCHRONOUS label propagation, exactly `rounds` update steps:
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — a fully deterministic
+    * variant of LPA community detection (async LPA's visit order is
+    * engine luck; the synchronous mode-with-min-tie-break update is a
+    * pure function of the previous labeling, so any engine replays the
+    * round-`rounds` labeling bit-for-bit; oscillation between two
+    * labelings is possible and FINE — "labels after R sync rounds" is
+    * the contract). Labels start as node ids.
+    *
+    * Per round: one neighbor-label join + one (node, label) count
+    * aggregate + one argmax-by-(count, min label) aggregate (the
+    * max-struct trick — no window), with eager localCheckpoint
+    * truncating lineage (the k-core discipline). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds $rounds")
+    val e = graft.util.QueryCache.persist(
+      edges.select(col(src).cast("long").as("u"),
+          col(dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") &&
+          col("u").isNotNull && col("v").isNotNull)
+        .distinct())
+    val adj = graft.util.QueryCache.persist(
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
+    var labels = adj.select(col("u").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val nl = adj
+        .join(labels.select(col("n").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+        .select(col("u").as("n"), (-col("best.nl")).as("lbl"))
+      val next = nl.localCheckpoint(true)
+      labels = next
+      r += 1
+    }
+    labels.select(col("n").as("node"), col("lbl").as("community"))
+  }
 }

@@ -863,6 +863,23 @@ object QueriesMore {
           col("dev_be").cast("long").as("dev_be"))
     }),
 
+    // synchronous label propagation (3 rounds) on the co-purchase
+    // graph: deterministic mode-with-min-tie-break updates (async LPA
+    // is visit-order luck; the sync labeling after R rounds is a pure
+    // function any engine replays) — the community companion of q356's
+    // k-core and q273's PageRank
+    "q386_label_propagation" -> ((s, dir) => {
+      val bi = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = bi.as("a").join(bi.as("b2"),
+          col("a.b") === col("b2.b") && col("a.i") < col("b2.i"))
+        .select(col("a.i").as("x"), col("b2.i").as("y"))
+      graft.llm.LinkAnalysis.labelPropagation(edges, "x", "y",
+        rounds = 3)
+    }),
+
     // NumPy .npz round-trip (round 15): quarterly revenue/count grids
     // written as real npy-format-1.0 members of a zip container, read
     // back through the from-scratch parser — the np.save/np.load
@@ -2367,6 +2384,36 @@ object QueriesMore {
            FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
            GROUP BY 1, 2) o
          ON o.y = g.y AND o.q = g.q""",
+
+    // LPA replay: three unrolled synchronous rounds, the identical
+    // (count desc, label asc) argmax — every stage MATERIALIZED (the
+    // DuckDB CTE-inlining lesson)
+    "q386_label_propagation" ->
+      """WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+             l_partkey AS i FROM lineitem WHERE l_orderkey % 10 = 0),
+         e0 AS MATERIALIZED (SELECT a.i AS u, b2.i AS v
+           FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+           GROUP BY 1, 2),
+         adj AS MATERIALIZED (SELECT u, v FROM e0
+           UNION ALL SELECT v, u FROM e0),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lbl FROM adj),
+         c1 AS MATERIALIZED (SELECT adj.u, l.lbl, count(*) AS c
+           FROM adj JOIN l0 l ON adj.v = l.n GROUP BY 1, 2),
+         l1 AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (PARTITION BY u
+             ORDER BY c DESC, lbl) AS rk FROM c1) WHERE rk = 1),
+         c2 AS MATERIALIZED (SELECT adj.u, l.lbl, count(*) AS c
+           FROM adj JOIN l1 l ON adj.v = l.n GROUP BY 1, 2),
+         l2 AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (PARTITION BY u
+             ORDER BY c DESC, lbl) AS rk FROM c2) WHERE rk = 1),
+         c3 AS MATERIALIZED (SELECT adj.u, l.lbl, count(*) AS c
+           FROM adj JOIN l2 l ON adj.v = l.n GROUP BY 1, 2),
+         l3 AS MATERIALIZED (SELECT u AS n, lbl FROM (
+           SELECT u, lbl, row_number() OVER (PARTITION BY u
+             ORDER BY c DESC, lbl) AS rk FROM c3) WHERE rk = 1)
+         SELECT CAST(n AS BIGINT) AS node,
+           CAST(lbl AS BIGINT) AS community FROM l3""",
 
     // derivational: both grids recomputed from parquet — any npy
     // header/stride/zip defect breaks the hash

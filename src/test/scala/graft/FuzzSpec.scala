@@ -115,6 +115,36 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("npy/npz: flips and truncations raise bounded errors or decode") {
+    import graft.io.Npy
+    val base = Npy.write(Seq(5, 4), Array.tabulate(20)(_ * 1.25 - 3))
+    lcg(0x15L).take(200).foreach { r =>
+      val pos = math.floorMod(r, base.length).toInt
+      try {
+        val (shape, data) = Npy.read(flipAt(base, pos, r))
+        // a data-byte flip parses fine (no checksum) but must keep the
+        // declared element count; a header flip may reshape — both fine
+        assert(data.length === shape.product.max(1))
+      } catch {
+        case _: IllegalArgumentException | _: RuntimeException |
+             _: NumberFormatException => ()
+      }
+    }
+    (1 until base.length).foreach { cut =>
+      try { Npy.read(java.util.Arrays.copyOf(base, cut)); () }
+      catch {
+        case _: IllegalArgumentException | _: RuntimeException |
+             _: NumberFormatException => ()
+      }
+    }
+    val zip = Npy.writeNpz(Seq(("a", Seq(3), Array(1.0, 2.0, 3.0))))
+    lcg(0x16L).take(100).foreach { r =>
+      val pos = math.floorMod(r, zip.length).toInt
+      try { Npy.readNpz(flipAt(zip, pos, r)); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   test("netCDF: header flips raise bounded errors, never allocation bombs") {
     val dir = Files.createTempDirectory("fz_nc").toString
     val path = s"$dir/f.nc"

@@ -48,6 +48,22 @@ class GraphCorpusSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: hand-stepped sync rounds on path and triangle") {
+    // path 1-2-3-4-5, two sync rounds (hand-stepped): l1 = {1:2, 2:1,
+    // 3:2, 4:3, 5:4}; l2 = {1:1, 2:2, 3:1, 4:2, 5:3}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val l2 = LinkAnalysis.labelPropagation(path, "x", "y", rounds = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(l2 === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 3L)))
+    // triangle: min-tie-break collapses everyone onto label 1 by
+    // round 2 (the converged single community)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    val t2 = LinkAnalysis.labelPropagation(tri, "x", "y", rounds = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(t2 === Set(1L))
+  }
+
   test("fleissKappa: perfect agreement pins 1e6 ppm") {
     val df = Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"),
       (3L, "a", "a", "a"), (4L, "c", "c", "c"))
