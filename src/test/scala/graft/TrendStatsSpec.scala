@@ -225,6 +225,17 @@ class TrendStatsSpec extends SparkSpec {
     val ed = e.select(col("t").as("doc_id"), col("g").as("text"))
     assert(graft.llm.NgramLM.kneserNeyPerplexity(ed, "doc_id", "text")
       .count() === 0L)
+    assert(graft.llm.LinkAnalysis.labelPropagation(
+      e.select(col("t").as("x"), col("v").as("y")), "x", "y", 3)
+      .count() === 0L)
+    val eb = e.select(col("t").as("doc_id"),
+      col("g").cast("binary").as("media"))
+    assert(graft.llm.Multimodal.spectralCentroid(eb, "doc_id", "media",
+      frameLen = 16, maxFrames = 2).count() === 0L)
+    assert(graft.llm.Multimodal.phashNearDupPairs(
+      graft.llm.Multimodal.dHashBands(
+        eb.select(col("doc_id"), col("media").as("png")),
+        "doc_id", "png"), "doc_id", 6).count() === 0L)
     val hf = graft.llm.CorpusStats.heapsFit(ed, "doc_id", "text")
       .collect()
     assert(hf.length === 1 && hf(0).getAs[Long]("n_pts") === 0L &&
