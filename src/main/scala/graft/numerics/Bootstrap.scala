@@ -38,6 +38,38 @@ object Bootstrap {
     pmod(conv(substring(md5(key), 1, 13), 16, 10).cast("long"),
       lit(1000000000000L))
 
+  /** A&S 26.2.23 inverse normal of a LOWER-tail probability `p` (a
+    * double-valued SQL fragment) — |error| < 4.5e-4, identical literal
+    * constants in the Spark plan and any replaying engine (callers
+    * round the result to a declared grid). */
+  def invPhiSql(p: String): String = {
+    def t(pp: String) = s"sqrt(-2.0 * ln($pp))"
+    val pp = s"(CASE WHEN $p <= 0.5 THEN $p ELSE 1.0 - $p END)"
+    s"""((CASE WHEN $p <= 0.5 THEN -1.0 ELSE 1.0 END) * (
+          ${t(pp)}
+          - (2.515517 + 0.802853 * ${t(pp)}
+             + 0.010328 * (-2.0 * ln($pp)))
+            / (1.0 + 1.432788 * ${t(pp)}
+               + 0.189269 * (-2.0 * ln($pp))
+               + 0.001308 * (-2.0 * ln($pp)) * ${t(pp)})))"""
+  }
+
+  /** A&S 26.2.17 forward normal CDF of `x` (a double-valued SQL
+    * fragment; the [[graft.numerics.Stats.twoPropZBattery]] tail
+    * polynomial, both signs). */
+  def phiSql(x: String): String = {
+    def tail(sign: String) =
+      s"""(0.3989422804014327 * exp(-($x) * ($x) / 2.0)
+           * ((1.0 / (1.0 $sign 0.2316419 * ($x)))
+              * (0.319381530 + (1.0 / (1.0 $sign 0.2316419 * ($x)))
+                 * (-0.356563782 + (1.0 / (1.0 $sign 0.2316419 * ($x)))
+                    * (1.781477937 + (1.0 / (1.0 $sign 0.2316419 * ($x)))
+                       * (-1.821255978 + (1.0 / (1.0 $sign 0.2316419
+                          * ($x))) * 1.330274429))))))"""
+    s"""(CASE WHEN $x >= 0.0 THEN 1.0 - ${tail("+")}
+         ELSE ${tail("-")} END)"""
+  }
+
   /** Poisson(1) weight from an ALREADY-MATERIALIZED uniform column —
     * the caller must bind [[uniform1e12]] with withColumn first, or the
     * md5 is textually duplicated (and recomputed) once per threshold. */
@@ -100,6 +132,98 @@ object Bootstrap {
       .select(col("n_reps"), col("__f").as("mean_fp"),
         element_at(col("__ms"), cut + 1).as("lo_fp"),
         element_at(col("__ms"), reps - cut).as("hi_fp"))
+  }
+
+  /** BCa (bias-corrected and accelerated) bootstrap CI for the mean —
+    * the second-order-correct refinement of [[meanCI]]'s percentile
+    * interval (Efron 1987): the same deterministic Poisson replicate
+    * means, but the percentile RANKS adjust for median bias (z0, from
+    * the fraction of replicates below the full-data mean) and for
+    * skew-dependent acceleration (a, whose jackknife sum collapses in
+    * closed form for the mean: θ̄_J − θ_i = (x_i − x̄)/(n−1), so
+    * a = m3 / (6·m2^{3/2}) from the raw power sums — no jackknife
+    * pass at all).
+    *
+    * Determinism: z0 and the endpoint probabilities go through the
+    * Abramowitz–Stegun 26.2.23 inverse (and 26.2.17 forward) normal
+    * polynomials on 8-dp grids — the identical constants any engine
+    * replays; the endpoints are then order statistics of the SAME
+    * integer replicate means at rank floor(B·p)+1 (clamped). NULL
+    * adjusted bounds when every replicate lands on one side of the
+    * mean (z0 undefined) or m2 = 0. */
+  def meanCIBCa(df: DataFrame, id: Column, valueFp: Column,
+                reps: Int = 48, alphaPm: Int = 25): DataFrame = {
+    require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
+    require(alphaPm >= 1 && alphaPm < 500, s"alphaPm $alphaPm")
+    val means = graft.util.Parallelize.ensure(df)
+      .select(id.cast("string").as("__id"), valueFp.cast("long").as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),
+        col("__b").cast("string"))))
+      .withColumn("__w", poissonWeight(col("__u")))
+      .groupBy(col("__b"))
+      .agg(expr("""sum(CAST(__w * __v AS DECIMAL(38,0)))
+            div nullif(sum(__w), 0)""").as("__m"))
+    val full = df.select(valueFp.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(__v AS DECIMAL(38,0))")).as("__s1"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__s2"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v * __v")).as("__s3"))
+      .select(col("__n"),
+        expr("""CASE WHEN __n = 0 THEN CAST(NULL AS BIGINT)
+                ELSE __s1 div __n END""").as("__f"),
+        col("__s1"), col("__s2"), col("__s3"))
+    def invPhi(p: String): String = invPhiSql(p)
+    def phi(x: String): String = phiSql(x)
+    val agg = means.filter(col("__m").isNotNull)
+      .crossJoin(broadcast(full))
+      .agg(count(lit(1)).as("n_reps"),
+        sort_array(collect_list(col("__m"))).as("__ms"),
+        sum(when(col("__m") < col("__f"), 1L).otherwise(0L)).as("__below"),
+        max(col("__n")).as("__n"), max(col("__f")).as("__f"),
+        max(col("__s1")).as("__s1"), max(col("__s2")).as("__s2"),
+        max(col("__s3")).as("__s3"))
+      .filter(col("n_reps") === reps)
+      // central moments in ONE fixed IEEE expression from the decimal
+      // power sums; z0 on the 8-dp grid; a on the 8-dp grid
+      .withColumn("__m2d", expr(
+        """CAST(__s2 AS DOUBLE) - CAST(__s1 AS DOUBLE)
+           * CAST(__s1 AS DOUBLE) / CAST(__n AS DOUBLE)"""))
+      .withColumn("__m3d", expr(
+        """CAST(__s3 AS DOUBLE)
+           - 3.0 * CAST(__s2 AS DOUBLE) * CAST(__s1 AS DOUBLE)
+             / CAST(__n AS DOUBLE)
+           + 2.0 * CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)
+             * CAST(__s1 AS DOUBLE)
+             / (CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE))"""))
+      .withColumn("z0_8", expr(
+        s"""CASE WHEN __below = 0 OR __below = n_reps THEN NULL
+            ELSE round(${invPhi(
+          "(CAST(__below AS DOUBLE) / CAST(n_reps AS DOUBLE))")}, 8)
+            END"""))
+      .withColumn("a8", expr(
+        """CASE WHEN __m2d <= 0.0 THEN NULL
+           ELSE round(__m3d / (6.0 * __m2d * sqrt(__m2d)), 8) END"""))
+    val aLo = s"(CAST($alphaPm AS DOUBLE) / 1000.0)"
+    val aHi = s"(1.0 - CAST($alphaPm AS DOUBLE) / 1000.0)"
+    def pAdj(zsideExpr: String): String =
+      s"""round(${phi(s"""(z0_8 + (z0_8 + $zsideExpr)
+            / (1.0 - a8 * (z0_8 + $zsideExpr)))""")}, 8)"""
+    agg
+      .withColumn("__plo", expr(
+        s"""CASE WHEN z0_8 IS NULL OR a8 IS NULL THEN NULL
+            ELSE ${pAdj(s"round(${invPhi(aLo)}, 8)")} END"""))
+      .withColumn("__phi", expr(
+        s"""CASE WHEN z0_8 IS NULL OR a8 IS NULL THEN NULL
+            ELSE ${pAdj(s"round(${invPhi(aHi)}, 8)")} END"""))
+      .select(col("n_reps"), col("__f").as("mean_fp"),
+        col("z0_8"), col("a8"),
+        expr(s"""CASE WHEN __plo IS NULL THEN NULL ELSE element_at(__ms,
+            CAST(least(greatest(floor($reps * __plo) + 1, 1), $reps)
+              AS INT)) END""").as("lo_fp"),
+        expr(s"""CASE WHEN __phi IS NULL THEN NULL ELSE element_at(__ms,
+            CAST(least(greatest(floor($reps * __phi) + 1, 1), $reps)
+              AS INT)) END""").as("hi_fp"))
   }
 
   /** Percentile-bootstrap CI for the DIFFERENCE OF MEANS between two

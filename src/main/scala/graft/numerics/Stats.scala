@@ -538,6 +538,28 @@ object Stats {
           .cast("long").as("delta_ppm"))
   }
 
+  /** McNemar's test on paired binary outcomes — THE classifier-vs-
+    * classifier comparison on a shared eval set (same items, so
+    * marginal accuracy differences reduce to the discordant counts):
+    * b = A right & B wrong, c = A wrong & B right,
+    * chi2 = max(|b−c|−1, 0)² / (b+c) (Edwards continuity correction,
+    * clamped at zero so b = c reads as exactly no evidence). Pure
+    * integer counts, one IEEE division at 6 dp; NULL when the
+    * classifiers never disagree. */
+  def mcnemar(df: DataFrame, aCorrect: Column,
+              bCorrect: Column): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),
+        sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("c"))
+      .select(col("n"),
+        coalesce(col("b"), lit(0L)).as("b"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        expr("""CASE WHEN coalesce(b, 0) + coalesce(c, 0) = 0 THEN NULL
+                ELSE round(
+                  CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                  * CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                  / CAST(b + c AS DOUBLE), 6) END""").as("chi2"))
+
   def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
     val cells = graft.util.QueryCache.persist(
       df.select(x.cast("string").as("xx"), y.cast("string").as("yy"))

@@ -1160,6 +1160,20 @@ object QueriesLLM {
         TextAnalysis.tokenCount(col("text")), budget = 1000000L,
         tau = 0.7)),
 
+    // McNemar's paired test: the q55 lexicon langid vs a one-lexicon
+    // baseline ('en' stopwords only) against the labeled lang column —
+    // the classifier-comparison verb completing the eval battery
+    // (discordant counts only; same items, so no variance pooling)
+    "q387_mcnemar" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val predA = TextAnalysis.langId(col("text"), lexicons)
+      val predB = when(size(expr(
+        """regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')"""))
+        > 0, lit("en")).otherwise(lit("zz"))
+      graft.numerics.Stats.mcnemar(d,
+        predA === col("lang"), predB === col("lang"))
+    }),
+
     // image near-dup via perceptual dHash: REAL PNG encode -> ImageIO
     // decode -> integer gray pool -> 4x16-bit bands; candidates from a
     // banded equi-join (bucket-capped), verified by Hamming <= 6. The
@@ -2707,6 +2721,49 @@ object QueriesLLM {
            base + CASE WHEN row_number() OVER (ORDER BY rem DESC, src)
              <= short THEN 1 ELSE 0 END AS alloc
          FROM based CROSS JOIN sh""",
+
+    // McNemar replay: the q55 langid argmax, the same one-lexicon
+    // baseline, identical discordant counts and clamped continuity
+    "q387_mcnemar" ->
+      """WITH pa AS (SELECT doc_id, lang AS lang_pred FROM (
+             SELECT doc_id, lang, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+             FROM (
+               SELECT doc_id, 'en' AS lang,
+                 len(regexp_extract_all(lower(text),
+                   '\b(the|a|of|and|to)\b')) AS score FROM documents
+               UNION ALL SELECT doc_id, 'de',
+                 len(regexp_extract_all(lower(text),
+                   '\b(der|die|das|und|ist)\b')) FROM documents
+               UNION ALL SELECT doc_id, 'es',
+                 len(regexp_extract_all(lower(text),
+                   '\b(el|la|que|los|una)\b')) FROM documents
+               UNION ALL SELECT doc_id, 'fr',
+                 len(regexp_extract_all(lower(text),
+                   '\b(le|les|et|des|un)\b')) FROM documents
+               UNION ALL SELECT doc_id, 'zh',
+                 len(regexp_extract_all(lower(text),
+                   '\b(zhong|wen|shi|bu|ren)\b')) FROM documents))
+           WHERE rk = 1),
+         j AS (SELECT d.doc_id,
+             (pa.lang_pred = d.lang) AS ac,
+             ((CASE WHEN len(regexp_extract_all(lower(d.text),
+                 '\b(the|a|of|and|to)\b')) > 0 THEN 'en'
+               ELSE 'zz' END) = d.lang) AS bc
+           FROM documents d JOIN pa USING (doc_id)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN ac AND NOT bc THEN 1
+               ELSE 0 END), 0) AS BIGINT) AS b,
+             CAST(coalesce(sum(CASE WHEN NOT ac AND bc THEN 1
+               ELSE 0 END), 0) AS BIGINT) AS c
+           FROM j)
+         SELECT n, b, c,
+           CASE WHEN b + c = 0 THEN NULL
+             ELSE round(
+               CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+               * CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE)
+               / CAST(b + c AS DOUBLE), 6) END AS chi2
+         FROM a""",
 
     // phash replay: the identical closed-form pixel function -> 2x2
     // floor pools -> dHash bits -> 16-bit bands -> the same capped

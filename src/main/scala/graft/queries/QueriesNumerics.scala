@@ -458,6 +458,18 @@ object QueriesNumerics {
       graft.numerics.Stats.cliffsDelta(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity", a = "A", b = "N")),
 
+    // BCa bootstrap CI of mean order value: q333's deterministic
+    // Poisson replicates with Efron's bias (z0) and acceleration (a)
+    // corrections — a collapses in closed form for the mean (one
+    // power-sum scan, no jackknife pass); normal <-> probability maps
+    // ride the shared A&S 26.2.23/26.2.17 polynomials on 8-dp grids
+    "q388_bca_bootstrap" -> ((s, dir) =>
+      graft.numerics.Bootstrap.meanCIBCa(Tables.orders(s, dir),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"))),
+
+    // McNemar's paired classifier test lives in QueriesLLM (q387).
+
     // additive seasonal decomposition (classic decompose(): series =
     // trend + seasonal + residual) over daily revenue, weekly period —
     // EXACT integer grid: cents in, trend as the centered 7-row moving
@@ -1583,6 +1595,79 @@ object QueriesNumerics {
                   // (CAST(n1 AS HUGEINT) * n2) - 1000000 AS BIGINT)
            END AS delta_ppm
          FROM a""",
+
+    // BCa replay: q333's replicate machinery + the SAME A&S polynomial
+    // text (interpolated from Bootstrap.invPhiSql/phiSql, so the
+    // constants can never drift between engines)
+    "q388_bca_bootstrap" -> {
+      import graft.numerics.Bootstrap.{invPhiSql, phiSql, thresholdsSql}
+      val pLo = s"round(${invPhiSql("(CAST(25 AS DOUBLE) / 1000.0)")}, 8)"
+      val pHi = s"round(${invPhiSql(
+        "(1.0 - CAST(25 AS DOUBLE) / 1000.0)")}, 8)"
+      def pAdj(z: String): String =
+        s"""round(${phiSql(s"""(z0_8 + (z0_8 + $z)
+            / (1.0 - a8 * (z0_8 + $z)))""")}, 8)"""
+      s"""WITH rows_in AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+           FROM orders),
+         u AS MATERIALIZED (
+           SELECT g.b, v,
+             list_reduce(list_transform(
+                 string_split(substr(md5(id || '#' ||
+                   CAST(g.b AS VARCHAR)), 1, 13), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1000000000000 AS uu
+           FROM rows_in, (SELECT unnest(generate_series(0, 47)) AS b) g),
+         w AS (SELECT b, v, ${thresholdsSql("uu")} AS wt FROM u),
+         reps AS MATERIALIZED (
+           SELECT b, sum(CAST(wt * v AS HUGEINT))
+             // nullif(sum(wt), 0) AS m
+           FROM w GROUP BY b),
+         f AS MATERIALIZED (SELECT count(*) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+             CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+             sum(CAST(v AS HUGEINT)) // count(*) AS fmean
+           FROM rows_in),
+         ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             list_sort(list(m)) AS ms,
+             CAST(sum(CASE WHEN m < f.fmean THEN 1 ELSE 0 END)
+               AS BIGINT) AS below
+           FROM reps CROSS JOIN f),
+         st AS (SELECT ci.*, f.n, f.fmean,
+             CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS m2d,
+             CAST(s3 AS DOUBLE)
+               - 3.0 * CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)
+               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m3d
+           FROM ci CROSS JOIN f),
+         z AS (SELECT *,
+             CASE WHEN below = 0 OR below = n_reps THEN NULL
+               ELSE round(${invPhiSql(
+        "(CAST(below AS DOUBLE) / CAST(n_reps AS DOUBLE))")}, 8)
+             END AS z0_8,
+             CASE WHEN m2d <= 0.0 THEN NULL
+               ELSE round(m3d / (6.0 * m2d * sqrt(m2d)), 8) END AS a8
+           FROM st),
+         pp AS (SELECT *,
+             CASE WHEN z0_8 IS NULL OR a8 IS NULL THEN NULL
+               ELSE ${pAdj(pLo)} END AS plo,
+             CASE WHEN z0_8 IS NULL OR a8 IS NULL THEN NULL
+               ELSE ${pAdj(pHi)} END AS phi_p
+           FROM z)
+         SELECT n_reps, CAST(fmean AS BIGINT) AS mean_fp, z0_8, a8,
+           CASE WHEN plo IS NULL THEN NULL ELSE CAST(ms[CAST(
+             least(greatest(floor(48 * plo) + 1, 1), 48) AS INT)]
+             AS BIGINT) END AS lo_fp,
+           CASE WHEN phi_p IS NULL THEN NULL ELSE CAST(ms[CAST(
+             least(greatest(floor(48 * phi_p) + 1, 1), 48) AS INT)]
+             AS BIGINT) END AS hi_fp
+         FROM pp"""
+    },
 
     // Spearman replay: average-tie rank = cntBelow + (cntEq+1)/2 (the
     // exact half-integer Rank.avgRank computes), then the q40 corr

@@ -126,6 +126,9 @@ class ScaleAuditSpec extends SparkSpec {
 
   // Cartesian/nested-loop joins allowed ONLY for broadcast-able sides:
   private val allowCartesian: Map[String, String] = Map(
+    "q388_bca_bootstrap" -> ("broadcast of the 1-row power-sum " +
+      "aggregate onto the B-row replicate frame (the q333/q353 " +
+      "contract; B = 48 constant)"),
     "q382_image_phash_dedup" -> ("broadcast of the literal 4-row band " +
       "index onto the hash frame (the candidate stage itself is the " +
       "capped (band, value) EQUI-join)"),

@@ -79,6 +79,30 @@ class SurvivalSpec extends SparkSpec {
       s"[$lo, $hi]")
   }
 
+  test("meanCIBCa: symmetric data gives ~zero corrections, skew " +
+    "signs the acceleration") {
+    import spark.implicits._
+    // symmetric values: a ~ 0 (m3 = 0 exactly), z0 small, and the BCa
+    // interval stays inside the replicate range around the mean
+    val sym = (1L to 400L).map(i => (i, 1000L + (if (i % 2 == 0) i / 2
+      else -(i / 2 + 1)))).toDF("id", "v")
+    val r = Bootstrap.meanCIBCa(sym, col("id"), col("v")).head()
+    assert(r.getLong(0) === 48L)
+    assert(math.abs(r.getAs[Double]("a8")) < 1e-6) // m3 exactly 0
+    assert(math.abs(r.getAs[Double]("z0_8")) < 0.6)
+    val (m, lo, hi) = (r.getAs[Long]("mean_fp"),
+      r.getAs[Long]("lo_fp"), r.getAs[Long]("hi_fp"))
+    assert(lo <= m && m <= hi, s"$lo <= $m <= $hi")
+    // right-skewed values: positive third moment -> a8 > 0
+    val skew = (1L to 400L).map(i =>
+      (i, if (i % 20 == 0) 10000L else 10L)).toDF("id", "v")
+    val rs = Bootstrap.meanCIBCa(skew, col("id"), col("v")).head()
+    assert(rs.getAs[Double]("a8") > 0.0)
+    // empty input -> empty frame (the meanCI contract)
+    assert(Bootstrap.meanCIBCa(sym.filter(col("id") < 0), col("id"),
+      col("v")).count() === 0L)
+  }
+
   test("diffMeansCI brackets a planted between-arm lift") {
     // arm A mean 200, arm B mean 100 (+/- small id-derived noise)
     val df = (1 to 3000).map { i =>
