@@ -103,6 +103,28 @@ class SurvivalSpec extends SparkSpec {
       col("v")).count() === 0L)
   }
 
+  test("shared normal polynomials hit textbook quantiles within A&S error") {
+    import spark.implicits._
+    val one = Seq(1).toDF("x")
+    def eval(sql: String): Double =
+      one.selectExpr(s"$sql AS v").head().getDouble(0)
+    // A&S 26.2.23 |eps| < 4.5e-4; 26.2.17 |eps| < 7.5e-8
+    assert(math.abs(eval(Bootstrap.invPhiSql("0.975"))
+      - 1.959963984540054) < 4.5e-4)
+    assert(math.abs(eval(Bootstrap.invPhiSql("0.025"))
+      + 1.959963984540054) < 4.5e-4)
+    assert(math.abs(eval(Bootstrap.invPhiSql("0.5"))) < 4.5e-4)
+    assert(math.abs(eval(Bootstrap.phiSql("1.959963984540054"))
+      - 0.975) < 1e-6)
+    assert(math.abs(eval(Bootstrap.phiSql("-1.959963984540054"))
+      - 0.025) < 1e-6)
+    assert(math.abs(eval(Bootstrap.phiSql("0.0")) - 0.5) < 1e-7)
+    // round-trip: phi(invPhi(p)) ~ p across the unit interval
+    for (p <- Seq(0.01, 0.1, 0.3, 0.7, 0.9, 0.99))
+      assert(math.abs(eval(Bootstrap.phiSql(
+        s"(${Bootstrap.invPhiSql(p.toString)})")) - p) < 1.5e-3, s"p=$p")
+  }
+
   test("diffMeansCI brackets a planted between-arm lift") {
     // arm A mean 200, arm B mean 100 (+/- small id-derived noise)
     val df = (1 to 3000).map { i =>
