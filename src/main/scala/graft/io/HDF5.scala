@@ -1819,6 +1819,9 @@ object HDF5 {
       "scale-offset: INT (2) needs integral, FLOAT_DSCALE (0) needs f64")
     require(!bigEndian || integral,
       "bigEndian fixtures are supported for integral variables only")
+    require(!bigEndian || soScale.isEmpty,
+      "bigEndian + scale-offset is unimplemented (soCd codes order=LE; " +
+        "soEncode reads little-endian element bytes)")
     /** H5Z__set_local_nbit-shaped client data for the atomic class:
       * [nValid, noNeedFlag, nelmts, class=atomic, size, order,
       * precision, offset=0] — order follows the declared dtype. */

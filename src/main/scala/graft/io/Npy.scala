@@ -76,7 +76,13 @@ object Npy {
     }
     val shape = shapeRaw.split(",").map(_.trim).filter(_.nonEmpty)
       .map(_.toInt).toSeq
-    val n = shape.product.max(1)
+    // 0-d scalar: empty Seq product is already 1. Zero-element shapes
+    // ((0,), (3,0)) are legal and carry 0 data bytes. Count as Long so a
+    // pathological header can't Int-overflow into a mis-sized read.
+    val nL = shape.foldLeft(1L)(_ * _.toLong)
+    require(nL >= 0 && nL <= Int.MaxValue.toLong,
+      s"npy shape element count out of range: ${shape.mkString("x")}")
+    val n = nL.toInt
     val (esize, get: (ByteBuffer => Double)) = descr match {
       case "<f8" => (8, (bb: ByteBuffer) => bb.getDouble())
       case "<f4" => (4, (bb: ByteBuffer) => bb.getFloat().toDouble)

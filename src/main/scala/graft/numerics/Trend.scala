@@ -80,7 +80,11 @@ object Trend {
       .select(col("n").cast("long").as("n"),
         col("np").cast("long").as("n_pairs"),
         col("s").cast("long").as("s"),
-        expr("""CASE WHEN n < 3 THEN NULL ELSE round(
+        // z is NULL on degenerate variance (all values tied: the tie
+        // term cancels n(n-1)(2n+5) exactly) as well as n < 3 — the
+        // repo's NULL-on-degenerate contract, not 0/sqrt(0) = NaN.
+        expr("""CASE WHEN n < 3 OR CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                       - CAST(t3 AS DOUBLE) = 0.0 THEN NULL ELSE round(
             (CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1.0
                                       WHEN s < 0 THEN -1.0 ELSE 0.0 END)
             / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)

@@ -1459,7 +1459,10 @@ object QueriesNumerics {
              min(CASE WHEN cumc >= np // 2 + 1 THEN s_e6 END) AS m_hi
            FROM cum CROSS JOIN npt)
          SELECT ties.n AS n, mk.np AS n_pairs, mk.s AS s,
-           CASE WHEN ties.n < 3 THEN NULL ELSE round(
+           CASE WHEN ties.n < 3
+                  OR CAST(ties.n AS DOUBLE) * (ties.n - 1)
+                     * (2 * ties.n + 5) - CAST(ties.t3 AS DOUBLE) = 0.0
+             THEN NULL ELSE round(
              (CAST(mk.s AS DOUBLE) - CASE WHEN mk.s > 0 THEN 1.0
                  WHEN mk.s < 0 THEN -1.0 ELSE 0.0 END)
              / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1)
@@ -1634,7 +1637,8 @@ object QueriesNumerics {
              list_sort(list(m)) AS ms,
              CAST(sum(CASE WHEN m < f.fmean THEN 1 ELSE 0 END)
                AS BIGINT) AS below
-           FROM reps CROSS JOIN f),
+           FROM (SELECT * FROM reps WHERE m IS NOT NULL) reps
+           CROSS JOIN f),
          st AS (SELECT ci.*, f.n, f.fmean,
              CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                / CAST(n AS DOUBLE) AS m2d,
@@ -1666,7 +1670,8 @@ object QueriesNumerics {
            CASE WHEN phi_p IS NULL THEN NULL ELSE CAST(ms[CAST(
              least(greatest(floor(48 * phi_p) + 1, 1), 48) AS INT)]
              AS BIGINT) END AS hi_fp
-         FROM pp"""
+         FROM pp
+         WHERE n_reps = 48"""
     },
 
     // Spearman replay: average-tie rank = cntBelow + (cntEq+1)/2 (the

@@ -115,6 +115,16 @@ class NbitSOSpec extends AnyFunSuite {
     assert(HDF5.readVar(bytes, f, "packed_be").toSeq === vals.toSeq)
   }
 
+  test("bigEndian + scale-offset is a loud reject at declaration") {
+    // soCd codes order=LE and soEncode walks little-endian element
+    // bytes — combining with a BE element stream would silently write
+    // a corrupt fixture, so the WVar constructor refuses it
+    val e = intercept[IllegalArgumentException](
+      WVar("bad", Seq(0), Array(1.0, 2.0), chunk = Some(Seq(2)),
+        integral = true, soScale = Some((2, 0)), bigEndian = true))
+    assert(e.getMessage.contains("bigEndian + scale-offset"))
+  }
+
   test("nbit no-need-to-compress flag is identity") {
     val cd = Seq(8, 1, 2, 1, 4, 0, 32, 0)
     val data = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)

@@ -31,6 +31,25 @@ class NpySpec extends AnyFunSuite {
     assert(s2 === Seq(6) && d2.toSeq === ints.toSeq)
   }
 
+  test("zero-element shapes read as empty arrays") {
+    // a valid numpy file with shape (0,) or (3, 0) carries 0 data
+    // bytes — legal, must not trip the truncation require
+    def mk(shapeTxt: String): Array[Byte] = {
+      val head = s"{'descr': '<f8', 'fortran_order': False, " +
+        s"'shape': $shapeTxt, }"
+      val pad = (64 - (10 + head.length + 1) % 64) % 64
+      val header = head + (" " * pad) + "\n"
+      val magic = Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0)
+      magic ++ Array[Byte]((header.length & 0xff).toByte,
+        ((header.length >> 8) & 0xff).toByte) ++
+        header.getBytes("US-ASCII")
+    }
+    val (s1, d1) = Npy.read(mk("(0,)"))
+    assert(s1 === Seq(0) && d1.isEmpty)
+    val (s2, d2) = Npy.read(mk("(3, 0)"))
+    assert(s2 === Seq(3, 0) && d2.isEmpty)
+  }
+
   test("fortran_order reads transpose into C order") {
     // hand-built 2x3 <i4 fortran file: F-order data [1,4,2,5,3,6]
     // must read back as C-order [1,2,3,4,5,6]

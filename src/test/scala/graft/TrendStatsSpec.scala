@@ -30,6 +30,18 @@ class TrendStatsSpec extends SparkSpec {
     assert(rd.getAs[Long]("sen_slope_e6_x2") === -4000000L)
   }
 
+  test("mannKendallSen: all-tied series yields NULL z, not NaN") {
+    // n = 4 >= 3 but every value tied: S = 0 and the tie term cancels
+    // the variance exactly — the NULL-on-degenerate contract (a NaN
+    // here would slip past downstream IS NULL checks)
+    val flat = Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 7L)).toDF("t", "v")
+    val r = Trend.mannKendallSen(flat, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("s") === 0L)
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getAs[Long]("sen_slope_e6_x2") === 0L)
+  }
+
   test("pettitt: level shift pins U_t and the argmax bucket") {
     // [1,1,1,5,5,5]: r2(1)=4, r2(5)=10; U_t = 7t - sum r2 ->
     // 3,6,9,6,3,0 -> K=9 at bucket 3
