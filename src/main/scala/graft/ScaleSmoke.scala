@@ -43,7 +43,29 @@ object ScaleSmoke {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
-    val names = if (args.length > 2) args.drop(2).toSeq else DEFAULT
+    // "ALL" = the full-registry sweep (round-16 verdict item 1): every
+    // registered query except Structured Streaming verbs, whose wall
+    // time at these sizes is micro-batch machinery startup, not data
+    // (BENCH_SCALE.md method note; q306's sampled 10x leg covers the
+    // family). Results append to SPARK_GRAFT_SCALE_LOG as JSONL so a
+    // hung query is visible and the sweep resumes by skipping names
+    // already logged.
+    val names =
+      if (args.length > 2 && args(2) == "ALL")
+        SparkEntry.queries.keys.toSeq.sorted.filterNot(_.contains("stream"))
+      else if (args.length > 2) args.drop(2).toSeq
+      else DEFAULT
+    val logPath = sys.env.get("SPARK_GRAFT_SCALE_LOG")
+    val done: Set[String] = logPath.filter(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))).map { p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
+        .asScala.flatMap { l =>
+          val i = l.indexOf("\"name\":\"")
+          if (i < 0) None
+          else Some(l.substring(i + 8, l.indexOf('"', i + 8)))
+        }.toSet
+    }.getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       // SPARK_GRAFT_SCALE_PARTS: shuffle partitions sized to the DATA,
@@ -67,14 +89,27 @@ object ScaleSmoke {
         Array.emptyByteArray)
     }
 
-    val results = names.map { name =>
+    val results = names.filterNot(done).map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       val t0 = System.nanoTime()
-      val rows = graft.util.QueryCache.scoped { fn(spark, out).count() }
+      val rows = try {
+        graft.util.QueryCache.scoped { fn(spark, out).count() }
+      } catch { case e: Throwable =>
+        println(s"SCALE_FAIL $name: ${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(200)}")
+        -1L
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"""SCALE {"name":"$name","sec":$secs%.3f,"rows":$rows}""")
+      val line = f"""{"name":"$name","sec":$secs%.3f,"rows":$rows}"""
+      println(s"SCALE $line")
+      logPath.foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       name -> (secs, rows)
     }
     val total = results.map(_._2._1).sum
@@ -123,8 +158,24 @@ object ScaleSmoke {
       when(r === 0, col("n_chars"))
         .otherwise(length(mutText)).as("n_chars"),
       r), "documents")
+    // MUTATE also dilutes EMBEDDING near-dup density: replica r > 0
+    // rotates the vector circularly by r positions (norm-preserving, so
+    // covariance/quantizer geometry stays realistic) — cross-replica
+    // cosine falls far below any near-dup threshold, isolating the
+    // engine's scaling from the quadratic exact-copy pair emission the
+    // verbatim replica forces (the q52 dilution argument, for vectors).
+    val mutEmb =
+      if (mutate)
+        when(r === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"),
+              (((r - 1) % 63) + 2).cast("int"), lit(100000)),
+            slice(col("embedding"), lit(1),
+              (((r - 1) % 63) + 1).cast("int"))))
+      else col("embedding")
     save(rep(spark, src, "embeddings")
-      .select(shift("vec_id"), col("embedding"), col("label"), r), "embeddings")
+      .select(shift("vec_id"), mutEmb.as("embedding"), col("label"), r),
+      "embeddings")
     save(rep(spark, src, "lineitem").select(
       shift("l_orderkey") +: spark.read.parquet(s"$src/lineitem.parquet")
         .columns.filter(_ != "l_orderkey").map(col).toSeq :+ r: _*), "lineitem")

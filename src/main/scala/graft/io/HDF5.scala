@@ -1114,6 +1114,30 @@ object HDF5 {
       ((i / strides(k)) % grid(k)).toLong * cd(k)))
   }
 
+  /** Chunk-grid origins in EXTENSIBLE-ARRAY element order when the
+    * (single) unlimited dimension sits at position `u`: libhdf5
+    * swizzles the scaled chunk coordinates so the unlimited dimension
+    * varies SLOWEST (public C source `H5VM_swizzle_coords` — dst[0] =
+    * src[u], dims before u shift right — and `H5D__earray_idx_*`,
+    * which linearizes the swizzled coords C-order over the swizzled
+    * chunk grid). u = 0, netCDF-4's record-dim-first layout,
+    * degenerates to plain C order. */
+  private def swizzledGridOrigins(shape: Seq[Long], cd: Seq[Int],
+                                  u: Int): Seq[Seq[Long]] = {
+    if (u == 0) gridOrigins(shape, cd)
+    else {
+      val grid = shape.zip(cd).map { case (s, c) => ((s + c - 1) / c).toInt }
+      val sw = grid(u) +: grid.patch(u, Nil, 1)
+      val n = grid.product
+      val strides = sw.scanRight(1)(_ * _).tail
+      (0 until n).map { i =>
+        val c = sw.indices.map(k => (i / strides(k)) % sw(k))
+        val orig = c.tail.patch(u, Seq(c.head), 0) // unswizzle
+        orig.zip(cd).map { case (ci, ch) => ci.toLong * ch }
+      }
+    }
+  }
+
   /** All stored chunks of a chunked dataset, whichever index structure
     * the file uses — the single entry point the distributed reader and
     * in-memory decode share. */
@@ -1139,13 +1163,16 @@ object HDF5 {
       case ChunkedV4(5, addr, cd, _, _, _, _) =>
         btree2ChunkRefs(bytes, addr, cd, nominal(cd))
       case ChunkedV4(4, addr, cd, _, _, _, _) =>
-        require(d.unlimDims.forall(_ == 0),
-          s"${d.name} uses the extensible-array chunk index with an " +
-            s"unlimited dimension at position ${d.unlimDims.mkString(",")}" +
-            " — HDF5 swizzles the chunk order in that case, which this " +
-            "reader does not decode; re-encode with `h5repack -l " +
-            "CHUNK=...` under the default libver, then re-read")
-        try extensibleArrayRefs(bytes, addr, cd, d.shape, nominal(cd))
+        // one unlimited dim is the EA contract; at position != 0 libhdf5
+        // SWIZZLES the chunk order (unlimited dim slowest-varying) —
+        // decoded below via swizzledGridOrigins
+        require(d.unlimDims.length <= 1,
+          s"${d.name}: extensible-array chunk index with " +
+            s"${d.unlimDims.length} unlimited dimensions " +
+            s"(${d.unlimDims.mkString(",")}) — the EA index supports " +
+            "exactly one; the file is malformed or mis-parsed")
+        try extensibleArrayRefs(bytes, addr, cd, d.shape, nominal(cd),
+          d.unlimDims.headOption.getOrElse(0))
         catch {
           case e: Exception => sys.error(s"${d.name}: extensible-array " +
             s"chunk index parse failed (${e.getMessage}) — re-encode " +
@@ -1272,7 +1299,8 @@ object HDF5 {
     * fails loudly rather than mis-decoding. */
   private[graft] def extensibleArrayRefs(bytes: H5Src, addr: Long,
                                          cd: Seq[Int], shape: Seq[Long],
-                                         nominal: Int): Seq[ChunkRef] = {
+                                         nominal: Int,
+                                         unlimDim: Int = 0): Seq[ChunkRef] = {
     // ---- header (EAHD): creation params + stats + index block addr ----
     val h = checkedBuf(bytes, addr, 72, "extensible-array header")
     require(h.get() == 'E' && h.get() == 'A' && h.get() == 'H' &&
@@ -1323,7 +1351,7 @@ object HDF5 {
       if (a == UNDEF) None else Some((a, stored, mask))
     }
 
-    val grid = gridOrigins(shape, cd)
+    val grid = swizzledGridOrigins(shape, cd, unlimDim)
     val need = grid.length // elements past the grid are never-written fill
     val out = Array.fill[Option[(Long, Int, Int)]](need)(None)
 
@@ -1804,7 +1832,8 @@ object HDF5 {
                   zstd: Boolean = false, index4: Option[String] = None,
                   nbitPrec: Int = 0,
                   soScale: Option[(Int, Int)] = None,
-                  bigEndian: Boolean = false) {
+                  bigEndian: Boolean = false,
+                  unlimDim: Option[Int] = None) {
     require(Seq(szip, lzf, zstd).count(identity) <= 1,
       "szip/lzf/zstd are alternative compressors")
     require(nbitPrec == 0 || soScale.isEmpty,
@@ -1840,6 +1869,11 @@ object HDF5 {
       "index4 writes layout-v4 'single', 'fixed', or 'ea' chunk indexes")
     require(index4.isEmpty || chunk.isDefined,
       "index4 applies to chunked variables")
+    require(unlimDim.forall(u => u >= 0 && u < dims.length),
+      s"unlimDim $unlimDim out of range for ${dims.length} dims")
+    require(unlimDim.isEmpty || index4.contains("ea"),
+      "an unlimited dimension is written with the extensible-array " +
+        "chunk index (the HDF5 1.10+ layout for one unlimited dim)")
     require(!szip || f32,
       "szip write path codes 32-bit samples — set f32 (8/16-bit reads " +
         "are supported; the f64 writer default cannot szip)")
@@ -1970,7 +2004,17 @@ object HDF5 {
           val shape = shapeOf(v)
           val strides = shape.scanRight(1)(_ * _).tail
           val grid = shape.zip(cd).map { case (s, c) => (s + c - 1) / c }
-          val gridIdx = cartesian(grid.map(g => (0 until g).toSeq))
+          // with an unlimited dim at u != 0 the EA element order is the
+          // SWIZZLED chunk order (unlimited dim slowest-varying — see
+          // swizzledGridOrigins); emit chunks in that order so EA
+          // element k is the chunk the reader expects at k
+          val gridIdx = v.unlimDim match {
+            case Some(u) if u != 0 =>
+              val sw = grid(u) +: grid.patch(u, Nil, 1)
+              cartesian(sw.map(g => (0 until g).toSeq))
+                .map(c => c.tail.patch(u, Seq(c.head), 0))
+            case _ => cartesian(grid.map(g => (0 until g).toSeq))
+          }
           val blobs = gridIdx.map { gi =>
             val origin = gi.zip(cd).map { case (g, c) => g.toLong * c }
             val cElems = cd.product
@@ -2627,13 +2671,16 @@ object HDF5 {
     b.array()
   }
 
-  private def dataspaceBody(shape: Seq[Int]): Array[Byte] = {
+  private def dataspaceBody(shape: Seq[Int],
+                            unlim: Option[Int] = None): Array[Byte] = {
     val b = ByteBuffer.allocate(8 + shape.length * 16)
       .order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte); b.put(shape.length.toByte); b.put(1.toByte)
     b.put(0.toByte); b.putInt(0)
     shape.foreach(s => b.putLong(s.toLong))
-    shape.foreach(s => b.putLong(s.toLong)) // maxdims = dims
+    shape.zipWithIndex.foreach { case (s, i) => // maxdims = dims, except
+      b.putLong(if (unlim.contains(i)) UNDEF else s.toLong) // H5S_UNLIMITED
+    }
     b.array()
   }
 
@@ -2905,7 +2952,7 @@ object HDF5 {
     val isDim = v.dims.length == 1 &&
       dimDefs.exists(_._1 == v.name)
     val base = Seq(
-      msg(0x01, dataspaceBody(shape)),
+      msg(0x01, dataspaceBody(shape, v.unlimDim)),
       msg(0x03, dtypeBody(elemSize, v.integral, v.nbitPrec,
         v.bigEndian)),
       msg(0x05, fillBody()),

@@ -788,6 +788,34 @@ object QueriesMore {
       graft.io.Store.open(s, base + "_parquet").select("ln", "q", "cnt")
     }),
 
+    // swizzled extensible-array chunk order (the last real-file HDF5
+    // read gap): unlimited dim at position 1, so libhdf5 linearizes
+    // chunks with the unlimited dim SLOWEST (H5VM_swizzle_coords) —
+    // a C-order read of the same file permutes whole chunks and breaks
+    // the hash. Same derivational year x quarter orders grid as q354's
+    // scale-offset leg, but through the swizzled EA index.
+    "q389_hdf5_swizzled_ea" -> ((s, dir) => {
+      import graft.io.HDF5
+      val base = "/tmp/graft_h5swz_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      new java.io.File(base).mkdirs()
+      val od = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1995, 2001))
+        .groupBy((year(col("o_orderdate")) - 1995).cast("int").as("y"),
+          (quarter(col("o_orderdate")) - 1).cast("int").as("q"))
+        .count().collect() // bounded at the 28-cell grid
+      val grid = new Array[Double](28)
+      od.foreach(r => grid(r.getInt(0) * 4 + r.getInt(1)) =
+        r.getLong(2).toDouble)
+      HDF5.writeNc4(base + "/part0.nc4",
+        Seq("y" -> Array.tabulate(7)(_.toDouble),
+          "q" -> Array.tabulate(4)(_.toDouble)),
+        Seq(HDF5.WVar("cnt", Seq(0, 1), grid,
+          chunk = Some(Seq(2, 1)), index4 = Some("ea"),
+          unlimDim = Some(1))))
+      HDF5.convert(s, base, "cnt", base + "_parquet")
+      graft.io.Store.open(s, base + "_parquet").select("y", "q", "cnt")
+    }),
+
     // n-bit + scale-offset filtered netCDF-4 (HDF5 built-in filters 5
     // and 6 — the last real-file read gaps): derivational 7x4
     // (year x quarter) count grids, cnt_nb through nbit (24-bit
@@ -2366,6 +2394,20 @@ object QueriesMore {
 
     // derivational: both count grids recomputed from the parquet — an
     // nbit bit-walk or scale-offset header/minbits defect breaks it
+    // swizzled-EA replay: grid recomputed straight from orders — a
+    // C-order misread permutes whole chunks and breaks the hash
+    "q389_hdf5_swizzled_ea" ->
+      """SELECT g.y, g.q, CAST(coalesce(o.cnt, 0) AS DOUBLE) AS cnt
+         FROM (SELECT y.y, q.q
+             FROM (SELECT unnest(generate_series(0, 6)) AS y) y
+             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) q) g
+         LEFT JOIN (SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(quarter(o_orderdate) - 1 AS BIGINT) AS q,
+             count(*) AS cnt
+           FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+           GROUP BY 1, 2) o
+         ON o.y = g.y AND o.q = g.q""",
+
     "q354_hdf5_nbit_scaleoffset" ->
       """SELECT g.y, g.q,
            CAST(coalesce(l.cnt, 0) AS DOUBLE) AS cnt_nb,

@@ -206,13 +206,20 @@ object QueriesStreaming {
     // bounded by the watermark horizon (the 100 TB contract for streaming
     // dedup: keys expire instead of accumulating forever); over the finite
     // file source the result must equal the batch keep-first aggregation.
+    // The day bucket MUST be window(ts, '1 day'), not date_trunc: only
+    // window() carries the event-time watermark metadata into the
+    // grouping key, so date_trunc silently produced UNBOUNDED state and
+    // no late-row drop (caught by StreamingLateDataSpec in round 16).
+    // window.start == date_trunc('day', ts) in the UTC session, so the
+    // oracle is unchanged.
     "q99_stream_dedup" -> ((s, dir) => {
       val ev = StreamOps.eventsStream(s, dir)
-        .withColumn("day", date_trunc("DAY", col("ts")))
       val agg = ev.withWatermark("ts", "1 hour")
-        .groupBy(col("user_id"), col("day"))
+        .groupBy(col("user_id"), window(col("ts"), "1 day"))
         .agg(min(col("event_id")).as("first_event"),
           count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("window.start").as("day"),
+          col("first_event"), col("n_events"))
       StreamOps.runToCompletion(s, agg, s"stream_dedup_${System.nanoTime}")
     }),
 

@@ -249,16 +249,89 @@ class H5ExtensibleArraySpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum mismatch"))
   }
 
-  test("a dataset whose unlimited dimension is not dim 0 is rejected " +
-    "(swizzled chunk order)") {
-    // metadata-level contract: chunkRefsOf refuses EA + unlimDims != 0
+  test("more than one unlimited dimension on an EA index is a loud " +
+    "malformed-file reject") {
     val d = HDF5.DatasetMetaH5("v", 0L, Seq(4L, 8L),
       HDF5.DType(1, 8, littleEndian = true, signed = true),
       HDF5.ChunkedV4(4, 0L, Seq(2, 2), 0, 0, 0L, 0),
-      Nil, unlimDims = Seq(1))
-    val e = intercept[RuntimeException] {
+      Nil, unlimDims = Seq(0, 1))
+    val e = intercept[IllegalArgumentException] {
       HDF5.chunkRefsOf(ArraySrc(new Array[Byte](16)), d)
     }
-    assert(e.getMessage.contains("swizzles"))
+    assert(e.getMessage.contains("exactly one"))
+  }
+
+  test("unlimited dim != 0: swizzled chunk order round-trips and the " +
+    "on-disk order is genuinely swizzled") {
+    // 7x4 var chunked (2,1): grid 4x4 = 16 chunks; unlimited dim 1 —
+    // libhdf5 stores EA element k as the chunk whose SWIZZLED coords
+    // (dim-1 slowest) linearize to k
+    val dir = java.nio.file.Files.createTempDirectory("graft_swz").toString
+    val vals = Array.tabulate(28)(i => (i * 37 % 101).toDouble)
+    val path = s"$dir/swz.nc4"
+    HDF5.writeNc4(path,
+      Seq("a" -> Array.tabulate(7)(_.toDouble),
+        "b" -> Array.tabulate(4)(_.toDouble)),
+      Seq(HDF5.WVar("v", Seq(0, 1), vals, chunk = Some(Seq(2, 1)),
+        index4 = Some("ea"), unlimDim = Some(1))))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val d = f.byName("v")
+    assert(d.unlimDims === Seq(1))
+    assert(HDF5.readVar(bytes, f, "v").toSeq === vals.toSeq)
+    // the on-disk (address-ascending = write-order) origins must walk
+    // dim 1 slowest — i.e. NOT plain C order
+    val refs = HDF5.chunkRefsOf(ArraySrc(bytes), d)
+    val byAddr = refs.sortBy(_.addr).map(_.origin)
+    assert(byAddr.take(5) === Seq(Seq(0L, 0L), Seq(2L, 0L), Seq(4L, 0L),
+      Seq(6L, 0L), Seq(0L, 1L)))
+    // a C-order writer would have put (0,1) second; the EA element list
+    // itself (refs in index order) must equal the swizzled walk too
+    assert(refs.map(_.origin) === byAddr)
+  }
+
+  test("unlimited dim at 0 keeps plain C order (netCDF-4 record dim)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swz0").toString
+    val vals = Array.tabulate(28)(i => (i * 13 % 97).toDouble)
+    val path = s"$dir/rec.nc4"
+    HDF5.writeNc4(path,
+      Seq("a" -> Array.tabulate(7)(_.toDouble),
+        "b" -> Array.tabulate(4)(_.toDouble)),
+      Seq(HDF5.WVar("v", Seq(0, 1), vals, chunk = Some(Seq(2, 1)),
+        index4 = Some("ea"), unlimDim = Some(0))))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(f.byName("v").unlimDims === Seq(0))
+    assert(HDF5.readVar(bytes, f, "v").toSeq === vals.toSeq)
+  }
+
+  test("swizzled-file metadata corruption still fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swzc").toString
+    val vals = Array.tabulate(28)(_.toDouble)
+    val path = s"$dir/swz.nc4"
+    HDF5.writeNc4(path,
+      Seq("a" -> Array.tabulate(7)(_.toDouble),
+        "b" -> Array.tabulate(4)(_.toDouble)),
+      Seq(HDF5.WVar("v", Seq(0, 1), vals, chunk = Some(Seq(2, 1)),
+        index4 = Some("ea"), unlimDim = Some(1))))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    val d = f.byName("v")
+    val hdrAddr = d.layout match {
+      case HDF5.ChunkedV4(4, a, _, _, _, _, _) => a
+      case other => fail(s"unexpected layout $other")
+    }
+    // flip a byte inside the EA index block's element region
+    val broken = bytes.clone()
+    val off = (hdrAddr + 72 + 20).toInt
+    broken(off) = (broken(off) ^ 0x10).toByte
+    val e = intercept[RuntimeException] {
+      HDF5.chunkRefsOf(ArraySrc(broken), d)
+    }
+    assert(e.getMessage.contains("checksum") ||
+      e.getMessage.contains("parse failed"))
   }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.reshape.Reshape
+
+/** Scalacheck-driven laws over RANDOM dim sets / sizes — the
+  * generator-based analogue of the reference's hypothesis suites
+  * (`properties/test_index_manipulation.py` drives stack/unstack/
+  * rename over random 1-D index variables; `properties/
+  * test_properties.py:30`). LawsSpec pins fixed shapes; here the dim
+  * COUNT (1-3), per-dim SIZES (0..5, empty and singleton included),
+  * stacked SUBSET, labels and NULL placement are all generated, with a
+  * fixed initial seed so failures replay. */
+class PropertyLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(12)
+    .withInitialSeed(0xCAFEBABEL)
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  /** A dense grid dataset over `dims` (cartesian product of coordinate
+    * ranges) with a value column carrying generated doubles/NULLs. */
+  private def gridDf(dims: Seq[(String, Int)],
+                     nullEvery: Int): DataFrame = {
+    val names = dims.map(_._1)
+    val rowsN = dims.map(_._2).product
+    val rows = (0 until rowsN).map { i =>
+      val coords = dims.scanRight(1) { case ((_, s), acc) => s * acc }
+        .tail.zip(dims).map { case (stride, (_, s)) =>
+          ((i / stride) % s).toLong }
+      Row.fromSeq(coords :+
+        (if (nullEvery > 0 && i % nullEvery == 0) null
+         else java.lang.Double.valueOf(i * 1.5 - 7)))
+    }
+    val schema = StructType(
+      names.map(StructField(_, LongType, nullable = false)) :+
+        StructField("v", DoubleType, nullable = true))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private val dimsGen: Gen[Seq[(String, Int)]] = for {
+    k <- Gen.choose(1, 3)
+    names <- Gen.pick(k, Seq("a", "b", "c", "d"))
+    sizes <- Gen.listOfN(k, Gen.choose(0, 5))
+  } yield names.toSeq.zip(sizes)
+
+  private val fixtureGen: Gen[(Seq[(String, Int)], Int)] = for {
+    dims <- dimsGen
+    ne <- Gen.oneOf(0, 2, 3, 7)
+  } yield (dims, ne)
+
+  test("law: stack/unstack of a RANDOM dim subset is the identity") {
+    check("stack-unstack", Prop.forAll(
+      for {
+        (dims, ne) <- fixtureGen
+        nStack <- Gen.choose(1, dims.length)
+        sub <- Gen.pick(nStack, dims.map(_._1))
+      } yield (dims, ne, sub.toSeq)) { case (dims, ne, sub) =>
+      val df = gridDf(dims, ne)
+      val back = Reshape.unstack(Reshape.stack(df, sub, "z"), "z")
+        .select(df.columns.map(col).toSeq: _*)
+      back.collect().toSet == df.collect().toSet
+    })
+  }
+
+  test("law: stack preserves the row count exactly") {
+    check("stack-count", Prop.forAll(fixtureGen) { case (dims, ne) =>
+      val df = gridDf(dims, ne)
+      Reshape.stack(df, dims.map(_._1), "z").count() == df.count()
+    })
+  }
+
+  test("law: selLevel on a stacked level = filter on the original dim") {
+    check("sel-level", Prop.forAll(
+      for { (dims, ne) <- fixtureGen; v <- Gen.choose(0, 5) }
+        yield (dims, ne, v)) { case (dims, ne, v) =>
+      val df = gridDf(dims, ne)
+      val level = dims.head._1
+      val viaStack = Reshape.selLevel(
+        Reshape.stack(df, dims.map(_._1), "z"), "z", level, v.toLong)
+      val direct = df.filter(col(level) === v.toLong)
+      viaStack.count() == direct.count() &&
+        Reshape.unstack(viaStack, "z")
+          .select(df.columns.map(col).toSeq: _*)
+          .collect().toSet == direct.collect().toSet
+    })
+  }
+
+  test("law: reorderLevels there-and-back is the identity") {
+    check("reorder-levels", Prop.forAll(fixtureGen.suchThat(_._1.length >= 2)) {
+      case (dims, ne) =>
+        val names = dims.map(_._1)
+        val df = Reshape.stack(gridDf(dims, ne), names, "z")
+        val back = Reshape.reorderLevels(
+          Reshape.reorderLevels(df, "z", names.reverse), "z", names)
+        back.collect().toSet == df.collect().toSet
+    })
+  }
+
+  test("law: concat along a NEW dim recovers each part by label") {
+    check("concat-new-dim", Prop.forAll(
+      for { (dims, ne) <- fixtureGen; parts <- Gen.choose(1, 4) }
+        yield (dims, ne, parts)) { case (dims, ne, parts) =>
+      val dfs = (0 until parts).map(p =>
+        p -> gridDf(dims, if (ne == 0) 0 else ne + p))
+      val cat = Reshape.concatNewDim("part", dfs)
+      (0 until parts).forall { p =>
+        cat.filter(col("part") === p).drop("part").collect().toSet ==
+          dfs(p)._2.collect().toSet
+      } && cat.count() == dfs.map(_._2.count()).sum
+    })
+  }
+
+  test("law: concat along an EXISTING dim sums the row counts") {
+    check("concat-existing", Prop.forAll(
+      for { (dims, ne) <- fixtureGen; parts <- Gen.choose(1, 4) }
+        yield (dims, ne, parts)) { case (dims, ne, parts) =>
+      val dfs = (0 until parts).map(p => gridDf(dims, ne))
+      Reshape.concatExisting(dfs).count() == dfs.map(_.count()).sum
+    })
+  }
+
+  test("law: align inner = key intersection, outer = key union, over " +
+    "random (possibly empty) key sets") {
+    check("align-keys", Prop.forAll(
+      for {
+        na <- Gen.choose(0, 12)
+        nb <- Gen.choose(0, 12)
+        ka <- Gen.listOfN(na, Gen.choose(0L, 9L))
+        kb <- Gen.listOfN(nb, Gen.choose(0L, 9L))
+      } yield (ka.distinct, kb.distinct)) { case (ka, kb) =>
+      val a = graft.model.XDataset(
+        ka.map(k => (k, k * 2.0)).toDF("pos", "va"), Seq("pos"))
+      val b = graft.model.XDataset(
+        kb.map(k => (k, k * 3.0)).toDF("pos", "vb"), Seq("pos"))
+      val inner = graft.align.Align.join(a, b, "inner")
+        .select("pos").as[Long].collect().toSet
+      val outer = graft.align.Align.join(a, b, "outer")
+        .select("pos").as[Long].collect().toSet
+      inner == ka.toSet.intersect(kb.toSet) &&
+        outer == ka.toSet.union(kb.toSet)
+    })
+  }
+
+  test("law: rename there-and-back is the identity (random dim pick)") {
+    check("rename", Prop.forAll(fixtureGen) { case (dims, ne) =>
+      val df = gridDf(dims, ne)
+      val ds = graft.model.XDataset(df, dims.map(_._1))
+      val d0 = dims.head._1
+      val back = ds.rename(Map(d0 -> "zz")).rename(Map("zz" -> d0))
+      back.df.columns.toSeq == df.columns.toSeq &&
+        back.meta.dims == ds.meta.dims &&
+        back.df.collect().toSet == df.collect().toSet
+    })
+  }
+}

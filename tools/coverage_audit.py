@@ -32,7 +32,7 @@ ROWS = [
       "q232_hdf5_lzf", "q233_hdf5_v4fixed",
       "q235_h5_open_dataset", "q295_hdf5_extensible_array",
       "q354_hdf5_nbit_scaleoffset",
-      "q371_hdf5_nbit_bigendian"],
+      "q371_hdf5_nbit_bigendian", "q389_hdf5_swizzled_ea"],
      "io/HDF5.scala, io/NbitSO.scala"),
     ("2.1", "pydap / OPeNDAP",
      ["ungated:documented non-goal (SURVEY §7.5) — network protocol"],
