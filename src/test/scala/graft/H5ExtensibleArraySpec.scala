@@ -307,6 +307,33 @@ class H5ExtensibleArraySpec extends AnyFunSuite {
     assert(HDF5.readVar(bytes, f, "v").toSeq === vals.toSeq)
   }
 
+  test("swizzled order at the writer's chunk-count bound round-trips " +
+    "(120 chunks through direct data blocks, ragged edges)") {
+    // 19x23 chunked (2,2): grid 10x12 = 120 chunks (within the writer's
+    // <= 124 direct-block bound), both dims ragged so edge-chunk padding
+    // crosses the swizzled walk; values chosen so any chunk permutation
+    // or transposition changes the readback
+    val dir = java.nio.file.Files.createTempDirectory("graft_swzL").toString
+    val vals = Array.tabulate(19 * 23)(i => ((i * 131) % 997).toDouble)
+    val path = s"$dir/swzl.nc4"
+    HDF5.writeNc4(path,
+      Seq("a" -> Array.tabulate(19)(_.toDouble),
+        "b" -> Array.tabulate(23)(_.toDouble)),
+      Seq(HDF5.WVar("v", Seq(0, 1), vals, chunk = Some(Seq(2, 2)),
+        index4 = Some("ea"), unlimDim = Some(1))))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val f = HDF5.parseFile(bytes)
+    assert(HDF5.readVar(bytes, f, "v").toSeq === vals.toSeq)
+    // write-order pin: the dim-0 walk comes first under a dim-1-slowest
+    // swizzle — chunks 0..9 are (0,0)..(18,0), then chunk 10 wraps to
+    // the next dim-1 stripe (0,2)
+    val byAddr = HDF5.chunkRefsOf(ArraySrc(bytes), f.byName("v"))
+      .sortBy(_.addr).map(_.origin)
+    assert(byAddr(1) === Seq(2L, 0L) && byAddr(9) === Seq(18L, 0L) &&
+      byAddr(10) === Seq(0L, 2L))
+  }
+
   test("swizzled-file metadata corruption still fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_swzc").toString
     val vals = Array.tabulate(28)(_.toDouble)
