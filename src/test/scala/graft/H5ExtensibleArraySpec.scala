@@ -334,6 +334,36 @@ class H5ExtensibleArraySpec extends AnyFunSuite {
       byAddr(10) === Seq(0L, 2L))
   }
 
+  test("swizzled round-trips over randomized shapes/chunks/unlim position") {
+    val rng = new scala.util.Random(0x5eed16)
+    (1 to 8).foreach { trial =>
+      val nd = 2 + rng.nextInt(2) // 2 or 3 dims
+      val shape = Seq.fill(nd)(2 + rng.nextInt(6))
+      val chunk = shape.map(s => 1 + rng.nextInt(s))
+      val u = 1 + rng.nextInt(nd - 1) // unlimited dim NEVER dim 0 here
+      val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+      if (grid.product <= 124) { // the fixture writer's direct bound
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_swzf$trial").toString
+        val n = shape.product
+        val vals = Array.tabulate(n)(i => ((i * 193 + trial) % 1009).toDouble)
+        val path = s"$dir/f.nc4"
+        HDF5.writeNc4(path,
+          shape.zipWithIndex.map { case (s, k) =>
+            s"d$k" -> Array.tabulate(s)(_.toDouble) },
+          Seq(HDF5.WVar("v", shape.indices, vals,
+            chunk = Some(chunk), index4 = Some("ea"), unlimDim = Some(u))))
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        val f = HDF5.parseFile(bytes)
+        assert(f.byName("v").unlimDims === Seq(u),
+          s"trial $trial shape=$shape chunk=$chunk u=$u")
+        assert(HDF5.readVar(bytes, f, "v").toSeq === vals.toSeq,
+          s"trial $trial shape=$shape chunk=$chunk u=$u")
+      }
+    }
+  }
+
   test("swizzled-file metadata corruption still fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_swzc").toString
     val vals = Array.tabulate(28)(_.toDouble)
