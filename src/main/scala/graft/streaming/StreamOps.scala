@@ -27,11 +27,19 @@ object StreamOps {
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source requires a directory; select just the events
-    // table out of the testdata dir with a glob
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // the file stream source requires a directory. The driver testdata
+    // ships events.parquet as a single FILE (glob it out of the table
+    // dir); a Spark-written table (e.g. the 10x scale replica) is a
+    // DIRECTORY of part files — stream that directory itself, or the
+    // glob matches nothing and the stream is silently empty.
+    val tablePath = new java.io.File(s"$dir/events.parquet")
+    val stream =
+      if (tablePath.isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath.getPath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
     if (tsType == LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream.withColumn("ts", col("ts").cast(TimestampType))
@@ -45,9 +53,13 @@ object StreamOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val tablePath = new java.io.File(s"$dir/documents.parquet")
+    if (tablePath.isDirectory)
+      spark.readStream.schema(schema).parquet(tablePath.getPath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
   }
 
   /** Streaming resample: tumbling-window agg with watermark (the streaming
