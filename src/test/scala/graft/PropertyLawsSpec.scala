@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.reshape.Reshape
@@ -148,6 +148,61 @@ class PropertyLawsSpec extends SparkSpec {
         .select("pos").as[Long].collect().toSet
       inner == ka.toSet.intersect(kb.toSet) &&
         outer == ka.toSet.union(kb.toSet)
+    })
+  }
+
+  test("law: every cftime calendar decode∘encode is the identity over " +
+    "random day offsets (the reference's test_encode_decode analogue)") {
+    import graft.io.CFDecode
+    val calendars: Seq[(String, Int, (Column, Int) => Column,
+        (Column, Column, Column, Int) => Column)] = Seq(
+      ("noleap", 2001, CFDecode.noleapDecode, CFDecode.noleapEncode),
+      ("360_day", 2001, CFDecode.cal360Decode, CFDecode.cal360Encode),
+      ("all_leap", 2001, CFDecode.allLeapDecode, CFDecode.allLeapEncode),
+      ("julian", 2000, CFDecode.julianDecode, CFDecode.julianEncode),
+      ("proleptic", 1970, CFDecode.prolepticDecode,
+        CFDecode.prolepticEncode))
+    check("calendar-roundtrip", Prop.forAll(
+      for {
+        days <- Gen.listOfN(60, Gen.choose(-200000L, 200000L))
+        cal <- Gen.choose(0, calendars.length - 1)
+      } yield (days, cal)) { case (days, cal) =>
+      val (_, epoch, dec, enc) = calendars(cal)
+      val df = days.toDF("d")
+        .withColumn("parts", dec(col("d"), epoch))
+        .withColumn("back", enc(col("parts.year"), col("parts.month"),
+          col("parts.day"), epoch))
+      df.filter(col("back") =!= col("d")).count() == 0L &&
+        df.filter(col("parts.month") < 1 || col("parts.month") > 12 ||
+          col("parts.day") < 1 || col("parts.day") > 31).count() == 0L
+    })
+  }
+
+  test("law: CF scale/offset encode∘decode is exact on binary grids; " +
+    "mask decode NULLs exactly the fill sentinel") {
+    import graft.io.CFDecode
+    check("cf-scale-offset", Prop.forAll(
+      for {
+        raw <- Gen.listOfN(40, Gen.choose(-100000L, 100000L))
+        scalePow <- Gen.choose(-6, 3)
+        offset <- Gen.choose(-1000, 1000)
+      } yield (raw, math.pow(2.0, scalePow), offset.toDouble)) {
+      case (raw, scale, offset) =>
+        val df = raw.toDF("r")
+          .withColumn("v",
+            CFDecode.scaleOffsetDecode(col("r").cast("double"), scale, offset))
+          .withColumn("back", CFDecode.scaleOffsetEncode(col("v"), scale, offset))
+        df.filter(col("back") =!= col("r").cast("double")).count() == 0L
+    })
+    check("cf-mask", Prop.forAll(
+      for {
+        vals <- Gen.listOfN(40, Gen.choose(-999L, 999L))
+        fill <- Gen.choose(-999L, 999L)
+      } yield (vals, fill)) { case (vals, fill) =>
+      val df = vals.toDF("v")
+        .withColumn("m", CFDecode.maskDecode(col("v"), fill))
+      df.filter(col("m").isNull && col("v") =!= fill).count() == 0L &&
+        df.filter(col("m").isNotNull && col("v") === fill).count() == 0L
     })
   }
 
