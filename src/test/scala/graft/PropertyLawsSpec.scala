@@ -206,6 +206,28 @@ class PropertyLawsSpec extends SparkSpec {
     })
   }
 
+  test("law: all 9 H&F quantile methods are monotone in p and bounded " +
+    "by min/max on random data") {
+    import graft.exprs.HFQuantile
+    check("hf-quantile-monotone", Prop.forAll(
+      for {
+        n <- Gen.choose(1, 40)
+        vals <- Gen.listOfN(n, Gen.choose(-10000, 10000).map(_ / 8.0))
+        method <- Gen.choose(1, 9)
+      } yield (vals, method)) { case (vals, method) =>
+      val qv = HFQuantile.multi(col("v"),
+        Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0), method)
+      val r = vals.toDF("v")
+        .agg(qv.as("qs"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .head
+      val qs = r.getSeq[Double](0)
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      qs.zip(qs.tail).forall { case (a, b) => a <= b } &&
+        qs.forall(q => q >= lo && q <= hi) &&
+        qs.head == lo && qs.last == hi // p=0 -> min, p=1 -> max (all H&F)
+    })
+  }
+
   test("law: rename there-and-back is the identity (random dim pick)") {
     check("rename", Prop.forAll(fixtureGen) { case (dims, ne) =>
       val df = gridDf(dims, ne)
