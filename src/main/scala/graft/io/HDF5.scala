@@ -88,7 +88,8 @@ object HDF5 {
                            dtype: DType, layout: Layout, attrs: Seq[Attr],
                            filters: Seq[(Int, Seq[Int])] = Nil,
                            parseError: Option[String] = None,
-                           unlimDims: Seq[Int] = Nil) {
+                           unlimDims: Seq[Int] = Nil,
+                           maxShape: Seq[Long] = Nil) {
     def deflate: Boolean = filters.exists(_._1 == 1)
     def shuffleElem: Option[Int] =
       filters.find(_._1 == 2).map(_._2.headOption.getOrElse(1))
@@ -812,21 +813,23 @@ object HDF5 {
   private def parseDataspace(b: ByteBuffer): Seq[Long] =
     parseDataspaceFull(b)._1
 
-  /** (dims, indices of UNLIMITED dims). Max dims follow the current dims
-    * when flags bit 0 is set; H5S_UNLIMITED is the undefined address. */
-  private def parseDataspaceFull(b: ByteBuffer): (Seq[Long], Seq[Int]) = {
+  /** (dims, maxdims, indices of UNLIMITED dims). Max dims follow the
+    * current dims when flags bit 0 is set (else max = current);
+    * H5S_UNLIMITED is the undefined address. */
+  private def parseDataspaceFull(b: ByteBuffer)
+      : (Seq[Long], Seq[Long], Seq[Int]) = {
     val ver = b.get() & 0xff
     val rank = b.get() & 0xff
     val flags = b.get() & 0xff
     if (ver == 1) { b.get(); b.getInt() } // reserved(5)
     else b.get() // v2: type
     val dims = (0 until rank).map(_ => b.getLong())
-    val unlim =
-      if ((flags & 1) != 0)
-        (0 until rank).map(_ => b.getLong()).zipWithIndex
-          .collect { case (m, i) if m == UNDEF => i }
-      else Nil
-    (dims, unlim)
+    val maxdims =
+      if ((flags & 1) != 0) (0 until rank).map(_ => b.getLong())
+      else dims
+    val unlim = maxdims.zipWithIndex
+      .collect { case (m, i) if m == UNDEF => i }
+    (dims, maxdims, unlim)
   }
 
   /** GCOL global heap object lookup (for vlen attribute values). */
@@ -955,6 +958,7 @@ object HDF5 {
                            addr: Long): DatasetMetaH5 = {
     val msgs = parseObjectHeader(bytes, addr)
     var shape: Seq[Long] = Nil
+    var maxShape: Seq[Long] = Nil
     var unlimDims: Seq[Int] = Nil
     var dtype: DType = null
     var layout: Layout = null
@@ -964,8 +968,8 @@ object HDF5 {
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
       m.typ match {
         case 0x01 =>
-          val (dims, ul) = parseDataspaceFull(b)
-          shape = dims; unlimDims = ul
+          val (dims, maxdims, ul) = parseDataspaceFull(b)
+          shape = dims; maxShape = maxdims; unlimDims = ul
         case 0x03 => dtype = parseDType(b)
         case 0x08 =>
           val ver = b.get() & 0xff
@@ -1022,7 +1026,7 @@ object HDF5 {
     require(dtype != null && layout != null,
       s"dataset $name lacks datatype/layout")
     DatasetMetaH5(name, addr, shape, dtype, layout, attrs.result(), filters,
-      unlimDims = unlimDims)
+      unlimDims = unlimDims, maxShape = maxShape)
   }
 
   /** Decode a dataset to a dense row-major Double array. */
@@ -1144,6 +1148,22 @@ object HDF5 {
   private[graft] def chunkRefsOf(bytes: H5Src,
                                  d: DatasetMetaH5): Seq[ChunkRef] = {
     def nominal(cd: Seq[Int]): Int = cd.product * d.dtype.size
+    // The implicit and extensible-array indexes linearize chunks over
+    // the MAX-dims chunk grid. A finite maxdim larger than the current
+    // dim (growable-but-bounded, no unlimited marker) would make the
+    // current-shape strides below a silent chunk permutation — reject
+    // loudly instead (netCDF-4 never writes this; h5repack normalizes).
+    def requireMaxEqualsCur(): Unit =
+      if (d.maxShape.nonEmpty) {
+        val grown = d.maxShape.zip(d.shape).zipWithIndex.collect {
+          case ((m, s), i) if m != UNDEF && m != s => i
+        }
+        require(grown.isEmpty,
+          s"${d.name}: finite max dims exceed current dims at position" +
+            s"(s) ${grown.mkString(",")} — the chunk index is laid out " +
+            "over the max grid, which this reader does not decode; " +
+            "re-encode with `h5repack` (fixed dims), then re-read")
+      }
     d.layout match {
       case Chunked(btree, cd) => chunkRefs(bytes, btree, cd.length)
       case ChunkedV4(1, addr, cd, flags, _, sSize, sMask) =>
@@ -1155,6 +1175,7 @@ object HDF5 {
         Nil // index never allocated: dataset is all fill
       case ChunkedV4(2, addr, cd, _, _, _, _) =>
         // implicit: dense unfiltered grid laid out back to back
+        requireMaxEqualsCur()
         gridOrigins(d.shape, cd).zipWithIndex.map { case (o, i) =>
           ChunkRef(o, addr + i.toLong * nominal(cd), nominal(cd), 0)
         }
@@ -1171,6 +1192,7 @@ object HDF5 {
             s"${d.unlimDims.length} unlimited dimensions " +
             s"(${d.unlimDims.mkString(",")}) — the EA index supports " +
             "exactly one; the file is malformed or mis-parsed")
+        requireMaxEqualsCur()
         try extensibleArrayRefs(bytes, addr, cd, d.shape, nominal(cd),
           d.unlimDims.headOption.getOrElse(0))
         catch {

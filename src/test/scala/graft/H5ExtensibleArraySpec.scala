@@ -261,6 +261,31 @@ class H5ExtensibleArraySpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly one"))
   }
 
+  test("finite max dims larger than current dims are a loud reject on " +
+    "grid-order indexes (implicit and EA lay chunks out over the MAX grid)") {
+    // growable-but-bounded (max 8 > cur 4 on dim 1, no unlimited marker):
+    // decoding with current-shape strides would silently permute chunks
+    val d = HDF5.DatasetMetaH5("v", 0L, Seq(4L, 4L),
+      HDF5.DType(1, 8, littleEndian = true, signed = true),
+      HDF5.ChunkedV4(4, 0L, Seq(2, 2), 0, 0, 0L, 0),
+      Nil, unlimDims = Nil, maxShape = Seq(4L, 8L))
+    val e = intercept[IllegalArgumentException] {
+      HDF5.chunkRefsOf(ArraySrc(new Array[Byte](16)), d)
+    }
+    assert(e.getMessage.contains("max dims exceed current"))
+    val dImplicit = d.copy(layout = HDF5.ChunkedV4(2, 0L, Seq(2, 2), 0, 0, 0L, 0))
+    assert(intercept[IllegalArgumentException] {
+      HDF5.chunkRefsOf(ArraySrc(new Array[Byte](16)), dImplicit)
+    }.getMessage.contains("max dims exceed current"))
+    // an UNLIMITED max on the swizzle dim is of course fine (q389 path)
+    val ok = d.copy(maxShape = Seq(4L, -1L), unlimDims = Seq(1))
+    // decode proceeds past the guard and fails only on the garbage bytes
+    val e2 = intercept[RuntimeException] {
+      HDF5.chunkRefsOf(ArraySrc(new Array[Byte](16)), ok)
+    }
+    assert(!e2.getMessage.contains("max dims exceed current"))
+  }
+
   test("unlimited dim != 0: swizzled chunk order round-trips and the " +
     "on-disk order is genuinely swizzled") {
     // 7x4 var chunked (2,1): grid 4x4 = 16 chunks; unlimited dim 1 —
