@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // partitions-∝-data engine law: key AQE's initial shuffle width to
+    // the bytes under the SF dir (no-op at local scales — the floor wins)
+    graft.util.Parallelize.tuneShuffle(spark, sfDir)
 
     // BASELINE.md's recorded numbers are steady-state ("after JIT warmup");
     // a one-shot cold pass lands codegen compilation + GC on arbitrary

@@ -62,7 +62,9 @@ object ScaleSmoke {
         java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)))
         .asScala.flatMap { l =>
           val i = l.indexOf("\"name\":\"")
-          if (i < 0) None
+          // a FAILED query logs rows:-1 — leave it out of `done` so it
+          // re-runs on resume instead of silently dropping from the sweep
+          if (i < 0 || l.contains("\"rows\":-1")) None
           else Some(l.substring(i + 8, l.indexOf('"', i + 8)))
         }.toSet
     }.getOrElse(Set.empty)
@@ -87,6 +89,16 @@ object ScaleSmoke {
       build(spark, src, out, reps)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_DONE"),
         Array.emptyByteArray)
+    }
+
+    // partitions-∝-data as ENGINE behavior: unless the experiment pins
+    // SPARK_GRAFT_SCALE_PARTS explicitly (a leg-vs-leg control), key the
+    // initial shuffle width to the replica's actual bytes — the q239-class
+    // heavy aggregates inherit their scaled-partition numbers with no
+    // per-query edits, AQE coalesces everything else back to the floor.
+    if (!sys.env.contains("SPARK_GRAFT_SCALE_PARTS")) {
+      val w = graft.util.Parallelize.tuneShuffle(spark, out)
+      println(s"SCALE_SHUFFLE_WIDTH $w")
     }
 
     val results = names.filterNot(done).map { name =>
@@ -164,15 +176,18 @@ object ScaleSmoke {
     // cosine falls far below any near-dup threshold, isolating the
     // engine's scaling from the quadratic exact-copy pair emission the
     // verbatim replica forces (the q52 dilution argument, for vectors).
-    val mutEmb =
+    // rotation k is taken modulo the ACTUAL vector dimension: a fixed %63
+    // would degrade to an identity rotation for dims <= 63 (slice clamps),
+    // silently reintroducing the verbatim-copy pairs the mutation dilutes
+    val mutEmb = {
+      val k = ((r - 1) % (size(col("embedding")) - 1) + 1).cast("int")
       if (mutate)
         when(r === 0, col("embedding")).otherwise(
           concat(
-            slice(col("embedding"),
-              (((r - 1) % 63) + 2).cast("int"), lit(100000)),
-            slice(col("embedding"), lit(1),
-              (((r - 1) % 63) + 1).cast("int"))))
+            slice(col("embedding"), k + 1, lit(100000)),
+            slice(col("embedding"), lit(1), k)))
       else col("embedding")
+    }
     save(rep(spark, src, "embeddings")
       .select(shift("vec_id"), mutEmb.as("embedding"), col("label"), r),
       "embeddings")

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // partitions-∝-data engine law (no-op at local scales)
+    graft.util.Parallelize.tuneShuffle(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries

@@ -76,11 +76,16 @@ object Npy {
     }
     val shape = shapeRaw.split(",").map(_.trim).filter(_.nonEmpty)
       .map(_.toInt).toSeq
+    // Each entry must itself be >= 0: a product-only check lets an even
+    // count of negative entries ((-3,-2) -> 6) slip through as a nonsense
+    // shape with a plausible element count.
+    require(shape.forall(_ >= 0),
+      s"npy shape has negative entries: ${shape.mkString("x")}")
     // 0-d scalar: empty Seq product is already 1. Zero-element shapes
     // ((0,), (3,0)) are legal and carry 0 data bytes. Count as Long so a
     // pathological header can't Int-overflow into a mis-sized read.
     val nL = shape.foldLeft(1L)(_ * _.toLong)
-    require(nL >= 0 && nL <= Int.MaxValue.toLong,
+    require(nL <= Int.MaxValue.toLong,
       s"npy shape element count out of range: ${shape.mkString("x")}")
     val n = nL.toInt
     val (esize, get: (ByteBuffer => Double)) = descr match {

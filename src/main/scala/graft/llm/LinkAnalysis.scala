@@ -311,6 +311,12 @@ object LinkAnalysis {
         .distinct())
     var round = 0
     var converged = false
+    // fixed width for the peel loop: each round's eager localCheckpoint
+    // materializes at the RAW partition count, outside AQE coalescing,
+    // so a data-keyed session width would multiply per-round task count
+    // (measured 2.17× at 30× — BENCH_SCALE.md deployment guidance)
+    graft.util.Parallelize.withFixedShuffle(edges.sparkSession,
+      edges.sparkSession.sparkContext.defaultParallelism) {
     while (!converged && round < maxRounds) {
       val deg = e.select(col("u").as("n"))
         .unionByName(e.select(col("v").as("n")))
@@ -344,6 +350,7 @@ object LinkAnalysis {
         .filter(col("d") < k)
       if (lastDrop.isEmpty) converged = true
     }
+    } // withFixedShuffle
     require(converged,
       s"$k-core peel did not converge in $maxRounds rounds — raise " +
         "maxRounds (each round is one distributed pass)")
@@ -378,21 +385,26 @@ object LinkAnalysis {
         .distinct())
     val adj = graft.util.QueryCache.persist(
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
-    var labels = adj.select(col("u").as("n")).distinct()
-      .withColumn("lbl", col("n"))
-      .localCheckpoint(true)
-    var r = 0
-    while (r < rounds) {
-      val nl = adj
-        .join(labels.select(col("n").as("v"), col("lbl")), "v")
-        .groupBy(col("u"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
-        .select(col("u").as("n"), (-col("best.nl")).as("lbl"))
-      val next = nl.localCheckpoint(true)
-      labels = next
-      r += 1
+    // fixed width for the sync rounds (the kcore localCheckpoint rationale)
+    val labels = graft.util.Parallelize.withFixedShuffle(edges.sparkSession,
+      edges.sparkSession.sparkContext.defaultParallelism) {
+      var lbls = adj.select(col("u").as("n")).distinct()
+        .withColumn("lbl", col("n"))
+        .localCheckpoint(true)
+      var r = 0
+      while (r < rounds) {
+        val nl = adj
+          .join(lbls.select(col("n").as("v"), col("lbl")), "v")
+          .groupBy(col("u"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("best"))
+          .select(col("u").as("n"), (-col("best.nl")).as("lbl"))
+        val next = nl.localCheckpoint(true)
+        lbls = next
+        r += 1
+      }
+      lbls
     }
     labels.select(col("n").as("node"), col("lbl").as("community"))
   }

@@ -352,4 +352,70 @@ class ScaleAuditSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "scale audit failures:\n" + bad.mkString("\n"))
   }
+
+  // ---- partitions-∝-data law (round-17: engine behavior, not docs) ----
+
+  test("Parallelize.ensure widens a scan by input bytes, floored at parallelism") {
+    import graft.util.Parallelize
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // default target (16 MiB): the tiny fixture's byte term is ~0, the
+    // parallelism floor wins — identical to the historical behavior
+    val floor = spark.sparkContext.defaultParallelism
+    assert(Parallelize.ensure(docs).rdd.getNumPartitions === floor)
+    // a small target makes the byte term dominate: width == bytes/target
+    val bytes = Parallelize.inputBytes(docs)
+    assert(bytes > 0)
+    spark.conf.set(Parallelize.EnsureTargetBytesKey, (bytes / 10).toString)
+    try {
+      val n = Parallelize.ensure(docs).rdd.getNumPartitions
+      assert(n >= 10 && n <= 11, s"expected ~10 data-keyed partitions, got $n")
+      // and the cap clamps it
+      spark.conf.set(Parallelize.MaxPartitionsKey, "6")
+      assert(Parallelize.ensure(docs).rdd.getNumPartitions ===
+        math.max(floor, 6))
+    } finally {
+      spark.conf.unset(Parallelize.EnsureTargetBytesKey)
+      spark.conf.unset(Parallelize.MaxPartitionsKey)
+    }
+  }
+
+  test("tuneShuffle keys the heavy-agg shuffle width to directory bytes") {
+    import graft.util.Parallelize
+    val bytes = Parallelize.dirBytes(sf)
+    assert(bytes > 0)
+    // default 8 MiB target on the tiny fixture: floor wins (no local drift)
+    val floor = spark.sparkContext.defaultParallelism
+    assert(Parallelize.tuneShuffle(spark, sf) === floor)
+    // a 1/24-of-dir target must yield a ~24-wide initial shuffle, and a
+    // heavy aggregate's exchange must actually START at that width
+    spark.conf.set(Parallelize.ShuffleTargetBytesKey, (bytes / 24).toString)
+    try {
+      val w = Parallelize.tuneShuffle(spark, sf)
+      assert(w >= 24 && w <= 25, s"width $w")
+      assert(spark.conf.get(Parallelize.InitialPartitionNumKey) === w.toString)
+      val agg = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_orderkey").count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains(s"hashpartitioning") && plan.contains(s", $w)"),
+        s"heavy-agg exchange did not start at the data-keyed width $w:\n$plan")
+    } finally {
+      spark.conf.unset(Parallelize.ShuffleTargetBytesKey)
+      spark.conf.unset(Parallelize.InitialPartitionNumKey)
+    }
+  }
+
+  test("withFixedShuffle pins iterative-verb width and restores confs") {
+    import graft.util.Parallelize
+    spark.conf.set(Parallelize.InitialPartitionNumKey, "99")
+    try {
+      val inside = Parallelize.withFixedShuffle(spark, 3) {
+        (spark.conf.get("spark.sql.shuffle.partitions"),
+          spark.conf.get(Parallelize.InitialPartitionNumKey))
+      }
+      assert(inside === (("3", "3")))
+      assert(spark.conf.get(Parallelize.InitialPartitionNumKey) === "99")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+    } finally spark.conf.unset(Parallelize.InitialPartitionNumKey)
+  }
 }

@@ -174,4 +174,130 @@ class StreamingLateDataSpec extends SparkSpec {
         "only the on-time pair may emit; the late error matches nothing")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  // ---- round-17: the remaining stateful surfaces (r16 verdict item 5) --
+
+  test("custom state / mapGroupsWithState (q196 shape): a late row is " +
+    "PROCESSED, not dropped, and folds in ARRIVAL order — the documented " +
+    "no-watermark contract of order-sensitive custom state") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val src = chunkedSource(Seq(
+        Seq((1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+          (2L, "2024-01-01 10:10:00", 7L, "view", 2.0)),
+        Seq((3L, "2024-01-01 12:00:00", 7L, "view", 3.0)),
+        // LATE by event time (10:05) but value 10 > last-processed 3:
+        // NoTimeout custom state has NO event-time bound — the row must
+        // be folded (n_events 4) and in ARRIVAL order (streak extends to
+        // 4), never retro-sorted into its event-time slot (which would
+        // break the streak at 10 > 1)
+        Seq((4L, "2024-01-01 10:05:00", 7L, "view", 10.0))))
+      val out = graft.streaming.StreamOps.increasingStreaks(src)
+      val (name, dropped) = run(out, OutputMode.Update)
+      val last = spark.table(name).filter(col("user_id") === 7L)
+        .agg(max("n_events"), max("max_streak")).head
+      assert(last.getLong(0) === 4L,
+        "the late row must be processed — custom state has no watermark drop")
+      assert(last.getInt(1) === 4,
+        "the fold order is ARRIVAL order (documented caveat), so the late " +
+          "high value extends the streak")
+      assert(dropped === 0L, "nothing may count as watermark-dropped")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("windowed top-k counts (q268 shape): update mode DROPS the late " +
+    "row from its closed window; the query's complete-mode run ABSORBS " +
+    "it — both sides of the documented state contract") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def fixture() = chunkedSource(Seq(
+        Seq((1L, "2024-01-01 10:05:00", 7L, "view", 1.0),
+          (2L, "2024-01-01 10:10:00", 7L, "view", 1.0),
+          (3L, "2024-01-01 10:15:00", 7L, "click", 1.0)),
+        Seq((4L, "2024-01-01 13:00:00", 7L, "view", 1.0)),
+        Seq((5L, "2024-01-01 13:05:00", 7L, "view", 1.0)), // filler
+        Seq((6L, "2024-01-01 10:20:00", 7L, "view", 1.0)))) // LATE
+      def counts(src: DataFrame) = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"))
+      // continuous-deployment shape: update mode evicts, the late row drops
+      val (uName, uDropped) = run(counts(fixture()), OutputMode.Update)
+      val viewN = spark.table(uName)
+        .filter(col("w_start") === to_timestamp(lit("2024-01-01 10:00:00"))
+          && col("event_type") === "view")
+        .agg(max("n")).head.getLong(0)
+      assert(viewN === 2L, "update mode: the closed 10:00 window stays at 2")
+      assert(uDropped >= 1L)
+      // q268's run-to-completion COMPLETE mode retains every window's
+      // state (the documented oracle-convenience deviation): absorbed
+      val (cName, _) = run(counts(fixture()), OutputMode.Complete)
+      val viewC = spark.table(cName)
+        .filter(col("w_start") === to_timestamp(lit("2024-01-01 10:00:00"))
+          && col("event_type") === "view")
+        .agg(max("n")).head.getLong(0)
+      assert(viewC === 3L, "complete mode retains state: late row absorbed")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("streaming count-min sketch (q306 shape): no event-time bound — " +
+    "an arbitrarily late row still increments its cell, and cells are " +
+    "arrival-order independent") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val rows = Seq(
+        (1L, "2024-01-01 10:00:00", 7L, "alpha", 1.0),
+        (2L, "2024-01-01 11:00:00", 7L, "beta", 1.0),
+        (3L, "2024-01-01 12:00:00", 7L, "alpha", 1.0),
+        (4L, "2024-01-01 09:00:00", 7L, "alpha", 1.0)) // "late" by ts
+      def sketch(chunks: Seq[Seq[(Long, String, Long, String, Double)]]) = {
+        val toks = chunkedSource(chunks)
+          .select(col("event_type").as("tok"))
+        val sk = graft.llm.Sketch.countMin(toks, "tok", w = 64)
+        val (name, dropped) = run(sk, OutputMode.Complete)
+        assert(dropped === 0L, "a sketch has no watermark — nothing drops")
+        spark.table(name).collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      }
+      // in-order vs the late row in its own trailing micro-batch
+      val ordered = sketch(Seq(rows.sortBy(_._2).map(identity)))
+      val late = sketch(Seq(rows.take(3), rows.drop(3)))
+      assert(ordered === late,
+        "cell counts must be identical whenever all rows arrive — " +
+          "arrival order and lateness cannot change a count-min sketch")
+      assert(ordered.values.sum === 4L * graft.llm.Sketch.cmRows.size,
+        "every row lands in exactly one cell per sketch row")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("streaming histogram (q317 shape): bin counters are bounded by " +
+    "value range, not time — a late row lands in its bin, order-free") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val rows = Seq(
+        (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+        (2L, "2024-01-01 11:00:00", 7L, "view", 7.5),
+        (3L, "2024-01-01 12:00:00", 7L, "view", 1.2),
+        (4L, "2024-01-01 09:00:00", 7L, "view", 7.9)) // late by ts
+      def hist(chunks: Seq[Seq[(Long, String, Long, String, Double)]]) = {
+        val bins = chunkedSource(chunks)
+          .select(expr(
+            "CAST(round(value * 100) AS BIGINT) div 500").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        val (name, dropped) = run(bins, OutputMode.Complete)
+        assert(dropped === 0L)
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val ordered = hist(Seq(rows.sortBy(_._2).map(identity)))
+      val late = hist(Seq(rows.take(3), rows.drop(3)))
+      assert(ordered === late && ordered === Map(0L -> 2L, 1L -> 2L),
+        s"bin counts must include the late row identically: $ordered vs $late")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
