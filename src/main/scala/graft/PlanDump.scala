@@ -28,7 +28,11 @@ object PlanDump {
         "to the data, the big side never shuffles."),
     "q51_minhash_lsh" ->
       ("MinHash LSH: signatures once (persist), band explode, shuffle on " +
-        "(band, bucket) only — candidate pairs form inside buckets."),
+        "(band, bucket) only — candidate pairs form inside buckets, and " +
+        "only inside buckets at most maxBucket deep (the hub cap: a " +
+        "depth-count aggregate semi-joins out degenerate bucket values " +
+        "BEFORE the self-join, so pair emission is bounded by " +
+        "sum(min(depth, cap)^2) whatever the data does)."),
     "q27_rolling_mean" ->
       ("Rolling: window partitioned by the series key — no global sort, " +
         "bounded per-group state."),
@@ -65,9 +69,15 @@ object PlanDump {
         "BEFORE the ranking window, so the per-stratum sort input is " +
         "O(n), not the stratum population."),
     "q154_lm_perplexity" ->
-      ("Perplexity filter: fit is wordcount-shaped (partial+final agg on " +
-        "token keys); scoring joins the persisted bigram stream against " +
-        "both count tables — no driver state, no quadratic term."),
+      ("Perplexity filter: ONE aggregation pass over the heavy bigram " +
+        "stream — the unigram table derives from the small bigram count " +
+        "table (c1 = sum of c12), and the V count() doubles as the " +
+        "cache-materialization barrier so the two broadcast builds read " +
+        "warm cache instead of racing cold recomputes of the fit pass " +
+        "(10x replica: barrier 14.5 s vs racing 15.3-19.9 s). Scoring " +
+        "joins the bigram stream against both broadcast count tables " +
+        "(hints pin the build side); the per-doc agg reuses the doc-key " +
+        "partitioning — no driver state, no quadratic term."),
     "q187_bucketed_join" ->
       ("Bucketed co-located join: both sides read pre-bucketed catalog " +
         "tables on the join key. At this toy scale the optimizer prefers " +
@@ -147,9 +157,14 @@ object PlanDump {
         "window, no sort of the data).")
   )
 
+  /** `runMain graft.PlanDump [sfDir] [out|-] [q... ]` — extra args restrict
+    * the dump to those picks (for surgical PLANS.md section refreshes; the
+    * file carries hand-annotated sections a full regenerate would clobber);
+    * out `-` prints to stdout instead of writing a file. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLANS.md")
+    val onlyNames = args.drop(2).toSet
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -163,7 +178,7 @@ object PlanDump {
     sb.append("independent; AQE may re-plan exchanges at runtime). Each section ")
     sb.append("states the property the plan must exhibit; `ScaleAuditSpec` and ")
     sb.append("`PlanSpec` enforce these on every build.\n")
-    for ((name, note) <- picks) {
+    for ((name, note) <- picks if onlyNames.isEmpty || onlyNames(name)) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(FormattedMode)
       // keep the operator tree + the scan evidence (pushdown, pruning)
@@ -176,8 +191,8 @@ object PlanDump {
         sb.append(scanEvidence.mkString("\n", "\n", "\n"))
       sb.append("```\n")
     }
-    Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out")
+    if (out == "-") println(sb.toString)
+    else { Files.writeString(Paths.get(out), sb.toString); println(s"wrote $out") }
     spark.stop()
   }
 }

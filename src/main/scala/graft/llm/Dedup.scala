@@ -168,6 +168,11 @@ object Dedup {
     * candidate near-dups. numHashes = bands * rowsPerBand. */
   def lshBuckets(df: DataFrame, id: String, sig: String,
                  bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands=$bands rowsPerBand=$rowsPerBand must both be positive " +
+        "(detection threshold ~ (1/bands)^(1/rowsPerBand); signatures " +
+        "must carry bands*rowsPerBand hashes or trailing bands hash " +
+        "short slices)")
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(org.apache.spark.sql.functions.slice(
@@ -177,10 +182,30 @@ object Dedup {
       .select(col(id), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate pairs from LSH buckets (a < b to dedupe the pair space). */
-  def candidatePairs(buckets: DataFrame, id: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(id).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(id).as("id_b"))
+  /** Candidate pairs from LSH buckets (a < b to dedupe the pair space).
+    *
+    * `maxBucket` ENFORCES the blocking-key sizing law (BENCH_SCALE.md):
+    * a (band, bucket) block with k members emits k(k-1)/2 pairs, so one
+    * degenerate hub value (empty docs, shared boilerplate) turns the
+    * equi-join quadratic at corpus scale. Buckets deeper than the cap
+    * are dropped from that band — a true near-dup pair still surfaces
+    * through its other bands, which a hub value is exponentially
+    * unlikely to also collide on — keeping total pair emission bounded
+    * by Σ min(depth, cap)² whatever the data does. Same knob as
+    * [[graft.llm.Multimodal.phashNearDupPairs]]'s; inactive below
+    * `maxBucket` members per bucket (the test corpora peak ~tens). */
+  def candidatePairs(buckets: DataFrame, id: String,
+                     maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
+    val keyed = graft.util.QueryCache.persist(
+      buckets.select(col("band"), col("bucket"), col(id)))
+    val capped = keyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__depth"))
+      .filter(col("__depth") <= maxBucket)
+      .select("band", "bucket")
+    val inCap = keyed.join(capped, Seq("band", "bucket"))
+    val a = inCap.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val b = inCap.select(col("band"), col("bucket"), col(id).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -43,16 +43,30 @@ object NgramLM {
     val docBi = graft.util.QueryCache.persist(corpus
       .select(col(id), explode(bigrams(col(text))).as("bg"))
       .select(col(id), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-    val biCounts = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uniCounts = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    // vocabulary = distinct context tokens (the smoothing denominator's V)
+    // ONE aggregation pass over the heavy bigram stream: the unigram
+    // context counts derive from the (small) bigram count table —
+    // c(w1) = Σ_w2 c(w1 w2) — instead of a second full-stream agg
+    val biCounts = graft.util.QueryCache.persist(
+      docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val uniCounts = biCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // vocabulary = distinct context tokens (the smoothing denominator's
+    // V). The count() doubles as the materialization BARRIER: it fills
+    // the docBi and biCounts caches before the broadcast builds start,
+    // so they read warm cache instead of racing independent cold
+    // recomputes of the explode (AQE submits ready broadcast stages
+    // concurrently; an unmaterialized InMemoryRelation is recomputed by
+    // every racing stage — measured as 2-3 concurrent ~equal jobs each
+    // repeating the full fit pass).
     val v = uniCounts.count()
     // per-bigram NLL, libm output rounded to 8 dp BEFORE the decimal sum
     val nll = round(
       log((col("c1") + alpha * v) / (col("c12") + alpha)) / math.log(2.0), 8)
+    // explicit build-side hints pin the count tables as the broadcast
+    // side at any scale (at 100 TB with an unpruned vocabulary these
+    // become shuffle joins by flipping the hints — see scaladoc)
     docBi
-      .join(biCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+      .join(broadcast(biCounts), Seq("w1", "w2"))
+      .join(broadcast(uniCounts), Seq("w1"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(nll.cast(DecimalType(30, 8))).cast("double") /

@@ -788,7 +788,7 @@ object Numerics {
     (cs, vs)
   }
 
-  /** The 12 aggregate moment columns for [[fit3cov]], named s0..s6 / t0..t3
+  /** The 12 aggregate deg-3 Hankel moment columns, named s0..s6 / t0..t3
     * / syy. Kept separate from the solve so the hash-agg stage stays small
     * enough for whole-stage codegen; the Cramer solve is then a projection
     * over the (tiny, one-row-per-group) aggregated frame. */
@@ -813,25 +813,14 @@ object Numerics {
       vs.zipWithIndex.map { case (v, k) => v.as(s"v$k") }: _*)
   }
 
-  /** One-shot deg-3 polyfit with covariance diagonal (moments + solve in a
-    * single aggregate expression; prefer the split
-    * [[fit3covMoments]]/[[fit3covSolve]] on large inputs — see there). */
-  def fit3cov(x: Column, y: Column): Column = {
-    val mask = x.isNotNull && y.isNotNull
-    def m(c: Column) = when(mask, c)
-    val s0 = count(m(lit(1))).cast("double")
-    val xs = Seq(x, x * x, x * x * x, x * x * x * x, x * x * x * x * x,
-      x * x * x * x * x * x)
-    val sN = s0 +: xs.map(p => dsum(m(p), 9)) // s0..s6
-    val tN = Seq(dsum(m(y), 9), dsum(m(x * y), 9), dsum(m(x * x * y), 9),
-      dsum(m(x * x * x * y), 9)) // t0..t3
-    val syy = dsum(m(y * y), 9)
-    val (cs, vs) = fit3covCore(sN, tN, syy)(ColAlg)
-    struct(cs.zipWithIndex.map { case (c, k) => c.as(s"c$k") } ++
-      vs.zipWithIndex.map { case (v, k) => v.as(s"v$k") }: _*)
-  }
+  // NOTE: there is deliberately NO one-shot moments+solve aggregate
+  // expression here: folding the Cramer expansion into the aggregate's
+  // result expressions generates a hashAgg output method past janino's
+  // 64 KB limit and Spark silently falls back to interpreted execution
+  // (the round-16 verdict finding). The split keeps the hot per-row
+  // stage codegen'd; the solve runs over one row per group.
 
-  /** DuckDB oracle fragment for [[fit3cov]]: the coefficient / variance
+  /** DuckDB oracle fragment for the deg-3 solve: the coefficient / variance
     * SELECT expressions over moment columns named s0..s6, t0..t3, syy —
     * generated by the same combinator code as the Column tree, so the
     * double arithmetic replays bit-identically. */

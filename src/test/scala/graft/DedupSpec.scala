@@ -35,6 +35,22 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((1L, 2L)))
   }
 
+  test("candidatePairs enforces the bucket-depth cap (blocking-key sizing law)") {
+    // a planted hub: 50 ids share one (band, bucket) value — the
+    // degenerate-value shape that turns the LSH equi-join quadratic at
+    // corpus scale — plus one honest pair in another band
+    val hub = (1L to 50L).map(i => (0, 7L, i))
+    val pair = Seq((1, 9L, 100L), (1, 9L, 200L))
+    val buckets = (hub ++ pair).toDF("band", "bucket", "doc_id")
+    val capped = Dedup.candidatePairs(buckets, "doc_id", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    // the hub band emits NOTHING; the honest pair still surfaces
+    assert(capped === Set((100L, 200L)))
+    // and an uncapped run proves what the cap prevented: 50*49/2 + 1 pairs
+    val uncapped = Dedup.candidatePairs(buckets, "doc_id").count()
+    assert(uncapped === 50L * 49 / 2 + 1)
+  }
+
   test("jaccard verify computes exact shingle jaccard") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
     val m = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 2, 0.0)

@@ -36,7 +36,12 @@ class PolyfitSpec extends SparkSpec {
     val df = mkPoly(Seq(0.5, -1.0, 2.0, 4.0), x => 0.05 * math.sin(37 * x))
     val gj = Numerics.polyfitMoments(df, Seq("g"), col("x"), col("y"), deg = 3)
       .collect().head
-    val cr = df.groupBy("g").agg(Numerics.fit3cov(col("x"), col("y")).as("f"))
+    // the split moments+solve pipeline — the shape q118 ships (a one-shot
+    // moments-and-solve aggregate expression overflows janino's 64 KB
+    // method limit and silently falls back to interpreted execution)
+    val ms = Numerics.fit3covMoments(col("x"), col("y"))
+    val cr = df.groupBy("g").agg(ms.head, ms.tail: _*)
+      .withColumn("f", Numerics.fit3covSolve)
       .select((0 to 3).map(k => col(s"f.c$k")) ++ (0 to 3).map(k => col(s"f.v$k")): _*)
       .collect().head
     val gjC = gj.getSeq[Double](1); val gjV = gj.getSeq[Double](2)
