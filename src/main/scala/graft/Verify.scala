@@ -8,7 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing args: run only these queries (iteration aid)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // box's cores by default — see Bench.scala (fixed local[4] footgun)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
