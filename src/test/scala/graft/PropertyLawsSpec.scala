@@ -178,6 +178,35 @@ class PropertyLawsSpec extends SparkSpec {
     })
   }
 
+  test("law: column calendar decode agrees with the scalar ymdOfDay " +
+    "mirror on random days (pins the foldable lookup-array decoders " +
+    "against an independent search-based implementation)") {
+    import graft.io.CFDecode
+    val calendars: Seq[(String, Int, (Column, Int) => Column)] = Seq(
+      ("noleap", 2001, CFDecode.noleapDecode),
+      ("360_day", 2001, CFDecode.cal360Decode),
+      ("all_leap", 2001, CFDecode.allLeapDecode),
+      ("julian", 2000, CFDecode.julianDecode))
+    check("calendar-lookup-vs-scalar", Prop.forAll(
+      for {
+        days <- Gen.listOfN(50, Gen.choose(-150000L, 150000L))
+        cal <- Gen.choose(0, calendars.length - 1)
+      } yield (days, cal)) { case (days, cal) =>
+      val (name, epoch, dec) = calendars(cal)
+      val got = days.toDF("d")
+        .withColumn("p", dec(col("d"), epoch))
+        .select(col("d"), col("p.year"), col("p.month"), col("p.day"))
+        .as[(Long, Int, Int, Int)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      days.forall { d =>
+        val (y, m, dd) = CFDecode.ymdOfDay(name match {
+          case "proleptic" => "proleptic_gregorian"; case n => n
+        }, epoch, d)
+        got(d) == ((y, m, dd))
+      }
+    })
+  }
+
   test("law: CF scale/offset encode∘decode is exact on binary grids; " +
     "mask decode NULLs exactly the fill sentinel") {
     import graft.io.CFDecode
