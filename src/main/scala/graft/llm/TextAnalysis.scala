@@ -259,12 +259,23 @@ object TextAnalysis {
         count(lit(1)).as("n_types"),
         sum(term.cast(org.apache.spark.sql.types.DecimalType(30, 8)))
           .as("__slc"))
-      .select(col(id), col("n_tokens"), col("n_types"),
+      .select(col(id), col("n_tokens"), col("n_types"), {
         // log2(N) pins to the 8-dp grid like every other libm term:
         // Spark's log2 is ln/ln2 while DuckDB's is native log2, and the
         // two differ in the last ulp for ~30% of integer inputs
-        round(round(log2(col("n_tokens")), 8) -
-          col("__slc").cast("double") / col("n_tokens"), 6).as("entropy_bits"))
+        val h = round(log2(col("n_tokens")), 8) -
+          col("__slc").cast("double") / col("n_tokens")
+        // final 6-dp quantization via floor(x*1e6 + 0.5)/1e6, NOT
+        // round(x, 6): the quotient is bit-identical on every engine
+        // (same decimal sum, same IEEE division), but round()'s
+        // HALF-WAY tie-break is not — Spark rounds the double's
+        // shortest decimal repr, DuckDB the exact binary value, and at
+        // sf0.1 ~0.1% of docs land on a 6-dp boundary (the generated
+        // overflow gate's first catch). The floor form is pure IEEE
+        // arithmetic both engines evaluate identically, so there is no
+        // tie-break semantic left to disagree on.
+        (floor(h * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy_bits")
+      })
   }
 
   /** Per-slice n-gram diversity: distinct vs total word n-grams within

@@ -3709,9 +3709,9 @@ object QueriesLLM {
              FROM documents) GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
-           round(round(log2(sum(c)), 8) -
+           floor((round(log2(sum(c)), 8) -
              CAST(sum(CAST(round(c * log2(c), 8) AS DECIMAL(30,8)))
-               AS DOUBLE) / sum(c), 6) AS entropy_bits
+               AS DOUBLE) / sum(c)) * 1e6 + 0.5) / 1e6 AS entropy_bits
          FROM counts GROUP BY doc_id""",
     // power-of-two bucket replay: pow(2, ceil(log2 n)) is IEEE-exact for
     // every n here, so both engines agree on the bucket key
