@@ -107,12 +107,22 @@ object Classifier {
           .cast(DecimalType(38, 8))).as("g"))
       // w' = w − round(lr·g/N, 12): the update value is exactly 12 dp
       // (8-dp gradient x 2e-4), so the round is grid-exact, never a tie
-      w = w.join(grad, Seq("b"), "left")
+      val wNext = w.join(grad, Seq("b"), "left")
         .select(col("b"),
           (col("w") - coalesce(
             round(col("g").cast("double") * lr / n, 12).cast(dec),
             lit(0).cast(dec))).cast(dec).as("w"))
-      w = broadcast(w)
+      // cache the epoch's weights (B+1 rows): left uncached the weight
+      // plan NESTS per epoch, and every broadcast of epoch t re-executes
+      // epochs 1..t-1's margin/gradient passes — the final scoring pass
+      // then re-executes the whole loop once more (measured: the 4
+      // registered trainScore eval callers each spent ~40 driver jobs
+      // re-running epoch subtrees at sf0.1). A LAZY persist keeps the
+      // fix pruning-transparent: a consumer that never evaluates the
+      // weights (q219's count-shaped action) still prunes the whole
+      // training chain, while multi-consumer evals materialize each
+      // epoch exactly once.
+      w = graft.util.QueryCache.persist(wNext)
     }
     (w, x, yd)
   }

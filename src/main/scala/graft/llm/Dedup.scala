@@ -268,6 +268,18 @@ object Dedup {
       .join(rarePost.select(col("s"), col(id).as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // pin the verify stage's width: pair rows are ~16 bytes but each
+      // costs an array_intersect over the full shingle sets, so AQE's
+      // byte-keyed coalescing collapses the stage to 1-3 tasks
+      // (measured 13 s of task time on 3 tasks at sf0.1 — guide §2.5's
+      // compute-vs-bytes partitioning lesson). An explicit-num
+      // repartition is exempt from AQE coalescing; key on id_a ONLY —
+      // repartitioning on the full (id_a, id_b) distinct key is elided
+      // as redundant against the distinct's own exchange, which AQE
+      // then coalesces right back to 1-3 tasks. Width follows the
+      // session's data-keyed shuffle width.
+      .repartition(graft.util.Parallelize.computeWidth(docs.sparkSession),
+        col("id_a"))
     pairs
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -98,6 +98,11 @@ object Bootstrap {
     // the md5 fan-out runs BEFORE the first exchange: a single-file
     // scan would serialize all B x rows hashes on one core without the
     // parallelism floor (no-op on already-wide inputs)
+    // ONE scan: the full-data mean rides replicate 0's group as
+    // conditional aggregates (every row appears in each __b group
+    // exactly once, so Σ__v / count over the b=0 slice IS the full-data
+    // mean — same decimal sum, same rows, bit-identical IntegralDivide)
+    // instead of a second scan + broadcast of the base table.
     val means = graft.util.Parallelize.ensure(df)
       .select(id.cast("string").as("__id"), valueFp.cast("long").as("__v"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
@@ -108,14 +113,10 @@ object Bootstrap {
       // decimal(38,0) accumulation + IntegralDivide: exact at any scale
       // (long sums would wrap past 2^63; doubles lose cents past 2^53)
       .agg(expr("""sum(CAST(__w * __v AS DECIMAL(38,0)))
-            div nullif(sum(__w), 0)""").as("__m"))
-    // empty-input guards: count(1)=0 would make the IntegralDivide and
-    // the order-statistic element_at THROW under ANSI — an empty input
-    // must yield an empty frame instead (the EmptyInputSpec contract)
-    val full = df.select(valueFp.cast("long").as("__v"))
-      .agg(expr("""CASE WHEN count(1) = 0 THEN CAST(NULL AS BIGINT)
-          ELSE sum(CAST(__v AS DECIMAL(38,0))) div count(1) END""")
-        .as("__f"))
+            div nullif(sum(__w), 0)""").as("__m"),
+        expr("""sum(CASE WHEN __b = 0 THEN CAST(__v AS DECIMAL(38,0))
+            END)""").as("__fs"),
+        expr("count(CASE WHEN __b = 0 THEN 1 END)").as("__fn"))
     // a replicate whose Poisson weights are ALL zero yields a NULL mean
     // (the nullif guard): drop it BEFORE the aggregate, so n_reps and
     // collect_list agree — otherwise collect_list silently drops the
@@ -123,13 +124,17 @@ object Bootstrap {
     // the short array (near-certain on tiny inputs: n=1 ⇒ ~37% of
     // replicates are all-zero). The n_reps === reps filter then
     // correctly EMPTIES the result for such degenerate inputs, same as
-    // diffMeansCI's existing guard.
+    // diffMeansCI's existing guard — and it also guarantees replicate 0
+    // (the full-stat carrier) survived, so max(__fs)/max(__fn) below
+    // always read b=0's values. Empty input ⇒ zero groups ⇒ the
+    // count-0 aggregate row fails the filter ⇒ empty frame, no ANSI
+    // throw (the EmptyInputSpec contract).
     means.filter(col("__m").isNotNull)
       .agg(count(lit(1)).as("n_reps"),
-        sort_array(collect_list(col("__m"))).as("__ms"))
+        sort_array(collect_list(col("__m"))).as("__ms"),
+        max(col("__fs")).as("__fs"), max(col("__fn")).as("__fn"))
       .filter(col("n_reps") === reps)
-      .crossJoin(broadcast(full))
-      .select(col("n_reps"), col("__f").as("mean_fp"),
+      .select(col("n_reps"), expr("__fs div __fn").as("mean_fp"),
         element_at(col("__ms"), cut + 1).as("lo_fp"),
         element_at(col("__ms"), reps - cut).as("hi_fp"))
   }
@@ -155,6 +160,13 @@ object Bootstrap {
                 reps: Int = 48, alphaPm: Int = 25): DataFrame = {
     require(reps >= 4 && reps <= 4096, s"reps $reps out of range")
     require(alphaPm >= 1 && alphaPm < 500, s"alphaPm $alphaPm")
+    // ONE scan: the full-data power sums ride replicate 0's group as
+    // conditional aggregates (the meanCI convention — every row appears
+    // in each __b group exactly once, so the b=0 slice sums ARE the
+    // full-data sums, bit-identical decimal accumulation); __below is
+    // then re-derived from the SAME sorted replicate array with the
+    // identical `< __f` comparison (48 interpreted lambda steps on a
+    // constant-size array, not a data pass).
     val means = graft.util.Parallelize.ensure(df)
       .select(id.cast("string").as("__id"), valueFp.cast("long").as("__v"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
@@ -163,27 +175,28 @@ object Bootstrap {
       .withColumn("__w", poissonWeight(col("__u")))
       .groupBy(col("__b"))
       .agg(expr("""sum(CAST(__w * __v AS DECIMAL(38,0)))
-            div nullif(sum(__w), 0)""").as("__m"))
-    val full = df.select(valueFp.cast("long").as("__v"))
-      .agg(count(lit(1)).as("__n"),
-        sum(expr("CAST(__v AS DECIMAL(38,0))")).as("__s1"),
-        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__s2"),
-        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v * __v")).as("__s3"))
-      .select(col("__n"),
-        expr("""CASE WHEN __n = 0 THEN CAST(NULL AS BIGINT)
-                ELSE __s1 div __n END""").as("__f"),
-        col("__s1"), col("__s2"), col("__s3"))
+            div nullif(sum(__w), 0)""").as("__m"),
+        expr("count(CASE WHEN __b = 0 THEN 1 END)").as("__gn"),
+        expr("""sum(CASE WHEN __b = 0 THEN CAST(__v AS DECIMAL(38,0))
+            END)""").as("__gs1"),
+        expr("""sum(CASE WHEN __b = 0 THEN CAST(__v AS DECIMAL(38,0)) * __v
+            END)""").as("__gs2"),
+        expr("""sum(CASE WHEN __b = 0
+            THEN CAST(__v AS DECIMAL(38,0)) * __v * __v END)""").as("__gs3"))
     def invPhi(p: String): String = invPhiSql(p)
     def phi(x: String): String = phiSql(x)
     val agg = means.filter(col("__m").isNotNull)
-      .crossJoin(broadcast(full))
       .agg(count(lit(1)).as("n_reps"),
         sort_array(collect_list(col("__m"))).as("__ms"),
-        sum(when(col("__m") < col("__f"), 1L).otherwise(0L)).as("__below"),
-        max(col("__n")).as("__n"), max(col("__f")).as("__f"),
-        max(col("__s1")).as("__s1"), max(col("__s2")).as("__s2"),
-        max(col("__s3")).as("__s3"))
+        max(col("__gn")).as("__n"),
+        max(col("__gs1")).as("__s1"), max(col("__gs2")).as("__s2"),
+        max(col("__gs3")).as("__s3"))
       .filter(col("n_reps") === reps)
+      // n_reps = reps guarantees replicate 0 survived, so __n/__s* are
+      // b=0's full-data stats and __n >= 1 (no ANSI div-by-zero)
+      .withColumn("__f", expr("__s1 div __n"))
+      .withColumn("__below", expr(
+        "CAST(size(filter(__ms, m -> m < __f)) AS BIGINT)"))
       // central moments in ONE fixed IEEE expression from the decimal
       // power sums; z0 on the 8-dp grid; a on the 8-dp grid
       .withColumn("__m2d", expr(
@@ -256,26 +269,32 @@ object Bootstrap {
         expr("""sum(CASE WHEN __a THEN 0 ELSE
                CAST(__w * __v AS DECIMAL(38,0)) END)
                div nullif(sum(CASE WHEN __a THEN 0L ELSE __w END), 0)""")
-          .as("__mb"))
-      .select(col("__b"), (col("__ma") - col("__mb")).as("__d"))
+          .as("__mb"),
+        // ONE scan (the meanCI convention): the full-data per-arm sums
+        // ride replicate 0's group — bit-identical decimal sums over
+        // the same rows, no second scan + broadcast of the base table
+        expr("""sum(CASE WHEN __b = 0 AND __a
+            THEN CAST(__v AS DECIMAL(38,0)) END)""").as("__fsa"),
+        expr("count(CASE WHEN __b = 0 AND __a THEN 1 END)").as("__fna"),
+        expr("""sum(CASE WHEN __b = 0 AND NOT __a
+            THEN CAST(__v AS DECIMAL(38,0)) END)""").as("__fsb"),
+        expr("count(CASE WHEN __b = 0 AND NOT __a THEN 1 END)")
+          .as("__fnb"))
+      .select(col("__b"), (col("__ma") - col("__mb")).as("__d"),
+        col("__fsa"), col("__fna"), col("__fsb"), col("__fnb"))
       // an empty arm makes the replicate diff NULL (nullif guard):
-      // drop such replicates so the CI frame is empty, never a throw
+      // drop such replicates so the CI frame is empty, never a throw.
+      // n_reps = reps below then guarantees replicate 0 (the full-stat
+      // carrier) survived with BOTH arms weight-nonempty, hence both
+      // arm row counts >= 1 — the div below cannot hit zero.
       .filter(col("__d").isNotNull)
-    val full = df
-      .select(isA.as("__a"), valueFp.cast("long").as("__v"))
-      .agg(expr("""CASE WHEN count(CASE WHEN __a THEN 1 END) = 0
-            OR count(CASE WHEN NOT __a THEN 1 END) = 0
-          THEN CAST(NULL AS BIGINT)
-          ELSE sum(CASE WHEN __a THEN CAST(__v AS DECIMAL(38,0))
-                 ELSE 0 END) div count(CASE WHEN __a THEN 1 END)
-             - sum(CASE WHEN __a THEN 0 ELSE CAST(__v AS DECIMAL(38,0))
-                 END) div count(CASE WHEN NOT __a THEN 1 END)
-          END""").as("__f"))
     diffs.agg(count(lit(1)).as("n_reps"),
-        sort_array(collect_list(col("__d"))).as("__ds"))
+        sort_array(collect_list(col("__d"))).as("__ds"),
+        max(col("__fsa")).as("__fsa"), max(col("__fna")).as("__fna"),
+        max(col("__fsb")).as("__fsb"), max(col("__fnb")).as("__fnb"))
       .filter(col("n_reps") === reps)
-      .crossJoin(broadcast(full))
-      .select(col("n_reps"), col("__f").as("diff_fp"),
+      .select(col("n_reps"),
+        expr("(__fsa div __fna) - (__fsb div __fnb)").as("diff_fp"),
         element_at(col("__ds"), cut + 1).as("lo_fp"),
         element_at(col("__ds"), reps - cut).as("hi_fp"))
   }
@@ -311,32 +330,40 @@ object Bootstrap {
         col("__b").cast("string"))))
       .withColumn("__w", poissonWeight(col("__u")))
       .groupBy(col("__b"))
-      .agg(expr(cell("__t", "__p")).as("m11"),
+      .agg(expr(cell("__t", "__p")).as("m11"), (Seq(
         expr(cell("__t", "NOT __p")).as("m10"),
         expr(cell("NOT __t", "__p")).as("m01"),
-        expr(cell("NOT __t", "NOT __p")).as("m00"))
-      .select(col("__b"),
-        (col("m11") - col("m10") - col("m01") + col("m00")).as("__d"))
+        expr(cell("NOT __t", "NOT __p")).as("m00")) ++
+        // ONE scan (the meanCI convention): the full-data per-cell sums
+        // ride replicate 0's group — bit-identical decimal sums over
+        // the same rows, no second scan + broadcast of the base table
+        Seq(("11", "__t AND __p"), ("10", "__t AND NOT __p"),
+          ("01", "NOT __t AND __p"), ("00", "NOT __t AND NOT __p"))
+          .flatMap { case (tag, cond) => Seq(
+            expr(s"""sum(CASE WHEN __b = 0 AND $cond
+                THEN CAST(__v AS DECIMAL(38,0)) END)""").as(s"__fs$tag"),
+            expr(s"count(CASE WHEN __b = 0 AND $cond THEN 1 END)")
+              .as(s"__fn$tag"))
+          }): _*)
+      .select((col("__b") +:
+        (col("m11") - col("m10") - col("m01") + col("m00")).as("__d") +:
+        Seq("11", "10", "01", "00").flatMap(t =>
+          Seq(col(s"__fs$t"), col(s"__fn$t")))): _*)
       // an empty cell makes the replicate did NULL: drop it so the CI
-      // frame empties instead of throwing (the diffMeansCI contract)
+      // frame empties instead of throwing (the diffMeansCI contract).
+      // n_reps = reps below then guarantees replicate 0 (the full-stat
+      // carrier) survived with EVERY cell weight-nonempty, hence every
+      // cell row count >= 1 — the divs below cannot hit zero.
       .filter(col("__d").isNotNull)
-    def fullCell(t: String, p: String): String =
-      s"""CASE WHEN count(CASE WHEN $t AND $p THEN 1 END) = 0
-          THEN CAST(NULL AS BIGINT)
-          ELSE sum(CASE WHEN $t AND $p THEN CAST(__v AS DECIMAL(38,0))
-                 ELSE 0 END)
-               div count(CASE WHEN $t AND $p THEN 1 END) END"""
-    val full = df
-      .select(isTreated.as("__t"), isPost.as("__p"),
-        valueFp.cast("long").as("__v"))
-      .agg(expr(s"""${fullCell("__t", "__p")} - ${fullCell("__t", "NOT __p")}
-          - ${fullCell("NOT __t", "__p")} + ${fullCell("NOT __t", "NOT __p")}""")
-        .as("__f"))
     diffs.agg(count(lit(1)).as("n_reps"),
-        sort_array(collect_list(col("__d"))).as("__ds"))
+        (sort_array(collect_list(col("__d"))).as("__ds") +:
+        Seq("11", "10", "01", "00").flatMap(t => Seq(
+          max(col(s"__fs$t")).as(s"__fs$t"),
+          max(col(s"__fn$t")).as(s"__fn$t")))): _*)
       .filter(col("n_reps") === reps)
-      .crossJoin(broadcast(full))
-      .select(col("n_reps"), col("__f").as("did_fp"),
+      .select(col("n_reps"),
+        expr("""(__fs11 div __fn11) - (__fs10 div __fn10)
+            - (__fs01 div __fn01) + (__fs00 div __fn00)""").as("did_fp"),
         element_at(col("__ds"), cut + 1).as("lo_fp"),
         element_at(col("__ds"), reps - cut).as("hi_fp"))
   }

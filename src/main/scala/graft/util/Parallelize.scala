@@ -93,6 +93,19 @@ object Parallelize {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
+  /** The session's data-keyed shuffle width (what [[tuneShuffle]] set),
+    * falling back to the cluster parallelism floor. For REPARTITION_BY_NUM
+    * call-sites that must pin a stage's width explicitly: AQE's
+    * byte-based partition coalescing under-parallelizes stages whose
+    * per-row COMPUTE dwarfs their bytes (array intersections over
+    * small pair keys collapse to 1-3 tasks at 1 MiB minPartitionSize —
+    * measured 13 s of task time on 3 tasks in q339's verify stage), and
+    * an explicit numPartitions is exactly the shape AQE leaves alone. */
+  def computeWidth(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.getOption(InitialPartitionNumKey)
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1))
+
   /** Sum of regular-file bytes under `dir` (recursing into table dirs). */
   def dirBytes(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
