@@ -56,8 +56,12 @@ object ZOrder {
 
   /** Attach a `__z` column: one stats aggregate (min/max per key), then
     * the pure-projection z-value. */
-  def withZValue(df: DataFrame, keyNames: Seq[String],
+  def withZValue(df0: DataFrame, keyNames: Seq[String],
                  bits: Int = 21): DataFrame = {
+    // ensure: a single-file scan runs the stats aggregate, the range
+    // sampling AND the write's map side all on 1 task (measured 2×1.6 s
+    // serialized jobs at sf0.1); min/max are order-independent
+    val df = graft.util.Parallelize.ensure(df0)
     val keys = keyNames.map(col)
     val r = df.agg(
       keys.flatMap(c => Seq(min(c.cast("double")), max(c.cast("double")))).head,
