@@ -104,11 +104,8 @@ object Cluster {
     * all-pairs a_i is quadratic and adds nothing at corpus scale).
     * Distances take one sqrt each (IEEE-exact), s rounds to 8 dp, the
     * per-cluster mean accumulates in decimal (6 dp out). */
-  def simplifiedSilhouette(vecs0: DataFrame, id: String, vec: String,
+  def simplifiedSilhouette(vecs: DataFrame, id: String, vec: String,
                            k: Int, iters: Int): DataFrame = {
-    // ensure: the k-distance struct sort is scan-stage per-row work — a
-    // single-file embeddings scan serializes it (the q239 lesson)
-    val vecs = graft.util.Parallelize.ensure(vecs0)
     val cents = lloydCents(vecs, id, vec, k, iters, new Stats)
     // fewer than 2 seedable centroids (input has < 2 rows): "nearest
     // OTHER centroid" is undefined — return the empty per-cluster frame
@@ -144,15 +141,9 @@ object Cluster {
           count(lit(1)), 6).as("mean_silhouette"))
   }
 
-  private def lloydCents(vecs0: DataFrame, id: String, vec: String,
+  private def lloydCents(vecs: DataFrame, id: String, vec: String,
                          k: Int, iters: Int,
                          st: Stats): Array[Array[Double]] = {
-    // ensure: each Lloyd iteration's assign + posexplode update runs its
-    // per-row distance folds in the SCAN stage — a single-file embeddings
-    // scan serializes every iteration on one task (the q239 lesson);
-    // decimal per-dimension sums are order-independent, so the widened
-    // partial/merge is bit-identical. No-op on already-exchanged inputs.
-    val vecs = graft.util.Parallelize.ensure(vecs0)
     // TakeOrderedAndProject returns rows already in id order
     val init = vecs.orderBy(col(id)).limit(k).select(col(id), col(vec))
       .collect()
@@ -190,10 +181,8 @@ object Cluster {
   }
 
   private def kmeansImpl(vecs: DataFrame, id: String, vec: String,
-                         k: Int, iters: Int, st: Stats): DataFrame = {
-    val v = graft.util.Parallelize.ensure(vecs)
-    assign(v, vec, lloydCents(v, id, vec, k, iters, st))
-  }
+                         k: Int, iters: Int, st: Stats): DataFrame =
+    assign(vecs, vec, lloydCents(vecs, id, vec, k, iters, st))
 
   /** Cluster-balanced downsample: cap every cluster at the SMALLEST
     * cluster's size, keeping each cluster's rows closest to its centroid

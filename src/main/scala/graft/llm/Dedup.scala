@@ -772,10 +772,17 @@ object Dedup {
         .select(col("a.d").as("x"), col("b.d").as("y")).distinct())
     val sizes = sh.groupBy(col("d")).agg(count(lit(1)).as("nsz"))
     val truth = graft.util.QueryCache.persist(
-      sh.as("s1").join(sh.as("s2"),
-          col("s1.g") === col("s2.g") && col("s1.d") < col("s2.d"))
+      // the truth co-shingle join travels as 64-bit xxhash64 keys, not
+      // gram STRINGS (the q51/q52 convention): the shuffle/sort runs
+      // over 8-byte longs instead of ~20-char strings and equality is a
+      // long compare — co-occurrence counts identical w.h.p. (~5e5
+      // distinct grams at sf0.1 ⇒ collision odds ~7e-9); the oracle
+      // still joins the strings, so the gate verifies the equivalence
+      { val shH = sh.select(col("d"), xxhash64(col("g")).as("gh"))
+        shH.as("s1").join(shH.as("s2"),
+          col("s1.gh") === col("s2.gh") && col("s1.d") < col("s2.d"))
         .groupBy(col("s1.d").as("x"), col("s2.d").as("y"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c")) }
         .join(sizes.select(col("d").as("x"), col("nsz").as("na")), "x")
         .join(sizes.select(col("d").as("y"), col("nsz").as("nb")), "y")
         .filter(col("c") * tauDen >=

@@ -33,10 +33,7 @@ object Similarity {
     * `list_reduce` fold reproduces it bit-exactly (no decimal needed). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, id: String,
                      probeId: String, vec: String, k: Int): DataFrame = {
-    // ensure: |probes| cosine folds per corpus row run in the SCAN stage
-    // — a single-file corpus scan serializes them (the q239 lesson)
-    val scored = graft.util.Parallelize.ensure(corpus)
-      .select(col(id), col(vec).as("__cv"))
+    val scored = corpus.select(col(id), col(vec).as("__cv"))
       .crossJoin(broadcast(probes.select(col(probeId), col(vec).as("__pv"))))
       .withColumn("cosine", cosineFast(col("__cv"), col("__pv")))
     val w = Window.partitionBy(col(probeId))
@@ -157,10 +154,7 @@ object Similarity {
     * rows to nearest centroid once, probe only the nearest `nprobe` cells. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame, id: String,
                 vec: String, cellId: String, cellVec: String): DataFrame = {
-    // ensure: k cosine folds per corpus row + the per-id window run off
-    // the corpus scan — a single-file scan serializes them (q239 lesson)
-    val scored = graft.util.Parallelize.ensure(vecs)
-      .crossJoin(broadcast(centroids))
+    val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosineFast(col(vec), col(cellVec)))
     val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col(cellId))
     scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
