@@ -102,13 +102,19 @@ object PlanDump {
         "BROADCASTS onto the feature stream (margin join), and the " +
         "gradient is a partial+final hash agg over B constant bucket " +
         "keys — the corpus-sized stream is scanned, never shuffled wider " +
-        "than B rows, and no corpus data reaches the driver."),
+        "than B rows, and no corpus data reaches the driver. Since r17 " +
+        "each epoch's weight table is query-scope CACHED (InMemoryRelation " +
+        "in the plan): uncached, every broadcast of epoch t re-executed " +
+        "epochs 1..t-1's margin/gradient passes."),
     "q239_pca_covariance" ->
       ("One-pass PCA covariance: the CovMoments aggregator runs the " +
-        "d(d+1)/2 products in a fixed in-JVM buffer INSIDE the scan " +
-        "stage — no pre-aggregate Generate, the shuffle carries one " +
-        "buffer per partition (the round-12 d^2-row explode is gone; " +
-        "PcaSpec pins bit-identical output and the no-Generate shape)."),
+        "d(d+1)/2 products in a fixed in-JVM buffer in ONE pass — no " +
+        "pre-aggregate Generate, the shuffle carries one buffer per " +
+        "partition (the round-12 d^2-row explode is gone; PcaSpec pins " +
+        "bit-identical output and the no-Generate shape). Since r17 the " +
+        "input is ensure()-widened (REPARTITION_BY_NUM before the " +
+        "partial aggregate): the triangle loop is the heavy per-row work " +
+        "and a few-split scan would serialize it."),
     "q297_countmin_sketch" ->
       ("Count-min sketch: tokens explode to d (row, cell) coords that " +
         "feed the partial hash agg in the SAME stage — the shuffle and " +
