@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes straight through to sbt's own
+// stdout/stderr instead of the sbt logger: the logger's "[info] " line
+// prefix broke every driver-side json parse of graft.Bench's contract
+// line (BENCH_r01..r17 all record parsed: null; see Bench.scala).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

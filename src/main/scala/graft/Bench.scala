@@ -81,18 +81,25 @@ object Bench {
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
-    // The driver keeps only the LAST 2000 chars of stdout and parses the
-    // JSON line out of that tail; sbt then appends its own "[success] ..."
-    // line (~80 chars). Query NAMES alone for a 385-entry registry run
-    // ~2.3k chars, so NO name-keyed map can ever fit — the round-14 line
-    // carried "truncated":256. The self-contained replacement: per-query
-    // times as CENTISECOND integers in sorted-full-name order ("q_cs",
-    // ~4 chars/query), which tools/bench_decode.py re-keys using the
-    // registry (or bench_detail.json, whose md5 is embedded for
-    // integrity). Failed queries render as null, same contract as before.
-    // 2000-char tail minus sbt's "[info] " prefix, its trailing
-    // "[success] Total time ..." line, and slack for stray warnings
-    val budget = 1780
+    // Contract line (round-18 measurement-bug fix, OPTIMIZATION_r18.md):
+    // the driver has recorded `parsed: null` for EVERY round's bench line
+    // (BENCH_r01..r17) — r12's name-keyed line and r17's compact line both
+    // sat complete in the captured tail and still failed, so the earlier
+    // "2000-char tail" theory never explained the failures. The one
+    // constant across all rounds: every candidate line carried sbt's
+    // "[info] " log prefix (forked run output was routed through sbt's
+    // logger), which no per-line json parse survives. Fixes, layered:
+    //  (a) build.sbt routes forked run output straight through
+    //      (outputStrategy := StdoutOutput) so the line below reaches
+    //      stdout RAW, starting with '{';
+    //  (b) the line is printed AFTER spark.stop(), so no shutdown WARN
+    //      can land between it and sbt's trailing "[success]" line;
+    //  (c) the line carries the exact contract shape — "queries" as the
+    //      FULL-name-keyed seconds map and "sf" numeric — with the
+    //      compact centisecond array ("q_cs", sorted-full-name order,
+    //      tools/bench_decode.py) and the bench_detail.json md5 appended
+    //      LAST so a 2000-char tail still ends with the decodable array.
+    // Failed queries render as null, same contract as before.
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(detail.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
@@ -100,41 +107,14 @@ object Bench {
       case (_, Some(v)) => Math.round(v * 100).toString
       case (_, None)    => "null"
     }.mkString("[", ",", "]")
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"q_order":"sorted_name","q_unit":"centisec","q_cs":$csArr,"detail_md5":"$md5","sf":"$sfDir"}"""
-    // small (filtered-iteration) runs keep the qNN-keyed map — names in
-    // place beat a positional array when they fit
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val collided = results.groupBy { case (k, _) => short(k) }
-      .collect { case (_, vs) if vs.size > 1 => vs.map(_._1) }
-      .flatten.toSet
-    def key(name: String): String =
-      if (collided(name)) name else short(name)
-    def render(entries: Seq[(String, Option[Double])],
-               dropped: Int): String = {
-      val qs = entries.sortBy(_._1).map {
-        case (k, Some(v)) => "\"" + key(k) + "\":" + f"$v%.3f"
-        case (k, None)    => "\"" + key(k) + "\":null"
-      }.mkString("{", ",", "}")
-      val trunc = if (dropped > 0) s""","truncated":$dropped""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir"}"""
-    }
-    val named = render(results, 0)
+    // numeric scale factor from the dir name ("/root/testdata/sf0.1" ->
+    // 0.1); unparseable dirs fall back to the raw string
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+    val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
     val line =
-      if (named.length <= budget) named
-      else if (compact.length <= budget) compact
-      else {
-        // registry too large even for the cs array: keep the slowest
-        // (most informative) queries under a "truncated":N marker
-        var entries = results
-        var l = named
-        while (l.length > budget && entries.nonEmpty) {
-          entries = entries.sortBy(_._2.getOrElse(Double.MaxValue)).drop(1)
-          l = render(entries, results.size - entries.size)
-        }
-        l
-      }
-    println(line)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson,"sf_dir":"$sfDir","n":${results.size},"queries":$fullQs,"q_order":"sorted_name","q_unit":"centisec","q_cs":$csArr,"detail_md5":"$md5"}"""
     spark.stop()
+    println(line)
   }
 }

@@ -117,11 +117,15 @@ object Classifier {
       // epochs 1..t-1's margin/gradient passes — the final scoring pass
       // then re-executes the whole loop once more (measured: the 4
       // registered trainScore eval callers each spent ~40 driver jobs
-      // re-running epoch subtrees at sf0.1). A LAZY persist keeps the
-      // fix pruning-transparent: a consumer that never evaluates the
-      // weights (q219's count-shaped action) still prunes the whole
-      // training chain, while multi-consumer evals materialize each
-      // epoch exactly once.
+      // re-running epoch subtrees at sf0.1). Measured trade, accepted
+      // (BASELINE.md round-17 q219 re-record): the InMemoryRelation is
+      // substituted BEFORE optimizer pruning, so a consumer that never
+      // needs the weight values (q219's count-shaped bench action, which
+      // used to prune the whole training chain) now pays the real fit —
+      // 1.31 s (never trained) -> 2.33 s — while the five eval verbs
+      // that DO consume the weights each save the 1.14-1.53x chain
+      // re-execution. LAZY persist, not collect: an eager collect was
+      // measured worse still for q219 (3.13 s).
       w = graft.util.QueryCache.persist(wNext)
     }
     (w, x, yd)

@@ -113,9 +113,20 @@ object Dedup {
     * lost, biasing scores down by at most capped-df/corpus. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, block: String,
                    n: Int, gramDfCap: Long): DataFrame = {
+    // pin the gram cache's width AND key it on `g`: the cache feeds the
+    // quadratic co-occurrence self-join, so (a) without a pin, cached-plan
+    // AQE coalescing (Parallelize.tuneShuffle) materializes the few-MB
+    // gram frame at 1 partition and the join serializes (measured +0.9 s
+    // at sf0.1, round 18); (b) HashPartitioning(g) satisfies the join's
+    // ClusteredDistribution(g, source) on BOTH sides of the self-join —
+    // same cache, same partitioning — so the join reuses the cache's
+    // partitioning instead of re-shuffling the gram stream twice
+    // (guide §2.4 share one exchange).
     val ng = graft.util.QueryCache.persist(
       docs.select(col(id).as("doc_id"), col(block).as("source"),
-        explode(shingleIds(col(text), n)).as("g")))
+        explode(shingleIds(col(text), n)).as("g"))
+        .repartition(graft.util.Parallelize.computeWidth(docs.sparkSession),
+          col("g")))
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = ng.groupBy("source", "g").agg(count(lit(1)).as("df"))
       .filter(col("df") > gramDfCap).select("source", "g")
@@ -273,13 +284,17 @@ object Dedup {
       // byte-keyed coalescing collapses the stage to 1-3 tasks
       // (measured 13 s of task time on 3 tasks at sf0.1 — guide §2.5's
       // compute-vs-bytes partitioning lesson). An explicit-num
-      // repartition is exempt from AQE coalescing; key on id_a ONLY —
-      // repartitioning on the full (id_a, id_b) distinct key is elided
-      // as redundant against the distinct's own exchange, which AQE
-      // then coalesces right back to 1-3 tasks. Width follows the
-      // session's data-keyed shuffle width.
+      // repartition is exempt from AQE coalescing; partition on the
+      // deterministic PAIR hash, not id_a alone — a hub doc appearing
+      // as id_a in many pairs would re-concentrate an id_a-keyed stage
+      // (round-17 ADVICE skew exposure), while xxhash64(id_a, id_b)
+      // spreads every distinct pair and, being a different expression
+      // than the distinct's own hashpartitioning(id_a, id_b), is not
+      // elided as redundant against it (repartitioning on the raw full
+      // key WAS elided, then AQE re-coalesced to 1-3 tasks). Width
+      // follows the session's data-keyed shuffle width.
       .repartition(graft.util.Parallelize.computeWidth(docs.sparkSession),
-        col("id_a"))
+        xxhash64(col("id_a"), col("id_b")))
     pairs
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -718,11 +733,16 @@ object Dedup {
     * dense at high Jaccard.
     *
     * Portability: unlike the production path's xxhash64 minhash (q51),
-    * every hash here is the 52-bit md5-prefix value reduced mod
-    * 2³¹−1 with affine coefficients that are CLOSED FORMS of the hash
-    * index — an external SQL engine replays the full signature/band/
-    * bucket pipeline bit-for-bit, so the candidate SET itself (not
-    * just the verified output) is gated.
+    * every hash in the CANDIDATE pipeline (signature/band/bucket) is
+    * the 52-bit md5-prefix value reduced mod 2³¹−1 with affine
+    * coefficients that are CLOSED FORMS of the hash index — an external
+    * SQL engine replays that pipeline bit-for-bit, so the candidate SET
+    * itself (not just the verified output) is gated. The TRUTH side's
+    * co-shingle join is the one non-portable step: it travels as
+    * xxhash64 keys (w.h.p. convention, see the inline note and the
+    * gram-cardinality bound in BENCH_SCALE.md) while the oracle joins
+    * the gram strings, so the oracle gate is exactly what verifies the
+    * hashed join's equivalence.
     *
     * Scale shape: signatures are one hash-agg over distinct (doc,
     * shingle-hash); candidates an equi-join on (band, key); truth the

@@ -156,12 +156,27 @@ object LinkAnalysis {
     val adj = graft.util.QueryCache.persist(
       edges.union(edges.select(col("v"), col("u")))
         .toDF("x", "nbr"))
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // deg has THREE consumers (the hub filter and the two per-endpoint
+    // degree joins) — uncached, each re-aggregated the adjacency cache
+    // (§1.2 don't compute twice; profiled 3 near-identical agg jobs)
+    val deg = graft.util.QueryCache.persist(
+      adj.groupBy(col("x")).agg(count(lit(1)).as("deg")))
     val midOk = deg.filter(col("deg") <= maxDeg)
       .select(col("x").as("__mid"))
-    // wedges a—n—c with non-hub middles; a < c dedupes the pair space
-    val viaMid = adj.join(midOk, col("x") === col("__mid"))
-      .select(col("x").as("n"), col("nbr"))
+    // wedges a—n—c with non-hub middles; a < c dedupes the pair space.
+    // viaMid is width-pinned on the wedge key (REPARTITION_BY_NUM, the
+    // q339/q52 pattern): the quadratic wedge self-join fans kilobytes of
+    // cached adjacency into deg² pair rows, and under cached-plan AQE
+    // coalescing its unpinned input collapsed to 1 partition — profiled
+    // as one 1.3 s single-task job (round 18). HashPartitioning(n)
+    // satisfies the self-join's distribution on BOTH sides, so the join
+    // reuses this single exchange; persist keeps the two sides from
+    // recomputing the midOk probe twice.
+    val viaMid = graft.util.QueryCache.persist(
+      adj.join(midOk, col("x") === col("__mid"))
+        .select(col("x").as("n"), col("nbr"))
+        .repartition(graft.util.Parallelize.computeWidth(
+          baskets.sparkSession), col("n")))
     val wedges = viaMid.as("l")
       .join(viaMid.as("r"), col("l.n") === col("r.n")
         && col("l.nbr") < col("r.nbr"))

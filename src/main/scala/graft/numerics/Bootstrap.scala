@@ -256,7 +256,14 @@ object Bootstrap {
     val cut = alphaPm * reps / 1000
     require(cut * 2 < reps, s"alpha $alphaPm‰ too wide for B=$reps")
     val diffs = graft.util.Parallelize.ensure(df)
-      .select(id.cast("string").as("__id"), isA.as("__a"),
+      // normalize the arm ONCE at entry: a NULL isA used to fall into
+      // arm B in the replicate means (CASE WHEN __a ... ELSE) but out of
+      // BOTH arms in the full-data stats (__b = 0 AND NOT __a skips
+      // NULL), so diff_fp and the CI were computed over different
+      // populations on nullable arms (round-17 ADVICE). coalesce(false)
+      // makes every aggregate see the same arm-B assignment.
+      .select(id.cast("string").as("__id"),
+        coalesce(isA, lit(false)).as("__a"),
         valueFp.cast("long").as("__v"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("__u", uniform1e12(concat(col("__id"), lit("#"),

@@ -38,8 +38,17 @@ object Trend {
       series.select(col(t).cast("long").as("t"),
         col(v).cast("long").as("v"))
         .filter(col("t").isNotNull && col("v").isNotNull))
+    // pin the pair-grid width: the |series|² non-equi join fans a
+    // kilobyte-scale cached bucket frame into n²/2 pair rows, so its
+    // width must follow the COMPUTE, not the parent's bytes — with
+    // cached-plan AQE coalescing on (Parallelize.tuneShuffle), the tiny
+    // `s` cache materializes at 1 partition and an unpinned BNLJ
+    // serialized the whole grid on one core (measured +3.3 s at sf0.1,
+    // round 18). REPARTITION_BY_NUM is exempt from coalescing; width
+    // follows the session's data-keyed shuffle width (guide §2.5).
     val pairs = graft.util.QueryCache.persist(
-      s.as("a").join(s.as("b"), col("a.t") < col("b.t"))
+      s.repartition(graft.util.Parallelize.computeWidth(series.sparkSession))
+        .as("a").join(s.as("b"), col("a.t") < col("b.t"))
         .select((col("b.v") - col("a.v")).as("dv"),
           (col("b.t") - col("a.t")).as("dt")))
     // slope grid: (dv + shift·dt)·1e6 div dt − shift·1e6 is floor(dv/dt

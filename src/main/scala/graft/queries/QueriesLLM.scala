@@ -753,9 +753,14 @@ object QueriesLLM {
     // sort/ntile), head/middle/tail assigned on the scan, then the
     // classic keep-100%/50%/10% deterministic downsample per bucket
     "q255_ccnet_buckets" -> ((s, dir) => {
+      // width-pin the cached perplexity frame (REPARTITION_BY_NUM, the
+      // q339 pattern): under cached-plan AQE coalescing the per-doc NLL
+      // frame is kilobytes, so the whole LM-scoring chain materialized
+      // on 1 task (profiled 3×~0.5 s single-task jobs, round 18)
       val pp = graft.util.QueryCache.persist(NgramLM.bigramPerplexity(
         Tables.documents(s, dir).repartition(col("doc_id")),
-        "doc_id", "text", alpha = 0.5))
+        "doc_id", "text", alpha = 0.5)
+        .repartition(graft.util.Parallelize.computeWidth(s), col("doc_id")))
       val th = pp.agg(
         percentile(col("avg_nll"), lit(1.0 / 3.0)).as("t1"),
         percentile(col("avg_nll"), lit(2.0 / 3.0)).as("t2"))

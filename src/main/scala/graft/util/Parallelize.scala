@@ -118,15 +118,34 @@ object Parallelize {
     }
   }
 
+  val CachedPlanAqeKey =
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
   /** Keys the session's initial shuffle width to the bytes under the
     * data directory: heavy aggregate stages inherit partitions ∝ data,
     * AQE coalescing shrinks everything else back to the floor. Explicit
     * `spark.sql.shuffle.partitions`-style scoping (streaming verbs,
-    * [[withFixedShuffle]]) still overrides per query. */
+    * [[withFixedShuffle]]) still overrides per query.
+    *
+    * Also lets AQE apply its byte-keyed partition coalescing to CACHED
+    * plans (`canChangeCachedPlanOutputPartitioning=true`; off upstream
+    * by default): with it off, every `persist` materializes at the raw
+    * initial shuffle width and every downstream scan of the cache — and
+    * every per-round localCheckpoint whose parent is the cache — pays
+    * that width in task scheduling. The round-18 profile of the
+    * iterative verbs (q294 HITS: 36 jobs of 32-task stages with ~0 task
+    * time; q356 k-core rounds at 64 tasks × ~90 ms fixed cost) was
+    * exactly this; measured same-window A/B, the flip is worth 1.4–2×
+    * on the loop/persist family and byte-neutral elsewhere
+    * (OPTIMIZATION_r18.md). Scale-safe by construction: a 100 TB cached
+    * frame coalesces to advisory-sized (not tiny) partitions, and
+    * compute-heavy-tiny-byte frames keep their explicit
+    * REPARTITION_BY_NUM pins, which AQE never coalesces. */
   def tuneShuffle(spark: SparkSession, dir: String): Int = {
     val width = widthFor(spark, dirBytes(dir),
       ShuffleTargetBytesKey, 8L << 20)
     spark.conf.set(InitialPartitionNumKey, width.toString)
+    spark.conf.set(CachedPlanAqeKey, "true")
     width
   }
 
