@@ -113,20 +113,22 @@ object Dedup {
     * lost, biasing scores down by at most capped-df/corpus. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, block: String,
                    n: Int, gramDfCap: Long): DataFrame = {
-    // pin the gram cache's width AND key it on `g`: the cache feeds the
-    // quadratic co-occurrence self-join, so (a) without a pin, cached-plan
-    // AQE coalescing (Parallelize.tuneShuffle) materializes the few-MB
-    // gram frame at 1 partition and the join serializes (measured +0.9 s
-    // at sf0.1, round 18); (b) HashPartitioning(g) satisfies the join's
-    // ClusteredDistribution(g, source) on BOTH sides of the self-join —
-    // same cache, same partitioning — so the join reuses the cache's
-    // partitioning instead of re-shuffling the gram stream twice
-    // (guide §2.4 share one exchange).
+    // pin the gram cache's width (round-robin REPARTITION_BY_NUM): the
+    // cache feeds the quadratic co-occurrence self-join, and without a
+    // pin cached-plan AQE coalescing (Parallelize.tuneShuffle)
+    // materializes the few-MB gram frame at 1 partition and the join
+    // serializes (measured +0.9 s at sf0.1, round 18). Deliberately NOT
+    // keyed on `g`: a g-keyed pin lets the self-join REUSE the cache's
+    // partitioning, which removes the join's own exchange — and with it
+    // AQE's skew-join splitting, exactly where stop-gram keys
+    // concentrate df² pair fan-out on one partition (measured: heap OOM
+    // on the 30× replica with the keyed pin; completes keyed-free with
+    // the join's ENSURE_REQUIREMENTS exchange skew-split in place).
     val ng = graft.util.QueryCache.persist(
       docs.select(col(id).as("doc_id"), col(block).as("source"),
         explode(shingleIds(col(text), n)).as("g"))
-        .repartition(graft.util.Parallelize.computeWidth(docs.sparkSession),
-          col("g")))
+        .repartition(
+          graft.util.Parallelize.computeWidth(docs.sparkSession)))
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = ng.groupBy("source", "g").agg(count(lit(1)).as("df"))
       .filter(col("df") > gramDfCap).select("source", "g")
